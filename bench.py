@@ -1,0 +1,78 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed with a count()-style action (no driver-side collect of
+full results; limit queries collect their <=100 rows). Timings are
+end-to-end per query including planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sol_spark.registry import all_queries
+from sol_spark.session import get_session
+
+# Headline set: the spine of SURVEY §2 — scan/filter/agg (q1, q6), joins+topk
+# (q3, q5, q9, q18), window (win_rank), set op (set_intersect), LLM ops
+# (dedup_minhash_lsh, sim_topk_exact, text_stats).
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q9",
+    "tpch_q18",
+    "tpch_q21",
+    "win_rank_topk_per_group",
+    "set_intersect",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_exact",
+    "text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_session("solspark-bench")
+    specs = all_queries()
+
+    # Warm the JVM + parquet footers with one cheap action.
+    specs["tpch_q6"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = specs[name].fn
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        # Force full execution; toLocalIterator-free, result sets are small
+        # (aggregates / top-k) by construction.
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

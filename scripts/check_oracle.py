@@ -1,0 +1,48 @@
+"""Dev loop: run every registered query against the DuckDB oracle.
+
+Usage: python scripts/check_oracle.py [sf_dir] [name_filter...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from sol_spark.oracle import compare
+from sol_spark.registry import all_queries
+from sol_spark.session import get_session
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    name_filters = sys.argv[2:]
+    spark = get_session("check_oracle")
+    specs = all_queries()
+    failures = []
+    for name, spec in sorted(specs.items()):
+        if name_filters and not any(f in name for f in name_filters):
+            continue
+        t0 = time.time()
+        try:
+            df = spec.fn(spark, sf_dir)
+            if spec.oracle is None:
+                n = df.count()
+                print(f"  {name:35s} rows-only: {n} rows [{time.time()-t0:.1f}s]")
+                continue
+            ok, msg = compare(df, spec.oracle, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"EXC {type(e).__name__}: {str(e)[:300]}"
+        status = "PASS" if ok else "FAIL"
+        print(f"  {name:35s} {status}: {msg} [{time.time()-t0:.1f}s]")
+        if not ok:
+            failures.append((name, msg))
+    print(f"\n{len(failures)} failures / {len(specs)} queries")
+    for name, msg in failures:
+        print(f"  FAIL {name}: {msg[:200]}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

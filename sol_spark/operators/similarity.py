@@ -1,0 +1,205 @@
+"""Embedding similarity search over the ``embeddings`` fixture
+(vec_id bigint, embedding array<float> x64, label int).
+
+Two paths, per the scale playbook:
+  * ``sim_topk_exact`` — brute-force cosine top-k: broadcast the (small)
+    query set against the corpus; exact baseline and recall oracle.
+  * ``sim_topk_lsh`` — sign-LSH bucketed variant: candidates share a bucket
+    key derived from the signs of the leading embedding components (an
+    axis-aligned random-hyperplane family). Join is bucket-equi, so the
+    cluster shuffles only matching buckets — the 100 TB path.
+
+All vector math uses built-in higher-order functions (zip_with + aggregate)
+in double precision — JVM-side, no UDF, no collect. Cosines are rounded to 6
+decimals with vec_id tie-breaks so top-k is deterministic cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sol_spark.registry import register
+from sol_spark.tables import load_tables
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 3
+LSH_BITS = 8
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS double) * cast(y AS double)), "
+    "cast(0.0 AS double), (acc, v) -> acc + v)"
+)
+_NORM = "sqrt(aggregate(transform({a}, x -> cast(x AS double) * cast(x AS double)), cast(0.0 AS double), (acc, v) -> acc + v))"
+
+
+def _with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("nrm", F.expr(_NORM.format(a=vec_col)))
+
+
+SIM_EXACT_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+norms AS (
+  SELECT vec_id, sqrt(sum(embedding[i.i]::DOUBLE * embedding[i.i]::DOUBLE)) AS nrm
+  FROM embeddings, dims i GROUP BY vec_id
+),
+dots AS (
+  SELECT qid, cid, sum(qe[i.i]::DOUBLE * ce[i.i]::DOUBLE) AS dot
+  FROM q, c, dims i
+  WHERE qid <> cid
+  GROUP BY qid, cid
+),
+scored AS (
+  SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots JOIN norms nq ON nq.vec_id = qid
+            JOIN norms nc ON nc.vec_id = cid
+),
+ranked AS (
+  SELECT qid, cid, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+  FROM scored
+)
+SELECT qid, cid, cosine, rk FROM ranked WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+"""
+
+
+@register("sim_topk_exact", SIM_EXACT_ORACLE, tags=("llm", "similarity"))
+def sim_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast queries x corpus, window top-k.
+
+    At 100 TB the corpus side stays partitioned and only the query set is
+    broadcast; the per-partition work is a codegen'd loop over Arrow-read
+    vectors. Row count = |Q| x |corpus| only inside the join operator —
+    the window keeps just k rows per query per partition before the final
+    shuffle (TakeOrderedAndProject-style)."""
+    t = load_tables(spark, sf_dir)
+    emb = _with_norm(t["embeddings"])
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), F.col("nrm").alias("cn"))
+    dot = F.expr(_DOT.format(a="qe", b="ce"))
+    scored = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+        .withColumn("cosine", F.round(dot / (F.col("qn") * F.col("cn")), 6))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", "cid", "cosine", "rk")
+        .orderBy("qid", "rk")
+    )
+
+
+_BUCKET_SPARK = (
+    f"concat_ws('', transform(slice(embedding, 1, {LSH_BITS}), x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))"
+)
+
+
+SIM_LSH_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+b AS (
+  SELECT vec_id, embedding,
+         list_aggregate(list_transform(embedding[1:{LSH_BITS}],
+                        x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '') AS bucket
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, sqrt(sum(embedding[i.i]::DOUBLE * embedding[i.i]::DOUBLE)) AS nrm
+  FROM embeddings, dims i GROUP BY vec_id
+),
+q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM b WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS cid, embedding AS ce, bucket FROM b),
+dots AS (
+  SELECT qid, cid, sum(qe[i.i]::DOUBLE * ce[i.i]::DOUBLE) AS dot
+  FROM q JOIN c USING (bucket), dims i
+  WHERE qid <> cid
+  GROUP BY qid, cid
+),
+scored AS (
+  SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots JOIN norms nq ON nq.vec_id = qid
+            JOIN norms nc ON nc.vec_id = cid
+),
+ranked AS (
+  SELECT qid, cid, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+  FROM scored
+)
+SELECT qid, cid, cosine, rk FROM ranked WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+"""
+
+
+@register("sim_topk_lsh", SIM_LSH_ORACLE, tags=("llm", "similarity", "lsh"))
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH approximate top-k: bucket key = sign bits of the first
+    {LSH_BITS} components (axis-aligned hyperplane family for cosine).
+    The query-corpus join is EQUI on the bucket — at scale this prunes the
+    candidate set ~2^bits-fold and shuffles only bucket-matched rows.
+    Approximation is deterministic, so the oracle reproduces it exactly."""
+    t = load_tables(spark, sf_dir)
+    emb = _with_norm(t["embeddings"]).withColumn("bucket", F.expr(_BUCKET_SPARK))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn"), "bucket"
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), F.col("nrm").alias("cn"), "bucket")
+    dot = F.expr(_DOT.format(a="qe", b="ce"))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("cosine", F.round(dot / (F.col("qn") * F.col("cn")), 6))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", "cid", "cosine", "rk")
+        .orderBy("qid", "rk")
+    )
+
+
+PAIR_COSINE_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+lab AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 50),
+norms AS (
+  SELECT vec_id, sqrt(sum(embedding[i.i]::DOUBLE * embedding[i.i]::DOUBLE)) AS nrm
+  FROM lab embeddings, dims i GROUP BY vec_id
+),
+dots AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, a.label = b.label AS same_label,
+         sum(a.embedding[i.i]::DOUBLE * b.embedding[i.i]::DOUBLE) AS dot
+  FROM lab a JOIN lab b ON a.vec_id < b.vec_id, dims i
+  GROUP BY 1, 2, 3
+)
+SELECT same_label, count(*) AS n_pairs,
+       round(avg(dot / (na.nrm * nb.nrm)), 4) AS avg_cosine
+FROM dots JOIN norms na ON na.vec_id = va
+          JOIN norms nb ON nb.vec_id = vb
+GROUP BY same_label ORDER BY same_label
+"""
+
+
+@register("sim_label_cohesion", PAIR_COSINE_ORACLE, tags=("llm", "similarity"))
+def sim_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup signal: average pairwise cosine within vs
+    across labels (first 50 vectors) — validates that cosine math agrees
+    with the oracle over thousands of pairs, and that label is a usable
+    ground-truth clustering signal (FIXTURES.md)."""
+    t = load_tables(spark, sf_dir)
+    emb = _with_norm(t["embeddings"].filter(F.col("vec_id") < 50))
+    a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"), F.col("label").alias("la"))
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"), F.col("label").alias("lb"))
+    dot = F.expr(_DOT.format(a="ea", b="eb"))
+    return (
+        a.join(b, F.col("va") < F.col("vb"))
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        .withColumn("same_label", F.col("la") == F.col("lb"))
+        .groupBy("same_label")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.round(F.avg("cosine"), 4).alias("avg_cosine"))
+        .orderBy("same_label")
+    )

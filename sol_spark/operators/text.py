@@ -1,0 +1,187 @@
+"""Text-analysis operators for LLM training-data pipelines: quality stats,
+language ID, token counting, document fingerprinting. All pure built-in
+column expressions (codegen'd, shuffle-free projections) — the quality
+filters a 100 TB pre-training corpus runs per-document, expressed so Catalyst
+can pipeline them into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sol_spark.registry import register
+from sol_spark.tables import load_tables
+
+_NORM = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+_NORM_DUCK = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+TEXT_STATS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, text, string_split({_NORM_DUCK}, ' ') AS tk FROM documents
+)
+SELECT doc_id,
+       length(text) AS n_chars_actual,
+       len(tk) AS n_tokens,
+       (10000 * length(text)) // len(tk) AS avg_token_len_bp,
+       len(list_distinct(tk)) AS n_unique_tokens,
+       (10000 * len(list_distinct(tk))) // len(tk) AS ttr_bp,
+       length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+       len(list_filter(tk, x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS n_stopwords
+FROM toks ORDER BY doc_id
+"""
+
+
+@register("text_stats", TEXT_STATS_ORACLE, tags=("llm", "text"))
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality stats: length, token count, type-token ratio,
+    punctuation density, stopword count — the standard quality-filter
+    feature vector (c.f. Gopher/C4 rules), all as codegen'd expressions."""
+    t = load_tables(spark, sf_dir)
+    tk = F.expr(f"split({_NORM}, ' ')")
+    return t["documents"].select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        F.size(tk).alias("n_tokens"),
+        F.expr(f"(10000 * length(text)) div size(split({_NORM}, ' '))").alias("avg_token_len_bp"),
+        F.size(F.array_distinct(tk)).alias("n_unique_tokens"),
+        F.expr(f"(10000 * size(array_distinct(split({_NORM}, ' ')))) div size(split({_NORM}, ' '))").alias("ttr_bp"),
+        (F.length("text") - F.length(F.regexp_replace("text", "[.,;:!?]", ""))).alias("n_punct"),
+        F.size(F.expr(f"filter(split({_NORM}, ' '), x -> x IN ('the', 'a', 'of', 'and', 'is'))")).alias("n_stopwords"),
+    ).orderBy("doc_id")
+
+
+# Stopword lists per language — the classic n-gram/stopword-hit heuristic.
+_LANGS = {
+    "en": ("the", "and", "of", "is", "a"),
+    "de": ("der", "und", "die", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "la", "y", "los", "es"),
+}
+
+
+def _score_spark(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LANGS[lang])
+    return f"size(filter(split({_NORM}, ' '), x -> x IN ({words})))"
+
+
+def _score_duck(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LANGS[lang])
+    return f"len(list_filter(string_split({_NORM_DUCK}, ' '), x -> x IN ({words})))"
+
+
+def _pred_case(score_fn) -> str:
+    """Deterministic argmax: zh if CJK chars present, else highest stopword
+    score with fixed tie order en > de > fr > es, 'und' (unknown) if all 0."""
+    s = {l: score_fn(l) for l in _LANGS}
+    return f"""
+      CASE WHEN {{cjk}} > 0 THEN 'zh'
+           WHEN {s['en']} >= {s['de']} AND {s['en']} >= {s['fr']} AND {s['en']} >= {s['es']} AND {s['en']} > 0 THEN 'en'
+           WHEN {s['de']} >= {s['fr']} AND {s['de']} >= {s['es']} AND {s['de']} > 0 THEN 'de'
+           WHEN {s['fr']} >= {s['es']} AND {s['fr']} > 0 THEN 'fr'
+           WHEN {s['es']} > 0 THEN 'es'
+           ELSE 'und' END
+    """
+
+
+_CJK_SPARK = "length(regexp_replace(text, '[^\\\\x{4e00}-\\\\x{9fff}]', ''))"
+_CJK_DUCK = "length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))"
+
+LANG_ID_ORACLE = f"""
+SELECT doc_id, lang,
+       {_pred_case(_score_duck).format(cjk=_CJK_DUCK)} AS pred_lang,
+       (lang = {_pred_case(_score_duck).format(cjk=_CJK_DUCK)}) AS is_match
+FROM documents ORDER BY doc_id
+"""
+
+
+@register("text_lang_id", LANG_ID_ORACLE, tags=("llm", "text"))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: CJK-codepoint detection for zh, stopword-hit
+    argmax for en/de/fr/es (deterministic tie order). On a real corpus the
+    same structure scales to full stopword tables; here it hash-matches the
+    oracle exactly because the heuristic itself is deterministic."""
+    t = load_tables(spark, sf_dir)
+    pred = F.expr(_pred_case(_score_spark).format(cjk=_CJK_SPARK))
+    return t["documents"].select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        (F.col("lang") == pred).alias("is_match"),
+    ).orderBy("doc_id")
+
+
+TOKEN_COUNT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS tk FROM documents
+)
+SELECT doc_id,
+       len(tk) AS n_ws_tokens,
+       CAST(list_sum(list_transform(tk, t -> ceil(length(t) / 4.0))) AS BIGINT) AS n_bpe_est,
+       CAST(list_sum(list_transform(tk, t -> length(t) + 1)) AS BIGINT) - 1 AS n_bytes_est
+FROM toks ORDER BY doc_id
+"""
+
+
+@register("text_token_count", TOKEN_COUNT_ORACLE, tags=("llm", "text"))
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish estimate
+    (ceil(len/4) subwords per word — the ~4-chars-per-token rule)."""
+    t = load_tables(spark, sf_dir)
+    tk = f"split({_NORM}, ' ')"
+    return t["documents"].select(
+        "doc_id",
+        F.expr(f"size({tk})").alias("n_ws_tokens"),
+        F.expr(
+            f"cast(aggregate(transform({tk}, t -> ceil(length(t) / 4.0)), cast(0.0 AS double), (a, v) -> a + v) AS bigint)"
+        ).alias("n_bpe_est"),
+        F.expr(
+            f"cast(aggregate(transform({tk}, t -> length(t) + 1), 0L, (a, v) -> a + cast(v AS bigint)) AS bigint) - 1"
+        ).alias("n_bytes_est"),
+    ).orderBy("doc_id")
+
+
+FINGERPRINT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS tk,
+         {_NORM_DUCK} AS ntext
+  FROM documents
+), shingle AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           CASE WHEN len(tk) < 3 THEN [ntext]
+                ELSE list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS shl
+    FROM toks
+  ) s, unnest(s.shl) AS u(shingle)
+), hashed AS (
+  SELECT doc_id, md5(shingle) AS h FROM shingle
+), mins AS (
+  SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rk
+  FROM hashed
+)
+SELECT doc_id, md5(string_agg(h, '|' ORDER BY h)) AS fingerprint
+FROM mins WHERE rk <= 5
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("text_fingerprint", FINGERPRINT_ORACLE, tags=("llm", "text"))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the 5 smallest shingle hashes
+    (min-k sketch — a winnowing-style rolling fingerprint). Identical
+    fingerprints => near-identical documents; used as a cheap first-pass
+    cluster key before MinHash verification."""
+    t = load_tables(spark, sf_dir)
+    norm = _NORM
+    tk = f"split({norm}, ' ')"
+    shingles = (
+        f"CASE WHEN size({tk}) < 3 THEN array({norm}) "
+        f"ELSE array_distinct(transform(sequence(1, size({tk}) - 2), "
+        f"i -> concat_ws(' ', element_at({tk}, i), element_at({tk}, i + 1), element_at({tk}, i + 2)))) END"
+    )
+    return t["documents"].select(
+        "doc_id",
+        F.expr(
+            f"md5(array_join(slice(array_sort(transform({shingles}, s -> md5(s))), 1, 5), '|'))"
+        ).alias("fingerprint"),
+    ).orderBy("doc_id")

@@ -1,0 +1,84 @@
+"""DuckDB oracle harness — mirrors the driver's correctness gate: run the
+Spark query and the oracle SQL on the same parquet tables, then compare
+row count, schema shape, and order-insensitive values (column-name sorted),
+with numeric tolerance.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import duckdb
+import pandas as pd
+
+from sol_spark.tables import TABLE_NAMES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> list[list[Any]]:
+    """Sort columns by name, canonicalize cell values, sort rows."""
+    df = df[sorted(df.columns)]
+    rows: list[list[Any]] = []
+    for row in df.itertuples(index=False):
+        out = []
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                out.append(None)
+            elif isinstance(v, (bool,)):
+                out.append(bool(v))
+            elif isinstance(v, float):
+                out.append(round(v, 6))
+            elif isinstance(v, pd.Timestamp):
+                out.append(v.tz_localize(None) if v.tzinfo else v)
+            else:
+                out.append(v)
+        rows.append(out)
+    rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return rows
+
+
+def _values_close(a: Any, b: Any, rtol: float = 1e-6) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return math.isclose(fa, fb, rel_tol=rtol, abs_tol=1e-6)
+    if isinstance(a, (int,)) and isinstance(b, (int,)):
+        return a == b
+    return str(a) == str(b)
+
+
+def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
+    """Returns (ok, message). Row-order and column-order insensitive."""
+    sp = spark_df.toPandas()
+    con = duck_connection(sf_dir)
+    try:
+        du = con.execute(oracle_sql).df()
+    finally:
+        con.close()
+    if len(sp) != len(du):
+        return False, f"row count: spark={len(sp)} oracle={len(du)}"
+    if sorted(map(str.lower, sp.columns)) != sorted(map(str.lower, du.columns)):
+        return False, f"columns: spark={sorted(sp.columns)} oracle={sorted(du.columns)}"
+    sp.columns = [c.lower() for c in sp.columns]
+    du.columns = [c.lower() for c in du.columns]
+    a_rows, b_rows = _normalize(sp), _normalize(du)
+    for i, (ra, rb) in enumerate(zip(a_rows, b_rows)):
+        for j, (va, vb) in enumerate(zip(ra, rb)):
+            if not _values_close(va, vb):
+                return False, f"value mismatch at sorted-row {i}, col {sorted(sp.columns)[j]}: spark={va!r} oracle={vb!r}"
+    return True, f"ok ({len(sp)} rows)"

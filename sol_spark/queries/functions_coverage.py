@@ -1,0 +1,248 @@
+"""Scalar-function surface coverage (SURVEY §2.8).
+
+The reference registers ~275 scalar functions
+(/root/reference/sql/catalyst/src/main/scala/org/apache/spark/sql/catalyst/analysis/FunctionRegistry.scala:190-500),
+all stock Catalyst expressions. Modern PySpark is a superset, so "coverage"
+here means *verified behavior*, not reimplementation: each query below
+evaluates a family of functions over fixture rows and hash-matches a DuckDB
+oracle (names differ per engine where noted — e.g. Spark ``sha2(x,256)`` vs
+DuckDB ``sha256``, Spark ``get_json_object`` vs DuckDB
+``json_extract_string``).
+
+Everything is a pure projection: whole-stage-codegen'd, zero shuffles,
+trivially scale-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sol_spark.registry import register
+from sol_spark.tables import load_tables
+
+FN_MATH_ORACLE = """
+SELECT p_partkey,
+       abs(p_retailprice - 1000.0) AS abs_v,
+       ceil(p_retailprice) AS ceil_v,
+       floor(p_retailprice) AS floor_v,
+       round(sqrt(p_retailprice), 6) AS sqrt_v,
+       round(ln(p_retailprice + 1), 6) AS ln_v,
+       round(log10(p_retailprice + 1), 6) AS log10_v,
+       round(pow(p_size, 2), 2) AS pow_v,
+       p_size % 7 AS mod_v,
+       sign(p_retailprice - 1000.0) AS sign_v,
+       round(sin(p_size), 6) AS sin_v,
+       round(atan2(p_size, 3.0), 6) AS atan2_v,
+       greatest(p_size, 25) AS greatest_v,
+       least(p_size, 25) AS least_v
+FROM part ORDER BY p_partkey
+"""
+
+
+@register("fn_math", FN_MATH_ORACLE, tags=("functions", "math"))
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math expression family (FunctionRegistry.scala:217-270)."""
+    t = load_tables(spark, sf_dir)
+    p = t["part"]
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_retailprice") - 1000.0).alias("abs_v"),
+        F.ceil("p_retailprice").alias("ceil_v"),
+        F.floor("p_retailprice").alias("floor_v"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("sqrt_v"),
+        F.round(F.log(F.col("p_retailprice") + 1), 6).alias("ln_v"),
+        F.round(F.log10(F.col("p_retailprice") + 1), 6).alias("log10_v"),
+        F.round(F.pow("p_size", F.lit(2)), 2).alias("pow_v"),
+        (F.col("p_size") % 7).alias("mod_v"),
+        F.signum(F.col("p_retailprice") - 1000.0).alias("sign_v"),
+        F.round(F.sin("p_size"), 6).alias("sin_v"),
+        F.round(F.atan2(F.col("p_size").cast("double"), F.lit(3.0)), 6).alias("atan2_v"),
+        F.greatest("p_size", F.lit(25)).alias("greatest_v"),
+        F.least("p_size", F.lit(25)).alias("least_v"),
+    ).orderBy("p_partkey")
+
+
+FN_STRING_ORACLE = """
+SELECT p_partkey,
+       lower(p_name) AS lower_v,
+       upper(p_brand) AS upper_v,
+       length(p_name) AS len_v,
+       substr(p_name, 1, 4) AS substr_v,
+       trim('  ' || p_name || ' ') AS trim_v,
+       lpad(p_brand, 12, '*') AS lpad_v,
+       rpad(p_brand, 12, '#') AS rpad_v,
+       replace(p_name, ' ', '_') AS replace_v,
+       reverse(p_brand) AS reverse_v,
+       concat_ws('|', p_brand, p_type) AS concat_ws_v,
+       instr(p_name, 'e') AS instr_v,
+       repeat(p_type, 2) AS repeat_v,
+       translate(p_name, 'aeiou', 'AEIOU') AS translate_v,
+       levenshtein(p_brand, 'Brand#1') AS lev_v,
+       left(p_name, 3) AS left_v,
+       right(p_name, 3) AS right_v,
+       contains(p_name, 'gear') AS contains_v,
+       starts_with(p_name, 'small') AS starts_v,
+       regexp_extract(p_brand, '#([0-9]+)', 1) AS re_extract_v,
+       regexp_replace(p_name, '[aeiou]', '.', 'g') AS re_replace_v
+FROM part ORDER BY p_partkey
+"""
+
+
+@register("fn_string", FN_STRING_ORACLE, tags=("functions", "string"))
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String expression family (FunctionRegistry.scala:312-374)."""
+    t = load_tables(spark, sf_dir)
+    p = t["part"]
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lower_v"),
+        F.upper("p_brand").alias("upper_v"),
+        F.length("p_name").alias("len_v"),
+        F.substring("p_name", 1, 4).alias("substr_v"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("trim_v"),
+        F.lpad("p_brand", 12, "*").alias("lpad_v"),
+        F.rpad("p_brand", 12, "#").alias("rpad_v"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("replace_v"),
+        F.reverse("p_brand").alias("reverse_v"),
+        F.concat_ws("|", "p_brand", "p_type").alias("concat_ws_v"),
+        F.instr("p_name", "e").alias("instr_v"),
+        F.repeat("p_type", 2).alias("repeat_v"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("translate_v"),
+        F.levenshtein("p_brand", F.lit("Brand#1")).alias("lev_v"),
+        F.substring("p_name", 1, 3).alias("left_v"),
+        F.col("p_name").substr(F.length("p_name") - 2, F.lit(3)).alias("right_v"),
+        F.contains("p_name", F.lit("gear")).alias("contains_v"),
+        F.startswith("p_name", F.lit("small")).alias("starts_v"),
+        F.regexp_extract("p_brand", "#([0-9]+)", 1).alias("re_extract_v"),
+        F.regexp_replace("p_name", "[aeiou]", ".").alias("re_replace_v"),
+    ).orderBy("p_partkey")
+
+
+FN_DATETIME_ORACLE = """
+SELECT o_orderkey,
+       year(o_orderdate) AS year_v,
+       month(o_orderdate) AS month_v,
+       day(o_orderdate) AS day_v,
+       quarter(o_orderdate) AS quarter_v,
+       dayofyear(o_orderdate) AS doy_v,
+       weekofyear(o_orderdate) AS woy_v,
+       date_trunc('month', o_orderdate) AS trunc_month_v,
+       date_trunc('week', o_orderdate) AS trunc_week_v,
+       o_orderdate + INTERVAL 30 DAY AS plus30_v,
+       last_day(o_orderdate) AS last_day_v,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS unix_ts_v,
+       strftime(o_orderdate, '%Y-%m-%d') AS fmt_v
+FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey
+"""
+
+
+@register("fn_datetime", FN_DATETIME_ORACLE, tags=("functions", "datetime"))
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime expression family (FunctionRegistry.scala:375-409).
+    Note engine-name drift: Spark unix_timestamp == DuckDB epoch;
+    Spark date_format == DuckDB strftime; last_day returns DATE in both...
+    cast to timestamp for schema agreement."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("year_v"),
+        F.month("o_orderdate").alias("month_v"),
+        F.dayofmonth("o_orderdate").alias("day_v"),
+        F.quarter("o_orderdate").alias("quarter_v"),
+        F.dayofyear("o_orderdate").alias("doy_v"),
+        F.weekofyear("o_orderdate").alias("woy_v"),
+        F.date_trunc("month", "o_orderdate").alias("trunc_month_v"),
+        F.date_trunc("week", "o_orderdate").alias("trunc_week_v"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("plus30_v"),
+        F.last_day("o_orderdate").cast("timestamp").alias("last_day_v"),
+        F.unix_timestamp("o_orderdate").alias("unix_ts_v"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("fmt_v"),
+    ).orderBy("o_orderkey")
+
+
+FN_COND_ORACLE = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS case_v,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS coalesce_v,
+       c_acctbal IS NULL AS isnull_v,
+       c_nationkey IN (1, 2, 3) AS in_v,
+       (c_acctbal > 0 AND c_nationkey < 10) OR c_mktsegment = 'MACHINERY' AS bool_v,
+       if(c_acctbal > 5000, 1, 0) AS if_v,
+       round(coalesce(NULLIF(c_acctbal, 0.0), -1.0), 2) AS nvl_v
+FROM customer ORDER BY c_custkey
+"""
+
+
+@register("fn_conditional", FN_COND_ORACLE, tags=("functions", "conditional"))
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null family (FunctionRegistry.scala:192-216,469-489)."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"]
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "neg").when(F.col("c_acctbal") < 5000, "mid").otherwise("high").alias("case_v"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias("coalesce_v"),
+        F.isnull("c_acctbal").alias("isnull_v"),
+        F.col("c_nationkey").isin(1, 2, 3).alias("in_v"),
+        (((F.col("c_acctbal") > 0) & (F.col("c_nationkey") < 10)) | (F.col("c_mktsegment") == "MACHINERY")).alias(
+            "bool_v"
+        ),
+        F.when(F.col("c_acctbal") > 5000, 1).otherwise(0).alias("if_v"),
+        F.round(F.nvl(F.nullif("c_acctbal", F.lit(0.0)), F.lit(-1.0)), 2).alias("nvl_v"),
+    ).orderBy("c_custkey")
+
+
+FN_JSON_HASH_ORACLE = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS json_k,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS json_k_int,
+       md5(event_type) AS md5_v,
+       sha256(event_type) AS sha256_v
+FROM events WHERE event_id % 50 = 0 ORDER BY event_id
+"""
+
+
+@register("fn_json_hash", FN_JSON_HASH_ORACLE, tags=("functions", "json", "hash"))
+def fn_json_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction + cryptographic hashes (FunctionRegistry.scala:435-452,491-493).
+    get_json_object == DuckDB json_extract_string; sha2(x,256) == sha256."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"].filter(F.col("event_id") % 50 == 0)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("json_k"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("json_k_int"),
+        F.md5("event_type").alias("md5_v"),
+        F.sha2("event_type", 256).alias("sha256_v"),
+    ).orderBy("event_id")
+
+
+FN_ARRAY_ORACLE = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       string_split(text, ' ')[1] AS first_token,
+       array_to_string(list_sort(list_distinct(string_split(substr(text, 1, 60), ' '))), ',') AS sorted_prefix_tokens,
+       list_contains(string_split(text, ' '), 'spark') AS has_spark
+FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id
+"""
+
+
+@register("fn_array", FN_ARRAY_ORACLE, tags=("functions", "array"))
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/collection family (FunctionRegistry.scala:410-433) + the
+    higher-order functions modern Spark adds (2.4 predates transform/filter
+    lambdas — free upgrade, SURVEY §2.8 note)."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") % 20 == 0)
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        toks.getItem(0).alias("first_token"),
+        F.array_join(F.array_sort(F.array_distinct(F.split(F.substring("text", 1, 60), " "))), ",").alias(
+            "sorted_prefix_tokens"
+        ),
+        F.array_contains(toks, "spark").alias("has_spark"),
+    ).orderBy("doc_id")

@@ -1,0 +1,553 @@
+"""Relational operator coverage beyond plain TPC-H: windows, grouping sets,
+pivot, set ops, sampling, approximate aggregates, as-of / range joins.
+
+Reference operator parity targets:
+  * WindowExec frame processors (/root/reference/sql/core/.../window/WindowFunctionFrame.scala:65-350)
+  * ExpandExec grouping sets (/root/reference/sql/core/.../ExpandExec.scala:37)
+  * pivot (/root/reference/sql/core/.../RelationalGroupedDataset.scala:318-393)
+  * Union/intersect/except rewrites (/root/reference/sql/catalyst/.../optimizer/Optimizer.scala:1270-1346)
+  * SampleExec (/root/reference/sql/core/.../basicPhysicalOperators.scala:239)
+  * HyperLogLog++/ApproximatePercentile (/root/reference/sql/catalyst/.../aggregate/HyperLogLogPlusPlus.scala:52,
+    ApproximatePercentile.scala:68)
+  * As-of / range joins: absent as primitives in the reference (SURVEY §2.3)
+    — implemented here as the documented recipes (union+window; equi+range
+    hybrid join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sol_spark.registry import register
+from sol_spark.tables import load_tables
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+WIN_RANK_ORACLE = """
+SELECT n_name, s_suppkey, revenue, rnk FROM (
+  SELECT n_name, s_suppkey, revenue,
+         rank() OVER (PARTITION BY n_name ORDER BY revenue DESC, s_suppkey) AS rnk
+  FROM (
+    SELECT n_name, s_suppkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name, s_suppkey
+  ) rev
+) ranked
+WHERE rnk <= 3
+ORDER BY n_name, rnk, s_suppkey
+"""
+
+
+@register("win_rank_topk_per_group", WIN_RANK_ORACLE, tags=("window", "topk"))
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 suppliers by revenue per nation: rank() over partitioned window.
+    The canonical distributed top-k-per-group — one shuffle on the partition
+    key, no global sort."""
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "s_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+    w = W.partitionBy("n_name").orderBy(F.desc("revenue"), "s_suppkey")
+    return (
+        rev.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("n_name", "rnk", "s_suppkey")
+    )
+
+
+WIN_RUNNING_ORACLE = """
+SELECT c_custkey, o_orderkey, o_orderdate,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY c_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+       row_number() OVER (
+         PARTITION BY c_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_nationkey = 1
+ORDER BY c_custkey, order_seq
+"""
+
+
+@register("win_running_total", WIN_RUNNING_ORACLE, tags=("window",))
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer: unbounded-preceding frame
+    (reference: UnboundedPrecedingWindowFunctionFrame,
+    /root/reference/sql/core/.../window/WindowFunctionFrame.scala:279)."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].filter(F.col("c_nationkey") == 1)
+    w = W.partitionBy("c_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t["orders"]
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2).alias(
+                "running_total"
+            ),
+            F.row_number().over(w).alias("order_seq"),
+        )
+        .orderBy("c_custkey", "order_seq")
+    )
+
+
+WIN_LAG_ORACLE = """
+SELECT c_custkey, o_orderkey, o_totalprice,
+       round(o_totalprice - lag(o_totalprice, 1, 0.0) OVER (
+         PARTITION BY c_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta_prev,
+       round(lead(o_totalprice, 1, 0.0) OVER (
+         PARTITION BY c_custkey ORDER BY o_orderdate, o_orderkey), 2) AS next_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_nationkey = 2
+ORDER BY c_custkey, o_orderdate, o_orderkey
+"""
+
+
+@register("win_lag_lead", WIN_LAG_ORACLE, tags=("window",))
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead offset frames (reference: OffsetWindowFunctionFrame,
+    /root/reference/sql/core/.../window/WindowFunctionFrame.scala:65)."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].filter(F.col("c_nationkey") == 2)
+    w = W.partitionBy("c_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t["orders"]
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.round(F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w), 2).alias("delta_prev"),
+            F.round(F.lead("o_totalprice", 1, 0.0).over(w), 2).alias("next_price"),
+        )
+        .orderBy("c_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+WIN_RANGE_ORACLE = """
+SELECT s_suppkey, s_acctbal,
+       count(*) OVER (ORDER BY s_acctbal RANGE BETWEEN 500.0 PRECEDING AND 500.0 FOLLOWING) AS peers_within_500
+FROM supplier
+ORDER BY s_suppkey
+"""
+
+
+@register("win_range_frame", WIN_RANGE_ORACLE, tags=("window",))
+def win_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame with value offsets (reference: SlidingWindowFunctionFrame
+    over RangeFrame bounds, /root/reference/sql/core/.../window/WindowFunctionFrame.scala:151)."""
+    t = load_tables(spark, sf_dir)
+    w = W.orderBy("s_acctbal").rangeBetween(-500, 500)
+    return (
+        t["supplier"]
+        .select("s_suppkey", "s_acctbal", F.count(F.lit(1)).over(w).alias("peers_within_500"))
+        .orderBy("s_suppkey")
+    )
+
+
+WIN_NTILE_ORACLE = """
+SELECT c_custkey, c_acctbal,
+       ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+       round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
+       round(cume_dist() OVER (ORDER BY c_acctbal, c_custkey), 6) AS cdist
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+@register("win_ntile_pctrank", WIN_NTILE_ORACLE, tags=("window",))
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist analytic functions
+    (/root/reference/sql/catalyst/.../analysis/FunctionRegistry.scala:459-467).
+    Unpartitioned window is a single-reducer sort — fine for ranking a
+    dimension table, never used on the fact table."""
+    t = load_tables(spark, sf_dir)
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return (
+        t["customer"]
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube / pivot
+# ---------------------------------------------------------------------------
+
+GS_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
+       grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+"""
+
+
+@register("gs_rollup", GS_ROLLUP_ORACLE, tags=("groupingsets",))
+def gs_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP via ExpandExec-equivalent (reference ExpandExec.scala:37)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("l_returnflag").alias("g_rf"),
+            F.grouping("l_linestatus").alias("g_ls"),
+        )
+        .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
+    )
+
+
+GS_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+"""
+
+
+@register("gs_cube", GS_CUBE_ORACLE, tags=("groupingsets",))
+def gs_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.grouping("l_returnflag").alias("g_rf"),
+            F.grouping("l_linestatus").alias("g_ls"),
+        )
+        .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
+    )
+
+
+GS_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@register("gs_grouping_sets", GS_SETS_ORACLE, tags=("groupingsets",))
+def gs_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (same text both engines)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(GS_SETS_ORACLE)
+
+
+PIVOT_ORACLE = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("pivot_linestatus", PIVOT_ORACLE, tags=("pivot",))
+def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot with explicit values (reference RelationalGroupedDataset.scala:318;
+    explicit value list avoids the extra distinct-collection job)."""
+    t = load_tables(spark, sf_dir)
+    piv = (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .orderBy("l_returnflag")
+    )
+    return piv
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+SET_INTERSECT_ORACLE = """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+ORDER BY o_custkey
+"""
+
+
+@register("set_intersect", SET_INTERSECT_ORACLE, tags=("setops",))
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT — reference rewrites to left-semi join + distinct
+    (ReplaceIntersectWithSemiJoin, /root/reference/sql/catalyst/.../optimizer/Optimizer.scala:1312)."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    y96 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    y97 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    return y96.intersect(y97).orderBy("o_custkey")
+
+
+SET_EXCEPT_ORACLE = """
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+ORDER BY c_custkey
+"""
+
+
+@register("set_except", SET_EXCEPT_ORACLE, tags=("setops",))
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT — reference rewrites to left-anti join + distinct
+    (ReplaceExceptWithAntiJoin, Optimizer.scala:1333)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"].select("c_custkey")
+        .exceptAll(t["orders"].select(F.col("o_custkey").alias("c_custkey")).distinct())
+        .distinct()
+        .orderBy("c_custkey")
+    )
+
+
+SET_UNION_ORACLE = """
+SELECT k, src, n FROM (
+  SELECT c_nationkey AS k, 'cust' AS src, count(*) AS n FROM customer GROUP BY 1, 2
+  UNION ALL
+  SELECT s_nationkey AS k, 'supp' AS src, count(*) AS n FROM supplier GROUP BY 1, 2
+) u
+ORDER BY k, src
+"""
+
+
+@register("set_union_all", SET_UNION_ORACLE, tags=("setops",))
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (reference UnionExec, basicPhysicalOperators.scala:565) —
+    no shuffle, pure concatenation of partitions."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].groupBy(F.col("c_nationkey").alias("k")).agg(F.count(F.lit(1)).alias("n")).select(
+        "k", F.lit("cust").alias("src"), "n"
+    )
+    supp = t["supplier"].groupBy(F.col("s_nationkey").alias("k")).agg(F.count(F.lit(1)).alias("n")).select(
+        "k", F.lit("supp").alias("src"), "n"
+    )
+    return cust.unionByName(supp).orderBy("k", "src")
+
+
+DISTINCT_ORACLE = """
+SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+ORDER BY c_mktsegment, c_nationkey
+"""
+
+
+@register("set_distinct", DISTINCT_ORACLE, tags=("setops", "distinct"))
+def set_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct → aggregate rewrite (ReplaceDistinctWithAggregate,
+    Optimizer.scala:1270)."""
+    t = load_tables(spark, sf_dir)
+    return t["customer"].select("c_mktsegment", "c_nationkey").distinct().orderBy("c_mktsegment", "c_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Sampling & approximate aggregates (rows-only checks where inherently
+# engine-specific)
+# ---------------------------------------------------------------------------
+
+
+@register("sample_bernoulli", None, tags=("sample",), doc="Seeded Bernoulli sample — engine-specific RNG, rows-only check")
+def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SampleExec (reference basicPhysicalOperators.scala:239). Seeded for
+    Spark-side determinism; no cross-engine oracle exists by construction."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+APPROX_ORACLE = """
+SELECT count(DISTINCT l_partkey) AS exact_parts,
+       count(DISTINCT l_suppkey) AS exact_supps
+FROM lineitem
+"""
+
+
+@register("approx_count_distinct_bounds", None, tags=("approx",),
+          doc="HLL++ approx_count_distinct — value is engine-specific, rows-only check; accuracy asserted in pytest")
+def approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct = HyperLogLog++
+    (/root/reference/sql/catalyst/.../aggregate/HyperLogLogPlusPlus.scala:52).
+    The estimate is engine-specific; tests assert <2% error vs exact."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
+    )
+
+
+PCT_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@register("percentile_exact", PCT_ORACLE, tags=("approx", "agg"))
+def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentile (reference Percentile.scala:58) ==
+    DuckDB quantile_cont. ObjectHashAggregateExec path in the reference
+    (/root/reference/sql/core/.../aggregate/ObjectHashAggregateExec.scala:60)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+STATS_ORACLE = """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4) AS sd_qty,
+       round(var_samp(l_quantity), 4) AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@register("stats_aggregates", STATS_ORACLE, tags=("agg", "stats"))
+def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/variance/corr/covar family
+    (/root/reference/sql/catalyst/.../analysis/FunctionRegistry.scala:272-310)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qp"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join & range join (recipes — the reference has no primitive, SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+ASOF_ORACLE = """
+WITH purchases AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+clicks AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts,
+       max(c.ts) AS last_click_ts
+FROM purchases p LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+GROUP BY p.event_id, p.user_id, p.ts
+ORDER BY p.event_id
+"""
+
+
+@register("asof_join_last_click", ASOF_ORACLE, tags=("asof", "join", "window"))
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click at-or-before it.
+
+    Scale-safe recipe (SURVEY §2.3 'as-of ≈ window trick'): union both
+    streams tagged, single shuffle on user_id, running last_value of click
+    ts ignoring nulls — O(n log n) per partition, no range-join explosion.
+    The oracle uses the naive join+max formulation (fine for DuckDB).
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(None).cast("timestamp").alias("click_ts"), F.lit(1).alias("is_p")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("bigint").alias("event_id"), "user_id", "ts", F.col("ts").alias("click_ts"), F.lit(0).alias("is_p")
+    )
+    # Clicks sort before purchases at identical ts so "at-or-before" includes ties.
+    w = W.partitionBy("user_id").orderBy("ts", "is_p").rowsBetween(W.unboundedPreceding, W.currentRow)
+    merged = purchases.unionByName(clicks).withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+    return (
+        merged.filter(F.col("is_p") == 1)
+        .select("event_id", "user_id", "ts", "last_click_ts")
+        .orderBy("event_id")
+    )
+
+
+RANGE_JOIN_ORACLE = """
+SELECT a.event_id AS left_id, b.event_id AS right_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 1 MINUTE
+WHERE a.event_type = 'view' AND b.event_type = 'click'
+ORDER BY left_id, right_id
+"""
+
+
+@register("range_join_within_1min", RANGE_JOIN_ORACLE, tags=("range", "join"))
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: click within 1 minute after a view, same user.
+
+    Equi-key (user_id) + range predicate → Spark plans a hash/SMJ on the
+    equi key with the range as a post-condition; never a cartesian
+    (reference would plan BNLJ only if no equi key existed, SparkStrategies.scala:287)."""
+    t = load_tables(spark, sf_dir)
+    a = t["events"].filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("left_id"), F.col("user_id").alias("u"), F.col("ts").alias("a_ts")
+    )
+    b = t["events"].filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("right_id"), F.col("user_id").alias("u2"), F.col("ts").alias("b_ts")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("u") == F.col("u2"))
+            & (F.col("b_ts") > F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 1 MINUTE")),
+        )
+        .select("left_id", "right_id")
+        .orderBy("left_id", "right_id")
+    )
+
+
+CROSS_ORACLE = """
+SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name
+"""
+
+
+@register("cross_join_dims", CROSS_ORACLE, tags=("join", "cross"))
+def cross_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (reference CartesianProductExec.scala:60,
+    guarded by CheckCartesianProducts) — dimension-only, never on facts."""
+    t = load_tables(spark, sf_dir)
+    return t["region"].crossJoin(t["nation"]).select("r_name", "n_name").orderBy("r_name", "n_name")

@@ -1,0 +1,90 @@
+"""Plan-shape assertions: the 100 TB design claims, checked against the
+actual physical plans (the reference's analog is plan-compilation suites like
+/root/reference/sql/core/src/test/scala/org/apache/spark/sql/TPCHQuerySuite.scala).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sol_spark.queries.tpch import q1, q3, q5, q6
+from sol_spark.tables import load_tables
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_q6_filter_pushdown(spark, sf_dir):
+    """q6's predicates must reach the parquet scan (PushedFilters)."""
+    plan = _plan(q6(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    """q6 reads 4 of 11 lineitem columns — ReadSchema must be pruned."""
+    plan = _plan(q6(spark, sf_dir))
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema
+
+
+def test_q3_broadcast_join(spark, sf_dir):
+    """Dimension joins must be broadcast, not shuffled (SMJ)."""
+    plan = _plan(q3(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_all_dims_broadcast(spark, sf_dir):
+    plan = _plan(q5(spark, sf_dir))
+    # 5 joins total; none should be a sort-merge join at these dim sizes.
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q3_topk_not_global_sort(spark, sf_dir):
+    """orderBy+limit must plan as TakeOrderedAndProject (per-partition heap),
+    the equivalent of the reference's TakeOrderedAndProjectExec
+    (/root/reference/sql/core/.../limit.scala:124)."""
+    plan = _plan(q3(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    """Aggregate must be two-phase (partial before shuffle, final after) —
+    the map-side combine that keeps the q1 shuffle tiny."""
+    plan = _plan(q1(spark, sf_dir))
+    assert "partial_sum" in plan or "HashAggregate" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen(spark, sf_dir):
+    """Narrow ops must fuse into WholeStageCodegen spans
+    (reference WholeStageCodegenExec.scala:500). AQE only materializes the
+    final (codegen'd) plan after execution, so execute first."""
+    df = q6(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    # Formatted explain marks codegen'd operators with '*'.
+    assert "+- * " in plan or "WholeStageCodegen" in plan
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    """HLL++ estimate within 2% of exact at rsd=0.01."""
+    t = load_tables(spark, sf_dir)
+    row = (
+        t["lineitem"]
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx"),
+            F.countDistinct("l_partkey").alias("exact"),
+        )
+        .collect()[0]
+    )
+    assert abs(row.approx - row.exact) / row.exact < 0.02
+
+
+def test_sample_seed_deterministic(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    a = t["lineitem"].sample(fraction=0.1, seed=42).count()
+    b = t["lineitem"].sample(fraction=0.1, seed=42).count()
+    assert a == b
