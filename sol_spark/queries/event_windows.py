@@ -1,0 +1,128 @@
+"""Batch-mode oracle checks for the streaming transformations.
+
+Structured Streaming's guarantee is that a streaming query computes the
+same answer as the batch query over the same (eventually-arrived) data —
+so each transformation in streaming/pipelines.py is registered here against
+the batch ``events`` table with a DuckDB oracle. The streaming tests
+(tests/test_streaming.py) then assert stream-vs-batch equality, closing the
+triangle: oracle == batch == stream.
+
+DuckDB notes: window starts are epoch-aligned via integer arithmetic on
+epoch seconds (time_bucket's origin conventions differ per unit; integer
+math is unambiguous); session windows are the classic gaps-and-islands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sol_spark.registry import register
+from sol_spark.streaming import pipelines as P
+from sol_spark.tables import load_tables
+
+TUMBLING_ORACLE = """
+SELECT to_timestamp(floor(epoch(ts))::BIGINT // 3600 * 3600)::TIMESTAMP AS window_start,
+       to_timestamp(floor(epoch(ts))::BIGINT // 3600 * 3600 + 3600)::TIMESTAMP AS window_end,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+
+@register("stream_tumbling_agg", TUMBLING_ORACLE, tags=("streaming", "window"))
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (streaming/pipelines.tumbling_counts on
+    the batch table; the identical plan runs under readStream)."""
+    t = load_tables(spark, sf_dir)
+    return P.tumbling_counts(t["events"]).orderBy("window_start", "event_type")
+
+
+SLIDING_ORACLE = """
+WITH starts AS (
+  SELECT e.*, to_timestamp(floor(epoch(ts))::BIGINT // 1800 * 1800 - s.k * 1800)::TIMESTAMP AS window_start
+  FROM events e, (SELECT unnest([0, 1]) AS k) s
+)
+SELECT window_start, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM starts
+GROUP BY 1
+ORDER BY window_start
+"""
+
+
+@register("stream_sliding_agg", SLIDING_ORACLE, tags=("streaming", "window"))
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (1h window / 30min slide => every event
+    belongs to exactly 2 windows; the oracle materializes both)."""
+    t = load_tables(spark, sf_dir)
+    return P.sliding_avg(t["events"]).orderBy("window_start")
+
+
+SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       (max(ts) + INTERVAL 30 MINUTE)::TIMESTAMP AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM numbered
+GROUP BY user_id, sess
+ORDER BY user_id, session_start
+"""
+
+
+@register("stream_session_window", SESSION_ORACLE, tags=("streaming", "window", "session"))
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) — F.session_window, the post-2.4 upgrade
+    the reference lacks (SURVEY §2.9); oracle is gaps-and-islands SQL."""
+    t = load_tables(spark, sf_dir)
+    return P.session_stats(t["events"]).orderBy("user_id", "session_start")
+
+
+DEDUP_FIRST_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value, props FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS rn
+  FROM events
+) t WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+
+@register("stream_dedup_first", DEDUP_FIRST_ORACLE, tags=("streaming", "dedup"))
+def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic batch shape of streaming dropDuplicates (first row per
+    key in event-time order — what StreamingDeduplicateExec keeps when
+    input arrives in order)."""
+    t = load_tables(spark, sf_dir)
+    return P.first_event_per_key(t["events"]).orderBy("user_id", "event_type")
+
+
+JOIN_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts, p.value, v.ts AS v_ts
+FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+ORDER BY p.event_id, v_ts
+"""
+
+
+@register("stream_stream_join", JOIN_ORACLE, tags=("streaming", "join"))
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch shape of the watermarked stream-stream join
+    (purchases x views within 1 hour, per user)."""
+    t = load_tables(spark, sf_dir)
+    return P.purchases_with_recent_view(t["events"]).orderBy("event_id", "v_ts")

@@ -1,0 +1,216 @@
+"""Structured Streaming pipelines over the ``events`` table.
+
+Design principle (the core of Structured Streaming, and the reason the
+reference's DStream surface is subsumed — SURVEY §2.9): a streaming query is
+the SAME logical plan as a batch query, incrementalized by the engine
+(reference: IncrementalExecution,
+/root/reference/sql/core/src/main/scala/org/apache/spark/sql/execution/streaming/IncrementalExecution.scala;
+micro-batch loop MicroBatchExecution.scala:150). Every transformation here
+is therefore written once as a plain DataFrame->DataFrame function and used
+in BOTH modes: the batch oracle queries (queries/event_windows.py) apply it
+to ``spark.read``, the streaming tests apply it to ``spark.readStream`` and
+drive it through a micro-batch memory sink.
+
+Reference parity map:
+  * withWatermark == EventTimeWatermarkExec (streaming/EventTimeWatermarkExec.scala:79)
+  * window()/session_window == TimeWindow expansion (catalyst/expressions/TimeWindow.scala:30);
+    session windows are a post-2.4 upgrade (SURVEY §2.9)
+  * streaming agg == StateStoreRestore/SaveExec (streaming/statefulOperators.scala:206,257)
+  * dropDuplicates == StreamingDeduplicateExec (statefulOperators.scala:406)
+  * stream-stream join == StreamingSymmetricHashJoinExec (StreamingSymmetricHashJoinExec.scala:126)
+  * applyInPandasWithState == FlatMapGroupsWithStateExec (FlatMapGroupsWithStateExec.scala:46)
+
+Scale: every stateful operator keys its state by the shuffle key
+(user_id / window), so state is partition-local (StateStoreRDD co-location,
+state/StateStoreRDD.scala:36) and horizontal at 1000 executors. Watermarks
+bound state size — without them a 100 TB/day stream accretes state forever.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WATERMARK = "2 hours"
+TUMBLE = "1 hour"
+SLIDE_SIZE = "1 hour"
+SLIDE_STEP = "30 minutes"
+SESSION_GAP = "30 minutes"
+
+
+# ---------------------------------------------------------------------------
+# Mode-agnostic transformations (DataFrame -> DataFrame)
+# ---------------------------------------------------------------------------
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window per event_type: count + sum(value).
+    In streaming mode the watermark bounds state and admits 2h of lateness
+    (late rows beyond it are dropped pre-state, reference
+    statefulOperators.scala:138-170)."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", TUMBLE).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_avg(events: DataFrame) -> DataFrame:
+    """Sliding 1-hour window, 30-minute step: each event lands in 2 windows."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", SLIDE_SIZE, SLIDE_STEP).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+def session_stats(events: DataFrame) -> DataFrame:
+    """Session windows per user (30-minute inactivity gap): start = first
+    event, end = last event + gap — Spark's session_window semantics."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def first_event_per_key(events: DataFrame, streaming: bool = False) -> DataFrame:
+    """Streaming dedup semantics: keep the first row per (user_id,
+    event_type). Streaming mode uses dropDuplicates (keyed state keeps the
+    first arrival — StreamingDeduplicateExec); the batch equivalent makes
+    "first" deterministic via min-ts ordering so an oracle can reproduce it."""
+    if streaming:
+        return events.withWatermark("ts", WATERMARK).dropDuplicates(["user_id", "event_type"])
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def purchases_with_recent_view(events: DataFrame) -> DataFrame:
+    """Stream-stream-joinable shape: purchases joined to views by the same
+    user within the preceding hour. In streaming both sides carry watermarks
+    and the time-range condition bounds join state
+    (StreamingSymmetricHashJoinExec state eviction)."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", WATERMARK)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+        .withWatermark("ts", WATERMARK)
+    )
+    return purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("ts"))
+        & (F.col("v_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("event_id", "user_id", "ts", "value", "v_ts")
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful op (reference FlatMapGroupsWithStateExec,
+    streaming/FlatMapGroupsWithStateExec.scala:46 + GroupStateImpl): per-user
+    running (count, sum(value)) kept in keyed state, re-emitted each batch.
+    State is keyed on the shuffle key, so it scales horizontally; a real
+    deployment adds a timeout to bound state for dormant users."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):  # noqa: ANN001
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total": [round(total, 2)]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n bigint, total double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming drivers (used by tests; micro-batch + memory sink)
+# ---------------------------------------------------------------------------
+
+
+def events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1, n_files: int = 1
+) -> tuple[DataFrame, str]:
+    """Replay the events fixture as a file-source stream: copy the parquet
+    into a temp dir (file streams track directories) and readStream it with
+    the batch-inferred schema. ``n_files > 1`` range-splits the fixture by ts
+    into that many files so ``maxFilesPerTrigger=1`` yields multiple
+    micro-batches (state carried across batches, the real incremental path).
+    Returns (stream_df, tmpdir to clean up)."""
+    from sol_spark.tables import _read
+
+    batch = _read(spark, os.path.join(sf_dir, "events.parquet"))
+    tmp = tempfile.mkdtemp(prefix="solspark_stream_")
+    if n_files <= 1:
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(tmp, "part-0.parquet"))
+    else:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        raw.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(tmp)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(tmp)
+        # TIMESTAMP (not NTZ): EventTimeWatermark requires it; session tz is
+        # pinned UTC so values match the batch side's timestamp_ntz.
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    # Schema sanity: stream shape must equal batch shape.
+    assert [f.name for f in stream.schema.fields] == [f.name for f in batch.schema.fields]
+    return stream, tmp
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, output_mode: str = "append", timeout_s: int = 120
+) -> DataFrame:
+    """Run a streaming DF through a memory sink until all available input is
+    processed; return the sink table as a batch DF. Exactly-once within the
+    query via the offset/commit WAL (reference OffsetSeqLog/CommitLog)."""
+    name = f"sink_{uuid.uuid4().hex[:8]}"
+    q = stream_df.writeStream.format("memory").queryName(name).outputMode(output_mode).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,153 @@
+"""Structured Streaming tests: stream result == batch result on the same
+data (the Structured Streaming contract; reference harness analog is
+sql/core/src/test/scala/org/apache/spark/sql/streaming/StreamTest.scala's
+AddData/CheckAnswer DSL). The batch side of each pipeline is itself
+oracle-verified in queries/event_windows.py, so passing here closes
+oracle == batch == stream.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from sol_spark.streaming import pipelines as P
+from sol_spark.tables import load_tables
+
+
+@pytest.fixture()
+def batch_events(spark, sf_dir):
+    return load_tables(spark, sf_dir)["events"]
+
+
+def _run(spark, sf_dir, transform, output_mode, n_files=1):
+    stream, tmp = P.events_stream(spark, sf_dir, n_files=n_files)
+    try:
+        return P.run_stream_to_memory(transform(stream), output_mode=output_mode).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _sorted_rows(rows, round_cols=()):
+    def norm(r):
+        d = r.asDict()
+        for c in round_cols:
+            d[c] = round(d[c], 1) if d[c] is not None else None
+        return tuple(sorted(d.items()))
+
+    return sorted(norm(r) for r in rows)
+
+
+def test_tumbling_agg_stream_equals_batch(spark, sf_dir, batch_events):
+    got = _run(spark, sf_dir, P.tumbling_counts, "complete")
+    want = P.tumbling_counts(batch_events).collect()
+    # round to 1dp: double summation order differs between the incremental
+    # and batch plans, so 2dp rounding can flip on .005 boundaries
+    assert _sorted_rows(got, ("sum_value",)) == _sorted_rows(want, ("sum_value",))
+
+
+def test_tumbling_agg_multi_batch(spark, sf_dir, batch_events):
+    """Same agg across 4 micro-batches — state restored/saved per batch
+    (reference StateStoreRestoreExec/StateStoreSaveExec,
+    streaming/statefulOperators.scala:206,257)."""
+    got = _run(spark, sf_dir, P.tumbling_counts, "complete", n_files=4)
+    want = P.tumbling_counts(batch_events).collect()
+    assert _sorted_rows(got, ("sum_value",)) == _sorted_rows(want, ("sum_value",))
+
+
+def test_session_window_stream_equals_batch(spark, sf_dir, batch_events):
+    got = _run(spark, sf_dir, P.session_stats, "complete")
+    want = P.session_stats(batch_events).collect()
+    assert _sorted_rows(got, ("session_value",)) == _sorted_rows(want, ("session_value",))
+
+
+def test_streaming_dedup_keys(spark, sf_dir, batch_events):
+    """dropDuplicates keeps ONE row per key (which row is arrival-order
+    dependent within a batch), so compare the key sets, not full rows."""
+    got = _run(spark, sf_dir, lambda s: P.first_event_per_key(s, streaming=True), "append")
+    want = P.first_event_per_key(batch_events).collect()
+    assert sorted((r.user_id, r.event_type) for r in got) == sorted(
+        (r.user_id, r.event_type) for r in want
+    )
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, batch_events):
+    """Watermarked stream-stream inner join (reference
+    StreamingSymmetricHashJoinExec.scala:126) — append output must equal the
+    batch theta-join row set."""
+    got = _run(spark, sf_dir, P.purchases_with_recent_view, "append")
+    want = P.purchases_with_recent_view(batch_events).collect()
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_apply_in_pandas_with_state(spark, sf_dir, batch_events):
+    """applyInPandasWithState running totals: after the stream drains, the
+    latest emission per user equals the batch per-user aggregate."""
+    from pyspark.sql import functions as F
+
+    got = _run(spark, sf_dir, P.running_user_totals, "update", n_files=3)
+    # update mode re-emits per batch; memory sink appends, keep the max-n row
+    latest: dict[int, tuple] = {}
+    for r in got:
+        if r.user_id not in latest or r.n > latest[r.user_id][0]:
+            latest[r.user_id] = (r.n, r.total)
+    want = {
+        r.user_id: (r.n, r.total)
+        for r in batch_events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .collect()
+    }
+    assert set(latest) == set(want)
+    for uid, (n, total) in latest.items():
+        assert n == want[uid][0]
+        assert abs(total - want[uid][1]) < 0.05
+
+
+def test_watermark_drops_late_rows(spark, sf_dir):
+    """Late-data semantics: a row older than watermark-delay behind the max
+    event time must be dropped pre-state (reference watermarkPredicateForData,
+    statefulOperators.scala:309). Two micro-batches: batch 1 sets the
+    watermark high via a recent event; batch 2's stale row is dropped."""
+    import os
+    import tempfile
+    import time as _t
+
+    tmp = tempfile.mkdtemp(prefix="solspark_wm_")
+    try:
+        base = "2024-01-01 00:00:00"
+        rows1 = [(1, base), (2, "2024-01-01 12:00:00")]
+        rows2 = [(3, "2024-01-01 00:30:00")]  # 11.5h late > 2h watermark
+        schema = "id bigint, ts_s string"
+        df1 = spark.createDataFrame(rows1, schema)
+        df2 = spark.createDataFrame(rows2, schema)
+        df1.coalesce(1).write.parquet(os.path.join(tmp, "in"), mode="overwrite")
+
+        from pyspark.sql import functions as F
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(tmp, "in"))
+            .withColumn("ts", F.to_timestamp("ts_s"))
+        )
+        agg = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        name = "wm_sink"
+        q = agg.writeStream.format("memory").queryName(name).outputMode("update").start()
+        try:
+            q.processAllAvailable()
+            # second file arrives after the watermark advanced past its ts
+            df2.coalesce(1).write.parquet(os.path.join(tmp, "in"), mode="append")
+            _t.sleep(0.5)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = {r.ws.hour: r.n for r in spark.table(name).collect()}
+        assert out.get(0) == 1  # late row NOT added to the 00:00 window
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
