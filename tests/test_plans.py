@@ -69,6 +69,16 @@ def test_whole_stage_codegen(spark, sf_dir):
     assert "+- * " in plan or "WholeStageCodegen" in plan
 
 
+def test_ssb_q4_2_all_dims_broadcast(spark, sf_dir):
+    """SSB flight-4 touches all four dims; every dim join must broadcast so
+    the only shuffles are the lineitem-orders spine and the final agg."""
+    from sol_spark.queries.ssb import ssb_q4_2
+
+    plan = _plan(ssb_q4_2(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
 def test_approx_count_distinct_accuracy(spark, sf_dir):
     """HLL++ estimate within 2% of exact at rsd=0.01."""
     t = load_tables(spark, sf_dir)
