@@ -188,6 +188,142 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+# SimHash parameters: 32-bit signature (cross-engine-safe: hex->int via
+# conv/0x-cast agrees between Spark and DuckDB), 4 bands x 8 bits for
+# candidate generation, hamming <= HAMMING_MAX to confirm.
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+HAMMING_MAX = 3
+
+SIMHASH_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ntext
+  FROM documents
+), toks AS (
+  SELECT DISTINCT doc_id, tok FROM norm, unnest(string_split(ntext, ' ')) AS u(tok)
+), th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+), bits AS (
+  SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, (SELECT unnest(range({SIMHASH_BITS})) AS i) b
+  GROUP BY doc_id, i
+), sh AS (
+  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, simhash, b.b, (simhash >> (8 * b.b)) & 255 AS band_key
+  FROM sh, (SELECT unnest(range({SIMHASH_BANDS})) AS b) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b, a.simhash AS ha, c.simhash AS hb
+  FROM bands a JOIN bands c ON a.b = c.b AND a.band_key = c.band_key
+  WHERE a.doc_id < c.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_simhash", SIMHASH_ORACLE, tags=("llm", "dedup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit signature from per-token hash bits
+    (weight +1/-1 vote per bit over the distinct-token set), banded into
+    4 x 8-bit keys for candidate generation, confirmed by hamming distance.
+
+    Scale shape: one explode + ONE hash-aggregate computes all 32 bit-votes
+    (map-side partial sums), signatures are 1 row/doc, and the candidate
+    join is equi on (band, band_key) — never O(n^2). Hamming confirm is
+    bit_count(xor) on two bigints: codegen'd, no Python."""
+    t = load_tables(spark, sf_dir)
+    rows = (
+        t["documents"]
+        .select("doc_id", F.explode(F.array_distinct(F.expr(_TOKS))).alias("tok"))
+        .withColumn("h", F.expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    sig = rows.groupBy("doc_id").agg(*votes)
+    simhash_expr = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)" for i in range(SIMHASH_BITS)
+    )
+    sh = sig.select("doc_id", F.expr(simhash_expr).alias("simhash"))
+    band_keys = F.array(*[F.shiftright("simhash", 8 * b).bitwiseAND(F.lit(255)) for b in range(SIMHASH_BANDS)])
+    bands = sh.select("doc_id", "simhash", F.posexplode(band_keys).alias("b", "band_key"))
+    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "b", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "b", "band_key")
+    return (
+        a.join(b, ["b", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# Embedding near-dup: sign-LSH bucket (8 leading sign bits, matching
+# operators/similarity.py) + cosine confirm. The fixture has no true
+# near-duplicate vectors (max bucketed pair cosine ~0.47), so the verified
+# threshold is set low enough to produce a non-trivial result set; a
+# production pipeline would use ~0.95.
+COSINE_NEAR_DUP_T = 0.3
+
+EMB_NEAR_DUP_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+b AS (
+  SELECT vec_id, embedding,
+         list_aggregate(list_transform(embedding[1:8],
+                        x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '') AS bucket
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, sqrt(sum(embedding[i.i]::DOUBLE * embedding[i.i]::DOUBLE)) AS nrm
+  FROM embeddings, dims i GROUP BY vec_id
+),
+dots AS (
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         sum(a.embedding[i.i]::DOUBLE * c.embedding[i.i]::DOUBLE) AS dot
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id, dims i
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots JOIN norms na ON na.vec_id = vec_a
+          JOIN norms nb ON nb.vec_id = vec_b
+WHERE round(dot / (na.nrm * nb.nrm), 6) >= {COSINE_NEAR_DUP_T}
+ORDER BY vec_a, vec_b
+"""
+
+
+@register("dedup_embedding_cosine", EMB_NEAR_DUP_ORACLE, tags=("llm", "dedup", "similarity", "lsh"))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: sign-LSH bucket join (equi-join on
+    the 8 leading sign bits — the same hyperplane family as sim_topk_lsh)
+    then exact cosine confirm on bucket-matched pairs only.
+
+    At 100 TB: bucket key is the shuffle key; each bucket's pairs are
+    computed partition-locally; the threshold filter keeps output linear in
+    the true-duplicate count. Vector math is zip_with/aggregate — JVM-side."""
+    t = load_tables(spark, sf_dir)
+    from sol_spark.operators.similarity import _BUCKET_SPARK, _DOT, _with_norm
+
+    emb = _with_norm(t["embeddings"]).withColumn("bucket", F.expr(_BUCKET_SPARK))
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"), "bucket")
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"), "bucket")
+    dot = F.expr(_DOT.format(a="ea", b="eb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cosine") >= COSINE_NEAR_DUP_T)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 NGRAM_JACCARD_ORACLE = f"""
 WITH norm AS (
   SELECT doc_id, lang, n_chars // 64 AS len_bucket,
