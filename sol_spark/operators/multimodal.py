@@ -1,0 +1,244 @@
+"""Multimodal (image/audio/video) column operators.
+
+Model: media is an opaque ``binary`` column + a typed metadata struct —
+exactly how a 100 TB training-data lake stores it (parquet binary chunks,
+metadata pushed to the footer for pruning). Decode / feature-extract /
+resize / frame-sample run as Arrow-batched ``mapInPandas`` stages: the
+executor streams record batches through a pandas iterator, so peak memory
+is one batch (spark.sql.execution.arrow.maxRecordsPerBatch), not one
+partition — the shape that survives 100 MB media rows.
+
+The image/audio codec libraries are NOT in this container, so the actual
+codec call is stubbed (``decode_media_real`` raises NotImplementedError;
+see the try-import gates). Everything around the stub is real and
+oracle-verified: the fixture-derived media table is deterministic
+(content = unhex(repeat(md5(text), 4)), 64 bytes), so a DuckDB oracle
+reproduces every byte-level result via hex arithmetic — the pandas UDFs are
+hash-checked against it, proving the binary -> Arrow -> numpy plumbing
+delivers exactly the bytes written.
+
+Reference basis: the pandas-UDF execution path is the reference's
+ArrowEvalPythonExec / FlatMapGroupsInPandasExec
+(/root/reference/sql/core/src/main/scala/org/apache/spark/sql/execution/python/ArrowEvalPythonExec.scala:61,
+FlatMapGroupsInPandasExec.scala:49); binary columns are BinaryType
+(/root/reference/sql/catalyst/src/main/scala/org/apache/spark/sql/types/BinaryType.scala:32).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sol_spark.registry import register
+from sol_spark.tables import load_tables
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+# Real codecs, gated: absent in this container, present on a real cluster.
+try:  # pragma: no cover
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+
+def decode_media_real(content: bytes, modality: str):  # pragma: no cover
+    """STUB: the actual codec call (PIL / soundfile / pyav). Not available
+    in this environment; on a real cluster, branch per modality here."""
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "media codecs not installed in this environment; "
+            "the deterministic fake decoder below exercises the same plumbing"
+        )
+    raise NotImplementedError("real decode intentionally out of scope")
+
+
+# ---------------------------------------------------------------------------
+# Media table synthesis (deterministic, reproducible in the oracle)
+# ---------------------------------------------------------------------------
+
+MEDIA_BYTES = 64  # 4 x 16-byte md5 digests
+
+_MODALITY = "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+# Typed metadata derived from the first content bytes (hex positions 1-4).
+_WIDTH = "CAST(conv(substring(md5(text), 1, 2), 16, 10) AS INT) + 1"
+_HEIGHT = "CAST(conv(substring(md5(text), 3, 2), 16, 10) AS INT) + 1"
+_SAMPLE_RATE = "8000 + 100 * (CAST(conv(substring(md5(text), 5, 2), 16, 10) AS INT) % 5)"
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (media_id, modality, content binary, meta struct).
+
+    At scale this is the storage schema: binary payload + a metadata struct
+    whose fields are plain columns (prunable, filterable without decoding).
+    """
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(_MODALITY).alias("modality"),
+        F.unhex(F.repeat(F.md5(F.col("text")), 4)).alias("content"),
+        F.struct(
+            F.expr(_WIDTH).alias("width"),
+            F.expr(_HEIGHT).alias("height"),
+            F.expr(_SAMPLE_RATE).alias("sample_rate"),
+            F.lit(MEDIA_BYTES).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+# Oracle-side byte extraction: content byte i == hex pair (2i+1, 2i+2) of
+# repeat(md5(text), 4).
+_ORACLE_BYTES_CTE = f"""
+media AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+         repeat(md5(text), 4) AS hx
+  FROM documents
+),
+bytes AS (
+  SELECT media_id, modality, p.i,
+         ('0x' || substr(hx, 2 * p.i + 1, 2))::INT AS byte
+  FROM media, (SELECT unnest(range({MEDIA_BYTES})) AS i) p
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction (decode stand-in) — mapInPandas, byte-exact oracle
+# ---------------------------------------------------------------------------
+
+MM_FEATURES_ORACLE = f"""
+WITH {_ORACLE_BYTES_CTE}
+SELECT media_id, modality, count(*) AS n_bytes,
+       sum(byte) AS byte_sum, min(byte) AS byte_min, max(byte) AS byte_max
+FROM bytes
+GROUP BY media_id, modality
+ORDER BY media_id
+"""
+
+
+@register("mm_decode_features", MM_FEATURES_ORACLE, tags=("llm", "multimodal", "pandas_udf"))
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary media content via mapInPandas: the
+    'decode' reads the raw payload (numpy view over Arrow buffers) and emits
+    per-item statistics. The real codec call is stubbed (decode_media_real);
+    the byte plumbing is what this verifies."""
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            arrs = [np.frombuffer(c, dtype=np.uint8) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": [len(a) for a in arrs],
+                    "byte_sum": [int(a.sum()) for a in arrs],
+                    "byte_min": [int(a.min()) for a in arrs],
+                    "byte_max": [int(a.max()) for a in arrs],
+                }
+            )
+
+    media = media_table(spark, sf_dir)
+    return media.mapInPandas(
+        extract,
+        schema="media_id bigint, modality string, n_bytes bigint, byte_sum bigint, byte_min bigint, byte_max bigint",
+    ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling (video): one row in -> N frame rows out
+# ---------------------------------------------------------------------------
+
+FRAME_BYTES = 8
+N_FRAMES = MEDIA_BYTES // FRAME_BYTES
+
+MM_FRAMES_ORACLE = f"""
+WITH {_ORACLE_BYTES_CTE}
+SELECT media_id, i // {FRAME_BYTES} AS frame_idx, sum(byte) AS frame_sum
+FROM bytes
+WHERE modality = 'video'
+GROUP BY media_id, i // {FRAME_BYTES}
+ORDER BY media_id, frame_idx
+"""
+
+
+@register("mm_frame_sample", MM_FRAMES_ORACLE, tags=("llm", "multimodal", "pandas_udf"))
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: mapInPandas fan-out — each video row yields
+    {N_FRAMES} frame rows ({FRAME_BYTES}-byte slices). The filter on
+    modality happens BEFORE the Python boundary (JVM-side, prunable);
+    only video payloads cross into Arrow."""
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                arr = np.frombuffer(content, dtype=np.uint8)
+                for k in range(len(arr) // FRAME_BYTES):
+                    ids.append(mid)
+                    idxs.append(k)
+                    sums.append(int(arr[k * FRAME_BYTES : (k + 1) * FRAME_BYTES].sum()))
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_sum": sums})
+
+    media = media_table(spark, sf_dir).filter(F.col("modality") == "video")
+    return media.mapInPandas(
+        sample, schema="media_id bigint, frame_idx bigint, frame_sum bigint"
+    ).orderBy("media_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# Resize (image): metadata-struct plumbing through Arrow
+# ---------------------------------------------------------------------------
+
+MM_RESIZE_ORACLE = f"""
+WITH {_ORACLE_BYTES_CTE},
+meta AS (
+  SELECT media_id,
+         ('0x' || substr(hx, 1, 2))::INT + 1 AS width,
+         ('0x' || substr(hx, 3, 2))::INT + 1 AS height
+  FROM media WHERE modality = 'image'
+)
+SELECT media_id, width, height,
+       greatest(width // 2, 1) AS out_w, greatest(height // 2, 1) AS out_h
+FROM meta
+ORDER BY media_id
+"""
+
+
+@register("mm_resize_stub", MM_RESIZE_ORACLE, tags=("llm", "multimodal", "pandas_udf"))
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: the UDF consumes the typed metadata struct (arrives
+    in pandas as per-row dicts via Arrow) and computes output dims; the
+    pixel-level resample is the stubbed codec call (decode_media_real).
+    Verifies struct columns survive the Arrow boundary bit-exact."""
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            meta = list(pdf["meta"])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [m["width"] for m in meta],
+                    "height": [m["height"] for m in meta],
+                    "out_w": [max(m["width"] // 2, 1) for m in meta],
+                    "out_h": [max(m["height"] // 2, 1) for m in meta],
+                }
+            )
+
+    media = media_table(spark, sf_dir).filter(F.col("modality") == "image").select("media_id", "meta")
+    return media.mapInPandas(
+        resize, schema="media_id bigint, width int, height int, out_w int, out_h int"
+    ).orderBy("media_id")

@@ -45,6 +45,6 @@ def all_queries() -> dict[str, QuerySpec]:
     """Import every query-defining module, then return the registry."""
     # Imports are deferred so `import sol_spark` stays cheap.
     from sol_spark.queries import event_windows, functions_coverage, relational, ssb, tpch  # noqa: F401
-    from sol_spark.operators import dedup, similarity, text  # noqa: F401
+    from sol_spark.operators import dedup, multimodal, similarity, text  # noqa: F401
 
     return dict(_REGISTRY)

@@ -1,0 +1,59 @@
+"""Multimodal plumbing tests: batch shape, schema stability, codec stub.
+The value-level correctness of each operator is oracle-verified via the
+registry (operators/multimodal.py); these cover what SQL can't see."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sol_spark.operators import multimodal as M
+
+
+def test_media_table_schema(spark, sf_dir):
+    df = M.media_table(spark, sf_dir)
+    schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert schema["content"] == "binary"
+    assert schema["meta"].startswith("struct<width:int,height:int,sample_rate:int")
+    row = df.first()
+    assert len(row.content) == M.MEDIA_BYTES
+
+
+def test_arrow_batch_size_bounded(spark, sf_dir):
+    """mapInPandas must see batches no larger than
+    spark.sql.execution.arrow.maxRecordsPerBatch — the property that bounds
+    executor memory for 100 MB media payloads."""
+    limit = 32
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(limit))
+    try:
+
+        def probe(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                yield pd.DataFrame({"n": [len(pdf)]})
+
+        sizes = [
+            r.n
+            for r in M.media_table(spark, sf_dir)
+            .repartition(2)
+            .mapInPandas(probe, schema="n bigint")
+            .collect()
+        ]
+        assert sizes and max(sizes) <= limit
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+
+
+def test_codec_stub_raises(spark):
+    with pytest.raises(NotImplementedError):
+        M.decode_media_real(b"\x00" * 8, "image")
+
+
+def test_frame_sample_fanout_count(spark, sf_dir):
+    """Row fan-out: frames == N_FRAMES x video rows, and the modality filter
+    runs before the Python boundary (no non-video media crosses)."""
+    media = M.media_table(spark, sf_dir)
+    n_videos = media.filter(F.col("modality") == "video").count()
+    frames = M.mm_frame_sample(spark, sf_dir)
+    assert frames.count() == n_videos * M.N_FRAMES
