@@ -1,0 +1,109 @@
+"""Table-generating (lateral-view) operators: explode / posexplode / stack.
+
+Reference: GenerateExec
+(/root/reference/sql/core/src/main/scala/org/apache/spark/sql/execution/GenerateExec.scala:58);
+function registrations at
+/root/reference/sql/catalyst/src/main/scala/org/apache/spark/sql/catalyst/analysis/FunctionRegistry.scala:194-212.
+
+Scale: generators are narrow (no shuffle) — each input row expands in place
+inside the same whole-stage-codegen'd task, so fan-out cost is linear and
+partition-local. The oracles bound output with key filters, not samples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sol_spark.registry import register
+from sol_spark.tables import load_tables
+
+POSEXPLODE_ORACLE = """
+SELECT doc_id, i AS pos, toks[i + 1] AS tok
+FROM (
+  SELECT doc_id, toks, unnest(range(len(toks))) AS i
+  FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents WHERE doc_id < 50) d
+) s
+ORDER BY doc_id, pos
+"""
+
+
+@register("gen_posexplode_tokens", POSEXPLODE_ORACLE, tags=("generator",))
+def gen_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode == LATERAL VIEW with ordinality: token stream with stable
+    positions (the tokenization primitive every text pipeline starts with)."""
+    t = load_tables(spark, sf_dir)
+    toks = F.split(F.expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))"), " ")
+    return (
+        t["documents"]
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+STACK_ORACLE = """
+SELECT l_orderkey, l_linenumber, metric, val
+FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+) u
+WHERE l_orderkey < 300
+ORDER BY l_orderkey, l_linenumber, metric
+"""
+
+
+@register("gen_stack_unpivot", STACK_ORACLE, tags=("generator",))
+def gen_stack_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stack(n, ...) == UNPIVOT: wide metrics to long (orderkey, metric, val)
+    rows. Spark plans one Generate over the row — a single scan, vs the
+    oracle's 3-scan UNION ALL formulation."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") < 300)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr(
+                "stack(3, 'quantity', l_quantity, 'price', l_extendedprice, 'discount', l_discount) AS (metric, val)"
+            ),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    )
+
+
+EXPLODE_AGG_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, u.tok
+  FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents) d,
+       unnest(d.toks) AS u(tok)
+)
+SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+FROM toks
+GROUP BY tok
+HAVING count(*) >= 100
+ORDER BY tok
+"""
+
+
+@register("gen_explode_wordcount", EXPLODE_AGG_ORACLE, tags=("generator", "agg"))
+def gen_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical explode -> groupBy wordcount (corpus vocabulary with
+    document frequency). Generate is partition-local; the single shuffle is
+    the final hash-aggregate on token."""
+    t = load_tables(spark, sf_dir)
+    toks = F.split(F.expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))"), " ")
+    return (
+        t["documents"]
+        .select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n") >= 100)
+        .orderBy("tok")
+    )

@@ -1,0 +1,104 @@
+"""Grouped-map and cogrouped pandas operators (typed object-op parity).
+
+Reference: FlatMapGroupsInPandasExec / FlatMapCoGroupsInPandas — the Arrow
+execution of MapGroupsExec / CoGroupExec
+(/root/reference/sql/core/src/main/scala/org/apache/spark/sql/execution/objects.scala:68-445,
+/root/reference/sql/core/.../execution/python/FlatMapGroupsInPandasExec.scala:49).
+
+These are the extension points where per-group imperative logic (model
+scoring, tokenizer calls, per-user sessionization) plugs in. Both queries
+here compute something SQL can also express, so the Arrow boundary itself
+is oracle-verified — the production use is the non-SQL payload.
+
+Scale: applyInPandas shuffles once on the group key and holds ONE group in
+memory per call — groups must fit in an executor (events per user_id do;
+a power-law key would need salting first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sol_spark.registry import register
+from sol_spark.tables import load_tables
+
+ZSCORE_ORACLE = """
+SELECT event_id, event_type,
+       round((value - avg(value) OVER (PARTITION BY event_type))
+             / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS z
+FROM events
+ORDER BY event_id
+"""
+
+
+@register("pd_grouped_zscore", ZSCORE_ORACLE, tags=("pandas_udf", "groupedmap"))
+def pd_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score via applyInPandas grouped-map: one group = one
+    pandas frame; numpy ddof=1 matches SQL stddev_samp. The oracle is the
+    window-function formulation of the same math."""
+
+    def zscore(pdf):  # noqa: ANN001
+        import numpy as np
+
+        v = pdf["value"].to_numpy(dtype="float64")
+        mu = v.mean()
+        sd = v.std(ddof=1)
+        out = pdf[["event_id", "event_type"]].copy()
+        out["z"] = np.round((v - mu) / sd, 4)
+        return out
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(zscore, schema="event_id bigint, event_type string, z double")
+        .orderBy("event_id")
+    )
+
+
+COGROUP_ORACLE = """
+WITH p AS (
+  SELECT user_id, count(*) AS n_purchases, round(sum(value), 2) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), v AS (
+  SELECT user_id, count(*) AS n_views FROM events WHERE event_type = 'view' GROUP BY user_id
+)
+SELECT coalesce(p.user_id, v.user_id) AS user_id,
+       coalesce(n_purchases, 0) AS n_purchases,
+       coalesce(purchase_value, 0.0) AS purchase_value,
+       coalesce(n_views, 0) AS n_views
+FROM p FULL OUTER JOIN v ON p.user_id = v.user_id
+ORDER BY user_id
+"""
+
+
+@register("pd_cogroup_user_funnel", COGROUP_ORACLE, tags=("pandas_udf", "cogroup"))
+def pd_cogroup_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cogroup(...).applyInPandas: purchases and views cogrouped per user,
+    merged in pandas (the CoGroupExec path). Either side may be empty for a
+    key — the full-outer semantics the oracle mirrors with FULL JOIN."""
+
+    def funnel(key, purchases, views):  # noqa: ANN001
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_purchases": [len(purchases)],
+                "purchase_value": [round(float(purchases["value"].sum()), 2) if len(purchases) else 0.0],
+                "n_views": [len(views)],
+            }
+        )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "value")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "value")
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(views.groupBy("user_id"))
+        .applyInPandas(funnel, schema="user_id bigint, n_purchases bigint, purchase_value double, n_views bigint")
+        .orderBy("user_id")
+    )

@@ -44,7 +44,15 @@ def register(
 def all_queries() -> dict[str, QuerySpec]:
     """Import every query-defining module, then return the registry."""
     # Imports are deferred so `import sol_spark` stays cheap.
-    from sol_spark.queries import event_windows, functions_coverage, relational, ssb, tpch  # noqa: F401
+    from sol_spark.queries import (  # noqa: F401
+        event_windows,
+        functions_coverage,
+        generators,
+        pandas_ops,
+        relational,
+        ssb,
+        tpch,
+    )
     from sol_spark.operators import dedup, multimodal, similarity, text  # noqa: F401
 
     return dict(_REGISTRY)
