@@ -1,0 +1,170 @@
+"""Source/sink round-trips and plan-level storage behaviors (SURVEY §2.1).
+Round-trip equality is the oracle here: write -> read must reproduce the
+input row-set exactly (csv/json modulo type widening, asserted per-format).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from sol_spark.sources.io import read_table, write_bucketed, write_table
+from sol_spark.tables import load_tables
+
+
+@pytest.fixture(scope="module")
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="solspark_io_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def nation(spark, sf_dir):
+    return load_tables(spark, sf_dir)["nation"]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_roundtrip(spark, nation, tmpdir, fmt):
+    path = os.path.join(tmpdir, f"rt_{fmt}")
+    write_table(nation, path, fmt, header="true")
+    schema = "n_nationkey int, n_name string, n_regionkey int" if fmt in ("json", "csv") else None
+    back = read_table(spark, path, fmt, schema=schema, header="true")
+    assert _rows(back) == _rows(nation)
+
+
+def test_csv_schema_inference(spark, nation, tmpdir):
+    path = os.path.join(tmpdir, "rt_csv_infer")
+    write_table(nation, path, "csv", header="true")
+    back = read_table(spark, path, "csv", header="true", inferSchema="true")
+    assert [f.dataType.simpleString() for f in back.schema.fields] == ["int", "string", "int"]
+    assert _rows(back) == _rows(nation)
+
+
+def test_csv_malformed_modes(spark, tmpdir):
+    """FailureSafeParser modes: PERMISSIVE nulls bad fields, DROPMALFORMED
+    drops the row, FAILFAST raises."""
+    path = os.path.join(tmpdir, "bad_csv")
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "part-0.csv"), "w") as f:
+        f.write("1,alpha\nnot_an_int,beta\n3,gamma\n")
+    schema = "id int, name string"
+    permissive = spark.read.schema(schema).csv(path, mode="PERMISSIVE")
+    assert permissive.count() == 3
+    assert permissive.filter(F.col("id").isNull()).count() == 1
+    dropped = spark.read.schema(schema).csv(path, mode="DROPMALFORMED")
+    # collect(), not count(): count() prunes every column, so the parser
+    # never sees the malformed field and nothing gets dropped
+    assert len(dropped.collect()) == 2
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        spark.read.schema(schema).csv(path, mode="FAILFAST").collect()
+
+
+def test_text_format_line_per_row(spark, tmpdir):
+    path = os.path.join(tmpdir, "rt_text")
+    df = spark.createDataFrame([("line one",), ("line two",)], "value string")
+    write_table(df, path, "text")
+    back = read_table(spark, path, "text")
+    assert _rows(back) == _rows(df)
+
+
+def test_partitioned_write_prunes(spark, nation, tmpdir):
+    """partitionBy -> directory keys; a filter on the partition column must
+    show up as PartitionFilters (pruning before file listing), and the
+    pruned read must touch only matching partitions."""
+    path = os.path.join(tmpdir, "part_nation")
+    write_table(nation, path, "parquet", partition_by=["n_regionkey"])
+    back = read_table(spark, path, "parquet").filter(F.col("n_regionkey") == 2)
+    plan = back._sc._jvm.PythonSQLUtils.explainString(back._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan
+    assert back.count() == nation.filter(F.col("n_regionkey") == 2).count()
+    # physical layout: one directory per region key
+    assert any(d.startswith("n_regionkey=") for d in os.listdir(path))
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmpdir):
+    """Two tables bucketed on the same key joined WITHOUT an Exchange on
+    either side — write-time shuffle amortized across every later join."""
+    t = load_tables(spark, sf_dir)
+    try:
+        write_bucketed(t["orders"], "orders_b", ["o_orderkey"], 8)
+        write_bucketed(
+            t["lineitem"].select("l_orderkey", "l_quantity"), "lineitem_b", ["l_orderkey"], 8
+        )
+        a = spark.table("orders_b")
+        b = spark.table("lineitem_b")
+        joined = a.join(b, a.o_orderkey == b.l_orderkey)
+        # disable broadcast so the test observes the bucketed SMJ path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = joined._sc._jvm.PythonSQLUtils.explainString(joined._jdf.queryExecution(), "formatted")
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        assert "Exchange" not in plan
+        assert joined.count() == t["orders"].join(
+            t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey
+        ).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_streaming_file_sink_exactly_once(spark, sf_dir, tmpdir):
+    """File-stream sink: output parquet carries the _spark_metadata manifest
+    (exactly-once across restarts); re-reading the sink directory returns
+    exactly the committed rows."""
+    from sol_spark.streaming.pipelines import events_stream
+
+    stream, src_tmp = events_stream(spark, sf_dir, n_files=3)
+    out = os.path.join(tmpdir, "sink_out")
+    ckpt = os.path.join(tmpdir, "sink_ckpt")
+    try:
+        q = (
+            stream.select("event_id", "user_id", "value")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        assert os.path.isdir(os.path.join(out, "_spark_metadata"))
+        back = spark.read.parquet(out)
+        n_src = load_tables(spark, sf_dir)["events"].count()
+        assert back.count() == n_src
+        assert back.select(F.sum("event_id")).first()[0] == load_tables(spark, sf_dir)[
+            "events"
+        ].select(F.sum("event_id")).first()[0]
+    finally:
+        shutil.rmtree(src_tmp, ignore_errors=True)
+
+
+def test_rate_source_produces_rows(spark):
+    """Rate source (debug/test source, reference RateStreamProvider.scala):
+    bounded run via one micro-batch into a memory sink."""
+    from sol_spark.streaming.pipelines import run_stream_to_memory
+
+    stream = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+    import time
+    import uuid
+
+    name = f"rate_{uuid.uuid4().hex[:6]}"
+    q = stream.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and spark.table(name).count() == 0:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = spark.table(name)
+    assert got.count() > 0
+    assert [f.name for f in got.schema.fields] == ["timestamp", "value"]
