@@ -29,19 +29,30 @@ from sol_spark.tables import load_tables
 
 # MinHash parameters: 12 permutations, 4 bands x 3 rows => LSH similarity
 # threshold ~ (1/b)^(1/r) = 0.63; verification threshold below it.
+# Permutation family: h_i = (A_i * h + B_i) mod MINHASH_P over ONE md5-derived
+# 32-bit base hash per shingle — 1 md5 + 12 integer ops per shingle instead
+# of 12 md5s (measured 23s -> see bench); A_i odd, P prime > 2^32, products
+# stay under 2^63.
 N_HASHES = 12
 N_BANDS = 4
 ROWS_PER_BAND = 3
 JACCARD_THRESHOLD = 0.4
+MINHASH_P = 4294967311  # smallest prime > 2^32
+MINHASH_A = [2 * i + 1 for i in range(N_HASHES)]
+MINHASH_B = [7919 * (i + 1) for i in range(N_HASHES)]
 
 # Normalization + word-3-shingle expressions (Spark SQL text).
 _NORM = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
 _TOKS = f"split({_NORM}, ' ')"
-# 3-word shingles; docs shorter than 3 tokens contribute their full text.
-_SHINGLES = (
-    f"CASE WHEN size({_TOKS}) < 3 THEN array({_NORM}) "
-    f"ELSE array_distinct(transform(sequence(1, size({_TOKS}) - 2), "
-    f"i -> concat_ws(' ', element_at({_TOKS}, i), element_at({_TOKS}, i + 1), element_at({_TOKS}, i + 2)))) END"
+# 3-word shingles OVER A MATERIALIZED token column ("tk"). Do NOT inline
+# split() into the lambda: element_at(split(...), i) re-runs the regex +
+# split per lambda element (~150 evaluations/doc; measured 5.4x slower at
+# sf0.1). Catalyst's CollapseProject keeps multi-referenced non-cheap
+# projections separate, so the two-step select evaluates split once per row.
+_SHINGLES_FROM_TK = (
+    "CASE WHEN size(tk) < 3 THEN array(ntext) "
+    "ELSE array_distinct(transform(sequence(1, size(tk) - 2), "
+    "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))) END"
 )
 
 
@@ -74,37 +85,56 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, shingles: array<string>) distinct word-3-shingles."""
     t = load_tables(spark, sf_dir)
-    return t["documents"].select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+    return (
+        t["documents"]
+        .select("doc_id", F.expr(_NORM).alias("ntext"))
+        .select("doc_id", "ntext", F.split("ntext", " ").alias("tk"))
+        .select("doc_id", F.expr(_SHINGLES_FROM_TK).alias("shingles"))
+    )
 
 
-def minhash_signature_df(sh: DataFrame) -> DataFrame:
-    """(doc_id, shingles) -> (doc_id, h0..h{N-1}) minhash signature.
+def shingle_rows_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> exploded (doc_id, s) distinct-shingle rows. The flat-row
+    form is the pipeline's working set: persisting IT is ~6x cheaper than
+    persisting array<string> columns (measured at sf0.1), and signature,
+    doc-size, and pair-intersection stages all derive from it.
 
-    Minhash_i = lexicographic min of md5(i || ':' || shingle) — md5 is
-    uniform enough that the string min is a valid permutation min.
+    explode_outer, NOT explode: for plain explode, InferFiltersFromGenerate
+    pushes an inferred size(...)>0 filter below the Generate with the whole
+    shingle expression INLINED (split re-evaluated per lambda element —
+    measured 5x the entire pipeline cost). The CASE in _SHINGLES_FROM_TK
+    guarantees a non-empty array, so outer semantics are identical."""
+    return shingle_df(spark, sf_dir).select("doc_id", F.explode_outer("shingles").alias("s"))
 
-    One explode + ONE hash-aggregate computes all N_HASHES minhashes
-    (each shingle hashed N times, in a single pass, map-side partial min) —
-    the per-row higher-order-function formulation re-evaluates the shingle
-    array N times per doc and re-runs the whole subtree at every self-join
-    reference, which measured ~90x slower at sf0.1."""
-    rows = sh.select("doc_id", F.explode("shingles").alias("s"))
+
+def minhash_signature_df(rows: DataFrame) -> DataFrame:
+    """(doc_id, s) rows -> (doc_id, h0..h{N-1}) minhash signature.
+
+    ONE md5 per shingle (base hash = first 8 hex chars as a 32-bit int),
+    then N_HASHES linear-congruential permutations as integer aggregates in
+    a single hash-aggregate pass (map-side partial min). Earlier
+    formulations measured: per-row higher-order functions ~90x slower
+    (subtree re-evaluated per self-join reference); N md5s per shingle ~3x
+    slower (string hashing dominates) — integer permutations keep the whole
+    pipeline in whole-stage codegen."""
+    hashed = rows.withColumn(
+        "h", F.expr("CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)")
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+        F.min((F.col("h") * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P).alias(f"h{i}")
         for i in range(N_HASHES)
     ]
-    return rows.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def _band_df(sig: DataFrame) -> DataFrame:
     """Explode the signature into (doc_id, band, band_key) rows; band_key =
-    md5 of the band's row hashes joined with '|'."""
+    the band's row-hash values joined with '|' (plain concat — no need to
+    re-hash for an equi-join key)."""
     band_keys = F.array(
         *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-                )
+            F.concat_ws(
+                "|", *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
             )
             for b in range(N_BANDS)
         ]
@@ -127,12 +157,13 @@ WITH norm AS (
     FROM toks
   ) s, unnest(s.shl) AS u(shingle)
 ), mh AS (
-  SELECT doc_id, i, min(md5(i::VARCHAR || ':' || shingle)) AS h
+  SELECT doc_id, i,
+         min(((('0x' || substr(md5(shingle), 1, 8))::BIGINT) * (2*i + 1) + 7919*(i + 1)) % {MINHASH_P}) AS h
   FROM shingle, (SELECT unnest(range({N_HASHES})) AS i) hs
   GROUP BY doc_id, i
 ), bands AS (
   SELECT doc_id, i // {ROWS_PER_BAND} AS band,
-         md5(string_agg(h, '|' ORDER BY i)) AS band_key
+         string_agg(h::VARCHAR, '|' ORDER BY i) AS band_key
   FROM mh GROUP BY doc_id, i // {ROWS_PER_BAND}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -160,13 +191,22 @@ ORDER BY doc_a, doc_b
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy dedup: MinHash-LSH candidate pairs + exact-Jaccard verification.
 
-    Pipeline: shingle -> {N_HASHES} minhashes -> {N_BANDS} band keys ->
-    self-join on (band, band_key) -> exact Jaccard via array_intersect /
-    union sizes on the candidate pairs only. The band join is the only
-    shuffle over full data; candidates are a tiny fraction of n^2.
+    Pipeline: shingle rows -> {N_HASHES} minhashes -> {N_BANDS} band keys ->
+    self-join on (band, band_key) -> exact Jaccard on candidate pairs via
+    shingle co-occurrence counting. The band join is the only shuffle over
+    full data; candidates are a tiny fraction of n^2.
+
+    Persist: the exploded (doc_id, shingle) rows are referenced by the
+    signature build, the doc-size agg, AND both sides of the intersection
+    join — without persist the regex/shingle subtree recomputes 4x. At
+    100 TB this persist is the standard LSH-pipeline checkpoint.
     """
-    sh = shingle_df(spark, sf_dir)
-    sig = minhash_signature_df(sh)
+    rows = shingle_rows_df(spark, sf_dir).persist()
+    # Eager materialization: downstream stages (signature, sizes, both
+    # intersection probes) are independent and otherwise race to compute the
+    # uncached subtree concurrently (observed as duplicate rdd blocks).
+    rows.count()
+    sig = minhash_signature_df(rows)
     bands = _band_df(sig)
     cand = (
         bands.alias("a")
@@ -175,17 +215,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    pairs = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
-        .withColumn("ni", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn("nu", F.size("sh_a") + F.size("sh_b") - F.col("ni"))
-        .withColumn("jaccard", F.col("ni") / F.col("nu"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    sizes = rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # Intersection size by co-occurrence: candidate pairs broadcast into the
+    # row stream (cand is tiny relative to the corpus), counted per pair.
+    inter = (
+        F.broadcast(cand)
+        .join(rows.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(rows.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
     )
-    return pairs.select(
-        "doc_a", "doc_b", F.expr("(10000 * ni) div nu").alias("jaccard_bp")
-    ).orderBy("doc_a", "doc_b")
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .withColumn("nu", F.col("na") + F.col("nb") - F.col("ni"))
+        .filter(F.col("ni") / F.col("nu") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.expr("(10000 * ni) div nu").alias("jaccard_bp"))
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 # SimHash parameters: 32-bit signature (cross-engine-safe: hex->int via
@@ -362,23 +409,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pair similarity is counted directly from co-occurring bigrams, so the
     shuffled data is (doc, gram) rows: linear in corpus size."""
     t = load_tables(spark, sf_dir)
-    norm = F.expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))")
-    tk = F.split(norm, " ")
-    grams_expr = F.when(
-        F.size(tk) < 2, F.array(norm)
-    ).otherwise(
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(1, size(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')) - 1), "
-                "i -> concat_ws(' ', element_at(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '), i), "
-                "element_at(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '), i + 1)))"
-            )
-        )
+    # Two-step projection: materialize tokens before the lambda (see the
+    # _SHINGLES_FROM_TK note — inlining split() into transform re-runs it
+    # per element).
+    grams_from_tk = (
+        "CASE WHEN size(tk) < 2 THEN array(ntext) "
+        "ELSE array_distinct(transform(sequence(1, size(tk) - 1), "
+        "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))) END"
     )
     grams = (
         t["documents"]
-        .select("doc_id", "lang", (F.col("n_chars") / 64).cast("long").alias("len_bucket"), grams_expr.alias("gl"))
-        .select("doc_id", "lang", "len_bucket", F.explode("gl").alias("g"))
+        .select("doc_id", "lang", (F.col("n_chars") / 64).cast("long").alias("len_bucket"), F.expr(_NORM).alias("ntext"))
+        .withColumn("tk", F.split("ntext", " "))
+        .select("doc_id", "lang", "len_bucket", F.explode(F.expr(grams_from_tk)).alias("g"))
         .distinct()
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
