@@ -246,3 +246,83 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.array_contains(toks, "spark").alias("has_spark"),
     ).orderBy("doc_id")
+
+
+FN_HIGHER_ORDER_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+  FROM documents WHERE doc_id % 25 = 0
+)
+SELECT doc_id,
+       list_sum(list_transform(tk, x -> length(x))) AS total_len,
+       len(list_filter(tk, x -> length(x) > 4)) AS n_long,
+       list_max(list_transform(tk, x -> length(x))) AS max_len,
+       CASE WHEN len(list_filter(tk, x -> x = 'spark')) > 0 THEN true ELSE false END AS has_spark,
+       len(list_filter(tk, x -> length(x) <= 3)) = len(tk) AS all_short
+FROM t ORDER BY doc_id
+"""
+
+
+@register("fn_higher_order", FN_HIGHER_ORDER_ORACLE, tags=("functions", "array", "higher_order"))
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order lambda functions: transform / filter / aggregate /
+    exists / forall (Spark 2.4.0 predates these — the free modern upgrade
+    noted in SURVEY §2.8; DuckDB mirrors them as list_* lambdas).
+    Two-step projection keeps split() out of the lambdas (see
+    operators/dedup.py on CollapseProject)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id", F.expr("split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')").alias("tk"))
+        .select(
+            "doc_id",
+            F.expr("aggregate(transform(tk, x -> length(x)), 0, (acc, v) -> acc + v)").alias("total_len"),
+            F.expr("size(filter(tk, x -> length(x) > 4))").alias("n_long"),
+            F.expr("array_max(transform(tk, x -> length(x)))").alias("max_len"),
+            F.expr("exists(tk, x -> x = 'spark')").alias("has_spark"),
+            F.expr("forall(tk, x -> length(x) <= 3)").alias("all_short"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+FN_WIN_VALUE_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER w AS last_price,
+       nth_value(o_totalprice, 2) OVER w AS second_price
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_orderkey
+"""
+
+
+@register("win_first_last_nth", FN_WIN_VALUE_ORACLE, tags=("window",))
+def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an unbounded frame
+    (offset-frame processors, reference WindowFunctionFrame.scala:65-350).
+    Frame is explicit UNBOUNDED..UNBOUNDED: the SQL-default frame for
+    last_value (..CURRENT ROW) is a classic cross-engine trap."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        t["orders"]
+        .filter(F.col("o_custkey") < 50)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(w).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        )
+        .orderBy("o_orderkey")
+    )
