@@ -126,3 +126,41 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (purchases x views within 1 hour, per user)."""
     t = load_tables(spark, sf_dir)
     return P.purchases_with_recent_view(t["events"]).orderBy("event_id", "v_ts")
+
+
+ROLLUP_TIME_ORACLE = """
+SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+       CASE WHEN grouping(event_type) = 1 THEN NULL ELSE event_type END AS event_type,
+       grouping(event_type) AS g_type,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY ROLLUP(date_trunc('day', ts), event_type)
+HAVING grouping(date_trunc('day', ts)) = 0
+ORDER BY day, g_type, event_type
+"""
+
+
+@register("time_rollup_hierarchy", ROLLUP_TIME_ORACLE, tags=("window", "groupingsets", "agg"))
+def time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time rollup: per-(day, event_type) aggregates plus
+    per-day subtotals in ONE pass via ROLLUP (ExpandExec row replication,
+    reference ExpandExec.scala:37) — the continuous-aggregate pattern for
+    time-series stores, here as a single grouping-sets aggregate rather
+    than a second scan."""
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .withColumn("day", F.date_trunc("day", "ts").cast("timestamp_ntz"))
+        .rollup("day", "event_type")
+        .agg(
+            F.grouping("event_type").alias("g_type"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .filter(F.grouping("day") == 0)
+        .select("day", "event_type", "g_type", "n", "sum_value")
+        .orderBy("day", "g_type", "event_type")
+    )

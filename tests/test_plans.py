@@ -7,12 +7,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from sol_spark.plans import explain_formatted as _plan
 from sol_spark.queries.tpch import q1, q3, q5, q6
 from sol_spark.tables import load_tables
-
-
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
 
 def test_q6_filter_pushdown(spark, sf_dir):

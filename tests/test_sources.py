@@ -83,7 +83,9 @@ def test_partitioned_write_prunes(spark, nation, tmpdir):
     path = os.path.join(tmpdir, "part_nation")
     write_table(nation, path, "parquet", partition_by=["n_regionkey"])
     back = read_table(spark, path, "parquet").filter(F.col("n_regionkey") == 2)
-    plan = back._sc._jvm.PythonSQLUtils.explainString(back._jdf.queryExecution(), "formatted")
+    from sol_spark.plans import explain_formatted
+
+    plan = explain_formatted(back)
     assert "PartitionFilters" in plan
     assert back.count() == nation.filter(F.col("n_regionkey") == 2).count()
     # physical layout: one directory per region key
@@ -105,7 +107,9 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmpdir):
         # disable broadcast so the test observes the bucketed SMJ path
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
-            plan = joined._sc._jvm.PythonSQLUtils.explainString(joined._jdf.queryExecution(), "formatted")
+            from sol_spark.plans import explain_formatted
+
+            plan = explain_formatted(joined)
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         assert "Exchange" not in plan
