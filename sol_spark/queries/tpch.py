@@ -551,7 +551,8 @@ FROM (
     AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
                      WHERE c_acctbal > 0.00
                        AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
-    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 ) custsale
 GROUP BY cntrycode
 ORDER BY cntrycode
