@@ -21,8 +21,9 @@ from sol_spark.registry import all_queries
 from sol_spark.session import get_session
 
 # Headline set: the spine of SURVEY §2 — scan/filter/agg (q1, q6), joins+topk
-# (q3, q5, q9, q18), window (win_rank), set op (set_intersect), LLM ops
-# (dedup_minhash_lsh, sim_topk_exact, text_stats).
+# (q3, q5, q9, q18, q21), star-schema flights (ssb), window/rollup, set op,
+# event-time windows, generators, pandas grouped-map, and the LLM operator
+# families (dedup x3, similarity x2, text, multimodal).
 HEADLINE = [
     "tpch_q1",
     "tpch_q3",
@@ -31,12 +32,21 @@ HEADLINE = [
     "tpch_q9",
     "tpch_q18",
     "tpch_q21",
+    "ssb_q2_1",
+    "ssb_q4_2",
     "win_rank_topk_per_group",
+    "time_rollup_hierarchy",
     "set_intersect",
+    "stream_tumbling_agg",
+    "gen_explode_wordcount",
+    "pd_grouped_zscore",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "sim_topk_exact",
+    "sim_topk_lsh",
     "text_stats",
+    "mm_decode_features",
 ]
 
 
