@@ -60,6 +60,16 @@ def _read(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+# Per-(session, sf_dir) catalog cache: every registered query calls
+# load_tables, and re-building 10 DataFrames + temp views per query is pure
+# py4j overhead (~0.3s/query measured at sf0.1). DataFrames are immutable
+# lazy plans, so sharing them across queries is safe. Temp views are
+# session-global, so track which sf_dir's views a session currently holds
+# and re-register when it switches (SQL-text queries resolve via views).
+_CATALOG_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+_VIEWS_FOR_SESSION: dict[int, str] = {}
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str = DEFAULT_SF_DIR,
@@ -67,13 +77,23 @@ def load_tables(
 ) -> dict[str, DataFrame]:
     """Load every fixture table from ``sf_dir`` and (optionally) register
     each as a temp view so both the DataFrame and SQL surfaces see them."""
-    tables: dict[str, DataFrame] = {}
-    for name in TABLE_NAMES:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if not os.path.exists(path):
-            continue
-        df = _read(spark, path)
-        tables[name] = df
-        if register_views:
+    sf_abs = os.path.abspath(sf_dir)
+    key = (id(spark), sf_abs)
+    cached = _CATALOG_CACHE.get(key)
+    if cached is not None and not register_views:
+        return dict(cached)
+    if cached is not None and _VIEWS_FOR_SESSION.get(id(spark)) == sf_abs:
+        return dict(cached)
+    tables: dict[str, DataFrame] = cached or {}
+    if not tables:
+        for name in TABLE_NAMES:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            if not os.path.exists(path):
+                continue
+            tables[name] = _read(spark, path)
+        _CATALOG_CACHE[key] = dict(tables)
+    if register_views:
+        for name, df in tables.items():
             df.createOrReplaceTempView(name)
-    return tables
+        _VIEWS_FOR_SESSION[id(spark)] = sf_abs
+    return dict(tables)
