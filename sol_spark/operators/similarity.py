@@ -203,3 +203,117 @@ def sim_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"), F.round(F.avg("cosine"), 4).alias("avg_cosine"))
         .orderBy("same_label")
     )
+
+
+# IVF parameters: K fixed seed centroids (deterministic coarse quantizer so
+# the oracle reproduces the index exactly), nprobe probed cells per query.
+IVF_K = 8
+IVF_NPROBE = 2
+_IVF_CENT_MIN, _IVF_CENT_MAX = 100, 108  # vec_ids used as centroids
+
+SIM_IVF_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+norms AS (
+  SELECT vec_id, sqrt(sum(embedding[i.i]::DOUBLE * embedding[i.i]::DOUBLE)) AS nrm
+  FROM embeddings, dims i GROUP BY vec_id
+),
+cent AS (
+  SELECT vec_id AS cent_id, embedding AS cente, nrm AS centn
+  FROM embeddings JOIN norms USING (vec_id)
+  WHERE vec_id >= {_IVF_CENT_MIN} AND vec_id < {_IVF_CENT_MAX}
+),
+cellcos AS (
+  SELECT e.vec_id, c.cent_id,
+         round(sum(e.embedding[i.i]::DOUBLE * c.cente[i.i]::DOUBLE) / (n.nrm * c.centn), 6) AS ccos
+  FROM embeddings e JOIN norms n USING (vec_id), cent c, dims i
+  GROUP BY e.vec_id, c.cent_id, n.nrm, c.centn
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+    FROM cellcos) t WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS qid, cent_id FROM (
+    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+    FROM cellcos WHERE vec_id < {N_QUERIES}) t WHERE rn <= {IVF_NPROBE}
+),
+cand AS (
+  -- no DISTINCT needed: each vector lives in exactly one cell (rn = 1),
+  -- so a (qid, cid) pair can arise from at most one probed cell
+  SELECT p.qid, a.vec_id AS cid
+  FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+  WHERE a.vec_id <> p.qid
+),
+scored AS (
+  SELECT qid, cid,
+         round(sum(q.embedding[i.i]::DOUBLE * c.embedding[i.i]::DOUBLE) / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM cand
+  JOIN embeddings q ON q.vec_id = qid
+  JOIN embeddings c ON c.vec_id = cid
+  JOIN norms nq ON nq.vec_id = qid
+  JOIN norms nc ON nc.vec_id = cid, dims i
+  GROUP BY qid, cid, nq.nrm, nc.nrm
+),
+ranked AS (
+  SELECT qid, cid, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+  FROM scored
+)
+SELECT qid, cid, cosine, rk FROM ranked WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+"""
+
+
+@register("sim_topk_ivf", SIM_IVF_ORACLE, tags=("llm", "similarity", "ivf"))
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a coarse quantizer assigns
+    every vector to its nearest of {IVF_K} centroids (deterministic seed
+    vectors, so the index is oracle-reproducible; production swaps in
+    k-means centroids — the search path is identical); queries probe their
+    {IVF_NPROBE} nearest cells and score candidates exactly.
+
+    Scale shape: assignment is a broadcast join against K centroids (one
+    pass, no shuffle); the inverted file is the (cent_id -> vectors)
+    partitioning, so a probe touches nprobe/K of the corpus — the
+    complementary trade-off to sign-LSH's hash cells."""
+    t = load_tables(spark, sf_dir)
+    emb = _with_norm(t["embeddings"])
+    cent = F.broadcast(
+        emb.filter((F.col("vec_id") >= _IVF_CENT_MIN) & (F.col("vec_id") < _IVF_CENT_MAX)).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cente"), F.col("nrm").alias("centn")
+        )
+    )
+    ccos = F.round(
+        F.expr(_DOT.format(a="embedding", b="cente")) / (F.col("nrm") * F.col("centn")), 6
+    )
+    cellcos = emb.crossJoin(cent).withColumn("ccos", ccos)
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc("ccos"), "cent_id")
+    ranked_cells = cellcos.withColumn("rn", F.row_number().over(w_assign))
+    assign = ranked_cells.filter(F.col("rn") == 1).select("vec_id", "cent_id", "embedding", "nrm")
+    probes = (
+        ranked_cells.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= IVF_NPROBE))
+        .select(F.col("vec_id").alias("qid"), "cent_id")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+    # No distinct needed: every vector lives in exactly one cell (rn = 1),
+    # so (qid, cid) pairs are unique by construction — and distinct over
+    # array columns would hash every embedding.
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), F.col("nrm").alias("cn"))
+    )
+    scored = cand.join(F.broadcast(q), "qid").withColumn(
+        "cosine", F.round(F.expr(_DOT.format(a="qe", b="ce")) / (F.col("qn") * F.col("cn")), 6)
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", "cid", "cosine", "rk")
+        .orderBy("qid", "rk")
+    )

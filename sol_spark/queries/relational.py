@@ -551,3 +551,40 @@ def cross_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarded by CheckCartesianProducts) — dimension-only, never on facts."""
     t = load_tables(spark, sf_dir)
     return t["region"].crossJoin(t["nation"]).select("r_name", "n_name").orderBy("r_name", "n_name")
+
+
+REGR_ORACLE = """
+SELECT l_returnflag,
+       regr_count(l_extendedprice, l_quantity) AS n,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+       round(regr_avgx(l_extendedprice, l_quantity), 4) AS avgx,
+       round(regr_avgy(l_extendedprice, l_quantity), 2) AS avgy
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("stats_regression", REGR_ORACLE, tags=("agg", "stats"))
+def stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regr_* linear-regression aggregate family (reference registry
+    FunctionRegistry.scala:302-310): price-vs-quantity fit per return flag.
+    Single-pass partial+final aggregation like any sum — the moment
+    statistics compose map-side."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.regr_count(y, x).alias("n"),
+            F.round(F.regr_slope(y, x), 4).alias("slope"),
+            F.round(F.regr_intercept(y, x), 2).alias("intercept"),
+            F.round(F.regr_r2(y, x), 4).alias("r2"),
+            F.round(F.regr_avgx(y, x), 4).alias("avgx"),
+            F.round(F.regr_avgy(y, x), 2).alias("avgy"),
+        )
+        .orderBy("l_returnflag")
+    )
