@@ -107,3 +107,30 @@ def gen_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 100)
         .orderBy("tok")
     )
+
+
+UNPIVOT_API_ORACLE = """
+SELECT c_custkey, metric, val
+FROM (
+  SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+  UNION ALL
+  SELECT c_custkey, 'nationkey', c_nationkey::DOUBLE FROM customer
+) u
+WHERE c_custkey < 200
+ORDER BY c_custkey, metric
+"""
+
+
+@register("gen_unpivot_api", UNPIVOT_API_ORACLE, tags=("generator",))
+def gen_unpivot_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.unpivot (melt) — the API twin of the stack() generator
+    (same Expand-based physical plan, reference ExpandExec.scala:37)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .filter(F.col("c_custkey") < 200)
+        .withColumn("nationkey", F.col("c_nationkey").cast("double"))
+        .withColumnRenamed("c_acctbal", "acctbal")
+        .unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
+        .orderBy("c_custkey", "metric")
+    )

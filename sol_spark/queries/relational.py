@@ -588,3 +588,36 @@ def stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+TIME_RANGE_FRAME_ORACLE = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_prev_hour,
+       round(sum(value) OVER w, 2) AS sum_prev_hour
+FROM (SELECT event_id, user_id, value, floor(epoch(ts))::BIGINT AS es FROM events) t
+WINDOW w AS (PARTITION BY user_id ORDER BY es RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+@register("win_time_range_frame", TIME_RANGE_FRAME_ORACLE, tags=("window", "range"))
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding per-row time window: aggregates over the trailing hour per
+    user via a RANGE frame on epoch seconds (engine-neutral integer bounds;
+    the reference's sliding WindowFunctionFrame, WindowFunctionFrame.scala:151).
+    The time-series 'rolling aggregate' primitive without a self-join."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("es").rangeBetween(-3600, 0)
+    return (
+        t["events"]
+        .withColumn("es", F.unix_timestamp(F.col("ts").cast("timestamp")))
+        .select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).alias("n_prev_hour"),
+            F.round(F.sum("value").over(w), 2).alias("sum_prev_hour"),
+        )
+        .orderBy("event_id")
+    )

@@ -53,6 +53,6 @@ def all_queries() -> dict[str, QuerySpec]:
         ssb,
         tpch,
     )
-    from sol_spark.operators import dedup, multimodal, similarity, text  # noqa: F401
+    from sol_spark.operators import dedup, multimodal, similarity, skew, text  # noqa: F401
 
     return dict(_REGISTRY)

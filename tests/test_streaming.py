@@ -151,3 +151,42 @@ def test_watermark_drops_late_rows(spark, sf_dir):
         assert out.get(0) == 1  # late row NOT added to the 00:00 window
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_foreach_batch_sink(spark, sf_dir):
+    """foreachBatch (reference ForeachWriterProvider.scala): per-batch
+    batch-DF writes with the batchId the sink uses for idempotent commits.
+    Batch ids must be consecutive and the union of batches must equal the
+    source exactly once."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sol_spark.tables import load_tables
+
+    out = tempfile.mkdtemp(prefix="solspark_feb_")
+    stream, src_tmp = P.events_stream(spark, sf_dir, n_files=3)
+    seen_batches = []
+
+    def sink(batch_df, batch_id):
+        # idempotent pattern: one deterministic output dir per batch id
+        batch_df.select("event_id", "value").write.mode("overwrite").parquet(
+            os.path.join(out, f"batch={batch_id}")
+        )
+        seen_batches.append(batch_id)
+
+    try:
+        q = stream.writeStream.foreachBatch(sink).outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+        assert seen_batches == sorted(set(seen_batches))  # consecutive, no dups
+        back = spark.read.parquet(os.path.join(out, "batch=*"))
+        src = load_tables(spark, sf_dir)["events"]
+        assert back.count() == src.count()
+        assert (
+            back.agg(F.sum("event_id")).first()[0] == src.agg(F.sum("event_id")).first()[0]
+        )
+    finally:
+        shutil.rmtree(src_tmp, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
