@@ -326,3 +326,41 @@ def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+NULL_SAFE_JOIN_ORACLE = """
+WITH a AS (
+  SELECT event_id, nullif(user_id % 7, 3) AS k FROM events WHERE event_id < 500
+), b AS (
+  SELECT nullif(c_custkey % 7, 3) AS k, count(*) AS n_cust
+  FROM customer GROUP BY 1
+)
+SELECT a.event_id, a.k, b.n_cust
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+ORDER BY a.event_id
+"""
+
+
+@register("fn_null_safe_join", NULL_SAFE_JOIN_ORACLE, tags=("functions", "join", "conditional"))
+def fn_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality `<=>` (reference registry comparison ops incl.
+    EqualNullSafe, SURVEY §2.8): NULL keys MATCH under <=>, unlike `=`.
+    The oracle spells it IS NOT DISTINCT FROM. Planner note: <=> still
+    hash-partitions (it is an equi-key), so this stays a hash join, not BNLJ."""
+    t = load_tables(spark, sf_dir)
+    a = (
+        t["events"]
+        .filter(F.col("event_id") < 500)
+        .select("event_id", F.nullif(F.col("user_id") % 7, F.lit(3)).alias("k"))
+    )
+    b = (
+        t["customer"]
+        .select(F.nullif(F.col("c_custkey") % 7, F.lit(3)).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k"]))
+        .select("event_id", a["k"].alias("k"), "n_cust")
+        .orderBy("event_id")
+    )
