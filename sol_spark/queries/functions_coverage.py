@@ -364,3 +364,152 @@ def fn_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", a["k"].alias("k"), "n_cust")
         .orderBy("event_id")
     )
+
+
+FN_MAP_ORACLE = """
+SELECT p_partkey,
+       p_brand AS elem_brand,
+       CAST(NULL AS VARCHAR) AS elem_missing,
+       2 AS msize,
+       ['brand', 'type'] AS keys_v,
+       p_brand || '|' || p_type AS vals_join,
+       CAST(p_size AS VARCHAR) AS sm_a,
+       true AS contains_v,
+       p_name AS mc_extra
+FROM part ORDER BY p_partkey
+"""
+
+
+@register("fn_map", FN_MAP_ORACLE, tags=("functions", "map"))
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map expression family (FunctionRegistry.scala:410-433: map, map_keys,
+    map_values, map_entries-adjacent ops, element_at, size, str_to_map at
+    :261, map_concat). The oracle computes each expected value directly, so
+    the map round-trip itself is what is verified."""
+    t = load_tables(spark, sf_dir)
+    p = t["part"]
+    m = F.create_map(F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type"))
+    sm = F.str_to_map(
+        F.concat(F.lit("a:"), F.col("p_size").cast("string"), F.lit(",b:"), F.col("p_partkey").cast("string")),
+        F.lit(","),
+        F.lit(":"),
+    )
+    return p.select(
+        "p_partkey",
+        F.element_at(m, F.lit("brand")).alias("elem_brand"),
+        F.element_at(m, F.lit("nope")).alias("elem_missing"),
+        F.size(m).alias("msize"),
+        F.array_sort(F.map_keys(m)).alias("keys_v"),
+        F.concat_ws("|", F.map_values(m)).alias("vals_join"),
+        F.element_at(sm, F.lit("a")).alias("sm_a"),
+        F.map_contains_key(m, F.lit("brand")).alias("contains_v"),
+        F.element_at(
+            F.map_concat(m, F.create_map(F.lit("extra"), F.col("p_name"))), F.lit("extra")
+        ).alias("mc_extra"),
+    ).orderBy("p_partkey")
+
+
+FN_URL_ORACLE = """
+SELECT p_partkey,
+       'https' AS proto_v,
+       'shop.example.com' AS host_v,
+       '/' || replace(p_type, ' ', '-') || '/item' AS path_v,
+       'id=' || p_partkey || '&size=' || p_size AS query_v,
+       CAST(p_partkey AS VARCHAR) AS qid_v
+FROM part ORDER BY p_partkey
+"""
+
+
+@register("fn_url", FN_URL_ORACLE, tags=("functions", "string", "url"))
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url family (FunctionRegistry.scala string section, ParseUrl
+    expression). URLs are built from fixture columns; the oracle recomputes
+    each component with plain string ops."""
+    t = load_tables(spark, sf_dir)
+    p = t["part"]
+    url = F.concat(
+        F.lit("https://shop.example.com/"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("-")),
+        F.lit("/item?id="),
+        F.col("p_partkey").cast("string"),
+        F.lit("&size="),
+        F.col("p_size").cast("string"),
+    )
+    return p.select(
+        "p_partkey",
+        F.parse_url(url, F.lit("PROTOCOL")).alias("proto_v"),
+        F.parse_url(url, F.lit("HOST")).alias("host_v"),
+        F.parse_url(url, F.lit("PATH")).alias("path_v"),
+        F.parse_url(url, F.lit("QUERY")).alias("query_v"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("qid_v"),
+    ).orderBy("p_partkey")
+
+
+FN_XPATH_ORACLE = """
+SELECT p_partkey,
+       p_brand AS xs_brand,
+       p_size AS xi_size,
+       ['a', 'b'] AS xl_tags,
+       true AS xb_has_brand
+FROM part ORDER BY p_partkey
+"""
+
+
+@register("fn_xpath", FN_XPATH_ORACLE, tags=("functions", "xpath"))
+def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xpath_* family (FunctionRegistry.scala string section, xpath
+    expressions). XML docs are assembled from fixture columns; the oracle
+    recomputes the extracted values directly."""
+    t = load_tables(spark, sf_dir)
+    p = t["part"].withColumn(
+        "xml",
+        F.concat(
+            F.lit("<item><brand>"),
+            F.col("p_brand"),
+            F.lit("</brand><size>"),
+            F.col("p_size").cast("string"),
+            F.lit("</size><tags><t>a</t><t>b</t></tags></item>"),
+        ),
+    )
+    return p.select(
+        "p_partkey",
+        F.xpath_string("xml", F.lit("item/brand")).alias("xs_brand"),
+        F.xpath_int("xml", F.lit("item/size")).alias("xi_size"),
+        F.xpath("xml", F.lit("item/tags/t/text()")).alias("xl_tags"),
+        F.xpath_boolean("xml", F.lit("item/brand")).alias("xb_has_brand"),
+    ).orderBy("p_partkey")
+
+
+FN_BITWISE_ORACLE = """
+SELECT p_partkey,
+       hex(p_partkey) AS hex_v,
+       bin(CAST(p_partkey AS BIGINT)) AS bin_v,
+       p_size << 2 AS shl_v,
+       p_partkey >> 1 AS shr_v,
+       p_size & 5 AS band_v,
+       p_size | 9 AS bor_v,
+       xor(p_size, 3) AS bxor_v,
+       bit_count(p_size) AS bcount_v,
+       ~p_size AS bnot_v
+FROM part ORDER BY p_partkey
+"""
+
+
+@register("fn_bitwise", FN_BITWISE_ORACLE, tags=("functions", "math", "bitwise"))
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise / base-conversion family (FunctionRegistry.scala:217-270:
+    hex, bin, shiftleft/shiftright, and/or/xor/not, bit_count)."""
+    t = load_tables(spark, sf_dir)
+    p = t["part"]
+    return p.select(
+        "p_partkey",
+        F.hex("p_partkey").alias("hex_v"),
+        F.bin("p_partkey").alias("bin_v"),
+        F.shiftleft("p_size", 2).alias("shl_v"),
+        F.shiftright("p_partkey", 1).alias("shr_v"),
+        F.col("p_size").bitwiseAND(F.lit(5)).alias("band_v"),
+        F.col("p_size").bitwiseOR(F.lit(9)).alias("bor_v"),
+        F.col("p_size").bitwiseXOR(F.lit(3)).alias("bxor_v"),
+        F.bit_count("p_size").alias("bcount_v"),
+        F.bitwise_not(F.col("p_size")).alias("bnot_v"),
+    ).orderBy("p_partkey")

@@ -17,6 +17,7 @@ a power-law key would need salting first).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -101,4 +102,33 @@ def pd_cogroup_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(views.groupBy("user_id"))
         .applyInPandas(funnel, schema="user_id bigint, n_purchases bigint, purchase_value double, n_views bigint")
         .orderBy("user_id")
+    )
+
+
+WAVG_ORACLE = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@register("pd_grouped_wavg", WAVG_ORACLE, tags=("pandas_udf", "udaf"))
+def pd_grouped_wavg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF via a GROUPED_AGG pandas UDF (reference UserDefinedAggregateFunction,
+    sql/core/.../expressions/udaf.scala:32, Arrow path
+    AggregateInPandasExec.scala:42): quantity-weighted average price per
+    return flag. Partial aggregation does NOT apply to pandas UDAFs — the
+    whole group's columns stream to Python — so at scale keep group counts
+    high-cardinality or pre-aggregate; the oracle is the relational
+    formulation."""
+    @F.pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(F.round(wavg("l_extendedprice", "l_quantity"), 4).alias("wavg_price"))
+        .orderBy("l_returnflag")
     )

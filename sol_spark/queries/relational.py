@@ -621,3 +621,37 @@ def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+SHUFFLE_HASH_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= DATE '1995-01-01'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("join_shuffle_hash", SHUFFLE_HASH_ORACLE, tags=("join", "shuffle_hash"))
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ShuffledHashJoinExec (reference joins/ShuffledHashJoinExec.scala:32,
+    picked at SparkStrategies.scala:262 when one side is small and
+    preferSortMergeJoin=false). Here forced via the SHUFFLE_HASH hint on the
+    orders side: both sides hash-partition on the key, the hinted side
+    builds the hash table — no sort, unlike SMJ. At 100 TB this is the
+    right plan when the build side fits per-partition but not in a
+    broadcast. Plan pinned by tests/test_plans.py::test_shuffle_hash_hint.
+    """
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderdate") >= "1995-01-01").hint("shuffle_hash")
+    return (
+        o.join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,74 @@
+"""Nondeterministic / sketch functions that cannot hash-match a DuckDB
+oracle (reference FunctionRegistry.scala:435-452 misc section;
+CountMinSketchAgg.scala:47; HyperLogLog sketches): verified here by their
+invariants instead.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from sol_spark.tables import load_tables
+
+
+def test_uuid_and_ids(spark, sf_dir):
+    """uuid() distinct per row + RFC shape; monotonically_increasing_id is
+    distinct and ascending within a partition; spark_partition_id bounded."""
+    t = load_tables(spark, sf_dir)
+    df = t["part"].select(
+        F.expr("uuid()").alias("u"),
+        F.monotonically_increasing_id().alias("mid"),
+        F.spark_partition_id().alias("pid"),
+    )
+    n = df.count()
+    assert df.select("u").distinct().count() == n
+    assert df.select("mid").distinct().count() == n
+    sample = df.limit(5).collect()
+    for r in sample:
+        assert re.fullmatch(r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}", r["u"])
+        assert 0 <= r["pid"] < spark.sparkContext.defaultParallelism + 64
+
+
+def test_input_file_name(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    row = t["part"].select(F.input_file_name().alias("f")).first()
+    assert "part" in row["f"] and row["f"].endswith(".parquet")
+
+
+def test_count_min_sketch_deterministic(spark, sf_dir):
+    """count_min_sketch (reference CountMinSketchAgg.scala:47) emits a
+    binary sketch; with a fixed seed it must be byte-identical across runs
+    (mergeable partial aggregation is what makes it scale)."""
+    t = load_tables(spark, sf_dir)
+
+    def build():
+        return t["lineitem"].agg(
+            F.count_min_sketch("l_returnflag", F.lit(0.01), F.lit(0.95), F.lit(42)).alias("cms")
+        ).collect()[0]["cms"]
+
+    a, b = build(), build()
+    assert a is not None and len(a) > 0
+    assert bytes(a) == bytes(b)
+
+
+def test_hll_sketch_estimate_accuracy(spark, sf_dir):
+    """Datasketches HLL (post-2.4 upgrade of the reference's HLL++
+    HyperLogLogPlusPlus.scala:52): estimate within 5% of exact, and
+    hll_union_agg merges per-group sketches to the same ballpark."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    exact = li.select("l_partkey").distinct().count()
+    est = li.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("e")
+    ).collect()[0]["e"]
+    assert abs(est - exact) / exact < 0.05
+
+    merged = (
+        li.groupBy("l_returnflag")
+        .agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert abs(merged - exact) / exact < 0.05

@@ -95,3 +95,13 @@ def test_sample_seed_deterministic(spark, sf_dir):
     a = t["lineitem"].sample(fraction=0.1, seed=42).count()
     b = t["lineitem"].sample(fraction=0.1, seed=42).count()
     assert a == b
+
+
+def test_shuffle_hash_hint(spark, sf_dir):
+    """join_shuffle_hash must actually plan as ShuffledHashJoin (reference
+    joins/ShuffledHashJoinExec.scala:32) — hash-partition both sides, build
+    on the hinted side, no sort."""
+    from sol_spark.queries.relational import join_shuffle_hash
+
+    plan = _plan(join_shuffle_hash(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
