@@ -128,6 +128,26 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.purchases_with_recent_view(t["events"]).orderBy("event_id", "v_ts")
 
 
+JOIN_OUTER_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts, p.value, v.ts AS v_ts
+FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+ORDER BY p.event_id, v_ts
+"""
+
+
+@register("stream_stream_join_outer", JOIN_OUTER_ORACLE, tags=("streaming", "join", "outer"))
+def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch shape of the LEFT OUTER watermarked stream-stream join —
+    unmatched purchases keep a null v_ts. The streaming side (null rows
+    emitted on watermark-driven state eviction) is verified in
+    tests/test_streaming.py::test_stream_stream_left_outer_join."""
+    t = load_tables(spark, sf_dir)
+    return P.purchases_with_recent_view_outer(t["events"]).orderBy("event_id", "v_ts")
+
+
 ROLLUP_TIME_ORACLE = """
 SELECT date_trunc('day', ts)::TIMESTAMP AS day,
        CASE WHEN grouping(event_type) = 1 THEN NULL ELSE event_type END AS event_type,

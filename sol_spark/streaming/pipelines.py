@@ -214,3 +214,29 @@ def run_stream_to_memory(
     finally:
         q.stop()
     return stream_df.sparkSession.table(name)
+
+
+def purchases_with_recent_view_outer(events: DataFrame) -> DataFrame:
+    """LEFT OUTER stream-stream join: every purchase, with its recent view
+    when one exists, else nulls. In streaming, the null-extended row for an
+    unmatched purchase is emitted only after the watermark passes the point
+    where a matching view could still arrive (reference outer-join state
+    eviction in StreamingSymmetricHashJoinExec.scala:126 + the join-type x
+    watermark constraints in UnsupportedOperationChecker.scala:44)."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", WATERMARK)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+        .withWatermark("ts", WATERMARK)
+    )
+    return purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("ts"))
+        & (F.col("v_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("event_id", "user_id", "ts", "value", "v_ts")

@@ -105,3 +105,41 @@ def test_shuffle_hash_hint(spark, sf_dir):
 
     plan = _plan(join_shuffle_hash(spark, sf_dir))
     assert "ShuffledHashJoin" in plan
+
+
+def test_reused_exchange(spark, sf_dir):
+    """A self-join of an aggregated subtree must shuffle ONCE: the second
+    reference plans as ReusedExchange (reference ReuseExchange rule applied
+    in QueryExecution.prepareForExecution). At 100 TB this halves the
+    dominant shuffle of any self-comparison query."""
+    t = load_tables(spark, sf_dir)
+    a = t["lineitem"].groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+    j = (
+        a.alias("x")
+        .join(a.alias("y"), "l_orderkey")
+        .select("l_orderkey", (F.col("x.q") + F.col("y.q")).alias("qq"))
+    )
+    j.collect()  # materialize so the AQE final plan is available
+    assert "ReusedExchange" in _plan(j)
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning (Spark 3 upgrade of the reference's static
+    PruneFileSourcePartitions): a selective dim filter prunes fact
+    partitions at RUNTIME via a reused broadcast — the scan must carry a
+    dynamicpruning PartitionFilter, not read all partitions."""
+    t = load_tables(spark, sf_dir)
+    fact_dir = str(tmp_path / "events_by_type")
+    t["events"].write.partitionBy("event_type").mode("overwrite").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    # Filter on a NON-key column: a key-column literal would constant-fold
+    # into a static partition filter, bypassing the runtime-pruning path.
+    dim = spark.createDataFrame(
+        [("purchase", 1.5), ("view", 1.0), ("click", 0.5)], "etype string, weight double"
+    ).filter(F.col("weight") > 1.2)
+    j = (
+        fact.join(dim, fact["event_type"] == dim["etype"])
+        .agg(F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("wsum"))
+    )
+    assert "dynamicpruning" in _plan(j).lower()
+    assert j.collect()[0]["wsum"] is not None

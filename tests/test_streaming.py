@@ -190,3 +190,39 @@ def test_foreach_batch_sink(spark, sf_dir):
     finally:
         shutil.rmtree(src_tmp, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_stream_stream_left_outer_join(spark, sf_dir, batch_events):
+    """Left-outer stream-stream join: unmatched purchases get null-extended
+    rows once the watermark passes their match window. A far-future sentinel
+    view (different user; joins nothing) pushes the final watermark beyond
+    every purchase so the stream emits ALL outer rows and equals batch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    stream, tmp = P.events_stream(spark, sf_dir, n_files=3)
+    try:
+        max_ns = batch_events.agg(
+            F.max(F.unix_timestamp("ts")).alias("m")
+        ).collect()[0]["m"] * 1_000_000_000
+        far = max_ns + 30 * 86400 * 1_000_000_000
+        # One sentinel per side: the global watermark is the MIN across all
+        # watermarked inputs, so both streams must see a far-future event.
+        sentinel = spark.createDataFrame(
+            [
+                (10**9, far, -1, "view", 0.0, "{}"),
+                (10**9 + 1, far, -2, "purchase", 0.0, "{}"),
+            ],
+            "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string",
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(tmp)
+        got = P.run_stream_to_memory(
+            P.purchases_with_recent_view_outer(stream), output_mode="append"
+        ).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    got = [r for r in got if r.user_id >= 0]  # drop sentinels
+    want = P.purchases_with_recent_view_outer(batch_events).collect()
+    assert _sorted_rows(got) == _sorted_rows(want)
+    assert any(r.v_ts is None for r in got)  # outer rows actually exercised
