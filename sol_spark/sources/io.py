@@ -13,9 +13,9 @@ Covers the reference's format surface (SURVEY §2.1):
   * exactly-once streaming file sink (FileStreamSink manifest log —
     _spark_metadata — reference streaming/FileStreamSink.scala)
 
-JDBC (JdbcRelationProvider.scala:24) is API-compatible via
-``spark.read.format("jdbc")`` but untestable here (no driver jar shipped);
-documented as such rather than stubbed.
+JDBC (JdbcRelationProvider.scala:24): round-trip + bounds-partitioned
+parallel read verified against the embedded Derby engine Spark ships with
+(tests/test_sources.py::test_jdbc_roundtrip_partitioned).
 
 Scale notes: partitionBy columns become directory keys — the scan prunes
 directories BEFORE listing files (PartitionFilters in the plan), which is

@@ -172,3 +172,32 @@ def test_rate_source_produces_rows(spark):
     got = spark.table(name)
     assert got.count() > 0
     assert [f.name for f in got.schema.fields] == ["timestamp", "value"]
+
+
+def test_jdbc_roundtrip_partitioned(spark, sf_dir, tmp_path):
+    """JDBC source/sink (reference JdbcRelationProvider.scala:24) against
+    the embedded Derby engine that ships with Spark: write the nation dim
+    over JDBC, read it back BOTH single-stream and with a partitioned read
+    (partitionColumn/bounds/numPartitions — the parallel-scan path a real
+    warehouse extract uses), and require identical row sets."""
+    from sol_spark.tables import load_tables
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    nation = load_tables(spark, sf_dir)["nation"]
+    nation.write.jdbc(url, "NATION", mode="overwrite", properties=props)
+
+    plain = spark.read.jdbc(url, "NATION", properties=props)
+    parallel = spark.read.jdbc(
+        url,
+        "NATION",
+        column="N_NATIONKEY",
+        lowerBound=0,
+        upperBound=25,
+        numPartitions=4,
+        properties=props,
+    )
+    assert parallel.rdd.getNumPartitions() == 4
+    want = sorted(map(tuple, nation.collect()))
+    assert sorted(map(tuple, plain.collect())) == want
+    assert sorted(map(tuple, parallel.collect())) == want
