@@ -513,3 +513,48 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count("p_size").alias("bcount_v"),
         F.bitwise_not(F.col("p_size")).alias("bnot_v"),
     ).orderBy("p_partkey")
+
+
+FN_DATETIME_ARITH_ORACLE = """
+SELECT o_orderkey,
+       o_orderdate + INTERVAL 3 MONTH AS addm_v,
+       date_diff('month', date_trunc('month', o_orderdate),
+                 date_trunc('month', o_orderdate + INTERVAL 100 DAY)) AS mbetween_v,
+       o_orderdate + (CASE WHEN (8 - isodow(o_orderdate)) % 7 = 0 THEN 7
+                           ELSE (8 - isodow(o_orderdate)) % 7 END) * INTERVAL 1 DAY
+           AS next_mon_v,
+       date_diff('day', DATE '1995-01-01', o_orderdate) AS ddiff_v,
+       CAST(make_date(2024, month(o_orderdate), 1) AS TIMESTAMP) AS mk_v,
+       dayofweek(o_orderdate) + 1 AS dow_v,
+       isodow(o_orderdate) - 1 AS weekday_v
+FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey
+"""
+
+
+@register("fn_datetime_arith", FN_DATETIME_ARITH_ORACLE, tags=("functions", "datetime"))
+def fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime arithmetic family (FunctionRegistry.scala:375-409:
+    add_months, months_between, next_day, datediff, make_date, dayofweek,
+    weekday). Cross-engine notes: DuckDB interval constants compare with
+    1 month == 30 days, so `INTERVAL 3 MONTH` and `INTERVAL 90 DAY` in one
+    query are deduplicated into ONE constant (v1.0.0) — hence +100 days
+    here; months_between is fractional in Spark, so
+    it is applied to month-truncated dates where it is integral and equals
+    DuckDB date_diff('month'); next_day (strictly-after semantics) is
+    spelled as an isodow offset in the oracle; Spark dayofweek is 1=Sunday
+    vs DuckDB 0=Sunday."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("addm_v"),
+        F.months_between(
+            F.date_trunc("month", F.date_add("o_orderdate", 100)),
+            F.date_trunc("month", F.col("o_orderdate")),
+        ).cast("bigint").alias("mbetween_v"),
+        F.next_day("o_orderdate", "Monday").cast("timestamp").alias("next_mon_v"),
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("date")).alias("ddiff_v"),
+        F.make_date(F.lit(2024), F.month("o_orderdate"), F.lit(1)).cast("timestamp").alias("mk_v"),
+        F.dayofweek("o_orderdate").alias("dow_v"),
+        F.weekday("o_orderdate").alias("weekday_v"),
+    ).orderBy("o_orderkey")

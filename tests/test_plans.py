@@ -143,3 +143,17 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     )
     assert "dynamicpruning" in _plan(j).lower()
     assert j.collect()[0]["wsum"] is not None
+
+
+def test_cache_in_memory_table_scan(spark, sf_dir):
+    """df.cache() must plan subsequent reads as InMemoryTableScan over the
+    columnar cache (reference columnar/InMemoryTableScanExec.scala:33)."""
+    t = load_tables(spark, sf_dir)
+    d = t["nation"].select("n_nationkey", "n_name").cache()
+    try:
+        d.count()  # materialize
+        agg = d.groupBy().agg(F.count(F.lit(1)).alias("n"))
+        assert "InMemoryTableScan" in _plan(agg)
+        assert agg.collect()[0]["n"] == 25
+    finally:
+        d.unpersist()

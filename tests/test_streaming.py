@@ -226,3 +226,48 @@ def test_stream_stream_left_outer_join(spark, sf_dir, batch_events):
     want = P.purchases_with_recent_view_outer(batch_events).collect()
     assert _sorted_rows(got) == _sorted_rows(want)
     assert any(r.v_ts is None for r in got)  # outer rows actually exercised
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir):
+    """Restart-from-checkpoint: run 1 (Trigger.AvailableNow) drains file A
+    to a parquet sink and stops; file B arrives; run 2 restarts the SAME
+    query from the SAME checkpoint and must process ONLY B (offset WAL,
+    reference OffsetSeqLog/CommitLog) — the sink ends up with A ∪ B exactly
+    once despite the restart."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    root = tempfile.mkdtemp(prefix="solspark_ckpt_")
+    src, out, ckpt = (os.path.join(root, d) for d in ("src", "out", "ckpt"))
+    schema = "id bigint, v string"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream.withColumn("tag", F.concat(F.lit("r"), F.col("id") % 3))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    try:
+        spark.createDataFrame([(i, f"a{i}") for i in range(50)], schema).coalesce(1).write.parquet(
+            src, mode="append"
+        )
+        run_once()
+        n_after_a = spark.read.parquet(out).count()
+        assert n_after_a == 50
+        spark.createDataFrame([(i, f"b{i}") for i in range(100, 130)], schema).coalesce(
+            1
+        ).write.parquet(src, mode="append")
+        run_once()
+        got = spark.read.parquet(out)
+        assert got.count() == 80  # 50 + 30, nothing reprocessed
+        assert got.select("id").distinct().count() == 80
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
