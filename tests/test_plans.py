@@ -157,3 +157,51 @@ def test_cache_in_memory_table_scan(spark, sf_dir):
         assert agg.collect()[0]["n"] == 25
     finally:
         d.unpersist()
+
+
+def test_observe_metrics(spark, sf_dir):
+    """df.observe(): per-query metrics collected during execution without a
+    second pass (the DataFrame-level face of the reference's SQLMetrics /
+    AccumulatorV2 machinery) — the zero-cost way to count bad rows in a
+    100 TB pipeline run."""
+    from pyspark.sql import Observation
+
+    t = load_tables(spark, sf_dir)
+    obs = Observation("li_metrics")
+    df = t["lineitem"].observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity")).alias("total_qty"),
+    )
+    expected = df.count()
+    assert obs.get["n_rows"] == expected
+    assert obs.get["total_qty"] > 0
+
+
+def test_sql_entry_point_and_catalog(spark, sf_dir):
+    """SQL string entry (reference SparkSession.sql -> parse/analyze against
+    the SessionCatalog, SURVEY §3.1): temp views registered in the catalog,
+    joined via spark.sql, result identical to the DataFrame formulation."""
+    t = load_tables(spark, sf_dir)
+    t["nation"].createOrReplaceTempView("v_nation")
+    t["region"].createOrReplaceTempView("v_region")
+    try:
+        names = {tb.name for tb in spark.catalog.listTables()}
+        assert {"v_nation", "v_region"} <= names
+        got = spark.sql(
+            """SELECT r.r_name, count(*) AS n FROM v_nation n
+               JOIN v_region r ON n.n_regionkey = r.r_regionkey
+               GROUP BY r.r_name ORDER BY r.r_name"""
+        ).collect()
+        want = (
+            t["nation"]
+            .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("r_name")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("r_name")
+            .collect()
+        )
+        assert got == want
+    finally:
+        spark.catalog.dropTempView("v_nation")
+        spark.catalog.dropTempView("v_region")

@@ -271,3 +271,65 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir):
         assert got.select("id").distinct().count() == 80
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_rocksdb_state_store_provider(spark, sf_dir, batch_events):
+    """State store provider swap (reference HDFSBackedStateStoreProvider,
+    state/HDFSBackedStateStoreProvider.scala:73 -> RocksDB in modern Spark):
+    the same windowed aggregation must produce identical results with
+    RocksDB-backed keyed state — the provider that bounds executor memory
+    when state outgrows the heap at 100 TB."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try:
+        got = _run(spark, sf_dir, P.tumbling_counts, "complete", n_files=3)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    want = P.tumbling_counts(batch_events).collect()
+    assert _sorted_rows(got, ("sum_value",)) == _sorted_rows(want, ("sum_value",))
+
+
+def test_streaming_unsupported_ops_rejected(spark, sf_dir):
+    """The output-mode x operator constraint matrix (reference
+    UnsupportedOperationChecker.scala:44): invalid plans must fail at
+    ANALYSIS time, not mid-stream. Three canonical rejections."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    stream, tmp = P.events_stream(spark, sf_dir)
+    try:
+        # 1. complete mode without aggregation
+        with _pt.raises(Exception) as e1:
+            q = stream.writeStream.format("memory").queryName("bad1").outputMode("complete").start()
+            q.stop()
+        assert "Complete" in str(e1.value) or "complete" in str(e1.value)
+        # 2. plain orderBy on an unaggregated stream
+        with _pt.raises(AnalysisException):
+            q = (
+                stream.orderBy("ts")
+                .writeStream.format("memory")
+                .queryName("bad2")
+                .outputMode("append")
+                .start()
+            )
+            q.stop()
+        # 3. append-mode aggregation without watermark (no way to finalize)
+        with _pt.raises(AnalysisException):
+            q = (
+                stream.groupBy("user_id")
+                .agg(F.count(F.lit(1)))
+                .writeStream.format("memory")
+                .queryName("bad3")
+                .outputMode("append")
+                .start()
+            )
+            q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
