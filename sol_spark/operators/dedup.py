@@ -107,24 +107,33 @@ def shingle_rows_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_df(spark, sf_dir).select("doc_id", F.explode_outer("shingles").alias("s"))
 
 
-def minhash_signature_df(rows: DataFrame) -> DataFrame:
-    """(doc_id, s) rows -> (doc_id, h0..h{N-1}) minhash signature.
-
-    ONE md5 per shingle (base hash = first 8 hex chars as a 32-bit int),
-    then N_HASHES linear-congruential permutations as integer aggregates in
-    a single hash-aggregate pass (map-side partial min). Earlier
-    formulations measured: per-row higher-order functions ~90x slower
-    (subtree re-evaluated per self-join reference); N md5s per shingle ~3x
-    slower (string hashing dominates) — integer permutations keep the whole
-    pipeline in whole-stage codegen."""
-    hashed = rows.withColumn(
-        "h", F.expr("CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)")
+def hashed_shingle_rows_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h) rows: each distinct shingle replaced by its md5-derived
+    32-bit base hash AT THE SOURCE, before any persist/join. The whole
+    downstream pipeline (signatures, sizes, intersection) runs on 16-byte
+    (long, long) rows instead of shingle strings — smaller cache, long-key
+    shuffles. Two distinct shingles that collide in 32 bits merge; the
+    oracle derives the identical hash, so results remain bit-equal (the
+    semantic is Jaccard over the hashed shingle space)."""
+    return shingle_rows_df(spark, sf_dir).select(
+        "doc_id", F.expr("CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)").alias("h")
     )
+
+
+def minhash_signature_df(rows: DataFrame) -> DataFrame:
+    """(doc_id, h) hashed rows -> (doc_id, h0..h{N-1}) minhash signature.
+
+    N_HASHES linear-congruential permutations of the base hash as integer
+    aggregates in a single hash-aggregate pass (map-side partial min).
+    Earlier formulations measured: per-row higher-order functions ~90x
+    slower (subtree re-evaluated per self-join reference); N md5s per
+    shingle ~3x slower (string hashing dominates) — integer permutations
+    keep the whole pipeline in whole-stage codegen."""
     aggs = [
         F.min((F.col("h") * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P).alias(f"h{i}")
         for i in range(N_HASHES)
     ]
-    return hashed.groupBy("doc_id").agg(*aggs)
+    return rows.groupBy("doc_id").agg(*aggs)
 
 
 def _band_df(sig: DataFrame) -> DataFrame:
@@ -156,10 +165,11 @@ WITH norm AS (
                                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS shl
     FROM toks
   ) s, unnest(s.shl) AS u(shingle)
+), sh AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS bh FROM shingle
 ), mh AS (
-  SELECT doc_id, i,
-         min(((('0x' || substr(md5(shingle), 1, 8))::BIGINT) * (2*i + 1) + 7919*(i + 1)) % {MINHASH_P}) AS h
-  FROM shingle, (SELECT unnest(range({N_HASHES})) AS i) hs
+  SELECT doc_id, i, min((bh * (2*i + 1) + 7919*(i + 1)) % {MINHASH_P}) AS h
+  FROM sh, (SELECT unnest(range({N_HASHES})) AS i) hs
   GROUP BY doc_id, i
 ), bands AS (
   SELECT doc_id, i // {ROWS_PER_BAND} AS band,
@@ -170,12 +180,12 @@ WITH norm AS (
   FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
   WHERE a.doc_id < b.doc_id
 ), sizes AS (
-  SELECT doc_id, count(*) AS n FROM shingle GROUP BY doc_id
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
 ), inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS ni
   FROM cand c
-  JOIN shingle sa ON sa.doc_id = c.doc_a
-  JOIN shingle sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.bh = sb.bh
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a, i.doc_b,
@@ -196,12 +206,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle co-occurrence counting. The band join is the only shuffle over
     full data; candidates are a tiny fraction of n^2.
 
-    Persist: the exploded (doc_id, shingle) rows are referenced by the
+    Persist: the exploded, HASHED (doc_id, h) rows are referenced by the
     signature build, the doc-size agg, AND both sides of the intersection
     join — without persist the regex/shingle subtree recomputes 4x. At
-    100 TB this persist is the standard LSH-pipeline checkpoint.
+    100 TB this persist is the standard LSH-pipeline checkpoint; hashing
+    before the persist keeps it at 16 bytes/row (measured vs string rows:
+    smaller cache and long-key instead of string-key shuffles).
     """
-    rows = shingle_rows_df(spark, sf_dir).persist()
+    rows = hashed_shingle_rows_df(spark, sf_dir).persist()
     # Eager materialization: downstream stages (signature, sizes, both
     # intersection probes) are independent and otherwise race to compute the
     # uncached subtree concurrently (observed as duplicate rdd blocks).
@@ -220,8 +232,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row stream (cand is tiny relative to the corpus), counted per pair.
     inter = (
         F.broadcast(cand)
-        .join(rows.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
-        .join(rows.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .join(rows.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(rows.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("ni"))
     )
@@ -306,8 +318,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, ["b", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
-        .distinct()
+        # filter BEFORE distinct: a pair can collide in up to SIMHASH_BANDS
+        # bands, so the dedup shuffle shrinks to hamming-survivors only
         .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 
