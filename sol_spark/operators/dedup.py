@@ -455,3 +455,76 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.expr("(10000 * ni) div (na + nb - ni)").alias("jaccard_bp"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pr AS (
+  SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_ORACLE.replace("ORDER BY doc_a, doc_b", "")}) q
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pr
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pr
+), nodes AS (
+  SELECT DISTINCT a AS doc FROM edges
+), reach(doc, lbl) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.doc
+)
+SELECT doc, min(lbl) AS cluster FROM reach GROUP BY doc ORDER BY doc
+"""
+
+
+@register("dedup_clusters", DEDUP_CLUSTERS_ORACLE, tags=("llm", "dedup", "iterative"))
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the
+    MinHash-LSH near-dup pair graph, labeling every clustered doc with the
+    min doc_id of its component (the keeper). This is the step that turns
+    pairwise similarity into per-document keep/drop decisions.
+
+    Implementation: iterative min-label propagation — each round every node
+    takes min(own label, neighbor labels) via a join + groupBy, until a
+    round changes nothing. All data stays distributed (no collect of edges);
+    convergence needs O(component diameter) rounds, and near-dup clusters
+    are dense/shallow, so rounds stay single-digit. At 100 TB the same loop
+    holds with edges bucketed on node id; for adversarial long-chain graphs
+    switch to the large-star/small-star variant (same join primitive). The
+    oracle expresses the closure as a recursive CTE — this is the
+    "iterative algorithm the engine can still verify" case.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .withColumnRenamed("doc_a", "src")
+        .withColumnRenamed("doc_b", "dst")
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("doc")).distinct().withColumn("lbl", F.col("doc"))
+    for _ in range(15):
+        neighbor_min = (
+            edges.join(
+                labels.select(F.col("doc").alias("dst"), F.col("lbl").alias("nlbl")), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("nlbl").alias("minn"))
+            .withColumnRenamed("src", "doc")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc", "left")
+            .select(
+                "doc",
+                F.least(F.col("lbl"), F.coalesce(F.col("minn"), F.col("lbl"))).alias("new_lbl"),
+            )
+        ).persist()
+        changed = (
+            new_labels.join(labels, "doc")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .count()
+        )
+        labels = new_labels.withColumnRenamed("new_lbl", "lbl")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("dedup_clusters: label propagation did not converge in 15 rounds")
+    edges.unpersist()
+    return labels.select("doc", F.col("lbl").alias("cluster")).orderBy("doc")

@@ -185,3 +185,54 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"md5(array_join(slice(array_sort(transform({shingles}, s -> md5(s))), 1, 5), '|'))"
         ).alias("fingerprint"),
     ).orderBy("doc_id")
+
+
+QUALITY_FILTER_ORACLE = f"""
+WITH feats AS (
+  SELECT doc_id, lang, n_chars,
+         len(string_split({_NORM_DUCK}, ' ')) AS n_tokens,
+         (10000 * len(list_distinct(string_split({_NORM_DUCK}, ' '))))
+           // len(string_split({_NORM_DUCK}, ' ')) AS ttr_bp,
+         (10000 * (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))))
+           // length(text) AS punct_bp
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens, ttr_bp, punct_bp
+FROM feats
+WHERE n_tokens BETWEEN 10 AND 5000
+  AND ttr_bp >= 2000
+  AND punct_bp <= 800
+ORDER BY doc_id
+"""
+
+
+@register("text_quality_filter", QUALITY_FILTER_ORACLE, tags=("llm", "text", "filter"))
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus quality gate (C4/Gopher-style rules): keep docs
+    with sane token counts, lexical diversity (type-token ratio >= 0.2),
+    and bounded punctuation density. Pure codegen'd projection + filter —
+    at 100 TB this runs scan-local with zero shuffles, and the predicate
+    subtree is shared work with text_stats when both run in one pass."""
+    t = load_tables(spark, sf_dir)
+    tk = F.expr(f"split({_NORM}, ' ')")
+    feats = t["documents"].select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(tk).alias("n_tokens"),
+        F.expr(
+            f"(10000 * size(array_distinct(split({_NORM}, ' ')))) div size(split({_NORM}, ' '))"
+        ).alias("ttr_bp"),
+        F.expr(
+            "(10000 * (length(text) - length(regexp_replace(text, '[.,;:!?]', '')))) div length(text)"
+        ).alias("punct_bp"),
+    )
+    return (
+        feats.filter(
+            F.col("n_tokens").between(10, 5000)
+            & (F.col("ttr_bp") >= 2000)
+            & (F.col("punct_bp") <= 800)
+        )
+        .select("doc_id", "lang", "n_tokens", "ttr_bp", "punct_bp")
+        .orderBy("doc_id")
+    )
