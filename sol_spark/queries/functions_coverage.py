@@ -558,3 +558,83 @@ def fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek("o_orderdate").alias("dow_v"),
         F.weekday("o_orderdate").alias("weekday_v"),
     ).orderBy("o_orderkey")
+
+
+FN_ARRAY_OPS_ORACLE = """
+SELECT p_partkey,
+       [sz + 2] AS inter_v,
+       list_sort(list_distinct([sz, sz + 1, sz + 2, sz + 4])) AS union_v,
+       [sz, sz + 1] AS except_v,
+       true AS overlap_v,
+       [sz + 1, sz + 2] AS slice_v,
+       generate_series(sz, sz + 3) AS seq_v,
+       [sz, sz + 1, sz + 2, sz + 2, sz + 4] AS flat_v,
+       list_transform([sz, sz + 1, sz + 2], x -> 2 * x) AS zip_v,
+       2 AS pos_v,
+       sz AS min_v,
+       sz + 4 AS max_v,
+       [sz, sz] AS repeat_v
+FROM (SELECT p_partkey, CAST(p_size AS BIGINT) AS sz FROM part)
+ORDER BY p_partkey
+"""
+
+
+@register("fn_array_ops", FN_ARRAY_OPS_ORACLE, tags=("functions", "array"))
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set/positional operations (FunctionRegistry.scala:410-433:
+    array_intersect/union/except, arrays_overlap, slice, sequence, flatten,
+    array_position/min/max/repeat; zip_with as the post-2.4 lambda upgrade).
+    Arrays are built from fixture ints so every expected value is
+    deterministic; the oracle computes each result directly."""
+    t = load_tables(spark, sf_dir)
+    p = t["part"].select("p_partkey", F.col("p_size").cast("bigint").alias("sz"))
+    a = F.array(F.col("sz"), F.col("sz") + 1, F.col("sz") + 2)
+    b = F.array(F.col("sz") + 2, F.col("sz") + 4)
+    return p.select(
+        "p_partkey",
+        F.array_intersect(a, b).alias("inter_v"),
+        F.array_sort(F.array_union(a, b)).alias("union_v"),
+        F.array_except(a, b).alias("except_v"),
+        F.arrays_overlap(a, b).alias("overlap_v"),
+        F.slice(a, 2, 2).alias("slice_v"),
+        F.sequence(F.col("sz"), F.col("sz") + 3).alias("seq_v"),
+        F.flatten(F.array(a, b)).alias("flat_v"),
+        F.zip_with(a, a, lambda x, y: x + y).alias("zip_v"),
+        F.array_position(a, F.col("sz") + 1).alias("pos_v"),
+        F.array_min(a).alias("min_v"),
+        F.array_max(b).alias("max_v"),
+        F.array_repeat(F.col("sz"), 2).alias("repeat_v"),
+    ).orderBy("p_partkey")
+
+
+FN_TRY_ARITH_ORACLE = """
+SELECT p_partkey,
+       CAST(NULL AS BIGINT) AS add_of_v,
+       CAST(p_size AS BIGINT) + 1 AS add_ok_v,
+       CAST(NULL AS DOUBLE) AS div0_v,
+       CAST(p_size AS DOUBLE) / 4 AS div_ok_v,
+       CAST(NULL AS BIGINT) AS mul_of_v,
+       CAST(NULL AS INTEGER) AS elem_oob_v
+FROM part ORDER BY p_partkey
+"""
+
+
+@register("fn_try_arith", FN_TRY_ARITH_ORACLE, tags=("functions", "math", "ansi"))
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_* error-safe arithmetic (the modern, explicit face of the
+    reference's 2.4 silent-overflow cast semantics, SURVEY §7 hard-parts
+    note): overflow, divide-by-zero, and out-of-bounds element access
+    return NULL instead of failing — per-value expected results in the
+    oracle."""
+    t = load_tables(spark, sf_dir)
+    p = t["part"]
+    big = F.lit(9223372036854775807).cast("bigint")
+    return p.select(
+        "p_partkey",
+        F.try_add(big, F.lit(1).cast("bigint")).alias("add_of_v"),
+        F.try_add(F.col("p_size").cast("bigint"), F.lit(1).cast("bigint")).alias("add_ok_v"),
+        F.try_divide(F.col("p_size").cast("double"), F.lit(0.0)).alias("div0_v"),
+        F.try_divide(F.col("p_size").cast("double"), F.lit(4.0)).alias("div_ok_v"),
+        F.try_multiply(big, F.lit(3).cast("bigint")).alias("mul_of_v"),
+        F.try_element_at(F.array(F.col("p_size")), F.lit(99)).alias("elem_oob_v"),
+    ).orderBy("p_partkey")

@@ -205,3 +205,21 @@ def test_sql_entry_point_and_catalog(spark, sf_dir):
     finally:
         spark.catalog.dropTempView("v_nation")
         spark.catalog.dropTempView("v_region")
+
+
+def test_fact_fact_not_broadcast(spark, sf_dir):
+    """The broadcast threshold must NOT swallow fact-fact joins: orders ⋈
+    lineitem (both above threshold at scale) plans as a shuffle join
+    (SortMergeJoin or ShuffledHashJoin), never BroadcastHashJoin on the
+    fact side — broadcasting a fact OOMs executors at 100 TB. Guarded here
+    with the threshold forced low to model real fact sizes."""
+    t = load_tables(spark, sf_dir)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = t["orders"].join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        plan = _plan(j)
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
