@@ -132,3 +132,43 @@ def pd_grouped_wavg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(wavg("l_extendedprice", "l_quantity"), 4).alias("wavg_price"))
         .orderBy("l_returnflag")
     )
+
+
+UDTF_CHUNK_ORACLE = """
+SELECT doc_id, i AS pos, array_to_string(tk[(i*5 + 1):(i*5 + 5)], ' ') AS chunk
+FROM (
+  SELECT doc_id, string_split(text, ' ') AS tk
+  FROM documents WHERE doc_id % 50 = 0
+), unnest(generate_series(0, (len(tk) - 1) // 5)) AS g(i)
+ORDER BY doc_id, pos
+"""
+
+
+@register("udtf_chunk", UDTF_CHUNK_ORACLE, tags=("udtf", "pandas_udf"))
+def udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Python UDTF (table function): 1 row -> N token-chunk rows. The
+    reference only passes UDTFs through to Hive (SURVEY §2.10,
+    GenerateExec.scala:58 for built-in generators); modern PySpark makes
+    them first-class. The oracle reproduces the fan-out with unnest, so
+    the UDTF row-expansion contract itself is hash-verified. Scale note:
+    UDTFs run row-at-a-time in Python — fine for low-volume expansion,
+    use explode/mapInPandas for hot paths (design rule, README)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, chunk string")
+    class ChunkTokens:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            toks = text.split(" ")
+            for i in range(0, len(toks), 5):
+                yield doc_id, i // 5, " ".join(toks[i : i + 5])
+
+    spark.udtf.register("chunk_tokens", ChunkTokens)
+    t = load_tables(spark, sf_dir)
+    t["documents"].filter(F.col("doc_id") % 50 == 0).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT s.doc_id, s.pos, s.chunk "
+        "FROM udtf_docs d, LATERAL chunk_tokens(d.doc_id, d.text) s "
+        "ORDER BY s.doc_id, s.pos"
+    )

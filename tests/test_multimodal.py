@@ -57,3 +57,32 @@ def test_frame_sample_fanout_count(spark, sf_dir):
     n_videos = media.filter(F.col("modality") == "video").count()
     frames = M.mm_frame_sample(spark, sf_dir)
     assert frames.count() == n_videos * M.N_FRAMES
+
+
+def test_map_in_arrow_roundtrip(spark, sf_dir):
+    """mapInArrow: the RecordBatch-level sibling of mapInPandas (skips the
+    pandas conversion entirely — the lowest-overhead Python boundary for
+    binary/media columns). Per-batch byte-length computation must equal the
+    JVM-side octet_length."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from sol_spark.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text").limit(200)
+
+    def add_len(batches):
+        for batch in batches:
+            ids = batch.column("doc_id")
+            lens = pa.compute.binary_length(batch.column("text"))
+            yield pa.RecordBatch.from_arrays([ids, lens], names=["doc_id", "n"])
+
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs.mapInArrow(add_len, "doc_id bigint, n int").collect()
+    }
+    want = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", F.octet_length("text").alias("n")).collect()
+    }
+    assert got == want
