@@ -216,7 +216,18 @@ def test_stream_stream_left_outer_join(spark, sf_dir, batch_events):
             ],
             "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string",
         )
+        # The file source orders micro-batches by modification time; a
+        # same-second tie could replay the sentinel EARLY, jumping the
+        # watermark and dropping real rows as late. Bump the sentinel's
+        # mtime so it sorts strictly last.
+        import time as _t
+
+        before = set(os.listdir(tmp))
         sentinel.coalesce(1).write.mode("append").parquet(tmp)
+        future = _t.time() + 60
+        for f in set(os.listdir(tmp)) - before:
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(tmp, f), (future, future))
         got = P.run_stream_to_memory(
             P.purchases_with_recent_view_outer(stream), output_mode="append"
         ).collect()
