@@ -72,3 +72,33 @@ def test_hll_sketch_estimate_accuracy(spark, sf_dir):
         .collect()[0]["e"]
     )
     assert abs(merged - exact) / exact < 0.05
+
+
+def test_df_stat_api(spark, sf_dir):
+    """DataFrameStatFunctions (reference sql/core/.../DataFrameStatFunctions
+    + StatFunctions.scala): approxQuantile (Greenwald-Khanna), corr/cov,
+    crosstab, freqItems, stratified sampleBy — each checked against exact
+    or invariant expectations."""
+    from pyspark.sql import functions as F
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+
+    q = li.stat.approxQuantile("l_quantity", [0.5], 0.02)[0]
+    exact = li.selectExpr("percentile(l_quantity, 0.5) AS m").collect()[0]["m"]
+    assert abs(q - exact) <= 0.02 * 50 + 1  # quantity in [1, 50]
+
+    c = li.stat.corr("l_quantity", "l_extendedprice")
+    c2 = li.agg(F.corr("l_quantity", "l_extendedprice")).collect()[0][0]
+    assert abs(c - c2) < 1e-9
+
+    ct = li.stat.crosstab("l_returnflag", "l_linestatus")
+    total = sum(sum(int(v) for v in r[1:]) for r in ct.collect())
+    assert total == li.count()
+
+    fi = li.stat.freqItems(["l_returnflag"], 0.4).collect()[0][0]
+    assert set(fi) <= {"A", "N", "R"} and len(fi) >= 1
+
+    strata = li.stat.sampleBy("l_returnflag", {"A": 0.2, "N": 0.2, "R": 0.2}, seed=7)
+    again = li.stat.sampleBy("l_returnflag", {"A": 0.2, "N": 0.2, "R": 0.2}, seed=7)
+    assert strata.count() == again.count()  # seeded determinism
+    assert 0 < strata.count() < li.count()

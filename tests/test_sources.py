@@ -201,3 +201,58 @@ def test_jdbc_roundtrip_partitioned(spark, sf_dir, tmp_path):
     want = sorted(map(tuple, nation.collect()))
     assert sorted(map(tuple, plain.collect())) == want
     assert sorted(map(tuple, parallel.collect())) == want
+
+
+def test_dynamic_partition_overwrite(spark, sf_dir, tmp_path):
+    """INSERT OVERWRITE with partitionOverwriteMode=dynamic must rewrite
+    ONLY the partitions present in the incoming data — at 100 TB a daily
+    backfill touches one day's directory, not the whole table."""
+    from pyspark.sql import functions as F
+
+    from sol_spark.tables import load_tables
+
+    out = str(tmp_path / "events_dyn")
+    ev = load_tables(spark, sf_dir)["events"].select("event_id", "value", "event_type")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    before = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(out).groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(before) >= 2
+
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patch = spark.createDataFrame(
+            [(10**9, 1.0, "purchase")], "event_id bigint, value double, event_type string"
+        )
+        patch.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    after = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(out).groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert after["purchase"] == 1  # overwritten partition
+    for k, v in before.items():
+        if k != "purchase":
+            assert after[k] == v  # untouched partitions survive
+
+
+def test_save_as_table_and_insert_into(spark, sf_dir):
+    """Managed-table round trip through the session catalog (the reference's
+    InsertIntoHadoopFsRelationCommand + SessionCatalog path): saveAsTable
+    creates, insertInto appends, SQL reads the union."""
+    from sol_spark.tables import load_tables
+
+    nation = load_tables(spark, sf_dir)["nation"].select("n_nationkey", "n_name")
+    spark.sql("DROP TABLE IF EXISTS t_nation")
+    try:
+        nation.write.saveAsTable("t_nation")
+        nation.limit(5).write.insertInto("t_nation")
+        n = spark.sql("SELECT count(*) AS n FROM t_nation").collect()[0]["n"]
+        assert n == nation.count() + 5
+        assert "t_nation" in {t.name for t in spark.catalog.listTables()}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_nation")
