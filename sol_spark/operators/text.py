@@ -236,3 +236,49 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_tokens", "ttr_bp", "punct_bp")
         .orderBy("doc_id")
     )
+
+
+PACK_SEQUENCES_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, len(string_split({_NORM_DUCK}, ' ')) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+)
+SELECT doc_id, lang, n_tokens,
+       CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
+FROM packed ORDER BY lang, doc_id
+"""
+
+
+@register("text_pack_sequences", PACK_SEQUENCES_ORACLE, tags=("llm", "text", "packing"))
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training-data assembly: assign docs to
+    fixed-budget (2048-token) bins by a running token count — contiguous
+    packing, the deterministic variant streaming tokenizer pipelines use
+    (greedy first-fit is inherently sequential and does not distribute).
+
+    Scale shape: the running sum partitions by shard (lang here; any
+    sharding key works), so each window is shard-local — no global sort,
+    no single-partition window. Bins then map 1:1 to output files via
+    partitionBy(pack_id)."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id", "lang", F.size(F.expr(f"split({_NORM}, ' ')")).alias("n_tokens")
+    )
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        toks.withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            ((F.col("cum") - F.col("n_tokens")) / 2048).cast("bigint").alias("pack_id"),
+        )
+        .orderBy("lang", "doc_id")
+    )
