@@ -638,3 +638,39 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_multiply(big, F.lit(3).cast("bigint")).alias("mul_of_v"),
         F.try_element_at(F.array(F.col("p_size")), F.lit(99)).alias("elem_oob_v"),
     ).orderBy("p_partkey")
+
+
+FN_JSON_STRUCT_ORACLE = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS from_json_k,
+       '{"et":"' || event_type || '","v":' || round(value, 2) || '}' AS to_json_v,
+       json_extract_string(props, '$.k') AS tuple_k,
+       'STRUCT<k: BIGINT>' AS schema_v,
+       CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS variant_k2
+FROM events WHERE event_id % 50 = 0 ORDER BY event_id
+"""
+
+
+@register("fn_json_struct", FN_JSON_STRUCT_ORACLE, tags=("functions", "json"))
+def fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured JSON family (FunctionRegistry.scala:491-493: from_json,
+    to_json, json_tuple, schema_of_json) plus the Spark-4 VARIANT path
+    (parse_json + variant_get) — the modern semi-structured column type the
+    reference era handled as strings. The oracle recomputes each value with
+    DuckDB's json functions."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"].filter(F.col("event_id") % 50 == 0)
+    return e.select(
+        "event_id",
+        F.from_json("props", "k BIGINT").getField("k").alias("from_json_k"),
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("et"), F.round("value", 2).alias("v")
+            )
+        ).alias("to_json_v"),
+        F.json_tuple("props", "k").alias("tuple_k"),
+        F.schema_of_json(F.lit('{"k": 1}')).alias("schema_v"),
+        (
+            F.try_variant_get(F.parse_json("props"), "$.k", "bigint") * 2
+        ).alias("variant_k2"),
+    ).orderBy("event_id")

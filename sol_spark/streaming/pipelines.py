@@ -240,3 +240,14 @@ def purchases_with_recent_view_outer(events: DataFrame) -> DataFrame:
         & (F.col("v_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")),
         "leftOuter",
     ).select("event_id", "user_id", "ts", "value", "v_ts")
+
+
+def events_with_user_dim(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a static dimension.
+    Planned as a per-micro-batch broadcast join (the static side never
+    holds state — reference planning path in IncrementalExecution; only the
+    stream side is incremental). The standard fact-enrichment shape at any
+    scale: static dim broadcasts, stream stays partitioned."""
+    return events.join(user_dim, "user_id").select(
+        "event_id", "user_id", "event_type", "value", "cohort"
+    )

@@ -344,3 +344,59 @@ def test_streaming_unsupported_ops_rejected(spark, sf_dir):
             q.stop()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_static_join(spark, sf_dir, batch_events):
+    """Stream-static join == batch join row-for-row; the static side is
+    re-read per micro-batch, not staged in the state store."""
+    from pyspark.sql import functions as F
+
+    user_dim = (
+        batch_events.select("user_id")
+        .distinct()
+        .withColumn("cohort", F.col("user_id") % 5)
+    )
+    stream, tmp = P.events_stream(spark, sf_dir, n_files=3)
+    try:
+        got = P.run_stream_to_memory(
+            P.events_with_user_dim(stream, user_dim), output_mode="append"
+        ).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    want = P.events_with_user_dim(batch_events, user_dim).collect()
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_drop_duplicates_within_watermark(spark, sf_dir):
+    """dropDuplicatesWithinWatermark (modern refinement of the reference's
+    StreamingDeduplicateExec): duplicates arriving within the watermark
+    window collapse to one row, and state for old keys is evictable. Exact
+    duplicate rows split across micro-batches must emit once."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    tmp = tempfile.mkdtemp(prefix="solspark_ddww_")
+    try:
+        schema = "k bigint, ts_s string"
+        rows = [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:30:00")]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(tmp, "in"), mode="overwrite"
+        )
+        # batch 2: exact duplicate of key 1 within the watermark + a new key
+        spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00"), (3, "2024-01-01 11:00:00")], schema
+        ).coalesce(1).write.parquet(os.path.join(tmp, "in"), mode="append")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(tmp, "in"))
+            .withColumn("ts", F.to_timestamp("ts_s"))
+            .withWatermark("ts", "2 hours")
+            .dropDuplicatesWithinWatermark(["k"])
+        )
+        got = P.run_stream_to_memory(stream, output_mode="append").collect()
+        assert sorted(r.k for r in got) == [1, 2, 3]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
