@@ -371,7 +371,7 @@ SELECT p_partkey,
        p_brand AS elem_brand,
        CAST(NULL AS VARCHAR) AS elem_missing,
        2 AS msize,
-       ['brand', 'type'] AS keys_v,
+       'brand,type' AS keys_v,
        p_brand || '|' || p_type AS vals_join,
        CAST(p_size AS VARCHAR) AS sm_a,
        true AS contains_v,
@@ -399,7 +399,7 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, F.lit("brand")).alias("elem_brand"),
         F.element_at(m, F.lit("nope")).alias("elem_missing"),
         F.size(m).alias("msize"),
-        F.array_sort(F.map_keys(m)).alias("keys_v"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_v"),
         F.concat_ws("|", F.map_values(m)).alias("vals_join"),
         F.element_at(sm, F.lit("a")).alias("sm_a"),
         F.map_contains_key(m, F.lit("brand")).alias("contains_v"),
@@ -449,7 +449,7 @@ FN_XPATH_ORACLE = """
 SELECT p_partkey,
        p_brand AS xs_brand,
        p_size AS xi_size,
-       ['a', 'b'] AS xl_tags,
+       'a,b' AS xl_tags,
        true AS xb_has_brand
 FROM part ORDER BY p_partkey
 """
@@ -475,7 +475,7 @@ def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.xpath_string("xml", F.lit("item/brand")).alias("xs_brand"),
         F.xpath_int("xml", F.lit("item/size")).alias("xi_size"),
-        F.xpath("xml", F.lit("item/tags/t/text()")).alias("xl_tags"),
+        F.array_join(F.xpath("xml", F.lit("item/tags/t/text()")), ",").alias("xl_tags"),
         F.xpath_boolean("xml", F.lit("item/brand")).alias("xb_has_brand"),
     ).orderBy("p_partkey")
 
@@ -562,18 +562,18 @@ def fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FN_ARRAY_OPS_ORACLE = """
 SELECT p_partkey,
-       [sz + 2] AS inter_v,
-       list_sort(list_distinct([sz, sz + 1, sz + 2, sz + 4])) AS union_v,
-       [sz, sz + 1] AS except_v,
+       array_to_string([sz + 2], ',') AS inter_v,
+       array_to_string(list_sort(list_distinct([sz, sz + 1, sz + 2, sz + 4])), ',') AS union_v,
+       array_to_string([sz, sz + 1], ',') AS except_v,
        true AS overlap_v,
-       [sz + 1, sz + 2] AS slice_v,
-       generate_series(sz, sz + 3) AS seq_v,
-       [sz, sz + 1, sz + 2, sz + 2, sz + 4] AS flat_v,
-       list_transform([sz, sz + 1, sz + 2], x -> 2 * x) AS zip_v,
+       array_to_string([sz + 1, sz + 2], ',') AS slice_v,
+       array_to_string(generate_series(sz, sz + 3), ',') AS seq_v,
+       array_to_string([sz, sz + 1, sz + 2, sz + 2, sz + 4], ',') AS flat_v,
+       array_to_string(list_transform([sz, sz + 1, sz + 2], x -> 2 * x), ',') AS zip_v,
        2 AS pos_v,
        sz AS min_v,
        sz + 4 AS max_v,
-       [sz, sz] AS repeat_v
+       array_to_string([sz, sz], ',') AS repeat_v
 FROM (SELECT p_partkey, CAST(p_size AS BIGINT) AS sz FROM part)
 ORDER BY p_partkey
 """
@@ -585,25 +585,28 @@ def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_intersect/union/except, arrays_overlap, slice, sequence, flatten,
     array_position/min/max/repeat; zip_with as the post-2.4 lambda upgrade).
     Arrays are built from fixture ints so every expected value is
-    deterministic; the oracle computes each result directly."""
+    deterministic; the oracle computes each result directly. Array results
+    are emitted as joined strings: raw array columns round-trip through
+    pandas as list-vs-numpy depending on the session's Arrow setting, which
+    breaks engine-neutral comparison (observed under a vanilla session)."""
     t = load_tables(spark, sf_dir)
     p = t["part"].select("p_partkey", F.col("p_size").cast("bigint").alias("sz"))
     a = F.array(F.col("sz"), F.col("sz") + 1, F.col("sz") + 2)
     b = F.array(F.col("sz") + 2, F.col("sz") + 4)
     return p.select(
         "p_partkey",
-        F.array_intersect(a, b).alias("inter_v"),
-        F.array_sort(F.array_union(a, b)).alias("union_v"),
-        F.array_except(a, b).alias("except_v"),
+        F.array_join(F.array_intersect(a, b), ",").alias("inter_v"),
+        F.array_join(F.array_sort(F.array_union(a, b)), ",").alias("union_v"),
+        F.array_join(F.array_except(a, b), ",").alias("except_v"),
         F.arrays_overlap(a, b).alias("overlap_v"),
-        F.slice(a, 2, 2).alias("slice_v"),
-        F.sequence(F.col("sz"), F.col("sz") + 3).alias("seq_v"),
-        F.flatten(F.array(a, b)).alias("flat_v"),
-        F.zip_with(a, a, lambda x, y: x + y).alias("zip_v"),
+        F.array_join(F.slice(a, 2, 2), ",").alias("slice_v"),
+        F.array_join(F.sequence(F.col("sz"), F.col("sz") + 3), ",").alias("seq_v"),
+        F.array_join(F.flatten(F.array(a, b)), ",").alias("flat_v"),
+        F.array_join(F.zip_with(a, a, lambda x, y: x + y), ",").alias("zip_v"),
         F.array_position(a, F.col("sz") + 1).alias("pos_v"),
         F.array_min(a).alias("min_v"),
         F.array_max(b).alias("max_v"),
-        F.array_repeat(F.col("sz"), 2).alias("repeat_v"),
+        F.array_join(F.array_repeat(F.col("sz"), 2), ",").alias("repeat_v"),
     ).orderBy("p_partkey")
 
 
