@@ -677,3 +677,47 @@ def fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_variant_get(F.parse_json("props"), "$.k", "bigint") * 2
         ).alias("variant_k2"),
     ).orderBy("event_id")
+
+
+FN_STRING_MISC_ORACLE = """
+SELECT p_partkey,
+       ascii(p_name) AS ascii_v,
+       chr(65 + (p_size % 26)) AS chr_v,
+       base64(encode(p_brand)) AS b64_v,
+       p_brand AS b64_rt_v,
+       bit_length(p_name) AS bitlen_v,
+       strlen(p_name) AS octlen_v,
+       array_to_string(list_transform(string_split(lower(p_type), ' '),
+                       x -> upper(x[1:1]) || x[2:]), ' ') AS initcap_v,
+       array_to_string(string_split(p_type, ' ')[1:2], ' ') AS subidx_v,
+       substr(p_brand, 1, 1) || 'XX' || substr(p_brand, 4) AS overlay_v,
+       format('{:,}', p_partkey * 1000 + p_size) AS fmtnum_v,
+       repeat(' ', 3) || p_brand AS space_v,
+       p_brand AS elt_v
+FROM part ORDER BY p_partkey
+"""
+
+
+@register("fn_string_misc", FN_STRING_MISC_ORACLE, tags=("functions", "string"))
+def fn_string_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string family (FunctionRegistry.scala:312-374: ascii, chr,
+    base64/unbase64 round-trip, bit/octet_length, initcap, substring_index,
+    overlay, format_number, space, elt). DuckDB lacks initcap and
+    substring_index — the oracle emulates them with split/transform."""
+    t = load_tables(spark, sf_dir)
+    p = t["part"]
+    return p.select(
+        "p_partkey",
+        F.ascii("p_name").alias("ascii_v"),
+        F.char(F.lit(65) + F.col("p_size") % 26).alias("chr_v"),
+        F.base64(F.col("p_brand").cast("binary")).alias("b64_v"),
+        F.unbase64(F.base64(F.col("p_brand").cast("binary"))).cast("string").alias("b64_rt_v"),
+        F.bit_length("p_name").alias("bitlen_v"),
+        F.octet_length("p_name").alias("octlen_v"),
+        F.initcap(F.lower("p_type")).alias("initcap_v"),
+        F.substring_index("p_type", " ", 2).alias("subidx_v"),
+        F.overlay("p_brand", F.lit("XX"), 2).alias("overlay_v"),
+        F.format_number(F.col("p_partkey") * 1000 + F.col("p_size"), 0).alias("fmtnum_v"),
+        F.concat(F.expr("space(3)"), F.col("p_brand")).alias("space_v"),
+        F.expr("elt(2, 'zz', p_brand)").alias("elt_v"),
+    ).orderBy("p_partkey")
