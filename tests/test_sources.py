@@ -256,3 +256,45 @@ def test_save_as_table_and_insert_into(spark, sf_dir):
         assert "t_nation" in {t.name for t in spark.catalog.listTables()}
     finally:
         spark.sql("DROP TABLE IF EXISTS t_nation")
+
+
+def test_python_data_source(spark, sf_dir):
+    """Python DataSource API (the modern extension point the reference era
+    served with Scala DataSource V1/V2, JdbcRelationProvider.scala:24 et
+    al.): a custom partitioned batch source registered and read via
+    spark.read.format — partitions are read in parallel, schema declared."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class RangeSquares(DataSource):
+        @classmethod
+        def name(cls):
+            return "range_squares"
+
+        def schema(self):
+            return "i bigint, sq bigint"
+
+        def reader(self, schema):
+            return RangeSquaresReader(self.options)
+
+    class RangeSquaresReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 100))
+            self.n_parts = int(options.get("parts", 4))
+
+        def partitions(self):
+            step = self.n // self.n_parts
+            return [
+                InputPartition((p * step, self.n if p == self.n_parts - 1 else (p + 1) * step))
+                for p in range(self.n_parts)
+            ]
+
+        def read(self, partition):
+            lo, hi = partition.value
+            for i in range(lo, hi):
+                yield (i, i * i)
+
+    spark.dataSource.register(RangeSquares)
+    df = spark.read.format("range_squares").option("n", 100).option("parts", 4).load()
+    assert df.rdd.getNumPartitions() == 4
+    rows = sorted((r.i, r.sq) for r in df.collect())
+    assert rows == [(i, i * i) for i in range(100)]

@@ -400,3 +400,76 @@ def test_drop_duplicates_within_watermark(spark, sf_dir):
         assert sorted(r.k for r in got) == [1, 2, 3]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_transform_with_state_in_pandas(spark, sf_dir, batch_events):
+    """transformWithStateInPandas (the Spark-4 successor of
+    applyInPandasWithState / the reference's FlatMapGroupsWithStateExec):
+    per-user running totals via a StatefulProcessor with a typed ValueState.
+    After the stream drains, the latest emission per user equals the batch
+    aggregate — same contract as test_apply_in_pandas_with_state, on the
+    new state API."""
+    import pandas as pd
+    import pytest as _pt
+
+    # The TWS state protocol needs the protobuf package; not shipped here.
+    _pt.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas requires the protobuf package",
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n bigint, total double")
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total": [round(total, 2)]})
+
+        def close(self) -> None:
+            pass
+
+    def transform(stream):
+        return stream.groupBy("user_id").transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType="user_id bigint, n bigint, total double",
+            outputMode="Update",
+            timeMode="None",
+        )
+
+    # transformWithState requires the RocksDB state store provider
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(key, None)
+    spark.conf.set(
+        key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try:
+        got = _run(spark, sf_dir, transform, "update", n_files=3)
+    finally:
+        if old_provider is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old_provider)
+    latest: dict[int, tuple] = {}
+    for r in got:
+        if r.user_id not in latest or r.n > latest[r.user_id][0]:
+            latest[r.user_id] = (r.n, r.total)
+    want = {
+        r.user_id: (r.n, r.total)
+        for r in batch_events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .collect()
+    }
+    assert set(latest) == set(want)
+    for uid, (n, total) in latest.items():
+        assert n == want[uid][0]
+        assert abs(total - want[uid][1]) < 0.05
