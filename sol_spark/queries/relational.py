@@ -655,3 +655,85 @@ def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+AGG_MODERN_ORACLE = """
+SELECT o_orderpriority,
+       count_if(o_totalprice > 100000) AS n_big,
+       bool_and(o_totalprice > 0) AS all_pos,
+       bool_or(o_totalprice > 400000) AS any_huge,
+       arg_max(o_orderkey, o_totalprice) AS key_of_max,
+       arg_min(o_orderkey, o_totalprice) AS key_of_min,
+       round(median(o_totalprice), 2) AS med_price,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("agg_modern", AGG_MODERN_ORACLE, tags=("agg", "modern"))
+def agg_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern aggregate family (post-2.4 upgrades of the reference's
+    FunctionRegistry aggregate section): count_if, bool_and/bool_or,
+    max_by/min_by (DuckDB arg_max/arg_min), median, and listagg with
+    WITHIN GROUP ordering (DuckDB string_agg ORDER BY). max_by/min_by are
+    deterministic here because o_totalprice is effectively unique per
+    group at fixture scales."""
+    t = load_tables(spark, sf_dir)
+    t["orders"].createOrReplaceTempView("v_orders_agg")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count_if(o_totalprice > 100000) AS n_big,
+               bool_and(o_totalprice > 0) AS all_pos,
+               bool_or(o_totalprice > 400000) AS any_huge,
+               max_by(o_orderkey, o_totalprice) AS key_of_max,
+               min_by(o_orderkey, o_totalprice) AS key_of_min,
+               round(median(o_totalprice), 2) AS med_price,
+               listagg(DISTINCT o_orderstatus, ',')
+                 WITHIN GROUP (ORDER BY o_orderstatus) AS statuses
+        FROM v_orders_agg
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+SET_EXCEPT_ALL_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_totalprice > 50000
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY o_custkey
+"""
+
+
+@register("set_except_all", SET_EXCEPT_ALL_ORACLE, tags=("setops",))
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiplicity-preserving difference (each duplicate
+    subtracts one occurrence), the bag-semantics variant the reference
+    rewrites via anti-join+distinct only for the DISTINCT case. Spark
+    plans it as a count-compare aggregate; scale shape = one shuffle on
+    the full row."""
+    t = load_tables(spark, sf_dir)
+    a = t["orders"].filter(F.col("o_totalprice") > 50000).select("o_custkey")
+    b = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.exceptAll(b).orderBy("o_custkey")
+
+
+SET_INTERSECT_ALL_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_totalprice > 50000
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+ORDER BY o_custkey
+"""
+
+
+@register("set_intersect_all", SET_INTERSECT_ALL_ORACLE, tags=("setops",))
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiplicity-preserving intersection (min of the
+    two occurrence counts per row)."""
+    t = load_tables(spark, sf_dir)
+    a = t["orders"].filter(F.col("o_totalprice") > 50000).select("o_custkey")
+    b = t["orders"].filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.intersectAll(b).orderBy("o_custkey")
