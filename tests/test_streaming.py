@@ -228,9 +228,27 @@ def test_stream_stream_left_outer_join(spark, sf_dir, batch_events):
         for f in set(os.listdir(tmp)) - before:
             if f.endswith(".parquet"):
                 os.utime(os.path.join(tmp, f), (future, future))
-        got = P.run_stream_to_memory(
-            P.purchases_with_recent_view_outer(stream), output_mode="append"
-        ).collect()
+        # Double drain: outer-row eviction happens in a no-data batch after
+        # the last data batch advances the watermark; under load a single
+        # processAllAvailable can return before that batch's output commits.
+        import time as _t2
+        import uuid as _uuid
+
+        name = f"sink_{_uuid.uuid4().hex[:8]}"
+        q = (
+            P.purchases_with_recent_view_outer(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            _t2.sleep(1.0)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.table(name).collect()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     got = [r for r in got if r.user_id >= 0]  # drop sentinels
