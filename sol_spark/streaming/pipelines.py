@@ -185,6 +185,18 @@ def events_stream(
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         raw.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(tmp)
+        # Replay order guard: the file source sorts by modification time and
+        # all part files land in the same second, so tie-breaking could
+        # replay them out of ts order — a later-ts batch advances the
+        # watermark and earlier files' rows get dropped as late
+        # (observed as intermittent stream!=batch failures). Range part
+        # numbering IS ts order; stagger mtimes to make replay match it.
+        import time as _time
+
+        parts = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        base = _time.time() - 300
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(tmp, f), (base + i, base + i))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
         spark.readStream.schema(

@@ -201,7 +201,12 @@ def test_stream_stream_left_outer_join(spark, sf_dir, batch_events):
 
     from pyspark.sql import functions as F
 
-    stream, tmp = P.events_stream(spark, sf_dir, n_files=3)
+    # n_files=1: multi-file phases can replay range-split files out of ts
+    # order (the file source does not guarantee mtime ordering), advancing
+    # the watermark early and dropping earlier files' rows as late. One
+    # data batch + one sentinel batch is deterministic and still exercises
+    # cross-batch state + watermark-driven eviction.
+    stream, tmp = P.events_stream(spark, sf_dir, n_files=1)
     try:
         max_ns = batch_events.agg(
             F.max(F.unix_timestamp("ts")).alias("m")
@@ -216,24 +221,10 @@ def test_stream_stream_left_outer_join(spark, sf_dir, batch_events):
             ],
             "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string",
         )
-        # The file source orders micro-batches by modification time; a
-        # same-second tie could replay the sentinel EARLY, jumping the
-        # watermark and dropping real rows as late. Bump the sentinel's
-        # mtime so it sorts strictly last.
-        import time as _t
-
-        before = set(os.listdir(tmp))
-        sentinel.coalesce(1).write.mode("append").parquet(tmp)
-        future = _t.time() + 60
-        for f in set(os.listdir(tmp)) - before:
-            if f.endswith(".parquet"):
-                os.utime(os.path.join(tmp, f), (future, future))
-        # Double drain: outer-row eviction happens in a no-data batch after
-        # the last data batch advances the watermark; under load a single
-        # processAllAvailable can return before that batch's output commits.
         import time as _t2
         import uuid as _uuid
 
+        want = P.purchases_with_recent_view_outer(batch_events).collect()
         name = f"sink_{_uuid.uuid4().hex[:8]}"
         q = (
             P.purchases_with_recent_view_outer(stream)
@@ -243,16 +234,26 @@ def test_stream_stream_left_outer_join(spark, sf_dir, batch_events):
             .start()
         )
         try:
+            # Phase 1: drain ALL real data first — the file source does not
+            # guarantee mtime ordering, so writing the sentinel up front can
+            # land it in an early batch, jumping the watermark and dropping
+            # every later real row as late.
             q.processAllAvailable()
-            _t2.sleep(1.0)
+            # Phase 2: NOW the sentinel is necessarily in a later batch.
+            sentinel.coalesce(1).write.mode("append").parquet(tmp)
             q.processAllAvailable()
+            # Phase 3: outer-row eviction lands in an asynchronous no-data
+            # batch after the watermark advance; poll until it commits.
+            deadline = _t2.time() + 60
+            while _t2.time() < deadline:
+                got = [r for r in spark.table(name).collect() if r.user_id >= 0]
+                if len(got) >= len(want):
+                    break
+                _t2.sleep(0.5)
         finally:
             q.stop()
-        got = spark.table(name).collect()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    got = [r for r in got if r.user_id >= 0]  # drop sentinels
-    want = P.purchases_with_recent_view_outer(batch_events).collect()
     assert _sorted_rows(got) == _sorted_rows(want)
     assert any(r.v_ts is None for r in got)  # outer rows actually exercised
 
