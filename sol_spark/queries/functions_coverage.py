@@ -721,3 +721,34 @@ def fn_string_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.expr("space(3)"), F.col("p_brand")).alias("space_v"),
         F.expr("elt(2, 'zz', p_brand)").alias("elt_v"),
     ).orderBy("p_partkey")
+
+
+FN_REGEXP_ORACLE = """
+SELECT p_partkey,
+       len(regexp_extract_all(p_name, '[aeiou]+')) AS re_count_v,
+       CASE WHEN regexp_extract(p_name, '[0-9]+') = '' THEN ''
+            ELSE regexp_extract(p_name, '[0-9]+') END AS re_substr_v,
+       regexp_matches(p_name, 'ee|oo') AS rlike_v,
+       array_to_string(regexp_extract_all(p_brand, '[0-9]'), '') AS re_all_v,
+       strpos(p_name, regexp_extract(p_name, '[aeiou]')) AS re_instr_v
+FROM part ORDER BY p_partkey
+"""
+
+
+@register("fn_regexp", FN_REGEXP_ORACLE, tags=("functions", "string", "regexp"))
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern regexp family (regexp_count, regexp_substr, rlike,
+    regexp_extract_all, regexp_instr — Spark 3.4+ additions over the
+    reference's regexp_extract/replace/like registry section). DuckDB
+    spells some differently (regexp_matches, len(regexp_extract_all),
+    strpos emulation for instr)."""
+    t = load_tables(spark, sf_dir)
+    p = t["part"]
+    return p.select(
+        "p_partkey",
+        F.regexp_count("p_name", F.lit("[aeiou]+")).alias("re_count_v"),
+        F.coalesce(F.regexp_substr("p_name", F.lit("[0-9]+")), F.lit("")).alias("re_substr_v"),
+        F.col("p_name").rlike("ee|oo").alias("rlike_v"),
+        F.array_join(F.regexp_extract_all("p_brand", F.lit("[0-9]"), 0), "").alias("re_all_v"),
+        F.regexp_instr("p_name", F.lit("[aeiou]")).alias("re_instr_v"),
+    ).orderBy("p_partkey")
