@@ -298,3 +298,33 @@ def test_python_data_source(spark, sf_dir):
     assert df.rdd.getNumPartitions() == 4
     rows = sorted((r.i, r.sq) for r in df.collect())
     assert rows == [(i, i * i) for i in range(100)]
+
+
+def test_ignore_corrupt_files(spark, sf_dir, tmp_path):
+    """Corrupt-file resilience: at fleet scale some files WILL be truncated
+    or bit-rotted; spark.sql.files.ignoreCorruptFiles=true must skip them
+    and return the healthy rows (and the default strict mode must fail
+    loudly instead of silently under-reading)."""
+    import os
+
+    import pytest as _pt
+
+    from pyspark.sql import functions as F
+
+    from sol_spark.tables import load_tables
+
+    out = str(tmp_path / "mixed")
+    load_tables(spark, sf_dir)["nation"].coalesce(1).write.parquet(out)
+    with open(os.path.join(out, "part-corrupt.parquet"), "wb") as f:
+        f.write(b"PAR1 this is not a real parquet footer")
+
+    key = "spark.sql.files.ignoreCorruptFiles"
+    spark.conf.set(key, "false")
+    try:
+        with _pt.raises(Exception):
+            spark.read.schema("n_nationkey bigint, n_name string").parquet(out).count()
+        spark.conf.set(key, "true")
+        n = spark.read.schema("n_nationkey bigint, n_name string").parquet(out).count()
+        assert n == 25
+    finally:
+        spark.conf.set(key, "false")
