@@ -328,3 +328,45 @@ def test_ignore_corrupt_files(spark, sf_dir, tmp_path):
         assert n == 25
     finally:
         spark.conf.set(key, "false")
+
+
+def test_parquet_schema_evolution(spark, sf_dir, tmp_path):
+    """Schema evolution on read: files written before a column existed must
+    coexist with newer files — mergeSchema=true unions the schemas (missing
+    values null); default reads settle on one file schema. The long-lived-
+    table reality at fleet scale."""
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id bigint, v1 string").write.parquet(out)
+    spark.createDataFrame(
+        [(2, "b", 99.0)], "id bigint, v1 string, v2 double"
+    ).write.mode("append").parquet(out)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"id", "v1", "v2"}
+    rows = {r.id: r.v2 for r in merged.collect()}
+    assert rows[2] == 99.0 and rows[1] is None
+
+
+def test_nested_column_pruning(spark, sf_dir, tmp_path):
+    """Nested-schema pruning: selecting one struct leaf must prune the
+    parquet ReadSchema to that leaf, not materialize the whole struct —
+    the difference between reading 1 field and 100 at telemetry scale."""
+    from pyspark.sql import functions as F
+
+    from sol_spark.plans import explain_formatted
+
+    out = str(tmp_path / "nested")
+    df = spark.range(100).select(
+        "id",
+        F.struct(
+            F.col("id").alias("a"),
+            (F.col("id") * 2).alias("b"),
+            F.lit("x").alias("c"),
+        ).alias("payload"),
+    )
+    df.write.parquet(out)
+    q = spark.read.parquet(out).select("id", F.col("payload.b").alias("b"))
+    plan = explain_formatted(q)
+    read_schema = plan.split("ReadSchema")[1][:300].replace(" ", "")
+    assert "payload:struct<b:bigint>" in read_schema  # only the leaf survives
+    assert q.agg(F.sum("b")).collect()[0][0] == sum(2 * i for i in range(100))
