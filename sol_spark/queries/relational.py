@@ -737,3 +737,31 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = t["orders"].filter(F.col("o_totalprice") > 50000).select("o_custkey")
     b = t["orders"].filter(F.col("o_orderstatus") == "O").select("o_custkey")
     return a.intersectAll(b).orderBy("o_custkey")
+
+
+RECURSIVE_SPINE_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT TIMESTAMP '1995-01-01 00:00:00'
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months WHERE m < TIMESTAMP '1997-12-01 00:00:00'
+)
+SELECT m, count(o_orderkey) AS n_orders
+FROM months LEFT JOIN {orders} ON date_trunc('month', o_orderdate) = m
+GROUP BY m ORDER BY m
+"""
+
+
+@register(
+    "recursive_month_spine",
+    RECURSIVE_SPINE_SQL.format(orders="orders"),
+    tags=("recursive", "sql"),
+)
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 upgrade; the reference's 2.4 grammar has no
+    recursion): generate a monthly calendar spine and left-join order
+    counts so empty months appear as zero — the canonical time-series
+    densification that needs either recursion or sequence+explode. Same
+    SQL text runs on both engines."""
+    t = load_tables(spark, sf_dir)
+    t["orders"].createOrReplaceTempView("v_orders_spine")
+    return spark.sql(RECURSIVE_SPINE_SQL.format(orders="v_orders_spine"))
