@@ -765,3 +765,30 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     t["orders"].createOrReplaceTempView("v_orders_spine")
     return spark.sql(RECURSIVE_SPINE_SQL.format(orders="v_orders_spine"))
+
+
+UNION_BY_NAME_ORACLE = """
+SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+FROM orders WHERE o_orderkey % 10 = 1
+UNION ALL
+SELECT o_orderkey, o_totalprice, o_orderstatus
+FROM orders WHERE o_orderkey % 10 = 2
+ORDER BY o_orderkey
+"""
+
+
+@register("set_union_by_name", UNION_BY_NAME_ORACLE, tags=("setops", "schema"))
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName with allowMissingColumns — the schema-drift union: the
+    second input has an extra column and different column order; matching
+    is by NAME (positional union would silently mis-assign), missing
+    columns null-fill. The daily reality of unioning month-over-month
+    extracts whose schemas evolved."""
+    t = load_tables(spark, sf_dir)
+    a = t["orders"].filter(F.col("o_orderkey") % 10 == 1).select("o_orderkey", "o_totalprice")
+    b = (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 10 == 2)
+        .select("o_totalprice", "o_orderkey", "o_orderstatus")
+    )
+    return a.unionByName(b, allowMissingColumns=True).orderBy("o_orderkey")
