@@ -102,3 +102,27 @@ def test_df_stat_api(spark, sf_dir):
     again = li.stat.sampleBy("l_returnflag", {"A": 0.2, "N": 0.2, "R": 0.2}, seed=7)
     assert strata.count() == again.count()  # seeded determinism
     assert 0 < strata.count() < li.count()
+
+
+def test_crypto_and_hash_functions(spark, sf_dir):
+    """aes_encrypt/aes_decrypt round-trip (values are engine-specific so
+    the invariant is decrypt(encrypt(x)) == x), and xxhash64/murmur3 hash
+    determinism across two evaluations — the partition-key hashes every
+    shuffle depends on."""
+    from pyspark.sql import functions as F
+
+    p = load_tables(spark, sf_dir)["part"].select("p_partkey", "p_name").limit(100)
+    key = "0123456789abcdef"
+    rt = p.select(
+        "p_name",
+        F.aes_decrypt(
+            F.aes_encrypt(F.col("p_name").cast("binary"), F.lit(key)), F.lit(key)
+        ).cast("string").alias("back"),
+    )
+    assert all(r.p_name == r.back for r in rt.collect())
+
+    h1 = p.select(F.xxhash64("p_name").alias("h"), F.hash("p_name").alias("m")).collect()
+    h2 = p.select(F.xxhash64("p_name").alias("h"), F.hash("p_name").alias("m")).collect()
+    assert h1 == h2
+    n_names = p.select("p_name").distinct().count()
+    assert len({r.h for r in h1}) == n_names  # collision-free on this corpus
