@@ -27,6 +27,42 @@ from pyspark.sql import functions as F
 from sol_spark.registry import register
 from sol_spark.tables import load_tables
 
+
+def _eager_release(result: DataFrame, *caches: DataFrame) -> DataFrame:
+    """Materialize ``result`` via an eager localCheckpoint, then unpersist the
+    intermediate caches it was built from.
+
+    This is the cache-lifecycle contract for every multi-pass LLM operator:
+    the heavy working set (exploded shingle rows, per-round labels) is
+    persisted only while the pipeline executes, and the sole storage that
+    survives the call is the operator's own output — bounded by the result
+    size, released by the ContextCleaner when the DataFrame is dropped. At
+    100 TB the localCheckpoint step is where a production pipeline would
+    write the result table; the unpersist discipline is identical."""
+    out = result.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
+
+
+def release_result(df: DataFrame) -> None:
+    """Deterministically drop the storage behind an eager localCheckpoint
+    once the result has been consumed (the async ContextCleaner would get
+    there eventually; iterative operators and long sweeps must not wait).
+    Walks the analyzed plan's leaves so select/orderBy-wrapped checkpoints
+    release too. No-op for non-checkpointed frames.
+
+    CAUTION: a localCheckpoint is non-replayable — only release a frame
+    whose data no other live plan still reads."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                leaf.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — storage cleanup must never fail a query
+        pass
+
 # MinHash parameters: 12 permutations, 4 bands x 3 rows => LSH similarity
 # threshold ~ (1/b)^(1/r) = 0.63; verification threshold below it.
 # Permutation family: h_i = (A_i * h + B_i) mod MINHASH_P over ONE md5-derived
@@ -211,7 +247,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — without persist the regex/shingle subtree recomputes 4x. At
     100 TB this persist is the standard LSH-pipeline checkpoint; hashing
     before the persist keeps it at 16 bytes/row (measured vs string rows:
-    smaller cache and long-key instead of string-key shuffles).
+    smaller cache and long-key instead of string-key shuffles). The cache is
+    released before returning (_eager_release): only the output-sized pair
+    set survives the call.
     """
     rows = hashed_shingle_rows_df(spark, sf_dir).persist()
     # Eager materialization: downstream stages (signature, sizes, both
@@ -237,7 +275,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("ni"))
     )
-    return (
+    result = (
         inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
         .withColumn("nu", F.col("na") + F.col("nb") - F.col("ni"))
@@ -245,6 +283,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.expr("(10000 * ni) div nu").alias("jaccard_bp"))
         .orderBy("doc_a", "doc_b")
     )
+    return _eager_release(result, rows)
 
 
 # SimHash parameters: 32-bit signature (cross-engine-safe: hex->int via
@@ -475,56 +514,184 @@ SELECT doc, min(lbl) AS cluster FROM reach GROUP BY doc ORDER BY doc
 """
 
 
+def connected_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
+    """(doc_a, doc_b) undirected pair DF -> (doc, cluster) where cluster is
+    the component's min node id.
+
+    Alternating large-star/small-star (Kiveris et al., "Connected Components
+    in MapReduce and Beyond" — the algorithm GraphX's ConnectedComponents
+    approximates with Pregel,
+    /root/reference/graphx/src/main/scala/org/apache/spark/graphx/lib/ConnectedComponents.scala:30):
+
+      * large-star: every node points its LARGER neighbors at its minimum
+        neighbor — flattens tall trees from the top.
+      * small-star: every node points its smaller neighbors AND itself at the
+        minimum of that set — flattens from the bottom.
+
+    Converges in O(log n) rounds on ANY graph shape (vs O(diameter) for
+    plain min-label propagation — the r1 weakness on adversarial chains).
+
+    Scale/lineage discipline:
+      * each round is two self-contained join+agg passes over the edge set —
+        never materializes neighborhoods on the driver;
+      * every round ends in an eager ``localCheckpoint``: lineage is
+        truncated (the r1 version's plan tripled per round — optimizer time,
+        not data, dominated its 33 s), and the only live storage is the
+        current edge set (bounded by the input pair count, shrinking as
+        stars collapse); superseded rounds are dropped by the ContextCleaner;
+      * convergence = edge set unchanged, checked with count + anti-join
+        ``isEmpty`` (early-exit probe) instead of a full re-count of diffs.
+    """
+    # Canonical directed edges u -> v with u > v (self-loops dropped).
+    edges0 = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"), F.least("doc_a", "doc_b").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Nodes from the checkpointed edge set — the pair pipeline above is
+    # evaluated exactly once (pairs with doc_a == doc_b don't occur in the
+    # LSH outputs, so no node is lost to the self-loop filter).
+    nodes = (
+        edges0.select(F.col("u").alias("doc"))
+        .union(edges0.select(F.col("v").alias("doc")))
+        .distinct()
+    )
+    edges = edges0
+    try:
+        n_edges = edges.count()
+        for _ in range(max_rounds):
+            # Large-star: for each node u, m = min(neighbors(u) + {u});
+            # every neighbor v > u re-points to m.
+            sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            mins = (
+                sym.groupBy("u")
+                .agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", F.col("u")).alias("m"))
+            )
+            large = (
+                sym.filter(F.col("v") > F.col("u"))
+                .join(mins, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            # Small-star: edges already satisfy u > v; m = min(smaller
+            # neighbors + {u}); u and all its smaller neighbors point to m.
+            mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+            small = (
+                large.join(mins2, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .union(mins2.select("u", F.col("m").alias("v")))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            n_new = small.count()
+            converged = (
+                n_new == n_edges and small.join(edges, ["u", "v"], "left_anti").isEmpty()
+            )
+            if edges is not edges0:
+                release_result(edges)  # superseded round — drop its blocks NOW
+            edges, n_edges = small, n_new
+            if converged:
+                break
+        else:
+            raise RuntimeError(f"connected_components: no convergence in {max_rounds} rounds")
+        # At convergence edges form stars centered at each component's min.
+        return (
+            nodes.join(
+                edges.select(F.col("u").alias("doc"), F.col("v").alias("cluster")),
+                "doc",
+                "left",
+            )
+            .select("doc", F.coalesce("cluster", F.col("doc")).alias("cluster"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        # Runs after the result checkpoint above: the final round's edges and
+        # the initial edge set are no longer referenced by any live plan.
+        if edges is not edges0:
+            release_result(edges)
+        release_result(edges0)
+
+
 @register("dedup_clusters", DEDUP_CLUSTERS_ORACLE, tags=("llm", "dedup", "iterative"))
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution: connected components over the
     MinHash-LSH near-dup pair graph, labeling every clustered doc with the
     min doc_id of its component (the keeper). This is the step that turns
-    pairwise similarity into per-document keep/drop decisions.
+    pairwise similarity into per-document keep/drop decisions. The oracle
+    expresses the closure as a recursive CTE — the "iterative algorithm the
+    engine can still verify" case."""
+    mh = dedup_minhash_lsh(spark, sf_dir)
+    out = connected_components(mh.select("doc_a", "doc_b"))
+    release_result(mh)  # pair set consumed into the CC edge checkpoint
+    return out.orderBy("doc")
 
-    Implementation: iterative min-label propagation — each round every node
-    takes min(own label, neighbor labels) via a join + groupBy, until a
-    round changes nothing. All data stays distributed (no collect of edges);
-    convergence needs O(component diameter) rounds, and near-dup clusters
-    are dense/shallow, so rounds stay single-digit. At 100 TB the same loop
-    holds with edges bucketed on node id; for adversarial long-chain graphs
-    switch to the large-star/small-star variant (same join primitive). The
-    oracle expresses the closure as a recursive CTE — this is the
-    "iterative algorithm the engine can still verify" case.
-    """
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
-        .withColumnRenamed("doc_a", "src")
-        .withColumnRenamed("doc_b", "dst")
-        .persist()
+
+DEDUP_SIMHASH_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pr AS (
+  SELECT doc_a, doc_b FROM ({SIMHASH_ORACLE.replace("ORDER BY doc_a, doc_b", "")}) q
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pr
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pr
+), nodes AS (
+  SELECT DISTINCT a AS doc FROM edges
+), reach(doc, lbl) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.doc
+)
+SELECT doc, min(lbl) AS cluster FROM reach GROUP BY doc ORDER BY doc
+"""
+
+
+@register("dedup_simhash_clusters", DEDUP_SIMHASH_CLUSTERS_ORACLE, tags=("llm", "dedup", "simhash", "iterative"))
+def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production form of SimHash dedup: pair output of dedup_simhash is
+    quadratic in dup-cluster size (1.57 M pairs at sf0.1 — the r1 scale
+    caveat), so the operator a 100 TB pipeline actually runs reduces pairs
+    to per-document cluster labels: output is one row per clustered doc,
+    linear in corpus size. The pairwise query stays registered for the
+    oracle; this is the keep/drop decision table."""
+    pairs = dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs).orderBy("doc")
+
+
+DEDUP_KEEP_LIST_ORACLE = (
+    DEDUP_CLUSTERS_ORACLE.replace(
+        "SELECT doc, min(lbl) AS cluster FROM reach GROUP BY doc ORDER BY doc",
+        """, cc AS (SELECT doc, min(lbl) AS cluster FROM reach GROUP BY doc)
+SELECT d.doc_id, (c.cluster IS NULL OR c.cluster = d.doc_id) AS keep
+FROM documents d LEFT JOIN cc c ON c.doc = d.doc_id
+ORDER BY d.doc_id""",
+    ).replace(
+        ")\n, cc AS",  # splice: the reach CTE's closing paren stays, add cc
+        "), cc AS",
     )
-    labels = edges.select(F.col("src").alias("doc")).distinct().withColumn("lbl", F.col("doc"))
-    for _ in range(15):
-        neighbor_min = (
-            edges.join(
-                labels.select(F.col("doc").alias("dst"), F.col("lbl").alias("nlbl")), "dst"
-            )
-            .groupBy("src")
-            .agg(F.min("nlbl").alias("minn"))
-            .withColumnRenamed("src", "doc")
+)
+
+
+@register("dedup_keep_list", DEDUP_KEEP_LIST_ORACLE, tags=("llm", "dedup"))
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convenience: full keep/drop table — every document, flagged keep
+    unless it belongs to a near-dup cluster and is not the keeper. The form
+    a training-data pipeline joins against before tokenization."""
+    t = load_tables(spark, sf_dir)
+    clusters = dedup_clusters(spark, sf_dir)
+    return (
+        t["documents"]
+        .select("doc_id")
+        # No broadcast hint: the cluster table is linear in near-dup docs —
+        # AQE picks broadcast when it fits, shuffle-join when it doesn't.
+        .join(clusters.withColumnRenamed("doc", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("cluster").isNull() | (F.col("cluster") == F.col("doc_id"))).alias("keep"),
         )
-        new_labels = (
-            labels.join(neighbor_min, "doc", "left")
-            .select(
-                "doc",
-                F.least(F.col("lbl"), F.coalesce(F.col("minn"), F.col("lbl"))).alias("new_lbl"),
-            )
-        ).persist()
-        changed = (
-            new_labels.join(labels, "doc")
-            .filter(F.col("new_lbl") != F.col("lbl"))
-            .count()
-        )
-        labels = new_labels.withColumnRenamed("new_lbl", "lbl")
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError("dedup_clusters: label propagation did not converge in 15 rounds")
-    edges.unpersist()
-    return labels.select("doc", F.col("lbl").alias("cluster")).orderBy("doc")
+        .orderBy("doc_id")
+    )

@@ -115,7 +115,8 @@ bytes AS (
 MM_FEATURES_ORACLE = f"""
 WITH {_ORACLE_BYTES_CTE}
 SELECT media_id, modality, count(*) AS n_bytes,
-       sum(byte) AS byte_sum, min(byte) AS byte_min, max(byte) AS byte_max
+       CAST(sum(byte) AS BIGINT) AS byte_sum,
+       CAST(min(byte) AS BIGINT) AS byte_min, CAST(max(byte) AS BIGINT) AS byte_max
 FROM bytes
 GROUP BY media_id, modality
 ORDER BY media_id
@@ -162,7 +163,7 @@ N_FRAMES = MEDIA_BYTES // FRAME_BYTES
 
 MM_FRAMES_ORACLE = f"""
 WITH {_ORACLE_BYTES_CTE}
-SELECT media_id, i // {FRAME_BYTES} AS frame_idx, sum(byte) AS frame_sum
+SELECT media_id, i // {FRAME_BYTES} AS frame_idx, CAST(sum(byte) AS BIGINT) AS frame_sum
 FROM bytes
 WHERE modality = 'video'
 GROUP BY media_id, i // {FRAME_BYTES}

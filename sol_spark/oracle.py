@@ -6,10 +6,13 @@ with numeric tolerance.
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import math
 from typing import Any
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from sol_spark.tables import TABLE_NAMES
@@ -46,6 +49,46 @@ def _normalize(df: pd.DataFrame) -> list[list[Any]]:
     return rows
 
 
+def _dtype_token(s: pd.Series) -> str:
+    """Coarse type-CLASS token per column so int-vs-float drift is caught
+    locally (the driver's value hash is class-sensitive — fn_math /
+    fn_higher_order failed r1 on int-vs-float — but NOT width-sensitive:
+    int32-vs-int64 rows like win_rank_topk passed the r1 driver hash)."""
+    dt = s.dtype
+    kind = getattr(dt, "kind", "O")
+    if kind in "iu":
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "b":
+        return "bool"
+    if kind == "M":
+        return "timestamp"
+    for v in s:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            continue
+        if isinstance(v, (bool, np.bool_)):
+            return "bool"
+        if isinstance(v, (int, np.integer)):
+            return "int"
+        if isinstance(v, (float, np.floating, decimal.Decimal)):
+            return "float"
+        if isinstance(v, str):
+            return "str"
+        if isinstance(v, (bytes, bytearray)):
+            return "bytes"
+        if isinstance(v, (pd.Timestamp, datetime.datetime)):
+            return "timestamp"
+        if isinstance(v, datetime.date):
+            return "date"
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return "list"
+        if isinstance(v, dict):
+            return "map"
+        return type(v).__name__
+    return "empty"
+
+
 def _values_close(a: Any, b: Any, rtol: float = 1e-6) -> bool:
     if a is None and b is None:
         return True
@@ -76,6 +119,10 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
         return False, f"columns: spark={sorted(sp.columns)} oracle={sorted(du.columns)}"
     sp.columns = [c.lower() for c in sp.columns]
     du.columns = [c.lower() for c in du.columns]
+    for c in sorted(sp.columns):
+        ta, tb = _dtype_token(sp[c]), _dtype_token(du[c])
+        if ta != tb and "empty" not in (ta, tb):
+            return False, f"dtype drift in col {c}: spark={ta} oracle={tb}"
     a_rows, b_rows = _normalize(sp), _normalize(du)
     for i, (ra, rb) in enumerate(zip(a_rows, b_rows)):
         for j, (va, vb) in enumerate(zip(ra, rb)):

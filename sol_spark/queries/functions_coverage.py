@@ -24,14 +24,14 @@ from sol_spark.tables import load_tables
 FN_MATH_ORACLE = """
 SELECT p_partkey,
        abs(p_retailprice - 1000.0) AS abs_v,
-       ceil(p_retailprice) AS ceil_v,
-       floor(p_retailprice) AS floor_v,
+       CAST(ceil(p_retailprice) AS BIGINT) AS ceil_v,
+       CAST(floor(p_retailprice) AS BIGINT) AS floor_v,
        round(sqrt(p_retailprice), 6) AS sqrt_v,
        round(ln(p_retailprice + 1), 6) AS ln_v,
        round(log10(p_retailprice + 1), 6) AS log10_v,
        round(pow(p_size, 2), 2) AS pow_v,
        p_size % 7 AS mod_v,
-       sign(p_retailprice - 1000.0) AS sign_v,
+       CAST(sign(p_retailprice - 1000.0) AS INTEGER) AS sign_v,
        round(sin(p_size), 6) AS sin_v,
        round(atan2(p_size, 3.0), 6) AS atan2_v,
        greatest(p_size, 25) AS greatest_v,
@@ -48,14 +48,14 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey",
         F.abs(F.col("p_retailprice") - 1000.0).alias("abs_v"),
-        F.ceil("p_retailprice").alias("ceil_v"),
-        F.floor("p_retailprice").alias("floor_v"),
+        F.ceil("p_retailprice").cast("bigint").alias("ceil_v"),
+        F.floor("p_retailprice").cast("bigint").alias("floor_v"),
         F.round(F.sqrt("p_retailprice"), 6).alias("sqrt_v"),
         F.round(F.log(F.col("p_retailprice") + 1), 6).alias("ln_v"),
         F.round(F.log10(F.col("p_retailprice") + 1), 6).alias("log10_v"),
         F.round(F.pow("p_size", F.lit(2)), 2).alias("pow_v"),
         (F.col("p_size") % 7).alias("mod_v"),
-        F.signum(F.col("p_retailprice") - 1000.0).alias("sign_v"),
+        F.signum(F.col("p_retailprice") - 1000.0).cast("int").alias("sign_v"),
         F.round(F.sin("p_size"), 6).alias("sin_v"),
         F.round(F.atan2(F.col("p_size").cast("double"), F.lit(3.0)), 6).alias("atan2_v"),
         F.greatest("p_size", F.lit(25)).alias("greatest_v"),
@@ -254,9 +254,9 @@ WITH t AS (
   FROM documents WHERE doc_id % 25 = 0
 )
 SELECT doc_id,
-       list_sum(list_transform(tk, x -> length(x))) AS total_len,
-       len(list_filter(tk, x -> length(x) > 4)) AS n_long,
-       list_max(list_transform(tk, x -> length(x))) AS max_len,
+       CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) AS total_len,
+       CAST(len(list_filter(tk, x -> length(x) > 4)) AS BIGINT) AS n_long,
+       CAST(list_max(list_transform(tk, x -> length(x))) AS BIGINT) AS max_len,
        CASE WHEN len(list_filter(tk, x -> x = 'spark')) > 0 THEN true ELSE false END AS has_spark,
        len(list_filter(tk, x -> length(x) <= 3)) = len(tk) AS all_short
 FROM t ORDER BY doc_id
@@ -277,9 +277,9 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr("split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')").alias("tk"))
         .select(
             "doc_id",
-            F.expr("aggregate(transform(tk, x -> length(x)), 0, (acc, v) -> acc + v)").alias("total_len"),
-            F.expr("size(filter(tk, x -> length(x) > 4))").alias("n_long"),
-            F.expr("array_max(transform(tk, x -> length(x)))").alias("max_len"),
+            F.expr("CAST(aggregate(transform(tk, x -> length(x)), 0, (acc, v) -> acc + v) AS BIGINT)").alias("total_len"),
+            F.expr("CAST(size(filter(tk, x -> length(x) > 4)) AS BIGINT)").alias("n_long"),
+            F.expr("CAST(array_max(transform(tk, x -> length(x))) AS BIGINT)").alias("max_len"),
             F.expr("exists(tk, x -> x = 'spark')").alias("has_spark"),
             F.expr("forall(tk, x -> length(x) <= 3)").alias("all_short"),
         )

@@ -379,31 +379,65 @@ def set_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("sample_bernoulli", None, tags=("sample",), doc="Seeded Bernoulli sample — engine-specific RNG, rows-only check")
-def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SampleExec (reference basicPhysicalOperators.scala:239). Seeded for
-    Spark-side determinism; no cross-engine oracle exists by construction."""
+SAMPLE_HASH_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE (('0x' || substr(md5(l_orderkey || '-' || l_linenumber), 1, 8))::BIGINT) % 10 = 3
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register("sample_hash_mod", SAMPLE_HASH_ORACLE, tags=("sample",))
+def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample via md5-hash-mod of the row key — the
+    reproducible analog of SampleExec's Bernoulli sampling (reference
+    basicPhysicalOperators.scala:239). Cross-engine hashable because both
+    engines compute identical md5 over the same key string; the seeded
+    ``df.sample`` path itself is determinism-tested in tests/test_plans.py.
+    Scale note: pure codegen'd filter over the scan — no shuffle, prunes to
+    three columns."""
     t = load_tables(spark, sf_dir)
-    return t["lineitem"].sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber", "l_quantity")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws("-", "l_orderkey", "l_linenumber")), 1, 8), 16, 10
+    ).cast("bigint") % 10
+    return (
+        t["lineitem"]
+        .filter(bucket == 3)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 APPROX_ORACLE = """
 SELECT count(DISTINCT l_partkey) AS exact_parts,
-       count(DISTINCT l_suppkey) AS exact_supps
+       count(DISTINCT l_suppkey) AS exact_supps,
+       true AS parts_within_2pct,
+       true AS supps_within_2pct
 FROM lineitem
 """
 
 
-@register("approx_count_distinct_bounds", None, tags=("approx",),
-          doc="HLL++ approx_count_distinct — value is engine-specific, rows-only check; accuracy asserted in pytest")
+@register("approx_count_distinct_bounds", APPROX_ORACLE, tags=("approx",))
 def approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct = HyperLogLog++
     (/root/reference/sql/catalyst/.../aggregate/HyperLogLogPlusPlus.scala:52).
-    The estimate is engine-specific; tests assert <2% error vs exact."""
+    HLL++ is deterministic for a fixed input, so the within-2%-of-exact bound
+    is itself hashable: the oracle emits the exact distinct counts plus TRUE
+    literals, and Spark emits exact counts plus the evaluated bound."""
     t = load_tables(spark, sf_dir)
     return t["lineitem"].agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_suppkey").alias("exact_supps"),
+        (
+            F.abs(F.approx_count_distinct("l_partkey", rsd=0.01) - F.count_distinct("l_partkey"))
+            / F.count_distinct("l_partkey")
+            <= 0.02
+        ).alias("parts_within_2pct"),
+        (
+            F.abs(F.approx_count_distinct("l_suppkey", rsd=0.01) - F.count_distinct("l_suppkey"))
+            / F.count_distinct("l_suppkey")
+            <= 0.02
+        ).alias("supps_within_2pct"),
     )
 
 
@@ -659,7 +693,7 @@ def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AGG_MODERN_ORACLE = """
 SELECT o_orderpriority,
-       count_if(o_totalprice > 100000) AS n_big,
+       CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
        bool_and(o_totalprice > 0) AS all_pos,
        bool_or(o_totalprice > 400000) AS any_huge,
        arg_max(o_orderkey, o_totalprice) AS key_of_max,
