@@ -3,9 +3,16 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and print ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed with a count()-style action (no driver-side collect of
-full results; limit queries collect their <=100 rows). Timings are
-end-to-end per query including planning.
+Each query is executed to completion with a noop-format write: unlike
+count(), which lets Catalyst prune a projection-only query down to
+Aggregate[count(1)] over an empty scan (r1 ADVICE — text_stats' split/md5
+work was never timed), the noop sink evaluates every output column and any
+final sort, discarding rows executor-side with zero serialization.
+
+Each query is built + executed twice and the MIN is reported (steady-state:
+single-run timings on this box swing up to 3x with JIT/GC noise — measured
+run-to-run variance at sf0.1). Timings include plan construction; the row
+count printed to stderr is measured after the timed runs.
 """
 
 from __future__ import annotations
@@ -62,12 +69,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].fn
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        # Force full execution; toLocalIterator-free, result sets are small
-        # (aggregates / top-k) by construction.
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+        n = df.count()  # untimed — row count for the stderr log only
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -286,11 +286,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _eager_release(result, rows)
 
 
-# SimHash parameters: 32-bit signature (cross-engine-safe: hex->int via
-# conv/0x-cast agrees between Spark and DuckDB), 4 bands x 8 bits for
-# candidate generation, hamming <= HAMMING_MAX to confirm.
-SIMHASH_BITS = 32
+# SimHash parameters: 60-bit signature (15 hex chars of md5 -> always-positive
+# BIGINT in both engines; 16 would overflow on a set sign bit), 4 bands x
+# 15 bits for candidate generation, hamming <= HAMMING_MAX to confirm.
+# Pigeonhole: 3 bit flips cannot touch all 4 bands, so every hamming<=3 pair
+# shares at least one full band — detection is exact, not probabilistic.
+# Band width is the scale lever: r1 used 32 bits / 8-bit bands = 256 buckets
+# per band, whose occupancy grows linearly with the corpus (~19M candidate
+# pairs at sf0.1, the #1 bench cost). 15-bit bands give 32768 buckets/band;
+# at 100 TB widen the signature (e.g. 2x60 bits) to keep buckets sparse.
+SIMHASH_BITS = 60
 SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 HAMMING_MAX = 3
 
 SIMHASH_ORACLE = f"""
@@ -300,7 +307,7 @@ WITH norm AS (
 ), toks AS (
   SELECT DISTINCT doc_id, tok FROM norm, unnest(string_split(ntext, ' ')) AS u(tok)
 ), th AS (
-  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, {SIMHASH_BITS // 4}))::BIGINT AS h FROM toks
 ), bits AS (
   SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
   FROM th, (SELECT unnest(range({SIMHASH_BITS})) AS i) b
@@ -309,7 +316,8 @@ WITH norm AS (
   SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
   FROM bits GROUP BY doc_id
 ), bands AS (
-  SELECT doc_id, simhash, b.b, (simhash >> (8 * b.b)) & 255 AS band_key
+  SELECT doc_id, simhash, b.b,
+         (simhash >> ({SIMHASH_BAND_BITS} * b.b)) & {2**SIMHASH_BAND_BITS - 1} AS band_key
   FROM sh, (SELECT unnest(range({SIMHASH_BANDS})) AS b) b
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b, a.simhash AS ha, c.simhash AS hb
@@ -324,9 +332,9 @@ ORDER BY doc_a, doc_b
 
 @register("dedup_simhash", SIMHASH_ORACLE, tags=("llm", "dedup", "simhash"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 32-bit signature from per-token hash bits
+    """SimHash near-dup pairs: 60-bit signature from per-token hash bits
     (weight +1/-1 vote per bit over the distinct-token set), banded into
-    4 x 8-bit keys for candidate generation, confirmed by hamming distance.
+    4 x 15-bit keys for candidate generation, confirmed by hamming distance.
 
     Scale shape: one explode + ONE hash-aggregate computes all 32 bit-votes
     (map-side partial sums), signatures are 1 row/doc, and the candidate
@@ -336,7 +344,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = (
         t["documents"]
         .select("doc_id", F.explode(F.array_distinct(F.expr(_TOKS))).alias("tok"))
-        .withColumn("h", F.expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn(
+            "h",
+            F.expr(f"CAST(conv(substring(md5(tok), 1, {SIMHASH_BITS // 4}), 16, 10) AS BIGINT)"),
+        )
     )
     votes = [
         F.sum(
@@ -349,7 +360,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)" for i in range(SIMHASH_BITS)
     )
     sh = sig.select("doc_id", F.expr(simhash_expr).alias("simhash"))
-    band_keys = F.array(*[F.shiftright("simhash", 8 * b).bitwiseAND(F.lit(255)) for b in range(SIMHASH_BANDS)])
+    band_keys = F.array(
+        *[
+            F.shiftright("simhash", SIMHASH_BAND_BITS * b).bitwiseAND(
+                F.lit(2**SIMHASH_BAND_BITS - 1)
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
     bands = sh.select("doc_id", "simhash", F.posexplode(band_keys).alias("b", "band_key"))
     a = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "b", "band_key")
     b = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "b", "band_key")

@@ -1,0 +1,658 @@
+"""TPC-DS mini-corpus (store_sales star), adapted to the driver fixtures.
+
+The reference ships three full TPC-DS corpora and compiles every plan
+(/root/reference/sql/core/src/test/resources/tpcds/q1.sql..q99.sql,
+/root/reference/sql/core/src/test/resources/tpcds-v2.7.0/,
+/root/reference/sql/core/src/test/scala/org/apache/spark/sql/TPCDSQuerySuite.scala:39-120).
+We derive the store_sales star the same way ssb.py derives SSB, run the
+eight canonical star-join queries (q3 q7 q19 q42 q52 q55 q68 q98), and
+hash-match each against a DuckDB oracle.
+
+TPC-DS's schema does not exist in the fixtures, so it is DERIVED
+deterministically — identically in the Spark build and the oracle CTEs:
+  * store_sales := lineitem ⋈ orders on orderkey. All money columns are
+    exact 4-decimal products of fixture data (ext_sales = extprice*(1-disc),
+    ext_tax = extprice*tax, coupon = extprice*disc; list price columns reuse
+    extprice rather than a per-unit division) so sums round exactly at 4
+    under the cross-engine rounding policy (see tpch.py module docstring).
+  * date_dim    := distinct o_orderdate with year/moy/dom.
+  * item        := part; i_brand_id = brand number (1..25),
+    i_category_id = (brandnum-1) div 5 + 1 mapped onto five category names,
+    i_manufact_id = (brandnum-1) div 10 + 1, i_manager_id = p_partkey % 40.
+  * store       := supplier + nation city (same city rule as ssb.py);
+    zips are lpad(key % 97).
+  * customer_address := customer + nation city / zip (1:1 with customers).
+  * household/customer demographics := distinct c_custkey % 100 / % 60 with
+    attributes derived from the sk (dep/vehicle counts, gender/marital/
+    education buckets) — every fact-side sk is guaranteed to resolve.
+  * promotion   := distinct o_orderkey % 20 with channel flags from the sk.
+  * ss_addr_sk  := o_custkey, except every 7th order "bought from" the
+    previous customer's address — without this perturbation the sale-time
+    and current addresses are identical by construction and q68's
+    moved-city filter is vacuously empty.
+Filter constants are re-targeted to the fixture domains (years 1995-2001,
+managers 0..39, manufact 1..3, categories Sports/Books/Home/Music/Shoes).
+
+Scale notes: date_dim (~#days), store (|supplier|), both demographics
+(≤100 rows) and promotion (20) are hint-broadcast — bounded cardinality at
+any SF. item and customer/customer_address grow with SF, so those joins are
+left to AQE (broadcast when small, shuffle-hash beyond); at 100 TB the
+customer joins become the only fact-side shuffles, exactly as stock TPC-DS
+plans them. Every query is one pass over the derived fact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from sol_spark.registry import register
+from sol_spark.tables import load_tables
+
+# ---------------------------------------------------------------------------
+# Shared derived-star CTEs (DuckDB dialect; `//` = integer division)
+# ---------------------------------------------------------------------------
+
+DS_CTES = """
+date_dim AS (
+  SELECT DISTINCT o_orderdate AS d_date_sk,
+         year(o_orderdate) AS d_year,
+         month(o_orderdate) AS d_moy,
+         day(o_orderdate) AS d_dom
+  FROM orders),
+item AS (
+  SELECT p_partkey AS i_item_sk,
+         'ITEM_' || p_partkey AS i_item_id,
+         p_name AS i_item_desc,
+         p_brand AS i_brand,
+         CAST(substr(p_brand, 7) AS INT) AS i_brand_id,
+         p_type AS i_class,
+         (CAST(substr(p_brand, 7) AS INT) - 1) // 5 + 1 AS i_category_id,
+         CASE (CAST(substr(p_brand, 7) AS INT) - 1) // 5 + 1
+           WHEN 1 THEN 'Sports' WHEN 2 THEN 'Books' WHEN 3 THEN 'Home'
+           WHEN 4 THEN 'Music' ELSE 'Shoes' END AS i_category,
+         (CAST(substr(p_brand, 7) AS INT) - 1) // 10 + 1 AS i_manufact_id,
+         'MFGR#' || ((CAST(substr(p_brand, 7) AS INT) - 1) // 10 + 1) AS i_manufact,
+         p_partkey % 40 AS i_manager_id,
+         p_retailprice AS i_current_price
+  FROM part),
+store AS (
+  SELECT s_suppkey AS s_store_sk,
+         n_name || '_' || (s_suppkey % 10) AS s_city,
+         lpad(CAST(s_suppkey % 97 AS VARCHAR), 5, '0') AS s_zip
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+customer_address AS (
+  SELECT c_custkey AS ca_address_sk,
+         n_name || '_' || (c_custkey % 10) AS ca_city,
+         lpad(CAST(c_custkey % 97 AS VARCHAR), 5, '0') AS ca_zip
+  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+customer_dim AS (
+  SELECT c_custkey AS c_customer_sk,
+         substr(c_name, 1, 8) AS c_first_name,
+         substr(c_name, 10) AS c_last_name,
+         c_custkey AS c_current_addr_sk
+  FROM customer),
+household_demographics AS (
+  SELECT DISTINCT c_custkey % 100 AS hd_demo_sk,
+         (c_custkey % 100) % 10 AS hd_dep_count,
+         (c_custkey % 100) % 5 AS hd_vehicle_count
+  FROM customer),
+customer_demographics AS (
+  SELECT DISTINCT c_custkey % 60 AS cd_demo_sk,
+         CASE WHEN (c_custkey % 60) % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
+         CASE (c_custkey % 60) % 3 WHEN 0 THEN 'S' WHEN 1 THEN 'M' ELSE 'D' END AS cd_marital_status,
+         CASE (c_custkey % 60) % 4 WHEN 0 THEN 'College' WHEN 1 THEN 'Primary'
+           WHEN 2 THEN 'Secondary' ELSE 'Advanced Degree' END AS cd_education_status
+  FROM customer),
+promotion AS (
+  SELECT DISTINCT o_orderkey % 20 AS p_promo_sk,
+         CASE WHEN (o_orderkey % 20) % 2 = 0 THEN 'N' ELSE 'Y' END AS p_channel_email,
+         CASE WHEN (o_orderkey % 20) % 3 = 0 THEN 'N' ELSE 'Y' END AS p_channel_event
+  FROM orders),
+store_sales AS (
+  SELECT l_orderkey AS ss_ticket_number,
+         o_orderdate AS ss_sold_date_sk,
+         l_partkey AS ss_item_sk,
+         o_custkey AS ss_customer_sk,
+         l_suppkey AS ss_store_sk,
+         o_custkey % 60 AS ss_cdemo_sk,
+         o_custkey % 100 AS ss_hdemo_sk,
+         CASE WHEN o_orderkey % 7 = 0 AND o_custkey > 1
+              THEN o_custkey - 1 ELSE o_custkey END AS ss_addr_sk,
+         l_orderkey % 20 AS ss_promo_sk,
+         l_quantity AS ss_quantity,
+         l_extendedprice AS ss_list_price,
+         l_extendedprice * (1 - l_discount) AS ss_sales_price,
+         l_extendedprice * l_discount AS ss_coupon_amt,
+         l_extendedprice * (1 - l_discount) AS ss_ext_sales_price,
+         l_extendedprice AS ss_ext_list_price,
+         l_extendedprice * l_tax AS ss_ext_tax
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+"""
+
+
+def _ds(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Build the derived TPC-DS star as DataFrames.
+
+    Bounded-cardinality dims (date_dim, store, demographics, promotion) are
+    returned plain but hint-broadcast at the join sites; item/customer dims
+    are SF-proportional and left to AQE.
+    """
+    t = load_tables(spark, sf_dir)
+    brandnum = F.expr("CAST(substr(p_brand, 7) AS INT)")
+    category_id = F.expr("(CAST(substr(p_brand, 7) AS INT) - 1) DIV 5 + 1")
+    manufact_id = F.expr("(CAST(substr(p_brand, 7) AS INT) - 1) DIV 10 + 1")
+    date_dim = (
+        t["orders"]
+        .select("o_orderdate")
+        .distinct()
+        .select(
+            F.col("o_orderdate").alias("d_date_sk"),
+            F.year("o_orderdate").alias("d_year"),
+            F.month("o_orderdate").alias("d_moy"),
+            F.dayofmonth("o_orderdate").alias("d_dom"),
+        )
+    )
+    item = t["part"].select(
+        F.col("p_partkey").alias("i_item_sk"),
+        F.concat(F.lit("ITEM_"), F.col("p_partkey")).alias("i_item_id"),
+        F.col("p_name").alias("i_item_desc"),
+        F.col("p_brand").alias("i_brand"),
+        brandnum.alias("i_brand_id"),
+        F.col("p_type").alias("i_class"),
+        category_id.alias("i_category_id"),
+        F.element_at(
+            F.array(*[F.lit(c) for c in ("Sports", "Books", "Home", "Music", "Shoes")]),
+            category_id.cast("int"),
+        ).alias("i_category"),
+        manufact_id.alias("i_manufact_id"),
+        F.concat(F.lit("MFGR#"), manufact_id).alias("i_manufact"),
+        (F.col("p_partkey") % 40).alias("i_manager_id"),
+        F.col("p_retailprice").alias("i_current_price"),
+    )
+    nation = t["nation"]
+    store = (
+        t["supplier"]
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("s_suppkey").alias("s_store_sk"),
+            F.concat_ws("_", "n_name", F.col("s_suppkey") % 10).alias("s_city"),
+            F.lpad((F.col("s_suppkey") % 97).cast("string"), 5, "0").alias("s_zip"),
+        )
+    )
+    customer_address = (
+        t["customer"]
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("c_custkey").alias("ca_address_sk"),
+            F.concat_ws("_", "n_name", F.col("c_custkey") % 10).alias("ca_city"),
+            F.lpad((F.col("c_custkey") % 97).cast("string"), 5, "0").alias("ca_zip"),
+        )
+    )
+    customer_dim = t["customer"].select(
+        F.col("c_custkey").alias("c_customer_sk"),
+        F.substring("c_name", 1, 8).alias("c_first_name"),
+        F.expr("substring(c_name, 10)").alias("c_last_name"),
+        F.col("c_custkey").alias("c_current_addr_sk"),
+    )
+    hd_sk = F.col("c_custkey") % 100
+    household_demographics = (
+        t["customer"]
+        .select(
+            hd_sk.alias("hd_demo_sk"),
+            (hd_sk % 10).alias("hd_dep_count"),
+            (hd_sk % 5).alias("hd_vehicle_count"),
+        )
+        .distinct()
+    )
+    cd_sk = F.col("c_custkey") % 60
+    customer_demographics = (
+        t["customer"]
+        .select(
+            cd_sk.alias("cd_demo_sk"),
+            F.when(cd_sk % 2 == 0, "M").otherwise("F").alias("cd_gender"),
+            F.when(cd_sk % 3 == 0, "S").when(cd_sk % 3 == 1, "M").otherwise("D").alias("cd_marital_status"),
+            F.when(cd_sk % 4 == 0, "College")
+            .when(cd_sk % 4 == 1, "Primary")
+            .when(cd_sk % 4 == 2, "Secondary")
+            .otherwise("Advanced Degree")
+            .alias("cd_education_status"),
+        )
+        .distinct()
+    )
+    promo_sk = F.col("o_orderkey") % 20
+    promotion = (
+        t["orders"]
+        .select(
+            promo_sk.alias("p_promo_sk"),
+            F.when(promo_sk % 2 == 0, "N").otherwise("Y").alias("p_channel_email"),
+            F.when(promo_sk % 3 == 0, "N").otherwise("Y").alias("p_channel_event"),
+        )
+        .distinct()
+    )
+    o = t["orders"]
+    li = t["lineitem"]
+    store_sales = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("l_orderkey").alias("ss_ticket_number"),
+        F.col("o_orderdate").alias("ss_sold_date_sk"),
+        F.col("l_partkey").alias("ss_item_sk"),
+        F.col("o_custkey").alias("ss_customer_sk"),
+        F.col("l_suppkey").alias("ss_store_sk"),
+        (F.col("o_custkey") % 60).alias("ss_cdemo_sk"),
+        (F.col("o_custkey") % 100).alias("ss_hdemo_sk"),
+        F.when((F.col("o_orderkey") % 7 == 0) & (F.col("o_custkey") > 1), F.col("o_custkey") - 1)
+        .otherwise(F.col("o_custkey"))
+        .alias("ss_addr_sk"),
+        (F.col("l_orderkey") % 20).alias("ss_promo_sk"),
+        F.col("l_quantity").alias("ss_quantity"),
+        F.col("l_extendedprice").alias("ss_list_price"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("ss_sales_price"),
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("ss_coupon_amt"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("ss_ext_sales_price"),
+        F.col("l_extendedprice").alias("ss_ext_list_price"),
+        (F.col("l_extendedprice") * F.col("l_tax")).alias("ss_ext_tax"),
+    )
+    return {
+        "date_dim": date_dim,
+        "item": item,
+        "store": store,
+        "customer_address": customer_address,
+        "customer_dim": customer_dim,
+        "household_demographics": household_demographics,
+        "customer_demographics": customer_demographics,
+        "promotion": promotion,
+        "store_sales": store_sales,
+    }
+
+
+# ---------------------------------------------------------------------------
+# q3 — year/brand sales for one manufacturer in November
+# ---------------------------------------------------------------------------
+
+Q3_ORACLE = f"""
+WITH {DS_CTES}
+SELECT d_year, i_brand_id AS brand_id, i_brand AS brand,
+       round(sum(ss_ext_sales_price), 4) AS sum_agg
+FROM date_dim JOIN store_sales ON d_date_sk = ss_sold_date_sk
+              JOIN item ON ss_item_sk = i_item_sk
+WHERE i_manufact_id = 2 AND d_moy = 11
+GROUP BY d_year, i_brand, i_brand_id
+ORDER BY d_year, sum_agg DESC, brand_id
+LIMIT 100
+"""
+
+
+@register("tpcds_q3", Q3_ORACLE, tags=("tpcds", "star", "agg"))
+def tpcds_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q3 (reference tpcds/q3.sql; i_manufact_id retargeted 128→2).
+
+    Star join: fact ⋈ broadcast(date_dim) ⋈ item, then partial+final agg on
+    (year, brand). (d_year, brand_id) is a unique group key, so the top-100
+    is deterministic."""
+    ds = _ds(spark, sf_dir)
+    return (
+        ds["store_sales"]
+        .join(F.broadcast(ds["date_dim"].filter(F.col("d_moy") == 11)), F.col("ss_sold_date_sk") == F.col("d_date_sk"))
+        .join(ds["item"].filter(F.col("i_manufact_id") == 2), F.col("ss_item_sk") == F.col("i_item_sk"))
+        .groupBy("d_year", "i_brand", "i_brand_id")
+        .agg(F.round(F.sum("ss_ext_sales_price"), 4).alias("sum_agg"))
+        .select(
+            "d_year",
+            F.col("i_brand_id").alias("brand_id"),
+            F.col("i_brand").alias("brand"),
+            "sum_agg",
+        )
+        .orderBy("d_year", F.desc("sum_agg"), "brand_id")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q7 — demographic/promotion item averages
+# ---------------------------------------------------------------------------
+
+Q7_ORACLE = f"""
+WITH {DS_CTES}
+SELECT i_item_id,
+       round(avg(ss_quantity), 6) AS agg1,
+       round(avg(ss_list_price), 6) AS agg2,
+       round(avg(ss_coupon_amt), 6) AS agg3,
+       round(avg(ss_sales_price), 6) AS agg4
+FROM store_sales JOIN customer_demographics ON ss_cdemo_sk = cd_demo_sk
+                 JOIN date_dim ON ss_sold_date_sk = d_date_sk
+                 JOIN item ON ss_item_sk = i_item_sk
+                 JOIN promotion ON ss_promo_sk = p_promo_sk
+WHERE cd_gender = 'M' AND cd_marital_status = 'S' AND cd_education_status = 'College'
+  AND (p_channel_email = 'N' OR p_channel_event = 'N')
+  AND d_year = 2000
+GROUP BY i_item_id
+ORDER BY i_item_id
+LIMIT 100
+"""
+
+
+@register("tpcds_q7", Q7_ORACLE, tags=("tpcds", "star", "agg"))
+def tpcds_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q7 (reference tpcds/q7.sql). Four-dim star join with a
+    demographics slice (cd sk%12==0 → 1/12 of the fact) and a disjunctive
+    promotion filter. All money inputs are exact 4-decimal, so avg =
+    exact-sum / count is engine-stable at round-6."""
+    ds = _ds(spark, sf_dir)
+    cd = ds["customer_demographics"].filter(
+        (F.col("cd_gender") == "M")
+        & (F.col("cd_marital_status") == "S")
+        & (F.col("cd_education_status") == "College")
+    )
+    promo = ds["promotion"].filter((F.col("p_channel_email") == "N") | (F.col("p_channel_event") == "N"))
+    return (
+        ds["store_sales"]
+        .join(F.broadcast(cd), F.col("ss_cdemo_sk") == F.col("cd_demo_sk"))
+        .join(F.broadcast(ds["date_dim"].filter(F.col("d_year") == 2000)), F.col("ss_sold_date_sk") == F.col("d_date_sk"))
+        .join(ds["item"], F.col("ss_item_sk") == F.col("i_item_sk"))
+        .join(F.broadcast(promo), F.col("ss_promo_sk") == F.col("p_promo_sk"))
+        .groupBy("i_item_id")
+        .agg(
+            F.round(F.avg("ss_quantity"), 6).alias("agg1"),
+            F.round(F.avg("ss_list_price"), 6).alias("agg2"),
+            F.round(F.avg("ss_coupon_amt"), 6).alias("agg3"),
+            F.round(F.avg("ss_sales_price"), 6).alias("agg4"),
+        )
+        .orderBy("i_item_id")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — brand revenue where customer zip differs from store zip
+# ---------------------------------------------------------------------------
+
+Q19_ORACLE = f"""
+WITH {DS_CTES}
+SELECT i_brand_id AS brand_id, i_brand AS brand, i_manufact_id, i_manufact,
+       round(sum(ss_ext_sales_price), 4) AS ext_price
+FROM date_dim JOIN store_sales ON d_date_sk = ss_sold_date_sk
+              JOIN item ON ss_item_sk = i_item_sk
+              JOIN customer_dim ON ss_customer_sk = c_customer_sk
+              JOIN customer_address ON c_current_addr_sk = ca_address_sk
+              JOIN store ON ss_store_sk = s_store_sk
+WHERE i_manager_id = 8 AND d_moy = 11 AND d_year = 1998
+  AND substr(ca_zip, 1, 5) <> substr(s_zip, 1, 5)
+GROUP BY i_brand, i_brand_id, i_manufact_id, i_manufact
+ORDER BY ext_price DESC, brand, brand_id, i_manufact_id, i_manufact
+LIMIT 100
+"""
+
+
+@register("tpcds_q19", Q19_ORACLE, tags=("tpcds", "star", "join"))
+def tpcds_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q19 (reference tpcds/q19.sql). Six-table star with a
+    non-equi residual (customer zip != store zip) applied after the joins.
+    customer/address joins are SF-proportional → left to AQE; store and
+    date_dim broadcast."""
+    ds = _ds(spark, sf_dir)
+    return (
+        ds["store_sales"]
+        .join(
+            F.broadcast(ds["date_dim"].filter((F.col("d_moy") == 11) & (F.col("d_year") == 1998))),
+            F.col("ss_sold_date_sk") == F.col("d_date_sk"),
+        )
+        .join(ds["item"].filter(F.col("i_manager_id") == 8), F.col("ss_item_sk") == F.col("i_item_sk"))
+        .join(ds["customer_dim"], F.col("ss_customer_sk") == F.col("c_customer_sk"))
+        .join(ds["customer_address"], F.col("c_current_addr_sk") == F.col("ca_address_sk"))
+        .join(F.broadcast(ds["store"]), F.col("ss_store_sk") == F.col("s_store_sk"))
+        .filter(F.substring("ca_zip", 1, 5) != F.substring("s_zip", 1, 5))
+        .groupBy("i_brand", "i_brand_id", "i_manufact_id", "i_manufact")
+        .agg(F.round(F.sum("ss_ext_sales_price"), 4).alias("ext_price"))
+        .select(
+            F.col("i_brand_id").alias("brand_id"),
+            F.col("i_brand").alias("brand"),
+            "i_manufact_id",
+            "i_manufact",
+            "ext_price",
+        )
+        .orderBy(F.desc("ext_price"), "brand", "brand_id", "i_manufact_id", "i_manufact")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q42 — category sales for one manager-month
+# ---------------------------------------------------------------------------
+
+Q42_ORACLE = f"""
+WITH {DS_CTES}
+SELECT d_year, i_category_id, i_category,
+       round(sum(ss_ext_sales_price), 4) AS sum_sales
+FROM date_dim JOIN store_sales ON d_date_sk = ss_sold_date_sk
+              JOIN item ON ss_item_sk = i_item_sk
+WHERE i_manager_id = 1 AND d_moy = 11 AND d_year = 2000
+GROUP BY d_year, i_category_id, i_category
+ORDER BY sum_sales DESC, d_year, i_category_id, i_category
+LIMIT 100
+"""
+
+
+@register("tpcds_q42", Q42_ORACLE, tags=("tpcds", "star", "agg"))
+def tpcds_q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q42 (reference tpcds/q42.sql; sum aliased sum_sales both
+    engines for the driver's column-name-sorted hash)."""
+    ds = _ds(spark, sf_dir)
+    return (
+        ds["store_sales"]
+        .join(
+            F.broadcast(ds["date_dim"].filter((F.col("d_moy") == 11) & (F.col("d_year") == 2000))),
+            F.col("ss_sold_date_sk") == F.col("d_date_sk"),
+        )
+        .join(ds["item"].filter(F.col("i_manager_id") == 1), F.col("ss_item_sk") == F.col("i_item_sk"))
+        .groupBy("d_year", "i_category_id", "i_category")
+        .agg(F.round(F.sum("ss_ext_sales_price"), 4).alias("sum_sales"))
+        .orderBy(F.desc("sum_sales"), "d_year", "i_category_id", "i_category")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q52 — brand sales for one manager-month (q3 shape, equality filter on year)
+# ---------------------------------------------------------------------------
+
+Q52_ORACLE = f"""
+WITH {DS_CTES}
+SELECT d_year, i_brand_id AS brand_id, i_brand AS brand,
+       round(sum(ss_ext_sales_price), 4) AS ext_price
+FROM date_dim JOIN store_sales ON d_date_sk = ss_sold_date_sk
+              JOIN item ON ss_item_sk = i_item_sk
+WHERE i_manager_id = 1 AND d_moy = 11 AND d_year = 2000
+GROUP BY d_year, i_brand, i_brand_id
+ORDER BY d_year, ext_price DESC, brand_id
+LIMIT 100
+"""
+
+
+@register("tpcds_q52", Q52_ORACLE, tags=("tpcds", "star", "agg"))
+def tpcds_q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q52 (reference tpcds/q52.sql)."""
+    ds = _ds(spark, sf_dir)
+    return (
+        ds["store_sales"]
+        .join(
+            F.broadcast(ds["date_dim"].filter((F.col("d_moy") == 11) & (F.col("d_year") == 2000))),
+            F.col("ss_sold_date_sk") == F.col("d_date_sk"),
+        )
+        .join(ds["item"].filter(F.col("i_manager_id") == 1), F.col("ss_item_sk") == F.col("i_item_sk"))
+        .groupBy("d_year", "i_brand", "i_brand_id")
+        .agg(F.round(F.sum("ss_ext_sales_price"), 4).alias("ext_price"))
+        .select("d_year", F.col("i_brand_id").alias("brand_id"), F.col("i_brand").alias("brand"), "ext_price")
+        .orderBy("d_year", F.desc("ext_price"), "brand_id")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q55 — brand revenue for one manager-month
+# ---------------------------------------------------------------------------
+
+Q55_ORACLE = f"""
+WITH {DS_CTES}
+SELECT i_brand_id AS brand_id, i_brand AS brand,
+       round(sum(ss_ext_sales_price), 4) AS ext_price
+FROM date_dim JOIN store_sales ON d_date_sk = ss_sold_date_sk
+              JOIN item ON ss_item_sk = i_item_sk
+WHERE i_manager_id = 28 AND d_moy = 11 AND d_year = 1999
+GROUP BY i_brand, i_brand_id
+ORDER BY ext_price DESC, brand_id
+LIMIT 100
+"""
+
+
+@register("tpcds_q55", Q55_ORACLE, tags=("tpcds", "star", "agg"))
+def tpcds_q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q55 (reference tpcds/q55.sql)."""
+    ds = _ds(spark, sf_dir)
+    return (
+        ds["store_sales"]
+        .join(
+            F.broadcast(ds["date_dim"].filter((F.col("d_moy") == 11) & (F.col("d_year") == 1999))),
+            F.col("ss_sold_date_sk") == F.col("d_date_sk"),
+        )
+        .join(ds["item"].filter(F.col("i_manager_id") == 28), F.col("ss_item_sk") == F.col("i_item_sk"))
+        .groupBy("i_brand", "i_brand_id")
+        .agg(F.round(F.sum("ss_ext_sales_price"), 4).alias("ext_price"))
+        .select(F.col("i_brand_id").alias("brand_id"), F.col("i_brand").alias("brand"), "ext_price")
+        .orderBy(F.desc("ext_price"), "brand_id")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q68 — per-ticket totals for dep/vehicle households, moved-city customers
+# ---------------------------------------------------------------------------
+
+Q68_ORACLE = f"""
+WITH {DS_CTES},
+dn AS (
+  SELECT ss_ticket_number, ss_customer_sk, ca_city AS bought_city,
+         round(sum(ss_ext_sales_price), 4) AS extended_price,
+         round(sum(ss_ext_list_price), 4) AS list_price,
+         round(sum(ss_ext_tax), 4) AS extended_tax
+  FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+                   JOIN store ON ss_store_sk = s_store_sk
+                   JOIN household_demographics ON ss_hdemo_sk = hd_demo_sk
+                   JOIN customer_address ON ss_addr_sk = ca_address_sk
+  WHERE d_dom BETWEEN 1 AND 5
+    AND (hd_dep_count = 4 OR hd_vehicle_count = 3)
+    AND d_year IN (1999, 2000, 2001)
+    AND s_city IN ('NATION_9_0', 'NATION_17_1', 'NATION_23_3', 'NATION_19_5')
+  GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city)
+SELECT c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number,
+       extended_price, extended_tax, list_price
+FROM dn JOIN customer_dim ON ss_customer_sk = c_customer_sk
+        JOIN customer_address ON c_current_addr_sk = ca_address_sk
+WHERE ca_city <> bought_city
+ORDER BY c_last_name, ss_ticket_number
+LIMIT 100
+"""
+
+
+@register("tpcds_q68", Q68_ORACLE, tags=("tpcds", "star", "join"))
+def tpcds_q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q68 (reference tpcds/q68.sql; cities retargeted to the derived
+    nation-city domain). Inner aggregate per ticket, then a second
+    customer/current-address join filtering tickets bought in a different
+    city than the customer now lives in. ss_ticket_number is unique per dn
+    row (one customer per order), making the top-100 deterministic."""
+    ds = _ds(spark, sf_dir)
+    hd = ds["household_demographics"].filter((F.col("hd_dep_count") == 4) | (F.col("hd_vehicle_count") == 3))
+    st = ds["store"].filter(F.col("s_city").isin("NATION_9_0", "NATION_17_1", "NATION_23_3", "NATION_19_5"))
+    dn = (
+        ds["store_sales"]
+        .join(
+            F.broadcast(ds["date_dim"].filter(F.col("d_dom").between(1, 5) & F.col("d_year").isin(1999, 2000, 2001))),
+            F.col("ss_sold_date_sk") == F.col("d_date_sk"),
+        )
+        .join(F.broadcast(st), F.col("ss_store_sk") == F.col("s_store_sk"))
+        .join(F.broadcast(hd), F.col("ss_hdemo_sk") == F.col("hd_demo_sk"))
+        .join(ds["customer_address"], F.col("ss_addr_sk") == F.col("ca_address_sk"))
+        .groupBy("ss_ticket_number", "ss_customer_sk", "ss_addr_sk", "ca_city")
+        .agg(
+            F.round(F.sum("ss_ext_sales_price"), 4).alias("extended_price"),
+            F.round(F.sum("ss_ext_list_price"), 4).alias("list_price"),
+            F.round(F.sum("ss_ext_tax"), 4).alias("extended_tax"),
+        )
+        .select("ss_ticket_number", "ss_customer_sk", F.col("ca_city").alias("bought_city"), "extended_price", "list_price", "extended_tax")
+    )
+    return (
+        dn.join(ds["customer_dim"], F.col("ss_customer_sk") == F.col("c_customer_sk"))
+        .join(ds["customer_address"], F.col("c_current_addr_sk") == F.col("ca_address_sk"))
+        .filter(F.col("ca_city") != F.col("bought_city"))
+        .select(
+            "c_last_name", "c_first_name", "ca_city", "bought_city", "ss_ticket_number",
+            "extended_price", "extended_tax", "list_price",
+        )
+        .orderBy("c_last_name", "ss_ticket_number")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q98 — item revenue share within class over a 30-day window
+# ---------------------------------------------------------------------------
+
+Q98_ORACLE = f"""
+WITH {DS_CTES}
+SELECT i_item_desc, i_category, i_class, i_current_price,
+       round(sum(ss_ext_sales_price), 4) AS itemrevenue,
+       round(sum(ss_ext_sales_price) * 100 / sum(sum(ss_ext_sales_price))
+             OVER (PARTITION BY i_class), 6) AS revenueratio
+FROM store_sales JOIN item ON ss_item_sk = i_item_sk
+                 JOIN date_dim ON ss_sold_date_sk = d_date_sk
+WHERE i_category IN ('Sports', 'Books', 'Home')
+  AND d_date_sk BETWEEN TIMESTAMP '1997-02-22 00:00:00' AND TIMESTAMP '1997-03-24 00:00:00'
+GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio
+LIMIT 100
+"""
+
+
+@register("tpcds_q98", Q98_ORACLE, tags=("tpcds", "star", "window"))
+def tpcds_q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q98 (reference tpcds/q98.sql; window date retargeted into the
+    fixture span). Aggregate-then-window: the class-share ratio is a window
+    sum over the per-item aggregates — a few thousand rows post-agg, so the
+    PARTITION BY i_class window is cheap at any SF. Ratio rounded at 6
+    (non-terminating division; see tpch.py rounding policy)."""
+    ds = _ds(spark, sf_dir)
+    grouped = (
+        ds["store_sales"]
+        .join(
+            ds["item"].filter(F.col("i_category").isin("Sports", "Books", "Home")),
+            F.col("ss_item_sk") == F.col("i_item_sk"),
+        )
+        .join(
+            F.broadcast(
+                ds["date_dim"].filter(
+                    F.col("d_date_sk").between(
+                        F.lit("1997-02-22").cast("timestamp"), F.lit("1997-03-24").cast("timestamp")
+                    )
+                )
+            ),
+            F.col("ss_sold_date_sk") == F.col("d_date_sk"),
+        )
+        .groupBy("i_item_id", "i_item_desc", "i_category", "i_class", "i_current_price")
+        .agg(F.sum("ss_ext_sales_price").alias("_rev"))
+    )
+    w = W.partitionBy("i_class")
+    return (
+        grouped.select(
+            "i_item_id",
+            "i_item_desc",
+            "i_category",
+            "i_class",
+            "i_current_price",
+            F.round(F.col("_rev"), 4).alias("itemrevenue"),
+            F.round(F.col("_rev") * 100 / F.sum("_rev").over(w), 6).alias("revenueratio"),
+        )
+        .orderBy("i_category", "i_class", "i_item_id", "i_item_desc", "revenueratio")
+        .select("i_item_desc", "i_category", "i_class", "i_current_price", "itemrevenue", "revenueratio")
+        .limit(100)
+    )

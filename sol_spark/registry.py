@@ -51,6 +51,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pandas_ops,
         relational,
         ssb,
+        tpcds,
         tpch,
     )
     from sol_spark.operators import dedup, multimodal, similarity, skew, text  # noqa: F401

@@ -208,8 +208,22 @@ def events_stream(
         # pinned UTC so values match the batch side's timestamp_ntz.
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
-    # Schema sanity: stream shape must equal batch shape.
-    assert [f.name for f in stream.schema.fields] == [f.name for f in batch.schema.fields]
+    # Schema sanity: stream shape must equal batch shape — full (name, type)
+    # pairs, and an explicit raise (a bare assert is stripped under -O and
+    # checked names only; r1 ADVICE).
+    # timestamp vs timestamp_ntz is the one sanctioned difference (see the
+    # ts comment above: watermarks need TIMESTAMP; UTC pin makes values equal).
+    def _shape(df: DataFrame) -> list[tuple[str, str]]:
+        return [
+            (f.name, f.dataType.simpleString().replace("timestamp_ntz", "timestamp"))
+            for f in df.schema.fields
+        ]
+
+    stream_shape, batch_shape = _shape(stream), _shape(batch)
+    if stream_shape != batch_shape:
+        raise ValueError(
+            f"stream/batch schema divergence: stream={stream_shape} batch={batch_shape}"
+        )
     return stream, tmp
 
 

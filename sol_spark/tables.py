@@ -10,6 +10,7 @@ directory tree; partition pruning happens in Catalyst.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -66,8 +67,13 @@ def _read(spark: SparkSession, path: str) -> DataFrame:
 # lazy plans, so sharing them across queries is safe. Temp views are
 # session-global, so track which sf_dir's views a session currently holds
 # and re-register when it switches (SQL-text queries resolve via views).
-_CATALOG_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
-_VIEWS_FOR_SESSION: dict[int, str] = {}
+# WeakKeyDictionary keyed on the session OBJECT, not id(): id() values are
+# reused after GC, which could hand a new session DataFrames bound to a dead
+# JVM (r1 ADVICE). Entries die with their session.
+_CATALOG_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, dict[str, DataFrame]]]" = (
+    weakref.WeakKeyDictionary()
+)
+_VIEWS_FOR_SESSION: "weakref.WeakKeyDictionary[SparkSession, str]" = weakref.WeakKeyDictionary()
 
 
 def load_tables(
@@ -78,11 +84,11 @@ def load_tables(
     """Load every fixture table from ``sf_dir`` and (optionally) register
     each as a temp view so both the DataFrame and SQL surfaces see them."""
     sf_abs = os.path.abspath(sf_dir)
-    key = (id(spark), sf_abs)
-    cached = _CATALOG_CACHE.get(key)
+    per_session = _CATALOG_CACHE.setdefault(spark, {})
+    cached = per_session.get(sf_abs)
     if cached is not None and not register_views:
         return dict(cached)
-    if cached is not None and _VIEWS_FOR_SESSION.get(id(spark)) == sf_abs:
+    if cached is not None and _VIEWS_FOR_SESSION.get(spark) == sf_abs:
         return dict(cached)
     tables: dict[str, DataFrame] = cached or {}
     if not tables:
@@ -91,9 +97,9 @@ def load_tables(
             if not os.path.exists(path):
                 continue
             tables[name] = _read(spark, path)
-        _CATALOG_CACHE[key] = dict(tables)
+        per_session[sf_abs] = dict(tables)
     if register_views:
         for name, df in tables.items():
             df.createOrReplaceTempView(name)
-        _VIEWS_FOR_SESSION[id(spark)] = sf_abs
+        _VIEWS_FOR_SESSION[spark] = sf_abs
     return dict(tables)

@@ -7,9 +7,24 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from contextlib import contextmanager
+
 from sol_spark.plans import explain_formatted as _plan
 from sol_spark.queries.tpch import q1, q3, q5, q6
 from sol_spark.tables import load_tables
+
+
+@contextmanager
+def _sql_conf(spark, key: str, value: str):
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def test_q6_filter_pushdown(spark, sf_dir):
@@ -223,3 +238,27 @@ def test_fact_fact_not_broadcast(spark, sf_dir):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_sort_aggregate_chosen(spark, sf_dir):
+    """SortAggregateExec pin (reference aggregate/SortAggregateExec.scala:33):
+    with ObjectHashAggregate disabled, an object-buffer aggregate
+    (collect_list) must fall back to sort-based aggregation — the reference's
+    planner does the same for unhashable buffers (AggUtils)."""
+    t = load_tables(spark, sf_dir)
+    with _sql_conf(spark, "spark.sql.execution.useObjectHashAggregateExec", "false"):
+        df = (
+            t["lineitem"]
+            .groupBy("l_returnflag")
+            .agg(F.collect_list("l_linestatus").alias("statuses"))
+        )
+        plan = _plan(df)
+        assert "SortAggregate" in plan
+        assert df.count() == 3
+    # Default path: same query plans as ObjectHashAggregate.
+    df2 = (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(F.collect_list("l_linestatus").alias("statuses"))
+    )
+    assert "ObjectHashAggregate" in _plan(df2)

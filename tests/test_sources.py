@@ -370,3 +370,101 @@ def test_nested_column_pruning(spark, sf_dir, tmp_path):
     read_schema = plan.split("ReadSchema")[1][:300].replace(" ", "")
     assert "payload:struct<b:bigint>" in read_schema  # only the leaf survives
     assert q.agg(F.sum("b")).collect()[0][0] == sum(2 * i for i in range(100))
+
+
+def test_kafka_contract_missing_package(spark):
+    """Kafka connector contract (reference external/kafka-0-10-sql/.../
+    KafkaSourceProvider.scala:44): the plan surface is stock
+    `readStream.format("kafka")`; this environment has no spark-sql-kafka
+    package or broker (documented non-goal, README). Assert the failure is
+    Spark's own missing-data-source error — i.e. our option plumbing reaches
+    the resolver and the gap is the package, not our code. On a real
+    cluster, `--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>`
+    enables the identical call."""
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException) as exc:
+        (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", "localhost:9092")
+            .option("subscribe", "events")
+            .load()
+        )
+    msg = str(exc.value)
+    assert "kafka" in msg.lower()
+    # Spark names the deployment artifact in the error, proving resolution
+    # got as far as the provider lookup.
+    assert "Failed to find" in msg or "DATA_SOURCE_NOT_FOUND" in msg
+
+
+def test_socket_source_roundtrip(spark):
+    """Socket debug source (reference sql/core/.../streaming/sources/
+    socket.scala): read lines from a local TCP server into a memory sink.
+    Debug-only source (no offsets, not fault-tolerant) — same caveat as the
+    reference's class doc."""
+    import socket
+    import threading
+    import time
+    import uuid
+
+    lines = [b"alpha\n", b"beta\n", b"gamma\n"]
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        srv.settimeout(30)
+        try:
+            conn, _ = srv.accept()
+            with conn:
+                for ln in lines:
+                    conn.sendall(ln)
+                # Keep the connection open until the query has consumed.
+                stop.wait(timeout=30)
+        except OSError:
+            pass
+
+    th = threading.Thread(target=serve, daemon=True)
+    th.start()
+    stream = (
+        spark.readStream.format("socket")
+        .option("host", "127.0.0.1")
+        .option("port", str(port))
+        .load()
+    )
+    assert [f.name for f in stream.schema.fields] == ["value"]
+    name = f"sock_{uuid.uuid4().hex[:6]}"
+    q = stream.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and spark.table(name).count() < len(lines):
+            time.sleep(0.5)
+    finally:
+        stop.set()
+        q.stop()
+        srv.close()
+    got = {r.value for r in spark.table(name).collect()}
+    assert got == {"alpha", "beta", "gamma"}
+
+
+def test_console_sink_completes(spark, sf_dir):
+    """Console debug sink (reference sql/core/.../streaming/console.scala):
+    AvailableNow-bounded run of a file stream into the console sink must
+    complete cleanly (output goes to driver stdout; we assert lifecycle)."""
+    from sol_spark.streaming.pipelines import events_stream
+
+    stream, tmp = events_stream(spark, sf_dir)
+    try:
+        q = (
+            stream.writeStream.format("console")
+            .option("numRows", "5")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.lastProgress is not None
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
