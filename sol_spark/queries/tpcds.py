@@ -59,7 +59,9 @@ date_dim AS (
   SELECT DISTINCT o_orderdate AS d_date_sk,
          year(o_orderdate) AS d_year,
          month(o_orderdate) AS d_moy,
-         day(o_orderdate) AS d_dom
+         day(o_orderdate) AS d_dom,
+         (year(o_orderdate) - 1992) * 12 + month(o_orderdate) AS d_month_seq,
+         quarter(o_orderdate) AS d_qoy
   FROM orders),
 item AS (
   SELECT p_partkey AS i_item_sk,
@@ -80,7 +82,10 @@ item AS (
 store AS (
   SELECT s_suppkey AS s_store_sk,
          n_name || '_' || (s_suppkey % 10) AS s_city,
-         lpad(CAST(s_suppkey % 97 AS VARCHAR), 5, '0') AS s_zip
+         lpad(CAST(s_suppkey % 97 AS VARCHAR), 5, '0') AS s_zip,
+         'ST_' || (s_nationkey % 7) AS s_state,
+         'Store_' || s_suppkey AS s_store_name,
+         'Company_' || (s_suppkey % 3) AS s_company_name
   FROM supplier JOIN nation ON s_nationkey = n_nationkey),
 customer_address AS (
   SELECT c_custkey AS ca_address_sk,
@@ -127,7 +132,8 @@ store_sales AS (
          l_extendedprice * l_discount AS ss_coupon_amt,
          l_extendedprice * (1 - l_discount) AS ss_ext_sales_price,
          l_extendedprice AS ss_ext_list_price,
-         l_extendedprice * l_tax AS ss_ext_tax
+         l_extendedprice * l_tax AS ss_ext_tax,
+         l_extendedprice * (0.5 - l_discount) AS ss_net_profit
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
 """
 
@@ -152,6 +158,8 @@ def _ds(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             F.year("o_orderdate").alias("d_year"),
             F.month("o_orderdate").alias("d_moy"),
             F.dayofmonth("o_orderdate").alias("d_dom"),
+            ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate")).alias("d_month_seq"),
+            F.quarter("o_orderdate").alias("d_qoy"),
         )
     )
     item = t["part"].select(
@@ -179,6 +187,9 @@ def _ds(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             F.col("s_suppkey").alias("s_store_sk"),
             F.concat_ws("_", "n_name", F.col("s_suppkey") % 10).alias("s_city"),
             F.lpad((F.col("s_suppkey") % 97).cast("string"), 5, "0").alias("s_zip"),
+            F.concat(F.lit("ST_"), F.col("s_nationkey") % 7).alias("s_state"),
+            F.concat(F.lit("Store_"), F.col("s_suppkey")).alias("s_store_name"),
+            F.concat(F.lit("Company_"), F.col("s_suppkey") % 3).alias("s_company_name"),
         )
     )
     customer_address = (
@@ -252,6 +263,7 @@ def _ds(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("ss_ext_sales_price"),
         F.col("l_extendedprice").alias("ss_ext_list_price"),
         (F.col("l_extendedprice") * F.col("l_tax")).alias("ss_ext_tax"),
+        (F.col("l_extendedprice") * (0.5 - F.col("l_discount"))).alias("ss_net_profit"),
     )
     return {
         "date_dim": date_dim,
@@ -654,5 +666,272 @@ def tpcds_q98(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i_category", "i_class", "i_item_id", "i_item_desc", "revenueratio")
         .select("i_item_desc", "i_category", "i_class", "i_current_price", "itemrevenue", "revenueratio")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q27 — demographic item/state averages with ROLLUP
+# ---------------------------------------------------------------------------
+
+Q27_ORACLE = f"""
+WITH {DS_CTES}
+SELECT i_item_id, s_state, grouping(s_state) AS g_state,
+       round(avg(ss_quantity), 6) AS agg1,
+       round(avg(ss_list_price), 6) AS agg2,
+       round(avg(ss_coupon_amt), 6) AS agg3,
+       round(avg(ss_sales_price), 6) AS agg4
+FROM store_sales JOIN customer_demographics ON ss_cdemo_sk = cd_demo_sk
+                 JOIN date_dim ON ss_sold_date_sk = d_date_sk
+                 JOIN store ON ss_store_sk = s_store_sk
+                 JOIN item ON ss_item_sk = i_item_sk
+WHERE cd_gender = 'M' AND cd_marital_status = 'S' AND cd_education_status = 'College'
+  AND d_year = 2000 AND s_state IN ('ST_0', 'ST_1', 'ST_2')
+GROUP BY ROLLUP (i_item_id, s_state)
+ORDER BY i_item_id NULLS FIRST, s_state NULLS FIRST
+LIMIT 100
+"""
+
+
+@register("tpcds_q27", Q27_ORACLE, tags=("tpcds", "star", "rollup"))
+def tpcds_q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q27 (reference tpcds/q27.sql; states retargeted to the derived
+    ST_k domain). ROLLUP over (item, state) with grouping(): the ExpandExec
+    path composed with a 4-dim star join. NULLS FIRST pinned in the oracle —
+    Spark's ASC default — because LIMIT makes row selection order-sensitive."""
+    ds = _ds(spark, sf_dir)
+    cd = ds["customer_demographics"].filter(
+        (F.col("cd_gender") == "M")
+        & (F.col("cd_marital_status") == "S")
+        & (F.col("cd_education_status") == "College")
+    )
+    st = ds["store"].filter(F.col("s_state").isin("ST_0", "ST_1", "ST_2"))
+    return (
+        ds["store_sales"]
+        .join(F.broadcast(cd), F.col("ss_cdemo_sk") == F.col("cd_demo_sk"))
+        .join(F.broadcast(ds["date_dim"].filter(F.col("d_year") == 2000)), F.col("ss_sold_date_sk") == F.col("d_date_sk"))
+        .join(F.broadcast(st), F.col("ss_store_sk") == F.col("s_store_sk"))
+        .join(ds["item"], F.col("ss_item_sk") == F.col("i_item_sk"))
+        .rollup("i_item_id", "s_state")
+        .agg(
+            F.grouping("s_state").alias("g_state"),
+            F.round(F.avg("ss_quantity"), 6).alias("agg1"),
+            F.round(F.avg("ss_list_price"), 6).alias("agg2"),
+            F.round(F.avg("ss_coupon_amt"), 6).alias("agg3"),
+            F.round(F.avg("ss_sales_price"), 6).alias("agg4"),
+        )
+        .orderBy(F.asc_nulls_first("i_item_id"), F.asc_nulls_first("s_state"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q36 — gross-margin ROLLUP hierarchy with rank-within-parent
+# ---------------------------------------------------------------------------
+
+Q36_ORACLE = f"""
+WITH {DS_CTES}
+SELECT round(sum(ss_net_profit) / sum(ss_ext_sales_price), 6) AS gross_margin,
+       i_category, i_class,
+       grouping(i_category) + grouping(i_class) AS lochierarchy,
+       rank() OVER (
+         PARTITION BY grouping(i_category) + grouping(i_class),
+                      CASE WHEN grouping(i_class) = 0 THEN i_category END
+         ORDER BY sum(ss_net_profit) / sum(ss_ext_sales_price) ASC) AS rank_within_parent
+FROM store_sales JOIN date_dim ON d_date_sk = ss_sold_date_sk
+                 JOIN item ON i_item_sk = ss_item_sk
+                 JOIN store ON s_store_sk = ss_store_sk
+WHERE d_year = 2000 AND s_state IN ('ST_0', 'ST_1', 'ST_2', 'ST_3')
+GROUP BY ROLLUP (i_category, i_class)
+ORDER BY lochierarchy DESC,
+         CASE WHEN lochierarchy = 0 THEN i_category END NULLS FIRST,
+         rank_within_parent
+LIMIT 100
+"""
+
+
+@register("tpcds_q36", Q36_ORACLE, tags=("tpcds", "star", "rollup", "window"))
+def tpcds_q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q36 (reference tpcds/q36.sql). ROLLUP + grouping() feeding a
+    rank() window partitioned by the grouping level — ExpandExec output as
+    window input. The rank orders on the UNROUNDED margin: both engines sum
+    exact 4-decimal doubles, so the ratio is bit-identical and the rank is
+    stable; round(...,6) only for the hashed output column."""
+    ds = _ds(spark, sf_dir)
+    st = ds["store"].filter(F.col("s_state").isin("ST_0", "ST_1", "ST_2", "ST_3"))
+    grouped = (
+        ds["store_sales"]
+        .join(F.broadcast(ds["date_dim"].filter(F.col("d_year") == 2000)), F.col("ss_sold_date_sk") == F.col("d_date_sk"))
+        .join(ds["item"], F.col("ss_item_sk") == F.col("i_item_sk"))
+        .join(F.broadcast(st), F.col("ss_store_sk") == F.col("s_store_sk"))
+        .rollup("i_category", "i_class")
+        .agg(
+            (F.sum("ss_net_profit") / F.sum("ss_ext_sales_price")).alias("_margin"),
+            (F.grouping("i_category") + F.grouping("i_class")).alias("lochierarchy"),
+            F.grouping("i_class").alias("_g_class"),
+        )
+    )
+    w = W.partitionBy(
+        "lochierarchy", F.when(F.col("_g_class") == 0, F.col("i_category"))
+    ).orderBy(F.asc("_margin"))
+    return (
+        grouped.select(
+            F.round("_margin", 6).alias("gross_margin"),
+            "i_category",
+            "i_class",
+            "lochierarchy",
+            F.rank().over(w).alias("rank_within_parent"),
+        )
+        .orderBy(
+            F.desc("lochierarchy"),
+            F.asc_nulls_first(F.when(F.col("lochierarchy") == 0, F.col("i_category"))),
+            "rank_within_parent",
+        )
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q53 — manufacturer quarterly sales vs their average (deviation filter)
+# ---------------------------------------------------------------------------
+
+Q53_ORACLE = f"""
+WITH {DS_CTES},
+tmp1 AS (
+  SELECT i_manufact_id, d_qoy,
+         sum(ss_sales_price) AS sum_sales_raw,
+         avg(sum(ss_sales_price)) OVER (PARTITION BY i_manufact_id) AS avg_raw
+  FROM store_sales JOIN item ON ss_item_sk = i_item_sk
+                   JOIN date_dim ON ss_sold_date_sk = d_date_sk
+                   JOIN store ON ss_store_sk = s_store_sk
+  WHERE d_month_seq IN (37, 38, 39, 40, 41, 42, 43, 44, 45, 46, 47, 48)
+    AND ((i_category IN ('Sports', 'Books') AND i_class IN ('ECONOMY', 'PROMO', 'STANDARD')
+          AND i_brand IN ('Brand#3', 'Brand#7', 'Brand#9', 'Brand#14'))
+      OR (i_category IN ('Music', 'Shoes') AND i_class IN ('LARGE', 'MEDIUM', 'SMALL')
+          AND i_brand IN ('Brand#16', 'Brand#21', 'Brand#23', 'Brand#25')))
+  GROUP BY i_manufact_id, d_qoy)
+SELECT i_manufact_id,
+       round(sum_sales_raw, 4) AS sum_sales,
+       round(avg_raw, 6) AS avg_quarterly_sales
+FROM tmp1
+WHERE CASE WHEN avg_raw > 0 THEN abs(sum_sales_raw - avg_raw) / avg_raw ELSE NULL END > 0.1
+ORDER BY avg_quarterly_sales, sum_sales, i_manufact_id
+LIMIT 100
+"""
+
+
+@register("tpcds_q53", Q53_ORACLE, tags=("tpcds", "star", "window"))
+def tpcds_q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q53 (reference tpcds/q53.sql; month_seq/brand/class constants
+    retargeted — d_month_seq 37-48 = calendar year 1995). Aggregate-then-
+    window: avg of quarterly sums per manufacturer, keep quarters deviating
+    >10%. The window partitions on i_manufact_id over post-agg rows (#manu x
+    #quarters — tiny at any SF)."""
+    ds = _ds(spark, sf_dir)
+    it = ds["item"].filter(
+        (
+            F.col("i_category").isin("Sports", "Books")
+            & F.col("i_class").isin("ECONOMY", "PROMO", "STANDARD")
+            & F.col("i_brand").isin("Brand#3", "Brand#7", "Brand#9", "Brand#14")
+        )
+        | (
+            F.col("i_category").isin("Music", "Shoes")
+            & F.col("i_class").isin("LARGE", "MEDIUM", "SMALL")
+            & F.col("i_brand").isin("Brand#16", "Brand#21", "Brand#23", "Brand#25")
+        )
+    )
+    dd = ds["date_dim"].filter(F.col("d_month_seq").isin(*range(37, 49)))
+    grouped = (
+        ds["store_sales"]
+        .join(it, F.col("ss_item_sk") == F.col("i_item_sk"))
+        .join(F.broadcast(dd), F.col("ss_sold_date_sk") == F.col("d_date_sk"))
+        .join(F.broadcast(ds["store"]), F.col("ss_store_sk") == F.col("s_store_sk"))
+        .groupBy("i_manufact_id", "d_qoy")
+        .agg(F.sum("ss_sales_price").alias("_sum"))
+    )
+    w = W.partitionBy("i_manufact_id")
+    withavg = grouped.select("i_manufact_id", "_sum", F.avg("_sum").over(w).alias("_avg"))
+    return (
+        withavg.filter(
+            F.when(F.col("_avg") > 0, F.abs(F.col("_sum") - F.col("_avg")) / F.col("_avg")).otherwise(F.lit(None)) > 0.1
+        )
+        .select(
+            "i_manufact_id",
+            F.round("_sum", 4).alias("sum_sales"),
+            F.round("_avg", 6).alias("avg_quarterly_sales"),
+        )
+        .orderBy("avg_quarterly_sales", "sum_sales", "i_manufact_id")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q89 — monthly brand/store sales deviating from the yearly average
+# ---------------------------------------------------------------------------
+
+Q89_ORACLE = f"""
+WITH {DS_CTES},
+tmp1 AS (
+  SELECT i_category, i_class, i_brand, s_store_name, s_company_name, d_moy,
+         sum(ss_sales_price) AS sum_sales_raw,
+         avg(sum(ss_sales_price)) OVER
+           (PARTITION BY i_category, i_brand, s_store_name, s_company_name) AS avg_raw
+  FROM store_sales JOIN item ON ss_item_sk = i_item_sk
+                   JOIN date_dim ON ss_sold_date_sk = d_date_sk
+                   JOIN store ON ss_store_sk = s_store_sk
+  WHERE d_year = 1999
+    AND ((i_category IN ('Books', 'Home', 'Sports') AND i_class IN ('ECONOMY', 'STANDARD', 'PROMO'))
+      OR (i_category IN ('Music', 'Shoes') AND i_class IN ('SMALL', 'LARGE')))
+  GROUP BY i_category, i_class, i_brand, s_store_name, s_company_name, d_moy)
+SELECT i_category, i_class, i_brand, s_store_name, s_company_name, d_moy,
+       round(sum_sales_raw, 4) AS sum_sales,
+       round(avg_raw, 6) AS avg_monthly_sales
+FROM tmp1
+WHERE CASE WHEN avg_raw <> 0 THEN abs(sum_sales_raw - avg_raw) / avg_raw ELSE NULL END > 0.1
+ORDER BY sum_sales_raw - avg_raw, s_store_name, i_category, i_class, i_brand, d_moy
+LIMIT 100
+"""
+
+
+@register("tpcds_q89", Q89_ORACLE, tags=("tpcds", "star", "window"))
+def tpcds_q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q89 (reference tpcds/q89.sql; class lists retargeted to the
+    derived p_type domain). Monthly (brand, store) sales vs the yearly
+    average for that slice; the deviation ORDER BY uses the unrounded
+    difference — bit-identical across engines because the summed inputs are
+    exact 4-decimal doubles (tpch.py rounding policy)."""
+    ds = _ds(spark, sf_dir)
+    it = ds["item"].filter(
+        (
+            F.col("i_category").isin("Books", "Home", "Sports")
+            & F.col("i_class").isin("ECONOMY", "STANDARD", "PROMO")
+        )
+        | (F.col("i_category").isin("Music", "Shoes") & F.col("i_class").isin("SMALL", "LARGE"))
+    )
+    grouped = (
+        ds["store_sales"]
+        .join(it, F.col("ss_item_sk") == F.col("i_item_sk"))
+        .join(F.broadcast(ds["date_dim"].filter(F.col("d_year") == 1999)), F.col("ss_sold_date_sk") == F.col("d_date_sk"))
+        .join(F.broadcast(ds["store"]), F.col("ss_store_sk") == F.col("s_store_sk"))
+        .groupBy("i_category", "i_class", "i_brand", "s_store_name", "s_company_name", "d_moy")
+        .agg(F.sum("ss_sales_price").alias("_sum"))
+    )
+    w = W.partitionBy("i_category", "i_brand", "s_store_name", "s_company_name")
+    withavg = grouped.select(
+        "i_category", "i_class", "i_brand", "s_store_name", "s_company_name", "d_moy",
+        "_sum", F.avg("_sum").over(w).alias("_avg"),
+    )
+    return (
+        withavg.filter(
+            F.when(F.col("_avg") != 0, F.abs(F.col("_sum") - F.col("_avg")) / F.col("_avg")).otherwise(F.lit(None)) > 0.1
+        )
+        .select(
+            "i_category", "i_class", "i_brand", "s_store_name", "s_company_name", "d_moy",
+            F.round("_sum", 4).alias("sum_sales"),
+            F.round("_avg", 6).alias("avg_monthly_sales"),
+            (F.col("_sum") - F.col("_avg")).alias("_dev"),
+        )
+        .orderBy("_dev", "s_store_name", "i_category", "i_class", "i_brand", "d_moy")
+        .drop("_dev")
         .limit(100)
     )
