@@ -306,3 +306,120 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "doc_id")
     )
+
+
+TRAIN_VAL_ORACLE = """
+SELECT doc_id, lang,
+       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 10
+            THEN 'val' ELSE 'train' END AS split
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("text_train_val_split", TRAIN_VAL_ORACLE, tags=("llm", "text", "split"))
+def text_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/val split by hash-mod on doc_id (md5 hex
+    prefix -> bucket 0-99). Properties a 100 TB pipeline needs: (a) stable —
+    a document's split never changes as the corpus grows, unlike
+    fraction-sampling which reshuffles per run; (b) shuffle-free — a pure
+    projection Catalyst pipelines into the scan; (c) approximately
+    stratified per language for free, since the hash is independent of
+    lang (law of large numbers per stratum at corpus scale)."""
+    t = load_tables(spark, sf_dir)
+    bucket = F.expr("CAST(conv(substring(md5(cast(doc_id AS string)), 1, 6), 16, 10) AS BIGINT) % 100")
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            "lang",
+            F.when(bucket < 10, "val").otherwise("train").alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CONTAMINATION_ORACLE = """
+WITH norm AS (
+  SELECT doc_id, source, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ntext
+  FROM documents
+), toks AS (
+  SELECT doc_id, source, string_split(ntext, ' ') AS tk, ntext FROM norm
+), grams AS (
+  SELECT DISTINCT doc_id, source, g FROM (
+    SELECT doc_id, source,
+           CASE WHEN len(tk) < 3 THEN [ntext]
+                ELSE list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS gl
+    FROM toks
+  ) s, unnest(s.gl) AS u(g)
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE source = 'src0'
+), corpus AS (
+  SELECT doc_id, g FROM grams WHERE source <> 'src0'
+), hits AS (
+  SELECT c.doc_id, count(*) AS n_shared
+  FROM corpus c JOIN bench b ON c.g = b.g
+  GROUP BY c.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_grams,
+       coalesce(h.n_shared, 0) AS n_shared,
+       (10000 * coalesce(h.n_shared, 0)) // s.n_grams AS contamination_bp
+FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+WHERE coalesce(h.n_shared, 0) > 0
+ORDER BY s.doc_id
+"""
+
+
+@register("text_contamination", CONTAMINATION_ORACLE, tags=("llm", "text", "contamination"))
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: flag corpus documents sharing word
+    3-grams with a held-out benchmark set (here: source 'src0' stands in
+    for the eval suite). The decontamination pass every serious pre-training
+    pipeline runs (c.f. GPT-3 appendix; PaLM "data contamination").
+
+    Scale shape: the benchmark gram set is BROADCAST (eval suites are MBs
+    against a 100 TB corpus) so the corpus side never shuffles — the join
+    and the per-doc count pipeline into the scan pass. Spark joins on
+    xxhash64(gram) 8-byte keys instead of gram strings (same hashed-working-
+    row trick as dedup_minhash_lsh; collision odds ~1e-10 at benchmark
+    scale); the oracle joins raw strings and agrees."""
+    t = load_tables(spark, sf_dir)
+    norm = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+    grams = (
+        t["documents"]
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"CASE WHEN size(split({norm}, ' ')) < 3 THEN array({norm}) "
+                        f"ELSE transform(sequence(0, size(split({norm}, ' ')) - 3), "
+                        f"i -> concat_ws(' ', split({norm}, ' ')[i], split({norm}, ' ')[i+1], split({norm}, ' ')[i+2])) END"
+                    )
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "source", F.xxhash64("g").alias("gh"))
+    )
+    bench = grams.filter(F.col("source") == "src0").select("gh").distinct()
+    corpus = grams.filter(F.col("source") != "src0").select("doc_id", "gh")
+    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        corpus.join(F.broadcast(bench), "gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.expr("(10000 * coalesce(n_shared, 0)) div n_grams").alias("contamination_bp"),
+        )
+        .filter(F.col("n_shared") > 0)
+        .orderBy("doc_id")
+    )

@@ -148,6 +148,27 @@ def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.purchases_with_recent_view_outer(t["events"]).orderBy("event_id", "v_ts")
 
 
+JOIN_FULL_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts, p.value, v.v_user, v.ts AS v_ts
+FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') p
+FULL JOIN (SELECT user_id AS v_user, ts FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.v_user
+ AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+ORDER BY p.event_id, v_ts
+"""
+
+
+@register("stream_stream_join_full", JOIN_FULL_ORACLE, tags=("streaming", "join", "outer"))
+def stream_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch shape of the FULL OUTER watermarked stream-stream join —
+    unmatched rows from BOTH sides null-extend (views that led to no
+    purchase are the dominant population). Streaming emission of both
+    sides' outer rows on watermark eviction is verified in
+    tests/test_streaming.py::test_stream_stream_full_outer_join."""
+    t = load_tables(spark, sf_dir)
+    return P.purchases_with_recent_view_full(t["events"]).orderBy("event_id", "v_ts")
+
+
 ROLLUP_TIME_ORACLE = """
 SELECT date_trunc('day', ts)::TIMESTAMP AS day,
        CASE WHEN grouping(event_type) = 1 THEN NULL ELSE event_type END AS event_type,

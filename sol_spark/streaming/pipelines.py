@@ -268,6 +268,32 @@ def purchases_with_recent_view_outer(events: DataFrame) -> DataFrame:
     ).select("event_id", "user_id", "ts", "value", "v_ts")
 
 
+def purchases_with_recent_view_full(events: DataFrame) -> DataFrame:
+    """FULL OUTER stream-stream join (Spark 3.1+ upgrade over the
+    reference's inner/left/right support, StreamingSymmetricHashJoinExec):
+    every purchase with its recent views, plus null-extended rows for BOTH
+    unmatched purchases and unmatched views. Both sides' rows are evicted —
+    and their outer rows emitted — when the watermark passes the time-range
+    bound, so state stays bounded exactly as in the one-sided joins."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", WATERMARK)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+        .withWatermark("ts", WATERMARK)
+    )
+    return purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("ts"))
+        & (F.col("v_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")),
+        "fullOuter",
+    ).select("event_id", "user_id", "ts", "value", "v_user", "v_ts")
+
+
 def events_with_user_dim(events: DataFrame, user_dim: DataFrame) -> DataFrame:
     """Stream-static join: enrich the event stream with a static dimension.
     Planned as a per-micro-batch broadcast join (the static side never

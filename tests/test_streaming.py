@@ -492,3 +492,70 @@ def test_transform_with_state_in_pandas(spark, sf_dir, batch_events):
     for uid, (n, total) in latest.items():
         assert n == want[uid][0]
         assert abs(total - want[uid][1]) < 0.05
+
+
+def test_stream_stream_full_outer_join(spark, sf_dir, batch_events):
+    """Full-outer stream-stream join (Spark 3.1+; the reference supports
+    inner/left/right only): outer rows from BOTH sides are emitted on
+    watermark-driven eviction. Same sentinel/phase protocol as the
+    left-outer test; sentinels are filtered by their negative user ids on
+    whichever side survives the null-extension."""
+    import time as _t
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    stream, tmp = P.events_stream(spark, sf_dir, n_files=1)
+    try:
+        max_ns = batch_events.agg(F.max(F.unix_timestamp("ts")).alias("m")).collect()[0][
+            "m"
+        ] * 1_000_000_000
+        far = max_ns + 30 * 86400 * 1_000_000_000
+        sentinel = spark.createDataFrame(
+            [
+                (10**9, far, -1, "view", 0.0, "{}"),
+                (10**9 + 1, far, -2, "purchase", 0.0, "{}"),
+            ],
+            "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string",
+        )
+
+        def _real(rows):
+            return [
+                r
+                for r in rows
+                if (r.user_id is None or r.user_id >= 0)
+                and (r.v_user is None or r.v_user >= 0)
+            ]
+
+        want = _real(P.purchases_with_recent_view_full(batch_events).collect())
+        name = f"sink_{_uuid.uuid4().hex[:8]}"
+        q = (
+            P.purchases_with_recent_view_full(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            sentinel.coalesce(1).write.mode("append").parquet(tmp)
+            q.processAllAvailable()
+            deadline = _t.time() + 60
+            while _t.time() < deadline:
+                got = _real(spark.table(name).collect())
+                if len(got) >= len(want):
+                    break
+                _t.sleep(0.5)
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # _sorted_rows can't order rows whose keys are null (full outer
+    # null-extends BOTH sides), so order by a total repr key instead.
+    def _norm(rows):
+        return sorted(repr(tuple(sorted(r.asDict().items()))) for r in rows)
+
+    assert _norm(got) == _norm(want)
+    assert any(r.v_ts is None for r in got)  # unmatched purchases
+    assert any(r.event_id is None for r in got)  # unmatched views
