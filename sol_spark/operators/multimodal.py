@@ -243,3 +243,65 @@ def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(
         resize, schema="media_id bigint, width int, height int, out_w int, out_h int"
     ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Fixed-size chunking — pure JVM binary slicing, no Python at all
+# ---------------------------------------------------------------------------
+
+CHUNK_BYTES = 24  # 64-byte payloads -> chunks of 24/24/16
+
+MM_CHUNK_ORACLE = f"""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+         repeat(md5(text), 4) AS hx
+  FROM documents
+),
+chunks AS (
+  SELECT media_id, modality, p.i AS chunk_idx,
+         substr(hx, {2 * CHUNK_BYTES} * p.i + 1, {2 * CHUNK_BYTES}) AS chunk_hex
+  FROM media, (SELECT unnest(range(CAST(ceil({MEDIA_BYTES} / {CHUNK_BYTES}.0) AS INT))) AS i) p
+)
+SELECT media_id, modality, chunk_idx,
+       length(chunk_hex) // 2 AS n_bytes,
+       chunk_hex
+FROM chunks
+ORDER BY media_id, chunk_idx
+"""
+
+
+@register("mm_chunk_bytes", MM_CHUNK_ORACLE, tags=("llm", "multimodal"))
+def mm_chunk_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each media blob into fixed-size byte chunks — the storage-page
+    sharding step before uploading or embedding large media (a 100 MB video
+    becomes N bounded rows instead of one unbounded one).
+
+    Scale shape: sequence+posexplode computes offsets and `substring` slices
+    the binary ENTIRELY JVM-side (BinaryType passthrough, zero Python, zero
+    shuffle — a pure generator projection Catalyst pipelines into the scan).
+    The oracle reproduces every chunk byte-for-byte via hex arithmetic."""
+    media = media_table(spark, sf_dir)
+    n_chunks = F.expr(f"CAST(ceil(length(content) / {CHUNK_BYTES}.0) AS INT)")
+    return (
+        media.select(
+            "media_id",
+            "modality",
+            "content",
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "_i"),
+        )
+        .select(
+            "media_id",
+            "modality",
+            "chunk_idx",
+            F.expr(f"substring(content, chunk_idx * {CHUNK_BYTES} + 1, {CHUNK_BYTES})").alias("_chunk"),
+        )
+        .select(
+            "media_id",
+            "modality",
+            "chunk_idx",
+            F.length("_chunk").alias("n_bytes"),
+            F.lower(F.hex("_chunk")).alias("chunk_hex"),
+        )
+        .orderBy("media_id", "chunk_idx")
+    )

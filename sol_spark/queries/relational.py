@@ -889,3 +889,29 @@ def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_totalprice", "o_orderkey", "o_orderstatus")
     )
     return a.unionByName(b, allowMissingColumns=True).orderBy("o_orderkey")
+
+
+LATERAL_TOPK_ORACLE = """
+SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS price
+FROM customer, LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey = c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+WHERE c_custkey % 10 = 0
+ORDER BY c_custkey, o_orderkey
+"""
+
+
+@register("lateral_topk_orders", LATERAL_TOPK_ORACLE, tags=("join", "lateral", "subquery"))
+def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery join (Spark 3.2+; absent from the
+    reference's 2.4 grammar — SqlBase.g4 has no LATERAL): each customer's
+    top-2 orders by price, the per-row-subquery shape SQL users reach for
+    before discovering window top-k. Same SQL text on both engines;
+    Catalyst decorrelates it into a window-style plan rather than executing
+    N subqueries."""
+    load_tables(spark, sf_dir)
+    return spark.sql(LATERAL_TOPK_ORACLE)

@@ -262,3 +262,53 @@ def test_sort_aggregate_chosen(spark, sf_dir):
         .agg(F.collect_list("l_linestatus").alias("statuses"))
     )
     assert "ObjectHashAggregate" in _plan(df2)
+
+
+def test_tpcds_star_plan_shape(spark, sf_dir):
+    """tpcds_q3 must plan like a star: bounded dims broadcast (no shuffle of
+    the fact for date_dim), partial+final hash aggregation, and top-100 as
+    TakeOrderedAndProject — the plan stock TPC-DS gets on a warehouse-scale
+    cluster."""
+    from sol_spark.queries.tpcds import tpcds_q3
+
+    plan = _plan(tpcds_q3(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_aqe_skew_join_split(spark):
+    """AQE skew-join splitting (the upstreamed analog of the reference's
+    adaptive shuffle machinery, SURVEY §4.2/§4.3): a sort-merge join where
+    one key owns ~99% of the left side must show skew=true partitions in
+    the final adaptive plan. This is the mechanism that keeps one hot key
+    from serializing a 100 TB join on one reducer."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8k",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(300_000).select(
+            F.when(F.col("id") % 100 < 99, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(2_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        joined = left.join(right, "k")
+        # collect() drives THIS DataFrame's QueryExecution (count() would
+        # build a separate one, leaving this plan isFinalPlan=false).
+        assert len(joined.collect()) > 0
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
