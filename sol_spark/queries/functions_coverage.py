@@ -752,3 +752,46 @@ def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.regexp_extract_all("p_brand", F.lit("[0-9]"), 0), "").alias("re_all_v"),
         F.regexp_instr("p_name", F.lit("[aeiou]")).alias("re_instr_v"),
     ).orderBy("p_partkey")
+
+
+FN_SCALAR_EXTRA_ORACLE = """
+SELECT p_partkey,
+       list_position(string_split('STANDARD,SMALL,MEDIUM,LARGE,ECONOMY,PROMO', ','),
+                     string_split(p_type, ' ')[1]) AS fis_v,
+       lower(to_hex(p_partkey)) AS conv_hex_v,
+       CAST(factorial(CAST(p_partkey % 10 AS INT)) AS BIGINT) AS fact_v,
+       round(sqrt(p_retailprice * p_retailprice + 9.0), 6) AS hypot_v,
+       round(degrees(p_retailprice / 1000.0), 6) AS degrees_v,
+       round(radians(p_retailprice / 10.0), 6) AS radians_v,
+       instr(p_name, 'a') AS locate_v
+FROM part
+ORDER BY p_partkey
+"""
+
+
+@register("fn_scalar_extra", FN_SCALAR_EXTRA_ORACLE, tags=("functions",))
+def fn_scalar_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function stragglers with cross-engine oracles: find_in_set
+    (registry :332), conv base-10->16 (:219), factorial (:230), hypot
+    (:237; oracle emulates via sqrt(a^2+b^2) — algebraically equal, rounded
+    at 6 because hypot's overflow-safe algorithm differs in the last ulp),
+    degrees/radians (:226-227), locate (:345). Engine-local functions with
+    no DuckDB analog (soundex, sentences, crc32, bround, rint, reflect,
+    width_bucket) are pinned in tests/test_functions_misc.py instead."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .select(
+            "p_partkey",
+            F.expr(
+                "find_in_set(split(p_type, ' ')[0], 'STANDARD,SMALL,MEDIUM,LARGE,ECONOMY,PROMO')"
+            ).cast("int").alias("fis_v"),
+            F.lower(F.conv(F.col("p_partkey").cast("string"), 10, 16)).alias("conv_hex_v"),
+            F.factorial((F.col("p_partkey") % 10).cast("int")).cast("bigint").alias("fact_v"),
+            F.round(F.hypot(F.col("p_retailprice"), F.lit(3.0)), 6).alias("hypot_v"),
+            F.round(F.degrees(F.col("p_retailprice") / 1000.0), 6).alias("degrees_v"),
+            F.round(F.radians(F.col("p_retailprice") / 10.0), 6).alias("radians_v"),
+            F.locate("a", F.col("p_name")).cast("int").alias("locate_v"),
+        )
+        .orderBy("p_partkey")
+    )

@@ -134,3 +134,35 @@ def gen_unpivot_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
         .orderBy("c_custkey", "metric")
     )
+
+
+INLINE_ORACLE = """
+SELECT p_partkey, u.s.k AS k, u.s.v AS v
+FROM (
+  SELECT p_partkey,
+         [{'k': 'size', 'v': p_size}, {'k': 'mod7', 'v': p_partkey % 7}] AS arr
+  FROM part WHERE p_partkey <= 500
+), unnest(arr) AS u(s)
+ORDER BY p_partkey, k
+"""
+
+
+@register("gen_inline", INLINE_ORACLE, tags=("generator",))
+def gen_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """inline(array<struct>) generator (reference GenerateExec.scala:58;
+    registry :199) — explodes an array of structs into columns directly,
+    one row per struct, no intermediate map."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .filter(F.col("p_partkey") <= 500)
+        .select(
+            "p_partkey",
+            F.expr(
+                "inline(array("
+                "named_struct('k', 'size', 'v', p_size), "
+                "named_struct('k', 'mod7', 'v', p_partkey % 7)))"
+            ),
+        )
+        .orderBy("p_partkey", "k")
+    )

@@ -126,3 +126,31 @@ def test_crypto_and_hash_functions(spark, sf_dir):
     assert h1 == h2
     n_names = p.select("p_name").distinct().count()
     assert len({r.h for r in h1}) == n_names  # collision-free on this corpus
+
+
+def test_engine_local_scalar_functions(spark):
+    """Scalar functions with no DuckDB analog, pinned against hand-computed
+    values (reference registrations: soundex/sentences FunctionRegistry.scala
+    :360,:358; crc32 :436; bround :221; rint :244; reflect :448;
+    width_bucket added post-2.4). Complements the oracle-checked
+    fn_scalar_extra family."""
+    row = spark.range(1).select(
+        F.soundex(F.lit("Robert")).alias("sdx"),
+        F.sentences(F.lit("Hi there. How are you")).alias("sent"),
+        F.crc32(F.lit("ABC").cast("binary")).alias("crc"),
+        F.bround(F.lit(2.5)).alias("br25"),
+        F.bround(F.lit(3.5)).alias("br35"),
+        F.round(F.lit(2.5)).alias("r25"),
+        F.expr("rint(2.5)").alias("ri25"),
+        F.expr("rint(3.5)").alias("ri35"),
+        F.expr("reflect('java.lang.String', 'valueOf', 7)").alias("refl"),
+        F.width_bucket(F.lit(5.3), F.lit(0.2), F.lit(10.6), F.lit(5)).alias("wb"),
+    ).collect()[0]
+    assert row.sdx == "R163"
+    assert [list(s) for s in row.sent] == [["Hi", "there"], ["How", "are", "you"]]
+    assert row.crc == 2743272264
+    # bround/rint are HALF_EVEN (banker's); round is HALF_UP.
+    assert (row.br25, row.br35, row.r25) == (2.0, 4.0, 3.0)
+    assert (row.ri25, row.ri35) == (2.0, 4.0)
+    assert row.refl == "7"
+    assert row.wb == 3
