@@ -578,8 +578,18 @@ def connected_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
         .distinct()
     )
     edges = edges0
+    spark = pairs.sparkSession
+    sp_key = "spark.sql.shuffle.partitions"
+    old_sp = spark.conf.get(sp_key)
     try:
         n_edges = edges.count()
+        # Adaptive round parallelism: the loop runs ~5 shuffles per round,
+        # and AQE cannot coalesce ACROSS the checkpoint boundaries, so size
+        # the shuffle width from the measured edge count (~500k edges per
+        # partition). Tiny graphs run single-partition rounds (fixed
+        # overhead, not data, dominates them); at 100 TB the count keeps
+        # the cluster-default width.
+        spark.conf.set(sp_key, str(max(1, min(int(old_sp), n_edges // 500_000 + 1))))
         for _ in range(max_rounds):
             # Large-star: for each node u, m = min(neighbors(u) + {u});
             # every neighbor v > u re-points to m.
@@ -589,12 +599,13 @@ def connected_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
                 .agg(F.min("v").alias("mn"))
                 .select("u", F.least("mn", F.col("u")).alias("m"))
             )
+            # No distinct here: min() below is duplicate-insensitive and the
+            # small-star output ends in a distinct — one less shuffle/round.
             large = (
                 sym.filter(F.col("v") > F.col("u"))
                 .join(mins, "u")
                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
                 .filter(F.col("u") != F.col("v"))
-                .distinct()
             )
             # Small-star: edges already satisfy u > v; m = min(smaller
             # neighbors + {u}); u and all its smaller neighbors point to m.
@@ -629,6 +640,7 @@ def connected_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     finally:
+        spark.conf.set(sp_key, old_sp)
         # Runs after the result checkpoint above: the final round's edges and
         # the initial edge set are no longer referenced by any live plan.
         if edges is not edges0:
