@@ -317,3 +317,54 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid", "cosine", "rk")
         .orderBy("qid", "rk")
     )
+
+
+EMB_QUANTIZE_ORACLE = """
+WITH scaled AS (
+  SELECT vec_id, label,
+         CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE) AS maxabs
+  FROM embeddings
+)
+SELECT e.vec_id,
+       round(s.maxabs / 127.0, 6) AS scale,
+       list_aggregate(
+         list_transform(e.embedding,
+           x -> CAST(CASE WHEN s.maxabs = 0 THEN 0
+                          ELSE floor(127.0 * CAST(x AS DOUBLE) / s.maxabs + 0.5)
+                     END AS INT)),
+         'string_agg', ',') AS qvec
+FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id
+ORDER BY e.vec_id
+"""
+
+
+@register("emb_quantize_int8", EMB_QUANTIZE_ORACLE, tags=("llm", "similarity", "quantize"))
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector max-abs int8 quantization of the embedding column — the
+    4x storage/bandwidth cut applied before ANN indexing or shipping
+    embeddings to a training job.
+
+    Scale shape: a pure higher-order-function projection (transform/
+    array_max/aggregate), zero shuffles, zero Python — Catalyst pipelines
+    it into the scan at any SF. Rounding is written as floor(x + 0.5) in
+    BOTH engines, one explicit definition instead of two engines' round()
+    tie conventions; all arithmetic is forced to DOUBLE because DuckDB
+    keeps FLOAT/FLOAT division in float32 while Spark widens to double.
+    Output is the comma-joined int vector (array columns don't survive the
+    driver's hash normalization)."""
+    t = load_tables(spark, sf_dir)
+    maxabs = F.expr("CAST(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE)")
+    return (
+        t["embeddings"]
+        .select("vec_id", "embedding", maxabs.alias("maxabs"))
+        .select(
+            "vec_id",
+            F.round(F.col("maxabs") / 127.0, 6).alias("scale"),
+            F.expr(
+                "array_join(transform(embedding, "
+                "x -> CAST(CASE WHEN maxabs = 0 THEN 0 "
+                "ELSE floor(127.0 * CAST(x AS DOUBLE) / maxabs + 0.5) END AS INT)), ',')"
+            ).alias("qvec"),
+        )
+        .orderBy("vec_id")
+    )

@@ -423,3 +423,62 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") > 0)
         .orderBy("doc_id")
     )
+
+
+REPETITION_ORACLE = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ntext
+  FROM documents
+), toks AS (
+  SELECT doc_id, string_split(ntext, ' ') AS tk, ntext FROM norm
+), grams AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id,
+           CASE WHEN len(tk) < 2 THEN [ntext]
+                ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END AS gl
+    FROM toks
+  ) s, unnest(s.gl) AS u(g)
+), per_gram AS (
+  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       CAST(max(c) AS BIGINT) AS top_bigram_n,
+       CAST((10000 * max(c)) // sum(c) AS BIGINT) AS rep_bp
+FROM per_gram
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("text_repetition", REPETITION_ORACLE, tags=("llm", "text", "quality"))
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition ratio (the Gopher duplicate-n-gram rule): share of a
+    document's bigrams taken by its single most frequent bigram — the
+    signal that catches boilerplate/listicle/generated text that
+    per-document TTR misses.
+
+    Scale shape: explode + two stacked hash-aggregates, both with map-side
+    partial aggregation on (doc_id, gram) — the gram space never
+    materializes beyond each task's hash map."""
+    t = load_tables(spark, sf_dir)
+    grams = t["documents"].select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(split({_NORM}, ' ')) < 2 THEN array({_NORM}) "
+                f"ELSE transform(sequence(0, size(split({_NORM}, ' ')) - 2), "
+                f"i -> concat_ws(' ', split({_NORM}, ' ')[i], split({_NORM}, ' ')[i+1])) END"
+            )
+        ).alias("g"),
+    )
+    per_gram = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("top_bigram_n"),
+            F.expr("(10000 * max(c)) div sum(c)").alias("rep_bp"),
+        )
+        .orderBy("doc_id")
+    )

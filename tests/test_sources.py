@@ -468,3 +468,17 @@ def test_console_sink_completes(spark, sf_dir):
         assert q.lastProgress is not None
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_rdd_scan_createdataframe(spark):
+    """ExternalRDD/RDDScan (reference ExistingRDD.scala:99,169; SURVEY §2.1
+    row previously declared 'subsumed'): createDataFrame over an existing
+    RDD must plan as a scan of that RDD and agree with the same data built
+    directly. The engine stays DataFrame-first; this pins the ingress path
+    for legacy RDD producers."""
+    rdd = spark.sparkContext.parallelize([(i, f"r{i % 3}") for i in range(100)], 8)
+    df = spark.createDataFrame(rdd, "id bigint, tag string")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    got = df.groupBy("tag").count().collect()
+    assert {r.tag: r["count"] for r in got} == {"r0": 34, "r1": 33, "r2": 33}
