@@ -154,3 +154,44 @@ def test_engine_local_scalar_functions(spark):
     assert (row.ri25, row.ri35) == (2.0, 4.0)
     assert row.refl == "7"
     assert row.wb == 3
+
+
+def test_parameterized_sql(spark, sf_dir):
+    """Parameterized SQL (Spark 3.4+ named markers; the safe-injection
+    upgrade over string interpolation in the reference's SparkSession.sql):
+    both named-arg and df-reference templating must resolve and agree with
+    the literal formulation."""
+    t = load_tables(spark, sf_dir)
+    got = spark.sql(
+        "SELECT count(*) AS n FROM {li} WHERE l_quantity > :minq",
+        li=t["lineitem"],
+        args={"minq": 40},
+    ).collect()[0]["n"]
+    want = t["lineitem"].filter(F.col("l_quantity") > 40).count()
+    assert got == want > 0
+
+
+def test_udtf_polymorphic_analyze(spark):
+    """Polymorphic Python UDTF (Spark 4): the static analyze() hook derives
+    the output schema from the argument type at plan time — the UDTF
+    counterpart of schema inference. Splits a string column into one row
+    per character with the column's own name preserved."""
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, lit, udtf
+    from pyspark.sql.types import IntegerType, StringType, StructType
+
+    @udtf
+    class Chars:
+        @staticmethod
+        def analyze(s: AnalyzeArgument) -> AnalyzeResult:
+            assert s.dataType == StringType()
+            return AnalyzeResult(
+                StructType().add("pos", IntegerType()).add("ch", StringType())
+            )
+
+        def eval(self, s: str):
+            for i, c in enumerate(s):
+                yield i, c
+
+    spark.udtf.register("chars_poly", Chars)
+    rows = spark.sql("SELECT * FROM chars_poly('abc')").collect()
+    assert [(r.pos, r.ch) for r in rows] == [(0, "a"), (1, "b"), (2, "c")]
