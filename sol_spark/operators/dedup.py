@@ -514,22 +514,53 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_CLUSTERS_ORACLE = f"""
-WITH RECURSIVE pr AS (
-  SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_ORACLE.replace("ORDER BY doc_a, doc_b", "")}) q
-), edges AS (
+def _cc_oracle_sql(pair_sql: str) -> str:
+    """Connected-components oracle over a (doc_a, doc_b) pair query.
+
+    Near-dup pair graphs are unions of dense cliques, and a naive
+    reach(doc, lbl) recursion enumerates O(component^2) label pairs —
+    measured 159 s on the sf0.1 simhash graph. So condense first: lbl1
+    maps every node to min(self, neighbors) (nodes sharing an l1 are
+    provably in one component — they connect through that min node), the
+    recursion then runs on the tiny condensed label graph, and the final
+    join expands labels back. Every pre-recursion CTE is MATERIALIZED —
+    DuckDB otherwise inlines them into each recursive iteration, re-running
+    the whole pair pipeline per step. Components of the condensed graph are exactly
+    the images of the original components, and each component's global min
+    m has l1(m) = m, so min-over-condensed-component recovers the same
+    cluster id."""
+    return f"""
+WITH RECURSIVE pr AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({pair_sql}) q
+), edges AS MATERIALIZED (
   SELECT doc_a AS a, doc_b AS b FROM pr
   UNION ALL
   SELECT doc_b AS a, doc_a AS b FROM pr
-), nodes AS (
-  SELECT DISTINCT a AS doc FROM edges
+), lbl1 AS MATERIALIZED (
+  SELECT a AS doc, least(a, min(b)) AS l1 FROM edges GROUP BY a
+), edges2 AS MATERIALIZED (
+  SELECT DISTINCT la.l1 AS a, lb.l1 AS b
+  FROM edges e JOIN lbl1 la ON la.doc = e.a JOIN lbl1 lb ON lb.doc = e.b
+  WHERE la.l1 <> lb.l1
+), nodes2 AS (
+  SELECT DISTINCT a AS doc FROM (SELECT a FROM edges2 UNION ALL SELECT b FROM edges2) s
 ), reach(doc, lbl) AS (
-  SELECT doc, doc FROM nodes
+  SELECT doc, doc FROM nodes2
   UNION
-  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.doc
+  SELECT e.b, r.lbl FROM reach r JOIN edges2 e ON e.a = r.doc
+), cc2 AS (
+  SELECT doc AS l1, min(lbl) AS cluster FROM reach GROUP BY doc
+), cc AS (
+  SELECT l.doc, coalesce(c.cluster, l.l1) AS cluster
+  FROM lbl1 l LEFT JOIN cc2 c ON c.l1 = l.l1
 )
-SELECT doc, min(lbl) AS cluster FROM reach GROUP BY doc ORDER BY doc
+SELECT doc, cluster FROM cc ORDER BY doc
 """
+
+
+DEDUP_CLUSTERS_ORACLE = _cc_oracle_sql(
+    DEDUP_MINHASH_ORACLE.replace("ORDER BY doc_a, doc_b", "")
+)
 
 
 def connected_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
@@ -662,22 +693,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc")
 
 
-DEDUP_SIMHASH_CLUSTERS_ORACLE = f"""
-WITH RECURSIVE pr AS (
-  SELECT doc_a, doc_b FROM ({SIMHASH_ORACLE.replace("ORDER BY doc_a, doc_b", "")}) q
-), edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM pr
-  UNION ALL
-  SELECT doc_b AS a, doc_a AS b FROM pr
-), nodes AS (
-  SELECT DISTINCT a AS doc FROM edges
-), reach(doc, lbl) AS (
-  SELECT doc, doc FROM nodes
-  UNION
-  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.doc
+DEDUP_SIMHASH_CLUSTERS_ORACLE = _cc_oracle_sql(
+    SIMHASH_ORACLE.replace("ORDER BY doc_a, doc_b", "")
 )
-SELECT doc, min(lbl) AS cluster FROM reach GROUP BY doc ORDER BY doc
-"""
 
 
 @register("dedup_simhash_clusters", DEDUP_SIMHASH_CLUSTERS_ORACLE, tags=("llm", "dedup", "simhash", "iterative"))
@@ -692,17 +710,11 @@ def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).orderBy("doc")
 
 
-DEDUP_KEEP_LIST_ORACLE = (
-    DEDUP_CLUSTERS_ORACLE.replace(
-        "SELECT doc, min(lbl) AS cluster FROM reach GROUP BY doc ORDER BY doc",
-        """, cc AS (SELECT doc, min(lbl) AS cluster FROM reach GROUP BY doc)
-SELECT d.doc_id, (c.cluster IS NULL OR c.cluster = d.doc_id) AS keep
+DEDUP_KEEP_LIST_ORACLE = DEDUP_CLUSTERS_ORACLE.replace(
+    "SELECT doc, cluster FROM cc ORDER BY doc",
+    """SELECT d.doc_id, (c.cluster IS NULL OR c.cluster = d.doc_id) AS keep
 FROM documents d LEFT JOIN cc c ON c.doc = d.doc_id
 ORDER BY d.doc_id""",
-    ).replace(
-        ")\n, cc AS",  # splice: the reach CTE's closing paren stays, add cc
-        "), cc AS",
-    )
 )
 
 

@@ -312,3 +312,18 @@ def test_aqe_skew_join_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_rebalance_hint_aqe(spark, sf_dir):
+    """REBALANCE hint (AQE-only, Spark 3.2+): requests evenly-sized output
+    partitions via a runtime-coalesced shuffle — the write-path cure for
+    the small-files problem at 100 TB (vs REPARTITION's fixed width). The
+    hint must inject a RebalancePartitions exchange that AQE resolves."""
+    t = load_tables(spark, sf_dir)
+    df = spark.sql("SELECT /*+ REBALANCE(l_returnflag) */ l_returnflag, l_quantity FROM {li}", li=t["lineitem"])
+    # Pre-execution: the logical hint must survive to the optimized plan.
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "RebalancePartitions" in optimized or "rebalance" in optimized.lower()
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in final or "ShuffleExchange" in final
