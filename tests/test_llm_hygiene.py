@@ -78,3 +78,53 @@ def test_connected_components_multi_component(spark):
     got = {r.doc: r.cluster for r in out_df.collect()}
     release_result(out_df)
     assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+
+
+def test_connected_components_property_random_graphs(spark):
+    """Property-based check (hypothesis; goes beyond the reference's limited
+    randomized coverage, SURVEY §5.6): on random edge lists, the distributed
+    star-contraction labels must equal a driver-side union-find — for any
+    graph shape, not just the adversarial fixtures above."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from sol_spark.operators.dedup import connected_components, release_result
+
+    def union_find(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # Label every node with its component minimum.
+        return {n: find(n) for n in nodes}
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.tuples(st.integers(1, 30), st.integers(1, 30)).filter(lambda p: p[0] != p[1]),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(edges):
+        nodes = sorted({n for e in edges for n in e})
+        want = union_find(edges, nodes)
+        pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+        out = connected_components(pairs)
+        got = {r.doc: r.cluster for r in out.collect()}
+        release_result(out)
+        assert got == want
+
+    check()

@@ -559,3 +559,46 @@ def test_stream_stream_full_outer_join(spark, sf_dir, batch_events):
     assert _norm(got) == _norm(want)
     assert any(r.v_ts is None for r in got)  # unmatched purchases
     assert any(r.event_id is None for r in got)  # unmatched views
+
+
+def test_stream_union_two_sources(spark, sf_dir, batch_events):
+    """Union of two independent streams (multi-source ingestion — e.g. two
+    landing directories feeding one pipeline): stream_a(purchases) UNION
+    stream_b(views) aggregated together must equal the batch union. Union
+    of streaming DataFrames is planned per-source with a shared downstream
+    stage (reference UnionExec over streaming relations)."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    stream, tmp = P.events_stream(spark, sf_dir, n_files=1)
+    try:
+        a = stream.filter(F.col("event_type") == "purchase")
+        b = stream.filter(F.col("event_type") == "view")
+        unioned = (
+            a.unionByName(b)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        )
+        name = f"sink_{_uuid.uuid4().hex[:8]}"
+        q = (
+            unioned.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {r.event_type: (r.n, r.sv) for r in spark.table(name).collect()}
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    want = {
+        r.event_type: (r.n, r.sv)
+        for r in batch_events.filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .collect()
+    }
+    assert got == want
