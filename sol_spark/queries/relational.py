@@ -915,3 +915,41 @@ def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     N subqueries."""
     load_tables(spark, sf_dir)
     return spark.sql(LATERAL_TOPK_ORACLE)
+
+
+PROFILE_ORACLE = """
+SELECT count(*) AS n_rows,
+       CAST(count(*) - count(l_tax) AS BIGINT) AS tax_nulls,
+       CAST(count(DISTINCT l_returnflag) AS BIGINT) AS rf_distinct,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS partkey_distinct,
+       round(min(l_extendedprice), 2) AS price_min,
+       round(max(l_extendedprice), 2) AS price_max,
+       round(avg(l_quantity), 6) AS qty_avg,
+       min(l_shipdate) AS ship_min,
+       max(l_shipdate) AS ship_max
+FROM lineitem
+"""
+
+
+@register("profile_columns", PROFILE_ORACLE, tags=("agg", "profiling"))
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiling: null counts, distinct cardinalities,
+    min/max/avg per column in a SINGLE aggregate over the fact table — the
+    data-quality snapshot every 100 TB ingest runs, costing one scan (the
+    distinct counts rewrite to expand+partial-agg, reference
+    RewriteDistinctAggregates at catalyst/optimizer/
+    RewriteDistinctAggregates.scala:102). At scale swap exact distincts for
+    approx_count_distinct; the exact form here is what the oracle can
+    hash-match."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("l_tax")).alias("tax_nulls"),
+        F.countDistinct("l_returnflag").alias("rf_distinct"),
+        F.countDistinct("l_partkey").alias("partkey_distinct"),
+        F.round(F.min("l_extendedprice"), 2).alias("price_min"),
+        F.round(F.max("l_extendedprice"), 2).alias("price_max"),
+        F.round(F.avg("l_quantity"), 6).alias("qty_avg"),
+        F.min("l_shipdate").alias("ship_min"),
+        F.max("l_shipdate").alias("ship_max"),
+    )
