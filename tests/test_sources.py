@@ -482,3 +482,65 @@ def test_rdd_scan_createdataframe(spark):
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
     got = df.groupBy("tag").count().collect()
     assert {r.tag: r["count"] for r in got} == {"r0": 34, "r1": 33, "r2": 33}
+
+
+def test_python_data_source_streaming(spark):
+    """Streaming Python DataSource (Spark 4: SimpleDataSourceStreamReader —
+    the micro-batch extension point; reference-era streaming sources were
+    Scala MicroBatchReaders, KafkaMicroBatchReader.scala:57): a custom
+    offset-tracked source emits rows per batch; offsets resume
+    monotonically and the sink accumulates exactly the emitted range."""
+    import time
+    import uuid
+
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class CounterStream(DataSource):
+        @classmethod
+        def name(cls):
+            return "counter_stream"
+
+        def schema(self):
+            return "v bigint"
+
+        def simpleStreamReader(self, schema):
+            return CounterReader(self.options)
+
+    class CounterReader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self.step = int(options.get("step", 10))
+            self.cap = int(options.get("cap", 50))
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            pos = start["pos"]
+            if pos >= self.cap:
+                return iter([]), start
+            new_pos = min(pos + self.step, self.cap)
+            return iter([(i,) for i in range(pos, new_pos)]), {"pos": new_pos}
+
+        def readBetweenOffsets(self, start, end):
+            return iter([(i,) for i in range(start["pos"], end["pos"])])
+
+    spark.dataSource.register(CounterStream)
+    name = f"pyds_{uuid.uuid4().hex[:6]}"
+    q = (
+        spark.readStream.format("counter_stream")
+        .option("step", "10")
+        .option("cap", "50")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table(name).count() < 50:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = sorted(r.v for r in spark.table(name).collect())
+    assert got == list(range(50))  # exactly once, in offset order
