@@ -5,10 +5,11 @@ The reference ships three full TPC-DS corpora and compiles every plan
 /root/reference/sql/core/src/test/resources/tpcds-v2.7.0/,
 /root/reference/sql/core/src/test/scala/org/apache/spark/sql/TPCDSQuerySuite.scala:39-120).
 We derive the store_sales star the same way ssb.py derives SSB, run a
-14-query subset spanning the corpus's operator shapes — plain star joins
+15-query subset spanning the corpus's operator shapes — plain star joins
 (q3 q7 q19 q42 q52 q55 q68), rollup + grouping() (q27 q36), windows over
-aggregates (q53 q89 q98), disjunctive filter bands (q13), and correlated
-scalar subqueries (q6) — and hash-match each against a DuckDB oracle.
+aggregates (q53 q89 q98), disjunctive filter bands (q13), correlated
+scalar subqueries (q6), and per-ticket count bands (q73) — and hash-match
+each against a DuckDB oracle.
 
 TPC-DS's schema does not exist in the fixtures, so it is DERIVED
 deterministically — identically in the Spark build and the oracle CTEs:
@@ -1069,4 +1070,64 @@ def tpcds_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") >= 10)
         .orderBy("cnt", "state")
         .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q73 — tickets whose item counts fall in a band, for high-dependency households
+# ---------------------------------------------------------------------------
+
+Q73_ORACLE = f"""
+WITH {DS_CTES},
+dj AS (
+  SELECT ss_ticket_number, ss_customer_sk, count(*) AS cnt
+  FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+                   JOIN store ON ss_store_sk = s_store_sk
+                   JOIN household_demographics ON ss_hdemo_sk = hd_demo_sk
+  WHERE d_dom BETWEEN 1 AND 2
+    AND hd_vehicle_count > 0
+    AND CASE WHEN hd_vehicle_count > 0 THEN hd_dep_count / hd_vehicle_count ELSE NULL END > 1
+    AND d_year IN (1999, 2000, 2001)
+    AND s_state IN ('ST_0', 'ST_1', 'ST_2', 'ST_3')
+  GROUP BY ss_ticket_number, ss_customer_sk)
+SELECT c_last_name, c_first_name, ss_ticket_number, cnt
+FROM dj JOIN customer_dim ON ss_customer_sk = c_customer_sk
+WHERE cnt BETWEEN 1 AND 5
+ORDER BY cnt DESC, ss_ticket_number
+"""
+
+
+@register("tpcds_q73", Q73_ORACLE, tags=("tpcds", "star", "having"))
+def tpcds_q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q73 (reference tpcds/q73.sql; buy_potential/county filters
+    retargeted to the derived demographics/state domains). Per-ticket item
+    counts banded 1-5 — aggregate-then-filter-then-join: the count band
+    applies BEFORE the customer join, so only qualifying tickets shuffle."""
+    ds = _ds(spark, sf_dir)
+    hd = ds["household_demographics"].filter(
+        (F.col("hd_vehicle_count") > 0)
+        & (
+            F.when(
+                F.col("hd_vehicle_count") > 0,
+                F.col("hd_dep_count") / F.col("hd_vehicle_count"),
+            ).otherwise(F.lit(None))
+            > 1
+        )
+    )
+    dj = (
+        ds["store_sales"]
+        .join(
+            F.broadcast(ds["date_dim"].filter(F.col("d_dom").between(1, 2) & F.col("d_year").isin(1999, 2000, 2001))),
+            F.col("ss_sold_date_sk") == F.col("d_date_sk"),
+        )
+        .join(F.broadcast(ds["store"].filter(F.col("s_state").isin("ST_0", "ST_1", "ST_2", "ST_3"))), F.col("ss_store_sk") == F.col("s_store_sk"))
+        .join(F.broadcast(hd), F.col("ss_hdemo_sk") == F.col("hd_demo_sk"))
+        .groupBy("ss_ticket_number", "ss_customer_sk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt").between(1, 5))
+    )
+    return (
+        dj.join(ds["customer_dim"], F.col("ss_customer_sk") == F.col("c_customer_sk"))
+        .select("c_last_name", "c_first_name", "ss_ticket_number", "cnt")
+        .orderBy(F.desc("cnt"), "ss_ticket_number")
     )
