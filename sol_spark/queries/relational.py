@@ -953,3 +953,27 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").alias("ship_min"),
         F.max("l_shipdate").alias("ship_max"),
     )
+
+
+SAMPLE_STRATIFIED_ORACLE = """
+SELECT doc_id, lang
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 <
+      CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 50 ELSE 25 END
+ORDER BY doc_id
+"""
+
+
+@register("sample_stratified", SAMPLE_STRATIFIED_ORACLE, tags=("sample", "llm"))
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates (the deterministic twin of
+    df.stat.sampleBy, which is seeded-random and engine-local — pytest'd in
+    test_df_stat_api): downsample dominant languages, keep rare ones — the
+    data-mixing step of corpus curation. Hash-mod on doc_id makes the
+    sample stable under corpus growth and reproducible in the oracle; the
+    rate lookup is a CASE over the stratum column, all codegen'd, no
+    shuffle."""
+    t = load_tables(spark, sf_dir)
+    bucket = F.expr("CAST(conv(substring(md5(cast(doc_id AS string)), 1, 6), 16, 10) AS BIGINT) % 100")
+    rate = F.when(F.col("lang") == "en", 10).when(F.col("lang") == "zh", 50).otherwise(25)
+    return t["documents"].filter(bucket < rate).select("doc_id", "lang").orderBy("doc_id")
