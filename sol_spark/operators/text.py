@@ -482,3 +482,64 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+PII_SCRUB_ORACLE = """
+WITH enriched AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t2
+  FROM documents
+), scrubbed AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b555-[0-9]{4}\\b', '<PHONE>', 'g') AS clean,
+         len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+         len(regexp_extract_all(t2, '\\b555-[0-9]{4}\\b')) AS n_phones
+  FROM enriched
+)
+SELECT doc_id, n_emails, n_phones, md5(clean) AS scrubbed_md5
+FROM scrubbed
+ORDER BY doc_id
+"""
+
+
+@register("text_pii_scrub", PII_SCRUB_ORACLE, tags=("llm", "text", "pii"))
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: replace email addresses and phone-like tokens with
+    typed placeholders and count the redactions — the scrub pass every
+    pre-training corpus runs before tokenization.
+
+    The synthetic fixtures contain no natural PII, so the operator first
+    ENRICHES each document with a deterministic doc_id-derived email+phone
+    (identically in both engines) — redaction is then byte-verified via
+    md5 of the scrubbed text, not vacuously green. Pure regexp_replace
+    projections (Java regex and RE2 agree on this character-class-only
+    pattern), zero shuffles."""
+    t = load_tables(spark, sf_dir)
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone_re = "\\b555-[0-9]{4}\\b"
+    enriched = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t2"),
+    )
+    return (
+        enriched.select(
+            "doc_id",
+            F.regexp_count("t2", F.lit(email_re)).alias("n_emails"),
+            F.regexp_count("t2", F.lit(phone_re)).alias("n_phones"),
+            F.md5(
+                F.regexp_replace(
+                    F.regexp_replace("t2", email_re, "<EMAIL>"), phone_re, "<PHONE>"
+                )
+            ).alias("scrubbed_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -5,11 +5,12 @@ The reference ships three full TPC-DS corpora and compiles every plan
 /root/reference/sql/core/src/test/resources/tpcds-v2.7.0/,
 /root/reference/sql/core/src/test/scala/org/apache/spark/sql/TPCDSQuerySuite.scala:39-120).
 We derive the store_sales star the same way ssb.py derives SSB, run a
-15-query subset spanning the corpus's operator shapes — plain star joins
+16-query subset spanning the corpus's operator shapes — plain star joins
 (q3 q7 q19 q42 q52 q55 q68), rollup + grouping() (q27 q36), windows over
 aggregates (q53 q89 q98), disjunctive filter bands (q13), correlated
-scalar subqueries (q6), and per-ticket count bands (q73) — and hash-match
-each against a DuckDB oracle.
+scalar subqueries (q6), per-ticket count bands (q73), and aggregate-of-
+aggregate thresholds (q65) — and hash-match each against a DuckDB
+oracle.
 
 TPC-DS's schema does not exist in the fixtures, so it is DERIVED
 deterministically — identically in the Spark build and the oracle CTEs:
@@ -1130,4 +1131,66 @@ def tpcds_q73(spark: SparkSession, sf_dir: str) -> DataFrame:
         dj.join(ds["customer_dim"], F.col("ss_customer_sk") == F.col("c_customer_sk"))
         .select("c_last_name", "c_first_name", "ss_ticket_number", "cnt")
         .orderBy(F.desc("cnt"), "ss_ticket_number")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q65 — (store, item) pairs with revenue below 10% of the store average
+# ---------------------------------------------------------------------------
+
+Q65_ORACLE = f"""
+WITH {DS_CTES},
+rev AS (
+  SELECT ss_store_sk, ss_item_sk, sum(ss_sales_price) AS revenue_raw
+  FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+  WHERE d_month_seq BETWEEN 37 AND 48
+  GROUP BY ss_store_sk, ss_item_sk),
+ave AS (
+  SELECT ss_store_sk, avg(revenue_raw) AS ave FROM rev GROUP BY ss_store_sk)
+SELECT s_store_name, i_item_desc, round(r.revenue_raw, 4) AS revenue,
+       i_current_price, i_brand
+FROM rev r JOIN ave a ON r.ss_store_sk = a.ss_store_sk
+           JOIN store ON s_store_sk = r.ss_store_sk
+           JOIN item ON i_item_sk = r.ss_item_sk
+WHERE r.revenue_raw <= 0.1 * a.ave
+ORDER BY s_store_name, i_item_desc, i_brand, revenue
+LIMIT 100
+"""
+
+
+@register("tpcds_q65", Q65_ORACLE, tags=("tpcds", "star", "agg"))
+def tpcds_q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q65 (reference tpcds/q65.sql; month_seq window retargeted to
+    1995). The reference text computes the same (store, item) revenue
+    subquery TWICE (once under the per-store average) — here it is one
+    aggregate with the store average as a window over the post-agg rows,
+    the formulation the reference's own ReuseExchange merely approximates.
+    The 0.1x threshold compares unrounded sums (bit-identical per the
+    rounding policy)."""
+    ds = _ds(spark, sf_dir)
+    rev = (
+        ds["store_sales"]
+        .join(
+            F.broadcast(ds["date_dim"].filter(F.col("d_month_seq").between(37, 48))),
+            F.col("ss_sold_date_sk") == F.col("d_date_sk"),
+        )
+        .groupBy("ss_store_sk", "ss_item_sk")
+        .agg(F.sum("ss_sales_price").alias("revenue_raw"))
+    )
+    w = W.partitionBy("ss_store_sk")
+    flagged = rev.withColumn("ave", F.avg("revenue_raw").over(w)).filter(
+        F.col("revenue_raw") <= 0.1 * F.col("ave")
+    )
+    return (
+        flagged.join(F.broadcast(ds["store"]), F.col("ss_store_sk") == F.col("s_store_sk"))
+        .join(ds["item"], F.col("ss_item_sk") == F.col("i_item_sk"))
+        .select(
+            "s_store_name",
+            "i_item_desc",
+            F.round("revenue_raw", 4).alias("revenue"),
+            "i_current_price",
+            "i_brand",
+        )
+        .orderBy("s_store_name", "i_item_desc", "i_brand", "revenue")
+        .limit(100)
     )
