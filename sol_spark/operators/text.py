@@ -543,3 +543,80 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level (segment) dedup across the corpus — RefinedWeb/CCNet-style.
+# ---------------------------------------------------------------------------
+
+_LD_CHUNK = 8  # tokens per pseudo-line (fixture docs are single-line)
+
+LINE_DEDUP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS tk FROM documents
+), chunks AS (
+  SELECT doc_id, i.i AS idx,
+         list_aggregate(tk[(i.i*{_LD_CHUNK}+1):(i.i*{_LD_CHUNK}+{_LD_CHUNK})], 'string_agg', ' ') AS chunk,
+         (len(tk) + {_LD_CHUNK - 1}) // {_LD_CHUNK} AS n_chunks
+  FROM toks, unnest(range((len(tk) + {_LD_CHUNK - 1}) // {_LD_CHUNK})) AS i(i)
+), kept AS (
+  SELECT doc_id, idx, chunk, n_chunks FROM (
+    SELECT doc_id, idx, chunk, n_chunks,
+           row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+    FROM chunks) t WHERE rn = 1
+)
+SELECT doc_id, n_chunks, count(*) AS n_kept,
+       md5(string_agg(chunk, ' ' ORDER BY idx)) AS dedup_md5
+FROM kept GROUP BY doc_id, n_chunks ORDER BY doc_id
+"""
+
+
+@register("text_line_dedup", LINE_DEDUP_ORACLE, tags=("llm", "text", "dedup"))
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level exact dedup across the whole corpus (RefinedWeb's line
+    dedup / CCNet's paragraph dedup): every 8-token segment is kept only at
+    its first global occurrence (min (doc_id, position)); each document is
+    rewritten from its surviving segments. Documents whose every segment
+    already appeared elsewhere vanish — full-duplicate removal falls out of
+    the same pass. The fixture's documents are single-line, so "line" is a
+    fixed 8-token segment; the operator is segmentation-agnostic.
+
+    Scale shape: keep-first is groupBy(segment).min(struct(doc_id, idx)) —
+    ONE hash shuffle keyed by segment content with map-side combine, no
+    window sort, no join-back (the argmin row IS the surviving segment).
+    Reassembly is a second hash-agg keyed by doc_id. Both keys are
+    high-cardinality, so partitioning scales with data. Output carries
+    md5(dedup_text) rather than the rewritten text to keep the result row
+    narrow; production would emit the text itself.
+    """
+    t = load_tables(spark, sf_dir)
+    toks = f"split({_NORM}, ' ')"
+    chunks = t["documents"].select(
+        "doc_id",
+        F.expr(f"(size({toks}) + {_LD_CHUNK - 1}) div {_LD_CHUNK}").alias("n_chunks"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size({toks}) + {_LD_CHUNK - 1}) div {_LD_CHUNK} - 1), "
+                f"i -> array_join(slice({toks}, i*{_LD_CHUNK} + 1, {_LD_CHUNK}), ' '))"
+            )
+        ).alias("idx", "chunk"),
+    )
+    kept = (
+        chunks.groupBy("chunk")
+        .agg(F.min(F.struct("doc_id", "idx", "n_chunks")).alias("m"))
+        .select(F.col("m.doc_id").alias("doc_id"), F.col("m.idx").alias("idx"), F.col("m.n_chunks").alias("n_chunks"), "chunk")
+    )
+    return (
+        kept.groupBy("doc_id", "n_chunks")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.expr("transform(array_sort(collect_list(struct(idx, chunk))), p -> p.chunk)"),
+                    " ",
+                )
+            ).alias("dedup_md5"),
+        )
+        .select("doc_id", "n_chunks", "n_kept", "dedup_md5")
+        .orderBy("doc_id")
+    )
