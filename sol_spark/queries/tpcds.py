@@ -65,8 +65,14 @@ date_dim AS (
          month(o_orderdate) AS d_moy,
          day(o_orderdate) AS d_dom,
          (year(o_orderdate) - 1992) * 12 + month(o_orderdate) AS d_month_seq,
-         quarter(o_orderdate) AS d_qoy
+         quarter(o_orderdate) AS d_qoy,
+         dayofweek(o_orderdate) AS d_dow
   FROM orders),
+time_dim AS (
+  SELECT DISTINCT (l_orderkey * 131 + l_partkey) % 86400 AS t_time_sk,
+         ((l_orderkey * 131 + l_partkey) % 86400) // 3600 AS t_hour,
+         (((l_orderkey * 131 + l_partkey) % 86400) % 3600) // 60 AS t_minute
+  FROM lineitem),
 item AS (
   SELECT p_partkey AS i_item_sk,
          'ITEM_' || p_partkey AS i_item_id,
@@ -130,6 +136,7 @@ store_sales AS (
          o_custkey % 100 AS ss_hdemo_sk,
          CASE WHEN o_orderkey % 7 = 0 AND o_custkey > 1
               THEN o_custkey - 1 ELSE o_custkey END AS ss_addr_sk,
+         (l_orderkey * 131 + l_partkey) % 86400 AS ss_sold_time_sk,
          l_orderkey % 20 AS ss_promo_sk,
          l_quantity AS ss_quantity,
          l_extendedprice AS ss_list_price,
@@ -165,7 +172,19 @@ def _ds(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             F.dayofmonth("o_orderdate").alias("d_dom"),
             ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate")).alias("d_month_seq"),
             F.quarter("o_orderdate").alias("d_qoy"),
+            # DuckDB dayofweek: Sunday = 0; Spark dayofweek: Sunday = 1.
+            (F.dayofweek("o_orderdate") - 1).alias("d_dow"),
         )
+    )
+    time_sk = (F.col("l_orderkey") * 131 + F.col("l_partkey")) % 86400
+    time_dim = (
+        t["lineitem"]
+        .select(
+            time_sk.alias("t_time_sk"),
+            (time_sk / 3600).cast("long").alias("t_hour"),
+            ((time_sk % 3600) / 60).cast("long").alias("t_minute"),
+        )
+        .distinct()
     )
     item = t["part"].select(
         F.col("p_partkey").alias("i_item_sk"),
@@ -261,6 +280,7 @@ def _ds(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         F.when((F.col("o_orderkey") % 7 == 0) & (F.col("o_custkey") > 1), F.col("o_custkey") - 1)
         .otherwise(F.col("o_custkey"))
         .alias("ss_addr_sk"),
+        ((F.col("l_orderkey") * 131 + F.col("l_partkey")) % 86400).alias("ss_sold_time_sk"),
         (F.col("l_orderkey") % 20).alias("ss_promo_sk"),
         F.col("l_quantity").alias("ss_quantity"),
         F.col("l_extendedprice").alias("ss_list_price"),
@@ -273,6 +293,7 @@ def _ds(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     )
     return {
         "date_dim": date_dim,
+        "time_dim": time_dim,
         "item": item,
         "store": store,
         "customer_address": customer_address,
@@ -1193,4 +1214,250 @@ def tpcds_q65(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_store_name", "i_item_desc", "i_brand", "revenue")
         .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q34 — month-end shopping-party tickets (count band 4-7)
+# ---------------------------------------------------------------------------
+
+Q34_ORACLE = f"""
+WITH {DS_CTES},
+dj AS (
+  SELECT ss_ticket_number, ss_customer_sk, count(*) AS cnt
+  FROM store_sales
+  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+  JOIN store ON ss_store_sk = s_store_sk
+  JOIN household_demographics ON ss_hdemo_sk = hd_demo_sk
+  WHERE (d_dom BETWEEN 1 AND 3 OR d_dom BETWEEN 25 AND 28)
+    AND d_year IN (1999, 2000, 2001)
+    AND s_state IN ('ST_0', 'ST_1', 'ST_2', 'ST_3')
+    AND hd_vehicle_count > 0
+    AND hd_dep_count / hd_vehicle_count > 1.2
+  GROUP BY ss_ticket_number, ss_customer_sk
+  HAVING count(*) BETWEEN 4 AND 7)
+SELECT c_last_name, c_first_name, ss_ticket_number, cnt
+FROM dj JOIN customer_dim ON ss_customer_sk = c_customer_sk
+ORDER BY c_last_name, c_first_name, ss_ticket_number DESC
+"""
+
+
+@register("tpcds_q34", Q34_ORACLE, tags=("tpcds", "star", "having"))
+def tpcds_q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q34 (reference tpcds/q34.sql; county/buy_potential retargeted
+    to the derived state/demographics domains, count band rescaled 15-20 →
+    4-7 to the fixture's lineitems-per-order). The month-start OR month-end
+    date disjunction survives into the broadcast dim filter; the count band
+    applies before the customer join, like q73."""
+    ds = _ds(spark, sf_dir)
+    hd = ds["household_demographics"].filter(
+        (F.col("hd_vehicle_count") > 0)
+        & (F.col("hd_dep_count") / F.col("hd_vehicle_count") > 1.2)
+    )
+    dd = ds["date_dim"].filter(
+        (F.col("d_dom").between(1, 3) | F.col("d_dom").between(25, 28))
+        & F.col("d_year").isin(1999, 2000, 2001)
+    )
+    dj = (
+        ds["store_sales"]
+        .join(F.broadcast(dd), F.col("ss_sold_date_sk") == F.col("d_date_sk"))
+        .join(F.broadcast(ds["store"].filter(F.col("s_state").isin("ST_0", "ST_1", "ST_2", "ST_3"))), F.col("ss_store_sk") == F.col("s_store_sk"))
+        .join(F.broadcast(hd), F.col("ss_hdemo_sk") == F.col("hd_demo_sk"))
+        .groupBy("ss_ticket_number", "ss_customer_sk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt").between(4, 7))
+    )
+    return (
+        dj.join(ds["customer_dim"], F.col("ss_customer_sk") == F.col("c_customer_sk"))
+        .select("c_last_name", "c_first_name", "ss_ticket_number", "cnt")
+        .orderBy("c_last_name", "c_first_name", F.desc("ss_ticket_number"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q43 — per-store day-of-week sales pivot (7 conditional sums)
+# ---------------------------------------------------------------------------
+
+Q43_ORACLE = f"""
+WITH {DS_CTES}
+SELECT s_store_name, s_store_sk,
+       round(sum(CASE WHEN d_dow = 0 THEN ss_sales_price END), 4) AS sun_sales,
+       round(sum(CASE WHEN d_dow = 1 THEN ss_sales_price END), 4) AS mon_sales,
+       round(sum(CASE WHEN d_dow = 2 THEN ss_sales_price END), 4) AS tue_sales,
+       round(sum(CASE WHEN d_dow = 3 THEN ss_sales_price END), 4) AS wed_sales,
+       round(sum(CASE WHEN d_dow = 4 THEN ss_sales_price END), 4) AS thu_sales,
+       round(sum(CASE WHEN d_dow = 5 THEN ss_sales_price END), 4) AS fri_sales,
+       round(sum(CASE WHEN d_dow = 6 THEN ss_sales_price END), 4) AS sat_sales
+FROM date_dim JOIN store_sales ON d_date_sk = ss_sold_date_sk
+              JOIN store ON ss_store_sk = s_store_sk
+WHERE d_year = 2000
+GROUP BY s_store_name, s_store_sk
+ORDER BY s_store_name, s_store_sk
+LIMIT 100
+"""
+
+
+@register("tpcds_q43", Q43_ORACLE, tags=("tpcds", "star", "pivot"))
+def tpcds_q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q43 (reference tpcds/q43.sql; gmt_offset filter dropped — the
+    derived store has no timezone). Manual day-of-week pivot: seven
+    conditional sums in ONE fact pass (the same ExpandExec-free shape the
+    reference plans for CASE aggregates). d_dow is normalized to
+    Sunday = 0 in both engines (Spark dayofweek() is 1-based)."""
+    ds = _ds(spark, sf_dir)
+    days = [("sun", 0), ("mon", 1), ("tue", 2), ("wed", 3), ("thu", 4), ("fri", 5), ("sat", 6)]
+    aggs = [
+        F.round(F.sum(F.when(F.col("d_dow") == dw, F.col("ss_sales_price"))), 4).alias(f"{nm}_sales")
+        for nm, dw in days
+    ]
+    return (
+        ds["store_sales"]
+        .join(F.broadcast(ds["date_dim"].filter(F.col("d_year") == 2000)), F.col("ss_sold_date_sk") == F.col("d_date_sk"))
+        .join(F.broadcast(ds["store"]), F.col("ss_store_sk") == F.col("s_store_sk"))
+        .groupBy("s_store_name", "s_store_sk")
+        .agg(*aggs)
+        .orderBy("s_store_name", "s_store_sk")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q88 — eight half-hour store-traffic counts in one row
+# ---------------------------------------------------------------------------
+
+_Q88_HD = """((hd_dep_count = 4 AND hd_vehicle_count <= 6)
+       OR (hd_dep_count = 2 AND hd_vehicle_count <= 4)
+       OR (hd_dep_count = 0 AND hd_vehicle_count <= 2))"""
+
+_Q88_BANDS = [
+    ("h8_30_to_9", 8, True), ("h9_to_9_30", 9, False), ("h9_30_to_10", 9, True),
+    ("h10_to_10_30", 10, False), ("h10_30_to_11", 10, True), ("h11_to_11_30", 11, False),
+    ("h11_30_to_12", 11, True), ("h12_to_12_30", 12, False),
+]
+
+
+def _q88_oracle() -> str:
+    subs = []
+    for name, hour, late in _Q88_BANDS:
+        minute = "t_minute >= 30" if late else "t_minute < 30"
+        subs.append(f"""
+{name}_s AS (
+  SELECT count(*) AS {name}
+  FROM store_sales
+  JOIN household_demographics ON ss_hdemo_sk = hd_demo_sk
+  JOIN time_dim ON ss_sold_time_sk = t_time_sk
+  JOIN store ON ss_store_sk = s_store_sk
+  WHERE t_hour = {hour} AND {minute}
+    AND {_Q88_HD}
+    AND s_state IN ('ST_0', 'ST_1', 'ST_2'))""")
+    cols = ", ".join(name for name, _, _ in _Q88_BANDS)
+    froms = " CROSS JOIN ".join(f"{name}_s" for name, _, _ in _Q88_BANDS)
+    return f"WITH {DS_CTES},{','.join(subs)}\nSELECT {cols} FROM {froms}"
+
+
+@register("tpcds_q88", _q88_oracle(), tags=("tpcds", "star", "multiband"))
+def tpcds_q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q88 (reference tpcds/q88.sql; store/demographic filters
+    retargeted to the derived domains). The textbook formulation — and the
+    oracle — is EIGHT separate fact scans cross-joined into one row; this
+    engine rewrites it as ONE fact pass with eight conditional counts
+    (count_if over the half-hour band predicates), the multi-scan fusion
+    AQE cannot do for you. Same single-row result, 8x less scan I/O — the
+    kind of rewrite that matters at 100 TB."""
+    ds = _ds(spark, sf_dir)
+    hd = ds["household_demographics"].filter(
+        ((F.col("hd_dep_count") == 4) & (F.col("hd_vehicle_count") <= 6))
+        | ((F.col("hd_dep_count") == 2) & (F.col("hd_vehicle_count") <= 4))
+        | ((F.col("hd_dep_count") == 0) & (F.col("hd_vehicle_count") <= 2))
+    )
+    mins = F.col("t_hour") * 60 + F.col("t_minute")
+    td = ds["time_dim"].filter((mins >= 510) & (mins < 750))
+    aggs = []
+    for name, hour, late in _Q88_BANDS:
+        cond = (F.col("t_hour") == hour) & (
+            (F.col("t_minute") >= 30) if late else (F.col("t_minute") < 30)
+        )
+        aggs.append(F.count_if(cond).alias(name))
+    return (
+        ds["store_sales"]
+        .join(F.broadcast(td), F.col("ss_sold_time_sk") == F.col("t_time_sk"))
+        .join(F.broadcast(hd), F.col("ss_hdemo_sk") == F.col("hd_demo_sk"))
+        .join(F.broadcast(ds["store"].filter(F.col("s_state").isin("ST_0", "ST_1", "ST_2"))), F.col("ss_store_sk") == F.col("s_store_sk"))
+        .agg(*aggs)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q90 — morning/evening traffic ratio
+# ---------------------------------------------------------------------------
+
+Q90_ORACLE = f"""
+WITH {DS_CTES},
+am AS (
+  SELECT count(*) AS amc FROM store_sales
+  JOIN household_demographics ON ss_hdemo_sk = hd_demo_sk
+  JOIN time_dim ON ss_sold_time_sk = t_time_sk
+  WHERE t_hour BETWEEN 8 AND 9 AND hd_dep_count BETWEEN 2 AND 4),
+pm AS (
+  SELECT count(*) AS pmc FROM store_sales
+  JOIN household_demographics ON ss_hdemo_sk = hd_demo_sk
+  JOIN time_dim ON ss_sold_time_sk = t_time_sk
+  WHERE t_hour BETWEEN 19 AND 20 AND hd_dep_count BETWEEN 2 AND 4)
+SELECT amc, pmc, round(amc::DOUBLE / pmc, 6) AS am_pm_ratio
+FROM am CROSS JOIN pm
+"""
+
+
+@register("tpcds_q90", Q90_ORACLE, tags=("tpcds", "star", "ratio"))
+def tpcds_q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q90 (reference tpcds/q90.sql; web_sales/web_page mapped onto
+    the single store channel the fixtures model). Ratio of two disjoint
+    time-band counts — the oracle computes them as two scans cross-joined;
+    this engine computes both in ONE pass with conditional counts (the
+    bands are disjoint filters of the same joined fact)."""
+    ds = _ds(spark, sf_dir)
+    hd = ds["household_demographics"].filter(F.col("hd_dep_count").between(2, 4))
+    td = ds["time_dim"].filter(F.col("t_hour").between(8, 9) | F.col("t_hour").between(19, 20))
+    return (
+        ds["store_sales"]
+        .join(F.broadcast(td), F.col("ss_sold_time_sk") == F.col("t_time_sk"))
+        .join(F.broadcast(hd), F.col("ss_hdemo_sk") == F.col("hd_demo_sk"))
+        .agg(
+            F.count_if(F.col("t_hour").between(8, 9)).alias("amc"),
+            F.count_if(F.col("t_hour").between(19, 20)).alias("pmc"),
+        )
+        .select(
+            "amc", "pmc",
+            F.round(F.col("amc").cast("double") / F.col("pmc"), 6).alias("am_pm_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q96 — half-hour rush count at a store group
+# ---------------------------------------------------------------------------
+
+Q96_ORACLE = f"""
+WITH {DS_CTES}
+SELECT count(*) AS cnt
+FROM store_sales
+JOIN household_demographics ON ss_hdemo_sk = hd_demo_sk
+JOIN time_dim ON ss_sold_time_sk = t_time_sk
+JOIN store ON ss_store_sk = s_store_sk
+WHERE t_hour = 20 AND t_minute >= 30 AND hd_dep_count = 7 AND s_state = 'ST_1'
+"""
+
+
+@register("tpcds_q96", Q96_ORACLE, tags=("tpcds", "star", "count"))
+def tpcds_q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q96 (reference tpcds/q96.sql; store name → derived state
+    group). Plain filtered count through three broadcast dims — every
+    filter reaches the scan side of its join, the fact never shuffles."""
+    ds = _ds(spark, sf_dir)
+    return (
+        ds["store_sales"]
+        .join(F.broadcast(ds["household_demographics"].filter(F.col("hd_dep_count") == 7)), F.col("ss_hdemo_sk") == F.col("hd_demo_sk"))
+        .join(F.broadcast(ds["time_dim"].filter((F.col("t_hour") == 20) & (F.col("t_minute") >= 30))), F.col("ss_sold_time_sk") == F.col("t_time_sk"))
+        .join(F.broadcast(ds["store"].filter(F.col("s_state") == "ST_1")), F.col("ss_store_sk") == F.col("s_store_sk"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
