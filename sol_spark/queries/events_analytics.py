@@ -1,0 +1,142 @@
+"""Batch event-log analytics: funnel conversion and retention cohorts.
+
+These are the classic product-analytics shapes a Spark-SQL-2.4-surface user
+runs on an event table (reference surface: plain SQL over a fact —
+/root/reference/sql/core/src/main/scala/org/apache/spark/sql/Dataset.scala
+groupBy/agg/join ops; no bespoke operator exists in the reference either —
+both engines express these as join+aggregate compositions).
+
+Scale notes (100 TB): every stage keys on ``user_id`` — first-touch
+aggregation, stage joins, and cohort joins all shuffle on the same key, so
+AQE coalesces them into co-partitioned exchanges and nothing ever sorts or
+windows over the full fact. The funnel deliberately avoids the
+window-function formulation (lead(ts) OVER (PARTITION BY user ORDER BY ts)):
+a per-user sort of a 100 TB event log is strictly more work than three
+hash-aggregations, and the stage joins after first-touch aggregation operate
+on |users| rows, not |events|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sol_spark.registry import register
+from sol_spark.tables import load_tables
+
+# ---------------------------------------------------------------------------
+# Funnel: view -> click (within 24h) -> purchase (within 24h of the click)
+# ---------------------------------------------------------------------------
+
+FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY 1),
+c AS (
+  SELECT e.user_id, min(e.ts) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts AND e.ts <= v.v_ts + INTERVAL 24 HOUR
+  GROUP BY 1),
+p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts AND e.ts <= c.c_ts + INTERVAL 24 HOUR
+  GROUP BY 1)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_click,
+       (SELECT count(*) FROM p) AS n_purchase,
+       round((SELECT count(*) FROM c)::DOUBLE / (SELECT count(*) FROM v), 6) AS view_to_click,
+       round((SELECT count(*) FROM p)::DOUBLE / (SELECT count(*) FROM c), 6) AS click_to_purchase
+"""
+
+
+@register("events_funnel", FUNNEL_ORACLE, tags=("events", "funnel", "join", "agg"))
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage conversion funnel with a 24h inter-stage window.
+
+    Stage k is "first qualifying event strictly after the user's stage-(k-1)
+    timestamp, within 24h". Each stage = filter + hash-agg + user_id join;
+    the event fact is scanned once per stage with the event_type filter
+    pushed to the parquet scan, and every join key is user_id (one shuffle
+    partitioning reused end-to-end)."""
+    e = load_tables(spark, sf_dir)["events"]
+    day = F.expr("INTERVAL 24 HOURS")
+
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("v_ts")) & (F.col("ts") <= F.col("v_ts") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("c_ts")) & (F.col("ts") <= F.col("c_ts") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+    return counts.select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.round(F.col("n_click").cast("double") / F.col("n_view"), 6).alias("view_to_click"),
+        F.round(F.col("n_purchase").cast("double") / F.col("n_click"), 6).alias(
+            "click_to_purchase"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention: cohort (first-seen day) x days-since-cohort activity matrix
+# ---------------------------------------------------------------------------
+
+RETENTION_ORACLE = """
+WITH cohort AS (
+  SELECT user_id, min(ts::DATE) AS cohort_day FROM events GROUP BY 1),
+activity AS (
+  SELECT DISTINCT user_id, ts::DATE AS act_day FROM events)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(act_day - cohort_day AS BIGINT) AS days_since,
+       count(*) AS active_users
+FROM activity JOIN cohort USING (user_id)
+WHERE act_day - cohort_day <= 14
+GROUP BY 1, 2
+ORDER BY cohort_day, days_since
+"""
+
+
+@register("events_retention", RETENTION_ORACLE, tags=("events", "retention", "cohort"))
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N retention cohort matrix (cohort = first-seen calendar day).
+
+    Two hash-aggs on user_id (cohort min, distinct activity days) joined on
+    user_id, then a small groupBy over (cohort_day, days_since). The
+    distinct() collapses the fact to at most |users| * |days| rows before
+    the join — at 100 TB the join input is the distinct user-day grid, not
+    the raw events."""
+    e = load_tables(spark, sf_dir)["events"]
+    cohort = (
+        e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    )
+    activity = e.select("user_id", F.to_date("ts").alias("act_day")).distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("act_day", "cohort_day").cast("long").alias("days_since"),
+        )
+        .filter(F.col("days_since") <= 14)
+        .groupBy("cohort_day", "days_since")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("cohort_day", "days_since")
+    )

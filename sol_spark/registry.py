@@ -46,6 +46,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Imports are deferred so `import sol_spark` stays cheap.
     from sol_spark.queries import (  # noqa: F401
         event_windows,
+        events_analytics,
         functions_coverage,
         generators,
         pandas_ops,
