@@ -620,3 +620,58 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chunks", "n_kept", "dedup_md5")
         .orderBy("doc_id")
     )
+
+
+LM_SCORE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_DUCK}, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+), model AS (
+  SELECT tok, sum(tf) AS cnt FROM tf GROUP BY 1
+), tot AS (
+  SELECT sum(cnt) AS total FROM model
+)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(sum(tf * (ln(cnt) - ln(total))) / sum(tf), 4) AS avg_logprob
+FROM tf JOIN model USING (tok) CROSS JOIN tot
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("text_lm_score", LM_SCORE_ORACLE, tags=("llm", "text", "quality"))
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (the CCNet/Gopher-style "how surprising is
+    this document under a corpus LM" signal): train a unigram model over the
+    WHOLE corpus in pass 1, score every document's mean token log-prob in
+    pass 2 — both passes in one job.
+
+    Scale shape: the fact is first collapsed to (doc_id, tok, tf) by a hash
+    agg (map-side combine eats the Zipf head: 'the' contributes ONE row per
+    doc, not one per occurrence), the model is a second hash-agg over that,
+    and the scoring join is tf ⋈ model on tok. Token keys are Zipf-skewed,
+    so the join relies on AQE skew-split; at 100 TB you'd add a min-count
+    cutoff so the model fits a broadcast and the join disappears. The
+    grand-total is a 1-row aggregate cross-joined (broadcast) into the
+    scoring pass, never collected to the driver.
+    """
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id", F.explode(F.expr(f"split({_NORM}, ' ')")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    model = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+    total = model.agg(F.sum("cnt").alias("total"))
+    return (
+        tf.join(model, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * (F.log("cnt") - F.log("total"))) / F.sum("tf"), 4
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
