@@ -526,3 +526,97 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+_KNN_K = 5  # neighbors per query for the majority vote
+_KNN_NQ = 20  # vec_id < 20 are the "unlabeled" queries; the rest vote
+
+KNN_LABEL_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {_KNN_NQ}),
+c AS (SELECT vec_id AS cid, embedding AS ce, label FROM embeddings WHERE vec_id >= {_KNN_NQ}),
+norms AS (
+  SELECT vec_id, sqrt(sum(embedding[i.i]::DOUBLE * embedding[i.i]::DOUBLE)) AS nrm
+  FROM embeddings, dims i GROUP BY vec_id
+),
+dots AS (
+  SELECT qid, cid, label, sum(qe[i.i]::DOUBLE * ce[i.i]::DOUBLE) AS dot
+  FROM q, c, dims i GROUP BY qid, cid, label
+),
+scored AS (
+  SELECT qid, cid, label, round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots JOIN norms nq ON nq.vec_id = qid
+            JOIN norms nc ON nc.vec_id = cid
+),
+nn AS (
+  SELECT qid, label, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+  FROM scored
+),
+votes AS (
+  SELECT qid, label, count(*) AS n_votes, round(avg(cosine), 6) AS avg_cosine
+  FROM nn WHERE rk <= {_KNN_K} GROUP BY qid, label
+),
+winner AS (
+  SELECT qid, label AS pred_label, n_votes, avg_cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY n_votes DESC, avg_cosine DESC, label) AS wrk
+  FROM votes
+)
+SELECT qid, pred_label, CAST(n_votes AS BIGINT) AS n_votes, avg_cosine
+FROM winner WHERE wrk = 1 ORDER BY qid
+"""
+
+
+@register("sim_knn_label", KNN_LABEL_ORACLE, tags=("llm", "similarity", "knn"))
+def sim_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote label assignment (the auto-labeling /
+    quality-transfer pass of an embedding pipeline): each unlabeled query
+    takes the modal label of its 5 cosine-nearest labeled neighbors; vote
+    ties break by higher mean similarity, then smaller label.
+
+    Scale shape: identical to sim_topk_exact — the labeled corpus stays
+    partitioned, the query block is broadcast, the per-query neighbor
+    window keeps k rows per partition before the final per-qid shuffle.
+    The vote is a tiny hash-agg over |Q| x k rows, and the winner is
+    max_by(struct) — no second window over data-sized input. For corpus-
+    sized query sets, swap the broadcast for the IVF route (sim_topk_ivf)
+    and keep the voting tail unchanged."""
+    t = load_tables(spark, sf_dir)
+    emb = _with_norm(t["embeddings"])
+    q = emb.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+    c = emb.filter(F.col("vec_id") >= _KNN_NQ).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"), "label",
+    )
+    dot = F.expr(_DOT.format(a="qe", b="ce"))
+    scored = c.join(F.broadcast(q), F.lit(True)).withColumn(
+        "cosine", F.round(dot / (F.col("qn") * F.col("cn")), 6)
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
+    votes = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KNN_K)
+        .groupBy("qid", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_votes"),
+            F.round(F.avg("cosine"), 6).alias("avg_cosine"),
+        )
+    )
+    return (
+        votes.groupBy("qid")
+        .agg(
+            F.max_by(
+                F.struct("label", "n_votes", "avg_cosine"),
+                F.struct(F.col("n_votes"), F.col("avg_cosine"), -F.col("label")),
+            ).alias("win")
+        )
+        .select(
+            "qid",
+            F.col("win.label").alias("pred_label"),
+            F.col("win.n_votes").cast("long").alias("n_votes"),
+            F.col("win.avg_cosine").alias("avg_cosine"),
+        )
+        .orderBy("qid")
+    )
