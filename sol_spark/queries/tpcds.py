@@ -66,7 +66,8 @@ date_dim AS (
          day(o_orderdate) AS d_dom,
          (year(o_orderdate) - 1992) * 12 + month(o_orderdate) AS d_month_seq,
          quarter(o_orderdate) AS d_qoy,
-         dayofweek(o_orderdate) AS d_dow
+         dayofweek(o_orderdate) AS d_dow,
+         (o_orderdate::DATE - DATE '1992-01-01') // 7 AS d_week_seq
   FROM orders),
 time_dim AS (
   SELECT DISTINCT (l_orderkey * 131 + l_partkey) % 86400 AS t_time_sk,
@@ -174,6 +175,9 @@ def _ds(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             F.quarter("o_orderdate").alias("d_qoy"),
             # DuckDB dayofweek: Sunday = 0; Spark dayofweek: Sunday = 1.
             (F.dayofweek("o_orderdate") - 1).alias("d_dow"),
+            F.floor(F.datediff("o_orderdate", F.lit("1992-01-01")) / 7)
+            .cast("long")
+            .alias("d_week_seq"),
         )
     )
     time_sk = (F.col("l_orderkey") * 131 + F.col("l_partkey")) % 86400
@@ -1460,4 +1464,207 @@ def tpcds_q96(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ds["time_dim"].filter((F.col("t_hour") == 20) & (F.col("t_minute") >= 30))), F.col("ss_sold_time_sk") == F.col("t_time_sk"))
         .join(F.broadcast(ds["store"].filter(F.col("s_state") == "ST_1")), F.col("ss_store_sk") == F.col("s_store_sk"))
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q51 — cumulative channel race (full outer + running max windows)
+# ---------------------------------------------------------------------------
+
+Q51_ORACLE = f"""
+WITH {DS_CTES},
+promo_v AS (
+  SELECT ss_item_sk AS item_sk, d_month_seq,
+         round(sum(sum(ss_ext_sales_price))
+               OVER (PARTITION BY ss_item_sk ORDER BY d_month_seq
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cume_sales
+  FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+  WHERE ss_promo_sk % 2 = 1 AND d_year IN (1999, 2000)
+  GROUP BY ss_item_sk, d_month_seq),
+store_v AS (
+  SELECT ss_item_sk AS item_sk, d_month_seq,
+         round(sum(sum(ss_ext_sales_price))
+               OVER (PARTITION BY ss_item_sk ORDER BY d_month_seq
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cume_sales
+  FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+  WHERE ss_promo_sk % 2 = 0 AND d_year IN (1999, 2000)
+  GROUP BY ss_item_sk, d_month_seq),
+x AS (
+  SELECT COALESCE(p.item_sk, s.item_sk) AS item_sk,
+         COALESCE(p.d_month_seq, s.d_month_seq) AS month_seq,
+         p.cume_sales AS promo_sales,
+         s.cume_sales AS store_sales
+  FROM promo_v p FULL OUTER JOIN store_v s
+    ON p.item_sk = s.item_sk AND p.d_month_seq = s.d_month_seq),
+y AS (
+  SELECT item_sk, month_seq,
+         max(promo_sales) OVER (PARTITION BY item_sk ORDER BY month_seq
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS promo_cumulative,
+         max(store_sales) OVER (PARTITION BY item_sk ORDER BY month_seq
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS store_cumulative
+  FROM x)
+SELECT item_sk, month_seq, promo_cumulative, store_cumulative
+FROM y WHERE promo_cumulative > store_cumulative
+ORDER BY item_sk, month_seq
+LIMIT 100
+"""
+
+
+@register("tpcds_q51", Q51_ORACLE, tags=("tpcds", "window", "fullouter"))
+def tpcds_q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q51 (reference tpcds/q51.sql; web channel mapped onto the
+    odd-promo half of the single store channel the fixtures model).
+    Aggregate -> window-over-aggregate per channel, FULL OUTER join on
+    (item, month), then running-max windows that carry each channel's
+    cumulative total across the other channel's gap months.
+
+    Scale shape: both windows partition by item_sk (SF-proportional key),
+    so no global sort; the full-outer join keys on (item, month) — the same
+    partitioning the windows need, one exchange reused. Cumulative money
+    stays an exact 4-decimal sum, so round-at-4 is the identity in both
+    engines."""
+    ds = _ds(spark, sf_dir)
+    dd = ds["date_dim"].filter(F.col("d_year").isin(1999, 2000))
+
+    def channel(promo_parity: int) -> DataFrame:
+        cume = W.partitionBy("item_sk").orderBy("d_month_seq").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        return (
+            ds["store_sales"]
+            .filter(F.col("ss_promo_sk") % 2 == promo_parity)
+            .join(F.broadcast(dd), F.col("ss_sold_date_sk") == F.col("d_date_sk"))
+            .groupBy(F.col("ss_item_sk").alias("item_sk"), "d_month_seq")
+            .agg(F.sum("ss_ext_sales_price").alias("m_sales"))
+            .select(
+                "item_sk",
+                "d_month_seq",
+                F.round(F.sum("m_sales").over(cume), 4).alias("cume_sales"),
+            )
+        )
+
+    p = channel(1).withColumnsRenamed(
+        {"cume_sales": "promo_sales", "item_sk": "p_item", "d_month_seq": "p_month"}
+    )
+    s = channel(0).withColumnsRenamed(
+        {"cume_sales": "store_sales", "item_sk": "s_item", "d_month_seq": "s_month"}
+    )
+    x = (
+        p.join(
+            s,
+            (F.col("p_item") == F.col("s_item")) & (F.col("p_month") == F.col("s_month")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("p_item", "s_item").alias("item_sk"),
+            F.coalesce("p_month", "s_month").alias("month_seq"),
+            "promo_sales",
+            "store_sales",
+        )
+    )
+    carry = W.partitionBy("item_sk").orderBy("month_seq").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        x.select(
+            "item_sk",
+            "month_seq",
+            F.max("promo_sales").over(carry).alias("promo_cumulative"),
+            F.max("store_sales").over(carry).alias("store_cumulative"),
+        )
+        .filter(F.col("promo_cumulative") > F.col("store_cumulative"))
+        .orderBy("item_sk", "month_seq")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q59 — week-over-week per-store day-of-week sales ratios (self-join)
+# ---------------------------------------------------------------------------
+
+# d_week_seq = days-since-1992-01-01 // 7: weeks of 2000 = [417, 468],
+# the same weeks one year earlier = [365, 416] (52-week offset).
+_Q59_W1, _Q59_W2 = 417, 365
+
+Q59_ORACLE = f"""
+WITH {DS_CTES},
+wss AS (
+  SELECT d_week_seq, ss_store_sk,
+         round(sum(CASE WHEN d_dow = 0 THEN ss_sales_price END), 4) AS sun_sales,
+         round(sum(CASE WHEN d_dow = 1 THEN ss_sales_price END), 4) AS mon_sales,
+         round(sum(CASE WHEN d_dow = 3 THEN ss_sales_price END), 4) AS wed_sales,
+         round(sum(CASE WHEN d_dow = 5 THEN ss_sales_price END), 4) AS fri_sales
+  FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+  GROUP BY d_week_seq, ss_store_sk),
+y AS (SELECT s_store_name, wss.d_week_seq, ss_store_sk,
+             sun_sales, mon_sales, wed_sales, fri_sales
+      FROM wss JOIN store ON ss_store_sk = s_store_sk
+      WHERE d_week_seq BETWEEN {_Q59_W1} AND {_Q59_W1 + 51}),
+x AS (SELECT ss_store_sk, d_week_seq,
+             sun_sales, mon_sales, wed_sales, fri_sales
+      FROM wss
+      WHERE d_week_seq BETWEEN {_Q59_W2} AND {_Q59_W2 + 51})
+SELECT y.s_store_name, y.d_week_seq,
+       round(y.sun_sales / x.sun_sales, 6) AS sun_ratio,
+       round(y.mon_sales / x.mon_sales, 6) AS mon_ratio,
+       round(y.wed_sales / x.wed_sales, 6) AS wed_ratio,
+       round(y.fri_sales / x.fri_sales, 6) AS fri_ratio
+FROM y JOIN x ON y.ss_store_sk = x.ss_store_sk
+            AND y.d_week_seq = x.d_week_seq + 52
+ORDER BY y.s_store_name, y.d_week_seq
+LIMIT 100
+"""
+
+
+@register("tpcds_q59", Q59_ORACLE, tags=("tpcds", "selfjoin", "pivot"))
+def tpcds_q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q59 (reference tpcds/q59.sql; 4 of 7 dow columns — the
+    fixture week is sparse enough that all-7 yields mostly-null ratios).
+    Weekly per-store dow pivot computed ONCE, then self-joined at a
+    52-week offset for year-over-year ratios.
+
+    Scale shape: the pivot agg collapses the fact to |store| x |week| rows
+    before the self-join, so the join is dim-sized; both sides come from
+    the same aggregate (Spark reuses the shuffle via ReusedExchange)."""
+    ds = _ds(spark, sf_dir)
+    days = [("sun", 0), ("mon", 1), ("wed", 3), ("fri", 5)]
+    wss = (
+        ds["store_sales"]
+        .join(F.broadcast(ds["date_dim"]), F.col("ss_sold_date_sk") == F.col("d_date_sk"))
+        .groupBy("d_week_seq", "ss_store_sk")
+        .agg(
+            *[
+                F.round(
+                    F.sum(F.when(F.col("d_dow") == dw, F.col("ss_sales_price"))), 4
+                ).alias(f"{nm}_sales")
+                for nm, dw in days
+            ]
+        )
+    )
+    y = (
+        wss.filter(F.col("d_week_seq").between(_Q59_W1, _Q59_W1 + 51))
+        .join(F.broadcast(ds["store"]), F.col("ss_store_sk") == F.col("s_store_sk"))
+        .select("s_store_name", "ss_store_sk", "d_week_seq", *[f"{nm}_sales" for nm, _ in days])
+    )
+    x = wss.filter(F.col("d_week_seq").between(_Q59_W2, _Q59_W2 + 51)).select(
+        F.col("ss_store_sk").alias("x_store_sk"),
+        F.col("d_week_seq").alias("x_week_seq"),
+        *[F.col(f"{nm}_sales").alias(f"x_{nm}") for nm, _ in days],
+    )
+    return (
+        y.join(
+            x,
+            (F.col("ss_store_sk") == F.col("x_store_sk"))
+            & (F.col("d_week_seq") == F.col("x_week_seq") + 52),
+        )
+        .select(
+            "s_store_name",
+            "d_week_seq",
+            *[
+                F.round(F.col(f"{nm}_sales") / F.col(f"x_{nm}"), 6).alias(f"{nm}_ratio")
+                for nm, _ in days
+            ],
+        )
+        .orderBy("s_store_name", "d_week_seq")
+        .limit(100)
     )
