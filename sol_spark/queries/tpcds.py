@@ -129,6 +129,7 @@ promotion AS (
   FROM orders),
 store_sales AS (
   SELECT l_orderkey AS ss_ticket_number,
+         l_linenumber AS ss_line_number,
          o_orderdate AS ss_sold_date_sk,
          l_partkey AS ss_item_sk,
          o_custkey AS ss_customer_sk,
@@ -147,7 +148,20 @@ store_sales AS (
          l_extendedprice AS ss_ext_list_price,
          l_extendedprice * l_tax AS ss_ext_tax,
          l_extendedprice * (0.5 - l_discount) AS ss_net_profit
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+store_returns AS (
+  SELECT l_orderkey AS sr_ticket_number,
+         l_partkey AS sr_item_sk,
+         l_linenumber AS sr_line_number,
+         o_custkey AS sr_customer_sk,
+         l_suppkey AS sr_store_sk,
+         l_shipdate AS sr_returned_date_sk,
+         (l_orderkey * 7 + l_linenumber) % 5 AS sr_reason_sk,
+         l_quantity AS sr_return_quantity,
+         l_extendedprice * (1 - l_discount) AS sr_return_amt,
+         l_extendedprice * l_tax AS sr_return_tax
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R')
 """
 
 
@@ -273,8 +287,25 @@ def _ds(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     )
     o = t["orders"]
     li = t["lineitem"]
+    store_returns = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("l_orderkey").alias("sr_ticket_number"),
+            F.col("l_partkey").alias("sr_item_sk"),
+            F.col("l_linenumber").alias("sr_line_number"),
+            F.col("o_custkey").alias("sr_customer_sk"),
+            F.col("l_suppkey").alias("sr_store_sk"),
+            F.col("l_shipdate").alias("sr_returned_date_sk"),
+            ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 5).alias("sr_reason_sk"),
+            F.col("l_quantity").alias("sr_return_quantity"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sr_return_amt"),
+            (F.col("l_extendedprice") * F.col("l_tax")).alias("sr_return_tax"),
+        )
+    )
     store_sales = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
         F.col("l_orderkey").alias("ss_ticket_number"),
+        F.col("l_linenumber").alias("ss_line_number"),
         F.col("o_orderdate").alias("ss_sold_date_sk"),
         F.col("l_partkey").alias("ss_item_sk"),
         F.col("o_custkey").alias("ss_customer_sk"),
@@ -306,6 +337,7 @@ def _ds(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "customer_demographics": customer_demographics,
         "promotion": promotion,
         "store_sales": store_sales,
+        "store_returns": store_returns,
     }
 
 
@@ -1666,5 +1698,363 @@ def tpcds_q59(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
         .orderBy("s_store_name", "d_week_seq")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q50 — return latency bands per store (fact-fact ss x sr join)
+# ---------------------------------------------------------------------------
+
+Q50_ORACLE = f"""
+WITH {DS_CTES},
+j AS (
+  SELECT s_store_name, s_company_name, s_city, s_state,
+         (sr_returned_date_sk::DATE - ss_sold_date_sk::DATE) AS lag_days
+  FROM store_sales
+  JOIN store_returns ON ss_ticket_number = sr_ticket_number
+                     AND ss_item_sk = sr_item_sk
+                     AND ss_line_number = sr_line_number
+  JOIN store ON ss_store_sk = s_store_sk
+  WHERE year(sr_returned_date_sk) = 1998)
+SELECT s_store_name, s_company_name, s_city, s_state,
+       count(*) FILTER (WHERE lag_days <= 30) AS d_30,
+       count(*) FILTER (WHERE lag_days > 30 AND lag_days <= 60) AS d_31_60,
+       count(*) FILTER (WHERE lag_days > 60 AND lag_days <= 90) AS d_61_90,
+       count(*) FILTER (WHERE lag_days > 90 AND lag_days <= 120) AS d_91_120,
+       count(*) FILTER (WHERE lag_days > 120) AS d_gt_120
+FROM j
+GROUP BY s_store_name, s_company_name, s_city, s_state
+ORDER BY s_store_name, s_company_name, s_city, s_state
+"""
+
+
+@register("tpcds_q50", Q50_ORACLE, tags=("tpcds", "returns", "join", "bands"))
+def tpcds_q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q50 (reference tpcds/q50.sql). store_returns is DERIVED as the
+    returned-flag lineitems (l_returnflag = 'R'), with the return date =
+    l_shipdate — so sold->returned latency is a real, data-driven interval.
+    The sale and return facts join on the composite line identity
+    (ticket, item, line), then latency is bucketed per store.
+
+    Scale shape: ss joins sr on the same composite key both facts are
+    keyed by; the return-year filter prunes sr before the join, and AQE
+    picks broadcast vs co-shuffle by the filtered size. One pass over each
+    fact, one dim broadcast, one small final agg (|store| groups)."""
+    ds = _ds(spark, sf_dir)
+    sr = ds["store_returns"].filter(F.year("sr_returned_date_sk") == 1998)
+    lag_days = F.datediff("sr_returned_date_sk", "ss_sold_date_sk")
+    return (
+        ds["store_sales"]
+        .join(
+            sr,
+            (F.col("ss_ticket_number") == F.col("sr_ticket_number"))
+            & (F.col("ss_item_sk") == F.col("sr_item_sk"))
+            & (F.col("ss_line_number") == F.col("sr_line_number")),
+        )
+        .join(F.broadcast(ds["store"]), F.col("ss_store_sk") == F.col("s_store_sk"))
+        .select("s_store_name", "s_company_name", "s_city", "s_state", lag_days.alias("lag_days"))
+        .groupBy("s_store_name", "s_company_name", "s_city", "s_state")
+        .agg(
+            F.count_if(F.col("lag_days") <= 30).alias("d_30"),
+            F.count_if((F.col("lag_days") > 30) & (F.col("lag_days") <= 60)).alias("d_31_60"),
+            F.count_if((F.col("lag_days") > 60) & (F.col("lag_days") <= 90)).alias("d_61_90"),
+            F.count_if((F.col("lag_days") > 90) & (F.col("lag_days") <= 120)).alias("d_91_120"),
+            F.count_if(F.col("lag_days") > 120).alias("d_gt_120"),
+        )
+        .orderBy("s_store_name", "s_company_name", "s_city", "s_state")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q93 — net paid per customer after subtracting one reason-code's returns
+# ---------------------------------------------------------------------------
+
+Q93_ORACLE = f"""
+WITH {DS_CTES},
+t AS (
+  SELECT ss_customer_sk,
+         ss_sales_price - coalesce(sr_return_amt, 0) AS act_sales
+  FROM store_sales
+  LEFT JOIN (SELECT * FROM store_returns WHERE sr_reason_sk = 3) sr
+         ON ss_ticket_number = sr_ticket_number
+        AND ss_item_sk = sr_item_sk
+        AND ss_line_number = sr_line_number)
+SELECT ss_customer_sk, round(sum(act_sales), 4) AS sumsales
+FROM t
+GROUP BY ss_customer_sk
+ORDER BY sumsales, ss_customer_sk
+LIMIT 100
+"""
+
+
+@register("tpcds_q93", Q93_ORACLE, tags=("tpcds", "returns", "outerjoin"))
+def tpcds_q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q93 (reference tpcds/q93.sql; the reason dim is derived as
+    sr_reason_sk = (ticket*7+line) % 5 — one code selects ~20% of returns).
+    LEFT OUTER fact-fact join on line identity: a matched return cancels
+    the sale exactly (sr_return_amt equals ss_sales_price by construction,
+    so act_sales is exact-0 for matched lines — no float residue), then
+    per-customer net sums, ascending top-100.
+
+    Scale shape: the reason filter prunes sr to a fraction before the
+    join; both facts share the (ticket,item,line) key. The final agg
+    shuffles |customer|-proportional rows."""
+    ds = _ds(spark, sf_dir)
+    sr = ds["store_returns"].filter(F.col("sr_reason_sk") == 3)
+    return (
+        ds["store_sales"]
+        .join(
+            sr,
+            (F.col("ss_ticket_number") == F.col("sr_ticket_number"))
+            & (F.col("ss_item_sk") == F.col("sr_item_sk"))
+            & (F.col("ss_line_number") == F.col("sr_line_number")),
+            "left",
+        )
+        .select(
+            "ss_customer_sk",
+            (F.col("ss_sales_price") - F.coalesce("sr_return_amt", F.lit(0))).alias("act_sales"),
+        )
+        .groupBy("ss_customer_sk")
+        .agg(F.round(F.sum("act_sales"), 4).alias("sumsales"))
+        .orderBy("sumsales", "ss_customer_sk")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q61 — promotional-channel revenue share (two scalar aggregates)
+# ---------------------------------------------------------------------------
+
+Q61_ORACLE = f"""
+WITH {DS_CTES},
+promotional AS (
+  SELECT round(sum(ss_ext_sales_price), 4) AS promotions
+  FROM store_sales
+  JOIN promotion ON ss_promo_sk = p_promo_sk
+  JOIN item ON ss_item_sk = i_item_sk
+  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+  WHERE (p_channel_email = 'Y' OR p_channel_event = 'Y')
+    AND i_category = 'Books' AND d_year = 2000 AND d_moy = 11),
+all_sales AS (
+  SELECT round(sum(ss_ext_sales_price), 4) AS total
+  FROM store_sales
+  JOIN item ON ss_item_sk = i_item_sk
+  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+  WHERE i_category = 'Books' AND d_year = 2000 AND d_moy = 11)
+SELECT promotions, total,
+       round(promotions / total * 100, 6) AS promo_pct
+FROM promotional, all_sales
+"""
+
+
+@register("tpcds_q61", Q61_ORACLE, tags=("tpcds", "star", "ratio"))
+def tpcds_q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q61 (reference tpcds/q61.sql; gmt-offset store slice mapped
+    onto the whole derived store set). Promotional vs total revenue for one
+    category-month: two scalar star aggregates cross-joined into a ratio —
+    the scalar-subquery-pair shape (reference SparkStrategies plans each as
+    its own subtree; here an explicit 1x1 crossJoin).
+
+    Scale shape: both branches scan the fact once with the same
+    category/date dims broadcast; the promo branch adds one more broadcast
+    dim. No fact shuffle at all — partial+final scalar agg."""
+    ds = _ds(spark, sf_dir)
+    dd = ds["date_dim"].filter((F.col("d_year") == 2000) & (F.col("d_moy") == 11))
+    books = ds["item"].filter(F.col("i_category") == "Books")
+    base = (
+        ds["store_sales"]
+        .join(F.broadcast(dd), F.col("ss_sold_date_sk") == F.col("d_date_sk"))
+        .join(books, F.col("ss_item_sk") == F.col("i_item_sk"))
+    )
+    promo = ds["promotion"].filter(
+        (F.col("p_channel_email") == "Y") | (F.col("p_channel_event") == "Y")
+    )
+    promotional = (
+        base.join(F.broadcast(promo), F.col("ss_promo_sk") == F.col("p_promo_sk"))
+        .agg(F.round(F.sum("ss_ext_sales_price"), 4).alias("promotions"))
+    )
+    total = base.agg(F.round(F.sum("ss_ext_sales_price"), 4).alias("total"))
+    return promotional.crossJoin(total).select(
+        "promotions",
+        "total",
+        F.round(F.col("promotions") / F.col("total") * 100, 6).alias("promo_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 — zip/state/high-ticket disjunction over customer geography
+# ---------------------------------------------------------------------------
+
+Q15_ORACLE = f"""
+WITH {DS_CTES}
+SELECT ca_zip, round(sum(ss_sales_price), 4) AS sum_sales
+FROM store_sales
+JOIN customer_dim ON ss_customer_sk = c_customer_sk
+JOIN customer_address ON c_current_addr_sk = ca_address_sk
+JOIN date_dim ON ss_sold_date_sk = d_date_sk
+WHERE (substr(ca_zip, 1, 4) IN ('0001', '0003', '0005', '0008')
+       OR ca_state IN ('ST_3', 'ST_5')
+       OR ss_sales_price > 5000)
+  AND d_qoy = 2 AND d_year = 2000
+GROUP BY ca_zip
+ORDER BY ca_zip
+"""
+
+
+@register("tpcds_q15", Q15_ORACLE, tags=("tpcds", "star", "disjunction"))
+def tpcds_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q15 (reference tpcds/q15.sql; catalog channel mapped onto the
+    store fact — the fixtures model one channel). The WHERE is a
+    cross-table disjunction (address zip/state OR fact-side ticket value),
+    so it CANNOT push below the customer joins — it filters the joined
+    stream, exactly as stock TPC-DS plans it.
+
+    Scale shape: fact -> customer -> address are the only SF-proportional
+    joins (customer keys); date_dim broadcasts. The final agg groups by
+    ~97 zips."""
+    ds = _ds(spark, sf_dir)
+    dd = ds["date_dim"].filter((F.col("d_qoy") == 2) & (F.col("d_year") == 2000))
+    return (
+        ds["store_sales"]
+        .join(ds["customer_dim"], F.col("ss_customer_sk") == F.col("c_customer_sk"))
+        .join(ds["customer_address"], F.col("c_current_addr_sk") == F.col("ca_address_sk"))
+        .join(F.broadcast(dd), F.col("ss_sold_date_sk") == F.col("d_date_sk"))
+        .filter(
+            F.substring("ca_zip", 1, 4).isin("0001", "0003", "0005", "0008")
+            | F.col("ca_state").isin("ST_3", "ST_5")
+            | (F.col("ss_sales_price") > 5000)
+        )
+        .groupBy("ca_zip")
+        .agg(F.round(F.sum("ss_sales_price"), 4).alias("sum_sales"))
+        .orderBy("ca_zip")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q45 — zip-list OR item-subquery disjunction
+# ---------------------------------------------------------------------------
+
+Q45_ORACLE = f"""
+WITH {DS_CTES}
+SELECT ca_zip, ca_city, round(sum(ss_sales_price), 4) AS sum_sales
+FROM store_sales
+JOIN customer_dim ON ss_customer_sk = c_customer_sk
+JOIN customer_address ON c_current_addr_sk = ca_address_sk
+JOIN item ON ss_item_sk = i_item_sk
+JOIN date_dim ON ss_sold_date_sk = d_date_sk
+WHERE (substr(ca_zip, 1, 4) IN ('0002', '0004', '0006', '0009')
+       OR i_item_id IN (SELECT i_item_id FROM item
+                        WHERE i_item_sk IN (2, 3, 5, 7, 11, 13, 17, 19, 23, 29)))
+  AND d_qoy = 1 AND d_year = 1999
+GROUP BY ca_zip, ca_city
+ORDER BY ca_zip, ca_city
+LIMIT 100
+"""
+
+
+@register("tpcds_q45", Q45_ORACLE, tags=("tpcds", "star", "disjunction", "subquery"))
+def tpcds_q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q45 (reference tpcds/q45.sql). The classic OR-of-IN-subquery:
+    zip in a literal list OR item_id in a subquery's result. An IN-subquery
+    under OR cannot decorrelate to a semi-join, so it is built as a
+    broadcast left-join flag (matched => qualifies) — the same hash-lookup
+    the reference's BroadcastHashJoin-as-ExistenceJoin performs
+    (SparkStrategies.scala:247 ExtractEquiJoinKeys -> ExistenceJoin).
+
+    Scale shape: the qualifying-item set is 10 rows -> broadcast flag join
+    costs nothing; everything else is the q15 geography pipeline plus the
+    item dim join."""
+    ds = _ds(spark, sf_dir)
+    dd = ds["date_dim"].filter((F.col("d_qoy") == 1) & (F.col("d_year") == 1999))
+    qual_items = (
+        ds["item"]
+        .filter(F.col("i_item_sk").isin(2, 3, 5, 7, 11, 13, 17, 19, 23, 29))
+        .select(F.col("i_item_id").alias("qual_item_id"))
+        .distinct()
+        .withColumn("item_ok", F.lit(True))
+    )
+    return (
+        ds["store_sales"]
+        .join(ds["customer_dim"], F.col("ss_customer_sk") == F.col("c_customer_sk"))
+        .join(ds["customer_address"], F.col("c_current_addr_sk") == F.col("ca_address_sk"))
+        .join(ds["item"], F.col("ss_item_sk") == F.col("i_item_sk"))
+        .join(F.broadcast(dd), F.col("ss_sold_date_sk") == F.col("d_date_sk"))
+        .join(F.broadcast(qual_items), F.col("i_item_id") == F.col("qual_item_id"), "left")
+        .filter(
+            F.substring("ca_zip", 1, 4).isin("0002", "0004", "0006", "0009")
+            | F.coalesce("item_ok", F.lit(False))
+        )
+        .groupBy("ca_zip", "ca_city")
+        .agg(F.round(F.sum("ss_sales_price"), 4).alias("sum_sales"))
+        .orderBy("ca_zip", "ca_city")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q79 — per-ticket amounts for high-dependency households on Mondays
+# ---------------------------------------------------------------------------
+
+Q79_ORACLE = f"""
+WITH {DS_CTES},
+per_ticket AS (
+  SELECT ss_ticket_number, ss_customer_sk, s_city,
+         round(sum(ss_coupon_amt), 4) AS amt,
+         round(sum(ss_net_profit), 4) AS profit
+  FROM store_sales
+  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+  JOIN store ON ss_store_sk = s_store_sk
+  JOIN household_demographics ON ss_hdemo_sk = hd_demo_sk
+  WHERE (hd_dep_count = 8 OR hd_vehicle_count > 3)
+    AND d_dow = 1 AND d_year BETWEEN 1998 AND 2000
+  GROUP BY ss_ticket_number, ss_customer_sk, s_city)
+SELECT c_last_name, c_first_name, substr(s_city, 1, 30) AS city,
+       ss_ticket_number, amt, profit
+FROM per_ticket
+JOIN customer_dim ON ss_customer_sk = c_customer_sk
+ORDER BY c_last_name, c_first_name, city, profit, ss_ticket_number
+LIMIT 100
+"""
+
+
+@register("tpcds_q79", Q79_ORACLE, tags=("tpcds", "star", "perticket"))
+def tpcds_q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q79 (reference tpcds/q79.sql). Monday shoppers from
+    high-dependency households: per-(ticket, customer, city) amounts, then
+    the customer dim joins AFTER the aggregate — the agg collapses the
+    fact to ticket granularity first, so the name join touches |tickets|
+    rows, not |lines| (the same agg-before-join the stock plan does).
+
+    Scale shape: three broadcast dims filter the fact in the scan stage;
+    the per-ticket agg shuffles on the ticket composite; the customer join
+    keys the aggregated rows."""
+    ds = _ds(spark, sf_dir)
+    dd = ds["date_dim"].filter((F.col("d_dow") == 1) & F.col("d_year").between(1998, 2000))
+    hd = ds["household_demographics"].filter(
+        (F.col("hd_dep_count") == 8) | (F.col("hd_vehicle_count") > 3)
+    )
+    per_ticket = (
+        ds["store_sales"]
+        .join(F.broadcast(dd), F.col("ss_sold_date_sk") == F.col("d_date_sk"))
+        .join(F.broadcast(ds["store"]), F.col("ss_store_sk") == F.col("s_store_sk"))
+        .join(F.broadcast(hd), F.col("ss_hdemo_sk") == F.col("hd_demo_sk"))
+        .groupBy("ss_ticket_number", "ss_customer_sk", "s_city")
+        .agg(
+            F.round(F.sum("ss_coupon_amt"), 4).alias("amt"),
+            F.round(F.sum("ss_net_profit"), 4).alias("profit"),
+        )
+    )
+    return (
+        per_ticket.join(ds["customer_dim"], F.col("ss_customer_sk") == F.col("c_customer_sk"))
+        .select(
+            "c_last_name",
+            "c_first_name",
+            F.substring("s_city", 1, 30).alias("city"),
+            "ss_ticket_number",
+            "amt",
+            "profit",
+        )
+        .orderBy("c_last_name", "c_first_name", "city", "profit", "ss_ticket_number")
         .limit(100)
     )
