@@ -9,10 +9,13 @@ Aggregate[count(1)] over an empty scan (r1 ADVICE — text_stats' split/md5
 work was never timed), the noop sink evaluates every output column and any
 final sort, discarding rows executor-side with zero serialization.
 
-Each query is built + executed twice and the MIN is reported (steady-state:
-single-run timings on this box swing up to 3x with JIT/GC noise — measured
-run-to-run variance at sf0.1). Timings include plan construction; the row
-count printed to stderr is measured after the timed runs.
+Each query is built + executed up to three times and the MIN is reported
+(steady-state: single-run timings on this box swing up to 3x with JIT/GC
+noise, and a contended driver machine showed a 20x outlier in round 2 —
+gen_explode_wordcount reported 14.6s vs 0.7s reproducible). The third run
+only happens when the first two disagree by >1.5x, so the happy path stays
+at two runs. Timings include plan construction; the row count printed to
+stderr is measured after the timed runs.
 """
 
 from __future__ import annotations
@@ -69,13 +72,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].fn
-        best = float("inf")
-        for _ in range(2):
+        runs: list[float] = []
+        for attempt in range(3):
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+            if attempt == 1 and max(runs) <= 1.5 * min(runs):
+                break  # two consistent runs — skip the tiebreaker
+        timings[name] = round(min(runs), 3)
         n = df.count()  # untimed — row count for the stderr log only
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
