@@ -620,3 +620,78 @@ def sim_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (64-d -> 16-d)
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64
+RP_DIM = 16
+
+
+def _rp_sign(i: int, k: int) -> float:
+    """Deterministic Rademacher entry R(i, k) in {+1, -1}; i is the 1-based
+    input dimension, k the 0-based output dimension. Plain integer
+    arithmetic so DuckDB reproduces it bit-for-bit."""
+    return 1.0 if ((i * 1103515245 + k * 12345) % 97) % 2 == 0 else -1.0
+
+
+RP_ORACLE = f"""
+WITH i AS (SELECT unnest(range(1, {EMB_DIM + 1})) AS i),
+k AS (SELECT unnest(range(0, {RP_DIM})) AS k),
+r AS (
+  SELECT i.i, k.k,
+         CASE WHEN ((i.i * 1103515245 + k.k * 12345) % 97) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS r
+  FROM i, k
+)
+SELECT e.vec_id, r.k,
+       round(sum(e.embedding[r.i]::DOUBLE * r.r) / {float(RP_DIM) ** 0.5}, 6) AS comp
+FROM embeddings e, r
+GROUP BY e.vec_id, r.k
+ORDER BY e.vec_id, r.k
+"""
+
+
+@register("sim_random_projection", RP_ORACLE, tags=("llm", "similarity", "dimreduce"))
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sketch: project every 64-d embedding onto 16
+    deterministic Rademacher (+-1) hyperplanes — the dimensionality-reduction
+    step a 100 TB ANN pipeline runs before indexing (distance-preserving to
+    1 +- eps, JL lemma; the dense-vector cousin of the sign-LSH family used
+    by sim_topk_lsh).
+
+    Scale shape: the projection matrix is COMPILED INTO THE PLAN as 16
+    constant-array literals — each output component is one
+    aggregate(zip_with(embedding, const, *)) fold, fully codegen'd, zero
+    joins, zero shuffles, no UDF: a pure map over the corpus that scales
+    embarrassingly. The long (vec_id, k, comp) output keeps downstream
+    bucketing engine-agnostic."""
+    t = load_tables(spark, sf_dir)
+    scale = float(RP_DIM) ** 0.5
+    proj_cols = []
+    for k in range(RP_DIM):
+        consts = ", ".join(
+            f"cast({_rp_sign(i, k)} AS double)" for i in range(1, EMB_DIM + 1)
+        )
+        proj_cols.append(
+            F.round(
+                F.expr(
+                    f"aggregate(zip_with(embedding, array({consts}), "
+                    "(x, r) -> cast(x AS double) * r), cast(0.0 AS double), (acc, v) -> acc + v)"
+                )
+                / scale,
+                6,
+            ).alias(f"p{k}")
+        )
+    stack_args = ", ".join(f"{k}, p{k}" for k in range(RP_DIM))
+    return (
+        t["embeddings"]
+        .select("vec_id", *proj_cols)
+        .select(
+            "vec_id",
+            F.expr(f"stack({RP_DIM}, {stack_args})").alias("k", "comp"),
+        )
+        .orderBy("vec_id", "k")
+    )

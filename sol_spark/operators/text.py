@@ -675,3 +675,63 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+CHUNK_TOKENS = 32  # chunk window (tokens)
+CHUNK_STRIDE = 24  # window step => 8-token overlap between adjacent chunks
+
+CHUNK_OVERLAP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS tk FROM documents
+), starts AS (
+  SELECT doc_id, tk, unnest(range(0, len(tk), {CHUNK_STRIDE})) AS start FROM toks
+)
+SELECT doc_id,
+       start // {CHUNK_STRIDE} AS chunk_id,
+       start AS start_tok,
+       len(tk[start + 1 : least(start + {CHUNK_TOKENS}, len(tk))]) AS n_chunk_tokens,
+       array_to_string(tk[start + 1 : least(start + {CHUNK_TOKENS}, len(tk))], ' ') AS chunk_text
+FROM starts
+ORDER BY doc_id, chunk_id
+"""
+
+
+@register("text_chunk_overlap", CHUNK_OVERLAP_ORACLE, tags=("llm", "text", "chunking"))
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking with overlap (32-token windows,
+    24-token stride): the standard segmentation step before embedding or
+    context-window packing, where the 8-token overlap preserves cross-chunk
+    context. Pure generator plan: split -> sequence(starts) -> posexplode ->
+    slice, all codegen'd, no shuffle — chunk rows stream straight out of the
+    scan partition that read the document (reference GenerateExec.scala:58).
+    At 100 TB output is ~n_tokens/stride rows per doc, linear in corpus size;
+    no state, no skew sensitivity."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.expr(f"split({_NORM}, ' ')").alias("tk"),
+        )
+        .select(
+            "doc_id",
+            "tk",
+            F.expr(f"posexplode(sequence(0, size(tk) - 1, {CHUNK_STRIDE}))").alias(
+                "chunk_id", "start_tok"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "start_tok",
+            F.expr(f"slice(tk, start_tok + 1, {CHUNK_TOKENS})").alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "start_tok",
+            F.size("chunk").alias("n_chunk_tokens"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
