@@ -2058,3 +2058,74 @@ def tpcds_q79(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_last_name", "c_first_name", "city", "profit", "ss_ticket_number")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# q1 — customers returning more than 1.2x their store's average
+# ---------------------------------------------------------------------------
+
+Q1_ORACLE = f"""
+WITH {DS_CTES},
+customer_total_return AS (
+  SELECT sr_customer_sk AS ctr_customer_sk,
+         sr_store_sk AS ctr_store_sk,
+         sum(sr_return_amt) AS ctr_total_return
+  FROM store_returns JOIN date_dim ON sr_returned_date_sk = d_date_sk
+  WHERE d_year = 2000
+  GROUP BY sr_customer_sk, sr_store_sk),
+store_avg AS (
+  SELECT ctr_store_sk, avg(ctr_total_return) * 1.2 AS cutoff
+  FROM customer_total_return GROUP BY ctr_store_sk)
+SELECT c.c_customer_sk, ctr.ctr_store_sk AS store_sk, c.c_last_name,
+       round(ctr.ctr_total_return, 4) AS total_return
+FROM customer_total_return ctr
+JOIN store_avg sa ON ctr.ctr_store_sk = sa.ctr_store_sk
+JOIN store s ON s.s_store_sk = ctr.ctr_store_sk
+JOIN customer_dim c ON c.c_customer_sk = ctr.ctr_customer_sk
+WHERE ctr.ctr_total_return > sa.cutoff AND s.s_state = 'ST_1'
+ORDER BY c.c_customer_sk, store_sk
+LIMIT 100
+"""
+
+
+@register("tpcds_q1", Q1_ORACLE, tags=("tpcds", "star", "subquery", "returns"))
+def tpcds_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q1 (reference tpcds/q1.sql; 'TN' retargeted to the derived
+    ST_1). The corpus's canonical correlated-aggregate pattern: per
+    (customer, store) return totals compared against 1.2x the per-store
+    average of those SAME totals. Decorrelated as Catalyst would
+    (RewriteCorrelatedScalarSubquery): the CTE aggregate is built once and
+    self-joined against its own per-store re-aggregate — the second pass is
+    a ReusedExchange of the first's shuffle, not a second scan of the fact.
+    The cutoff comparison stays on unrounded doubles (identical inputs both
+    engines — see the q6 note).
+
+    Scale: store_avg is |stores| rows (broadcast); the ctr⋈avg join is
+    co-partitioned on store_sk only after the (customer, store) agg has
+    already collapsed the fact, so the big shuffle happens exactly once."""
+    ds = _ds(spark, sf_dir)
+    dd = ds["date_dim"].filter(F.col("d_year") == 2000).select("d_date_sk")
+    ctr = (
+        ds["store_returns"]
+        .join(F.broadcast(dd), F.col("sr_returned_date_sk") == F.col("d_date_sk"))
+        .groupBy("sr_customer_sk", "sr_store_sk")
+        .agg(F.sum("sr_return_amt").alias("ctr_total_return"))
+    )
+    store_avg = ctr.groupBy("sr_store_sk").agg(
+        (F.avg("ctr_total_return") * 1.2).alias("cutoff")
+    ).withColumnRenamed("sr_store_sk", "avg_store_sk")
+    st = ds["store"].filter(F.col("s_state") == "ST_1").select("s_store_sk")
+    return (
+        ctr.join(F.broadcast(store_avg), F.col("sr_store_sk") == F.col("avg_store_sk"))
+        .filter(F.col("ctr_total_return") > F.col("cutoff"))
+        .join(F.broadcast(st), F.col("sr_store_sk") == F.col("s_store_sk"), "left_semi")
+        .join(ds["customer_dim"], F.col("sr_customer_sk") == F.col("c_customer_sk"))
+        .select(
+            "c_customer_sk",
+            F.col("sr_store_sk").alias("store_sk"),
+            "c_last_name",
+            F.round("ctr_total_return", 4).alias("total_return"),
+        )
+        .orderBy("c_customer_sk", "store_sk")
+        .limit(100)
+    )
