@@ -327,3 +327,35 @@ def test_rebalance_hint_aqe(spark, sf_dir):
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in final or "ShuffleExchange" in final
+
+
+def test_runtime_bloom_filter_join(spark, sf_dir):
+    """Runtime bloom-filter injection (Spark's InjectRuntimeFilter rule): for
+    a shuffle join with a selective creation side, the optimizer builds a
+    bloom_filter_agg over the dim keys and rewrites the fact scan's filter to
+    might_contain(...), pre-filtering fact rows BEFORE the join shuffle. At
+    100 TB this is the difference between shuffling every lineitem row and
+    shuffling only candidate matches — the declarative analog of the
+    reference's proactive shuffle-reduction goals (SURVEY §4.3). Thresholds
+    are forced here because the fixture is tiny; cluster defaults
+    (creationSideThreshold=10MB) fire on real dims automatically."""
+    t = load_tables(spark, sf_dir)
+    with (
+        _sql_conf(spark, "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"),
+        _sql_conf(spark, "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB"),
+        _sql_conf(
+            spark, "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        ),
+        _sql_conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"),
+    ):
+        o = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            t["lineitem"]
+            .hint("merge")
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy()
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan  # dim side builds the filter
+        assert "might_contain" in plan  # fact side probes it pre-shuffle

@@ -544,3 +544,20 @@ def test_python_data_source_streaming(spark):
         q.stop()
     got = sorted(r.v for r in spark.table(name).collect())
     assert got == list(range(50))  # exactly once, in offset order
+
+
+def test_avro_contract_missing_package(spark, tmp_path):
+    """Avro format contract (reference external/avro/.../AvroFileFormat.scala):
+    like Kafka, Avro is an external module since Spark 2.4 and the package is
+    not shipped in this environment. Assert the failure is Spark's own
+    missing-data-source error naming the avro deployment route — option
+    plumbing reaches the resolver; on a real cluster
+    `--packages org.apache.spark:spark-avro_2.13:<ver>` enables the
+    identical call."""
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException) as exc:
+        spark.range(3).write.format("avro").mode("overwrite").save(str(tmp_path / "a"))
+    msg = str(exc.value)
+    assert "avro" in msg.lower()
+    assert "Failed to find" in msg or "DATA_SOURCE_NOT_FOUND" in msg
