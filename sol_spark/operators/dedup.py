@@ -737,3 +737,105 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank centrality over the near-dup graph
+# ---------------------------------------------------------------------------
+
+PAGERANK_ITERS = 3
+PAGERANK_DAMPING = 0.85
+
+
+def _pagerank_oracle_sql(pair_sql: str) -> str:
+    """Power-iteration PageRank oracle: the fixed iteration count unrolls
+    into one CTE per step (aggregation is not allowed inside a recursive
+    CTE), so the 'iterative algorithm' stays fully SQL-verifiable."""
+    steps = []
+    for j in range(1, PAGERANK_ITERS + 1):
+        steps.append(
+            f"""r{j} AS MATERIALIZED (
+  SELECT e.b AS doc, 0.15 / any_value(nn.n) + 0.85 * sum(r{j - 1}.r / d.deg) AS r
+  FROM edges e
+  JOIN r{j - 1} ON r{j - 1}.doc = e.a
+  JOIN deg d ON d.doc = e.a
+  CROSS JOIN nn
+  GROUP BY e.b
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH pr AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({pair_sql}) q
+), edges AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM pr
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pr
+), deg AS MATERIALIZED (
+  SELECT a AS doc, count(*) AS deg FROM edges GROUP BY a
+), nn AS MATERIALIZED (
+  SELECT count(*)::DOUBLE AS n FROM deg
+), r0 AS MATERIALIZED (
+  SELECT doc, 1.0 / nn.n AS r FROM deg CROSS JOIN nn
+),
+{chain}
+SELECT doc, round(r, 6) AS rank FROM r{PAGERANK_ITERS} ORDER BY doc
+"""
+
+
+DEDUP_PAGERANK_ORACLE = _pagerank_oracle_sql(
+    DEDUP_MINHASH_ORACLE.replace("ORDER BY doc_a, doc_b", "")
+)
+
+
+def pagerank(pairs: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
+    """(doc_a, doc_b) undirected pair DF -> (doc, rank) after ``iters``
+    damped power iterations (d = 0.85), uniform init over graph nodes.
+
+    Scale shape: edges ⋈ rank is an equi-join on the source node with a
+    map-side-combined sum into the target node — two shuffles per round on
+    keys that scale with |V|, never a collect. deg and the symmetric edge
+    set are built once and reused every round; rank vectors are one row per
+    node. The undirected pair graph has no dangling nodes (every node has
+    deg >= 1), so no dangling-mass correction term is needed. A fixed small
+    iteration count keeps plan depth bounded without checkpointing (the CC
+    loop above checkpoints because its round count is data-dependent);
+    production runs to convergence with localCheckpoint every ~3 rounds.
+
+    Reference analog: GraphX PageRank
+    (/root/reference/graphx/src/main/scala/org/apache/spark/graphx/lib/PageRank.scala:95)
+    — the same Pregel-style message sum, re-expressed as DataFrame joins."""
+    sym = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).union(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    edges = sym.join(deg, "a").localCheckpoint(eager=True)  # (a, b, deg) reused per round
+    n = max(edges.select("a").distinct().count(), 1)
+    # Init from the CHECKPOINTED edges, not from deg: deg's lineage reaches
+    # back through the whole pair pipeline, and re-evaluating it here would
+    # run that pipeline a second time (measured 13s -> 4s at sf0.01).
+    rank = edges.select("a").distinct().select(F.col("a").alias("doc"), F.lit(1.0 / n).alias("r"))
+    for _ in range(iters):
+        rank = (
+            edges.join(rank, edges["a"] == rank["doc"])
+            .groupBy(F.col("b").alias("doc2"))
+            .agg((F.lit(0.15 / n) + F.lit(PAGERANK_DAMPING) * F.sum(F.col("r") / F.col("deg"))).alias("r"))
+            .withColumnRenamed("doc2", "doc")
+        )
+    out = rank.select("doc", F.round("r", 6).alias("rank")).orderBy("doc")
+    out = out.localCheckpoint(eager=True)
+    release_result(edges)
+    return out
+
+
+@register("dedup_pagerank", DEDUP_PAGERANK_ORACLE, tags=("llm", "dedup", "graph", "iterative"))
+def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality over the MinHash near-dup graph: rank every clustered doc
+    by damped PageRank. Where dedup_clusters picks the min-id keeper, a
+    production pipeline often keeps the most CENTRAL duplicate (the best
+    representative of the dup neighborhood) — this operator supplies that
+    score; joining it against dedup_clusters picks argmax(rank) per cluster."""
+    mh = dedup_minhash_lsh(spark, sf_dir)
+    out = pagerank(mh.select("doc_a", "doc_b"))
+    release_result(mh)
+    return out
