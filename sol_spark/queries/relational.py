@@ -977,3 +977,54 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.expr("CAST(conv(substring(md5(cast(doc_id AS string)), 1, 6), 16, 10) AS BIGINT) % 100")
     rate = F.when(F.col("lang") == "en", 10).when(F.col("lang") == "zh", 50).otherwise(25)
     return t["documents"].filter(bucket < rate).select("doc_id", "lang").orderBy("doc_id")
+
+
+SKETCH_ROLLUP_ORACLE = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       true AS within_2pct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("sketch_hll_rollup", SKETCH_ROLLUP_ORACLE, tags=("approx", "sketch", "agg"))
+def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — THE 100 TB distinct-count pattern: build one
+    HLL sketch per (event_type, day) partition (hll_sketch_agg, Datasketches
+    HllSketch), then MERGE sketches across days (hll_union_agg) instead of
+    re-scanning raw events. A production pipeline materializes the daily
+    sketch table once and answers any date-range distinct-user query from
+    sketch unions — turning a 100 TB re-aggregation into a few-KB merge.
+    Correctness gate: the merged estimate must land within 2% of the exact
+    distinct count (sketches are deterministic for fixed input, so the bound
+    is hash-stable; same contract as approx_count_distinct_bounds).
+
+    Upstream surface: hll_sketch_agg / hll_union_agg / hll_sketch_estimate
+    (Spark 3.5+); the reference's HLL++
+    (sql/catalyst/.../aggregate/HyperLogLogPlusPlus.scala:52) exposes
+    estimates only — the sketch-valued, re-aggregatable form is the modern
+    upgrade of that operator."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .select("event_type", F.to_date("ts").alias("day"), "user_id")
+        .groupBy("event_type", "day")
+        .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk, false))").alias("est")
+    )
+    exact = t["events"].groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        exact.join(merged, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users")) / F.col("exact_users") <= 0.02
+            ).alias("within_2pct"),
+        )
+        .orderBy("event_type")
+    )

@@ -51,7 +51,7 @@ def all_queries() -> dict[str, QuerySpec]:
     report) ahead of the families already driver-verified in rounds 1-2.
     """
     # Imports are deferred so `import sol_spark` stays cheap.
-    from sol_spark.operators import dedup, multimodal, similarity, skew, text  # noqa: F401
+    from sol_spark.operators import dedup, layout, multimodal, similarity, skew, text  # noqa: F401
     from sol_spark.queries import tpch  # noqa: F401
     from sol_spark.queries import relational, ssb, tpcds  # noqa: F401
     from sol_spark.queries import (  # noqa: F401
