@@ -378,8 +378,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # filter BEFORE distinct: a pair can collide in up to SIMHASH_BANDS
         # bands, so the dedup shuffle shrinks to hamming-survivors only
         .filter(F.col("hamming") <= HAMMING_MAX)
+        # No global sort: the pair SET is the result (the oracle compare is
+        # order-insensitive, and downstream consumers — the CC labeler —
+        # shuffle by key anyway); sorting the 1.57 M sf0.1 pairs was the
+        # single largest avoidable stage in the r1 bench profile.
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
 
 
