@@ -169,10 +169,15 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 def events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1, n_files: int = 1
 ) -> tuple[DataFrame, str]:
-    """Replay the events fixture as a file-source stream: copy the parquet
-    into a temp dir (file streams track directories) and readStream it with
-    the batch-inferred schema. ``n_files > 1`` range-splits the fixture by ts
-    into that many files so ``maxFilesPerTrigger=1`` yields multiple
+    """Replay the events fixture as a file-source stream. The source files
+    are MATERIALIZED FROM THE BATCH-NORMALIZED FRAME (`_read`), never copied
+    raw: the fixture's physical timestamp encoding has changed across driver
+    generations (int64 nanos in round 1, micros in round 3), and a raw copy
+    plus hard-coded decode schema silently misdecodes one or the other
+    (micros read as nanos -> 1970 windows -> every stream==batch test red).
+    Writing through Spark makes the stream files' schema identical to the
+    batch schema by construction. ``n_files > 1`` range-splits by ts into
+    that many files so ``maxFilesPerTrigger=1`` yields multiple
     micro-batches (state carried across batches, the real incremental path).
     Returns (stream_df, tmpdir to clean up)."""
     from sol_spark.tables import _read
@@ -180,11 +185,9 @@ def events_stream(
     batch = _read(spark, os.path.join(sf_dir, "events.parquet"))
     tmp = tempfile.mkdtemp(prefix="solspark_stream_")
     if n_files <= 1:
-        shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(tmp, "part-0.parquet"))
+        batch.coalesce(1).write.mode("overwrite").parquet(tmp)
     else:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        raw.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(tmp)
+        batch.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(tmp)
         # Replay order guard: the file source sorts by modification time and
         # all part files land in the same second, so tie-breaking could
         # replay them out of ts order — a later-ts batch advances the
@@ -197,16 +200,13 @@ def events_stream(
         base = _time.time() - 300
         for i, f in enumerate(parts):
             os.utime(os.path.join(tmp, f), (base + i, base + i))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
-        spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
-        )
+        spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(tmp)
         # TIMESTAMP (not NTZ): EventTimeWatermark requires it; session tz is
         # pinned UTC so values match the batch side's timestamp_ntz.
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     # Schema sanity: stream shape must equal batch shape — full (name, type)
     # pairs, and an explicit raise (a bare assert is stripped under -O and

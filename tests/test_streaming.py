@@ -208,18 +208,21 @@ def test_stream_stream_left_outer_join(spark, sf_dir, batch_events):
     # cross-batch state + watermark-driven eviction.
     stream, tmp = P.events_stream(spark, sf_dir, n_files=1)
     try:
-        max_ns = batch_events.agg(
-            F.max(F.unix_timestamp("ts")).alias("m")
-        ).collect()[0]["m"] * 1_000_000_000
-        far = max_ns + 30 * 86400 * 1_000_000_000
+        import datetime as _dt
+
+        far = batch_events.agg(F.max("ts").alias("m")).collect()[0]["m"] + _dt.timedelta(
+            days=30
+        )
         # One sentinel per side: the global watermark is the MIN across all
         # watermarked inputs, so both streams must see a far-future event.
+        # Sentinel schema MUST match the stream files' schema (= the batch
+        # schema, ts timestamp_ntz — see events_stream).
         sentinel = spark.createDataFrame(
             [
                 (10**9, far, -1, "view", 0.0, "{}"),
                 (10**9 + 1, far, -2, "purchase", 0.0, "{}"),
             ],
-            "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string",
+            "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, value double, props string",
         )
         import time as _t2
         import uuid as _uuid
@@ -507,16 +510,17 @@ def test_stream_stream_full_outer_join(spark, sf_dir, batch_events):
 
     stream, tmp = P.events_stream(spark, sf_dir, n_files=1)
     try:
-        max_ns = batch_events.agg(F.max(F.unix_timestamp("ts")).alias("m")).collect()[0][
-            "m"
-        ] * 1_000_000_000
-        far = max_ns + 30 * 86400 * 1_000_000_000
+        import datetime as _dt
+
+        far = batch_events.agg(F.max("ts").alias("m")).collect()[0]["m"] + _dt.timedelta(
+            days=30
+        )
         sentinel = spark.createDataFrame(
             [
                 (10**9, far, -1, "view", 0.0, "{}"),
                 (10**9 + 1, far, -2, "purchase", 0.0, "{}"),
             ],
-            "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string",
+            "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, value double, props string",
         )
 
         def _real(rows):
