@@ -842,3 +842,59 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pagerank(mh.select("doc_a", "doc_b"))
     release_result(mh)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the near-dup graph
+# ---------------------------------------------------------------------------
+
+TRIANGLES_ORACLE = f"""
+WITH pr AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({{pair_sql}}) q
+), tri AS MATERIALIZED (
+  SELECT e1.doc_a AS u, e1.doc_b AS v, e2.doc_b AS w
+  FROM pr e1
+  JOIN pr e2 ON e2.doc_a = e1.doc_b
+  JOIN pr e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+), nodes AS (
+  SELECT u AS doc FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri
+)
+SELECT doc, count(*) AS n_triangles FROM nodes GROUP BY doc ORDER BY doc
+""".replace("{pair_sql}", SIMHASH_ORACLE.replace("ORDER BY doc_a, doc_b", ""))
+
+
+@register("graph_triangles", TRIANGLES_ORACLE, tags=("llm", "graph", "dedup"))
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle participation in the SimHash near-dup graph —
+    the local clustering signal that separates tight dup cliques (every pair
+    mutually similar: safe to keep one representative) from chain-shaped
+    false-positive clusters (A~B~C but A!~C: splitting candidates).
+
+    Plan shape: edges are already canonical (doc_a < doc_b), so each
+    triangle {{u<v<w}} is enumerated exactly once by the wedge join
+    e1(u,v) ⋈ e2(v,w) ⋈ e3(u,w) — two equi-joins, no cartesian anywhere.
+    Scale: wedge count is sum over nodes of deg^2 on the JOIN KEY side; a
+    100 TB run first orients edges low-degree -> high-degree (the classic
+    compact-forward bound of sum(min_deg)) — with the canonical-id
+    orientation used here the fixture graph's wedge fan-out is already
+    bounded by the per-band pair caps upstream."""
+    pairs = dedup_simhash(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint(eager=True)
+    e1 = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    e2 = pairs.select(F.col("doc_a").alias("v2"), F.col("doc_b").alias("w"))
+    e3 = pairs.select(F.col("doc_a").alias("u3"), F.col("doc_b").alias("w3"))
+    tri = (
+        e1.join(e2, F.col("v") == F.col("v2"))
+        .join(e3, (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")))
+        .select("u", "v", "w")
+    )
+    out = (
+        tri.select(F.col("u").alias("doc"))
+        .union(tri.select("v"))
+        .union(tri.select("w"))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("doc")
+        .localCheckpoint(eager=True)
+    )
+    release_result(pairs)
+    return out
