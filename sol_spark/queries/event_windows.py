@@ -205,3 +205,46 @@ def time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "event_type", "g_type", "n", "sum_value")
         .orderBy("day", "g_type", "event_type")
     )
+
+
+UNIQUE_USERS_ORACLE = """
+SELECT to_timestamp(floor(epoch(ts))::BIGINT // 3600 * 3600)::TIMESTAMP AS window_start,
+       count(DISTINCT user_id) AS exact_users,
+       true AS within_2pct
+FROM events
+GROUP BY 1
+ORDER BY window_start
+"""
+
+
+@register("stream_window_unique_users", UNIQUE_USERS_ORACLE, tags=("streaming", "window", "approx"))
+def stream_window_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch shape of pipelines.window_unique_users plus the correctness
+    gate: the HLL++ estimate must land within 2% of the exact per-window
+    distinct count (estimates are deterministic for fixed input, so the
+    boolean is hash-stable — same contract as approx_count_distinct_bounds).
+    The streaming twin runs the identical transform incrementally; HLL
+    sketch-merge is batch-boundary-insensitive, so the estimates agree
+    exactly (tests/test_streaming.py::test_window_unique_users_stream)."""
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir)
+    approx = P.window_unique_users(t["events"])
+    exact = (
+        t["events"]
+        .groupBy(F.window("ts", P.TUMBLE).alias("w"))
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+        .select(F.col("w.start").alias("window_start"), "exact_users")
+    )
+    return (
+        exact.join(approx, "window_start")
+        .select(
+            "window_start",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
+                <= 0.02
+            ).alias("within_2pct"),
+        )
+        .orderBy("window_start")
+    )

@@ -135,6 +135,22 @@ def purchases_with_recent_view(events: DataFrame) -> DataFrame:
     ).select("event_id", "user_id", "ts", "value", "v_ts")
 
 
+def window_unique_users(events: DataFrame) -> DataFrame:
+    """Tumbling-window approximate distinct users — THE high-cardinality
+    streaming metric at scale. Exact distinct aggregation is unsupported
+    over streams (state would be the full value set per window); HLL++
+    sketch state (approx_count_distinct) is bounded KB per window and its
+    merge is order/batch-insensitive, so the incremental result is
+    IDENTICAL to the batch result, not merely close — which is what lets
+    the stream==batch test below assert equality on the estimate."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", TUMBLE).alias("w"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        .select(F.col("w.start").alias("window_start"), "approx_users")
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Arbitrary stateful op (reference FlatMapGroupsWithStateExec,
     streaming/FlatMapGroupsWithStateExec.scala:46 + GroupStateImpl): per-user

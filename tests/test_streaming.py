@@ -62,6 +62,15 @@ def test_session_window_stream_equals_batch(spark, sf_dir, batch_events):
     assert _sorted_rows(got, ("session_value",)) == _sorted_rows(want, ("session_value",))
 
 
+def test_window_unique_users_stream(spark, sf_dir, batch_events):
+    """HLL++ sketch state across micro-batches: the streaming estimate must
+    EQUAL the batch estimate (sketch merge is batch-boundary-insensitive),
+    not just approximate it."""
+    got = _run(spark, sf_dir, P.window_unique_users, "complete", n_files=3)
+    want = P.window_unique_users(batch_events).collect()
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
 def test_streaming_dedup_keys(spark, sf_dir, batch_events):
     """dropDuplicates keeps ONE row per key (which row is arrival-order
     dependent within a batch), so compare the key sets, not full rows."""
