@@ -1028,3 +1028,78 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+BITMAP_DISTINCT_ORACLE = """
+SELECT event_type, count(DISTINCT user_id) AS exact_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("sketch_bitmap_distinct", BITMAP_DISTINCT_ORACLE, tags=("sketch", "agg", "scale"))
+def sketch_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable roaring-style bitmaps
+    (bitmap_construct_agg / bitmap_or_agg / bitmap_count, Spark 3.5+): the
+    partition-pre-aggregable alternative to count(DISTINCT) whose partials
+    are tiny bitmaps instead of full value sets. Two-level plan: bitmaps per
+    (group, 32k-value bucket) — bucket number shards the value domain so no
+    single bitmap exceeds 4 KB — then SUM of per-bucket cardinalities
+    (buckets partition the domain, so the sum IS the exact distinct count).
+    Unlike the HLL rollup, the result matches count(DISTINCT) bit-for-bit —
+    the oracle checks equality, not a tolerance. At 100 TB this turns a
+    shuffle of |distinct values| rows into a shuffle of |groups x buckets|
+    bitmap blobs."""
+    t = load_tables(spark, sf_dir)
+    per_bucket = (
+        t["events"]
+        .groupBy("event_type", F.expr("bitmap_bucket_number(user_id)").alias("bkt"))
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("exact_users"))
+        .orderBy("event_type")
+    )
+
+
+MAD_ANOMALY_ORACLE = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.event_id, e.value, abs(e.value - m.med) AS adev, m.med
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.value,
+       round((d.value - d.med) / (1.4826 * m.mad), 4) AS robust_z
+FROM dev d JOIN mad m USING (event_type)
+WHERE abs((d.value - d.med) / (1.4826 * m.mad)) > 3
+ORDER BY d.event_id
+"""
+
+
+@register("events_anomaly_mad", MAD_ANOMALY_ORACLE, tags=("events", "quality", "stats"))
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event_type: median absolute deviation
+    (MAD) scaled to a robust z-score (1.4826 = 1/Φ⁻¹(3/4)); flags |z| > 3.
+    Medians are exact interpolated percentiles (the ObjectHashAggregate
+    path), computed per group twice (value median, then deviation median) —
+    two group-bounded passes, each a partial+final aggregate; the per-row
+    scoring join broadcasts the tiny per-group stats. The robust pair
+    (median, MAD) is what a 100 TB metrics pipeline uses instead of
+    mean/stddev, which a single corrupt batch can drag arbitrarily."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "event_id", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    z = (F.col("value") - F.col("med")) / (1.4826 * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(z) > 3)
+        .select("event_id", "event_type", "value", F.round(z, 4).alias("robust_z"))
+        .orderBy("event_id")
+    )

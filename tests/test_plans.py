@@ -401,3 +401,24 @@ def test_zorder_layout_file_skipping(spark, tmp_path):
     assert z_touched <= n_files // 4, f"z-order touched {z_touched}/{n_files} files"
     # Sanity: both layouts return identical data.
     assert spark.read.parquet(zdir).count() == spark.read.parquet(xdir).count()
+
+
+def test_join_strategy_hint_matrix(spark, sf_dir):
+    """All four join-strategy hints steer the planner (reference
+    ResolveJoinStrategyHints / JoinSelection): BROADCAST, MERGE,
+    SHUFFLE_HASH, SHUFFLE_REPLICATE_NL each produce their operator for the
+    same equi/cross join — the manual overrides a 100 TB operator needs
+    when statistics mislead the cost model."""
+    t = load_tables(spark, sf_dir)
+    o, c = t["orders"], t["customer"]
+    cond = o["o_custkey"] == c["c_custkey"]
+    cases = [
+        ("broadcast", cond, "BroadcastHashJoin"),
+        ("merge", cond, "SortMergeJoin"),
+        ("shuffle_hash", cond, "ShuffledHashJoin"),
+        ("shuffle_replicate_nl", None, "CartesianProduct"),
+    ]
+    for hint, on, op in cases:
+        j = o.join(c.hint(hint), on) if on is not None else o.crossJoin(c.hint(hint))
+        plan = _plan(j)
+        assert op in plan, f"hint {hint}: expected {op} in plan"
