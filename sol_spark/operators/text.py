@@ -735,3 +735,75 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+PIPELINE_CORPUS_ORACLE = f"""
+WITH feats AS (
+  SELECT doc_id, lang, text,
+         len(string_split({_NORM_DUCK}, ' ')) AS n_tokens,
+         (10000 * len(list_distinct(string_split({_NORM_DUCK}, ' '))))
+           // len(string_split({_NORM_DUCK}, ' ')) AS ttr_bp,
+         (10000 * (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))))
+           // length(text) AS punct_bp
+  FROM documents
+), kept AS (
+  SELECT doc_id, lang, n_tokens, md5({_NORM_DUCK}) AS h
+  FROM feats
+  WHERE n_tokens BETWEEN 10 AND 5000 AND ttr_bp >= 2000 AND punct_bp <= 800
+), keepers AS (
+  SELECT h, min(doc_id) AS keeper FROM kept GROUP BY h
+)
+SELECT k.lang,
+       count(*) AS n_docs,
+       CAST(sum(k.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(min(k.doc_id) AS BIGINT) AS first_doc
+FROM kept k JOIN keepers kp ON k.h = kp.h AND k.doc_id = kp.keeper
+GROUP BY k.lang ORDER BY k.lang
+"""
+
+
+@register("pipeline_pretrain_corpus", PIPELINE_CORPUS_ORACLE, tags=("llm", "text", "pipeline"))
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus curation in one plan: quality gate (C4/Gopher
+    rules) -> exact dedup among survivors (keep min doc_id per normalized
+    content hash) -> per-language corpus accounting. This is the composed
+    product the individual text_*/dedup_* operators exist for, registered
+    as one query so the composition itself is oracle-verified.
+
+    Plan shape at 100 TB: stage 1 is a scan-local projection+filter (zero
+    shuffle), stage 2 one hash-aggregate on the content hash plus a
+    self-semi-join that AQE plans as broadcast when the dup set is small,
+    stage 3 a per-language partial+final aggregate — three shuffles total,
+    each over data the previous stage already shrank."""
+    t = load_tables(spark, sf_dir)
+    tk = F.expr(f"split({_NORM}, ' ')")
+    feats = t["documents"].select(
+        "doc_id",
+        "lang",
+        F.size(tk).alias("n_tokens"),
+        F.expr(
+            f"(10000 * size(array_distinct(split({_NORM}, ' ')))) div size(split({_NORM}, ' '))"
+        ).alias("ttr_bp"),
+        F.expr(
+            "(10000 * (length(text) - length(regexp_replace(text, '[.,;:!?]', '')))) div length(text)"
+        ).alias("punct_bp"),
+        F.expr(f"md5({_NORM})").alias("h"),
+    )
+    kept = feats.filter(
+        F.col("n_tokens").between(10, 5000) & (F.col("ttr_bp") >= 2000) & (F.col("punct_bp") <= 800)
+    ).select("doc_id", "lang", "n_tokens", "h")
+    keepers = kept.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    final = kept.join(
+        keepers,
+        (kept["h"] == keepers["h"]) & (kept["doc_id"] == keepers["keeper"]),
+        "left_semi",
+    )
+    return (
+        final.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("lang")
+    )

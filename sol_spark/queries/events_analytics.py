@@ -140,3 +140,76 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("active_users"))
         .orderBy("cohort_day", "days_since")
     )
+
+
+RESAMPLE_FFILL_ORACLE = """
+WITH bounds AS (
+  SELECT to_timestamp(floor(epoch(min(ts)))::BIGINT // 3600 * 3600)::TIMESTAMP AS t0,
+         max(ts) AS t1
+  FROM events
+), grid AS (
+  SELECT e.event_type,
+         unnest(generate_series((SELECT t0 FROM bounds), (SELECT t1 FROM bounds),
+                                INTERVAL 1 HOUR)) AS grid_ts
+  FROM (SELECT DISTINCT event_type FROM events) e
+), series AS (
+  SELECT event_type, ts, max(value) AS v FROM events GROUP BY event_type, ts
+)
+SELECT g.event_type, g.grid_ts, s.v AS last_value
+FROM grid g ASOF LEFT JOIN series s
+  ON g.event_type = s.event_type AND s.ts <= g.grid_ts
+ORDER BY g.event_type, g.grid_ts
+"""
+
+
+@register("events_resample_ffill", RESAMPLE_FFILL_ORACLE, tags=("events", "timeseries"))
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with forward-fill: sample each event_type's
+    latest value on an hourly grid (the metrics-dashboard / feature-store
+    "as-of" read). The DuckDB oracle states the semantics with ASOF LEFT
+    JOIN; the Spark plan computes the identical result WITHOUT a range join:
+    real points and grid points are unioned and a per-series
+    last(ignoreNulls) window forward-fills — one shuffle on the series key,
+    linear in |events| + |grid|, instead of the O(|grid| x |events|)
+    between-join a naive as-of formulation costs. Scale: parallelism is
+    per-series (the window key); a 100 TB feature store shards further by
+    time-bucket exactly like text_pack_sequences shards its running sum.
+    Events sharing a timestamp are pre-collapsed (max) so the fill is
+    deterministic in both engines."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    bounds = ev.agg(
+        F.expr("to_timestamp(floor(unix_timestamp(min(ts)) / 3600) * 3600)").alias("t0"),
+        F.max("ts").alias("t1"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(t0, t1, interval 1 hour)")).alias("grid_ts"),
+        )
+    )
+    series = ev.groupBy("event_type", "ts").agg(F.max("value").alias("v"))
+    unioned = series.select(
+        "event_type", F.col("ts").alias("pt"), "v", F.lit(1).alias("is_event")
+    ).unionByName(
+        grid.select(
+            "event_type", F.col("grid_ts").alias("pt"), F.lit(None).cast("double").alias("v"),
+            F.lit(0).alias("is_event"),
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("pt", F.desc("is_event"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        unioned.withColumn("last_value", F.last("v", ignorenulls=True).over(w))
+        .filter(F.col("is_event") == 0)
+        .select("event_type", F.col("pt").alias("grid_ts"), "last_value")
+        .orderBy("event_type", "grid_ts")
+    )
