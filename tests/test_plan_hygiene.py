@@ -1,0 +1,57 @@
+"""Corpus-wide plan-hygiene gate: EVERY registered query's physical plan is
+scanned for the two classic 100 TB scale-killers —
+
+  * CartesianProduct: O(n x m) row pairing. Any query that needs a cross
+    join must either broadcast (BroadcastNestedLoopJoin over a bounded side)
+    or be explicitly registered as a cartesian operator.
+  * BatchEvalPython: row-at-a-time Python UDF (pickle per row). The Arrow
+    paths (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas /
+    PythonUDTF) are the sanctioned Python escapes.
+
+This is the sweep version of the per-query plan tests in test_plans.py: a
+new operator cannot regress into a cartesian or row-Python plan without
+failing CI. Plans are built, never executed (except the known-eager
+iterative operators, which are skipped: their construction runs jobs).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sol_spark.plans import explain_formatted as _plan
+from sol_spark.registry import all_queries
+
+# Construction executes jobs (localCheckpoint / driver-side iteration):
+# covered by their own oracle + runtime tests instead.
+EAGER_BUILD = {
+    "dedup_clusters",
+    "dedup_simhash_clusters",
+    "dedup_keep_list",
+    "dedup_pagerank",
+    "graph_triangles",
+    "sim_kmeans_train",
+    "sim_topk_ivf",
+}
+
+# Registered cartesian-by-design operators (bounded or demonstration ops).
+CARTESIAN_OK = {"cross_join_dims"}
+
+
+def _specs():
+    return [(n, s) for n, s in sorted(all_queries().items()) if n not in EAGER_BUILD]
+
+
+@pytest.mark.parametrize("name", [n for n, _ in _specs()])
+def test_no_cartesian_no_row_python(spark, sf_dir, name):
+    spec = all_queries()[name]
+    plan = _plan(spec.fn(spark, sf_dir))
+    if name not in CARTESIAN_OK:
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    # Row-at-a-time Python. Arrow nodes contain 'ArrowEvalPython' /
+    # 'MapInPandas' / 'FlatMapGroupsInPandas' / 'BatchEvalPythonUDTF' —
+    # match the exact row-UDF node only.
+    for line in plan.splitlines():
+        node = line.strip(" +-*")
+        assert not node.startswith("BatchEvalPython ") and not node.startswith(
+            "BatchEvalPython("
+        ), f"{name}: row-at-a-time Python UDF in plan: {node[:80]}"
