@@ -2129,3 +2129,75 @@ def tpcds_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_customer_sk", "store_sk")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# q24 — returns-matched sales per (customer, store), self-average threshold
+# ---------------------------------------------------------------------------
+
+Q24_ORACLE = f"""
+WITH {DS_CTES},
+ssales AS (
+  SELECT c.c_last_name, s.s_store_name, i.i_class,
+         sum(ss.ss_sales_price) AS netpaid
+  FROM store_sales ss
+  JOIN store_returns sr ON ss.ss_ticket_number = sr.sr_ticket_number
+                       AND ss.ss_item_sk = sr.sr_item_sk
+                       AND ss.ss_line_number = sr.sr_line_number
+  JOIN store s ON ss.ss_store_sk = s.s_store_sk
+  JOIN item i ON ss.ss_item_sk = i.i_item_sk
+  JOIN customer_dim c ON ss.ss_customer_sk = c.c_customer_sk
+  WHERE s.s_state IN ('ST_1', 'ST_2')
+  GROUP BY c.c_last_name, s.s_store_name, i.i_class
+)
+SELECT c_last_name, s_store_name, round(sum(netpaid), 4) AS paid
+FROM ssales
+WHERE i_class = 'PROMO'
+GROUP BY c_last_name, s_store_name
+HAVING sum(netpaid) > (SELECT 0.05 * avg(netpaid) FROM ssales)
+ORDER BY c_last_name, s_store_name
+"""
+
+
+@register("tpcds_q24", Q24_ORACLE, tags=("tpcds", "returns", "subquery"))
+def tpcds_q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q24 (reference tpcds/q24a.sql; color -> i_class, zip filter ->
+    derived states). Distinct shape in the corpus: the fact joins its OWN
+    returns channel on the (ticket, item, line) compound key — a fact-fact
+    join both sides of which shuffle on the same composite key — and the
+    HAVING threshold is a scalar subquery over the SAME aggregated CTE
+    (ssales built once; the global avg is a one-row broadcast; Catalyst
+    plans the second pass as a ReusedExchange of the first's shuffle).
+    Sum comparison stays on unrounded doubles (identical inputs both
+    engines, q6/q1 note)."""
+    ds = _ds(spark, sf_dir)
+    st = ds["store"].filter(F.col("s_state").isin("ST_1", "ST_2"))
+    sr = ds["store_returns"].select(
+        F.col("sr_ticket_number").alias("t"),
+        F.col("sr_item_sk").alias("i"),
+        F.col("sr_line_number").alias("ln"),
+    )
+    ssales = (
+        ds["store_sales"]
+        .join(
+            sr,
+            (F.col("ss_ticket_number") == F.col("t"))
+            & (F.col("ss_item_sk") == F.col("i"))
+            & (F.col("ss_line_number") == F.col("ln")),
+        )
+        .join(F.broadcast(st), F.col("ss_store_sk") == F.col("s_store_sk"))
+        .join(ds["item"], F.col("ss_item_sk") == F.col("i_item_sk"))
+        .join(ds["customer_dim"], F.col("ss_customer_sk") == F.col("c_customer_sk"))
+        .groupBy("c_last_name", "s_store_name", "i_class")
+        .agg(F.sum("ss_sales_price").alias("netpaid"))
+    )
+    threshold = ssales.agg((F.avg("netpaid") * 0.05).alias("cutoff"))
+    return (
+        ssales.filter(F.col("i_class") == "PROMO")
+        .groupBy("c_last_name", "s_store_name")
+        .agg(F.sum("netpaid").alias("paid_raw"))
+        .crossJoin(F.broadcast(threshold))
+        .filter(F.col("paid_raw") > F.col("cutoff"))
+        .select("c_last_name", "s_store_name", F.round("paid_raw", 4).alias("paid"))
+        .orderBy("c_last_name", "s_store_name")
+    )
