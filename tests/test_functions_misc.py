@@ -195,3 +195,78 @@ def test_udtf_polymorphic_analyze(spark):
     spark.udtf.register("chars_poly", Chars)
     rows = spark.sql("SELECT * FROM chars_poly('abc')").collect()
     assert [(r.pos, r.ch) for r in rows] == [(0, "a"), (1, "b"), (2, "c")]
+
+
+def test_arrow_optimized_python_udf(spark, sf_dir):
+    """Arrow-optimized scalar Python UDF (useArrow=True, Spark 3.5+): plans
+    as ArrowEvalPython — Arrow-batch transfer instead of per-row pickling —
+    the sanctioned form when a scalar Python escape is unavoidable (the
+    plan-hygiene sweep bans the BatchEvalPython row path corpus-wide)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from sol_spark.plans import explain_formatted
+    from sol_spark.tables import load_tables
+
+    @F.udf(returnType=LongType(), useArrow=True)
+    def clamp100(x):
+        return min(x, 100)
+
+    df = load_tables(spark, sf_dir)["customer"].select(clamp100("c_custkey").alias("c"))
+    assert "ArrowEvalPython" in explain_formatted(df)
+    assert df.agg(F.max("c")).collect()[0][0] == 100
+
+
+def test_parquet_compression_codecs(spark, tmp_path):
+    """Write-path codec options (reference ParquetOptions.scala): snappy /
+    zstd / gzip / none round-trip, codec visible in the part-file suffix.
+    At 100 TB, zstd typically halves storage vs snappy at similar scan
+    speed — the option surface must actually reach the writer."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    for codec, suffix in [
+        ("snappy", ".snappy.parquet"),
+        ("zstd", ".zstd.parquet"),
+        ("gzip", ".gz.parquet"),
+        ("none", ".parquet"),
+    ]:
+        out = str(tmp_path / codec)
+        df.coalesce(1).write.option("compression", codec).mode("overwrite").parquet(out)
+        files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+        assert files and files[0].endswith(suffix), (codec, files)
+        assert spark.read.parquet(out).count() == 1000
+
+
+def test_analyze_table_stats_feed_cbo(spark, sf_dir, tmp_path):
+    """ANALYZE TABLE ... COMPUTE STATISTICS (reference AnalyzeTableCommand /
+    DetermineTableStats): collected rowCount/sizeInBytes appear in the
+    catalog and in the optimized plan's statistics — the numbers the
+    cost-based optimizer uses for broadcast decisions and join reordering
+    on tables whose file size misrepresents their post-filter cardinality."""
+    from sol_spark.tables import load_tables
+
+    spark.sql("DROP TABLE IF EXISTS cbo_nation")
+    load_tables(spark, sf_dir)["nation"].write.saveAsTable("cbo_nation")
+    try:
+        spark.sql("ANALYZE TABLE cbo_nation COMPUTE STATISTICS")
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql("DESCRIBE TABLE EXTENDED cbo_nation").collect()
+        }
+        stats = desc.get("Statistics", "")
+        assert "rows" in stats  # e.g. "2581 bytes, 25 rows"
+        # The optimizer consumes the row count only under CBO.
+        old = spark.conf.get("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            plan_stats = (
+                spark.table("cbo_nation")._jdf.queryExecution().optimizedPlan().stats().toString()
+            )
+            assert "rowCount" in plan_stats
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cbo_nation")
