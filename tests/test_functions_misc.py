@@ -249,7 +249,7 @@ def test_analyze_table_stats_feed_cbo(spark, sf_dir, tmp_path):
     from sol_spark.tables import load_tables
 
     spark.sql("DROP TABLE IF EXISTS cbo_nation")
-    load_tables(spark, sf_dir)["nation"].write.saveAsTable("cbo_nation")
+    load_tables(spark, sf_dir)["nation"].write.mode("overwrite").saveAsTable("cbo_nation")
     try:
         spark.sql("ANALYZE TABLE cbo_nation COMPUTE STATISTICS")
         desc = {
