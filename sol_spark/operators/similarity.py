@@ -695,3 +695,83 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id", "k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed logistic regression (batch gradient descent)
+# ---------------------------------------------------------------------------
+
+LR_ITERS = 3
+LR_RATE = 0.5
+
+
+def _lr_oracle_sql() -> str:
+    """Unrolled batch-GD oracle: one (err_i, w_i) CTE pair per iteration —
+    the same fixed-iteration-unroll trick as the PageRank oracle."""
+    steps = []
+    for i in range(1, LR_ITERS + 1):
+        steps.append(f"""err{i} AS MATERIALIZED (
+  SELECT e.vec_id,
+         1.0 / (1.0 + exp(-sum(e.embedding[w.k]::DOUBLE * w.w))) - any_value(e.y) AS err
+  FROM e, w{i - 1} w GROUP BY e.vec_id
+), w{i} AS MATERIALIZED (
+  SELECT w.k, any_value(w.w) - {LR_RATE} * sum(e.embedding[w.k]::DOUBLE * err{i}.err)
+              / any_value(nn.n) AS w
+  FROM w{i - 1} w, nn, e JOIN err{i} USING (vec_id)
+  GROUP BY w.k
+)""")
+    chain = ",\n".join(steps)
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
+  FROM embeddings
+), nn AS (SELECT count(*)::DOUBLE AS n FROM e),
+dims AS (SELECT unnest(range(1, {EMB_DIM + 1})) AS k),
+w0 AS (SELECT k, 0.0 AS w FROM dims),
+{chain}
+SELECT k, round(w, 6) AS weight FROM w{LR_ITERS} ORDER BY k
+"""
+
+
+SIM_LOGREG_ORACLE = _lr_oracle_sql()
+
+
+@register("sim_logreg_train", SIM_LOGREG_ORACLE, tags=("llm", "similarity", "ml", "iterative"))
+def sim_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression by full-batch gradient descent on the
+    embeddings (binary target label < 5), the MLlib training pattern: the
+    MODEL (64 weights) lives on the driver, each iteration is ONE
+    distributed aggregation pass — the per-row error term is computed from
+    the weight vector compiled into the plan as a constant array (no join,
+    no broadcast variable needed at this dimensionality), and all 64
+    gradient components come back as 64 map-side-combined sum() columns of
+    a single hash-aggregate. Per iteration cost at 100 TB: one scan + one
+    64-column partial/final agg, no shuffle wider than one row; the
+    sequential driver loop is O(iters), exactly GraphX/MLlib's structure
+    (reference mllib GradientDescent.runMiniBatchSGD,
+    /root/reference/mllib/src/main/scala/org/apache/spark/mllib/optimization/GradientDescent.scala:162).
+    Fixed iteration count keeps the computation SQL-expressible for the
+    oracle (unrolled CTE pairs)."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        "embedding", F.expr("CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END").alias("y")
+    )
+    n = e.count()
+    w = [0.0] * EMB_DIM
+    for _ in range(LR_ITERS):
+        consts = ", ".join(f"cast({wk!r} AS double)" for wk in w)
+        err = (
+            f"1.0 / (1.0 + exp(-aggregate(zip_with(embedding, array({consts}), "
+            "(x, v) -> cast(x AS double) * v), cast(0.0 AS double), (a, v) -> a + v))) - y"
+        )
+        grads = e.agg(
+            *[
+                F.sum(F.expr(f"element_at(embedding, {k + 1}) * ({err})")).alias(f"g{k}")
+                for k in range(EMB_DIM)
+            ]
+        ).collect()[0]
+        w = [w[k] - LR_RATE * float(grads[f"g{k}"]) / n for k in range(EMB_DIM)]
+    return spark.createDataFrame(
+        [(k + 1, round(w[k], 6)) for k in range(EMB_DIM)], "k bigint, weight double"
+    )
