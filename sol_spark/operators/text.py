@@ -807,3 +807,57 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+TFIDF_ORACLE = f"""
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split({_NORM_DUCK}, ' ')) AS tok FROM documents) u
+  GROUP BY 1, 2
+), dfreq AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY 1
+), nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.tok, round(t.tf * ln(nn.n / d.df), 6) AS tfidf
+  FROM tf t JOIN dfreq d USING (tok), nn
+), ranked AS (
+  SELECT doc_id, tok, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rk
+  FROM scored
+)
+SELECT doc_id, rk, tok, tfidf FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
+"""
+
+
+@register("text_tfidf_topterms", TFIDF_ORACLE, tags=("llm", "text", "ranking"))
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic keyword/topic signal
+    (and the sparse-retrieval scoring core). Same two-hash-agg shape as
+    text_lm_score: (doc, tok, tf) collapses the Zipf head map-side, document
+    frequency is a second agg over that, N is a broadcast one-row aggregate,
+    and the per-doc top-k window partitions on doc_id — parallelism scales
+    with the corpus, never a global sort. Ties break on the token string so
+    ranks are deterministic cross-engine."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id", F.explode(F.expr(f"split({_NORM}, ' ')")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    nn = t["documents"].agg(F.count(F.lit(1)).cast("double").alias("n"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id", "tok", F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6).alias("tfidf")
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "rk", "tok", "tfidf")
+        .orderBy("doc_id", "rk")
+    )

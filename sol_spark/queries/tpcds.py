@@ -2201,3 +2201,66 @@ def tpcds_q24(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_last_name", "s_store_name", F.round("paid_raw", 4).alias("paid"))
         .orderBy("c_last_name", "s_store_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# q44 — best and worst performing items by average net profit
+# ---------------------------------------------------------------------------
+
+Q44_ORACLE = f"""
+WITH {DS_CTES},
+perf AS (
+  SELECT ss_item_sk, avg(ss_net_profit) AS avg_profit
+  FROM store_sales WHERE ss_store_sk = 4
+  GROUP BY ss_item_sk
+), ranked AS (
+  SELECT ss_item_sk, avg_profit,
+         row_number() OVER (ORDER BY avg_profit DESC, ss_item_sk) AS best_rk,
+         row_number() OVER (ORDER BY avg_profit ASC, ss_item_sk) AS worst_rk
+  FROM perf
+)
+SELECT b.best_rk AS rnk, ib.i_item_desc AS best_performing, iw.i_item_desc AS worst_performing
+FROM ranked b
+JOIN ranked w ON b.best_rk = w.worst_rk
+JOIN item ib ON ib.i_item_sk = b.ss_item_sk
+JOIN item iw ON iw.i_item_sk = w.ss_item_sk
+WHERE b.best_rk <= 10
+ORDER BY rnk
+"""
+
+
+@register("tpcds_q44", Q44_ORACLE, tags=("tpcds", "window", "selfjoin"))
+def tpcds_q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q44 (reference tpcds/q44.sql, without the null-hdemo branch the
+    derived fact cannot produce). Shape: ONE aggregate ranked twice
+    (ascending and descending row_number), self-joined on rank to pair the
+    k-th best with the k-th worst item — rank alignment, not a top-k. The
+    global windows are UNPARTITIONED by the spec; they run AFTER the
+    per-item aggregate, so the single-reducer sort sees |items| rows, not
+    the fact (the same bounded-input justification as win_ntile_pctrank;
+    deterministic via the item_sk tie-break)."""
+    ds = _ds(spark, sf_dir)
+    perf = (
+        ds["store_sales"]
+        .filter(F.col("ss_store_sk") == 4)
+        .groupBy("ss_item_sk")
+        .agg(F.avg("ss_net_profit").alias("avg_profit"))
+    )
+    ranked = perf.select(
+        "ss_item_sk",
+        F.row_number().over(W.orderBy(F.desc("avg_profit"), F.col("ss_item_sk"))).alias("best_rk"),
+        F.row_number().over(W.orderBy(F.asc("avg_profit"), F.col("ss_item_sk"))).alias("worst_rk"),
+    )
+    item = ds["item"].select("i_item_sk", "i_item_desc")
+    best = ranked.filter(F.col("best_rk") <= 10).select(
+        F.col("best_rk").alias("rnk"), F.col("ss_item_sk").alias("bsk")
+    )
+    worst = ranked.select(F.col("worst_rk").alias("rnk2"), F.col("ss_item_sk").alias("wsk"))
+    return (
+        best.join(worst, F.col("rnk") == F.col("rnk2"))
+        .join(item.withColumnRenamed("i_item_desc", "best_performing"), F.col("bsk") == F.col("i_item_sk"))
+        .drop("i_item_sk")
+        .join(item.withColumnRenamed("i_item_desc", "worst_performing"), F.col("wsk") == F.col("i_item_sk"))
+        .select("rnk", "best_performing", "worst_performing")
+        .orderBy("rnk")
+    )

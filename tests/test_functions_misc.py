@@ -270,3 +270,28 @@ def test_analyze_table_stats_feed_cbo(spark, sf_dir, tmp_path):
             spark.conf.set("spark.sql.cbo.enabled", old)
     finally:
         spark.sql("DROP TABLE IF EXISTS cbo_nation")
+
+
+def test_sql_variables_and_scripting(spark, sf_dir):
+    """Spark 4 SQL surface: session variables (DECLARE/SET VARIABLE — the
+    engine-level replacement for client-side string templating) and SQL
+    scripting (BEGIN...END blocks with local variables). Both execute
+    through the same Catalyst pipeline as any query."""
+    from sol_spark.tables import load_tables
+
+    load_tables(spark, sf_dir)  # registers the fixture views
+    spark.sql("DECLARE OR REPLACE VARIABLE qty_min INT DEFAULT 40")
+    spark.sql("SET VARIABLE qty_min = 45")
+    got = spark.sql("SELECT count(*) AS n FROM lineitem WHERE l_quantity > qty_min").collect()[0]["n"]
+    want = spark.sql("SELECT count(*) AS n FROM lineitem WHERE l_quantity > 45").collect()[0]["n"]
+    assert got == want > 0
+
+    row = spark.sql(
+        """
+        BEGIN
+          DECLARE k INT DEFAULT 7;
+          SELECT k * k AS sq;
+        END
+        """
+    ).collect()[0]
+    assert row[0] == 49
