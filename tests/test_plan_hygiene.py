@@ -31,6 +31,7 @@ EAGER_BUILD = {
     "graph_triangles",
     "sim_kmeans_train",
     "sim_topk_ivf",
+    "sim_logreg_train",  # GD iterations collect during construction
 }
 
 # Registered cartesian-by-design operators (bounded or demonstration ops).
