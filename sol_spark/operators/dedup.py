@@ -898,3 +898,92 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     release_result(pairs)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Containment (asymmetric) near-dup: small doc subsumed by a larger one
+# ---------------------------------------------------------------------------
+
+CONTAIN_DF_CAP = 50  # grams in more docs than this are dropped (skew guard)
+CONTAIN_T = 0.5
+
+CONTAINMENT_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id, lang, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ntext
+  FROM documents
+), toks AS (
+  SELECT doc_id, lang, string_split(ntext, ' ') AS tk, ntext FROM norm
+), grams AS (
+  SELECT DISTINCT doc_id, lang, g FROM (
+    SELECT doc_id, lang,
+           CASE WHEN len(tk) < 2 THEN [ntext]
+                ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END AS gl
+    FROM toks
+  ) s, unnest(s.gl) AS u(g)
+), gram_df AS (
+  SELECT g, count(*) AS df FROM grams GROUP BY g
+), rare AS (
+  SELECT grams.* FROM grams JOIN gram_df USING (g) WHERE df <= {CONTAIN_DF_CAP}
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM rare GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+  FROM rare a JOIN rare b ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, (10000 * ni) // least(sa.n, sb.n) AS containment_bp
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ni >= {CONTAIN_T} * least(sa.n, sb.n)
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_containment", CONTAINMENT_ORACLE, tags=("llm", "dedup"))
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: |A ∩ B| / min(|A|, |B|) over rare
+    bigram profiles — catches a short document EMBEDDED in a longer one,
+    which Jaccard misses by construction (the union denominator dilutes).
+    The quote/boilerplate/subset-document case in corpus curation.
+
+    Scale design: containment pairs legitimately differ in length, so the
+    length-bucket blocking dedup_ngram_jaccard uses is NOT available; the
+    skew guard is instead a DOCUMENT-FREQUENCY CAP — grams seen in more
+    than {CONTAIN_DF_CAP} docs are dropped before the inverted-index
+    self-join (the standard common-shingle removal: a gram in k docs costs
+    k^2 candidate rows; capping k bounds the join fan-out linearly).
+    The operator is defined over the rare-gram profile in BOTH engines, so
+    the cap is part of the verified semantics, not an approximation."""
+    t = load_tables(spark, sf_dir)
+    grams_from_tk = (
+        "CASE WHEN size(tk) < 2 THEN array(ntext) "
+        "ELSE array_distinct(transform(sequence(1, size(tk) - 1), "
+        "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))) END"
+    )
+    grams = (
+        t["documents"]
+        .select("doc_id", "lang", F.expr(_NORM).alias("ntext"))
+        .withColumn("tk", F.split("ntext", " "))
+        .select("doc_id", "lang", F.explode(F.expr(grams_from_tk)).alias("g"))
+        .distinct()
+    )
+    gram_df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    rare = grams.join(gram_df.filter(F.col("df") <= CONTAIN_DF_CAP), "g").select(
+        "doc_id", "lang", "g"
+    )
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = rare.select(F.col("doc_id").alias("doc_a"), "lang", "g")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "lang", "g")
+    inter = (
+        a.join(b, ["lang", "g"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(F.col("ni") >= CONTAIN_T * F.least("na", "nb"))
+        .select("doc_a", "doc_b", F.expr("(10000 * ni) div least(na, nb)").alias("containment_bp"))
+        .orderBy("doc_a", "doc_b")
+    )
