@@ -213,3 +213,110 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("pt").alias("grid_ts"), "last_value")
         .orderBy("event_type", "grid_ts")
     )
+
+
+RESAMPLE_INTERP_ORACLE = """
+WITH bounds AS (
+  SELECT to_timestamp(floor(epoch(min(ts)))::BIGINT // 3600 * 3600)::TIMESTAMP AS t0,
+         max(ts) AS t1
+  FROM events
+), grid AS (
+  SELECT e.event_type,
+         unnest(generate_series((SELECT t0 FROM bounds), (SELECT t1 FROM bounds),
+                                INTERVAL 1 HOUR)) AS grid_ts
+  FROM (SELECT DISTINCT event_type FROM events) e
+), series AS (
+  SELECT event_type, ts, max(value) AS v FROM events GROUP BY event_type, ts
+), prev AS (
+  SELECT g.event_type, g.grid_ts, s.ts AS t_prev, s.v AS v_prev
+  FROM grid g ASOF LEFT JOIN series s
+    ON g.event_type = s.event_type AND s.ts <= g.grid_ts
+), nxt AS (
+  SELECT g.event_type, g.grid_ts, s.ts AS t_next, s.v AS v_next
+  FROM grid g ASOF LEFT JOIN series s
+    ON g.event_type = s.event_type AND s.ts >= g.grid_ts
+)
+SELECT p.event_type, p.grid_ts,
+       round(CASE
+         WHEN p.t_prev IS NULL THEN n.v_next
+         WHEN n.t_next IS NULL THEN p.v_prev
+         WHEN n.t_next = p.t_prev THEN p.v_prev
+         ELSE p.v_prev + (n.v_next - p.v_prev)
+              * (epoch_us(p.grid_ts) - epoch_us(p.t_prev))::DOUBLE
+              / (epoch_us(n.t_next) - epoch_us(p.t_prev))
+       END, 4) AS interp_value
+FROM prev p JOIN nxt n ON p.event_type = n.event_type AND p.grid_ts = n.grid_ts
+ORDER BY p.event_type, p.grid_ts
+"""
+
+
+@register("events_resample_interp", RESAMPLE_INTERP_ORACLE, tags=("events", "timeseries"))
+def events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation onto the hourly grid — the smoothing twin of
+    events_resample_ffill (whose docstring has the plan rationale). One
+    union + ONE window pass per direction over the same shuffle: the
+    forward scan carries (t_prev, v_prev) via last(ignoreNulls), the
+    backward frame carries (t_next, v_next) via first(ignoreNulls) over
+    (current row .. unbounded following) — Spark evaluates both frames in a
+    single WindowExec group because they share the partitioning and
+    ordering, so the interpolation costs the same single sort-shuffle as
+    the forward fill, where a join-based formulation would pay two ASOF
+    range joins (the oracle's statement of the semantics)."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    bounds = ev.agg(
+        F.expr("to_timestamp(floor(unix_timestamp(min(ts)) / 3600) * 3600)").alias("t0"),
+        F.max("ts").alias("t1"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(t0, t1, interval 1 hour)")).alias("grid_ts"),
+        )
+    )
+    series = ev.groupBy("event_type", "ts").agg(F.max("value").alias("v"))
+    unioned = series.select(
+        "event_type", F.col("ts").alias("pt"), F.col("ts").alias("evt_ts"), "v",
+        F.lit(1).alias("is_event"),
+    ).unionByName(
+        grid.select(
+            "event_type", F.col("grid_ts").alias("pt"),
+            F.lit(None).cast("timestamp_ntz").alias("evt_ts"),
+            F.lit(None).cast("double").alias("v"), F.lit(0).alias("is_event"),
+        )
+    )
+    fwd = (
+        W.partitionBy("event_type")
+        .orderBy("pt", F.desc("is_event"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    bwd = (
+        W.partitionBy("event_type")
+        .orderBy("pt", F.desc("is_event"))
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    interp = (
+        F.when(F.col("t_prev").isNull(), F.col("v_next"))
+        .when(F.col("t_next").isNull(), F.col("v_prev"))
+        .when(F.col("t_next") == F.col("t_prev"), F.col("v_prev"))
+        .otherwise(
+            F.col("v_prev")
+            + (F.col("v_next") - F.col("v_prev"))
+            * (F.unix_micros(F.col("pt").cast("timestamp")) - F.unix_micros(F.col("t_prev").cast("timestamp"))).cast("double")
+            / (F.unix_micros(F.col("t_next").cast("timestamp")) - F.unix_micros(F.col("t_prev").cast("timestamp")))
+        )
+    )
+    return (
+        unioned.withColumn("t_prev", F.last("evt_ts", ignorenulls=True).over(fwd))
+        .withColumn("v_prev", F.last("v", ignorenulls=True).over(fwd))
+        .withColumn("t_next", F.first("evt_ts", ignorenulls=True).over(bwd))
+        .withColumn("v_next", F.first("v", ignorenulls=True).over(bwd))
+        .filter(F.col("is_event") == 0)
+        .select("event_type", F.col("pt").alias("grid_ts"), F.round(interp, 4).alias("interp_value"))
+        .orderBy("event_type", "grid_ts")
+    )
