@@ -2366,3 +2366,201 @@ def tpcds_q41(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("i_product_name")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# q28 — banded list-price stats with per-band distinct counts
+# ---------------------------------------------------------------------------
+
+def _q28_bands() -> list[tuple[int, int]]:
+    return [(1, 10), (11, 20), (21, 30), (31, 40), (41, 50)]
+
+
+def _q28_oracle() -> str:
+    cols = []
+    for i, (lo, hi) in enumerate(_q28_bands(), 1):
+        b = f"ss_quantity BETWEEN {lo} AND {hi}"
+        cols.append(f"round(avg(ss_list_price) FILTER (WHERE {b}), 4) AS b{i}_avg")
+        cols.append(f"count(ss_list_price) FILTER (WHERE {b}) AS b{i}_cnt")
+        cols.append(
+            f"count(DISTINCT CASE WHEN {b} THEN ss_list_price END) AS b{i}_cntd"
+        )
+    sel = ",\n       ".join(cols)
+    return f"""
+WITH {{ctes}}
+SELECT {sel}
+FROM store_sales
+""".replace("{ctes}", DS_CTES)
+
+
+Q28_ORACLE = _q28_oracle()
+
+
+@register("tpcds_q28", Q28_ORACLE, tags=("tpcds", "star", "distinct", "conditional"))
+def tpcds_q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q28 (reference tpcds/q28.sql; 6 price-band subqueries -> 5
+    quantity bands on the fixture domain). Each band needs avg, count AND
+    count(DISTINCT) — the distinct forces Catalyst's Expand-based
+    multi-distinct rewrite: one scan fans each row into one replica per
+    distinct group (ExpandExec, the same machinery as grouping sets), then
+    two aggregate levels. The spec's 5 separate fact scans collapse into
+    that single Expand pass — scan once, not 5 times, at 100 TB."""
+    ds = _ds(spark, sf_dir)
+    aggs = []
+    for i, (lo, hi) in enumerate(_q28_bands(), 1):
+        b = F.col("ss_quantity").between(lo, hi)
+        aggs.append(F.round(F.avg(F.when(b, F.col("ss_list_price"))), 4).alias(f"b{i}_avg"))
+        aggs.append(F.count(F.when(b, F.col("ss_list_price"))).alias(f"b{i}_cnt"))
+        aggs.append(
+            F.count_distinct(F.when(b, F.col("ss_list_price"))).alias(f"b{i}_cntd")
+        )
+    return ds["store_sales"].agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# q70 — state/county profit rollup, filtered to top-5 states by a window
+# ---------------------------------------------------------------------------
+
+Q70_ORACLE = f"""
+WITH {DS_CTES},
+top_states AS (
+  SELECT s_state FROM (
+    SELECT s.s_state,
+           rank() OVER (ORDER BY sum(ss.ss_net_profit) DESC, s.s_state) AS r
+    FROM store_sales ss JOIN store s ON ss.ss_store_sk = s.s_store_sk
+    GROUP BY s.s_state
+  ) t WHERE r <= 5
+)
+SELECT round(sum(ss.ss_net_profit), 4) AS total_sum,
+       CASE WHEN grouping(s.s_state) = 1 THEN NULL ELSE s.s_state END AS state,
+       CASE WHEN grouping(s.s_city) = 1 THEN NULL ELSE s.s_city END AS city,
+       grouping(s.s_state) + grouping(s.s_city) AS lochierarchy
+FROM store_sales ss
+JOIN store s ON ss.ss_store_sk = s.s_store_sk
+WHERE s.s_state IN (SELECT s_state FROM top_states)
+GROUP BY ROLLUP (s.s_state, s.s_city)
+ORDER BY lochierarchy DESC, state NULLS FIRST, city NULLS FIRST
+"""
+
+
+@register("tpcds_q70", Q70_ORACLE, tags=("tpcds", "rollup", "window", "subquery"))
+def tpcds_q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q70 (reference tpcds/q70.sql; county -> derived city). Two
+    passes over the fact: pass 1 aggregates per state and RANKS states by a
+    window over that 7-row aggregate (the classic filter-by-windowed-
+    aggregate subquery, decorrelated to a left-semi join); pass 2 rolls up
+    (state, city) for the surviving states. The rank window runs on
+    |states| rows — after aggregation, never on the fact."""
+    ds = _ds(spark, sf_dir)
+    joined = ds["store_sales"].join(
+        F.broadcast(ds["store"].select("s_store_sk", "s_state", "s_city")),
+        F.col("ss_store_sk") == F.col("s_store_sk"),
+    )
+    per_state = joined.groupBy("s_state").agg(F.sum("ss_net_profit").alias("p"))
+    top = (
+        per_state.select(
+            "s_state", F.rank().over(W.orderBy(F.desc("p"), F.col("s_state"))).alias("r")
+        )
+        .filter(F.col("r") <= 5)
+        .select("s_state")
+    )
+    return (
+        joined.join(F.broadcast(top), "s_state", "left_semi")
+        .rollup("s_state", "s_city")
+        .agg(
+            F.round(F.sum("ss_net_profit"), 4).alias("total_sum"),
+            F.grouping("s_state").alias("g_state"),
+            F.grouping("s_city").alias("g_city"),
+        )
+        .select(
+            "total_sum",
+            F.when(F.col("g_state") == 1, None).otherwise(F.col("s_state")).alias("state"),
+            F.when(F.col("g_city") == 1, None).otherwise(F.col("s_city")).alias("city"),
+            (F.col("g_state") + F.col("g_city")).alias("lochierarchy"),
+        )
+        .orderBy(
+            F.desc("lochierarchy"),
+            F.col("state").asc_nulls_first(),
+            F.col("city").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q67 — 8-level rollup ranked per category
+# ---------------------------------------------------------------------------
+
+Q67_ORACLE = f"""
+WITH {DS_CTES},
+agg AS (
+  SELECT i.i_category, i.i_class, i.i_brand, i.i_item_desc AS i_product_name,
+         d.d_year, d.d_qoy, d.d_moy, s.s_store_name AS s_store_id,
+         round(sum(ss.ss_sales_price * ss.ss_quantity), 4) AS sumsales
+  FROM store_sales ss
+  JOIN date_dim d ON ss.ss_sold_date_sk = d.d_date_sk
+  JOIN item i ON ss.ss_item_sk = i.i_item_sk
+  JOIN store s ON ss.ss_store_sk = s.s_store_sk
+  WHERE d.d_year = 2000
+  GROUP BY ROLLUP (i.i_category, i.i_class, i.i_brand, i.i_item_desc,
+                   d.d_year, d.d_qoy, d.d_moy, s.s_store_name)
+)
+SELECT * FROM (
+  SELECT agg.*,
+         rank() OVER (PARTITION BY i_category ORDER BY sumsales DESC) AS rk
+  FROM agg
+) t
+WHERE rk <= 10
+ORDER BY i_category NULLS FIRST, rk, i_class NULLS FIRST, i_brand NULLS FIRST,
+         i_product_name NULLS FIRST, d_year NULLS FIRST, d_qoy NULLS FIRST,
+         d_moy NULLS FIRST, s_store_id NULLS FIRST
+"""
+
+
+@register("tpcds_q67", Q67_ORACLE, tags=("tpcds", "rollup", "window"))
+def tpcds_q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q67 (reference tpcds/q67.sql; rk cut 100 -> 10 for fixture
+    scale). The corpus's heaviest grouping query: an 8-column ROLLUP (9
+    aggregation levels, one ExpandExec fanning every fact row 9x) followed
+    by a per-category rank over the aggregate. Scale notes: the Expand
+    multiplies shuffle input 9x — the real-cluster mitigation is partial
+    aggregation before the Expand shuffle (map-side combine per level,
+    which Spark applies automatically); the rank window partitions on
+    i_category over ALREADY-AGGREGATED rows. Ties share ranks in both
+    engines, so the rk <= 10 row SET is deterministic even where sumsales
+    ties."""
+    ds = _ds(spark, sf_dir)
+    dd = ds["date_dim"].filter(F.col("d_year") == 2000)
+    agg = (
+        ds["store_sales"]
+        .join(F.broadcast(dd), F.col("ss_sold_date_sk") == F.col("d_date_sk"))
+        .join(ds["item"], F.col("ss_item_sk") == F.col("i_item_sk"))
+        .join(F.broadcast(ds["store"]), F.col("ss_store_sk") == F.col("s_store_sk"))
+        .rollup(
+            "i_category", "i_class", "i_brand", "i_item_desc",
+            "d_year", "d_qoy", "d_moy", "s_store_name",
+        )
+        .agg(F.round(F.sum(F.col("ss_sales_price") * F.col("ss_quantity")), 4).alias("sumsales"))
+        .select(
+            "i_category", "i_class", "i_brand",
+            F.col("i_item_desc").alias("i_product_name"),
+            "d_year", "d_qoy", "d_moy",
+            F.col("s_store_name").alias("s_store_id"),
+            "sumsales",
+        )
+    )
+    w = W.partitionBy("i_category").orderBy(F.desc("sumsales"))
+    return (
+        agg.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 10)
+        .orderBy(
+            F.col("i_category").asc_nulls_first(),
+            "rk",
+            F.col("i_class").asc_nulls_first(),
+            F.col("i_brand").asc_nulls_first(),
+            F.col("i_product_name").asc_nulls_first(),
+            F.col("d_year").asc_nulls_first(),
+            F.col("d_qoy").asc_nulls_first(),
+            F.col("d_moy").asc_nulls_first(),
+            F.col("s_store_id").asc_nulls_first(),
+        )
+    )
