@@ -861,3 +861,91 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rk", "tok", "tfidf")
         .orderBy("doc_id", "rk")
     )
+
+
+WINNOW_W = 4  # fingerprint selection window (in shingle positions)
+
+WINNOWING_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS tk, {_NORM_DUCK} AS ntext
+  FROM documents
+), sh AS (
+  SELECT doc_id, p,
+         CASE WHEN len(tk) < 3 THEN ntext
+              ELSE tk[p] || ' ' || tk[p+1] || ' ' || tk[p+2] END AS s
+  FROM toks, unnest(CASE WHEN len(tk) < 3 THEN [1]
+                         ELSE range(1, len(tk) - 1) END) AS u(p)
+), hashed AS (
+  SELECT doc_id, p,
+         ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+  FROM sh
+), wins AS (
+  SELECT doc_id, p,
+         min(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS m,
+         max(p) OVER (PARTITION BY doc_id) AS maxp
+  FROM hashed
+)
+SELECT doc_id,
+       count(DISTINCT m) AS n_fingerprints,
+       md5(string_agg(DISTINCT m::VARCHAR, '|' ORDER BY m::VARCHAR)) AS fp_digest
+FROM wins
+WHERE p <= maxp - {WINNOW_W - 1} OR maxp < {WINNOW_W}
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("text_winnowing", WINNOWING_ORACLE, tags=("llm", "text", "fingerprint"))
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every 3-word shingle, slide a {WINNOW_W}-position
+    window, keep each window's MINIMUM hash — guarantees any sufficiently
+    long match between two documents shares a selected fingerprint, with
+    density 2/(w+1) instead of keeping every hash. Position-aware, unlike
+    text_fingerprint's global min-k sketch.
+
+    Plan: generate (doc, pos, shingle) partition-locally, ONE window pass
+    per doc ordered by position (both the rolling min and the max-pos bound
+    come from the same WindowExec), then a per-doc hash-agg collapses the
+    selected set. Window parallelism scales with documents — each doc's
+    sequence is its own partition, never a global sort."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    sh = (
+        t["documents"]
+        .select("doc_id", F.expr(_NORM).alias("ntext"))
+        .withColumn("tk", F.split("ntext", " "))
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN size(tk) < 3 THEN array(ntext) "
+                "ELSE transform(sequence(1, size(tk) - 2), "
+                "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))) END"
+            ).alias("shl"),
+        )
+        .select("doc_id", F.posexplode("shl").alias("p0", "s"))
+        .select("doc_id", (F.col("p0") + 1).alias("p"), "s")
+    )
+    hashed = sh.select(
+        "doc_id", "p",
+        F.expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)").alias("h"),
+    )
+    wseq = W.partitionBy("doc_id").orderBy("p").rowsBetween(0, WINNOW_W - 1)
+    wall = W.partitionBy("doc_id")
+    wins = hashed.select(
+        "doc_id", "p",
+        F.min("h").over(wseq).alias("m"),
+        F.max("p").over(wall).alias("maxp"),
+    )
+    return (
+        wins.filter((F.col("p") <= F.col("maxp") - (WINNOW_W - 1)) | (F.col("maxp") < WINNOW_W))
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("m").alias("n_fingerprints"),
+            F.md5(
+                F.array_join(F.sort_array(F.collect_set(F.col("m").cast("string"))), "|").cast("binary")
+            ).alias("fp_digest"),
+        )
+        .orderBy("doc_id")
+    )

@@ -320,3 +320,50 @@ def events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("pt").alias("grid_ts"), F.round(interp, 4).alias("interp_value"))
         .orderBy("event_type", "grid_ts")
     )
+
+
+MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+), pairs AS (
+  SELECT event_type AS cur, next_type AS nxt, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT cur, nxt, n,
+       round(n / sum(n) OVER (PARTITION BY cur), 6) AS p
+FROM pairs
+ORDER BY cur, nxt
+"""
+
+
+@register("events_markov_transitions", MARKOV_ORACLE, tags=("events", "sequence"))
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current) — the session-model / next-action signal.
+    Plan: ONE window pass partitioned by user_id (lead over (ts, event_id) —
+    parallelism scales with users, the deterministic tie-break makes the
+    sequence reproducible), a hash-agg down to |types|^2 rows, then the
+    row-normalization window runs on that tiny matrix. At 100 TB the only
+    fact-sized operation is the per-user sort the window needs — the same
+    shuffle a sessionize would pay."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    seq = t["events"].select(
+        "event_type",
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    pairs = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("cur"), F.col("next_type").alias("nxt"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pairs.select(
+        "cur", "nxt", "n",
+        F.round(F.col("n") / F.sum("n").over(W.partitionBy("cur")), 6).alias("p"),
+    ).orderBy("cur", "nxt")
