@@ -949,3 +949,67 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+EDGE_K = 8  # boundary shingle width (tokens)
+
+SPLIT_DOC_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS tk FROM documents
+), edges AS (
+  SELECT doc_id,
+         array_to_string(tk[1 : least({EDGE_K}, len(tk))], ' ') AS head,
+         array_to_string(tk[greatest(1, len(tk) - {EDGE_K} + 1) : len(tk)], ' ') AS tail,
+         len(tk) AS n
+  FROM toks
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM edges a JOIN edges b
+  ON a.tail = b.head AND a.doc_id <> b.doc_id
+WHERE a.n >= {EDGE_K} AND b.n >= {EDGE_K}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("text_split_doc_pairs", SPLIT_DOC_ORACLE, tags=("llm", "text", "dedup"))
+def text_split_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-document continuation pairs: doc A's last {EDGE_K} tokens equal
+    doc B's first {EDGE_K} — the signature of one source document chopped
+    into two records by a crawler or page-boundary segmenter. Re-joining
+    (or de-weighting) such pairs prevents the model from seeing the seam
+    twice. Plan: a projection computes both boundary keys in one pass, the
+    pair search is a single equi-join on the tail/head key (hash-shuffle on
+    an {EDGE_K}-token string; at 100 TB hash the key to a bigint first —
+    same trick as the MinHash pipeline's hashed working rows). Docs shorter
+    than {EDGE_K} tokens are excluded: their boundary key is the whole doc
+    and would pair exact duplicates, which dedup_exact already owns."""
+    t = load_tables(spark, sf_dir)
+    return split_doc_pairs(t["documents"])
+
+
+def split_doc_pairs(documents: DataFrame) -> DataFrame:
+    """Core of text_split_doc_pairs over any (doc_id, text) frame — the
+    fixture corpus has no split documents (the registered query verifies
+    the 0-row case against the oracle), so the positive path is covered by
+    tests/test_text_ops.py with constructed seams."""
+    edges = (
+        documents
+        .select("doc_id", F.split(F.expr(_NORM), " ").alias("tk"))
+        .select(
+            "doc_id",
+            F.array_join(F.expr(f"slice(tk, 1, {EDGE_K})"), " ").alias("head"),
+            F.array_join(
+                F.expr(f"slice(tk, greatest(1, size(tk) - {EDGE_K} + 1), {EDGE_K})"), " "
+            ).alias("tail"),
+            F.size("tk").alias("n"),
+        )
+        .filter(F.col("n") >= EDGE_K)
+    )
+    a = edges.select(F.col("doc_id").alias("doc_a"), "tail")
+    b = edges.select(F.col("doc_id").alias("doc_b"), "head")
+    return (
+        a.join(b, F.col("tail") == F.col("head"))
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")
+    )
