@@ -775,3 +775,86 @@ def sim_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(k + 1, round(w[k], 6)) for k in range(EMB_DIM)], "k bigint, weight double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cluster-quality profile (centroid / separation report)
+# ---------------------------------------------------------------------------
+
+CLUSTER_PROFILE_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(1, {EMB_DIM + 1})) AS k),
+long AS (
+  SELECT vec_id, label, d.k, embedding[d.k]::DOUBLE AS x
+  FROM embeddings, dims d
+), cent AS (
+  SELECT label, k, avg(x) AS c FROM long GROUP BY label, k
+), intra AS (
+  SELECT l.vec_id, l.label, sqrt(sum((l.x - c.c) * (l.x - c.c))) AS dist
+  FROM long l JOIN cent c ON l.label = c.label AND l.k = c.k
+  GROUP BY l.vec_id, l.label
+), inter AS (
+  SELECT a.label, min(d.dist) AS min_inter
+  FROM (SELECT DISTINCT label FROM cent) a
+  JOIN (
+    SELECT c1.label AS la, c2.label AS lb,
+           sqrt(sum((c1.c - c2.c) * (c1.c - c2.c))) AS dist
+    FROM cent c1 JOIN cent c2 ON c1.k = c2.k AND c1.label <> c2.label
+    GROUP BY c1.label, c2.label
+  ) d ON d.la = a.label
+  GROUP BY a.label
+)
+SELECT i.label,
+       count(*) AS n_vectors,
+       round(avg(i.dist), 6) AS intra_avg,
+       round(any_value(x.min_inter), 6) AS min_inter_centroid,
+       round(any_value(x.min_inter) / avg(i.dist), 6) AS separation_ratio
+FROM intra i JOIN inter x ON x.label = i.label
+GROUP BY i.label
+ORDER BY i.label
+"""
+
+
+@register("emb_cluster_profile", CLUSTER_PROFILE_ORACLE, tags=("llm", "similarity", "quality"))
+def emb_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space cluster quality report per label: centroid, mean
+    intra-cluster distance, distance to the nearest OTHER centroid, and
+    their ratio (a Dunn-style separation index) — the report an embedding
+    pipeline emits to decide whether labels are separable before training a
+    probe or pruning near-dup clusters.
+
+    Plan shape: the long (vec, dim, value) form is one generator pass;
+    centroids are a (label, dim) hash-agg — map-side combined, |labels| x
+    64 rows out; intra distances join the long form back to the broadcast
+    centroid table (no shuffle of the corpus beyond the one (label, dim)
+    agg); the inter-centroid matrix is |labels|^2 x 64 rows — driver-scale.
+    At 100 TB only the first agg touches the corpus."""
+    t = load_tables(spark, sf_dir)
+    long = t["embeddings"].select(
+        "vec_id", "label", F.posexplode("embedding").alias("k0", "xf")
+    ).select("vec_id", "label", (F.col("k0") + 1).alias("k"), F.col("xf").cast("double").alias("x"))
+    cent = long.groupBy("label", "k").agg(F.avg("x").alias("c"))
+    intra = (
+        long.join(F.broadcast(cent), ["label", "k"])
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))).alias("dist"))
+    )
+    c1 = cent.select(F.col("label").alias("la"), "k", F.col("c").alias("ca"))
+    c2 = cent.select(F.col("label").alias("lb"), F.col("k").alias("k2"), F.col("c").alias("cb"))
+    inter = (
+        c1.join(c2, (F.col("k") == F.col("k2")) & (F.col("la") != F.col("lb")))
+        .groupBy("la", "lb")
+        .agg(F.sqrt(F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))).alias("dist"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.min("dist").alias("min_inter"))
+    )
+    return (
+        intra.join(F.broadcast(inter), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("dist"), 6).alias("intra_avg"),
+            F.round(F.any_value("min_inter"), 6).alias("min_inter_centroid"),
+            F.round(F.any_value("min_inter") / F.avg("dist"), 6).alias("separation_ratio"),
+        )
+        .orderBy("label")
+    )
