@@ -27,6 +27,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from sol_spark.operators.dedup import release_result
 from sol_spark.registry import all_queries
 from sol_spark.session import get_session
 
@@ -44,6 +45,11 @@ HEADLINE = [
     "tpch_q21",
     "ssb_q2_1",
     "ssb_q4_2",
+    # r4 additions (r3 verdict item 7): the checkpoint-loop iterative path
+    # and the heaviest TPC-DS rollup-window query get round-over-round
+    # timing alongside the rest of the spine.
+    "dedup_clusters",
+    "tpcds_q67",
     "win_rank_topk_per_group",
     "time_rollup_hierarchy",
     "set_intersect",
@@ -83,6 +89,8 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
         n = df.count()  # untimed — row count for the stderr log only
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        release_result(df)  # no-op unless the query returned a checkpointed
+        # frame (dedup_clusters) — keeps storage flat across the sweep
 
     total = round(sum(timings.values()), 3)
     print(

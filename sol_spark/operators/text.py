@@ -953,15 +953,36 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EDGE_K = 8  # boundary shingle width (tokens)
 
+# The registered query feeds the detector a DERIVED record corpus with real
+# seams (the raw fixture corpus contains none, which made the r3 driver row
+# a vacuous 0 == 0 — r3 verdict defect #3): every document of >= 2*EDGE_K
+# tokens is split into record 2*doc_id (first half) and record 2*doc_id + 1
+# (second half, starting EDGE_K tokens before the cut so the boundary
+# overlaps); shorter docs pass through unsplit as record 2*doc_id. Both
+# engines state the identical construction, so the detector's positive path
+# is value-verified end-to-end, not just on hand-built unit fixtures.
 SPLIT_DOC_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS tk FROM documents
+  SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS tk,
+         len(string_split({_NORM_DUCK}, ' ')) AS n,
+         len(string_split({_NORM_DUCK}, ' ')) // 2 AS h
+  FROM documents
+), recs AS (
+  SELECT doc_id * 2 AS doc_id, array_to_string(tk[1 : h], ' ') AS text
+  FROM toks WHERE n >= 2 * {EDGE_K}
+  UNION ALL
+  SELECT doc_id * 2 + 1, array_to_string(tk[h - {EDGE_K} + 1 : n], ' ')
+  FROM toks WHERE n >= 2 * {EDGE_K}
+  UNION ALL
+  SELECT doc_id * 2, array_to_string(tk, ' ') FROM toks WHERE n < 2 * {EDGE_K}
+), rtoks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM recs
 ), edges AS (
   SELECT doc_id,
          array_to_string(tk[1 : least({EDGE_K}, len(tk))], ' ') AS head,
          array_to_string(tk[greatest(1, len(tk) - {EDGE_K} + 1) : len(tk)], ' ') AS tail,
          len(tk) AS n
-  FROM toks
+  FROM rtoks
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM edges a JOIN edges b
@@ -982,9 +1003,34 @@ def text_split_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     an {EDGE_K}-token string; at 100 TB hash the key to a bigint first —
     same trick as the MinHash pipeline's hashed working rows). Docs shorter
     than {EDGE_K} tokens are excluded: their boundary key is the whole doc
-    and would pair exact duplicates, which dedup_exact already owns."""
+    and would pair exact duplicates, which dedup_exact already owns.
+
+    The registered form first splits every long fixture document in half
+    with an EDGE_K-token overlap (see SPLIT_DOC_ORACLE's comment), so each
+    split doc yields the pair (2*doc_id, 2*doc_id + 1) — plus cross-doc
+    pairs wherever the fixture corpus contains near/exact duplicates whose
+    halves share boundaries. The detector itself (:func:`split_doc_pairs`)
+    is unchanged and reusable over any (doc_id, text) frame."""
     t = load_tables(spark, sf_dir)
-    return split_doc_pairs(t["documents"])
+    toks = (
+        t["documents"]
+        .select("doc_id", F.split(F.expr(_NORM), " ").alias("tk"))
+        .select("doc_id", "tk", F.size("tk").alias("n"))
+        .select("doc_id", "tk", "n", F.floor(F.col("n") / 2).cast("int").alias("h"))
+    )
+    long = toks.filter(F.col("n") >= 2 * EDGE_K)
+    first_half = long.select(
+        (F.col("doc_id") * 2).alias("doc_id"),
+        F.array_join(F.expr("slice(tk, 1, h)"), " ").alias("text"),
+    )
+    second_half = long.select(
+        (F.col("doc_id") * 2 + 1).alias("doc_id"),
+        F.array_join(F.expr(f"slice(tk, h - {EDGE_K} + 1, n - (h - {EDGE_K}))"), " ").alias("text"),
+    )
+    shorts = toks.filter(F.col("n") < 2 * EDGE_K).select(
+        (F.col("doc_id") * 2).alias("doc_id"), F.array_join("tk", " ").alias("text")
+    )
+    return split_doc_pairs(first_half.union(second_half).union(shorts))
 
 
 def split_doc_pairs(documents: DataFrame) -> DataFrame:

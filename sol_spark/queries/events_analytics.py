@@ -181,7 +181,7 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     ev = t["events"]
     bounds = ev.agg(
-        F.expr("to_timestamp(floor(unix_timestamp(min(ts)) / 3600) * 3600)").alias("t0"),
+        F.expr("cast(to_timestamp(floor(unix_timestamp(min(ts)) / 3600) * 3600) as timestamp_ntz)").alias("t0"),
         F.max("ts").alias("t1"),
     )
     grid = (
@@ -267,7 +267,7 @@ def events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     ev = t["events"]
     bounds = ev.agg(
-        F.expr("to_timestamp(floor(unix_timestamp(min(ts)) / 3600) * 3600)").alias("t0"),
+        F.expr("cast(to_timestamp(floor(unix_timestamp(min(ts)) / 3600) * 3600) as timestamp_ntz)").alias("t0"),
         F.max("ts").alias("t1"),
     )
     grid = (

@@ -34,6 +34,12 @@ deterministically — identically in the Spark build and the oracle CTEs:
     previous customer's address — without this perturbation the sale-time
     and current addresses are identical by construction and q68's
     moved-city filter is vacuously empty.
+  * web_sales / catalog_sales (r4) := the store_sales construction over
+    DISJOINT order subsets (o_orderkey % 3 = 0 -> web, = 1 -> catalog) with
+    channel keys ws_web_page_sk = o_orderkey % 10 and cs_call_center_sk =
+    o_custkey % 5; web/catalog_returns mirror store_returns within each
+    subset. store_sales keeps ALL tickets, so the pre-r4 oracles are
+    untouched and cross-channel unions (q2/q33/q77) are well-defined.
 Filter constants are re-targeted to the fixture domains (years 1995-2001,
 managers 0..39, manufact 1..3, categories Sports/Books/Home/Music/Shoes).
 
@@ -161,7 +167,45 @@ store_returns AS (
          l_extendedprice * (1 - l_discount) AS sr_return_amt,
          l_extendedprice * l_tax AS sr_return_tax
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-  WHERE l_returnflag = 'R')
+  WHERE l_returnflag = 'R'),
+web_sales AS (
+  SELECT o_orderdate AS ws_sold_date_sk,
+         l_partkey AS ws_item_sk,
+         o_custkey AS ws_bill_customer_sk,
+         o_orderkey % 10 AS ws_web_page_sk,
+         l_orderkey AS ws_order_number,
+         l_quantity AS ws_quantity,
+         l_extendedprice * (1 - l_discount) AS ws_ext_sales_price,
+         l_extendedprice * (0.5 - l_discount) AS ws_net_profit
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderkey % 3 = 0),
+catalog_sales AS (
+  SELECT o_orderdate AS cs_sold_date_sk,
+         l_partkey AS cs_item_sk,
+         o_custkey AS cs_bill_customer_sk,
+         o_custkey % 5 AS cs_call_center_sk,
+         l_orderkey AS cs_order_number,
+         l_quantity AS cs_quantity,
+         l_extendedprice * (1 - l_discount) AS cs_ext_sales_price,
+         l_extendedprice * (0.5 - l_discount) AS cs_net_profit
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderkey % 3 = 1),
+web_returns AS (
+  SELECT l_shipdate AS wr_returned_date_sk,
+         l_partkey AS wr_item_sk,
+         o_orderkey % 10 AS wr_web_page_sk,
+         l_extendedprice * (1 - l_discount) AS wr_return_amt,
+         l_extendedprice * l_tax AS wr_net_loss
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderkey % 3 = 0 AND l_returnflag = 'R'),
+catalog_returns AS (
+  SELECT l_shipdate AS cr_returned_date_sk,
+         l_partkey AS cr_item_sk,
+         o_custkey % 5 AS cr_call_center_sk,
+         l_extendedprice * (1 - l_discount) AS cr_return_amt,
+         l_extendedprice * l_tax AS cr_net_loss
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderkey % 3 = 1 AND l_returnflag = 'R')
 """
 
 
@@ -326,6 +370,50 @@ def _ds(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         (F.col("l_extendedprice") * F.col("l_tax")).alias("ss_ext_tax"),
         (F.col("l_extendedprice") * (0.5 - F.col("l_discount"))).alias("ss_net_profit"),
     )
+    # Web / catalog channels: disjoint order subsets (o_orderkey % 3 routes
+    # every 3rd order to web, the next to catalog) with channel-prefixed
+    # fact columns — the same derivation trick as store_returns. store_sales
+    # keeps ALL tickets (the 37 pre-r4 oracles depend on it); the channel
+    # facts are additional views, so cross-channel unions (q2, q33, q77) are
+    # well-defined and each channel's numbers are internally consistent.
+    web_filter = F.col("o_orderkey") % 3 == 0
+    catalog_filter = F.col("o_orderkey") % 3 == 1
+    joined = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    web_sales = joined.filter(web_filter).select(
+        F.col("o_orderdate").alias("ws_sold_date_sk"),
+        F.col("l_partkey").alias("ws_item_sk"),
+        F.col("o_custkey").alias("ws_bill_customer_sk"),
+        (F.col("o_orderkey") % 10).alias("ws_web_page_sk"),
+        F.col("l_orderkey").alias("ws_order_number"),
+        F.col("l_quantity").alias("ws_quantity"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("ws_ext_sales_price"),
+        (F.col("l_extendedprice") * (0.5 - F.col("l_discount"))).alias("ws_net_profit"),
+    )
+    catalog_sales = joined.filter(catalog_filter).select(
+        F.col("o_orderdate").alias("cs_sold_date_sk"),
+        F.col("l_partkey").alias("cs_item_sk"),
+        F.col("o_custkey").alias("cs_bill_customer_sk"),
+        (F.col("o_custkey") % 5).alias("cs_call_center_sk"),
+        F.col("l_orderkey").alias("cs_order_number"),
+        F.col("l_quantity").alias("cs_quantity"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("cs_ext_sales_price"),
+        (F.col("l_extendedprice") * (0.5 - F.col("l_discount"))).alias("cs_net_profit"),
+    )
+    returned = joined.filter(F.col("l_returnflag") == "R")
+    web_returns = returned.filter(web_filter).select(
+        F.col("l_shipdate").alias("wr_returned_date_sk"),
+        F.col("l_partkey").alias("wr_item_sk"),
+        (F.col("o_orderkey") % 10).alias("wr_web_page_sk"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("wr_return_amt"),
+        (F.col("l_extendedprice") * F.col("l_tax")).alias("wr_net_loss"),
+    )
+    catalog_returns = returned.filter(catalog_filter).select(
+        F.col("l_shipdate").alias("cr_returned_date_sk"),
+        F.col("l_partkey").alias("cr_item_sk"),
+        (F.col("o_custkey") % 5).alias("cr_call_center_sk"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("cr_return_amt"),
+        (F.col("l_extendedprice") * F.col("l_tax")).alias("cr_net_loss"),
+    )
     return {
         "date_dim": date_dim,
         "time_dim": time_dim,
@@ -338,6 +426,10 @@ def _ds(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "promotion": promotion,
         "store_sales": store_sales,
         "store_returns": store_returns,
+        "web_sales": web_sales,
+        "catalog_sales": catalog_sales,
+        "web_returns": web_returns,
+        "catalog_returns": catalog_returns,
     }
 
 
@@ -2563,4 +2655,359 @@ def tpcds_q67(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d_moy").asc_nulls_first(),
             F.col("s_store_id").asc_nulls_first(),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q2 — week-over-week cross-channel (web + catalog) day-of-week ratios
+# ---------------------------------------------------------------------------
+
+_Q2_DOW = {0: "sun", 1: "mon", 2: "tue", 3: "wed", 4: "thu", 5: "fri", 6: "sat"}
+
+Q2_ORACLE = f"""
+WITH {DS_CTES},
+wscs AS (
+  SELECT ws_sold_date_sk AS sold_date_sk, ws_ext_sales_price AS sales_price FROM web_sales
+  UNION ALL
+  SELECT cs_sold_date_sk, cs_ext_sales_price FROM catalog_sales
+), wswscs AS (
+  SELECT d_week_seq,
+         {", ".join(f"round(sum(CASE WHEN d_dow = {k} THEN sales_price END), 4) AS {v}_sales" for k, v in _Q2_DOW.items())}
+  FROM wscs JOIN date_dim ON sold_date_sk = d_date_sk
+  GROUP BY d_week_seq
+), y AS (
+  SELECT * FROM wswscs
+  WHERE d_week_seq IN (SELECT DISTINCT d_week_seq FROM date_dim WHERE d_year = 1996)
+), z AS (
+  SELECT * FROM wswscs
+  WHERE d_week_seq IN (SELECT DISTINCT d_week_seq FROM date_dim WHERE d_year = 1997)
+)
+SELECT y.d_week_seq AS d_week_seq1,
+       {", ".join(f"round(y.{v}_sales / z.{v}_sales, 6) AS {v}_ratio" for v in _Q2_DOW.values())}
+FROM y JOIN z ON y.d_week_seq = z.d_week_seq - 53
+ORDER BY d_week_seq1
+"""
+
+
+@register("tpcds_q2", Q2_ORACLE, tags=("tpcds", "crosschannel", "pivot"))
+def tpcds_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q2 (reference tpcds/q2.sql; years retargeted 2001/2002 ->
+    1996/1997): union the web and catalog channels, pivot each week's sales
+    by day-of-week (conditional aggregation — one hash-agg, no ExpandExec),
+    then self-join week w against week w+53 one year later and emit the
+    per-day year-over-year ratios. Scale notes: the channel union is a
+    UnionExec over two projections of the same fact scan (no shuffle); the
+    week pivot is one partial+final agg keyed by d_week_seq; the
+    year-over-year step joins two ALREADY-AGGREGATED frames (~weeks rows),
+    broadcast-sized at any SF. Ratio rounding at 6 per the cross-engine
+    policy (tpch.py)."""
+    ds = _ds(spark, sf_dir)
+    wscs = ds["web_sales"].select(
+        F.col("ws_sold_date_sk").alias("sold_date_sk"),
+        F.col("ws_ext_sales_price").alias("sales_price"),
+    ).unionAll(
+        ds["catalog_sales"].select("cs_sold_date_sk", "cs_ext_sales_price")
+    )
+    wswscs = (
+        wscs.join(F.broadcast(ds["date_dim"]), F.col("sold_date_sk") == F.col("d_date_sk"))
+        .groupBy("d_week_seq")
+        .agg(*[
+            F.round(F.sum(F.when(F.col("d_dow") == k, F.col("sales_price"))), 4).alias(f"{v}_sales")
+            for k, v in _Q2_DOW.items()
+        ])
+    )
+    weeks_of = lambda yr: (  # noqa: E731 — tiny local helper
+        ds["date_dim"].filter(F.col("d_year") == yr).select("d_week_seq").distinct()
+    )
+    y = wswscs.join(F.broadcast(weeks_of(1996)), "d_week_seq", "left_semi")
+    z = wswscs.join(F.broadcast(weeks_of(1997)), "d_week_seq", "left_semi")
+    zr = z.select(
+        (F.col("d_week_seq") - 53).alias("join_seq"),
+        *[F.col(f"{v}_sales").alias(f"{v}_sales2") for v in _Q2_DOW.values()],
+    )
+    return (
+        y.join(zr, F.col("d_week_seq") == F.col("join_seq"))
+        .select(
+            F.col("d_week_seq").alias("d_week_seq1"),
+            *[
+                F.round(F.col(f"{v}_sales") / F.col(f"{v}_sales2"), 6).alias(f"{v}_ratio")
+                for v in _Q2_DOW.values()
+            ],
+        )
+        .orderBy("d_week_seq1")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12 / q20 — channel revenue rollup with class-share window ratio
+# ---------------------------------------------------------------------------
+
+def _q12_style_oracle(fact: str, prefix: str, year: int, moy: int) -> str:
+    return f"""
+WITH {DS_CTES}
+SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+       round(sum({prefix}_ext_sales_price), 4) AS itemrevenue,
+       round(sum({prefix}_ext_sales_price) * 100 /
+             sum(sum({prefix}_ext_sales_price)) OVER (PARTITION BY i_class), 6) AS revenueratio
+FROM {fact} JOIN item ON {prefix}_item_sk = i_item_sk
+            JOIN date_dim ON {prefix}_sold_date_sk = d_date_sk
+WHERE i_category IN ('Sports', 'Books', 'Home') AND d_year = {year} AND d_moy = {moy}
+GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio
+"""
+
+
+def _q12_style(spark: SparkSession, sf_dir: str, fact: str, prefix: str, year: int, moy: int) -> DataFrame:
+    ds = _ds(spark, sf_dir)
+    dd = ds["date_dim"].filter((F.col("d_year") == year) & (F.col("d_moy") == moy))
+    items = ds["item"].filter(F.col("i_category").isin("Sports", "Books", "Home"))
+    agg = (
+        ds[fact]
+        .join(items, F.col(f"{prefix}_item_sk") == F.col("i_item_sk"))
+        .join(F.broadcast(dd), F.col(f"{prefix}_sold_date_sk") == F.col("d_date_sk"))
+        .groupBy("i_item_id", "i_item_desc", "i_category", "i_class", "i_current_price")
+        .agg(F.sum(f"{prefix}_ext_sales_price").alias("rev"))
+    )
+    w = W.partitionBy("i_class")
+    return (
+        agg.select(
+            "i_item_id", "i_item_desc", "i_category", "i_class", "i_current_price",
+            F.round(F.col("rev"), 4).alias("itemrevenue"),
+            F.round(F.col("rev") * 100 / F.sum("rev").over(w), 6).alias("revenueratio"),
+        )
+        .orderBy("i_category", "i_class", "i_item_id", "i_item_desc", "revenueratio")
+    )
+
+
+@register("tpcds_q12", _q12_style_oracle("web_sales", "ws", 1996, 3), tags=("tpcds", "web", "window"))
+def tpcds_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q12 (reference tpcds/q12.sql; 30-day window -> one fixture
+    month, categories retargeted): web-channel item revenue with each
+    item's share of its class via a window over the aggregate. Plan: the
+    category filter prunes item BEFORE the fact join (predicate pushdown);
+    date_dim is broadcast; the share window partitions on i_class over
+    already-aggregated rows — one fact-side shuffle total. i_item_id is
+    unique per group, so the ORDER BY is deterministic."""
+    return _q12_style(spark, sf_dir, "web_sales", "ws", 1996, 3)
+
+
+@register("tpcds_q20", _q12_style_oracle("catalog_sales", "cs", 1997, 6), tags=("tpcds", "catalog", "window"))
+def tpcds_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q20 (reference tpcds/q20.sql) — q12's catalog-channel twin
+    (same operator shape, different channel fact + period), exercising the
+    derived catalog_sales star end-to-end."""
+    return _q12_style(spark, sf_dir, "catalog_sales", "cs", 1997, 6)
+
+
+# ---------------------------------------------------------------------------
+# q33 — manufacturer sales ACROSS all three channels
+# ---------------------------------------------------------------------------
+
+Q33_ORACLE = f"""
+WITH {DS_CTES},
+mf AS (SELECT DISTINCT i_brand_id FROM item WHERE i_category = 'Books'),
+ss_c AS (
+  SELECT i_brand_id, sum(ss_ext_sales_price) AS total_sales
+  FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+                   JOIN item ON ss_item_sk = i_item_sk
+  WHERE i_brand_id IN (SELECT i_brand_id FROM mf)
+    AND d_year = 1996 AND d_moy = 5
+  GROUP BY i_brand_id),
+cs_c AS (
+  SELECT i_brand_id, sum(cs_ext_sales_price) AS total_sales
+  FROM catalog_sales JOIN date_dim ON cs_sold_date_sk = d_date_sk
+                     JOIN item ON cs_item_sk = i_item_sk
+  WHERE i_brand_id IN (SELECT i_brand_id FROM mf)
+    AND d_year = 1996 AND d_moy = 5
+  GROUP BY i_brand_id),
+ws_c AS (
+  SELECT i_brand_id, sum(ws_ext_sales_price) AS total_sales
+  FROM web_sales JOIN date_dim ON ws_sold_date_sk = d_date_sk
+                 JOIN item ON ws_item_sk = i_item_sk
+  WHERE i_brand_id IN (SELECT i_brand_id FROM mf)
+    AND d_year = 1996 AND d_moy = 5
+  GROUP BY i_brand_id)
+SELECT i_brand_id, round(sum(total_sales), 4) AS total_sales
+FROM (SELECT * FROM ss_c UNION ALL SELECT * FROM cs_c UNION ALL SELECT * FROM ws_c) x
+GROUP BY i_brand_id
+ORDER BY i_brand_id
+"""
+
+
+@register("tpcds_q33", Q33_ORACLE, tags=("tpcds", "crosschannel", "agg"))
+def tpcds_q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q33 (reference tpcds/q33.sql; the address-GMT filter has no
+    fixture counterpart and is dropped; grouped by i_brand_id instead of
+    i_manufact_id — the derived manufact domain is only 1..3, which would
+    collapse the verified output to a single row): per-brand revenue summed
+    over the store + catalog + web channels for one month, restricted to
+    manufacturers selling the 'Books' category. Plan: the manufacturer
+    keep-list is a broadcast LEFT SEMI join against each channel fact (the
+    IN-subquery of the spec); the three channel aggregates are unioned and
+    re-aggregated — partial sums stay exact at 4 decimals, so only the
+    final sum rounds. At 100 TB each channel contributes one fact-scan +
+    one keyed shuffle; the final re-agg is over |manufacturers| rows."""
+    ds = _ds(spark, sf_dir)
+    mf = ds["item"].filter(F.col("i_category") == "Books").select("i_brand_id").distinct()
+    dd = ds["date_dim"].filter((F.col("d_year") == 1996) & (F.col("d_moy") == 5))
+
+    def channel(fact: str, prefix: str) -> DataFrame:
+        return (
+            ds[fact]
+            .join(F.broadcast(dd), F.col(f"{prefix}_sold_date_sk") == F.col("d_date_sk"))
+            .join(ds["item"].select("i_item_sk", "i_brand_id"),
+                  F.col(f"{prefix}_item_sk") == F.col("i_item_sk"))
+            .join(F.broadcast(mf), "i_brand_id", "left_semi")
+            .groupBy("i_brand_id")
+            .agg(F.sum(f"{prefix}_ext_sales_price").alias("total_sales"))
+        )
+
+    return (
+        channel("store_sales", "ss")
+        .unionAll(channel("catalog_sales", "cs"))
+        .unionAll(channel("web_sales", "ws"))
+        .groupBy("i_brand_id")
+        .agg(F.round(F.sum("total_sales"), 4).alias("total_sales"))
+        .orderBy("i_brand_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q77 — per-channel P&L summary with channel/id ROLLUP
+# ---------------------------------------------------------------------------
+
+Q77_ORACLE = f"""
+WITH {DS_CTES},
+ss_ch AS (
+  SELECT s_store_sk AS id, sum(ss_ext_sales_price) AS sales, sum(ss_net_profit) AS profit
+  FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+                   JOIN store ON ss_store_sk = s_store_sk
+  WHERE d_year = 1996 AND d_moy BETWEEN 5 AND 6
+  GROUP BY s_store_sk),
+sr_ch AS (
+  SELECT sr_store_sk AS id, sum(sr_return_amt) AS returns_amt, sum(sr_return_tax) AS profit_loss
+  FROM store_returns JOIN date_dim ON sr_returned_date_sk = d_date_sk
+  WHERE d_year = 1996 AND d_moy BETWEEN 5 AND 6
+  GROUP BY sr_store_sk),
+cs_ch AS (
+  SELECT cs_call_center_sk AS id, sum(cs_ext_sales_price) AS sales, sum(cs_net_profit) AS profit
+  FROM catalog_sales JOIN date_dim ON cs_sold_date_sk = d_date_sk
+  WHERE d_year = 1996 AND d_moy BETWEEN 5 AND 6
+  GROUP BY cs_call_center_sk),
+cr_tot AS (
+  SELECT sum(cr_return_amt) AS returns_amt, sum(cr_net_loss) AS profit_loss
+  FROM catalog_returns JOIN date_dim ON cr_returned_date_sk = d_date_sk
+  WHERE d_year = 1996 AND d_moy BETWEEN 5 AND 6),
+ws_ch AS (
+  SELECT ws_web_page_sk AS id, sum(ws_ext_sales_price) AS sales, sum(ws_net_profit) AS profit
+  FROM web_sales JOIN date_dim ON ws_sold_date_sk = d_date_sk
+  WHERE d_year = 1996 AND d_moy BETWEEN 5 AND 6
+  GROUP BY ws_web_page_sk),
+wr_ch AS (
+  SELECT wr_web_page_sk AS id, sum(wr_return_amt) AS returns_amt, sum(wr_net_loss) AS profit_loss
+  FROM web_returns JOIN date_dim ON wr_returned_date_sk = d_date_sk
+  WHERE d_year = 1996 AND d_moy BETWEEN 5 AND 6
+  GROUP BY wr_web_page_sk),
+combined AS (
+  SELECT 'store channel' AS channel, s.id, s.sales,
+         coalesce(r.returns_amt, 0) AS returns_amt,
+         s.profit - coalesce(r.profit_loss, 0) AS profit
+  FROM ss_ch s LEFT JOIN sr_ch r ON s.id = r.id
+  UNION ALL
+  SELECT 'catalog channel', c.id, c.sales, cr.returns_amt, c.profit - cr.profit_loss
+  FROM cs_ch c CROSS JOIN cr_tot cr
+  UNION ALL
+  SELECT 'web channel', w.id, w.sales,
+         coalesce(wr.returns_amt, 0), w.profit - coalesce(wr.profit_loss, 0)
+  FROM ws_ch w LEFT JOIN wr_ch wr ON w.id = wr.id
+)
+SELECT channel, id, round(sum(sales), 4) AS sales,
+       round(sum(returns_amt), 4) AS returns_amt, round(sum(profit), 4) AS profit
+FROM combined
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST
+"""
+
+
+@register("tpcds_q77", Q77_ORACLE, tags=("tpcds", "crosschannel", "rollup"))
+def tpcds_q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q77 (reference tpcds/q77.sql; 30-day window -> two fixture
+    months): per-channel profit-and-loss — store and web returns join their
+    channel sales on the channel key, catalog returns are (per the spec
+    itself) a single corpus-wide total cross-joined onto every call center
+    — then a (channel, id) ROLLUP produces per-id, per-channel, and grand
+    total rows. Plan: six small keyed aggregates (each one fact pass), a
+    three-way union of ~|stores|+|call centers|+|web pages| rows, and the
+    rollup's ExpandExec runs over that tiny combined frame, never over the
+    facts. The cross-joined catalog total is a 1-row broadcast. All money
+    values are exact 4-decimal sums, so every rollup level rounds exactly."""
+    ds = _ds(spark, sf_dir)
+    dd = F.broadcast(
+        ds["date_dim"].filter((F.col("d_year") == 1996) & (F.col("d_moy").between(5, 6)))
+    )
+    ss_ch = (
+        ds["store_sales"]
+        .join(dd, F.col("ss_sold_date_sk") == F.col("d_date_sk"))
+        .join(F.broadcast(ds["store"]), F.col("ss_store_sk") == F.col("s_store_sk"))
+        .groupBy(F.col("s_store_sk").alias("id"))
+        .agg(F.sum("ss_ext_sales_price").alias("sales"), F.sum("ss_net_profit").alias("profit"))
+    )
+    sr_ch = (
+        ds["store_returns"]
+        .join(dd, F.col("sr_returned_date_sk") == F.col("d_date_sk"))
+        .groupBy(F.col("sr_store_sk").alias("rid"))
+        .agg(F.sum("sr_return_amt").alias("returns_amt"), F.sum("sr_return_tax").alias("profit_loss"))
+    )
+    cs_ch = (
+        ds["catalog_sales"]
+        .join(dd, F.col("cs_sold_date_sk") == F.col("d_date_sk"))
+        .groupBy(F.col("cs_call_center_sk").alias("id"))
+        .agg(F.sum("cs_ext_sales_price").alias("sales"), F.sum("cs_net_profit").alias("profit"))
+    )
+    cr_tot = (
+        ds["catalog_returns"]
+        .join(dd, F.col("cr_returned_date_sk") == F.col("d_date_sk"))
+        .agg(F.sum("cr_return_amt").alias("returns_amt"), F.sum("cr_net_loss").alias("profit_loss"))
+    )
+    ws_ch = (
+        ds["web_sales"]
+        .join(dd, F.col("ws_sold_date_sk") == F.col("d_date_sk"))
+        .groupBy(F.col("ws_web_page_sk").alias("id"))
+        .agg(F.sum("ws_ext_sales_price").alias("sales"), F.sum("ws_net_profit").alias("profit"))
+    )
+    wr_ch = (
+        ds["web_returns"]
+        .join(dd, F.col("wr_returned_date_sk") == F.col("d_date_sk"))
+        .groupBy(F.col("wr_web_page_sk").alias("rid"))
+        .agg(F.sum("wr_return_amt").alias("returns_amt"), F.sum("wr_net_loss").alias("profit_loss"))
+    )
+    store_part = (
+        ss_ch.join(sr_ch, ss_ch["id"] == sr_ch["rid"], "left")
+        .select(
+            F.lit("store channel").alias("channel"), "id", "sales",
+            F.coalesce("returns_amt", F.lit(0.0)).alias("returns_amt"),
+            (F.col("profit") - F.coalesce("profit_loss", F.lit(0.0))).alias("profit"),
+        )
+    )
+    catalog_part = cs_ch.crossJoin(F.broadcast(cr_tot)).select(
+        F.lit("catalog channel").alias("channel"), "id", "sales", "returns_amt",
+        (F.col("profit") - F.col("profit_loss")).alias("profit"),
+    )
+    web_part = (
+        ws_ch.join(wr_ch, ws_ch["id"] == wr_ch["rid"], "left")
+        .select(
+            F.lit("web channel").alias("channel"), "id", "sales",
+            F.coalesce("returns_amt", F.lit(0.0)).alias("returns_amt"),
+            (F.col("profit") - F.coalesce("profit_loss", F.lit(0.0))).alias("profit"),
+        )
+    )
+    return (
+        store_part.unionAll(catalog_part).unionAll(web_part)
+        .rollup("channel", "id")
+        .agg(
+            F.round(F.sum("sales"), 4).alias("sales"),
+            F.round(F.sum("returns_amt"), 4).alias("returns_amt"),
+            F.round(F.sum("profit"), 4).alias("profit"),
+        )
+        .orderBy(F.col("channel").asc_nulls_first(), F.col("id").asc_nulls_first())
     )

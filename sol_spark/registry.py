@@ -41,14 +41,75 @@ def register(
     return deco
 
 
+# Names already green in a driver CORRECTNESS_r{1..3}.json window (cumulative
+# union, intersected with the live registry). The driver verifies the FIRST
+# ~50 registered names each round, so `all_queries` orders never-verified
+# names first. `text_split_doc_pairs` is deliberately absent: its r3 row was
+# vacuous (0 == 0 rows) and the query was rebuilt in r4 to emit real seams,
+# so it must re-enter a driver window.
+_DRIVER_VERIFIED: frozenset[str] = frozenset({
+    "approx_count_distinct_bounds", "dedup_clusters", "dedup_containment",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_keep_list",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_pagerank",
+    "dedup_simhash", "dedup_simhash_clusters", "emb_cluster_profile",
+    "emb_quantize_int8", "events_funnel", "events_retention", "fn_array",
+    "fn_array_ops", "fn_bitwise", "fn_conditional", "fn_datetime",
+    "fn_datetime_arith", "fn_higher_order", "fn_json_hash", "fn_json_struct",
+    "fn_map", "fn_math", "fn_null_safe_join", "fn_regexp", "fn_scalar_extra",
+    "fn_string", "fn_string_misc", "fn_try_arith", "fn_url", "fn_xpath",
+    "gen_explode_wordcount", "gen_inline", "gen_posexplode_tokens",
+    "gen_stack_unpivot", "gen_unpivot_api", "graph_triangles", "gs_cube",
+    "gs_grouping_sets", "gs_rollup", "layout_zorder", "mm_chunk_bytes",
+    "mm_decode_features", "mm_frame_sample", "mm_resize_stub",
+    "pd_cogroup_user_funnel", "pd_grouped_wavg", "pd_grouped_zscore",
+    "percentile_exact", "pipeline_pretrain_corpus", "pivot_linestatus",
+    "set_distinct", "set_except", "set_intersect", "set_union_all",
+    "sim_kmeans_train", "sim_knn_label", "sim_label_cohesion",
+    "sim_logreg_train", "sim_random_projection", "sim_topk_exact",
+    "sim_topk_ivf", "sim_topk_lsh", "skew_salted_agg", "skew_salted_join",
+    "stream_dedup_first", "stream_session_window", "stream_sliding_agg",
+    "stream_stream_join", "stream_stream_join_full",
+    "stream_stream_join_outer", "stream_tumbling_agg", "text_chunk_overlap",
+    "text_contamination", "text_fingerprint", "text_lang_id",
+    "text_line_dedup", "text_lm_score", "text_pack_sequences",
+    "text_pii_scrub", "text_quality_filter", "text_repetition", "text_stats",
+    "text_tfidf_topterms", "text_token_count", "text_train_val_split",
+    "text_winnowing", "time_rollup_hierarchy", "tpch_q1", "tpch_q10",
+    "tpch_q3", "tpch_q5", "tpch_q6", "udtf_chunk", "win_first_last_nth",
+    "win_lag_lead", "win_ntile_pctrank", "win_ntile_pctrank_partitioned",
+    "win_range_frame", "win_range_frame_partitioned",
+    "win_rank_topk_per_group", "win_running_total",
+})
+
+# Round-4 driver window: the 50 queries (full TPC-DS + SSB corpora as of r3)
+# that have never appeared in a driver CORRECTNESS report, pinned first in
+# exactly this order. New r4 queries intentionally sort AFTER these (tier 1)
+# so this window stays exactly 50 wide; tier 1 (the remaining never-verified
+# names, 47 of them) is the round-5 window, completing 197/197.
+_R4_WINDOW: tuple[str, ...] = (
+    "tpcds_q3", "tpcds_q7", "tpcds_q19", "tpcds_q42", "tpcds_q52",
+    "tpcds_q55", "tpcds_q68", "tpcds_q98", "tpcds_q27", "tpcds_q36",
+    "tpcds_q53", "tpcds_q89", "tpcds_q13", "tpcds_q6", "tpcds_q73",
+    "tpcds_q65", "tpcds_q34", "tpcds_q43", "tpcds_q88", "tpcds_q90",
+    "tpcds_q96", "tpcds_q51", "tpcds_q59", "tpcds_q50", "tpcds_q93",
+    "tpcds_q61", "tpcds_q15", "tpcds_q45", "tpcds_q79", "tpcds_q1",
+    "tpcds_q24", "tpcds_q44", "tpcds_q9", "tpcds_q41", "tpcds_q28",
+    "tpcds_q70", "tpcds_q67",
+    "ssb_q1_1", "ssb_q1_2", "ssb_q1_3", "ssb_q2_1", "ssb_q2_2", "ssb_q2_3",
+    "ssb_q3_1", "ssb_q3_2", "ssb_q3_3", "ssb_q3_4", "ssb_q4_1", "ssb_q4_2",
+    "ssb_q4_3",
+)
+
+
 def all_queries() -> dict[str, QuerySpec]:
     """Import every query-defining module, then return the registry.
 
     Ordering note: the driver's correctness harness verifies queries in
-    registration (dict) order under a fixed budget, so modules are imported
-    least-recently-verified first — the LLM-pipeline operators and TPC-H
-    (green in the local oracle harness, not yet in a driver CORRECTNESS
-    report) ahead of the families already driver-verified in rounds 1-2.
+    dict order under a fixed ~50-query budget, so the returned dict is
+    explicitly tiered: (0) the pinned round-4 window — TPC-DS + SSB, the
+    only families never yet driver-checked as of r3; (1) every other name
+    not in ``_DRIVER_VERIFIED`` (new queries land here automatically),
+    queued for round 5; (2) the already-driver-green remainder.
     """
     # Imports are deferred so `import sol_spark` stays cheap.
     from sol_spark.operators import dedup, layout, multimodal, similarity, skew, text  # noqa: F401
@@ -62,4 +123,16 @@ def all_queries() -> dict[str, QuerySpec]:
         pandas_ops,
     )
 
-    return dict(_REGISTRY)
+    window_rank = {name: i for i, name in enumerate(_R4_WINDOW)}
+
+    def tier(name: str) -> tuple[int, int]:
+        if name in window_rank:
+            return (0, window_rank[name])
+        if name not in _DRIVER_VERIFIED:
+            return (1, 0)
+        return (2, 0)
+
+    names = list(_REGISTRY)
+    # Stable sort: tier-1/2 members keep registration order among themselves.
+    names.sort(key=lambda n: tier(n))
+    return {n: _REGISTRY[n] for n in names}

@@ -128,3 +128,64 @@ def test_connected_components_property_random_graphs(spark):
         assert got == want
 
     check()
+
+
+def test_local_checkpoint_records_rdd_id(spark):
+    """r3 verdict defect #2: release must not DEPEND on private Catalyst
+    internals. local_checkpoint records the persisted RDD id via the public
+    getPersistentRDDs surface; release_result unpersists by that id."""
+    from sol_spark.operators.dedup import local_checkpoint
+
+    df = local_checkpoint(spark.range(100).selectExpr("id", "id * 2 AS y"))
+    rid = getattr(df, "_solspark_ckpt_rdd_id", None)
+    assert rid is not None
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert jmap.get(rid) is not None
+    release_result(df)
+    assert spark.sparkContext._jsc.getPersistentRDDs().get(rid) is None
+
+
+def test_no_session_conf_mutation_in_operators():
+    """r3 verdict defect #1: no operator may set session-global SQL conf
+    (a concurrent query would observe it). Static gate over the operator
+    and query modules; the sole allowed site is tables.py's one-time
+    legacy-fixture read fallback (nanosAsLong), which is schema-probed and
+    session-sticky by design."""
+    import pathlib
+
+    import sol_spark
+
+    pkg = pathlib.Path(sol_spark.__file__).parent
+    offenders = []
+    for sub in ("operators", "queries", "streaming"):
+        for f in (pkg / sub).glob("*.py"):
+            if "conf.set" in f.read_text():
+                offenders.append(str(f))
+    assert offenders == []
+
+
+def test_clusters_concurrent_shuffle_width_untouched(spark, sf_dir):
+    """dedup_clusters sizes its round shuffles with explicit repartition —
+    a query planned CONCURRENTLY must keep the session's shuffle width."""
+    import threading
+
+    want = spark.conf.get("spark.sql.shuffle.partitions")
+    seen = []
+    stop = threading.Event()
+
+    def poll():
+        while not stop.is_set():
+            seen.append(spark.conf.get("spark.sql.shuffle.partitions"))
+            stop.wait(0.05)
+
+    t = threading.Thread(target=poll)
+    t.start()
+    try:
+        df = dedup_clusters(spark, sf_dir)
+        df.count()
+        release_result(df)
+    finally:
+        stop.set()
+        t.join()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == want
+    assert set(seen) == {want}
