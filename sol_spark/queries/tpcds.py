@@ -133,6 +133,31 @@ promotion AS (
          CASE WHEN (o_orderkey % 20) % 2 = 0 THEN 'N' ELSE 'Y' END AS p_channel_email,
          CASE WHEN (o_orderkey % 20) % 3 = 0 THEN 'N' ELSE 'Y' END AS p_channel_event
   FROM orders),
+warehouse AS (
+  SELECT DISTINCT s_suppkey % 6 AS w_warehouse_sk,
+         'WH_' || (s_suppkey % 6) AS w_warehouse_name,
+         'WST_' || ((s_suppkey % 6) % 3) AS w_state
+  FROM supplier),
+ship_mode AS (
+  SELECT DISTINCT (l_orderkey + l_linenumber) % 4 AS sm_ship_mode_sk,
+         CASE (l_orderkey + l_linenumber) % 4
+           WHEN 0 THEN 'AIR' WHEN 1 THEN 'TRUCK' WHEN 2 THEN 'MAIL' ELSE 'SHIP' END AS sm_type
+  FROM lineitem),
+reason AS (
+  SELECT DISTINCT (l_orderkey * 7 + l_linenumber) % 5 AS r_reason_sk,
+         'Reason_' || ((l_orderkey * 7 + l_linenumber) % 5) AS r_reason_desc
+  FROM lineitem),
+call_center AS (
+  SELECT DISTINCT o_custkey % 5 AS cc_call_center_sk,
+         'CC_' || (o_custkey % 5) AS cc_name,
+         'Manager_' || ((o_custkey % 5) % 3) AS cc_manager
+  FROM orders),
+inventory AS (
+  SELECT DISTINCT l_shipdate AS inv_date_sk,
+         l_partkey AS inv_item_sk,
+         l_suppkey % 6 AS inv_warehouse_sk,
+         (l_partkey * 31 + (l_suppkey % 6) * 7 + day(l_shipdate) * 11) % 1000 AS inv_quantity_on_hand
+  FROM lineitem),
 store_sales AS (
   SELECT l_orderkey AS ss_ticket_number,
          l_linenumber AS ss_line_number,
@@ -172,7 +197,10 @@ web_sales AS (
   SELECT o_orderdate AS ws_sold_date_sk,
          l_partkey AS ws_item_sk,
          o_custkey AS ws_bill_customer_sk,
+         o_custkey AS ws_bill_addr_sk,
          o_orderkey % 10 AS ws_web_page_sk,
+         l_suppkey % 6 AS ws_warehouse_sk,
+         l_shipdate AS ws_ship_date_sk,
          l_orderkey AS ws_order_number,
          l_quantity AS ws_quantity,
          l_extendedprice * (1 - l_discount) AS ws_ext_sales_price,
@@ -184,6 +212,11 @@ catalog_sales AS (
          l_partkey AS cs_item_sk,
          o_custkey AS cs_bill_customer_sk,
          o_custkey % 5 AS cs_call_center_sk,
+         o_custkey % 100 AS cs_bill_hdemo_sk,
+         l_suppkey % 6 AS cs_warehouse_sk,
+         l_shipdate AS cs_ship_date_sk,
+         (l_orderkey + l_linenumber) % 4 AS cs_ship_mode_sk,
+         l_orderkey % 20 AS cs_promo_sk,
          l_orderkey AS cs_order_number,
          l_quantity AS cs_quantity,
          l_extendedprice * (1 - l_discount) AS cs_ext_sales_price,
@@ -194,6 +227,12 @@ web_returns AS (
   SELECT l_shipdate AS wr_returned_date_sk,
          l_partkey AS wr_item_sk,
          o_orderkey % 10 AS wr_web_page_sk,
+         l_orderkey AS wr_order_number,
+         l_quantity AS wr_return_quantity,
+         (l_orderkey * 7 + l_linenumber) % 5 AS wr_reason_sk,
+         o_custkey AS wr_returning_customer_sk,
+         o_custkey AS wr_returning_addr_sk,
+         o_custkey % 60 AS wr_returning_cdemo_sk,
          l_extendedprice * (1 - l_discount) AS wr_return_amt,
          l_extendedprice * l_tax AS wr_net_loss
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -202,6 +241,11 @@ catalog_returns AS (
   SELECT l_shipdate AS cr_returned_date_sk,
          l_partkey AS cr_item_sk,
          o_custkey % 5 AS cr_call_center_sk,
+         l_orderkey AS cr_order_number,
+         l_quantity AS cr_return_quantity,
+         o_custkey AS cr_returning_customer_sk,
+         o_custkey % 60 AS cr_returning_cdemo_sk,
+         o_custkey % 100 AS cr_returning_hdemo_sk,
          l_extendedprice * (1 - l_discount) AS cr_return_amt,
          l_extendedprice * l_tax AS cr_net_loss
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -329,6 +373,59 @@ def _ds(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         )
         .distinct()
     )
+    wh_sk = F.col("s_suppkey") % 6
+    warehouse = (
+        t["supplier"]
+        .select(
+            wh_sk.alias("w_warehouse_sk"),
+            F.concat(F.lit("WH_"), wh_sk).alias("w_warehouse_name"),
+            F.concat(F.lit("WST_"), wh_sk % 3).alias("w_state"),
+        )
+        .distinct()
+    )
+    sm_sk = (F.col("l_orderkey") + F.col("l_linenumber")) % 4
+    ship_mode = (
+        t["lineitem"]
+        .select(
+            sm_sk.alias("sm_ship_mode_sk"),
+            F.element_at(
+                F.array(*[F.lit(m) for m in ("AIR", "TRUCK", "MAIL", "SHIP")]),
+                (sm_sk + 1).cast("int"),
+            ).alias("sm_type"),
+        )
+        .distinct()
+    )
+    reason_sk = (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 5
+    reason = (
+        t["lineitem"]
+        .select(
+            reason_sk.alias("r_reason_sk"),
+            F.concat(F.lit("Reason_"), reason_sk).alias("r_reason_desc"),
+        )
+        .distinct()
+    )
+    cc_sk = F.col("o_custkey") % 5
+    call_center = (
+        t["orders"]
+        .select(
+            cc_sk.alias("cc_call_center_sk"),
+            F.concat(F.lit("CC_"), cc_sk).alias("cc_name"),
+            F.concat(F.lit("Manager_"), cc_sk % 3).alias("cc_manager"),
+        )
+        .distinct()
+    )
+    inv_wh = F.col("l_suppkey") % 6
+    inventory = (
+        t["lineitem"]
+        .select(
+            F.col("l_shipdate").alias("inv_date_sk"),
+            F.col("l_partkey").alias("inv_item_sk"),
+            inv_wh.alias("inv_warehouse_sk"),
+            ((F.col("l_partkey") * 31 + inv_wh * 7 + F.dayofmonth("l_shipdate") * 11) % 1000)
+            .alias("inv_quantity_on_hand"),
+        )
+        .distinct()
+    )
     o = t["orders"]
     li = t["lineitem"]
     store_returns = (
@@ -383,7 +480,10 @@ def _ds(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         F.col("o_orderdate").alias("ws_sold_date_sk"),
         F.col("l_partkey").alias("ws_item_sk"),
         F.col("o_custkey").alias("ws_bill_customer_sk"),
+        F.col("o_custkey").alias("ws_bill_addr_sk"),
         (F.col("o_orderkey") % 10).alias("ws_web_page_sk"),
+        (F.col("l_suppkey") % 6).alias("ws_warehouse_sk"),
+        F.col("l_shipdate").alias("ws_ship_date_sk"),
         F.col("l_orderkey").alias("ws_order_number"),
         F.col("l_quantity").alias("ws_quantity"),
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("ws_ext_sales_price"),
@@ -394,6 +494,11 @@ def _ds(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         F.col("l_partkey").alias("cs_item_sk"),
         F.col("o_custkey").alias("cs_bill_customer_sk"),
         (F.col("o_custkey") % 5).alias("cs_call_center_sk"),
+        (F.col("o_custkey") % 100).alias("cs_bill_hdemo_sk"),
+        (F.col("l_suppkey") % 6).alias("cs_warehouse_sk"),
+        F.col("l_shipdate").alias("cs_ship_date_sk"),
+        ((F.col("l_orderkey") + F.col("l_linenumber")) % 4).alias("cs_ship_mode_sk"),
+        (F.col("l_orderkey") % 20).alias("cs_promo_sk"),
         F.col("l_orderkey").alias("cs_order_number"),
         F.col("l_quantity").alias("cs_quantity"),
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("cs_ext_sales_price"),
@@ -404,6 +509,12 @@ def _ds(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         F.col("l_shipdate").alias("wr_returned_date_sk"),
         F.col("l_partkey").alias("wr_item_sk"),
         (F.col("o_orderkey") % 10).alias("wr_web_page_sk"),
+        F.col("l_orderkey").alias("wr_order_number"),
+        F.col("l_quantity").alias("wr_return_quantity"),
+        ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 5).alias("wr_reason_sk"),
+        F.col("o_custkey").alias("wr_returning_customer_sk"),
+        F.col("o_custkey").alias("wr_returning_addr_sk"),
+        (F.col("o_custkey") % 60).alias("wr_returning_cdemo_sk"),
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("wr_return_amt"),
         (F.col("l_extendedprice") * F.col("l_tax")).alias("wr_net_loss"),
     )
@@ -411,6 +522,11 @@ def _ds(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         F.col("l_shipdate").alias("cr_returned_date_sk"),
         F.col("l_partkey").alias("cr_item_sk"),
         (F.col("o_custkey") % 5).alias("cr_call_center_sk"),
+        F.col("l_orderkey").alias("cr_order_number"),
+        F.col("l_quantity").alias("cr_return_quantity"),
+        F.col("o_custkey").alias("cr_returning_customer_sk"),
+        (F.col("o_custkey") % 60).alias("cr_returning_cdemo_sk"),
+        (F.col("o_custkey") % 100).alias("cr_returning_hdemo_sk"),
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("cr_return_amt"),
         (F.col("l_extendedprice") * F.col("l_tax")).alias("cr_net_loss"),
     )
@@ -424,6 +540,11 @@ def _ds(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "household_demographics": household_demographics,
         "customer_demographics": customer_demographics,
         "promotion": promotion,
+        "warehouse": warehouse,
+        "ship_mode": ship_mode,
+        "reason": reason,
+        "call_center": call_center,
+        "inventory": inventory,
         "store_sales": store_sales,
         "store_returns": store_returns,
         "web_sales": web_sales,
@@ -3010,4 +3131,747 @@ def tpcds_q77(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("profit"), 4).alias("profit"),
         )
         .orderBy(F.col("channel").asc_nulls_first(), F.col("id").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------------------
+# r4 wave 1 — inventory / warehouse / shipping queries (q21 q22 q37 q82 q39
+# q40 q72 q99 q16). The derived inventory fact keys on (ship date, item,
+# warehouse) with a deterministic quantity-on-hand, so every query here is
+# reproducible in the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+_Q21_PIVOT = "TIMESTAMP '1997-06-15'"
+
+Q21_ORACLE = f"""
+WITH {DS_CTES}
+SELECT w_warehouse_name, i_item_id,
+       sum(CASE WHEN inv_date_sk < {_Q21_PIVOT} THEN inv_quantity_on_hand ELSE 0 END)::BIGINT AS inv_before,
+       sum(CASE WHEN inv_date_sk >= {_Q21_PIVOT} THEN inv_quantity_on_hand ELSE 0 END)::BIGINT AS inv_after
+FROM inventory JOIN warehouse ON inv_warehouse_sk = w_warehouse_sk
+               JOIN item ON inv_item_sk = i_item_sk
+WHERE i_current_price BETWEEN 905 AND 915
+  AND inv_date_sk BETWEEN TIMESTAMP '1997-05-16' AND TIMESTAMP '1997-07-15'
+GROUP BY w_warehouse_name, i_item_id
+HAVING sum(CASE WHEN inv_date_sk < {_Q21_PIVOT} THEN inv_quantity_on_hand ELSE 0 END) > 0
+   AND sum(CASE WHEN inv_date_sk >= {_Q21_PIVOT} THEN inv_quantity_on_hand ELSE 0 END)::DOUBLE
+       / sum(CASE WHEN inv_date_sk < {_Q21_PIVOT} THEN inv_quantity_on_hand ELSE 0 END)
+       BETWEEN 2.0/3.0 AND 3.0/2.0
+ORDER BY w_warehouse_name, i_item_id
+"""
+
+
+@register("tpcds_q21", Q21_ORACLE, tags=("tpcds", "inventory", "having"))
+def tpcds_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q21 (reference tpcds/q21.sql; price band retargeted to the
+    fixture retailprice domain 900-920): per (warehouse, item) on-hand
+    inventory summed in the 30 days before vs after a pivot date, keeping
+    items whose after/before ratio stayed within [2/3, 3/2]. Plan: the
+    price-band filter prunes item before the join; warehouse (6 rows) is
+    broadcast; one hash-agg on (warehouse, item) with both conditional
+    sums in the same pass; the ratio test is a post-agg filter (HAVING).
+    The before>0 guard makes the ratio well-defined in both engines."""
+    ds = _ds(spark, sf_dir)
+    pivot = F.expr(_Q21_PIVOT)
+    items = ds["item"].filter(F.col("i_current_price").between(905, 915))
+    before = F.sum(F.when(F.col("inv_date_sk") < pivot, F.col("inv_quantity_on_hand")).otherwise(0))
+    after = F.sum(F.when(F.col("inv_date_sk") >= pivot, F.col("inv_quantity_on_hand")).otherwise(0))
+    return (
+        ds["inventory"]
+        .filter(F.col("inv_date_sk").between(F.expr("TIMESTAMP '1997-05-16'"), F.expr("TIMESTAMP '1997-07-15'")))
+        .join(F.broadcast(ds["warehouse"]), F.col("inv_warehouse_sk") == F.col("w_warehouse_sk"))
+        .join(items, F.col("inv_item_sk") == F.col("i_item_sk"))
+        .groupBy("w_warehouse_name", "i_item_id")
+        .agg(before.alias("inv_before"), after.alias("inv_after"))
+        .filter(
+            (F.col("inv_before") > 0)
+            & (F.col("inv_after") / F.col("inv_before")).between(2.0 / 3.0, 3.0 / 2.0)
+        )
+        .orderBy("w_warehouse_name", "i_item_id")
+    )
+
+
+Q22_ORACLE = f"""
+WITH {DS_CTES}
+SELECT i_item_desc AS i_product_name, i_brand, i_class, i_category,
+       round(avg(inv_quantity_on_hand), 4) AS qoh
+FROM inventory JOIN item ON inv_item_sk = i_item_sk
+WHERE year(inv_date_sk) = 1997
+GROUP BY ROLLUP (i_item_desc, i_brand, i_class, i_category)
+ORDER BY qoh, i_product_name NULLS FIRST, i_brand NULLS FIRST,
+         i_class NULLS FIRST, i_category NULLS FIRST
+LIMIT 100
+"""
+
+
+@register("tpcds_q22", Q22_ORACLE, tags=("tpcds", "inventory", "rollup"))
+def tpcds_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q22 (reference tpcds/q22.sql; d_month_seq window -> one
+    fixture year): average quantity-on-hand over the item ROLLUP hierarchy
+    (product/brand/class/category -> 5 aggregation levels). Plan: one
+    ExpandExec over the filtered inventory-item join, partial averages
+    (sum+count) combine map-side, then TakeOrderedAndProject for the
+    LIMIT — no global sort materializes. The full name tiebreak makes the
+    LIMIT-100 row set deterministic under qoh ties."""
+    ds = _ds(spark, sf_dir)
+    agg = (
+        ds["inventory"]
+        .filter(F.year("inv_date_sk") == 1997)
+        .join(ds["item"], F.col("inv_item_sk") == F.col("i_item_sk"))
+        .rollup("i_item_desc", "i_brand", "i_class", "i_category")
+        .agg(F.round(F.avg("inv_quantity_on_hand"), 4).alias("qoh"))
+    )
+    return (
+        agg.select(
+            F.col("i_item_desc").alias("i_product_name"), "i_brand", "i_class", "i_category", "qoh"
+        )
+        .orderBy(
+            "qoh",
+            F.col("i_product_name").asc_nulls_first(),
+            F.col("i_brand").asc_nulls_first(),
+            F.col("i_class").asc_nulls_first(),
+            F.col("i_category").asc_nulls_first(),
+        )
+        .limit(100)
+    )
+
+
+def _q37_style_oracle(fact: str, prefix: str, lo: int, hi: int, start: str) -> str:
+    return f"""
+WITH {DS_CTES}
+SELECT i_item_id, i_item_desc, i_current_price
+FROM item JOIN inventory ON inv_item_sk = i_item_sk
+          JOIN {fact} ON {prefix}_item_sk = i_item_sk
+WHERE i_current_price BETWEEN {lo} AND {hi}
+  AND inv_quantity_on_hand BETWEEN 100 AND 500
+  AND inv_date_sk BETWEEN TIMESTAMP '{start}' AND TIMESTAMP '{start}' + INTERVAL 60 DAY
+GROUP BY i_item_id, i_item_desc, i_current_price
+ORDER BY i_item_id
+LIMIT 100
+"""
+
+
+def _q37_style(spark: SparkSession, sf_dir: str, fact: str, prefix: str, lo: int, hi: int, start: str) -> DataFrame:
+    ds = _ds(spark, sf_dir)
+    inv = ds["inventory"].filter(
+        F.col("inv_quantity_on_hand").between(100, 500)
+        & F.col("inv_date_sk").between(
+            F.expr(f"TIMESTAMP '{start}'"), F.expr(f"TIMESTAMP '{start}' + INTERVAL 60 DAY")
+        )
+    )
+    return (
+        ds["item"]
+        .filter(F.col("i_current_price").between(lo, hi))
+        .join(inv, F.col("inv_item_sk") == F.col("i_item_sk"), "left_semi")
+        .join(ds[fact], F.col(f"{prefix}_item_sk") == F.col("i_item_sk"), "left_semi")
+        .select("i_item_id", "i_item_desc", "i_current_price")
+        .distinct()
+        .orderBy("i_item_id")
+        .limit(100)
+    )
+
+
+@register("tpcds_q37", _q37_style_oracle("catalog_sales", "cs", 902, 912, "1996-04-01"), tags=("tpcds", "inventory", "semijoin"))
+def tpcds_q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q37 (reference tpcds/q37.sql; price band retargeted to the
+    fixture domain): items in a price band that had 100-500 units on hand
+    during a 60-day window AND sold through the catalog channel. The spec
+    writes fan-out joins + GROUP BY; since only item attributes survive,
+    the Spark plan uses two LEFT SEMI joins (inventory, catalog_sales) —
+    same result set, no fan-out rows shuffled. i_item_id is unique so the
+    ORDER BY is total."""
+    return _q37_style(spark, sf_dir, "catalog_sales", "cs", 902, 912, "1996-04-01")
+
+
+@register("tpcds_q82", _q37_style_oracle("store_sales", "ss", 908, 918, "1997-08-01"), tags=("tpcds", "inventory", "semijoin"))
+def tpcds_q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q82 (reference tpcds/q82.sql) — q37's store-channel twin
+    (store_sales semi-join instead of catalog_sales, shifted price band and
+    window), exercising inventory against the store fact."""
+    return _q37_style(spark, sf_dir, "store_sales", "ss", 908, 918, "1997-08-01")
+
+
+Q39_ORACLE = f"""
+WITH {DS_CTES},
+inv_m AS (
+  SELECT inv_item_sk, month(inv_date_sk) AS m,
+         avg(inv_quantity_on_hand) AS mean,
+         stddev_samp(inv_quantity_on_hand) AS sd
+  FROM inventory
+  WHERE month(inv_date_sk) IN (3, 4)
+  GROUP BY inv_item_sk, month(inv_date_sk)
+),
+cov AS (
+  SELECT inv_item_sk, m, mean,
+         CASE WHEN mean = 0 THEN NULL ELSE sd / mean END AS cov
+  FROM inv_m
+)
+SELECT a.inv_item_sk AS i_item_sk,
+       round(a.mean, 4) AS mean_mar, round(a.cov, 4) AS cov_mar,
+       round(b.mean, 4) AS mean_apr, round(b.cov, 4) AS cov_apr
+FROM cov a JOIN cov b ON a.inv_item_sk = b.inv_item_sk AND a.m = 3 AND b.m = 4
+WHERE a.cov > 1.0
+ORDER BY i_item_sk
+"""
+
+
+@register("tpcds_q39", Q39_ORACLE, tags=("tpcds", "inventory", "stats"))
+def tpcds_q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q39 (reference tpcds/q39.sql; grouped per item-month across
+    years — the derived inventory is too sparse per (warehouse, item,
+    month, year) for a sample stddev): per-item March/April mean and coefficient of variation
+    of on-hand quantity, emitting items whose March cov exceeded 1 next to
+    their April stats. Plan: one hash-agg computes avg+stddev_samp
+    together (shared partial moments); the month-pair self-join runs over
+    ALREADY-AGGREGATED rows (|items| scale) and AQE broadcasts the
+    filtered March side. stddev_samp of a singleton group is NULL in both
+    engines, which the cov>1 filter then drops — identical semantics."""
+    ds = _ds(spark, sf_dir)
+    inv_m = (
+        ds["inventory"]
+        .filter(F.month("inv_date_sk").isin(3, 4))
+        .groupBy("inv_item_sk", F.month("inv_date_sk").alias("m"))
+        .agg(
+            F.avg("inv_quantity_on_hand").alias("mean"),
+            F.stddev_samp("inv_quantity_on_hand").alias("sd"),
+        )
+    )
+    cov = inv_m.select(
+        "inv_item_sk", "m", "mean",
+        F.when(F.col("mean") == 0, None).otherwise(F.col("sd") / F.col("mean")).alias("cov"),
+    )
+    a = cov.filter((F.col("m") == 3) & (F.col("cov") > 1.0)).select(
+        F.col("inv_item_sk").alias("i_item_sk"),
+        F.round("mean", 4).alias("mean_mar"),
+        F.round("cov", 4).alias("cov_mar"),
+    )
+    b = cov.filter(F.col("m") == 4).select(
+        F.col("inv_item_sk").alias("bk"),
+        F.round("mean", 4).alias("mean_apr"),
+        F.round("cov", 4).alias("cov_apr"),
+    )
+    return (
+        a.join(b, a["i_item_sk"] == b["bk"])
+        .select("i_item_sk", "mean_mar", "cov_mar", "mean_apr", "cov_apr")
+        .orderBy("i_item_sk")
+    )
+
+
+_Q40_PIVOT = "TIMESTAMP '1997-06-15'"
+
+Q40_ORACLE = f"""
+WITH {DS_CTES}
+SELECT w_state, i_item_id,
+       round(sum(CASE WHEN cs_sold_date_sk < {_Q40_PIVOT}
+                      THEN cs_ext_sales_price - coalesce(cr_return_amt, 0) ELSE 0 END), 4) AS sales_before,
+       round(sum(CASE WHEN cs_sold_date_sk >= {_Q40_PIVOT}
+                      THEN cs_ext_sales_price - coalesce(cr_return_amt, 0) ELSE 0 END), 4) AS sales_after
+FROM catalog_sales LEFT JOIN catalog_returns
+       ON cs_order_number = cr_order_number AND cs_item_sk = cr_item_sk
+     JOIN warehouse ON cs_warehouse_sk = w_warehouse_sk
+     JOIN item ON cs_item_sk = i_item_sk
+WHERE i_current_price BETWEEN 905 AND 915
+  AND cs_sold_date_sk BETWEEN TIMESTAMP '1997-05-16' AND TIMESTAMP '1997-07-15'
+GROUP BY w_state, i_item_id
+ORDER BY w_state, i_item_id
+"""
+
+
+@register("tpcds_q40", Q40_ORACLE, tags=("tpcds", "returns", "outerjoin"))
+def tpcds_q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q40 (reference tpcds/q40.sql; price band + pivot retargeted):
+    net catalog sales (sales minus matched returns) per warehouse state and
+    item, split before/after a pivot date. Plan: the date window and the
+    item price band both push below the returns join, so the LEFT join runs
+    on the filtered fact only; returns match on (order, item) — the same
+    keyed-shuffle pair; warehouse (6 rows) broadcast. Both conditional sums
+    land in one hash-agg pass."""
+    ds = _ds(spark, sf_dir)
+    pivot = F.expr(_Q40_PIVOT)
+    cs = ds["catalog_sales"].filter(
+        F.col("cs_sold_date_sk").between(F.expr("TIMESTAMP '1997-05-16'"), F.expr("TIMESTAMP '1997-07-15'"))
+    )
+    cr = ds["catalog_returns"].select("cr_order_number", "cr_item_sk", "cr_return_amt")
+    items = ds["item"].filter(F.col("i_current_price").between(905, 915)).select("i_item_sk", "i_item_id")
+    net = F.col("cs_ext_sales_price") - F.coalesce(F.col("cr_return_amt"), F.lit(0.0))
+    return (
+        cs.join(cr, (F.col("cs_order_number") == F.col("cr_order_number")) & (F.col("cs_item_sk") == F.col("cr_item_sk")), "left")
+        .join(F.broadcast(ds["warehouse"]), F.col("cs_warehouse_sk") == F.col("w_warehouse_sk"))
+        .join(items, F.col("cs_item_sk") == F.col("i_item_sk"))
+        .groupBy("w_state", "i_item_id")
+        .agg(
+            F.round(F.sum(F.when(F.col("cs_sold_date_sk") < pivot, net).otherwise(0.0)), 4).alias("sales_before"),
+            F.round(F.sum(F.when(F.col("cs_sold_date_sk") >= pivot, net).otherwise(0.0)), 4).alias("sales_after"),
+        )
+        .orderBy("w_state", "i_item_id")
+    )
+
+
+Q72_ORACLE = f"""
+WITH {DS_CTES}
+SELECT i_item_desc, w_warehouse_name, d_week_seq,
+       sum(CASE WHEN p_promo_sk IS NULL THEN 1 ELSE 0 END)::BIGINT AS no_promo,
+       sum(CASE WHEN p_promo_sk IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS promo,
+       count(*) AS total_cnt
+FROM catalog_sales
+JOIN inventory ON cs_item_sk = inv_item_sk AND inv_date_sk = cs_ship_date_sk
+             AND inv_quantity_on_hand < cs_quantity * 12
+JOIN warehouse ON inv_warehouse_sk = w_warehouse_sk
+JOIN item ON cs_item_sk = i_item_sk
+JOIN household_demographics ON cs_bill_hdemo_sk = hd_demo_sk AND hd_dep_count = 4
+JOIN date_dim ON cs_sold_date_sk = d_date_sk
+LEFT JOIN promotion ON cs_promo_sk = p_promo_sk AND p_channel_email = 'Y'
+WHERE d_year = 1997 AND date_diff('day', cs_sold_date_sk, cs_ship_date_sk) > 5
+GROUP BY i_item_desc, w_warehouse_name, d_week_seq
+ORDER BY total_cnt DESC, i_item_desc, w_warehouse_name, d_week_seq
+LIMIT 100
+"""
+
+
+@register("tpcds_q72", Q72_ORACLE, tags=("tpcds", "inventory", "factfact"))
+def tpcds_q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q72 (reference tpcds/q72.sql; buy-potential filter mapped to
+    hd_dep_count, d+5 ship lag kept): catalog lines that shipped >5 days
+    after the sale where on-hand inventory at ship time could not cover
+    12x the ordered quantity — the corpus's canonical fact-to-fact
+    inequality join — split by promotional status. Plan: the only big-big
+    join is cs><inventory, equi-keyed on (item, date) with the qoh<qty*12
+    inequality as a post-join residual (NOT a cartesian); hd/date/promo/
+    warehouse are broadcast; promo is a LEFT join carrying the channel
+    condition so unmatched rows count as no_promo. At 100 TB the (item,
+    date) shuffle is the plan's spine, exactly like stock q72."""
+    ds = _ds(spark, sf_dir)
+    hd = ds["household_demographics"].filter(F.col("hd_dep_count") == 4)
+    dd = ds["date_dim"].filter(F.col("d_year") == 1997)
+    promo = ds["promotion"].filter(F.col("p_channel_email") == "Y").select("p_promo_sk")
+    cs = ds["catalog_sales"].filter(F.datediff(F.col("cs_ship_date_sk"), F.col("cs_sold_date_sk")) > 5)
+    inv = ds["inventory"]
+    return (
+        cs.join(
+            inv,
+            (F.col("cs_item_sk") == F.col("inv_item_sk"))
+            & (F.col("inv_date_sk") == F.col("cs_ship_date_sk"))
+            & (F.col("inv_quantity_on_hand") < F.col("cs_quantity") * 12),
+        )
+        .join(F.broadcast(ds["warehouse"]), F.col("inv_warehouse_sk") == F.col("w_warehouse_sk"))
+        .join(ds["item"].select("i_item_sk", "i_item_desc"), F.col("cs_item_sk") == F.col("i_item_sk"))
+        .join(F.broadcast(hd), F.col("cs_bill_hdemo_sk") == F.col("hd_demo_sk"))
+        .join(F.broadcast(dd.select("d_date_sk", "d_week_seq")), F.col("cs_sold_date_sk") == F.col("d_date_sk"))
+        .join(F.broadcast(promo), F.col("cs_promo_sk") == F.col("p_promo_sk"), "left")
+        .groupBy("i_item_desc", "w_warehouse_name", "d_week_seq")
+        .agg(
+            F.sum(F.when(F.col("p_promo_sk").isNull(), 1).otherwise(0)).alias("no_promo"),
+            F.sum(F.when(F.col("p_promo_sk").isNotNull(), 1).otherwise(0)).alias("promo"),
+            F.count(F.lit(1)).alias("total_cnt"),
+        )
+        .orderBy(F.desc("total_cnt"), "i_item_desc", "w_warehouse_name", "d_week_seq")
+        .limit(100)
+    )
+
+
+def _q99_bands() -> list[tuple[str, str]]:
+    return [
+        ("d_30", "days <= 30"),
+        ("d_31_60", "days > 30 AND days <= 60"),
+        ("d_61_90", "days > 60 AND days <= 90"),
+        ("d_91_120", "days > 90 AND days <= 120"),
+        ("d_over_120", "days > 120"),
+    ]
+
+
+def _q99_oracle() -> str:
+    bands = ", ".join(
+        f"sum(CASE WHEN {cond} THEN 1 ELSE 0 END)::BIGINT AS {name}" for name, cond in _q99_bands()
+    )
+    return f"""
+WITH {DS_CTES},
+shipped AS (
+  SELECT cs_warehouse_sk, cs_ship_mode_sk, cs_call_center_sk,
+         date_diff('day', cs_sold_date_sk, cs_ship_date_sk) AS days
+  FROM catalog_sales WHERE year(cs_ship_date_sk) = 1997
+)
+SELECT w_warehouse_name, sm_type, cc_name, {bands}
+FROM shipped JOIN warehouse ON cs_warehouse_sk = w_warehouse_sk
+             JOIN ship_mode ON cs_ship_mode_sk = sm_ship_mode_sk
+             JOIN call_center ON cs_call_center_sk = cc_call_center_sk
+GROUP BY w_warehouse_name, sm_type, cc_name
+ORDER BY w_warehouse_name, sm_type, cc_name
+"""
+
+
+Q99_ORACLE = _q99_oracle()
+
+
+@register("tpcds_q99", Q99_ORACLE, tags=("tpcds", "shipping", "bands"))
+def tpcds_q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q99 (reference tpcds/q99.sql): days-to-ship distribution of
+    catalog orders banded at 30/60/90/120 days, per (warehouse, ship mode,
+    call center). The derived ship lag spans negatives (fixture ship dates
+    are independent of order dates); those land in the <=30 band in both
+    engines. Plan: one fact scan computes the lag, three bounded dims
+    (6 x 4 x 5 rows) broadcast, and all five band counters share a single
+    hash-agg — no Expand, no second pass."""
+    ds = _ds(spark, sf_dir)
+    days = F.datediff(F.col("cs_ship_date_sk"), F.col("cs_sold_date_sk"))
+    shipped = (
+        ds["catalog_sales"]
+        .filter(F.year("cs_ship_date_sk") == 1997)
+        .select("cs_warehouse_sk", "cs_ship_mode_sk", "cs_call_center_sk", days.alias("days"))
+    )
+    aggs = [
+        F.sum(F.when(F.expr(cond), 1).otherwise(0)).alias(name) for name, cond in _q99_bands()
+    ]
+    return (
+        shipped.join(F.broadcast(ds["warehouse"]), F.col("cs_warehouse_sk") == F.col("w_warehouse_sk"))
+        .join(F.broadcast(ds["ship_mode"]), F.col("cs_ship_mode_sk") == F.col("sm_ship_mode_sk"))
+        .join(F.broadcast(ds["call_center"]), F.col("cs_call_center_sk") == F.col("cc_call_center_sk"))
+        .groupBy("w_warehouse_name", "sm_type", "cc_name")
+        .agg(*aggs)
+        .orderBy("w_warehouse_name", "sm_type", "cc_name")
+    )
+
+
+Q16_ORACLE = f"""
+WITH {DS_CTES}
+SELECT count(DISTINCT cs_order_number) AS order_count,
+       round(sum(cs_ext_sales_price), 4) AS total_sales,
+       round(sum(cs_net_profit), 4) AS total_net_profit
+FROM catalog_sales cs1
+WHERE cs_ship_date_sk BETWEEN TIMESTAMP '1997-02-01' AND TIMESTAMP '1997-04-02'
+  AND EXISTS (SELECT 1 FROM catalog_sales cs2
+              WHERE cs1.cs_order_number = cs2.cs_order_number
+                AND cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)
+  AND NOT EXISTS (SELECT 1 FROM catalog_returns cr
+                  WHERE cs1.cs_order_number = cr.cr_order_number)
+"""
+
+
+@register("tpcds_q16", Q16_ORACLE, tags=("tpcds", "existence", "antijoin"))
+def tpcds_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q16 (reference tpcds/q16.sql; 60-day ship window retargeted):
+    catalog orders shipped in the window that were fulfilled from more
+    than one warehouse (EXISTS a sibling line with a different warehouse)
+    and never returned (NOT EXISTS). Plan: the multi-warehouse EXISTS
+    compiles to a LEFT SEMI self-join on order number with the warehouse
+    inequality as residual; the returns test is a LEFT ANTI against the
+    distinct returned-order list; count(DISTINCT order) + the two sums
+    share one final aggregate. Same shuffle spine as tpch_q21's
+    exists/not-exists pair, exercised on the catalog channel."""
+    ds = _ds(spark, sf_dir)
+    cs1 = ds["catalog_sales"].filter(
+        F.col("cs_ship_date_sk").between(F.expr("TIMESTAMP '1997-02-01'"), F.expr("TIMESTAMP '1997-04-02'"))
+    )
+    cs2 = ds["catalog_sales"].select(
+        F.col("cs_order_number").alias("o2"), F.col("cs_warehouse_sk").alias("w2")
+    )
+    cr = ds["catalog_returns"].select(F.col("cr_order_number").alias("ro"))
+    return (
+        cs1.join(cs2, (F.col("cs_order_number") == F.col("o2")) & (F.col("cs_warehouse_sk") != F.col("w2")), "left_semi")
+        .join(cr, F.col("cs_order_number") == F.col("ro"), "left_anti")
+        .agg(
+            F.countDistinct("cs_order_number").alias("order_count"),
+            F.round(F.sum("cs_ext_sales_price"), 4).alias("total_sales"),
+            F.round(F.sum("cs_net_profit"), 4).alias("total_net_profit"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# r4 wave 2 — cross-channel customer behavior (q38 q87 q97 q74 q17 q31)
+# ---------------------------------------------------------------------------
+
+Q38_ORACLE = f"""
+WITH {DS_CTES},
+s AS (SELECT DISTINCT ss_customer_sk AS c FROM store_sales WHERE year(ss_sold_date_sk) = 1996),
+cc AS (SELECT DISTINCT cs_bill_customer_sk AS c FROM catalog_sales WHERE year(cs_sold_date_sk) = 1996),
+w AS (SELECT DISTINCT ws_bill_customer_sk AS c FROM web_sales WHERE year(ws_sold_date_sk) = 1996)
+SELECT count(*)::BIGINT AS hot_cust_count
+FROM (SELECT c FROM s INTERSECT SELECT c FROM cc INTERSECT SELECT c FROM w) t
+"""
+
+
+@register("tpcds_q38", Q38_ORACLE, tags=("tpcds", "crosschannel", "intersect"))
+def tpcds_q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q38 (reference tpcds/q38.sql; d_month_seq window -> one
+    fixture year, keyed on customer_sk — the derived name columns are
+    1:1 with the sk): customers who bought through ALL THREE channels in
+    the year, via set INTERSECT over per-channel distinct customer sets.
+    Plan: each channel contributes one distinct-aggregate (partial
+    map-side dedup); INTERSECT compiles to left-semi hash joins over the
+    deduped sets — no fact-to-fact shuffle. The final count is a single
+    row."""
+    ds = _ds(spark, sf_dir)
+    s = ds["store_sales"].filter(F.year("ss_sold_date_sk") == 1996).select(F.col("ss_customer_sk").alias("c")).distinct()
+    c = ds["catalog_sales"].filter(F.year("cs_sold_date_sk") == 1996).select(F.col("cs_bill_customer_sk").alias("c")).distinct()
+    w = ds["web_sales"].filter(F.year("ws_sold_date_sk") == 1996).select(F.col("ws_bill_customer_sk").alias("c")).distinct()
+    return s.intersect(c).intersect(w).agg(F.count(F.lit(1)).alias("hot_cust_count"))
+
+
+Q87_ORACLE = f"""
+WITH {DS_CTES},
+s AS (SELECT DISTINCT ss_customer_sk AS c FROM store_sales WHERE year(ss_sold_date_sk) = 1996),
+cc AS (SELECT DISTINCT cs_bill_customer_sk AS c FROM catalog_sales WHERE year(cs_sold_date_sk) = 1996),
+w AS (SELECT DISTINCT ws_bill_customer_sk AS c FROM web_sales WHERE year(ws_sold_date_sk) = 1996)
+SELECT count(*)::BIGINT AS store_only_count
+FROM (SELECT c FROM s EXCEPT SELECT c FROM cc EXCEPT SELECT c FROM w) t
+"""
+
+
+@register("tpcds_q87", Q87_ORACLE, tags=("tpcds", "crosschannel", "except"))
+def tpcds_q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q87 (reference tpcds/q87.sql): q38's complement — customers
+    who bought in the store channel but NOT catalog and NOT web that year
+    (chained EXCEPT). Plan: two left-anti hash joins over per-channel
+    deduped customer sets; same scale shape as q38."""
+    ds = _ds(spark, sf_dir)
+    s = ds["store_sales"].filter(F.year("ss_sold_date_sk") == 1996).select(F.col("ss_customer_sk").alias("c")).distinct()
+    c = ds["catalog_sales"].filter(F.year("cs_sold_date_sk") == 1996).select(F.col("cs_bill_customer_sk").alias("c")).distinct()
+    w = ds["web_sales"].filter(F.year("ws_sold_date_sk") == 1996).select(F.col("ws_bill_customer_sk").alias("c")).distinct()
+    return s.exceptAll(c.distinct()).distinct().exceptAll(w).distinct().agg(F.count(F.lit(1)).alias("store_only_count"))
+
+
+Q97_ORACLE = f"""
+WITH {DS_CTES},
+ssci AS (SELECT DISTINCT ss_customer_sk AS cust, ss_item_sk AS itm
+         FROM store_sales WHERE year(ss_sold_date_sk) = 1996),
+csci AS (SELECT DISTINCT cs_bill_customer_sk AS cust, cs_item_sk AS itm
+         FROM catalog_sales WHERE year(cs_sold_date_sk) = 1996)
+SELECT sum(CASE WHEN s.cust IS NOT NULL AND c.cust IS NULL THEN 1 ELSE 0 END)::BIGINT AS store_only,
+       sum(CASE WHEN s.cust IS NULL AND c.cust IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS catalog_only,
+       sum(CASE WHEN s.cust IS NOT NULL AND c.cust IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS store_and_catalog
+FROM ssci s FULL OUTER JOIN csci c ON s.cust = c.cust AND s.itm = c.itm
+"""
+
+
+@register("tpcds_q97", Q97_ORACLE, tags=("tpcds", "crosschannel", "fullouter"))
+def tpcds_q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q97 (reference tpcds/q97.sql): overlap of (customer, item)
+    purchase pairs between the store and catalog channels — a FULL OUTER
+    join of the two deduped pair sets, classified into store-only /
+    catalog-only / both counts. Plan: each side dedups map-side first
+    (distinct partial agg), the outer join shuffles on the composite key
+    once, and the three classification counters share one final 1-row
+    agg."""
+    ds = _ds(spark, sf_dir)
+    ssci = (
+        ds["store_sales"].filter(F.year("ss_sold_date_sk") == 1996)
+        .select(F.col("ss_customer_sk").alias("s_cust"), F.col("ss_item_sk").alias("s_itm")).distinct()
+    )
+    csci = (
+        ds["catalog_sales"].filter(F.year("cs_sold_date_sk") == 1996)
+        .select(F.col("cs_bill_customer_sk").alias("c_cust"), F.col("cs_item_sk").alias("c_itm")).distinct()
+    )
+    j = ssci.join(
+        csci, (F.col("s_cust") == F.col("c_cust")) & (F.col("s_itm") == F.col("c_itm")), "full_outer"
+    )
+    return j.agg(
+        F.sum(F.when(F.col("s_cust").isNotNull() & F.col("c_cust").isNull(), 1).otherwise(0)).alias("store_only"),
+        F.sum(F.when(F.col("s_cust").isNull() & F.col("c_cust").isNotNull(), 1).otherwise(0)).alias("catalog_only"),
+        F.sum(F.when(F.col("s_cust").isNotNull() & F.col("c_cust").isNotNull(), 1).otherwise(0)).alias("store_and_catalog"),
+    )
+
+
+Q74_ORACLE = f"""
+WITH {DS_CTES},
+year_total AS (
+  SELECT ss_customer_sk AS customer_sk, year(ss_sold_date_sk) AS y, 's' AS channel,
+         round(sum(ss_ext_sales_price), 4) AS total
+  FROM store_sales WHERE year(ss_sold_date_sk) IN (1996, 1997)
+  GROUP BY ss_customer_sk, year(ss_sold_date_sk)
+  UNION ALL
+  SELECT ws_bill_customer_sk, year(ws_sold_date_sk), 'w',
+         round(sum(ws_ext_sales_price), 4)
+  FROM web_sales WHERE year(ws_sold_date_sk) IN (1996, 1997)
+  GROUP BY ws_bill_customer_sk, year(ws_sold_date_sk)
+)
+SELECT ts2.customer_sk AS customer_id
+FROM year_total ts1
+JOIN year_total ts2 ON ts1.customer_sk = ts2.customer_sk
+JOIN year_total tw1 ON ts1.customer_sk = tw1.customer_sk
+JOIN year_total tw2 ON ts1.customer_sk = tw2.customer_sk
+WHERE ts1.channel = 's' AND ts1.y = 1996 AND ts2.channel = 's' AND ts2.y = 1997
+  AND tw1.channel = 'w' AND tw1.y = 1996 AND tw2.channel = 'w' AND tw2.y = 1997
+  AND ts1.total > 0 AND tw1.total > 0
+  AND tw2.total / tw1.total > ts2.total / ts1.total
+ORDER BY customer_id
+"""
+
+
+@register("tpcds_q74", Q74_ORACLE, tags=("tpcds", "crosschannel", "selfjoin"))
+def tpcds_q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q74 (reference tpcds/q74.sql; keyed on customer_sk): the
+    year-over-year growth comparison — customers whose web spending grew
+    FASTER than their store spending between consecutive years. One
+    year_total aggregate per (customer, year, channel); the four spec
+    self-joins collapse in the Spark build into a single groupBy(customer)
+    with conditional sums (one shuffle instead of four joins — the
+    aggregate-then-pivot form of the same query); the growth predicate
+    compares ratios of 4-rounded totals, so both engines divide identical
+    doubles. Scale: one keyed shuffle over each channel fact, then a
+    |customers|-sized frame."""
+    ds = _ds(spark, sf_dir)
+    s = (
+        ds["store_sales"].filter(F.year("ss_sold_date_sk").isin(1996, 1997))
+        .select(F.col("ss_customer_sk").alias("customer_sk"), F.year("ss_sold_date_sk").alias("y"),
+                F.lit("s").alias("channel"), F.col("ss_ext_sales_price").alias("p"))
+    )
+    w = (
+        ds["web_sales"].filter(F.year("ws_sold_date_sk").isin(1996, 1997))
+        .select(F.col("ws_bill_customer_sk").alias("customer_sk"), F.year("ws_sold_date_sk").alias("y"),
+                F.lit("w").alias("channel"), F.col("ws_ext_sales_price").alias("p"))
+    )
+    def tot(ch: str, yr: int):
+        return F.round(F.sum(F.when((F.col("channel") == ch) & (F.col("y") == yr), F.col("p"))), 4)
+    per_cust = (
+        s.unionAll(w)
+        .groupBy("customer_sk")
+        .agg(
+            tot("s", 1996).alias("s1"), tot("s", 1997).alias("s2"),
+            tot("w", 1996).alias("w1"), tot("w", 1997).alias("w2"),
+        )
+    )
+    return (
+        per_cust.filter(
+            (F.col("s1") > 0) & (F.col("w1") > 0)
+            & F.col("s2").isNotNull() & F.col("w2").isNotNull()
+            & (F.col("w2") / F.col("w1") > F.col("s2") / F.col("s1"))
+        )
+        .select(F.col("customer_sk").alias("customer_id"))
+        .orderBy("customer_id")
+    )
+
+
+Q17_ORACLE = f"""
+WITH {DS_CTES}
+SELECT i_item_id, s_state,
+       count(ss_quantity)::BIGINT AS store_sales_cnt,
+       round(avg(ss_quantity), 4) AS store_sales_avg,
+       round(stddev_samp(ss_quantity), 4) AS store_sales_stdev,
+       count(sr_return_quantity)::BIGINT AS store_returns_cnt,
+       round(avg(sr_return_quantity), 4) AS store_returns_avg,
+       count(cs_quantity)::BIGINT AS catalog_sales_cnt,
+       round(avg(cs_quantity), 4) AS catalog_sales_avg
+FROM store_sales
+JOIN store_returns ON ss_ticket_number = sr_ticket_number
+                  AND ss_item_sk = sr_item_sk AND ss_line_number = sr_line_number
+JOIN catalog_sales ON sr_customer_sk = cs_bill_customer_sk AND sr_item_sk = cs_item_sk
+JOIN item ON ss_item_sk = i_item_sk
+JOIN store ON ss_store_sk = s_store_sk
+WHERE year(ss_sold_date_sk) = 1996 AND quarter(ss_sold_date_sk) = 1
+  AND year(sr_returned_date_sk) = 1996 AND quarter(sr_returned_date_sk) IN (1, 2, 3)
+  AND year(cs_sold_date_sk) = 1996 AND quarter(cs_sold_date_sk) IN (1, 2, 3)
+GROUP BY i_item_id, s_state
+ORDER BY i_item_id, s_state
+LIMIT 100
+"""
+
+
+@register("tpcds_q17", Q17_ORACLE, tags=("tpcds", "crosschannel", "stats"))
+def tpcds_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q17 (reference tpcds/q17.sql): the buy -> return -> re-buy
+    funnel — store purchases in Q1 that were returned within Q1-Q3 and
+    re-purchased through the catalog channel the same year, with
+    count/avg/stddev statistics per (item, store state). Plan: ss><sr is
+    an exact line-level match on (ticket, item, line) — one co-keyed
+    shuffle pair; the returns-to-catalog hop shuffles on (customer, item);
+    all statistics share one hash-agg (stddev via partial moments).
+    stddev_samp of singleton groups is NULL in both engines."""
+    ds = _ds(spark, sf_dir)
+    ss = ds["store_sales"].filter((F.year("ss_sold_date_sk") == 1996) & (F.quarter("ss_sold_date_sk") == 1))
+    sr = ds["store_returns"].filter((F.year("sr_returned_date_sk") == 1996) & F.quarter("sr_returned_date_sk").isin(1, 2, 3))
+    cs = ds["catalog_sales"].filter((F.year("cs_sold_date_sk") == 1996) & F.quarter("cs_sold_date_sk").isin(1, 2, 3))
+    return (
+        ss.join(
+            sr,
+            (F.col("ss_ticket_number") == F.col("sr_ticket_number"))
+            & (F.col("ss_item_sk") == F.col("sr_item_sk"))
+            & (F.col("ss_line_number") == F.col("sr_line_number")),
+        )
+        .join(cs, (F.col("sr_customer_sk") == F.col("cs_bill_customer_sk")) & (F.col("sr_item_sk") == F.col("cs_item_sk")))
+        .join(ds["item"].select("i_item_sk", "i_item_id"), F.col("ss_item_sk") == F.col("i_item_sk"))
+        .join(F.broadcast(ds["store"]), F.col("ss_store_sk") == F.col("s_store_sk"))
+        .groupBy("i_item_id", "s_state")
+        .agg(
+            F.count("ss_quantity").alias("store_sales_cnt"),
+            F.round(F.avg("ss_quantity"), 4).alias("store_sales_avg"),
+            F.round(F.stddev_samp("ss_quantity"), 4).alias("store_sales_stdev"),
+            F.count("sr_return_quantity").alias("store_returns_cnt"),
+            F.round(F.avg("sr_return_quantity"), 4).alias("store_returns_avg"),
+            F.count("cs_quantity").alias("catalog_sales_cnt"),
+            F.round(F.avg("cs_quantity"), 4).alias("catalog_sales_avg"),
+        )
+        .orderBy("i_item_id", "s_state")
+        .limit(100)
+    )
+
+
+Q31_ORACLE = f"""
+WITH {DS_CTES},
+ss_q AS (
+  SELECT ca_state AS state, quarter(ss_sold_date_sk) AS q,
+         round(sum(ss_ext_sales_price), 4) AS total
+  FROM store_sales JOIN customer_address ON ss_addr_sk = ca_address_sk
+  WHERE year(ss_sold_date_sk) = 1996 AND quarter(ss_sold_date_sk) IN (1, 2)
+  GROUP BY ca_state, quarter(ss_sold_date_sk)),
+ws_q AS (
+  SELECT ca_state AS state, quarter(ws_sold_date_sk) AS q,
+         round(sum(ws_ext_sales_price), 4) AS total
+  FROM web_sales JOIN customer_address ON ws_bill_addr_sk = ca_address_sk
+  WHERE year(ws_sold_date_sk) = 1996 AND quarter(ws_sold_date_sk) IN (1, 2)
+  GROUP BY ca_state, quarter(ws_sold_date_sk))
+SELECT ss1.state AS ca_state,
+       round(ws2.total / ws1.total, 6) AS web_growth,
+       round(ss2.total / ss1.total, 6) AS store_growth
+FROM ss_q ss1 JOIN ss_q ss2 ON ss1.state = ss2.state AND ss1.q = 1 AND ss2.q = 2
+     JOIN ws_q ws1 ON ss1.state = ws1.state AND ws1.q = 1
+     JOIN ws_q ws2 ON ss1.state = ws2.state AND ws2.q = 2
+WHERE ss1.total > 0 AND ws1.total > 0
+  AND ws2.total / ws1.total > ss2.total / ss1.total
+ORDER BY ca_state
+"""
+
+
+@register("tpcds_q31", Q31_ORACLE, tags=("tpcds", "crosschannel", "growth"))
+def tpcds_q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q31 (reference tpcds/q31.sql; county -> derived ca_state,
+    three quarters -> two): states where web sales grew faster than store
+    sales from Q1 to Q2. Plan: two per-channel (state, quarter) aggregates
+    — each one keyed fact shuffle after the address join — then the
+    quarter alignment joins run over |states| x |quarters| rows (tiny,
+    AQE-broadcast). Growth predicates compare ratios of 4-rounded totals
+    (cross-engine double determinism)."""
+    ds = _ds(spark, sf_dir)
+    ca = ds["customer_address"].select("ca_address_sk", "ca_state")
+
+    def chan(fact: str, date_col: str, addr_col: str, price_col: str) -> DataFrame:
+        return (
+            ds[fact]
+            .filter((F.year(date_col) == 1996) & F.quarter(date_col).isin(1, 2))
+            .join(ca, F.col(addr_col) == F.col("ca_address_sk"))
+            .groupBy(F.col("ca_state").alias("state"))
+            .agg(
+                F.round(F.sum(F.when(F.quarter(date_col) == 1, F.col(price_col))), 4).alias("q1"),
+                F.round(F.sum(F.when(F.quarter(date_col) == 2, F.col(price_col))), 4).alias("q2"),
+            )
+        )
+
+    ssq = chan("store_sales", "ss_sold_date_sk", "ss_addr_sk", "ss_ext_sales_price").withColumnsRenamed(
+        {"q1": "ss1", "q2": "ss2"}
+    )
+    wsq = chan("web_sales", "ws_sold_date_sk", "ws_bill_addr_sk", "ws_ext_sales_price").withColumnsRenamed(
+        {"q1": "ws1", "q2": "ws2", "state": "wstate"}
+    )
+    return (
+        ssq.join(wsq, F.col("state") == F.col("wstate"))
+        .filter(
+            (F.col("ss1") > 0) & (F.col("ws1") > 0)
+            & F.col("ss2").isNotNull() & F.col("ws2").isNotNull()
+            & (F.col("ws2") / F.col("ws1") > F.col("ss2") / F.col("ss1"))
+        )
+        .select(
+            F.col("state").alias("ca_state"),
+            F.round(F.col("ws2") / F.col("ws1"), 6).alias("web_growth"),
+            F.round(F.col("ss2") / F.col("ss1"), 6).alias("store_growth"),
+        )
+        .orderBy("ca_state")
     )
