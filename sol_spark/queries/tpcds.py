@@ -3875,3 +3875,431 @@ def tpcds_q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ca_state")
     )
+
+
+# ---------------------------------------------------------------------------
+# r4 wave 3 — deviation windows, returns analytics, combined-channel spend
+# (q47 q57 q30 q85 q91 q8 q23 q49)
+# ---------------------------------------------------------------------------
+
+def _q47_style_oracle(fact: str, date_col: str, price_col: str, dim_join: str, dim_col: str) -> str:
+    return f"""
+WITH {DS_CTES},
+v1 AS (
+  SELECT i_brand, {dim_col}, year({date_col}) AS d_year, month({date_col}) AS d_moy,
+         round(sum({price_col}), 4) AS sum_sales
+  FROM {fact} JOIN item ON i_item_sk = {fact[:1]}s_item_sk
+              {dim_join}
+  WHERE year({date_col}) IN (1996, 1997)
+  GROUP BY i_brand, {dim_col}, year({date_col}), month({date_col})),
+v2 AS (
+  SELECT *,
+         avg(sum_sales) OVER (PARTITION BY i_brand, {dim_col}, d_year) AS avg_monthly,
+         lag(sum_sales) OVER (PARTITION BY i_brand, {dim_col} ORDER BY d_year, d_moy) AS psum,
+         lead(sum_sales) OVER (PARTITION BY i_brand, {dim_col} ORDER BY d_year, d_moy) AS nsum
+  FROM v1)
+SELECT i_brand, {dim_col}, d_year, d_moy, round(avg_monthly, 4) AS avg_monthly_sales,
+       sum_sales, psum, nsum
+FROM v2
+WHERE d_year = 1997 AND avg_monthly > 0
+  AND abs(sum_sales - avg_monthly) / avg_monthly > 0.1
+ORDER BY i_brand, {dim_col}, d_moy
+LIMIT 100
+"""
+
+
+def _q47_style(spark: SparkSession, sf_dir: str, fact: str, prefix: str, date_col: str,
+               price_col: str, dim: DataFrame, dim_key: str, fact_dim_key: str, dim_col: str) -> DataFrame:
+    ds = _ds(spark, sf_dir)
+    v1 = (
+        ds[fact]
+        .filter(F.year(date_col).isin(1996, 1997))
+        .join(ds["item"].select("i_item_sk", "i_brand"), F.col(f"{prefix}_item_sk") == F.col("i_item_sk"))
+        .join(F.broadcast(dim), F.col(fact_dim_key) == F.col(dim_key))
+        .groupBy("i_brand", dim_col, F.year(date_col).alias("d_year"), F.month(date_col).alias("d_moy"))
+        .agg(F.round(F.sum(price_col), 4).alias("sum_sales"))
+    )
+    w_year = W.partitionBy("i_brand", dim_col, "d_year")
+    w_seq = W.partitionBy("i_brand", dim_col).orderBy("d_year", "d_moy")
+    v2 = v1.select(
+        "*",
+        F.avg("sum_sales").over(w_year).alias("avg_monthly"),
+        F.lag("sum_sales").over(w_seq).alias("psum"),
+        F.lead("sum_sales").over(w_seq).alias("nsum"),
+    )
+    return (
+        v2.filter(
+            (F.col("d_year") == 1997) & (F.col("avg_monthly") > 0)
+            & (F.abs(F.col("sum_sales") - F.col("avg_monthly")) / F.col("avg_monthly") > 0.1)
+        )
+        .select(
+            "i_brand", dim_col, "d_year", "d_moy",
+            F.round("avg_monthly", 4).alias("avg_monthly_sales"), "sum_sales", "psum", "nsum",
+        )
+        .orderBy("i_brand", dim_col, "d_moy")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q47",
+    _q47_style_oracle("store_sales", "ss_sold_date_sk", "ss_sales_price",
+                      "JOIN store ON ss_store_sk = s_store_sk", "s_store_name"),
+    tags=("tpcds", "window", "deviation"),
+)
+def tpcds_q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q47 (reference tpcds/q47.sql): months where a (brand, store)
+    deviated >10% from its own yearly average, with the neighboring
+    months' sales via lag/lead. Plan: one (brand, store, year, month)
+    hash-agg over the fact, then BOTH window families — the yearly avg
+    partition and the month-sequence lag/lead — run over the aggregated
+    frame (|brands x stores x 24| rows); Spark plans them as two window
+    nodes sharing one sort on the common (brand, store) prefix. The
+    deviation predicate divides 4-rounded sums, keeping the threshold
+    decision identical cross-engine."""
+    ds = _ds(spark, sf_dir)
+    return _q47_style(
+        spark, sf_dir, "store_sales", "ss", "ss_sold_date_sk", "ss_sales_price",
+        ds["store"].select("s_store_sk", "s_store_name"), "s_store_sk", "ss_store_sk", "s_store_name",
+    )
+
+
+@register(
+    "tpcds_q57",
+    _q47_style_oracle("catalog_sales", "cs_sold_date_sk", "cs_ext_sales_price",
+                      "JOIN call_center ON cs_call_center_sk = cc_call_center_sk", "cc_name"),
+    tags=("tpcds", "window", "deviation"),
+)
+def tpcds_q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q57 (reference tpcds/q57.sql) — q47's catalog twin: the same
+    deviation-from-yearly-average window pair keyed by (brand, call
+    center) over the catalog channel."""
+    ds = _ds(spark, sf_dir)
+    return _q47_style(
+        spark, sf_dir, "catalog_sales", "cs", "cs_sold_date_sk", "cs_ext_sales_price",
+        ds["call_center"].select("cc_call_center_sk", "cc_name"), "cc_call_center_sk",
+        "cs_call_center_sk", "cc_name",
+    )
+
+
+Q30_ORACLE = f"""
+WITH {DS_CTES},
+ctr AS (
+  SELECT wr_returning_customer_sk AS ctr_customer_sk, ca_state AS ctr_state,
+         sum(wr_return_amt) AS ctr_total_return
+  FROM web_returns JOIN customer_address ON wr_returning_addr_sk = ca_address_sk
+  WHERE year(wr_returned_date_sk) = 1997
+  GROUP BY wr_returning_customer_sk, ca_state),
+state_avg AS (
+  SELECT ctr_state, avg(ctr_total_return) * 1.2 AS cutoff
+  FROM ctr GROUP BY ctr_state)
+SELECT ctr_customer_sk AS c_customer_sk, ctr_state AS ca_state,
+       round(ctr_total_return, 4) AS return_amt
+FROM ctr JOIN state_avg USING (ctr_state)
+WHERE ctr_total_return > cutoff
+ORDER BY c_customer_sk, ca_state
+LIMIT 100
+"""
+
+
+@register("tpcds_q30", Q30_ORACLE, tags=("tpcds", "returns", "subquery"))
+def tpcds_q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q30 (reference tpcds/q30.sql): q1's web twin — customers
+    whose web-return total exceeds 1.2x their state's average. Plan: one
+    (customer, state) aggregate over the filtered returns, the per-state
+    average re-aggregates that frame (tiny), and the cutoff join is
+    broadcast; same correlated-aggregate decorrelation as q1, exercised
+    on the web channel keyed by geography instead of store."""
+    ds = _ds(spark, sf_dir)
+    ca = ds["customer_address"].select("ca_address_sk", "ca_state")
+    ctr = (
+        ds["web_returns"]
+        .filter(F.year("wr_returned_date_sk") == 1997)
+        .join(ca, F.col("wr_returning_addr_sk") == F.col("ca_address_sk"))
+        .groupBy(
+            F.col("wr_returning_customer_sk").alias("ctr_customer_sk"),
+            F.col("ca_state").alias("ctr_state"),
+        )
+        .agg(F.sum("wr_return_amt").alias("ctr_total_return"))
+    )
+    state_avg = ctr.groupBy("ctr_state").agg((F.avg("ctr_total_return") * 1.2).alias("cutoff"))
+    return (
+        ctr.join(F.broadcast(state_avg), "ctr_state")
+        .filter(F.col("ctr_total_return") > F.col("cutoff"))
+        .select(
+            F.col("ctr_customer_sk").alias("c_customer_sk"),
+            F.col("ctr_state").alias("ca_state"),
+            F.round("ctr_total_return", 4).alias("return_amt"),
+        )
+        .orderBy("c_customer_sk", "ca_state")
+        .limit(100)
+    )
+
+
+Q85_ORACLE = f"""
+WITH {DS_CTES}
+SELECT r_reason_desc,
+       round(avg(wr_return_quantity), 4) AS avg_qty,
+       round(avg(wr_return_amt), 4) AS avg_amt,
+       round(avg(wr_net_loss), 4) AS avg_loss
+FROM web_returns
+JOIN reason ON wr_reason_sk = r_reason_sk
+JOIN customer_demographics ON wr_returning_cdemo_sk = cd_demo_sk
+WHERE (cd_marital_status = 'M' AND cd_education_status = 'Advanced Degree')
+   OR (cd_marital_status = 'S' AND cd_education_status = 'College')
+   OR (cd_marital_status = 'D' AND cd_education_status = 'Secondary')
+GROUP BY r_reason_desc
+ORDER BY r_reason_desc
+"""
+
+
+@register("tpcds_q85", Q85_ORACLE, tags=("tpcds", "returns", "disjunction"))
+def tpcds_q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q85 (reference tpcds/q85.sql; the web_sales/address legs of
+    the spec have their operator shapes covered by q13/q45 — kept here are
+    the reason rollup and the demographic-pair disjunction): average
+    return quantity / amount / loss per return reason for three
+    marital-education profiles. Plan: reason (5 rows) and the filtered
+    demographics (broadcast) join the returns fact without a shuffle; the
+    OR-of-pairs predicate evaluates in the scan stage; one hash-agg on
+    reason."""
+    ds = _ds(spark, sf_dir)
+    cd = ds["customer_demographics"].filter(
+        ((F.col("cd_marital_status") == "M") & (F.col("cd_education_status") == "Advanced Degree"))
+        | ((F.col("cd_marital_status") == "S") & (F.col("cd_education_status") == "College"))
+        | ((F.col("cd_marital_status") == "D") & (F.col("cd_education_status") == "Secondary"))
+    )
+    return (
+        ds["web_returns"]
+        .join(F.broadcast(ds["reason"]), F.col("wr_reason_sk") == F.col("r_reason_sk"))
+        .join(F.broadcast(cd), F.col("wr_returning_cdemo_sk") == F.col("cd_demo_sk"))
+        .groupBy("r_reason_desc")
+        .agg(
+            F.round(F.avg("wr_return_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("wr_return_amt"), 4).alias("avg_amt"),
+            F.round(F.avg("wr_net_loss"), 4).alias("avg_loss"),
+        )
+        .orderBy("r_reason_desc")
+    )
+
+
+Q91_ORACLE = f"""
+WITH {DS_CTES}
+SELECT cc_name, cc_manager, round(sum(cr_net_loss), 4) AS returns_loss
+FROM catalog_returns
+JOIN call_center ON cr_call_center_sk = cc_call_center_sk
+JOIN customer_demographics ON cr_returning_cdemo_sk = cd_demo_sk
+JOIN household_demographics ON cr_returning_hdemo_sk = hd_demo_sk
+WHERE year(cr_returned_date_sk) = 1997 AND month(cr_returned_date_sk) = 11
+  AND ((cd_marital_status = 'M' AND cd_education_status = 'Primary')
+    OR (cd_marital_status = 'D' AND cd_education_status = 'Advanced Degree'))
+  AND hd_vehicle_count <= 2
+GROUP BY cc_name, cc_manager
+ORDER BY returns_loss DESC, cc_name
+"""
+
+
+@register("tpcds_q91", Q91_ORACLE, tags=("tpcds", "returns", "callcenter"))
+def tpcds_q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q91 (reference tpcds/q91.sql; buy-potential band mapped to
+    hd_vehicle_count): November catalog-return losses per call center for
+    two demographic profiles. Plan: all three dims are bounded and
+    broadcast; the month filter prunes the returns scan; one hash-agg on
+    (cc_name, cc_manager). Sorted by loss with the name tiebreak so the
+    order is total."""
+    ds = _ds(spark, sf_dir)
+    cd = ds["customer_demographics"].filter(
+        ((F.col("cd_marital_status") == "M") & (F.col("cd_education_status") == "Primary"))
+        | ((F.col("cd_marital_status") == "D") & (F.col("cd_education_status") == "Advanced Degree"))
+    )
+    hd = ds["household_demographics"].filter(F.col("hd_vehicle_count") <= 2)
+    return (
+        ds["catalog_returns"]
+        .filter((F.year("cr_returned_date_sk") == 1997) & (F.month("cr_returned_date_sk") == 11))
+        .join(F.broadcast(ds["call_center"]), F.col("cr_call_center_sk") == F.col("cc_call_center_sk"))
+        .join(F.broadcast(cd), F.col("cr_returning_cdemo_sk") == F.col("cd_demo_sk"))
+        .join(F.broadcast(hd), F.col("cr_returning_hdemo_sk") == F.col("hd_demo_sk"))
+        .groupBy("cc_name", "cc_manager")
+        .agg(F.round(F.sum("cr_net_loss"), 4).alias("returns_loss"))
+        .orderBy(F.desc("returns_loss"), "cc_name")
+    )
+
+
+Q8_ORACLE = f"""
+WITH {DS_CTES},
+preferred_zips AS (
+  SELECT ca_zip FROM customer_address GROUP BY ca_zip
+  HAVING count(*) > (SELECT count(*)::DOUBLE / count(DISTINCT ca_zip) FROM customer_address))
+SELECT s_store_name, round(sum(ss_net_profit), 4) AS net_profit
+FROM store_sales
+JOIN store ON ss_store_sk = s_store_sk
+WHERE year(ss_sold_date_sk) = 1997 AND quarter(ss_sold_date_sk) = 1
+  AND s_zip IN (SELECT ca_zip FROM preferred_zips)
+GROUP BY s_store_name
+ORDER BY s_store_name
+"""
+
+
+@register("tpcds_q8", Q8_ORACLE, tags=("tpcds", "star", "subquery"))
+def tpcds_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q8 (reference tpcds/q8.sql; the literal 400-zip list becomes
+    a derived preferred-zip set — zips hosting >= 3 customer addresses):
+    Q1 store net profit restricted to stores in well-populated zip codes.
+    The preferred set is scale-invariant: zips hosting more than the
+    average number of customer addresses. Plan: the zip keep-list is a
+    small aggregate semi-joined (broadcast) against the store dim BEFORE
+    the fact join, so the fact scan only keeps qualifying stores; one
+    final hash-agg on store name."""
+    ds = _ds(spark, sf_dir)
+    per_zip = ds["customer_address"].groupBy("ca_zip").agg(F.count(F.lit(1)).alias("n"))
+    avg_n = ds["customer_address"].agg(
+        (F.count(F.lit(1)) / F.countDistinct("ca_zip")).alias("avg_n")
+    )
+    zips = (
+        per_zip.join(F.broadcast(avg_n))
+        .filter(F.col("n") > F.col("avg_n")).select("ca_zip")
+    )
+    stores = ds["store"].join(F.broadcast(zips), F.col("s_zip") == F.col("ca_zip"), "left_semi")
+    return (
+        ds["store_sales"]
+        .filter((F.year("ss_sold_date_sk") == 1997) & (F.quarter("ss_sold_date_sk") == 1))
+        .join(F.broadcast(stores), F.col("ss_store_sk") == F.col("s_store_sk"))
+        .groupBy("s_store_name")
+        .agg(F.round(F.sum("ss_net_profit"), 4).alias("net_profit"))
+        .orderBy("s_store_name")
+    )
+
+
+Q23_ORACLE = f"""
+WITH {DS_CTES},
+frequent_ss_items AS (
+  SELECT ss_item_sk AS item_sk
+  FROM store_sales WHERE year(ss_sold_date_sk) IN (1996, 1997)
+  GROUP BY ss_item_sk HAVING count(*) > 10),
+customer_sales AS (
+  SELECT ss_customer_sk, round(sum(ss_quantity * ss_sales_price), 4) AS csales
+  FROM store_sales WHERE year(ss_sold_date_sk) IN (1996, 1997)
+  GROUP BY ss_customer_sk),
+best_ss_customer AS (
+  SELECT ss_customer_sk FROM customer_sales
+  WHERE csales > 0.5 * (SELECT max(csales) FROM customer_sales))
+SELECT round(sum(sales), 4) AS total_sales
+FROM (
+  SELECT cs_ext_sales_price AS sales
+  FROM catalog_sales
+  WHERE year(cs_sold_date_sk) = 1997 AND quarter(cs_sold_date_sk) = 1
+    AND cs_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+    AND cs_bill_customer_sk IN (SELECT ss_customer_sk FROM best_ss_customer)
+  UNION ALL
+  SELECT ws_ext_sales_price
+  FROM web_sales
+  WHERE year(ws_sold_date_sk) = 1997 AND quarter(ws_sold_date_sk) = 1
+    AND ws_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+    AND ws_bill_customer_sk IN (SELECT ss_customer_sk FROM best_ss_customer)
+) t
+"""
+
+
+@register("tpcds_q23", Q23_ORACLE, tags=("tpcds", "crosschannel", "subquery"))
+def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q23 (reference tpcds/q23a.sql; frequency threshold and the
+    95%-of-max cutoff retargeted to fixture density): catalog + web Q1
+    spending by the store channel's best customers (>50% of the max
+    lifetime store spend) on frequently-bought store items. Plan: both
+    keep-lists are aggregates of the store fact; the max-spend cutoff is
+    a 1-row scalar broadcast into the customer filter; each channel fact
+    then takes two broadcast LEFT SEMI joins and the union feeds a 1-row
+    final sum — the decorrelated form of the spec's nested INs."""
+    ds = _ds(spark, sf_dir)
+    ss = ds["store_sales"].filter(F.year("ss_sold_date_sk").isin(1996, 1997))
+    frequent = ss.groupBy(F.col("ss_item_sk").alias("item_sk")).agg(F.count(F.lit(1)).alias("cnt")).filter(F.col("cnt") > 10).select("item_sk")
+    csales = ss.groupBy("ss_customer_sk").agg(
+        F.round(F.sum(F.col("ss_quantity") * F.col("ss_sales_price")), 4).alias("csales")
+    )
+    max_sales = csales.agg(F.max("csales").alias("mx"))
+    best = (
+        csales.join(F.broadcast(max_sales))
+        .filter(F.col("csales") > 0.5 * F.col("mx"))
+        .select("ss_customer_sk")
+    )
+
+    def chan(fact: str, prefix: str) -> DataFrame:
+        return (
+            ds[fact]
+            .filter((F.year(f"{prefix}_sold_date_sk") == 1997) & (F.quarter(f"{prefix}_sold_date_sk") == 1))
+            .join(F.broadcast(frequent), F.col(f"{prefix}_item_sk") == F.col("item_sk"), "left_semi")
+            .join(F.broadcast(best), F.col(f"{prefix}_bill_customer_sk") == F.col("ss_customer_sk"), "left_semi")
+            .select(F.col(f"{prefix}_ext_sales_price").alias("sales"))
+        )
+
+    return chan("catalog_sales", "cs").unionAll(chan("web_sales", "ws")).agg(
+        F.round(F.sum("sales"), 4).alias("total_sales")
+    )
+
+
+def _q49_channel_oracle(sales: str, sp: str, returns: str, rp: str, date_col: str, rdate_col: str, label: str) -> str:
+    return f"""
+  SELECT '{label}' AS channel, s.item,
+         round(coalesce(r.qty_ret, 0)::DOUBLE / s.qty_sold, 6) AS return_ratio,
+         rank() OVER (ORDER BY coalesce(r.qty_ret, 0)::DOUBLE / s.qty_sold DESC, s.item) AS return_rank
+  FROM (SELECT {sp}_item_sk AS item, sum({sp}_quantity)::BIGINT AS qty_sold
+        FROM {sales} WHERE year({date_col}) = 1997 GROUP BY {sp}_item_sk) s
+  LEFT JOIN (SELECT {rp}_item_sk AS item, sum({rp}_return_quantity)::BIGINT AS qty_ret
+             FROM {returns} WHERE year({rdate_col}) = 1997 GROUP BY {rp}_item_sk) r
+  USING (item)
+  WHERE s.qty_sold > 0"""
+
+
+Q49_ORACLE = f"""
+WITH {DS_CTES},
+web_ratios AS ({_q49_channel_oracle("web_sales", "ws", "web_returns", "wr", "ws_sold_date_sk", "wr_returned_date_sk", "web")}),
+catalog_ratios AS ({_q49_channel_oracle("catalog_sales", "cs", "catalog_returns", "cr", "cs_sold_date_sk", "cr_returned_date_sk", "catalog")}),
+store_ratios AS ({_q49_channel_oracle("store_sales", "ss", "store_returns", "sr", "ss_sold_date_sk", "sr_returned_date_sk", "store")})
+SELECT channel, item, return_ratio, return_rank
+FROM (SELECT * FROM web_ratios UNION ALL SELECT * FROM catalog_ratios UNION ALL SELECT * FROM store_ratios) u
+WHERE return_rank <= 10
+ORDER BY channel, return_rank
+"""
+
+
+@register("tpcds_q49", Q49_ORACLE, tags=("tpcds", "returns", "rank"))
+def tpcds_q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q49 (reference tpcds/q49.sql; per-line return matching
+    replaced by per-item aggregate join — equivalent on the derived star
+    where every return line originates from a sales line): the ten worst
+    return ratios per channel. Plan: per channel, sales and returns each
+    aggregate to |items| rows BEFORE joining (aggregate-then-join, so the
+    only joins run over small frames); the rank window is global per
+    channel but over already-aggregated rows, with the item tiebreak
+    making ranks total; the three channels union after ranking."""
+    ds = _ds(spark, sf_dir)
+
+    def chan(sales: str, sp: str, returns: str, rp: str, date_col: str, rdate_col: str, label: str) -> DataFrame:
+        s = (
+            ds[sales].filter(F.year(date_col) == 1997)
+            .groupBy(F.col(f"{sp}_item_sk").alias("item"))
+            .agg(F.sum(f"{sp}_quantity").alias("qty_sold"))
+        )
+        r = (
+            ds[returns].filter(F.year(rdate_col) == 1997)
+            .groupBy(F.col(f"{rp}_item_sk").alias("ritem"))
+            .agg(F.sum(f"{rp}_return_quantity").alias("qty_ret"))
+        )
+        ratio = F.coalesce(F.col("qty_ret"), F.lit(0)).cast("double") / F.col("qty_sold")
+        w = W.orderBy(F.desc(ratio), "item")
+        return (
+            s.join(r, F.col("item") == F.col("ritem"), "left")
+            .filter(F.col("qty_sold") > 0)
+            .select(
+                F.lit(label).alias("channel"), "item",
+                F.round(ratio, 6).alias("return_ratio"),
+                F.rank().over(w).alias("return_rank"),
+            )
+        )
+
+    u = (
+        chan("web_sales", "ws", "web_returns", "wr", "ws_sold_date_sk", "wr_returned_date_sk", "web")
+        .unionAll(chan("catalog_sales", "cs", "catalog_returns", "cr", "cs_sold_date_sk", "cr_returned_date_sk", "catalog"))
+        .unionAll(chan("store_sales", "ss", "store_returns", "sr", "ss_sold_date_sk", "sr_returned_date_sk", "store"))
+    )
+    return u.filter(F.col("return_rank") <= 10).orderBy("channel", "return_rank")
