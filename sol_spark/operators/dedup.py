@@ -22,6 +22,7 @@ literature (PAPERS.md: "Distributed Streaming Set Similarity Join", ICDE'20).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sol_spark.registry import register
@@ -1042,4 +1043,165 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ni") >= CONTAIN_T * F.least("na", "nb"))
         .select("doc_a", "doc_b", F.expr("(10000 * ni) div least(na, nb)").alias("containment_bp"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup via cluster-then-prune (Abbas et al. 2023):
+# assign every embedding to its nearest seed centroid, then drop any vector
+# that has a higher-similarity predecessor WITHIN its cluster. Pairwise work
+# is confined to cluster cells (the equi-join key), never corpus-wide.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_T = 0.2  # fixture vectors are near-orthogonal; production ~0.95
+_SEM_CENT_MIN, _SEM_CENT_MAX = 200, 208  # 8 deterministic seed centroids
+
+SEMDEDUP_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+norms AS (
+  SELECT vec_id, sqrt(sum(embedding[i.i]::DOUBLE * embedding[i.i]::DOUBLE)) AS nrm
+  FROM embeddings, dims i GROUP BY vec_id
+),
+cent AS (
+  SELECT vec_id AS cent_id, embedding AS cente, nrm AS centn
+  FROM embeddings JOIN norms USING (vec_id)
+  WHERE vec_id >= {_SEM_CENT_MIN} AND vec_id < {_SEM_CENT_MAX}
+),
+cellcos AS (
+  SELECT e.vec_id, c.cent_id,
+         round(sum(e.embedding[i.i]::DOUBLE * c.cente[i.i]::DOUBLE) / (n.nrm * c.centn), 6) AS ccos
+  FROM embeddings e JOIN norms n USING (vec_id), cent c, dims i
+  GROUP BY e.vec_id, c.cent_id, n.nrm, c.centn
+),
+assign AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+    FROM cellcos) t WHERE rn = 1
+),
+pair AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         round(sum(ea.embedding[i.i]::DOUBLE * eb.embedding[i.i]::DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nb ON nb.vec_id = b.vec_id, dims i
+  GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm
+),
+dropped AS (SELECT DISTINCT vb AS vec_id FROM pair WHERE cosine >= {SEMDEDUP_T})
+SELECT a.vec_id, a.cell,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+ORDER BY a.vec_id
+"""
+
+
+@register("dedup_semdedup", SEMDEDUP_ORACLE, tags=("llm", "dedup", "similarity", "semdedup"))
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-prune semantic dedup): every embedding is
+    assigned to its nearest of 8 deterministic seed centroids (the same
+    coarse-quantizer construction as sim_topk_ivf — production swaps in
+    sim_kmeans_train centroids, the prune path is identical); within each
+    cluster, a vector is DROPPED if some lower-id cluster-mate is more
+    similar than the threshold, keeping one representative per semantic
+    duplicate group.
+
+    Scale shape: centroid assignment is a broadcast join (K rows); the
+    pairwise prune is an equi-join ON THE CELL KEY, so work is
+    sum-of-cells O(|cell|^2), never corpus-wide all-pairs — the cell
+    count scales with corpus size when centroids come from k-means, which
+    bounds cell width. Output is one row per vector (linear)."""
+    from sol_spark.operators.similarity import _DOT, _with_norm
+
+    t = load_tables(spark, sf_dir)
+    emb = _with_norm(t["embeddings"])
+    cent = (
+        emb.filter((F.col("vec_id") >= _SEM_CENT_MIN) & (F.col("vec_id") < _SEM_CENT_MAX))
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cente"), F.col("nrm").alias("centn"))
+    )
+    ccos = (
+        emb.join(F.broadcast(cent))
+        .withColumn("ccos", F.round(F.expr(_DOT.format(a="embedding", b="cente")) / (F.col("nrm") * F.col("centn")), 6))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("ccos"), "cent_id")
+    assign = (
+        ccos.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"), "embedding", "nrm")
+    )
+    a = assign.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"), "cell")
+    b = assign.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"), "cell")
+    pair_cos = F.round(F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")), 6)
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("va") < F.col("vb"))
+        .withColumn("cosine", pair_cos)
+        .filter(F.col("cosine") >= SEMDEDUP_T)
+        .select(F.col("vb").alias("dropped_id"))
+        .distinct()
+    )
+    return (
+        assign.join(dropped, F.col("vec_id") == F.col("dropped_id"), "left")
+        .select(
+            "vec_id", "cell",
+            F.when(F.col("dropped_id").isNull(), 1).otherwise(0).alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_NORM_DUCK_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-snapshot) dedup: classify a new ingest batch against an
+# existing corpus snapshot by content hash — the streaming-ingest shape of
+# exact dedup (new data never reshuffles the old corpus; the old side is a
+# hash keep-list).
+# ---------------------------------------------------------------------------
+
+DEDUP_INCREMENTAL_ORACLE = f"""
+WITH hashed AS (
+  SELECT doc_id, md5({_NORM_DUCK_TEXT}) AS h FROM documents
+),
+old AS (SELECT DISTINCT h FROM hashed WHERE doc_id % 10 < 8),
+new_batch AS (SELECT doc_id, h FROM hashed WHERE doc_id % 10 >= 8),
+first_new AS (SELECT h, min(doc_id) AS first_doc FROM new_batch GROUP BY h)
+SELECT n.doc_id,
+       CASE WHEN o.h IS NOT NULL THEN 'dup_of_corpus'
+            WHEN n.doc_id > f.first_doc THEN 'dup_in_batch'
+            ELSE 'unique_new' END AS status
+FROM new_batch n
+LEFT JOIN old o ON n.h = o.h
+JOIN first_new f ON n.h = f.h
+ORDER BY n.doc_id
+"""
+
+
+@register("dedup_incremental", DEDUP_INCREMENTAL_ORACLE, tags=("llm", "dedup", "incremental"))
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup of an ingest batch against a corpus
+    snapshot (snapshot = doc_id % 10 < 8, batch = the rest — stand-ins
+    for yesterday's corpus and today's crawl): each new document is
+    classified as a duplicate of the existing corpus, a within-batch
+    duplicate (keep-first), or unique. Plan: the old corpus reduces to a
+    DISTINCT hash keep-list (map-side dedup) that LEFT-joins the batch;
+    the within-batch rule is one min-aggregate per hash. At 100 TB the
+    old side never reshuffles its documents — only 16-byte hashes move,
+    which is what makes nightly incremental runs cheap."""
+    t = load_tables(spark, sf_dir)
+    hashed = t["documents"].select("doc_id", F.expr(f"md5({_NORM})").alias("h"))
+    old = hashed.filter(F.col("doc_id") % 10 < 8).select("h").distinct()
+    new_batch = hashed.filter(F.col("doc_id") % 10 >= 8)
+    first_new = new_batch.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        new_batch.join(old.withColumn("in_old", F.lit(1)), "h", "left")
+        .join(first_new, "h")
+        .select(
+            "doc_id",
+            F.when(F.col("in_old").isNotNull(), "dup_of_corpus")
+            .when(F.col("doc_id") > F.col("first_doc"), "dup_in_batch")
+            .otherwise("unique_new")
+            .alias("status"),
+        )
+        .orderBy("doc_id")
     )

@@ -1059,3 +1059,244 @@ def split_doc_pairs(documents: DataFrame) -> DataFrame:
         .select("doc_a", "doc_b")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023): hashed-unigram log-likelihood
+# ratio between a target domain and the raw corpus, as a per-document
+# resampling weight.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256
+DSIR_TARGET_SOURCE = "src0"  # the "curated" target domain
+_DSIR_BUCKET_SPARK = f"CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS BIGINT) % {DSIR_BUCKETS}"
+_DSIR_BUCKET_DUCK = f"('0x' || substr(md5(tok), 1, 4))::BIGINT % {DSIR_BUCKETS}"
+
+DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split({_NORM_DUCK}, ' ')) AS tok FROM documents
+),
+bucketed AS (
+  SELECT doc_id, source, {_DSIR_BUCKET_DUCK} AS b FROM toks
+),
+raw_counts AS (SELECT b, count(*) AS rc FROM bucketed GROUP BY b),
+tgt_counts AS (SELECT b, count(*) AS tc FROM bucketed WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY b),
+totals AS (
+  SELECT (SELECT count(*) FROM bucketed) AS rtot,
+         (SELECT count(*) FROM bucketed WHERE source = '{DSIR_TARGET_SOURCE}') AS ttot
+),
+ratio AS (
+  SELECT r.b,
+         ln((coalesce(t.tc, 0) + 1)::DOUBLE / (totals.ttot + {DSIR_BUCKETS}))
+         - ln((r.rc + 1)::DOUBLE / (totals.rtot + {DSIR_BUCKETS})) AS llr
+  FROM raw_counts r LEFT JOIN tgt_counts t ON r.b = t.b, totals
+)
+SELECT bu.doc_id, round(sum(ratio.llr), 4) AS dsir_weight
+FROM bucketed bu JOIN ratio ON bu.b = ratio.b
+GROUP BY bu.doc_id
+ORDER BY bu.doc_id
+"""
+
+
+@register("text_dsir_weights", DSIR_ORACLE, tags=("llm", "text", "sampling"))
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (data selection via importance resampling) weights: hashed
+    unigram features into {DSIR_BUCKETS} buckets; each document scores the
+    sum over its tokens of the add-one-smoothed log-likelihood ratio
+    between the target domain's bucket distribution (source = src0) and
+    the raw corpus distribution. High weight = looks like the target.
+
+    Scale shape: two bucket-count aggregates over the token stream (one
+    keyed shuffle each, map-side combined into <= {DSIR_BUCKETS} rows), a
+    broadcast of the {DSIR_BUCKETS}-row log-ratio table back onto the
+    token stream, and one per-document sum — the corpus is scanned twice
+    and nothing pairwise ever happens. Production resamples with
+    probability proportional to exp(weight); emitting the weight keeps
+    the operator deterministic."""
+    t = load_tables(spark, sf_dir)
+    bucketed = (
+        t["documents"]
+        .select("doc_id", "source", F.explode(F.expr(f"split({_NORM}, ' ')")).alias("tok"))
+        .select("doc_id", "source", F.expr(_DSIR_BUCKET_SPARK).alias("b"))
+    )
+    raw_counts = bucketed.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tgt = bucketed.filter(F.col("source") == DSIR_TARGET_SOURCE)
+    tgt_counts = tgt.groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
+    totals = bucketed.agg(
+        F.count(F.lit(1)).alias("rtot"),
+        F.count(F.when(F.col("source") == DSIR_TARGET_SOURCE, 1)).alias("ttot"),
+    )
+    ratio = (
+        raw_counts.join(tgt_counts, "b", "left")
+        .join(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double") / (F.col("ttot") + DSIR_BUCKETS))
+                - F.log((F.col("rc") + 1).cast("double") / (F.col("rtot") + DSIR_BUCKETS))
+            ).alias("llr"),
+        )
+    )
+    return (
+        bucketed.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("llr"), 4).alias("dsir_weight"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE training step: corpus-wide adjacent character-pair frequencies — the
+# statistic a byte-pair-encoding tokenizer trainer computes to pick each
+# merge. One round shown (the first merge); production iterates.
+# ---------------------------------------------------------------------------
+
+BPE_TOP_PAIRS = 50
+
+BPE_PAIRS_ORACLE = f"""
+WITH words AS (
+  SELECT tok AS word, count(*)::BIGINT AS cnt
+  FROM (SELECT unnest(string_split({_NORM_DUCK}, ' ')) AS tok FROM documents) t
+  WHERE length(tok) >= 2
+  GROUP BY tok
+),
+pairs AS (
+  SELECT p AS pair, sum(cnt)::BIGINT AS pair_count
+  FROM words, unnest(list_transform(range(1, length(word)), i -> substr(word, i, 2))) AS u(p)
+  GROUP BY p
+)
+SELECT pair, pair_count
+FROM pairs
+ORDER BY pair_count DESC, pair
+LIMIT {BPE_TOP_PAIRS}
+"""
+
+
+@register("text_bpe_pair_counts", BPE_PAIRS_ORACLE, tags=("llm", "text", "tokenizer"))
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE trainer statistic: the corpus's most frequent
+    adjacent character pairs, weighted by word frequency — exactly the
+    count a byte-pair-encoding tokenizer maximizes to choose its next
+    merge rule.
+
+    Scale shape: the corpus first collapses to its DISTINCT-word frequency
+    table (the classic wordcount shuffle, map-side combined); pair
+    explosion then runs over |vocab| rows, not |corpus| tokens — on a
+    100 TB corpus the vocabulary is orders of magnitude smaller than the
+    token stream, which is what makes iterated BPE rounds tractable. The
+    top-k is a TakeOrderedAndProject, not a global sort."""
+    t = load_tables(spark, sf_dir)
+    words = (
+        t["documents"]
+        .select(F.explode(F.expr(f"split({_NORM}, ' ')")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = words.select(
+        F.explode(F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# UniMax-style language budget allocation (waterfill): give every language
+# its full token count when it fits under the even-share cap; split the
+# remaining budget evenly among the capped (large) languages.
+# ---------------------------------------------------------------------------
+
+DOMAIN_MIX_BUDGET_FRAC = 0.5  # sample half the corpus's tokens
+
+DOMAIN_MIX_ORACLE = f"""
+WITH lang_tokens AS (
+  SELECT lang, sum(len(string_split({_NORM_DUCK}, ' ')))::BIGINT AS n_tokens
+  FROM documents GROUP BY lang
+),
+budget AS (
+  SELECT {DOMAIN_MIX_BUDGET_FRAC} * sum(n_tokens) AS t, count(*) AS k FROM lang_tokens
+),
+ranked AS (
+  SELECT lang, n_tokens,
+         row_number() OVER (ORDER BY n_tokens, lang) AS i,
+         coalesce(sum(n_tokens) OVER (ORDER BY n_tokens, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+  FROM lang_tokens
+),
+flagged AS (
+  SELECT r.lang, r.n_tokens,
+         CASE WHEN r.n_tokens <= (b.t - r.cum_prev) / (b.k - r.i + 1) THEN 1 ELSE 0 END AS fits
+  FROM ranked r, budget b
+),
+scalars AS (
+  SELECT sum(CASE WHEN fits = 1 THEN n_tokens ELSE 0 END) AS full_total,
+         sum(1 - fits) AS n_capped
+  FROM flagged
+)
+SELECT f.lang, f.n_tokens, f.fits,
+       round(CASE WHEN f.fits = 1 THEN f.n_tokens
+                  ELSE (b.t - s.full_total) / s.n_capped END, 4) AS alloc_tokens
+FROM flagged f, budget b, scalars s
+ORDER BY f.lang
+"""
+
+
+@register("text_domain_mix", DOMAIN_MIX_ORACLE, tags=("llm", "text", "sampling"))
+def text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax-style training-mixture allocation: distribute a token budget
+    (half the corpus) across languages so low-resource languages keep
+    every token and the surplus splits evenly among high-resource ones —
+    the classic waterfill, solved exactly with one window pass over the
+    per-language totals. For sorted counts the fits-under-cap flag is
+    prefix-monotone, so the flag itself identifies the waterline.
+
+    Scale shape: one per-language token-count aggregate over the corpus
+    (map-side combined into |languages| rows); everything after operates
+    on that tiny frame — window, two scalars, broadcast joins. The
+    output drives a downstream per-language sample fraction."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    lang_tokens = (
+        t["documents"]
+        .groupBy("lang")
+        .agg(F.sum(F.size(F.expr(f"split({_NORM}, ' ')"))).alias("n_tokens"))
+    )
+    budget = lang_tokens.agg(
+        (F.lit(DOMAIN_MIX_BUDGET_FRAC) * F.sum("n_tokens")).alias("t"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    w_rank = W.orderBy("n_tokens", "lang")
+    w_cum = W.orderBy("n_tokens", "lang").rowsBetween(W.unboundedPreceding, -1)
+    ranked = lang_tokens.select(
+        "lang", "n_tokens",
+        F.row_number().over(w_rank).alias("i"),
+        F.coalesce(F.sum("n_tokens").over(w_cum), F.lit(0)).alias("cum_prev"),
+    )
+    flagged = ranked.join(F.broadcast(budget)).select(
+        "lang", "n_tokens", "t", "k",
+        F.when(
+            F.col("n_tokens") <= (F.col("t") - F.col("cum_prev")) / (F.col("k") - F.col("i") + 1), 1
+        ).otherwise(0).alias("fits"),
+    )
+    scalars = flagged.agg(
+        F.sum(F.when(F.col("fits") == 1, F.col("n_tokens")).otherwise(0)).alias("full_total"),
+        F.sum(1 - F.col("fits")).alias("n_capped"),
+    )
+    return (
+        flagged.join(F.broadcast(scalars))
+        .select(
+            "lang", "n_tokens", "fits",
+            F.round(
+                F.when(F.col("fits") == 1, F.col("n_tokens").cast("double"))
+                .otherwise((F.col("t") - F.col("full_total")) / F.col("n_capped")),
+                4,
+            ).alias("alloc_tokens"),
+        )
+        .orderBy("lang")
+    )

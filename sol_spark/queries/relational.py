@@ -979,6 +979,42 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["documents"].filter(bucket < rate).select("doc_id", "lang").orderBy("doc_id")
 
 
+SAMPLE_RESERVOIR_ORACLE = """
+SELECT source, doc_id, rk
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents) t
+WHERE rk <= 5
+ORDER BY source, rk
+"""
+
+
+@register("sample_reservoir", SAMPLE_RESERVOIR_ORACLE, tags=("sample", "llm"))
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-group sample (deterministic reservoir): exactly K=5
+    documents per source domain, chosen by ranking on a content-independent
+    hash — the "cap every domain" step of corpus curation (and the
+    deterministic twin of reservoir sampling: stable under corpus growth
+    within a domain only at the margin, like a re-seeded reservoir).
+    Plan: one window per group ordered by the hash; at 100 TB pre-filter
+    with a hash threshold (keep rows hashing below ~K*10/|group| first) so
+    the rank window sees a bounded candidate set instead of the full
+    group."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("source").orderBy(F.expr("md5(cast(doc_id AS string))"), "doc_id")
+    return (
+        t["documents"]
+        .select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .orderBy("source", "rk")
+    )
+
+
 SKETCH_ROLLUP_ORACLE = """
 SELECT event_type,
        count(DISTINCT user_id) AS exact_users,

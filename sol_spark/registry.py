@@ -100,6 +100,28 @@ _R4_WINDOW: tuple[str, ...] = (
     "ssb_q4_3",
 )
 
+# Round-5 driver window, pinned now so the rotation plan survives session
+# turnover: the 47 names never driver-checked as of r3 (everything except
+# the r4 window and the verified set) plus 3 flagship r4 operators, exactly
+# 50. Remaining r4 additions (TPC-DS waves + the other LLM ops) queue in
+# tier 2 for round 6.
+_R5_WINDOW: tuple[str, ...] = (
+    "text_split_doc_pairs", "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8",
+    "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21",
+    "tpch_q22", "sample_hash_mod", "sample_stratified", "stats_aggregates",
+    "stats_regression", "asof_join_last_click", "range_join_within_1min",
+    "cross_join_dims", "join_shuffle_hash", "lateral_topk_orders",
+    "recursive_month_spine", "win_time_range_frame", "agg_modern",
+    "set_except_all", "set_intersect_all", "set_union_by_name",
+    "profile_columns", "sketch_hll_rollup", "sketch_bitmap_distinct",
+    "events_anomaly_mad", "events_resample_ffill", "events_resample_interp",
+    "events_markov_transitions", "stream_window_unique_users",
+    "pd_map_in_arrow", "tpcds_q2", "tpcds_q12", "tpcds_q20", "tpcds_q33",
+    "tpcds_q77",
+    "dedup_semdedup", "text_dsir_weights", "text_bpe_pair_counts",
+)
+
 
 def all_queries() -> dict[str, QuerySpec]:
     """Import every query-defining module, then return the registry.
@@ -124,13 +146,16 @@ def all_queries() -> dict[str, QuerySpec]:
     )
 
     window_rank = {name: i for i, name in enumerate(_R4_WINDOW)}
+    r5_rank = {name: i for i, name in enumerate(_R5_WINDOW)}
 
     def tier(name: str) -> tuple[int, int]:
         if name in window_rank:
             return (0, window_rank[name])
+        if name in r5_rank:
+            return (1, r5_rank[name])
         if name not in _DRIVER_VERIFIED:
-            return (1, 0)
-        return (2, 0)
+            return (2, 0)
+        return (3, 0)
 
     names = list(_REGISTRY)
     # Stable sort: tier-1/2 members keep registration order among themselves.
