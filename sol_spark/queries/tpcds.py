@@ -5,12 +5,11 @@ The reference ships three full TPC-DS corpora and compiles every plan
 /root/reference/sql/core/src/test/resources/tpcds-v2.7.0/,
 /root/reference/sql/core/src/test/scala/org/apache/spark/sql/TPCDSQuerySuite.scala:39-120).
 We derive the store_sales star the same way ssb.py derives SSB, run a
-16-query subset spanning the corpus's operator shapes — plain star joins
-(q3 q7 q19 q42 q52 q55 q68), rollup + grouping() (q27 q36), windows over
-aggregates (q53 q89 q98), disjunctive filter bands (q13), correlated
-scalar subqueries (q6), per-ticket count bands (q73), and aggregate-of-
-aggregate thresholds (q65) — and hash-match each against a DuckDB
-oracle.
+65-query corpus spanning the suite's operator shapes — star joins,
+rollup/grouping(), windows over aggregates, disjunctive bands, correlated
+subqueries, cross-channel unions/intersects, inventory fact-fact joins,
+deviation windows, returns analytics — and hash-match every query against
+a DuckDB oracle (COVERAGE.md "Query corpora" has the query-by-shape map).
 
 TPC-DS's schema does not exist in the fixtures, so it is DERIVED
 deterministically — identically in the Spark build and the oracle CTEs:
