@@ -200,6 +200,8 @@ web_sales AS (
          o_orderkey % 10 AS ws_web_page_sk,
          l_suppkey % 6 AS ws_warehouse_sk,
          l_shipdate AS ws_ship_date_sk,
+         (l_orderkey + l_linenumber) % 4 AS ws_ship_mode_sk,
+         l_extendedprice * l_discount AS ws_ext_discount_amt,
          l_orderkey AS ws_order_number,
          l_quantity AS ws_quantity,
          l_extendedprice * (1 - l_discount) AS ws_ext_sales_price,
@@ -212,6 +214,7 @@ catalog_sales AS (
          o_custkey AS cs_bill_customer_sk,
          o_custkey % 5 AS cs_call_center_sk,
          o_custkey % 100 AS cs_bill_hdemo_sk,
+         o_custkey % 60 AS cs_bill_cdemo_sk,
          l_suppkey % 6 AS cs_warehouse_sk,
          l_shipdate AS cs_ship_date_sk,
          (l_orderkey + l_linenumber) % 4 AS cs_ship_mode_sk,
@@ -483,6 +486,8 @@ def _ds(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         (F.col("o_orderkey") % 10).alias("ws_web_page_sk"),
         (F.col("l_suppkey") % 6).alias("ws_warehouse_sk"),
         F.col("l_shipdate").alias("ws_ship_date_sk"),
+        ((F.col("l_orderkey") + F.col("l_linenumber")) % 4).alias("ws_ship_mode_sk"),
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("ws_ext_discount_amt"),
         F.col("l_orderkey").alias("ws_order_number"),
         F.col("l_quantity").alias("ws_quantity"),
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("ws_ext_sales_price"),
@@ -494,6 +499,7 @@ def _ds(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         F.col("o_custkey").alias("cs_bill_customer_sk"),
         (F.col("o_custkey") % 5).alias("cs_call_center_sk"),
         (F.col("o_custkey") % 100).alias("cs_bill_hdemo_sk"),
+        (F.col("o_custkey") % 60).alias("cs_bill_cdemo_sk"),
         (F.col("l_suppkey") % 6).alias("cs_warehouse_sk"),
         F.col("l_shipdate").alias("cs_ship_date_sk"),
         ((F.col("l_orderkey") + F.col("l_linenumber")) % 4).alias("cs_ship_mode_sk"),
@@ -4302,3 +4308,533 @@ def tpcds_q49(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(chan("store_sales", "ss", "store_returns", "sr", "ss_sold_date_sk", "sr_returned_date_sk", "store"))
     )
     return u.filter(F.col("return_rank") <= 10).orderBy("channel", "return_rank")
+
+
+# ---------------------------------------------------------------------------
+# r4 wave 4 — channel twins and remaining distinct shapes
+# (q4 q26 q58 q62 q69 q75 q86 q92 q94)
+# ---------------------------------------------------------------------------
+
+Q4_ORACLE = f"""
+WITH {DS_CTES},
+year_total AS (
+  SELECT ss_customer_sk AS customer_sk, year(ss_sold_date_sk) AS y, 's' AS channel,
+         round(sum(ss_ext_sales_price), 4) AS total
+  FROM store_sales WHERE year(ss_sold_date_sk) IN (1996, 1997)
+  GROUP BY ss_customer_sk, year(ss_sold_date_sk)
+  UNION ALL
+  SELECT cs_bill_customer_sk, year(cs_sold_date_sk), 'c', round(sum(cs_ext_sales_price), 4)
+  FROM catalog_sales WHERE year(cs_sold_date_sk) IN (1996, 1997)
+  GROUP BY cs_bill_customer_sk, year(cs_sold_date_sk)
+  UNION ALL
+  SELECT ws_bill_customer_sk, year(ws_sold_date_sk), 'w', round(sum(ws_ext_sales_price), 4)
+  FROM web_sales WHERE year(ws_sold_date_sk) IN (1996, 1997)
+  GROUP BY ws_bill_customer_sk, year(ws_sold_date_sk)
+)
+SELECT s2.customer_sk AS customer_id
+FROM year_total s1 JOIN year_total s2 ON s1.customer_sk = s2.customer_sk
+     JOIN year_total c1 ON s1.customer_sk = c1.customer_sk
+     JOIN year_total c2 ON s1.customer_sk = c2.customer_sk
+     JOIN year_total w1 ON s1.customer_sk = w1.customer_sk
+     JOIN year_total w2 ON s1.customer_sk = w2.customer_sk
+WHERE s1.channel = 's' AND s1.y = 1996 AND s2.channel = 's' AND s2.y = 1997
+  AND c1.channel = 'c' AND c1.y = 1996 AND c2.channel = 'c' AND c2.y = 1997
+  AND w1.channel = 'w' AND w1.y = 1996 AND w2.channel = 'w' AND w2.y = 1997
+  AND s1.total > 0 AND c1.total > 0 AND w1.total > 0
+  AND c2.total / c1.total > s2.total / s1.total
+  AND c2.total / c1.total > w2.total / w1.total
+ORDER BY customer_id
+"""
+
+
+@register("tpcds_q4", Q4_ORACLE, tags=("tpcds", "crosschannel", "selfjoin"))
+def tpcds_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q4 (reference tpcds/q4.sql; keyed on customer_sk): the
+    three-channel year-over-year comparison — customers whose CATALOG
+    spending grew faster than both their store and web spending. The
+    spec's six year_total self-joins collapse into one groupBy(customer)
+    with six conditional sums (q74's pattern extended to three channels);
+    the three channel aggregates union BEFORE the customer shuffle, so the
+    whole query is three fact scans + one keyed shuffle."""
+    ds = _ds(spark, sf_dir)
+
+    def chan(fact: str, cust: str, date: str, price: str, ch: str) -> DataFrame:
+        return (
+            ds[fact].filter(F.year(date).isin(1996, 1997))
+            .select(F.col(cust).alias("customer_sk"), F.year(date).alias("y"),
+                    F.lit(ch).alias("channel"), F.col(price).alias("p"))
+        )
+
+    u = (
+        chan("store_sales", "ss_customer_sk", "ss_sold_date_sk", "ss_ext_sales_price", "s")
+        .unionAll(chan("catalog_sales", "cs_bill_customer_sk", "cs_sold_date_sk", "cs_ext_sales_price", "c"))
+        .unionAll(chan("web_sales", "ws_bill_customer_sk", "ws_sold_date_sk", "ws_ext_sales_price", "w"))
+    )
+
+    def tot(ch: str, yr: int):
+        return F.round(F.sum(F.when((F.col("channel") == ch) & (F.col("y") == yr), F.col("p"))), 4)
+
+    per_cust = u.groupBy("customer_sk").agg(
+        tot("s", 1996).alias("s1"), tot("s", 1997).alias("s2"),
+        tot("c", 1996).alias("c1"), tot("c", 1997).alias("c2"),
+        tot("w", 1996).alias("w1"), tot("w", 1997).alias("w2"),
+    )
+    return (
+        per_cust.filter(
+            (F.col("s1") > 0) & (F.col("c1") > 0) & (F.col("w1") > 0)
+            & F.col("s2").isNotNull() & F.col("c2").isNotNull() & F.col("w2").isNotNull()
+            & (F.col("c2") / F.col("c1") > F.col("s2") / F.col("s1"))
+            & (F.col("c2") / F.col("c1") > F.col("w2") / F.col("w1"))
+        )
+        .select(F.col("customer_sk").alias("customer_id"))
+        .orderBy("customer_id")
+    )
+
+
+Q26_ORACLE = f"""
+WITH {DS_CTES}
+SELECT i_item_id,
+       round(avg(cs_quantity), 4) AS agg1,
+       round(avg(cs_ext_sales_price), 4) AS agg2,
+       round(avg(cs_net_profit), 4) AS agg3
+FROM catalog_sales
+JOIN customer_demographics ON cs_bill_cdemo_sk = cd_demo_sk
+JOIN item ON cs_item_sk = i_item_sk
+JOIN promotion ON cs_promo_sk = p_promo_sk
+WHERE cd_gender = 'F' AND cd_marital_status = 'S' AND cd_education_status = 'College'
+  AND (p_channel_email = 'N' OR p_channel_event = 'N')
+  AND year(cs_sold_date_sk) = 1997
+GROUP BY i_item_id
+ORDER BY i_item_id
+LIMIT 100
+"""
+
+
+@register("tpcds_q26", Q26_ORACLE, tags=("tpcds", "catalog", "agg"))
+def tpcds_q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q26 (reference tpcds/q26.sql) — q7's catalog twin: average
+    quantity / price / profit per item for one demographic profile under
+    non-promoted channels. Plan: demographics and promotion broadcast and
+    filter BEFORE the item join; one hash-agg on i_item_id."""
+    ds = _ds(spark, sf_dir)
+    cd = ds["customer_demographics"].filter(
+        (F.col("cd_gender") == "F") & (F.col("cd_marital_status") == "S")
+        & (F.col("cd_education_status") == "College")
+    )
+    promo = ds["promotion"].filter((F.col("p_channel_email") == "N") | (F.col("p_channel_event") == "N"))
+    return (
+        ds["catalog_sales"]
+        .filter(F.year("cs_sold_date_sk") == 1997)
+        .join(F.broadcast(cd), F.col("cs_bill_cdemo_sk") == F.col("cd_demo_sk"))
+        .join(ds["item"].select("i_item_sk", "i_item_id"), F.col("cs_item_sk") == F.col("i_item_sk"))
+        .join(F.broadcast(promo), F.col("cs_promo_sk") == F.col("p_promo_sk"))
+        .groupBy("i_item_id")
+        .agg(
+            F.round(F.avg("cs_quantity"), 4).alias("agg1"),
+            F.round(F.avg("cs_ext_sales_price"), 4).alias("agg2"),
+            F.round(F.avg("cs_net_profit"), 4).alias("agg3"),
+        )
+        .orderBy("i_item_id")
+        .limit(100)
+    )
+
+
+Q58_ORACLE = f"""
+WITH {DS_CTES},
+ss_items AS (
+  SELECT i_item_id AS item_id, round(sum(ss_ext_sales_price) / 3, 4) AS ss_item_rev
+  FROM store_sales JOIN item ON ss_item_sk = i_item_sk
+  WHERE year(ss_sold_date_sk) = 1997
+  GROUP BY i_item_id),
+cs_items AS (
+  SELECT i_item_id AS item_id, round(sum(cs_ext_sales_price), 4) AS cs_item_rev
+  FROM catalog_sales JOIN item ON cs_item_sk = i_item_sk
+  WHERE year(cs_sold_date_sk) = 1997
+  GROUP BY i_item_id),
+ws_items AS (
+  SELECT i_item_id AS item_id, round(sum(ws_ext_sales_price), 4) AS ws_item_rev
+  FROM web_sales JOIN item ON ws_item_sk = i_item_sk
+  WHERE year(ws_sold_date_sk) = 1997
+  GROUP BY i_item_id)
+SELECT s.item_id, s.ss_item_rev, c.cs_item_rev, w.ws_item_rev,
+       round((s.ss_item_rev + c.cs_item_rev + w.ws_item_rev) / 3, 4) AS average
+FROM ss_items s JOIN cs_items c ON s.item_id = c.item_id
+                JOIN ws_items w ON s.item_id = w.item_id
+WHERE s.ss_item_rev BETWEEN 0.9 * c.cs_item_rev AND 1.1 * c.cs_item_rev
+  AND s.ss_item_rev BETWEEN 0.9 * w.ws_item_rev AND 1.1 * w.ws_item_rev
+  AND c.cs_item_rev BETWEEN 0.9 * s.ss_item_rev AND 1.1 * s.ss_item_rev
+  AND c.cs_item_rev BETWEEN 0.9 * w.ws_item_rev AND 1.1 * w.ws_item_rev
+  AND w.ws_item_rev BETWEEN 0.9 * s.ss_item_rev AND 1.1 * s.ss_item_rev
+  AND w.ws_item_rev BETWEEN 0.9 * c.cs_item_rev AND 1.1 * c.cs_item_rev
+ORDER BY s.item_id
+"""
+
+
+@register("tpcds_q58", Q58_ORACLE, tags=("tpcds", "crosschannel", "band"))
+def tpcds_q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q58 (reference tpcds/q58.sql; the week-subquery date filter
+    becomes one fixture year, and the store figure is weighted by 1/3
+    because the derived store channel keeps ALL tickets while web/catalog
+    are disjoint one-third subsets — without the weight the balance bands
+    are structurally unsatisfiable): items whose revenue is BALANCED
+    across all three channels — every channel within +-10% of every
+    other. Plan:
+    three per-item channel aggregates (one keyed shuffle each), then two
+    joins over the aggregated frames with the six band predicates as
+    residuals; the bands compare 4-rounded sums so the keep-set is
+    engine-stable."""
+    ds = _ds(spark, sf_dir)
+    item = ds["item"].select("i_item_sk", "i_item_id")
+
+    def chan(fact: str, prefix: str, out: str, scale: int = 1) -> DataFrame:
+        return (
+            ds[fact]
+            .filter(F.year(f"{prefix}_sold_date_sk") == 1997)
+            .join(item, F.col(f"{prefix}_item_sk") == F.col("i_item_sk"))
+            .groupBy(F.col("i_item_id").alias(f"{out}_id"))
+            .agg(F.round(F.sum(f"{prefix}_ext_sales_price") / scale, 4).alias(f"{out}_item_rev"))
+        )
+
+    s = chan("store_sales", "ss", "ss", scale=3)
+    c = chan("catalog_sales", "cs", "cs")
+    w = chan("web_sales", "ws", "ws")
+    band = lambda a, b: F.col(a).between(0.9 * F.col(b), 1.1 * F.col(b))  # noqa: E731
+    return (
+        s.join(c, F.col("ss_id") == F.col("cs_id"))
+        .join(w, F.col("ss_id") == F.col("ws_id"))
+        .filter(
+            band("ss_item_rev", "cs_item_rev") & band("ss_item_rev", "ws_item_rev")
+            & band("cs_item_rev", "ss_item_rev") & band("cs_item_rev", "ws_item_rev")
+            & band("ws_item_rev", "ss_item_rev") & band("ws_item_rev", "cs_item_rev")
+        )
+        .select(
+            F.col("ss_id").alias("item_id"), "ss_item_rev", "cs_item_rev", "ws_item_rev",
+            F.round((F.col("ss_item_rev") + F.col("cs_item_rev") + F.col("ws_item_rev")) / 3, 4).alias("average"),
+        )
+        .orderBy("item_id")
+    )
+
+
+def _q62_oracle() -> str:
+    bands = ", ".join(
+        f"sum(CASE WHEN {cond} THEN 1 ELSE 0 END)::BIGINT AS {name}" for name, cond in _q99_bands()
+    )
+    return f"""
+WITH {DS_CTES},
+shipped AS (
+  SELECT ws_warehouse_sk, ws_ship_mode_sk, ws_web_page_sk,
+         date_diff('day', ws_sold_date_sk, ws_ship_date_sk) AS days
+  FROM web_sales WHERE year(ws_ship_date_sk) = 1997
+)
+SELECT w_warehouse_name, sm_type, ws_web_page_sk AS web_page,
+       {bands}
+FROM shipped JOIN warehouse ON ws_warehouse_sk = w_warehouse_sk
+             JOIN ship_mode ON ws_ship_mode_sk = sm_ship_mode_sk
+GROUP BY w_warehouse_name, sm_type, ws_web_page_sk
+ORDER BY w_warehouse_name, sm_type, web_page
+"""
+
+
+@register("tpcds_q62", _q62_oracle(), tags=("tpcds", "shipping", "bands"))
+def tpcds_q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q62 (reference tpcds/q62.sql) — q99's web twin: days-to-ship
+    bands per (warehouse, ship mode, web page) over the web channel; same
+    single-pass banded hash-agg with broadcast dims."""
+    ds = _ds(spark, sf_dir)
+    days = F.datediff(F.col("ws_ship_date_sk"), F.col("ws_sold_date_sk"))
+    shipped = (
+        ds["web_sales"]
+        .filter(F.year("ws_ship_date_sk") == 1997)
+        .select("ws_warehouse_sk", "ws_ship_mode_sk", "ws_web_page_sk", days.alias("days"))
+    )
+    aggs = [F.sum(F.when(F.expr(cond), 1).otherwise(0)).alias(name) for name, cond in _q99_bands()]
+    return (
+        shipped.join(F.broadcast(ds["warehouse"]), F.col("ws_warehouse_sk") == F.col("w_warehouse_sk"))
+        .join(F.broadcast(ds["ship_mode"]), F.col("ws_ship_mode_sk") == F.col("sm_ship_mode_sk"))
+        .groupBy("w_warehouse_name", "sm_type", F.col("ws_web_page_sk").alias("web_page"))
+        .agg(*aggs)
+        .orderBy("w_warehouse_name", "sm_type", "web_page")
+    )
+
+
+Q69_ORACLE = f"""
+WITH {DS_CTES}
+SELECT cd_gender, cd_marital_status, cd_education_status, count(*)::BIGINT AS cnt
+FROM customer_dim c
+JOIN customer_demographics ON cd_demo_sk = c.c_customer_sk % 60
+WHERE EXISTS (SELECT 1 FROM store_sales
+              WHERE ss_customer_sk = c.c_customer_sk AND year(ss_sold_date_sk) = 1997)
+  AND NOT EXISTS (SELECT 1 FROM web_sales
+                  WHERE ws_bill_customer_sk = c.c_customer_sk AND year(ws_sold_date_sk) = 1997)
+  AND NOT EXISTS (SELECT 1 FROM catalog_sales
+                  WHERE cs_bill_customer_sk = c.c_customer_sk AND year(cs_sold_date_sk) = 1997)
+GROUP BY cd_gender, cd_marital_status, cd_education_status
+ORDER BY cd_gender, cd_marital_status, cd_education_status
+"""
+
+
+@register("tpcds_q69", Q69_ORACLE, tags=("tpcds", "existence", "demographics"))
+def tpcds_q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q69 (reference tpcds/q69.sql; the address leg is covered by
+    q30/q31): demographic profile counts of store-ONLY shoppers — bought
+    in store during the year, never through web or catalog. Plan: one
+    LEFT SEMI (store) and two LEFT ANTI (web, catalog) joins against
+    per-channel deduped customer keep-lists, then a broadcast demographics
+    join and a small hash-agg. The keep-lists aggregate map-side so each
+    channel contributes one distinct-shuffle of customer ids only."""
+    ds = _ds(spark, sf_dir)
+    c = ds["customer_dim"].select("c_customer_sk")
+    ss_c = ds["store_sales"].filter(F.year("ss_sold_date_sk") == 1997).select(F.col("ss_customer_sk").alias("k")).distinct()
+    ws_c = ds["web_sales"].filter(F.year("ws_sold_date_sk") == 1997).select(F.col("ws_bill_customer_sk").alias("k")).distinct()
+    cs_c = ds["catalog_sales"].filter(F.year("cs_sold_date_sk") == 1997).select(F.col("cs_bill_customer_sk").alias("k")).distinct()
+    return (
+        c.join(ss_c, F.col("c_customer_sk") == F.col("k"), "left_semi")
+        .join(ws_c, F.col("c_customer_sk") == F.col("k"), "left_anti")
+        .join(cs_c, F.col("c_customer_sk") == F.col("k"), "left_anti")
+        .join(
+            F.broadcast(ds["customer_demographics"]),
+            F.col("cd_demo_sk") == F.col("c_customer_sk") % 60,
+        )
+        .groupBy("cd_gender", "cd_marital_status", "cd_education_status")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("cd_gender", "cd_marital_status", "cd_education_status")
+    )
+
+
+Q75_ORACLE = f"""
+WITH {DS_CTES},
+all_sales AS (
+  SELECT year(cs_sold_date_sk) AS d_year, i_brand_id,
+         sum(cs_quantity - coalesce(cr_return_quantity, 0))::BIGINT AS sales_cnt,
+         round(sum(cs_ext_sales_price - coalesce(cr_return_amt, 0)), 4) AS sales_amt
+  FROM catalog_sales JOIN item ON cs_item_sk = i_item_sk
+  LEFT JOIN catalog_returns ON cs_order_number = cr_order_number AND cs_item_sk = cr_item_sk
+  WHERE i_category = 'Books' AND year(cs_sold_date_sk) IN (1996, 1997)
+  GROUP BY year(cs_sold_date_sk), i_brand_id
+  UNION ALL
+  SELECT year(ss_sold_date_sk), i_brand_id,
+         sum(ss_quantity - coalesce(sr_return_quantity, 0))::BIGINT,
+         round(sum(ss_ext_sales_price - coalesce(sr_return_amt, 0)), 4)
+  FROM store_sales JOIN item ON ss_item_sk = i_item_sk
+  LEFT JOIN store_returns ON ss_ticket_number = sr_ticket_number
+        AND ss_item_sk = sr_item_sk AND ss_line_number = sr_line_number
+  WHERE i_category = 'Books' AND year(ss_sold_date_sk) IN (1996, 1997)
+  GROUP BY year(ss_sold_date_sk), i_brand_id
+  UNION ALL
+  SELECT year(ws_sold_date_sk), i_brand_id,
+         sum(ws_quantity - coalesce(wr_return_quantity, 0))::BIGINT,
+         round(sum(ws_ext_sales_price - coalesce(wr_return_amt, 0)), 4)
+  FROM web_sales JOIN item ON ws_item_sk = i_item_sk
+  LEFT JOIN web_returns ON ws_order_number = wr_order_number AND ws_item_sk = wr_item_sk
+  WHERE i_category = 'Books' AND year(ws_sold_date_sk) IN (1996, 1997)
+  GROUP BY year(ws_sold_date_sk), i_brand_id
+),
+by_year AS (
+  SELECT d_year, i_brand_id, sum(sales_cnt)::BIGINT AS sales_cnt,
+         round(sum(sales_amt), 4) AS sales_amt
+  FROM all_sales GROUP BY d_year, i_brand_id
+)
+SELECT prev.i_brand_id, prev.sales_cnt AS prev_cnt, curr.sales_cnt AS curr_cnt,
+       curr.sales_cnt - prev.sales_cnt AS sales_cnt_diff,
+       round(curr.sales_amt - prev.sales_amt, 4) AS sales_amt_diff
+FROM by_year curr JOIN by_year prev
+  ON curr.i_brand_id = prev.i_brand_id AND curr.d_year = 1997 AND prev.d_year = 1996
+WHERE curr.sales_cnt::DOUBLE / prev.sales_cnt < 0.95
+ORDER BY sales_cnt_diff, prev.i_brand_id
+"""
+
+
+@register("tpcds_q75", Q75_ORACLE, tags=("tpcds", "crosschannel", "returns"))
+def tpcds_q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q75 (reference tpcds/q75.sql; brand grain, category
+    retargeted): brands whose NET unit sales (sales minus returned units,
+    all three channels combined) declined more than 5% year-over-year.
+    Plan: each channel left-joins its returns at line grain, aggregates to
+    (year, brand), the union re-aggregates the tiny brand frame, and the
+    year-pair join runs over |brands| rows. Decline test uses integer unit
+    counts — no float drift."""
+    ds = _ds(spark, sf_dir)
+    item = ds["item"].filter(F.col("i_category") == "Books").select("i_item_sk", "i_brand_id")
+
+    def chan(fact: str, rets: str, join_cond, date: str, prefix: str, rprefix: str) -> DataFrame:
+        f = ds[fact].filter(F.year(date).isin(1996, 1997))
+        r = ds[rets]
+        return (
+            f.join(item, F.col(f"{prefix}_item_sk") == F.col("i_item_sk"))
+            .join(r, join_cond, "left")
+            .groupBy(F.year(date).alias("d_year"), "i_brand_id")
+            .agg(
+                F.sum(F.col(f"{prefix}_quantity") - F.coalesce(F.col(f"{rprefix}_return_quantity"), F.lit(0))).cast("long").alias("sales_cnt"),
+                F.round(F.sum(F.col(f"{prefix}_ext_sales_price") - F.coalesce(F.col(f"{rprefix}_return_amt"), F.lit(0.0))), 4).alias("sales_amt"),
+            )
+        )
+
+    cs = chan(
+        "catalog_sales", "catalog_returns",
+        (F.col("cs_order_number") == F.col("cr_order_number")) & (F.col("cs_item_sk") == F.col("cr_item_sk")),
+        "cs_sold_date_sk", "cs", "cr",
+    )
+    ss = chan(
+        "store_sales", "store_returns",
+        (F.col("ss_ticket_number") == F.col("sr_ticket_number"))
+        & (F.col("ss_item_sk") == F.col("sr_item_sk"))
+        & (F.col("ss_line_number") == F.col("sr_line_number")),
+        "ss_sold_date_sk", "ss", "sr",
+    )
+    ws = chan(
+        "web_sales", "web_returns",
+        (F.col("ws_order_number") == F.col("wr_order_number")) & (F.col("ws_item_sk") == F.col("wr_item_sk")),
+        "ws_sold_date_sk", "ws", "wr",
+    )
+    by_year = (
+        cs.unionAll(ss).unionAll(ws)
+        .groupBy("d_year", "i_brand_id")
+        .agg(F.sum("sales_cnt").cast("long").alias("sales_cnt"), F.round(F.sum("sales_amt"), 4).alias("sales_amt"))
+    )
+    curr = by_year.filter(F.col("d_year") == 1997).select(
+        F.col("i_brand_id").alias("cb"), F.col("sales_cnt").alias("curr_cnt"), F.col("sales_amt").alias("ca")
+    )
+    prev = by_year.filter(F.col("d_year") == 1996).select(
+        "i_brand_id", F.col("sales_cnt").alias("prev_cnt"), F.col("sales_amt").alias("pa")
+    )
+    return (
+        curr.join(prev, F.col("cb") == F.col("i_brand_id"))
+        .filter(F.col("curr_cnt").cast("double") / F.col("prev_cnt") < 0.95)
+        .select(
+            "i_brand_id", "prev_cnt", "curr_cnt",
+            (F.col("curr_cnt") - F.col("prev_cnt")).alias("sales_cnt_diff"),
+            F.round(F.col("ca") - F.col("pa"), 4).alias("sales_amt_diff"),
+        )
+        .orderBy("sales_cnt_diff", "i_brand_id")
+    )
+
+
+Q86_ORACLE = f"""
+WITH {DS_CTES}
+SELECT round(sum(ws_ext_sales_price), 4) AS total_sum, i_category, i_class,
+       (grouping(i_category) + grouping(i_class))::BIGINT AS lochierarchy,
+       rank() OVER (
+         PARTITION BY grouping(i_category) + grouping(i_class),
+                      CASE WHEN grouping(i_class) = 1 THEN NULL ELSE i_category END
+         ORDER BY sum(ws_ext_sales_price) DESC) AS rank_within_parent
+FROM web_sales JOIN item ON ws_item_sk = i_item_sk
+WHERE year(ws_sold_date_sk) = 1997
+GROUP BY ROLLUP (i_category, i_class)
+ORDER BY lochierarchy DESC, CASE WHEN lochierarchy = 0 THEN i_category END NULLS FIRST,
+         rank_within_parent, i_category NULLS FIRST, i_class NULLS FIRST
+"""
+
+
+@register("tpcds_q86", Q86_ORACLE, tags=("tpcds", "web", "rollup", "window"))
+def tpcds_q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q86 (reference tpcds/q86.sql) — q36's web twin: category/
+    class ROLLUP over web revenue with a rank within each hierarchy
+    parent (grouping()-derived partition keys). The rank window runs over
+    the ALREADY-AGGREGATED rollup frame. Revenue sums are unique at every
+    level on the fixtures, so ranks are total (plus name tiebreaks in the
+    final order)."""
+    ds = _ds(spark, sf_dir)
+    agg = (
+        ds["web_sales"]
+        .filter(F.year("ws_sold_date_sk") == 1997)
+        .join(ds["item"].select("i_item_sk", "i_category", "i_class"), F.col("ws_item_sk") == F.col("i_item_sk"))
+        .rollup("i_category", "i_class")
+        .agg(
+            F.sum("ws_ext_sales_price").alias("raw_sum"),
+            (F.grouping("i_category") + F.grouping("i_class")).alias("lochierarchy"),
+            F.grouping("i_class").alias("g_class"),
+        )
+    )
+    w = W.partitionBy(
+        "lochierarchy", F.when(F.col("g_class") == 1, None).otherwise(F.col("i_category"))
+    ).orderBy(F.desc("raw_sum"))
+    return (
+        agg.select(
+            F.round("raw_sum", 4).alias("total_sum"), "i_category", "i_class",
+            F.col("lochierarchy").cast("long").alias("lochierarchy"),
+            F.rank().over(w).alias("rank_within_parent"),
+        )
+        .orderBy(
+            F.desc("lochierarchy"),
+            F.when(F.col("lochierarchy") == 0, F.col("i_category")).asc_nulls_first(),
+            "rank_within_parent",
+            F.col("i_category").asc_nulls_first(),
+            F.col("i_class").asc_nulls_first(),
+        )
+    )
+
+
+Q92_ORACLE = f"""
+WITH {DS_CTES},
+windowed AS (
+  SELECT ws_item_sk, ws_ext_discount_amt
+  FROM web_sales
+  WHERE ws_sold_date_sk BETWEEN TIMESTAMP '1997-03-01' AND TIMESTAMP '1997-05-30'
+),
+item_avg AS (
+  SELECT ws_item_sk AS avg_item, 1.3 * avg(ws_ext_discount_amt) AS cutoff
+  FROM windowed GROUP BY ws_item_sk
+)
+SELECT round(sum(ws_ext_discount_amt), 4) AS excess_discount_amount
+FROM windowed JOIN item_avg ON ws_item_sk = avg_item
+WHERE ws_ext_discount_amt > cutoff
+"""
+
+
+@register("tpcds_q92", Q92_ORACLE, tags=("tpcds", "web", "subquery"))
+def tpcds_q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q92 (reference tpcds/q92.sql): web "excess discount" — total
+    discount on lines discounted more than 1.3x their item's average in
+    the window. The correlated per-item average decorrelates to one
+    aggregate + re-join of the SAME filtered scan (Catalyst would plan
+    the spec's subquery identically); one 1-row final sum."""
+    ds = _ds(spark, sf_dir)
+    windowed = ds["web_sales"].filter(
+        F.col("ws_sold_date_sk").between(F.expr("TIMESTAMP '1997-03-01'"), F.expr("TIMESTAMP '1997-05-30'"))
+    ).select("ws_item_sk", "ws_ext_discount_amt")
+    item_avg = windowed.groupBy(F.col("ws_item_sk").alias("avg_item")).agg(
+        (F.lit(1.3) * F.avg("ws_ext_discount_amt")).alias("cutoff")
+    )
+    return (
+        windowed.join(item_avg, F.col("ws_item_sk") == F.col("avg_item"))
+        .filter(F.col("ws_ext_discount_amt") > F.col("cutoff"))
+        .agg(F.round(F.sum("ws_ext_discount_amt"), 4).alias("excess_discount_amount"))
+    )
+
+
+Q94_ORACLE = f"""
+WITH {DS_CTES}
+SELECT count(DISTINCT ws_order_number) AS order_count,
+       round(sum(ws_ext_sales_price), 4) AS total_sales,
+       round(sum(ws_net_profit), 4) AS total_net_profit
+FROM web_sales ws1
+WHERE ws_ship_date_sk BETWEEN TIMESTAMP '1997-02-01' AND TIMESTAMP '1997-04-02'
+  AND EXISTS (SELECT 1 FROM web_sales ws2
+              WHERE ws1.ws_order_number = ws2.ws_order_number
+                AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+  AND NOT EXISTS (SELECT 1 FROM web_returns wr
+                  WHERE ws1.ws_order_number = wr.wr_order_number)
+"""
+
+
+@register("tpcds_q94", Q94_ORACLE, tags=("tpcds", "existence", "antijoin"))
+def tpcds_q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q94 (reference tpcds/q94.sql) — q16's web twin: web orders
+    shipped in the window, fulfilled from multiple warehouses, never
+    returned; left-semi self-join + left-anti returns with one final
+    1-row aggregate."""
+    ds = _ds(spark, sf_dir)
+    ws1 = ds["web_sales"].filter(
+        F.col("ws_ship_date_sk").between(F.expr("TIMESTAMP '1997-02-01'"), F.expr("TIMESTAMP '1997-04-02'"))
+    )
+    ws2 = ds["web_sales"].select(F.col("ws_order_number").alias("o2"), F.col("ws_warehouse_sk").alias("w2"))
+    wr = ds["web_returns"].select(F.col("wr_order_number").alias("ro"))
+    return (
+        ws1.join(ws2, (F.col("ws_order_number") == F.col("o2")) & (F.col("ws_warehouse_sk") != F.col("w2")), "left_semi")
+        .join(wr, F.col("ws_order_number") == F.col("ro"), "left_anti")
+        .agg(
+            F.countDistinct("ws_order_number").alias("order_count"),
+            F.round(F.sum("ws_ext_sales_price"), 4).alias("total_sales"),
+            F.round(F.sum("ws_net_profit"), 4).alias("total_net_profit"),
+        )
+    )
