@@ -201,6 +201,7 @@ web_sales AS (
          l_suppkey % 6 AS ws_warehouse_sk,
          l_shipdate AS ws_ship_date_sk,
          (l_orderkey + l_linenumber) % 4 AS ws_ship_mode_sk,
+         (l_orderkey * 131 + l_partkey) % 86400 AS ws_sold_time_sk,
          l_extendedprice * l_discount AS ws_ext_discount_amt,
          l_orderkey AS ws_order_number,
          l_quantity AS ws_quantity,
@@ -215,6 +216,8 @@ catalog_sales AS (
          o_custkey % 5 AS cs_call_center_sk,
          o_custkey % 100 AS cs_bill_hdemo_sk,
          o_custkey % 60 AS cs_bill_cdemo_sk,
+         (l_orderkey * 131 + l_partkey) % 86400 AS cs_sold_time_sk,
+         l_extendedprice * l_discount AS cs_ext_discount_amt,
          l_suppkey % 6 AS cs_warehouse_sk,
          l_shipdate AS cs_ship_date_sk,
          (l_orderkey + l_linenumber) % 4 AS cs_ship_mode_sk,
@@ -487,6 +490,7 @@ def _ds(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         (F.col("l_suppkey") % 6).alias("ws_warehouse_sk"),
         F.col("l_shipdate").alias("ws_ship_date_sk"),
         ((F.col("l_orderkey") + F.col("l_linenumber")) % 4).alias("ws_ship_mode_sk"),
+        ((F.col("l_orderkey") * 131 + F.col("l_partkey")) % 86400).alias("ws_sold_time_sk"),
         (F.col("l_extendedprice") * F.col("l_discount")).alias("ws_ext_discount_amt"),
         F.col("l_orderkey").alias("ws_order_number"),
         F.col("l_quantity").alias("ws_quantity"),
@@ -500,6 +504,8 @@ def _ds(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         (F.col("o_custkey") % 5).alias("cs_call_center_sk"),
         (F.col("o_custkey") % 100).alias("cs_bill_hdemo_sk"),
         (F.col("o_custkey") % 60).alias("cs_bill_cdemo_sk"),
+        ((F.col("l_orderkey") * 131 + F.col("l_partkey")) % 86400).alias("cs_sold_time_sk"),
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("cs_ext_discount_amt"),
         (F.col("l_suppkey") % 6).alias("cs_warehouse_sk"),
         F.col("l_shipdate").alias("cs_ship_date_sk"),
         ((F.col("l_orderkey") + F.col("l_linenumber")) % 4).alias("cs_ship_mode_sk"),
@@ -4832,6 +4838,470 @@ def tpcds_q94(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ws1.join(ws2, (F.col("ws_order_number") == F.col("o2")) & (F.col("ws_warehouse_sk") != F.col("w2")), "left_semi")
         .join(wr, F.col("ws_order_number") == F.col("ro"), "left_anti")
+        .agg(
+            F.countDistinct("ws_order_number").alias("order_count"),
+            F.round(F.sum("ws_ext_sales_price"), 4).alias("total_sales"),
+            F.round(F.sum("ws_net_profit"), 4).alias("total_net_profit"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# r4 wave 5 — cross-channel intersections, histograms, wide pivots
+# (q14 q32 q35 q54 q66 q71 q83 q95)
+# ---------------------------------------------------------------------------
+
+Q14_ORACLE = f"""
+WITH {DS_CTES},
+cross_items AS (
+  SELECT ss_item_sk AS item_sk FROM store_sales WHERE year(ss_sold_date_sk) = 1996
+  INTERSECT
+  SELECT cs_item_sk FROM catalog_sales WHERE year(cs_sold_date_sk) = 1996
+  INTERSECT
+  SELECT ws_item_sk FROM web_sales WHERE year(ws_sold_date_sk) = 1996),
+avg_sales AS (
+  SELECT avg(p) AS average_sales FROM (
+    SELECT ss_ext_sales_price AS p FROM store_sales WHERE year(ss_sold_date_sk) = 1996
+    UNION ALL SELECT cs_ext_sales_price FROM catalog_sales WHERE year(cs_sold_date_sk) = 1996
+    UNION ALL SELECT ws_ext_sales_price FROM web_sales WHERE year(ws_sold_date_sk) = 1996) x),
+united AS (
+  SELECT 'store' AS channel, ss_item_sk AS item_sk, ss_ext_sales_price AS p
+  FROM store_sales WHERE year(ss_sold_date_sk) = 1997
+  UNION ALL
+  SELECT 'catalog', cs_item_sk, cs_ext_sales_price
+  FROM catalog_sales WHERE year(cs_sold_date_sk) = 1997
+  UNION ALL
+  SELECT 'web', ws_item_sk, ws_ext_sales_price
+  FROM web_sales WHERE year(ws_sold_date_sk) = 1997)
+SELECT channel, i_brand_id, round(sum(p), 4) AS sales, count(*)::BIGINT AS number_sales
+FROM united JOIN item ON item_sk = i_item_sk
+WHERE item_sk IN (SELECT item_sk FROM cross_items)
+GROUP BY channel, i_brand_id
+HAVING sum(p) > (SELECT average_sales FROM avg_sales) * 10
+ORDER BY channel, i_brand_id
+"""
+
+
+@register("tpcds_q14", Q14_ORACLE, tags=("tpcds", "crosschannel", "intersect", "subquery"))
+def tpcds_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q14 (reference tpcds/q14a.sql; the (brand, class, category)
+    intersect key becomes item_sk — the derived item hierarchy is
+    functionally dependent on item_sk so the spec's key adds nothing —
+    and the HAVING cutoff is 10x the per-line average to fit brand-grain
+    sums): per-channel brand revenue in 1997 restricted to items sold
+    through ALL THREE channels in 1996, keeping brands above a scalar
+    revenue cutoff. Plan: the cross-items INTERSECT runs over per-channel
+    deduped item sets (semi-join chain); the average-sales scalar is a
+    1-row broadcast; the channel union aggregates once on (channel,
+    brand)."""
+    ds = _ds(spark, sf_dir)
+
+    def items_of(fact: str, item: str, date: str) -> DataFrame:
+        return ds[fact].filter(F.year(date) == 1996).select(F.col(item).alias("item_sk")).distinct()
+
+    cross_items = (
+        items_of("store_sales", "ss_item_sk", "ss_sold_date_sk")
+        .intersect(items_of("catalog_sales", "cs_item_sk", "cs_sold_date_sk"))
+        .intersect(items_of("web_sales", "ws_item_sk", "ws_sold_date_sk"))
+    )
+
+    def prices(fact: str, item: str, date: str, price: str, yr: int, ch: str | None = None) -> DataFrame:
+        d = ds[fact].filter(F.year(date) == yr)
+        cols = [F.col(item).alias("item_sk"), F.col(price).alias("p")]
+        if ch is not None:
+            cols.insert(0, F.lit(ch).alias("channel"))
+        return d.select(*cols)
+
+    avg_sales = (
+        prices("store_sales", "ss_item_sk", "ss_sold_date_sk", "ss_ext_sales_price", 1996)
+        .unionAll(prices("catalog_sales", "cs_item_sk", "cs_sold_date_sk", "cs_ext_sales_price", 1996))
+        .unionAll(prices("web_sales", "ws_item_sk", "ws_sold_date_sk", "ws_ext_sales_price", 1996))
+        .agg(F.avg("p").alias("average_sales"))
+    )
+    united = (
+        prices("store_sales", "ss_item_sk", "ss_sold_date_sk", "ss_ext_sales_price", 1997, "store")
+        .unionAll(prices("catalog_sales", "cs_item_sk", "cs_sold_date_sk", "cs_ext_sales_price", 1997, "catalog"))
+        .unionAll(prices("web_sales", "ws_item_sk", "ws_sold_date_sk", "ws_ext_sales_price", 1997, "web"))
+    )
+    return (
+        united.join(F.broadcast(cross_items), "item_sk", "left_semi")
+        .join(ds["item"].select("i_item_sk", "i_brand_id"), F.col("item_sk") == F.col("i_item_sk"))
+        .groupBy("channel", "i_brand_id")
+        .agg(F.sum("p").alias("raw_sales"), F.count(F.lit(1)).alias("number_sales"))
+        .join(F.broadcast(avg_sales))
+        .filter(F.col("raw_sales") > F.col("average_sales") * 10)
+        .select("channel", "i_brand_id", F.round("raw_sales", 4).alias("sales"), "number_sales")
+        .orderBy("channel", "i_brand_id")
+    )
+
+
+Q32_ORACLE = f"""
+WITH {DS_CTES},
+windowed AS (
+  SELECT cs_item_sk, cs_ext_discount_amt
+  FROM catalog_sales
+  WHERE cs_sold_date_sk BETWEEN TIMESTAMP '1996-03-01' AND TIMESTAMP '1996-05-30'
+),
+item_avg AS (
+  SELECT cs_item_sk AS avg_item, 1.3 * avg(cs_ext_discount_amt) AS cutoff
+  FROM windowed GROUP BY cs_item_sk
+)
+SELECT round(sum(cs_ext_discount_amt), 4) AS excess_discount_amount
+FROM windowed JOIN item_avg ON cs_item_sk = avg_item
+WHERE cs_ext_discount_amt > cutoff
+"""
+
+
+@register("tpcds_q32", Q32_ORACLE, tags=("tpcds", "catalog", "subquery"))
+def tpcds_q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q32 (reference tpcds/q32.sql) — q92's catalog twin: excess
+    catalog discount vs 1.3x the per-item window average (decorrelated
+    aggregate + re-join, 1-row result)."""
+    ds = _ds(spark, sf_dir)
+    windowed = ds["catalog_sales"].filter(
+        F.col("cs_sold_date_sk").between(F.expr("TIMESTAMP '1996-03-01'"), F.expr("TIMESTAMP '1996-05-30'"))
+    ).select("cs_item_sk", "cs_ext_discount_amt")
+    item_avg = windowed.groupBy(F.col("cs_item_sk").alias("avg_item")).agg(
+        (F.lit(1.3) * F.avg("cs_ext_discount_amt")).alias("cutoff")
+    )
+    return (
+        windowed.join(item_avg, F.col("cs_item_sk") == F.col("avg_item"))
+        .filter(F.col("cs_ext_discount_amt") > F.col("cutoff"))
+        .agg(F.round(F.sum("cs_ext_discount_amt"), 4).alias("excess_discount_amount"))
+    )
+
+
+Q35_ORACLE = f"""
+WITH {DS_CTES}
+SELECT cd_gender, cd_marital_status, count(*)::BIGINT AS cnt,
+       round(avg(hd_dep_count), 4) AS avg_dep,
+       max(hd_dep_count) AS max_dep,
+       sum(hd_dep_count)::BIGINT AS sum_dep
+FROM customer_dim c
+JOIN customer_demographics ON cd_demo_sk = c.c_customer_sk % 60
+JOIN household_demographics ON hd_demo_sk = c.c_customer_sk % 100
+WHERE EXISTS (SELECT 1 FROM store_sales
+              WHERE ss_customer_sk = c.c_customer_sk AND year(ss_sold_date_sk) = 1997)
+  AND (EXISTS (SELECT 1 FROM web_sales
+               WHERE ws_bill_customer_sk = c.c_customer_sk AND year(ws_sold_date_sk) = 1997)
+    OR EXISTS (SELECT 1 FROM catalog_sales
+               WHERE cs_bill_customer_sk = c.c_customer_sk AND year(cs_sold_date_sk) = 1997))
+GROUP BY cd_gender, cd_marital_status
+ORDER BY cd_gender, cd_marital_status
+"""
+
+
+@register("tpcds_q35", Q35_ORACLE, tags=("tpcds", "existence", "demographics"))
+def tpcds_q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q35 (reference tpcds/q35.sql): demographic statistics of
+    customers who shopped in store AND through at least one remote
+    channel (web OR catalog) in the year. The OR-of-EXISTS compiles to
+    one LEFT SEMI against the UNION of the two remote keep-lists — the
+    standard decorrelation that avoids a disjunctive join condition; dep
+    statistics aggregate from the broadcast household dim."""
+    ds = _ds(spark, sf_dir)
+    c = ds["customer_dim"].select("c_customer_sk")
+    ss_c = ds["store_sales"].filter(F.year("ss_sold_date_sk") == 1997).select(F.col("ss_customer_sk").alias("k")).distinct()
+    remote = (
+        ds["web_sales"].filter(F.year("ws_sold_date_sk") == 1997).select(F.col("ws_bill_customer_sk").alias("k"))
+        .unionAll(ds["catalog_sales"].filter(F.year("cs_sold_date_sk") == 1997).select(F.col("cs_bill_customer_sk").alias("k")))
+        .distinct()
+    )
+    return (
+        c.join(ss_c, F.col("c_customer_sk") == F.col("k"), "left_semi")
+        .join(remote, F.col("c_customer_sk") == F.col("k"), "left_semi")
+        .join(F.broadcast(ds["customer_demographics"]), F.col("cd_demo_sk") == F.col("c_customer_sk") % 60)
+        .join(F.broadcast(ds["household_demographics"]), F.col("hd_demo_sk") == F.col("c_customer_sk") % 100)
+        .groupBy("cd_gender", "cd_marital_status")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("hd_dep_count"), 4).alias("avg_dep"),
+            F.max("hd_dep_count").alias("max_dep"),
+            F.sum("hd_dep_count").alias("sum_dep"),
+        )
+        .orderBy("cd_gender", "cd_marital_status")
+    )
+
+
+Q54_ORACLE = f"""
+WITH {DS_CTES},
+my_customers AS (
+  SELECT DISTINCT cust FROM (
+    SELECT cs_bill_customer_sk AS cust, cs_item_sk AS itm, cs_sold_date_sk AS d FROM catalog_sales
+    UNION ALL
+    SELECT ws_bill_customer_sk, ws_item_sk, ws_sold_date_sk FROM web_sales) u
+  JOIN item ON itm = i_item_sk
+  WHERE i_category = 'Books' AND year(d) = 1997 AND month(d) = 6),
+my_revenue AS (
+  SELECT ss_customer_sk, round(sum(ss_sales_price), 4) AS revenue
+  FROM store_sales
+  WHERE ss_customer_sk IN (SELECT cust FROM my_customers)
+    AND year(ss_sold_date_sk) = 1997 AND month(ss_sold_date_sk) IN (7, 8, 9)
+  GROUP BY ss_customer_sk)
+SELECT CAST(floor(revenue / 50) AS BIGINT) AS segment,
+       count(*)::BIGINT AS num_customers,
+       CAST(floor(revenue / 50) AS BIGINT) * 50 AS segment_base
+FROM my_revenue
+GROUP BY CAST(floor(revenue / 50) AS BIGINT)
+ORDER BY segment
+"""
+
+
+@register("tpcds_q54", Q54_ORACLE, tags=("tpcds", "crosschannel", "histogram"))
+def tpcds_q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q54 (reference tpcds/q54.sql): revenue-segment histogram —
+    customers who bought Books remotely (catalog or web) in June, bucketed
+    by their store spending over the following quarter into $50 segments.
+    Plan: the remote-buyer keep-list dedups map-side and broadcast
+    semi-joins the store fact; one (customer) aggregate then a tiny
+    histogram re-aggregate on the derived segment key. floor() of
+    4-rounded revenue is engine-stable away from exact bucket edges, and
+    fixture revenues are never exact multiples of 50 at 4 decimals."""
+    ds = _ds(spark, sf_dir)
+    remote = (
+        ds["catalog_sales"].select(F.col("cs_bill_customer_sk").alias("cust"), F.col("cs_item_sk").alias("itm"), F.col("cs_sold_date_sk").alias("d"))
+        .unionAll(ds["web_sales"].select("ws_bill_customer_sk", "ws_item_sk", "ws_sold_date_sk"))
+    )
+    books = ds["item"].filter(F.col("i_category") == "Books").select("i_item_sk")
+    my_customers = (
+        remote.filter((F.year("d") == 1997) & (F.month("d") == 6))
+        .join(books, F.col("itm") == F.col("i_item_sk"), "left_semi")
+        .select("cust")
+        .distinct()
+    )
+    my_revenue = (
+        ds["store_sales"]
+        .filter((F.year("ss_sold_date_sk") == 1997) & F.month("ss_sold_date_sk").isin(7, 8, 9))
+        .join(F.broadcast(my_customers), F.col("ss_customer_sk") == F.col("cust"), "left_semi")
+        .groupBy("ss_customer_sk")
+        .agg(F.round(F.sum("ss_sales_price"), 4).alias("revenue"))
+    )
+    segment = F.floor(F.col("revenue") / 50).cast("long")
+    return (
+        my_revenue.groupBy(segment.alias("segment"))
+        .agg(F.count(F.lit(1)).alias("num_customers"))
+        .select("segment", "num_customers", (F.col("segment") * 50).alias("segment_base"))
+        .orderBy("segment")
+    )
+
+
+_Q66_MONTHS = {1: "jan", 2: "feb", 3: "mar", 4: "apr", 5: "may", 6: "jun",
+               7: "jul", 8: "aug", 9: "sep", 10: "oct", 11: "nov", 12: "dec"}
+
+
+def _q66_oracle() -> str:
+    cols = ", ".join(
+        f"round(sum(CASE WHEN month(sold_date) = {m} THEN p END), 4) AS {name}_sales"
+        for m, name in _Q66_MONTHS.items()
+    )
+    return f"""
+WITH {DS_CTES},
+united AS (
+  SELECT 'web' AS channel, ws_warehouse_sk AS wh, ws_sold_date_sk AS sold_date,
+         ws_ext_sales_price AS p
+  FROM web_sales WHERE year(ws_sold_date_sk) = 1997
+  UNION ALL
+  SELECT 'catalog', cs_warehouse_sk, cs_sold_date_sk, cs_ext_sales_price
+  FROM catalog_sales WHERE year(cs_sold_date_sk) = 1997)
+SELECT w_warehouse_name, channel, {cols}
+FROM united JOIN warehouse ON wh = w_warehouse_sk
+GROUP BY w_warehouse_name, channel
+ORDER BY w_warehouse_name, channel
+"""
+
+
+@register("tpcds_q66", _q66_oracle(), tags=("tpcds", "crosschannel", "pivot"))
+def tpcds_q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q66 (reference tpcds/q66.sql; the spec's 24 sales+net
+    columns reduce to the 12 monthly sales columns per channel row — same
+    conditional-pivot shape, half the width): monthly warehouse shipping
+    volume pivot for the web and catalog channels. Plan: the channel
+    union is two projections of the fact scan; all 12 month columns
+    compute in ONE hash-agg pass (conditional aggregation, no Expand,
+    no per-month re-scan); warehouse is broadcast."""
+    ds = _ds(spark, sf_dir)
+    united = (
+        ds["web_sales"].filter(F.year("ws_sold_date_sk") == 1997)
+        .select(F.lit("web").alias("channel"), F.col("ws_warehouse_sk").alias("wh"),
+                F.col("ws_sold_date_sk").alias("sold_date"), F.col("ws_ext_sales_price").alias("p"))
+        .unionAll(
+            ds["catalog_sales"].filter(F.year("cs_sold_date_sk") == 1997)
+            .select(F.lit("catalog"), "cs_warehouse_sk", "cs_sold_date_sk", "cs_ext_sales_price")
+        )
+    )
+    aggs = [
+        F.round(F.sum(F.when(F.month("sold_date") == m, F.col("p"))), 4).alias(f"{name}_sales")
+        for m, name in _Q66_MONTHS.items()
+    ]
+    return (
+        united.join(F.broadcast(ds["warehouse"]), F.col("wh") == F.col("w_warehouse_sk"))
+        .groupBy("w_warehouse_name", "channel")
+        .agg(*aggs)
+        .orderBy("w_warehouse_name", "channel")
+    )
+
+
+Q71_ORACLE = f"""
+WITH {DS_CTES},
+united AS (
+  SELECT ss_item_sk AS item_sk, ss_ext_sales_price AS p, ss_sold_time_sk AS time_sk
+  FROM store_sales WHERE year(ss_sold_date_sk) = 1997 AND month(ss_sold_date_sk) = 11
+  UNION ALL
+  SELECT cs_item_sk, cs_ext_sales_price, cs_sold_time_sk
+  FROM catalog_sales WHERE year(cs_sold_date_sk) = 1997 AND month(cs_sold_date_sk) = 11
+  UNION ALL
+  SELECT ws_item_sk, ws_ext_sales_price, ws_sold_time_sk
+  FROM web_sales WHERE year(ws_sold_date_sk) = 1997 AND month(ws_sold_date_sk) = 11)
+SELECT i_brand_id, t_hour, round(sum(p), 4) AS ext_price
+FROM united
+JOIN item ON item_sk = i_item_sk
+JOIN time_dim ON time_sk = t_time_sk
+WHERE i_manager_id <= 4 AND (t_hour BETWEEN 7 AND 8 OR t_hour BETWEEN 17 AND 18)
+GROUP BY i_brand_id, t_hour
+ORDER BY t_hour, ext_price DESC, i_brand_id
+"""
+
+
+@register("tpcds_q71", Q71_ORACLE, tags=("tpcds", "crosschannel", "timeband"))
+def tpcds_q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q71 (reference tpcds/q71.sql; minute grain coarsened to
+    hour — the derived time_dim would make per-minute groups singleton):
+    breakfast- and dinner-hour brand revenue across all three channels
+    for one manager's items in November. Plan: the three channel
+    projections union before any join; the manager filter prunes item
+    BEFORE the fact join and the hour filter prunes the broadcast
+    time_dim; one (brand, hour) hash-agg."""
+    ds = _ds(spark, sf_dir)
+
+    def chan(fact: str, item: str, price: str, time: str, date: str) -> DataFrame:
+        return (
+            ds[fact]
+            .filter((F.year(date) == 1997) & (F.month(date) == 11))
+            .select(F.col(item).alias("item_sk"), F.col(price).alias("p"), F.col(time).alias("time_sk"))
+        )
+
+    united = (
+        chan("store_sales", "ss_item_sk", "ss_ext_sales_price", "ss_sold_time_sk", "ss_sold_date_sk")
+        .unionAll(chan("catalog_sales", "cs_item_sk", "cs_ext_sales_price", "cs_sold_time_sk", "cs_sold_date_sk"))
+        .unionAll(chan("web_sales", "ws_item_sk", "ws_ext_sales_price", "ws_sold_time_sk", "ws_sold_date_sk"))
+    )
+    items = ds["item"].filter(F.col("i_manager_id") <= 4).select("i_item_sk", "i_brand_id")
+    td = ds["time_dim"].filter(
+        F.col("t_hour").between(7, 8) | F.col("t_hour").between(17, 18)
+    ).select("t_time_sk", "t_hour")
+    return (
+        united.join(items, F.col("item_sk") == F.col("i_item_sk"))
+        .join(F.broadcast(td), F.col("time_sk") == F.col("t_time_sk"))
+        .groupBy("i_brand_id", "t_hour")
+        .agg(F.round(F.sum("p"), 4).alias("ext_price"))
+        .orderBy("t_hour", F.desc("ext_price"), "i_brand_id")
+    )
+
+
+Q83_ORACLE = f"""
+WITH {DS_CTES},
+common_dates AS (
+  SELECT sr_returned_date_sk AS d FROM store_returns
+  INTERSECT SELECT cr_returned_date_sk FROM catalog_returns
+  INTERSECT SELECT wr_returned_date_sk FROM web_returns),
+sr_items AS (
+  SELECT i_item_id AS item_id, sum(sr_return_quantity)::BIGINT AS sr_item_qty
+  FROM store_returns JOIN item ON sr_item_sk = i_item_sk
+  WHERE sr_returned_date_sk IN (SELECT d FROM common_dates)
+  GROUP BY i_item_id),
+cr_items AS (
+  SELECT i_item_id AS item_id, sum(cr_return_quantity)::BIGINT AS cr_item_qty
+  FROM catalog_returns JOIN item ON cr_item_sk = i_item_sk
+  WHERE cr_returned_date_sk IN (SELECT d FROM common_dates)
+  GROUP BY i_item_id),
+wr_items AS (
+  SELECT i_item_id AS item_id, sum(wr_return_quantity)::BIGINT AS wr_item_qty
+  FROM web_returns JOIN item ON wr_item_sk = i_item_sk
+  WHERE wr_returned_date_sk IN (SELECT d FROM common_dates)
+  GROUP BY i_item_id)
+SELECT s.item_id, sr_item_qty, cr_item_qty, wr_item_qty,
+       round(sr_item_qty::DOUBLE / ((sr_item_qty + cr_item_qty + wr_item_qty) / 3.0) * 100, 4) AS sr_dev,
+       round((sr_item_qty + cr_item_qty + wr_item_qty) / 3.0, 4) AS average
+FROM sr_items s JOIN cr_items c ON s.item_id = c.item_id
+                JOIN wr_items w ON s.item_id = w.item_id
+ORDER BY s.item_id
+LIMIT 100
+"""
+
+
+@register("tpcds_q83", Q83_ORACLE, tags=("tpcds", "returns", "intersect"))
+def tpcds_q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q83 (reference tpcds/q83.sql; the d_week_seq date-translation
+    subqueries become a direct INTERSECT of return dates): per-item return
+    quantities on days when ALL THREE channels processed returns, with
+    each channel's share of the three-channel average. Plan: the common
+    dates INTERSECT over three small distinct sets broadcasts into each
+    channel's return scan; three per-item aggregates join at |items|
+    scale."""
+    ds = _ds(spark, sf_dir)
+    item = ds["item"].select("i_item_sk", "i_item_id")
+    common = (
+        ds["store_returns"].select(F.col("sr_returned_date_sk").alias("d")).distinct()
+        .intersect(ds["catalog_returns"].select(F.col("cr_returned_date_sk").alias("d")).distinct())
+        .intersect(ds["web_returns"].select(F.col("wr_returned_date_sk").alias("d")).distinct())
+    )
+
+    def chan(rets: str, item_col: str, qty: str, date: str, out: str) -> DataFrame:
+        return (
+            ds[rets]
+            .join(F.broadcast(common), F.col(date) == F.col("d"), "left_semi")
+            .join(item, F.col(item_col) == F.col("i_item_sk"))
+            .groupBy(F.col("i_item_id").alias(f"{out}_id"))
+            .agg(F.sum(qty).cast("long").alias(f"{out}_item_qty"))
+        )
+
+    s = chan("store_returns", "sr_item_sk", "sr_return_quantity", "sr_returned_date_sk", "sr")
+    c = chan("catalog_returns", "cr_item_sk", "cr_return_quantity", "cr_returned_date_sk", "cr")
+    w = chan("web_returns", "wr_item_sk", "wr_return_quantity", "wr_returned_date_sk", "wr")
+    total = F.col("sr_item_qty") + F.col("cr_item_qty") + F.col("wr_item_qty")
+    return (
+        s.join(c, F.col("sr_id") == F.col("cr_id"))
+        .join(w, F.col("sr_id") == F.col("wr_id"))
+        .select(
+            F.col("sr_id").alias("item_id"), "sr_item_qty", "cr_item_qty", "wr_item_qty",
+            F.round(F.col("sr_item_qty").cast("double") / (total / 3.0) * 100, 4).alias("sr_dev"),
+            F.round(total / 3.0, 4).alias("average"),
+        )
+        .orderBy("item_id")
+        .limit(100)
+    )
+
+
+Q95_ORACLE = f"""
+WITH {DS_CTES}
+SELECT count(DISTINCT ws_order_number) AS order_count,
+       round(sum(ws_ext_sales_price), 4) AS total_sales,
+       round(sum(ws_net_profit), 4) AS total_net_profit
+FROM web_sales ws1
+WHERE ws_ship_date_sk BETWEEN TIMESTAMP '1997-02-01' AND TIMESTAMP '1997-04-02'
+  AND EXISTS (SELECT 1 FROM web_sales ws2
+              WHERE ws1.ws_order_number = ws2.ws_order_number
+                AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+  AND EXISTS (SELECT 1 FROM web_returns wr
+              WHERE ws1.ws_order_number = wr.wr_order_number)
+"""
+
+
+@register("tpcds_q95", Q95_ORACLE, tags=("tpcds", "existence", "semijoin"))
+def tpcds_q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q95 (reference tpcds/q95.sql) — q94 with the returns test
+    FLIPPED to EXISTS: multi-warehouse web orders in the window that WERE
+    (at least partly) returned; two left-semi joins feeding the 1-row
+    aggregate."""
+    ds = _ds(spark, sf_dir)
+    ws1 = ds["web_sales"].filter(
+        F.col("ws_ship_date_sk").between(F.expr("TIMESTAMP '1997-02-01'"), F.expr("TIMESTAMP '1997-04-02'"))
+    )
+    ws2 = ds["web_sales"].select(F.col("ws_order_number").alias("o2"), F.col("ws_warehouse_sk").alias("w2"))
+    wr = ds["web_returns"].select(F.col("wr_order_number").alias("ro"))
+    return (
+        ws1.join(ws2, (F.col("ws_order_number") == F.col("o2")) & (F.col("ws_warehouse_sk") != F.col("w2")), "left_semi")
+        .join(wr, F.col("ws_order_number") == F.col("ro"), "left_semi")
         .agg(
             F.countDistinct("ws_order_number").alias("order_count"),
             F.round(F.sum("ws_ext_sales_price"), 4).alias("total_sales"),
