@@ -118,7 +118,13 @@ customer_dim AS (
 household_demographics AS (
   SELECT DISTINCT c_custkey % 100 AS hd_demo_sk,
          (c_custkey % 100) % 10 AS hd_dep_count,
-         (c_custkey % 100) % 5 AS hd_vehicle_count
+         (c_custkey % 100) % 5 AS hd_vehicle_count,
+         (c_custkey % 100) % 20 AS hd_income_band_sk
+  FROM customer),
+income_band AS (
+  SELECT DISTINCT (c_custkey % 100) % 20 AS ib_income_band_sk,
+         ((c_custkey % 100) % 20) * 5000 AS ib_lower_bound,
+         ((c_custkey % 100) % 20) * 5000 + 4999 AS ib_upper_bound
   FROM customer),
 customer_demographics AS (
   SELECT DISTINCT c_custkey % 60 AS cd_demo_sk,
@@ -350,6 +356,16 @@ def _ds(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             hd_sk.alias("hd_demo_sk"),
             (hd_sk % 10).alias("hd_dep_count"),
             (hd_sk % 5).alias("hd_vehicle_count"),
+            (hd_sk % 20).alias("hd_income_band_sk"),
+        )
+        .distinct()
+    )
+    income_band = (
+        t["customer"]
+        .select(
+            (hd_sk % 20).alias("ib_income_band_sk"),
+            ((hd_sk % 20) * 5000).alias("ib_lower_bound"),
+            ((hd_sk % 20) * 5000 + 4999).alias("ib_upper_bound"),
         )
         .distinct()
     )
@@ -551,6 +567,7 @@ def _ds(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "household_demographics": household_demographics,
         "customer_demographics": customer_demographics,
         "promotion": promotion,
+        "income_band": income_band,
         "warehouse": warehouse,
         "ship_mode": ship_mode,
         "reason": reason,
@@ -5307,4 +5324,410 @@ def tpcds_q95(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("ws_ext_sales_price"), 4).alias("total_sales"),
             F.round(F.sum("ws_net_profit"), 4).alias("total_net_profit"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# r4 wave 6 — signed-union P&L, geography rollups, funnel chains, income
+# bands (q5 q18 q25 q78 q81 q84)
+# ---------------------------------------------------------------------------
+
+Q5_ORACLE = f"""
+WITH {DS_CTES},
+ssr AS (
+  SELECT sk AS id, round(sum(sales_price), 4) AS sales, round(sum(return_amt), 4) AS returns_amt,
+         round(sum(profit) - sum(net_loss), 4) AS profit
+  FROM (
+    SELECT ss_store_sk AS sk, ss_ext_sales_price AS sales_price, ss_net_profit AS profit,
+           0.0 AS return_amt, 0.0 AS net_loss
+    FROM store_sales WHERE year(ss_sold_date_sk) = 1997 AND month(ss_sold_date_sk) = 8
+    UNION ALL
+    SELECT sr_store_sk, 0.0, 0.0, sr_return_amt, sr_return_tax
+    FROM store_returns WHERE year(sr_returned_date_sk) = 1997 AND month(sr_returned_date_sk) = 8) x
+  GROUP BY sk),
+csr AS (
+  SELECT sk AS id, round(sum(sales_price), 4) AS sales, round(sum(return_amt), 4) AS returns_amt,
+         round(sum(profit) - sum(net_loss), 4) AS profit
+  FROM (
+    SELECT cs_call_center_sk AS sk, cs_ext_sales_price, cs_net_profit, 0.0, 0.0
+    FROM catalog_sales WHERE year(cs_sold_date_sk) = 1997 AND month(cs_sold_date_sk) = 8
+    UNION ALL
+    SELECT cr_call_center_sk, 0.0, 0.0, cr_return_amt, cr_net_loss
+    FROM catalog_returns WHERE year(cr_returned_date_sk) = 1997 AND month(cr_returned_date_sk) = 8
+  ) x(sk, sales_price, profit, return_amt, net_loss)
+  GROUP BY sk),
+wsr AS (
+  SELECT sk AS id, round(sum(sales_price), 4) AS sales, round(sum(return_amt), 4) AS returns_amt,
+         round(sum(profit) - sum(net_loss), 4) AS profit
+  FROM (
+    SELECT ws_web_page_sk AS sk, ws_ext_sales_price, ws_net_profit, 0.0, 0.0
+    FROM web_sales WHERE year(ws_sold_date_sk) = 1997 AND month(ws_sold_date_sk) = 8
+    UNION ALL
+    SELECT wr_web_page_sk, 0.0, 0.0, wr_return_amt, wr_net_loss
+    FROM web_returns WHERE year(wr_returned_date_sk) = 1997 AND month(wr_returned_date_sk) = 8
+  ) x(sk, sales_price, profit, return_amt, net_loss)
+  GROUP BY sk)
+SELECT channel, id, round(sum(sales), 4) AS sales, round(sum(returns_amt), 4) AS returns_amt,
+       round(sum(profit), 4) AS profit
+FROM (
+  SELECT 'store channel' AS channel, * FROM ssr
+  UNION ALL SELECT 'catalog channel', * FROM csr
+  UNION ALL SELECT 'web channel', * FROM wsr) u
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST
+"""
+
+
+@register("tpcds_q5", Q5_ORACLE, tags=("tpcds", "crosschannel", "rollup"))
+def tpcds_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q5 (reference tpcds/q5.sql): per-channel P&L via the SIGNED
+    UNION pattern — sales and returns rows union into one stream per
+    channel (returns carry zero sales and vice versa) BEFORE a single
+    per-id aggregate, unlike q77 which joins separately-aggregated sides.
+    The (channel, id) ROLLUP then runs over the tiny combined frame.
+    Plan: 6 filtered scans, 3 union-aggregates, one Expand over ~|ids|
+    rows."""
+    ds = _ds(spark, sf_dir)
+
+    def chan(sales: DataFrame, returns: DataFrame, label: str) -> DataFrame:
+        u = sales.unionAll(returns)
+        return (
+            u.groupBy("sk")
+            .agg(
+                F.round(F.sum("sales_price"), 4).alias("sales"),
+                F.round(F.sum("return_amt"), 4).alias("returns_amt"),
+                F.round(F.sum("profit") - F.sum("net_loss"), 4).alias("profit"),
+            )
+            .select(F.lit(label).alias("channel"), F.col("sk").alias("id"), "sales", "returns_amt", "profit")
+        )
+
+    def in_aug(df: DataFrame, col: str) -> DataFrame:
+        return df.filter((F.year(col) == 1997) & (F.month(col) == 8))
+
+    z = F.lit(0.0)
+    ssr = chan(
+        in_aug(ds["store_sales"], "ss_sold_date_sk").select(
+            F.col("ss_store_sk").alias("sk"), F.col("ss_ext_sales_price").alias("sales_price"),
+            F.col("ss_net_profit").alias("profit"), z.alias("return_amt"), z.alias("net_loss")),
+        in_aug(ds["store_returns"], "sr_returned_date_sk").select(
+            F.col("sr_store_sk").alias("sk"), z.alias("sales_price"), z.alias("profit"),
+            F.col("sr_return_amt").alias("return_amt"), F.col("sr_return_tax").alias("net_loss")),
+        "store channel",
+    )
+    csr = chan(
+        in_aug(ds["catalog_sales"], "cs_sold_date_sk").select(
+            F.col("cs_call_center_sk").alias("sk"), F.col("cs_ext_sales_price").alias("sales_price"),
+            F.col("cs_net_profit").alias("profit"), z.alias("return_amt"), z.alias("net_loss")),
+        in_aug(ds["catalog_returns"], "cr_returned_date_sk").select(
+            F.col("cr_call_center_sk").alias("sk"), z.alias("sales_price"), z.alias("profit"),
+            F.col("cr_return_amt").alias("return_amt"), F.col("cr_net_loss").alias("net_loss")),
+        "catalog channel",
+    )
+    wsr = chan(
+        in_aug(ds["web_sales"], "ws_sold_date_sk").select(
+            F.col("ws_web_page_sk").alias("sk"), F.col("ws_ext_sales_price").alias("sales_price"),
+            F.col("ws_net_profit").alias("profit"), z.alias("return_amt"), z.alias("net_loss")),
+        in_aug(ds["web_returns"], "wr_returned_date_sk").select(
+            F.col("wr_web_page_sk").alias("sk"), z.alias("sales_price"), z.alias("profit"),
+            F.col("wr_return_amt").alias("return_amt"), F.col("wr_net_loss").alias("net_loss")),
+        "web channel",
+    )
+    return (
+        ssr.unionAll(csr).unionAll(wsr)
+        .rollup("channel", "id")
+        .agg(
+            F.round(F.sum("sales"), 4).alias("sales"),
+            F.round(F.sum("returns_amt"), 4).alias("returns_amt"),
+            F.round(F.sum("profit"), 4).alias("profit"),
+        )
+        .orderBy(F.col("channel").asc_nulls_first(), F.col("id").asc_nulls_first())
+    )
+
+
+Q18_ORACLE = f"""
+WITH {DS_CTES}
+SELECT ca_state, ca_city,
+       round(avg(cs_quantity), 4) AS agg1,
+       round(avg(cs_ext_sales_price), 4) AS agg2,
+       round(avg(cs_net_profit), 4) AS agg3,
+       round(avg(hd_dep_count), 4) AS agg4
+FROM catalog_sales
+JOIN customer_dim ON cs_bill_customer_sk = c_customer_sk
+JOIN customer_address ON c_current_addr_sk = ca_address_sk
+JOIN household_demographics ON cs_bill_hdemo_sk = hd_demo_sk
+JOIN customer_demographics ON cs_bill_cdemo_sk = cd_demo_sk
+WHERE cd_gender = 'F' AND cd_education_status = 'Primary'
+  AND year(cs_sold_date_sk) = 1997
+GROUP BY ROLLUP (ca_state, ca_city)
+ORDER BY ca_state NULLS FIRST, ca_city NULLS FIRST
+LIMIT 100
+"""
+
+
+@register("tpcds_q18", Q18_ORACLE, tags=("tpcds", "catalog", "rollup"))
+def tpcds_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q18 (reference tpcds/q18.sql; the spec's cd numeric columns
+    map to the derived hd_dep_count): average catalog order statistics
+    over the customer-geography ROLLUP (state, city). Plan: demographics
+    broadcast-filter before the customer/address joins; the rollup Expand
+    runs AFTER the per-row join output is reduced to the four averaged
+    columns; deterministic ORDER with NULLS FIRST at both levels."""
+    ds = _ds(spark, sf_dir)
+    cd = ds["customer_demographics"].filter((F.col("cd_gender") == "F") & (F.col("cd_education_status") == "Primary"))
+    return (
+        ds["catalog_sales"]
+        .filter(F.year("cs_sold_date_sk") == 1997)
+        .join(F.broadcast(cd), F.col("cs_bill_cdemo_sk") == F.col("cd_demo_sk"))
+        .join(ds["customer_dim"].select("c_customer_sk", "c_current_addr_sk"), F.col("cs_bill_customer_sk") == F.col("c_customer_sk"))
+        .join(ds["customer_address"].select("ca_address_sk", "ca_state", "ca_city"), F.col("c_current_addr_sk") == F.col("ca_address_sk"))
+        .join(F.broadcast(ds["household_demographics"]), F.col("cs_bill_hdemo_sk") == F.col("hd_demo_sk"))
+        .rollup("ca_state", "ca_city")
+        .agg(
+            F.round(F.avg("cs_quantity"), 4).alias("agg1"),
+            F.round(F.avg("cs_ext_sales_price"), 4).alias("agg2"),
+            F.round(F.avg("cs_net_profit"), 4).alias("agg3"),
+            F.round(F.avg("hd_dep_count"), 4).alias("agg4"),
+        )
+        .orderBy(F.col("ca_state").asc_nulls_first(), F.col("ca_city").asc_nulls_first())
+        .limit(100)
+    )
+
+
+Q25_ORACLE = f"""
+WITH {DS_CTES}
+SELECT i_item_id, s_store_name,
+       round(sum(ss_net_profit), 4) AS store_sales_profit,
+       round(sum(sr_return_tax), 4) AS store_returns_loss,
+       round(sum(cs_net_profit), 4) AS catalog_sales_profit
+FROM store_sales
+JOIN store_returns ON ss_ticket_number = sr_ticket_number
+                  AND ss_item_sk = sr_item_sk AND ss_line_number = sr_line_number
+JOIN catalog_sales ON sr_customer_sk = cs_bill_customer_sk AND sr_item_sk = cs_item_sk
+JOIN item ON ss_item_sk = i_item_sk
+JOIN store ON ss_store_sk = s_store_sk
+WHERE year(ss_sold_date_sk) = 1996 AND month(ss_sold_date_sk) = 4
+  AND year(sr_returned_date_sk) = 1996 AND month(sr_returned_date_sk) BETWEEN 4 AND 10
+  AND year(cs_sold_date_sk) = 1996 AND month(cs_sold_date_sk) BETWEEN 4 AND 10
+GROUP BY i_item_id, s_store_name
+ORDER BY i_item_id, s_store_name
+LIMIT 100
+"""
+
+
+@register("tpcds_q25", Q25_ORACLE, tags=("tpcds", "crosschannel", "funnel"))
+def tpcds_q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q25 (reference tpcds/q25.sql) — q17's profit-sum variant on
+    a month-grain window: the same buy -> return -> catalog-rebuy chain
+    (line-grain ss><sr match, (customer, item) hop to catalog) but
+    summing store profit, return loss, and catalog profit per (item,
+    store)."""
+    ds = _ds(spark, sf_dir)
+    ss = ds["store_sales"].filter((F.year("ss_sold_date_sk") == 1996) & (F.month("ss_sold_date_sk") == 4))
+    sr = ds["store_returns"].filter((F.year("sr_returned_date_sk") == 1996) & F.month("sr_returned_date_sk").between(4, 10))
+    cs = ds["catalog_sales"].filter((F.year("cs_sold_date_sk") == 1996) & F.month("cs_sold_date_sk").between(4, 10))
+    return (
+        ss.join(
+            sr,
+            (F.col("ss_ticket_number") == F.col("sr_ticket_number"))
+            & (F.col("ss_item_sk") == F.col("sr_item_sk"))
+            & (F.col("ss_line_number") == F.col("sr_line_number")),
+        )
+        .join(cs, (F.col("sr_customer_sk") == F.col("cs_bill_customer_sk")) & (F.col("sr_item_sk") == F.col("cs_item_sk")))
+        .join(ds["item"].select("i_item_sk", "i_item_id"), F.col("ss_item_sk") == F.col("i_item_sk"))
+        .join(F.broadcast(ds["store"]), F.col("ss_store_sk") == F.col("s_store_sk"))
+        .groupBy("i_item_id", "s_store_name")
+        .agg(
+            F.round(F.sum("ss_net_profit"), 4).alias("store_sales_profit"),
+            F.round(F.sum("sr_return_tax"), 4).alias("store_returns_loss"),
+            F.round(F.sum("cs_net_profit"), 4).alias("catalog_sales_profit"),
+        )
+        .orderBy("i_item_id", "s_store_name")
+        .limit(100)
+    )
+
+
+Q78_ORACLE = f"""
+WITH {DS_CTES},
+ss AS (
+  SELECT ss_customer_sk AS cust, ss_item_sk AS itm,
+         sum(ss_quantity)::BIGINT AS ss_qty, round(sum(ss_ext_sales_price), 4) AS ss_amt
+  FROM store_sales LEFT JOIN store_returns
+    ON ss_ticket_number = sr_ticket_number AND ss_item_sk = sr_item_sk
+   AND ss_line_number = sr_line_number
+  WHERE sr_ticket_number IS NULL AND year(ss_sold_date_sk) = 1997
+  GROUP BY ss_customer_sk, ss_item_sk),
+ws AS (
+  SELECT ws_bill_customer_sk AS cust, ws_item_sk AS itm,
+         sum(ws_quantity)::BIGINT AS ws_qty
+  FROM web_sales LEFT JOIN web_returns
+    ON ws_order_number = wr_order_number AND ws_item_sk = wr_item_sk
+  WHERE wr_order_number IS NULL AND year(ws_sold_date_sk) = 1997
+  GROUP BY ws_bill_customer_sk, ws_item_sk),
+cs AS (
+  SELECT cs_bill_customer_sk AS cust, cs_item_sk AS itm,
+         sum(cs_quantity)::BIGINT AS cs_qty
+  FROM catalog_sales LEFT JOIN catalog_returns
+    ON cs_order_number = cr_order_number AND cs_item_sk = cr_item_sk
+  WHERE cr_order_number IS NULL AND year(cs_sold_date_sk) = 1997
+  GROUP BY cs_bill_customer_sk, cs_item_sk)
+SELECT ss.cust AS customer_sk, ss.itm AS item_sk, ss_qty, ss_amt,
+       coalesce(ws_qty, 0) + coalesce(cs_qty, 0) AS other_chan_qty,
+       round(ss_qty::DOUBLE / (coalesce(ws_qty, 0) + coalesce(cs_qty, 0)), 2) AS ratio
+FROM ss LEFT JOIN ws ON ss.cust = ws.cust AND ss.itm = ws.itm
+        LEFT JOIN cs ON ss.cust = cs.cust AND ss.itm = cs.itm
+WHERE coalesce(ws_qty, 0) + coalesce(cs_qty, 0) > 0
+ORDER BY customer_sk, item_sk
+LIMIT 100
+"""
+
+
+@register("tpcds_q78", Q78_ORACLE, tags=("tpcds", "crosschannel", "antijoin"))
+def tpcds_q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q78 (reference tpcds/q78.sql): per (customer, item) UNRETURNED
+    volumes — each channel drops its returned lines via a left join whose
+    match is REQUIRED NULL (anti-join by null filter, the spec's exact
+    formulation), then the store frame left-joins the two remote frames
+    and keeps pairs with any remote activity. Plan: three null-filtered
+    left joins at line grain, three (customer, item) aggregates, two
+    joins over aggregated frames on the composite key."""
+    ds = _ds(spark, sf_dir)
+    ss = (
+        ds["store_sales"].filter(F.year("ss_sold_date_sk") == 1997)
+        .join(
+            ds["store_returns"].select("sr_ticket_number", "sr_item_sk", "sr_line_number"),
+            (F.col("ss_ticket_number") == F.col("sr_ticket_number"))
+            & (F.col("ss_item_sk") == F.col("sr_item_sk"))
+            & (F.col("ss_line_number") == F.col("sr_line_number")),
+            "left",
+        )
+        .filter(F.col("sr_ticket_number").isNull())
+        .groupBy(F.col("ss_customer_sk").alias("cust"), F.col("ss_item_sk").alias("itm"))
+        .agg(F.sum("ss_quantity").cast("long").alias("ss_qty"), F.round(F.sum("ss_ext_sales_price"), 4).alias("ss_amt"))
+    )
+    ws = (
+        ds["web_sales"].filter(F.year("ws_sold_date_sk") == 1997)
+        .join(
+            ds["web_returns"].select("wr_order_number", "wr_item_sk").distinct(),
+            (F.col("ws_order_number") == F.col("wr_order_number")) & (F.col("ws_item_sk") == F.col("wr_item_sk")),
+            "left",
+        )
+        .filter(F.col("wr_order_number").isNull())
+        .groupBy(F.col("ws_bill_customer_sk").alias("wcust"), F.col("ws_item_sk").alias("witm"))
+        .agg(F.sum("ws_quantity").cast("long").alias("ws_qty"))
+    )
+    cs = (
+        ds["catalog_sales"].filter(F.year("cs_sold_date_sk") == 1997)
+        .join(
+            ds["catalog_returns"].select("cr_order_number", "cr_item_sk").distinct(),
+            (F.col("cs_order_number") == F.col("cr_order_number")) & (F.col("cs_item_sk") == F.col("cr_item_sk")),
+            "left",
+        )
+        .filter(F.col("cr_order_number").isNull())
+        .groupBy(F.col("cs_bill_customer_sk").alias("ccust"), F.col("cs_item_sk").alias("citm"))
+        .agg(F.sum("cs_quantity").cast("long").alias("cs_qty"))
+    )
+    other = F.coalesce(F.col("ws_qty"), F.lit(0)) + F.coalesce(F.col("cs_qty"), F.lit(0))
+    return (
+        ss.join(ws, (F.col("cust") == F.col("wcust")) & (F.col("itm") == F.col("witm")), "left")
+        .join(cs, (F.col("cust") == F.col("ccust")) & (F.col("itm") == F.col("citm")), "left")
+        .filter(other > 0)
+        .select(
+            F.col("cust").alias("customer_sk"), F.col("itm").alias("item_sk"), "ss_qty", "ss_amt",
+            other.alias("other_chan_qty"),
+            F.round(F.col("ss_qty").cast("double") / other, 2).alias("ratio"),
+        )
+        .orderBy("customer_sk", "item_sk")
+        .limit(100)
+    )
+
+
+Q81_ORACLE = f"""
+WITH {DS_CTES},
+ctr AS (
+  SELECT cr_returning_customer_sk AS ctr_customer_sk, ca_state AS ctr_state,
+         sum(cr_return_amt) AS ctr_total_return
+  FROM catalog_returns JOIN customer_address ON cr_returning_customer_sk = ca_address_sk
+  WHERE year(cr_returned_date_sk) = 1997
+  GROUP BY cr_returning_customer_sk, ca_state),
+state_avg AS (
+  SELECT ctr_state, avg(ctr_total_return) * 1.2 AS cutoff
+  FROM ctr GROUP BY ctr_state)
+SELECT ctr_customer_sk AS c_customer_sk, ctr_state AS ca_state,
+       round(ctr_total_return, 4) AS return_amt
+FROM ctr JOIN state_avg USING (ctr_state)
+WHERE ctr_total_return > cutoff
+ORDER BY c_customer_sk, ca_state
+LIMIT 100
+"""
+
+
+@register("tpcds_q81", Q81_ORACLE, tags=("tpcds", "returns", "subquery"))
+def tpcds_q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q81 (reference tpcds/q81.sql) — the catalog member of the
+    q1/q30 family: catalog returners above 1.2x their state's average
+    return total (addresses are 1:1 with customers in the derived star,
+    so the returning customer key doubles as the address key)."""
+    ds = _ds(spark, sf_dir)
+    ca = ds["customer_address"].select("ca_address_sk", "ca_state")
+    ctr = (
+        ds["catalog_returns"]
+        .filter(F.year("cr_returned_date_sk") == 1997)
+        .join(ca, F.col("cr_returning_customer_sk") == F.col("ca_address_sk"))
+        .groupBy(
+            F.col("cr_returning_customer_sk").alias("ctr_customer_sk"),
+            F.col("ca_state").alias("ctr_state"),
+        )
+        .agg(F.sum("cr_return_amt").alias("ctr_total_return"))
+    )
+    state_avg = ctr.groupBy("ctr_state").agg((F.avg("ctr_total_return") * 1.2).alias("cutoff"))
+    return (
+        ctr.join(F.broadcast(state_avg), "ctr_state")
+        .filter(F.col("ctr_total_return") > F.col("cutoff"))
+        .select(
+            F.col("ctr_customer_sk").alias("c_customer_sk"),
+            F.col("ctr_state").alias("ca_state"),
+            F.round("ctr_total_return", 4).alias("return_amt"),
+        )
+        .orderBy("c_customer_sk", "ca_state")
+        .limit(100)
+    )
+
+
+Q84_ORACLE = f"""
+WITH {DS_CTES}
+SELECT c.c_customer_sk AS customer_id, c.c_last_name AS customer_name
+FROM customer_dim c
+JOIN household_demographics ON hd_demo_sk = c.c_customer_sk % 100
+JOIN income_band ON hd_income_band_sk = ib_income_band_sk
+JOIN customer_address ON c.c_current_addr_sk = ca_address_sk
+WHERE ca_state = 'ST_2'
+  AND ib_lower_bound >= 25000 AND ib_upper_bound <= 70000
+  AND c.c_customer_sk IN (SELECT sr_customer_sk FROM store_returns)
+ORDER BY customer_id
+LIMIT 100
+"""
+
+
+@register("tpcds_q84", Q84_ORACLE, tags=("tpcds", "dimension", "incomeband"))
+def tpcds_q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q84 (reference tpcds/q84.sql; city filter mapped to the
+    derived state, income bounds retargeted to the derived 20-band
+    ladder): customers in a state within an income-band range who have
+    returned store merchandise. Plan: the dimension chain (customer ->
+    household -> income_band -> address) is all broadcast joins; the
+    returns membership is a LEFT SEMI against the deduped returner list —
+    no fact row ever widens."""
+    ds = _ds(spark, sf_dir)
+    ib = ds["income_band"].filter((F.col("ib_lower_bound") >= 25000) & (F.col("ib_upper_bound") <= 70000))
+    ca = ds["customer_address"].filter(F.col("ca_state") == "ST_2").select("ca_address_sk")
+    returners = ds["store_returns"].select(F.col("sr_customer_sk").alias("rk")).distinct()
+    return (
+        ds["customer_dim"]
+        .join(F.broadcast(ds["household_demographics"]), F.col("hd_demo_sk") == F.col("c_customer_sk") % 100)
+        .join(F.broadcast(ib), F.col("hd_income_band_sk") == F.col("ib_income_band_sk"))
+        .join(ca, F.col("c_current_addr_sk") == F.col("ca_address_sk"), "left_semi")
+        .join(returners, F.col("c_customer_sk") == F.col("rk"), "left_semi")
+        .select(F.col("c_customer_sk").alias("customer_id"), F.col("c_last_name").alias("customer_name"))
+        .orderBy("customer_id")
+        .limit(100)
     )
