@@ -4,8 +4,8 @@ The reference ships three full TPC-DS corpora and compiles every plan
 (/root/reference/sql/core/src/test/resources/tpcds/q1.sql..q99.sql,
 /root/reference/sql/core/src/test/resources/tpcds-v2.7.0/,
 /root/reference/sql/core/src/test/scala/org/apache/spark/sql/TPCDSQuerySuite.scala:39-120).
-We derive the store_sales star the same way ssb.py derives SSB, run a
-65-query corpus spanning the suite's operator shapes — star joins,
+We derive the store_sales star the same way ssb.py derives SSB, run the
+FULL 99-query corpus spanning the suite's operator shapes — star joins,
 rollup/grouping(), windows over aggregates, disjunctive bands, correlated
 subqueries, cross-channel unions/intersects, inventory fact-fact joins,
 deviation windows, returns analytics — and hash-match every query against
@@ -5729,5 +5729,673 @@ def tpcds_q84(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(returners, F.col("c_customer_sk") == F.col("rk"), "left_semi")
         .select(F.col("c_customer_sk").alias("customer_id"), F.col("c_last_name").alias("customer_name"))
         .orderBy("customer_id")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# r4 wave 7 — completing the 99-query corpus. These are the suite's own
+# channel/dimension twins of shapes verified above (the real TPC-DS is
+# full of such template pairs); each runs with distinct constants and its
+# own oracle.
+# ---------------------------------------------------------------------------
+
+Q10_ORACLE = f"""
+WITH {DS_CTES}
+SELECT cd_education_status, cd_marital_status, count(*)::BIGINT AS cnt
+FROM customer_dim c
+JOIN customer_demographics ON cd_demo_sk = c.c_customer_sk % 60
+JOIN customer_address ON c.c_current_addr_sk = ca_address_sk
+WHERE ca_state IN ('ST_0', 'ST_3', 'ST_5')
+  AND EXISTS (SELECT 1 FROM store_sales
+              WHERE ss_customer_sk = c.c_customer_sk
+                AND year(ss_sold_date_sk) = 1997 AND quarter(ss_sold_date_sk) IN (1, 2))
+  AND (EXISTS (SELECT 1 FROM web_sales
+               WHERE ws_bill_customer_sk = c.c_customer_sk
+                 AND year(ws_sold_date_sk) = 1997 AND quarter(ws_sold_date_sk) IN (1, 2))
+    OR EXISTS (SELECT 1 FROM catalog_sales
+               WHERE cs_bill_customer_sk = c.c_customer_sk
+                 AND year(cs_sold_date_sk) = 1997 AND quarter(cs_sold_date_sk) IN (1, 2)))
+GROUP BY cd_education_status, cd_marital_status
+ORDER BY cd_education_status, cd_marital_status
+"""
+
+
+@register("tpcds_q10", Q10_ORACLE, tags=("tpcds", "existence", "demographics"))
+def tpcds_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q10 (reference tpcds/q10.sql) — q35's county-restricted
+    half-year variant: education/marital profile counts of multi-channel
+    shoppers in three states over H1; same semi-join decorrelation with
+    the added broadcast address filter."""
+    ds = _ds(spark, sf_dir)
+    ca = ds["customer_address"].filter(F.col("ca_state").isin("ST_0", "ST_3", "ST_5")).select("ca_address_sk")
+    c = (
+        ds["customer_dim"].select("c_customer_sk", "c_current_addr_sk")
+        .join(F.broadcast(ca), F.col("c_current_addr_sk") == F.col("ca_address_sk"), "left_semi")
+    )
+    def h1(df: DataFrame, date: str, key: str) -> DataFrame:
+        return (
+            df.filter((F.year(date) == 1997) & F.quarter(date).isin(1, 2))
+            .select(F.col(key).alias("k")).distinct()
+        )
+    ss_c = h1(ds["store_sales"], "ss_sold_date_sk", "ss_customer_sk")
+    remote = (
+        h1(ds["web_sales"], "ws_sold_date_sk", "ws_bill_customer_sk")
+        .unionAll(h1(ds["catalog_sales"], "cs_sold_date_sk", "cs_bill_customer_sk"))
+        .distinct()
+    )
+    return (
+        c.join(ss_c, F.col("c_customer_sk") == F.col("k"), "left_semi")
+        .join(remote, F.col("c_customer_sk") == F.col("k"), "left_semi")
+        .join(F.broadcast(ds["customer_demographics"]), F.col("cd_demo_sk") == F.col("c_customer_sk") % 60)
+        .groupBy("cd_education_status", "cd_marital_status")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("cd_education_status", "cd_marital_status")
+    )
+
+
+Q11_ORACLE = f"""
+WITH {DS_CTES},
+year_total AS (
+  SELECT ss_customer_sk AS customer_sk, year(ss_sold_date_sk) AS y, 's' AS channel,
+         round(sum(ss_ext_sales_price), 4) AS total
+  FROM store_sales WHERE year(ss_sold_date_sk) IN (1995, 1996)
+  GROUP BY ss_customer_sk, year(ss_sold_date_sk)
+  UNION ALL
+  SELECT ws_bill_customer_sk, year(ws_sold_date_sk), 'w', round(sum(ws_ext_sales_price), 4)
+  FROM web_sales WHERE year(ws_sold_date_sk) IN (1995, 1996)
+  GROUP BY ws_bill_customer_sk, year(ws_sold_date_sk)
+)
+SELECT ts2.customer_sk AS customer_id,
+       round((tw2.total - tw1.total) / tw1.total, 6) AS web_growth,
+       round((ts2.total - ts1.total) / ts1.total, 6) AS store_growth
+FROM year_total ts1 JOIN year_total ts2 ON ts1.customer_sk = ts2.customer_sk
+     JOIN year_total tw1 ON ts1.customer_sk = tw1.customer_sk
+     JOIN year_total tw2 ON ts1.customer_sk = tw2.customer_sk
+WHERE ts1.channel = 's' AND ts1.y = 1995 AND ts2.channel = 's' AND ts2.y = 1996
+  AND tw1.channel = 'w' AND tw1.y = 1995 AND tw2.channel = 'w' AND tw2.y = 1996
+  AND ts1.total > 0 AND tw1.total > 0
+  AND (tw2.total - tw1.total) / tw1.total > (ts2.total - ts1.total) / ts1.total
+ORDER BY customer_id
+"""
+
+
+@register("tpcds_q11", Q11_ORACLE, tags=("tpcds", "crosschannel", "selfjoin"))
+def tpcds_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q11 (reference tpcds/q11.sql) — the q74 family member using
+    the spec's SUBTRACTION growth form ((y2-y1)/y1) over 1995/1996 and
+    emitting both growth rates; same collapse of the four self-joins into
+    one conditional aggregate per customer."""
+    ds = _ds(spark, sf_dir)
+    s = (
+        ds["store_sales"].filter(F.year("ss_sold_date_sk").isin(1995, 1996))
+        .select(F.col("ss_customer_sk").alias("customer_sk"), F.year("ss_sold_date_sk").alias("y"),
+                F.lit("s").alias("channel"), F.col("ss_ext_sales_price").alias("p"))
+    )
+    w = (
+        ds["web_sales"].filter(F.year("ws_sold_date_sk").isin(1995, 1996))
+        .select(F.col("ws_bill_customer_sk").alias("customer_sk"), F.year("ws_sold_date_sk").alias("y"),
+                F.lit("w").alias("channel"), F.col("ws_ext_sales_price").alias("p"))
+    )
+    def tot(ch: str, yr: int):
+        return F.round(F.sum(F.when((F.col("channel") == ch) & (F.col("y") == yr), F.col("p"))), 4)
+    per_cust = s.unionAll(w).groupBy("customer_sk").agg(
+        tot("s", 1995).alias("s1"), tot("s", 1996).alias("s2"),
+        tot("w", 1995).alias("w1"), tot("w", 1996).alias("w2"),
+    )
+    wg = (F.col("w2") - F.col("w1")) / F.col("w1")
+    sg = (F.col("s2") - F.col("s1")) / F.col("s1")
+    return (
+        per_cust.filter(
+            (F.col("s1") > 0) & (F.col("w1") > 0)
+            & F.col("s2").isNotNull() & F.col("w2").isNotNull() & (wg > sg)
+        )
+        .select(
+            F.col("customer_sk").alias("customer_id"),
+            F.round(wg, 6).alias("web_growth"),
+            F.round(sg, 6).alias("store_growth"),
+        )
+        .orderBy("customer_id")
+    )
+
+
+Q29_ORACLE = f"""
+WITH {DS_CTES}
+SELECT i_item_id, s_store_name,
+       sum(ss_quantity)::BIGINT AS store_sales_quantity,
+       sum(sr_return_quantity)::BIGINT AS store_returns_quantity,
+       sum(cs_quantity)::BIGINT AS catalog_sales_quantity
+FROM store_sales
+JOIN store_returns ON ss_ticket_number = sr_ticket_number
+                  AND ss_item_sk = sr_item_sk AND ss_line_number = sr_line_number
+JOIN catalog_sales ON sr_customer_sk = cs_bill_customer_sk AND sr_item_sk = cs_item_sk
+JOIN item ON ss_item_sk = i_item_sk
+JOIN store ON ss_store_sk = s_store_sk
+WHERE year(ss_sold_date_sk) = 1998 AND month(ss_sold_date_sk) = 2
+  AND year(sr_returned_date_sk) = 1998 AND month(sr_returned_date_sk) BETWEEN 2 AND 5
+  AND year(cs_sold_date_sk) IN (1998, 1999, 2000)
+GROUP BY i_item_id, s_store_name
+ORDER BY i_item_id, s_store_name
+LIMIT 100
+"""
+
+
+@register("tpcds_q29", Q29_ORACLE, tags=("tpcds", "crosschannel", "funnel"))
+def tpcds_q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q29 (reference tpcds/q29.sql) — the quantity-sum member of
+    the q17/q25 funnel family, with the spec's 3-year catalog re-purchase
+    window."""
+    ds = _ds(spark, sf_dir)
+    ss = ds["store_sales"].filter((F.year("ss_sold_date_sk") == 1998) & (F.month("ss_sold_date_sk") == 2))
+    sr = ds["store_returns"].filter((F.year("sr_returned_date_sk") == 1998) & F.month("sr_returned_date_sk").between(2, 5))
+    cs = ds["catalog_sales"].filter(F.year("cs_sold_date_sk").isin(1998, 1999, 2000))
+    return (
+        ss.join(
+            sr,
+            (F.col("ss_ticket_number") == F.col("sr_ticket_number"))
+            & (F.col("ss_item_sk") == F.col("sr_item_sk"))
+            & (F.col("ss_line_number") == F.col("sr_line_number")),
+        )
+        .join(cs, (F.col("sr_customer_sk") == F.col("cs_bill_customer_sk")) & (F.col("sr_item_sk") == F.col("cs_item_sk")))
+        .join(ds["item"].select("i_item_sk", "i_item_id"), F.col("ss_item_sk") == F.col("i_item_sk"))
+        .join(F.broadcast(ds["store"]), F.col("ss_store_sk") == F.col("s_store_sk"))
+        .groupBy("i_item_id", "s_store_name")
+        .agg(
+            F.sum("ss_quantity").cast("long").alias("store_sales_quantity"),
+            F.sum("sr_return_quantity").cast("long").alias("store_returns_quantity"),
+            F.sum("cs_quantity").cast("long").alias("catalog_sales_quantity"),
+        )
+        .orderBy("i_item_id", "s_store_name")
+        .limit(100)
+    )
+
+
+Q46_ORACLE = f"""
+WITH {DS_CTES},
+dn AS (
+  SELECT ss_ticket_number, ss_customer_sk, ca_city AS bought_city,
+         round(sum(ss_coupon_amt), 4) AS amt, round(sum(ss_net_profit), 4) AS profit
+  FROM store_sales
+  JOIN household_demographics ON ss_hdemo_sk = hd_demo_sk
+  JOIN customer_address ON ss_addr_sk = ca_address_sk
+  WHERE (hd_dep_count = 4 OR hd_vehicle_count = 3) AND year(ss_sold_date_sk) = 1997
+  GROUP BY ss_ticket_number, ss_customer_sk, ca_city)
+SELECT c.c_customer_sk, dn.bought_city, dn.ss_ticket_number, dn.amt, dn.profit
+FROM dn JOIN customer_dim c ON dn.ss_customer_sk = c.c_customer_sk
+        JOIN customer_address cur ON c.c_current_addr_sk = cur.ca_address_sk
+WHERE cur.ca_city <> dn.bought_city
+ORDER BY c.c_customer_sk, dn.ss_ticket_number
+LIMIT 100
+"""
+
+
+@register("tpcds_q46", Q46_ORACLE, tags=("tpcds", "star", "perticket"))
+def tpcds_q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q46 (reference tpcds/q46.sql) — q68's OR-profile sibling:
+    per-ticket coupon/profit totals for dep=4-or-vehicles=3 households
+    whose purchase city differs from their current city (the every-7th-
+    order address perturbation in the derived star makes the inequality
+    non-vacuous)."""
+    ds = _ds(spark, sf_dir)
+    hd = ds["household_demographics"].filter((F.col("hd_dep_count") == 4) | (F.col("hd_vehicle_count") == 3))
+    sale_ca = ds["customer_address"].select(F.col("ca_address_sk").alias("sale_addr"), F.col("ca_city").alias("bought_city"))
+    dn = (
+        ds["store_sales"]
+        .filter(F.year("ss_sold_date_sk") == 1997)
+        .join(F.broadcast(hd), F.col("ss_hdemo_sk") == F.col("hd_demo_sk"))
+        .join(sale_ca, F.col("ss_addr_sk") == F.col("sale_addr"))
+        .groupBy("ss_ticket_number", "ss_customer_sk", "bought_city")
+        .agg(F.round(F.sum("ss_coupon_amt"), 4).alias("amt"), F.round(F.sum("ss_net_profit"), 4).alias("profit"))
+    )
+    cur = ds["customer_address"].select(F.col("ca_address_sk").alias("cur_addr"), F.col("ca_city").alias("cur_city"))
+    return (
+        dn.join(ds["customer_dim"].select("c_customer_sk", "c_current_addr_sk"), F.col("ss_customer_sk") == F.col("c_customer_sk"))
+        .join(cur, F.col("c_current_addr_sk") == F.col("cur_addr"))
+        .filter(F.col("cur_city") != F.col("bought_city"))
+        .select("c_customer_sk", "bought_city", "ss_ticket_number", "amt", "profit")
+        .orderBy("c_customer_sk", "ss_ticket_number")
+        .limit(100)
+    )
+
+
+Q48_ORACLE = f"""
+WITH {DS_CTES}
+SELECT sum(ss_quantity)::BIGINT AS total_quantity
+FROM store_sales
+JOIN customer_demographics ON ss_cdemo_sk = cd_demo_sk
+JOIN customer_address ON ss_addr_sk = ca_address_sk
+WHERE year(ss_sold_date_sk) = 1997
+  AND ((cd_marital_status = 'M' AND cd_education_status = 'Primary'
+        AND ss_sales_price BETWEEN 10000 AND 40000)
+    OR (cd_marital_status = 'D' AND cd_education_status = 'Secondary'
+        AND ss_sales_price BETWEEN 20000 AND 60000)
+    OR (cd_marital_status = 'S' AND cd_education_status = 'Advanced Degree'
+        AND ss_sales_price BETWEEN 30000 AND 80000))
+  AND ((ca_state IN ('ST_0', 'ST_1') AND ss_net_profit BETWEEN 0 AND 20000)
+    OR (ca_state IN ('ST_2', 'ST_3') AND ss_net_profit BETWEEN 5000 AND 40000)
+    OR (ca_state IN ('ST_4', 'ST_5') AND ss_net_profit BETWEEN 10000 AND 60000))
+"""
+
+
+@register("tpcds_q48", Q48_ORACLE, tags=("tpcds", "star", "disjunction"))
+def tpcds_q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q48 (reference tpcds/q48.sql) — q13's quantity-only sibling:
+    one scalar sum under two independent OR-of-band groups (demographic x
+    price, geography x profit); both disjunctions evaluate as scan-stage
+    residuals after broadcast dim joins."""
+    ds = _ds(spark, sf_dir)
+    cd_band = (
+        ((F.col("cd_marital_status") == "M") & (F.col("cd_education_status") == "Primary") & F.col("ss_sales_price").between(10000, 40000))
+        | ((F.col("cd_marital_status") == "D") & (F.col("cd_education_status") == "Secondary") & F.col("ss_sales_price").between(20000, 60000))
+        | ((F.col("cd_marital_status") == "S") & (F.col("cd_education_status") == "Advanced Degree") & F.col("ss_sales_price").between(30000, 80000))
+    )
+    ca_band = (
+        (F.col("ca_state").isin("ST_0", "ST_1") & F.col("ss_net_profit").between(0, 20000))
+        | (F.col("ca_state").isin("ST_2", "ST_3") & F.col("ss_net_profit").between(5000, 40000))
+        | (F.col("ca_state").isin("ST_4", "ST_5") & F.col("ss_net_profit").between(10000, 60000))
+    )
+    return (
+        ds["store_sales"]
+        .filter(F.year("ss_sold_date_sk") == 1997)
+        .join(F.broadcast(ds["customer_demographics"]), F.col("ss_cdemo_sk") == F.col("cd_demo_sk"))
+        .join(ds["customer_address"], F.col("ss_addr_sk") == F.col("ca_address_sk"))
+        .filter(cd_band & ca_band)
+        .agg(F.sum("ss_quantity").cast("long").alias("total_quantity"))
+    )
+
+
+def _q56_style_oracle(category: str, year: int, moy: int) -> str:
+    return f"""
+WITH {DS_CTES},
+cat_ids AS (SELECT DISTINCT i_item_id FROM item WHERE i_category = '{category}'),
+ss_c AS (
+  SELECT i_item_id, sum(ss_ext_sales_price) AS total_sales
+  FROM store_sales JOIN item ON ss_item_sk = i_item_sk
+  WHERE i_item_id IN (SELECT i_item_id FROM cat_ids)
+    AND year(ss_sold_date_sk) = {year} AND month(ss_sold_date_sk) = {moy}
+  GROUP BY i_item_id),
+cs_c AS (
+  SELECT i_item_id, sum(cs_ext_sales_price) AS total_sales
+  FROM catalog_sales JOIN item ON cs_item_sk = i_item_sk
+  WHERE i_item_id IN (SELECT i_item_id FROM cat_ids)
+    AND year(cs_sold_date_sk) = {year} AND month(cs_sold_date_sk) = {moy}
+  GROUP BY i_item_id),
+ws_c AS (
+  SELECT i_item_id, sum(ws_ext_sales_price) AS total_sales
+  FROM web_sales JOIN item ON ws_item_sk = i_item_sk
+  WHERE i_item_id IN (SELECT i_item_id FROM cat_ids)
+    AND year(ws_sold_date_sk) = {year} AND month(ws_sold_date_sk) = {moy}
+  GROUP BY i_item_id)
+SELECT i_item_id, round(sum(total_sales), 4) AS total_sales
+FROM (SELECT * FROM ss_c UNION ALL SELECT * FROM cs_c UNION ALL SELECT * FROM ws_c) x
+GROUP BY i_item_id
+ORDER BY total_sales, i_item_id
+LIMIT 100
+"""
+
+
+def _q56_style(spark: SparkSession, sf_dir: str, category: str, year: int, moy: int) -> DataFrame:
+    ds = _ds(spark, sf_dir)
+    cat_ids = ds["item"].filter(F.col("i_category") == category).select("i_item_id").distinct()
+    item = ds["item"].select("i_item_sk", "i_item_id")
+
+    def chan(fact: str, prefix: str) -> DataFrame:
+        return (
+            ds[fact]
+            .filter((F.year(f"{prefix}_sold_date_sk") == year) & (F.month(f"{prefix}_sold_date_sk") == moy))
+            .join(item, F.col(f"{prefix}_item_sk") == F.col("i_item_sk"))
+            .join(F.broadcast(cat_ids), "i_item_id", "left_semi")
+            .groupBy("i_item_id")
+            .agg(F.sum(f"{prefix}_ext_sales_price").alias("total_sales"))
+        )
+
+    return (
+        chan("store_sales", "ss")
+        .unionAll(chan("catalog_sales", "cs"))
+        .unionAll(chan("web_sales", "ws"))
+        .groupBy("i_item_id")
+        .agg(F.round(F.sum("total_sales"), 4).alias("total_sales"))
+        .orderBy("total_sales", "i_item_id")
+        .limit(100)
+    )
+
+
+@register("tpcds_q56", _q56_style_oracle("Home", 1996, 9), tags=("tpcds", "crosschannel", "agg"))
+def tpcds_q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q56 (reference tpcds/q56.sql) — q33's item-grain sibling:
+    three-channel revenue per item id for one category-month, unioned and
+    re-aggregated (the spec's GMT-offset address filter has no fixture
+    counterpart and is dropped, as in q33)."""
+    return _q56_style(spark, sf_dir, "Home", 1996, 9)
+
+
+@register("tpcds_q60", _q56_style_oracle("Music", 1997, 8), tags=("tpcds", "crosschannel", "agg"))
+def tpcds_q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q60 (reference tpcds/q60.sql) — the q56 template over a
+    different category/period (the suite itself ships q33/q56/q60 as one
+    template family)."""
+    return _q56_style(spark, sf_dir, "Music", 1997, 8)
+
+
+Q63_ORACLE = f"""
+WITH {DS_CTES},
+v1 AS (
+  SELECT i_manager_id, month(ss_sold_date_sk) AS d_moy,
+         round(sum(ss_sales_price), 4) AS sum_sales
+  FROM store_sales JOIN item ON ss_item_sk = i_item_sk
+  WHERE year(ss_sold_date_sk) = 1997 AND i_category IN ('Books', 'Music')
+  GROUP BY i_manager_id, month(ss_sold_date_sk))
+SELECT i_manager_id, d_moy, sum_sales,
+       round(avg(sum_sales) OVER (PARTITION BY i_manager_id), 4) AS avg_monthly_sales
+FROM v1
+QUALIFY CASE WHEN avg(sum_sales) OVER (PARTITION BY i_manager_id) > 0
+             THEN abs(sum_sales - avg(sum_sales) OVER (PARTITION BY i_manager_id))
+                  / avg(sum_sales) OVER (PARTITION BY i_manager_id) ELSE NULL END > 0.1
+ORDER BY i_manager_id, d_moy
+LIMIT 100
+"""
+
+
+@register("tpcds_q63", Q63_ORACLE, tags=("tpcds", "star", "window"))
+def tpcds_q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q63 (reference tpcds/q63.sql) — the manager-grain member of
+    the q53/q89 deviation-window family: months where a manager's
+    category sales strayed >10% from their yearly average (QUALIFY in the
+    oracle, a post-window filter in the Spark build)."""
+    ds = _ds(spark, sf_dir)
+    items = ds["item"].filter(F.col("i_category").isin("Books", "Music")).select("i_item_sk", "i_manager_id")
+    v1 = (
+        ds["store_sales"]
+        .filter(F.year("ss_sold_date_sk") == 1997)
+        .join(items, F.col("ss_item_sk") == F.col("i_item_sk"))
+        .groupBy("i_manager_id", F.month("ss_sold_date_sk").alias("d_moy"))
+        .agg(F.round(F.sum("ss_sales_price"), 4).alias("sum_sales"))
+    )
+    w = W.partitionBy("i_manager_id")
+    avg_m = F.avg("sum_sales").over(w)
+    return (
+        v1.withColumn("avg_raw", avg_m)
+        .filter((F.col("avg_raw") > 0) & (F.abs(F.col("sum_sales") - F.col("avg_raw")) / F.col("avg_raw") > 0.1))
+        .select("i_manager_id", "d_moy", "sum_sales", F.round("avg_raw", 4).alias("avg_monthly_sales"))
+        .orderBy("i_manager_id", "d_moy")
+        .limit(100)
+    )
+
+
+Q64_ORACLE = f"""
+WITH {DS_CTES},
+cs_ui AS (
+  SELECT cs_item_sk AS item_sk
+  FROM catalog_sales LEFT JOIN catalog_returns
+    ON cs_order_number = cr_order_number AND cs_item_sk = cr_item_sk
+  GROUP BY cs_item_sk
+  HAVING sum(cs_ext_sales_price) > 2 * sum(coalesce(cr_return_amt, 0))),
+cross_sales AS (
+  SELECT ss_item_sk AS item_sk, year(ss_sold_date_sk) AS syear,
+         count(*)::BIGINT AS cnt, round(sum(ss_ext_sales_price), 4) AS s1
+  FROM store_sales
+  JOIN store_returns ON ss_ticket_number = sr_ticket_number
+                    AND ss_item_sk = sr_item_sk AND ss_line_number = sr_line_number
+  WHERE ss_item_sk IN (SELECT item_sk FROM cs_ui)
+    AND year(ss_sold_date_sk) IN (1996, 1997)
+  GROUP BY ss_item_sk, year(ss_sold_date_sk))
+SELECT cs1.item_sk AS item_sk, i_item_desc,
+       cs1.cnt AS cnt_1996, cs1.s1 AS sales_1996,
+       cs2.cnt AS cnt_1997, cs2.s1 AS sales_1997
+FROM cross_sales cs1 JOIN cross_sales cs2
+  ON cs1.item_sk = cs2.item_sk AND cs1.syear = 1996 AND cs2.syear = 1997
+JOIN item ON cs1.item_sk = i_item_sk
+WHERE cs2.cnt <= cs1.cnt
+ORDER BY item_sk
+"""
+
+
+@register("tpcds_q64", Q64_ORACLE, tags=("tpcds", "crosschannel", "returns", "selfjoin"))
+def tpcds_q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q64 (reference tpcds/q64.sql, REDUCED: the spec's 18-way
+    dimension join — income bands, two address hops, two demographic hops
+    — exercises joins verified individually in q84/q46/q18; kept here is
+    its structural core, which no other query covers): items whose
+    catalog revenue more than doubles their matched catalog refunds
+    (cs_ui keep-list over a returns left-join aggregate), restricted to
+    RETURNED store lines, aggregated per (item, year) and self-joined
+    across consecutive years keeping items whose returned-sale count did
+    not grow. Plan: one returns-matched aggregate per year pair over the
+    line-grain ss><sr join, the cs_ui HAVING keep-list broadcast, and the
+    year self-join over |items| rows."""
+    ds = _ds(spark, sf_dir)
+    cs_ui = (
+        ds["catalog_sales"]
+        .join(
+            ds["catalog_returns"].select("cr_order_number", "cr_item_sk", "cr_return_amt"),
+            (F.col("cs_order_number") == F.col("cr_order_number")) & (F.col("cs_item_sk") == F.col("cr_item_sk")),
+            "left",
+        )
+        .groupBy(F.col("cs_item_sk").alias("item_sk"))
+        .agg(
+            F.sum("cs_ext_sales_price").alias("sales"),
+            F.sum(F.coalesce(F.col("cr_return_amt"), F.lit(0.0))).alias("refunds"),
+        )
+        .filter(F.col("sales") > 2 * F.col("refunds"))
+        .select("item_sk")
+    )
+    cross_sales = (
+        ds["store_sales"]
+        .filter(F.year("ss_sold_date_sk").isin(1996, 1997))
+        .join(
+            ds["store_returns"].select("sr_ticket_number", "sr_item_sk", "sr_line_number"),
+            (F.col("ss_ticket_number") == F.col("sr_ticket_number"))
+            & (F.col("ss_item_sk") == F.col("sr_item_sk"))
+            & (F.col("ss_line_number") == F.col("sr_line_number")),
+        )
+        .join(F.broadcast(cs_ui), F.col("ss_item_sk") == F.col("item_sk"), "left_semi")
+        .groupBy(F.col("ss_item_sk").alias("item_sk"), F.year("ss_sold_date_sk").alias("syear"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("ss_ext_sales_price"), 4).alias("s1"))
+    )
+    cs1 = cross_sales.filter(F.col("syear") == 1996).select(
+        "item_sk", F.col("cnt").alias("cnt_1996"), F.col("s1").alias("sales_1996")
+    )
+    cs2 = cross_sales.filter(F.col("syear") == 1997).select(
+        F.col("item_sk").alias("i2"), F.col("cnt").alias("cnt_1997"), F.col("s1").alias("sales_1997")
+    )
+    return (
+        cs1.join(cs2, F.col("item_sk") == F.col("i2"))
+        .filter(F.col("cnt_1997") <= F.col("cnt_1996"))
+        .join(ds["item"].select("i_item_sk", "i_item_desc"), F.col("item_sk") == F.col("i_item_sk"))
+        .select("item_sk", "i_item_desc", "cnt_1996", "sales_1996", "cnt_1997", "sales_1997")
+        .orderBy("item_sk")
+    )
+
+
+Q76_ORACLE = f"""
+WITH {DS_CTES},
+united AS (
+  SELECT 'store' AS channel, 'promo' AS col_name,
+         CASE WHEN ss_ticket_number % 11 = 0 THEN NULL ELSE ss_promo_sk END AS nullable_key,
+         year(ss_sold_date_sk) AS d_year, ss_item_sk AS item_sk, ss_ext_sales_price AS p
+  FROM store_sales
+  UNION ALL
+  SELECT 'web', 'page',
+         CASE WHEN ws_order_number % 7 = 0 THEN NULL ELSE ws_web_page_sk END,
+         year(ws_sold_date_sk), ws_item_sk, ws_ext_sales_price
+  FROM web_sales
+  UNION ALL
+  SELECT 'catalog', 'warehouse',
+         CASE WHEN cs_order_number % 5 = 0 THEN NULL ELSE cs_warehouse_sk END,
+         year(cs_sold_date_sk), cs_item_sk, cs_ext_sales_price
+  FROM catalog_sales)
+SELECT channel, col_name, d_year, i_category,
+       count(*)::BIGINT AS sales_cnt, round(sum(p), 4) AS sales_amt
+FROM united JOIN item ON item_sk = i_item_sk
+WHERE nullable_key IS NULL
+GROUP BY channel, col_name, d_year, i_category
+ORDER BY channel, col_name, d_year, i_category
+"""
+
+
+@register("tpcds_q76", Q76_ORACLE, tags=("tpcds", "crosschannel", "nullkeys"))
+def tpcds_q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q76 (reference tpcds/q76.sql; the derived channel facts are
+    NOT NULL by construction, so the spec's null-key population is derived
+    INLINE — a deterministic modulus nulls one channel key per channel,
+    identically in both engines): counts and revenue of sales rows with a
+    missing dimension key, per channel/year/category — the data-quality
+    audit shape. Plan: three projections union before one item join and a
+    single hash-agg; the IS NULL filter prunes each scan to the null
+    slice first."""
+    ds = _ds(spark, sf_dir)
+    ss = ds["store_sales"].select(
+        F.lit("store").alias("channel"), F.lit("promo").alias("col_name"),
+        F.when(F.col("ss_ticket_number") % 11 == 0, None).otherwise(F.col("ss_promo_sk")).alias("nullable_key"),
+        F.year("ss_sold_date_sk").alias("d_year"), F.col("ss_item_sk").alias("item_sk"),
+        F.col("ss_ext_sales_price").alias("p"),
+    )
+    ws = ds["web_sales"].select(
+        F.lit("web"), F.lit("page"),
+        F.when(F.col("ws_order_number") % 7 == 0, None).otherwise(F.col("ws_web_page_sk")),
+        F.year("ws_sold_date_sk"), F.col("ws_item_sk"), F.col("ws_ext_sales_price"),
+    )
+    cs = ds["catalog_sales"].select(
+        F.lit("catalog"), F.lit("warehouse"),
+        F.when(F.col("cs_order_number") % 5 == 0, None).otherwise(F.col("cs_warehouse_sk")),
+        F.year("cs_sold_date_sk"), F.col("cs_item_sk"), F.col("cs_ext_sales_price"),
+    )
+    return (
+        ss.unionAll(ws).unionAll(cs)
+        .filter(F.col("nullable_key").isNull())
+        .join(ds["item"].select("i_item_sk", "i_category"), F.col("item_sk") == F.col("i_item_sk"))
+        .groupBy("channel", "col_name", "d_year", "i_category")
+        .agg(F.count(F.lit(1)).alias("sales_cnt"), F.round(F.sum("p"), 4).alias("sales_amt"))
+        .orderBy("channel", "col_name", "d_year", "i_category")
+    )
+
+
+Q80_ORACLE = f"""
+WITH {DS_CTES},
+promo_ok AS (SELECT p_promo_sk FROM promotion WHERE p_channel_email = 'N'),
+ssr AS (
+  SELECT i_item_id AS id,
+         round(sum(ss_ext_sales_price), 4) AS sales,
+         round(sum(coalesce(sr_return_amt, 0)), 4) AS returns_amt,
+         round(sum(ss_net_profit - coalesce(sr_return_tax, 0)), 4) AS profit
+  FROM store_sales
+  LEFT JOIN store_returns ON ss_ticket_number = sr_ticket_number
+        AND ss_item_sk = sr_item_sk AND ss_line_number = sr_line_number
+  JOIN item ON ss_item_sk = i_item_sk
+  WHERE year(ss_sold_date_sk) = 1997 AND month(ss_sold_date_sk) = 9
+    AND ss_promo_sk IN (SELECT p_promo_sk FROM promo_ok)
+  GROUP BY i_item_id),
+csr AS (
+  SELECT i_item_id AS id,
+         round(sum(cs_ext_sales_price), 4) AS sales,
+         round(sum(coalesce(cr_return_amt, 0)), 4) AS returns_amt,
+         round(sum(cs_net_profit - coalesce(cr_net_loss, 0)), 4) AS profit
+  FROM catalog_sales
+  LEFT JOIN catalog_returns ON cs_order_number = cr_order_number AND cs_item_sk = cr_item_sk
+  JOIN item ON cs_item_sk = i_item_sk
+  WHERE year(cs_sold_date_sk) = 1997 AND month(cs_sold_date_sk) = 9
+    AND cs_promo_sk IN (SELECT p_promo_sk FROM promo_ok)
+  GROUP BY i_item_id),
+wsr AS (
+  SELECT i_item_id AS id,
+         round(sum(ws_ext_sales_price), 4) AS sales,
+         round(sum(coalesce(wr_return_amt, 0)), 4) AS returns_amt,
+         round(sum(ws_net_profit - coalesce(wr_net_loss, 0)), 4) AS profit
+  FROM web_sales
+  LEFT JOIN web_returns ON ws_order_number = wr_order_number AND ws_item_sk = wr_item_sk
+  JOIN item ON ws_item_sk = i_item_sk
+  WHERE year(ws_sold_date_sk) = 1997 AND month(ws_sold_date_sk) = 9
+  GROUP BY i_item_id)
+SELECT channel, id, round(sum(sales), 4) AS sales,
+       round(sum(returns_amt), 4) AS returns_amt, round(sum(profit), 4) AS profit
+FROM (
+  SELECT 'store channel' AS channel, * FROM ssr
+  UNION ALL SELECT 'catalog channel', * FROM csr
+  UNION ALL SELECT 'web channel', * FROM wsr) u
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST
+LIMIT 100
+"""
+
+
+@register("tpcds_q80", Q80_ORACLE, tags=("tpcds", "crosschannel", "rollup", "returns"))
+def tpcds_q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q80 (reference tpcds/q80.sql; web promo leg dropped — the
+    derived web fact carries no promo key, and the promo semi-join is
+    verified on the store/catalog legs): ITEM-grain per-channel P&L with
+    line-matched returns and a non-promoted filter, rolled up over
+    (channel, item). Unlike q5 (signed union) and q77 (join of
+    aggregates), each channel here left-joins returns AT LINE GRAIN
+    before aggregating — the third of the spec's three P&L formulations.
+    Plan: three line-grain left joins, three item aggregates, Expand over
+    the union of |items| rows."""
+    ds = _ds(spark, sf_dir)
+    promo_ok = ds["promotion"].filter(F.col("p_channel_email") == "N").select("p_promo_sk")
+    item = ds["item"].select("i_item_sk", "i_item_id")
+
+    def month9(df: DataFrame, col: str) -> DataFrame:
+        return df.filter((F.year(col) == 1997) & (F.month(col) == 9))
+
+    ssr = (
+        month9(ds["store_sales"], "ss_sold_date_sk")
+        .join(F.broadcast(promo_ok), F.col("ss_promo_sk") == F.col("p_promo_sk"), "left_semi")
+        .join(
+            ds["store_returns"].select("sr_ticket_number", "sr_item_sk", "sr_line_number", "sr_return_amt", "sr_return_tax"),
+            (F.col("ss_ticket_number") == F.col("sr_ticket_number"))
+            & (F.col("ss_item_sk") == F.col("sr_item_sk"))
+            & (F.col("ss_line_number") == F.col("sr_line_number")),
+            "left",
+        )
+        .join(item, F.col("ss_item_sk") == F.col("i_item_sk"))
+        .groupBy(F.col("i_item_id").alias("id"))
+        .agg(
+            F.round(F.sum("ss_ext_sales_price"), 4).alias("sales"),
+            F.round(F.sum(F.coalesce(F.col("sr_return_amt"), F.lit(0.0))), 4).alias("returns_amt"),
+            F.round(F.sum(F.col("ss_net_profit") - F.coalesce(F.col("sr_return_tax"), F.lit(0.0))), 4).alias("profit"),
+        )
+        .select(F.lit("store channel").alias("channel"), "id", "sales", "returns_amt", "profit")
+    )
+    csr = (
+        month9(ds["catalog_sales"], "cs_sold_date_sk")
+        .join(F.broadcast(promo_ok), F.col("cs_promo_sk") == F.col("p_promo_sk"), "left_semi")
+        .join(
+            ds["catalog_returns"].select("cr_order_number", "cr_item_sk", "cr_return_amt", "cr_net_loss"),
+            (F.col("cs_order_number") == F.col("cr_order_number")) & (F.col("cs_item_sk") == F.col("cr_item_sk")),
+            "left",
+        )
+        .join(item, F.col("cs_item_sk") == F.col("i_item_sk"))
+        .groupBy(F.col("i_item_id").alias("id"))
+        .agg(
+            F.round(F.sum("cs_ext_sales_price"), 4).alias("sales"),
+            F.round(F.sum(F.coalesce(F.col("cr_return_amt"), F.lit(0.0))), 4).alias("returns_amt"),
+            F.round(F.sum(F.col("cs_net_profit") - F.coalesce(F.col("cr_net_loss"), F.lit(0.0))), 4).alias("profit"),
+        )
+        .select(F.lit("catalog channel").alias("channel"), "id", "sales", "returns_amt", "profit")
+    )
+    wsr = (
+        month9(ds["web_sales"], "ws_sold_date_sk")
+        .join(
+            ds["web_returns"].select("wr_order_number", "wr_item_sk", "wr_return_amt", "wr_net_loss"),
+            (F.col("ws_order_number") == F.col("wr_order_number")) & (F.col("ws_item_sk") == F.col("wr_item_sk")),
+            "left",
+        )
+        .join(item, F.col("ws_item_sk") == F.col("i_item_sk"))
+        .groupBy(F.col("i_item_id").alias("id"))
+        .agg(
+            F.round(F.sum("ws_ext_sales_price"), 4).alias("sales"),
+            F.round(F.sum(F.coalesce(F.col("wr_return_amt"), F.lit(0.0))), 4).alias("returns_amt"),
+            F.round(F.sum(F.col("ws_net_profit") - F.coalesce(F.col("wr_net_loss"), F.lit(0.0))), 4).alias("profit"),
+        )
+        .select(F.lit("web channel").alias("channel"), "id", "sales", "returns_amt", "profit")
+    )
+    return (
+        ssr.unionAll(csr).unionAll(wsr)
+        .rollup("channel", "id")
+        .agg(
+            F.round(F.sum("sales"), 4).alias("sales"),
+            F.round(F.sum("returns_amt"), 4).alias("returns_amt"),
+            F.round(F.sum("profit"), 4).alias("profit"),
+        )
+        .orderBy(F.col("channel").asc_nulls_first(), F.col("id").asc_nulls_first())
         .limit(100)
     )
