@@ -367,3 +367,72 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cur", "nxt", "n",
         F.round(F.col("n") / F.sum("n").over(W.partitionBy("cur")), 6).alias("p"),
     ).orderBy("cur", "nxt")
+
+
+SESSIONIZE_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       round(sum(value), 2) AS session_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+@register("events_sessionize", SESSIONIZE_ORACLE, tags=("events", "session", "window"))
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (the batch twin of stream_session_window's
+    30-minute gap sessions): a lag-compare flags session starts, a running
+    sum converts flags into per-user session ids, and one aggregate emits
+    session stats — the canonical gaps-and-islands pattern. Events sort
+    once per user inside their hash partition; both window passes and the
+    final aggregate share the (user_id) shuffle, so the whole operator is
+    ONE exchange. At 100 TB, sessionization keyed by user is exactly this
+    plan; the lag tie-break on event_id keeps simultaneous events
+    deterministic."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    w_lag = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+    flagged = (
+        t["events"]
+        .select("user_id", "ts", "value", F.lag("ts").over(w_lag).alias("prev_ts"))
+        .select(
+            "user_id", "ts", "value",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")),
+                1,
+            ).otherwise(0).alias("new_session"),
+        )
+    )
+    numbered = flagged.select(
+        "user_id", "ts", "value", F.sum("new_session").over(w_run).cast("long").alias("session_id")
+    )
+    return (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
