@@ -970,3 +970,123 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid", "adc_dist", "rk")
         .orderBy("qid", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation evaluation: how much nearest-neighbor structure
+# survives when embeddings are truncated to a prefix of their dimensions
+# (MRL-style embeddings are trained so prefixes remain usable — this
+# operator MEASURES that property on a corpus before committing to the
+# cheaper index).
+# ---------------------------------------------------------------------------
+
+MATRYOSHKA_DIMS = (8, 16, 32)
+
+def _mat_oracle() -> str:
+    per_dim = []
+    for d in MATRYOSHKA_DIMS:
+        per_dim.append(f"""
+top_{d} AS (
+  SELECT qid, cid AS cid_{d} FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS cid,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round(sum(a.embedding[i.i]::DOUBLE * b.embedding[i.i]::DOUBLE)
+                 / (sqrt(sum(a.embedding[i.i]::DOUBLE * a.embedding[i.i]::DOUBLE))
+                  * sqrt(sum(b.embedding[i.i]::DOUBLE * b.embedding[i.i]::DOUBLE))), 6) DESC,
+               b.vec_id) AS rn
+    FROM embeddings a JOIN embeddings b ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id,
+         (SELECT unnest(range(1, {d} + 1)) AS i) i
+    GROUP BY a.vec_id, b.vec_id) t
+  WHERE rn = 1)""")
+    joins = " ".join(f"JOIN top_{d} USING (qid)" for d in MATRYOSHKA_DIMS)
+    cols = ", ".join(
+        f"cid_{d}, CASE WHEN cid_{d} = cid_64 THEN 1 ELSE 0 END AS agree_{d}"
+        for d in MATRYOSHKA_DIMS
+    )
+    return f"""
+WITH {",".join(per_dim)},
+top_full AS (
+  SELECT qid, cid AS cid_64 FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS cid,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round(sum(a.embedding[i.i]::DOUBLE * b.embedding[i.i]::DOUBLE)
+                 / (sqrt(sum(a.embedding[i.i]::DOUBLE * a.embedding[i.i]::DOUBLE))
+                  * sqrt(sum(b.embedding[i.i]::DOUBLE * b.embedding[i.i]::DOUBLE))), 6) DESC,
+               b.vec_id) AS rn
+    FROM embeddings a JOIN embeddings b ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id,
+         (SELECT unnest(range(1, 65)) AS i) i
+    GROUP BY a.vec_id, b.vec_id) t
+  WHERE rn = 1)
+SELECT qid, cid_64, {cols}
+FROM top_full {joins}
+ORDER BY qid
+"""
+
+
+EMB_MATRYOSHKA_ORACLE = _mat_oracle()
+
+
+@register("emb_matryoshka_eval", EMB_MATRYOSHKA_ORACLE, tags=("llm", "similarity", "quality"))
+def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation audit: for each query vector, the exact top-1
+    cosine neighbor under 8/16/32-dim prefixes next to the full-64d
+    answer, with per-dim agreement flags — the measurement that decides
+    whether a cheaper truncated index (4x-8x less memory and bandwidth)
+    can serve retrieval.
+
+    Scale shape: ONE broadcast of the {N_QUERIES}-row query side against
+    the corpus computes all four prefix cosines in the same pass
+    (per-prefix aggregates over the same zip_with product array — the
+    corpus is scanned once, not once per dimension); each prefix's top-1
+    is a per-query window over the scored frame. Cosines round at 6 with
+    id tie-breaks, so the agreement flags are engine-stable."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+
+    def pref_cos(d: int) -> F.Column:
+        dot = (
+            f"aggregate(zip_with(slice(qe, 1, {d}), slice(embedding, 1, {d}), "
+            "(x, y) -> cast(x AS double) * cast(y AS double)), cast(0.0 AS double), (acc, v) -> acc + v)"
+        )
+        nq = (
+            f"sqrt(aggregate(transform(slice(qe, 1, {d}), x -> cast(x AS double) * cast(x AS double)), "
+            "cast(0.0 AS double), (acc, v) -> acc + v))"
+        )
+        nc = (
+            f"sqrt(aggregate(transform(slice(embedding, 1, {d}), x -> cast(x AS double) * cast(x AS double)), "
+            "cast(0.0 AS double), (acc, v) -> acc + v))"
+        )
+        return F.round(F.expr(dot) / (F.expr(nq) * F.expr(nc)), 6)
+
+    scored = (
+        emb.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", F.col("vec_id").alias("cid"),
+            *[pref_cos(d).alias(f"cos_{d}") for d in (*MATRYOSHKA_DIMS, 64)],
+        )
+    )
+
+    def top1(d: int, out: str) -> DataFrame:
+        w = W.partitionBy("qid").orderBy(F.desc(f"cos_{d}"), "cid")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("qid", F.col("cid").alias(out))
+        )
+
+    result = top1(64, "cid_64")
+    for d in MATRYOSHKA_DIMS:
+        result = result.join(top1(d, f"cid_{d}"), "qid")
+    return result.select(
+        "qid", "cid_64",
+        *[c for d in MATRYOSHKA_DIMS for c in (
+            F.col(f"cid_{d}"),
+            F.when(F.col(f"cid_{d}") == F.col("cid_64"), 1).otherwise(0).alias(f"agree_{d}"),
+        )],
+    ).orderBy("qid")
