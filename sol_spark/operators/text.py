@@ -1246,29 +1246,16 @@ ORDER BY f.lang
 """
 
 
-@register("text_domain_mix", DOMAIN_MIX_ORACLE, tags=("llm", "text", "sampling"))
-def text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UniMax-style training-mixture allocation: distribute a token budget
-    (half the corpus) across languages so low-resource languages keep
-    every token and the surplus splits evenly among high-resource ones —
-    the classic waterfill, solved exactly with one window pass over the
-    per-language totals. For sorted counts the fits-under-cap flag is
-    prefix-monotone, so the flag itself identifies the waterline.
-
-    Scale shape: one per-language token-count aggregate over the corpus
-    (map-side combined into |languages| rows); everything after operates
-    on that tiny frame — window, two scalars, broadcast joins. The
-    output drives a downstream per-language sample fraction."""
+def waterfill_allocate(lang_tokens: DataFrame, budget_frac: float) -> DataFrame:
+    """Exact waterfill over a (lang, n_tokens) frame: languages fitting
+    under the running even-share cap keep every token; the rest split the
+    residual budget equally. Returns (lang, n_tokens, fits, alloc_tokens).
+    For sorted counts the fits-under-cap flag is prefix-monotone, so the
+    flag itself identifies the waterline in one window pass."""
     from pyspark.sql import Window as W
 
-    t = load_tables(spark, sf_dir)
-    lang_tokens = (
-        t["documents"]
-        .groupBy("lang")
-        .agg(F.sum(F.size(F.expr(f"split({_NORM}, ' ')"))).alias("n_tokens"))
-    )
     budget = lang_tokens.agg(
-        (F.lit(DOMAIN_MIX_BUDGET_FRAC) * F.sum("n_tokens")).alias("t"),
+        (F.lit(budget_frac) * F.sum("n_tokens")).alias("t"),
         F.count(F.lit(1)).alias("k"),
     )
     w_rank = W.orderBy("n_tokens", "lang")
@@ -1300,3 +1287,24 @@ def text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register("text_domain_mix", DOMAIN_MIX_ORACLE, tags=("llm", "text", "sampling"))
+def text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax-style training-mixture allocation: distribute a token budget
+    (half the corpus) across languages so low-resource languages keep
+    every token and the surplus splits evenly among high-resource ones —
+    the classic waterfill (see waterfill_allocate; property-tested against
+    a sequential reference in tests/test_r4_ops.py).
+
+    Scale shape: one per-language token-count aggregate over the corpus
+    (map-side combined into |languages| rows); everything after operates
+    on that tiny frame — window, two scalars, broadcast joins. The
+    output drives a downstream per-language sample fraction."""
+    t = load_tables(spark, sf_dir)
+    lang_tokens = (
+        t["documents"]
+        .groupBy("lang")
+        .agg(F.sum(F.size(F.expr(f"split({_NORM}, ' ')"))).alias("n_tokens"))
+    )
+    return waterfill_allocate(lang_tokens, DOMAIN_MIX_BUDGET_FRAC)

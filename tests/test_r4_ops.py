@@ -193,3 +193,53 @@ def test_sessionize_single_exchange(spark, sf_dir):
     # must add only the single hashpartitioning(user_id) one
     hash_exchanges = body.count("hashpartitioning(user_id")
     assert hash_exchanges == 1, f"expected one user_id exchange, plan:\n{body[:2000]}"
+
+
+def test_waterfill_property_vs_sequential_reference(spark):
+    """Property test: the single-window waterfill equals the textbook
+    sequential waterfill on random count multisets (cf. the CC
+    property test vs union-find)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from sol_spark.operators.text import waterfill_allocate
+
+    def reference(counts: list[int], frac: float) -> dict[str, float]:
+        t = frac * sum(counts)
+        items = sorted(enumerate(counts), key=lambda kv: (kv[1], f"l{kv[0]}"))
+        alloc: dict[str, float] = {}
+        remaining, k_left = t, len(items)
+        fitted = []
+        for idx, c in items:
+            if c <= remaining / k_left:
+                alloc[f"l{idx}"] = float(c)
+                remaining -= c
+                fitted.append(idx)
+            else:
+                break
+            k_left -= 1
+        capped = [idx for idx, _ in items if idx not in fitted]
+        for idx in capped:
+            alloc[f"l{idx}"] = remaining / len(capped)
+        return alloc
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        counts=st.lists(st.integers(min_value=1, max_value=10_000), min_size=2, max_size=8),
+        frac=st.sampled_from([0.3, 0.5, 0.8]),
+    )
+    def run(counts, frac):
+        df = spark.createDataFrame(
+            [(f"l{i}", c) for i, c in enumerate(counts)], "lang string, n_tokens long"
+        )
+        got = {r.lang: r.alloc_tokens for r in waterfill_allocate(df, frac).collect()}
+        want = reference(counts, frac)
+        assert set(got) == set(want)
+        for lang in want:
+            assert got[lang] == pytest.approx(want[lang], abs=1e-3), (counts, frac, got, want)
+
+    run()
