@@ -436,3 +436,116 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+KS_DRIFT_ORACLE = """
+WITH pts AS (
+  SELECT value AS v,
+         count(*) FILTER (WHERE event_type = 'view') AS c1,
+         count(*) FILTER (WHERE event_type = 'click') AS c2
+  FROM events WHERE event_type IN ('view', 'click')
+  GROUP BY value
+),
+tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM pts),
+cdf AS (
+  SELECT v,
+         sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1,
+         sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2
+  FROM pts
+)
+SELECT tot.n1::BIGINT AS n1, tot.n2::BIGINT AS n2,
+       round(max(abs(cdf.r1::DOUBLE / tot.n1 - cdf.r2::DOUBLE / tot.n2)), 6) AS ks_d
+FROM cdf, tot
+GROUP BY tot.n1, tot.n2
+"""
+
+
+@register("events_ks_drift", KS_DRIFT_ORACLE, tags=("events", "drift", "stats"))
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the value
+    distributions of two event populations (view vs click) — the
+    distribution-drift gate a training-data pipeline runs between
+    snapshots. Values first collapse to per-distinct-value counts (one
+    hash-agg over the fact; both populations counted in the same pass via
+    FILTER/conditional sums), then the two ECDFs and their max gap
+    compute on the |distinct values| frame. Scale note: the final window
+    is a single-partition prefix sum over DISTINCT values only — bounded
+    for discretized metrics; for unbounded-cardinality values, pre-bin
+    (see events_psi_drift) or shard the prefix sum as text_pack_sequences
+    does."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    pts = (
+        t["events"]
+        .filter(F.col("event_type").isin("view", "click"))
+        .groupBy(F.col("value").alias("v"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("c1"),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("c2"),
+        )
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cdf = pts.select(
+        F.sum("c1").over(w).alias("r1"),
+        F.sum("c2").over(w).alias("r2"),
+    )
+    tot = pts.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    return (
+        cdf.join(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.round(
+                F.max(F.abs(F.col("r1").cast("double") / F.col("n1") - F.col("r2").cast("double") / F.col("n2"))), 6
+            ).alias("ks_d")
+        )
+        .select("n1", "n2", "ks_d")
+    )
+
+
+PSI_BINS = 10
+PSI_EPS = 1e-4
+
+PSI_DRIFT_ORACLE = f"""
+WITH binned AS (
+  SELECT least(CAST(floor(value / 20.0) AS BIGINT), {PSI_BINS - 1}) AS bin,
+         count(*) FILTER (WHERE event_type = 'view') AS c1,
+         count(*) FILTER (WHERE event_type = 'click') AS c2
+  FROM events WHERE event_type IN ('view', 'click') AND value >= 0
+  GROUP BY 1
+),
+tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM binned)
+SELECT round(sum((c1::DOUBLE / n1 + {PSI_EPS} - c2::DOUBLE / n2 - {PSI_EPS})
+                 * ln((c1::DOUBLE / n1 + {PSI_EPS}) / (c2::DOUBLE / n2 + {PSI_EPS}))), 6) AS psi
+FROM binned, tot
+"""
+
+
+@register("events_psi_drift", PSI_DRIFT_ORACLE, tags=("events", "drift", "stats"))
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the same two populations over
+    {PSI_BINS} fixed-width value bins — the binned (streaming-friendly,
+    mergeable) companion to the exact KS distance: bin counts are plain
+    partial-aggregable sums, so a 100 TB run is one map-side-combined
+    hash-agg with a {PSI_BINS}-row reduce, and snapshots can be compared
+    from stored bin tables without rescanning. Epsilon-smoothed so empty
+    bins stay finite; both engines sum the same {PSI_BINS} doubles."""
+    t = load_tables(spark, sf_dir)
+    binned = (
+        t["events"]
+        .filter(F.col("event_type").isin("view", "click") & (F.col("value") >= 0))
+        .groupBy(
+            F.least(F.floor(F.col("value") / 20.0).cast("long"), F.lit(PSI_BINS - 1)).alias("bin")
+        )
+        .agg(
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("c1"),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("c2"),
+        )
+    )
+    tot = binned.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    p1 = F.col("c1").cast("double") / F.col("n1") + PSI_EPS
+    p2 = F.col("c2").cast("double") / F.col("n2") + PSI_EPS
+    return (
+        binned.join(F.broadcast(tot))
+        .agg(F.round(F.sum((p1 - p2) * F.log(p1 / p2)), 6).alias("psi"))
+    )
