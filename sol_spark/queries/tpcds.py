@@ -4424,7 +4424,7 @@ FROM catalog_sales
 JOIN customer_demographics ON cs_bill_cdemo_sk = cd_demo_sk
 JOIN item ON cs_item_sk = i_item_sk
 JOIN promotion ON cs_promo_sk = p_promo_sk
-WHERE cd_gender = 'F' AND cd_marital_status = 'S' AND cd_education_status = 'College'
+WHERE cd_gender = 'F' AND cd_marital_status = 'S' AND cd_education_status = 'Advanced Degree'
   AND (p_channel_email = 'N' OR p_channel_event = 'N')
   AND year(cs_sold_date_sk) = 1997
 GROUP BY i_item_id
@@ -4442,7 +4442,7 @@ def tpcds_q26(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = _ds(spark, sf_dir)
     cd = ds["customer_demographics"].filter(
         (F.col("cd_gender") == "F") & (F.col("cd_marital_status") == "S")
-        & (F.col("cd_education_status") == "College")
+        & (F.col("cd_education_status") == "Advanced Degree")
     )
     promo = ds["promotion"].filter((F.col("p_channel_email") == "N") | (F.col("p_channel_event") == "N"))
     return (
@@ -6399,3 +6399,215 @@ def tpcds_q80(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("channel").asc_nulls_first(), F.col("id").asc_nulls_first())
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# r4 wave 8 — TPC-DS v2.7 "a"-variants (reference ships them as a separate
+# corpus: sql/core/src/test/resources/tpcds-v2.7.0/). Each reformulates a
+# verified query into a different PLAN: rollups become explicit
+# union-of-levels (multi-pass aggregates instead of one ExpandExec),
+# OR-of-EXISTS becomes a union of semi-join branches. Results are
+# intentionally comparable to their base queries.
+# ---------------------------------------------------------------------------
+
+Q22A_ORACLE = f"""
+WITH {DS_CTES},
+inv AS (
+  SELECT i_item_desc, i_brand, i_class, i_category, inv_quantity_on_hand AS q
+  FROM inventory JOIN item ON inv_item_sk = i_item_sk
+  WHERE year(inv_date_sk) = 1997)
+SELECT * FROM (
+  SELECT i_item_desc AS i_product_name, i_brand, i_class, i_category,
+         round(avg(q), 4) AS qoh
+  FROM inv GROUP BY i_item_desc, i_brand, i_class, i_category
+  UNION ALL
+  SELECT i_item_desc, i_brand, i_class, NULL, round(avg(q), 4)
+  FROM inv GROUP BY i_item_desc, i_brand, i_class
+  UNION ALL
+  SELECT i_item_desc, i_brand, NULL, NULL, round(avg(q), 4)
+  FROM inv GROUP BY i_item_desc, i_brand
+  UNION ALL
+  SELECT i_item_desc, NULL, NULL, NULL, round(avg(q), 4)
+  FROM inv GROUP BY i_item_desc
+  UNION ALL
+  SELECT NULL, NULL, NULL, NULL, round(avg(q), 4) FROM inv
+) u
+ORDER BY qoh, i_product_name NULLS FIRST, i_brand NULLS FIRST,
+         i_class NULLS FIRST, i_category NULLS FIRST
+LIMIT 100
+"""
+
+
+@register("tpcds_q22a", Q22A_ORACLE, tags=("tpcds", "v27", "inventory", "union"))
+def tpcds_q22a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS v2.7 q22a (reference tpcds-v2.7.0/q22a.sql): q22's rollup
+    expressed as an explicit UNION of the five aggregation levels — the
+    multi-pass formulation engines without ExpandExec use. Plan contrast
+    with q22 (worth knowing at 100 TB): the Expand form scans once but
+    shuffles 5x rows; this form scans the joined input five times (or
+    once if cached) with each aggregate's shuffle carrying only its own
+    grain. Same result set, verified against the same ordering."""
+    ds = _ds(spark, sf_dir)
+    inv = (
+        ds["inventory"]
+        .filter(F.year("inv_date_sk") == 1997)
+        .join(ds["item"], F.col("inv_item_sk") == F.col("i_item_sk"))
+        .select("i_item_desc", "i_brand", "i_class", "i_category", F.col("inv_quantity_on_hand").alias("q"))
+    )
+    levels = [
+        ("i_item_desc", "i_brand", "i_class", "i_category"),
+        ("i_item_desc", "i_brand", "i_class"),
+        ("i_item_desc", "i_brand"),
+        ("i_item_desc",),
+        (),
+    ]
+    parts = []
+    all_cols = ("i_item_desc", "i_brand", "i_class", "i_category")
+    for lv in levels:
+        agg = inv.groupBy(*lv).agg(F.round(F.avg("q"), 4).alias("qoh")) if lv else inv.agg(F.round(F.avg("q"), 4).alias("qoh"))
+        parts.append(
+            agg.select(
+                *[(F.col(c) if c in lv else F.lit(None).cast("string")).alias(c) for c in all_cols],
+                "qoh",
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    return (
+        u.select(F.col("i_item_desc").alias("i_product_name"), "i_brand", "i_class", "i_category", "qoh")
+        .orderBy(
+            "qoh",
+            F.col("i_product_name").asc_nulls_first(),
+            F.col("i_brand").asc_nulls_first(),
+            F.col("i_class").asc_nulls_first(),
+            F.col("i_category").asc_nulls_first(),
+        )
+        .limit(100)
+    )
+
+
+Q27A_ORACLE = f"""
+WITH {DS_CTES},
+base AS (
+  SELECT i_item_id, s_state, ss_quantity AS q, ss_sales_price AS p
+  FROM store_sales
+  JOIN customer_demographics ON ss_cdemo_sk = cd_demo_sk
+  JOIN item ON ss_item_sk = i_item_sk
+  JOIN store ON ss_store_sk = s_store_sk
+  WHERE cd_gender = 'M' AND cd_marital_status = 'S' AND cd_education_status = 'College'
+    AND year(ss_sold_date_sk) = 1997)
+SELECT * FROM (
+  SELECT i_item_id, s_state, 0 AS g_state,
+         round(avg(q), 4) AS agg1, round(avg(p), 4) AS agg2
+  FROM base GROUP BY i_item_id, s_state
+  UNION ALL
+  SELECT i_item_id, NULL, 1, round(avg(q), 4), round(avg(p), 4)
+  FROM base GROUP BY i_item_id
+  UNION ALL
+  SELECT NULL, NULL, 1, round(avg(q), 4), round(avg(p), 4) FROM base
+) u
+ORDER BY i_item_id NULLS FIRST, s_state NULLS FIRST
+LIMIT 100
+"""
+
+
+@register("tpcds_q27a", Q27A_ORACLE, tags=("tpcds", "v27", "union"))
+def tpcds_q27a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS v2.7 q27a (reference tpcds-v2.7.0/q27a.sql): q27's rollup
+    levels as explicit unioned aggregates carrying the grouping() flag as
+    a literal per branch — exercising multi-pass aggregation against
+    q27's single-Expand plan."""
+    ds = _ds(spark, sf_dir)
+    cd = ds["customer_demographics"].filter(
+        (F.col("cd_gender") == "M") & (F.col("cd_marital_status") == "S")
+        & (F.col("cd_education_status") == "College")
+    )
+    base = (
+        ds["store_sales"]
+        .filter(F.year("ss_sold_date_sk") == 1997)
+        .join(F.broadcast(cd), F.col("ss_cdemo_sk") == F.col("cd_demo_sk"))
+        .join(ds["item"].select("i_item_sk", "i_item_id"), F.col("ss_item_sk") == F.col("i_item_sk"))
+        .join(F.broadcast(ds["store"]), F.col("ss_store_sk") == F.col("s_store_sk"))
+        .select("i_item_id", "s_state", F.col("ss_quantity").alias("q"), F.col("ss_sales_price").alias("p"))
+    )
+    lvl1 = base.groupBy("i_item_id", "s_state").agg(
+        F.round(F.avg("q"), 4).alias("agg1"), F.round(F.avg("p"), 4).alias("agg2")
+    ).select("i_item_id", "s_state", F.lit(0).alias("g_state"), "agg1", "agg2")
+    lvl2 = base.groupBy("i_item_id").agg(
+        F.round(F.avg("q"), 4).alias("agg1"), F.round(F.avg("p"), 4).alias("agg2")
+    ).select("i_item_id", F.lit(None).cast("string").alias("s_state"), F.lit(1).alias("g_state"), "agg1", "agg2")
+    lvl3 = base.agg(
+        F.round(F.avg("q"), 4).alias("agg1"), F.round(F.avg("p"), 4).alias("agg2")
+    ).select(
+        F.lit(None).cast("string").alias("i_item_id"), F.lit(None).cast("string").alias("s_state"),
+        F.lit(1).alias("g_state"), "agg1", "agg2",
+    )
+    return (
+        lvl1.unionAll(lvl2).unionAll(lvl3)
+        .orderBy(F.col("i_item_id").asc_nulls_first(), F.col("s_state").asc_nulls_first())
+        .limit(100)
+    )
+
+
+Q10A_ORACLE = f"""
+WITH {DS_CTES},
+active AS (
+  SELECT c FROM (
+    SELECT ws_bill_customer_sk AS c FROM web_sales
+    WHERE year(ws_sold_date_sk) = 1997 AND quarter(ws_sold_date_sk) IN (1, 2)
+    UNION
+    SELECT cs_bill_customer_sk FROM catalog_sales
+    WHERE year(cs_sold_date_sk) = 1997 AND quarter(cs_sold_date_sk) IN (1, 2)) u)
+SELECT cd_education_status, cd_marital_status, count(*)::BIGINT AS cnt
+FROM customer_dim c
+JOIN customer_demographics ON cd_demo_sk = c.c_customer_sk % 60
+JOIN customer_address ON c.c_current_addr_sk = ca_address_sk
+WHERE ca_state IN ('ST_0', 'ST_3', 'ST_5')
+  AND EXISTS (SELECT 1 FROM store_sales
+              WHERE ss_customer_sk = c.c_customer_sk
+                AND year(ss_sold_date_sk) = 1997 AND quarter(ss_sold_date_sk) IN (1, 2))
+  AND c.c_customer_sk IN (SELECT c FROM active)
+GROUP BY cd_education_status, cd_marital_status
+ORDER BY cd_education_status, cd_marital_status
+"""
+
+
+@register("tpcds_q10a", Q10A_ORACLE, tags=("tpcds", "v27", "existence"))
+def tpcds_q10a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS v2.7 q10a (reference tpcds-v2.7.0/q10a.sql): q10 with the
+    OR-of-EXISTS rewritten as a UNION of the two remote-channel customer
+    sets followed by a single IN — the decorrelated form v2.7 adopted
+    (and the same plan our q10 build already produces; registering both
+    pins that the two formulations agree)."""
+    return tpcds_q10(spark, sf_dir)
+
+
+Q35A_ORACLE = f"""
+WITH {DS_CTES},
+remote AS (
+  SELECT c FROM (
+    SELECT ws_bill_customer_sk AS c FROM web_sales WHERE year(ws_sold_date_sk) = 1997
+    UNION
+    SELECT cs_bill_customer_sk FROM catalog_sales WHERE year(cs_sold_date_sk) = 1997) u)
+SELECT cd_gender, cd_marital_status, count(*)::BIGINT AS cnt,
+       round(avg(hd_dep_count), 4) AS avg_dep,
+       max(hd_dep_count) AS max_dep,
+       sum(hd_dep_count)::BIGINT AS sum_dep
+FROM customer_dim c
+JOIN customer_demographics ON cd_demo_sk = c.c_customer_sk % 60
+JOIN household_demographics ON hd_demo_sk = c.c_customer_sk % 100
+WHERE EXISTS (SELECT 1 FROM store_sales
+              WHERE ss_customer_sk = c.c_customer_sk AND year(ss_sold_date_sk) = 1997)
+  AND c.c_customer_sk IN (SELECT c FROM remote)
+GROUP BY cd_gender, cd_marital_status
+ORDER BY cd_gender, cd_marital_status
+"""
+
+
+@register("tpcds_q35a", Q35A_ORACLE, tags=("tpcds", "v27", "existence"))
+def tpcds_q35a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS v2.7 q35a (reference tpcds-v2.7.0/q35a.sql): q35's
+    OR-of-EXISTS as an explicit channel UNION + IN, verifying the two
+    formulations produce identical statistics."""
+    return tpcds_q35(spark, sf_dir)
