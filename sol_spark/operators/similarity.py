@@ -1090,3 +1090,70 @@ def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col(f"cid_{d}") == F.col("cid_64"), 1).otherwise(0).alias(f"agree_{d}"),
         )],
     ).orderBy("qid")
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit: measured recall@k of each approximate index (sign-LSH,
+# IVF, PQ) against the exact brute-force top-k — the acceptance gate run
+# before switching a retrieval corpus onto a cheaper index.
+# ---------------------------------------------------------------------------
+
+SIM_RECALL_ORACLE = f"""
+WITH exact_pairs AS (SELECT qid, cid FROM ({SIM_EXACT_ORACLE}) e),
+lsh_pairs AS (SELECT qid, cid FROM ({SIM_LSH_ORACLE}) l),
+ivf_pairs AS (SELECT qid, cid FROM ({SIM_IVF_ORACLE}) v),
+pq_pairs AS (SELECT qid, cid FROM ({SIM_PQ_ORACLE}) p),
+totals AS (SELECT count(*) AS n_exact FROM exact_pairs),
+per_method AS (
+  SELECT 'ivf' AS method, count(*) AS matched
+  FROM ivf_pairs JOIN exact_pairs USING (qid, cid)
+  UNION ALL
+  SELECT 'lsh', count(*) FROM lsh_pairs JOIN exact_pairs USING (qid, cid)
+  UNION ALL
+  SELECT 'pq', count(*) FROM pq_pairs JOIN exact_pairs USING (qid, cid)
+)
+SELECT method, matched::BIGINT AS matched, n_exact::BIGINT AS n_exact,
+       round(matched::DOUBLE / n_exact, 4) AS recall
+FROM per_method, totals
+ORDER BY method
+"""
+
+
+@register("sim_recall_eval", SIM_RECALL_ORACLE, tags=("llm", "similarity", "quality"))
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of every approximate index against the exact top-k:
+    the three candidate pipelines (sign-LSH buckets, IVF cell probes, PQ
+    ADC scoring) each re-run, their (query, neighbor) pairs intersect
+    with the exact pairs, and one row per method reports measured recall.
+    This is the audit that chooses the production index — LSH trades
+    recall for the cheapest candidate generation, IVF recovers it with
+    nprobe, PQ trades a little ranking fidelity for 32x less memory.
+    Plan: four independent pipelines (each already scale-shaped, see
+    their own docstrings) converging into |methods| x |pairs| joins over
+    tiny frames."""
+    exact = sim_topk_exact(spark, sf_dir).select("qid", "cid")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    methods = {
+        "ivf": sim_topk_ivf(spark, sf_dir),
+        "lsh": sim_topk_lsh(spark, sf_dir),
+        "pq": sim_topk_pq(spark, sf_dir),
+    }
+    parts = []
+    for name, df in sorted(methods.items()):
+        matched = (
+            df.select("qid", "cid").join(exact, ["qid", "cid"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("matched"))
+            .select(F.lit(name).alias("method"), "matched")
+        )
+        parts.append(matched)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    return (
+        u.join(F.broadcast(n_exact))
+        .select(
+            "method", "matched", "n_exact",
+            F.round(F.col("matched").cast("double") / F.col("n_exact"), 4).alias("recall"),
+        )
+        .orderBy("method")
+    )
