@@ -6611,3 +6611,98 @@ def tpcds_q35a(spark: SparkSession, sf_dir: str) -> DataFrame:
     OR-of-EXISTS as an explicit channel UNION + IN, verifying the two
     formulations produce identical statistics."""
     return tpcds_q35(spark, sf_dir)
+
+
+def _q36a_style_oracle(fact: str, prefix: str, dim_join: str, extra_where: str) -> str:
+    base = f"""
+  SELECT i_category, i_class, {prefix}_ext_sales_price AS p
+  FROM {fact} JOIN item ON {prefix}_item_sk = i_item_sk {dim_join}
+  WHERE year({prefix}_sold_date_sk) = 1997{extra_where}"""
+    return f"""
+WITH {DS_CTES},
+base AS ({base}),
+levels AS (
+  SELECT i_category, i_class, 0 AS lochierarchy, round(sum(p), 4) AS total_sum
+  FROM base GROUP BY i_category, i_class
+  UNION ALL
+  SELECT i_category, NULL, 1, round(sum(p), 4) FROM base GROUP BY i_category
+  UNION ALL
+  SELECT NULL, NULL, 2, round(sum(p), 4) FROM base)
+SELECT total_sum, i_category, i_class, lochierarchy::BIGINT AS lochierarchy,
+       rank() OVER (
+         PARTITION BY lochierarchy,
+                      CASE WHEN lochierarchy = 0 THEN i_category END
+         ORDER BY total_sum DESC) AS rank_within_parent
+FROM levels
+ORDER BY lochierarchy DESC, CASE WHEN lochierarchy = 0 THEN i_category END NULLS FIRST,
+         rank_within_parent, i_category NULLS FIRST, i_class NULLS FIRST
+"""
+
+
+def _q36a_style(spark: SparkSession, sf_dir: str, fact: str, prefix: str,
+                with_store: bool, extra_filter) -> DataFrame:
+    ds = _ds(spark, sf_dir)
+    base = (
+        ds[fact]
+        .filter(F.year(f"{prefix}_sold_date_sk") == 1997)
+        .join(ds["item"].select("i_item_sk", "i_category", "i_class"),
+              F.col(f"{prefix}_item_sk") == F.col("i_item_sk"))
+    )
+    if with_store:
+        base = base.join(F.broadcast(ds["store"]), F.col("ss_store_sk") == F.col("s_store_sk"))
+    if extra_filter is not None:
+        base = base.filter(extra_filter)
+    base = base.select("i_category", "i_class", F.col(f"{prefix}_ext_sales_price").alias("p"))
+    lvl0 = base.groupBy("i_category", "i_class").agg(F.round(F.sum("p"), 4).alias("total_sum")).select(
+        "i_category", "i_class", F.lit(0).alias("lochierarchy"), "total_sum")
+    lvl1 = base.groupBy("i_category").agg(F.round(F.sum("p"), 4).alias("total_sum")).select(
+        "i_category", F.lit(None).cast("string").alias("i_class"), F.lit(1).alias("lochierarchy"), "total_sum")
+    lvl2 = base.agg(F.round(F.sum("p"), 4).alias("total_sum")).select(
+        F.lit(None).cast("string").alias("i_category"), F.lit(None).cast("string").alias("i_class"),
+        F.lit(2).alias("lochierarchy"), "total_sum")
+    levels = lvl0.unionByName(lvl1).unionByName(lvl2)
+    w = W.partitionBy(
+        "lochierarchy", F.when(F.col("lochierarchy") == 0, F.col("i_category"))
+    ).orderBy(F.desc("total_sum"))
+    return (
+        levels.select(
+            "total_sum", "i_category", "i_class",
+            F.col("lochierarchy").cast("long").alias("lochierarchy"),
+            F.rank().over(w).alias("rank_within_parent"),
+        )
+        .orderBy(
+            F.desc("lochierarchy"),
+            F.when(F.col("lochierarchy") == 0, F.col("i_category")).asc_nulls_first(),
+            "rank_within_parent",
+            F.col("i_category").asc_nulls_first(),
+            F.col("i_class").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "tpcds_q36a",
+    _q36a_style_oracle("store_sales", "ss", "JOIN store ON ss_store_sk = s_store_sk",
+                       " AND s_state IN ('ST_0', 'ST_1', 'ST_2', 'ST_3')"),
+    tags=("tpcds", "v27", "union", "window"),
+)
+def tpcds_q36a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS v2.7 q36a (reference tpcds-v2.7.0/q36a.sql): q36's
+    category/class ROLLUP as an explicit three-level UNION, with the same
+    rank-within-parent window over the combined frame — multi-pass
+    aggregation where q36 uses one ExpandExec."""
+    return _q36a_style(
+        spark, sf_dir, "store_sales", "ss", True,
+        F.col("s_state").isin("ST_0", "ST_1", "ST_2", "ST_3"),
+    )
+
+
+@register(
+    "tpcds_q86a",
+    _q36a_style_oracle("web_sales", "ws", "", ""),
+    tags=("tpcds", "v27", "union", "window"),
+)
+def tpcds_q86a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS v2.7 q86a (reference tpcds-v2.7.0/q86a.sql) — q86's web
+    rollup in the union-of-levels formulation."""
+    return _q36a_style(spark, sf_dir, "web_sales", "ws", False, None)
