@@ -103,8 +103,12 @@ _R4_WINDOW: tuple[str, ...] = (
 # Round-5 driver window, pinned now so the rotation plan survives session
 # turnover: the 47 names never driver-checked as of r3 (everything except
 # the r4 window and the verified set) plus 3 flagship r4 operators, exactly
-# 50. Remaining r4 additions (TPC-DS waves + the other LLM ops) queue in
-# tier 2 for round 6.
+# 50. Remaining r4 additions (TPC-DS waves 1-8 + the other new operators,
+# 72 names) queue in tier 2 in registration order: rounds 6 and 7 consume
+# them 50 + 22, completing full-registry driver verification. At the start
+# of each round, fold the previous CORRECTNESS_r*.json greens into
+# _DRIVER_VERIFIED and promote the next 50 tier-2 names into a pinned
+# window tuple.
 _R5_WINDOW: tuple[str, ...] = (
     "text_split_doc_pairs", "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8",
     "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
