@@ -1308,3 +1308,95 @@ def text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.size(F.expr(f"split({_NORM}, ' ')"))).alias("n_tokens"))
     )
     return waterfill_allocate(lang_tokens, DOMAIN_MIX_BUDGET_FRAC)
+
+
+# ---------------------------------------------------------------------------
+# Composed RAG-ingestion pipeline: quality gate -> exact dedup ->
+# overlapping chunking -> chunk-level dedup -> per-language index
+# accounting. The retrieval-side twin of pipeline_pretrain_corpus.
+# ---------------------------------------------------------------------------
+
+PIPELINE_RAG_ORACLE = f"""
+WITH feats AS (
+  SELECT doc_id, lang, string_split({_NORM_DUCK}, ' ') AS tk,
+         md5({_NORM_DUCK}) AS h
+  FROM documents
+),
+gated AS (
+  SELECT doc_id, lang, tk, h FROM feats WHERE len(tk) BETWEEN 10 AND 5000
+),
+keepers AS (SELECT h, min(doc_id) AS keeper FROM gated GROUP BY h),
+docs AS (
+  SELECT g.doc_id, g.lang, g.tk FROM gated g
+  JOIN keepers k ON g.h = k.h AND g.doc_id = k.keeper
+),
+chunks AS (
+  SELECT doc_id, lang,
+         len(tk[start + 1 : least(start + {CHUNK_TOKENS}, len(tk))]) AS n_chunk_tokens,
+         md5(array_to_string(tk[start + 1 : least(start + {CHUNK_TOKENS}, len(tk))], ' ')) AS ch
+  FROM (SELECT doc_id, lang, tk, unnest(range(0, len(tk), {CHUNK_STRIDE})) AS start FROM docs) s
+),
+chunk_keep AS (
+  SELECT lang, ch, min(doc_id) AS first_doc, count(*) AS n_copies,
+         max(n_chunk_tokens) AS n_chunk_tokens
+  FROM chunks GROUP BY lang, ch
+)
+SELECT lang,
+       count(*)::BIGINT AS n_unique_chunks,
+       sum(n_copies)::BIGINT AS n_raw_chunks,
+       sum(n_chunk_tokens)::BIGINT AS index_tokens
+FROM chunk_keep
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("pipeline_rag_corpus", PIPELINE_RAG_ORACLE, tags=("llm", "text", "pipeline"))
+def pipeline_rag_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END retrieval-index preparation in one plan: length gate ->
+    exact document dedup (keep-first) -> fixed-window overlapping chunking
+    ({CHUNK_TOKENS}-token windows, {CHUNK_STRIDE} stride) -> corpus-wide
+    CHUNK-level dedup (overlapping windows of duplicated passages collapse
+    here) -> per-language index accounting (unique chunks, raw chunks,
+    indexable tokens). The RAG-side composition the chunking/dedup
+    operators exist for, oracle-verified as one query.
+
+    Plan shape at 100 TB: the gate is scan-local; doc dedup is one hash
+    shuffle of 16-byte hashes; chunk explosion is a Generate over kept
+    docs (no shuffle); chunk dedup + accounting are two hash-aggs whose
+    keys (lang, chunk-hash) partial-aggregate map-side. Nothing pairwise,
+    nothing sorted globally."""
+    t = load_tables(spark, sf_dir)
+    tk = F.expr(f"split({_NORM}, ' ')")
+    feats = t["documents"].select(
+        "doc_id", "lang", tk.alias("tk"), F.expr(f"md5({_NORM})").alias("h")
+    )
+    gated = feats.filter(F.size("tk").between(10, 5000))
+    keepers = gated.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    docs = gated.join(
+        keepers, (gated["h"] == keepers["h"]) & (gated["doc_id"] == keepers["keeper"]), "left_semi"
+    )
+    starts = docs.select(
+        "doc_id", "lang", "tk",
+        F.explode(F.expr(f"sequence(0, size(tk) - 1, {CHUNK_STRIDE})")).alias("start"),
+    )
+    chunk_arr = F.expr(f"slice(tk, start + 1, least({CHUNK_TOKENS}, size(tk) - start))")
+    chunks = starts.select(
+        "doc_id", "lang",
+        F.size(chunk_arr).alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk_arr, " ")).alias("ch"),
+    )
+    chunk_keep = chunks.groupBy("lang", "ch").agg(
+        F.min("doc_id").alias("first_doc"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.max("n_chunk_tokens").alias("n_chunk_tokens"),
+    )
+    return (
+        chunk_keep.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_unique_chunks"),
+            F.sum("n_copies").alias("n_raw_chunks"),
+            F.sum("n_chunk_tokens").alias("index_tokens"),
+        )
+        .orderBy("lang")
+    )
