@@ -1157,3 +1157,69 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift monitor: per-label centroid shift between two corpus
+# snapshots (even/odd vec_id halves as stand-ins) — the embedding-space
+# companion to the value-distribution drift gates (events_ks_drift /
+# events_psi_drift).
+# ---------------------------------------------------------------------------
+
+CENTROID_DRIFT_ORACLE = """
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+cent AS (
+  SELECT label, vec_id % 2 AS snap, i.i AS dim,
+         avg(embedding[i.i]::DOUBLE) AS c
+  FROM embeddings, dims i
+  GROUP BY label, vec_id % 2, i.i
+),
+paired AS (
+  SELECT a.label, a.dim, a.c AS ca, b.c AS cb
+  FROM cent a JOIN cent b ON a.label = b.label AND a.dim = b.dim
+  WHERE a.snap = 0 AND b.snap = 1
+)
+SELECT label,
+       round(sum(ca * cb) / (sqrt(sum(ca * ca)) * sqrt(sum(cb * cb))), 6) AS centroid_cosine,
+       round(sqrt(sum(pow(ca - cb, 2))), 6) AS centroid_l2
+FROM paired
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register("emb_centroid_drift", CENTROID_DRIFT_ORACLE, tags=("llm", "similarity", "drift"))
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between two embedding snapshots (even/odd
+    vec_id halves stand in for yesterday/today): cosine and L2 distance
+    between the snapshot centroids of each label — the monitor that
+    catches a retrained or corrupted embedding model before it poisons a
+    retrieval index. Plan: centroids are ONE partial-aggregable avg per
+    (label, snapshot, dim) — at 100 TB each executor contributes running
+    sums, and the comparison runs over |labels| x 64 rows. Per-dim
+    averages round inside exact double sums; outputs round at 6."""
+    t = load_tables(spark, sf_dir)
+    cent = (
+        t["embeddings"]
+        .select("label", (F.col("vec_id") % 2).alias("snap"),
+                F.posexplode(F.col("embedding")).alias("dim", "x"))
+        .groupBy("label", "snap", "dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+    )
+    a = cent.filter(F.col("snap") == 0).select("label", "dim", F.col("c").alias("ca"))
+    b = cent.filter(F.col("snap") == 1).select(
+        F.col("label").alias("lb"), F.col("dim").alias("db"), F.col("c").alias("cb")
+    )
+    return (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("dim") == F.col("db")))
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sum(F.col("ca") * F.col("cb"))
+                / (F.sqrt(F.sum(F.col("ca") * F.col("ca"))) * F.sqrt(F.sum(F.col("cb") * F.col("cb")))),
+                6,
+            ).alias("centroid_cosine"),
+            F.round(F.sqrt(F.sum(F.pow(F.col("ca") - F.col("cb"), 2))), 6).alias("centroid_l2"),
+        )
+        .orderBy("label")
+    )
