@@ -248,3 +248,26 @@ def stream_window_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+DRIFT_BINS_ORACLE = """
+SELECT to_timestamp(floor(epoch(ts))::BIGINT // 3600 * 3600)::TIMESTAMP AS window_start,
+       event_type,
+       least(CAST(floor(value / 20.0) AS BIGINT), 9) AS bin,
+       count(*) AS n
+FROM events
+WHERE event_type IN ('view', 'click') AND value >= 0
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type, bin
+"""
+
+
+@register("stream_drift_bins", DRIFT_BINS_ORACLE, tags=("streaming", "window", "drift"))
+def stream_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed drift-bin table (streaming/pipelines.windowed_drift_bins on
+    the batch table; identical plan under readStream): the mergeable
+    per-window PSI input — events_psi_drift consumes the corpus-level
+    version of these bins. Streaming equality is pinned by
+    tests/test_streaming.py::test_drift_bins_stream_equals_batch."""
+    t = load_tables(spark, sf_dir)
+    return P.windowed_drift_bins(t["events"]).orderBy("window_start", "event_type", "bin")

@@ -319,3 +319,24 @@ def events_with_user_dim(events: DataFrame, user_dim: DataFrame) -> DataFrame:
     return events.join(user_dim, "user_id").select(
         "event_id", "user_id", "event_type", "value", "cohort"
     )
+
+
+def windowed_drift_bins(events: DataFrame) -> DataFrame:
+    """Streaming drift-monitor input: per (1h window, population, value
+    bin) counts for the view/click populations — the MERGEABLE snapshot
+    table behind a PSI gate (events_psi_drift computes the batch
+    comparison from exactly these bins). Bin counts are plain sums, so
+    late data folds into existing state and downstream snapshots merge by
+    addition; the watermark bounds the open-window state. A production
+    monitor foreachBatch-compares consecutive windows' bin vectors."""
+    return (
+        events.filter(F.col("event_type").isin("view", "click") & (F.col("value") >= 0))
+        .withWatermark("ts", WATERMARK)
+        .groupBy(
+            F.window("ts", TUMBLE).alias("w"),
+            "event_type",
+            F.least(F.floor(F.col("value") / 20.0).cast("long"), F.lit(9)).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "bin", "n")
+    )

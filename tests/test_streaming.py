@@ -615,3 +615,11 @@ def test_stream_union_two_sources(spark, sf_dir, batch_events):
         .collect()
     }
     assert got == want
+
+
+def test_drift_bins_stream_equals_batch(spark, sf_dir, batch_events):
+    """The mergeable drift-bin table is identical computed incrementally
+    (micro-batches folding late rows into window state) and in one batch."""
+    got = _run(spark, sf_dir, P.windowed_drift_bins, "complete", n_files=3)
+    want = P.windowed_drift_bins(batch_events).collect()
+    assert _sorted_rows(got, ()) == _sorted_rows(want, ())
