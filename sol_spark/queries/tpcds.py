@@ -6706,3 +6706,81 @@ def tpcds_q86a(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS v2.7 q86a (reference tpcds-v2.7.0/q86a.sql) — q86's web
     rollup in the union-of-levels formulation."""
     return _q36a_style(spark, sf_dir, "web_sales", "ws", False, None)
+
+
+Q14B_ORACLE = f"""
+WITH {DS_CTES},
+cross_items AS (
+  SELECT ss_item_sk AS item_sk FROM store_sales WHERE year(ss_sold_date_sk) = 1996
+  INTERSECT
+  SELECT cs_item_sk FROM catalog_sales WHERE year(cs_sold_date_sk) = 1996
+  INTERSECT
+  SELECT ws_item_sk FROM web_sales WHERE year(ws_sold_date_sk) = 1996),
+this_year AS (
+  SELECT i_brand_id, i_class, round(sum(ss_ext_sales_price), 4) AS sales,
+         count(*)::BIGINT AS number_sales
+  FROM store_sales JOIN item ON ss_item_sk = i_item_sk
+  WHERE ss_item_sk IN (SELECT item_sk FROM cross_items)
+    AND year(ss_sold_date_sk) = 1997 AND month(ss_sold_date_sk) = 12
+  GROUP BY i_brand_id, i_class),
+last_year AS (
+  SELECT i_brand_id, i_class, round(sum(ss_ext_sales_price), 4) AS sales,
+         count(*)::BIGINT AS number_sales
+  FROM store_sales JOIN item ON ss_item_sk = i_item_sk
+  WHERE ss_item_sk IN (SELECT item_sk FROM cross_items)
+    AND year(ss_sold_date_sk) = 1996 AND month(ss_sold_date_sk) = 12
+  GROUP BY i_brand_id, i_class)
+SELECT t.i_brand_id, t.i_class,
+       t.sales AS ty_sales, t.number_sales AS ty_count,
+       l.sales AS ly_sales, l.number_sales AS ly_count
+FROM this_year t JOIN last_year l
+  ON t.i_brand_id = l.i_brand_id AND t.i_class = l.i_class
+WHERE t.sales > l.sales
+ORDER BY t.i_brand_id, t.i_class
+"""
+
+
+@register("tpcds_q14b", Q14B_ORACLE, tags=("tpcds", "crosschannel", "intersect", "selfjoin"))
+def tpcds_q14b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q14b (reference tpcds/q14b.sql; the week_seq date-translation
+    subqueries become same-month-prior-year): December store sales of
+    three-channel items compared brand-by-brand against the prior
+    December, keeping groups that GREW. Same cross_items INTERSECT
+    keep-list as q14(a); the year-pair comparison joins two aggregates of
+    the same grain — q14a's scalar cutoff replaced by the self-join
+    threshold."""
+    ds = _ds(spark, sf_dir)
+
+    def items_of(fact: str, item: str, date: str) -> DataFrame:
+        return ds[fact].filter(F.year(date) == 1996).select(F.col(item).alias("item_sk")).distinct()
+
+    cross_items = (
+        items_of("store_sales", "ss_item_sk", "ss_sold_date_sk")
+        .intersect(items_of("catalog_sales", "cs_item_sk", "cs_sold_date_sk"))
+        .intersect(items_of("web_sales", "ws_item_sk", "ws_sold_date_sk"))
+    )
+    item = ds["item"].select("i_item_sk", "i_brand_id", "i_class")
+
+    def december(yr: int, sales_alias: str, cnt_alias: str) -> DataFrame:
+        return (
+            ds["store_sales"]
+            .filter((F.year("ss_sold_date_sk") == yr) & (F.month("ss_sold_date_sk") == 12))
+            .join(F.broadcast(cross_items), F.col("ss_item_sk") == F.col("item_sk"), "left_semi")
+            .join(item, F.col("ss_item_sk") == F.col("i_item_sk"))
+            .groupBy("i_brand_id", "i_class")
+            .agg(
+                F.round(F.sum("ss_ext_sales_price"), 4).alias(sales_alias),
+                F.count(F.lit(1)).alias(cnt_alias),
+            )
+        )
+
+    ty = december(1997, "ty_sales", "ty_count")
+    ly = december(1996, "ly_sales", "ly_count").withColumnsRenamed(
+        {"i_brand_id": "lb", "i_class": "lc"}
+    )
+    return (
+        ty.join(ly, (F.col("i_brand_id") == F.col("lb")) & (F.col("i_class") == F.col("lc")))
+        .filter(F.col("ty_sales") > F.col("ly_sales"))
+        .select("i_brand_id", "i_class", "ty_sales", "ty_count", "ly_sales", "ly_count")
+        .orderBy("i_brand_id", "i_class")
+    )
