@@ -1400,3 +1400,99 @@ def pipeline_rag_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM scoring — the CCNet-style quality signal one order
+# up from text_lm_score's unigram: P(w2|w1) backed off to the unigram
+# distribution with fixed interpolation weight.
+# ---------------------------------------------------------------------------
+
+LM_BIGRAM_LAMBDA = 0.7
+
+LM_BIGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS tk FROM documents
+),
+bg AS (
+  SELECT doc_id, b[1] AS w1, b[2] AS w2, count(*) AS tf
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> [tk[i], tk[i+1]])) AS b
+    FROM toks WHERE len(tk) >= 2) x
+  GROUP BY doc_id, b[1], b[2]
+),
+bg_model AS (SELECT w1, w2, sum(tf) AS bcnt FROM bg GROUP BY w1, w2),
+uni_model AS (
+  SELECT tok, count(*) AS ucnt
+  FROM (SELECT unnest(string_split({_NORM_DUCK}, ' ')) AS tok FROM documents) u
+  GROUP BY tok
+),
+tot AS (SELECT sum(ucnt) AS total FROM uni_model)
+SELECT bg.doc_id,
+       CAST(sum(bg.tf) AS BIGINT) AS n_bigrams,
+       round(sum(bg.tf * ln({LM_BIGRAM_LAMBDA} * m.bcnt / u1.ucnt
+                            + {1 - LM_BIGRAM_LAMBDA} * u2.ucnt / tot.total))
+             / sum(bg.tf), 4) AS avg_logprob
+FROM bg
+JOIN bg_model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+JOIN uni_model u1 ON bg.w1 = u1.tok
+JOIN uni_model u2 ON bg.w2 = u2.tok
+CROSS JOIN tot
+GROUP BY bg.doc_id
+ORDER BY bg.doc_id
+"""
+
+
+@register("text_lm_bigram_score", LM_BIGRAM_ORACLE, tags=("llm", "text", "quality"))
+def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM quality score: train corpus bigram + unigram
+    models in one job, score each document's mean log
+    P(w2|w1) = {LM_BIGRAM_LAMBDA}*C(w1 w2)/C(w1) + {1 - LM_BIGRAM_LAMBDA}*C(w2)/N
+    over its bigram positions — the next-order refinement of
+    text_lm_score's unigram signal (CCNet uses a 5-gram KenLM; the
+    distributed shape is identical, only the model key widens).
+
+    Scale shape: the corpus collapses to per-doc (w1, w2, tf) map-side
+    (Zipf head eaten before any shuffle); the bigram model is a second
+    hash-agg over that; scoring joins the tf frame to the bigram model on
+    (w1, w2) and to the unigram model twice — AQE skew-splits the hot
+    keys; the grand total is a 1-row broadcast. Nothing row-at-a-time."""
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select("doc_id", F.expr(f"split({_NORM}, ' ')").alias("tk"))
+    bg = (
+        toks.filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, size(tk) - 1), i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))")
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    bg_model = bg.groupBy("w1", "w2").agg(F.sum("tf").alias("bcnt"))
+    uni_model = (
+        t["documents"]
+        .select(F.explode(F.expr(f"split({_NORM}, ' ')")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("ucnt"))
+    )
+    tot = uni_model.agg(F.sum("ucnt").alias("total"))
+    p = (
+        F.lit(LM_BIGRAM_LAMBDA) * F.col("bcnt") / F.col("u1cnt")
+        + F.lit(1 - LM_BIGRAM_LAMBDA) * F.col("u2cnt") / F.col("total")
+    )
+    return (
+        bg.join(bg_model.withColumnsRenamed({"w1": "m1", "w2": "m2"}),
+                (F.col("w1") == F.col("m1")) & (F.col("w2") == F.col("m2")))
+        .join(uni_model.withColumnsRenamed({"tok": "t1", "ucnt": "u1cnt"}), F.col("w1") == F.col("t1"))
+        .join(uni_model.withColumnsRenamed({"tok": "t2", "ucnt": "u2cnt"}), F.col("w2") == F.col("t2"))
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("tf") * F.log(p)) / F.sum("tf"), 4).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
