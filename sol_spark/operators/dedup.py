@@ -1205,3 +1205,86 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Synchronous label propagation (community detection) over the near-dup
+# graph — the soft-clustering companion to connected_components: CC gives
+# the transitive closure, LPA's majority-vote labels split weakly-bridged
+# communities that CC would merge.
+# ---------------------------------------------------------------------------
+
+LPA_ITERS = 3
+
+
+def _lpa_oracle_sql(pair_sql: str) -> str:
+    iters = ""
+    prev = "l0"
+    for t in range(1, LPA_ITERS + 1):
+        iters += f""",
+c{t} AS (
+  SELECT e.u AS node, p.label, count(*) AS c
+  FROM edges e JOIN {prev} p ON e.v = p.node
+  GROUP BY e.u, p.label),
+l{t} AS (
+  SELECT node, label FROM (
+    SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+    FROM c{t}) t WHERE rn = 1)"""
+        prev = f"l{t}"
+    return f"""
+WITH pairs AS ({pair_sql}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM edges){iters}
+SELECT node AS doc, label AS community FROM {prev} ORDER BY doc
+"""
+
+
+GRAPH_LPA_ORACLE = _lpa_oracle_sql(DEDUP_MINHASH_ORACLE.replace("ORDER BY doc_a, doc_b", ""))
+
+
+@register("graph_label_propagation", GRAPH_LPA_ORACLE, tags=("llm", "dedup", "graph", "iterative"))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation ({LPA_ITERS} rounds, deterministic:
+    most-frequent neighbor label, ties to the smallest) over the
+    MinHash-LSH near-dup graph — GraphX LabelPropagation's Pregel loop
+    (reference graphx/src/main/scala/org/apache/spark/graphx/lib/
+    LabelPropagation.scala:21) re-expressed as join+group-by rounds. The
+    oracle unrolls the same {LPA_ITERS} iterations, so query and oracle
+    share exact semantics (the fixed-iteration discipline pagerank() also
+    follows).
+
+    Scale shape: each round is one edges><labels hash join (shuffle keyed
+    on node id, reusable across rounds) + one (node, label) count + one
+    per-node argmax window; production runs to stability with
+    localCheckpoint every few rounds exactly like connected_components."""
+    mh = dedup_minhash_lsh(spark, sf_dir)
+    pairs = mh.select("doc_a", "doc_b")
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    # Materialize the edge set BEFORE releasing the minhash pipeline's
+    # persisted working frames (same truncation discipline as
+    # connected_components — the returned plan must not reach back through
+    # the released pair pipeline).
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = W.partitionBy("node").orderBy(F.desc("c"), "label")
+    for _ in range(LPA_ITERS):
+        counts = (
+            edges.join(labels.withColumnsRenamed({"node": "vn"}), F.col("v") == F.col("vn"))
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    out = labels.select(F.col("node").alias("doc"), F.col("label").alias("community")).orderBy("doc")
+    release_result(mh)
+    return out
