@@ -1496,3 +1496,78 @@ def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Full Gopher-rule audit table: one row per document with EVERY rule's
+# pass/fail flag — the explainable companion to text_quality_filter's
+# keep/drop (a curation pipeline reports per-rule rejection rates, not
+# just survivor counts).
+# ---------------------------------------------------------------------------
+
+QUALITY_FLAGS_ORACLE = f"""
+WITH feats AS (
+  SELECT doc_id,
+         string_split({_NORM_DUCK}, ' ') AS tk,
+         length(text) AS nc,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) // 3 AS n_ellipsis,
+         len(list_filter(string_split({_NORM_DUCK}, ' '),
+                         x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(tk) BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS ok_word_count,
+       CASE WHEN nc // len(tk) BETWEEN 3 AND 10 THEN 1 ELSE 0 END AS ok_mean_word_len,
+       CASE WHEN 100 * n_hash <= 10 * nc THEN 1 ELSE 0 END AS ok_hash_ratio,
+       CASE WHEN 100 * n_ellipsis <= 30 * len(tk) THEN 1 ELSE 0 END AS ok_ellipsis,
+       CASE WHEN 100 * n_alpha >= 70 * nc THEN 1 ELSE 0 END AS ok_alpha_ratio,
+       CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS ok_stopwords,
+       CASE WHEN len(tk) BETWEEN 50 AND 100000
+             AND nc // len(tk) BETWEEN 3 AND 10
+             AND 100 * n_hash <= 10 * nc
+             AND 100 * n_ellipsis <= 30 * len(tk)
+             AND 100 * n_alpha >= 70 * nc
+             AND n_stop >= 2 THEN 1 ELSE 0 END AS keep
+FROM feats
+ORDER BY doc_id
+"""
+
+
+@register("text_quality_flags", QUALITY_FLAGS_ORACLE, tags=("llm", "text", "filter"))
+def text_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule Gopher quality audit (Rae et al. 2021 §A1.1 rules mapped
+    to the fixture corpus): word-count band, mean word length 3-10,
+    hash-symbol and ellipsis ratios, alphabetic-character ratio, minimum
+    stop-word presence — one flag column per rule plus the conjunction.
+    Unlike text_quality_filter (which emits survivors), this emits EVERY
+    document with its per-rule verdicts so a curation run can report
+    which rule rejected how much. All flags are integer arithmetic on
+    codegen'd expressions — scan-local, shuffle-free, exactly as cheap as
+    the filter form."""
+    t = load_tables(spark, sf_dir)
+    tk = F.expr(f"split({_NORM}, ' ')")
+    feats = t["documents"].select(
+        "doc_id",
+        F.size(tk).alias("nt"),
+        F.length("text").alias("nc"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).alias("n_alpha"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))).alias("n_hash"),
+        ((F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))) / 3)
+        .cast("long").alias("n_ellipsis"),
+        F.size(F.expr(f"filter(split({_NORM}, ' '), x -> x IN ('the', 'a', 'of', 'and', 'to'))")).alias("n_stop"),
+    )
+    ok_wc = F.when(F.col("nt").between(50, 100000), 1).otherwise(0)
+    ok_mwl = F.when(F.expr("nc div nt").between(3, 10), 1).otherwise(0)
+    ok_hash = F.when(100 * F.col("n_hash") <= 10 * F.col("nc"), 1).otherwise(0)
+    ok_ell = F.when(100 * F.col("n_ellipsis") <= 30 * F.col("nt"), 1).otherwise(0)
+    ok_alpha = F.when(100 * F.col("n_alpha") >= 70 * F.col("nc"), 1).otherwise(0)
+    ok_stop = F.when(F.col("n_stop") >= 2, 1).otherwise(0)
+    flags = [
+        ok_wc.alias("ok_word_count"), ok_mwl.alias("ok_mean_word_len"),
+        ok_hash.alias("ok_hash_ratio"), ok_ell.alias("ok_ellipsis"),
+        ok_alpha.alias("ok_alpha_ratio"), ok_stop.alias("ok_stopwords"),
+    ]
+    keep = (ok_wc * ok_mwl * ok_hash * ok_ell * ok_alpha * ok_stop).alias("keep")
+    return feats.select("doc_id", *flags, keep).orderBy("doc_id")
