@@ -4652,18 +4652,21 @@ all_sales AS (
   WHERE i_category = 'Books' AND year(ws_sold_date_sk) IN (1996, 1997)
   GROUP BY year(ws_sold_date_sk), i_brand_id
 ),
-by_year AS (
-  SELECT d_year, i_brand_id, sum(sales_cnt)::BIGINT AS sales_cnt,
-         round(sum(sales_amt), 4) AS sales_amt
-  FROM all_sales GROUP BY d_year, i_brand_id
+by_brand AS (
+  SELECT i_brand_id,
+         sum(CASE WHEN d_year = 1996 THEN sales_cnt END)::BIGINT AS prev_cnt,
+         sum(CASE WHEN d_year = 1997 THEN sales_cnt END)::BIGINT AS curr_cnt,
+         round(sum(CASE WHEN d_year = 1996 THEN sales_amt END), 4) AS prev_amt,
+         round(sum(CASE WHEN d_year = 1997 THEN sales_amt END), 4) AS curr_amt
+  FROM all_sales GROUP BY i_brand_id
 )
-SELECT prev.i_brand_id, prev.sales_cnt AS prev_cnt, curr.sales_cnt AS curr_cnt,
-       curr.sales_cnt - prev.sales_cnt AS sales_cnt_diff,
-       round(curr.sales_amt - prev.sales_amt, 4) AS sales_amt_diff
-FROM by_year curr JOIN by_year prev
-  ON curr.i_brand_id = prev.i_brand_id AND curr.d_year = 1997 AND prev.d_year = 1996
-WHERE curr.sales_cnt::DOUBLE / prev.sales_cnt < 0.95
-ORDER BY sales_cnt_diff, prev.i_brand_id
+SELECT i_brand_id, prev_cnt, curr_cnt,
+       curr_cnt - prev_cnt AS sales_cnt_diff,
+       round(curr_amt - prev_amt, 4) AS sales_amt_diff
+FROM by_brand
+WHERE prev_cnt IS NOT NULL AND curr_cnt IS NOT NULL
+  AND curr_cnt::DOUBLE / prev_cnt < 0.95
+ORDER BY sales_cnt_diff, i_brand_id
 """
 
 
@@ -4709,24 +4712,29 @@ def tpcds_q75(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ws_order_number") == F.col("wr_order_number")) & (F.col("ws_item_sk") == F.col("wr_item_sk")),
         "ws_sold_date_sk", "ws", "wr",
     )
-    by_year = (
+    # Year pivot in ONE aggregate (the q74 collapse): a year-pair self-join
+    # would push the year filter below the channel union and recompute the
+    # entire three-channel pipeline per side (no exchange reuse) — at scale
+    # that doubles every fact scan.
+    by_brand = (
         cs.unionAll(ss).unionAll(ws)
-        .groupBy("d_year", "i_brand_id")
-        .agg(F.sum("sales_cnt").cast("long").alias("sales_cnt"), F.round(F.sum("sales_amt"), 4).alias("sales_amt"))
-    )
-    curr = by_year.filter(F.col("d_year") == 1997).select(
-        F.col("i_brand_id").alias("cb"), F.col("sales_cnt").alias("curr_cnt"), F.col("sales_amt").alias("ca")
-    )
-    prev = by_year.filter(F.col("d_year") == 1996).select(
-        "i_brand_id", F.col("sales_cnt").alias("prev_cnt"), F.col("sales_amt").alias("pa")
+        .groupBy("i_brand_id")
+        .agg(
+            F.sum(F.when(F.col("d_year") == 1996, F.col("sales_cnt"))).cast("long").alias("prev_cnt"),
+            F.sum(F.when(F.col("d_year") == 1997, F.col("sales_cnt"))).cast("long").alias("curr_cnt"),
+            F.round(F.sum(F.when(F.col("d_year") == 1996, F.col("sales_amt"))), 4).alias("prev_amt"),
+            F.round(F.sum(F.when(F.col("d_year") == 1997, F.col("sales_amt"))), 4).alias("curr_amt"),
+        )
     )
     return (
-        curr.join(prev, F.col("cb") == F.col("i_brand_id"))
-        .filter(F.col("curr_cnt").cast("double") / F.col("prev_cnt") < 0.95)
+        by_brand.filter(
+            F.col("prev_cnt").isNotNull() & F.col("curr_cnt").isNotNull()
+            & (F.col("curr_cnt").cast("double") / F.col("prev_cnt") < 0.95)
+        )
         .select(
             "i_brand_id", "prev_cnt", "curr_cnt",
             (F.col("curr_cnt") - F.col("prev_cnt")).alias("sales_cnt_diff"),
-            F.round(F.col("ca") - F.col("pa"), 4).alias("sales_amt_diff"),
+            F.round(F.col("curr_amt") - F.col("prev_amt"), 4).alias("sales_amt_diff"),
         )
         .orderBy("sales_cnt_diff", "i_brand_id")
     )
