@@ -189,3 +189,17 @@ def test_clusters_concurrent_shuffle_width_untouched(spark, sf_dir):
         t.join()
     assert spark.conf.get("spark.sql.shuffle.partitions") == want
     assert set(seen) == {want}
+
+
+def test_label_propagation_bounded_storage(spark, sf_dir):
+    """graph_label_propagation checkpoints the edge set; that block is the
+    result plan's leaf, so release_result frees it and storage returns to
+    baseline — same contract as dedup_clusters."""
+    from sol_spark.operators.dedup import graph_label_propagation
+
+    baseline = _n_persistent(spark)
+    df = graph_label_propagation(spark, sf_dir)
+    df.count()
+    assert _n_persistent(spark) <= baseline + 1
+    release_result(df)
+    assert _n_persistent(spark) <= baseline
