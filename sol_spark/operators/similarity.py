@@ -1223,3 +1223,75 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier audit: vectors abnormally far from their label's
+# centroid — the mislabeled/corrupt-vector detector run before an
+# embedding table feeds training or retrieval.
+# ---------------------------------------------------------------------------
+
+EMB_OUTLIER_Z = 2.0
+
+EMB_OUTLIER_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+cent AS (
+  SELECT label, i.i AS dim, avg(embedding[i.i]::DOUBLE) AS c
+  FROM embeddings, dims i GROUP BY label, i.i
+),
+dist AS (
+  SELECT e.vec_id, e.label,
+         sqrt(sum(pow(e.embedding[cent.dim]::DOUBLE - cent.c, 2))) AS d
+  FROM embeddings e JOIN cent ON e.label = cent.label
+  GROUP BY e.vec_id, e.label
+),
+stats AS (
+  SELECT label, avg(d) AS mu, stddev_samp(d) AS sd FROM dist GROUP BY label
+)
+SELECT dist.vec_id, dist.label, round(dist.d, 6) AS dist_to_centroid,
+       round((dist.d - stats.mu) / stats.sd, 4) AS zscore
+FROM dist JOIN stats USING (label)
+WHERE (dist.d - stats.mu) / stats.sd > {EMB_OUTLIER_Z}
+ORDER BY dist.vec_id
+"""
+
+
+@register("emb_outlier_detection", EMB_OUTLIER_ORACLE, tags=("llm", "similarity", "quality"))
+def emb_outlier_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers: distance of every vector to its own
+    label centroid, z-scored against the label's distance distribution;
+    vectors beyond {EMB_OUTLIER_Z} sigma are flagged — catching corrupt
+    rows and label noise before they poison a classifier or ANN index.
+
+    Scale shape: three chained aggregates (per-label per-dim centroid ->
+    per-vector distance via a broadcast centroid join -> per-label
+    distance moments), every one partial-aggregable; the z-score join is
+    |labels| rows broadcast. One corpus scan for centroids, one for
+    distances — nothing pairwise."""
+    t = load_tables(spark, sf_dir)
+    cent = (
+        t["embeddings"]
+        .select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("cs"))
+        .select("label", F.expr("transform(cs, s -> s.c)").alias("centroid"))
+    )
+    dist_expr = (
+        "sqrt(aggregate(zip_with(embedding, centroid, (x, y) -> cast(x AS double) - y), "
+        "cast(0.0 AS double), (acc, v) -> acc + v * v))"
+    )
+    dist = (
+        t["embeddings"]
+        .join(F.broadcast(cent), "label")
+        .select("vec_id", "label", F.expr(dist_expr).alias("d"))
+    )
+    stats = dist.groupBy("label").agg(F.avg("d").alias("mu"), F.stddev_samp("d").alias("sd"))
+    z = (F.col("d") - F.col("mu")) / F.col("sd")
+    return (
+        dist.join(F.broadcast(stats), "label")
+        .filter(z > EMB_OUTLIER_Z)
+        .select("vec_id", "label", F.round("d", 6).alias("dist_to_centroid"), F.round(z, 4).alias("zscore"))
+        .orderBy("vec_id")
+    )
