@@ -1288,3 +1288,85 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = labels.select(F.col("node").alias("doc"), F.col("label").alias("community")).orderBy("doc")
     release_result(mh)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Method-agreement audit: pairwise overlap of the four near-dup detectors'
+# pair sets — the comparison a pipeline owner runs when choosing (or
+# ensembling) dedup strategies. No method is ground truth; the overlap
+# matrix is the decision input.
+# ---------------------------------------------------------------------------
+
+def _method_overlap_oracle() -> str:
+    srcs = {
+        "minhash": DEDUP_MINHASH_ORACLE,
+        "simhash": SIMHASH_ORACLE,
+        "jaccard": NGRAM_JACCARD_ORACLE,
+        "containment": CONTAINMENT_ORACLE,
+    }
+    ctes = ",\n".join(
+        f"{m} AS (SELECT doc_a, doc_b FROM ({sql.replace('ORDER BY doc_a, doc_b', '')}) x)"
+        for m, sql in srcs.items()
+    )
+    names = sorted(srcs)
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            rows.append(
+                f"SELECT '{a}' AS method_a, '{b}' AS method_b, "
+                f"(SELECT count(*) FROM {a})::BIGINT AS n_a, "
+                f"(SELECT count(*) FROM {b})::BIGINT AS n_b, "
+                f"(SELECT count(*) FROM {a} JOIN {b} USING (doc_a, doc_b))::BIGINT AS n_both"
+            )
+    return f"WITH {ctes}\nSELECT * FROM (\n" + "\nUNION ALL\n".join(rows) + "\n) u ORDER BY method_a, method_b"
+
+
+DEDUP_METHOD_OVERLAP_ORACLE = _method_overlap_oracle()
+
+
+@register("dedup_method_overlap", DEDUP_METHOD_OVERLAP_ORACLE, tags=("llm", "dedup", "quality"))
+def dedup_method_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise agreement matrix of the four near-dup detectors (MinHash-
+    LSH trigram Jaccard, SimHash hamming, blocked bigram Jaccard,
+    df-capped containment): for every method pair, each side's pair count
+    and the intersection. Different detectors target different duplicate
+    phenomena (near-verbatim vs topical vs subset), so LOW overlap between
+    some pairs is signal, not failure — this audit quantifies it before a
+    pipeline picks its ensemble. Plan: the four pair pipelines run
+    independently (each bucketed/blocked per its own docstring) and the
+    overlap joins operate on pair frames keyed by (doc_a, doc_b)."""
+    sources = {
+        "containment": dedup_containment(spark, sf_dir),
+        "jaccard": dedup_ngram_jaccard(spark, sf_dir),
+        "minhash": dedup_minhash_lsh(spark, sf_dir),
+        "simhash": dedup_simhash(spark, sf_dir),
+    }
+    # Materialize each pair set, then release its pipeline's persisted
+    # working frames — the overlap joins must not reach back through
+    # released storage (the connected_components truncation discipline).
+    pair_sets = {}
+    for m, df in sources.items():
+        pair_sets[m] = df.select("doc_a", "doc_b").localCheckpoint(eager=True)
+        release_result(df)
+    names = sorted(pair_sets)
+    counts = {m: df.count() for m, df in pair_sets.items()}
+    parts = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            both = (
+                pair_sets[a].join(pair_sets[b], ["doc_a", "doc_b"], "left_semi")
+                .agg(F.count(F.lit(1)).alias("n_both"))
+                .select(
+                    F.lit(a).alias("method_a"), F.lit(b).alias("method_b"),
+                    F.lit(counts[a]).cast("long").alias("n_a"),
+                    F.lit(counts[b]).cast("long").alias("n_b"),
+                    F.col("n_both").cast("long").alias("n_both"),
+                )
+            )
+            parts.append(both)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    # The four pair checkpoints are the result plan's leaves; the caller's
+    # release_result(out) frees them.
+    return u.orderBy("method_a", "method_b")
