@@ -305,3 +305,51 @@ def mm_chunk_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id", "chunk_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Integrity audit: per-media checksum, size-vs-metadata consistency, and
+# magic-byte sanity — the validation table a 100 TB media lake computes at
+# ingest, entirely JVM-side (no decode, no Python).
+# ---------------------------------------------------------------------------
+
+MM_INTEGRITY_ORACLE = f"""
+WITH {_ORACLE_BYTES_CTE}
+SELECT m.media_id, m.modality,
+       md5(m.hx) AS content_checksum,
+       (length(m.hx) // 2)::BIGINT AS n_bytes_actual,
+       CASE WHEN length(m.hx) // 2 = {MEDIA_BYTES} THEN 1 ELSE 0 END AS ok_size,
+       CASE WHEN ('0x' || substr(m.hx, 1, 2))::INT % 7 = m.media_id % 7 THEN 1 ELSE 0 END AS ok_magic
+FROM media m
+ORDER BY m.media_id
+"""
+
+
+@register("mm_integrity_audit", MM_INTEGRITY_ORACLE, tags=("llm", "multimodal", "quality"))
+def mm_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-media integrity table: checksum over the payload (hex-level, so
+    both engines hash the same string), actual byte length vs the
+    metadata's declared size, and a magic-byte style consistency probe
+    (first byte mod 7 vs the id-derived expectation — standing in for the
+    format-signature check a real lake runs against JPEG/RIFF headers).
+    Everything is binary/column arithmetic in the scan stage — the audit
+    costs one pass and never decodes. A production lake partitions the
+    failures into a quarantine table; here the flags are the verified
+    output."""
+    media = media_table(spark, sf_dir)
+    hx = F.hex(F.col("content")).alias("hx")
+    first_byte = F.expr("CAST(conv(substring(hex(content), 1, 2), 16, 10) AS INT)")
+    return (
+        media.select(
+            "media_id", "modality", F.col("content"),
+            F.length("content").alias("n_bytes_actual"),
+        )
+        .select(
+            "media_id", "modality",
+            F.md5(F.lower(F.hex("content"))).alias("content_checksum"),
+            F.col("n_bytes_actual").cast("long").alias("n_bytes_actual"),
+            F.when(F.col("n_bytes_actual") == MEDIA_BYTES, 1).otherwise(0).alias("ok_size"),
+            F.when(first_byte % 7 == F.col("media_id") % 7, 1).otherwise(0).alias("ok_magic"),
+        )
+        .orderBy("media_id")
+    )
