@@ -549,3 +549,64 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         binned.join(F.broadcast(tot))
         .agg(F.round(F.sum((p1 - p2) * F.log(p1 / p2)), 6).alias("psi"))
     )
+
+
+ROLLING_ACTIVE_ORACLE = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, ts::DATE AS d FROM events
+),
+day_grid AS (SELECT DISTINCT d FROM user_days),
+contrib AS (
+  SELECT u.user_id, g.d AS target_day,
+         CASE WHEN g.d = u.d THEN 1 ELSE 0 END AS in_1,
+         CASE WHEN g.d - u.d < 7 THEN 1 ELSE 0 END AS in_7
+  FROM user_days u JOIN day_grid g
+    ON g.d >= u.d AND g.d - u.d < 28
+)
+SELECT strftime(target_day, '%Y-%m-%d') AS day,
+       count(DISTINCT CASE WHEN in_1 = 1 THEN user_id END)::BIGINT AS dau,
+       count(DISTINCT CASE WHEN in_7 = 1 THEN user_id END)::BIGINT AS wau,
+       count(DISTINCT user_id)::BIGINT AS mau
+FROM contrib
+GROUP BY target_day
+ORDER BY day
+"""
+
+
+@register("events_rolling_active_users", ROLLING_ACTIVE_ORACLE, tags=("events", "retention", "window"))
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU per day: rolling distinct-user counts over 1/7/28-day
+    trailing windows. Rolling COUNT(DISTINCT) does not decompose into
+    window sums, so the standard distributed form is used: the fact first
+    collapses to DISTINCT (user, day) rows (map-side dedup eats the raw
+    event volume), each user-day then contributes to the <=28 target days
+    it falls within (a bounded range join against the day grid — fan-out
+    28x of the ALREADY-DEDUPED frame, not of raw events), and one
+    multi-distinct aggregate per target day produces all three metrics.
+    At 100 TB the user-day frame is the only large input and it shuffles
+    once, keyed by target day."""
+    t = load_tables(spark, sf_dir)
+    user_days = t["events"].select("user_id", F.to_date("ts").alias("d")).distinct()
+    day_grid = user_days.select(F.col("d").alias("target_day")).distinct()
+    contrib = (
+        user_days.join(
+            F.broadcast(day_grid),
+            (F.col("target_day") >= F.col("d"))
+            & (F.datediff(F.col("target_day"), F.col("d")) < 28),
+        )
+        .select(
+            "user_id", "target_day",
+            F.when(F.col("target_day") == F.col("d"), 1).otherwise(0).alias("in_1"),
+            F.when(F.datediff(F.col("target_day"), F.col("d")) < 7, 1).otherwise(0).alias("in_7"),
+        )
+    )
+    return (
+        contrib.groupBy("target_day")
+        .agg(
+            F.countDistinct(F.when(F.col("in_1") == 1, F.col("user_id"))).alias("dau"),
+            F.countDistinct(F.when(F.col("in_7") == 1, F.col("user_id"))).alias("wau"),
+            F.countDistinct("user_id").alias("mau"),
+        )
+        .select(F.date_format("target_day", "yyyy-MM-dd").alias("day"), "dau", "wau", "mau")
+        .orderBy("day")
+    )
