@@ -1370,3 +1370,68 @@ def dedup_method_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The four pair checkpoints are the result plan's leaves; the caller's
     # release_result(out) frees them.
     return u.orderBy("method_a", "method_b")
+
+
+# ---------------------------------------------------------------------------
+# Threshold-sensitivity audit for embedding near-dup: pair counts at a
+# ladder of cosine thresholds from ONE bucketed pass — the tuning curve a
+# pipeline inspects before fixing its dedup threshold.
+# ---------------------------------------------------------------------------
+
+THRESHOLD_LADDER = (0.1, 0.2, 0.3, 0.4)
+
+EMB_THRESHOLD_SWEEP_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+b AS (
+  SELECT vec_id, embedding,
+         list_aggregate(list_transform(embedding[1:8],
+                        x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '') AS bucket
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, sqrt(sum(embedding[i.i]::DOUBLE * embedding[i.i]::DOUBLE)) AS nrm
+  FROM embeddings, dims i GROUP BY vec_id
+),
+pair_cos AS (
+  SELECT a.vec_id AS va, c.vec_id AS vb,
+         round(sum(a.embedding[i.i]::DOUBLE * c.embedding[i.i]::DOUBLE), 6)
+           / (na.nrm * nb.nrm) AS cosine
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nb ON nb.vec_id = c.vec_id, dims i
+  GROUP BY a.vec_id, c.vec_id, na.nrm, nb.nrm
+)
+SELECT {", ".join(f"sum(CASE WHEN round(cosine, 6) >= {t} THEN 1 ELSE 0 END)::BIGINT AS pairs_ge_{str(t).replace('.', '_')}" for t in THRESHOLD_LADDER)},
+       count(*)::BIGINT AS candidate_pairs
+FROM pair_cos
+"""
+
+
+@register("dedup_threshold_sweep", EMB_THRESHOLD_SWEEP_ORACLE, tags=("llm", "dedup", "similarity", "quality"))
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity curve for embedding near-dup: candidate pairs
+    from the sign-LSH buckets (the dedup_embedding_cosine candidate set)
+    scored once, with surviving-pair counts at every threshold in
+    {THRESHOLD_LADDER} computed as conditional sums in the SAME aggregate
+    — four dedup configurations priced with one bucketed pass instead of
+    four reruns. The knee of this curve is how a pipeline picks its
+    production threshold."""
+    from sol_spark.operators.similarity import _BUCKET_SPARK, _DOT, _with_norm
+
+    t = load_tables(spark, sf_dir)
+    emb = _with_norm(t["embeddings"]).withColumn("bucket", F.expr(_BUCKET_SPARK))
+    a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"), "bucket")
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"), "bucket")
+    dot = F.expr(_DOT.format(a="ea", b="eb"))
+    pair_cos = (
+        a.join(b, "bucket")
+        .filter(F.col("va") < F.col("vb"))
+        .select((F.round(dot, 6) / (F.col("na") * F.col("nb"))).alias("cosine"))
+    )
+    aggs = [
+        F.sum(F.when(F.round(F.col("cosine"), 6) >= t, 1).otherwise(0)).alias(
+            f"pairs_ge_{str(t).replace('.', '_')}"
+        )
+        for t in THRESHOLD_LADDER
+    ]
+    return pair_cos.agg(*aggs, F.count(F.lit(1)).alias("candidate_pairs"))
