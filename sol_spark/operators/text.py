@@ -1571,3 +1571,69 @@ def text_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     keep = (ok_wc * ok_mwl * ok_hash * ok_ell * ok_alpha * ok_stop).alias("keep")
     return feats.select("doc_id", *flags, keep).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Importance resampling (the consumption side of text_dsir_weights): keep
+# each document with probability proportional to its importance weight,
+# decided by a content-stable hash so the sample is deterministic and
+# oracle-reproducible.
+# ---------------------------------------------------------------------------
+
+IMPORTANCE_SAMPLE_FRAC = 0.3  # target fraction of the corpus
+
+SAMPLE_IMPORTANCE_ORACLE = f"""
+WITH weights AS ({DSIR_ORACLE.replace("ORDER BY bu.doc_id", "")}),
+probs AS (
+  SELECT doc_id,
+         exp(dsir_weight - max(dsir_weight) OVER ()) AS u
+  FROM weights
+),
+norm AS (
+  SELECT doc_id, u, {IMPORTANCE_SAMPLE_FRAC} * u * (count(*) OVER ()) / (sum(u) OVER ()) AS p
+  FROM probs
+)
+SELECT doc_id, round(least(p, 1.0), 6) AS keep_prob
+FROM norm
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000000
+      < least(p, 1.0) * 1000000
+ORDER BY doc_id
+"""
+
+
+@register("sample_importance", SAMPLE_IMPORTANCE_ORACLE, tags=("llm", "text", "sampling"))
+def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance RESAMPLING: documents keep with probability
+    proportional to exp(importance weight), scaled so the expected sample
+    is {IMPORTANCE_SAMPLE_FRAC} of the corpus, decided by a hash-mod coin
+    on doc_id — deterministic, reproducible, and stable under corpus
+    append (the same doc keeps its fate). Weights are max-shifted before
+    exponentiation (softmax discipline) so the scale factors stay finite.
+    This is the consumption step text_dsir_weights exists for; together
+    they are the full DSIR pipeline. Plan: the weight computation's two
+    bucket aggregates, two 1-row scalar windows over the |docs| frame,
+    and a scan-local hash coin."""
+    t = load_tables(spark, sf_dir)  # noqa: F841 — weights pipeline loads tables itself
+    weights = text_dsir_weights(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    wall = W.partitionBy()
+    probs = weights.select(
+        "doc_id",
+        F.exp(F.col("dsir_weight") - F.max("dsir_weight").over(wall)).alias("u"),
+    )
+    p = (
+        F.lit(IMPORTANCE_SAMPLE_FRAC)
+        * F.col("u")
+        * F.count(F.lit(1)).over(wall)
+        / F.sum("u").over(wall)
+    )
+    coin = F.expr(
+        "CAST(conv(substring(md5(cast(doc_id AS string)), 1, 6), 16, 10) AS BIGINT) % 1000000"
+    )
+    return (
+        probs.select("doc_id", F.least(p, F.lit(1.0)).alias("pk"))
+        .filter(coin < F.col("pk") * 1000000)
+        .select("doc_id", F.round("pk", 6).alias("keep_prob"))
+        .orderBy("doc_id")
+    )

@@ -1139,3 +1139,54 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", F.round(z, 4).alias("robust_z"))
         .orderBy("event_id")
     )
+
+
+HISTOGRAM_ORACLE = """
+WITH bounds AS (
+  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem
+),
+binned AS (
+  SELECT least(CAST(floor((l_extendedprice - lo) / ((hi - lo) / 10.0)) AS BIGINT), 9) AS bin
+  FROM lineitem, bounds
+)
+SELECT bin, count(*)::BIGINT AS n,
+       round(count(*)::DOUBLE / sum(count(*)) OVER (), 6) AS frac
+FROM binned
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+@register("profile_histogram", HISTOGRAM_ORACLE, tags=("agg", "profiling"))
+def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 10-bin histogram of a numeric column — the distribution
+    profile that complements profile_columns' min/max/avg snapshot (the
+    input to CBO-style selectivity estimates and to drift baselines).
+    Plan: one 1-row min/max aggregate broadcast into the binning
+    projection, one hash-agg on the bin id, and the fraction window runs
+    over the 10-row aggregate. Two scans total (bounds + binning) —
+    production caches bounds from table stats to make it one."""
+    t = load_tables(spark, sf_dir)
+    bounds = t["lineitem"].agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    binned = (
+        t["lineitem"].select("l_extendedprice")
+        .join(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor((F.col("l_extendedprice") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10.0)).cast("long"),
+                F.lit(9),
+            ).alias("bin")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    agg = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        agg.select(
+            "bin", "n",
+            F.round(F.col("n").cast("double") / F.sum("n").over(W.partitionBy()), 6).alias("frac"),
+        )
+        .orderBy("bin")
+    )
