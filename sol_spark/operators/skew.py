@@ -93,3 +93,58 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
     )
     return joined.select("user_id", "event_id", "c_mktsegment").orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Skew diagnosis: per-key frequency report for a join/agg key — the audit
+# that decides WHETHER to salt (skew_salted_*) or rely on AQE skew-split,
+# run before the expensive job.
+# ---------------------------------------------------------------------------
+
+SKEW_DIAGNOSE_ORACLE = """
+WITH freq AS (
+  SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY o_custkey
+),
+stats AS (
+  SELECT count(*) AS n_keys, sum(n) AS n_rows, max(n) AS max_n,
+         avg(n) AS mean_n
+  FROM freq
+)
+SELECT f.key, f.n::BIGINT AS n,
+       round(f.n / s.mean_n, 4) AS x_mean,
+       round(100.0 * f.n / s.n_rows, 4) AS pct_of_rows,
+       CASE WHEN f.n > 2 * s.mean_n THEN 1 ELSE 0 END AS is_hot
+FROM freq f, stats s
+ORDER BY f.n DESC, f.key
+LIMIT 20
+"""
+
+
+@register("skew_diagnose", SKEW_DIAGNOSE_ORACLE, tags=("skew", "profiling"))
+def skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key report for a prospective join/agg key: the 20 heaviest
+    keys with their skew multiple (x mean frequency), share of all rows,
+    and a >2x-mean hot flag — the diagnosis that chooses between plain
+    hash partitioning, salting (skew_salted_*), and AQE skew-split
+    BEFORE paying for the skewed shuffle. On the uniform fixture keys the
+    report's verdict is "no hot keys" (all flags 0) — exactly what it
+    should say. Plan: one map-side-combined key count, a 1-row stats
+    broadcast, and a top-20 TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir)
+    freq = t["orders"].groupBy(F.col("o_custkey").alias("key")).agg(F.count(F.lit(1)).alias("n"))
+    stats = freq.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.avg("n").alias("mean_n"),
+    )
+    return (
+        freq.join(F.broadcast(stats))
+        .select(
+            "key", F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("mean_n"), 4).alias("x_mean"),
+            F.round(100.0 * F.col("n") / F.col("n_rows"), 4).alias("pct_of_rows"),
+            F.when(F.col("n") > 2 * F.col("mean_n"), 1).otherwise(0).alias("is_hot"),
+        )
+        .orderBy(F.desc("n"), "key")
+        .limit(20)
+    )

@@ -1637,3 +1637,53 @@ def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.round("pk", 6).alias("keep_prob"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation: confusion matrix + per-language accuracy of the
+# heuristic classifier against the corpus's true labels — the quality
+# report a pipeline produces before trusting a classifier to route
+# documents.
+# ---------------------------------------------------------------------------
+
+LANG_ID_EVAL_ORACLE = f"""
+WITH preds AS (
+  SELECT lang AS true_lang,
+         {_pred_case(_score_duck).format(cjk=_CJK_DUCK)} AS pred_lang
+  FROM documents
+)
+SELECT true_lang, pred_lang, count(*)::BIGINT AS n,
+       round(count(*)::DOUBLE /
+             sum(count(*)) OVER (PARTITION BY true_lang), 4) AS frac_of_true
+FROM preds
+GROUP BY true_lang, pred_lang
+ORDER BY true_lang, pred_lang
+"""
+
+
+@register("text_lang_id_eval", LANG_ID_EVAL_ORACLE, tags=("llm", "text", "quality"))
+def text_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of text_lang_id's heuristic against the true lang
+    column: one row per (true, predicted) pair with the count and its
+    share of the true class (the diagonal's share = per-language recall).
+    Plan: the prediction is the same scan-local expression the classifier
+    uses; one hash-agg on the label pair; the share window runs over the
+    tiny confusion frame."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    pred = F.expr(_pred_case(_score_spark).format(cjk=_CJK_SPARK))
+    conf = (
+        t["documents"]
+        .select(F.col("lang").alias("true_lang"), pred.alias("pred_lang"))
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("true_lang")
+    return (
+        conf.select(
+            "true_lang", "pred_lang", "n",
+            F.round(F.col("n").cast("double") / F.sum("n").over(w), 4).alias("frac_of_true"),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )
