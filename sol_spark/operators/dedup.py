@@ -1435,3 +1435,78 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in THRESHOLD_LADDER
     ]
     return pair_cos.agg(*aggs, F.count(F.lit(1)).alias("candidate_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# LSH band-configuration sweep: candidate-pair counts for every (bands,
+# rows) factorization of the 12-hash signature, from ONE signature pass —
+# the S-curve tuning table behind the production (4, 3) choice.
+# ---------------------------------------------------------------------------
+
+BAND_CONFIGS = ((2, 6), (3, 4), (4, 3), (6, 2))  # (bands, rows/band), b*r = 12
+
+
+def _band_sweep_oracle() -> str:
+    per_cfg = []
+    for b, r in BAND_CONFIGS:
+        per_cfg.append(f"""
+  SELECT {b} AS n_bands, {r} AS rows_per_band, count(*)::BIGINT AS candidate_pairs
+  FROM (
+    SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+    FROM (SELECT doc_id, i // {r} AS band, string_agg(h::VARCHAR, '|' ORDER BY i) AS bk
+          FROM mh GROUP BY doc_id, i // {r}) a
+    JOIN (SELECT doc_id, i // {r} AS band, string_agg(h::VARCHAR, '|' ORDER BY i) AS bk
+          FROM mh GROUP BY doc_id, i // {r}) b2
+      ON a.band = b2.band AND a.bk = b2.bk AND a.doc_id < b2.doc_id) p""")
+    # mh CTE: reuse the signature construction from the minhash oracle
+    sig_cte = DEDUP_MINHASH_ORACLE.split("), bands AS (")[0] + ")"
+    return f"""{sig_cte}
+SELECT * FROM (
+{" UNION ALL ".join(per_cfg)}
+) u ORDER BY n_bands
+"""
+
+
+DEDUP_BAND_SWEEP_ORACLE = _band_sweep_oracle()
+
+
+@register("dedup_band_sweep", DEDUP_BAND_SWEEP_ORACLE, tags=("llm", "dedup", "lsh", "quality"))
+def dedup_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding S-curve table: for each (bands, rows) factorization of
+    the {N_HASHES}-hash MinHash signature, the number of distinct
+    candidate pairs its band-bucket join would generate — computed from
+    ONE signature build (the expensive shingle+hash pass) with one cheap
+    band-regrouping per configuration. More bands / fewer rows => lower
+    collision threshold (~(1/b)^(1/r)) => more candidates; this table is
+    how the production (4, 3) configuration was chosen, measured instead
+    of guessed."""
+    load_tables(spark, sf_dir)  # register the documents view for the pipeline
+    rows = hashed_shingle_rows_df(spark, sf_dir)
+    sig = minhash_signature_df(rows).localCheckpoint(eager=True)
+    parts = []
+    for b, r in BAND_CONFIGS:
+        band_keys = F.array(
+            *[
+                F.concat_ws("|", *[F.col(f"h{band * r + j}") for j in range(r)])
+                for band in range(b)
+            ]
+        )
+        banded = sig.select("doc_id", F.posexplode(band_keys).alias("band", "bk"))
+        a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bk")
+        c = banded.select(F.col("doc_id").alias("doc_b"), F.col("band").alias("band2"), F.col("bk").alias("bk2"))
+        pairs = (
+            a.join(c, (F.col("band") == F.col("band2")) & (F.col("bk") == F.col("bk2")))
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        parts.append(
+            pairs.agg(F.count(F.lit(1)).alias("candidate_pairs")).select(
+                F.lit(b).alias("n_bands"), F.lit(r).alias("rows_per_band"),
+                F.col("candidate_pairs").cast("long").alias("candidate_pairs"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    return u.orderBy("n_bands")

@@ -610,3 +610,60 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("target_day", "yyyy-MM-dd").alias("day"), "dau", "wau", "mau")
         .orderBy("day")
     )
+
+
+SEASONALITY_ORACLE = """
+WITH cells AS (
+  SELECT dayofweek(ts) AS dow, hour(ts) AS hod, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+margins AS (
+  SELECT c.dow, c.hod, c.n,
+         sum(c.n) OVER (PARTITION BY c.dow) AS row_n,
+         sum(c.n) OVER (PARTITION BY c.hod) AS col_n,
+         sum(c.n) OVER () AS tot
+  FROM cells c
+)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod, n::BIGINT AS n,
+       round(row_n * col_n / tot, 4) AS expected,
+       round(pow(n - row_n * col_n / tot, 2) / (row_n * col_n / tot), 4) AS chisq_term
+FROM margins
+ORDER BY dow, hod
+"""
+
+
+@register("events_seasonality_chisq", SEASONALITY_ORACLE, tags=("events", "stats", "profiling"))
+def events_seasonality_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day x day-of-week seasonality profile with chi-square
+    independence terms: observed cell counts vs the margin-product
+    expectation — large terms flag time cells whose traffic deviates from
+    the hour/day marginals (load anomalies, batch-job artifacts, bot
+    bursts). Plan: one (dow, hod) hash-agg over the fact; the three
+    margin windows and the term arithmetic run over the <=168-cell frame.
+    DuckDB dayofweek is 0-based Sunday; Spark's is 1-based, aligned with
+    a -1 shift."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    cells = (
+        t["events"]
+        .groupBy((F.dayofweek("ts") - 1).alias("dow"), F.hour("ts").alias("hod"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    expected = F.col("row_n") * F.col("col_n") / F.col("tot")
+    return (
+        cells.select(
+            "dow", "hod", "n",
+            F.sum("n").over(W.partitionBy("dow")).alias("row_n"),
+            F.sum("n").over(W.partitionBy("hod")).alias("col_n"),
+            F.sum("n").over(W.partitionBy()).alias("tot"),
+        )
+        .select(
+            F.col("dow").cast("long").alias("dow"),
+            F.col("hod").cast("long").alias("hod"),
+            F.col("n").cast("long").alias("n"),
+            F.round(expected, 4).alias("expected"),
+            F.round(F.pow(F.col("n") - expected, 2) / expected, 4).alias("chisq_term"),
+        )
+        .orderBy("dow", "hod")
+    )
