@@ -6792,3 +6792,63 @@ def tpcds_q14b(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("i_brand_id", "i_class", "ty_sales", "ty_count", "ly_sales", "ly_count")
         .orderBy("i_brand_id", "i_class")
     )
+
+
+Q51A_ORACLE = f"""
+WITH {DS_CTES},
+monthly AS (
+  SELECT ss_item_sk AS item_sk, d_month_seq AS month_seq,
+         round(sum(CASE WHEN ss_promo_sk % 2 = 1 THEN ss_ext_sales_price END), 4) AS promo_m,
+         round(sum(CASE WHEN ss_promo_sk % 2 = 0 THEN ss_ext_sales_price END), 4) AS store_m
+  FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+  WHERE d_year IN (1999, 2000)
+  GROUP BY ss_item_sk, d_month_seq),
+y AS (
+  SELECT item_sk, month_seq,
+         round(sum(coalesce(promo_m, 0)) OVER (
+           PARTITION BY item_sk ORDER BY month_seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS promo_cumulative,
+         round(sum(coalesce(store_m, 0)) OVER (
+           PARTITION BY item_sk ORDER BY month_seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS store_cumulative
+  FROM monthly)
+SELECT item_sk, month_seq, promo_cumulative, store_cumulative
+FROM y WHERE promo_cumulative > store_cumulative
+ORDER BY item_sk, month_seq
+LIMIT 100
+"""
+
+
+@register("tpcds_q51a", Q51A_ORACLE, tags=("tpcds", "v27", "window"))
+def tpcds_q51a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS v2.7 q51a (reference tpcds-v2.7.0/q51a.sql): q51's
+    promo-vs-store cumulative race reformulated as v2.7 does — ONE fact
+    scan with conditional channel sums replaces the two windowed CTEs +
+    FULL OUTER month alignment (every month either side sold in is a row
+    of the single frame, so the join disappears), and both cumulative
+    windows share one (item) sort. The plan contrast with q51 is the
+    point: one scan + one window sort vs two scans + join + two window
+    sorts. Cumulative sums of non-negative sales are monotone, so the
+    base query's gap-filling running max is the identity here."""
+    ds = _ds(spark, sf_dir)
+    dd = ds["date_dim"].filter(F.col("d_year").isin(1999, 2000)).select("d_date_sk", "d_month_seq")
+    monthly = (
+        ds["store_sales"]
+        .join(F.broadcast(dd), F.col("ss_sold_date_sk") == F.col("d_date_sk"))
+        .groupBy(F.col("ss_item_sk").alias("item_sk"), F.col("d_month_seq").alias("month_seq"))
+        .agg(
+            F.round(F.sum(F.when(F.col("ss_promo_sk") % 2 == 1, F.col("ss_ext_sales_price"))), 4).alias("promo_m"),
+            F.round(F.sum(F.when(F.col("ss_promo_sk") % 2 == 0, F.col("ss_ext_sales_price"))), 4).alias("store_m"),
+        )
+    )
+    w = W.partitionBy("item_sk").orderBy("month_seq").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        monthly.select(
+            "item_sk", "month_seq",
+            F.round(F.sum(F.coalesce(F.col("promo_m"), F.lit(0.0))).over(w), 4).alias("promo_cumulative"),
+            F.round(F.sum(F.coalesce(F.col("store_m"), F.lit(0.0))).over(w), 4).alias("store_cumulative"),
+        )
+        .filter(F.col("promo_cumulative") > F.col("store_cumulative"))
+        .orderBy("item_sk", "month_seq")
+        .limit(100)
+    )
