@@ -667,3 +667,123 @@ def events_seasonality_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hod")
     )
+
+
+PATH_ANALYSIS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+  FROM events
+),
+paths AS (
+  SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path, count(*) AS n
+  FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+  GROUP BY 1
+)
+SELECT path, n::BIGINT AS n,
+       round(n::DOUBLE / sum(n) OVER (), 6) AS frac
+FROM paths
+ORDER BY n DESC, path
+LIMIT 20
+"""
+
+
+@register("events_path_analysis", PATH_ANALYSIS_ORACLE, tags=("events", "sequence"))
+def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step behavior paths (the sequence-mining staple one
+    order above events_markov_transitions' pair matrix): per-user ordered
+    event streams yield sliding step-triples via two lead() offsets over
+    ONE window sort, then a corpus count ranks the paths. Plan: a single
+    (user_id) window shuffle, one hash-agg on the path string, and a
+    top-20 TakeOrderedAndProject; the event_id tie-break makes
+    simultaneous events deterministic."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    paths = (
+        seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(F.concat_ws(" > ", "event_type", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        paths.select(
+            "path", "n",
+            F.round(F.col("n").cast("double") / F.sum("n").over(W.partitionBy()), 6).alias("frac"),
+        )
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )
+
+
+ATTRIBUTION_ORACLE = """
+WITH purchases AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts, value AS revenue
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT event_id AS t_id, user_id, ts AS t_ts, event_type AS channel
+  FROM events WHERE event_type IN ('view', 'click')
+),
+matched AS (
+  SELECT p.p_id, p.revenue, t.channel,
+         count(*) OVER (PARTITION BY p.p_id) AS n_touches
+  FROM purchases p JOIN touches t
+    ON p.user_id = t.user_id
+   AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 24 HOUR
+)
+SELECT channel,
+       count(*)::BIGINT AS n_credited_touches,
+       round(sum(revenue / n_touches), 2) AS attributed_revenue
+FROM matched
+GROUP BY channel
+ORDER BY channel
+"""
+
+
+@register("events_attribution_linear", ATTRIBUTION_ORACLE, tags=("events", "attribution", "join"))
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's revenue splits
+    equally across the user's view/click touches in the preceding 24
+    hours, then credit aggregates per channel. Plan: the purchase-touch
+    match is an EQUI-join on user_id with the time window as a residual
+    (never a time-range cross join — user_id co-partitions both sides in
+    one shuffle); the per-purchase touch count is a window over the
+    matched frame, and the fractional credits sum in one channel
+    hash-agg. Purchases with no in-window touches drop out (no credit to
+    assign) in both engines."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    e = t["events"]
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("pu"),
+        F.col("ts").alias("p_ts"), F.col("value").alias("revenue"),
+    )
+    touches = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("tu"), F.col("ts").alias("t_ts"), F.col("event_type").alias("channel")
+    )
+    matched = (
+        purchases.join(
+            touches,
+            (F.col("pu") == F.col("tu"))
+            & (F.col("t_ts") < F.col("p_ts"))
+            & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+        )
+        .withColumn("n_touches", F.count(F.lit(1)).over(W.partitionBy("p_id")))
+    )
+    return (
+        matched.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_credited_touches"),
+            F.round(F.sum(F.col("revenue") / F.col("n_touches")), 2).alias("attributed_revenue"),
+        )
+        .orderBy("channel")
+    )
