@@ -1295,3 +1295,146 @@ def emb_outlier_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", F.round("d", 6).alias("dist_to_centroid"), F.round(z, 4).alias("zscore"))
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe tuning sweep: recall@k and candidate volume for every nprobe
+# setting from ONE assignment pass — the third tuning table next to
+# dedup_band_sweep (LSH bands) and dedup_threshold_sweep (cosine ladder).
+# ---------------------------------------------------------------------------
+
+NPROBE_LADDER = (1, 2, 4, 8)
+
+def _nprobe_sweep_oracle() -> str:
+    per_cfg = []
+    for np_ in NPROBE_LADDER:
+        per_cfg.append(f"""
+  SELECT {np_} AS nprobe,
+         (SELECT count(*) FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+          WHERE p.rn <= {np_} AND a.vec_id <> p.qid) AS candidates,
+         (SELECT count(*) FROM (
+            SELECT qid, cid FROM (
+              SELECT p.qid, a.vec_id AS cid,
+                     row_number() OVER (PARTITION BY p.qid ORDER BY sc.cosine DESC, a.vec_id) AS rk
+              FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+              JOIN scored_all sc ON sc.qid = p.qid AND sc.cid = a.vec_id
+              WHERE p.rn <= {np_} AND a.vec_id <> p.qid) r
+            WHERE rk <= {TOP_K}) approx
+          JOIN exact_top USING (qid, cid)) AS hits""")
+    return f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+norms AS (
+  SELECT vec_id, sqrt(sum(embedding[i.i]::DOUBLE * embedding[i.i]::DOUBLE)) AS nrm
+  FROM embeddings, dims i GROUP BY vec_id
+),
+cent AS (
+  SELECT vec_id AS cent_id, embedding AS cente, nrm AS centn
+  FROM embeddings JOIN norms USING (vec_id)
+  WHERE vec_id >= {_IVF_CENT_MIN} AND vec_id < {_IVF_CENT_MAX}
+),
+cellcos AS (
+  SELECT e.vec_id, c.cent_id,
+         round(sum(e.embedding[i.i]::DOUBLE * c.cente[i.i]::DOUBLE) / (n.nrm * c.centn), 6) AS ccos
+  FROM embeddings e JOIN norms n USING (vec_id), cent c, dims i
+  GROUP BY e.vec_id, c.cent_id, n.nrm, c.centn
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+    FROM cellcos) t WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS qid, cent_id, rn FROM (
+    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+    FROM cellcos WHERE vec_id < {N_QUERIES}) t
+),
+scored_all AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         round(sum(q.embedding[i.i]::DOUBLE * c.embedding[i.i]::DOUBLE) / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+  JOIN norms nq ON nq.vec_id = q.vec_id
+  JOIN norms nc ON nc.vec_id = c.vec_id, dims i
+  GROUP BY q.vec_id, c.vec_id, nq.nrm, nc.nrm
+),
+exact_top AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+    FROM scored_all) t WHERE rk <= {TOP_K}
+)
+SELECT nprobe, candidates::BIGINT AS candidates, hits::BIGINT AS hits,
+       round(hits::DOUBLE / {N_QUERIES * TOP_K}, 4) AS recall
+FROM ({" UNION ALL ".join(per_cfg)}) u
+ORDER BY nprobe
+"""
+
+
+SIM_NPROBE_SWEEP_ORACLE = _nprobe_sweep_oracle()
+
+
+@register("sim_nprobe_sweep", SIM_NPROBE_SWEEP_ORACLE, tags=("llm", "similarity", "ivf", "quality"))
+def sim_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe tuning table: for every probe budget in {NPROBE_LADDER},
+    the candidate volume (compute cost proxy) and measured recall@{TOP_K}
+    against the exact answer — all from ONE centroid-assignment pass and
+    one exact scoring of the query block (probe sets are nested, so each
+    rung only re-filters the same frames). The compute/recall knee picks
+    the production nprobe; at nprobe = K (all cells) recall is 1.0 by
+    construction, which doubles as a self-check."""
+    t = load_tables(spark, sf_dir)
+    emb = _with_norm(t["embeddings"])
+    cent = (
+        emb.filter((F.col("vec_id") >= _IVF_CENT_MIN) & (F.col("vec_id") < _IVF_CENT_MAX))
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cente"), F.col("nrm").alias("centn"))
+    )
+    ccos = emb.join(F.broadcast(cent)).withColumn(
+        "ccos", F.round(F.expr(_DOT.format(a="embedding", b="cente")) / (F.col("nrm") * F.col("centn")), 6)
+    )
+    w_cell = W.partitionBy("vec_id").orderBy(F.desc("ccos"), "cent_id")
+    ranked = ccos.withColumn("rn", F.row_number().over(w_cell))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id").localCheckpoint(eager=True)
+    probes = (
+        ranked.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("cent_id").alias("pcell"), "rn")
+        .localCheckpoint(eager=True)
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+    scored_all = (
+        emb.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", F.col("vec_id").alias("cid"),
+            F.round(F.expr(_DOT.format(a="qe", b="embedding")) / (F.col("qn") * F.col("nrm")), 6).alias("cosine"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w_rank = W.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
+    exact_top = (
+        scored_all.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", "cid")
+    )
+    parts = []
+    for np_ in NPROBE_LADDER:
+        cand = (
+            probes.filter(F.col("rn") <= np_)
+            .join(assign, F.col("pcell") == F.col("cent_id"))
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select("qid", F.col("vec_id").alias("cid"))
+        )
+        n_cand = cand.count()
+        approx_top = (
+            cand.join(scored_all, ["qid", "cid"])
+            .withColumn("rk", F.row_number().over(w_rank))
+            .filter(F.col("rk") <= TOP_K)
+            .select("qid", "cid")
+        )
+        hits = approx_top.join(exact_top, ["qid", "cid"], "left_semi").count()
+        parts.append((np_, n_cand, hits))
+    rows = [
+        (np_, n_cand, hits, round(hits / (N_QUERIES * TOP_K), 4)) for np_, n_cand, hits in parts
+    ]
+    return spark.createDataFrame(
+        rows, "nprobe int, candidates long, hits long, recall double"
+    ).orderBy("nprobe")

@@ -1687,3 +1687,99 @@ def text_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_lang", "pred_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI co-occurrence mining over a pruned vocabulary — collocation /
+# keyword-pair discovery with the vocabulary cap that keeps the pair space
+# tractable at corpus scale.
+# ---------------------------------------------------------------------------
+
+PMI_VOCAB_TOP = 150   # keep the 150 highest-df tokens
+PMI_MIN_PAIR_DOCS = 3
+
+PMI_ORACLE = f"""
+WITH doc_tok AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split({_NORM_DUCK}, ' ')) AS tok FROM documents) u
+  WHERE length(tok) >= 2
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS df,
+           row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+    FROM doc_tok GROUP BY tok) t
+  WHERE rk <= {PMI_VOCAB_TOP}
+),
+pruned AS (
+  SELECT doc_id, tok FROM doc_tok WHERE tok IN (SELECT tok FROM vocab)
+),
+df AS (SELECT tok, count(*) AS d FROM pruned GROUP BY tok),
+n_docs AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM documents),
+pair_df AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS pd
+  FROM pruned a JOIN pruned b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY a.tok, b.tok
+  HAVING count(*) >= {PMI_MIN_PAIR_DOCS}
+)
+SELECT tok_a, tok_b, pd::BIGINT AS pair_docs,
+       round(ln((pd * n.n) / (da.d * db.d)), 4) AS pmi
+FROM pair_df
+JOIN df da ON da.tok = tok_a
+JOIN df db ON db.tok = tok_b
+CROSS JOIN n_docs n
+ORDER BY pmi DESC, tok_a, tok_b
+LIMIT 50
+"""
+
+
+@register("text_pmi_cooccurrence", PMI_ORACLE, tags=("llm", "text", "ranking"))
+def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 token pairs by document-level PMI (pointwise mutual
+    information — the collocation/keyphrase signal): the corpus first
+    collapses to distinct (doc, token) presence rows, the VOCABULARY is
+    capped to the {PMI_VOCAB_TOP} highest-df tokens BEFORE any pairing
+    (the pruning that keeps the within-doc pair join quadratic in the cap,
+    not in document length), pairs count co-occurring docs, and PMI =
+    ln(P(a,b)/(P(a)P(b))) ranks them. A min-support floor keeps noise
+    pairs out. Plan: two hash-aggs, a broadcast vocab semi-join, the
+    doc-keyed pair join over pruned rows, and a top-50
+    TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    doc_tok = (
+        t["documents"]
+        .select("doc_id", F.explode(F.expr(f"split({_NORM}, ' ')")).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .distinct()
+    )
+    w = W.orderBy(F.desc("df"), "tok")
+    vocab = (
+        doc_tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= PMI_VOCAB_TOP)
+        .select("tok")
+    )
+    pruned = doc_tok.join(F.broadcast(vocab), "tok", "left_semi")
+    dfreq = pruned.groupBy("tok").agg(F.count(F.lit(1)).alias("d"))
+    n_docs = t["documents"].agg(F.countDistinct("doc_id").cast("double").alias("n"))
+    a = pruned.select("doc_id", F.col("tok").alias("tok_a"))
+    b = pruned.select(F.col("doc_id").alias("d2"), F.col("tok").alias("tok_b"))
+    pair_df = (
+        a.join(b, (F.col("doc_id") == F.col("d2")) & (F.col("tok_a") < F.col("tok_b")))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("pd"))
+        .filter(F.col("pd") >= PMI_MIN_PAIR_DOCS)
+    )
+    return (
+        pair_df.join(F.broadcast(dfreq.withColumnsRenamed({"tok": "ta", "d": "da"})), F.col("tok_a") == F.col("ta"))
+        .join(F.broadcast(dfreq.withColumnsRenamed({"tok": "tb", "d": "db"})), F.col("tok_b") == F.col("tb"))
+        .join(F.broadcast(n_docs))
+        .select(
+            "tok_a", "tok_b", F.col("pd").cast("long").alias("pair_docs"),
+            F.round(F.log(F.col("pd") * F.col("n") / (F.col("da") * F.col("db"))), 4).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "tok_a", "tok_b")
+        .limit(50)
+    )
