@@ -50,6 +50,11 @@ HEADLINE = [
     # timing alongside the rest of the spine.
     "dedup_clusters",
     "tpcds_q67",
+    # r4 wave-2 additions: one cross-channel returns query over the new
+    # web/catalog star and one semantic-dedup operator, so the round-4
+    # families get round-over-round timing too.
+    "tpcds_q75",
+    "dedup_semdedup",
     "win_rank_topk_per_group",
     "time_rollup_hierarchy",
     "set_intersect",
