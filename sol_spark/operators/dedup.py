@@ -1510,3 +1510,55 @@ def dedup_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         u = u.unionAll(p)
     return u.orderBy("n_bands")
+
+
+# ---------------------------------------------------------------------------
+# Near-dup graph degree profile: the structural report (degree histogram)
+# that distinguishes chain-like drift clusters from dense mirror cliques —
+# read alongside graph_triangles before choosing cluster representatives.
+# ---------------------------------------------------------------------------
+
+GRAPH_DEGREE_ORACLE = f"""
+WITH pairs AS ({DEDUP_MINHASH_ORACLE.replace("ORDER BY doc_a, doc_b", "")}),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT doc_a AS node FROM pairs UNION ALL SELECT doc_b FROM pairs) e
+  GROUP BY node
+)
+SELECT degree::BIGINT AS degree, count(*)::BIGINT AS n_nodes,
+       round(count(*)::DOUBLE / sum(count(*)) OVER (), 6) AS frac
+FROM deg
+GROUP BY degree
+ORDER BY degree
+"""
+
+
+@register("graph_degree_stats", GRAPH_DEGREE_ORACLE, tags=("llm", "dedup", "graph", "profiling"))
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the MinHash near-dup graph: how many documents
+    have k verified near-duplicates — a mass at degree 1 means drift
+    chains (keep-first is safe), heavy tails mean mirror cliques (pick
+    representatives by pagerank instead). Plan: one edge-endpoint
+    explode + two nested hash-aggs; the fraction window runs over the
+    tiny histogram frame."""
+    from pyspark.sql import Window as W
+
+    mh = dedup_minhash_lsh(spark, sf_dir)
+    pairs = mh.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    release_result(mh)
+    deg = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionAll(pairs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(
+            F.col("degree").cast("long").alias("degree"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.round(F.col("n_nodes").cast("double") / F.sum("n_nodes").over(W.partitionBy()), 6).alias("frac"),
+        )
+        .orderBy("degree")
+    )

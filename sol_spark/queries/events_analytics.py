@@ -787,3 +787,58 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+PARETO_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT n,
+         row_number() OVER (ORDER BY n DESC, user_id) AS rk,
+         count(*) OVER () AS n_users,
+         sum(n) OVER () AS total,
+         sum(n) OVER (ORDER BY n DESC, user_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM per_user
+)
+SELECT round(100.0 * rk / n_users, 2) AS top_user_pct,
+       round(100.0 * cum / total, 4) AS event_share_pct
+FROM ranked
+WHERE rk * 10 % n_users < 10 OR rk = n_users
+ORDER BY top_user_pct
+"""
+
+
+@register("events_pareto_concentration", PARETO_ORACLE, tags=("events", "profiling", "window"))
+def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration curve of event volume: the cumulative share of
+    all events produced by the top-X% most active users, sampled at
+    decile boundaries — the skew-awareness report behind capacity
+    planning and per-user rate limits (and the business-level twin of
+    skew_diagnose's key report). Plan: one per-user count, then ranking,
+    totals, and the cumulative share all from windows over the |users|
+    frame; decile rows are selected by the integer rank test, identical
+    in both engines."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    per_user = t["events"].groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    w_rank = W.orderBy(F.desc("n"), "user_id")
+    w_cum = w_rank.rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.partitionBy()
+    ranked = per_user.select(
+        "n",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n_users"),
+        F.sum("n").over(w_all).alias("total"),
+        F.sum("n").over(w_cum).alias("cum"),
+    )
+    return (
+        ranked.filter(((F.col("rk") * 10 % F.col("n_users")) < 10) | (F.col("rk") == F.col("n_users")))
+        .select(
+            F.round(100.0 * F.col("rk") / F.col("n_users"), 2).alias("top_user_pct"),
+            F.round(100.0 * F.col("cum") / F.col("total"), 4).alias("event_share_pct"),
+        )
+        .orderBy("top_user_pct")
+    )
