@@ -1,0 +1,376 @@
+"""Data-governance and warehouse-maintenance operators: a declarative
+data-quality expectation suite, k-anonymity profiling, entity-resolution
+blocking, SCD type-2 dimension building, and CDC changelog application
+(MERGE semantics). These are the maintenance jobs a 100 TB lakehouse runs
+nightly around the analytics proper.
+
+Scale shape: every expectation is a conditional aggregate folded into ONE
+scan per table (never one job per check); referential integrity is a
+broadcast anti-join against the dimension keys; entity resolution generates
+candidate pairs only within blocking keys (never all-pairs); SCD2 and CDC
+are single window passes partitioned by the business key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sol_spark.registry import register
+from sol_spark.tables import load_tables
+
+# ---------------------------------------------------------------------------
+# Data-quality expectation suite (Deequ / dbt-test style)
+# ---------------------------------------------------------------------------
+
+DQ_EXPECTATIONS_ORACLE = """
+WITH li AS (
+  SELECT count(*) AS n,
+         count(*) FILTER (l_orderkey IS NULL) AS f_null,
+         count(*) FILTER (l_quantity < 1 OR l_quantity > 50) AS f_qty,
+         count(*) FILTER (l_discount > 0.06) AS f_disc,
+         count(*) FILTER (l_returnflag NOT IN ('A', 'N', 'R')) AS f_flag
+  FROM lineitem
+), o AS (
+  SELECT count(*) AS n,
+         count(*) - count(DISTINCT o_orderkey) AS f_uniq,
+         count(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P')) AS f_status
+  FROM orders
+), ri AS (
+  SELECT count(*) AS n,
+         count(*) FILTER (c.c_custkey IS NULL) AS f_ri
+  FROM orders o2 LEFT JOIN customer c ON o2.o_custkey = c.c_custkey
+), ev AS (
+  SELECT count(*) AS n,
+         count(*) FILTER (value < 0) AS f_neg,
+         count(*) FILTER (event_type NOT IN ('click', 'view', 'signup', 'purchase', 'error')) AS f_type,
+         count(*) FILTER (json_extract(props, '$.k') IS NULL) AS f_json
+  FROM events
+), cu AS (
+  SELECT count(*) AS n,
+         count(*) FILTER (c_acctbal < -1000 OR c_acctbal > 10000) AS f_bal
+  FROM customer
+), long AS (
+  SELECT 'lineitem' AS table_name, 'not_null:l_orderkey' AS expectation, n, f_null AS n_failed FROM li
+  UNION ALL SELECT 'lineitem', 'range:l_quantity[1,50]', n, f_qty FROM li
+  UNION ALL SELECT 'lineitem', 'max:l_discount<=0.06', n, f_disc FROM li
+  UNION ALL SELECT 'lineitem', 'accepted:l_returnflag', n, f_flag FROM li
+  UNION ALL SELECT 'orders', 'unique:o_orderkey', n, f_uniq FROM o
+  UNION ALL SELECT 'orders', 'accepted:o_orderstatus', n, f_status FROM o
+  UNION ALL SELECT 'orders', 'ref_integrity:o_custkey->customer', n, f_ri FROM ri
+  UNION ALL SELECT 'events', 'min:value>=0', n, f_neg FROM ev
+  UNION ALL SELECT 'events', 'accepted:event_type', n, f_type FROM ev
+  UNION ALL SELECT 'events', 'json_path:props.k', n, f_json FROM ev
+  UNION ALL SELECT 'customer', 'range:c_acctbal[-1000,10000]', n, f_bal FROM cu
+)
+SELECT table_name, expectation, n AS n_checked, n_failed,
+       CASE WHEN n_failed = 0 THEN 'pass' ELSE 'fail' END AS status
+FROM long ORDER BY table_name, expectation
+"""
+
+
+def _stack(agg: DataFrame, table: str, checks: list[tuple[str, str]]) -> DataFrame:
+    """One aggregated row with (n, fail_a, fail_b, ...) -> long format."""
+    pairs = ", ".join(f"'{label}', {col}" for label, col in checks)
+    return agg.select(
+        F.lit(table).alias("table_name"),
+        F.expr(f"stack({len(checks)}, {pairs}) AS (expectation, n_failed)"),
+        F.col("n").alias("n_checked"),
+    ).select(
+        "table_name",
+        "expectation",
+        "n_checked",
+        "n_failed",
+        F.when(F.col("n_failed") == 0, "pass").otherwise("fail").alias("status"),
+    )
+
+
+@register("dq_expectations", DQ_EXPECTATIONS_ORACLE, tags=("governance", "quality"))
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (Deequ / dbt-test style): 11
+    expectations over 4 tables — null checks, value ranges, accepted sets,
+    key uniqueness, JSON-path extractability, and referential integrity —
+    each table computed in a SINGLE conditional-aggregate scan, RI as a
+    broadcast left join on the dimension keys. At 100 TB this is one pass
+    over each fact, not one job per expectation."""
+    t = load_tables(spark, sf_dir)
+
+    def cnt(cond) -> F.Column:
+        return F.count_if(cond)
+
+    li = t["lineitem"].agg(
+        F.count(F.lit(1)).alias("n"),
+        cnt(F.col("l_orderkey").isNull()).alias("f_null"),
+        cnt((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias("f_qty"),
+        cnt(F.col("l_discount") > 0.06).alias("f_disc"),
+        cnt(~F.col("l_returnflag").isin("A", "N", "R")).alias("f_flag"),
+    )
+    o = t["orders"].agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("f_uniq"),
+        cnt(~F.col("o_orderstatus").isin("O", "F", "P")).alias("f_status"),
+    )
+    ri = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"].select("c_custkey")),
+            t["orders"]["o_custkey"] == F.col("c_custkey"),
+            "left",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), cnt(F.col("c_custkey").isNull()).alias("f_ri"))
+    )
+    ev = t["events"].agg(
+        F.count(F.lit(1)).alias("n"),
+        cnt(F.col("value") < 0).alias("f_neg"),
+        cnt(~F.col("event_type").isin("click", "view", "signup", "purchase", "error")).alias("f_type"),
+        cnt(F.get_json_object("props", "$.k").isNull()).alias("f_json"),
+    )
+    cu = t["customer"].agg(
+        F.count(F.lit(1)).alias("n"),
+        cnt((F.col("c_acctbal") < -1000) | (F.col("c_acctbal") > 10000)).alias("f_bal"),
+    )
+    out = (
+        _stack(li, "lineitem", [
+            ("not_null:l_orderkey", "f_null"),
+            ("range:l_quantity[1,50]", "f_qty"),
+            ("max:l_discount<=0.06", "f_disc"),
+            ("accepted:l_returnflag", "f_flag"),
+        ])
+        .unionAll(_stack(o, "orders", [
+            ("unique:o_orderkey", "f_uniq"),
+            ("accepted:o_orderstatus", "f_status"),
+        ]))
+        .unionAll(_stack(ri, "orders", [("ref_integrity:o_custkey->customer", "f_ri")]))
+        .unionAll(_stack(ev, "events", [
+            ("min:value>=0", "f_neg"),
+            ("accepted:event_type", "f_type"),
+            ("json_path:props.k", "f_json"),
+        ]))
+        .unionAll(_stack(cu, "customer", [("range:c_acctbal[-1000,10000]", "f_bal")]))
+    )
+    return out.orderBy("table_name", "expectation")
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity profile over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+K_ANON_THRESHOLD = 5
+
+PRIVACY_K_ANONYMITY_ORACLE = f"""
+WITH qi AS (
+  SELECT c_nationkey, c_mktsegment, (floor(c_acctbal / 1000))::BIGINT AS bal_bucket,
+         count(*) AS group_size
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT group_size, count(*) AS n_groups, sum(group_size)::BIGINT AS n_rows,
+       group_size < {K_ANON_THRESHOLD} AS at_risk
+FROM qi GROUP BY group_size ORDER BY group_size
+"""
+
+
+@register("privacy_k_anonymity", PRIVACY_K_ANONYMITY_ORACLE, tags=("governance", "privacy"))
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: group sizes over the quasi-identifier tuple
+    (nation, market segment, account-balance bucket) histogrammed by k; any
+    group smaller than K_ANON_THRESHOLD re-identifies its members. Two
+    chained hash aggregates (QI -> size, size -> histogram), both map-side
+    combinable; the first shuffles on the QI key, the second on a tiny
+    integer domain — at 100 TB the output stays bounded by the k histogram."""
+    t = load_tables(spark, sf_dir)
+    qi = (
+        t["customer"]
+        .groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+    )
+    return (
+        qi.groupBy("group_size")
+        .agg(F.count(F.lit(1)).alias("n_groups"), F.sum("group_size").alias("n_rows"))
+        .select(
+            "group_size",
+            "n_groups",
+            "n_rows",
+            (F.col("group_size") < K_ANON_THRESHOLD).alias("at_risk"),
+        )
+        .orderBy("group_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: blocked candidate pairs + edit-distance match
+# ---------------------------------------------------------------------------
+
+ER_MAX_EDIT = 1
+
+ER_BLOCKING_ORACLE = f"""
+SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+       levenshtein(a.c_name, b.c_name) AS edit_dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= {ER_MAX_EDIT}
+ORDER BY custkey_a, custkey_b
+"""
+
+
+@register("er_blocking", ER_BLOCKING_ORACLE, tags=("governance", "entity-resolution"))
+def er_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution via blocking: candidate pairs are generated ONLY
+    within a blocking key (nation), then confirmed with Levenshtein edit
+    distance <= ER_MAX_EDIT. The classic record-linkage shape — the
+    equi-join on the block key keeps the candidate set |block|² instead of
+    |table|²; production blocks on several redundant keys (sorted-
+    neighborhood, phonetic) and unions the candidates. A skewed block is
+    handled the same way as any skewed join key (salting / AQE skew-split,
+    see operators/skew.py)."""
+    t = load_tables(spark, sf_dir)
+    a = t["customer"].select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    b = t["customer"].select(
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    return (
+        a.join(b, "nk")
+        .where(F.col("custkey_a") < F.col("custkey_b"))
+        .select(
+            "custkey_a",
+            "custkey_b",
+            F.levenshtein("name_a", "name_b").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= ER_MAX_EDIT)
+        .orderBy("custkey_a", "custkey_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 dimension build
+# ---------------------------------------------------------------------------
+
+SCD2_ORACLE = """
+WITH s AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+         lag(o_orderpriority) OVER w AS prev
+  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), starts AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate AS eff_from
+  FROM s WHERE prev IS NULL OR prev <> o_orderpriority
+)
+SELECT o_custkey AS custkey, o_orderpriority AS priority, eff_from,
+       lead(eff_from) OVER (PARTITION BY o_custkey ORDER BY eff_from) AS eff_to,
+       lead(eff_from) OVER (PARTITION BY o_custkey ORDER BY eff_from) IS NULL AS is_current,
+       row_number() OVER (PARTITION BY o_custkey ORDER BY eff_from) AS version_n
+FROM starts ORDER BY custkey, version_n
+"""
+
+
+@register("scd2_order_priority", SCD2_ORACLE, tags=("governance", "scd"))
+def scd2_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: collapse each customer's order
+    stream into versioned (value, eff_from, eff_to, is_current) rows, a new
+    version opening whenever the tracked attribute changes. Two window
+    passes over the SAME partitioning (custkey) — Spark plans one sort +
+    one exchange, reused for both lag and lead; no join, no self-union.
+    The standard dimension-maintenance job for a star-schema warehouse."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    starts = (
+        t["orders"]
+        .select(
+            "o_custkey",
+            "o_orderpriority",
+            "o_orderdate",
+            "o_orderkey",
+            F.lag("o_orderpriority").over(w).alias("prev"),
+        )
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority")))
+    )
+    wv = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    return (
+        starts.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("eff_from"),
+            F.lead("o_orderdate").over(
+                Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate"))
+            ).alias("eff_to"),
+        )
+        .select(
+            "custkey",
+            "priority",
+            "eff_from",
+            "eff_to",
+            F.col("eff_to").isNull().alias("is_current"),
+            F.row_number()
+            .over(Window.partitionBy("custkey").orderBy("eff_from"))
+            .alias("version_n"),
+        )
+        .orderBy("custkey", "version_n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog application (MERGE / upsert-with-delete semantics)
+# ---------------------------------------------------------------------------
+
+CDC_APPLY_ORACLE = """
+WITH changelog AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM events
+), latest AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM changelog
+)
+SELECT user_id, value AS current_value, ts AS last_ts, n_changes
+FROM latest WHERE rn = 1 AND op = 'U'
+ORDER BY user_id
+"""
+
+
+@register("cdc_apply_changelog", CDC_APPLY_ORACLE, tags=("governance", "cdc"))
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC changelog with MERGE semantics: last-writer-wins per key
+    ordered by (ts, event_id), a trailing delete tombstone removing the key
+    entirely. The changelog is derived deterministically from events (every
+    10th event_id is a delete) so both engines see the same input. One
+    window pass partitioned by the key — the same plan a Delta/Iceberg
+    MERGE compiles to for a dedup-then-apply batch; at 100 TB the shuffle
+    is on the business key and the state never leaves the executors."""
+    t = load_tables(spark, sf_dir)
+    changelog = t["events"].select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_id") % 10 == 0, "D").otherwise("U").alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    wc = Window.partitionBy("user_id")
+    return (
+        changelog.select(
+            "user_id",
+            "value",
+            "ts",
+            "op",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n_changes"),
+        )
+        .where((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select(
+            "user_id",
+            F.col("value").alias("current_value"),
+            F.col("ts").alias("last_ts"),
+            "n_changes",
+        )
+        .orderBy("user_id")
+    )
