@@ -1562,3 +1562,113 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition of the near-dup graph
+# ---------------------------------------------------------------------------
+
+KCORE_K = 5
+KCORE_ROUNDS = 6
+
+
+def _kcore_oracle_sql(pair_sql: str, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    """Unrolled peeling oracle: one (keep, edges) CTE pair per round, so the
+    iterative algorithm stays fully SQL-verifiable. ``k``/``rounds`` must
+    match :func:`kcore` — both default to the module constants so the
+    registered query and its oracle are coupled by construction. Peeling is
+    idempotent once converged, so any rounds >= the convergence round give
+    the same answer (the simhash graph converges by round 3 at sf0.01;
+    tests assert convergence strictly inside the unroll budget)."""
+    steps = []
+    for j in range(1, rounds + 1):
+        steps.append(
+            f"""k{j} AS MATERIALIZED (
+  SELECT a AS doc FROM e{j - 1} GROUP BY a HAVING count(*) >= {k}
+), e{j} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{j - 1} e
+  JOIN k{j} ka ON ka.doc = e.a JOIN k{j} kb ON kb.doc = e.b
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH pr AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({pair_sql}) q
+), e0 AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM pr
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pr
+),
+{chain}
+SELECT a AS doc, count(*) AS core_deg FROM e{rounds} GROUP BY a ORDER BY doc
+"""
+
+
+GRAPH_KCORE_ORACLE = _kcore_oracle_sql(
+    SIMHASH_ORACLE.replace("ORDER BY doc_a, doc_b", "")
+)
+
+
+def kcore(pairs: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """(doc_a, doc_b) undirected pair DF -> the k-core: nodes surviving
+    iterative removal of all nodes with degree < k, with their final
+    in-core degree.
+
+    Scale shape: each peel round is one map-side-combined degree aggregate
+    over the surviving edges plus two BROADCAST left-semi joins (the keep
+    set is one row per surviving node, strictly shrinking every round, and
+    ~always a small fraction of |E|). The keep set is localCheckpoint'd
+    each round — it is referenced twice in the next round's plan, and
+    checkpointing keeps the plan linear in rounds instead of 3^rounds —
+    and each round's checkpoint is released as soon as the next round
+    supersedes it. A fixed unroll budget keeps the operator oracle-
+    verifiable; production peels to convergence with the same per-round
+    storage discipline as connected_components above.
+
+    Reference analog: the iterative Pregel pattern of GraphX
+    (/root/reference/graphx/src/main/scala/org/apache/spark/graphx/Pregel.scala:122)
+    — message = degree contribution, vertex drop = deg < k."""
+    sym = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).union(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    edges0 = edges = local_checkpoint(sym)
+    # The final edges plan references every round's keep set (the keeps are
+    # checkpointed, keeping the plan linear in rounds instead of 3^rounds),
+    # so none of them may be released until the RESULT is materialized.
+    keeps: list[DataFrame] = []
+    for _ in range(rounds):
+        keep = local_checkpoint(
+            edges.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select(F.col("a").alias("doc"))
+        )
+        keeps.append(keep)
+        edges = edges.join(
+            F.broadcast(keep), edges["a"] == keep["doc"], "left_semi"
+        ).join(F.broadcast(keep), edges["b"] == keep["doc"], "left_semi")
+    out = local_checkpoint(
+        edges.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+        .select(F.col("a").alias("doc"), "core_deg")
+        .orderBy("doc")
+    )
+    for keep in keeps:
+        release_result(keep)
+    release_result(edges0)
+    return out
+
+
+@register("graph_kcore", GRAPH_KCORE_ORACLE, tags=("llm", "dedup", "graph", "iterative"))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the SimHash near-dup graph: the maximal subgraph where
+    every document has >= KCORE_K near-duplicates. Cores are the mirror
+    cliques / boilerplate farms of a crawl corpus — the k-core is the
+    standard way to isolate them before picking one representative per
+    clique, where plain connected components would glue chains of drifted
+    revisions into one giant blob."""
+    ph = dedup_simhash(spark, sf_dir)
+    pairs = local_checkpoint(ph.select("doc_a", "doc_b"))
+    out = kcore(pairs)
+    release_result(pairs)
+    return out

@@ -203,3 +203,77 @@ def test_label_propagation_bounded_storage(spark, sf_dir):
     assert _n_persistent(spark) <= baseline + 1
     release_result(df)
     assert _n_persistent(spark) <= baseline
+
+
+def test_kcore_matches_python_reference(spark):
+    """kcore on a constructed graph equals sequential peeling: a 6-clique
+    (every node degree 5 -> survives k=3), a 4-cycle (degree 2 -> peeled at
+    k=3), and a pendant chain hanging off the clique (peeled first, which
+    must NOT drag clique members below k once removed edges stop counting)."""
+    from sol_spark.operators.dedup import kcore, release_result
+
+    clique = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    cycle = [(10, 11), (11, 12), (12, 13), (13, 10)]
+    chain = [(0, 20), (20, 21), (21, 22)]
+    edges = clique + cycle + chain
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+
+    # Sequential reference peeling.
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    k = 3
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    expect = sorted((n, len(v)) for n, v in adj.items())
+
+    out = kcore(df, k=k, rounds=8)
+    got = [(r["doc"], r["core_deg"]) for r in out.collect()]
+    release_result(out)
+    assert got == expect
+    assert [n for n, _ in got] == [0, 1, 2, 3, 4, 5]  # exactly the clique
+
+
+def test_kcore_converges_inside_unroll_budget(spark, sf_dir):
+    """The registered query runs KCORE_ROUNDS peel rounds and its oracle
+    unrolls exactly that many; the pair agrees only if the graph converges
+    strictly inside the budget. Assert one extra round changes nothing."""
+    from sol_spark.operators.dedup import (
+        KCORE_ROUNDS,
+        dedup_simhash,
+        kcore,
+        local_checkpoint,
+        release_result,
+    )
+
+    pairs = local_checkpoint(dedup_simhash(spark, sf_dir).select("doc_a", "doc_b"))
+    at_budget = kcore(pairs, rounds=KCORE_ROUNDS)
+    beyond = kcore(pairs, rounds=KCORE_ROUNDS + 1)
+    rows_a = sorted(map(tuple, at_budget.collect()))
+    rows_b = sorted(map(tuple, beyond.collect()))
+    for df in (at_budget, beyond, pairs):
+        release_result(df)
+    assert rows_a == rows_b
+    assert rows_a  # non-trivial core on the fixture
+
+
+def test_kcore_bounded_storage(spark, sf_dir):
+    """Per-round keep-set checkpoints are all released once the result is
+    materialized; only the result block may outlive the call."""
+    from sol_spark.operators.dedup import graph_kcore, release_result
+
+    baseline = _n_persistent(spark)
+    df = graph_kcore(spark, sf_dir)
+    df.count()
+    assert _n_persistent(spark) <= baseline + 1
+    release_result(df)
+    assert _n_persistent(spark) <= baseline
