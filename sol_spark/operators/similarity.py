@@ -1438,3 +1438,85 @@ def sim_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "nprobe int, candidates long, hits long, recall double"
     ).orderBy("nprobe")
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA: covariance via partial Gram matrices
+# ---------------------------------------------------------------------------
+
+PCA_DIM = 64
+
+EMB_PCA_COV_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(1, {PCA_DIM} + 1)) AS d)
+SELECT i.d - 1 AS i, j.d - 1 AS j,
+       round(covar_samp(e.embedding[i.d], e.embedding[j.d]), 6) + 0.0 AS cov
+FROM embeddings e, dims i, dims j
+WHERE i.d <= j.d
+GROUP BY 1, 2 ORDER BY i, j
+"""
+
+
+@register("emb_pca_cov", EMB_PCA_COV_ORACLE, tags=("llm", "embedding", "pca"))
+def emb_pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA, step 1: the {PCA_DIM}x{PCA_DIM} sample covariance of
+    the embedding corpus as (i, j, cov) upper-triangle rows. Each Arrow
+    batch is collapsed to ONE partial Gram contribution (sum vector + X'X
+    upper triangle + count) inside mapInPandas — a few thousand doubles per
+    batch regardless of batch row count — and the partials hash-aggregate
+    by (i, j). This is the MLlib RowMatrix.computeCovariance shape
+    (/root/reference/mllib/src/main/scala/org/apache/spark/mllib/linalg/distributed/RowMatrix.scala:332):
+    the data is never shuffled, only the fixed-size Gram partials are.
+    The eigendecomposition of the returned 2080 entries is a driver-side
+    numpy call (model-sized, like the logreg trainer above); projection is
+    then a single matrix-expression pass over the corpus — see
+    tests/test_r5_ops.py::test_pca_projection_variance_matches_eigenvalue."""
+    import numpy as np
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    d = PCA_DIM
+    iu = np.triu_indices(d)
+
+    def gram(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            G = X.T @ X
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([iu[0], np.arange(d), [-1]]),
+                    "j": np.concatenate([iu[1], np.full(d, -1), [-1]]),
+                    "s": np.concatenate([G[iu], X.sum(axis=0), [float(len(X))]]),
+                }
+            )
+
+    partials = (
+        t["embeddings"]
+        .select("embedding")
+        .mapInPandas(gram, "i int, j int, s double")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+    )
+    # Fixed-size reductions: 64 column sums + the scalar count live in tiny
+    # side tables and broadcast into the 2080-row pair frame.
+    sums = partials.where((F.col("j") == -1) & (F.col("i") >= 0)).select(
+        F.col("i").alias("k"), F.col("s").alias("sx")
+    )
+    n = partials.where(F.col("i") == -1).select(F.col("s").cast("double").alias("n"))
+    pairs = partials.where(F.col("j") >= 0)
+    si = sums.select(F.col("k").alias("i"), F.col("sx").alias("si"))
+    sj = sums.select(F.col("k").alias("j"), F.col("sx").alias("sj"))
+    return (
+        pairs.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            # + 0.0 canonicalizes IEEE -0.0 (a cov that rounds to zero keeps
+            # its sign bit, and the two engines disagree on it).
+            (F.round((F.col("s") - F.col("si") * F.col("sj") / F.col("n")) / (F.col("n") - 1), 6) + 0.0).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )

@@ -1783,3 +1783,115 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "tok_a", "tok_b")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-span analysis (ExactSubstr-style dedup diagnostics)
+# ---------------------------------------------------------------------------
+
+DUPSPAN_K = 5  # span detection granularity (tokens)
+
+DUP_SPANS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS tk, {_NORM_DUCK} AS ntext
+  FROM documents
+), sh AS (
+  SELECT doc_id, p,
+         CASE WHEN len(tk) < {DUPSPAN_K} THEN ntext
+              ELSE array_to_string(tk[p : p + {DUPSPAN_K} - 1], ' ') END AS s
+  FROM toks, unnest(CASE WHEN len(tk) < {DUPSPAN_K} THEN [1]
+                         ELSE range(1, len(tk) - {DUPSPAN_K} + 2) END) AS u(p)
+), hashed AS (
+  SELECT doc_id, p, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh
+), df AS (
+  SELECT h, count(DISTINCT doc_id) AS nd FROM hashed GROUP BY h
+), marked AS (
+  SELECT hashed.doc_id, hashed.p, df.nd >= 2 AS dup FROM hashed JOIN df USING (h)
+), runs AS (
+  SELECT doc_id, p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM marked WHERE dup
+), runlen AS (
+  SELECT doc_id, count(*) AS rl FROM runs GROUP BY doc_id, grp
+), agg AS (
+  SELECT doc_id, count(*) AS n_shingles, count(*) FILTER (dup) AS n_dup
+  FROM marked GROUP BY doc_id
+)
+SELECT a.doc_id, n_shingles, n_dup,
+       (10000 * n_dup) // n_shingles AS dup_frac_bp,
+       CASE WHEN coalesce(max(rl), 0) = 0 THEN 0
+            ELSE max(rl) + {DUPSPAN_K} - 1 END AS longest_dup_span_tokens
+FROM agg a LEFT JOIN runlen r ON r.doc_id = a.doc_id
+GROUP BY a.doc_id, n_shingles, n_dup ORDER BY a.doc_id
+"""
+
+
+@register("text_dup_spans", DUP_SPANS_ORACLE, tags=("llm", "text", "dedup"))
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-span diagnostics (the ExactSubstr dedup statistic of
+    Lee et al., "Deduplicating Training Data Makes Language Models Better"):
+    per document, the fraction of its {DUPSPAN_K}-token shingles that occur
+    verbatim in at least one OTHER document, and the longest contiguous
+    duplicated span in tokens. The longest-run computation is
+    gaps-and-islands: duplicated positions minus their per-doc rank are
+    constant within a contiguous run.
+
+    Scale shape: the shingle corpus-frequency table is an inverted index —
+    one hash-aggregate on the 8-byte shingle hash — and the mark-back is an
+    equi-join on that hash (AQE handles boilerplate-shingle skew); the run
+    analysis is one window pass per document ordered by position, window
+    parallelism scaling with documents. Never all-pairs: cost is linear in
+    corpus shingles, which is what makes ExactSubstr viable at 100 TB where
+    a suffix array over the corpus is not."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    sh = (
+        t["documents"]
+        .select("doc_id", F.expr(_NORM).alias("ntext"))
+        .withColumn("tk", F.split("ntext", " "))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN size(tk) < {DUPSPAN_K} THEN array(ntext) "
+                f"ELSE transform(sequence(1, size(tk) - {DUPSPAN_K} + 1), "
+                f"i -> concat_ws(' ', slice(tk, i, {DUPSPAN_K}))) END"
+            ).alias("shl"),
+        )
+        .select("doc_id", F.posexplode("shl").alias("p0", "s"))
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("p"),
+            F.expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)").alias("h"),
+        )
+    )
+    freq = sh.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    marked = sh.join(freq, "h").select("doc_id", "p", (F.col("nd") >= 2).alias("dup"))
+    runs = (
+        marked.where("dup")
+        .select(
+            "doc_id",
+            (F.col("p") - F.row_number().over(W.partitionBy("doc_id").orderBy("p"))).alias("grp"),
+        )
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("rl"))
+        .groupBy("doc_id")
+        .agg(F.max("rl").alias("max_rl"))
+    )
+    agg = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count_if("dup").alias("n_dup"),
+    )
+    return (
+        agg.join(runs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup",
+            F.expr("(10000 * n_dup) div n_shingles").alias("dup_frac_bp"),
+            F.when(F.coalesce(F.col("max_rl"), F.lit(0)) == 0, F.lit(0))
+            .otherwise(F.col("max_rl") + DUPSPAN_K - 1)
+            .cast("long")
+            .alias("longest_dup_span_tokens"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,147 @@
+"""Behavioral invariants for the round-5 operator classes: governance
+(expectations / privacy / ER / SCD2 / CDC), exact repeated-span analysis,
+and distributed PCA. Oracle parity is covered by the registry sweep; these
+pin the semantics the hash-compare can't see (internal consistency,
+end-to-end consumption of the covariance by an actual projection, seam
+invariants on constructed inputs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from sol_spark.operators.governance import (
+    cdc_apply_changelog,
+    dq_expectations,
+    er_blocking,
+    privacy_k_anonymity,
+    scd2_order_priority,
+)
+from sol_spark.operators.similarity import PCA_DIM, emb_pca_cov
+from sol_spark.operators.text import DUPSPAN_K, text_dup_spans
+from sol_spark.tables import load_tables
+
+
+def test_dq_expectations_internal_consistency(spark, sf_dir):
+    rows = {(r["table_name"], r["expectation"]): r for r in dq_expectations(spark, sf_dir).collect()}
+    assert len(rows) == 11
+    for r in rows.values():
+        assert 0 <= r["n_failed"] <= r["n_checked"]
+        assert r["status"] == ("pass" if r["n_failed"] == 0 else "fail")
+    # Structural guarantees of the fixture star: keys unique, RI holds.
+    assert rows[("orders", "unique:o_orderkey")]["n_failed"] == 0
+    assert rows[("orders", "ref_integrity:o_custkey->customer")]["n_failed"] == 0
+    # The deliberately-strict tolerance check must actually fire.
+    assert rows[("lineitem", "max:l_discount<=0.06")]["n_failed"] > 0
+
+
+def test_k_anonymity_accounts_for_every_row(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    out = privacy_k_anonymity(spark, sf_dir).collect()
+    assert sum(r["n_rows"] for r in out) == t["customer"].count()
+    for r in out:
+        assert r["n_rows"] == r["group_size"] * r["n_groups"]
+        assert r["at_risk"] == (r["group_size"] < 5)
+
+
+def test_er_blocking_candidates_stay_in_block(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    nk = {r["c_custkey"]: r["c_nationkey"] for r in t["customer"].collect()}
+    pairs = er_blocking(spark, sf_dir).collect()
+    assert pairs
+    for r in pairs:
+        assert r["custkey_a"] < r["custkey_b"]
+        assert nk[r["custkey_a"]] == nk[r["custkey_b"]]
+        assert r["edit_dist"] <= 1
+
+
+def test_scd2_versions_tile_the_timeline(spark, sf_dir):
+    """Per customer: versions are contiguous (eff_to == next eff_from),
+    exactly one open (is_current) version, version_n dense from 1."""
+    out = scd2_order_priority(spark, sf_dir).toPandas()
+    for _, g in out.groupby("custkey"):
+        g = g.sort_values("version_n")
+        assert list(g["version_n"]) == list(range(1, len(g) + 1))
+        assert g["is_current"].sum() == 1
+        assert g.iloc[-1]["is_current"]
+        # adjacent versions meet exactly
+        assert (g["eff_to"].iloc[:-1].values == g["eff_from"].iloc[1:].values).all()
+        # consecutive versions always change the tracked attribute
+        assert (g["priority"].iloc[:-1].values != g["priority"].iloc[1:].values).all()
+
+
+def test_cdc_apply_drops_tombstoned_keys(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("user_id", "ts", "event_id")
+    # Keys whose LATEST change is a delete must be absent from the state.
+    latest = (
+        ev.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "user_id"
+                ).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+            ),
+        )
+        .where("rn = 1")
+        .select("user_id", (F.col("event_id") % 10 == 0).alias("deleted"))
+        .collect()
+    )
+    deleted = {r["user_id"] for r in latest if r["deleted"]}
+    live = {r["user_id"] for r in latest if not r["deleted"]}
+    state = {r["user_id"] for r in cdc_apply_changelog(spark, sf_dir).collect()}
+    assert state == live
+    assert not (state & deleted)
+
+
+def test_dup_spans_invariants(spark, sf_dir):
+    """Structural invariants of the repeated-span statistic: spans exist
+    exactly where duplicated shingles exist, a maximal run never exceeds
+    the doc's own shingle count, and a fully-duplicated doc (every shingle
+    shared, dup_frac_bp == 10000) reports its whole token sequence as the
+    longest span."""
+    out = list(text_dup_spans(spark, sf_dir).collect())
+    assert len(out) > 0
+    full, none = 0, 0
+    for r in out:
+        assert 0 <= r["n_dup"] <= r["n_shingles"]
+        assert r["dup_frac_bp"] == (10000 * r["n_dup"]) // r["n_shingles"]
+        assert (r["longest_dup_span_tokens"] > 0) == (r["n_dup"] > 0)
+        if r["n_dup"]:
+            # run of length rl covers rl + K - 1 tokens, bounded by the doc
+            assert DUPSPAN_K <= r["longest_dup_span_tokens"] <= r["n_shingles"] + DUPSPAN_K - 1
+        if r["dup_frac_bp"] == 10000:
+            full += 1
+            assert r["longest_dup_span_tokens"] == r["n_shingles"] + DUPSPAN_K - 1
+        if r["n_dup"] == 0:
+            none += 1
+            assert r["longest_dup_span_tokens"] == 0
+    # The fixture exercises both extremes (boilerplate mirrors + unique docs).
+    assert full > 0 and none > 0
+
+
+def test_pca_projection_variance_matches_eigenvalue(spark, sf_dir):
+    """End-to-end consumption of emb_pca_cov: rebuild the symmetric
+    covariance, eigendecompose on the driver (model-sized), project the
+    corpus onto PC1 with a single JVM-side expression, and check the
+    projected sample variance equals the top eigenvalue."""
+    cov_rows = emb_pca_cov(spark, sf_dir).collect()
+    C = np.zeros((PCA_DIM, PCA_DIM))
+    for r in cov_rows:
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
+    evals, evecs = np.linalg.eigh(C)
+    lam1, v1 = evals[-1], evecs[:, -1]
+    t = load_tables(spark, sf_dir)
+    proj_expr = " + ".join(f"(embedding[{i}] * {v1[i]!r})" for i in range(PCA_DIM))
+    stats = (
+        t["embeddings"]
+        .select(F.expr(proj_expr).alias("p"))
+        .agg(F.var_samp("p").alias("v"))
+        .collect()[0]
+    )
+    # cov entries are rounded to 6dp before eigh; tolerance reflects that.
+    assert abs(stats["v"] - lam1) < 1e-3
+    assert lam1 == max(evals)
