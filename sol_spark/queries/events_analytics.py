@@ -842,3 +842,80 @@ def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("top_user_pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing per series (recurrence via grouped-map pandas)
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.3
+
+EVENTS_EWMA_ORACLE = f"""
+WITH RECURSIVE hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, avg(value) AS x
+  FROM events GROUP BY 1, 2
+), seq AS (
+  SELECT event_type, hour, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+  FROM hourly
+), ew AS (
+  SELECT event_type, hour, x, rn, x AS y FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.hour, s.x, s.rn, {EWMA_ALPHA} * s.x + {1 - EWMA_ALPHA} * e.y
+  FROM seq s JOIN ew e ON s.event_type = e.event_type AND s.rn = e.rn + 1
+)
+SELECT event_type, hour, round(x, 6) AS avg_value, round(y, 6) AS ewma
+FROM ew ORDER BY event_type, hour
+"""
+
+
+@register("events_ewma", EVENTS_EWMA_ORACLE, tags=("events", "timeseries"))
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over each event type's hourly
+    mean-value series: y_1 = x_1, y_t = a*x_t + (1-a)*y_{t-1}, a = 0.3 —
+    the standard smoothing pass before alerting/forecasting, and the
+    canonical example of a linear recurrence SQL windows cannot express
+    (the oracle needs a recursive CTE).
+
+    Scale shape: the hourly downsample is a map-side-combined hash
+    aggregate that shrinks 10k events/hour to one row; the recurrence then
+    runs per-series inside ONE Arrow-batched grouped-map pandas call —
+    inherently sequential along a series, partition-parallel across series
+    (at 100 TB the cardinality that scales is series count x hours, and
+    each series' hourly frame is bounded: a year is 8.8k rows). The
+    recurrence is written y = a*x + (1-a)*y in both engines so the IEEE
+    double streams are identical, not merely close."""
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.expr("cast(date_trunc('hour', ts) as timestamp_ntz)").alias("hour"),
+        )
+        .agg(F.avg("value").alias("x"))
+    )
+    alpha = EWMA_ALPHA
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hour").reset_index(drop=True)
+        y = 0.0
+        out = []
+        for i, x in enumerate(pdf["x"].to_numpy()):
+            y = x if i == 0 else alpha * x + (1 - alpha) * y
+            out.append(y)
+        pdf["ewma"] = out
+        return pdf
+
+    return (
+        hourly.groupBy("event_type")
+        .applyInPandas(smooth, "event_type string, hour timestamp_ntz, x double, ewma double")
+        .select(
+            "event_type",
+            "hour",
+            F.round("x", 6).alias("avg_value"),
+            F.round("ewma", 6).alias("ewma"),
+        )
+        .orderBy("event_type", "hour")
+    )
