@@ -271,3 +271,61 @@ def stream_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py::test_drift_bins_stream_equals_batch."""
     t = load_tables(spark, sf_dir)
     return P.windowed_drift_bins(t["events"]).orderBy("window_start", "event_type", "bin")
+
+
+CDC_STATE_ORACLE = """
+WITH changelog AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM events
+), latest AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM changelog
+)
+SELECT user_id,
+       CASE WHEN op = 'D' THEN NULL ELSE value END AS current_value,
+       ts AS last_ts, n_changes, op = 'D' AS deleted
+FROM latest WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+@register("stream_cdc_state", CDC_STATE_ORACLE, tags=("streaming", "cdc", "stateful"))
+def stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch shape of the streaming CDC apply (pipelines.cdc_latest_state):
+    per-key latest-writer-wins with delete tombstones carried as a
+    `deleted` flag rather than a retraction — the update-mode contract.
+    The incremental path keeps (ts, event_id, value, deleted, n_changes)
+    in keyed state and folds each micro-batch's per-key maximum into it;
+    tests/test_streaming.py::test_cdc_state_stream_equals_batch pins that
+    the drained stream's final emission per key equals this plan's output.
+    Differs from governance.cdc_apply_changelog (the MERGE result, which
+    DROPS tombstoned keys): this is the feed a downstream MERGE consumes."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    wc = W.partitionBy("user_id")
+    return (
+        t["events"]
+        .select(
+            "user_id", "ts", "event_id", "value",
+            (F.col("event_id") % 10 == 0).alias("deleted"),
+        )
+        .select(
+            "*",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n_changes"),
+        )
+        .where("rn = 1")
+        .select(
+            "user_id",
+            F.when(F.col("deleted"), F.lit(None)).otherwise(F.col("value")).alias("current_value"),
+            F.col("ts").alias("last_ts"),
+            "n_changes",
+            "deleted",
+        )
+        .orderBy("user_id")
+    )

@@ -177,6 +177,53 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def cdc_latest_state(events: DataFrame) -> DataFrame:
+    """Streaming CDC apply: per-key latest-writer-wins state over a
+    changelog derived from events (op = 'D' when event_id % 10 == 0, else
+    'U' — the same deterministic construction as the batch operator
+    governance.cdc_apply_changelog). Keyed state holds (ts_us, event_id,
+    value, deleted, n_changes); each micro-batch folds its per-key maximum
+    (ts, event_id) row into the state and re-emits the key's current row
+    (update mode). A delete tombstone cannot retract an emitted row in
+    update mode, so deletion is carried as a `deleted` flag with a NULL
+    value — exactly what a downstream MERGE consumes. State is keyed on
+    the shuffle key, so it scales horizontally across executors."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):  # noqa: ANN001
+        if state.exists:
+            ts_us, eid, val, deleted, n = state.get
+        else:
+            ts_us, eid, val, deleted, n = -1, -1, 0.0, 0, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            pdf = pdf.assign(ts_us=pdf["ts"].astype("int64") // 1000)
+            top = pdf.sort_values(["ts_us", "event_id"]).iloc[-1]
+            if (int(top["ts_us"]), int(top["event_id"])) > (ts_us, eid):
+                ts_us, eid = int(top["ts_us"]), int(top["event_id"])
+                val = float(top["value"])
+                deleted = 1 if eid % 10 == 0 else 0
+        state.update((ts_us, eid, val, deleted, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "current_value": [None if deleted else val],
+                "last_ts": [pd.Timestamp(ts_us, unit="us")],
+                "n_changes": [n],
+                "deleted": [bool(deleted)],
+            }
+        )
+
+    return events.select("user_id", "ts", "event_id", "value").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, current_value double, last_ts timestamp_ntz, n_changes bigint, deleted boolean",
+        stateStructType="ts_us bigint, event_id bigint, value double, deleted int, n_changes bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming drivers (used by tests; micro-batch + memory sink)
 # ---------------------------------------------------------------------------

@@ -623,3 +623,25 @@ def test_drift_bins_stream_equals_batch(spark, sf_dir, batch_events):
     got = _run(spark, sf_dir, P.windowed_drift_bins, "complete", n_files=3)
     want = P.windowed_drift_bins(batch_events).collect()
     assert _sorted_rows(got, ()) == _sorted_rows(want, ())
+
+
+def test_cdc_state_stream_equals_batch(spark, sf_dir, batch_events):
+    """Streaming CDC apply (applyInPandasWithState latest-writer-wins with
+    tombstone flags): after the multi-batch stream drains, the final
+    emission per key must equal the batch window plan — including NULLed
+    values on tombstoned keys and the full per-key change count."""
+    from sol_spark.queries.event_windows import stream_cdc_state
+
+    got = _run(spark, sf_dir, P.cdc_latest_state, "update", n_files=4)
+    latest: dict[int, tuple] = {}
+    for r in got:
+        if r.user_id not in latest or r.n_changes > latest[r.user_id][0]:
+            latest[r.user_id] = (r.n_changes, r.current_value, r.last_ts, r.deleted)
+    want = {
+        r["user_id"]: (r["n_changes"], r["current_value"], r["last_ts"], r["deleted"])
+        for r in stream_cdc_state(spark, sf_dir).collect()
+    }
+    assert set(latest) == set(want)
+    for uid, row in latest.items():
+        assert row == want[uid], f"user {uid}: stream {row} != batch {want[uid]}"
+    assert any(r[3] for r in want.values())  # tombstones present in fixture
