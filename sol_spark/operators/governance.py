@@ -374,3 +374,125 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity profile (companion to k-anonymity)
+# ---------------------------------------------------------------------------
+
+PRIVACY_L_DIVERSITY_ORACLE = """
+WITH qi AS (
+  SELECT c_nationkey, (floor(c_acctbal / 1000))::BIGINT AS bal_bucket,
+         count(DISTINCT c_mktsegment) AS l, count(*) AS n_rows
+  FROM customer GROUP BY 1, 2
+)
+SELECT l, count(*) AS n_groups, sum(n_rows)::BIGINT AS n_rows,
+       l < 2 AS at_risk
+FROM qi GROUP BY l ORDER BY l
+"""
+
+
+@register("privacy_l_diversity", PRIVACY_L_DIVERSITY_ORACLE, tags=("governance", "privacy"))
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit, the companion to k-anonymity: per quasi-identifier
+    group (nation, balance bucket), how many DISTINCT values of the
+    sensitive attribute (market segment) appear — a group where everyone
+    shares one sensitive value leaks it even when the group is large.
+    Same two-level hash-aggregate shape as privacy_k_anonymity; the
+    count-distinct is per-QI-group, so it partial-aggregates cleanly."""
+    t = load_tables(spark, sf_dir)
+    qi = (
+        t["customer"]
+        .groupBy(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+        )
+        .agg(
+            F.count_distinct("c_mktsegment").alias("l"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    return (
+        qi.groupBy("l")
+        .agg(F.count(F.lit(1)).alias("n_groups"), F.sum("n_rows").alias("n_rows"))
+        .select("l", "n_groups", "n_rows", (F.col("l") < 2).alias("at_risk"))
+        .orderBy("l")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (table-diff between two versions of a table)
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH snap_a AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 11 <> 0
+), snap_b AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN round(o_totalprice * 1.1, 2)
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 13 <> 0
+)
+SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN a.o_orderkey IS NULL THEN 'added'
+            WHEN b.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type
+FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+   OR (a.o_orderstatus, a.o_totalprice) IS DISTINCT FROM (b.o_orderstatus, b.o_totalprice)
+ORDER BY o_orderkey
+"""
+
+
+@register("snapshot_diff", SNAPSHOT_DIFF_ORACLE, tags=("governance", "diff"))
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table diff between two snapshots (the datafold/data-diff operation a
+    pipeline runs after a backfill): keys added, removed, or with changed
+    payload. The snapshots are derived deterministically from orders
+    (version B drops every 13th key, A every 11th, and B uplifts every 7th
+    price) so both engines diff identical inputs. One full-outer equi-join
+    on the primary key with a payload comparison — at 100 TB this is a
+    co-partitioned shuffle join on the key, and the unchanged majority is
+    filtered before any output materializes; production short-circuits
+    further with per-partition checksums and diffs only mismatched
+    partitions."""
+    t = load_tables(spark, sf_dir)
+    base = t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice")
+    snap_a = base.where("o_orderkey % 11 <> 0")
+    snap_b = base.where("o_orderkey % 13 <> 0").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 == 0, F.round(F.col("o_totalprice") * 1.1, 2))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    a = snap_a.select(
+        F.col("o_orderkey").alias("key_a"),
+        F.col("o_orderstatus").alias("st_a"),
+        F.col("o_totalprice").alias("pr_a"),
+    )
+    b = snap_b.select(
+        F.col("o_orderkey").alias("key_b"),
+        F.col("o_orderstatus").alias("st_b"),
+        F.col("o_totalprice").alias("pr_b"),
+    )
+    return (
+        a.join(b, a["key_a"] == b["key_b"], "full_outer")
+        .select(
+            F.coalesce("key_a", "key_b").alias("o_orderkey"),
+            F.when(F.col("key_a").isNull(), "added")
+            .when(F.col("key_b").isNull(), "removed")
+            .otherwise("changed")
+            .alias("change_type"),
+            F.col("key_a").isNull().alias("_add"),
+            F.col("key_b").isNull().alias("_rm"),
+            (
+                ~(F.col("st_a").eqNullSafe(F.col("st_b")))
+                | ~(F.col("pr_a").eqNullSafe(F.col("pr_b")))
+            ).alias("_chg"),
+        )
+        .where(F.col("_add") | F.col("_rm") | F.col("_chg"))
+        .select("o_orderkey", "change_type")
+        .orderBy("o_orderkey")
+    )

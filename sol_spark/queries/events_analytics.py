@@ -919,3 +919,70 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation between event-type series at lags
+# ---------------------------------------------------------------------------
+
+XCORR_MAX_LAG = 3
+
+EVENTS_XCORR_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1, 2
+), lags AS (SELECT unnest(range(-{XCORR_MAX_LAG}, {XCORR_MAX_LAG} + 1)) AS lag)
+SELECT l.lag, round(corr(a.n, b.n), 4) + 0.0 AS xcorr, count(*) AS n_points
+FROM lags l
+JOIN hourly a ON a.event_type = 'view'
+JOIN hourly b ON b.event_type = 'click'
+ AND epoch(b.hour)::BIGINT - epoch(a.hour)::BIGINT = l.lag * 3600
+GROUP BY l.lag ORDER BY l.lag
+"""
+
+
+@register("events_xcorr", EVENTS_XCORR_ORACLE, tags=("events", "timeseries"))
+def events_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the hourly view and click series:
+    Pearson corr(view_t, click_{t+lag}) for lag in [-{XCORR_MAX_LAG},
+    {XCORR_MAX_LAG}] — does one stream lead the other? The lead-lag
+    diagnostic behind attribution and anomaly root-causing.
+
+    Scale shape: the hourly downsample is one map-side-combined aggregate;
+    the 7-row lag table broadcasts onto the view series (nested-loop over
+    7 rows), and the lagged alignment is a pure EQUI-join on the computed
+    epoch key (click.epoch == view.epoch + lag*3600) — never a theta join
+    — followed by one corr aggregate per lag. Work is O(|hours| * lags),
+    independent of raw event volume."""
+    t = load_tables(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .where(F.col("event_type").isin("view", "click"))
+        .groupBy(
+            "event_type",
+            F.expr("cast(date_trunc('hour', ts) as timestamp_ntz)").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # NTZ-only alignment: the lagged key is timestampadd over timestamp_ntz,
+    # never a round-trip through session-zone epochs (which would shift
+    # under a non-UTC session — the fragility the events grids were pinned
+    # against in r4).
+    a = hourly.where("event_type = 'view'").select(
+        F.col("hour").alias("hour_a"), F.col("n").alias("na")
+    )
+    b = hourly.where("event_type = 'click'").select(
+        F.col("hour").alias("hour_b"), F.col("n").alias("nb")
+    )
+    lags = spark.range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    return (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("target", F.expr("timestampadd(HOUR, lag, hour_a)"))
+        .join(b, F.col("hour_b") == F.col("target"))
+        .groupBy("lag")
+        .agg(
+            (F.round(F.corr("na", "nb"), 4) + 0.0).alias("xcorr"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .orderBy("lag")
+    )
