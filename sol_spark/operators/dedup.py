@@ -1672,3 +1672,94 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = kcore(pairs)
     release_result(pairs)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Modularity of the label-propagation communities
+# ---------------------------------------------------------------------------
+
+GRAPH_MODULARITY_ORACLE = f"""
+WITH lpa AS MATERIALIZED (
+  {GRAPH_LPA_ORACLE}
+), pr AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_ORACLE.replace("ORDER BY doc_a, doc_b", "")}) q
+), m AS (SELECT count(*)::DOUBLE AS m FROM pr),
+sym AS (SELECT doc_a AS u, doc_b AS v FROM pr UNION ALL SELECT doc_b, doc_a FROM pr),
+deg AS (SELECT u AS doc, count(*) AS deg FROM sym GROUP BY u),
+nd AS (SELECT d.doc, d.deg, l.community FROM deg d JOIN lpa l ON l.doc = d.doc),
+comm AS (
+  SELECT community, count(*) AS n_nodes, sum(deg)::BIGINT AS degree_sum
+  FROM nd GROUP BY community
+), intra AS (
+  SELECT la.community, count(*) AS intra_edges
+  FROM pr p JOIN lpa la ON la.doc = p.doc_a JOIN lpa lb ON lb.doc = p.doc_b
+  WHERE la.community = lb.community GROUP BY la.community
+)
+SELECT c.community, n_nodes, coalesce(i.intra_edges, 0) AS intra_edges, degree_sum,
+       round(coalesce(i.intra_edges, 0) / m.m - power(degree_sum / (2 * m.m), 2), 6) + 0.0
+         AS contribution
+FROM comm c LEFT JOIN intra i USING (community) CROSS JOIN m
+ORDER BY community
+"""
+
+
+@register("graph_modularity", GRAPH_MODULARITY_ORACLE, tags=("llm", "dedup", "graph"))
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation communities over the
+    MinHash near-dup graph: per community c, Q_c = e_c/m - (d_c/2m)^2
+    (intra-edge fraction minus the random-graph expectation). Summing the
+    column gives the partition's modularity — the acceptance metric for
+    any community detection before it drives dedup keep-lists. The
+    connected-components partition trivially maximizes intra-edges, so the
+    interesting audit target is LPA, whose fixed-round labels can split
+    components.
+
+    Scale shape: degrees and community sizes are map-side-combined
+    aggregates; the intra-edge count joins the pair list against the
+    (doc, community) map twice on the node key — the same shuffle the CC
+    labeler already does; m is a bounded driver scalar (like pagerank's
+    node count). Nothing here exceeds O(|E|) shuffled rows."""
+    lpa = local_checkpoint(graph_label_propagation(spark, sf_dir))
+    mh = dedup_minhash_lsh(spark, sf_dir)
+    pairs = local_checkpoint(mh.select("doc_a", "doc_b"))
+    release_result(mh)
+    m = float(pairs.count())
+    sym = pairs.select(F.col("doc_a").alias("doc")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc"))
+    )
+    deg = sym.groupBy("doc").agg(F.count(F.lit(1)).alias("deg"))
+    comm = (
+        deg.join(lpa, "doc")
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("n_nodes"), F.sum("deg").alias("degree_sum"))
+    )
+    la = lpa.select(F.col("doc").alias("doc_a"), F.col("community").alias("ca"))
+    lb = lpa.select(F.col("doc").alias("doc_b"), F.col("community").alias("cb"))
+    intra = (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    out = local_checkpoint(
+        comm.join(intra, "community", "left")
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("intra_edges", F.lit(0)).alias("intra_edges"),
+            "degree_sum",
+            (
+                F.round(
+                    F.coalesce("intra_edges", F.lit(0)) / m
+                    - F.pow(F.col("degree_sum") / (2 * m), 2),
+                    6,
+                )
+                + 0.0
+            ).alias("contribution"),
+        )
+        .orderBy("community")
+    )
+    release_result(lpa)
+    release_result(pairs)
+    return out
