@@ -1895,3 +1895,67 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring (Flesch reading ease)
+# ---------------------------------------------------------------------------
+
+READABILITY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS tk, text FROM documents
+), feats AS (
+  SELECT doc_id,
+         len(tk) AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+         list_sum(list_transform(tk,
+             w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)))::BIGINT AS n_syllables
+  FROM toks
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+                     - 84.6 * (n_syllables::DOUBLE / n_words), 4) AS flesch
+FROM feats ORDER BY doc_id
+"""
+
+
+@register("text_readability", READABILITY_ORACLE, tags=("llm", "text", "quality"))
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability feature
+    in quality-filter stacks (alongside the Gopher rules in
+    text_quality_flags). Syllables are approximated as maximal vowel runs
+    per word (min 1), sentences as terminal-punctuation groups (min 1).
+    Pure codegen'd projection: tokenization, the per-word syllable count
+    (a higher-order transform + aggregate, no explode, no shuffle) and the
+    score fold into the scan. The ratios feed the same IEEE expression
+    tree in both engines, so the 4dp rounding is stable."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select("doc_id", "text", F.expr(_NORM).alias("ntext"))
+        .select(
+            "doc_id",
+            F.size(F.split("ntext", " ")).alias("n_words"),
+            F.greatest(
+                F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+            ).alias("n_sentences"),
+            F.expr(
+                "aggregate(transform(split(ntext, ' '), "
+                "w -> greatest(size(regexp_extract_all(w, '[aeiouy]+', 0)), 1)), "
+                "0L, (acc, x) -> acc + x)"
+            ).alias("n_syllables"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sentences"))
+                - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words")),
+                4,
+            ).alias("flesch"),
+        )
+        .orderBy("doc_id")
+    )
