@@ -353,3 +353,96 @@ def mm_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup over binary payloads (banded signature join)
+# ---------------------------------------------------------------------------
+
+PHASH_BITS = 60
+PHASH_BANDS = 4
+PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS
+PHASH_HAMMING_MAX = 3
+_PHASH_DUP_STRIDE = 10  # every 10th item re-ingested under a new id
+_PHASH_DUP_OFFSET = 1_000_000
+
+MM_PHASH_DEDUP_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id AS media_id, md5(text) AS hx FROM documents
+), corpus AS (
+  SELECT media_id, hx FROM base
+  UNION ALL
+  SELECT media_id + {_PHASH_DUP_OFFSET}, hx FROM base WHERE media_id % {_PHASH_DUP_STRIDE} = 0
+), sig AS (
+  SELECT media_id, ('0x' || substr(hx, 1, {PHASH_BITS // 4}))::BIGINT AS sig FROM corpus
+), bands AS (
+  SELECT media_id, sig, b.b,
+         (sig >> ({PHASH_BAND_BITS} * b.b)) & {2**PHASH_BAND_BITS - 1} AS band_key
+  FROM sig, (SELECT unnest(range({PHASH_BANDS})) AS b) b
+), cand AS (
+  SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b, a.sig AS sa, c.sig AS sb
+  FROM bands a JOIN bands c ON a.b = c.b AND a.band_key = c.band_key
+  WHERE a.media_id < c.media_id
+)
+SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {PHASH_HAMMING_MAX}
+ORDER BY id_a, id_b
+"""
+
+
+@register("mm_phash_dedup", MM_PHASH_DEDUP_ORACLE, tags=("llm", "multimodal", "dedup", "pandas_udf"))
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection over BINARY media payloads: a {PHASH_BITS}-bit
+    perceptual signature per item, banded into {PHASH_BANDS} keys for
+    candidate generation, confirmed by hamming distance — the image-dedup
+    pipeline (pHash/PDQ) with the same banded-LSH scale shape as
+    dedup_simhash, applied to the multimodal corpus. The signature is
+    computed FROM THE RAW BYTES inside an Arrow-batched mapInPandas (the
+    place a real pipeline calls the DCT after decode; here the stub
+    signature is the payload's leading bits, per the module's documented
+    codec-stub discipline — the byte plumbing, banding, and confirm join
+    are what this verifies). The fixture corpus contains no binary-level
+    near-dups, so every {_PHASH_DUP_STRIDE}th item is re-ingested under a
+    new id by construction in BOTH engines, making the positive path
+    value-verified (the text_split_doc_pairs seam discipline).
+
+    Scale shape: signatures are one row per item; the candidate join is
+    equi on (band, band_key), never all-pairs; hamming confirm is
+    bit_count(xor) on two bigints."""
+    from pyspark.sql.window import Window as W  # noqa: F401
+
+    media = media_table(spark, sf_dir).select("media_id", "content")
+    dup = media.where(F.col("media_id") % _PHASH_DUP_STRIDE == 0).select(
+        (F.col("media_id") + _PHASH_DUP_OFFSET).alias("media_id"), "content"
+    )
+    corpus = media.unionAll(dup)
+
+    def signature(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            # "decode" stub: a real pipeline decodes and DCT-hashes here;
+            # the deterministic stand-in takes the payload's leading
+            # PHASH_BITS bits (content bytes are hex-derived, so this is
+            # the first 15 hex chars).
+            sigs = [int(bytes(c)[: PHASH_BITS // 8 + 1].hex()[: PHASH_BITS // 4], 16) for c in pdf["content"]]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "sig": sigs})
+
+    sig = corpus.mapInPandas(signature, "media_id bigint, sig bigint")
+    band_keys = F.array(
+        *[
+            F.shiftright("sig", PHASH_BAND_BITS * b).bitwiseAND(F.lit(2**PHASH_BAND_BITS - 1))
+            for b in range(PHASH_BANDS)
+        ]
+    )
+    bands = sig.select("media_id", "sig", F.posexplode(band_keys).alias("b", "band_key"))
+    a = bands.select(F.col("media_id").alias("id_a"), F.col("sig").alias("sa"), "b", "band_key")
+    c = bands.select(F.col("media_id").alias("id_b"), F.col("sig").alias("sb"), "b", "band_key")
+    return (
+        a.join(c, ["b", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"))
+        .where(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
