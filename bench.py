@@ -55,6 +55,12 @@ HEADLINE = [
     # families get round-over-round timing too.
     "tpcds_q75",
     "dedup_semdedup",
+    # r5 additions: the governance family's one-scan-per-table expectation
+    # suite and the ExactSubstr repeated-span statistic (rewritten
+    # lambda-free after its first draft measured 10.3 s — see the operator
+    # docstring), so both new round-5 families get round-over-round timing.
+    "dq_expectations",
+    "text_dup_spans",
     "win_rank_topk_per_group",
     "time_rollup_hierarchy",
     "set_intersect",
