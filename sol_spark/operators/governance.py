@@ -496,3 +496,61 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "change_type")
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity clusters: ER candidate pairs -> connected components -> entity ids
+# ---------------------------------------------------------------------------
+
+from sol_spark.operators.dedup import _cc_oracle_sql as _cc_sql  # noqa: E402
+
+_ER_PAIR_SQL = (
+    ER_BLOCKING_ORACLE.replace("ORDER BY custkey_a, custkey_b", "")
+    .replace("custkey_a", "doc_a")
+    .replace("custkey_b", "doc_b")
+)
+
+ER_CLUSTERS_ORACLE = f"""
+WITH cc AS MATERIALIZED (
+  {_cc_sql(f"SELECT doc_a, doc_b FROM ({_ER_PAIR_SQL}) er").replace("ORDER BY doc", "")}
+), sizes AS (
+  SELECT cluster, count(*) AS n_members FROM cc GROUP BY cluster
+)
+SELECT c.doc AS custkey, c.cluster AS entity_id, s.n_members
+FROM cc c JOIN sizes s ON s.cluster = c.cluster
+ORDER BY custkey
+"""
+
+
+@register("er_clusters", ER_CLUSTERS_ORACLE, tags=("governance", "entity-resolution", "iterative"))
+def er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity consolidation: feed the blocked+confirmed match pairs into
+    the large-star/small-star connected-components labeler and emit one
+    entity id (the component's min custkey) per clustered customer record,
+    with the entity's member count. The er_blocking -> connected_components
+    composition is the canonical record-linkage pipeline; singleton records
+    (no match pair) are intentionally absent — production unions them back
+    with entity_id = custkey, a row-preserving projection skipped here to
+    keep the oracle focused on the clustering semantics.
+
+    Scale shape: inherits er_blocking's in-block candidate generation and
+    connected_components' O(log n) star-contraction rounds with per-round
+    checkpoint/release; the member-count attach is a broadcast join on the
+    entity id."""
+    from sol_spark.operators.dedup import connected_components, local_checkpoint, release_result
+
+    pairs = local_checkpoint(
+        er_blocking(spark, sf_dir).select(
+            F.col("custkey_a").alias("doc_a"), F.col("custkey_b").alias("doc_b")
+        )
+    )
+    cc = connected_components(pairs)  # (doc, cluster), cluster = min member
+    sizes = cc.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    out = local_checkpoint(
+        cc.join(F.broadcast(sizes), "cluster")
+        .select(F.col("doc").alias("custkey"), F.col("cluster").alias("entity_id"), "n_members")
+        .orderBy("custkey")
+    )
+    release_result(pairs)
+    release_result(cc)
+    return out

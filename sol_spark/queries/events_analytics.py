@@ -986,3 +986,131 @@ def events_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-baseline anomaly detection
+# ---------------------------------------------------------------------------
+
+SEASONAL_Z = 2.0
+
+EVENTS_SEASONAL_ANOMALY_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         extract(hour FROM ts) AS hod, count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+), baseline AS (
+  SELECT event_type, hod, avg(n) AS mu, stddev_samp(n) AS sd
+  FROM hourly GROUP BY 1, 2
+)
+SELECT h.event_type, h.hour, h.n,
+       round((h.n - b.mu) / b.sd, 4) AS z
+FROM hourly h JOIN baseline b ON h.event_type = b.event_type AND h.hod = b.hod
+WHERE b.sd > 0 AND abs((h.n - b.mu) / b.sd) > {SEASONAL_Z}
+ORDER BY h.event_type, h.hour
+"""
+
+
+@register("events_seasonal_anomaly", EVENTS_SEASONAL_ANOMALY_ORACLE, tags=("events", "timeseries", "anomaly"))
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly detection: each hour's event count is
+    z-scored against the baseline for ITS OWN hour-of-day (so the 3am lull
+    isn't an anomaly and a 3am spike is), flagging |z| > {SEASONAL_Z}.
+    Complements events_anomaly_mad (global robust scale) with the
+    seasonal-profile denominator.
+
+    Scale shape: hourly downsample -> 24-row-per-type baseline aggregate
+    (broadcast back onto the hourly frame) -> scan-local z filter. Both
+    aggregates are map-side combined; nothing scales beyond series-hours."""
+    t = load_tables(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.expr("cast(date_trunc('hour', ts) as timestamp_ntz)").alias("hour"),
+            F.hour("ts").alias("hod"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    baseline = hourly.groupBy("event_type", "hod").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (
+        hourly.join(F.broadcast(baseline), ["event_type", "hod"])
+        .where((F.col("sd") > 0) & (F.abs(z) > SEASONAL_Z))
+        .select("event_type", "hour", "n", F.round(z, 4).alias("z"))
+        .orderBy("event_type", "hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+RFM_ORACLE = """
+WITH base AS (
+  SELECT o_custkey AS custkey,
+         date_diff('day', max(o_orderdate), (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+         count(*) AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT *,
+         ntile(5) OVER (ORDER BY recency_days DESC, custkey) AS r_score,
+         ntile(5) OVER (ORDER BY frequency, custkey) AS f_score,
+         ntile(5) OVER (ORDER BY monetary, custkey) AS m_score
+  FROM base
+)
+SELECT custkey, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       r_score * 100 + f_score * 10 + m_score AS rfm
+FROM scored ORDER BY custkey
+"""
+
+
+@register("rfm_segmentation", RFM_ORACLE, tags=("events", "marts"))
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary quintiles
+    (higher = better; recency ranks most-recent last so quintile 5 is the
+    freshest), combined into the classic 3-digit segment code. The standard
+    marts job downstream of a sales fact.
+
+    Scale shape: one per-customer aggregate over the fact; the corpus max
+    date is a 1-row scalar subquery (broadcast); the three ntiles are
+    single-partition windows over the CUSTOMER aggregate — bounded by
+    customer count, not fact rows; ties break on custkey so both engines
+    rank identically. For a billion-customer table the ntile becomes a
+    range-partitioned percent_rank — documented, not needed at fixture
+    customer counts."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    maxd = t["orders"].agg(F.max("o_orderdate").alias("gmax"))
+    base = (
+        t["orders"]
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "custkey",
+            F.datediff(F.col("gmax"), F.col("last_order")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = base.select(
+        "*",
+        F.ntile(5).over(W.orderBy(F.col("recency_days").desc(), "custkey")).alias("r_score"),
+        F.ntile(5).over(W.orderBy("frequency", "custkey")).alias("f_score"),
+        F.ntile(5).over(W.orderBy("monetary", "custkey")).alias("m_score"),
+    )
+    return scored.select(
+        "custkey", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).alias("rfm"),
+    ).orderBy("custkey")
