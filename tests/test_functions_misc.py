@@ -295,3 +295,25 @@ def test_sql_variables_and_scripting(spark, sf_dir):
         """
     ).collect()[0]
     assert row[0] == 49
+
+
+def test_string_collations(spark):
+    """Spark 4 collation surface (absent in the reference's 2.4 era):
+    case-insensitive comparison, grouping, and sort under UTF8_LCASE /
+    UNICODE_CI, and collation() introspection. A collated groupBy must
+    merge case variants; binary (default) must not."""
+    rows = [("Apple",), ("apple",), ("APPLE",), ("banana",)]
+    df = spark.createDataFrame(rows, "s string")
+    df.createOrReplaceTempView("coll_probe")
+    binary = spark.sql("SELECT count(DISTINCT s) AS n FROM coll_probe").collect()[0]["n"]
+    lcase = spark.sql(
+        "SELECT count(DISTINCT s COLLATE UTF8_LCASE) AS n FROM coll_probe"
+    ).collect()[0]["n"]
+    assert (binary, lcase) == (4, 2)
+    grouped = spark.sql(
+        "SELECT s COLLATE UTF8_LCASE AS k, count(*) AS c FROM coll_probe GROUP BY k ORDER BY c DESC"
+    ).collect()
+    assert sorted(r["c"] for r in grouped) == [1, 3]
+    assert spark.sql("SELECT 'STRASSE' COLLATE UNICODE_CI = 'strasse' AS eq").collect()[0]["eq"]
+    name = spark.sql("SELECT collation('x' COLLATE UNICODE_CI) AS c").collect()[0]["c"]
+    assert name.endswith("UNICODE_CI")
