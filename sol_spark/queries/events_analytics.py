@@ -1114,3 +1114,51 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_score", "f_score", "m_score",
         (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).alias("rfm"),
     ).orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters via approx_top_k (sketch audited against exact counts)
+# ---------------------------------------------------------------------------
+
+HH_K = 200  # tracked slots requested from the sketch (> fixture user count)
+
+EVENTS_HEAVY_HITTERS_ORACLE = """
+WITH counts AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+), mx AS (SELECT max(n) AS mn FROM counts)
+SELECT c.user_id, c.n
+FROM counts c CROSS JOIN mx
+WHERE c.n >= 0.8 * mx.mn
+ORDER BY c.n DESC, c.user_id
+"""
+
+
+@register("events_heavy_hitters", EVENTS_HEAVY_HITTERS_ORACLE, tags=("events", "sketch"))
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter users via the approx_top_k sketch (Spark 4 surface),
+    audited against exact counts: the sketch's item list is exploded and
+    every user within 80% of the max frequency is emitted. The fixture's
+    distinct-user count sits far under the sketch's tracked-slot budget,
+    so the sketch counts are EXACT and the DuckDB group-by oracle
+    hash-matches them — the same exact-regime audit pattern as
+    approx_count_distinct_bounds; production sizes maxItemsTracked to the
+    tolerated epsilon instead. The membership rule is a count threshold,
+    not a rank cut, so boundary ties cannot make the answer depend on
+    sketch-internal ordering.
+
+    Scale shape: ONE aggregate pass builds the whole sketch (mergeable,
+    map-side combined — this is the point of approx_top_k vs a two-level
+    exact group-by at 100 TB); everything after operates on the k-row
+    exploded sketch."""
+    t = load_tables(spark, sf_dir)
+    sk = t["events"].agg(F.expr(f"approx_top_k(user_id, {HH_K})").alias("topk"))
+    items = sk.select(F.explode("topk").alias("it")).select(
+        F.col("it.item").alias("user_id"), F.col("it.count").alias("n")
+    )
+    mx = items.agg(F.max("n").alias("mn"))
+    return (
+        items.crossJoin(F.broadcast(mx))
+        .where(F.col("n") >= 0.8 * F.col("mn"))
+        .select("user_id", "n")
+        .orderBy(F.col("n").desc(), "user_id")
+    )
