@@ -145,3 +145,24 @@ def test_pca_projection_variance_matches_eigenvalue(spark, sf_dir):
     # cov entries are rounded to 6dp before eigh; tolerance reflects that.
     assert abs(stats["v"] - lam1) < 1e-3
     assert lam1 == max(evals)
+
+
+def test_er_clusters_consistent_with_pairs(spark, sf_dir):
+    """Entity ids must respect the match graph: both ends of every matched
+    pair share an entity, the entity id is the component's min custkey, and
+    member counts add up to the clustered-record total."""
+    from sol_spark.operators.governance import er_blocking, er_clusters
+
+    pairs = [(r["custkey_a"], r["custkey_b"]) for r in er_blocking(spark, sf_dir).collect()]
+    ent = {r["custkey"]: (r["entity_id"], r["n_members"]) for r in er_clusters(spark, sf_dir).collect()}
+    assert pairs and ent
+    for a, b in pairs:
+        assert ent[a][0] == ent[b][0], f"pair ({a},{b}) split across entities"
+    for k, (eid, _) in ent.items():
+        assert eid <= k
+        assert ent[eid][0] == eid  # representative maps to itself
+    import collections
+
+    sizes = collections.Counter(eid for eid, _ in ent.values())
+    for k, (eid, n) in ent.items():
+        assert n == sizes[eid]
