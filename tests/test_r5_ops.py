@@ -166,3 +166,31 @@ def test_er_clusters_consistent_with_pairs(spark, sf_dir):
     sizes = collections.Counter(eid for eid, _ in ent.values())
     for k, (eid, n) in ent.items():
         assert n == sizes[eid]
+
+
+def test_pca_whitening_identity_covariance(spark, sf_dir):
+    """PCA whitening end-to-end: project onto the top-8 eigenvectors scaled
+    by 1/sqrt(eigenvalue) (a single JVM matrix expression compiled from the
+    driver-side model) and verify the whitened components have ~unit
+    variance and ~zero pairwise covariance — the preprocessing step ANN
+    quantizers (PQ/IVF) assume."""
+    cov_rows = emb_pca_cov(spark, sf_dir).collect()
+    C = np.zeros((PCA_DIM, PCA_DIM))
+    for r in cov_rows:
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
+    evals, evecs = np.linalg.eigh(C)
+    k = 8
+    W_mat = evecs[:, -k:] / np.sqrt(evals[-k:])  # (64, k)
+    t = load_tables(spark, sf_dir)
+    cols = [
+        F.expr(" + ".join(f"(embedding[{i}] * {W_mat[i, j]!r})" for i in range(PCA_DIM))).alias(f"w{j}")
+        for j in range(k)
+    ]
+    wdf = t["embeddings"].select(*cols)
+    aggs = [F.var_samp(f"w{j}").alias(f"v{j}") for j in range(k)]
+    aggs += [F.covar_samp("w0", f"w{j}").alias(f"c{j}") for j in range(1, k)]
+    row = wdf.agg(*aggs).collect()[0]
+    for j in range(k):
+        assert abs(row[f"v{j}"] - 1.0) < 0.05, f"component {j} variance {row[f'v{j}']}"
+    for j in range(1, k):
+        assert abs(row[f"c{j}"]) < 0.05

@@ -600,3 +600,49 @@ def test_avro_contract_missing_package(spark):
         spark.range(1).write.format("avro").save("/tmp/_avro_probe")
     msg = str(exc.value).lower()
     assert "avro" in msg
+
+
+def test_small_file_compaction_bin_packing(spark, sf_dir, tmp_path):
+    """Lakehouse small-file maintenance: a fragmented write (many tiny
+    files) is compacted by a repartitionByRange rewrite with
+    maxRecordsPerFile bounding file size — the nightly OPTIMIZE analog.
+    Asserts the fragment count collapses, every compacted file respects
+    the record cap, range partitioning keeps key clustering (each output
+    file covers a disjoint key range), and the row set is unchanged."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    frag = str(tmp_path / "fragmented")
+    src.repartition(64).write.parquet(frag)  # simulate drip ingestion
+    n_frag = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    assert n_frag >= 32
+
+    cap = 4000
+    compact = str(tmp_path / "compacted")
+    (
+        spark.read.parquet(frag)
+        .repartitionByRange(4, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.option("maxRecordsPerFile", cap)
+        .parquet(compact)
+    )
+    files = [f for f in os.listdir(compact) if f.endswith(".parquet")]
+    assert len(files) < n_frag / 4
+    per_file = (
+        spark.read.parquet(compact)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("lo"),
+            F.max("o_orderkey").alias("hi"),
+        )
+        .collect()
+    )
+    assert all(r["n"] <= cap for r in per_file)
+    # disjoint key ranges across files (clustering preserved)
+    spans = sorted((r["lo"], r["hi"]) for r in per_file)
+    for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
+        assert h1 <= l2
+    assert spark.read.parquet(compact).count() == src.count()
