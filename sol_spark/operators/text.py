@@ -1987,3 +1987,90 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source (domain) corpus profile — RefinedWeb-style source triage
+# ---------------------------------------------------------------------------
+
+SOURCE_PROFILE_ORACLE = f"""
+WITH feats AS (
+  SELECT doc_id, source, lang, n_chars,
+         {_NORM_DUCK} AS ntext,
+         len(string_split({_NORM_DUCK}, ' ')) AS n_tokens,
+         (10000 * len(list_distinct(string_split({_NORM_DUCK}, ' '))))
+           // len(string_split({_NORM_DUCK}, ' ')) AS ttr_bp,
+         (10000 * (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))))
+           // length(text) AS punct_bp
+  FROM documents
+), dup AS (
+  SELECT ntext FROM (SELECT {_NORM_DUCK} AS ntext FROM documents) d
+  GROUP BY ntext HAVING count(*) >= 2
+)
+SELECT f.source,
+       count(*) AS n_docs,
+       round(avg(f.n_chars), 2) AS avg_chars,
+       count(*) FILTER (f.lang = 'en') AS n_en,
+       count(*) FILTER (f.n_tokens BETWEEN 10 AND 5000
+                        AND f.ttr_bp >= 2000 AND f.punct_bp <= 800) AS n_quality,
+       count(*) FILTER (f.ntext IN (SELECT ntext FROM dup)) AS n_dup_docs,
+       (10000 * count(*) FILTER (f.n_tokens BETWEEN 10 AND 5000
+                        AND f.ttr_bp >= 2000 AND f.punct_bp <= 800)) // count(*) AS quality_bp
+FROM feats f
+GROUP BY f.source ORDER BY f.source
+"""
+
+
+@register("text_source_profile", SOURCE_PROFILE_ORACLE, tags=("llm", "text", "profiling"))
+def text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus triage (the RefinedWeb / domain-blocklist
+    decision table): document count, mean length, English share, the
+    C4/Gopher-style quality pass-rate, and the exact-duplicate membership
+    count per source. A pipeline owner reads this to decide which sources
+    to keep, downweight, or drop — the domain-level complement to the
+    per-document gates.
+
+    Scale shape: feature extraction is scan-local; the dup flag joins the
+    doc's normalized-text hash against the corpus dup-group index (the
+    dedup_exact aggregate) on the hash key; one final hash-aggregate per
+    source. No all-pairs anywhere."""
+    t = load_tables(spark, sf_dir)
+    feats = t["documents"].select(
+        "doc_id", "source", "lang", "n_chars",
+        F.md5(F.expr(_NORM).cast("binary")).alias("nh"),
+        F.size(F.expr(f"split({_NORM}, ' ')")).alias("n_tokens"),
+        F.expr(
+            f"(10000 * size(array_distinct(split({_NORM}, ' ')))) div size(split({_NORM}, ' '))"
+        ).alias("ttr_bp"),
+        F.expr(
+            "(10000 * (length(text) - length(regexp_replace(text, '[.,;:!?]', '')))) div length(text)"
+        ).alias("punct_bp"),
+    )
+    dup = (
+        t["documents"]
+        .groupBy(F.md5(F.expr(_NORM).cast("binary")).alias("nh"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where("c >= 2")
+        .select("nh")
+    )
+    quality = (
+        F.col("n_tokens").between(10, 5000)
+        & (F.col("ttr_bp") >= 2000)
+        & (F.col("punct_bp") <= 800)
+    )
+    return (
+        feats.join(F.broadcast(dup.withColumn("is_dup", F.lit(1))), "nh", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.count_if(F.col("lang") == "en").alias("n_en"),
+            F.count_if(quality).alias("n_quality"),
+            F.count_if(F.col("is_dup").isNotNull()).alias("n_dup_docs"),
+        )
+        .select(
+            "source", "n_docs", "avg_chars", "n_en", "n_quality", "n_dup_docs",
+            F.expr("(10000 * n_quality) div n_docs").alias("quality_bp"),
+        )
+        .orderBy("source")
+    )

@@ -1162,3 +1162,72 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n")
         .orderBy(F.col("n").desc(), "user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast baseline with MAPE backtest
+# ---------------------------------------------------------------------------
+
+FORECAST_BACKTEST_DAYS = 7
+
+EVENTS_FORECAST_BASELINE_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+), joined AS (
+  SELECT h.event_type, h.hour, h.n,
+         p.n AS forecast
+  FROM hourly h
+  JOIN hourly p
+    ON p.event_type = h.event_type AND p.hour = h.hour - INTERVAL 24 HOURS
+  WHERE h.hour > (SELECT max(hour) FROM hourly) - INTERVAL {24 * FORECAST_BACKTEST_DAYS} HOURS
+)
+SELECT event_type,
+       count(*) AS n_hours,
+       round(avg(abs(n - forecast)::DOUBLE / n), 4) AS mape,
+       round(avg(abs(n - forecast))::DOUBLE, 4) AS mae
+FROM joined GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("events_forecast_baseline", EVENTS_FORECAST_BASELINE_ORACLE, tags=("events", "timeseries", "forecast"))
+def events_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each hour with the value
+    24 h earlier and score MAPE/MAE per event type over the final
+    {FORECAST_BACKTEST_DAYS} days — the baseline every forecasting model
+    must beat, and the standing accuracy monitor when none does. The
+    24 h alignment is a pure NTZ equi-join (timestampadd key, no
+    session-zone epochs); the backtest cutoff is a 1-row broadcast scalar.
+
+    Scale shape: the hourly downsample is the only pass over raw events;
+    the self-join runs on the series frame keyed by (type, hour)."""
+    t = load_tables(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.expr("cast(date_trunc('hour', ts) as timestamp_ntz)").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cutoff = hourly.agg(
+        F.expr(f"timestampadd(HOUR, -{24 * FORECAST_BACKTEST_DAYS}, max(hour))").alias("cut")
+    )
+    h = hourly.select("event_type", "hour", "n")
+    p = hourly.select(
+        F.col("event_type").alias("pt"),
+        F.expr("timestampadd(HOUR, 24, hour)").alias("ph"),
+        F.col("n").alias("forecast"),
+    )
+    return (
+        h.join(p, (F.col("event_type") == F.col("pt")) & (F.col("hour") == F.col("ph")))
+        .crossJoin(F.broadcast(cutoff))
+        .where(F.col("hour") > F.col("cut"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.round(F.avg(F.abs(F.col("n") - F.col("forecast")).cast("double") / F.col("n")), 4).alias("mape"),
+            F.round(F.avg(F.abs(F.col("n") - F.col("forecast"))).cast("double"), 4).alias("mae"),
+        )
+        .orderBy("event_type")
+    )

@@ -1190,3 +1190,72 @@ def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket affinity (co-occurrence + lift)
+# ---------------------------------------------------------------------------
+
+BASKET_MIN_SUPPORT = 3
+
+BASKET_AFFINITY_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n_orders AS (
+  SELECT count(DISTINCT l_orderkey)::DOUBLE AS n FROM items
+), freq AS (
+  SELECT l_partkey, count(*) AS n_item FROM items GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_both
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT p.part_a, p.part_b, p.n_both, fa.n_item AS n_a, fb.n_item AS n_b,
+       round(o.n * p.n_both / (fa.n_item * fb.n_item), 4) AS lift
+FROM pairs p
+JOIN freq fa ON fa.l_partkey = p.part_a
+JOIN freq fb ON fb.l_partkey = p.part_b
+CROSS JOIN n_orders o
+ORDER BY part_a, part_b
+"""
+
+
+@register("basket_affinity", BASKET_AFFINITY_ORACLE, tags=("relational", "mining"))
+def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift: part pairs ordered together in
+    >= {BASKET_MIN_SUPPORT} orders, scored by lift = N * P(a,b) / (P(a)P(b)).
+    The a-priori first pass every recommender/assortment pipeline starts
+    from.
+
+    Scale shape: the pair generation self-joins the (order, item) frame ON
+    THE ORDER KEY — work is sum-of-basket² (baskets average ~4 items), the
+    same bounded blow-up as ER blocking, never items²; item frequencies
+    broadcast onto the surviving pairs, and the min-support HAVING prunes
+    the long tail before the lift projection. A pathological mega-basket is
+    a skewed join key — same salting/AQE toolbox as any other skew."""
+    t = load_tables(spark, sf_dir)
+    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    n = float(items.select("l_orderkey").distinct().count())
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= BASKET_MIN_SUPPORT)
+    )
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .select(
+            "part_a", "part_b", "n_both", "n_a", "n_b",
+            F.round(F.lit(n) * F.col("n_both") / (F.col("n_a") * F.col("n_b")), 4).alias("lift"),
+        )
+        .orderBy("part_a", "part_b")
+    )
