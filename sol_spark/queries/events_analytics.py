@@ -1231,3 +1231,94 @@ def events_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point statistic per series
+# ---------------------------------------------------------------------------
+
+EVENTS_CUSUM_ORACLE = """
+WITH RECURSIVE hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, avg(value) AS x
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, avg(x) AS mu, stddev_samp(x) AS sd
+  FROM hourly GROUP BY 1
+), seq AS (
+  SELECT h.event_type, h.hour, h.x, s.mu, s.sd,
+         row_number() OVER (PARTITION BY h.event_type ORDER BY h.hour) AS rn
+  FROM hourly h JOIN stats s ON s.event_type = h.event_type
+), cu AS (
+  SELECT event_type, hour, x, mu, sd, rn,
+         greatest(0.0, x - mu - 0.5 * sd) AS s
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT q.event_type, q.hour, q.x, q.mu, q.sd, q.rn,
+         greatest(0.0, c.s + (q.x - q.mu - 0.5 * q.sd))
+  FROM seq q JOIN cu c ON q.event_type = c.event_type AND q.rn = c.rn + 1
+)
+SELECT event_type, hour, round(x, 4) AS avg_value, round(s, 4) AS cusum,
+       s > 4 * sd AS alarm
+FROM cu ORDER BY event_type, hour
+"""
+
+
+@register("events_cusum", EVENTS_CUSUM_ORACLE, tags=("events", "timeseries", "anomaly"))
+def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point statistic per event-type series:
+    S_1 = max(0, x_1 - mu - 0.5*sd), S_t = max(0, S_{t-1} + x_t - mu -
+    0.5*sd), alarming when S exceeds 4*sd — the classic drift detector
+    for a slow upward level shift that per-point z-scores never catch
+    (each point is individually unremarkable; the cumulative excess is
+    not). Companion to events_ewma: same grouped-map recurrence pattern,
+    same recursive-CTE oracle, identical IEEE expression order in both
+    engines.
+
+    Scale shape: hourly downsample (map-side combined) -> per-series
+    (mu, sd) aggregate joined back -> the recurrence runs per-series in
+    ONE Arrow-batched grouped-map call, partition-parallel across series."""
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.expr("cast(date_trunc('hour', ts) as timestamp_ntz)").alias("hour"),
+        )
+        .agg(F.avg("value").alias("x"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("x").alias("mu"), F.stddev_samp("x").alias("sd")
+    )
+    joined = hourly.join(F.broadcast(stats), "event_type")
+
+    def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hour").reset_index(drop=True)
+        mu, sd = float(pdf["mu"].iloc[0]), float(pdf["sd"].iloc[0])
+        s = 0.0
+        out = []
+        for i, x in enumerate(pdf["x"].to_numpy()):
+            if i == 0:
+                s = max(0.0, x - mu - 0.5 * sd)
+            else:
+                s = max(0.0, s + (x - mu - 0.5 * sd))
+            out.append(s)
+        pdf["s"] = out
+        return pdf
+
+    return (
+        joined.groupBy("event_type")
+        .applyInPandas(
+            cusum,
+            "event_type string, hour timestamp_ntz, x double, mu double, sd double, s double",
+        )
+        .select(
+            "event_type",
+            "hour",
+            F.round("x", 4).alias("avg_value"),
+            F.round("s", 4).alias("cusum"),
+            (F.col("s") > 4 * F.col("sd")).alias("alarm"),
+        )
+        .orderBy("event_type", "hour")
+    )

@@ -1259,3 +1259,64 @@ def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_a", "part_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue cohort matrix (customer LTV retention table)
+# ---------------------------------------------------------------------------
+
+COHORT_REVENUE_ORACLE = """
+WITH firsts AS (
+  SELECT o_custkey, min(o_orderdate) AS first_order FROM orders GROUP BY 1
+), tagged AS (
+  SELECT o.o_custkey,
+         date_trunc('month', f.first_order) AS cohort_month,
+         (extract(year FROM o.o_orderdate) - extract(year FROM f.first_order)) * 12
+           + (extract(month FROM o.o_orderdate) - extract(month FROM f.first_order)) AS month_offset,
+         o.o_totalprice
+  FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+)
+SELECT cohort_month, month_offset::BIGINT AS month_offset,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM tagged
+GROUP BY 1, 2 ORDER BY cohort_month, month_offset
+"""
+
+
+@register("cohort_revenue", COHORT_REVENUE_ORACLE, tags=("relational", "marts"))
+def cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue cohort matrix: customers grouped by first-order month, each
+    later order attributed to (cohort, months-since-acquisition) — the LTV
+    retention triangle behind every growth dashboard (the orders-revenue
+    complement of events_retention's activity triangle). Month arithmetic
+    is integer year*12+month differences, identical in both engines — no
+    interval division, no timezone dependence.
+
+    Scale shape: first-order dates are one per-customer aggregate, joined
+    back on the customer key (both sides shuffle-partitioned on custkey —
+    one co-located join); the cohort rollup is a hash aggregate whose
+    output is bounded by months², not rows."""
+    t = load_tables(spark, sf_dir)
+    firsts = t["orders"].groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_order"))
+    offset = (F.year("o_orderdate") - F.year("first_order")) * 12 + (
+        F.month("o_orderdate") - F.month("first_order")
+    )
+    return (
+        t["orders"]
+        .join(firsts, "o_custkey")
+        .select(
+            F.expr("cast(date_trunc('month', first_order) as timestamp_ntz)").alias("cohort_month"),
+            offset.cast("long").alias("month_offset"),
+            "o_custkey",
+            "o_totalprice",
+        )
+        .groupBy("cohort_month", "month_offset")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("cohort_month", "month_offset")
+    )

@@ -317,3 +317,25 @@ def test_string_collations(spark):
     assert spark.sql("SELECT 'STRASSE' COLLATE UNICODE_CI = 'strasse' AS eq").collect()[0]["eq"]
     name = spark.sql("SELECT collation('x' COLLATE UNICODE_CI) AS c").collect()[0]["c"]
     assert name.endswith("UNICODE_CI")
+
+
+def test_sql_pipe_syntax(spark, sf_dir):
+    """Spark 4 SQL pipe syntax (|>) — the linear query form — must produce
+    the same plan/result as the nested-SELECT equivalent on a real
+    aggregate over the fixture."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("pipe_orders")
+    piped = spark.sql(
+        "FROM pipe_orders "
+        "|> WHERE o_orderstatus = 'O' "
+        "|> AGGREGATE count(*) AS n, round(sum(o_totalprice), 2) AS total GROUP BY o_orderpriority "
+        "|> ORDER BY o_orderpriority"
+    ).collect()
+    classic = spark.sql(
+        "SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total "
+        "FROM pipe_orders WHERE o_orderstatus = 'O' "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ).collect()
+    assert [(r["o_orderpriority"], r["n"], r["total"]) for r in piped] == [
+        (r["o_orderpriority"], r["n"], r["total"]) for r in classic
+    ]
+    assert len(piped) == 5
