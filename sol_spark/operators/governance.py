@@ -272,36 +272,27 @@ FROM starts ORDER BY custkey, version_n
 """
 
 
-@register("scd2_order_priority", SCD2_ORACLE, tags=("governance", "scd"))
-def scd2_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Slowly-changing-dimension type 2: collapse each customer's order
-    stream into versioned (value, eff_from, eff_to, is_current) rows, a new
-    version opening whenever the tracked attribute changes. Two window
-    passes over the SAME partitioning (custkey) — Spark plans one sort +
-    one exchange, reused for both lag and lead; no join, no self-union.
-    The standard dimension-maintenance job for a star-schema warehouse."""
-    t = load_tables(spark, sf_dir)
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+def scd2(df: DataFrame, key: str, attr: str, order_by: list[str]) -> DataFrame:
+    """Generic SCD type-2 builder: collapse each key's change stream into
+    versioned (value, eff_from, eff_to, is_current, version_n) rows, a new
+    version opening whenever the tracked attribute changes under the given
+    ordering (first order column = the effective timestamp). Two window
+    passes over the SAME partitioning — Spark plans one sort + one
+    exchange, reused for both lag and lead; no join, no self-union.
+    Property-tested against a sequential reference on random changelogs
+    (tests/test_r5_ops.py::test_scd2_property_random_changelogs)."""
+    w = Window.partitionBy(key).orderBy(*order_by)
+    eff = order_by[0]
     starts = (
-        t["orders"]
-        .select(
-            "o_custkey",
-            "o_orderpriority",
-            "o_orderdate",
-            "o_orderkey",
-            F.lag("o_orderpriority").over(w).alias("prev"),
-        )
-        .where(F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority")))
+        df.select(key, attr, *order_by, F.lag(attr).over(w).alias("prev"))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col(attr)))
     )
-    wv = Window.partitionBy("o_custkey").orderBy("o_orderdate")
     return (
         starts.select(
-            F.col("o_custkey").alias("custkey"),
-            F.col("o_orderpriority").alias("priority"),
-            F.col("o_orderdate").alias("eff_from"),
-            F.lead("o_orderdate").over(
-                Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate"))
-            ).alias("eff_to"),
+            F.col(key).alias("custkey"),
+            F.col(attr).alias("priority"),
+            F.col(eff).alias("eff_from"),
+            F.lead(eff).over(Window.partitionBy(key).orderBy(F.col(eff))).alias("eff_to"),
         )
         .select(
             "custkey",
@@ -315,6 +306,15 @@ def scd2_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey", "version_n")
     )
+
+
+@register("scd2_order_priority", SCD2_ORACLE, tags=("governance", "scd"))
+def scd2_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 over each customer's order stream —
+    the standard dimension-maintenance job for a star-schema warehouse; see
+    :func:`scd2` for the plan shape."""
+    t = load_tables(spark, sf_dir)
+    return scd2(t["orders"], "o_custkey", "o_orderpriority", ["o_orderdate", "o_orderkey"])
 
 
 # ---------------------------------------------------------------------------
@@ -337,23 +337,14 @@ ORDER BY user_id
 """
 
 
-@register("cdc_apply_changelog", CDC_APPLY_ORACLE, tags=("governance", "cdc"))
-def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Apply a CDC changelog with MERGE semantics: last-writer-wins per key
-    ordered by (ts, event_id), a trailing delete tombstone removing the key
-    entirely. The changelog is derived deterministically from events (every
-    10th event_id is a delete) so both engines see the same input. One
-    window pass partitioned by the key — the same plan a Delta/Iceberg
-    MERGE compiles to for a dedup-then-apply batch; at 100 TB the shuffle
-    is on the business key and the state never leaves the executors."""
-    t = load_tables(spark, sf_dir)
-    changelog = t["events"].select(
-        "user_id",
-        "ts",
-        "event_id",
-        "value",
-        F.when(F.col("event_id") % 10 == 0, "D").otherwise("U").alias("op"),
-    )
+def cdc_apply(changelog: DataFrame) -> DataFrame:
+    """Generic MERGE-semantics changelog apply: last-writer-wins per
+    `user_id` ordered by (ts, event_id), a trailing 'D' op removing the
+    key entirely. One window pass partitioned by the key — the same plan a
+    Delta/Iceberg MERGE compiles to for a dedup-then-apply batch; at
+    100 TB the shuffle is on the business key and the state never leaves
+    the executors. Property-tested against a sequential dict replay on
+    random changelogs (tests/test_r5_ops.py)."""
     w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
     wc = Window.partitionBy("user_id")
     return (
@@ -374,6 +365,22 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register("cdc_apply_changelog", CDC_APPLY_ORACLE, tags=("governance", "cdc"))
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC changelog with MERGE semantics — see :func:`cdc_apply`.
+    The changelog is derived deterministically from events (every 10th
+    event_id is a delete) so both engines see the same input."""
+    t = load_tables(spark, sf_dir)
+    changelog = t["events"].select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_id") % 10 == 0, "D").otherwise("U").alias("op"),
+    )
+    return cdc_apply(changelog)
 
 
 # ---------------------------------------------------------------------------

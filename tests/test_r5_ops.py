@@ -194,3 +194,104 @@ def test_pca_whitening_identity_covariance(spark, sf_dir):
         assert abs(row[f"v{j}"] - 1.0) < 0.05, f"component {j} variance {row[f'v{j}']}"
     for j in range(1, k):
         assert abs(row[f"c{j}"]) < 0.05
+
+
+def test_scd2_property_random_changelogs(spark):
+    """Property check: the windowed SCD2 builder equals a sequential
+    version-builder on random (key, seq, attr) change streams — any change
+    pattern, not just the fixture's."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from sol_spark.operators.governance import scd2
+
+    def sequential(rows):
+        out = {}
+        bykey = {}
+        for k, seq, a in sorted(rows, key=lambda r: (r[0], r[1])):
+            bykey.setdefault(k, []).append((seq, a))
+        for k, items in bykey.items():
+            versions = []
+            prev = None
+            for seq, a in items:
+                if prev is None or a != prev:
+                    versions.append([a, seq, None])
+                prev = a
+            for i in range(len(versions) - 1):
+                versions[i][2] = versions[i + 1][1]
+            out[k] = [
+                (a, f, t, t is None, i + 1) for i, (a, f, t) in enumerate(versions)
+            ]
+        return out
+
+    @settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        st.lists(
+            st.tuples(st.integers(1, 4), st.integers(1, 50), st.sampled_from(["a", "b", "c"])),
+            min_size=1,
+            max_size=40,
+            unique_by=lambda r: (r[0], r[1]),  # (key, seq) unique: seq is the ordering
+        )
+    )
+    def check(rows):
+        df = spark.createDataFrame(rows, "k bigint, seq bigint, attr string")
+        got = {}
+        for r in scd2(df, "k", "attr", ["seq"]).collect():
+            got.setdefault(r["custkey"], []).append(
+                (r["priority"], r["eff_from"], r["eff_to"], r["is_current"], r["version_n"])
+            )
+        want = sequential(rows)
+        assert got == want
+
+    check()
+
+
+def test_cdc_apply_property_random_changelogs(spark):
+    """Property check: the windowed MERGE apply equals a sequential dict
+    replay (upserts overwrite, deletes tombstone, later (ts, seq) wins)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from sol_spark.operators.governance import cdc_apply
+
+    @settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(1, 4),              # key
+                st.integers(1, 30),             # ts (seconds)
+                st.integers(1, 1000),           # event_id (unique per row below)
+                st.integers(0, 99),             # value
+                st.booleans(),                  # is_delete
+            ),
+            min_size=1,
+            max_size=30,
+            unique_by=lambda r: r[2],
+        )
+    )
+    def check(rows):
+        import datetime
+
+        data = [
+            (k, datetime.datetime(2024, 1, 1, 0, 0, ts), eid, float(v), "D" if d else "U")
+            for k, ts, eid, v, d in rows
+        ]
+        df = spark.createDataFrame(
+            data, "user_id bigint, ts timestamp_ntz, event_id bigint, value double, op string"
+        )
+        got = {
+            r["user_id"]: (r["current_value"], r["last_ts"], r["n_changes"])
+            for r in cdc_apply(df).collect()
+        }
+        state, counts = {}, {}
+        for k, ts, eid, v, op in sorted(data, key=lambda r: (r[1], r[2])):
+            counts[k] = counts.get(k, 0) + 1
+            state[k] = (v, ts, op)
+        want = {
+            k: (v, ts, counts[k])
+            for k, (v, ts, op) in state.items()
+            if op == "U"
+        }
+        assert got == want
+
+    check()
