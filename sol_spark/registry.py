@@ -162,7 +162,7 @@ def all_queries() -> dict[str, QuerySpec]:
     the r1-r3 driver-green remainder.
     """
     # Imports are deferred so `import sol_spark` stays cheap.
-    from sol_spark.operators import dedup, governance, layout, multimodal, similarity, skew, text  # noqa: F401
+    from sol_spark.operators import dedup, geo, governance, layout, multimodal, similarity, skew, text  # noqa: F401
     from sol_spark.queries import tpch  # noqa: F401
     from sol_spark.queries import relational, ssb, tpcds  # noqa: F401
     from sol_spark.queries import (  # noqa: F401
