@@ -1763,3 +1763,85 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     release_result(lpa)
     release_result(pairs)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction over the near-dup graph
+# ---------------------------------------------------------------------------
+
+AA_MIN_COMMON = 2
+
+GRAPH_ADAMIC_ADAR_ORACLE = f"""
+WITH pr AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({SIMHASH_ORACLE.replace("ORDER BY doc_a, doc_b", "")}) q
+), edges AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM pr
+  UNION ALL
+  SELECT doc_b, doc_a FROM pr
+), deg AS MATERIALIZED (
+  SELECT u AS node, count(*) AS d FROM edges GROUP BY u
+), wedge AS (
+  SELECT e1.u AS a, e2.v AS b, e1.v AS mid
+  FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+  WHERE e1.u < e2.v
+), nonedge AS (
+  SELECT w.a, w.b, w.mid FROM wedge w
+  LEFT JOIN pr p ON p.doc_a = w.a AND p.doc_b = w.b
+  WHERE p.doc_a IS NULL
+)
+SELECT n.a AS doc_a, n.b AS doc_b,
+       count(*) AS common_neighbors,
+       round(sum(1.0 / ln(d.d)), 4) AS aa_score
+FROM nonedge n JOIN deg d ON d.node = n.mid
+GROUP BY n.a, n.b
+HAVING count(*) >= {AA_MIN_COMMON}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("graph_adamic_adar", GRAPH_ADAMIC_ADAR_ORACLE, tags=("llm", "dedup", "graph"))
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the SimHash near-dup graph: score
+    every NON-adjacent doc pair sharing >= {AA_MIN_COMMON} neighbors by
+    sum(1/ln(deg(common neighbor))) — the standard missed-duplicate
+    candidate list (two docs that both near-match the same mirrors but
+    fell below the pair threshold themselves). The MinHash graph is
+    unusable here — exact-Jaccard verification transitively closes its
+    components into cliques, leaving zero non-edges — while the banded
+    SimHash graph's hamming drift breaks transitivity and yields a real
+    candidate set. A common neighbor has
+    degree >= 2 by construction, so ln(deg) is never zero.
+
+    Scale shape: wedges come from one edges-with-edges equi-join on the
+    shared endpoint (the triangle-counting join shape, bounded by
+    sum-of-deg² — LSH-capped degrees keep it linear-ish); existing edges
+    drop out via a left anti join on the pair key; degree weights
+    broadcast onto the wedge midpoints."""
+    ph = dedup_simhash(spark, sf_dir)
+    pairs = local_checkpoint(ph.select("doc_a", "doc_b"))
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = edges.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("mid"))
+    e2 = edges.select(F.col("u").alias("mid2"), F.col("v").alias("b"))
+    wedge = (
+        e1.join(e2, F.col("mid") == F.col("mid2"))
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "mid")
+    )
+    nonedge = wedge.join(
+        pairs, (wedge["a"] == pairs["doc_a"]) & (wedge["b"] == pairs["doc_b"]), "left_anti"
+    )
+    out = local_checkpoint(
+        nonedge.join(F.broadcast(deg), F.col("mid") == F.col("node"))
+        .groupBy(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.round(F.sum(1.0 / F.log(F.col("d"))), 4).alias("aa_score"),
+        )
+        .where(F.col("common_neighbors") >= AA_MIN_COMMON)
+        .orderBy("doc_a", "doc_b")
+    )
+    release_result(pairs)
+    return out
