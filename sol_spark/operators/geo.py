@@ -112,3 +112,78 @@ def geo_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+RADIUS_KM = 300.0
+
+GEO_RADIUS_ORACLE = f"""
+WITH cust AS (
+  SELECT c_custkey, {_LAT_DUCK.format(k="'c' || c_custkey")} AS lat_a,
+         {_LON_DUCK.format(k="'c' || c_custkey")} AS lon_a
+  FROM customer
+), supp AS (
+  SELECT s_suppkey, {_LAT_DUCK.format(k="'s' || s_suppkey")} AS lat_b,
+         {_LON_DUCK.format(k="'s' || s_suppkey")} AS lon_b
+  FROM supplier
+), supp_cells AS (
+  SELECT s_suppkey, lat_b, lon_b,
+         (floor(lat_b / {CELL_DEG}))::BIGINT AS cy, (floor(lon_b / {CELL_DEG}))::BIGINT AS cx
+  FROM supp
+), cand AS (
+  SELECT c.c_custkey, s.s_suppkey, c.lat_a, c.lon_a, s.lat_b, s.lon_b
+  FROM cust c, (SELECT unnest(range(-1, 2)) AS dy) oy, (SELECT unnest(range(-1, 2)) AS dx) ox
+  JOIN supp_cells s
+    ON s.cy = (floor(c.lat_a / {CELL_DEG}))::BIGINT + oy.dy
+   AND s.cx = (floor(c.lon_a / {CELL_DEG}))::BIGINT + ox.dx
+)
+SELECT c_custkey AS custkey, s_suppkey AS suppkey, round({_HAV}, 1) AS dist_km
+FROM cand WHERE {_HAV} <= {RADIUS_KM}
+ORDER BY custkey, suppkey
+"""
+
+
+@register("geo_radius_join", GEO_RADIUS_ORACLE, tags=("geo", "join"))
+def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius geo join: every (customer, supplier) pair within
+    {RADIUS_KM} km — the spatial range-join companion to the
+    nearest-neighbor query above, on the same cell-bucketed candidate
+    machinery ({CELL_DEG} deg cells comfortably cover the radius at these
+    latitudes: one cell spans >= 970 km of longitude at |lat| <= 60, so
+    the 3x3 neighborhood is a strict superset of the {RADIUS_KM} km disc).
+    Haversine evaluates only on cell-candidates; the filter threshold
+    compares the raw double in both engines, with a ~{RADIUS_KM} km
+    boundary and <= 1e-11 km cross-engine drift."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].select(
+        "c_custkey",
+        F.expr(_LAT_SPARK.format(k="concat('c', c_custkey)")).cast("double").alias("lat_a"),
+        F.expr(_LON_SPARK.format(k="concat('c', c_custkey)")).cast("double").alias("lon_a"),
+    )
+    supp = t["supplier"].select(
+        "s_suppkey",
+        F.expr(_LAT_SPARK.format(k="concat('s', s_suppkey)")).cast("double").alias("lat_b"),
+        F.expr(_LON_SPARK.format(k="concat('s', s_suppkey)")).cast("double").alias("lon_b"),
+    )
+    offsets = spark.range(-1, 2).select(F.col("id").alias("dy")).crossJoin(
+        spark.range(-1, 2).select(F.col("id").alias("dx"))
+    )
+    cust_cells = cust.crossJoin(F.broadcast(offsets)).select(
+        "c_custkey", "lat_a", "lon_a",
+        (F.floor(F.col("lat_a") / CELL_DEG).cast("long") + F.col("dy")).alias("cy"),
+        (F.floor(F.col("lon_a") / CELL_DEG).cast("long") + F.col("dx")).alias("cx"),
+    )
+    supp_cells = supp.select(
+        "s_suppkey", "lat_b", "lon_b",
+        F.floor(F.col("lat_b") / CELL_DEG).cast("long").alias("cy"),
+        F.floor(F.col("lon_b") / CELL_DEG).cast("long").alias("cx"),
+    )
+    return (
+        cust_cells.join(F.broadcast(supp_cells), ["cy", "cx"])
+        .where(F.expr(_HAV) <= RADIUS_KM)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("s_suppkey").alias("suppkey"),
+            F.round(F.expr(_HAV), 1).alias("dist_km"),
+        )
+        .orderBy("custkey", "suppkey")
+    )

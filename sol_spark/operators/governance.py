@@ -561,3 +561,46 @@ def er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     release_result(pairs)
     release_result(cc)
     return out
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity generalization lattice (choose the minimal coarsening)
+# ---------------------------------------------------------------------------
+
+_GENERALIZE_SQL = f"""
+WITH qi AS (
+  SELECT c_nationkey AS nk, c_mktsegment AS seg,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bb
+  FROM customer
+), g AS (
+  SELECT CASE WHEN grouping(bb) = 0 THEN 0
+              WHEN grouping(seg) = 0 THEN 1
+              WHEN grouping(nk) = 0 THEN 2
+              ELSE 3 END AS level,
+         count(*) AS n
+  FROM qi
+  GROUP BY GROUPING SETS ((nk, seg, bb), (nk, seg), (nk), ())
+), lv AS (
+  SELECT level, min(n) AS k_min, count(*) AS n_groups,
+         CAST(sum(CASE WHEN n < {K_ANON_THRESHOLD} THEN n ELSE 0 END) AS BIGINT) AS n_at_risk
+  FROM g GROUP BY level
+)
+SELECT level, k_min, n_groups, n_at_risk,
+       level = (SELECT min(level) FROM lv WHERE k_min >= {K_ANON_THRESHOLD}) AS chosen
+FROM lv ORDER BY level
+"""
+
+
+@register("privacy_generalize", _GENERALIZE_SQL, tags=("governance", "privacy"))
+def privacy_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity generalization lattice: evaluate the whole coarsening
+    ladder — (nation, segment, balance-bucket) -> drop bucket -> drop
+    segment -> full generalization — in ONE Expand pass (GROUPING SETS),
+    and mark the minimal level whose smallest group reaches
+    K_ANON_THRESHOLD. The simplified single-dimension-order Mondrian: a
+    release pipeline publishes at the chosen level. Same SQL text runs on
+    both engines; the lattice costs one scan regardless of ladder depth
+    because Expand multiplies rows, not passes."""
+    t = load_tables(spark, sf_dir)
+    t["customer"].createOrReplaceTempView("customer")
+    return spark.sql(_GENERALIZE_SQL)
