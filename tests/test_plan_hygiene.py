@@ -56,3 +56,23 @@ def test_no_cartesian_no_row_python(spark, sf_dir, name):
         assert not node.startswith("BatchEvalPython ") and not node.startswith(
             "BatchEvalPython("
         ), f"{name}: row-at-a-time Python UDF in plan: {node[:80]}"
+
+
+@pytest.mark.parametrize("name", [n for n, _ in _specs()])
+def test_no_complex_types_in_output(spark, sf_dir, name):
+    """Corpus-wide output-schema gate: no array/map/struct column may leave
+    a registered query. toPandas yields Python lists WITHOUT Arrow but
+    numpy arrays WITH it, so the oracle compare's string fallback sees
+    '[1, 2]' vs '[1 2]' — a mismatch that appears ONLY under a vanilla
+    session (no Arrow config). Emit array_join(...)/to_json(...) strings
+    instead. (The EAGER_BUILD iterative operators are excluded here like
+    above; their outputs are scalar key/label/weight columns, covered by
+    their oracle rows.)"""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    spec = all_queries()[name]
+    schema = spec.fn(spark, sf_dir).schema
+    for f in schema.fields:
+        assert not isinstance(f.dataType, (ArrayType, MapType, StructType)), (
+            f"{name}: complex-typed output column {f.name}: {f.dataType.simpleString()}"
+        )
