@@ -409,8 +409,6 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: signatures are one row per item; the candidate join is
     equi on (band, band_key), never all-pairs; hamming confirm is
     bit_count(xor) on two bigints."""
-    from pyspark.sql.window import Window as W  # noqa: F401
-
     media = media_table(spark, sf_dir).select("media_id", "content")
     dup = media.where(F.col("media_id") % _PHASH_DUP_STRIDE == 0).select(
         (F.col("media_id") + _PHASH_DUP_OFFSET).alias("media_id"), "content"

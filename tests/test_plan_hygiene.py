@@ -32,6 +32,13 @@ EAGER_BUILD = {
     "sim_kmeans_train",
     "sim_topk_ivf",
     "sim_logreg_train",  # GD iterations collect during construction
+    # r5 iterative/checkpointing operators — construction runs the full
+    # pipeline (localCheckpoint per round); covered by oracle + their own
+    # behavioral/storage tests, outputs are scalar columns.
+    "graph_kcore",
+    "graph_modularity",
+    "graph_adamic_adar",
+    "er_clusters",
 }
 
 # Registered cartesian-by-design operators (bounded or demonstration ops).
