@@ -1520,3 +1520,117 @@ def emb_pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i", "j")
     )
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette score per label (clustering acceptance metric)
+# ---------------------------------------------------------------------------
+
+EMB_SILHOUETTE_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(1, {PCA_DIM} + 1)) AS k),
+long AS (
+  SELECT vec_id, label, d.k, embedding[d.k]::DOUBLE AS x
+  FROM embeddings, dims d
+), cent AS (
+  SELECT label AS clabel, k, avg(x) AS c FROM long GROUP BY label, k
+), dists AS (
+  SELECT l.vec_id, l.label, c.clabel,
+         sqrt(sum((l.x - c.c) * (l.x - c.c))) AS dist
+  FROM long l JOIN cent c ON l.k = c.k
+  GROUP BY l.vec_id, l.label, c.clabel
+), ab AS (
+  SELECT vec_id, label,
+         min(CASE WHEN clabel = label THEN dist END) AS a,
+         min(CASE WHEN clabel <> label THEN dist END) AS b
+  FROM dists GROUP BY vec_id, label
+)
+SELECT label, count(*) AS n_vectors,
+       round(avg((b - a) / greatest(a, b)), 6) AS avg_silhouette,
+       count(*) FILTER ((b - a) / greatest(a, b) < 0) AS n_misplaced
+FROM ab GROUP BY label ORDER BY label
+"""
+
+
+@register("emb_silhouette", EMB_SILHOUETTE_ORACLE, tags=("llm", "similarity", "quality"))
+def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label: a = distance to
+    the OWN centroid, b = distance to the nearest OTHER centroid,
+    s = (b - a)/max(a, b). Average silhouette accepts or rejects a
+    labeling/clustering before it drives pruning; n_misplaced counts
+    points sitting closer to a foreign centroid — the candidates a label
+    -repair pass re-assigns. The centroid form is what scales: the full
+    silhouette's pairwise-distance definition is O(n²), while this uses
+    each point x labels centroid distances only (the standard large-scale
+    substitute, e.g. Spark MLlib ClusteringEvaluator).
+
+    Plan shape: one generator pass to long form, a (label, dim) centroid
+    hash-agg, then point-to-centroid distances via a broadcast join on the
+    dim key — |vecs| x |labels| partial rows, map-side combined; per-point
+    a/b fold in one conditional aggregate."""
+    t = load_tables(spark, sf_dir)
+    long = t["embeddings"].select(
+        "vec_id", "label", F.posexplode("embedding").alias("k0", "xf")
+    ).select("vec_id", "label", (F.col("k0") + 1).alias("k"), F.col("xf").cast("double").alias("x"))
+    cent = long.groupBy(F.col("label").alias("clabel"), "k").agg(F.avg("x").alias("c"))
+    dists = (
+        long.join(F.broadcast(cent), "k")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sqrt(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))).alias("dist"))
+    )
+    ab = dists.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("dist"))).alias("b"),
+    )
+    s = (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    return (
+        ab.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg(s), 6).alias("avg_silhouette"),
+            F.count_if(s < 0).alias("n_misplaced"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension robust stats (robust-scaler preprocessing table)
+# ---------------------------------------------------------------------------
+
+EMB_DIM_STATS_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(1, {PCA_DIM} + 1)) AS k),
+long AS (
+  SELECT d.k, embedding[d.k]::DOUBLE AS x FROM embeddings, dims d
+)
+SELECT k - 1 AS dim,
+       round(quantile_cont(x, 0.5), 6) AS median,
+       round(quantile_cont(x, 0.75) - quantile_cont(x, 0.25), 6) AS iqr,
+       round(min(x), 6) AS min_x, round(max(x), 6) AS max_x
+FROM long GROUP BY k ORDER BY dim
+"""
+
+
+@register("emb_dim_stats", EMB_DIM_STATS_ORACLE, tags=("llm", "embedding", "profiling"))
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension robust statistics of the embedding corpus — median,
+    IQR, min, max per coordinate: the robust-scaler parameter table
+    (outlier-insensitive normalization before quantization or ANN
+    indexing), and the drift-monitoring complement to emb_centroid_drift's
+    mean-based view. Exact interpolated percentiles per dimension; at
+    production scale the same query swaps percentile for
+    approx_percentile — a mergeable sketch — without changing shape.
+    One generator pass + one per-dim aggregate (64 output rows)."""
+    t = load_tables(spark, sf_dir)
+    long = t["embeddings"].select(F.posexplode("embedding").alias("k0", "xf")).select(
+        F.col("k0").alias("dim"), F.col("xf").cast("double").alias("x")
+    )
+    return (
+        long.groupBy("dim")
+        .agg(
+            F.round(F.expr("percentile(x, 0.5)"), 6).alias("median"),
+            F.round(F.expr("percentile(x, 0.75) - percentile(x, 0.25)"), 6).alias("iqr"),
+            F.round(F.min("x"), 6).alias("min_x"),
+            F.round(F.max("x"), 6).alias("max_x"),
+        )
+        .orderBy("dim")
+    )
