@@ -339,3 +339,32 @@ def test_sql_pipe_syntax(spark, sf_dir):
         (r["o_orderpriority"], r["n"], r["total"]) for r in classic
     ]
     assert len(piped) == 5
+
+
+def test_udtf_dynamic_schema_analyze(spark):
+    """Spark 4 polymorphic UDTF: the static analyze() method computes the
+    output schema from the ARGUMENTS at plan time (here: n columns wide),
+    so one UDTF serves any width — the table-function analog of schema
+    inference. Complements the fixed-schema udtf_chunk registered query."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class SplitWords:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            fields = [StructField(f"w{i}", StringType()) for i in range(n.value)]
+            return AnalyzeResult(StructType(fields))
+
+        def eval(self, text: str, n: int):
+            toks = (text.split() + [None] * n)[:n]
+            yield tuple(toks)
+
+    spark.udtf.register("split_words_dyn", SplitWords)
+    two = spark.sql("SELECT * FROM split_words_dyn('alpha beta gamma', 2)").collect()
+    four = spark.sql("SELECT * FROM split_words_dyn('alpha beta gamma', 4)").collect()
+    assert [r.asDict() for r in two] == [{"w0": "alpha", "w1": "beta"}]
+    assert [r.asDict() for r in four] == [
+        {"w0": "alpha", "w1": "beta", "w2": "gamma", "w3": None}
+    ]
