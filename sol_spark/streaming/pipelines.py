@@ -387,3 +387,64 @@ def windowed_drift_bins(events: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "event_type", "bin", "n")
     )
+
+
+def ewma_hourly_state(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Streaming EWMA over each event type's hourly mean-value series with
+    OPEN-BUCKET state: keyed state carries the current hour's partial
+    (sum, count) — an hour's events may span micro-batches — plus the
+    running smoothed value; when a row arrives for a LATER hour the open
+    bucket closes, folds into y = a*x + (1-a)*y, and the completed hour is
+    emitted (append semantics: each hour exactly once, only when closed —
+    the final open hour is never emitted). Requires per-key ts-ordered
+    arrival, which the ts-range-split file replay guarantees; a production
+    deployment gets the same property from watermark-ordered upstream
+    windowing. The incremental counterpart of the batch
+    events_analytics.events_ewma recurrence."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):  # noqa: ANN001
+        if state.exists:
+            hour_us, s, c, y, has_y = state.get
+        else:
+            hour_us, s, c, y, has_y = -1, 0.0, 0, 0.0, 0
+        out_hours, out_avg, out_ewma = [], [], []
+
+        def close_bucket():
+            nonlocal y, has_y
+            x = s / c
+            y = x if not has_y else alpha * x + (1 - alpha) * y
+            has_y = 1
+            out_hours.append(pd.Timestamp(hour_us, unit="us"))
+            out_avg.append(x)
+            out_ewma.append(y)
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            hrs = (pdf["ts"].astype("int64") // 1000 // 3_600_000_000) * 3_600_000_000
+            for h, v in zip(hrs.to_numpy(), pdf["value"].to_numpy()):
+                h = int(h)
+                if h != hour_us:
+                    if c > 0:
+                        close_bucket()
+                    hour_us, s, c = h, 0.0, 0
+                s += float(v)
+                c += 1
+        state.update((hour_us, s, c, y, has_y))
+        yield pd.DataFrame(
+            {
+                "event_type": key[0],
+                "hour": out_hours,
+                "avg_value": out_avg,
+                "ewma": out_ewma,
+            }
+        )
+
+    return events.select("event_type", "ts", "value").groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, hour timestamp_ntz, avg_value double, ewma double",
+        stateStructType="hour_us bigint, s double, c bigint, y double, has_y int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

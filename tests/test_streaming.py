@@ -645,3 +645,29 @@ def test_cdc_state_stream_equals_batch(spark, sf_dir, batch_events):
     for uid, row in latest.items():
         assert row == want[uid], f"user {uid}: stream {row} != batch {want[uid]}"
     assert any(r[3] for r in want.values())  # tombstones present in fixture
+
+
+def test_ewma_state_stream_equals_batch(spark, sf_dir):
+    """Streaming EWMA with open-bucket state: after a multi-batch replay,
+    the emitted (closed) hours must equal the batch recurrence for every
+    hour except each series' final one (still open, never emitted) — same
+    values within fp tolerance, exactly-once per hour."""
+    from sol_spark.queries.events_analytics import events_ewma
+
+    got = _run(spark, sf_dir, P.ewma_hourly_state, "append", n_files=4)
+    stream = {(r.event_type, r.hour): (r.avg_value, r.ewma) for r in got}
+    assert len(stream) == len(got), "an hour was emitted more than once"
+    batch_rows = events_ewma(spark, sf_dir).collect()
+    last_hour = {}
+    for r in batch_rows:
+        if r.event_type not in last_hour or r.hour > last_hour[r.event_type]:
+            last_hour[r.event_type] = r.hour
+    want = {
+        (r.event_type, r.hour): (r.avg_value, r.ewma)
+        for r in batch_rows
+        if r.hour != last_hour[r.event_type]
+    }
+    assert set(stream) == set(want)
+    for k, (avg_b, ewma_b) in want.items():
+        avg_s, ewma_s = stream[k]
+        assert abs(avg_s - avg_b) < 1e-4 and abs(ewma_s - ewma_b) < 1e-4, k
