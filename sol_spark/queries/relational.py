@@ -1320,3 +1320,90 @@ def cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "month_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join (bidirectional, the sensor-alignment variant)
+# ---------------------------------------------------------------------------
+
+ASOF_NEAREST_ORACLE = """
+WITH purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+cand AS (
+  SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)), c.ts
+         ) AS rn
+  FROM purchases p JOIN clicks c
+    ON p.user_id = c.user_id
+   AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR
+)
+SELECT p.event_id, p.user_id, p.ts, c.click_ts AS nearest_click_ts,
+       epoch_us(c.click_ts) - epoch_us(p.ts) AS delta_us
+FROM purchases p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+  ON c.event_id = p.event_id
+ORDER BY p.event_id
+"""
+
+
+@register("asof_join_nearest", ASOF_NEAREST_ORACLE, tags=("asof", "join", "window"))
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: for each purchase, the click with the smallest
+    |time delta| within +/-1 h (ties to the EARLIER click) — the
+    bidirectional alignment used for sensor fusion and impression
+    attribution, where plain backward as-of misses a click seconds later.
+
+    Scale-safe recipe: the same tagged-union window trick as
+    asof_join_last_click, run in BOTH directions over ONE (user, ts) sort
+    — running last click before (ties included: clicks sort first at equal
+    ts) and first click after — then a scan-local CASE picks the nearer
+    and applies the 1 h cap. One shuffle total; no range-join candidate
+    explosion, which is what makes this survive a 100x event-volume
+    scale-up (the oracle uses the naive bounded range join + rank,
+    fine for DuckDB at fixture scale)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("timestamp_ntz").alias("click_ts"),
+        F.lit(1).alias("is_p"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("bigint").alias("event_id"), "user_id", "ts",
+        F.col("ts").alias("click_ts"),
+        F.lit(0).alias("is_p"),
+    )
+    w_back = W.partitionBy("user_id").orderBy("ts", "is_p").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_fwd = W.partitionBy("user_id").orderBy("ts", "is_p").rowsBetween(
+        W.currentRow, W.unboundedFollowing
+    )
+    merged = (
+        purchases.unionByName(clicks)
+        .withColumn("back_ts", F.last("click_ts", ignorenulls=True).over(w_back))
+        .withColumn("fwd_ts", F.first("click_ts", ignorenulls=True).over(w_fwd))
+    )
+    # Exact microsecond arithmetic: second-floored unix_timestamp deltas
+    # disagree with the oracle's epoch differences on sub-second data.
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    back_d = us(F.col("ts")) - us(F.col("back_ts"))
+    fwd_d = us(F.col("fwd_ts")) - us(F.col("ts"))
+    hour_us = 3_600_000_000
+    in_back = F.col("back_ts").isNotNull() & (back_d <= hour_us)
+    in_fwd = F.col("fwd_ts").isNotNull() & (fwd_d <= hour_us)
+    nearest = (
+        F.when(in_back & in_fwd, F.when(back_d <= fwd_d, F.col("back_ts")).otherwise(F.col("fwd_ts")))
+        .when(in_back, F.col("back_ts"))
+        .when(in_fwd, F.col("fwd_ts"))
+    )
+    return (
+        merged.filter(F.col("is_p") == 1)
+        .select(
+            "event_id", "user_id", "ts",
+            nearest.alias("nearest_click_ts"),
+            (us(nearest) - us(F.col("ts"))).cast("bigint").alias("delta_us"),
+        )
+        .orderBy("event_id")
+    )
