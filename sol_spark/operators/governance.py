@@ -604,3 +604,71 @@ def privacy_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     t["customer"].createOrReplaceTempView("customer")
     return spark.sql(_GENERALIZE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# t-closeness profile (completes the k/l/t privacy triad)
+# ---------------------------------------------------------------------------
+
+PRIVACY_T_CLOSENESS_ORACLE = """
+WITH gdist AS (
+  SELECT c_mktsegment AS seg, count(*)::DOUBLE / (SELECT count(*) FROM customer) AS p
+  FROM customer GROUP BY 1
+), qi AS (
+  SELECT c_nationkey AS nk, c_mktsegment AS seg, count(*) AS n
+  FROM customer GROUP BY 1, 2
+), gsz AS (
+  SELECT nk, sum(n)::DOUBLE AS gn FROM qi GROUP BY nk
+), dist AS (
+  SELECT g.nk,
+         0.5 * sum(abs(coalesce(q.n, 0) / g.gn - gl.p)) AS tvd
+  FROM gsz g CROSS JOIN gdist gl
+  LEFT JOIN qi q ON q.nk = g.nk AND q.seg = gl.seg
+  GROUP BY g.nk
+)
+SELECT nk AS nationkey, round(tvd, 6) AS t_distance,
+       tvd > 0.2 AS exceeds_t
+FROM dist ORDER BY nationkey
+"""
+
+
+@register("privacy_t_closeness", PRIVACY_T_CLOSENESS_ORACLE, tags=("governance", "privacy"))
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit, completing the k-anonymity / l-diversity / t-
+    closeness triad: per QI group (nation), the total-variation distance
+    between the group's sensitive-attribute distribution (market segment)
+    and the corpus distribution — a group can be large (k ok) and diverse
+    (l ok) yet still leak because its mix skews far from global. Groups
+    with TVD > t = 0.2 are flagged.
+
+    Scale shape: the global distribution is a tiny broadcast; group
+    distributions are one (QI, sensitive) hash-aggregate; the per-category
+    comparison cross-joins each group against the |categories|-row global
+    table — bounded by groups x categories, never rows."""
+    t = load_tables(spark, sf_dir)
+    total = t["customer"].count()
+    glob = (
+        t["customer"]
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg((F.count(F.lit(1)) / total).alias("p"))
+    )
+    qi = (
+        t["customer"]
+        .groupBy(F.col("c_nationkey").alias("nk"), F.col("c_mktsegment").alias("seg"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    gsz = qi.groupBy("nk").agg(F.sum("n").cast("double").alias("gn"))
+    return (
+        gsz.crossJoin(F.broadcast(glob))
+        .join(qi, ["nk", "seg"], "left")
+        .groupBy("nk")
+        .agg(
+            (0.5 * F.sum(F.abs(F.coalesce(F.col("n"), F.lit(0)) / F.col("gn") - F.col("p")))).alias("tvd")
+        )
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.round("tvd", 6).alias("t_distance"),
+            (F.col("tvd") > 0.2).alias("exceeds_t"),
+        )
+        .orderBy("nationkey")
+    )

@@ -1322,3 +1322,81 @@ def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Longest monotonic streaks per series (MATCH_RECOGNIZE-class pattern)
+# ---------------------------------------------------------------------------
+
+EVENTS_STREAKS_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+), flagged AS (
+  SELECT event_type, hour, n,
+         CASE WHEN n > lag(n) OVER w THEN 1 ELSE 0 END AS up
+  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+), grp AS (
+  SELECT event_type, hour, n, up,
+         row_number() OVER (PARTITION BY event_type ORDER BY hour)
+           - sum(up) OVER (PARTITION BY event_type ORDER BY hour) AS g
+  FROM flagged
+), runs AS (
+  SELECT event_type, g, count(*) AS len_rows,
+         min(hour) AS start_hour, max(hour) AS end_hour,
+         max(n) - min(n) AS total_rise
+  FROM grp WHERE up = 1 GROUP BY event_type, g
+)
+SELECT event_type,
+       max(len_rows + 1)::BIGINT AS longest_streak_hours,
+       count(*) AS n_streaks_ge3
+FROM runs WHERE len_rows >= 2
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("events_streaks", EVENTS_STREAKS_ORACLE, tags=("events", "timeseries", "pattern"))
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest strictly-increasing run of hourly counts per event type,
+    plus the number of >= 3-hour climbs — the row-pattern query
+    (MATCH_RECOGNIZE's canonical example) expressed as gaps-and-islands:
+    an 'up' flag from lag(), then row_number minus the running up-count is
+    constant exactly within a climb. One window pass per series over one
+    (type, hour) sort; window parallelism scales with series."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.expr("cast(date_trunc('hour', ts) as timestamp_ntz)").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("event_type").orderBy("hour")
+    flagged = hourly.select(
+        "event_type", "hour", "n",
+        F.when(F.col("n") > F.lag("n").over(w), 1).otherwise(0).alias("up"),
+    )
+    grp = flagged.select(
+        "event_type", "hour", "n", "up",
+        (
+            F.row_number().over(w)
+            - F.sum("up").over(w.rowsBetween(W.unboundedPreceding, 0))
+        ).alias("g"),
+    )
+    runs = (
+        grp.where("up = 1")
+        .groupBy("event_type", "g")
+        .agg(F.count(F.lit(1)).alias("len_rows"))
+    )
+    return (
+        runs.where("len_rows >= 2")
+        .groupBy("event_type")
+        .agg(
+            (F.max("len_rows") + 1).cast("long").alias("longest_streak_hours"),
+            F.count(F.lit(1)).alias("n_streaks_ge3"),
+        )
+        .orderBy("event_type")
+    )

@@ -1407,3 +1407,50 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival (purchase cadence) distribution
+# ---------------------------------------------------------------------------
+
+INTERARRIVAL_ORACLE = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT least(gap_days // 30, 12)::BIGINT AS gap_bucket_months,
+       count(*) AS n_gaps,
+       round(avg(gap_days), 2) AS avg_gap_days
+FROM gaps WHERE gap_days IS NOT NULL
+GROUP BY 1 ORDER BY gap_bucket_months
+"""
+
+
+@register("orders_interarrival", INTERARRIVAL_ORACLE, tags=("relational", "marts"))
+def orders_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cadence histogram: per-customer inter-order gaps (lag over
+    one (custkey, date) sort), bucketed by month with a 12-month tail cap —
+    the reorder-cycle input to churn models and replenishment forecasts.
+    One window pass + one bounded hash-aggregate; integer day arithmetic so
+    both engines agree exactly."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = t["orders"].select(
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("gap_days")
+    )
+    return (
+        gaps.where(F.col("gap_days").isNotNull())
+        .groupBy(
+            F.least(F.floor(F.col("gap_days") / 30), F.lit(12)).cast("long").alias("gap_bucket_months")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg("gap_days"), 2).alias("avg_gap_days"),
+        )
+        .orderBy("gap_bucket_months")
+    )
