@@ -2074,3 +2074,57 @@ def text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit (corpus sanity diagnostic)
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_N = 200
+
+TEXT_ZIPF_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split({_NORM_DUCK}, ' ')) AS tok FROM documents
+), freq AS (
+  SELECT tok, count(*) AS n FROM toks GROUP BY tok
+), ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS r
+  FROM freq
+)
+SELECT count(*) AS n_terms,
+       round(regr_slope(ln(n), ln(r)), 4) AS zipf_slope,
+       round(regr_r2(ln(n), ln(r)), 4) AS r2,
+       max(n) AS top_freq
+FROM ranked WHERE r <= {ZIPF_TOP_N}
+"""
+
+
+@register("text_zipf_fit", TEXT_ZIPF_ORACLE, tags=("llm", "text", "profiling"))
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the top {ZIPF_TOP_N} corpus terms:
+    least-squares slope of ln(freq) on ln(rank) with its R² — natural
+    corpora fit slope ~ -1; a flat slope flags template/synthetic text and
+    a broken fit flags tokenizer damage. The corpus-statistics sanity
+    gate a pipeline runs after ingest.
+
+    Plan: one token hash-aggregate (map-side combined); the rank window
+    runs over term frequencies, not tokens, and the regression is a single
+    partial-aggregable regr_slope/regr_r2 over {ZIPF_TOP_N} rows."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    freq = (
+        t["documents"]
+        .select(F.explode(F.split(F.expr(_NORM), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = freq.select(
+        "n", F.row_number().over(W.orderBy(F.col("n").desc(), "tok")).alias("r")
+    ).where(F.col("r") <= ZIPF_TOP_N)
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.expr("regr_slope(ln(n), ln(r))"), 4).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(ln(n), ln(r))"), 4).alias("r2"),
+        F.max("n").alias("top_freq"),
+    )

@@ -1400,3 +1400,46 @@ def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral entropy per user
+# ---------------------------------------------------------------------------
+
+EVENTS_ENTROPY_ORACLE = """
+WITH pt AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT user_id, sum(n)::DOUBLE AS tn FROM pt GROUP BY 1
+), ent AS (
+  SELECT p.user_id,
+         -sum((p.n / t.tn) * ln(p.n / t.tn)) AS h
+  FROM pt p JOIN tot t ON t.user_id = p.user_id
+  GROUP BY p.user_id
+)
+SELECT round(h, 1) AS entropy_bucket, count(*) AS n_users,
+       round(avg(h), 6) AS avg_entropy
+FROM ent GROUP BY 1 ORDER BY entropy_bucket
+"""
+
+
+@register("events_entropy", EVENTS_ENTROPY_ORACLE, tags=("events", "profiling"))
+def events_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity histogram: Shannon entropy of each user's
+    event-type distribution, bucketed to 0.1 nats — bots and single-action
+    scripts sit at 0, engaged users near ln(5). Segmentation input and a
+    bot-filter feature. Two chained hash aggregates plus a per-user
+    entropy fold; output bounded by the entropy range, not users."""
+    t = load_tables(spark, sf_dir)
+    pt = t["events"].groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = pt.groupBy("user_id").agg(F.sum("n").cast("double").alias("tn"))
+    ent = (
+        pt.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg((-F.sum((F.col("n") / F.col("tn")) * F.log(F.col("n") / F.col("tn")))).alias("h"))
+    )
+    return (
+        ent.groupBy(F.round("h", 1).alias("entropy_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_users"), F.round(F.avg("h"), 6).alias("avg_entropy"))
+        .orderBy("entropy_bucket")
+    )
