@@ -1454,3 +1454,57 @@ def orders_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_bucket_months")
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier market concentration (Herfindahl-Hirschman index) per nation
+# ---------------------------------------------------------------------------
+
+SUPPLIER_HHI_ORACLE = """
+WITH rev AS (
+  SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+         sum(l.l_extendedprice * (1 - l.l_discount)) AS r
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2
+), tot AS (
+  SELECT nationkey, sum(r) AS tr, count(*) AS n_suppliers FROM rev GROUP BY 1
+)
+SELECT t.nationkey, t.n_suppliers,
+       round(sum(power(10000.0 * v.r / t.tr, 2)) / 10000.0, 2) AS hhi,
+       round(max(10000.0 * v.r / t.tr), 2) AS top_share_bp
+FROM rev v JOIN tot t ON t.nationkey = v.nationkey
+GROUP BY t.nationkey, t.n_suppliers
+ORDER BY t.nationkey
+"""
+
+
+@register("supplier_hhi", SUPPLIER_HHI_ORACLE, tags=("relational", "marts"))
+def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier market concentration per nation: the Herfindahl-Hirschman
+    index (sum of squared revenue shares, 0-10000 scale) plus the top
+    supplier's share — the vendor-risk metric behind single-source alerts
+    (HHI > 2500 = concentrated). One fact aggregate keyed on
+    (nation, supplier) with the supplier dim broadcast, then a bounded
+    per-nation fold; shares are scaled to basis points before squaring so
+    the rounding position is well away from the fp noise floor."""
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+              t["lineitem"]["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"))
+    )
+    tot = rev.groupBy("nationkey").agg(
+        F.sum("r").alias("tr"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    share = 10000.0 * F.col("r") / F.col("tr")
+    return (
+        rev.join(F.broadcast(tot), "nationkey")
+        .groupBy("nationkey", "n_suppliers")
+        .agg(
+            F.round(F.sum(F.pow(share, 2)) / 10000.0, 2).alias("hhi"),
+            F.round(F.max(share), 2).alias("top_share_bp"),
+        )
+        .orderBy("nationkey")
+    )
