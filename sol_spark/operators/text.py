@@ -2128,3 +2128,64 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("regr_r2(ln(n), ln(r))"), 4).alias("r2"),
         F.max("n").alias("top_freq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Term burstiness (variance-to-mean of per-doc counts)
+# ---------------------------------------------------------------------------
+
+BURST_MIN_DF = 20  # only terms appearing in >= this many docs are scored
+
+TEXT_BURSTINESS_ORACLE = f"""
+WITH counts AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split({_NORM_DUCK}, ' ')) AS tok FROM documents) t
+  GROUP BY doc_id, tok
+), nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+stats AS (
+  SELECT tok,
+         count(*) AS df,
+         sum(c) AS tf,
+         sum(c) / nn.n AS mu,
+         (sum(c * c) - sum(c) * sum(c) / nn.n) / (nn.n - 1) AS var
+  FROM counts CROSS JOIN nd nn
+  GROUP BY tok, nn.n
+  HAVING count(*) >= {BURST_MIN_DF}
+)
+SELECT tok, df, tf::BIGINT AS tf, round(var / mu, 4) AS burstiness
+FROM stats ORDER BY tok
+"""
+
+
+@register("text_burstiness", TEXT_BURSTINESS_ORACLE, tags=("llm", "text", "profiling"))
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness: variance-to-mean ratio of per-document counts
+    (zeros included — docs not containing the term contribute to the
+    moments via the sum-of-squares identity, no dense matrix needed).
+    ~1 = Poisson background vocabulary; >> 1 = bursty topical/spam terms
+    that concentrate in few docs — the term-level feed for spam filters
+    and keyword extraction. One (doc, term) hash-aggregate then one
+    per-term fold; the corpus doc count is a 1-row broadcast."""
+    t = load_tables(spark, sf_dir)
+    n = float(t["documents"].count())
+    counts = (
+        t["documents"]
+        .select("doc_id", F.explode(F.split(F.expr(_NORM), " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("c").alias("tf"),
+            ((F.sum(F.col("c") * F.col("c")) - F.sum("c") * F.sum("c") / n) / (n - 1)).alias("var"),
+        )
+        .where(F.col("df") >= BURST_MIN_DF)
+        .select(
+            "tok", "df",
+            F.col("tf").cast("long").alias("tf"),
+            F.round(F.col("var") / (F.col("tf") / n), 4).alias("burstiness"),
+        )
+        .orderBy("tok")
+    )

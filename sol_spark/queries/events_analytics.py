@@ -1443,3 +1443,52 @@ def events_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"), F.round(F.avg("h"), 6).alias("avg_entropy"))
         .orderBy("entropy_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of the hourly volume series
+# ---------------------------------------------------------------------------
+
+ACF_LAGS = (1, 2, 3, 6, 12, 24)
+
+EVENTS_AUTOCORR_ORACLE = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1
+), lags AS (SELECT unnest([{", ".join(str(l) for l in ACF_LAGS)}]) AS lag)
+SELECT l.lag, round(corr(a.n, b.n), 4) + 0.0 AS acf, count(*) AS n_points
+FROM lags l
+JOIN hourly a ON true
+JOIN hourly b ON epoch(b.hour)::BIGINT - epoch(a.hour)::BIGINT = l.lag * 3600
+GROUP BY l.lag ORDER BY l.lag
+"""
+
+
+@register("events_autocorr", EVENTS_AUTOCORR_ORACLE, tags=("events", "timeseries"))
+def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the total hourly event volume at lags
+    {ACF_LAGS}: the ACF fingerprint — a spike at 24 confirms daily
+    seasonality, slow decay flags trend — read before choosing
+    differencing/seasonal terms for any forecast. Same NTZ
+    timestampadd equi-join alignment as events_xcorr, self-joined; work
+    is O(|hours| x lags), independent of raw event volume."""
+    t = load_tables(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .groupBy(F.expr("cast(date_trunc('hour', ts) as timestamp_ntz)").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = hourly.select(F.col("hour").alias("hour_a"), F.col("n").alias("na"))
+    b = hourly.select(F.col("hour").alias("hour_b"), F.col("n").alias("nb"))
+    lags = spark.createDataFrame([(l,) for l in ACF_LAGS], "lag long")
+    return (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("target", F.expr("timestampadd(HOUR, lag, hour_a)"))
+        .join(b, F.col("hour_b") == F.col("target"))
+        .groupBy("lag")
+        .agg(
+            (F.round(F.corr("na", "nb"), 4) + 0.0).alias("acf"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .orderBy("lag")
+    )
