@@ -9,7 +9,6 @@ invariants on constructed inputs).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 
 from pyspark.sql import functions as F
 
