@@ -1492,3 +1492,92 @@ def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival: time to first purchase
+# ---------------------------------------------------------------------------
+
+EVENTS_SURVIVAL_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, min(ts) AS f FROM events GROUP BY 1
+), conv AS (
+  SELECT user_id, min(ts) AS p FROM events WHERE event_type = 'purchase' GROUP BY 1
+), mx AS (SELECT max(ts) AS m FROM events),
+lives AS (
+  SELECT fi.user_id,
+         CASE WHEN c.p IS NULL THEN date_diff('day', fi.f, (SELECT m FROM mx))
+              ELSE date_diff('day', fi.f, c.p) END AS t,
+         CASE WHEN c.p IS NULL THEN 0 ELSE 1 END AS ev
+  FROM firsts fi LEFT JOIN conv c ON c.user_id = fi.user_id
+), tbl AS (
+  SELECT t, sum(ev) AS d, count(*) AS c FROM lives GROUP BY t
+), km AS (
+  SELECT t, d, c,
+         sum(c) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+  FROM tbl
+), curve AS (
+  SELECT t, d, n_risk,
+         min(1.0 - d::DOUBLE / n_risk) OVER w AS min_factor,
+         sum(ln(CASE WHEN d < n_risk THEN 1.0 - d::DOUBLE / n_risk ELSE 1.0 END)) OVER w AS logsum
+  FROM km WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT t AS duration_days, d::BIGINT AS n_converted, n_risk::BIGINT AS at_risk,
+       CASE WHEN min_factor = 0 THEN 0.0 ELSE round(exp(logsum), 4) END AS survival
+FROM curve WHERE d > 0 ORDER BY duration_days
+"""
+
+
+@register("events_survival_km", EVENTS_SURVIVAL_ORACLE, tags=("events", "survival"))
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier estimator of time-to-first-purchase: at each distinct
+    duration t, S(t) = prod(1 - d_i/n_i) over event times <= t, with
+    never-converting users right-censored at the corpus horizon — THE
+    survival curve behind activation and churn analyses. The product is a
+    running exp(sum(ln(factor))) window; a factor of zero (everyone still
+    at risk converts) short-circuits survival to exactly 0 via a running
+    min, since ln(0) diverges (and Spark's log returns NULL).
+
+    Scale shape: per-user first/conversion times are two hash aggregates
+    over the fact; everything after runs on the DISTINCT-DURATION table —
+    the KM windows are single-partition but bounded by distinct durations
+    (days, not users), identical IEEE ln/exp ordering in both engines."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("f"))
+    conv = ev.where("event_type = 'purchase'").groupBy("user_id").agg(F.min("ts").alias("p"))
+    mx = ev.agg(F.max("ts").alias("m"))
+    lives = (
+        firsts.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(F.col("p").isNull(), F.datediff(F.col("m"), F.col("f")))
+            .otherwise(F.datediff(F.col("p"), F.col("f")))
+            .alias("t"),
+            F.when(F.col("p").isNull(), 0).otherwise(1).alias("ev"),
+        )
+    )
+    tbl = lives.groupBy("t").agg(F.sum("ev").alias("d"), F.count(F.lit(1)).alias("c"))
+    w_desc = W.orderBy(F.col("t").desc()).rowsBetween(W.unboundedPreceding, 0)
+    w_asc = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    km = tbl.select("t", "d", F.sum("c").over(w_desc).alias("n_risk"))
+    factor = 1.0 - F.col("d").cast("double") / F.col("n_risk")
+    curve = km.select(
+        "t", "d", "n_risk",
+        F.min(factor).over(w_asc).alias("min_factor"),
+        F.sum(F.log(F.when(F.col("d") < F.col("n_risk"), factor).otherwise(F.lit(1.0)))).over(w_asc).alias("logsum"),
+    )
+    return (
+        curve.where("d > 0")
+        .select(
+            F.col("t").alias("duration_days"),
+            F.col("d").cast("long").alias("n_converted"),
+            F.col("n_risk").cast("long").alias("at_risk"),
+            F.when(F.col("min_factor") == 0, F.lit(0.0))
+            .otherwise(F.round(F.exp("logsum"), 4))
+            .alias("survival"),
+        )
+        .orderBy("duration_days")
+    )
