@@ -1845,3 +1845,84 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     release_result(pairs)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient over the near-dup graph
+# ---------------------------------------------------------------------------
+
+GRAPH_CLUSTERING_COEF_ORACLE = f"""
+WITH pr AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({SIMHASH_ORACLE.replace("ORDER BY doc_a, doc_b", "")}) q
+), edges AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM pr
+  UNION ALL
+  SELECT doc_b, doc_a FROM pr
+), deg AS MATERIALIZED (
+  SELECT u AS node, count(*) AS d FROM edges GROUP BY u
+), wedge AS (
+  SELECT e1.v AS center, e1.u AS a, e2.v AS b
+  FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+  WHERE e1.u < e2.v
+), closed AS (
+  SELECT w.center, count(*) AS tri
+  FROM wedge w JOIN pr p ON p.doc_a = w.a AND p.doc_b = w.b
+  GROUP BY w.center
+)
+SELECT d.node AS doc, d.d AS degree,
+       coalesce(c.tri, 0) AS triangles,
+       round(2.0 * coalesce(c.tri, 0) / (d.d * (d.d - 1)), 4) AS clustering_coef
+FROM deg d LEFT JOIN closed c ON c.center = d.node
+WHERE d.d >= 2
+ORDER BY doc
+"""
+
+
+@register("graph_clustering_coef", GRAPH_CLUSTERING_COEF_ORACLE, tags=("llm", "dedup", "graph"))
+def graph_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the SimHash near-dup
+    graph: closed wedges / (deg choose 2). Near 1 = the node sits in a
+    mirror clique (safe to keep one representative); near 0 = a hub
+    chaining unrelated drifts (splitting candidate) — the per-node readout
+    behind the global triangle count graph_triangles already reports.
+
+    Scale shape: wedges centered at each node come from one
+    edges-with-edges equi-join on the center (sum-of-deg², LSH-capped);
+    closure is an equi-join against the canonical pair set; degrees join
+    back broadcast. Same join skeleton as graph_adamic_adar, counting
+    closed wedges instead of scoring open ones."""
+    ph = dedup_simhash(spark, sf_dir)
+    pairs = local_checkpoint(ph.select("doc_a", "doc_b"))
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = edges.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    e1 = edges.select(F.col("v").alias("center"), F.col("u").alias("a"))
+    e2 = edges.select(F.col("u").alias("center2"), F.col("v").alias("b"))
+    wedge = (
+        e1.join(e2, F.col("center") == F.col("center2"))
+        .where(F.col("a") < F.col("b"))
+        .select("center", "a", "b")
+    )
+    closed = (
+        wedge.join(
+            pairs, (wedge["a"] == pairs["doc_a"]) & (wedge["b"] == pairs["doc_b"]), "left_semi"
+        )
+        .groupBy("center")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    out = local_checkpoint(
+        deg.where("d >= 2")
+        .join(closed, deg["node"] == closed["center"], "left")
+        .select(
+            F.col("node").alias("doc"),
+            F.col("d").alias("degree"),
+            F.coalesce("tri", F.lit(0)).alias("triangles"),
+            F.round(2.0 * F.coalesce("tri", F.lit(0)) / (F.col("d") * (F.col("d") - 1)), 4).alias(
+                "clustering_coef"
+            ),
+        )
+        .orderBy("doc")
+    )
+    release_result(pairs)
+    return out

@@ -1581,3 +1581,54 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("duration_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of event volume across users
+# ---------------------------------------------------------------------------
+
+EVENTS_GINI_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, count(*) AS x FROM events GROUP BY 1
+), ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, user_id) AS i,
+         count(*) OVER () AS n, sum(x) OVER () AS tot
+  FROM per_user
+)
+SELECT any_value(n)::BIGINT AS n_users,
+       any_value(tot)::BIGINT AS n_events,
+       round(2.0 * sum(i * x) / (any_value(n) * any_value(tot))
+             - (any_value(n) + 1.0) / any_value(n), 6) AS gini
+FROM ranked
+"""
+
+
+@register("events_gini", EVENTS_GINI_ORACLE, tags=("events", "profiling"))
+def events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of event volume across users — the single-number
+    concentration complement to events_pareto_concentration's full curve
+    (0 = uniform usage, 1 = one user generates everything): the
+    load-skew / whale-dependence KPI. Formula G = 2*sum(i*x_i)/(n*sum x)
+    - (n+1)/n over counts sorted ascending, ties broken on user_id so
+    both engines rank identically. One per-user aggregate, then a rank
+    window over USERS (bounded by user count, not events) and a single
+    final fold."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    per_user = t["events"].groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    ranked = per_user.select(
+        "x",
+        F.row_number().over(W.orderBy("x", "user_id")).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+        F.sum("x").over(W.partitionBy()).alias("tot"),
+    )
+    return ranked.agg(
+        F.any_value("n").cast("long").alias("n_users"),
+        F.any_value("tot").cast("long").alias("n_events"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (F.any_value("n") * F.any_value("tot"))
+            - (F.any_value("n") + 1.0) / F.any_value("n"),
+            6,
+        ).alias("gini"),
+    )
