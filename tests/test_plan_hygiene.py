@@ -38,6 +38,7 @@ EAGER_BUILD = {
     "graph_kcore",
     "graph_modularity",
     "graph_adamic_adar",
+    "graph_clustering_coef",
     "er_clusters",
 }
 
