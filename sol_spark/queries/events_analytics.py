@@ -1632,3 +1632,96 @@ def events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stationary distribution of the Markov chain (unrolled power iteration)
+# ---------------------------------------------------------------------------
+
+MARKOV_POWER_ITERS = 8
+
+
+def _markov_stationary_oracle(iters: int = MARKOV_POWER_ITERS) -> str:
+    """Unrolled x_{t+1} = x_t P oracle over the transition matrix —
+    aggregation inside recursion is disallowed, so each step is its own
+    CTE (the pagerank/k-core discipline). ``iters`` must match the
+    registered query; both default to MARKOV_POWER_ITERS."""
+    steps = []
+    for j in range(1, iters + 1):
+        steps.append(
+            f"""x{j} AS (
+  SELECT p.nxt AS state, sum(x{j - 1}.w * p.p) AS w
+  FROM x{j - 1} JOIN pm p ON p.cur = x{j - 1}.state
+  GROUP BY p.nxt
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+), pairs AS (
+  SELECT event_type AS cur, next_type AS nxt, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+), pm AS (
+  SELECT cur, nxt, n / sum(n) OVER (PARTITION BY cur) AS p FROM pairs
+), states AS (
+  SELECT DISTINCT cur AS state FROM pm
+), nn AS (SELECT count(*)::DOUBLE AS n FROM states),
+x0 AS (
+  SELECT state, 1.0 / nn.n AS w FROM states CROSS JOIN nn
+),
+{chain}
+SELECT state, round(w, 6) AS pi FROM x{iters} ORDER BY state
+"""
+
+
+EVENTS_MARKOV_STATIONARY_ORACLE = _markov_stationary_oracle()
+
+
+@register("events_markov_stationary", EVENTS_MARKOV_STATIONARY_ORACLE, tags=("events", "sequence", "iterative"))
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the behavior Markov chain: where user
+    sessions settle in the long run — the equilibrium share of each action,
+    computed by {MARKOV_POWER_ITERS} unrolled power iterations x_(t+1) =
+    x_t P from the uniform start (the chain is tiny and well-mixed, so the
+    fixed unroll converges far past 6dp; the oracle unrolls the identical
+    steps — the pagerank/k-core oracle discipline). Comparing pi against
+    the RAW action share exposes absorbing behaviors (high pi, low raw
+    share = states users drift into and stay).
+
+    Scale shape: the only fact-sized work is the per-user lead window the
+    transition matrix already pays; every iteration is a |types|²-row
+    join+agg — driver-scale, no checkpointing needed at bounded unrolls."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    seq = t["events"].select(
+        "event_type",
+        F.lead("event_type").over(W.partitionBy("user_id").orderBy("ts", "event_id")).alias("next_type"),
+    )
+    pm = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("cur"), F.col("next_type").alias("nxt"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("cur", "nxt", (F.col("n") / F.sum("n").over(W.partitionBy("cur"))).alias("p"))
+    )
+    # The |types|² matrix is driver-scale: cache it locally so each
+    # iteration's plan doesn't re-run the fact window.
+    from sol_spark.operators.dedup import local_checkpoint, release_result
+
+    pm = local_checkpoint(pm)
+    states = pm.select(F.col("cur").alias("state")).distinct()
+    n = float(states.count())
+    x = states.select("state", F.lit(1.0 / n).alias("w"))
+    for _ in range(MARKOV_POWER_ITERS):
+        x = (
+            pm.join(x, pm["cur"] == x["state"])
+            .groupBy(F.col("nxt").alias("state2"))
+            .agg(F.sum(F.col("w") * F.col("p")).alias("w"))
+            .withColumnRenamed("state2", "state")
+        )
+    out = local_checkpoint(x.select("state", F.round("w", 6).alias("pi")).orderBy("state"))
+    release_result(pm)
+    return out

@@ -1508,3 +1508,83 @@ def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Association rules (apriori step 2: directed confidence from pair supports)
+# ---------------------------------------------------------------------------
+
+RULE_MIN_CONF_BP = 1000  # keep rules with confidence >= 10% (synthetic baskets are broad: max observed ~22%)
+
+BASKET_RULES_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n_orders AS (
+  SELECT count(DISTINCT l_orderkey)::DOUBLE AS n FROM items
+), freq AS (
+  SELECT l_partkey, count(*) AS n_item FROM items GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_both
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {BASKET_MIN_SUPPORT}
+), rules AS (
+  SELECT part_a AS antecedent, part_b AS consequent, n_both FROM pairs
+  UNION ALL
+  SELECT part_b, part_a, n_both FROM pairs
+)
+SELECT r.antecedent, r.consequent, r.n_both,
+       (10000 * r.n_both) // fa.n_item AS confidence_bp,
+       round(o.n * r.n_both / (fa.n_item * fb.n_item), 4) AS lift
+FROM rules r
+JOIN freq fa ON fa.l_partkey = r.antecedent
+JOIN freq fb ON fb.l_partkey = r.consequent
+CROSS JOIN n_orders o
+WHERE (10000 * r.n_both) // fa.n_item >= {RULE_MIN_CONF_BP}
+ORDER BY antecedent, consequent
+"""
+
+
+@register("basket_rules", BASKET_RULES_ORACLE, tags=("relational", "mining"))
+def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules from the min-support pairs: both directed forms of
+    every surviving pair scored by confidence = P(consequent | antecedent),
+    kept above {RULE_MIN_CONF_BP / 100:.0f}% — apriori's rule-generation
+    step on top of basket_affinity's support counting. Confidence is
+    integer basis points (exact in both engines); lift carries over from
+    the pair stage. Adds only a union + two broadcast frequency joins over
+    the already-pruned pair set."""
+    t = load_tables(spark, sf_dir)
+    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    n = float(items.select("l_orderkey").distinct().count())
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= BASKET_MIN_SUPPORT)
+    )
+    rules = pairs.select(
+        F.col("part_a").alias("antecedent"), F.col("part_b").alias("consequent"), "n_both"
+    ).unionAll(
+        pairs.select(
+            F.col("part_b").alias("antecedent"), F.col("part_a").alias("consequent"), "n_both"
+        )
+    )
+    fa = freq.select(F.col("l_partkey").alias("antecedent"), F.col("n_item").alias("n_a"))
+    fb = freq.select(F.col("l_partkey").alias("consequent"), F.col("n_item").alias("n_b"))
+    return (
+        rules.join(F.broadcast(fa), "antecedent")
+        .join(F.broadcast(fb), "consequent")
+        .select(
+            "antecedent", "consequent", "n_both",
+            F.expr("(10000 * n_both) div n_a").alias("confidence_bp"),
+            F.round(F.lit(n) * F.col("n_both") / (F.col("n_a") * F.col("n_b")), 4).alias("lift"),
+        )
+        .where(F.col("confidence_bp") >= RULE_MIN_CONF_BP)
+        .orderBy("antecedent", "consequent")
+    )
