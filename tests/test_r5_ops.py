@@ -294,3 +294,61 @@ def test_cdc_apply_property_random_changelogs(spark):
         assert got == want
 
     check()
+
+
+def test_survival_curve_monotone_nonincreasing(spark, sf_dir):
+    """KM survival must start <= 1, never increase, and at-risk counts must
+    strictly decrease along the duration axis."""
+    from sol_spark.queries.events_analytics import events_survival_km
+
+    rows = events_survival_km(spark, sf_dir).collect()
+    assert rows
+    prev_s, prev_risk = 1.0 + 1e-9, float("inf")
+    for r in rows:
+        assert 0.0 <= r["survival"] <= prev_s + 1e-9, r
+        assert r["at_risk"] < prev_risk
+        assert 1 <= r["n_converted"] <= r["at_risk"]
+        prev_s, prev_risk = r["survival"], r["at_risk"]
+
+
+def test_gini_and_clustering_bounds(spark, sf_dir):
+    """Gini lies in [0, 1); every local clustering coefficient lies in
+    [0, 1] and equals 1 exactly when the neighborhood is a clique
+    (triangles == deg-choose-2)."""
+    from sol_spark.operators.dedup import graph_clustering_coef, release_result
+    from sol_spark.queries.events_analytics import events_gini
+
+    g = events_gini(spark, sf_dir).collect()[0]
+    assert 0.0 <= g["gini"] < 1.0
+    cc = graph_clustering_coef(spark, sf_dir)
+    rows = cc.collect()
+    release_result(cc)
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["clustering_coef"] <= 1.0
+        full = r["degree"] * (r["degree"] - 1) // 2
+        assert r["triangles"] <= full
+        if r["triangles"] == full:
+            assert r["clustering_coef"] == 1.0
+
+
+def test_markov_stationary_is_distribution(spark, sf_dir):
+    """The stationary vector must be a probability distribution and stable
+    under one more application of P (within fp tolerance)."""
+    from sol_spark.queries.events_analytics import (
+        events_markov_stationary,
+        events_markov_transitions,
+    )
+
+    pi = {r["state"]: r["pi"] for r in events_markov_stationary(spark, sf_dir).collect()}
+    assert abs(sum(pi.values()) - 1.0) < 1e-3
+    assert all(p >= 0 for p in pi.values())
+    P = {}
+    for r in events_markov_transitions(spark, sf_dir).collect():
+        P.setdefault(r["cur"], {})[r["nxt"]] = r["p"]
+    nxt = {s: 0.0 for s in pi}
+    for cur, row in P.items():
+        for to, p in row.items():
+            nxt[to] += pi[cur] * p
+    for s in pi:
+        assert abs(nxt[s] - pi[s]) < 5e-3, (s, nxt[s], pi[s])
