@@ -352,3 +352,47 @@ def test_markov_stationary_is_distribution(spark, sf_dir):
             nxt[to] += pi[cur] * p
     for s in pi:
         assert abs(nxt[s] - pi[s]) < 5e-3, (s, nxt[s], pi[s])
+
+
+def test_geo_nearest_consistent_with_radius_join(spark, sf_dir):
+    """Cross-operator consistency: wherever the radius join finds pairs for
+    a customer, the nearest-neighbor result must pick the minimum-distance
+    one (ties to the smaller supplier key), and its distance can never
+    exceed any radius-pair distance for that customer."""
+    from sol_spark.operators.geo import geo_nearest_supplier, geo_radius_join
+
+    radius = {}
+    for r in geo_radius_join(spark, sf_dir).collect():
+        radius.setdefault(r["custkey"], []).append((r["dist_km"], r["suppkey"]))
+    nearest = {
+        r["custkey"]: (r["dist_km"], r["nearest_suppkey"])
+        for r in geo_nearest_supplier(spark, sf_dir).collect()
+    }
+    assert radius and nearest
+    for ck, pairs in radius.items():
+        assert ck in nearest, f"customer {ck} has radius pairs but no nearest"
+        nd, ns = nearest[ck]
+        best = min(pairs)
+        assert (nd, ns) == best, (ck, nearest[ck], best)
+
+
+def test_snapshot_diff_matches_direct_derivation(spark, sf_dir):
+    """The diff's change classes must match the snapshot construction:
+    'added' keys are exactly those dropped from A (key % 11 == 0) but kept
+    in B; 'removed' the reverse; 'changed' only keys with the % 7 price
+    uplift present in both."""
+    from sol_spark.operators.governance import snapshot_diff
+    from sol_spark.tables import load_tables
+
+    keys = [r["o_orderkey"] for r in load_tables(spark, sf_dir)["orders"].select("o_orderkey").collect()]
+    expect = {}
+    for k in keys:
+        in_a, in_b = k % 11 != 0, k % 13 != 0
+        if in_a and not in_b:
+            expect[k] = "removed"
+        elif in_b and not in_a:
+            expect[k] = "added"
+        elif in_a and in_b and k % 7 == 0:
+            expect[k] = "changed"
+    got = {r["o_orderkey"]: r["change_type"] for r in snapshot_diff(spark, sf_dir).collect()}
+    assert got == expect
