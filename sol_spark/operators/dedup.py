@@ -843,8 +843,12 @@ SELECT doc, round(r, 6) AS rank FROM {final} ORDER BY doc
 """
 
 
+# The oracle and the registered query below pass the SAME explicit
+# iteration count, so the tunable can never silently diverge from its
+# oracle (a different `iters` requires regenerating the oracle here).
 DEDUP_PAGERANK_ORACLE = _pagerank_oracle_sql(
-    DEDUP_MINHASH_ORACLE.replace("ORDER BY doc_a, doc_b", "")
+    DEDUP_MINHASH_ORACLE.replace("ORDER BY doc_a, doc_b", ""),
+    iters=PAGERANK_ITERS,
 )
 
 
@@ -896,7 +900,7 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative of the dup neighborhood) — this operator supplies that
     score; joining it against dedup_clusters picks argmax(rank) per cluster."""
     mh = dedup_minhash_lsh(spark, sf_dir)
-    out = pagerank(mh.select("doc_a", "doc_b"))
+    out = pagerank(mh.select("doc_a", "doc_b"), iters=PAGERANK_ITERS)
     release_result(mh)
     return out
 
@@ -1106,12 +1110,17 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     similar than the threshold, keeping one representative per semantic
     duplicate group.
 
-    Scale shape: centroid assignment is a broadcast join (K rows); the
-    pairwise prune is an equi-join ON THE CELL KEY, so work is
-    sum-of-cells O(|cell|^2), never corpus-wide all-pairs — the cell
-    count scales with corpus size when centroids come from k-means, which
-    bounds cell width. Output is one row per vector (linear)."""
-    from sol_spark.operators.similarity import _DOT, _with_norm
+    Scale shape: centroid assignment is the SHUFFLE-FREE projected argmax
+    (similarity.assign_cells_cos — one corpus pass against the broadcast
+    centroid row, zero Exchange; the earlier row_number form shuffled
+    N x K embedding-carrying rows); the pairwise prune is an equi-join ON
+    THE CELL KEY, so work is sum-of-cells O(|cell|^2), never corpus-wide
+    all-pairs. Output is one row per vector (linear). The fixed K=8 seed
+    centroids keep this form oracle-reproducible but mean cell width grows
+    with the corpus — :func:`dedup_semdedup_kmeans` below is the
+    production composition whose cells come from trained k-means
+    centroids (K scales with N), bounding cell width by construction."""
+    from sol_spark.operators.similarity import _with_norm, assign_cells_cos
 
     t = load_tables(spark, sf_dir)
     emb = _with_norm(t["embeddings"])
@@ -1119,16 +1128,18 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter((F.col("vec_id") >= _SEM_CENT_MIN) & (F.col("vec_id") < _SEM_CENT_MAX))
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cente"), F.col("nrm").alias("centn"))
     )
-    ccos = (
-        emb.join(F.broadcast(cent))
-        .withColumn("ccos", F.round(F.expr(_DOT.format(a="embedding", b="cente")) / (F.col("nrm") * F.col("centn")), 6))
-    )
-    w = W.partitionBy("vec_id").orderBy(F.desc("ccos"), "cent_id")
-    assign = (
-        ccos.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("cell"), "embedding", "nrm")
-    )
+    assign = assign_cells_cos(emb, cent, out="cell").select("vec_id", "cell", "embedding", "nrm")
+    return _semdedup_prune(assign)
+
+
+def _semdedup_prune(assign: DataFrame) -> DataFrame:
+    """Cell-confined SemDeDup prune: drop any vector with a
+    higher-similarity (>= SEMDEDUP_T) lower-id cluster-mate. ``assign``
+    carries (vec_id, cell, embedding, nrm); pairwise work is an equi-join
+    on the cell key only. Returns (vec_id, cell, kept) — one row per
+    vector."""
+    from sol_spark.operators.similarity import _DOT
+
     a = assign.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"), "cell")
     b = assign.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"), "cell")
     pair_cos = F.round(F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")), 6)
@@ -1148,6 +1159,77 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def _semdedup_kmeans_oracle() -> str:
+    """SemDeDup over TRAINED k-means cells: the sim_kmeans_train oracle's
+    unrolled Lloyd's chain (shared verbatim via _kmeans_chain_sql, so the
+    centroid trajectory is identical) feeding the same cell-confined
+    cosine prune as SEMDEDUP_ORACLE."""
+    from sol_spark.operators.similarity import KM_ITERS, _kmeans_chain_sql
+
+    final = KM_ITERS + 1
+    return f"""{_kmeans_chain_sql()},
+vnorms AS (
+  SELECT vec_id, sqrt(sum(embedding[i.i]::DOUBLE * embedding[i.i]::DOUBLE)) AS nrm
+  FROM embeddings, dims i GROUP BY vec_id
+),
+assign AS (SELECT vec_id, cent_id::BIGINT AS cell FROM a{final}),
+pair AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         round(sum(ea.embedding[i.i]::DOUBLE * eb.embedding[i.i]::DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  JOIN vnorms na ON na.vec_id = a.vec_id
+  JOIN vnorms nb ON nb.vec_id = b.vec_id, dims i
+  GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm
+),
+dropped AS (SELECT DISTINCT vb AS vec_id FROM pair WHERE cosine >= {SEMDEDUP_T})
+SELECT a.vec_id, a.cell,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+ORDER BY a.vec_id
+"""
+
+
+@register(
+    "dedup_semdedup_kmeans",
+    _semdedup_kmeans_oracle(),
+    tags=("llm", "dedup", "similarity", "semdedup", "iterative"),
+)
+def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup composed with TRAINED k-means cells — the production form
+    the plain dedup_semdedup docstring promises: centroids come from
+    similarity.kmeans_centroids (Lloyd's, the sim_kmeans_train loop), so
+    at scale K is chosen ∝ corpus size and the average cell width — hence
+    the O(|cell|^2) prune work per cell — is bounded by construction
+    instead of growing linearly as it does under fixed seed centroids.
+
+    Plan shape: training is KM_ITERS scans with a K*D-cell agg each (only
+    the 512-double centroid model reaches the driver); assignment is the
+    shuffle-free projected argmin of rounded squared-L2 against the single
+    broadcast centroid row (kmeans-consistent, matching the trained
+    objective); the prune is the identical cell-key equi-join as
+    dedup_semdedup (_semdedup_prune). Oracle: the unrolled Lloyd's CTE
+    chain shared verbatim with sim_kmeans_train's oracle, so the cell
+    partition is bit-identical across engines."""
+    from sol_spark.operators.similarity import _SQDIST, _cent_row, _with_norm, kmeans_centroids
+
+    t = load_tables(spark, sf_dir)
+    emb = _with_norm(t["embeddings"])
+    cent = kmeans_centroids(spark, emb.select("vec_id", "embedding"))
+    arr = (
+        "transform(cents, c -> struct("
+        + _SQDIST.format(e="embedding", c="c.cente")
+        + " AS dist, c.cent_id AS cent_id))"
+    )
+    assign = (
+        emb.crossJoin(F.broadcast(_cent_row(cent, "cent_id", "cente")))
+        .withColumn("cell", F.expr(f"array_min({arr})").getField("cent_id").cast("bigint"))
+        .select("vec_id", "cell", "embedding", "nrm")
+    )
+    return _semdedup_prune(assign)
 
 
 _NORM_DUCK_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"

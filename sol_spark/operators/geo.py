@@ -16,6 +16,7 @@ from sol_spark.registry import register
 from sol_spark.tables import load_tables
 
 CELL_DEG = 10  # bucketing cell size (degrees); candidates come from 3x3 cells
+N_LON_CELLS = 360 // CELL_DEG  # lon cells wrap modulo this at the antimeridian
 
 # lat in [-60, 60), lon in [-180, 180), 5 decimal places, key-derived.
 _LAT_SPARK = "(CAST(conv(substring(md5(cast({k} as string)), 1, 8), 16, 10) AS BIGINT) % 12000000) / 100000.0 - 60.0"
@@ -23,6 +24,9 @@ _LON_SPARK = "(CAST(conv(substring(md5(cast({k} as string)), 9, 8), 16, 10) AS B
 _LAT_DUCK = "((('0x' || substr(md5(({k})::VARCHAR), 1, 8))::BIGINT % 12000000)::DOUBLE / 100000.0::DOUBLE) - 60.0"
 _LON_DUCK = "((('0x' || substr(md5(({k})::VARCHAR), 9, 8))::BIGINT % 36000000)::DOUBLE / 100000.0::DOUBLE) - 180.0"
 
+# Antimeridian-safe: sin^2((lon_b - lon_a)/2) has period 360 deg in the lon
+# difference, so a raw delta of e.g. -359 deg scores identically to +1 deg.
+# Only the CELL index needs explicit wrapping (pmod above), not the distance.
 _HAV = (
     "2 * 6371.0 * asin(sqrt(power(sin(radians(lat_b - lat_a) / 2), 2) "
     "+ cos(radians(lat_a)) * cos(radians(lat_b)) * power(sin(radians(lon_b - lon_a) / 2), 2)))"
@@ -39,14 +43,15 @@ WITH cust AS (
   FROM supplier
 ), supp_cells AS (
   SELECT s_suppkey, lat_b, lon_b,
-         (floor(lat_b / {CELL_DEG}))::BIGINT AS cy, (floor(lon_b / {CELL_DEG}))::BIGINT AS cx
+         (floor(lat_b / {CELL_DEG}))::BIGINT AS cy,
+         ((((floor(lon_b / {CELL_DEG}))::BIGINT % {N_LON_CELLS}) + {N_LON_CELLS}) % {N_LON_CELLS}) AS cx
   FROM supp
 ), cand AS (
   SELECT c.c_custkey, s.s_suppkey, c.lat_a, c.lon_a, s.lat_b, s.lon_b
   FROM cust c, (SELECT unnest(range(-1, 2)) AS dy) oy, (SELECT unnest(range(-1, 2)) AS dx) ox
   JOIN supp_cells s
     ON s.cy = (floor(c.lat_a / {CELL_DEG}))::BIGINT + oy.dy
-   AND s.cx = (floor(c.lon_a / {CELL_DEG}))::BIGINT + ox.dx
+   AND s.cx = ((((floor(c.lon_a / {CELL_DEG}))::BIGINT + ox.dx) % {N_LON_CELLS}) + {N_LON_CELLS}) % {N_LON_CELLS}
 ), scored AS (
   SELECT c_custkey, s_suppkey, {_HAV} AS dist_km,
          row_number() OVER (PARTITION BY c_custkey ORDER BY {_HAV}, s_suppkey) AS rn
@@ -63,11 +68,18 @@ def geo_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     its 3x3 grid-cell neighborhood ({CELL_DEG} deg cells), confirmed by
     haversine and ranked per customer. The cell join is the geohash/H3
     pattern: candidates come from an EQUI-join on the cell key (the
-    supplier side exploded across 9 neighbor cells via a broadcast offset
+    customer side exploded across 9 neighbor cells via a broadcast offset
     table), so exact trigonometry runs only on candidates — never the
-    customers x suppliers cross product. Customers whose neighborhood
-    holds no supplier are absent by definition (production picks the cell
-    size from point density, or re-probes with a wider ring).
+    customers x suppliers cross product. The longitude cell index wraps
+    modulo {N_LON_CELLS} (pmod in Spark, double-% in the oracle) so cells
+    straddling the lon +-180 antimeridian are neighbors; latitude does not
+    wrap (points live in [-60, 60)). Customers whose neighborhood holds no
+    supplier are absent by definition, and "nearest" is nearest-within-
+    neighborhood — at |lat| <= 60 a {CELL_DEG} deg cell spans >= 556 km of
+    longitude, so any supplier within ~556 km is guaranteed considered
+    (production picks the cell size from point density, or re-probes with
+    a wider ring). Neither join side is broadcast-pinned: the supplier
+    side grows with SF, so AQE picks broadcast vs shuffle at runtime.
 
     Determinism: coordinates are md5-derived with the identical
     construction in both engines (cross-engine drift measured <= 3e-14
@@ -89,14 +101,14 @@ def geo_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust_cells = cust.crossJoin(F.broadcast(offsets)).select(
         "c_custkey", "lat_a", "lon_a",
         (F.floor(F.col("lat_a") / CELL_DEG).cast("long") + F.col("dy")).alias("cy"),
-        (F.floor(F.col("lon_a") / CELL_DEG).cast("long") + F.col("dx")).alias("cx"),
+        F.pmod(F.floor(F.col("lon_a") / CELL_DEG).cast("long") + F.col("dx"), F.lit(N_LON_CELLS)).alias("cx"),
     )
     supp_cells = supp.select(
         "s_suppkey", "lat_b", "lon_b",
         F.floor(F.col("lat_b") / CELL_DEG).cast("long").alias("cy"),
-        F.floor(F.col("lon_b") / CELL_DEG).cast("long").alias("cx"),
+        F.pmod(F.floor(F.col("lon_b") / CELL_DEG).cast("long"), F.lit(N_LON_CELLS)).alias("cx"),
     )
-    cand = cust_cells.join(F.broadcast(supp_cells), ["cy", "cx"])
+    cand = cust_cells.join(supp_cells, ["cy", "cx"])
     w = Window.partitionBy("c_custkey").orderBy(F.expr(_HAV), "s_suppkey")
     return (
         cand.select(
@@ -127,14 +139,15 @@ WITH cust AS (
   FROM supplier
 ), supp_cells AS (
   SELECT s_suppkey, lat_b, lon_b,
-         (floor(lat_b / {CELL_DEG}))::BIGINT AS cy, (floor(lon_b / {CELL_DEG}))::BIGINT AS cx
+         (floor(lat_b / {CELL_DEG}))::BIGINT AS cy,
+         ((((floor(lon_b / {CELL_DEG}))::BIGINT % {N_LON_CELLS}) + {N_LON_CELLS}) % {N_LON_CELLS}) AS cx
   FROM supp
 ), cand AS (
   SELECT c.c_custkey, s.s_suppkey, c.lat_a, c.lon_a, s.lat_b, s.lon_b
   FROM cust c, (SELECT unnest(range(-1, 2)) AS dy) oy, (SELECT unnest(range(-1, 2)) AS dx) ox
   JOIN supp_cells s
     ON s.cy = (floor(c.lat_a / {CELL_DEG}))::BIGINT + oy.dy
-   AND s.cx = (floor(c.lon_a / {CELL_DEG}))::BIGINT + ox.dx
+   AND s.cx = ((((floor(c.lon_a / {CELL_DEG}))::BIGINT + ox.dx) % {N_LON_CELLS}) + {N_LON_CELLS}) % {N_LON_CELLS}
 )
 SELECT c_custkey AS custkey, s_suppkey AS suppkey, round({_HAV}, 1) AS dist_km
 FROM cand WHERE {_HAV} <= {RADIUS_KM}
@@ -147,12 +160,16 @@ def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius geo join: every (customer, supplier) pair within
     {RADIUS_KM} km — the spatial range-join companion to the
     nearest-neighbor query above, on the same cell-bucketed candidate
-    machinery ({CELL_DEG} deg cells comfortably cover the radius at these
-    latitudes: one cell spans >= 970 km of longitude at |lat| <= 60, so
-    the 3x3 neighborhood is a strict superset of the {RADIUS_KM} km disc).
-    Haversine evaluates only on cell-candidates; the filter threshold
-    compares the raw double in both engines, with a ~{RADIUS_KM} km
-    boundary and <= 1e-11 km cross-engine drift."""
+    machinery, with the lon cell index wrapped modulo {N_LON_CELLS} so the
+    neighborhood is correct across the +-180 antimeridian. {CELL_DEG} deg
+    cells cover the radius at these latitudes: one cell spans >= 556 km of
+    longitude at |lat| <= 60 (10 deg * 111.32 km * cos 60) and 1113 km of
+    latitude, both > {RADIUS_KM} km, so the wrapped 3x3 neighborhood is a
+    strict superset of the {RADIUS_KM} km disc. Haversine evaluates only
+    on cell-candidates; the filter threshold compares the raw double in
+    both engines, with a ~{RADIUS_KM} km boundary and <= 1e-11 km
+    cross-engine drift. No broadcast pin — AQE chooses the join strategy
+    since the supplier side grows with SF."""
     t = load_tables(spark, sf_dir)
     cust = t["customer"].select(
         "c_custkey",
@@ -170,15 +187,15 @@ def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust_cells = cust.crossJoin(F.broadcast(offsets)).select(
         "c_custkey", "lat_a", "lon_a",
         (F.floor(F.col("lat_a") / CELL_DEG).cast("long") + F.col("dy")).alias("cy"),
-        (F.floor(F.col("lon_a") / CELL_DEG).cast("long") + F.col("dx")).alias("cx"),
+        F.pmod(F.floor(F.col("lon_a") / CELL_DEG).cast("long") + F.col("dx"), F.lit(N_LON_CELLS)).alias("cx"),
     )
     supp_cells = supp.select(
         "s_suppkey", "lat_b", "lon_b",
         F.floor(F.col("lat_b") / CELL_DEG).cast("long").alias("cy"),
-        F.floor(F.col("lon_b") / CELL_DEG).cast("long").alias("cx"),
+        F.pmod(F.floor(F.col("lon_b") / CELL_DEG).cast("long"), F.lit(N_LON_CELLS)).alias("cx"),
     )
     return (
-        cust_cells.join(F.broadcast(supp_cells), ["cy", "cx"])
+        cust_cells.join(supp_cells, ["cy", "cx"])
         .where(F.expr(_HAV) <= RADIUS_KM)
         .select(
             F.col("c_custkey").alias("custkey"),

@@ -37,6 +37,62 @@ def _with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("nrm", F.expr(_NORM.format(a=vec_col)))
 
 
+def _cent_row(cent: DataFrame, *fields: str) -> DataFrame:
+    """Collapse a K-row centroid table into ONE row holding ``cents``, an
+    array<struct> of the given fields — the broadcast payload for
+    shuffle-free nearest-centroid assignment (collect_list order is
+    irrelevant: the argmin/argmax below resolves ties by value)."""
+    return cent.agg(F.collect_list(F.struct(*fields)).alias("cents"))
+
+
+def assign_cells_cos(emb: DataFrame, cent: DataFrame, out: str = "cell") -> DataFrame:
+    """Shuffle-free max-cosine centroid assignment: crossJoin the single
+    broadcast row of K centroids and compute the argmax as ONE projected
+    expression — an array of (ccos, -cent_id) structs reduced by
+    ``array_max`` (max cosine, ties to the SMALLEST cent_id via the negated
+    key). No N x K row materialization, no Exchange: the old
+    ``row_number() OVER (PARTITION BY vec_id)`` form shuffled N x K rows
+    (each dragging a 64-float embedding) just to pick one per vector, which
+    is pure waste when the centroids are broadcast anyway. Per-row compute
+    is unchanged — the dot product was already an interpreted higher-order
+    aggregate() either way.
+
+    ``emb`` must carry (vec_id, embedding, nrm); ``cent`` must carry
+    (cent_id, cente, centn). Output: emb's columns + ``out`` (the nearest
+    cent_id, bigint) — cosines rounded to 6 as everywhere else."""
+    dot = _DOT.format(a="embedding", b="c.cente")
+    arr = (
+        f"transform(cents, c -> struct("
+        f"round({dot} / (nrm * c.centn), 6) AS ccos, -c.cent_id AS neg))"
+    )
+    return (
+        emb.crossJoin(F.broadcast(_cent_row(cent, "cent_id", "cente", "centn")))
+        .withColumn(out, (-F.expr(f"array_max({arr})").getField("neg")).cast("bigint"))
+        .drop("cents")
+    )
+
+
+def probe_cells_cos(emb_q: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
+    """Top-``nprobe`` cells per query vector, shuffle-free: sort the K
+    (-ccos, cent_id) structs ascending (= cosine descending, ties to the
+    smaller cent_id) inside one projected array_sort, slice, explode.
+    Output: (qid, cent_id). Meant for the tiny query side — the corpus
+    side uses :func:`assign_cells_cos`."""
+    dot = _DOT.format(a="embedding", b="c.cente")
+    arr = (
+        f"transform(cents, c -> struct("
+        f"-round({dot} / (nrm * c.centn), 6) AS negc, c.cent_id AS cent_id))"
+    )
+    return (
+        emb_q.crossJoin(F.broadcast(_cent_row(cent, "cent_id", "cente", "centn")))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.explode(F.expr(f"slice(array_sort({arr}), 1, {int(nprobe)})")).alias("p"),
+        )
+        .select("qid", F.col("p.cent_id").alias("cent_id"))
+    )
+
+
 SIM_EXACT_ORACLE = f"""
 WITH dims AS (SELECT unnest(range(1, 65)) AS i),
 q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
@@ -273,28 +329,21 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means centroids — the search path is identical); queries probe their
     {IVF_NPROBE} nearest cells and score candidates exactly.
 
-    Scale shape: assignment is a broadcast join against K centroids (one
-    pass, no shuffle); the inverted file is the (cent_id -> vectors)
-    partitioning, so a probe touches nprobe/K of the corpus — the
-    complementary trade-off to sign-LSH's hash cells."""
+    Scale shape: assignment is a shuffle-free projected argmax against the
+    broadcast K centroids (:func:`assign_cells_cos` — one corpus pass, ZERO
+    exchange; the earlier row_number form shuffled N x K embedding-carrying
+    rows); the inverted file is the (cent_id -> vectors) partitioning, so a
+    probe touches nprobe/K of the corpus — the complementary trade-off to
+    sign-LSH's hash cells."""
     t = load_tables(spark, sf_dir)
     emb = _with_norm(t["embeddings"])
-    cent = F.broadcast(
-        emb.filter((F.col("vec_id") >= _IVF_CENT_MIN) & (F.col("vec_id") < _IVF_CENT_MAX)).select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cente"), F.col("nrm").alias("centn")
-        )
+    cent = emb.filter((F.col("vec_id") >= _IVF_CENT_MIN) & (F.col("vec_id") < _IVF_CENT_MAX)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cente"), F.col("nrm").alias("centn")
     )
-    ccos = F.round(
-        F.expr(_DOT.format(a="embedding", b="cente")) / (F.col("nrm") * F.col("centn")), 6
+    assign = assign_cells_cos(emb, cent, out="cent_id").select(
+        "vec_id", "cent_id", "embedding", "nrm"
     )
-    cellcos = emb.crossJoin(cent).withColumn("ccos", ccos)
-    w_assign = W.partitionBy("vec_id").orderBy(F.desc("ccos"), "cent_id")
-    ranked_cells = cellcos.withColumn("rn", F.row_number().over(w_assign))
-    assign = ranked_cells.filter(F.col("rn") == 1).select("vec_id", "cent_id", "embedding", "nrm")
-    probes = (
-        ranked_cells.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= IVF_NPROBE))
-        .select(F.col("vec_id").alias("qid"), "cent_id")
-    )
+    probes = probe_cells_cos(emb.filter(F.col("vec_id") < N_QUERIES), cent, IVF_NPROBE)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
     )
@@ -334,26 +383,70 @@ _SQDIST = (
 
 
 def _km_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast K centroids, argmin of the
-    rounded squared L2 distance with cent_id tie-break (deterministic).
-
-    argmin is a hash-agg over min(struct(dist, cent_id)) — map-side combine
-    reduces the K candidate rows per vector locally, no sort, unlike a
-    row_number window which would shuffle AND sort every (vector, centroid)
-    pair. ``first(embedding)`` is deterministic: all K rows of a group carry
-    the identical embedding."""
-    scored = emb.crossJoin(F.broadcast(cent)).withColumn(
-        "dist", F.expr(_SQDIST.format(e="embedding", c="cente"))
+    """Nearest-centroid assignment: argmin of the rounded squared L2
+    distance with cent_id tie-break (deterministic), computed SHUFFLE-FREE
+    as one projected expression — the K (dist, cent_id) structs reduced by
+    ``array_min`` against the single broadcast centroid row (same shape as
+    :func:`assign_cells_cos`). The earlier hash-agg form
+    (min(struct(dist, cent_id)) over a K-fanout crossJoin) still exchanged
+    one combined row per vector; this form never materializes the fanout
+    at all, so the scoring pass is a pure map over the corpus."""
+    arr = (
+        "transform(cents, c -> struct("
+        + _SQDIST.format(e="embedding", c="c.cente")
+        + " AS dist, c.cent_id AS cent_id))"
     )
-    return scored.groupBy("vec_id").agg(
-        F.min(F.struct("dist", "cent_id")).alias("m"),
-        F.first("embedding").alias("embedding"),
-    ).select("vec_id", F.col("m.cent_id").alias("cent_id"), F.col("m.dist").alias("dist"), "embedding")
+    return (
+        emb.crossJoin(F.broadcast(_cent_row(cent, "cent_id", "cente")))
+        .withColumn("m", F.expr(f"array_min({arr})"))
+        .select("vec_id", F.col("m.cent_id").alias("cent_id"), F.col("m.dist").alias("dist"), "embedding")
+    )
 
 
-def _kmeans_oracle() -> str:
-    """Unrolled Lloyd's in DuckDB: centroids kept in (cent_id, dim, val)
-    long form so each iteration is a join-and-aggregate, not list surgery."""
+def kmeans_centroids(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Lloyd's k-means training loop, shared by :func:`sim_kmeans_train`
+    and the SemDeDup k-means variant (dedup.dedup_semdedup_kmeans).
+
+    ``emb`` is (vec_id, embedding); returns the trained centroid table
+    (cent_id INT, cente ARRAY<DOUBLE>) after ``KM_ITERS`` rounds from the
+    deterministic seed init — component values rounded to ``_KM_ROUND``
+    each round so the DuckDB oracle chain (c0..c{KM_ITERS}) reproduces the
+    trajectory exactly. Per iteration: assignment is the shuffle-free
+    projected argmin (:func:`_km_assign`); the update is posexplode ->
+    (cent_id, dim) avg — K*D cells shuffled regardless of corpus size; only
+    the K*D centroid table (512 doubles) reaches the driver, the classic
+    k-means model sync point."""
+    cent = (
+        emb.filter((F.col("vec_id") >= _IVF_CENT_MIN) & (F.col("vec_id") < _IVF_CENT_MIN + KM_K))
+        .select(
+            (F.col("vec_id") - _IVF_CENT_MIN).alias("cent_id"),
+            F.expr(f"transform(embedding, x -> round(cast(x AS double), {_KM_ROUND}))").alias("cente"),
+        )
+    )
+    for _ in range(KM_ITERS):
+        assigned = _km_assign(emb, cent).select("vec_id", "cent_id", "embedding")
+        cells = (
+            assigned.select("cent_id", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("cent_id", "dim")
+            .agg(F.round(F.avg(F.col("x").cast("double")), _KM_ROUND).alias("val"))
+            .collect()  # K*D cells — the only data that ever reaches the driver
+        )
+        by_cent: dict[int, list[tuple[int, float]]] = {}
+        for r in cells:
+            by_cent.setdefault(r["cent_id"], []).append((r["dim"], float(r["val"])))
+        cent = spark.createDataFrame(
+            [(cid, [v for _, v in sorted(pairs)]) for cid, pairs in sorted(by_cent.items())],
+            "cent_id INT, cente ARRAY<DOUBLE>",
+        )
+    return cent
+
+
+def _kmeans_chain_sql() -> str:
+    """The shared unrolled-Lloyd's CTE chain (dims .. a{final}: trained
+    centroids in long form + final assignment), reused by the
+    sim_kmeans_train oracle below and the dedup_semdedup_kmeans oracle.
+    Centroids kept in (cent_id, dim, val) long form so each iteration is a
+    join-and-aggregate, not list surgery."""
     iters = [
         f"""
 d{r} AS (
@@ -394,7 +487,12 @@ a{final} AS (
     SELECT vec_id, cent_id, dist,
            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
     FROM d{final}) t WHERE rn = 1
-),
+)"""
+
+
+def _kmeans_oracle() -> str:
+    final = KM_ITERS + 1
+    return f"""{_kmeans_chain_sql()},
 norms AS (
   SELECT cent_id, round(sqrt(sum(val * val)), 4) AS centroid_norm
   FROM c{KM_ITERS} GROUP BY cent_id
@@ -433,36 +531,7 @@ def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"].select("vec_id", "embedding")
-
-    # Deterministic init: the same seed vectors the IVF query uses, cast to
-    # double and rounded once (matching c0 in the oracle).
-    cent = (
-        emb.filter((F.col("vec_id") >= _IVF_CENT_MIN) & (F.col("vec_id") < _IVF_CENT_MIN + KM_K))
-        .select(
-            (F.col("vec_id") - _IVF_CENT_MIN).alias("cent_id"),
-            F.expr(f"transform(embedding, x -> round(cast(x AS double), {_KM_ROUND}))").alias("cente"),
-        )
-    )
-
-    for _ in range(KM_ITERS):
-        assigned = _km_assign(emb, cent).select("vec_id", "cent_id", "embedding")
-        # Update: per-dimension mean in long form — K*D result cells, so the
-        # shuffle volume is constant in corpus size (map-side combine does
-        # the heavy lifting). Collect only the K*D centroid table.
-        cells = (
-            assigned.select("cent_id", F.posexplode("embedding").alias("dim", "x"))
-            .groupBy("cent_id", "dim")
-            .agg(F.round(F.avg(F.col("x").cast("double")), _KM_ROUND).alias("val"))
-            .collect()  # K*D cells — the only data that ever reaches the driver
-        )
-        by_cent: dict[int, list[tuple[int, float]]] = {}
-        for r in cells:
-            by_cent.setdefault(r["cent_id"], []).append((r["dim"], float(r["val"])))
-        cent = spark.createDataFrame(
-            [(cid, [v for _, v in sorted(pairs)]) for cid, pairs in sorted(by_cent.items())],
-            "cent_id INT, cente ARRAY<DOUBLE>",
-        )
-
+    cent = kmeans_centroids(spark, emb)
     final = _km_assign(emb, cent).select("vec_id", "cent_id", "dist")
     norms = cent.select(
         "cent_id",

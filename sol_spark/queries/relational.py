@@ -1385,11 +1385,16 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("back_ts", F.last("click_ts", ignorenulls=True).over(w_back))
         .withColumn("fwd_ts", F.first("click_ts", ignorenulls=True).over(w_fwd))
     )
-    # Exact microsecond arithmetic: second-floored unix_timestamp deltas
-    # disagree with the oracle's epoch differences on sub-second data.
-    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
-    back_d = us(F.col("ts")) - us(F.col("back_ts"))
-    fwd_d = us(F.col("fwd_ts")) - us(F.col("ts"))
+    # Exact microsecond arithmetic, computed timezone-free DIRECTLY on the
+    # timestamp_ntz columns: unix_micros(ntz.cast('timestamp')) would
+    # round-trip through the session timezone and shift by 3600 s across a
+    # DST transition under a non-UTC session — the exact session-zone
+    # fragility events_xcorr pinned against. (Second-floored unix_timestamp
+    # deltas are also out: they disagree with the oracle's epoch
+    # differences on sub-second data.)
+    us_diff = lambda end, start: F.timestamp_diff("MICROSECOND", start, end)  # noqa: E731
+    back_d = us_diff(F.col("ts"), F.col("back_ts"))
+    fwd_d = us_diff(F.col("fwd_ts"), F.col("ts"))
     hour_us = 3_600_000_000
     in_back = F.col("back_ts").isNotNull() & (back_d <= hour_us)
     in_fwd = F.col("fwd_ts").isNotNull() & (fwd_d <= hour_us)
@@ -1403,7 +1408,7 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id", "user_id", "ts",
             nearest.alias("nearest_click_ts"),
-            (us(nearest) - us(F.col("ts"))).cast("bigint").alias("delta_us"),
+            us_diff(nearest, F.col("ts")).cast("bigint").alias("delta_us"),
         )
         .orderBy("event_id")
     )

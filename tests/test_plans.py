@@ -446,3 +446,37 @@ def test_runtime_bloom_filter_semi_join_pushdown(spark, sf_dir):
     # and the filter applies on the FACT side, below the join
     assert plan.index("might_contain") > plan.index("hashaggregate")
     assert j.count() > 0
+
+
+def test_centroid_assignment_shuffle_free(spark, sf_dir):
+    """Nearest-centroid assignment (SemDeDup / IVF / k-means scoring) must
+    be a pure projected argmax against the single broadcast centroid row —
+    NO hash/range exchange anywhere in the assignment plan. The earlier
+    row_number-over-vec_id form shuffled N x K embedding-carrying rows; at
+    100 TB that exchange dominates the whole operator, while this form is
+    one map-side pass (the only exchange allowed is the SinglePartition
+    collect_list building the K-row broadcast payload)."""
+    import re
+
+    from sol_spark.operators.similarity import (
+        _km_assign,
+        _with_norm,
+        assign_cells_cos,
+    )
+
+    emb = _with_norm(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    cent_cos = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 208)).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cente"),
+        F.col("nrm").alias("centn"),
+    )
+    cent_l2 = cent_cos.select("cent_id", "cente")
+    for df in (
+        assign_cells_cos(emb, cent_cos),
+        _km_assign(emb.select("vec_id", "embedding"), cent_l2),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        shuffles = re.findall(r"Exchange (?:hash|range)partitioning", plan)
+        assert not shuffles, f"assignment plan shuffles: {plan[:2000]}"
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert df.count() == emb.count()  # one assignment per vector

@@ -587,21 +587,6 @@ def test_xml_roundtrip_and_expressions(spark, tmp_path):
     assert "<a>7</a>" in row["x"]
 
 
-def test_avro_contract_missing_package(spark):
-    """Avro format contract: like Kafka, avro is a built-in-but-external
-    module (spark-avro). No package in this environment; assert the failure
-    is Spark's own missing-data-source error naming the artifact — the
-    option plumbing reaches the resolver and the gap is deployment, not
-    code. On a real cluster `--packages org.apache.spark:spark-avro_2.13:<ver>`
-    enables the identical call."""
-    from pyspark.errors import AnalysisException
-
-    with pytest.raises(AnalysisException) as exc:
-        spark.range(1).write.format("avro").save("/tmp/_avro_probe")
-    msg = str(exc.value).lower()
-    assert "avro" in msg
-
-
 def test_small_file_compaction_bin_packing(spark, sf_dir, tmp_path):
     """Lakehouse small-file maintenance: a fragmented write (many tiny
     files) is compacted by a repartitionByRange rewrite with
