@@ -106,6 +106,69 @@ def release_result(df: DataFrame) -> None:
     except Exception:  # noqa: BLE001 — storage cleanup must never fail a query
         pass
 
+def iterate(
+    state: DataFrame,
+    step,
+    finalize,
+    *,
+    max_rounds: int,
+    checkpoint_rounds: bool = True,
+    converged=None,
+    no_convergence_error: str | None = None,
+    release: tuple[DataFrame, ...] = (),
+) -> DataFrame:
+    """The shared iterate-until-done loop for every DataFrame-expressed
+    graph/ML algorithm (connected components, PageRank, label propagation,
+    k-core, and anything the ER pipeline composes) — the Pregel analog
+    (reference graphx/src/main/scala/org/apache/spark/graphx/Pregel.scala:122),
+    owning the storage discipline ONCE instead of each operator re-rolling
+    it:
+
+      * ``step(state, i) -> state'`` is the superstep;
+      * with ``checkpoint_rounds`` each round's state is eagerly
+        localCheckpoint'd (lineage stays linear in rounds, never
+        exponential) and the SUPERSEDED round's blocks are released
+        immediately — at most two round states are ever live;
+      * ``converged(prev, cur) -> bool`` (optional) is probed on the
+        checkpointed frames; when provided, exhausting ``max_rounds``
+        without convergence raises (``no_convergence_error``) — fixed
+        budget loops simply omit it;
+      * ``finalize(state) -> result`` builds the output, which is
+        checkpointed so the caller's plan never reaches back through
+        released round frames; then the last round state and every frame
+        in ``release`` (static inputs the caller checkpointed, e.g. the
+        edge set) are dropped — on success AND on failure.
+
+    Post-condition (the storage contract tests/test_llm_hygiene.py pins):
+    the ONLY persisted blocks surviving the call belong to the returned
+    result; ``release_result(result)`` returns storage to baseline."""
+    initial = state
+    try:
+        done = False
+        for i in range(max_rounds):
+            new = step(state, i)
+            if checkpoint_rounds:
+                new = local_checkpoint(new)
+            done = converged is not None and converged(state, new)
+            if checkpoint_rounds and state is not initial:
+                release_result(state)  # superseded round — drop its blocks NOW
+            state = new
+            if done:
+                break
+        if converged is not None and not done:
+            raise RuntimeError(
+                no_convergence_error or f"iterate: no convergence in {max_rounds} rounds"
+            )
+        return local_checkpoint(finalize(state))
+    finally:
+        # Runs after the result checkpoint above: the final round state and
+        # the caller's static checkpoints are no longer read by any live plan.
+        if checkpoint_rounds and state is not initial:
+            release_result(state)
+        for df in release:
+            release_result(df)
+
+
 # MinHash parameters: 12 permutations, 4 bands x 3 rows => LSH similarity
 # threshold ~ (1/b)^(1/r) = 0.63; verification threshold below it.
 # Permutation family: h_i = (A_i * h + B_i) mod MINHASH_P over ONE md5-derived
@@ -654,71 +717,69 @@ def connected_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
         .union(edges0.select(F.col("v").alias("doc")))
         .distinct()
     )
-    edges = edges0
     spark = pairs.sparkSession
-    try:
-        n_edges = edges.count()
-        # Adaptive round parallelism: the loop runs ~5 shuffles per round,
-        # and AQE cannot coalesce ACROSS the checkpoint boundaries, so size
-        # the round width from the measured edge count (~500k edges per
-        # partition). Tiny graphs run single-partition rounds (fixed
-        # overhead, not data, dominates them); at 100 TB the count keeps
-        # the session-default width. The width is applied with EXPLICIT
-        # ``repartition(width, key)`` calls at each shuffle point — never by
-        # mutating ``spark.sql.shuffle.partitions``, which in a shared
-        # session would narrow every concurrently planned query (r3 verdict
-        # defect #1). A hash-repartition on the grouping/join key satisfies
-        # the downstream distribution requirement, so each groupBy/join
-        # below still runs exactly one shuffle, just at the chosen width.
-        default_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        width = max(1, min(default_width, n_edges // 500_000 + 1))
-        for _ in range(max_rounds):
-            # Large-star: for each node u, m = min(neighbors(u) + {u});
-            # every neighbor v > u re-points to m.
-            sym = edges.union(
-                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-            ).repartition(width, "u")
-            mins = (
-                sym.groupBy("u")
-                .agg(F.min("v").alias("mn"))
-                .select("u", F.least("mn", F.col("u")).alias("m"))
-            )
-            # No distinct here: min() below is duplicate-insensitive and the
-            # small-star output ends in a distinct — one less shuffle/round.
-            # sym and mins are co-partitioned on u (mins derives from sym's
-            # clustering), so this join adds no shuffle.
-            large = (
-                sym.filter(F.col("v") > F.col("u"))
-                .join(mins, "u")
-                .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                .filter(F.col("u") != F.col("v"))
-                .repartition(width, "u")
-            )
-            # Small-star: edges already satisfy u > v; m = min(smaller
-            # neighbors + {u}); u and all its smaller neighbors point to m.
-            mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
-            small = (
-                large.join(mins2, "u")
-                .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                .union(mins2.select("u", F.col("m").alias("v")))
-                .filter(F.col("u") != F.col("v"))
-                .repartition(width, "u", "v")
-                .distinct()
-            )
-            small = local_checkpoint(small)
-            n_new = small.count()
-            converged = (
-                n_new == n_edges and small.join(edges, ["u", "v"], "left_anti").isEmpty()
-            )
-            if edges is not edges0:
-                release_result(edges)  # superseded round — drop its blocks NOW
-            edges, n_edges = small, n_new
-            if converged:
-                break
-        else:
-            raise RuntimeError(f"connected_components: no convergence in {max_rounds} rounds")
+    n_edges = edges0.count()
+    # Adaptive round parallelism: the loop runs ~5 shuffles per round,
+    # and AQE cannot coalesce ACROSS the checkpoint boundaries, so size
+    # the round width from the measured edge count (~500k edges per
+    # partition). Tiny graphs run single-partition rounds (fixed
+    # overhead, not data, dominates them); at 100 TB the count keeps
+    # the session-default width. The width is applied with EXPLICIT
+    # ``repartition(width, key)`` calls at each shuffle point — never by
+    # mutating ``spark.sql.shuffle.partitions``, which in a shared
+    # session would narrow every concurrently planned query (r3 verdict
+    # defect #1). A hash-repartition on the grouping/join key satisfies
+    # the downstream distribution requirement, so each groupBy/join
+    # below still runs exactly one shuffle, just at the chosen width.
+    default_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    width = max(1, min(default_width, n_edges // 500_000 + 1))
+
+    def star_round(edges: DataFrame, _i: int) -> DataFrame:
+        # Large-star: for each node u, m = min(neighbors(u) + {u});
+        # every neighbor v > u re-points to m.
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).repartition(width, "u")
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        # No distinct here: min() below is duplicate-insensitive and the
+        # small-star output ends in a distinct — one less shuffle/round.
+        # sym and mins are co-partitioned on u (mins derives from sym's
+        # clustering), so this join adds no shuffle.
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .repartition(width, "u")
+        )
+        # Small-star: edges already satisfy u > v; m = min(smaller
+        # neighbors + {u}); u and all its smaller neighbors point to m.
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .repartition(width, "u", "v")
+            .distinct()
+        )
+
+    def star_converged(prev: DataFrame, cur: DataFrame) -> bool:
+        # Edge set unchanged: count match + anti-join isEmpty early-exit
+        # probe instead of a full diff re-count.
+        nonlocal n_edges
+        n_new = cur.count()
+        done = n_new == n_edges and cur.join(prev, ["u", "v"], "left_anti").isEmpty()
+        n_edges = n_new
+        return done
+
+    def star_result(edges: DataFrame) -> DataFrame:
         # At convergence edges form stars centered at each component's min.
-        result = (
+        return (
             nodes.join(
                 edges.select(F.col("u").alias("doc"), F.col("v").alias("cluster")),
                 "doc",
@@ -726,13 +787,16 @@ def connected_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
             )
             .select("doc", F.coalesce("cluster", F.col("doc")).alias("cluster"))
         )
-        return local_checkpoint(result)
-    finally:
-        # Runs after the result checkpoint above: the final round's edges and
-        # the initial edge set are no longer referenced by any live plan.
-        if edges is not edges0:
-            release_result(edges)
-        release_result(edges0)
+
+    return iterate(
+        edges0,
+        star_round,
+        star_result,
+        max_rounds=max_rounds,
+        converged=star_converged,
+        no_convergence_error=f"connected_components: no convergence in {max_rounds} rounds",
+        release=(edges0,),
+    )
 
 
 @register("dedup_clusters", DEDUP_CLUSTERS_ORACLE, tags=("llm", "dedup", "iterative"))
@@ -878,18 +942,27 @@ def pagerank(pairs: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
     # Init from the CHECKPOINTED edges, not from deg: deg's lineage reaches
     # back through the whole pair pipeline, and re-evaluating it here would
     # run that pipeline a second time (measured 13s -> 4s at sf0.01).
-    rank = edges.select("a").distinct().select(F.col("a").alias("doc"), F.lit(1.0 / n).alias("r"))
-    for _ in range(iters):
-        rank = (
+    rank0 = edges.select("a").distinct().select(F.col("a").alias("doc"), F.lit(1.0 / n).alias("r"))
+
+    def power_step(rank: DataFrame, _i: int) -> DataFrame:
+        return (
             edges.join(rank, edges["a"] == rank["doc"])
             .groupBy(F.col("b").alias("doc2"))
             .agg((F.lit(0.15 / n) + F.lit(PAGERANK_DAMPING) * F.sum(F.col("r") / F.col("deg"))).alias("r"))
             .withColumnRenamed("doc2", "doc")
         )
-    out = rank.select("doc", F.round("r", 6).alias("rank")).orderBy("doc")
-    out = local_checkpoint(out)
-    release_result(edges)
-    return out
+
+    return iterate(
+        rank0,
+        power_step,
+        lambda rank: rank.select("doc", F.round("r", 6).alias("rank")).orderBy("doc"),
+        max_rounds=iters,
+        # Fixed small iteration count: plan depth stays bounded without
+        # per-round checkpoints (the CC loop checkpoints because its round
+        # count is data-dependent).
+        checkpoint_rounds=False,
+        release=(edges,),
+    )
 
 
 @register("dedup_pagerank", DEDUP_PAGERANK_ORACLE, tags=("llm", "dedup", "graph", "iterative"))
@@ -1351,23 +1424,34 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted working frames (same truncation discipline as
     # connected_components — the returned plan must not reach back through
     # the released pair pipeline).
-    edges = edges.localCheckpoint(eager=True)
-    labels = edges.select(F.col("u").alias("node")).distinct().select(
+    edges = local_checkpoint(edges)
+    labels0 = edges.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
     w = W.partitionBy("node").orderBy(F.desc("c"), "label")
-    for _ in range(LPA_ITERS):
+
+    def lpa_round(labels: DataFrame, _i: int) -> DataFrame:
         counts = (
             edges.join(labels.withColumnsRenamed({"node": "vn"}), F.col("v") == F.col("vn"))
             .groupBy(F.col("u").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        labels = (
+        return (
             counts.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("node", "label")
         )
-    out = labels.select(F.col("node").alias("doc"), F.col("label").alias("community")).orderBy("doc")
+
+    out = iterate(
+        labels0,
+        lpa_round,
+        lambda labels: labels.select(
+            F.col("node").alias("doc"), F.col("label").alias("community")
+        ).orderBy("doc"),
+        max_rounds=LPA_ITERS,
+        checkpoint_rounds=False,  # fixed unroll, bounded plan depth
+        release=(edges,),
+    )
     release_result(mh)
     return out
 
@@ -1699,13 +1783,13 @@ def kcore(pairs: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> Dat
     Scale shape: each peel round is one map-side-combined degree aggregate
     over the surviving edges plus two BROADCAST left-semi joins (the keep
     set is one row per surviving node, strictly shrinking every round, and
-    ~always a small fraction of |E|). The keep set is localCheckpoint'd
-    each round — it is referenced twice in the next round's plan, and
-    checkpointing keeps the plan linear in rounds instead of 3^rounds —
-    and each round's checkpoint is released as soon as the next round
-    supersedes it. A fixed unroll budget keeps the operator oracle-
-    verifiable; production peels to convergence with the same per-round
-    storage discipline as connected_components above.
+    ~always a small fraction of |E|). Rounds run through the shared
+    :func:`iterate` loop: the surviving edge set is checkpointed per round
+    (plan depth linear in rounds instead of 3^rounds) and each superseded
+    round's blocks are released immediately — at most two edge sets live.
+    A fixed unroll budget keeps the operator oracle-verifiable; production
+    peels to convergence with the same per-round storage discipline as
+    connected_components above.
 
     Reference analog: the iterative Pregel pattern of GraphX
     (/root/reference/graphx/src/main/scala/org/apache/spark/graphx/Pregel.scala:122)
@@ -1713,32 +1797,35 @@ def kcore(pairs: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> Dat
     sym = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).union(
         pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
     )
-    edges0 = edges = local_checkpoint(sym)
-    # The final edges plan references every round's keep set (the keeps are
-    # checkpointed, keeping the plan linear in rounds instead of 3^rounds),
-    # so none of them may be released until the RESULT is materialized.
-    keeps: list[DataFrame] = []
-    for _ in range(rounds):
-        keep = local_checkpoint(
+    edges0 = local_checkpoint(sym)
+
+    def peel_round(edges: DataFrame, _i: int) -> DataFrame:
+        # keep appears twice in this round's plan; with the round state
+        # checkpointed by iterate() the duplicated agg subtree reads the
+        # checkpoint blocks (ReusedExchange collapses the copies), so plan
+        # depth stays linear in rounds instead of 3^rounds.
+        keep = (
             edges.groupBy("a")
             .agg(F.count(F.lit(1)).alias("deg"))
             .where(F.col("deg") >= k)
             .select(F.col("a").alias("doc"))
         )
-        keeps.append(keep)
-        edges = edges.join(
+        return edges.join(
             F.broadcast(keep), edges["a"] == keep["doc"], "left_semi"
         ).join(F.broadcast(keep), edges["b"] == keep["doc"], "left_semi")
-    out = local_checkpoint(
-        edges.groupBy("a")
-        .agg(F.count(F.lit(1)).alias("core_deg"))
-        .select(F.col("a").alias("doc"), "core_deg")
-        .orderBy("doc")
+
+    return iterate(
+        edges0,
+        peel_round,
+        lambda edges: (
+            edges.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("core_deg"))
+            .select(F.col("a").alias("doc"), "core_deg")
+            .orderBy("doc")
+        ),
+        max_rounds=rounds,
+        release=(edges0,),
     )
-    for keep in keeps:
-        release_result(keep)
-    release_result(edges0)
-    return out
 
 
 @register("graph_kcore", GRAPH_KCORE_ORACLE, tags=("llm", "dedup", "graph", "iterative"))

@@ -277,3 +277,44 @@ def test_kcore_bounded_storage(spark, sf_dir):
     assert _n_persistent(spark) <= baseline + 1
     release_result(df)
     assert _n_persistent(spark) <= baseline
+
+
+def test_iterate_storage_contract(spark):
+    """The shared iterate() loop (the Pregel analog every iterative
+    operator now runs through) owns the storage discipline: per-round
+    checkpoints are released as superseded, the finalize result is the
+    only surviving block, and cleanup runs even when the loop raises on
+    non-convergence."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sol_spark.operators.dedup import iterate, local_checkpoint
+
+    baseline = _n_persistent(spark)
+    src = local_checkpoint(spark.range(100).toDF("v"))
+
+    out = iterate(
+        src,
+        lambda df, i: df.where(F.col("v") % 2 == 0) if i == 0 else df,
+        lambda df: df,
+        max_rounds=3,
+        release=(src,),
+    )
+    assert out.count() == 50
+    # only the result's own checkpoint may outlive the call
+    assert _n_persistent(spark) <= baseline + 1
+    release_result(out)
+    assert _n_persistent(spark) <= baseline
+
+    # a no-convergence raise must still release every round + held frame
+    src2 = local_checkpoint(spark.range(10).toDF("v"))
+    with pytest.raises(RuntimeError, match="no convergence"):
+        iterate(
+            src2,
+            lambda df, i: df.limit(5),
+            lambda df: df,
+            max_rounds=2,
+            converged=lambda prev, cur: False,
+            release=(src2,),
+        )
+    assert _n_persistent(spark) <= baseline

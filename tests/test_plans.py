@@ -480,3 +480,27 @@ def test_centroid_assignment_shuffle_free(spark, sf_dir):
         assert not shuffles, f"assignment plan shuffles: {plan[:2000]}"
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
         assert df.count() == emb.count()  # one assignment per vector
+
+
+def test_geo_cell_join_is_equi_join_unpinned(spark, sf_dir):
+    """The geo proximity joins must get their candidates from an EQUI-join
+    on the wrapped (cy, cx) cell key — never a nested-loop/cartesian theta
+    join — and must NOT pin a broadcast on the supplier side (it grows
+    with SF; at 100x a forced broadcast exceeds what Spark would choose,
+    so AQE picks broadcast-vs-shuffle at runtime). Accept either equi
+    strategy; reject the join shapes that would scan all pairs."""
+    from sol_spark.operators.geo import geo_nearest_supplier, geo_radius_join
+
+    for fn in (geo_nearest_supplier, geo_radius_join):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        # the supplier-side cell join must be hash/merge equi (any of these)
+        assert any(
+            op in plan
+            for op in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        ), f"{fn.__name__}: no equi-join operator in plan"
+        # the only nested-loop joins allowed are the constant-size offset
+        # table: 3-row x 3-row range cross building it, then 9-row offsets
+        # x customers exploding the neighborhood
+        assert "CartesianProduct" not in plan, f"{fn.__name__}: cartesian product"
+        nlj = plan.count("BroadcastNestedLoopJoin")
+        assert nlj <= 2, f"{fn.__name__}: unexpected non-equi join fan-out"

@@ -671,3 +671,67 @@ def test_ewma_state_stream_equals_batch(spark, sf_dir):
     for k, (avg_b, ewma_b) in want.items():
         avg_s, ewma_s = stream[k]
         assert abs(avg_s - avg_b) < 1e-4 and abs(ewma_s - ewma_b) < 1e-4, k
+
+
+def test_foreach_writer_per_row_sink(spark, sf_dir):
+    """Per-row ForeachWriter sink (reference
+    sql/core/.../streaming/sources/ForeachWriterProvider.scala:34), the
+    companion to foreachBatch above: an open/process/close object is
+    pickled to each executor task, open(partition_id, epoch_id) gates the
+    partition, process(row) sees every row exactly once, close(error) runs
+    with error=None on success. The writer persists its rows from close()
+    into one file per (epoch, partition), so file existence proves the
+    full lifecycle ran; the union of files must equal the source rows."""
+    import json
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sol_spark.tables import load_tables
+
+    out = tempfile.mkdtemp(prefix="solspark_few_")
+    stream, src_tmp = P.events_stream(spark, sf_dir, n_files=2)
+
+    class RowWriter:
+        def open(self, partition_id, epoch_id):
+            self.rows = []
+            self.pid, self.eid = partition_id, epoch_id
+            self.opened = True
+            return True  # accept the partition
+
+        def process(self, row):
+            assert self.opened  # open() must precede every process()
+            self.rows.append([row["event_id"], row["value"]])
+
+        def close(self, error):
+            payload = {"rows": self.rows, "error": repr(error) if error else None}
+            path = os.path.join(out, f"e{self.eid}_p{self.pid}.json")
+            with open(path, "w") as f:
+                json.dump(payload, f)
+
+    try:
+        q = (
+            stream.select("event_id", "value")
+            .writeStream.foreach(RowWriter())
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        files = sorted(os.listdir(out))
+        assert files, "close() never persisted anything"
+        seen, errors = [], []
+        for fn in files:
+            with open(os.path.join(out, fn)) as f:
+                payload = json.load(f)
+            seen.extend(payload["rows"])
+            if payload["error"]:
+                errors.append((fn, payload["error"]))
+        assert not errors  # close(error=None) on the success path
+        src = load_tables(spark, sf_dir)["events"]
+        assert len(seen) == src.count()  # every row exactly once
+        assert sum(r[0] for r in seen) == src.agg(F.sum("event_id")).first()[0]
+    finally:
+        shutil.rmtree(src_tmp, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
