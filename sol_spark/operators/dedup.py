@@ -372,10 +372,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # Intersection size by co-occurrence: candidate pairs broadcast into the
-    # row stream (cand is tiny relative to the corpus), counted per pair.
+    # Intersection size by co-occurrence: candidate pairs joined into the
+    # row stream and counted per pair. No broadcast pin — cand scales with
+    # the corpus dup rate, so AQE picks broadcast vs shuffle at runtime
+    # (at fixture scale it broadcasts; at 100 TB it may not fit).
     inter = (
-        F.broadcast(cand)
+        cand
         .join(rows.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
         .join(rows.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")

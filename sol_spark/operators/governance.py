@@ -114,7 +114,9 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ri = (
         t["orders"]
         .join(
-            F.broadcast(t["customer"].select("c_custkey")),
+            # no broadcast pin: the customer key set grows with SF, so AQE
+            # chooses broadcast vs shuffle for this referential-integrity probe
+            t["customer"].select("c_custkey"),
             t["orders"]["o_custkey"] == F.col("c_custkey"),
             "left",
         )
