@@ -394,6 +394,93 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _eager_release(result, rows)
 
 
+# ---------------------------------------------------------------------------
+# MinHash calibration audit: estimated Jaccard (signature agreement) vs the
+# exact value, per LSH candidate pair — the honesty gate for the sketch
+# itself, companion to sim_recall_eval's ANN recall audit.
+# ---------------------------------------------------------------------------
+
+_MINHASH_CHAIN = DEDUP_MINHASH_ORACLE.split("\nSELECT i.doc_a")[0]
+
+MINHASH_CALIBRATION_ORACLE = f"""{_MINHASH_CHAIN},
+agree AS (
+  SELECT c.doc_a, c.doc_b, count(*) FILTER (ma.h = mb.h) AS n_agree
+  FROM cand c
+  JOIN mh ma ON ma.doc_id = c.doc_a
+  JOIN mh mb ON mb.doc_id = c.doc_b AND mb.i = ma.i
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       (10000 * g.n_agree) // {N_HASHES} AS est_bp,
+       (10000 * ni) // (za.n + zb.n - ni) AS true_bp,
+       abs((10000 * g.n_agree) // {N_HASHES}
+           - (10000 * ni) // (za.n + zb.n - ni)) AS err_bp
+FROM inter i
+JOIN agree g ON g.doc_a = i.doc_a AND g.doc_b = i.doc_b
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+ORDER BY i.doc_a, i.doc_b
+"""
+
+
+@register("dedup_minhash_calibration", MINHASH_CALIBRATION_ORACLE, tags=("llm", "dedup", "lsh", "audit"))
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for the MinHash index: for every LSH candidate
+    pair (NO similarity threshold — the full band-join output), the
+    Jaccard ESTIMATE implied by the signature (fraction of the {N_HASHES}
+    minhashes agreeing) next to the EXACT Jaccard over hashed shingles,
+    with the absolute error. This is the number a pipeline owner reads
+    before trusting minhash-only dedup at scale (skipping the exact
+    verification join prices as est-vs-true error), mirroring how
+    sim_recall_eval gates the ANN indexes.
+
+    Scale shape: identical pipeline skeleton to dedup_minhash_lsh (ONE
+    persisted 16-byte/row hashed-shingle frame feeds signatures, sizes and
+    the intersection counts; band-bucket equi-join candidates, never
+    all-pairs). The agreement count is a single codegen'd projection over
+    the two joined WIDE signature rows (h0..h{N_HASHES - 1} columns) — no
+    explode, no per-hash shuffle."""
+    rows = hashed_shingle_rows_df(spark, sf_dir).persist()
+    rows.count()
+    sig = minhash_signature_df(rows)
+    bands = _band_df(sig)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand
+        .join(rows.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(rows.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASHES)])
+    n_agree = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(N_HASHES))
+    agree = (
+        cand.join(sa, "doc_a").join(sb, "doc_b").select("doc_a", "doc_b", n_agree.alias("n_agree"))
+    )
+    result = (
+        inter.join(agree, ["doc_a", "doc_b"])
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .withColumn("nu", F.col("na") + F.col("nb") - F.col("ni"))
+        .select(
+            "doc_a", "doc_b",
+            F.expr(f"(10000 * n_agree) div {N_HASHES}").alias("est_bp"),
+            F.expr("(10000 * ni) div nu").alias("true_bp"),
+            F.expr(f"abs((10000 * n_agree) div {N_HASHES} - (10000 * ni) div nu)").alias("err_bp"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+    return _eager_release(result, rows)
+
+
 # SimHash parameters: 60-bit signature (15 hex chars of md5 -> always-positive
 # BIGINT in both engines; 16 would overflow on a set sign bit), 4 bands x
 # 15 bits for candidate generation, hamming <= HAMMING_MAX to confirm.

@@ -674,3 +674,67 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Differential-privacy-style noisy counts: Laplace(1/eps) noise added to
+# per-group counts, with the noise drawn DETERMINISTICALLY from a
+# hash-uniform via the inverse CDF so the release is reproducible and
+# cross-engine verifiable (a production release swaps in a real RNG; the
+# mechanism, sensitivity bound, and plan shape are identical).
+# ---------------------------------------------------------------------------
+
+DP_EPSILON = 1.0  # count sensitivity = 1 => Laplace scale b = 1/eps = 1
+
+DP_COUNTS_ORACLE = f"""
+WITH g AS (
+  SELECT o_orderpriority AS grp, count(*) AS n FROM orders GROUP BY 1
+),
+u AS (
+  SELECT grp, n,
+         ((('0x' || substr(md5('dp' || grp), 1, 8))::BIGINT % 1000000) + 0.5)
+         / 1000000.0 AS u
+  FROM g
+)
+SELECT grp, n,
+       round(n + (CASE WHEN u > 0.5 THEN -1.0 ELSE 1.0 END)
+                 * ln(1 - 2 * abs(u - 0.5)) / {DP_EPSILON}, 3) AS noisy_n,
+       {DP_EPSILON} AS epsilon
+FROM u ORDER BY grp
+"""
+
+
+@register("privacy_dp_counts", DP_COUNTS_ORACLE, tags=("governance", "privacy"))
+def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism noisy counts per order priority — the
+    differential-privacy release pattern completing the privacy family
+    (k-anonymity / l-diversity / t-closeness audit the raw table; this
+    protects an aggregate release). Count queries have sensitivity 1, so
+    Laplace(1/eps) noise gives eps-DP; the noise is the inverse-CDF
+    transform of a (deterministic, md5-derived) uniform, making the
+    release reproducible for the oracle — swap the hash-uniform for a real
+    RNG in production and nothing else changes.
+
+    Scale shape: one map-side-combined count per group, then pure scalar
+    projection on |groups| rows; the noise math never touches row-level
+    data, so cost is the aggregate scan alone. The true count is emitted
+    alongside for audit only (a real release would drop it)."""
+    t = load_tables(spark, sf_dir)
+    g = t["orders"].groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    u = g.withColumn(
+        "u",
+        (F.expr("CAST(conv(substring(md5(concat('dp', grp)), 1, 8), 16, 10) AS BIGINT) % 1000000")
+         + F.lit(0.5)) / F.lit(1000000.0),
+    )
+    return u.select(
+        "grp", "n",
+        F.round(
+            F.col("n")
+            + F.when(F.col("u") > 0.5, F.lit(-1.0)).otherwise(F.lit(1.0))
+            * F.expr(f"ln(1 - 2 * abs(u - 0.5)) / {DP_EPSILON}"),
+            3,
+        ).alias("noisy_n"),
+        F.lit(DP_EPSILON).alias("epsilon"),
+    ).orderBy("grp")

@@ -1311,6 +1311,119 @@ def text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Temperature-scaled source mixing (the T5/mT5 mixture rule): sampling
+# weight per source ∝ n_tokens^(1/T), the complement to UniMax's waterfill.
+# T = 2 exactly, because sqrt is correctly rounded under IEEE 754 in BOTH
+# engines (a general pow() differs by ulps between libm and the JVM and
+# could flip a downstream floor at a boundary).
+# ---------------------------------------------------------------------------
+
+TEMP_SAMPLE_TARGET_FRAC = 2  # sample target = total_docs / this
+
+# Integer-ppm deterministic coin per doc: cross-engine-exact (md5 digits,
+# integer modulus — no float comparisons anywhere in the acceptance path).
+_COIN_SPARK = "CAST(conv(substring(md5(concat('t', doc_id)), 1, 8), 16, 10) AS BIGINT) % 1000000"
+_COIN_DUCK = "(('0x' || substr(md5('t' || doc_id), 1, 8))::BIGINT % 1000000)"
+
+SAMPLE_TEMPERATURE_ORACLE = f"""
+WITH per_doc AS (
+  SELECT doc_id, source,
+         len(string_split({_NORM_DUCK}, ' ')) AS tok,
+         {_COIN_DUCK} AS coin
+  FROM documents
+),
+per_source AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
+  FROM per_doc GROUP BY source
+),
+weighted AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(floor(1000000 * sqrt(n_tokens::DOUBLE)
+                    / sum(sqrt(n_tokens::DOUBLE)) OVER ()) AS BIGINT) AS p_ppm,
+         CAST((sum(n_docs) OVER ()) // {TEMP_SAMPLE_TARGET_FRAC} AS BIGINT) AS target_total
+  FROM per_source
+),
+targeted AS (
+  SELECT source, n_docs, n_tokens, p_ppm,
+         CAST((p_ppm * target_total) // 1000000 AS BIGINT) AS n_target,
+         CAST((1000000 * ((p_ppm * target_total) // 1000000)) // n_docs AS BIGINT) AS accept_ppm
+  FROM weighted
+),
+accepted AS (
+  SELECT d.source, count(*) AS n_sampled, CAST(sum(d.doc_id) AS BIGINT) AS picked_sum
+  FROM per_doc d JOIN targeted t USING (source)
+  WHERE d.coin < t.accept_ppm
+  GROUP BY d.source
+)
+SELECT t.source, t.n_docs, t.n_tokens, t.p_ppm, t.n_target,
+       coalesce(a.n_sampled, 0) AS n_sampled,
+       coalesce(a.picked_sum, 0) AS picked_sum
+FROM targeted t LEFT JOIN accepted a USING (source)
+ORDER BY t.source
+"""
+
+
+@register("sample_temperature", SAMPLE_TEMPERATURE_ORACLE, tags=("llm", "text", "sampling"))
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (T5/mT5): per-source sampling
+    weight ∝ n_tokens^(1/T) with T=2, flattening the source distribution
+    so low-resource sources are upweighted relative to their raw share —
+    the standard alternative to UniMax waterfill (text_domain_mix) when a
+    smooth mixture is wanted. Emits, per source: raw counts, the
+    temperature probability (ppm), the integer doc target under a
+    half-corpus budget, and the result of a DETERMINISTIC hash-coin
+    acceptance pass (count + doc_id checksum) realizing that target.
+
+    Scale shape: one map-side-combined per-source aggregate (|sources|
+    rows), scalar totals via a window over that tiny frame, then ONE
+    shuffle-free acceptance scan of the corpus — each doc compares an
+    integer md5-coin against its source's broadcast integer threshold, so
+    no rank/window over the corpus and no per-doc float math (sqrt is the
+    only float op, correctly rounded per IEEE 754 in both engines; the
+    accept path is pure bigint)."""
+    t = load_tables(spark, sf_dir)
+    per_doc = t["documents"].select(
+        "doc_id", "source",
+        F.size(F.expr(f"split({_NORM}, ' ')")).alias("tok"),
+        F.expr(_COIN_SPARK).alias("coin"),
+    )
+    from pyspark.sql import Window as W
+
+    per_source = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("n_tokens")
+    )
+    w_all = W.partitionBy()
+    weighted = per_source.select(
+        "source", "n_docs", "n_tokens",
+        F.floor(
+            1000000 * F.sqrt(F.col("n_tokens").cast("double"))
+            / F.sum(F.sqrt(F.col("n_tokens").cast("double"))).over(w_all)
+        ).alias("p_ppm"),
+        (F.sum("n_docs").over(w_all) / TEMP_SAMPLE_TARGET_FRAC).cast("bigint").alias("target_total"),
+    )
+    targeted = weighted.select(
+        "source", "n_docs", "n_tokens", "p_ppm",
+        F.expr("(p_ppm * target_total) div 1000000").alias("n_target"),
+        F.expr("(1000000 * ((p_ppm * target_total) div 1000000)) div n_docs").alias("accept_ppm"),
+    )
+    accepted = (
+        per_doc.join(F.broadcast(targeted.select("source", "accept_ppm")), "source")
+        .where(F.col("coin") < F.col("accept_ppm"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.sum("doc_id").alias("picked_sum"))
+    )
+    return (
+        targeted.join(accepted, "source", "left")
+        .select(
+            "source", "n_docs", "n_tokens", "p_ppm", "n_target",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("picked_sum", F.lit(0)).alias("picked_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Composed RAG-ingestion pipeline: quality gate -> exact dedup ->
 # overlapping chunking -> chunk-level dedup -> per-language index
 # accounting. The retrieval-side twin of pipeline_pretrain_corpus.
@@ -2188,4 +2301,114 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("var") / (F.col("tf") / n), 4).alias("burstiness"),
         )
         .orderBy("tok")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup: rolling-hash boundaries split each
+# document into variable-size chunks whose edges are CONTENT-anchored, so a
+# byte insertion early in a doc shifts only the chunk it lands in — the
+# storage-dedup trick (LBFS/rsync lineage) applied to corpus text, catching
+# shared boilerplate/quoted blocks that fixed-size chunking misaligns.
+# ---------------------------------------------------------------------------
+
+CDC_W = 8  # rolling window (chars) hashed at each position
+CDC_D = 64  # boundary divisor => expected chunk length ~ CDC_D chars
+
+CDC_CHUNKS_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_NORM_DUCK} AS ntext, len({_NORM_DUCK}) AS n FROM documents
+),
+bpos AS (
+  SELECT doc_id, u.p + {CDC_W} - 1 AS e
+  FROM d, unnest(range(1, greatest(n - {CDC_W} + 1, 0) + 1)) AS u(p)
+  WHERE ('0x' || substr(md5(substr(ntext, u.p::INT, {CDC_W})), 1, 8))::BIGINT % {CDC_D} = 0
+),
+ends AS (
+  SELECT DISTINCT doc_id, e FROM (
+    SELECT doc_id, e FROM bpos
+    UNION ALL
+    SELECT doc_id, n AS e FROM d
+  ) q
+),
+chunks AS (
+  SELECT doc_id,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s,
+         e
+  FROM ends
+),
+hashed AS (
+  SELECT c.doc_id, md5(substr(d.ntext, c.s::INT, (c.e - c.s + 1)::INT)) AS ch
+  FROM chunks c JOIN d USING (doc_id)
+),
+marked AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY ch) > 1 AS dup FROM hashed
+)
+SELECT doc_id, count(*) AS n_chunks,
+       count(*) FILTER (dup) AS n_dup_chunks,
+       (10000 * count(*) FILTER (dup)) // count(*) AS dup_bp
+FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("text_cdc_chunks", CDC_CHUNKS_ORACLE, tags=("llm", "text", "dedup"))
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup diagnostics: per document, split the
+    normalized text at rolling-hash boundaries (a position p is a boundary
+    when the hash of the {CDC_W}-char window starting there is 0 mod
+    {CDC_D}; expected chunk ~{CDC_D} chars) and report how many of the
+    doc's chunks occur verbatim elsewhere in the corpus. Because chunk
+    edges are anchored to CONTENT, an edit shifts only its own chunk —
+    shared boilerplate downstream of the edit still dedups, which
+    fixed-size chunking (mm_chunk_bytes) misses by misalignment.
+
+    Scale shape: same single linear pipeline as text_dup_spans — explode
+    an int position sequence (lambda-free, codegen'd substring+md5 per
+    row; the doc frame is repartitioned wide BEFORE the explode so AQE
+    cannot collapse the fan-out), distinct boundary set, one lag window
+    per doc to form chunks, one count window over the chunk hash for the
+    corpus-frequency mark, one per-doc hash-agg. Cost is linear in corpus
+    chars; no self-join, never all-pairs."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = (
+        t["documents"]
+        .repartition(width, "doc_id")
+        .select("doc_id", F.expr(_NORM).alias("ntext"))
+        .withColumn("n", F.length("ntext"))
+    )
+    coin = f"CAST(conv(substring(md5(substring(ntext, p, {CDC_W})), 1, 8), 16, 10) AS BIGINT) % {CDC_D}"
+    bpos = (
+        d.where(F.col("n") >= CDC_W)
+        .select("doc_id", "ntext", F.explode(F.expr(f"sequence(1, n - {CDC_W} + 1)")).alias("p"))
+        .where(F.expr(coin) == 0)
+        .select("doc_id", (F.col("p") + CDC_W - 1).alias("e"))
+    )
+    ends = bpos.union(d.select("doc_id", F.col("n").alias("e"))).distinct()
+    w_doc = W.partitionBy("doc_id").orderBy("e")
+    chunks = ends.select(
+        "doc_id",
+        (F.coalesce(F.lag("e").over(w_doc), F.lit(0)) + 1).alias("s"),
+        "e",
+    )
+    hashed = chunks.join(d.select("doc_id", "ntext"), "doc_id").select(
+        "doc_id",
+        F.md5(F.expr("substring(ntext, CAST(s AS INT), CAST(e - s + 1 AS INT))")).alias("ch"),
+    )
+    marked = hashed.select(
+        "doc_id", (F.count(F.lit(1)).over(W.partitionBy("ch")) > 1).alias("dup")
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("dup").cast("int")).alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id", "n_chunks", "n_dup_chunks",
+            F.expr("(10000 * n_dup_chunks) div n_chunks").alias("dup_bp"),
+        )
+        .orderBy("doc_id")
     )
