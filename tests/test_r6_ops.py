@@ -1,0 +1,136 @@
+"""Behavioral invariants for the round-6 operators: temperature-scaled
+source mixing, content-defined chunking, minhash calibration, and the DP
+noisy-count release. Oracle parity is covered by the registry sweep; these
+pin the semantics the hash-compare can't see (flattening monotonicity,
+python-reference chunk reconstruction, sketch-vs-exact consistency with the
+thresholded dedup output, Laplace noise bounds and reproducibility).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+SF = None  # tests use the sf_dir fixture
+
+
+def test_sample_temperature_flattens_mixture(spark, sf_dir):
+    """T=2 temperature must FLATTEN the source distribution: every source's
+    sampling probability keeps the raw-share ordering but with a smaller
+    ratio between any two sources than their raw token shares; ppm
+    probabilities sum to ~1e6; the hash-coin acceptance lands near its
+    integer target."""
+    from sol_spark.operators.text import sample_temperature
+
+    rows = {r["source"]: r for r in sample_temperature(spark, sf_dir).collect()}
+    assert len(rows) >= 3
+    total_ppm = sum(r["p_ppm"] for r in rows.values())
+    assert abs(total_ppm - 1_000_000) <= len(rows)  # floor() slack only
+    hi = max(rows.values(), key=lambda r: r["n_tokens"])
+    lo = min(rows.values(), key=lambda r: r["n_tokens"])
+    assert hi["p_ppm"] > lo["p_ppm"]  # ordering preserved
+    raw_ratio = hi["n_tokens"] / lo["n_tokens"]
+    p_ratio = hi["p_ppm"] / lo["p_ppm"]
+    assert p_ratio < raw_ratio  # flattened
+    assert abs(p_ratio - raw_ratio**0.5) / raw_ratio**0.5 < 0.01  # sqrt law
+    for r in rows.values():
+        assert 0 <= r["n_sampled"] <= r["n_docs"]
+        # binomial concentration around the integer target (loose 5-sigma)
+        import math
+
+        sigma = math.sqrt(max(r["n_target"], 1))
+        assert abs(r["n_sampled"] - r["n_target"]) <= 5 * sigma + 2
+
+
+def test_cdc_chunks_match_python_reference(spark, sf_dir):
+    """Rebuild the content-defined chunking sequentially in Python (same
+    normalization, same md5 rolling window, same divisor) for a sample of
+    docs and require identical chunk counts — and that every chunk
+    partition covers the doc exactly."""
+    from sol_spark.operators.text import CDC_D, CDC_W, text_cdc_chunks
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .orderBy("doc_id")
+        .limit(40)
+        .collect()
+    }
+    got = {
+        r["doc_id"]: r["n_chunks"]
+        for r in text_cdc_chunks(spark, sf_dir).collect()
+        if r["doc_id"] in docs
+    }
+    for doc_id, text in docs.items():
+        ntext = re.sub(r"\s+", " ", text.lower()).strip()
+        n = len(ntext)
+        ends = set()
+        for p in range(1, max(n - CDC_W + 1, 0) + 1):  # 1-based
+            window = ntext[p - 1 : p - 1 + CDC_W]
+            h = int(hashlib.md5(window.encode()).hexdigest()[:8], 16)
+            if h % CDC_D == 0:
+                ends.add(p + CDC_W - 1)
+        ends.add(n)
+        # chunks partition [1, n] exactly by construction
+        sorted_ends = sorted(ends)
+        prev = 0
+        for e in sorted_ends:
+            assert e > prev
+            prev = e
+        assert prev == n
+        assert got[doc_id] == len(sorted_ends), (doc_id, got[doc_id], len(sorted_ends))
+
+
+def test_minhash_calibration_consistent_with_dedup(spark, sf_dir):
+    """The calibration audit runs on the SAME candidate set as
+    dedup_minhash_lsh: every thresholded dedup pair must appear in the
+    calibration output with true_bp equal to its jaccard_bp, err_bp must
+    equal |est - true|, and estimates stay on the 12-hash
+    grid {floor(10000*k/12) : k = 0..12}."""
+    from sol_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        dedup_minhash_calibration,
+        dedup_minhash_lsh,
+        release_result,
+    )
+
+    cal = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in dedup_minhash_calibration(spark, sf_dir).collect()
+    }
+    assert cal  # non-vacuous
+    grid = {10000 * k // 12 for k in range(13)}
+    for r in cal.values():
+        assert r["est_bp"] in grid
+        assert r["err_bp"] == abs(r["est_bp"] - r["true_bp"])
+    mh = dedup_minhash_lsh(spark, sf_dir)
+    dedup_pairs = {(r["doc_a"], r["doc_b"]): r["jaccard_bp"] for r in mh.collect()}
+    release_result(mh)
+    assert dedup_pairs
+    for pair, jbp in dedup_pairs.items():
+        assert pair in cal, f"thresholded pair {pair} missing from calibration"
+        assert cal[pair]["true_bp"] == jbp
+        assert cal[pair]["true_bp"] >= int(10000 * JACCARD_THRESHOLD)
+    # calibration is the SUPERSET: it also prices sub-threshold candidates
+    assert len(cal) >= len(dedup_pairs)
+
+
+def test_dp_counts_noise_bounds_and_reproducibility(spark, sf_dir):
+    """The Laplace release must be deterministic across runs (hash-seeded),
+    each group's noise must lie within the mechanism's 1-in-1e6 tail bound
+    |noise| <= ln(1e6)/eps, and no noisy count may equal the true count
+    exactly (the uniform never hits the CDF midpoint by construction)."""
+    import math
+
+    from sol_spark.operators.governance import DP_EPSILON, privacy_dp_counts
+
+    a = privacy_dp_counts(spark, sf_dir).collect()
+    b = privacy_dp_counts(spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    bound = math.log(1_000_000) / DP_EPSILON + 1e-9
+    for r in a:
+        assert r["epsilon"] == DP_EPSILON
+        noise = r["noisy_n"] - r["n"]
+        assert 0 < abs(noise) <= bound, (r["grp"], noise)
