@@ -2412,3 +2412,82 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty curve: how much genuinely NEW text each document adds when
+# the corpus is consumed in doc_id order — the marginal-utility signal data
+# curation uses to decide when a source is exhausted (novelty decays as a
+# crawl re-scrapes the same material).
+# ---------------------------------------------------------------------------
+
+NGRAM_NOVELTY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_NORM_DUCK} AS ntext, string_split({_NORM_DUCK}, ' ') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           CASE WHEN len(tk) < 2 THEN [ntext]
+                ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END AS gl
+    FROM toks
+  ) s, unnest(s.gl) AS u(g)
+),
+firsts AS (
+  SELECT doc_id, g, min(doc_id) OVER (PARTITION BY g) AS first_doc
+  FROM grams
+)
+SELECT doc_id,
+       count(*) AS n_grams,
+       count(*) FILTER (first_doc = doc_id) AS n_novel,
+       (10000 * count(*) FILTER (first_doc = doc_id)) // count(*) AS novelty_bp
+FROM firsts GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("text_ngram_novelty", NGRAM_NOVELTY_ORACLE, tags=("llm", "text", "curation"))
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty under doc_id ingestion order: of a
+    doc's distinct bigrams, how many appear for the FIRST time in the
+    corpus at this doc (no earlier doc_id contains them). The running
+    novelty fraction is the curation signal for source exhaustion — when
+    a crawl's novelty_bp decays, additional documents mostly repeat
+    already-held text and stop paying for their training cost.
+
+    Scale shape: one exploded distinct-bigram pass (lambda list build is
+    DuckDB-side only; Spark uses the same lambda-free CASE construction as
+    dedup_containment), then a single min-window over the gram hash
+    partition marks first-seers — no self-join, no per-doc scan of
+    history; cost is linear in corpus bigrams exactly like
+    text_dup_spans' frequency mark."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    grams_from_tk = (
+        "CASE WHEN size(tk) < 2 THEN array(ntext) "
+        "ELSE array_distinct(transform(sequence(1, size(tk) - 1), "
+        "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))) END"
+    )
+    grams = (
+        t["documents"]
+        .select("doc_id", F.expr(_NORM).alias("ntext"))
+        .withColumn("tk", F.split("ntext", " "))
+        .select("doc_id", F.explode_outer(F.expr(grams_from_tk)).alias("g"))
+        .distinct()
+    )
+    firsts = grams.select(
+        "doc_id", (F.min("doc_id").over(W.partitionBy("g")) == F.col("doc_id")).alias("novel")
+    )
+    return (
+        firsts.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("novel").cast("int")).alias("n_novel"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_novel",
+            F.expr("(10000 * n_novel) div n_grams").alias("novelty_bp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1725,3 +1725,190 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = local_checkpoint(x.select("state", F.round("w", 6).alias("pi")).orderBy("state"))
     release_result(pm)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Changepoint detection (binary-segmentation first split): per event_type,
+# the day whose before/after split maximizes the mean shift — the first
+# step of the classic recursive changepoint algorithm, and the complement
+# of events_cusum (which flags drift against a FIXED baseline).
+# ---------------------------------------------------------------------------
+
+CHANGEPOINT_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(value) AS s, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, day, s, c,
+         sum(s) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+         sum(c) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+         sum(s) OVER (PARTITION BY event_type) AS ts_,
+         sum(c) OVER (PARTITION BY event_type) AS tc,
+         max(day) OVER (PARTITION BY event_type) AS last_day
+  FROM daily
+),
+scored AS (
+  SELECT event_type, day,
+         round(cs / cc, 6) AS mean_before,
+         round((ts_ - cs) / (tc - cc), 6) AS mean_after,
+         round(abs(cs / cc - (ts_ - cs) / (tc - cc)), 6) AS shift
+  FROM cum WHERE day < last_day
+),
+ranked AS (
+  SELECT event_type, day, mean_before, mean_after, shift,
+         row_number() OVER (PARTITION BY event_type ORDER BY shift DESC, day) AS rn
+  FROM scored
+)
+SELECT event_type, CAST(day AS VARCHAR) AS split_day, mean_before, mean_after, shift
+FROM ranked WHERE rn = 1 ORDER BY event_type
+"""
+
+
+@register("events_changepoint", CHANGEPOINT_ORACLE, tags=("events", "timeseries", "anomaly"))
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint (first split): for each event type,
+    the day that maximizes the absolute difference between the mean value
+    before (inclusive) and after it — where a level shift most likely
+    happened. Recursing on the two halves yields the full segmentation;
+    one split is the oracle-verifiable unit. Complements events_cusum:
+    CUSUM detects drift ONLINE against a fixed baseline, this locates the
+    shift OFFLINE with no baseline assumption.
+
+    Scale shape: one map-side-combined daily aggregate over the events
+    scan (|types| x |days| rows), then cumulative-sum windows and the
+    argmax ranking all on that tiny frame — every candidate split is
+    priced from prefix sums, so the O(days^2) naive scan never happens,
+    and the heavy pass is the single daily rollup."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = W.partitionBy("event_type").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.partitionBy("event_type")
+    cum = daily.select(
+        "event_type", "day",
+        F.sum("s").over(w_cum).alias("cs"),
+        F.sum("c").over(w_cum).alias("cc"),
+        F.sum("s").over(w_all).alias("ts_"),
+        F.sum("c").over(w_all).alias("tc"),
+        F.max("day").over(w_all).alias("last_day"),
+    )
+    scored = cum.where(F.col("day") < F.col("last_day")).select(
+        "event_type", "day",
+        F.round(F.col("cs") / F.col("cc"), 6).alias("mean_before"),
+        F.round((F.col("ts_") - F.col("cs")) / (F.col("tc") - F.col("cc")), 6).alias("mean_after"),
+        F.round(
+            F.abs(F.col("cs") / F.col("cc") - (F.col("ts_") - F.col("cs")) / (F.col("tc") - F.col("cc"))),
+            6,
+        ).alias("shift"),
+    )
+    w_rank = W.partitionBy("event_type").orderBy(F.desc("shift"), "day")
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("split_day"),
+            "mean_before", "mean_after", "shift",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join: which pairs of engaged users were active at the
+# same time — the time-bucket-blocked interval join (the range-join class
+# Flink/kdb ship natively), expressed as bucket equi-join candidates +
+# exact overlap confirmation. Intervals are per-(user, day) activity spans
+# (first event .. last event that day), dense days only.
+# ---------------------------------------------------------------------------
+
+OVERLAP_MIN_EVENTS = 4  # only days this dense participate ("engaged")
+
+SESSION_OVERLAP_ORACLE = f"""
+WITH spans AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, min(ts) AS s, max(ts) AS e
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+  HAVING count(*) >= {OVERLAP_MIN_EVENTS}
+),
+bucketed AS (
+  SELECT user_id, day, s, e, u.b
+  FROM spans,
+       unnest(range(date_diff('hour', TIMESTAMP '1970-01-01 00:00:00', s),
+                    date_diff('hour', TIMESTAMP '1970-01-01 00:00:00', e) + 1)) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT a.user_id AS ua, a.day AS da, a.s AS s_a, a.e AS e_a,
+                  b.user_id AS ub, b.day AS db, b.s AS s_b, b.e AS e_b
+  FROM bucketed a JOIN bucketed b ON a.b = b.b AND a.user_id < b.user_id
+)
+SELECT ua AS user_a, ub AS user_b, count(*) AS n_overlaps
+FROM cand
+WHERE s_a <= e_b AND s_b <= e_a
+GROUP BY ua, ub
+ORDER BY user_a, user_b
+"""
+
+
+@register("events_span_overlap", SESSION_OVERLAP_ORACLE, tags=("events", "join", "interval"))
+def events_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: pairs of engaged users (days with >=
+    {OVERLAP_MIN_EVENTS} events) whose daily activity spans [first event,
+    last event] overlap in time, with the overlapping-span-pair count —
+    co-activity analysis, and the general INTERVAL JOIN recipe: block
+    each interval into the hour buckets it touches, take candidates from
+    the bucket EQUI-join, and confirm the exact overlap predicate only on
+    candidates. The bucket hop bounds candidate fan-out by interval
+    length / bucket width, so the all-pairs theta join (which
+    BroadcastNestedLoopJoin would make a full cross product at 100 TB)
+    never materializes.
+
+    Hour arithmetic is timezone-free (timestampdiff on the NTZ column —
+    same DST discipline as asof_join_nearest); hour-aligned origin makes
+    Spark's complete-interval count equal DuckDB's boundary-crossing
+    count."""
+    t = load_tables(spark, sf_dir)
+    hours = "timestampdiff(HOUR, TIMESTAMP '1970-01-01 00:00:00', {c})"
+    spans = (
+        t["events"]
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"), F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= OVERLAP_MIN_EVENTS)
+        .select(
+            "user_id", "day", "s", "e",
+            F.expr(hours.format(c="s")).alias("hb"),
+            F.expr(hours.format(c="e")).alias("he"),
+        )
+    )
+    bucketed = spans.select(
+        "user_id", "day", "s", "e",
+        F.explode(F.expr("sequence(hb, he)")).alias("b"),
+    )
+    a = bucketed.select(
+        F.col("user_id").alias("ua"), F.col("day").alias("da"),
+        F.col("s").alias("s_a"), F.col("e").alias("e_a"), "b",
+    )
+    b = bucketed.select(
+        F.col("user_id").alias("ub"), F.col("day").alias("db"),
+        F.col("s").alias("s_b"), F.col("e").alias("e_b"), "b",
+    )
+    cand = (
+        a.join(b, "b")
+        .where(F.col("ua") < F.col("ub"))
+        .select("ua", "da", "s_a", "e_a", "ub", "db", "s_b", "e_b")
+        .distinct()
+    )
+    return (
+        cand.where((F.col("s_a") <= F.col("e_b")) & (F.col("s_b") <= F.col("e_a")))
+        .groupBy(F.col("ua").alias("user_a"), F.col("ub").alias("user_b"))
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+        .orderBy("user_a", "user_b")
+    )
