@@ -2491,3 +2491,182 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE training (Sennrich et al. 2016): iterative pair merges
+# over the WORD-FREQUENCY vocab — the classic trick that makes BPE viable
+# at corpus scale, since merges operate on unique words weighted by count,
+# never on the raw token stream. text_bpe_pair_counts prices one step;
+# this trains the actual merge table.
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 6  # unrolled merge steps (oracle chain length)
+
+
+def _bpe_step_sql(k: int) -> str:
+    """One unrolled BPE merge step over v{k-1} -> v{k}, recording the
+    chosen pair in b{k}. Greedy leftmost-non-overlapping merging is exact:
+    conflicting adjacent matches only arise in runs of a repeated token
+    (pa == pb), resolved by keeping even offsets within each consecutive
+    match run (gaps-and-islands parity)."""
+    return f"""
+t{k} AS MATERIALIZED (
+  SELECT word, freq, string_split(seq, ' ') AS tk FROM v{k - 1}
+),
+e{k} AS MATERIALIZED (
+  SELECT word, freq, u.i AS i, tk[u.i::INT] AS tok,
+         CASE WHEN u.i < len(tk) THEN tk[(u.i + 1)::INT] END AS nxt
+  FROM t{k}, unnest(range(1, len(tk) + 1)) AS u(i)
+),
+p{k} AS (
+  SELECT tok AS pa, nxt AS pb, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM e{k} WHERE nxt IS NOT NULL GROUP BY tok, nxt
+),
+b{k} AS MATERIALIZED (
+  SELECT pa, pb, cnt FROM p{k} ORDER BY cnt DESC, pa, pb LIMIT 1
+),
+m{k} AS MATERIALIZED (
+  SELECT word, i FROM (
+    SELECT q.word, q.i,
+           q.i - min(q.i) OVER (PARTITION BY q.word, q.isl) AS off
+    FROM (
+      SELECT e.word, e.i,
+             e.i - row_number() OVER (PARTITION BY e.word ORDER BY e.i) AS isl
+      FROM e{k} e JOIN b{k} b ON e.tok = b.pa AND e.nxt = b.pb
+    ) q
+  ) z WHERE off % 2 = 0
+),
+v{k} AS MATERIALIZED (
+  SELECT e.word, any_value(e.freq) AS freq,
+         string_agg(CASE WHEN ms.i IS NOT NULL THEN e.tok || e.nxt ELSE e.tok END,
+                    ' ' ORDER BY e.i) AS seq
+  FROM e{k} e
+  LEFT JOIN m{k} ms ON ms.word = e.word AND ms.i = e.i
+  LEFT JOIN m{k} mp ON mp.word = e.word AND mp.i = e.i - 1
+  WHERE mp.i IS NULL
+  GROUP BY e.word
+)"""
+
+
+def _bpe_train_oracle() -> str:
+    steps = ",".join(_bpe_step_sql(k) for k in range(1, BPE_MERGES + 1))
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, pa, pb, pa || pb AS merged, cnt AS freq FROM b{k}"
+        for k in range(1, BPE_MERGES + 1)
+    )
+    return f"""
+WITH words AS (
+  SELECT unnest(string_split({_NORM_DUCK}, ' ')) AS word FROM documents
+),
+v0 AS MATERIALIZED (
+  SELECT word, count(*) AS freq,
+         trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+  FROM words WHERE word <> '' GROUP BY word
+),{steps}
+{finals}
+ORDER BY step
+"""
+
+
+@register("text_bpe_train", _bpe_train_oracle(), tags=("llm", "text", "tokenizer", "iterative"))
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING: {BPE_MERGES} merge steps of
+    Sennrich-style byte-pair encoding over the corpus, emitting the merge
+    table (step, pair, merged symbol, weighted frequency) — the artifact a
+    tokenizer ships. Each step counts adjacent symbol pairs over the
+    word-frequency vocab (weighted by word count, so the token STREAM is
+    never re-scanned after the one vocab build), picks the most frequent
+    pair (ties lexicographic), and greedily merges it leftmost-
+    non-overlapping in every word.
+
+    Greedy exactness: adjacent conflicting matches only occur in runs of
+    a repeated symbol (pa == pb); keeping even offsets within each
+    consecutive-match island (gaps-and-islands windows) reproduces the
+    sequential leftmost scan exactly — no string replace() ambiguity.
+
+    Scale shape: the vocab (unique words + counts) is the working set —
+    at 100 TB it is millions of rows where the corpus is trillions of
+    tokens, the whole point of vocab-space BPE. Per step: one explode of
+    word symbols, one map-side-combined weighted pair count, a 1-row
+    argmax collected to the driver (the model sync, exactly k-means'
+    centroid collect), and a window rebuild partitioned by word. The loop
+    runs through iterate() with per-step checkpoints, so lineage stays
+    linear and superseded vocabs release their storage.
+
+    Oracle: the same {BPE_MERGES} steps unrolled as CTE chains (the
+    sim_kmeans_train discipline), bit-identical pair choices and vocab
+    trajectory."""
+    from pyspark.sql import Window as W
+
+    from sol_spark.operators.dedup import iterate
+
+    t = load_tables(spark, sf_dir)
+    v0 = (
+        t["documents"]
+        .select(F.explode(F.split(F.expr(_NORM), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("seq", F.trim(F.regexp_replace("word", "(.)", "$1 ")))
+    )
+    merges: list[tuple[int, str, str, int]] = []
+
+    def bpe_step(vocab: DataFrame, k: int) -> DataFrame:
+        e = (
+            vocab.withColumn("tk", F.split("seq", " "))
+            .select(
+                "word", "freq",
+                F.explode(F.expr("sequence(1, size(tk))")).alias("i"),
+                "tk",
+            )
+            .select(
+                "word", "freq", "i",
+                F.expr("element_at(tk, i)").alias("tok"),
+                F.expr("CASE WHEN i < size(tk) THEN element_at(tk, i + 1) END").alias("nxt"),
+            )
+        )
+        best = (
+            e.where(F.col("nxt").isNotNull())
+            .groupBy(F.col("tok").alias("pa"), F.col("nxt").alias("pb"))
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), "pa", "pb")
+            .limit(1)
+            .collect()[0]  # 1-row model sync per step, like k-means centroids
+        )
+        pa, pb, cnt = best["pa"], best["pb"], int(best["cnt"])
+        merges.append((k + 1, pa, pb, cnt))
+        matched = e.where((F.col("tok") == pa) & (F.col("nxt") == pb)).select(
+            "word", "i", (F.col("i") - F.row_number().over(W.partitionBy("word").orderBy("i"))).alias("isl")
+        )
+        keep = (
+            matched.withColumn("off", F.col("i") - F.min("i").over(W.partitionBy("word", "isl")))
+            .where(F.col("off") % 2 == 0)
+            .select("word", "i")
+        )
+        ms = keep.select(F.col("word").alias("w1"), F.col("i").alias("mi"))
+        mp = keep.select(F.col("word").alias("w2"), (F.col("i") + 1).alias("pi"))
+        return (
+            e.join(ms, (e["word"] == ms["w1"]) & (e["i"] == ms["mi"]), "left")
+            .join(mp, (e["word"] == mp["w2"]) & (e["i"] == mp["pi"]), "left")
+            .where(F.col("pi").isNull())
+            .select(
+                "word", "freq", "i",
+                F.when(F.col("mi").isNotNull(), F.concat("tok", "nxt")).otherwise(F.col("tok")).alias("ntok"),
+            )
+            .groupBy("word")
+            .agg(
+                F.first("freq").alias("freq"),
+                F.concat_ws(
+                    " ",
+                    F.expr("transform(array_sort(collect_list(struct(i, ntok))), x -> x.ntok)"),
+                ).alias("seq"),
+            )
+        )
+
+    def bpe_result(vocab: DataFrame) -> DataFrame:
+        return spark.createDataFrame(
+            merges, "step INT, pa STRING, pb STRING, freq BIGINT"
+        ).select("step", "pa", "pb", F.concat("pa", "pb").alias("merged"), "freq").orderBy("step")
+
+    return iterate(v0, bpe_step, bpe_result, max_rounds=BPE_MERGES)
