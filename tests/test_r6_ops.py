@@ -134,3 +134,82 @@ def test_dp_counts_noise_bounds_and_reproducibility(spark, sf_dir):
         assert r["epsilon"] == DP_EPSILON
         noise = r["noisy_n"] - r["n"]
         assert 0 < abs(noise) <= bound, (r["grp"], noise)
+
+
+def _ref_bpe(word_freq: dict, n_merges: int):
+    """Sequential reference BPE (Sennrich): weighted pair counts over the
+    vocab, ties broken (count desc, pair lexicographic), greedy leftmost
+    non-overlapping merge."""
+    seqs = {w: list(w) for w in word_freq}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, f in word_freq.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (pa, pb), cnt = best
+        merges.append((pa, pb, cnt))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == pa and s[i + 1] == pb:
+                    out.append(pa + pb)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark, tmp_path):
+    """Run the distributed BPE trainer on a constructed corpus designed to
+    exercise the greedy-merge edge cases (repeated-symbol runs 'aaaa',
+    alternating overlap 'ababab', count ties) and require the exact merge
+    trajectory of the sequential reference."""
+    from sol_spark.operators.text import BPE_MERGES, text_bpe_train
+
+    words = {
+        "aaaa": 7,       # (a,a) run: parity-greedy must merge positions 0 and 2
+        "aaab": 5,
+        "ababab": 6,     # alternating: only leftmost non-overlapping merges
+        "banana": 9,
+        "bananas": 4,
+        "cc": 3,
+        "c": 2,          # single char: contributes no pairs
+    }
+    rows = []
+    doc_id = 0
+    for w, f in words.items():
+        for _ in range(f):
+            rows.append((doc_id, w, "en", "test", len(w)))
+            doc_id += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path / "bpe_sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    got = [
+        (r["pa"], r["pb"], r["freq"])
+        for r in text_bpe_train(spark, sf).orderBy("step").collect()
+    ]
+    want = _ref_bpe(words, BPE_MERGES)
+    assert got == want, f"\ngot:  {got}\nwant: {want}"
+
+
+def test_bpe_train_step1_matches_pair_counts(spark, sf_dir):
+    """Cross-operator consistency: the trainer's FIRST merge must be the
+    argmax of text_bpe_pair_counts (same weighted pair statistic over the
+    same vocab)."""
+    from sol_spark.operators.text import text_bpe_pair_counts, text_bpe_train
+
+    top = text_bpe_pair_counts(spark, sf_dir).limit(1).collect()[0]
+    step1 = text_bpe_train(spark, sf_dir).orderBy("step").limit(1).collect()[0]
+    assert step1["merged"] == top["pair"]
+    assert step1["freq"] == top["pair_count"]
