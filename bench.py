@@ -61,6 +61,14 @@ HEADLINE = [
     # docstring), so both new round-5 families get round-over-round timing.
     "dq_expectations",
     "text_dup_spans",
+    # r6 additions: the trained-centroid SemDeDup composition (the
+    # production form of the cell-confined prune), the content-defined
+    # chunking pipeline, and the iterative BPE trainer — the three new
+    # round-6 cost shapes (argmin assignment + cell prune, linear char
+    # explode, per-step model-sync loop).
+    "dedup_semdedup_kmeans",
+    "text_cdc_chunks",
+    "text_bpe_train",
     "win_rank_topk_per_group",
     "time_rollup_hierarchy",
     "set_intersect",

@@ -1299,11 +1299,22 @@ def _semdedup_prune(assign: DataFrame) -> DataFrame:
     higher-similarity (>= SEMDEDUP_T) lower-id cluster-mate. ``assign``
     carries (vec_id, cell, embedding, nrm); pairwise work is an equi-join
     on the cell key only. Returns (vec_id, cell, kept) — one row per
-    vector."""
+    vector.
+
+    The assignment subtree is referenced THREE times below (both prune
+    sides + the output join), so it is materialized ONCE with an eager
+    localCheckpoint — the production stage boundary between assignment
+    and prune — and released before return; without it each branch
+    re-evaluates the K-centroid argmax projection from the scan (AQE +
+    projection pruning defeat ReusedExchange here). The explicit
+    repartition on the cell key doubles as the prune join's distribution,
+    so the join adds no further shuffle."""
     from sol_spark.operators.similarity import _DOT
 
-    a = assign.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"), "cell")
-    b = assign.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"), "cell")
+    width = int(assign.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    assign_p = local_checkpoint(assign.repartition(width, "cell"))
+    a = assign_p.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"), "cell")
+    b = assign_p.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"), "cell")
     pair_cos = F.round(F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")), 6)
     dropped = (
         a.join(b, "cell")
@@ -1313,14 +1324,17 @@ def _semdedup_prune(assign: DataFrame) -> DataFrame:
         .select(F.col("vb").alias("dropped_id"))
         .distinct()
     )
-    return (
-        assign.join(dropped, F.col("vec_id") == F.col("dropped_id"), "left")
+    out = (
+        assign_p.join(dropped, F.col("vec_id") == F.col("dropped_id"), "left")
         .select(
             "vec_id", "cell",
             F.when(F.col("dropped_id").isNull(), 1).otherwise(0).alias("kept"),
         )
         .orderBy("vec_id")
     )
+    out = local_checkpoint(out)
+    release_result(assign_p)
+    return out
 
 
 def _semdedup_kmeans_oracle() -> str:
@@ -2184,3 +2198,99 @@ def graph_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     release_result(pairs)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS distances (bounded-hop shortest paths) over the near-dup
+# graph — the graph primitive CC/PageRank/LPA don't provide: how FAR apart
+# two documents sit in the similarity graph, from a deterministic seed set.
+# ---------------------------------------------------------------------------
+
+BFS_SEEDS = 4  # smallest node ids in the graph
+BFS_ROUNDS = 4  # distance horizon (min-dist truncated at this many hops)
+
+
+def _bfs_oracle_sql(pair_sql: str) -> str:
+    steps = ",".join(
+        f"""
+d{k} AS MATERIALIZED (
+  SELECT seed, doc, CAST(min(dist) AS INT) AS dist FROM (
+    SELECT seed, doc, dist FROM d{k - 1}
+    UNION ALL
+    SELECT d.seed, e.b AS doc, d.dist + 1 AS dist
+    FROM d{k - 1} d JOIN edges e ON e.a = d.doc
+  ) q GROUP BY seed, doc
+)"""
+        for k in range(1, BFS_ROUNDS + 1)
+    )
+    return f"""
+WITH pr AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({pair_sql}) q
+), edges AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM pr
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pr
+), seeds AS MATERIALIZED (
+  SELECT doc AS seed FROM (SELECT DISTINCT a AS doc FROM edges) n
+  ORDER BY doc LIMIT {BFS_SEEDS}
+),
+d0 AS MATERIALIZED (
+  SELECT seed, seed AS doc, 0 AS dist FROM seeds
+),{steps}
+SELECT seed, doc, dist FROM d{BFS_ROUNDS} ORDER BY seed, doc
+"""
+
+
+GRAPH_BFS_ORACLE = _bfs_oracle_sql(SIMHASH_ORACLE.replace("ORDER BY doc_a, doc_b", ""))
+
+
+@register("graph_bfs_distances", GRAPH_BFS_ORACLE, tags=("llm", "dedup", "graph", "iterative"))
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source bounded-hop BFS over the SimHash near-dup graph: the
+    shortest-path distance (truncated at {BFS_ROUNDS} hops) from each of
+    the {BFS_SEEDS} smallest-id seed documents to every document it can
+    reach — how far similarity transitivity carries from a seed before it
+    dies out, and the missing shortest-path primitive next to
+    CC/PageRank/LPA/k-core.
+
+    Algorithm: Bellman-Ford-style relaxation through the shared
+    :func:`iterate` loop — each round unions the current distance map
+    with its one-hop expansion and takes the per-(seed, doc) min, so a
+    round is one equi-join + one map-side-combined min-agg (the Pregel
+    message pattern; GraphX ShortestPaths.scala:30 is the reference
+    analog). The distance map is checkpointed per round and superseded
+    rounds release their storage; a fixed horizon keeps the unrolled
+    oracle finite — the recursive path-enumeration oracle would explode
+    combinatorially on the clique-shaped simhash graph, so the oracle
+    unrolls the SAME min-relaxation rounds instead."""
+    ph = dedup_simhash(spark, sf_dir)
+    pairs = local_checkpoint(ph.select("doc_a", "doc_b"))
+    sym = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).union(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    edges = local_checkpoint(sym)
+    release_result(pairs)
+    seeds = (
+        edges.select(F.col("a").alias("doc")).distinct().orderBy("doc").limit(BFS_SEEDS)
+    )
+    d0 = seeds.select(
+        F.col("doc").alias("seed"), F.col("doc").alias("doc"), F.lit(0).cast("int").alias("dist")
+    )
+
+    def relax(state: DataFrame, _i: int) -> DataFrame:
+        expand = state.join(edges, state["doc"] == edges["a"]).select(
+            "seed", F.col("b").alias("doc2"), (F.col("dist") + 1).alias("dist")
+        ).withColumnRenamed("doc2", "doc")
+        return (
+            state.unionByName(expand)
+            .groupBy("seed", "doc")
+            .agg(F.min("dist").cast("int").alias("dist"))
+        )
+
+    return iterate(
+        d0,
+        relax,
+        lambda state: state.orderBy("seed", "doc"),
+        max_rounds=BFS_ROUNDS,
+        release=(edges,),
+    )

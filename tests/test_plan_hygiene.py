@@ -40,6 +40,15 @@ EAGER_BUILD = {
     "graph_adamic_adar",
     "graph_clustering_coef",
     "er_clusters",
+    # r6 eager operators: the BPE trainer/applier collect a 1-row argmax
+    # per merge step; the semdedup pair checkpoints its assignment stage;
+    # BFS checkpoints per relaxation round. Oracle + behavioral/storage
+    # tests cover them.
+    "text_bpe_train",
+    "text_bpe_apply",
+    "dedup_semdedup",
+    "dedup_semdedup_kmeans",
+    "graph_bfs_distances",
 }
 
 # Registered cartesian-by-design operators (bounded or demonstration ops).
