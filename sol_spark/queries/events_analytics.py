@@ -1912,3 +1912,73 @@ def events_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_overlaps"))
         .orderBy("user_a", "user_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-pattern matching (the MATCH_RECOGNIZE / funnel-regex class):
+# compress each user's ordered event stream into a symbol string and count
+# regex pattern occurrences — view (clicks)* purchase.
+# ---------------------------------------------------------------------------
+
+PATTERN_REGEX = "v[c]*p"  # view, any clicks, purchase
+
+EVENTS_PATTERN_ORACLE = f"""
+WITH sym AS (
+  SELECT user_id,
+         CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+              WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'e' END AS s,
+         ts, event_id
+  FROM events
+),
+strs AS (
+  SELECT user_id, string_agg(s, '' ORDER BY ts, event_id) AS seq
+  FROM sym GROUP BY user_id
+)
+SELECT user_id, length(seq) AS n_events,
+       CAST(len(regexp_extract_all(seq, '{PATTERN_REGEX}')) AS BIGINT) AS n_matches
+FROM strs
+WHERE len(regexp_extract_all(seq, '{PATTERN_REGEX}')) > 0
+ORDER BY user_id
+"""
+
+
+@register("events_pattern_match", EVENTS_PATTERN_ORACLE, tags=("events", "sequence", "pattern"))
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection (the MATCH_RECOGNIZE / Flink-CEP class
+    of operator): per user, compress the time-ordered event stream into a
+    one-char-per-event symbol string and count non-overlapping matches of
+    the funnel pattern view->clicks*->purchase as a regex — regex engines
+    ARE the standard greedy sequence matcher, so the pattern semantics
+    come for free and stay identical cross-engine.
+
+    Scale shape: ONE shuffle keyed by user (the same exchange serves the
+    ordered string_agg), then a scan-local regexp count on the compressed
+    string — one char per event, so a 10k-event user is a 10 KB string,
+    bounded and cache-friendly; no joins, no window per pattern element
+    the way a naive k-step funnel self-join would explode."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    sym = t["events"].select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+        .alias("s"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    strs = (
+        sym.select("user_id", F.concat_ws("", F.collect_list("s").over(w)).alias("seq"))
+        .groupBy("user_id")
+        .agg(F.first("seq").alias("seq"))
+    )
+    n_matches = F.expr(f"CAST(size(regexp_extract_all(seq, '{PATTERN_REGEX}', 0)) AS BIGINT)")
+    return (
+        strs.select("user_id", F.length("seq").alias("n_events"), n_matches.alias("n_matches"))
+        .where(F.col("n_matches") > 0)
+        .orderBy("user_id")
+    )

@@ -1593,3 +1593,93 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("confidence_bp") >= RULE_MIN_CONF_BP)
         .orderBy("antecedent", "consequent")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bootstrap confidence interval via deterministic Poissonization: B
+# hash-seeded Poisson(1) replicate weights approximate multinomial
+# resampling (the standard streaming/distributed bootstrap trick — one
+# pass, no per-replicate shuffle of the data).
+# ---------------------------------------------------------------------------
+
+BOOT_B = 32  # replicates
+# Cumulative Poisson(1) thresholds scaled to integer ppm: P(k<=0)=e^-1 ...
+_POIS_T = (367879, 735758, 919698, 981011)
+
+BOOTSTRAP_CI_ORACLE = f"""
+WITH reps AS (SELECT unnest(range(0, {BOOT_B})) AS r),
+u AS (
+  SELECT r.r, o.o_totalprice AS x,
+         (('0x' || substr(md5('b' || r.r || '_' || o.o_orderkey), 1, 8))::BIGINT % 1000000) AS u
+  FROM orders o, reps r
+),
+k AS (
+  SELECT r, x,
+         CASE WHEN u < {_POIS_T[0]} THEN 0 WHEN u < {_POIS_T[1]} THEN 1
+              WHEN u < {_POIS_T[2]} THEN 2 WHEN u < {_POIS_T[3]} THEN 3
+              ELSE 4 END AS wt
+  FROM u
+),
+means AS (
+  SELECT r, round(sum(wt * x) / sum(wt), 6) AS m FROM k GROUP BY r
+),
+ranked AS (SELECT m, row_number() OVER (ORDER BY m) AS rk FROM means),
+pt AS (SELECT round(avg(o_totalprice), 6) AS point FROM orders)
+SELECT 'mean_o_totalprice' AS metric, pt.point,
+       (SELECT m FROM ranked WHERE rk = 2) AS ci_lo,
+       (SELECT m FROM ranked WHERE rk = {BOOT_B - 1}) AS ci_hi,
+       {BOOT_B} AS n_reps
+FROM pt
+"""
+
+
+@register("stats_bootstrap_ci", BOOTSTRAP_CI_ORACLE, tags=("stats", "sampling"))
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap CI for the mean order value, by Poissonization: each of
+    {BOOT_B} replicates weights every row by a DETERMINISTIC
+    hash-seeded Poisson(1) count (integer-ppm thresholds on an md5
+    uniform — the inverse-CDF table, exact cross-engine), approximating
+    multinomial resampling without ever materializing a resample. The CI
+    is the 2nd / {BOOT_B - 1}th order statistic of the replicate means
+    (~94% coverage at B={BOOT_B}).
+
+    Scale shape: the classic one-pass distributed bootstrap — a B-way
+    broadcast fan-out of the scan feeds ONE partial+final aggregate of
+    B rows (map-side combine absorbs the fan-out); replicate ranking and
+    the CI pick run on the B-row frame. No data shuffle, no
+    per-replicate pass, which is why Poissonized bootstrap is the form
+    that survives 100 TB (a true multinomial resample would need the
+    global row count up front and a shuffle per replicate)."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    reps = spark.range(0, BOOT_B).select(F.col("id").alias("r"))
+    u = t["orders"].crossJoin(F.broadcast(reps)).select(
+        "r", F.col("o_totalprice").alias("x"),
+        F.expr(
+            "CAST(conv(substring(md5(concat('b', r, '_', o_orderkey)), 1, 8), 16, 10) AS BIGINT) % 1000000"
+        ).alias("u"),
+    )
+    k = u.select(
+        "r", "x",
+        F.when(F.col("u") < _POIS_T[0], 0)
+        .when(F.col("u") < _POIS_T[1], 1)
+        .when(F.col("u") < _POIS_T[2], 2)
+        .when(F.col("u") < _POIS_T[3], 3)
+        .otherwise(4)
+        .alias("wt"),
+    )
+    means = k.groupBy("r").agg(
+        F.round(F.sum(F.col("wt") * F.col("x")) / F.sum("wt"), 6).alias("m")
+    )
+    ranked = means.withColumn("rk", F.row_number().over(W.orderBy("m")))
+    ci = ranked.agg(
+        F.max(F.when(F.col("rk") == 2, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rk") == BOOT_B - 1, F.col("m"))).alias("ci_hi"),
+    )
+    point = t["orders"].agg(F.round(F.avg("o_totalprice"), 6).alias("point"))
+    return point.crossJoin(F.broadcast(ci)).select(
+        F.lit("mean_o_totalprice").alias("metric"),
+        "point", "ci_lo", "ci_hi",
+        F.lit(BOOT_B).alias("n_reps"),
+    )
