@@ -213,3 +213,104 @@ def test_bpe_train_step1_matches_pair_counts(spark, sf_dir):
     step1 = text_bpe_train(spark, sf_dir).orderBy("step").limit(1).collect()[0]
     assert step1["merged"] == top["pair"]
     assert step1["freq"] == top["pair_count"]
+
+
+def test_bfs_distances_structure(spark, sf_dir):
+    """BFS output sanity against the raw edge set: every seed is at
+    distance 0 from itself; every distance-1 doc is a direct neighbor of
+    its seed; distances never exceed the horizon; and each (seed, doc)
+    appears exactly once (it's a min-dist MAP, not a path list)."""
+    from sol_spark.operators.dedup import (
+        BFS_ROUNDS,
+        BFS_SEEDS,
+        dedup_simhash,
+        graph_bfs_distances,
+        release_result,
+    )
+
+    out = graph_bfs_distances(spark, sf_dir)
+    rows = out.collect()
+    release_result(out)
+    assert rows
+    seen = set()
+    by_seed = {}
+    for r in rows:
+        key = (r["seed"], r["doc"])
+        assert key not in seen
+        seen.add(key)
+        assert 0 <= r["dist"] <= BFS_ROUNDS
+        by_seed.setdefault(r["seed"], {})[r["doc"]] = r["dist"]
+    assert len(by_seed) == BFS_SEEDS
+    edges = set()
+    for r in dedup_simhash(spark, sf_dir).select("doc_a", "doc_b").collect():
+        edges.add((r["doc_a"], r["doc_b"]))
+        edges.add((r["doc_b"], r["doc_a"]))
+    for seed, dists in by_seed.items():
+        assert dists[seed] == 0
+        for doc, d in dists.items():
+            if d == 1:
+                assert (seed, doc) in edges, (seed, doc)
+        # BFS relaxation: any neighbor of a dist-d doc is at most d+1 (if seen)
+        for doc, d in dists.items():
+            for a, b in edges:
+                if a == doc and b in dists:
+                    assert dists[b] <= d + 1
+
+
+def test_pattern_match_bounded_by_purchases(spark, sf_dir):
+    """Each regex match consumes one purchase, so per-user matches can
+    never exceed that user's purchase count; n_events equals the user's
+    total event count."""
+    from pyspark.sql import functions as F
+
+    from sol_spark.queries.events_analytics import events_pattern_match
+    from sol_spark.tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    purchases = {
+        r["user_id"]: r["n"]
+        for r in ev.where("event_type = 'purchase'").groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {r["user_id"]: r["n"] for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    for r in events_pattern_match(spark, sf_dir).collect():
+        assert 1 <= r["n_matches"] <= purchases.get(r["user_id"], 0)
+        assert r["n_events"] == totals[r["user_id"]]
+
+
+def test_span_overlap_symmetric_and_confirmed(spark, sf_dir):
+    """Recompute the day-span intervals directly and confirm every
+    reported overlap pair truly intersects, with the exact pair count —
+    the blocking layer must be a pure candidate generator (no misses
+    inside the bucket horizon, no phantom pairs)."""
+    from pyspark.sql import functions as F
+
+    from sol_spark.queries.events_analytics import OVERLAP_MIN_EVENTS, events_span_overlap
+    from sol_spark.tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    spans = (
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"), F.count("*").alias("n"))
+        .where(F.col("n") >= OVERLAP_MIN_EVENTS)
+        .collect()
+    )
+    by_user = {}
+    for r in spans:
+        by_user.setdefault(r["user_id"], []).append((r["s"], r["e"]))
+    import itertools
+
+    expect = {}
+    for ua, ub in itertools.combinations(sorted(by_user), 2):
+        n = sum(
+            1
+            for (sa, ea) in by_user[ua]
+            for (sb, eb) in by_user[ub]
+            if sa <= eb and sb <= ea
+        )
+        if n:
+            expect[(ua, ub)] = n
+    got = {
+        (r["user_a"], r["user_b"]): r["n_overlaps"]
+        for r in events_span_overlap(spark, sf_dir).collect()
+    }
+    assert got == expect
