@@ -2294,3 +2294,121 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_rounds=BFS_ROUNDS,
         release=(edges,),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join via PREFIX FILTERING (PPJoin family): unlike
+# MinHash-LSH (probabilistic misses) this is LOSSLESS for the threshold —
+# two token sets with Jaccard >= t MUST share a token inside their
+# rarest-first prefixes of length |x| - ceil(t|x|) + 1.
+# ---------------------------------------------------------------------------
+
+PREFIX_T_NUM, PREFIX_T_DEN = 2, 5  # Jaccard threshold t = 2/5 as a ratio:
+# ceil(t*n) stays in INTEGER arithmetic ((2n+4) div 5) — a float 0.4*n
+# rounds UP spuriously (0.4*5 = 2.0000000000000004 -> ceil 3), silently
+# shortening the prefix and breaking the lossless guarantee.
+
+PREFIX_JOIN_ORACLE = f"""
+WITH norm AS MATERIALIZED (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ntext
+  FROM documents
+), toks AS (
+  SELECT doc_id, ntext, string_split(ntext, ' ') AS tk FROM norm
+), words AS MATERIALIZED (
+  SELECT DISTINCT doc_id, shingle AS w FROM (
+    SELECT doc_id,
+           CASE WHEN len(tk) < 3 THEN [ntext]
+                ELSE list_transform(range(1, len(tk) - 1),
+                                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS shl
+    FROM toks
+  ) s, unnest(s.shl) AS u(shingle)
+),
+df AS MATERIALIZED (SELECT w, count(*) AS dfreq FROM words GROUP BY w),
+ranked AS MATERIALIZED (
+  SELECT words.doc_id, words.w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY df.dfreq, words.w) AS pos,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM words JOIN df USING (w)
+),
+prefix AS MATERIALIZED (
+  SELECT doc_id, w FROM ranked
+  WHERE pos <= n - ((({PREFIX_T_NUM} * n) + {PREFIX_T_DEN - 1}) // {PREFIX_T_DEN}) + 1
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b ON a.w = b.w AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS ni
+  FROM cand c
+  JOIN words wa ON wa.doc_id = c.doc_a
+  JOIN words wb ON wb.doc_id = c.doc_b AND wa.w = wb.w
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, (10000 * ni) // (za.n + zb.n - ni) AS jaccard_bp
+FROM inter i JOIN sizes za ON za.doc_id = i.doc_a
+             JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE {PREFIX_T_DEN} * ni >= {PREFIX_T_NUM} * (za.n + zb.n - ni)
+ORDER BY i.doc_a, i.doc_b
+"""
+
+
+@register("dedup_prefix_filter_join", PREFIX_JOIN_ORACLE, tags=("llm", "dedup", "join"))
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join by prefix filtering (the PPJoin
+    family): every document pair whose 3-token-shingle Jaccard >= 2/5
+    (the SAME set space and threshold as dedup_minhash_lsh), with NO
+    probabilistic misses — if Jaccard(x, y) >= t then the
+    rarest-first prefixes of length |x| - ceil(t|x|) + 1 must intersect,
+    so the prefix equi-join is a LOSSLESS candidate generator. This is
+    the ground-truth counterpart the sketch pipelines (minhash, simhash)
+    are calibrated against, at the cost of a heavier candidate join —
+    dedup_minhash_lsh's pair set is a subset of this one up to 32-bit
+    shingle-hash collisions (pinned in tests/test_r6_ops.py).
+
+    Scale shape: rarest-first ordering makes prefixes hit LOW-frequency
+    tokens, so the inverted-index self-join fans out on rare keys (the
+    opposite of the common-token blowup; the df sort is what makes
+    PPJoin viable where a naive shared-token join explodes). One global
+    df aggregate, one per-doc window for prefix ranks, a rare-key
+    equi-join, then exact verification on candidates only. The
+    threshold compare is pure integer cross-multiplication — no float
+    anywhere in the guarantee path (a float ceil(0.4*n) provably breaks
+    losslessness: 0.4*5 rounds to 2.0000000000000004)."""
+    words = shingle_rows_df(spark, sf_dir).select("doc_id", F.col("s").alias("w"))
+    df_counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
+    w_doc = W.partitionBy("doc_id").orderBy("dfreq", "w")
+    ranked = (
+        words.join(df_counts, "w")
+        .select(
+            "doc_id", "w",
+            F.row_number().over(w_doc).alias("pos"),
+            F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("n"),
+        )
+    )
+    prefix = ranked.where(
+        F.col("pos")
+        <= F.col("n") - F.expr(f"(({PREFIX_T_NUM} * n) + {PREFIX_T_DEN - 1}) div {PREFIX_T_DEN}") + 1
+    ).select("doc_id", "w")
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "w")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "w"), "w")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(words.select(F.col("doc_id").alias("doc_a"), "w"), "doc_a")
+        .join(words.select(F.col("doc_id").alias("doc_b"), "w"), ["doc_b", "w"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .where(PREFIX_T_DEN * F.col("ni") >= PREFIX_T_NUM * (F.col("na") + F.col("nb") - F.col("ni")))
+        .select("doc_a", "doc_b", F.expr("(10000 * ni) div (na + nb - ni)").alias("jaccard_bp"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1982,3 +1982,88 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_matches") > 0)
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout with deterministic assignment: hash users into
+# variants, compare per-user purchase value with a Welch t statistic —
+# the experimentation readout every event pipeline ends in.
+# ---------------------------------------------------------------------------
+
+AB_TEST_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, sum(value) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+assigned AS (
+  SELECT user_id, v,
+         CASE WHEN (('0x' || substr(md5('ab' || user_id), 1, 8))::BIGINT % 2) = 0
+              THEN 'A' ELSE 'B' END AS variant
+  FROM per_user
+),
+stats AS (
+  SELECT variant, count(*) AS n, avg(v) AS m, var_samp(v) AS s2
+  FROM assigned GROUP BY variant
+),
+wide AS (
+  SELECT
+    max(CASE WHEN variant = 'A' THEN n END) AS na,
+    max(CASE WHEN variant = 'A' THEN m END) AS ma,
+    max(CASE WHEN variant = 'A' THEN s2 END) AS va,
+    max(CASE WHEN variant = 'B' THEN n END) AS nb,
+    max(CASE WHEN variant = 'B' THEN m END) AS mb,
+    max(CASE WHEN variant = 'B' THEN s2 END) AS vb
+  FROM stats
+)
+SELECT na, round(ma, 4) AS mean_a, nb, round(mb, 4) AS mean_b,
+       round((ma - mb) / sqrt(va / na + vb / nb), 4) AS t_stat,
+       abs((ma - mb) / sqrt(va / na + vb / nb)) > 1.96 AS significant
+FROM wide
+"""
+
+
+@register("events_ab_test", AB_TEST_ORACLE, tags=("events", "stats", "experiment"))
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically hash-assigned to
+    variants (the md5 coin production bucketing uses — stable across
+    sessions, no assignment table), per-user purchase value compared with
+    a Welch unequal-variance t statistic and a |t| > 1.96 significance
+    flag. On the fixture's hash split both arms draw from one population,
+    so the expected readout is NOT significant — the null A/A test every
+    experimentation platform runs to validate its plumbing.
+
+    Scale shape: one filtered per-user aggregate (user-keyed shuffle),
+    one 2-row variant aggregate, scalar math on the 2-row frame; the
+    variance/mean never leave the aggregate layer."""
+    t = load_tables(spark, sf_dir)
+    per_user = (
+        t["events"]
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("v"))
+    )
+    assigned = per_user.select(
+        "v",
+        F.when(
+            F.expr("CAST(conv(substring(md5(concat('ab', user_id)), 1, 8), 16, 10) AS BIGINT) % 2") == 0,
+            "A",
+        ).otherwise("B").alias("variant"),
+    )
+    stats = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("v").alias("m"), F.var_samp("v").alias("s2")
+    )
+    wide = stats.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("variant") == "A", F.col("m"))).alias("ma"),
+        F.max(F.when(F.col("variant") == "A", F.col("s2"))).alias("va"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("variant") == "B", F.col("m"))).alias("mb"),
+        F.max(F.when(F.col("variant") == "B", F.col("s2"))).alias("vb"),
+    )
+    tstat = (F.col("ma") - F.col("mb")) / F.sqrt(F.col("va") / F.col("na") + F.col("vb") / F.col("nb"))
+    return wide.select(
+        "na", F.round("ma", 4).alias("mean_a"),
+        "nb", F.round("mb", 4).alias("mean_b"),
+        F.round(tstat, 4).alias("t_stat"),
+        (F.abs(tstat) > 1.96).alias("significant"),
+    )

@@ -314,3 +314,33 @@ def test_span_overlap_symmetric_and_confirmed(spark, sf_dir):
         for r in events_span_overlap(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_prefix_join_is_minhash_ground_truth(spark, sf_dir):
+    """The lossless prefix-filter join defines the ground truth for the
+    same (shingle-set, Jaccard >= 2/5) problem minhash-LSH approximates:
+    every minhash pair must appear in the prefix-join output (up to
+    32-bit shingle-hash collisions, which only ever INFLATE the hashed
+    Jaccard), and LSH recall against the ground truth must clear 0.8 on
+    the fixture."""
+    from sol_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        dedup_prefix_filter_join,
+        release_result,
+    )
+
+    truth = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_bp"]
+        for r in dedup_prefix_filter_join(spark, sf_dir).collect()
+    }
+    assert truth
+    mh = dedup_minhash_lsh(spark, sf_dir)
+    lsh = {(r["doc_a"], r["doc_b"]): r["jaccard_bp"] for r in mh.collect()}
+    release_result(mh)
+    assert lsh
+    for pair, jbp in lsh.items():
+        assert pair in truth, f"minhash pair {pair} not in exact ground truth"
+        # hashed-space Jaccard can only exceed raw (collisions merge shingles)
+        assert jbp >= truth[pair] - 1  # -1 for integer-floor slack
+    recall = len(set(lsh) & set(truth)) / len(truth)
+    assert recall >= 0.8, recall
