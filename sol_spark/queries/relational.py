@@ -1683,3 +1683,76 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "point", "ci_lo", "ci_hi",
         F.lit(BOOT_B).alias("n_reps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H refresh functions (RF1 insert / RF2 delete) as one MERGE-style
+# maintenance pass — the spec's dbgen refresh stream, derived
+# deterministically from the base table (no side files in the fixture).
+# ---------------------------------------------------------------------------
+
+RF_REFRESH_ORACLE = """
+WITH inserts AS (
+  -- RF1: re-keyed copies of every 10th order (the "new sales" stream)
+  SELECT o_orderkey + 100000000 AS o_orderkey, o_orderstatus,
+         round(o_totalprice * 1.05, 2) AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 3
+),
+deletes AS (
+  -- RF2: every 13th original order leaves the warehouse
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 13 = 0
+),
+refreshed AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM deletes d WHERE d.o_orderkey = o.o_orderkey)
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM inserts
+)
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       CAST(sum(CASE WHEN o_orderkey >= 100000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+FROM refreshed
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@register("warehouse_rf_refresh", RF_REFRESH_ORACLE, tags=("warehouse", "tpch", "maintenance"))
+def warehouse_rf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H refresh functions as one maintenance pass: RF1 inserts a
+    re-keyed "new sales" batch (every 10th order, 5% price uplift,
+    shifted key space) and RF2 deletes every 13th original order, then
+    the refreshed table is summarized per order status — the spec's
+    ACID-refresh workload (TPC-H clause 5.1; the reference ships the
+    matching dbgen refresh streams) expressed as anti-join + union, the
+    lakehouse MERGE shape.
+
+    Scale shape: the delete set is a key-only anti-join (only keys move;
+    at 64 MB broadcast threshold the delete keys broadcast, and beyond
+    that AQE falls back to a shuffle join keyed on o_orderkey); inserts
+    are a filtered projection unioned WITHOUT a shuffle (union is
+    partition-local); the final rollup is one map-side-combined agg. No
+    full-table rewrite anywhere — the plan touches only keys and the
+    appended batch, which is the property that makes nightly refresh
+    affordable at 100 TB."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice")
+    inserts = (
+        orders.where(F.col("o_orderkey") % 10 == 3)
+        .select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 1.05, 2).alias("o_totalprice"),
+        )
+    )
+    deletes = orders.where(F.col("o_orderkey") % 13 == 0).select("o_orderkey")
+    refreshed = orders.join(deletes, "o_orderkey", "left_anti").unionByName(inserts)
+    return (
+        refreshed.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.sum(F.when(F.col("o_orderkey") >= 100000000, 1).otherwise(0)).cast("long").alias("n_inserted"),
+        )
+        .orderBy("o_orderstatus")
+    )
