@@ -2412,3 +2412,70 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.expr("(10000 * ni) div (na + nb - ni)").alias("jaccard_bp"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster representative selection: the composition the pagerank docstring
+# promises — per duplicate cluster, KEEP the most central member
+# (argmax PageRank, ties to the smaller doc id) instead of blindly keeping
+# the min-id member.
+# ---------------------------------------------------------------------------
+
+DEDUP_REPRESENTATIVES_ORACLE = f"""
+WITH cc AS MATERIALIZED (
+  SELECT * FROM ({DEDUP_CLUSTERS_ORACLE.replace("ORDER BY doc", "")}) q1
+),
+pr AS MATERIALIZED (
+  SELECT * FROM ({DEDUP_PAGERANK_ORACLE.replace("ORDER BY doc", "")}) q2
+),
+joined AS (
+  SELECT cc.cluster, cc.doc, pr.rank
+  FROM cc JOIN pr USING (doc)
+),
+picked AS (
+  SELECT cluster, doc, rank,
+         row_number() OVER (PARTITION BY cluster ORDER BY rank DESC, doc) AS rn
+  FROM joined
+)
+SELECT cluster, doc AS representative, rank,
+       (SELECT count(*) FROM joined j WHERE j.cluster = picked.cluster) AS cluster_size
+FROM picked WHERE rn = 1 ORDER BY cluster
+"""
+
+
+@register(
+    "dedup_representatives",
+    DEDUP_REPRESENTATIVES_ORACLE,
+    tags=("llm", "dedup", "graph", "iterative"),
+)
+def dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster representative selection: connected components
+    give the cluster partition, PageRank over the same near-dup graph
+    scores centrality, and the keeper per cluster is the argmax-rank
+    member (ties to the smaller doc id) — the production alternative to
+    min-id keeping, since the most central duplicate is the best
+    exemplar of its neighborhood (least likely to be a truncated or
+    drifted variant).
+
+    Scale shape: composes two iterative operators that each checkpoint
+    their results (storage released here after the join materializes);
+    the composition itself is one doc-keyed equi-join over |clustered
+    docs| rows plus a per-cluster window — negligible next to the CC and
+    PageRank passes it reuses. Oracle: both unrolled oracle chains
+    wrapped as MATERIALIZED CTEs and joined the same way."""
+    cc = dedup_clusters(spark, sf_dir)
+    pr = dedup_pagerank(spark, sf_dir)
+    joined = cc.join(pr, "doc").select("cluster", "doc", "rank")
+    w_sz = W.partitionBy("cluster")
+    w_rk = W.partitionBy("cluster").orderBy(F.desc("rank"), "doc")
+    out = (
+        joined.withColumn("cluster_size", F.count(F.lit(1)).over(w_sz))
+        .withColumn("rn", F.row_number().over(w_rk))
+        .where(F.col("rn") == 1)
+        .select("cluster", F.col("doc").alias("representative"), "rank", "cluster_size")
+        .orderBy("cluster")
+    )
+    out = local_checkpoint(out)
+    release_result(cc)
+    release_result(pr)
+    return out

@@ -49,6 +49,7 @@ EAGER_BUILD = {
     "dedup_semdedup",
     "dedup_semdedup_kmeans",
     "graph_bfs_distances",
+    "dedup_representatives",  # composes two eager iterative operators
 }
 
 # Registered cartesian-by-design operators (bounded or demonstration ops).
