@@ -2479,3 +2479,112 @@ def dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     release_result(cc)
     release_result(pr)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Sketch precision/recall audit: every probabilistic detector graded
+# against the EXACT prefix-filter join on the target similarity space.
+# ---------------------------------------------------------------------------
+
+def _sketch_pr_oracle() -> str:
+    srcs = {
+        "containment": CONTAINMENT_ORACLE,
+        "jaccard": NGRAM_JACCARD_ORACLE,
+        "minhash": DEDUP_MINHASH_ORACLE,
+        "simhash": SIMHASH_ORACLE,
+    }
+    ctes = [
+        "truth AS MATERIALIZED (SELECT doc_a, doc_b FROM ("
+        + PREFIX_JOIN_ORACLE.replace("ORDER BY i.doc_a, i.doc_b", "")
+        + ") t)"
+    ]
+    for m, sql in srcs.items():
+        ctes.append(
+            f"{m} AS MATERIALIZED (SELECT doc_a, doc_b FROM ({sql.replace('ORDER BY doc_a, doc_b', '')}) x)"
+        )
+    rows = []
+    for m in sorted(srcs):
+        rows.append(
+            f"SELECT '{m}' AS method, "
+            f"(SELECT count(*) FROM truth)::BIGINT AS n_truth, "
+            f"(SELECT count(*) FROM {m})::BIGINT AS n_method, "
+            f"(SELECT count(*) FROM {m} JOIN truth USING (doc_a, doc_b))::BIGINT AS tp"
+        )
+    body = "\nUNION ALL\n".join(rows)
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT method, n_truth, n_method, tp, n_method - tp AS fp, n_truth - tp AS fn,\n"
+        "       CASE WHEN n_method = 0 THEN 0 ELSE (10000 * tp) // n_method END AS precision_bp,\n"
+        "       CASE WHEN n_truth = 0 THEN 0 ELSE (10000 * tp) // n_truth END AS recall_bp\n"
+        f"FROM (\n{body}\n) u ORDER BY method"
+    )
+
+
+DEDUP_SKETCH_PR_ORACLE = _sketch_pr_oracle()
+
+
+@register("dedup_sketch_pr", DEDUP_SKETCH_PR_ORACLE, tags=("llm", "dedup", "quality"))
+def dedup_sketch_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of every probabilistic near-dup detector against
+    GROUND TRUTH: the exact prefix-filter self-join (dedup_prefix_filter_
+    join — lossless Jaccard >= 2/5 over 3-token shingles) supplies the
+    true pair set, and each sketch method's pairs are graded TP/FP/FN
+    with basis-point precision and recall. MinHash is calibrated to the
+    same space, so its recall prices only hash/band losses; simhash /
+    bigram-jaccard / containment target DIFFERENT similarity notions, so
+    their PR against this truth quantifies the substitution cost a
+    pipeline accepts when it picks the cheaper detector — the
+    accept/reject evidence behind the method choice, completing
+    dedup_method_overlap (which compares methods only to each other) and
+    dedup_minhash_calibration (per-pair estimate error).
+
+    Scale shape: the truth join is the expensive leg (rare-key prefix
+    equi-join, see dedup_prefix_filter_join); each sketch pipeline is
+    bucketed per its own docstring; the grading itself is four left-semi
+    joins on (doc_a, doc_b) pair keys plus count aggregates — no step is
+    ever all-pairs. Pair frames are checkpointed and their pipelines'
+    storage released before grading (the method_overlap discipline)."""
+    truth = dedup_prefix_filter_join(spark, sf_dir).select("doc_a", "doc_b")
+    truth = truth.localCheckpoint(eager=True)
+    sources = {
+        "containment": dedup_containment(spark, sf_dir),
+        "jaccard": dedup_ngram_jaccard(spark, sf_dir),
+        "minhash": dedup_minhash_lsh(spark, sf_dir),
+        "simhash": dedup_simhash(spark, sf_dir),
+    }
+    n_truth = truth.count()
+    parts = []
+    for m in sorted(sources):
+        pairs = sources[m].select("doc_a", "doc_b").localCheckpoint(eager=True)
+        release_result(sources[m])
+        n_method = pairs.count()
+        tp_df = (
+            pairs.join(truth, ["doc_a", "doc_b"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("tp"))
+            .select(
+                F.lit(m).alias("method"),
+                F.lit(n_truth).cast("long").alias("n_truth"),
+                F.lit(n_method).cast("long").alias("n_method"),
+                F.col("tp").cast("long").alias("tp"),
+            )
+        )
+        parts.append(tp_df)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    prec = F.when(F.col("n_method") == 0, F.lit(0)).otherwise(
+        F.expr("(10000 * tp) div n_method")
+    )
+    rec = F.when(F.col("n_truth") == 0, F.lit(0)).otherwise(
+        F.expr("(10000 * tp) div n_truth")
+    )
+    return (
+        u.select(
+            "method", "n_truth", "n_method", "tp",
+            (F.col("n_method") - F.col("tp")).alias("fp"),
+            (F.col("n_truth") - F.col("tp")).alias("fn"),
+            prec.cast("long").alias("precision_bp"),
+            rec.cast("long").alias("recall_bp"),
+        )
+        .orderBy("method")
+    )

@@ -738,3 +738,97 @@ def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("noisy_n"),
         F.lit(DP_EPSILON).alias("epsilon"),
     ).orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record-linkage scoring over blocked pairs
+# ---------------------------------------------------------------------------
+
+# Fixed log-odds weights in "millibans" (1000 * log10(m/u), precomputed
+# priors a la Splink's default model — kept as INTEGER constants so the
+# score path has no float anywhere; estimating m/u in-engine would drag
+# ln() cross-engine ulps into a threshold compare).
+FS_W = {
+    "name": (40, -8),       # agree: lev(name) <= 1
+    "segment": (7, -3),     # agree: exact mktsegment match
+    "acctbal": (11, -2),    # agree: |balance delta| <= 100.00
+}
+FS_T_MATCH = 45     # name + at least one corroborating field
+FS_T_POSSIBLE = 10  # name alone, or both non-name fields
+
+ER_FS_ORACLE = f"""
+WITH pairs AS (
+  SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+         CASE WHEN levenshtein(a.c_name, b.c_name) <= 1 THEN 1 ELSE 0 END AS agr_name,
+         CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END AS agr_segment,
+         CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 100.0 THEN 1 ELSE 0 END AS agr_acctbal
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+),
+scored AS (
+  SELECT *,
+         (CASE WHEN agr_name = 1 THEN {FS_W["name"][0]} ELSE {FS_W["name"][1]} END
+        + CASE WHEN agr_segment = 1 THEN {FS_W["segment"][0]} ELSE {FS_W["segment"][1]} END
+        + CASE WHEN agr_acctbal = 1 THEN {FS_W["acctbal"][0]} ELSE {FS_W["acctbal"][1]} END) AS score
+  FROM pairs
+)
+SELECT custkey_a, custkey_b, agr_name, agr_segment, agr_acctbal, score,
+       CASE WHEN score >= {FS_T_MATCH} THEN 'match' ELSE 'possible' END AS verdict
+FROM scored WHERE score >= {FS_T_POSSIBLE}
+ORDER BY custkey_a, custkey_b
+"""
+
+
+@register("er_fellegi_sunter", ER_FS_ORACLE, tags=("governance", "entity-resolution"))
+def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage: candidate pairs from
+    the nation block (same lossless blocking as er_blocking), each field
+    comparison mapped to an agreement indicator, and the match score
+    summed from per-field log-odds weights (1000*log10(m/u) "millibans",
+    fixed integer priors) — the classical linkage model behind Splink /
+    RecordLinkage, upgrading er_blocking's single-field edit-distance
+    rule to evidence accumulation across fields with a match / possible
+    (clerical-review) decision boundary.
+
+    Scale shape: one block-keyed equi-join generates candidates (never
+    |table|^2; a skewed block is a skewed join key — operators/skew.py
+    applies), then scoring is a pure codegen'd projection on the pair
+    stream and the thresholds prune it before any further shuffle. The
+    weight path is all-integer, so the decision boundary cannot drift
+    cross-engine; production fits m/u by EM offline and feeds the same
+    integer table."""
+    t = load_tables(spark, sf_dir)
+    a = t["customer"].select(
+        F.col("c_custkey").alias("custkey_a"), F.col("c_name").alias("name_a"),
+        F.col("c_mktsegment").alias("seg_a"), F.col("c_acctbal").alias("bal_a"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    b = t["customer"].select(
+        F.col("c_custkey").alias("custkey_b"), F.col("c_name").alias("name_b"),
+        F.col("c_mktsegment").alias("seg_b"), F.col("c_acctbal").alias("bal_b"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    pairs = (
+        a.join(b, "nk")
+        .where(F.col("custkey_a") < F.col("custkey_b"))
+        .select(
+            "custkey_a", "custkey_b",
+            F.when(F.levenshtein("name_a", "name_b") <= 1, 1).otherwise(0).alias("agr_name"),
+            F.when(F.col("seg_a") == F.col("seg_b"), 1).otherwise(0).alias("agr_segment"),
+            F.when(F.abs(F.col("bal_a") - F.col("bal_b")) <= 100.0, 1).otherwise(0).alias("agr_acctbal"),
+        )
+    )
+    score = (
+        F.when(F.col("agr_name") == 1, F.lit(FS_W["name"][0])).otherwise(F.lit(FS_W["name"][1]))
+        + F.when(F.col("agr_segment") == 1, F.lit(FS_W["segment"][0])).otherwise(F.lit(FS_W["segment"][1]))
+        + F.when(F.col("agr_acctbal") == 1, F.lit(FS_W["acctbal"][0])).otherwise(F.lit(FS_W["acctbal"][1]))
+    )
+    return (
+        pairs.withColumn("score", score)
+        .where(F.col("score") >= FS_T_POSSIBLE)
+        .select(
+            "custkey_a", "custkey_b", "agr_name", "agr_segment", "agr_acctbal", "score",
+            F.when(F.col("score") >= FS_T_MATCH, "match").otherwise("possible").alias("verdict"),
+        )
+        .orderBy("custkey_a", "custkey_b")
+    )

@@ -1724,3 +1724,82 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximum inner-product search (MIPS) via the norm-augmentation reduction
+# ---------------------------------------------------------------------------
+
+SIM_MIPS_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+norms AS (
+  SELECT vec_id, sqrt(sum(embedding[i.i]::DOUBLE * embedding[i.i]::DOUBLE)) AS nrm
+  FROM embeddings, dims i GROUP BY vec_id
+),
+mx AS (SELECT max(nrm) AS m FROM norms),
+dots AS (
+  SELECT qid, cid, sum(qe[i.i]::DOUBLE * ce[i.i]::DOUBLE) AS dot
+  FROM q, c, dims i
+  WHERE qid <> cid
+  GROUP BY qid, cid
+),
+scored AS (
+  SELECT qid, cid, round(dot, 6) AS dot,
+         round(dot / (nq.nrm * (SELECT m FROM mx)), 6) AS aug_cos
+  FROM dots JOIN norms nq ON nq.vec_id = qid
+),
+ranked AS (
+  SELECT qid, cid, dot, aug_cos,
+         row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rk
+  FROM scored
+)
+SELECT qid, cid, dot, aug_cos, rk FROM ranked WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+"""
+
+
+@register("sim_mips", SIM_MIPS_ORACLE, tags=("llm", "similarity", "mips"))
+def sim_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum inner-product top-k (the retrieval scoring for unnormalized
+    embeddings — recommendation / reward-model scores, where a vector's
+    magnitude IS signal and cosine is wrong), with the Shrivastava-Li
+    norm-augmentation reduction computed alongside: appending
+    sqrt(M^2 - |x|^2) to each corpus vector (M = max corpus norm) and 0
+    to the query makes every augmented corpus vector the same length M,
+    so augmented cosine = dot / (|q| * M) — a query-constant positive
+    rescaling of the inner product. `aug_cos` is exactly that value:
+    proof in-row that MIPS reduces to the cosine machinery (the LSH /
+    IVF / PQ paths above apply unchanged to augmented vectors); the
+    monotonicity (rank by dot == rank by aug_cos) is pinned in
+    tests/test_r6_ops.py.
+
+    Scale shape: identical to sim_topk_exact — the query set broadcasts,
+    the corpus side never shuffles full vectors, the per-query window
+    keeps k rows per partition before the final top-k; M is a one-row
+    aggregate broadcast into the projection (no collect)."""
+    t = load_tables(spark, sf_dir)
+    emb = _with_norm(t["embeddings"])
+    mx = emb.agg(F.max("nrm").alias("m"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    dot = F.expr(_DOT.format(a="qe", b="ce"))
+    scored = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "qid", "cid",
+            F.round(dot, 6).alias("dot"),
+            F.round(dot / (F.col("qn") * F.col("m")), 6).alias("aug_cos"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("dot"), "cid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", "cid", "dot", "aug_cos", "rk")
+        .orderBy("qid", "rk")
+    )

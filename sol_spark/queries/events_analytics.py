@@ -922,6 +922,99 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Holt double-exponential smoothing (level + trend) per series
+# ---------------------------------------------------------------------------
+
+# alpha = beta = 1/2: every smoothing constant is exact in binary, so the
+# grouped-map recurrence and the recursive-CTE oracle produce bit-identical
+# IEEE streams (a 0.3/0.7 pair would hinge on round-to-even of 1 - 0.3).
+
+EVENTS_HOLT_ORACLE = """
+WITH RECURSIVE hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, avg(value) AS x
+  FROM events GROUP BY 1, 2
+), seq AS (
+  SELECT event_type, hour, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+  FROM hourly
+), holt AS (
+  SELECT event_type, hour, x, rn, x AS l, 0.0::DOUBLE AS b FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.hour, s.x, s.rn,
+         0.5 * s.x + 0.5 * (h.l + h.b),
+         0.5 * ((0.5 * s.x + 0.5 * (h.l + h.b)) - h.l) + 0.5 * h.b
+  FROM seq s JOIN holt h ON s.event_type = h.event_type AND s.rn = h.rn + 1
+)
+SELECT event_type, hour, round(x, 6) AS avg_value,
+       round(l, 6) + 0.0 AS level,
+       round(b, 6) + 0.0 AS trend,
+       round(l + b, 6) + 0.0 AS forecast_next
+FROM holt ORDER BY event_type, hour
+"""
+
+
+@register("events_holt", EVENTS_HOLT_ORACLE, tags=("events", "timeseries"))
+def events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing over each event type's hourly
+    mean-value series: l_t = a*x_t + (1-a)*(l_{t-1} + b_{t-1}),
+    b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1} with a = B = 1/2, seeded
+    l_1 = x_1, b_1 = 0 — EWMA's trend-aware sibling, and the standard
+    one-step forecaster (l_t + b_t) for drifting series where plain EWMA
+    lags the trend.
+
+    Scale shape: identical to events_ewma — the hourly downsample is one
+    map-side-combined hash aggregate; the coupled two-state recurrence
+    runs per-series inside ONE Arrow-batched grouped-map pandas call,
+    partition-parallel across series with each series' hourly frame
+    bounded. Both engines evaluate the recurrence with literally the
+    same expression tree (b_t re-expands l_t rather than referencing a
+    stored value), so the doubles are bit-identical, not merely close."""
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.expr("cast(date_trunc('hour', ts) as timestamp_ntz)").alias("hour"),
+        )
+        .agg(F.avg("value").alias("x"))
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hour").reset_index(drop=True)
+        l = 0.0
+        b = 0.0
+        levels, trends = [], []
+        for i, x in enumerate(pdf["x"].to_numpy()):
+            if i == 0:
+                l, b = x, 0.0
+            else:
+                l_new = 0.5 * x + 0.5 * (l + b)
+                b = 0.5 * ((0.5 * x + 0.5 * (l + b)) - l) + 0.5 * b
+                l = l_new
+            levels.append(l)
+            trends.append(b)
+        pdf["l"] = levels
+        pdf["b"] = trends
+        return pdf
+
+    return (
+        hourly.groupBy("event_type")
+        .applyInPandas(smooth, "event_type string, hour timestamp_ntz, x double, l double, b double")
+        .select(
+            "event_type",
+            "hour",
+            F.round("x", 6).alias("avg_value"),
+            (F.round("l", 6) + 0.0).alias("level"),
+            (F.round("b", 6) + 0.0).alias("trend"),
+            (F.round(F.col("l") + F.col("b"), 6) + 0.0).alias("forecast_next"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cross-correlation between event-type series at lags
 # ---------------------------------------------------------------------------
 
@@ -2066,4 +2159,108 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nb", F.round("mb", 4).alias("mean_b"),
         F.round(tstat, 4).alias("t_stat"),
         (F.abs(tstat) > 1.96).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences readout (2x2 panel: variant x pre/post)
+# ---------------------------------------------------------------------------
+
+DID_CUTOFF = "2024-01-16"  # fixture events span 2024-01-01 .. 2024-01-30
+
+DID_ORACLE = f"""
+WITH per AS (
+  SELECT user_id,
+         CASE WHEN ts < TIMESTAMP '{DID_CUTOFF}' THEN 'pre' ELSE 'post' END AS period,
+         sum(value) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+assigned AS (
+  SELECT period, v,
+         CASE WHEN (('0x' || substr(md5('dd' || user_id), 1, 8))::BIGINT % 2) = 0
+              THEN 'ctl' ELSE 'trt' END AS arm
+  FROM per
+),
+cells AS (
+  SELECT arm, period, count(*) AS n, avg(v) AS m
+  FROM assigned GROUP BY arm, period
+),
+wide AS (
+  SELECT
+    max(CASE WHEN arm = 'ctl' AND period = 'pre'  THEN n END) AS n_cp,
+    max(CASE WHEN arm = 'ctl' AND period = 'pre'  THEN m END) AS m_cp,
+    max(CASE WHEN arm = 'ctl' AND period = 'post' THEN n END) AS n_co,
+    max(CASE WHEN arm = 'ctl' AND period = 'post' THEN m END) AS m_co,
+    max(CASE WHEN arm = 'trt' AND period = 'pre'  THEN n END) AS n_tp,
+    max(CASE WHEN arm = 'trt' AND period = 'pre'  THEN m END) AS m_tp,
+    max(CASE WHEN arm = 'trt' AND period = 'post' THEN n END) AS n_to,
+    max(CASE WHEN arm = 'trt' AND period = 'post' THEN m END) AS m_to
+  FROM cells
+)
+SELECT n_cp, round(m_cp, 4) AS mean_ctl_pre,
+       n_co, round(m_co, 4) AS mean_ctl_post,
+       n_tp, round(m_tp, 4) AS mean_trt_pre,
+       n_to, round(m_to, 4) AS mean_trt_post,
+       round(m_co - m_cp, 4) + 0.0 AS delta_ctl,
+       round(m_to - m_tp, 4) + 0.0 AS delta_trt,
+       round((m_to - m_tp) - (m_co - m_cp), 4) + 0.0 AS did
+FROM wide
+"""
+
+
+@register("events_did", DID_ORACLE, tags=("events", "stats", "experiment"))
+def events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout: users hash-assigned to
+    control/treatment arms (same md5-coin bucketing as events_ab_test,
+    different salt), the event stream split pre/post a cutoff date, and
+    the causal-inference 2x2 computed over per-(user, period) purchase
+    sums — DiD = (trt_post - trt_pre) - (ctl_post - ctl_pre), the
+    parallel-trends estimator that differences out both arm-level and
+    period-level confounds. On the fixture's null assignment the
+    expected DiD is ~0 (the placebo test run before any real rollout).
+
+    Scale shape: one filtered user-period aggregate (the only data-sized
+    shuffle), a 4-row cell aggregate, then scalar math on the 4-row
+    frame — the estimator never touches row-level data after the first
+    hash-agg, so cost is one scan regardless of corpus size."""
+    t = load_tables(spark, sf_dir)
+    per = (
+        t["events"]
+        .where(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id",
+            F.when(F.col("ts") < F.lit(DID_CUTOFF).cast("timestamp_ntz"), "pre")
+            .otherwise("post")
+            .alias("period"),
+        )
+        .agg(F.sum("value").alias("v"))
+    )
+    assigned = per.select(
+        "period", "v",
+        F.when(
+            F.expr("CAST(conv(substring(md5(concat('dd', user_id)), 1, 8), 16, 10) AS BIGINT) % 2") == 0,
+            "ctl",
+        ).otherwise("trt").alias("arm"),
+    )
+    cells = assigned.groupBy("arm", "period").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("v").alias("m")
+    )
+
+    def cell(col: str, arm: str, period: str) -> F.Column:
+        return F.max(F.when((F.col("arm") == arm) & (F.col("period") == period), F.col(col)))
+
+    wide = cells.agg(
+        cell("n", "ctl", "pre").alias("n_cp"), cell("m", "ctl", "pre").alias("m_cp"),
+        cell("n", "ctl", "post").alias("n_co"), cell("m", "ctl", "post").alias("m_co"),
+        cell("n", "trt", "pre").alias("n_tp"), cell("m", "trt", "pre").alias("m_tp"),
+        cell("n", "trt", "post").alias("n_to"), cell("m", "trt", "post").alias("m_to"),
+    )
+    return wide.select(
+        "n_cp", F.round("m_cp", 4).alias("mean_ctl_pre"),
+        "n_co", F.round("m_co", 4).alias("mean_ctl_post"),
+        "n_tp", F.round("m_tp", 4).alias("mean_trt_pre"),
+        "n_to", F.round("m_to", 4).alias("mean_trt_post"),
+        (F.round(F.col("m_co") - F.col("m_cp"), 4) + 0.0).alias("delta_ctl"),
+        (F.round(F.col("m_to") - F.col("m_tp"), 4) + 0.0).alias("delta_trt"),
+        (F.round((F.col("m_to") - F.col("m_tp")) - (F.col("m_co") - F.col("m_cp")), 4) + 0.0).alias("did"),
     )

@@ -344,3 +344,140 @@ def test_prefix_join_is_minhash_ground_truth(spark, sf_dir):
         assert jbp >= truth[pair] - 1  # -1 for integer-floor slack
     recall = len(set(lsh) & set(truth)) / len(truth)
     assert recall >= 0.8, recall
+
+
+def test_holt_seed_and_constant_series(spark, sf_dir):
+    """Holt smoothing seeds l_1 = x_1, b_1 = 0: the first hour of every
+    series must have level == avg_value and trend == 0, and every row's
+    forecast must be the rounded level+trend (the one-step-ahead
+    identity)."""
+    from sol_spark.queries.events_analytics import events_holt
+
+    rows = events_holt(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        if r["event_type"] not in seen:  # output is ordered by (type, hour)
+            seen.add(r["event_type"])
+            assert r["level"] == r["avg_value"]
+            assert r["trend"] == 0.0
+        assert abs(r["forecast_next"] - (r["level"] + r["trend"])) < 2e-6
+
+
+def test_did_identity_and_cell_cover(spark, sf_dir):
+    """The DiD estimate must equal delta_trt - delta_ctl (up to the two
+    roundings), and the four cell counts must cover every (user, period)
+    purchase row exactly once."""
+    from sol_spark.queries.events_analytics import events_did
+    from sol_spark.tables import load_tables
+
+    r = events_did(spark, sf_dir).collect()[0]
+    assert abs(r["did"] - (r["delta_trt"] - r["delta_ctl"])) < 2e-4
+    t = load_tables(spark, sf_dir)
+    n_user_periods = (
+        t["events"].where(F.col("event_type") == "purchase")
+        .select("user_id", (F.col("ts") < F.lit("2024-01-16").cast("timestamp_ntz")).alias("pre"))
+        .distinct().count()
+    )
+    assert r["n_cp"] + r["n_co"] + r["n_tp"] + r["n_to"] == n_user_periods
+
+
+def test_incremental_agg_equals_direct_recompute(spark, sf_dir):
+    """IVM losslessness inside Spark itself: the base+delta merge must be
+    row-for-row identical to a one-pass recompute over the same frame
+    (the oracle proves it cross-engine; this pins it against a direct
+    DataFrame recompute, including the decimal-exact sums)."""
+    from sol_spark.queries.relational import warehouse_incremental_agg
+    from sol_spark.tables import load_tables
+
+    got = warehouse_incremental_agg(spark, sf_dir).collect()
+    t = load_tables(spark, sf_dir)
+    want = (
+        t["orders"]
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("total_price"),
+        )
+        .orderBy("month", "status")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_mips_augmented_cosine_monotone(spark, sf_dir):
+    """The norm-augmentation reduction: within each query, ranking by dot
+    must coincide with ranking by augmented cosine — aug_cos must be
+    non-increasing down the rank order (the reduction's whole point),
+    and rk must follow (-dot, cid)."""
+    from sol_spark.operators.similarity import sim_mips
+
+    rows = sim_mips(spark, sf_dir).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rs in by_q.items():
+        rs_sorted = sorted(rs, key=lambda r: r["rk"])
+        resorted = sorted(rs, key=lambda r: (-r["dot"], r["cid"]))
+        assert [r["cid"] for r in rs_sorted] == [r["cid"] for r in resorted]
+        for a, b in zip(rs_sorted, rs_sorted[1:]):
+            assert a["aug_cos"] >= b["aug_cos"] - 1e-6
+
+
+def test_fellegi_sunter_consistent_with_blocking(spark, sf_dir):
+    """FS scoring must (a) reproduce its score from the agreement flags,
+    (b) classify 'match' only with name agreement (no non-name
+    combination reaches the threshold), and (c) have its name-agreement
+    pair set equal er_blocking's edit-distance pair set exactly."""
+    from sol_spark.operators.governance import (
+        FS_T_MATCH,
+        FS_W,
+        er_blocking,
+        er_fellegi_sunter,
+    )
+
+    rows = er_fellegi_sunter(spark, sf_dir).collect()
+    assert rows
+    name_pairs = set()
+    for r in rows:
+        want = sum(
+            FS_W[f][0] if r[f"agr_{f}"] == 1 else FS_W[f][1]
+            for f in ("name", "segment", "acctbal")
+        )
+        assert r["score"] == want
+        assert r["verdict"] == ("match" if r["score"] >= FS_T_MATCH else "possible")
+        if r["verdict"] == "match":
+            assert r["agr_name"] == 1
+        if r["agr_name"] == 1:
+            name_pairs.add((r["custkey_a"], r["custkey_b"]))
+    blocking = {
+        (r["custkey_a"], r["custkey_b"]) for r in er_blocking(spark, sf_dir).collect()
+    }
+    assert name_pairs == blocking
+
+
+def test_sketch_pr_identities_and_minhash_recall(spark, sf_dir):
+    """PR-audit internal consistency: fp/fn/precision/recall must be
+    derivable from (n_truth, n_method, tp); n_truth identical across
+    methods; minhash (calibrated to the truth's own similarity space)
+    must clear 0.8 recall — the same gate the prefix-join test pins."""
+    from sol_spark.operators.dedup import dedup_sketch_pr
+
+    rows = dedup_sketch_pr(spark, sf_dir).collect()
+    assert {r["method"] for r in rows} == {"containment", "jaccard", "minhash", "simhash"}
+    n_truth = rows[0]["n_truth"]
+    assert n_truth > 0
+    for r in rows:
+        assert r["n_truth"] == n_truth
+        assert 0 <= r["tp"] <= min(r["n_truth"], r["n_method"])
+        assert r["fp"] == r["n_method"] - r["tp"]
+        assert r["fn"] == r["n_truth"] - r["tp"]
+        if r["n_method"]:
+            assert r["precision_bp"] == (10000 * r["tp"]) // r["n_method"]
+        assert r["recall_bp"] == (10000 * r["tp"]) // r["n_truth"]
+        if r["method"] == "minhash":
+            assert r["recall_bp"] >= 8000
