@@ -2588,3 +2588,61 @@ def dedup_sketch_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampled-source harmonic centrality from the BFS distance map
+# ---------------------------------------------------------------------------
+
+GRAPH_HARMONIC_ORACLE = f"""
+WITH bfs AS MATERIALIZED (
+  SELECT * FROM ({GRAPH_BFS_ORACLE.replace("ORDER BY seed, doc", "")}) b
+)
+SELECT doc, count(*) AS n_seeds,
+       (sum(12 // dist))::BIGINT AS harmonic_x12,
+       round(sum(12 // dist) / 12.0, 4) AS harmonic
+FROM bfs WHERE dist > 0
+GROUP BY doc ORDER BY doc
+"""
+
+
+@register(
+    "graph_harmonic_centrality",
+    GRAPH_HARMONIC_ORACLE,
+    tags=("llm", "dedup", "graph", "iterative"),
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source harmonic centrality (Boldi-Vigna): each document's
+    sum of 1/d(seed, doc) over the {BFS_SEEDS} BFS seed sources, horizon
+    {BFS_ROUNDS} hops — the pivot-sampling estimator (HyperBall's exact
+    small-sample analog) for "how close is this node to everything
+    else", which degree/PageRank don't measure (a node bridging two
+    cliques scores high here while its degree stays low). Unreachable
+    and beyond-horizon nodes contribute zero, exactly the harmonic
+    centrality convention that makes the score finite on disconnected
+    near-dup graphs.
+
+    Exactness: distances are 1..{BFS_ROUNDS}, every one divides 12, so
+    the score is accumulated as an INTEGER sum of 12/d (lcm scaling) —
+    no float addition order anywhere; the float `harmonic` is a single
+    exact division of that integer at the end.
+
+    Scale shape: reuses the bounded-hop BFS relaxation (one equi-join +
+    min-agg per round through iterate(), storage released per round);
+    the centrality itself is one doc-keyed hash aggregate over the
+    |seeds| x |reached| distance map. Production scales sources, not
+    horizon: k more seeds = k independent BFS frontiers in the same
+    joins."""
+    bfs = graph_bfs_distances(spark, sf_dir)
+    out = local_checkpoint(
+        bfs.where(F.col("dist") > 0)
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_seeds"),
+            F.sum(F.expr("12 div dist")).cast("bigint").alias("harmonic_x12"),
+            F.round(F.sum(F.expr("12 div dist")) / 12.0, 4).alias("harmonic"),
+        )
+        .orderBy("doc")
+    )
+    release_result(bfs)
+    return out

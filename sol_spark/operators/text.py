@@ -2763,3 +2763,165 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = local_checkpoint(out)
     release_result(vocab)
     return out
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr REMOVAL pass: rewrite the corpus dropping cross-doc duplicated
+# runs (keep-first), not just measuring them
+# ---------------------------------------------------------------------------
+
+SPANRM_MIN_RUN = 2  # runs of >= 2 consecutive dup K-shingles (> K+1 tokens)
+
+SPAN_REMOVAL_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS tk, {_NORM_DUCK} AS ntext,
+         len(string_split({_NORM_DUCK}, ' ')) AS n
+  FROM documents
+), sh AS (
+  SELECT doc_id, n, greatest(n - {DUPSPAN_K} + 1, 1) AS n_sh, p,
+         CASE WHEN n < {DUPSPAN_K} THEN ntext
+              ELSE array_to_string(tk[p : p + {DUPSPAN_K} - 1], ' ') END AS s
+  FROM toks, unnest(CASE WHEN n < {DUPSPAN_K} THEN [1]
+                         ELSE range(1, n - {DUPSPAN_K} + 2) END) AS u(p)
+), hashed AS (
+  SELECT doc_id, n, n_sh, p, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h,
+         row_number() OVER (PARTITION BY ('0x' || substr(md5(s), 1, 15))::BIGINT
+                            ORDER BY doc_id, p) AS occ
+  FROM sh
+), dup AS (
+  SELECT doc_id, n, n_sh, p,
+         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM hashed WHERE occ > 1
+), iv AS (
+  SELECT doc_id, min(p) AS pos, least(max(p) + {DUPSPAN_K} - 1, any_value(n)) AS iend
+  FROM dup GROUP BY doc_id, grp, n_sh
+  HAVING count(*) >= {SPANRM_MIN_RUN} OR count(*) = n_sh
+), tokens AS (
+  SELECT doc_id, u.j AS pos, tk[u.j] AS tok FROM toks, unnest(range(1, n + 1)) AS u(j)
+), events AS (
+  SELECT doc_id, pos, 0 AS kind, iend, NULL AS tok FROM iv
+  UNION ALL
+  SELECT doc_id, pos, 1 AS kind, NULL AS iend, tok FROM tokens
+), cov AS (
+  SELECT doc_id, pos, kind, tok,
+         max(iend) OVER (PARTITION BY doc_id ORDER BY pos, kind
+                         ROWS UNBOUNDED PRECEDING) AS cend
+  FROM events
+), tk2 AS (
+  SELECT doc_id, pos, tok, coalesce(cend, 0) >= pos AS removed
+  FROM cov WHERE kind = 1
+)
+SELECT doc_id, count(*) AS n_tokens,
+       (sum(CASE WHEN removed THEN 1 ELSE 0 END))::BIGINT AS n_removed,
+       ((10000 * sum(CASE WHEN removed THEN 0 ELSE 1 END)) // count(*))::BIGINT AS kept_bp,
+       md5(coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT removed), '')) AS kept_md5
+FROM tk2 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("text_span_removal", SPAN_REMOVAL_ORACLE, tags=("llm", "text", "dedup"))
+def text_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup as an actual REWRITE (Lee et al.'s removal step,
+    where text_dup_spans is the diagnostic): every cross-doc duplicated
+    run of >= {SPANRM_MIN_RUN} consecutive {DUPSPAN_K}-token shingles —
+    or a whole-document duplicate of any length — is dropped from all
+    but its globally FIRST occurrence (min (doc_id, position)), and each
+    document is re-emitted from its surviving tokens (md5 of the
+    rewritten text keeps the row narrow; production emits the text).
+
+    Scale shape: linear in corpus shingles end-to-end. Keep-first is a
+    per-hash window rank (no join-back); runs are gaps-and-islands per
+    doc; and token-level coverage is resolved WITHOUT an interval join —
+    interval starts and tokens merge into one per-doc ordered stream
+    where a running max(interval_end) tells each token whether any open
+    interval covers it (the sweep-line trick; a token-in-interval theta
+    join would be quadratic in dense docs). Reassembly is the
+    line_dedup sorted-collect per doc."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = (
+        t["documents"]
+        .repartition(width, "doc_id")
+        .select("doc_id", F.expr(_NORM).alias("ntext"))
+        .select("doc_id", "ntext", F.split("ntext", " ").alias("tk"))
+        .withColumn("n", F.size("tk"))
+        .withColumn("n_sh", F.greatest(F.col("n") - DUPSPAN_K + 1, F.lit(1)))
+    )
+    sh = (
+        base.select(
+            "doc_id", "n", "n_sh", "tk", "ntext",
+            F.posexplode(
+                F.expr(f"CASE WHEN n < {DUPSPAN_K} THEN sequence(1, 1) ELSE sequence(1, n - {DUPSPAN_K} + 1) END")
+            ).alias("i", "p"),
+        )
+        .select(
+            "doc_id", "n", "n_sh", "p",
+            F.when(F.col("n") < DUPSPAN_K, F.col("ntext"))
+            .otherwise(F.expr(f"concat_ws(' ', slice(tk, p, {DUPSPAN_K}))"))
+            .alias("s"),
+        )
+        .select(
+            "doc_id", "n", "n_sh", "p",
+            F.expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)").alias("h"),
+        )
+    )
+    occ = sh.withColumn(
+        "occ", F.row_number().over(W.partitionBy("h").orderBy("doc_id", "p"))
+    )
+    dup = occ.where(F.col("occ") > 1).withColumn(
+        "grp", F.col("p") - F.row_number().over(W.partitionBy("doc_id").orderBy("p"))
+    )
+    iv = (
+        dup.groupBy("doc_id", "grp", "n_sh")
+        .agg(
+            F.min("p").alias("pos"),
+            F.least(F.max("p") + DUPSPAN_K - 1, F.first("n")).alias("iend"),
+            F.count(F.lit(1)).alias("rl"),
+        )
+        .where((F.col("rl") >= SPANRM_MIN_RUN) | (F.col("rl") == F.col("n_sh")))
+        .select("doc_id", "pos", "iend")
+    )
+    tokens = base.select(
+        "doc_id", F.posexplode("tk").alias("j0", "tok")
+    ).select("doc_id", (F.col("j0") + 1).alias("pos"), "tok")
+    events = iv.select(
+        "doc_id", "pos", F.lit(0).alias("kind"), "iend", F.lit(None).cast("string").alias("tok")
+    ).unionByName(
+        tokens.select(
+            "doc_id", "pos", F.lit(1).alias("kind"),
+            F.lit(None).cast("int").alias("iend"), "tok",
+        )
+    )
+    w_sweep = (
+        W.partitionBy("doc_id").orderBy("pos", "kind").rowsBetween(W.unboundedPreceding, 0)
+    )
+    tk2 = (
+        events.withColumn("cend", F.max("iend").over(w_sweep))
+        .where(F.col("kind") == 1)
+        .select(
+            "doc_id", "pos", "tok",
+            (F.coalesce(F.col("cend"), F.lit(0)) >= F.col("pos")).alias("removed"),
+        )
+    )
+    return (
+        tk2.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("removed"), 1).otherwise(0)).cast("long").alias("n_removed"),
+            F.expr("(10000 * sum(CASE WHEN removed THEN 0 ELSE 1 END)) div count(*)").alias("kept_bp"),
+            F.md5(
+                F.coalesce(
+                    F.array_join(
+                        F.expr(
+                            "transform(array_sort(collect_list(CASE WHEN NOT removed THEN struct(pos, tok) END)), q -> q.tok)"
+                        ),
+                        " ",
+                    ),
+                    F.lit(""),
+                )
+            ).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )

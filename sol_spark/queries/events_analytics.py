@@ -2264,3 +2264,125 @@ def events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("m_to") - F.col("m_tp"), 4) + 0.0).alias("delta_trt"),
         (F.round((F.col("m_to") - F.col("m_tp")) - (F.col("m_co") - F.col("m_cp")), 4) + 0.0).alias("did"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced experiment readout
+# ---------------------------------------------------------------------------
+
+CUPED_ORACLE = f"""
+WITH per AS (
+  SELECT user_id,
+         sum(CASE WHEN ts < TIMESTAMP '{DID_CUTOFF}' THEN value ELSE 0 END) AS pre,
+         sum(CASE WHEN ts >= TIMESTAMP '{DID_CUTOFF}' THEN value ELSE 0 END) AS post
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+pooled AS (
+  SELECT covar_samp(post, pre) / var_samp(pre) AS theta, avg(pre) AS mpre FROM per
+),
+adj AS (
+  SELECT CASE WHEN (('0x' || substr(md5('cu' || user_id), 1, 8))::BIGINT % 2) = 0
+              THEN 'A' ELSE 'B' END AS variant,
+         post,
+         post - (SELECT theta FROM pooled) * (pre - (SELECT mpre FROM pooled)) AS y
+  FROM per
+),
+arms AS (
+  SELECT variant, count(*) AS n, avg(post) AS m_raw, var_samp(post) AS v_raw,
+         avg(y) AS m_adj, var_samp(y) AS v_adj
+  FROM adj GROUP BY variant
+),
+wide AS (
+  SELECT
+    max(CASE WHEN variant = 'A' THEN n END) AS na,
+    max(CASE WHEN variant = 'A' THEN m_raw END) AS mra,
+    max(CASE WHEN variant = 'A' THEN v_raw END) AS vra,
+    max(CASE WHEN variant = 'A' THEN m_adj END) AS maa,
+    max(CASE WHEN variant = 'A' THEN v_adj END) AS vaa,
+    max(CASE WHEN variant = 'B' THEN n END) AS nb,
+    max(CASE WHEN variant = 'B' THEN m_raw END) AS mrb,
+    max(CASE WHEN variant = 'B' THEN v_raw END) AS vrb,
+    max(CASE WHEN variant = 'B' THEN m_adj END) AS mab,
+    max(CASE WHEN variant = 'B' THEN v_adj END) AS vab
+  FROM wide0
+)
+SELECT na, nb,
+       round((SELECT theta FROM pooled), 4) AS theta,
+       round(mra - mrb, 4) + 0.0 AS lift_raw,
+       round(maa - mab, 4) + 0.0 AS lift_adj,
+       round((mra - mrb) / sqrt(vra / na + vrb / nb), 4) + 0.0 AS t_raw,
+       round((maa - mab) / sqrt(vaa / na + vab / nb), 4) + 0.0 AS t_adj,
+       round(100 * (1 - (vaa / na + vab / nb) / (vra / na + vrb / nb)), 2) + 0.0 AS var_reduction_pct
+FROM wide
+""".replace("FROM wide0", "FROM arms")
+
+
+@register("events_cuped", CUPED_ORACLE, tags=("events", "stats", "experiment"))
+def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment readout (Deng et al. 2013): each user's
+    post-period purchase sum is regressed against their PRE-period sum,
+    theta = cov(post, pre) / var(pre) fitted on the pooled panel, and the
+    per-user adjusted metric y = post - theta*(pre - mean(pre)) replaces
+    the raw one — pre-period behavior is unaffected by treatment, so the
+    adjustment removes explained variance without biasing the lift. The
+    readout reports raw vs adjusted lift, both Welch t statistics, and
+    the achieved variance reduction (on this fixture's independent
+    pre/post draws the reduction is small — theta tracks corr ~ -0.17 —
+    which is itself the honest answer; real panels with sticky user
+    behavior see 30-50%).
+
+    Scale shape: one conditional aggregate builds the per-user panel
+    (the only data-sized shuffle); theta and mean(pre) are a 1-row
+    aggregate broadcast back into the projection; arm stats are a 2-row
+    aggregate — the estimator never rescans events and never collects
+    user rows."""
+    t = load_tables(spark, sf_dir)
+    cutoff = F.lit(DID_CUTOFF).cast("timestamp_ntz")
+    per = (
+        t["events"]
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < cutoff, F.col("value")).otherwise(F.lit(0))).alias("pre"),
+            F.sum(F.when(F.col("ts") >= cutoff, F.col("value")).otherwise(F.lit(0))).alias("post"),
+        )
+    )
+    pooled = per.agg(
+        (F.covar_samp("post", "pre") / F.var_samp("pre")).alias("theta"),
+        F.avg("pre").alias("mpre"),
+    )
+    adj = per.crossJoin(F.broadcast(pooled)).select(
+        F.when(
+            F.expr("CAST(conv(substring(md5(concat('cu', user_id)), 1, 8), 16, 10) AS BIGINT) % 2") == 0,
+            "A",
+        ).otherwise("B").alias("variant"),
+        "post",
+        (F.col("post") - F.col("theta") * (F.col("pre") - F.col("mpre"))).alias("y"),
+        "theta",
+    )
+    arms = adj.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("post").alias("m_raw"), F.var_samp("post").alias("v_raw"),
+        F.avg("y").alias("m_adj"), F.var_samp("y").alias("v_adj"),
+        F.first("theta").alias("theta"),
+    )
+
+    def cell(col: str, v: str) -> F.Column:
+        return F.max(F.when(F.col("variant") == v, F.col(col)))
+
+    wide = arms.agg(
+        cell("n", "A").alias("na"), cell("m_raw", "A").alias("mra"), cell("v_raw", "A").alias("vra"),
+        cell("m_adj", "A").alias("maa"), cell("v_adj", "A").alias("vaa"),
+        cell("n", "B").alias("nb"), cell("m_raw", "B").alias("mrb"), cell("v_raw", "B").alias("vrb"),
+        cell("m_adj", "B").alias("mab"), cell("v_adj", "B").alias("vab"),
+        F.max("theta").alias("theta"),
+    )
+    return wide.select(
+        "na", "nb",
+        F.round("theta", 4).alias("theta"),
+        (F.round(F.col("mra") - F.col("mrb"), 4) + 0.0).alias("lift_raw"),
+        (F.round(F.col("maa") - F.col("mab"), 4) + 0.0).alias("lift_adj"),
+        (F.round((F.col("mra") - F.col("mrb")) / F.sqrt(F.col("vra") / F.col("na") + F.col("vrb") / F.col("nb")), 4) + 0.0).alias("t_raw"),
+        (F.round((F.col("maa") - F.col("mab")) / F.sqrt(F.col("vaa") / F.col("na") + F.col("vab") / F.col("nb")), 4) + 0.0).alias("t_adj"),
+        (F.round(100 * (1 - (F.col("vaa") / F.col("na") + F.col("vab") / F.col("nb")) / (F.col("vra") / F.col("na") + F.col("vrb") / F.col("nb"))), 2) + 0.0).alias("var_reduction_pct"),
+    )

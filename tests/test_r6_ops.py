@@ -481,3 +481,92 @@ def test_sketch_pr_identities_and_minhash_recall(spark, sf_dir):
         assert r["recall_bp"] == (10000 * r["tp"]) // r["n_truth"]
         if r["method"] == "minhash":
             assert r["recall_bp"] >= 8000
+
+
+def test_cuped_theta_and_counts(spark, sf_dir):
+    """CUPED internals: theta reported by the query must match
+    covar_samp/var_samp recomputed directly on the per-user panel, and
+    the two arm sizes must cover every purchasing user exactly once."""
+    from sol_spark.queries.events_analytics import events_cuped
+    from sol_spark.tables import load_tables
+
+    r = events_cuped(spark, sf_dir).collect()[0]
+    t = load_tables(spark, sf_dir)
+    cutoff = F.lit("2024-01-16").cast("timestamp_ntz")
+    per = (
+        t["events"].where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < cutoff, F.col("value")).otherwise(F.lit(0))).alias("pre"),
+            F.sum(F.when(F.col("ts") >= cutoff, F.col("value")).otherwise(F.lit(0))).alias("post"),
+        )
+    )
+    stats = per.agg(
+        (F.covar_samp("post", "pre") / F.var_samp("pre")).alias("theta"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert abs(r["theta"] - round(stats["theta"], 4)) < 1e-9
+    assert r["na"] + r["nb"] == stats["n"]
+    assert r["var_reduction_pct"] is not None
+
+
+def test_harmonic_matches_bfs_distances(spark, sf_dir):
+    """Harmonic centrality must be exactly the integer 12/d sum over the
+    BFS distance map it composes (recomputed independently here), with
+    n_seeds bounded by the seed count."""
+    from sol_spark.operators.dedup import (
+        BFS_SEEDS,
+        graph_bfs_distances,
+        graph_harmonic_centrality,
+        release_result,
+    )
+
+    bfs = graph_bfs_distances(spark, sf_dir)
+    want: dict[int, tuple[int, int]] = {}
+    for r in bfs.collect():
+        if r["dist"] > 0:
+            n, h = want.get(r["doc"], (0, 0))
+            want[r["doc"]] = (n + 1, h + 12 // r["dist"])
+    release_result(bfs)
+    hc = graph_harmonic_centrality(spark, sf_dir)
+    got = {r["doc"]: r for r in hc.collect()}
+    release_result(hc)
+    assert set(got) == set(want)
+    for doc, (n, h) in want.items():
+        assert got[doc]["n_seeds"] == n <= BFS_SEEDS
+        assert got[doc]["harmonic_x12"] == h
+        assert got[doc]["harmonic"] == round(h / 12.0, 4)
+
+
+def test_span_removal_consistent_with_dup_spans(spark, sf_dir):
+    """Removal must agree with the diagnostic: every doc with removed
+    tokens has a nonzero dup fraction in text_dup_spans; untouched docs
+    hash to their normalized text verbatim; fully-removed docs hash to
+    the empty string; and at least one doc is partially rewritten."""
+    import hashlib
+
+    from sol_spark.operators.text import text_dup_spans, text_span_removal
+    from sol_spark.tables import load_tables
+
+    removal = {r["doc_id"]: r for r in text_span_removal(spark, sf_dir).collect()}
+    spans = {r["doc_id"]: r for r in text_dup_spans(spark, sf_dir).collect()}
+    t = load_tables(spark, sf_dir)
+    norm = {
+        r["doc_id"]: r["ntext"]
+        for r in t["documents"].select(
+            "doc_id", F.expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))").alias("ntext")
+        ).collect()
+    }
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    partial = 0
+    for doc_id, r in removal.items():
+        if r["n_removed"] > 0:
+            assert spans[doc_id]["dup_frac_bp"] > 0
+        if r["n_removed"] == 0:
+            assert r["kept_md5"] == hashlib.md5(norm[doc_id].encode()).hexdigest()
+            assert r["kept_bp"] == 10000
+        if r["kept_bp"] == 0:
+            assert r["kept_md5"] == empty_md5
+        if 0 < r["n_removed"] < r["n_tokens"]:
+            partial += 1
+    assert partial > 0
