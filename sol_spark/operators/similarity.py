@@ -1803,3 +1803,101 @@ def sim_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid", "dot", "aug_cos", "rk")
         .orderBy("qid", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Farthest-first (Gonzalez k-center) coreset selection
+# ---------------------------------------------------------------------------
+
+KC_K = 8  # coreset size; start = min vec_id (deterministic)
+
+
+def _kcenter_oracle() -> str:
+    steps = []
+    for k in range(2, KC_K + 1):
+        steps.append(f"""
+s{k} AS MATERIALIZED (
+  SELECT d.vec_id, d.dmin AS sel_dist, p.embedding
+  FROM d{k - 1} d JOIN pts p USING (vec_id)
+  ORDER BY d.dmin DESC, d.vec_id LIMIT 1
+),
+d{k} AS MATERIALIZED (
+  SELECT d.vec_id, least(d.dmin, n.nd) AS dmin
+  FROM d{k - 1} d JOIN (
+    SELECT p.vec_id,
+           round(sum((p.embedding[i.i]::DOUBLE - s.embedding[i.i]::DOUBLE)
+                   * (p.embedding[i.i]::DOUBLE - s.embedding[i.i]::DOUBLE)), 6) AS nd
+    FROM pts p, s{k} s, dims i GROUP BY p.vec_id
+  ) n USING (vec_id)
+)""")
+    picks = ["SELECT 1 AS step, (SELECT vec_id FROM s1) AS vec_id, 0.0 AS sel_dist"]
+    picks += [
+        f"SELECT {k} AS step, (SELECT vec_id FROM s{k}) AS vec_id, (SELECT sel_dist FROM s{k}) AS sel_dist"
+        for k in range(2, KC_K + 1)
+    ]
+    body = "\nUNION ALL\n".join(picks)
+    return f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+pts AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+s1 AS MATERIALIZED (
+  SELECT vec_id, embedding FROM pts ORDER BY vec_id LIMIT 1
+),
+d1 AS MATERIALIZED (
+  SELECT p.vec_id,
+         round(sum((p.embedding[i.i]::DOUBLE - s.embedding[i.i]::DOUBLE)
+                 * (p.embedding[i.i]::DOUBLE - s.embedding[i.i]::DOUBLE)), 6) AS dmin
+  FROM pts p, s1 s, dims i GROUP BY p.vec_id
+),{",".join(steps)}
+SELECT step, vec_id, round(sel_dist, 6) + 0.0 AS sel_dist FROM ({body}) u ORDER BY step
+"""
+
+
+SAMPLE_KCENTER_ORACLE = _kcenter_oracle()
+
+
+@register("sample_kcenter", SAMPLE_KCENTER_ORACLE, tags=("llm", "similarity", "sampling", "iterative"))
+def sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-first traversal (Gonzalez's 2-approximate k-center): grow
+    a {KC_K}-point coreset by repeatedly picking the vector FARTHEST from
+    the chosen set (squared-L2, argmax with min-vec_id tie-break, seeded
+    at the smallest vec_id) — the deterministic diversity-sampling
+    counterpart to the probability-proportional samplers
+    (sample_importance / sample_temperature): coverage-maximizing seed
+    selection for k-means init, eval-set curation, and active-learning
+    batch picks. Each pick's `sel_dist` is its distance to the set when
+    chosen — non-increasing down the steps, and step k+1's value is the
+    k-point coreset's covering radius.
+
+    Scale shape: the classic incremental form — the per-point
+    nearest-chosen distance folds ONE new centroid per step
+    (dmin := least(dmin, d(x, newest)); never re-scanning the chosen
+    set), so each of the K steps is a single map over the corpus plus a
+    1-row argmax to the driver (TakeOrdered, the k-means model-sync
+    shape). K scans total; distances rounded to 6 per fold so the DuckDB
+    chain replays the identical trajectory."""
+    t = load_tables(spark, sf_dir)
+    pts = t["embeddings"].select("vec_id", "embedding")
+
+    def sqdist_to(vec: list[float]) -> F.Column:
+        lit = "array(" + ",".join(f"cast({float(v)!r} as double)" for v in vec) + ")"
+        return F.expr(
+            f"round(aggregate(zip_with(embedding, {lit}, "
+            "(x, y) -> (cast(x AS double) - y) * (cast(x AS double) - y)), "
+            "cast(0.0 AS double), (acc, v) -> acc + v), 6)"
+        )
+
+    first = pts.orderBy("vec_id").limit(1).collect()[0]
+    chosen = [(1, int(first["vec_id"]), 0.0)]
+    state = pts.select("vec_id", "embedding", sqdist_to(list(first["embedding"])).alias("dmin"))
+    for step in range(2, KC_K + 1):
+        state = state.localCheckpoint(eager=True)  # truncate the fold lineage
+        pick = state.orderBy(F.desc("dmin"), "vec_id").limit(1).collect()[0]
+        chosen.append((step, int(pick["vec_id"]), float(pick["dmin"])))
+        state = state.select(
+            "vec_id", "embedding",
+            F.least(F.col("dmin"), sqdist_to(list(pick["embedding"]))).alias("dmin"),
+        )
+    out = spark.createDataFrame(chosen, "step INT, vec_id BIGINT, sel_dist DOUBLE")
+    return out.select(
+        "step", "vec_id", (F.round("sel_dist", 6) + 0.0).alias("sel_dist")
+    ).orderBy("step")

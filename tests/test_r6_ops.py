@@ -570,3 +570,65 @@ def test_span_removal_consistent_with_dup_spans(spark, sf_dir):
         if 0 < r["n_removed"] < r["n_tokens"]:
             partial += 1
     assert partial > 0
+
+
+def test_kcenter_farthest_first_invariants(spark, sf_dir):
+    """Gonzalez traversal: selection distances are non-increasing, picks
+    are distinct, the seed is the smallest vec_id, and every pick's
+    sel_dist equals its true squared distance to the PREVIOUSLY chosen
+    set (recomputed in numpy)."""
+    import numpy as np
+
+    from sol_spark.operators.similarity import KC_K, sample_kcenter
+    from sol_spark.tables import load_tables
+
+    rows = sample_kcenter(spark, sf_dir).collect()
+    assert [r["step"] for r in rows] == list(range(1, KC_K + 1))
+    picks = [r["vec_id"] for r in rows]
+    assert len(set(picks)) == KC_K
+    dists = [r["sel_dist"] for r in rows[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
+    t = load_tables(spark, sf_dir)
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in t["embeddings"].select("vec_id", "embedding").collect()
+    }
+    assert picks[0] == min(emb)
+    for i, r in enumerate(rows[1:], start=1):
+        d = min(
+            round(float(np.sum((emb[r["vec_id"]] - emb[c]) ** 2)), 6) for c in picks[:i]
+        )
+        assert abs(r["sel_dist"] - d) < 2e-6
+        # farthest: no unpicked point may be farther (check on a sample)
+        for other in list(emb)[:50]:
+            if other in picks[: i + 1]:
+                continue
+            od = min(
+                round(float(np.sum((emb[other] - emb[c]) ** 2)), 6) for c in picks[:i]
+            )
+            assert od <= r["sel_dist"] + 2e-6
+
+
+def test_skipping_audit_layout_ordering(spark, sf_dir):
+    """The audit must reproduce the zone-map folklore: natural order
+    skips nothing on either predicate; linear-by-partkey beats natural
+    on the box but degenerates to full scan on the suppkey-only filter;
+    zorder skips on BOTH; rows_matched is layout-invariant."""
+    from sol_spark.operators.layout import layout_skipping_audit
+
+    rows = {(r["predicate"], r["layout"]): r for r in layout_skipping_audit(spark, sf_dir).collect()}
+    assert len(rows) == 6
+    for pred in ("box_both_keys", "suppkey_only"):
+        matched = {rows[(pred, lay)]["rows_matched"] for lay in ("natural", "linear_partkey", "zorder")}
+        assert len(matched) == 1  # layout never changes the answer
+        assert rows[(pred, "natural")]["skip_bp"] == 0
+        # every layout must scan at least the matching rows
+        for lay in ("natural", "linear_partkey", "zorder"):
+            assert rows[(pred, lay)]["rows_scanned"] >= rows[(pred, lay)]["rows_matched"]
+    assert rows[("box_both_keys", "linear_partkey")]["skip_bp"] > 5000
+    assert rows[("box_both_keys", "zorder")]["skip_bp"] > 5000
+    assert rows[("suppkey_only", "linear_partkey")]["skip_bp"] == 0
+    # suppkey 0-4 is half the sf0.001 domain, so the margin is thin there;
+    # at sf0.01 (1/20th of the domain) zorder skips ~37%. Structural claim:
+    # zorder skips SOMETHING on the key linear-by-partkey can't touch.
+    assert rows[("suppkey_only", "zorder")]["skip_bp"] > 0
