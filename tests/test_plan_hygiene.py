@@ -50,6 +50,13 @@ EAGER_BUILD = {
     "dedup_semdedup_kmeans",
     "graph_bfs_distances",
     "dedup_representatives",  # composes two eager iterative operators
+    # late-r6 eager operators: sketch-PR checkpoints each method's pair
+    # set before grading; harmonic centrality composes the eager BFS;
+    # method_overlap's counts collect; k-center collects a 1-row argmax
+    # per pick. Oracle + behavioral tests cover them.
+    "dedup_sketch_pr",
+    "graph_harmonic_centrality",
+    "sample_kcenter",
 }
 
 # Registered cartesian-by-design operators (bounded or demonstration ops).
