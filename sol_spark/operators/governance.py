@@ -832,3 +832,167 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey_a", "custkey_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# User-level DP release with contribution bounding
+# ---------------------------------------------------------------------------
+
+DP_USER_CAP = 3  # max events counted per (user, group) => sensitivity = cap
+
+DP_USER_ORACLE = f"""
+WITH ranked AS (
+  SELECT event_type, user_id,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+  FROM events
+),
+g AS (
+  SELECT event_type AS grp, count(*) AS n_raw,
+         sum(CASE WHEN rn <= {DP_USER_CAP} THEN 1 ELSE 0 END) AS n_clamped
+  FROM ranked GROUP BY 1
+),
+u AS (
+  SELECT grp, n_raw, n_clamped,
+         ((('0x' || substr(md5('dpu' || grp), 1, 8))::BIGINT % 1000000) + 0.5)
+         / 1000000.0 AS u
+  FROM g
+)
+SELECT grp, n_raw::BIGINT AS n_raw, n_clamped::BIGINT AS n_clamped,
+       (n_raw - n_clamped)::BIGINT AS n_clipped,
+       round(n_clamped + (CASE WHEN u > 0.5 THEN -1.0 ELSE 1.0 END)
+                 * {DP_USER_CAP} * ln(1 - 2 * abs(u - 0.5)) / {DP_EPSILON}, 3) AS noisy_n,
+       {DP_USER_CAP} AS sensitivity, {DP_EPSILON} AS epsilon
+FROM u ORDER BY grp
+"""
+
+
+@register("privacy_dp_user_contribution", DP_USER_ORACLE, tags=("governance", "privacy"))
+def privacy_dp_user_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USER-level differential privacy (the accounting privacy_dp_counts
+    skips): a user may contribute many events, so event-count sensitivity
+    to one user is unbounded until contributions are clamped — each
+    (user, event_type) keeps its first {DP_USER_CAP} events (lowest
+    event_id, deterministic), the release counts the clamped stream, and
+    Laplace noise scales to sensitivity {DP_USER_CAP} (cap/eps), not 1.
+    The clamp bias (n_clipped) is reported alongside — the bias/noise
+    trade every production DP aggregation (Plume / DP-SQL style) tunes
+    with the cap. Same reproducible md5 inverse-CDF uniform as
+    privacy_dp_counts; swap in a real RNG and nothing else changes.
+
+    Scale shape: the clamp is one window rank over (user, group) — a
+    user-keyed shuffle with bounded per-key state; the release is a
+    map-side-combined count and scalar noise math on |groups| rows."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    ranked = t["events"].select(
+        "event_type", "user_id",
+        F.row_number().over(
+            W.partitionBy("user_id", "event_type").orderBy("event_id")
+        ).alias("rn"),
+    )
+    g = ranked.groupBy(F.col("event_type").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(F.col("rn") <= DP_USER_CAP, 1).otherwise(0)).alias("n_clamped"),
+    )
+    u = g.withColumn(
+        "u",
+        (F.expr("CAST(conv(substring(md5(concat('dpu', grp)), 1, 8), 16, 10) AS BIGINT) % 1000000")
+         + F.lit(0.5)) / F.lit(1000000.0),
+    )
+    return u.select(
+        "grp",
+        F.col("n_raw").cast("long").alias("n_raw"),
+        F.col("n_clamped").cast("long").alias("n_clamped"),
+        (F.col("n_raw") - F.col("n_clamped")).cast("long").alias("n_clipped"),
+        F.round(
+            F.col("n_clamped")
+            + F.when(F.col("u") > 0.5, F.lit(-1.0)).otherwise(F.lit(1.0))
+            * F.lit(DP_USER_CAP)
+            * F.expr(f"ln(1 - 2 * abs(u - 0.5)) / {DP_EPSILON}"),
+            3,
+        ).alias("noisy_n"),
+        F.lit(DP_USER_CAP).alias("sensitivity"),
+        F.lit(DP_EPSILON).alias("epsilon"),
+    ).orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# Candidate-key discovery: uniqueness profiling across tables
+# ---------------------------------------------------------------------------
+
+_KEY_CANDIDATES = [
+    ("orders", ("o_orderkey",)),
+    ("orders", ("o_custkey",)),
+    ("orders", ("o_custkey", "o_orderdate")),
+    ("lineitem", ("l_orderkey",)),
+    ("lineitem", ("l_orderkey", "l_linenumber")),
+    ("customer", ("c_custkey",)),
+    ("customer", ("c_name",)),
+    ("events", ("event_id",)),
+    ("events", ("user_id", "event_type")),
+]
+
+
+def _key_discovery_oracle() -> str:
+    blocks = []
+    for tbl, cols in _KEY_CANDIDATES:
+        combo = ", ".join(cols)
+        label = "+".join(cols)
+        blocks.append(f"""
+SELECT '{tbl}' AS table_name, '{label}' AS candidate,
+       (SELECT count(*) FROM {tbl})::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_groups,
+       max(n)::BIGINT AS max_group,
+       (max(n) = 1) AS is_unique,
+       ((10000 * ((SELECT count(*) FROM {tbl}) - count(*)))
+         // (SELECT count(*) FROM {tbl}))::BIGINT AS dup_bp
+FROM (SELECT count(*) AS n FROM {tbl} GROUP BY {combo}) g""")
+    return (
+        "SELECT * FROM (" + "\nUNION ALL\n".join(blocks)
+        + ") u ORDER BY table_name, candidate"
+    )
+
+
+DQ_KEY_DISCOVERY_ORACLE = _key_discovery_oracle()
+
+
+@register("dq_key_discovery", DQ_KEY_DISCOVERY_ORACLE, tags=("governance", "profiling"))
+def dq_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery: each declared key candidate (single
+    columns and composites across orders / lineitem / customer / events)
+    is graded for uniqueness — group count, largest duplicate group, a
+    boolean key verdict, and the duplication rate in basis points. The
+    profiling step that comes BEFORE dq_expectations can assert
+    `unique(o_orderkey)`: it finds which uniqueness expectations are
+    even true (here: surrogate keys hold, natural keys like c_name or
+    (user_id, event_type) don't — that failure count is the point).
+
+    Scale shape: one hash aggregate per candidate keyed by the candidate
+    itself (map-side combine collapses duplicates early; the second
+    count-of-groups agg sees |distinct| rows only). Candidates audit
+    independently — at 100 TB run them as one pass per table via
+    grouping sets when the candidate list shares a table."""
+    t = load_tables(spark, sf_dir)
+    parts = []
+    for tbl, cols in _KEY_CANDIDATES:
+        n_rows = t[tbl].count()
+        g = t[tbl].groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
+        parts.append(
+            g.agg(
+                F.count(F.lit(1)).alias("n_groups"),
+                F.max("n").alias("max_group"),
+            ).select(
+                F.lit(tbl).alias("table_name"),
+                F.lit("+".join(cols)).alias("candidate"),
+                F.lit(n_rows).cast("long").alias("n_rows"),
+                F.col("n_groups").cast("long").alias("n_groups"),
+                F.col("max_group").cast("long").alias("max_group"),
+                (F.col("max_group") == 1).alias("is_unique"),
+                F.expr(f"(10000 * ({n_rows} - n_groups)) div {n_rows}").cast("long").alias("dup_bp"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.orderBy("table_name", "candidate")

@@ -2386,3 +2386,88 @@ def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round((F.col("maa") - F.col("mab")) / F.sqrt(F.col("vaa") / F.col("na") + F.col("vab") / F.col("nb")), 4) + 0.0).alias("t_adj"),
         (F.round(100 * (1 - (F.col("vaa") / F.col("na") + F.col("vab") / F.col("nb")) / (F.col("vra") / F.col("na") + F.col("vrb") / F.col("nb"))), 2) + 0.0).alias("var_reduction_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtest: naive vs EWMA vs Holt, one-step-ahead
+# ---------------------------------------------------------------------------
+
+FORECAST_EVAL_ORACLE = f"""
+WITH ew AS (
+  SELECT * FROM ({EVENTS_EWMA_ORACLE.replace("ORDER BY event_type, hour", "")}) e
+),
+ho AS (
+  SELECT * FROM ({EVENTS_HOLT_ORACLE.replace("ORDER BY event_type, hour", "")}) h
+),
+j AS (
+  SELECT ho.event_type, ho.hour, ho.avg_value AS x,
+         lag(ho.avg_value) OVER w AS f_naive,
+         lag(ew.ewma) OVER w AS f_ewma,
+         lag(ho.forecast_next) OVER w AS f_holt
+  FROM ho JOIN ew ON ew.event_type = ho.event_type AND ew.hour = ho.hour
+  WINDOW w AS (PARTITION BY ho.event_type ORDER BY ho.hour)
+),
+m AS (
+  SELECT event_type, count(*) AS n_points,
+         round(avg(abs(x - f_naive)), 4) AS mae_naive,
+         round(avg(abs(x - f_ewma)), 4) AS mae_ewma,
+         round(avg(abs(x - f_holt)), 4) AS mae_holt
+  FROM j WHERE f_naive IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, n_points, mae_naive, mae_ewma, mae_holt,
+       CASE WHEN mae_naive <= mae_ewma AND mae_naive <= mae_holt THEN 'naive'
+            WHEN mae_ewma <= mae_holt THEN 'ewma'
+            ELSE 'holt' END AS best_method
+FROM m ORDER BY event_type
+"""
+
+
+@register("events_forecast_eval", FORECAST_EVAL_ORACLE, tags=("events", "timeseries", "eval"))
+def events_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead forecast backtest per event type: the naive
+    persistence forecast (x_{{t-1}}), the EWMA state (y_{{t-1}}, a=0.3),
+    and the Holt level+trend forecast from t-1 are each scored by mean
+    absolute error over the hourly series, with a per-series winner —
+    the model-selection audit run before wiring any smoother into
+    alerting (events_forecast_baseline scores a single method; this is
+    the honest bake-off, sharing the exact recurrences the driver
+    already verifies via events_ewma / events_holt). Winner ties break
+    toward the simpler model (naive > ewma > holt), the forecasting
+    equivalent of Occam's razor.
+
+    Scale shape: composes the two grouped-map recurrences (each
+    partition-parallel across series) plus one equi-join on
+    (series, hour) and a lag window over already-downsampled hourly
+    rows; the scorecard aggregate is |series| rows."""
+    ew = events_ewma(spark, sf_dir).select("event_type", "hour", "ewma")
+    ho = events_holt(spark, sf_dir).select("event_type", "hour", "avg_value", "forecast_next")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy("hour")
+    j = (
+        ho.join(ew, ["event_type", "hour"])
+        .select(
+            "event_type", "hour", F.col("avg_value").alias("x"),
+            F.lag("avg_value").over(w).alias("f_naive"),
+            F.lag("ewma").over(w).alias("f_ewma"),
+            F.lag("forecast_next").over(w).alias("f_holt"),
+        )
+    )
+    m = (
+        j.where(F.col("f_naive").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.avg(F.abs(F.col("x") - F.col("f_naive"))), 4).alias("mae_naive"),
+            F.round(F.avg(F.abs(F.col("x") - F.col("f_ewma"))), 4).alias("mae_ewma"),
+            F.round(F.avg(F.abs(F.col("x") - F.col("f_holt"))), 4).alias("mae_holt"),
+        )
+    )
+    return m.select(
+        "event_type", "n_points", "mae_naive", "mae_ewma", "mae_holt",
+        F.when(
+            (F.col("mae_naive") <= F.col("mae_ewma")) & (F.col("mae_naive") <= F.col("mae_holt")),
+            "naive",
+        ).when(F.col("mae_ewma") <= F.col("mae_holt"), "ewma")
+        .otherwise("holt").alias("best_method"),
+    ).orderBy("event_type")
