@@ -2646,3 +2646,150 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     release_result(bfs)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Minimum spanning forest (Boruvka) over the weighted near-dup graph
+# ---------------------------------------------------------------------------
+
+MST_ROUNDS = 5  # Boruvka halves component count per round: 2^5 covers fixture comps
+
+
+def _mst_oracle_sql() -> str:
+    """Unrolled Boruvka over the simhash (doc_a, doc_b, hamming) graph:
+    round r labels components by CC over the forest-so-far (the condensed
+    _cc_oracle_sql chain embedded as a derived table), picks each
+    component's minimum cross edge under the (w, a, b) total order — the
+    tie-break that makes both-side picks cycle-free — and unions picks
+    into the forest. MST_ROUNDS rounds suffice because Boruvka at least
+    halves live components each round."""
+    rounds = []
+    for r in range(MST_ROUNDS):
+        if r == 0:
+            comp = f"comp{r} AS MATERIALIZED (SELECT doc, doc AS comp FROM gnodes)"
+        else:
+            cc = _cc_oracle_sql(f"SELECT a AS doc_a, b AS doc_b FROM m{r}").replace(
+                "ORDER BY doc", ""
+            )
+            comp = f"""comp{r} AS MATERIALIZED (
+  SELECT n.doc, coalesce(c.cluster, n.doc) AS comp
+  FROM gnodes n LEFT JOIN ({cc}) c ON c.doc = n.doc
+)"""
+        rounds.append(f"""{comp},
+x{r} AS MATERIALIZED (
+  SELECT e.a, e.b, e.w, ca.comp AS comp_a, cb.comp AS comp_b
+  FROM gedges e JOIN comp{r} ca ON ca.doc = e.a JOIN comp{r} cb ON cb.doc = e.b
+  WHERE ca.comp <> cb.comp
+),
+sel{r} AS MATERIALIZED (
+  SELECT DISTINCT a, b, w FROM (
+    SELECT comp, a, b, w,
+           row_number() OVER (PARTITION BY comp ORDER BY w, a, b) AS rn
+    FROM (
+      SELECT comp_a AS comp, a, b, w FROM x{r}
+      UNION ALL
+      SELECT comp_b AS comp, a, b, w FROM x{r}
+    ) s
+  ) t WHERE rn = 1
+),
+m{r + 1} AS MATERIALIZED (
+  SELECT a, b, w FROM m{r} UNION SELECT a, b, w FROM sel{r}
+)""")
+    return f"""
+WITH gedges AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b, hamming AS w
+  FROM ({SIMHASH_ORACLE.replace("ORDER BY doc_a, doc_b", "")}) q
+), gnodes AS MATERIALIZED (
+  SELECT DISTINCT doc FROM (SELECT a AS doc FROM gedges UNION ALL SELECT b FROM gedges) s
+),
+m0 AS MATERIALIZED (SELECT a, b, w FROM gedges WHERE false),
+{",".join(rounds)}
+SELECT a AS doc_a, b AS doc_b, w AS weight FROM m{MST_ROUNDS} ORDER BY doc_a, doc_b
+"""
+
+
+GRAPH_MST_ORACLE = _mst_oracle_sql()
+
+
+@register("graph_mst", GRAPH_MST_ORACLE, tags=("llm", "dedup", "graph", "iterative"))
+def graph_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest of the weighted SimHash near-dup graph
+    (edge weight = hamming distance) by Boruvka's algorithm — THE
+    MapReduce-era MST (and the backbone of single-linkage hierarchical
+    dedup: cutting this forest at weight tau reproduces the tau-threshold
+    clusters for every tau at once, where dedup_threshold_sweep prices
+    thresholds one ladder rung at a time). Each round: label components
+    over the forest-so-far (the shared connected-components operator),
+    every component claims its minimum outgoing edge under the total
+    order (weight, a, b) — the classic tie-break that makes simultaneous
+    both-side picks provably cycle-free — and claimed edges join the
+    forest. Components at least halve per round, so rounds are
+    O(log n); the loop stops when a round adds nothing.
+
+    Scale shape: per round, ONE labeling pass over the (bounded,
+    shrinking-component) forest plus one equi-join of the edge set
+    against the label table and a per-component min-aggregate — never
+    all-pairs, never driver-side edges; the convergence probe is a
+    count. Forest rounds and the embedded CC rounds both follow the
+    checkpoint-and-release discipline (storage returns to baseline).
+    Oracle: the same rounds unrolled with the condensed CC chain
+    embedded per round."""
+    ph = dedup_simhash(spark, sf_dir)
+    edges = local_checkpoint(
+        ph.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"), F.col("hamming").alias("w"))
+    )
+    release_result(ph)
+    nodes = local_checkpoint(
+        edges.select(F.col("a").alias("doc")).union(edges.select("b")).distinct()
+    )
+    mst = local_checkpoint(edges.where(F.lit(False)))
+    n_mst = 0
+    try:
+        for r in range(MST_ROUNDS + 1):
+            if r == 0:
+                comp_full = nodes.select("doc", F.col("doc").alias("comp"))
+                comp_ck = None
+            else:
+                comp_ck = connected_components(
+                    mst.select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+                )
+                comp_full = nodes.join(comp_ck, "doc", "left").select(
+                    "doc", F.coalesce("cluster", "doc").alias("comp")
+                )
+            ca = comp_full.select(F.col("doc").alias("a"), F.col("comp").alias("comp_a"))
+            cb = comp_full.select(F.col("doc").alias("b"), F.col("comp").alias("comp_b"))
+            x = (
+                edges.join(ca, "a").join(cb, "b")
+                .where(F.col("comp_a") != F.col("comp_b"))
+            )
+            both = x.select(F.col("comp_a").alias("comp"), "a", "b", "w").unionByName(
+                x.select(F.col("comp_b").alias("comp"), "a", "b", "w")
+            )
+            sel = (
+                both.withColumn(
+                    "rn", F.row_number().over(W.partitionBy("comp").orderBy("w", "a", "b"))
+                )
+                .where(F.col("rn") == 1)
+                .select("a", "b", "w")
+                .distinct()
+            )
+            new_mst = local_checkpoint(mst.unionByName(sel).distinct())
+            if comp_ck is not None:
+                release_result(comp_ck)
+            new_n = new_mst.count()
+            release_result(mst)
+            mst = new_mst
+            if new_n == n_mst:
+                break
+            n_mst = new_n
+        else:
+            raise RuntimeError(f"graph_mst: still growing after {MST_ROUNDS + 1} rounds")
+        out = local_checkpoint(
+            mst.select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), F.col("w").alias("weight"))
+            .orderBy("doc_a", "doc_b")
+        )
+        return out
+    finally:
+        release_result(mst)
+        release_result(edges)
+        release_result(nodes)

@@ -1901,3 +1901,94 @@ def sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "step", "vec_id", (F.round("sel_dist", 6) + 0.0).alias("sel_dist")
     ).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph construction (all-nodes bucketed top-k)
+# ---------------------------------------------------------------------------
+
+KNN_GRAPH_K = 3
+
+SIM_KNN_GRAPH_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+b AS (
+  SELECT vec_id, embedding,
+         list_aggregate(list_transform(embedding[1:{LSH_BITS}],
+                        x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '') AS bucket
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, sqrt(sum(embedding[i.i]::DOUBLE * embedding[i.i]::DOUBLE)) AS nrm
+  FROM embeddings, dims i GROUP BY vec_id
+),
+dots AS (
+  SELECT a.vec_id AS src, c.vec_id AS nbr,
+         sum(a.embedding[i.i]::DOUBLE * c.embedding[i.i]::DOUBLE) AS dot
+  FROM b a JOIN b c USING (bucket), dims i
+  WHERE a.vec_id <> c.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT src, nbr, round(dot / (ns.nrm * nn.nrm), 6) AS cosine
+  FROM dots JOIN norms ns ON ns.vec_id = src
+            JOIN norms nn ON nn.vec_id = nbr
+),
+ranked AS (
+  SELECT src, nbr, cosine,
+         row_number() OVER (PARTITION BY src ORDER BY cosine DESC, nbr) AS rk
+  FROM scored
+),
+knn AS (SELECT src, nbr, cosine, rk FROM ranked WHERE rk <= {KNN_GRAPH_K})
+SELECT k.src, k.nbr, k.cosine, k.rk,
+       (r.src IS NOT NULL) AS mutual
+FROM knn k LEFT JOIN knn r ON r.src = k.nbr AND r.nbr = k.src
+ORDER BY k.src, k.rk
+"""
+
+
+@register("sim_knn_graph", SIM_KNN_GRAPH_ORACLE, tags=("llm", "similarity", "lsh", "graph"))
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph construction over the WHOLE corpus (not just a query
+    set): every vector's top-{KNN_GRAPH_K} cosine neighbors among its
+    sign-LSH bucket mates, with a `mutual` flag marking edges whose
+    reverse edge also survived — the build step for graph-ANN indexes
+    (NSW/HNSW seeds, NN-Descent init) and for graph-based dedup/cluster
+    refinement, where mutual-kNN edges are the high-precision subset.
+
+    Scale shape: the all-pairs problem is confined to LSH buckets (the
+    same equi-join discipline as sim_topk_lsh, now self-join instead of
+    broadcast-query); the per-source window keeps k rows per partition
+    before any global ordering, and the mutuality check is one self
+    equi-join on the (src, nbr) key of the ALREADY-pruned k-edge set —
+    |V|*k rows, not bucket pairs. At 100 TB this is exactly NN-Descent's
+    round-0; refinement rounds would re-join the k-edge set with itself
+    on shared endpoints."""
+    t = load_tables(spark, sf_dir)
+    emb = _with_norm(t["embeddings"]).withColumn("bucket", F.expr(_BUCKET_SPARK))
+    a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ae"),
+                   F.col("nrm").alias("an"), "bucket")
+    c = emb.select(F.col("vec_id").alias("nbr"), F.col("embedding").alias("ce"),
+                   F.col("nrm").alias("cn"), "bucket")
+    dot = F.expr(_DOT.format(a="ae", b="ce"))
+    scored = (
+        a.join(c, "bucket")
+        .filter(F.col("src") != F.col("nbr"))
+        .withColumn("cosine", F.round(dot / (F.col("an") * F.col("cn")), 6))
+    )
+    w = W.partitionBy("src").orderBy(F.desc("cosine"), "nbr")
+    knn = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNN_GRAPH_K)
+        .select("src", "nbr", "cosine", "rk")
+    )
+    rev = knn.select(F.col("src").alias("r_src"), F.col("nbr").alias("r_nbr"))
+    return (
+        knn.join(
+            rev, (F.col("nbr") == F.col("r_src")) & (F.col("src") == F.col("r_nbr")), "left"
+        )
+        .select(
+            "src", "nbr", "cosine", "rk",
+            F.col("r_src").isNotNull().alias("mutual"),
+        )
+        .orderBy("src", "rk")
+    )

@@ -57,6 +57,7 @@ EAGER_BUILD = {
     "dedup_sketch_pr",
     "graph_harmonic_centrality",
     "sample_kcenter",
+    "graph_mst",  # Boruvka rounds + embedded CC run during construction
 }
 
 # Registered cartesian-by-design operators (bounded or demonstration ops).

@@ -725,3 +725,74 @@ def test_forecast_eval_consistent_with_recurrences(spark, sf_dir):
         pass
     else:
         assert r["best_method"] == best
+
+
+def test_knn_graph_structure(spark, sf_dir):
+    """k-NN graph invariants: <= K neighbors per source with contiguous
+    ranks and strictly bucket-mate neighbors; cosine non-increasing down
+    the ranks; the mutual flag must equal membership of the reverse edge
+    in the emitted edge set; mutual edges exist."""
+    from sol_spark.operators.similarity import KNN_GRAPH_K, sim_knn_graph
+
+    rows = sim_knn_graph(spark, sf_dir).collect()
+    edges = {(r["src"], r["nbr"]): r for r in rows}
+    by_src: dict[int, list] = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append(r)
+    n_mutual = 0
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= KNN_GRAPH_K
+        for a, b in zip(rs, rs[1:]):
+            assert (a["cosine"], -a["nbr"]) >= (b["cosine"], -b["nbr"])
+    for (src, nbr), r in edges.items():
+        assert r["mutual"] == ((nbr, src) in edges)
+        n_mutual += bool(r["mutual"])
+    assert n_mutual > 0
+
+
+def test_mst_is_minimum_spanning_forest(spark, sf_dir):
+    """The Boruvka output must be a spanning forest of the simhash graph
+    (acyclic, |E| = n - components, connecting exactly the graph's
+    components) AND minimum: its total weight must equal Kruskal's run
+    in Python over the same weighted edges; storage returns to
+    baseline."""
+    from sol_spark.operators.dedup import dedup_simhash, graph_mst, release_result
+
+    def n_persisted():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    base = n_persisted()
+    ph = dedup_simhash(spark, sf_dir)
+    wedges = [(r["doc_a"], r["doc_b"], r["hamming"]) for r in ph.collect()]
+    release_result(ph)
+    mst_df = graph_mst(spark, sf_dir)
+    mst = [(r["doc_a"], r["doc_b"], r["weight"]) for r in mst_df.collect()]
+    release_result(mst_df)
+    assert n_persisted() == base
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b) -> bool:
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            return False
+        parent[ra] = rb
+        return True
+
+    for a, b, w in mst:
+        assert union(a, b), f"cycle edge ({a}, {b})"
+    nodes = {x for a, b, _ in wedges for x in (a, b)}
+    comps = {find(x) for x in nodes}
+    assert len(mst) == len(nodes) - len(comps)
+    # Kruskal reference for minimality (same (w, a, b) total order)
+    parent.clear()
+    kruskal_w = sum(w for a, b, w in sorted(wedges, key=lambda e: (e[2], e[0], e[1])) if union(a, b))
+    assert sum(w for _, _, w in mst) == kruskal_w
