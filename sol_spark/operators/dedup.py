@@ -2793,3 +2793,63 @@ def graph_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
         release_result(mst)
         release_result(edges)
         release_result(nodes)
+
+
+# ---------------------------------------------------------------------------
+# Single-linkage dendrogram profile: cluster counts at every MST cut level
+# ---------------------------------------------------------------------------
+
+MST_CUT_ORACLE = f"""
+WITH mst AS MATERIALIZED (
+  SELECT * FROM ({GRAPH_MST_ORACLE.replace("ORDER BY doc_a, doc_b", "")}) m
+),
+nn AS (
+  SELECT count(*) AS n FROM (
+    SELECT DISTINCT doc FROM (
+      SELECT doc_a AS doc FROM mst UNION ALL SELECT doc_b FROM mst
+    ) s
+  ) d
+),
+per_w AS (
+  SELECT weight AS tau, count(*) AS n_at FROM mst GROUP BY weight
+),
+cum AS (
+  SELECT tau, sum(n_at) OVER (ORDER BY tau) AS n_edges_kept FROM per_w
+)
+SELECT tau, n_edges_kept::BIGINT AS n_edges_kept,
+       ((SELECT n FROM nn) - n_edges_kept)::BIGINT AS n_clusters
+FROM cum ORDER BY tau
+"""
+
+
+@register("graph_mst_cut_profile", MST_CUT_ORACLE, tags=("llm", "dedup", "graph", "iterative"))
+def graph_mst_cut_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-linkage dendrogram profile read straight off the minimum
+    spanning forest: cutting the forest at distance tau keeps exactly
+    the edges with weight <= tau, and because a forest is acyclic the
+    cluster count at EVERY cut level is just n_nodes - edges_kept — the
+    whole hierarchical-clustering tradeoff curve (how aggressively does
+    each hamming threshold merge near-dup groups) from one cumulative
+    sum, where dedup_threshold_sweep had to re-run the pipeline per
+    rung. The tau = max row's n_clusters equals the graph's
+    connected-component count (pinned in tests).
+
+    Scale shape: composes graph_mst (the expensive leg, already
+    bounded); the profile itself is a per-weight count plus one
+    running-sum window over |distinct weights| rows."""
+    mst = graph_mst(spark, sf_dir)
+    n_nodes = (
+        mst.select(F.col("doc_a").alias("doc")).union(mst.select("doc_b")).distinct().count()
+    )
+    per_w = mst.groupBy(F.col("weight").alias("tau")).agg(F.count(F.lit(1)).alias("n_at"))
+    out = local_checkpoint(
+        per_w.withColumn("n_edges_kept", F.sum("n_at").over(W.orderBy("tau")))
+        .select(
+            "tau",
+            F.col("n_edges_kept").cast("long").alias("n_edges_kept"),
+            (F.lit(n_nodes) - F.col("n_edges_kept")).cast("long").alias("n_clusters"),
+        )
+        .orderBy("tau")
+    )
+    release_result(mst)
+    return out

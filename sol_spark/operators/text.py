@@ -2925,3 +2925,73 @@ def text_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets (head / middle / tail per language)
+# ---------------------------------------------------------------------------
+
+CCNET_BUCKETS_ORACLE = f"""
+WITH lm AS (
+  SELECT * FROM ({LM_SCORE_ORACLE.replace("ORDER BY doc_id", "")}) s
+),
+langs AS (SELECT doc_id, lang FROM documents),
+tiled AS (
+  SELECT l.lang, m.avg_logprob,
+         ntile(3) OVER (PARTITION BY l.lang ORDER BY m.avg_logprob DESC, m.doc_id) AS t
+  FROM lm m JOIN langs l USING (doc_id)
+)
+SELECT lang,
+       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       count(*) AS n_docs,
+       round(avg(avg_logprob), 4) AS mean_logprob,
+       round(min(avg_logprob), 4) AS min_logprob,
+       round(max(avg_logprob), 4) AS max_logprob
+FROM tiled GROUP BY lang, t ORDER BY lang, bucket
+"""
+
+
+@register("text_ccnet_buckets", CCNET_BUCKETS_ORACLE, tags=("llm", "text", "quality"))
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al.): per language,
+    documents ranked by corpus-LM score (text_lm_score's unigram
+    log-prob standing in for the Kneser-Ney perplexity) and cut into
+    thirds — head = most fluent, the slice CCNet keeps for pretraining;
+    tail = the candidates for discard or aggressive filtering. ntile
+    with a doc_id tie-break keeps the split deterministic cross-engine.
+    The output is the per-bucket scorecard (count + score range) a
+    curation run records per language shard.
+
+    Scale shape: the LM scoring is the two hash-agg passes of
+    text_lm_score; the split adds one per-language window over scored
+    DOCS (not tokens) and a bounded 3x|langs| rollup. At 100 TB the
+    window partitions by language shard, the natural parallel unit."""
+    lm = text_lm_score(spark, sf_dir).select("doc_id", "avg_logprob")
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    tiled = (
+        lm.join(t["documents"].select("doc_id", "lang"), "doc_id")
+        .select(
+            "lang", "avg_logprob",
+            F.ntile(3).over(
+                W.partitionBy("lang").orderBy(F.desc("avg_logprob"), "doc_id")
+            ).alias("t"),
+        )
+    )
+    return (
+        tiled.groupBy("lang", "t")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("avg_logprob"), 4).alias("mean_logprob"),
+            F.round(F.min("avg_logprob"), 4).alias("min_logprob"),
+            F.round(F.max("avg_logprob"), 4).alias("max_logprob"),
+        )
+        .select(
+            "lang",
+            F.when(F.col("t") == 1, "head").when(F.col("t") == 2, "middle")
+            .otherwise("tail").alias("bucket"),
+            "n_docs", "mean_logprob", "min_logprob", "max_logprob",
+        )
+        .orderBy("lang", "bucket")
+    )

@@ -58,6 +58,7 @@ EAGER_BUILD = {
     "graph_harmonic_centrality",
     "sample_kcenter",
     "graph_mst",  # Boruvka rounds + embedded CC run during construction
+    "graph_mst_cut_profile",  # composes graph_mst
 }
 
 # Registered cartesian-by-design operators (bounded or demonstration ops).

@@ -796,3 +796,53 @@ def test_mst_is_minimum_spanning_forest(spark, sf_dir):
     parent.clear()
     kruskal_w = sum(w for a, b, w in sorted(wedges, key=lambda e: (e[2], e[0], e[1])) if union(a, b))
     assert sum(w for _, _, w in mst) == kruskal_w
+
+
+def test_mst_cut_profile_consistency(spark, sf_dir):
+    """The dendrogram profile must agree with the rest of the graph
+    stack: at the maximum cut level the cluster count equals the simhash
+    graph's connected-component count (dedup_simhash_clusters), the
+    kept-edge counts are cumulative and end at the full forest size, and
+    n_clusters decreases as tau rises."""
+    from sol_spark.operators.dedup import (
+        dedup_simhash_clusters,
+        graph_mst,
+        graph_mst_cut_profile,
+        release_result,
+    )
+
+    prof = graph_mst_cut_profile(spark, sf_dir)
+    rows = prof.collect()
+    release_result(prof)
+    assert rows == sorted(rows, key=lambda r: r["tau"])
+    kept = [r["n_edges_kept"] for r in rows]
+    assert all(a < b for a, b in zip(kept, kept[1:]))
+    clusters = [r["n_clusters"] for r in rows]
+    assert all(a > b for a, b in zip(clusters, clusters[1:]))
+    mst = graph_mst(spark, sf_dir)
+    n_forest = mst.count()
+    release_result(mst)
+    assert kept[-1] == n_forest
+    cl = dedup_simhash_clusters(spark, sf_dir)
+    n_comps = len({r["cluster"] for r in cl.collect()})
+    release_result(cl)
+    assert clusters[-1] == n_comps
+
+
+def test_ccnet_buckets_balanced_and_ordered(spark, sf_dir):
+    """Per language: the three buckets differ in size by at most one
+    (ntile), and score ranges are ordered head >= middle >= tail with
+    non-overlapping boundaries up to rounding."""
+    from sol_spark.operators.text import text_ccnet_buckets
+
+    rows = text_ccnet_buckets(spark, sf_dir).collect()
+    by_lang: dict[str, dict] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    for lang, b in by_lang.items():
+        assert set(b) == {"head", "middle", "tail"}
+        sizes = [b[k]["n_docs"] for k in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1
+        assert b["head"]["mean_logprob"] >= b["middle"]["mean_logprob"] >= b["tail"]["mean_logprob"]
+        assert b["head"]["min_logprob"] >= b["middle"]["max_logprob"] - 1e-4
+        assert b["middle"]["min_logprob"] >= b["tail"]["max_logprob"] - 1e-4
