@@ -69,6 +69,11 @@ HEADLINE = [
     "dedup_semdedup_kmeans",
     "text_cdc_chunks",
     "text_bpe_train",
+    # r6 wave-2 additions: the ExactSubstr REWRITE (shingle window +
+    # sweep-line coverage + per-doc reassembly) and the all-nodes bucketed
+    # k-NN graph build — the two new heavy shapes of the second wave.
+    "text_span_removal",
+    "sim_knn_graph",
     "win_rank_topk_per_group",
     "time_rollup_hierarchy",
     "set_intersect",

@@ -2995,3 +2995,88 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility audit per (lang, source) shard
+# ---------------------------------------------------------------------------
+
+def _fertility_oracle() -> str:
+    return f"""{_bpe_chain_sql()},
+fcounts AS (
+  SELECT word, len(string_split(seq, ' ')) AS n_sub, len(word) AS n_chars_w
+  FROM v{BPE_MERGES}
+),
+fdocwords AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split({_NORM_DUCK}, ' ')) AS word FROM documents
+  ) q WHERE word <> ''
+),
+shard AS (
+  SELECT d.lang, d.source, w.doc_id, c.n_sub, c.n_chars_w
+  FROM fdocwords w JOIN fcounts c USING (word)
+  JOIN documents d ON d.doc_id = w.doc_id
+)
+SELECT lang, source,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_words,
+       CAST(sum(n_sub) AS BIGINT) AS n_tokens,
+       ((10000 * CAST(sum(n_sub) AS BIGINT)) // count(*))::BIGINT AS fertility_bp,
+       ((10000 * CAST(sum(n_sub) AS BIGINT)) // CAST(sum(n_chars_w) AS BIGINT))::BIGINT AS compression_bp
+FROM shard GROUP BY lang, source ORDER BY lang, source
+"""
+
+
+@register("text_tokenizer_fertility", _fertility_oracle(), tags=("llm", "text", "tokenizer", "iterative"))
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per (lang, source) shard: subword tokens per
+    WORD (and per char) under the trained {BPE_MERGES}-merge BPE table —
+    the fairness metric behind multilingual tokenizer reviews (a vocab
+    trained on one language's frequencies inflates every other
+    language's sequence length and training cost; fertility_bp is that
+    inflation, in basis points, per corpus shard). text_bpe_apply
+    reports the per-document view; this is the per-shard decision table
+    a vocab review reads.
+
+    Scale shape: same vocab-space trick as text_bpe_apply — the merge
+    table tokenizes the unique-WORD vocabulary once, the corpus pass is
+    a word join + one (lang, source) hash aggregate; no document is ever
+    re-segmented."""
+    from sol_spark.operators.dedup import iterate, local_checkpoint, release_result
+
+    merges: list = []
+    vocab = iterate(
+        _bpe_v0(spark, sf_dir), _make_bpe_step(merges), lambda v: v, max_rounds=BPE_MERGES
+    )
+    counts = vocab.select(
+        "word",
+        F.size(F.split("seq", " ")).alias("n_sub"),
+        F.length("word").alias("n_chars_w"),
+    )
+    t = load_tables(spark, sf_dir)
+    docwords = (
+        t["documents"]
+        .select("doc_id", F.explode(F.split(F.expr(_NORM), " ")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    shard = docwords.join(counts, "word").join(
+        t["documents"].select("doc_id", "lang", "source"), "doc_id"
+    )
+    out = (
+        shard.groupBy("lang", "source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_tokens"),
+            F.sum("n_chars_w").cast("long").alias("n_chars"),
+        )
+        .select(
+            "lang", "source", "n_docs", "n_words", "n_tokens",
+            F.expr("(10000 * n_tokens) div n_words").cast("long").alias("fertility_bp"),
+            F.expr("(10000 * n_tokens) div n_chars").cast("long").alias("compression_bp"),
+        )
+        .orderBy("lang", "source")
+    )
+    out = local_checkpoint(out)
+    release_result(vocab)
+    return out

@@ -59,6 +59,7 @@ EAGER_BUILD = {
     "sample_kcenter",
     "graph_mst",  # Boruvka rounds + embedded CC run during construction
     "graph_mst_cut_profile",  # composes graph_mst
+    "text_tokenizer_fertility",  # BPE training loop runs during construction
 }
 
 # Registered cartesian-by-design operators (bounded or demonstration ops).

@@ -846,3 +846,39 @@ def test_ccnet_buckets_balanced_and_ordered(spark, sf_dir):
         assert b["head"]["mean_logprob"] >= b["middle"]["mean_logprob"] >= b["tail"]["mean_logprob"]
         assert b["head"]["min_logprob"] >= b["middle"]["max_logprob"] - 1e-4
         assert b["middle"]["min_logprob"] >= b["tail"]["max_logprob"] - 1e-4
+
+
+def test_tokenizer_fertility_consistent_with_bpe_apply(spark, sf_dir):
+    """The shard fertility table must re-aggregate exactly from
+    text_bpe_apply's per-document counts joined with doc lang/source —
+    same vocab, same merge table, two granularities of one fact."""
+    from sol_spark.operators.dedup import release_result
+    from sol_spark.operators.text import text_bpe_apply, text_tokenizer_fertility
+    from sol_spark.tables import load_tables
+
+    per_doc = {r["doc_id"]: r for r in text_bpe_apply(spark, sf_dir).collect()}
+    t = load_tables(spark, sf_dir)
+    meta = {
+        r["doc_id"]: (r["lang"], r["source"])
+        for r in t["documents"].select("doc_id", "lang", "source").collect()
+    }
+    want: dict[tuple, list[int]] = {}
+    for doc_id, r in per_doc.items():
+        key = meta[doc_id]
+        agg = want.setdefault(key, [0, 0, 0, 0])
+        agg[0] += 1
+        agg[1] += r["n_words"]
+        agg[2] += r["n_tokens"]
+        agg[3] += r["n_chars"]
+    fert = text_tokenizer_fertility(spark, sf_dir)
+    rows = fert.collect()
+    release_result(fert)
+    assert len(rows) == len(want)
+    for r in rows:
+        n_docs, n_words, n_tokens, n_chars = want[(r["lang"], r["source"])]
+        assert r["n_docs"] == n_docs
+        assert r["n_words"] == n_words
+        assert r["n_tokens"] == n_tokens
+        assert r["fertility_bp"] == (10000 * n_tokens) // n_words
+        assert r["compression_bp"] == (10000 * n_tokens) // n_chars
+        assert r["fertility_bp"] >= 10000  # a word is at least one token
