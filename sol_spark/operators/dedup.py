@@ -2853,3 +2853,73 @@ def graph_mst_cut_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     release_result(mst)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Ensemble dedup clusters: union of all four detectors' pair sets -> CC
+# ---------------------------------------------------------------------------
+
+_ENSEMBLE_PAIR_SQL = " UNION ".join(
+    f"SELECT doc_a, doc_b FROM ({sql.replace('ORDER BY doc_a, doc_b', '')}) u{i}"
+    for i, sql in enumerate(
+        [DEDUP_MINHASH_ORACLE, SIMHASH_ORACLE, NGRAM_JACCARD_ORACLE, CONTAINMENT_ORACLE]
+    )
+)
+
+DEDUP_ENSEMBLE_ORACLE = f"""
+WITH cc AS MATERIALIZED (
+  {_cc_oracle_sql(_ENSEMBLE_PAIR_SQL).replace("ORDER BY doc", "")}
+), sizes AS (
+  SELECT cluster, count(*) AS cluster_size FROM cc GROUP BY cluster
+)
+SELECT c.doc, c.cluster, s.cluster_size
+FROM cc c JOIN sizes s USING (cluster)
+ORDER BY doc
+"""
+
+
+@register(
+    "dedup_ensemble_clusters",
+    DEDUP_ENSEMBLE_ORACLE,
+    tags=("llm", "dedup", "graph", "iterative"),
+)
+def dedup_ensemble_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble near-dup clusters: the UNION of all four detectors' pair
+    sets (MinHash shingle-Jaccard, SimHash hamming, blocked bigram
+    Jaccard, df-capped containment) run through connected components —
+    the recall-maximal grouping a curation pipeline uses when any single
+    detector's misses are unacceptable (each method sees a different
+    duplicate phenomenon; dedup_method_overlap showed their pairwise
+    overlap is partial, dedup_sketch_pr priced each one against exact
+    truth, and this operator is the OR-combination those audits
+    motivate). Emits each doc's ensemble cluster and its size.
+
+    Scale shape: four bucketed pair pipelines (each documented at its
+    definition) feed one distinct-union — pair keys only, vectors and
+    shingles never cross — and the shared Kiveris CC with the usual
+    checkpoint/release discipline; cluster sizes are one hash agg over
+    the label table."""
+    sources = [
+        dedup_minhash_lsh(spark, sf_dir),
+        dedup_simhash(spark, sf_dir),
+        dedup_ngram_jaccard(spark, sf_dir),
+        dedup_containment(spark, sf_dir),
+    ]
+    pair_frames = []
+    for df in sources:
+        pair_frames.append(local_checkpoint(df.select("doc_a", "doc_b")))
+        release_result(df)
+    pairs = pair_frames[0]
+    for p in pair_frames[1:]:
+        pairs = pairs.unionByName(p)
+    pairs = local_checkpoint(pairs.distinct())
+    for p in pair_frames:
+        release_result(p)
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
+    out = local_checkpoint(
+        cc.join(sizes, "cluster").select("doc", "cluster", "cluster_size").orderBy("doc")
+    )
+    release_result(cc)
+    release_result(pairs)
+    return out

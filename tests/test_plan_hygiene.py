@@ -60,6 +60,7 @@ EAGER_BUILD = {
     "graph_mst",  # Boruvka rounds + embedded CC run during construction
     "graph_mst_cut_profile",  # composes graph_mst
     "text_tokenizer_fertility",  # BPE training loop runs during construction
+    "dedup_ensemble_clusters",  # four pair pipelines + CC run during construction
 }
 
 # Registered cartesian-by-design operators (bounded or demonstration ops).

@@ -882,3 +882,34 @@ def test_tokenizer_fertility_consistent_with_bpe_apply(spark, sf_dir):
         assert r["fertility_bp"] == (10000 * n_tokens) // n_words
         assert r["compression_bp"] == (10000 * n_tokens) // n_chars
         assert r["fertility_bp"] >= 10000  # a word is at least one token
+
+
+def test_ensemble_clusters_supersets_each_method(spark, sf_dir):
+    """The ensemble is the OR-combination: every pair co-clustered by any
+    single detector must be co-clustered by the ensemble (checked via
+    minhash and simhash cluster labelings), and every clustered doc
+    carries its cluster's true size."""
+    from sol_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_ensemble_clusters,
+        dedup_simhash_clusters,
+        release_result,
+    )
+
+    ens_df = dedup_ensemble_clusters(spark, sf_dir)
+    ens = {r["doc"]: (r["cluster"], r["cluster_size"]) for r in ens_df.collect()}
+    release_result(ens_df)
+    sizes: dict[int, int] = {}
+    for doc, (c, s) in ens.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    for doc, (c, s) in ens.items():
+        assert s == sizes[c]
+    for sub_fn in (dedup_clusters, dedup_simhash_clusters):
+        sub_df = sub_fn(spark, sf_dir)
+        sub = {}
+        for r in sub_df.collect():
+            sub.setdefault(r["cluster"], []).append(r["doc"])
+        release_result(sub_df)
+        for members in sub.values():
+            labels = {ens[d][0] for d in members}
+            assert len(labels) == 1, f"sub-cluster {members[:5]} split in ensemble"
