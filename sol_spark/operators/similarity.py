@@ -1992,3 +1992,156 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composition: coarse cell probe restricting the ADC scoring
+# ---------------------------------------------------------------------------
+
+SIM_IVFPQ_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+norms AS (
+  SELECT vec_id, sqrt(sum(embedding[i.i]::DOUBLE * embedding[i.i]::DOUBLE)) AS nrm
+  FROM embeddings, dims i GROUP BY vec_id
+),
+icent AS (
+  SELECT vec_id AS cent_id, embedding AS cente, nrm AS centn
+  FROM embeddings JOIN norms USING (vec_id)
+  WHERE vec_id >= {_IVF_CENT_MIN} AND vec_id < {_IVF_CENT_MAX}
+),
+cellcos AS (
+  SELECT e.vec_id, c.cent_id,
+         round(sum(e.embedding[i.i]::DOUBLE * c.cente[i.i]::DOUBLE) / (n.nrm * c.centn), 6) AS ccos
+  FROM embeddings e JOIN norms n USING (vec_id), icent c, dims i
+  GROUP BY e.vec_id, c.cent_id, n.nrm, c.centn
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+    FROM cellcos) t WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS qid, cent_id FROM (
+    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+    FROM cellcos WHERE vec_id < {N_QUERIES}) t WHERE rn <= {IVF_NPROBE}
+),
+subs AS (SELECT unnest(range({PQ_M})) AS j),
+pdims AS (SELECT unnest(range(1, {PQ_SUB} + 1)) AS i),
+pcent AS (
+  SELECT vec_id - {_PQ_CENT_MIN} AS c, embedding AS ce FROM embeddings
+  WHERE vec_id >= {_PQ_CENT_MIN} AND vec_id < {_PQ_CENT_MIN + PQ_K}
+),
+d2 AS (
+  SELECT e.vec_id, s.j, c.c,
+         round(sum(pow(e.embedding[{PQ_SUB} * s.j + i.i]::DOUBLE
+                       - c.ce[{PQ_SUB} * s.j + i.i]::DOUBLE, 2)), 6) AS d2
+  FROM embeddings e, subs s, pcent c, pdims i
+  GROUP BY e.vec_id, s.j, c.c
+),
+codes AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+    FROM d2) t WHERE rn = 1
+),
+cand AS (
+  SELECT p.qid, a.vec_id AS cid
+  FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+  WHERE a.vec_id <> p.qid
+),
+adc AS (
+  SELECT cand.qid, cand.cid, round(sum(q.d2), 6) AS adc_dist
+  FROM cand
+  JOIN codes v ON v.vec_id = cand.cid
+  JOIN d2 q ON q.vec_id = cand.qid AND q.j = v.j AND q.c = v.code
+  GROUP BY cand.qid, cand.cid
+),
+ranked AS (
+  SELECT qid, cid, adc_dist,
+         row_number() OVER (PARTITION BY qid ORDER BY adc_dist, cid) AS rk
+  FROM adc
+)
+SELECT qid, cid, adc_dist, rk FROM ranked WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+"""
+
+
+@register("sim_topk_ivfpq", SIM_IVFPQ_ORACLE, tags=("llm", "similarity", "ivf", "pq"))
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k — the FAISS production layout, composed from the two
+    halves this package already verifies separately: the coarse IVF
+    quantizer restricts each query to its {IVF_NPROBE} nearest cells
+    (compute pruning), and candidates inside those cells are scored by
+    PQ asymmetric-distance lookup over {PQ_M}-byte codes (memory
+    pruning). Neither full vectors nor full-corpus pairs ever meet: the
+    probe decides WHERE to look, the code table decides HOW CHEAPLY to
+    score what's there.
+
+    Scale shape: corpus-side work is one shuffle-free cell assignment +
+    one code table (both projections against broadcast centroid rows);
+    the search joins |probed cells| worth of codes against the
+    broadcast per-query ADC lookup table and keeps k per query inside
+    the window. At production scale the cells are also the storage
+    partitioning, so the probe is partition pruning — the scan never
+    reads unprobed cells."""
+    t = load_tables(spark, sf_dir)
+    emb = _with_norm(t["embeddings"])
+    icent = (
+        emb.filter((F.col("vec_id") >= _IVF_CENT_MIN) & (F.col("vec_id") < _IVF_CENT_MAX))
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cente"), F.col("nrm").alias("centn"))
+    )
+    assign = assign_cells_cos(emb, icent, out="cell").select("vec_id", "cell")
+    probes = probe_cells_cos(emb.filter(F.col("vec_id") < N_QUERIES), icent, IVF_NPROBE)
+    pcent = (
+        t["embeddings"]
+        .filter((F.col("vec_id") >= _PQ_CENT_MIN) & (F.col("vec_id") < _PQ_CENT_MIN + PQ_K))
+        .select((F.col("vec_id") - _PQ_CENT_MIN).alias("c"), F.col("embedding").alias("ce"))
+    )
+    sub_d2 = (
+        "round(aggregate(zip_with(slice(embedding, {start}, {n}), slice(ce, {start}, {n}), "
+        "(x, y) -> cast(x AS double) - cast(y AS double)), cast(0.0 AS double), "
+        "(acc, v) -> acc + v * v), 6)"
+    )
+    d2 = (
+        t["embeddings"]
+        .select("vec_id", "embedding", F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("j"))
+        .join(F.broadcast(pcent))
+        .select(
+            "vec_id", "j", "c",
+            F.expr(
+                "CASE " + " ".join(
+                    f"WHEN j = {j} THEN {sub_d2.format(start=PQ_SUB * j + 1, n=PQ_SUB)}"
+                    for j in range(PQ_M)
+                ) + " END"
+            ).alias("d2"),
+        )
+    )
+    w_code = W.partitionBy("vec_id", "j").orderBy("d2", "c")
+    codes = (
+        d2.withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "j", F.col("c").alias("code"))
+    )
+    cand = (
+        probes.join(assign, probes["cent_id"] == assign["cell"])
+        .where(F.col("qid") != F.col("vec_id"))
+        .select("qid", F.col("vec_id").alias("cid"))
+    )
+    qtab = d2.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid2"), F.col("j").alias("qj"), F.col("c").alias("qc"), "d2"
+    )
+    adc = (
+        cand.join(codes, cand["cid"] == codes["vec_id"])
+        .join(
+            F.broadcast(qtab),
+            (F.col("qid") == F.col("qid2")) & (F.col("j") == F.col("qj")) & (F.col("code") == F.col("qc")),
+        )
+        .groupBy("qid", "cid")
+        .agg(F.round(F.sum("d2"), 6).alias("adc_dist"))
+    )
+    w_rank = W.partitionBy("qid").orderBy("adc_dist", "cid")
+    return (
+        adc.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", "cid", "adc_dist", "rk")
+        .orderBy("qid", "rk")
+    )

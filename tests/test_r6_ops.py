@@ -913,3 +913,45 @@ def test_ensemble_clusters_supersets_each_method(spark, sf_dir):
         for members in sub.values():
             labels = {ens[d][0] for d in members}
             assert len(labels) == 1, f"sub-cluster {members[:5]} split in ensemble"
+
+
+def test_ivfpq_composes_probe_and_codes(spark, sf_dir):
+    """IVF-PQ must really be the composition: every reported neighbor's
+    assigned cell is among its query's probed cells (recomputed via the
+    shared assignment helpers), and each pair's ADC distance equals the
+    plain-PQ score for that pair (same codebook, same lookup table)."""
+    from pyspark.sql import functions as F
+
+    from sol_spark.operators.similarity import (
+        IVF_NPROBE,
+        N_QUERIES,
+        _IVF_CENT_MAX,
+        _IVF_CENT_MIN,
+        _with_norm,
+        assign_cells_cos,
+        probe_cells_cos,
+        sim_topk_ivfpq,
+        sim_topk_pq,
+    )
+    from sol_spark.tables import load_tables
+
+    out = sim_topk_ivfpq(spark, sf_dir).collect()
+    assert out
+    t = load_tables(spark, sf_dir)
+    emb = _with_norm(t["embeddings"])
+    icent = (
+        emb.filter((F.col("vec_id") >= _IVF_CENT_MIN) & (F.col("vec_id") < _IVF_CENT_MAX))
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cente"),
+                F.col("nrm").alias("centn"))
+    )
+    cells = {r["vec_id"]: r["cell"] for r in assign_cells_cos(emb, icent).select("vec_id", "cell").collect()}
+    probed: dict[int, set] = {}
+    for r in probe_cells_cos(emb.filter(F.col("vec_id") < N_QUERIES), icent, IVF_NPROBE).collect():
+        probed.setdefault(r["qid"], set()).add(r["cent_id"])
+    for r in out:
+        assert cells[r["cid"]] in probed[r["qid"]], (r["qid"], r["cid"])
+    # ADC parity with the unrestricted PQ scorer where pairs coincide
+    pq = {(r["qid"], r["cid"]): r["adc_dist"] for r in sim_topk_pq(spark, sf_dir).collect()}
+    shared = [(r["qid"], r["cid"], r["adc_dist"]) for r in out if (r["qid"], r["cid"]) in pq]
+    for qid, cid, d in shared:
+        assert d == pq[(qid, cid)]
