@@ -1844,3 +1844,187 @@ def warehouse_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.round(F.col("total").cast("double"), 2).alias("total_price"),
     ).orderBy("month", "status")
+
+
+# ---------------------------------------------------------------------------
+# GDPR erasure job: delete a subject set across every table that knows them
+# ---------------------------------------------------------------------------
+
+GDPR_ERASURE_ORACLE = """
+WITH subjects AS (
+  SELECT c_custkey AS k FROM customer
+  WHERE (('0x' || substr(md5('gdpr' || c_custkey), 1, 8))::BIGINT % 50) = 0
+),
+cust AS (
+  SELECT count(*) AS before_n,
+         sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS del_n
+  FROM customer LEFT JOIN subjects ON k = c_custkey
+),
+ord AS (
+  SELECT count(*) AS before_n,
+         sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS del_n
+  FROM orders LEFT JOIN subjects ON k = o_custkey
+),
+li AS (
+  SELECT count(*) AS before_n,
+         sum(CASE WHEN s.k IS NOT NULL THEN 1 ELSE 0 END) AS del_n
+  FROM lineitem l
+  LEFT JOIN (SELECT DISTINCT o_orderkey AS ok FROM orders JOIN subjects ON k = o_custkey) d
+    ON d.ok = l.l_orderkey
+  LEFT JOIN (SELECT 1 AS k) s ON d.ok IS NOT NULL
+)
+SELECT * FROM (
+  SELECT 'customer' AS table_name, before_n::BIGINT AS rows_before, del_n::BIGINT AS rows_erased,
+         (before_n - del_n)::BIGINT AS rows_after FROM cust
+  UNION ALL
+  SELECT 'orders', before_n::BIGINT, del_n::BIGINT, (before_n - del_n)::BIGINT FROM ord
+  UNION ALL
+  SELECT 'lineitem', before_n::BIGINT, del_n::BIGINT, (before_n - del_n)::BIGINT FROM li
+) u ORDER BY table_name
+"""
+
+
+@register("warehouse_gdpr_erasure", GDPR_ERASURE_ORACLE, tags=("warehouse", "governance", "maintenance"))
+def warehouse_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten erasure audit: a deterministic 2% subject
+    set (hash-selected customers, standing in for the day's deletion
+    requests) is cascaded through the schema's foreign-key paths —
+    customer rows directly, orders via o_custkey, lineitem via the
+    orders it references — and the job reports per-table before /
+    erased / after counts, the compliance evidence an erasure run must
+    emit. The deletion itself is the anti-join rewrite
+    warehouse_rf_refresh already demonstrates; this operator is the
+    cascade resolution + audit.
+
+    Scale shape: the subject set is a key-only frame (broadcasts under
+    the 64 MB threshold, AQE falls back to shuffle beyond); each fact
+    is graded by ONE left join against it — for lineitem through a
+    derived orderkey keep-list, never a 3-table chain per row. Counts
+    are map-side-combined conditional aggregates; no table is ever
+    rewritten to be measured."""
+    t = load_tables(spark, sf_dir)
+    subjects = (
+        t["customer"]
+        .where(
+            F.expr("CAST(conv(substring(md5(concat('gdpr', c_custkey)), 1, 8), 16, 10) AS BIGINT) % 50") == 0
+        )
+        .select(F.col("c_custkey").alias("k"))
+    )
+
+    def grade(df: DataFrame, key_col: str, keys: DataFrame, name: str) -> DataFrame:
+        return (
+            df.join(keys, df[key_col] == keys["k"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("before_n"),
+                F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0)).alias("del_n"),
+            )
+            .select(
+                F.lit(name).alias("table_name"),
+                F.col("before_n").cast("long").alias("rows_before"),
+                F.col("del_n").cast("long").alias("rows_erased"),
+                (F.col("before_n") - F.col("del_n")).cast("long").alias("rows_after"),
+            )
+        )
+
+    order_keys = (
+        t["orders"].join(subjects, t["orders"]["o_custkey"] == subjects["k"], "left_semi")
+        .select(F.col("o_orderkey").alias("k")).distinct()
+    )
+    out = (
+        grade(t["customer"], "c_custkey", subjects, "customer")
+        .unionByName(grade(t["orders"], "o_custkey", subjects, "orders"))
+        .unionByName(grade(t["lineitem"], "l_orderkey", order_keys, "lineitem"))
+    )
+    return out.orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# ABC / XYZ inventory classification
+# ---------------------------------------------------------------------------
+
+ABC_XYZ_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey, sum(l_extendedprice::DECIMAL(18,2)) AS revenue
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT sum(revenue) AS total FROM rev),
+abc AS (
+  SELECT l_partkey, revenue,
+         sum(revenue) OVER (ORDER BY revenue DESC, l_partkey) AS cum
+  FROM rev
+),
+monthly AS (
+  SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS m, sum(l_quantity) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+xyz AS (
+  SELECT l_partkey,
+         round(stddev_samp(q) / avg(q), 4) AS cv
+  FROM monthly GROUP BY l_partkey HAVING count(*) >= 2
+)
+SELECT a.l_partkey,
+       round(a.revenue::DOUBLE, 2) AS revenue,
+       CASE WHEN 10 * a.cum <= 7 * t.total THEN 'A'
+            WHEN 10 * a.cum <= 9 * t.total THEN 'B'
+            ELSE 'C' END AS abc_class,
+       x.cv,
+       CASE WHEN x.cv <= 0.5 THEN 'X' WHEN x.cv <= 1.0 THEN 'Y' ELSE 'Z' END AS xyz_class
+FROM abc a CROSS JOIN tot t JOIN xyz x USING (l_partkey)
+ORDER BY a.l_partkey
+"""
+
+
+@register("orders_abc_classification", ABC_XYZ_ORACLE, tags=("relational", "marts"))
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ inventory classification: parts ranked by revenue with
+    cumulative-share classes (A = first 70% of revenue, B = next 20%,
+    C = tail) crossed with demand-variability classes from the monthly
+    quantity coefficient of variation (X <= 0.5 steady, Y <= 1.0,
+    Z erratic) — the two-axis segmentation behind stocking policy and
+    forecast-method choice (AX items get tight auto-replenishment, CZ
+    items manual review). The ABC boundary compare runs in DECIMAL
+    cross-multiplication (10*cum <= 7*total), so the class cut is
+    arithmetic-exact cross-engine; the classification is on the ROUNDED
+    cv, so the X/Y/Z boundary is decided on the same 4-decimal value in
+    both engines.
+
+    Scale shape: one part-keyed revenue aggregate + one global-ordered
+    cumulative window (at 100 TB: rank by revenue bucket first so the
+    window partitions — the top-N revenue mass that decides A/B lives
+    in few buckets), one (part, month) aggregate for the CV, one join
+    back on partkey."""
+    t = load_tables(spark, sf_dir)
+    rev = t["lineitem"].groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("revenue")
+    )
+    tot = rev.agg(F.sum("revenue").alias("total"))
+    abc = rev.withColumn(
+        "cum", F.sum("revenue").over(W.orderBy(F.desc("revenue"), "l_partkey"))
+    )
+    monthly = t["lineitem"].groupBy(
+        "l_partkey", F.date_format("l_shipdate", "yyyy-MM").alias("m")
+    ).agg(F.sum("l_quantity").alias("q"))
+    xyz = (
+        monthly.groupBy("l_partkey")
+        .agg(
+            F.round(F.stddev_samp("q") / F.avg("q"), 4).alias("cv"),
+            F.count(F.lit(1)).alias("nm"),
+        )
+        .where(F.col("nm") >= 2)
+        .drop("nm")
+    )
+    return (
+        abc.crossJoin(F.broadcast(tot))
+        .join(xyz, "l_partkey")
+        .select(
+            "l_partkey",
+            F.round(F.col("revenue").cast("double"), 2).alias("revenue"),
+            F.when(10 * F.col("cum") <= 7 * F.col("total"), "A")
+            .when(10 * F.col("cum") <= 9 * F.col("total"), "B")
+            .otherwise("C").alias("abc_class"),
+            "cv",
+            F.when(F.col("cv") <= 0.5, "X").when(F.col("cv") <= 1.0, "Y")
+            .otherwise("Z").alias("xyz_class"),
+        )
+        .orderBy("l_partkey")
+    )

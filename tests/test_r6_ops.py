@@ -955,3 +955,50 @@ def test_ivfpq_composes_probe_and_codes(spark, sf_dir):
     shared = [(r["qid"], r["cid"], r["adc_dist"]) for r in out if (r["qid"], r["cid"]) in pq]
     for qid, cid, d in shared:
         assert d == pq[(qid, cid)]
+
+
+def test_gdpr_erasure_cascade_consistent(spark, sf_dir):
+    """The erasure audit must be internally consistent (after = before -
+    erased), non-vacuous (some rows erased from every table), and the
+    orders cascade must equal a direct recount of subject orders."""
+    from sol_spark.queries.relational import warehouse_gdpr_erasure
+    from sol_spark.tables import load_tables
+
+    rows = {r["table_name"]: r for r in warehouse_gdpr_erasure(spark, sf_dir).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    for r in rows.values():
+        assert r["rows_after"] == r["rows_before"] - r["rows_erased"]
+        assert r["rows_erased"] > 0
+    t = load_tables(spark, sf_dir)
+    subj = t["customer"].where(
+        F.expr("CAST(conv(substring(md5(concat('gdpr', c_custkey)), 1, 8), 16, 10) AS BIGINT) % 50") == 0
+    ).select(F.col("c_custkey").alias("k"))
+    n_orders = t["orders"].join(subj, t["orders"]["o_custkey"] == subj["k"], "left_semi").count()
+    assert rows["orders"]["rows_erased"] == n_orders
+    assert rows["customer"]["rows_erased"] == subj.count()
+
+
+def test_abc_xyz_class_boundaries(spark, sf_dir):
+    """Classification invariants: classes partition the parts; the A
+    class carries at most 70% of revenue plus its boundary part; classes
+    follow the revenue ordering (no B part out-earns an A part); XYZ
+    follows the cv thresholds on the emitted value."""
+    from sol_spark.queries.relational import orders_abc_classification
+
+    rows = orders_abc_classification(spark, sf_dir).collect()
+    assert rows
+    by_class: dict[str, list] = {}
+    for r in rows:
+        by_class.setdefault(r["abc_class"], []).append(r)
+        want = "X" if r["cv"] <= 0.5 else ("Y" if r["cv"] <= 1.0 else "Z")
+        assert r["xyz_class"] == want
+    assert set(by_class) == {"A", "B", "C"}
+    min_a = min(r["revenue"] for r in by_class["A"])
+    max_b = max(r["revenue"] for r in by_class["B"])
+    min_b = min(r["revenue"] for r in by_class["B"])
+    max_c = max(r["revenue"] for r in by_class["C"])
+    assert min_a >= max_b >= min_b >= max_c
+    total = sum(r["revenue"] for r in rows)
+    a_share = sum(r["revenue"] for r in by_class["A"]) / total
+    assert a_share <= 0.7 + max(r["revenue"] for r in by_class["A"]) / total + 1e-9
+    assert a_share + sum(r["revenue"] for r in by_class["B"]) / total >= 0.69
