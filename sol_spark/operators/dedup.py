@@ -2923,3 +2923,98 @@ def dedup_ensemble_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     release_result(cc)
     release_result(pairs)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Neighborhood-Jaccard link prediction over the near-dup graph
+# ---------------------------------------------------------------------------
+
+JC_MIN_COMMON = 2
+
+GRAPH_JACCARD_ORACLE = f"""
+WITH pr AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({SIMHASH_ORACLE.replace("ORDER BY doc_a, doc_b", "")}) q
+), edges AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM pr
+  UNION ALL
+  SELECT doc_b, doc_a FROM pr
+), deg AS MATERIALIZED (
+  SELECT u AS node, count(*) AS d FROM edges GROUP BY u
+), wedge AS (
+  SELECT e1.u AS a, e2.v AS b
+  FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+  WHERE e1.u < e2.v
+), nonedge AS (
+  SELECT w.a, w.b, count(*) AS common_neighbors
+  FROM wedge w
+  LEFT JOIN pr p ON p.doc_a = w.a AND p.doc_b = w.b
+  WHERE p.doc_a IS NULL
+  GROUP BY w.a, w.b
+  HAVING count(*) >= {JC_MIN_COMMON}
+)
+SELECT n.a AS doc_a, n.b AS doc_b, n.common_neighbors,
+       round(CAST(n.common_neighbors AS DOUBLE)
+             / (da.d + db.d - n.common_neighbors), 4) AS jaccard
+FROM nonedge n
+JOIN deg da ON da.node = n.a
+JOIN deg db ON db.node = n.b
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("graph_jaccard_links", GRAPH_JACCARD_ORACLE, tags=("llm", "dedup", "graph"))
+def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction over the SimHash near-dup graph:
+    for every NON-adjacent pair sharing >= {JC_MIN_COMMON} neighbors, score
+    |N(a) n N(b)| / |N(a) u N(b)| — Adamic-Adar's un-weighted sibling
+    (graph_adamic_adar above), preferred when hub degrees are untrustworthy
+    because it normalizes by BOTH endpoints' neighborhoods instead of
+    down-weighting common neighbors. Pairs scoring near 1 are two documents
+    whose duplicate neighborhoods coincide almost exactly — the strongest
+    missed-edge candidates to re-check with exact Jaccard.
+
+    Scale shape: the same wedge equi-join as graph_adamic_adar (bounded by
+    sum-of-deg², LSH-capped); existing edges drop via a left anti join;
+    the common-neighbor counts aggregate BEFORE the degree joins, so the
+    tiny per-node degree table broadcasts onto the (already reduced)
+    candidate pairs twice — never onto raw wedges."""
+    ph = dedup_simhash(spark, sf_dir)
+    pairs = local_checkpoint(ph.select("doc_a", "doc_b"))
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = edges.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("mid"))
+    e2 = edges.select(F.col("u").alias("mid2"), F.col("v").alias("b"))
+    wedge = (
+        e1.join(e2, F.col("mid") == F.col("mid2"))
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    nonedge = (
+        wedge.join(
+            pairs, (wedge["a"] == pairs["doc_a"]) & (wedge["b"] == pairs["doc_b"]), "left_anti"
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+        .where(F.col("common_neighbors") >= JC_MIN_COMMON)
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    out = local_checkpoint(
+        nonedge.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            "common_neighbors",
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (F.col("da") + F.col("db") - F.col("common_neighbors")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+    release_result(pairs)
+    return out

@@ -213,3 +213,102 @@ def layout_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("predicate", "layout")
     )
+
+
+# ---------------------------------------------------------------------------
+# Balanced shard assignment (serpentine LPT) for training-data output files
+# ---------------------------------------------------------------------------
+
+BALANCE_SHARDS = 16   # output shards; at 100 TB set to the writer task count
+BALANCE_RANK_SHARDS = 16  # parallelism of the two-pass within-size rank
+
+SHARD_BALANCE_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM documents
+), assigned AS (
+  SELECT n_chars,
+         CASE WHEN ((rnk - 1) // {BALANCE_SHARDS}) % 2 = 0
+              THEN (rnk - 1) % {BALANCE_SHARDS}
+              ELSE {BALANCE_SHARDS - 1} - (rnk - 1) % {BALANCE_SHARDS} END AS shard
+  FROM ranked
+), agg AS (
+  SELECT shard, count(*) AS n_docs, sum(n_chars) AS total_chars
+  FROM assigned GROUP BY shard
+)
+SELECT shard, n_docs,
+       total_chars::BIGINT AS total_chars,
+       ((10000 * total_chars) // (sum(total_chars) OVER ()))::BIGINT AS share_bp
+FROM agg ORDER BY shard
+"""
+
+
+@register("layout_shard_balance", SHARD_BALANCE_ORACLE, tags=("layout", "llm", "scale"))
+def layout_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced output-shard assignment for training-data writes: documents
+    are dealt onto {BALANCE_SHARDS} shards in descending size order with a
+    serpentine (boustrophedon) deal — the parallel analog of LPT scheduling.
+    Round-robin alone biases the first shard +1 large doc per block; the
+    serpentine reversal cancels that, so shard totals differ by at most one
+    block's spread. The readout is the per-shard scorecard (docs, chars,
+    share in basis points) a writer checks before `partitionBy(shard)` —
+    the straggler-file audit for a 100 TB tokenizer run whose doc-length
+    distribution is heavy-tailed.
+
+    Scale shape: the global size rank is NEVER a single-task window. It
+    decomposes exactly as rank = #(larger docs) + within-size rank:
+      - #(larger): a per-size histogram (bounded by max doc length, tiny)
+        with an exclusive suffix sum over itself, broadcast back;
+      - within-size rank: the text_pack_sequences two-pass prefix count over
+        (n_chars, shard = doc_id % {BALANCE_RANK_SHARDS}) — shard-local
+        row_number plus broadcast per-shard offsets.
+    Everything after the rank is integer div/mod, and the final aggregate
+    is {BALANCE_SHARDS} rows."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "n_chars")
+    # exclusive count of strictly larger docs, per distinct size (tiny frame)
+    hist = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    w_larger = W.orderBy(F.col("n_chars").desc()).rowsBetween(W.unboundedPreceding, -1)
+    larger = hist.select(
+        "n_chars", F.coalesce(F.sum("cnt").over(w_larger), F.lit(0)).alias("n_larger")
+    )
+    # within-size rank by doc_id, two-pass over (n_chars, rshard)
+    sharded = docs.withColumn("rshard", F.pmod("doc_id", F.lit(BALANCE_RANK_SHARDS)))
+    w_local = W.partitionBy("n_chars", "rshard").orderBy("doc_id")
+    local = sharded.withColumn("local_rn", F.row_number().over(w_local))
+    shard_tot = sharded.groupBy("n_chars", "rshard").agg(F.count(F.lit(1)).alias("tot"))
+    w_off = W.partitionBy("n_chars").orderBy("rshard").rowsBetween(W.unboundedPreceding, -1)
+    offs = shard_tot.select(
+        "n_chars", "rshard", F.coalesce(F.sum("tot").over(w_off), F.lit(0)).alias("off")
+    )
+    ranked = (
+        local.join(F.broadcast(offs), ["n_chars", "rshard"])
+        .join(F.broadcast(larger), "n_chars")
+        .select(
+            "n_chars",
+            (F.col("n_larger") + F.col("off") + F.col("local_rn") - 1).alias("rnk0"),
+        )
+    )
+    block_even = (F.col("rnk0") / BALANCE_SHARDS).cast("bigint") % 2 == 0
+    pos = F.pmod("rnk0", F.lit(BALANCE_SHARDS))
+    assigned = ranked.select(
+        "n_chars",
+        F.when(block_even, pos).otherwise(F.lit(BALANCE_SHARDS - 1) - pos).alias("shard"),
+    )
+    agg = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+    return (
+        agg.select(
+            "shard",
+            "n_docs",
+            F.col("total_chars").cast("long").alias("total_chars"),
+            ((10000 * F.col("total_chars")) / F.sum("total_chars").over(W.partitionBy()))
+            .cast("long")
+            .alias("share_bp"),
+        )
+        .orderBy("shard")
+    )

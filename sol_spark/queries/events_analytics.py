@@ -2471,3 +2471,109 @@ def events_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).when(F.col("mae_ewma") <= F.col("mae_holt"), "ewma")
         .otherwise("holt").alias("best_method"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Classical additive seasonal-trend decomposition (moving-average STL)
+# ---------------------------------------------------------------------------
+
+STL_HALF = 12  # centered trend window: 12 preceding + current + 12 following
+
+EVENTS_STL_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, avg(value) AS x
+  FROM events GROUP BY 1, 2
+), tr AS (
+  SELECT event_type, hour, x,
+         CASE WHEN count(*) OVER w = {2 * STL_HALF + 1}
+              THEN avg(x) OVER w END AS trend,
+         CAST(extract(hour FROM hour) AS BIGINT) AS hod
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN {STL_HALF} PRECEDING AND {STL_HALF} FOLLOWING)
+), seas_raw AS (
+  SELECT event_type, hod, avg(x - trend) AS s_raw
+  FROM tr WHERE trend IS NOT NULL GROUP BY event_type, hod
+), seas AS (
+  SELECT event_type, hod,
+         s_raw - avg(s_raw) OVER (PARTITION BY event_type) AS seasonal
+  FROM seas_raw
+)
+SELECT t.event_type, t.hour,
+       round(t.x, 6) + 0.0 AS avg_value,
+       round(t.trend, 6) + 0.0 AS trend,
+       round(s.seasonal, 6) + 0.0 AS seasonal,
+       round(t.x - t.trend - s.seasonal, 6) + 0.0 AS residual
+FROM tr t JOIN seas s ON s.event_type = t.event_type AND s.hod = t.hod
+ORDER BY t.event_type, t.hour
+"""
+
+
+@register("events_stl_decompose", EVENTS_STL_ORACLE, tags=("events", "timeseries"))
+def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal-trend decomposition of each event type's
+    hourly mean-value series: trend = centered {2 * STL_HALF + 1}-hour moving
+    average (NULL at the edges where the window is partial, so the trend is
+    never biased by truncation); seasonal = the per-hour-of-day mean of the
+    detrended series, re-centered to sum to zero across the 24 slots;
+    residual = x - trend - seasonal. The moving-average/seasonal-means form
+    of STL — the decomposition behind events_seasonal_anomaly's z-scores,
+    exposed as its own readout so a pipeline owner can eyeball WHERE the
+    variance lives (drift vs daily cycle vs noise) before picking a
+    forecaster from the events_holt / events_ewma family.
+
+    Scale shape: the hourly downsample is one map-side-combined hash
+    aggregate; the trend is a bounded ROWS-frame window partitioned by
+    series (partition-parallel, no single-task global window); the seasonal
+    index is a 24-row-per-series aggregate joined back broadcast. Both
+    engines compute avg over identical row sets with the same frame, and
+    all floats round to 6 at the output (+0.0 canonicalizes -0.0)."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.expr("cast(date_trunc('hour', ts) as timestamp_ntz)").alias("hour"),
+        )
+        .agg(F.avg("value").alias("x"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-STL_HALF, STL_HALF)
+    )
+    tr = hourly.select(
+        "event_type",
+        "hour",
+        "x",
+        F.when(F.count(F.lit(1)).over(w) == 2 * STL_HALF + 1, F.avg("x").over(w)).alias(
+            "trend"
+        ),
+        F.hour("hour").cast("bigint").alias("hod"),
+    )
+    seas_raw = (
+        tr.where(F.col("trend").isNotNull())
+        .groupBy("event_type", "hod")
+        .agg(F.avg(F.col("x") - F.col("trend")).alias("s_raw"))
+    )
+    seas = seas_raw.select(
+        "event_type",
+        "hod",
+        (F.col("s_raw") - F.avg("s_raw").over(W.partitionBy("event_type"))).alias("seasonal"),
+    )
+    return (
+        tr.join(F.broadcast(seas), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "hour",
+            (F.round("x", 6) + 0.0).alias("avg_value"),
+            (F.round("trend", 6) + 0.0).alias("trend"),
+            (F.round("seasonal", 6) + 0.0).alias("seasonal"),
+            (F.round(F.col("x") - F.col("trend") - F.col("seasonal"), 6) + 0.0).alias(
+                "residual"
+            ),
+        )
+        .orderBy("event_type", "hour")
+    )

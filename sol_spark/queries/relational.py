@@ -2028,3 +2028,124 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-bin histogram quantiles (the 100 TB percentile path)
+# ---------------------------------------------------------------------------
+
+QHIST_BINS = 256
+
+SKETCH_QHIST_ORACLE = f"""
+WITH mm AS (
+  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+         count(*) AS n,
+         quantile_cont(l_extendedprice, 0.5) AS ex50,
+         quantile_cont(l_extendedprice, 0.9) AS ex90,
+         quantile_cont(l_extendedprice, 0.99) AS ex99
+  FROM lineitem
+), binned AS (
+  SELECT least(CAST(floor((l_extendedprice - mm.lo) / ((mm.hi - mm.lo) / {QHIST_BINS}))
+               AS BIGINT), {QHIST_BINS - 1}) AS bin
+  FROM lineitem, mm
+), counts AS (
+  SELECT bin, count(*) AS c FROM binned GROUP BY bin
+), cum AS (
+  SELECT bin, c,
+         sum(c) OVER (ORDER BY bin) AS cum,
+         sum(c) OVER (ORDER BY bin) - c AS cum_before
+  FROM counts
+), qs AS (
+  SELECT unnest([0.5, 0.9, 0.99]) AS q
+), pick AS (
+  SELECT q.q, min(cum.bin) AS bin
+  FROM qs q JOIN cum ON cum.cum >= q.q * (SELECT n FROM mm)
+  GROUP BY q.q
+)
+SELECT p.q,
+       round(mm.lo + ((mm.hi - mm.lo) / {QHIST_BINS})
+                     * (p.bin + (p.q * mm.n - cum.cum_before) / cum.c), 6) + 0.0 AS est,
+       round(CASE p.q WHEN 0.5 THEN mm.ex50 WHEN 0.9 THEN mm.ex90 ELSE mm.ex99 END, 6)
+         + 0.0 AS exact,
+       round(abs(mm.lo + ((mm.hi - mm.lo) / {QHIST_BINS})
+                        * (p.bin + (p.q * mm.n - cum.cum_before) / cum.c)
+                 - CASE p.q WHEN 0.5 THEN mm.ex50 WHEN 0.9 THEN mm.ex90 ELSE mm.ex99 END),
+             6) + 0.0 AS abs_err
+FROM pick p JOIN cum ON cum.bin = p.bin CROSS JOIN mm
+ORDER BY p.q
+"""
+
+
+@register("sketch_quantile_hist", SKETCH_QHIST_ORACLE, tags=("approx", "sketch", "agg", "scale"))
+def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a mergeable fixed-bin histogram — the sketch that
+    replaces exact `percentile` at 100 TB. Exact interpolated percentile
+    (percentile_exact above) buffers every value per group
+    (ObjectHashAggregate); a {QHIST_BINS}-bin equi-width histogram is a
+    fixed-size vector that partial-aggregates map-side and merges
+    associatively, like count_min/HLL. The query prices the trade: estimated
+    P50/P90/P99 of l_extendedprice via in-bin linear interpolation, next to
+    the exact quantile and the absolute error — the acceptance audit run
+    once at onboarding to size the bin count.
+
+    Scale shape: pass 1 is a min/max/count aggregate (with the exact
+    quantiles piggybacked for the audit — production drops them); pass 2 a
+    {QHIST_BINS}-row hash aggregate off a pure projection; everything after
+    operates on <= {QHIST_BINS} rows. Two scans total, both
+    whole-stage-codegen, no sort, no value buffering. Cross-engine safety:
+    bin = floor((x - lo) / width) uses one correctly-rounded IEEE divide on
+    identical doubles, so the integer bin is identical in both engines."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_extendedprice")
+    mm = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("ex50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("ex90"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("ex99"),
+    )
+    width = (F.col("hi") - F.col("lo")) / QHIST_BINS
+    binned = li.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.floor((F.col("l_extendedprice") - F.col("lo")) / width).cast("bigint"),
+            F.lit(QHIST_BINS - 1),
+        ).alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    cum = counts.select(
+        "bin", "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        (F.sum("c").over(w_cum) - F.col("c")).alias("cum_before"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("q")
+    )
+    hit = (
+        qs.crossJoin(F.broadcast(mm.select("n")))
+        .join(F.broadcast(cum), F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = F.col("lo") + width * (
+        F.col("bin") + (F.col("q") * F.col("n") - F.col("cum_before")) / F.col("c")
+    )
+    exact = (
+        F.when(F.col("q") == 0.5, F.col("ex50"))
+        .when(F.col("q") == 0.9, F.col("ex90"))
+        .otherwise(F.col("ex99"))
+    )
+    return (
+        hit.join(F.broadcast(cum), "bin")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "q",
+            (F.round(est, 6) + 0.0).alias("est"),
+            (F.round(exact, 6) + 0.0).alias("exact"),
+            (F.round(F.abs(est - exact), 6) + 0.0).alias("abs_err"),
+        )
+        .orderBy("q")
+    )
