@@ -329,3 +329,25 @@ def stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+HEAVY_USERS_ORACLE = f"""
+SELECT to_timestamp(floor(epoch(ts))::BIGINT // 3600 * 3600)::TIMESTAMP AS window_start,
+       user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+HAVING count(*) >= {P.HEAVY_USER_MIN}
+ORDER BY window_start, user_id
+"""
+
+
+@register("stream_heavy_users", HEAVY_USERS_ORACLE, tags=("streaming", "window", "heavy"))
+def stream_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch shape of pipelines.windowed_heavy_users: per-hour users over
+    the {P.HEAVY_USER_MIN}-event rate threshold. The threshold-gate (not
+    top-k) form is deliberate — counts merge across micro-batches and late
+    data, where a top-k would need per-window sorted state; the flagged
+    set is then small enough to rank exactly in batch. Streaming equality
+    is pinned by tests/test_streaming.py::test_heavy_users_stream_equals_batch."""
+    t = load_tables(spark, sf_dir)
+    return P.windowed_heavy_users(t["events"]).orderBy("window_start", "user_id")

@@ -2577,3 +2577,133 @@ def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters (deseasonalized Holt): level + trend + fixed seasonal index
+# ---------------------------------------------------------------------------
+
+EVENTS_HW_ORACLE = """
+WITH RECURSIVE hourly AS MATERIALIZED (
+  SELECT event_type, date_trunc('hour', ts) AS hour, avg(value) AS x,
+         CAST(extract(hour FROM date_trunc('hour', ts)) AS BIGINT) AS hod
+  FROM events GROUP BY 1, 2
+), seas AS MATERIALIZED (
+  SELECT event_type, hod,
+         round(avg(x) - avg(avg(x)) OVER (PARTITION BY event_type), 6) AS s
+  FROM hourly GROUP BY event_type, hod
+), seq AS MATERIALIZED (
+  SELECT h.event_type, h.hour, h.x, h.hod, se.s, h.x - se.s AS d,
+         row_number() OVER (PARTITION BY h.event_type ORDER BY h.hour) AS rn
+  FROM hourly h JOIN seas se ON se.event_type = h.event_type AND se.hod = h.hod
+), hw AS (
+  SELECT event_type, hour, x, hod, s, d, rn, d AS l, 0.0::DOUBLE AS b
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s2.event_type, s2.hour, s2.x, s2.hod, s2.s, s2.d, s2.rn,
+         0.5 * s2.d + 0.5 * (h.l + h.b),
+         0.5 * ((0.5 * s2.d + 0.5 * (h.l + h.b)) - h.l) + 0.5 * h.b
+  FROM seq s2 JOIN hw h ON s2.event_type = h.event_type AND s2.rn = h.rn + 1
+)
+SELECT w.event_type, w.hour,
+       round(w.x, 6) + 0.0 AS avg_value,
+       w.s + 0.0 AS seasonal,
+       round(w.l, 6) + 0.0 AS level,
+       round(w.b, 6) + 0.0 AS trend,
+       round(w.l + w.b + sn.s, 6) + 0.0 AS forecast_next
+FROM hw w
+JOIN seas sn ON sn.event_type = w.event_type AND sn.hod = (w.hod + 1) % 24
+ORDER BY w.event_type, w.hour
+"""
+
+
+@register("events_holt_winters", EVENTS_HW_ORACLE, tags=("events", "timeseries"))
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive forecasting in its deseasonalize-then-Holt
+    form: a fixed per-hour-of-day seasonal index (mean of the hourly series
+    per slot, centered to zero across the 24 slots, rounded to 6 so both
+    engines feed the recurrence the IDENTICAL double), subtracted from the
+    series before the events_holt level+trend recurrence (alpha = beta =
+    1/2, binary-exact), and added back for the one-step forecast
+    l_t + b_t + s[(hod+1) % 24]. The classical decomposition completes the
+    forecaster ladder (EWMA -> Holt -> Holt-Winters): use this one when the
+    daily cycle dominates drift — events_stl_decompose is the readout that
+    says whether it does.
+
+    Scale shape: seasonal index = one 24-row-per-series aggregate joined
+    back broadcast; the recurrence runs per-series inside ONE Arrow-batched
+    grouped-map call, exactly like events_holt. The recurrence input d is
+    a subtraction of two doubles that are bitwise-identical across engines
+    (x from the same parquet aggregate, s from the same round(avg, 6)), so
+    the IEEE streams are bit-identical — same contract the EWMA/CUSUM/Holt
+    family already pins."""
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.expr("cast(date_trunc('hour', ts) as timestamp_ntz)").alias("hour"),
+        )
+        .agg(F.avg("value").alias("x"))
+        .withColumn("hod", F.hour("hour").cast("bigint"))
+    )
+    seas = (
+        hourly.groupBy("event_type", "hod")
+        .agg(F.avg("x").alias("s_raw"))
+        .select(
+            "event_type",
+            "hod",
+            F.round(
+                F.col("s_raw") - F.avg("s_raw").over(W.partitionBy("event_type")), 6
+            ).alias("s"),
+        )
+    )
+    seq = hourly.join(F.broadcast(seas), ["event_type", "hod"]).withColumn(
+        "d", F.col("x") - F.col("s")
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hour").reset_index(drop=True)
+        l = 0.0
+        b = 0.0
+        levels, trends = [], []
+        for i, d in enumerate(pdf["d"].to_numpy()):
+            if i == 0:
+                l, b = d, 0.0
+            else:
+                l_new = 0.5 * d + 0.5 * (l + b)
+                b = 0.5 * ((0.5 * d + 0.5 * (l + b)) - l) + 0.5 * b
+                l = l_new
+            levels.append(l)
+            trends.append(b)
+        pdf["l"] = levels
+        pdf["b"] = trends
+        return pdf
+
+    smoothed = seq.groupBy("event_type").applyInPandas(
+        smooth,
+        "event_type string, hour timestamp_ntz, x double, hod bigint, s double, "
+        "d double, l double, b double",
+    )
+    s_next = seas.select(
+        "event_type", F.col("hod").alias("next_hod"), F.col("s").alias("s_next")
+    )
+    return (
+        smoothed.withColumn("next_hod", (F.col("hod") + 1) % 24)
+        .join(F.broadcast(s_next), ["event_type", "next_hod"])
+        .select(
+            "event_type",
+            "hour",
+            (F.round("x", 6) + 0.0).alias("avg_value"),
+            (F.col("s") + 0.0).alias("seasonal"),
+            (F.round("l", 6) + 0.0).alias("level"),
+            (F.round("b", 6) + 0.0).alias("trend"),
+            (F.round(F.col("l") + F.col("b") + F.col("s_next"), 6) + 0.0).alias(
+                "forecast_next"
+            ),
+        )
+        .orderBy("event_type", "hour")
+    )

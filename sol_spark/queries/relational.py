@@ -2149,3 +2149,82 @@ def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+# ---------------------------------------------------------------------------
+# Class-balanced downsampling (deterministic hash coins)
+# ---------------------------------------------------------------------------
+
+BALANCE_PPM = 1_000_000
+
+SAMPLE_BALANCED_ORACLE = f"""
+WITH cnt AS (
+  SELECT label, count(*) AS n_before FROM embeddings GROUP BY label
+), target AS (
+  SELECT min(n_before) AS min_cnt FROM cnt
+), keep AS (
+  SELECT e.label, e.vec_id,
+         ('0x' || substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 6))::BIGINT
+           % {BALANCE_PPM} AS coin,
+         (t.min_cnt * {BALANCE_PPM}) // c.n_before AS keep_ppm
+  FROM embeddings e
+  JOIN cnt c ON c.label = e.label
+  CROSS JOIN target t
+), kept AS (
+  SELECT label, count(*) AS n_after FROM keep WHERE coin < keep_ppm GROUP BY label
+)
+SELECT c.label, c.n_before,
+       coalesce(k.n_after, 0) AS n_after,
+       ((10000 * coalesce(k.n_after, 0)) // c.n_before)::BIGINT AS kept_bp
+FROM cnt c LEFT JOIN kept k ON k.label = c.label
+ORDER BY c.label
+"""
+
+
+@register("sample_balanced_classes", SAMPLE_BALANCED_ORACLE, tags=("sample", "llm"))
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling for classifier training data: every
+    label is thinned toward the minority class's count with a deterministic
+    per-row md5 coin against a per-class keep rate in parts-per-million
+    (keep_ppm = min_count * 1e6 / class_count, integer). The same
+    hash-coin contract as text_train_val_split: stable under corpus growth
+    (a row's fate never changes), shuffle-free (the filter is a pure
+    projection), and exactly reproducible — unlike df.sampleBy, whose
+    per-class fractions resample every run. The output is the per-class
+    before/after audit a pipeline owner checks before training a quality
+    or language-ID classifier on skewed labels (expected n_after ~
+    Binomial(n_before, keep_ppm/1e6), so classes land near min_count
+    without a per-class exact-k sort).
+
+    Scale shape: class counts are one tiny hash aggregate broadcast back;
+    the coin-vs-threshold filter pipelines into the scan; the audit
+    re-aggregates the kept rows map-side. Integer-ppm thresholds keep the
+    acceptance path in pure BIGINT — never a float-vs-probability compare
+    (cross-engine gotcha)."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select("vec_id", "label")
+    cnt = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_before"))
+    target = cnt.agg(F.min("n_before").alias("min_cnt"))
+    coin = F.expr(
+        f"CAST(conv(substring(md5(cast(vec_id AS string)), 1, 6), 16, 10) AS BIGINT)"
+        f" % {BALANCE_PPM}"
+    )
+    kept = (
+        emb.join(F.broadcast(cnt), "label")
+        .crossJoin(F.broadcast(target))
+        .where(coin < F.expr(f"(min_cnt * {BALANCE_PPM}) div n_before"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    return (
+        cnt.join(kept, "label", "left")
+        .select(
+            "label",
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+            ((10000 * F.coalesce("n_after", F.lit(0))) / F.col("n_before"))
+            .cast("long")
+            .alias("kept_bp"),
+        )
+        .orderBy("label")
+    )

@@ -389,6 +389,30 @@ def windowed_drift_bins(events: DataFrame) -> DataFrame:
     )
 
 
+HEAVY_USER_MIN = 2  # events per user per hour to flag; production sets this
+# to its rate-limit budget — the fixture's per-user-hour max is 2-4, so the
+# smallest discriminating gate keeps the audit non-vacuous at every SF
+
+
+def windowed_heavy_users(events: DataFrame) -> DataFrame:
+    """Streaming heavy-hitter detector: users exceeding HEAVY_USER_MIN
+    events in a 1h tumbling window — the rate-limit/abuse monitor. The
+    per-(window, user) count is a plain sum, so late rows fold into
+    window state and the watermark bounds it; the threshold filter runs
+    on emission. This is the scale-honest streaming form of top-k: an
+    absolute-count gate is mergeable and single-pass, where a true top-k
+    would need a sorted state per window — production pipelines gate at
+    a threshold in the stream, then rank the (tiny) flagged set in batch
+    (events_heavy_hitters is that batch ranker)."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", TUMBLE).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .where(F.col("n_events") >= HEAVY_USER_MIN)
+        .select(F.col("w.start").alias("window_start"), "user_id", "n_events", "sum_value")
+    )
+
+
 def ewma_hourly_state(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     """Streaming EWMA over each event type's hourly mean-value series with
     OPEN-BUCKET state: keyed state carries the current hour's partial
