@@ -3018,3 +3018,117 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     release_result(pairs)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank from a seed set (retrieval/recommendation ranking)
+# ---------------------------------------------------------------------------
+
+PPR_ITERS = 3
+PPR_SEEDS = 4
+PPR_ALPHA = 0.15  # teleport probability back to the seed distribution
+
+
+def _ppr_oracle_sql(pair_sql: str, iters: int = PPR_ITERS, n_seeds: int = PPR_SEEDS) -> str:
+    """Unrolled personalized-PageRank oracle (one CTE per power iteration,
+    same coupling discipline as ``_pagerank_oracle_sql``: the registered
+    query and this generator take the SAME explicit parameters, so a
+    tunable can never silently diverge from its oracle). The rank vector
+    stays DENSE (zero rows kept) so every step is a plain left join —
+    identical join semantics to the Spark plan."""
+    steps = []
+    for j in range(1, iters + 1):
+        steps.append(
+            f"""r{j} AS MATERIALIZED (
+  SELECT ev.doc, {PPR_ALPHA} * ev.e + {1 - PPR_ALPHA} * coalesce(m.s, 0.0) AS r
+  FROM ev LEFT JOIN (
+    SELECT e.b AS doc, sum(r{j - 1}.r / d.deg) AS s
+    FROM edges e
+    JOIN r{j - 1} ON r{j - 1}.doc = e.a
+    JOIN deg d ON d.doc = e.a
+    GROUP BY e.b
+  ) m ON m.doc = ev.doc
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH pr AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({pair_sql}) q
+), edges AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM pr
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pr
+), deg AS MATERIALIZED (
+  SELECT a AS doc, count(*) AS deg FROM edges GROUP BY a
+), seeds AS MATERIALIZED (
+  SELECT doc FROM deg ORDER BY doc LIMIT {n_seeds}
+), ev AS MATERIALIZED (
+  SELECT d.doc, CASE WHEN s.doc IS NULL THEN 0.0 ELSE 1.0 / {n_seeds} END AS e
+  FROM deg d LEFT JOIN seeds s ON s.doc = d.doc
+), r0 AS MATERIALIZED (
+  SELECT doc, e AS r FROM ev
+),
+{chain}
+SELECT doc, round(r, 6) + 0.0 AS rank FROM r{iters} ORDER BY doc
+"""
+
+
+GRAPH_PPR_ORACLE = _ppr_oracle_sql(
+    DEDUP_MINHASH_ORACLE.replace("ORDER BY doc_a, doc_b", ""),
+    iters=PPR_ITERS,
+    n_seeds=PPR_SEEDS,
+)
+
+
+@register("graph_ppr", GRAPH_PPR_ORACLE, tags=("llm", "dedup", "graph", "iterative"))
+def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the MinHash near-dup graph from a fixed
+    seed set (the {PPR_SEEDS} lowest doc ids in the graph): teleport mass
+    returns to the SEEDS (probability {PPR_ALPHA}), so rank measures
+    proximity to the seed neighborhood instead of global centrality
+    (dedup_pagerank above) — the standard graph-proximity ranker behind
+    related-document retrieval and recommendation candidate generation.
+    Docs outside the seeds' components stay at exactly 0.
+
+    Scale shape: same two shuffles per round as pagerank (edges x rank
+    equi-join, map-side-combined sum into targets), with the teleport
+    re-added via a left join against the dense node vector — one extra
+    |V|-row join per round, no collect. Seed selection is a TakeOrdered
+    over the node set, never a global sort. Fixed {PPR_ITERS}-round budget,
+    bounded plan depth (checkpointing unneeded, as in pagerank)."""
+    mh = dedup_minhash_lsh(spark, sf_dir)
+    pairs = local_checkpoint(mh.select("doc_a", "doc_b"))
+    release_result(mh)
+    sym = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).union(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    edges = local_checkpoint(sym.join(deg, "a"))  # (a, b, deg) reused per round
+    seeds = [r.a for r in edges.select("a").distinct().orderBy("a").limit(PPR_SEEDS).collect()]
+    ev = local_checkpoint(
+        edges.select("a").distinct().select(
+            F.col("a").alias("doc"),
+            F.when(F.col("a").isin(seeds), F.lit(1.0 / PPR_SEEDS)).otherwise(0.0).alias("e"),
+        )
+    )
+    rank0 = ev.select("doc", F.col("e").alias("r"))
+
+    def power_step(rank: DataFrame, _i: int) -> DataFrame:
+        msgs = (
+            edges.join(rank, edges["a"] == rank["doc"])
+            .groupBy(F.col("b").alias("doc"))
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("s"))
+        )
+        return ev.join(msgs, "doc", "left").select(
+            "doc",
+            (F.lit(PPR_ALPHA) * F.col("e") + F.lit(1 - PPR_ALPHA) * F.coalesce("s", F.lit(0.0))).alias("r"),
+        )
+
+    return iterate(
+        rank0,
+        power_step,
+        lambda rank: rank.select("doc", (F.round("r", 6) + 0.0).alias("rank")).orderBy("doc"),
+        max_rounds=PPR_ITERS,
+        checkpoint_rounds=False,
+        release=(edges, pairs, ev),
+    )

@@ -996,3 +996,160 @@ def dq_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         u = u.unionByName(p)
     return u.orderBy("table_name", "candidate")
+
+
+# ---------------------------------------------------------------------------
+# Survivorship: golden-record construction per resolved entity
+# ---------------------------------------------------------------------------
+
+ER_SURVIVORSHIP_ORACLE = f"""
+WITH cc AS MATERIALIZED (
+  SELECT custkey, entity_id FROM ({ER_CLUSTERS_ORACLE.replace("ORDER BY custkey", "")}) q
+), m AS MATERIALIZED (
+  SELECT cc.entity_id, c.c_custkey, c.c_name, c.c_mktsegment, c.c_acctbal,
+         row_number() OVER (PARTITION BY cc.entity_id
+                            ORDER BY c.c_acctbal DESC, c.c_custkey) AS bal_rk,
+         row_number() OVER (PARTITION BY cc.entity_id
+                            ORDER BY c.c_custkey) AS key_rk
+  FROM cc JOIN customer c ON c.c_custkey = cc.custkey
+), agg AS (
+  SELECT entity_id, count(*) AS n_members,
+         round(sum(c_acctbal), 2) AS total_acctbal
+  FROM m GROUP BY entity_id
+)
+SELECT a.entity_id, a.n_members,
+       nm.c_name AS survived_name,
+       ph.c_mktsegment AS survived_segment,
+       a.total_acctbal
+FROM agg a
+JOIN m nm ON nm.entity_id = a.entity_id AND nm.bal_rk = 1
+JOIN m ph ON ph.entity_id = a.entity_id AND ph.key_rk = 1
+ORDER BY a.entity_id
+"""
+
+
+@register("er_survivorship", ER_SURVIVORSHIP_ORACLE, tags=("governance", "entity-resolution"))
+def er_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record construction over the resolved entities: for each
+    er_clusters entity, survive one value per attribute under explicit,
+    deterministic rules — name from the member with the highest account
+    balance (most-complete-record proxy; ties break on custkey), market segment
+    from the lowest custkey (first-registered wins), balances summed.
+    Rule-per-attribute survivorship is the step after clustering in every
+    MDM pipeline (the Fellegi-Sunter scorer upstream decides WHO matches;
+    this decides WHAT the merged row says).
+
+    Scale shape: one join of the entity map against the customer table on
+    the record key, then two row_number windows partitioned by entity
+    (entity widths are blocking-bounded) and one per-entity aggregate —
+    no cross-entity data movement beyond the entity-key shuffle the
+    clustering already paid."""
+    cc = er_clusters(spark, sf_dir).select("custkey", "entity_id")
+    t = load_tables(spark, sf_dir)
+    m = cc.join(
+        t["customer"].select(
+            F.col("c_custkey").alias("custkey"), "c_name", "c_mktsegment", "c_acctbal"
+        ),
+        "custkey",
+    )
+    w_bal = Window.partitionBy("entity_id").orderBy(
+        F.col("c_acctbal").desc(), F.col("custkey")
+    )
+    w_key = Window.partitionBy("entity_id").orderBy("custkey")
+    ranked = m.select(
+        "entity_id", "custkey", "c_name", "c_mktsegment", "c_acctbal",
+        F.row_number().over(w_bal).alias("bal_rk"),
+        F.row_number().over(w_key).alias("key_rk"),
+    )
+    agg = ranked.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )
+    nm = ranked.where("bal_rk = 1").select("entity_id", F.col("c_name").alias("survived_name"))
+    ph = ranked.where("key_rk = 1").select("entity_id", F.col("c_mktsegment").alias("survived_segment"))
+    return (
+        agg.join(nm, "entity_id")
+        .join(ph, "entity_id")
+        .select("entity_id", "n_members", "survived_name", "survived_segment", "total_acctbal")
+        .orderBy("entity_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table reconciliation report (migration / replication audit)
+# ---------------------------------------------------------------------------
+
+RECON_BUCKETS = 16
+
+DQ_RECONCILIATION_ORACLE = f"""
+WITH src AS (
+  SELECT o_orderkey % {RECON_BUCKETS} AS bucket,
+         count(*) AS n_src,
+         sum(o_totalprice) AS amt_src
+  FROM orders GROUP BY 1
+), tgt AS (
+  SELECT l_orderkey % {RECON_BUCKETS} AS bucket,
+         count(DISTINCT l_orderkey) AS n_tgt,
+         sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS amt_tgt
+  FROM lineitem GROUP BY 1
+)
+SELECT coalesce(s.bucket, t.bucket) AS bucket,
+       coalesce(s.n_src, 0) AS n_src,
+       coalesce(t.n_tgt, 0) AS n_tgt,
+       coalesce(s.n_src, 0) = coalesce(t.n_tgt, 0) AS counts_match,
+       round(coalesce(s.amt_src, 0), 2) AS amt_src,
+       round(coalesce(t.amt_tgt, 0), 2) AS amt_tgt,
+       round(coalesce(s.amt_src, 0) - coalesce(t.amt_tgt, 0), 2) + 0.0 AS amt_delta
+FROM src s FULL JOIN tgt t ON t.bucket = s.bucket
+ORDER BY bucket
+"""
+
+
+@register("dq_reconciliation", DQ_RECONCILIATION_ORACLE, tags=("governance", "dq"))
+def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation: the header side (orders: row count +
+    booked o_totalprice) against the detail side (lineitem: distinct order
+    count + recomputed gross amount), bucketed by order-key hash so a
+    mismatch localizes to 1/{RECON_BUCKETS} of the keyspace instead of one
+    corpus-wide boolean — the standard migration/replication sign-off
+    report. Count equality per bucket proves no dropped/duplicated orders;
+    the amount delta prices header-vs-detail drift (the fixture's prices
+    are independent, so deltas are expected non-zero — the audit's job is
+    to REPORT them deterministically, the sign-off threshold is policy).
+
+    Scale shape: each side is one map-side-combined hash aggregate to
+    {RECON_BUCKETS} rows (COUNT DISTINCT on the detail side pre-aggregates
+    per order inside the same shuffle); the full outer join runs on
+    {RECON_BUCKETS} rows. Neither table ever joins the other row-level —
+    reconciliation at 100 TB must never shuffle the fact tables against
+    each other."""
+    t = load_tables(spark, sf_dir)
+    src = t["orders"].groupBy((F.col("o_orderkey") % RECON_BUCKETS).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_src"), F.sum("o_totalprice").alias("amt_src")
+    )
+    tgt = t["lineitem"].groupBy((F.col("l_orderkey") % RECON_BUCKETS).alias("bucket")).agg(
+        F.count_distinct("l_orderkey").alias("n_tgt"),
+        F.sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).alias("amt_tgt"),
+    )
+    return (
+        src.join(tgt, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("n_src", F.lit(0)).alias("n_src"),
+            F.coalesce("n_tgt", F.lit(0)).alias("n_tgt"),
+            (F.coalesce("n_src", F.lit(0)) == F.coalesce("n_tgt", F.lit(0))).alias(
+                "counts_match"
+            ),
+            F.round(F.coalesce("amt_src", F.lit(0.0)), 2).alias("amt_src"),
+            F.round(F.coalesce("amt_tgt", F.lit(0.0)), 2).alias("amt_tgt"),
+            (
+                F.round(
+                    F.coalesce("amt_src", F.lit(0.0)) - F.coalesce("amt_tgt", F.lit(0.0)), 2
+                )
+                + 0.0
+            ).alias("amt_delta"),
+        )
+        .orderBy("bucket")
+    )

@@ -61,6 +61,12 @@ EAGER_BUILD = {
     "graph_mst_cut_profile",  # composes graph_mst
     "text_tokenizer_fertility",  # BPE training loop runs during construction
     "dedup_ensemble_clusters",  # four pair pipelines + CC run during construction
+    # third-wave r6 eager operators: PPR collects the seed list and
+    # checkpoints the edge set; survivorship composes the eager ER
+    # clustering; jaccard-links checkpoints the simhash pair set.
+    "graph_ppr",
+    "er_survivorship",
+    "graph_jaccard_links",
 }
 
 # Registered cartesian-by-design operators (bounded or demonstration ops).
