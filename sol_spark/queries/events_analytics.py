@@ -2707,3 +2707,92 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-bucket rate-limiter replay (integer state machine per user)
+# ---------------------------------------------------------------------------
+
+# One request per rolling hour, no burst: the tightest gate the fixture's
+# traffic can actually violate (per-user-per-hour max is 2-4 events), so the
+# denial path is exercised at every SF; production raises both constants.
+BUCKET_CAP = 1
+BUCKET_REFILL_S = 3600
+
+EVENTS_TOKEN_BUCKET_ORACLE = f"""
+WITH RECURSIVE seq AS MATERIALIZED (
+  SELECT event_id, user_id, ts,
+         floor(epoch(ts))::BIGINT AS t,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), tb AS (
+  SELECT event_id, user_id, ts, t, rn,
+         {BUCKET_CAP - 1}::BIGINT AS tokens_after, true AS allowed
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_id, s.user_id, s.ts, s.t, s.rn,
+         CASE WHEN least({BUCKET_CAP}, h.tokens_after + (s.t - h.t) // {BUCKET_REFILL_S}) >= 1
+              THEN least({BUCKET_CAP}, h.tokens_after + (s.t - h.t) // {BUCKET_REFILL_S}) - 1
+              ELSE least({BUCKET_CAP}, h.tokens_after + (s.t - h.t) // {BUCKET_REFILL_S}) END,
+         least({BUCKET_CAP}, h.tokens_after + (s.t - h.t) // {BUCKET_REFILL_S}) >= 1
+  FROM seq s JOIN tb h ON s.user_id = h.user_id AND s.rn = h.rn + 1
+)
+SELECT event_id, user_id, ts, allowed, tokens_after
+FROM tb ORDER BY user_id, ts, event_id
+"""
+
+
+@register("events_token_bucket", EVENTS_TOKEN_BUCKET_ORACLE, tags=("events", "stateful"))
+def events_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket rate-limiter replay: each user's event stream runs
+    through a {BUCKET_CAP}-token bucket refilling one token per
+    {BUCKET_REFILL_S} s (whole-interval credit, remainder forfeited — the
+    integer GCRA variant), emitting per event whether the limiter would
+    have ALLOWED it and the tokens left. Replaying the limiter offline
+    over logged traffic is how a rate-limit budget is tuned before
+    enforcement — the batch twin of the gate stream_heavy_users applies
+    online.
+
+    Scale shape: the recurrence is per-user with bounded history, run in
+    ONE Arrow-batched grouped-map call partition-parallel across users —
+    the events_ewma shape. The state is two BIGINTs; every transition is
+    integer min/div/subtract, so the oracle's recursive CTE matches
+    hash-exactly with no float discipline needed."""
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "event_id", "user_id", "ts", F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").alias("t")
+    )
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        tokens = 0
+        last_t = 0
+        allowed_out, tokens_out = [], []
+        for i, tt in enumerate(pdf["t"].to_numpy()):
+            if i == 0:
+                tokens = BUCKET_CAP - 1
+                allowed = True
+            else:
+                tokens = min(BUCKET_CAP, tokens + (int(tt) - last_t) // BUCKET_REFILL_S)
+                allowed = tokens >= 1
+                if allowed:
+                    tokens -= 1
+            last_t = int(tt)
+            allowed_out.append(allowed)
+            tokens_out.append(tokens)
+        pdf["allowed"] = allowed_out
+        pdf["tokens_after"] = tokens_out
+        return pdf
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(
+            replay,
+            "event_id bigint, user_id bigint, ts timestamp_ntz, t bigint, "
+            "allowed boolean, tokens_after bigint",
+        )
+        .select("event_id", "user_id", "ts", "allowed", "tokens_after")
+        .orderBy("user_id", "ts", "event_id")
+    )

@@ -197,3 +197,44 @@ def test_reconciliation_totals(spark, sf_dir):
     assert sum(r["n_tgt"] for r in rows) == li.select("l_orderkey").distinct().count()
     for r in rows:
         assert r["counts_match"] == (r["n_src"] == r["n_tgt"])
+
+
+def test_token_bucket_python_replay(spark, sf_dir):
+    """Replay the integer token-bucket state machine sequentially in Python
+    over every user and require exact equality; the fixture must exercise
+    BOTH branches of the gate."""
+    from sol_spark.queries.events_analytics import (
+        BUCKET_CAP,
+        BUCKET_REFILL_S,
+        events_token_bucket,
+    )
+
+    got = {
+        r["event_id"]: (r["allowed"], r["tokens_after"])
+        for r in events_token_bucket(spark, sf_dir).collect()
+    }
+    assert any(a for a, _ in got.values()) and not all(a for a, _ in got.values())
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "ts")
+        .collect()
+    )
+    per_user: dict[int, list] = {}
+    for r in events:
+        per_user.setdefault(r["user_id"], []).append(r)
+    import calendar
+
+    for rows in per_user.values():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        tokens, last_t = 0, 0
+        for i, r in enumerate(rows):
+            t = calendar.timegm(r["ts"].timetuple())
+            if i == 0:
+                tokens, allowed = BUCKET_CAP - 1, True
+            else:
+                tokens = min(BUCKET_CAP, tokens + (t - last_t) // BUCKET_REFILL_S)
+                allowed = tokens >= 1
+                if allowed:
+                    tokens -= 1
+            last_t = t
+            assert got[r["event_id"]] == (allowed, tokens), r["event_id"]
