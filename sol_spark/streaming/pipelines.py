@@ -413,6 +413,71 @@ def windowed_heavy_users(events: DataFrame) -> DataFrame:
     )
 
 
+def token_bucket_state(events: DataFrame) -> DataFrame:
+    """Streaming token-bucket rate limiter with keyed state: per user the
+    state is two BIGINTs (tokens left, last event's epoch second); each
+    arriving event refills floor(elapsed / refill) tokens up to the cap,
+    then the gate decides and the decision row is emitted immediately
+    (append mode — every event exactly once, no window to close). The
+    ONLINE twin of the batch replay events_analytics.events_token_bucket:
+    identical integer transitions, so the drained stream matches the batch
+    output exactly, not within tolerance. Per-key ts-ordered arrival comes
+    from the ts-range-split file replay (production: watermark-ordered
+    upstream, or GCRA on processing time). Constants imported from the
+    batch op so the two can never drift."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from sol_spark.queries.events_analytics import BUCKET_CAP, BUCKET_REFILL_S
+
+    def update(key, pdfs, state):  # noqa: ANN001
+        if state.exists:
+            tokens, last_t, started = state.get
+        else:
+            tokens, last_t, started = 0, 0, 0
+        out = {"event_id": [], "ts": [], "allowed": [], "tokens_after": []}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            secs = pdf["ts"].astype("int64") // 1_000_000_000
+            for eid, ts_val, t in zip(
+                pdf["event_id"].to_numpy(), pdf["ts"], secs.to_numpy()
+            ):
+                t = int(t)
+                if not started:
+                    tokens, allowed, started = BUCKET_CAP - 1, True, 1
+                else:
+                    tokens = min(BUCKET_CAP, tokens + (t - last_t) // BUCKET_REFILL_S)
+                    allowed = tokens >= 1
+                    if allowed:
+                        tokens -= 1
+                last_t = t
+                out["event_id"].append(int(eid))
+                out["ts"].append(ts_val)
+                out["allowed"].append(bool(allowed))
+                out["tokens_after"].append(tokens)
+        state.update((tokens, last_t, started))
+        yield pd.DataFrame(
+            {
+                "user_id": key[0],
+                "event_id": out["event_id"],
+                "ts": out["ts"],
+                "allowed": out["allowed"],
+                "tokens_after": out["tokens_after"],
+            }
+        )
+
+    return events.select("user_id", "event_id", "ts").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id bigint, event_id bigint, ts timestamp_ntz, "
+            "allowed boolean, tokens_after bigint"
+        ),
+        stateStructType="tokens bigint, last_t bigint, started int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def ewma_hourly_state(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     """Streaming EWMA over each event type's hourly mean-value series with
     OPEN-BUCKET state: keyed state carries the current hour's partial

@@ -745,3 +745,20 @@ def test_heavy_users_stream_equals_batch(spark, sf_dir, batch_events):
     want = P.windowed_heavy_users(batch_events).collect()
     assert len(want) > 0  # non-vacuous: the gate fires on the fixture
     assert _sorted_rows(got, ("sum_value",)) == _sorted_rows(want, ("sum_value",))
+
+
+def test_token_bucket_stream_equals_batch(spark, sf_dir):
+    """Streaming token-bucket (keyed two-BIGINT state) must equal the
+    batch replay EXACTLY — same integer transitions, every event emitted
+    exactly once, both gate branches exercised."""
+    from sol_spark.queries.events_analytics import events_token_bucket
+
+    got = _run(spark, sf_dir, P.token_bucket_state, "append", n_files=4)
+    stream = {r.event_id: (r.allowed, r.tokens_after) for r in got}
+    assert len(stream) == len(got), "an event was emitted more than once"
+    want = {
+        r.event_id: (r.allowed, r.tokens_after)
+        for r in events_token_bucket(spark, sf_dir).collect()
+    }
+    assert stream == want
+    assert any(a for a, _ in want.values()) and not all(a for a, _ in want.values())
