@@ -3132,3 +3132,63 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_rounds=False,
         release=(edges, pairs, ev),
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the near-dup graph
+# ---------------------------------------------------------------------------
+
+GRAPH_ASSORTATIVITY_ORACLE = f"""
+WITH pr AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({SIMHASH_ORACLE.replace("ORDER BY doc_a, doc_b", "")}) q
+), edges AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM pr
+  UNION ALL
+  SELECT doc_b, doc_a FROM pr
+), deg AS MATERIALIZED (
+  SELECT u AS node, count(*) AS d FROM edges GROUP BY u
+)
+SELECT count(*) AS n_directed_edges,
+       round(avg(du.d), 4) AS mean_degree,
+       round(corr(du.d, dv.d), 4) + 0.0 AS assortativity
+FROM edges e
+JOIN deg du ON du.node = e.u
+JOIN deg dv ON dv.node = e.v
+"""
+
+
+@register("graph_assortativity", GRAPH_ASSORTATIVITY_ORACLE, tags=("llm", "dedup", "graph"))
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the SimHash near-dup graph: the Pearson
+    correlation of endpoint degrees over the (symmetrized) edge list.
+    Positive = duplicate hubs attach to other hubs (mirror farms that
+    cross-link — cluster-level dedup is safe); negative = hubs attach to
+    leaves (template pages matching many one-off docs — a keep-one-per-
+    cluster policy would over-delete the leaves). The one-scalar
+    structural summary read BEFORE trusting the near-dup clusters,
+    complementing the per-node graph_clustering_coef readout.
+
+    Scale shape: degree table built once from the edge list, joined back
+    onto both endpoints (the small node-keyed side broadcasts under AQE),
+    then a single covariance-form aggregate — corr's partial state is
+    five doubles, map-side combinable, so the readout costs one shuffle
+    of the edge list regardless of graph size."""
+    ph = dedup_simhash(spark, sf_dir)
+    pairs = local_checkpoint(ph.select("doc_a", "doc_b"))
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = edges.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    out = local_checkpoint(
+        edges.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            F.count(F.lit(1)).alias("n_directed_edges"),
+            F.round(F.avg("du"), 4).alias("mean_degree"),
+            (F.round(F.corr("du", "dv"), 4) + 0.0).alias("assortativity"),
+        )
+    )
+    release_result(pairs)
+    return out

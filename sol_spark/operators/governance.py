@@ -1153,3 +1153,86 @@ def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# DP noisy SUM with per-user contribution clipping
+# ---------------------------------------------------------------------------
+
+DP_SUM_CLIP = 200000.0  # per-user per-group contribution cap (price units)
+
+DP_SUM_ORACLE = f"""
+WITH per_user AS (
+  SELECT o_orderpriority AS grp, o_custkey,
+         least(sum(o_totalprice), {DP_SUM_CLIP}) AS clipped
+  FROM orders GROUP BY 1, 2
+), g AS (
+  SELECT grp, sum(clipped) AS s, count(*) AS n_users,
+         sum(CASE WHEN clipped = {DP_SUM_CLIP} THEN 1 ELSE 0 END)::BIGINT AS n_clipped
+  FROM per_user GROUP BY grp
+), u AS (
+  SELECT grp, s, n_users, n_clipped,
+         ((('0x' || substr(md5('dpsum' || grp), 1, 8))::BIGINT % 1000000) + 0.5)
+         / 1000000.0 AS u
+  FROM g
+)
+SELECT grp, n_users, n_clipped,
+       round(s, 2) AS clipped_sum,
+       round(s + (CASE WHEN u > 0.5 THEN -1.0 ELSE 1.0 END)
+               * {DP_SUM_CLIP} * ln(1 - 2 * abs(u - 0.5)) / {DP_EPSILON}, 2) AS noisy_sum,
+       {DP_EPSILON} AS epsilon
+FROM u ORDER BY grp
+"""
+
+
+@register("privacy_dp_sum", DP_SUM_ORACLE, tags=("governance", "privacy"))
+def privacy_dp_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-level DP noisy SUM per order priority: each customer's total
+    contribution to a group is first CLIPPED to {DP_SUM_CLIP} (bounding
+    the sensitivity a single person can induce — without the clip a sum
+    release has unbounded sensitivity and no finite noise protects it),
+    then Laplace(clip/eps) noise is added via the same deterministic
+    md5-uniform inverse-CDF as privacy_dp_counts. Completes the release
+    family: counts (sensitivity 1), per-user contribution bounding, and
+    now numeric sums (sensitivity = clip). n_clipped prices the
+    bias-vs-noise trade a release owner tunes the clip with.
+
+    Scale shape: two chained map-side-combined aggregates (user-group
+    partials, then group), noise as a scalar projection over |groups|
+    rows — row-level data is never touched after the first aggregate."""
+    t = load_tables(spark, sf_dir)
+    per_user = (
+        t["orders"]
+        .groupBy(F.col("o_orderpriority").alias("grp"), "o_custkey")
+        .agg(F.least(F.sum("o_totalprice"), F.lit(DP_SUM_CLIP)).alias("clipped"))
+    )
+    g = per_user.groupBy("grp").agg(
+        F.sum("clipped").alias("s"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("clipped") == DP_SUM_CLIP, 1).otherwise(0)).alias("n_clipped"),
+    )
+    u = g.withColumn(
+        "u",
+        (
+            F.expr(
+                "CAST(conv(substring(md5(concat('dpsum', grp)), 1, 8), 16, 10) AS BIGINT)"
+                " % 1000000"
+            )
+            + F.lit(0.5)
+        )
+        / F.lit(1000000.0),
+    )
+    noise = (
+        F.when(F.col("u") > 0.5, F.lit(-1.0)).otherwise(F.lit(1.0))
+        * F.lit(DP_SUM_CLIP)
+        * F.log(1 - 2 * F.abs(F.col("u") - 0.5))
+        / F.lit(DP_EPSILON)
+    )
+    return u.select(
+        "grp",
+        "n_users",
+        "n_clipped",
+        F.round("s", 2).alias("clipped_sum"),
+        F.round(F.col("s") + noise, 2).alias("noisy_sum"),
+        F.lit(DP_EPSILON).alias("epsilon"),
+    ).orderBy("grp")

@@ -67,6 +67,7 @@ EAGER_BUILD = {
     "graph_ppr",
     "er_survivorship",
     "graph_jaccard_links",
+    "graph_assortativity",  # checkpoints the simhash pair set during build
 }
 
 # Registered cartesian-by-design operators (bounded or demonstration ops).
