@@ -504,3 +504,48 @@ def test_geo_cell_join_is_equi_join_unpinned(spark, sf_dir):
         assert "CartesianProduct" not in plan, f"{fn.__name__}: cartesian product"
         nlj = plan.count("BroadcastNestedLoopJoin")
         assert nlj <= 2, f"{fn.__name__}: unexpected non-equi join fan-out"
+
+
+def test_shard_balance_windows_partitioned(spark, sf_dir):
+    """layout_shard_balance's global rank must decompose: the only
+    UNPARTITIONED window in the plan runs over the tiny per-size histogram
+    / shard-offset frames — the per-doc windows are partitioned by
+    (n_chars, rshard). Assert the per-doc row_number window carries a
+    partition spec, so no single-task pass over the corpus exists."""
+    from sol_spark.operators.layout import layout_shard_balance
+
+    plan = _plan(layout_shard_balance(spark, sf_dir))
+    # The doc-level window is partitioned on the two-pass keys.
+    assert "row_number" in plan
+    assert "partitionBy" not in plan  # formatted explain spells windows as:
+    # Window [row_number() ... windowspecdefinition(n_chars, rshard, ...)]
+    assert "windowspecdefinition(n_chars#" in plan.replace("L", "")
+
+
+def test_quantile_hist_column_pruned_scan(spark, sf_dir):
+    """sketch_quantile_hist must read ONLY l_extendedprice from lineitem —
+    the fixed-size-sketch path is pointless if the scan drags all 11
+    columns along."""
+    from sol_spark.queries.relational import sketch_quantile_hist
+
+    plan = _plan(sketch_quantile_hist(spark, sf_dir))
+    schemas = [seg.splitlines()[0] for seg in plan.split("ReadSchema: ")[1:]]
+    assert any("l_extendedprice" in sc for sc in schemas)
+    for sc in schemas:
+        if sc == "struct<>":  # zero-column count-style scan
+            continue
+        assert sc == "struct<l_extendedprice:double>", sc
+
+
+def test_reconciliation_aggregates_before_join(spark, sf_dir):
+    """dq_reconciliation must aggregate each side to RECON_BUCKETS rows
+    BEFORE the full outer join — the fact tables never shuffle against
+    each other. In the plan: both join children contain an aggregate, and
+    the join itself is on the bucket key."""
+    from sol_spark.operators.governance import dq_reconciliation
+
+    plan = _plan(dq_reconciliation(spark, sf_dir))
+    assert "FullOuter" in plan
+    join_pos = plan.find("FullOuter")
+    # Aggregates appear below (after, in formatted output) the join node.
+    assert plan.count("HashAggregate", join_pos) >= 2
