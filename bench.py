@@ -74,6 +74,11 @@ HEADLINE = [
     # k-NN graph build — the two new heavy shapes of the second wave.
     "text_span_removal",
     "sim_knn_graph",
+    # r6 wave-3 additions: the grouped-map integer state machine over the
+    # full event stream and the two-scan mergeable histogram-quantile
+    # sketch — the third wave's new cost shapes.
+    "events_token_bucket",
+    "sketch_quantile_hist",
     "win_rank_topk_per_group",
     "time_rollup_hierarchy",
     "set_intersect",

@@ -1236,3 +1236,56 @@ def privacy_dp_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s") + noise, 2).alias("noisy_sum"),
         F.lit(DP_EPSILON).alias("epsilon"),
     ).orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# Partition-level statistics collection (ANALYZE TABLE ... PARTITION analog)
+# ---------------------------------------------------------------------------
+
+PARTITION_STATS_ORACLE = """
+SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+       count(*) AS n_rows,
+       count(DISTINCT o_custkey) AS ndv_custkey,
+       min(o_orderkey) AS min_orderkey,
+       max(o_orderkey) AS max_orderkey,
+       round(min(o_totalprice), 2) AS min_totalprice,
+       round(max(o_totalprice), 2) AS max_totalprice,
+       round(sum(o_totalprice), 2) AS sum_totalprice,
+       count(*) - count(o_orderstatus) AS null_status
+FROM orders
+GROUP BY 1 ORDER BY month
+"""
+
+
+@register("warehouse_partition_stats", PARTITION_STATS_ORACLE, tags=("governance", "warehouse", "stats"))
+def warehouse_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level statistics collection — the ANALYZE TABLE ...
+    PARTITION pass a lakehouse table owner schedules after each load:
+    per month-partition row counts, key NDV, min/max envelopes (exactly
+    what zone-map pruning and CBO join-size estimates consume;
+    layout_skipping_audit grades how well those envelopes skip), a sum
+    for reconciliation, and the null count per required column. Kept
+    exact here so the oracle is exact; production swaps NDV for the HLL
+    sketch (sketch_hll_rollup is that path) with nothing else changing.
+
+    Scale shape: ONE map-side-combined hash aggregate keyed by the
+    partition expression — COUNT DISTINCT pre-aggregates per
+    (month, custkey) inside the same shuffle (Spark's two-phase distinct
+    rewrite); min/max/sum/null-count are five-double partials. Output is
+    one row per partition, bounded by the calendar."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("o_custkey").alias("ndv_custkey"),
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.max("o_orderkey").alias("max_orderkey"),
+            F.round(F.min("o_totalprice"), 2).alias("min_totalprice"),
+            F.round(F.max("o_totalprice"), 2).alias("max_totalprice"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
+            (F.count(F.lit(1)) - F.count("o_orderstatus")).alias("null_status"),
+        )
+        .orderBy("month")
+    )
