@@ -3192,3 +3192,70 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     release_result(pairs)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Quality-based duplicate survivorship (keep the best-quality member)
+# ---------------------------------------------------------------------------
+
+DEDUP_KEEP_BEST_QUALITY_ORACLE = f"""
+WITH cc AS MATERIALIZED (
+  SELECT * FROM ({DEDUP_CLUSTERS_ORACLE.replace("ORDER BY doc", "")}) q1
+), quality AS MATERIALIZED (
+  SELECT doc_id AS doc,
+         (10000 * len(list_distinct(string_split({_NORM_DUCK_TEXT}, ' '))))
+           // len(string_split({_NORM_DUCK_TEXT}, ' ')) AS ttr_bp
+  FROM documents
+), joined AS (
+  SELECT cc.cluster, cc.doc, q.ttr_bp
+  FROM cc JOIN quality q USING (doc)
+), picked AS (
+  SELECT cluster, doc, ttr_bp,
+         row_number() OVER (PARTITION BY cluster ORDER BY ttr_bp DESC, doc) AS rn,
+         count(*) OVER (PARTITION BY cluster) AS cluster_size
+  FROM joined
+)
+SELECT cluster, doc AS keeper, ttr_bp, cluster_size
+FROM picked WHERE rn = 1
+ORDER BY cluster
+"""
+
+
+@register("dedup_keep_best_quality", DEDUP_KEEP_BEST_QUALITY_ORACLE, tags=("llm", "dedup"))
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based duplicate survivorship: per near-dup cluster keep the
+    member with the highest type-token ratio (the text_quality_filter
+    lexical-diversity signal; ties to the smaller doc id) — the common
+    production keep policy, preferring the least-degenerate variant over
+    dedup_clusters' min-id keeper and dedup_representatives' most-central
+    one. The three policies form the survivorship menu a curation
+    pipeline picks from; this one needs no second graph pass, only a
+    per-doc integer score.
+
+    Scale shape: the TTR score is a pure codegen'd projection joined onto
+    the (already-checkpointed) cluster map by doc key, then one
+    per-cluster window over blocking-bounded cluster widths — negligible
+    next to the CC pass it reuses."""
+    cc = dedup_clusters(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    quality = t["documents"].select(
+        F.col("doc_id").alias("doc"),
+        F.expr(
+            f"(10000 * size(array_distinct(split({_NORM}, ' ')))) div size(split({_NORM}, ' '))"
+        ).alias("ttr_bp"),
+    )
+    joined = cc.join(quality, "doc")
+    w_pick = W.partitionBy("cluster").orderBy(F.col("ttr_bp").desc(), F.col("doc"))
+    w_sz = W.partitionBy("cluster")
+    out = local_checkpoint(
+        joined.select(
+            "cluster", "doc", "ttr_bp",
+            F.row_number().over(w_pick).alias("rn"),
+            F.count(F.lit(1)).over(w_sz).alias("cluster_size"),
+        )
+        .where("rn = 1")
+        .select("cluster", F.col("doc").alias("keeper"), "ttr_bp", "cluster_size")
+        .orderBy("cluster")
+    )
+    release_result(cc)
+    return out

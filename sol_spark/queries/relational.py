@@ -2228,3 +2228,67 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Order fulfillment lag (order-to-ship cycle time per priority)
+# ---------------------------------------------------------------------------
+
+FULFILLMENT_LAG_ORACLE = """
+WITH first_ship AS (
+  SELECT l_orderkey, min(l_shipdate) AS first_ship
+  FROM lineitem GROUP BY l_orderkey
+), lag AS (
+  SELECT o.o_orderpriority,
+         date_diff('day', o.o_orderdate, f.first_ship) AS lag_days
+  FROM orders o JOIN first_ship f ON f.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       min(lag_days) AS min_days,
+       max(lag_days) AS max_days,
+       round(quantile_cont(lag_days, 0.5), 2) AS p50_days,
+       round(quantile_cont(lag_days, 0.95), 2) AS p95_days,
+       ((sum(lag_days) * 100) // count(*))::BIGINT AS avg_days_x100
+FROM lag GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@register("orders_fulfillment_lag", FULFILLMENT_LAG_ORACLE, tags=("agg", "warehouse"))
+def orders_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-shipment cycle time per priority class: integer day
+    lags between o_orderdate and the order's earliest l_shipdate, with
+    min/max/median/P95 and a centi-day average — the fulfillment SLA
+    scorecard, and a second fact-fact join spine (orders x lineitem on the
+    order key) beside the SSB suite. Percentiles use the interpolated
+    (quantile_cont) definition both engines agree on exactly; counts and
+    the centi-day average stay BIGINT.
+
+    Scale shape: lineitem pre-aggregates to one row per order (map-side
+    combined min) BEFORE the join, so the orders join is key-to-key, not
+    order-to-lines; the final aggregate is |priorities| rows. At 100 TB
+    both sides bucket by orderkey and the join is co-located."""
+    t = load_tables(spark, sf_dir)
+    first_ship = t["lineitem"].groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    lag = (
+        t["orders"]
+        .join(first_ship, "o_orderkey")
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("first_ship"), F.col("o_orderdate")).alias("lag_days"),
+        )
+    )
+    return (
+        lag.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("lag_days").alias("min_days"),
+            F.max("lag_days").alias("max_days"),
+            F.round(F.expr("percentile(lag_days, 0.5)"), 2).alias("p50_days"),
+            F.round(F.expr("percentile(lag_days, 0.95)"), 2).alias("p95_days"),
+            F.expr("(sum(lag_days) * 100) div count(*)").alias("avg_days_x100"),
+        )
+        .orderBy("o_orderpriority")
+    )

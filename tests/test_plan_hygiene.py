@@ -68,6 +68,7 @@ EAGER_BUILD = {
     "er_survivorship",
     "graph_jaccard_links",
     "graph_assortativity",  # checkpoints the simhash pair set during build
+    "dedup_keep_best_quality",  # composes the eager CC labeler
 }
 
 # Registered cartesian-by-design operators (bounded or demonstration ops).
