@@ -1350,7 +1350,7 @@ WITH RECURSIVE hourly AS (
          greatest(0.0, c.s + (q.x - q.mu - 0.5 * q.sd))
   FROM seq q JOIN cu c ON q.event_type = c.event_type AND q.rn = c.rn + 1
 )
-SELECT event_type, hour, round(x, 4) AS avg_value, round(s, 4) AS cusum,
+SELECT event_type, hour, round(x, 6) AS avg_value, round(s, 6) AS cusum,
        s > 4 * sd AS alarm
 FROM cu ORDER BY event_type, hour
 """
@@ -1409,8 +1409,8 @@ def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "hour",
-            F.round("x", 4).alias("avg_value"),
-            F.round("s", 4).alias("cusum"),
+            F.round("x", 6).alias("avg_value"),
+            F.round("s", 6).alias("cusum"),
             (F.col("s") > 4 * F.col("sd")).alias("alarm"),
         )
         .orderBy("event_type", "hour")
