@@ -3259,3 +3259,85 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     release_result(cc)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental connected components (quotient-graph recompute on new edges)
+# ---------------------------------------------------------------------------
+
+CC_INC_SPLIT_MOD = 5  # pairs with (doc_a + doc_b) % 5 == 0 arrive "late"
+
+
+@register("dedup_cc_incremental", DEDUP_CLUSTERS_ORACLE, tags=("llm", "dedup", "iterative"))
+def dedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental duplicate-cluster maintenance: the MinHash pair set is
+    split into a BASE batch (~80%, already labeled by a previous CC run)
+    and a LATE batch (~20% of pairs, (doc_a + doc_b) % {CC_INC_SPLIT_MOD}
+    == 0 — the next crawl's edges), and the late edges are folded in by
+    running CC over the QUOTIENT graph only: each late edge's endpoints
+    map through their base label (identity for unlabeled docs), CC runs
+    over |late| + |touched clusters| nodes instead of the full corpus, and
+    the result composes back through the base labeling. Because base
+    labels are min-member ids, the quotient CC's min-label ids ARE the
+    merged clusters' min doc ids, so the composition is exact: the oracle
+    is the FULL recomputation (DEDUP_CLUSTERS_ORACLE, identical output to
+    dedup_clusters) — the strongest possible check for an incremental
+    algorithm. This is the maintenance mode of dedup at 100 TB: the corpus
+    graph is never re-clustered from scratch; only the frontier is.
+
+    Scale shape: the base CC runs on the base pair set (in production:
+    read from the previous snapshot, not recomputed — recomputed here so
+    the operator is self-contained); the incremental pass shuffles ONLY
+    late edges and the labels they touch. The final label attach is one
+    left join of the base labeling against the (tiny) quotient relabel
+    map."""
+    mh = dedup_minhash_lsh(spark, sf_dir)
+    pairs = local_checkpoint(mh.select("doc_a", "doc_b"))
+    release_result(mh)
+    is_late = (F.col("doc_a") + F.col("doc_b")) % CC_INC_SPLIT_MOD == 0
+    base = pairs.where(~is_late)
+    late = pairs.where(is_late)
+    base_labels = connected_components(base)  # (doc, cluster)
+    # Quotient edges: late edges with endpoints mapped through base labels.
+    la = base_labels.select(F.col("doc").alias("doc_a"), F.col("cluster").alias("ca"))
+    lb = base_labels.select(F.col("doc").alias("doc_b"), F.col("cluster").alias("cb"))
+    quotient = local_checkpoint(
+        late.join(la, "doc_a", "left")
+        .join(lb, "doc_b", "left")
+        .select(
+            F.coalesce("ca", "doc_a").alias("doc_a"),
+            F.coalesce("cb", "doc_b").alias("doc_b"),
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+    )
+    relabel = connected_components(quotient)  # (doc=old label, cluster=new)
+    # Compose: every node of the quotient graph (old labels + docs that only
+    # appear in late edges) gets its new label; base-labeled docs not touched
+    # keep their label.
+    rl = relabel.select(F.col("doc").alias("cluster"), F.col("cluster").alias("new_cluster"))
+    merged_base = (
+        base_labels.join(F.broadcast(rl), "cluster", "left")
+        .select("doc", F.coalesce("new_cluster", "cluster").alias("cluster"))
+    )
+    # Docs appearing ONLY in late edges (no base label): their quotient node
+    # is the doc itself.
+    late_docs = (
+        late.select(F.col("doc_a").alias("doc"))
+        .unionAll(late.select(F.col("doc_b").alias("doc")))
+        .distinct()
+        .join(base_labels.select("doc"), "doc", "left_anti")
+    )
+    merged_late = (
+        late_docs.join(
+            F.broadcast(relabel.withColumnRenamed("doc", "qnode")),
+            late_docs["doc"] == F.col("qnode"),
+            "left",
+        )
+        .select("doc", F.coalesce("cluster", "doc").alias("cluster"))
+    )
+    out = local_checkpoint(merged_base.unionByName(merged_late).orderBy("doc"))
+    release_result(pairs)
+    release_result(quotient)
+    release_result(base_labels)
+    release_result(relabel)
+    return out

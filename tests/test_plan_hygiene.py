@@ -69,6 +69,7 @@ EAGER_BUILD = {
     "graph_jaccard_links",
     "graph_assortativity",  # checkpoints the simhash pair set during build
     "dedup_keep_best_quality",  # composes the eager CC labeler
+    "dedup_cc_incremental",  # two CC passes (base + quotient) during build
 }
 
 # Registered cartesian-by-design operators (bounded or demonstration ops).
