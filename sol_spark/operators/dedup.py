@@ -3341,3 +3341,77 @@ def dedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     release_result(base_labels)
     release_result(relabel)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Clustering agreement (Rand / adjusted Rand) between two dedup methods
+# ---------------------------------------------------------------------------
+
+DEDUP_RAND_INDEX_ORACLE = f"""
+WITH mh AS MATERIALIZED (
+  SELECT doc, cluster AS cm FROM ({DEDUP_CLUSTERS_ORACLE.replace("ORDER BY doc", "")}) q1
+), sh AS MATERIALIZED (
+  SELECT doc, cluster AS cs FROM ({DEDUP_SIMHASH_CLUSTERS_ORACLE.replace("ORDER BY doc", "")}) q2
+), common AS MATERIALIZED (
+  SELECT mh.doc, mh.cm, sh.cs FROM mh JOIN sh USING (doc)
+), cont AS (
+  SELECT cm, cs, count(*) AS nij FROM common GROUP BY cm, cs
+), sums AS (
+  SELECT (SELECT count(*) FROM common) AS n,
+         (SELECT sum(nij * (nij - 1) / 2) FROM cont) AS s_ij,
+         (SELECT sum(a * (a - 1) / 2) FROM (SELECT sum(nij) AS a FROM cont GROUP BY cm)) AS s_a,
+         (SELECT sum(b * (b - 1) / 2) FROM (SELECT sum(nij) AS b FROM cont GROUP BY cs)) AS s_b
+)
+SELECT n::BIGINT AS n_docs,
+       s_ij::BIGINT AS agree_pairs,
+       s_a::BIGINT AS pairs_a,
+       s_b::BIGINT AS pairs_b,
+       round(1.0 - (s_a + s_b - 2 * s_ij) / (n * (n - 1) / 2), 6) + 0.0 AS rand_index,
+       round((s_ij - s_a * s_b / (n * (n - 1) / 2))
+             / ((s_a + s_b) / 2.0 - s_a * s_b / (n * (n - 1) / 2)), 6) + 0.0 AS ari
+FROM sums
+"""
+
+
+@register("dedup_rand_index", DEDUP_RAND_INDEX_ORACLE, tags=("llm", "dedup", "eval", "iterative"))
+def dedup_rand_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-agreement scorecard between the MinHash and SimHash
+    duplicate clusterings (pair-counting form): Rand index = share of doc
+    pairs the two methods treat identically (co-clustered in both or
+    separated in both), and the chance-corrected Adjusted Rand Index —
+    the standard way to quantify how much the cheap signature family
+    agrees with the expensive one before picking a production detector
+    (dedup_method_overlap compares edge sets; this compares the CLUSTER
+    partitions those edges induce, which is what downstream keep/drop
+    actually consumes). Restricted to docs both methods cluster.
+
+    Scale shape: a contingency table keyed by (cluster_a, cluster_b) —
+    one hash aggregate over the joined label maps — then three tiny
+    aggregates of binomial terms; every count is exact BIGINT and only
+    the two final index ratios are floats (rounded at 6). Nothing
+    pairwise is ever materialized: C(n,2) terms are closed-form on
+    counts, the pair-counting trick that makes Rand computable at 100 TB."""
+    mh = dedup_clusters(spark, sf_dir).select("doc", F.col("cluster").alias("cm"))
+    sh = dedup_simhash_clusters(spark, sf_dir).select("doc", F.col("cluster").alias("cs"))
+    common = local_checkpoint(mh.join(sh, "doc"))
+    release_result(mh)
+    cont = common.groupBy("cm", "cs").agg(F.count(F.lit(1)).alias("nij"))
+    n = common.count()
+    s_ij = cont.agg(F.sum(F.col("nij") * (F.col("nij") - 1) / 2).alias("v")).collect()[0]["v"]
+    s_a = (
+        cont.groupBy("cm").agg(F.sum("nij").alias("a"))
+        .agg(F.sum(F.col("a") * (F.col("a") - 1) / 2).alias("v")).collect()[0]["v"]
+    )
+    s_b = (
+        cont.groupBy("cs").agg(F.sum("nij").alias("b"))
+        .agg(F.sum(F.col("b") * (F.col("b") - 1) / 2).alias("v")).collect()[0]["v"]
+    )
+    release_result(common)
+    tot = n * (n - 1) / 2
+    rand = round(1.0 - (s_a + s_b - 2 * s_ij) / tot, 6) + 0.0
+    ari = round((s_ij - s_a * s_b / tot) / ((s_a + s_b) / 2.0 - s_a * s_b / tot), 6) + 0.0
+    return spark.createDataFrame(
+        [(int(n), int(s_ij), int(s_a), int(s_b), rand, ari)],
+        "n_docs bigint, agree_pairs bigint, pairs_a bigint, pairs_b bigint, "
+        "rand_index double, ari double",
+    )

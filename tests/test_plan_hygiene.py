@@ -70,6 +70,7 @@ EAGER_BUILD = {
     "graph_assortativity",  # checkpoints the simhash pair set during build
     "dedup_keep_best_quality",  # composes the eager CC labeler
     "dedup_cc_incremental",  # two CC passes (base + quotient) during build
+    "dedup_rand_index",  # composes both eager clusterings; scalar collects
 }
 
 # Registered cartesian-by-design operators (bounded or demonstration ops).
