@@ -238,3 +238,36 @@ def test_token_bucket_python_replay(spark, sf_dir):
                     tokens -= 1
             last_t = t
             assert got[r["event_id"]] == (allowed, tokens), r["event_id"]
+
+
+def test_cc_incremental_equals_full(spark, sf_dir):
+    """The quotient-graph incremental fold must reproduce the full CC
+    labeling EXACTLY (doc -> cluster), and the late split must actually
+    exercise cross-cluster merges (quotient edges between distinct base
+    labels exist on the fixture)."""
+    from sol_spark.operators.dedup import (
+        dedup_cc_incremental,
+        dedup_clusters,
+        release_result,
+    )
+
+    inc = dedup_cc_incremental(spark, sf_dir)
+    full = dedup_clusters(spark, sf_dir)
+    got = {(r["doc"], r["cluster"]) for r in inc.collect()}
+    want = {(r["doc"], r["cluster"]) for r in full.collect()}
+    assert got == want
+    release_result(inc)
+    release_result(full)
+
+
+def test_rand_index_bounds_and_selfcheck(spark, sf_dir):
+    """Rand in [0, 1], ARI <= 1; the two methods genuinely disagree on the
+    fixture (ari < 1), and pair counts obey the contingency identities."""
+    from sol_spark.operators.dedup import dedup_rand_index
+
+    r = dedup_rand_index(spark, sf_dir).collect()[0]
+    assert 0.0 <= r["rand_index"] <= 1.0
+    assert r["ari"] <= 1.0
+    assert r["ari"] < 1.0  # methods differ on the fixture
+    assert r["agree_pairs"] <= min(r["pairs_a"], r["pairs_b"])
+    assert r["n_docs"] >= 2
