@@ -263,14 +263,16 @@ WITH s AS (
          lag(o_orderpriority) OVER w AS prev
   FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 ), starts AS (
-  SELECT o_custkey, o_orderpriority, o_orderdate AS eff_from
+  SELECT o_custkey, o_orderpriority, o_orderdate AS eff_from, o_orderkey
   FROM s WHERE prev IS NULL OR prev <> o_orderpriority
 )
 SELECT o_custkey AS custkey, o_orderpriority AS priority, eff_from,
-       lead(eff_from) OVER (PARTITION BY o_custkey ORDER BY eff_from) AS eff_to,
-       lead(eff_from) OVER (PARTITION BY o_custkey ORDER BY eff_from) IS NULL AS is_current,
-       row_number() OVER (PARTITION BY o_custkey ORDER BY eff_from) AS version_n
-FROM starts ORDER BY custkey, version_n
+       lead(eff_from) OVER w2 AS eff_to,
+       lead(eff_from) OVER w2 IS NULL AS is_current,
+       row_number() OVER w2 AS version_n
+FROM starts
+WINDOW w2 AS (PARTITION BY o_custkey ORDER BY eff_from, o_orderkey)
+ORDER BY custkey, version_n
 """
 
 
@@ -289,12 +291,20 @@ def scd2(df: DataFrame, key: str, attr: str, order_by: list[str]) -> DataFrame:
         df.select(key, attr, *order_by, F.lag(attr).over(w).alias("prev"))
         .where(F.col("prev").isNull() | (F.col("prev") != F.col(attr)))
     )
+    # The version windows order by the FULL order_by, not eff alone: two
+    # versions can open at the same eff timestamp (same-day changes), and
+    # an eff-only ordering leaves lead/row_number tie order engine-defined
+    # (caught by the sf0.1 sweep: version_n<->value pairings flipped vs
+    # the oracle). The tie-break column makes the ordering total, so the
+    # same-day rule is deterministic: later order key = later version.
+    w2 = Window.partitionBy(key).orderBy(*order_by)
     return (
         starts.select(
             F.col(key).alias("custkey"),
             F.col(attr).alias("priority"),
             F.col(eff).alias("eff_from"),
-            F.lead(eff).over(Window.partitionBy(key).orderBy(F.col(eff))).alias("eff_to"),
+            F.lead(eff).over(w2).alias("eff_to"),
+            F.row_number().over(w2).alias("version_n"),
         )
         .select(
             "custkey",
@@ -302,9 +312,7 @@ def scd2(df: DataFrame, key: str, attr: str, order_by: list[str]) -> DataFrame:
             "eff_from",
             "eff_to",
             F.col("eff_to").isNull().alias("is_current"),
-            F.row_number()
-            .over(Window.partitionBy("custkey").orderBy("eff_from"))
-            .alias("version_n"),
+            "version_n",
         )
         .orderBy("custkey", "version_n")
     )
