@@ -2796,3 +2796,67 @@ def events_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts", "allowed", "tokens_after")
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Experiment power analysis (sample-size calculator from observed variance)
+# ---------------------------------------------------------------------------
+
+POWER_Z_ALPHA = 1.959964  # two-sided alpha = 0.05
+POWER_Z_BETA = 0.841621   # power = 0.80
+POWER_MDE_BP = 500        # minimum detectable effect: 5% of the mean
+
+EVENTS_POWER_ORACLE = f"""
+WITH s AS (
+  SELECT event_type, count(*) AS n_obs,
+         avg(value) AS mu, var_samp(value) AS v
+  FROM events GROUP BY 1
+)
+SELECT event_type, n_obs,
+       round(mu, 6) + 0.0 AS mean_value,
+       round(v, 6) + 0.0 AS variance,
+       CAST(ceil(2.0 * ({POWER_Z_ALPHA} + {POWER_Z_BETA}) * ({POWER_Z_ALPHA} + {POWER_Z_BETA})
+                 * v / ((mu * {POWER_MDE_BP} / 10000.0) * (mu * {POWER_MDE_BP} / 10000.0)))
+            AS BIGINT) AS n_per_arm,
+       CAST(ceil(2.0 * ({POWER_Z_ALPHA} + {POWER_Z_BETA}) * ({POWER_Z_ALPHA} + {POWER_Z_BETA})
+                 * v / ((mu * {POWER_MDE_BP} / 10000.0) * (mu * {POWER_MDE_BP} / 10000.0)))
+            AS BIGINT) * 2 > n_obs AS under_powered
+FROM s ORDER BY event_type
+"""
+
+
+@register("events_power_analysis", EVENTS_POWER_ORACLE, tags=("events", "stats", "abtest"))
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sample-size calculator from observed traffic: for each
+    event type's value metric, the per-arm n needed to detect a
+    {POWER_MDE_BP} bp (5%) lift at two-sided alpha = 0.05 with 80% power
+    (normal approximation, n = 2 (z_a + z_b)^2 sigma^2 / delta^2), next
+    to the traffic actually available — the go/no-go readout an
+    experimenter runs BEFORE launching the A/B test that events_ab_test /
+    events_cuped later analyze (and the reason to use CUPED at all: it
+    shrinks sigma^2, hence n). under_powered flags metrics whose current
+    volume cannot support the MDE.
+
+    Scale shape: one map-side-combined moments aggregate per event type
+    (count/mean/variance are five mergeable doubles); the power formula
+    is a scalar projection on |event types| rows. z constants are decimal
+    literals identical in both engines; ceil lands on values far from
+    integer boundaries (the ratio is irrational-ish), so the BIGINT cast
+    is stable."""
+    t = load_tables(spark, sf_dir)
+    s = t["events"].groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.avg("value").alias("mu"),
+        F.var_samp("value").alias("v"),
+    )
+    z2 = (POWER_Z_ALPHA + POWER_Z_BETA) * (POWER_Z_ALPHA + POWER_Z_BETA)
+    delta = F.col("mu") * POWER_MDE_BP / 10000.0
+    n_arm = F.ceil(2.0 * F.lit(z2) * F.col("v") / (delta * delta)).cast("bigint")
+    return s.select(
+        "event_type",
+        "n_obs",
+        (F.round("mu", 6) + 0.0).alias("mean_value"),
+        (F.round("v", 6) + 0.0).alias("variance"),
+        n_arm.alias("n_per_arm"),
+        (n_arm * 2 > F.col("n_obs")).alias("under_powered"),
+    ).orderBy("event_type")
