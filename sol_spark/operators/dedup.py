@@ -3415,3 +3415,72 @@ def dedup_rand_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs bigint, agree_pairs bigint, pairs_a bigint, pairs_b bigint, "
         "rand_index double, ari double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance (Levenshtein) near-dup: prefix blocking + DP confirm.
+# ---------------------------------------------------------------------------
+
+EDIT_PREFIX_CHARS = 48
+EDIT_LEN_SLACK = 64
+EDIT_MAX_REL_BP = 2000  # lev <= 20% of the longer doc
+
+EDIT_DISTANCE_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+b AS (
+  SELECT doc_id, nt, md5(substr(nt, 1, {EDIT_PREFIX_CHARS})) AS blk,
+         length(nt) AS ln
+  FROM n
+)
+SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       a.ln AS len_a, c.ln AS len_b,
+       levenshtein(a.nt, c.nt) AS lev
+FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+WHERE abs(a.ln - c.ln) <= {EDIT_LEN_SLACK}
+  AND levenshtein(a.nt, c.nt) * 10000 <= greatest(a.ln, c.ln) * {EDIT_MAX_REL_BP}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_edit_distance", EDIT_DISTANCE_ORACLE, tags=("llm", "dedup"))
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup detection for near-identical document
+    versions (template fills, small in-place edits): block on the md5 of
+    the first {EDIT_PREFIX_CHARS} normalized chars, drop length-divergent
+    candidates, then confirm with the exact Levenshtein DP. The signature
+    families (minhash/simhash) rank set overlap; this ranks SEQUENCE
+    distance, the right metric when edits are localized substitutions.
+
+    Scale shape: the candidate generator is an EQUI-join on the prefix
+    hash — one shuffle keyed by blk, never all-pairs — and the O(len_a x
+    len_b) DP runs only inside length-compatible blocks (both `levenshtein`
+    evaluations are the same codegen'd JVM call; Catalyst collapses the
+    filter + projection into one). All outputs are exact integers, so the
+    oracle hash-match is float-free."""
+    t = load_tables(spark, sf_dir)
+    b = t["documents"].select(
+        "doc_id",
+        F.expr(_NORM).alias("nt"),
+    ).select(
+        "doc_id", "nt",
+        F.expr(f"md5(substr(nt, 1, {EDIT_PREFIX_CHARS}))").alias("blk"),
+        F.length("nt").alias("ln"),
+    )
+    a = b.select(F.col("doc_id").alias("doc_a"), F.col("nt").alias("nta"),
+                 "blk", F.col("ln").alias("len_a"))
+    c = b.select(F.col("doc_id").alias("doc_b"), F.col("nt").alias("ntb"),
+                 "blk", F.col("ln").alias("len_b"))
+    return (
+        a.join(c, "blk")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= EDIT_LEN_SLACK)
+        )
+        .withColumn("lev", F.levenshtein("nta", "ntb"))
+        .filter(F.col("lev") * 10000 <= F.greatest("len_a", "len_b") * EDIT_MAX_REL_BP)
+        .select("doc_a", "doc_b", "len_a", "len_b", "lev")
+        .orderBy("doc_a", "doc_b")
+    )

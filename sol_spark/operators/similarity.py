@@ -2145,3 +2145,311 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid", "adc_dist", "rk")
         .orderBy("qid", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of lexical + semantic rankers.
+# ---------------------------------------------------------------------------
+
+RRF_QUERIES = 3
+RRF_DEPTH = 20   # per-ranker candidate depth
+RRF_TOP = 10
+RRF_C = 60       # the standard RRF dampening constant
+
+RRF_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+corpus AS (
+  SELECT e.vec_id AS id, e.embedding,
+         list_distinct(string_split(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')), ' ')) AS tks
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+),
+norms AS (
+  SELECT id, sqrt(sum(embedding[i.i]::DOUBLE * embedding[i.i]::DOUBLE)) AS nrm
+  FROM corpus, dims i GROUP BY id
+),
+q AS (SELECT id AS qid, embedding AS qe, tks AS qt FROM corpus WHERE id < {RRF_QUERIES}),
+c AS (SELECT id AS cid, embedding AS ce, tks AS ct FROM corpus),
+dots AS (
+  SELECT qid, cid, sum(qe[i.i]::DOUBLE * ce[i.i]::DOUBLE) AS dot
+  FROM q, c, dims i WHERE qid <> cid GROUP BY qid, cid
+),
+sem AS (
+  SELECT qid, cid,
+         row_number() OVER (PARTITION BY qid ORDER BY
+           round(dot / (nq.nrm * nc.nrm), 6) DESC, cid) AS rk
+  FROM dots JOIN norms nq ON nq.id = qid JOIN norms nc ON nc.id = cid
+),
+lex0 AS (
+  SELECT qid, cid,
+         len(list_filter(ct, x -> list_contains(qt, x))) AS inter,
+         len(qt) + len(ct) AS tot
+  FROM q JOIN c ON qid <> cid
+),
+lex AS (
+  SELECT qid, cid,
+         row_number() OVER (PARTITION BY qid ORDER BY
+           round(inter::DOUBLE / (tot - inter), 6) DESC, cid) AS rk
+  FROM lex0
+),
+fused AS (
+  SELECT coalesce(s.qid, l.qid) AS qid, coalesce(s.cid, l.cid) AS cid,
+         round(coalesce(1.0 / ({RRF_C} + s.rk), 0.0)
+               + coalesce(1.0 / ({RRF_C} + l.rk), 0.0), 6) AS rrf
+  FROM (SELECT * FROM sem WHERE rk <= {RRF_DEPTH}) s
+  FULL OUTER JOIN (SELECT * FROM lex WHERE rk <= {RRF_DEPTH}) l
+    ON s.qid = l.qid AND s.cid = l.cid
+)
+SELECT qid, rk, cid, rrf FROM (
+  SELECT qid, cid, rrf,
+         row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cid) AS rk
+  FROM fused
+) WHERE rk <= {RRF_TOP} ORDER BY qid, rk
+"""
+
+
+@register("sim_rrf_hybrid", RRF_ORACLE, tags=("llm", "similarity", "ranking"))
+def sim_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: a semantic ranker
+    (cosine over embeddings) and a lexical ranker (distinct-token Jaccard
+    over the joined documents) each produce a depth-{RRF_DEPTH} list per
+    query; RRF fuses them as sum(1/({RRF_C}+rank)) — the standard
+    score-free fusion that needs no calibration between the two score
+    distributions (Cormack et al.).
+
+    Scale shape: both rankers broadcast the tiny query side against the
+    partitioned corpus and keep only top-depth per query through a window
+    (TakeOrderedAndProject shape); the fusion is a full-outer join of two
+    (|Q| x depth)-row frames — driver-scale. The 1/(c+rank) terms are
+    exact rationals of small ints, so the two-term sum is order-free
+    cross-engine."""
+    t = load_tables(spark, sf_dir)
+    corpus = (
+        t["embeddings"].alias("e")
+        .join(t["documents"].alias("d"), F.col("d.doc_id") == F.col("e.vec_id"))
+        .select(
+            F.col("e.vec_id").alias("id"),
+            "e.embedding",
+            F.array_distinct(
+                F.expr("split(trim(regexp_replace(lower(d.text), '\\\\s+', ' ')), ' ')")
+            ).alias("tks"),
+        )
+    )
+    corpus = corpus.withColumn("nrm", F.expr(_NORM.format(a="embedding")))
+    q = corpus.filter(F.col("id") < RRF_QUERIES).select(
+        F.col("id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"), F.col("tks").alias("qt"),
+    )
+    c = corpus.select(
+        F.col("id").alias("cid"), F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"), F.col("tks").alias("ct"),
+    )
+    joined = c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+    w_sem = W.partitionBy("qid").orderBy(
+        F.desc(F.round(F.expr(_DOT.format(a="qe", b="ce")) / (F.col("qn") * F.col("cn")), 6)), "cid"
+    )
+    sem = joined.withColumn("rk", F.row_number().over(w_sem)).filter(
+        F.col("rk") <= RRF_DEPTH
+    ).select("qid", "cid", F.col("rk").alias("srk"))
+    inter = F.size(F.array_intersect("ct", "qt"))
+    w_lex = W.partitionBy("qid").orderBy(
+        F.desc(F.round(inter.cast("double") / (F.size("qt") + F.size("ct") - inter), 6)), "cid"
+    )
+    lex = joined.withColumn("rk", F.row_number().over(w_lex)).filter(
+        F.col("rk") <= RRF_DEPTH
+    ).select(F.col("qid").alias("lqid"), F.col("cid").alias("lcid"), F.col("rk").alias("lrk"))
+    fused = (
+        sem.join(
+            lex,
+            (F.col("qid") == F.col("lqid")) & (F.col("cid") == F.col("lcid")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("qid", "lqid").alias("qid"),
+            F.coalesce("cid", "lcid").alias("cid"),
+            F.round(
+                F.coalesce(F.lit(1.0) / (RRF_C + F.col("srk")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (RRF_C + F.col("lrk")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    w_f = W.partitionBy("qid").orderBy(F.desc("rrf"), "cid")
+    return (
+        fused.withColumn("rk", F.row_number().over(w_f))
+        .filter(F.col("rk") <= RRF_TOP)
+        .select("qid", "rk", "cid", "rrf")
+        .orderBy("qid", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR re-ranking (maximal marginal relevance) over a retrieved candidate set.
+# ---------------------------------------------------------------------------
+
+MMR_QUERIES = 3
+MMR_CAND = 20    # retrieved depth fed to the re-ranker
+MMR_K = 5        # diversified selections
+MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle() -> str:
+    """Unrolled {MMR_K}-step greedy MMR as MATERIALIZED CTEs (each step's
+    selection is referenced by every later step — without MATERIALIZED,
+    DuckDB re-expands the chain exponentially, the text_bpe_train lesson)."""
+    steps = []
+    for k in range(1, MMR_K + 1):
+        prev = "SELECT qid, cid FROM sel0 WHERE 1=0" if k == 1 else " UNION ALL ".join(
+            f"SELECT qid, cid FROM sel{j}" for j in range(1, k)
+        )
+        steps.append(f"""
+prev{k} AS MATERIALIZED ({prev}),
+red{k} AS MATERIALIZED (
+  SELECT p.qid, p.cid_a AS cid, max(p.pc) AS red
+  FROM pair p JOIN prev{k} s ON s.qid = p.qid AND s.cid = p.cid_b
+  GROUP BY p.qid, p.cid_a
+),
+sel{k} AS MATERIALIZED (
+  SELECT qid, cid, mmr, {k} AS sel_rk FROM (
+    SELECT c.qid, c.cid,
+           {MMR_LAMBDA} * c.rel - {1.0 - MMR_LAMBDA:.1f} * coalesce(r.red, 0.0) AS mmr,
+           row_number() OVER (PARTITION BY c.qid ORDER BY
+             {MMR_LAMBDA} * c.rel - {1.0 - MMR_LAMBDA:.1f} * coalesce(r.red, 0.0) DESC, c.cid) AS pick
+    FROM cand c
+    LEFT JOIN red{k} r ON r.qid = c.qid AND r.cid = c.cid
+    WHERE NOT EXISTS (SELECT 1 FROM prev{k} s WHERE s.qid = c.qid AND s.cid = c.cid)
+  ) WHERE pick = 1
+)""")
+    union = " UNION ALL ".join(f"SELECT * FROM sel{j}" for j in range(1, MMR_K + 1))
+    return f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+norms AS (
+  SELECT vec_id, sqrt(sum(embedding[i.i]::DOUBLE * embedding[i.i]::DOUBLE)) AS nrm
+  FROM embeddings, dims i GROUP BY vec_id
+),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {MMR_QUERIES}),
+c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+qdots AS (
+  SELECT qid, cid, sum(qe[i.i]::DOUBLE * ce[i.i]::DOUBLE) AS dot
+  FROM q, c, dims i WHERE qid <> cid GROUP BY qid, cid
+),
+cand AS MATERIALIZED (
+  SELECT qid, cid, rel FROM (
+    SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS rel,
+           row_number() OVER (PARTITION BY qid ORDER BY
+             round(dot / (nq.nrm * nc.nrm), 6) DESC, cid) AS rk
+    FROM qdots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid
+  ) WHERE rk <= {MMR_CAND}
+),
+pdots AS (
+  SELECT a.qid, a.cid AS cid_a, b.cid AS cid_b,
+         sum(ea.embedding[i.i]::DOUBLE * eb.embedding[i.i]::DOUBLE) AS dot
+  FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid
+  JOIN embeddings ea ON ea.vec_id = a.cid
+  JOIN embeddings eb ON eb.vec_id = b.cid, dims i
+  GROUP BY 1, 2, 3
+),
+pair AS MATERIALIZED (
+  SELECT qid, cid_a, cid_b,
+         round(dot / (na.nrm * nb.nrm), 6) AS pc
+  FROM pdots JOIN norms na ON na.vec_id = cid_a JOIN norms nb ON nb.vec_id = cid_b
+),
+sel0 AS (SELECT qid, cid FROM cand WHERE 1=0),{",".join(steps)}
+SELECT qid, sel_rk, cid, round(mmr, 7) + 0.0 AS mmr
+FROM ({union}) ORDER BY qid, sel_rk
+"""
+
+
+MMR_ORACLE = _mmr_oracle()
+
+
+@register("sim_mmr_rerank", MMR_ORACLE, tags=("llm", "similarity", "ranking", "pandas_udf"))
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein): from
+    each query's top-{MMR_CAND} cosine candidates, greedily select
+    {MMR_K} results maximizing lambda*rel(q,d) - (1-lambda)*max_cos(d,
+    selected) — the standard diversity re-rank between retrieval and a
+    RAG context window.
+
+    Scale shape: retrieval (the only corpus-wide stage) is the broadcast
+    query x partitioned corpus window top-k; the re-rank then touches only
+    |Q| x {MMR_CAND} rows. Candidate relevance and the candidate-pair
+    cosine matrix are computed JVM-side (rounded at 6 — the greedy
+    arithmetic runs on ROUNDED inputs so the Python float64 and DuckDB
+    double argmax agree bit-for-bit; the output mmr is an EXACT 7-decimal
+    value, so round(7) is the identity on both engines per the tpch.py
+    rounding policy), and the greedy loop itself is an
+    Arrow-batched cogrouped applyInPandas over one query's frame at a
+    time, mirroring the reference's typed CoGroup object op."""
+    t = load_tables(spark, sf_dir)
+    emb = _with_norm(t["embeddings"])
+    q = emb.filter(F.col("vec_id") < MMR_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), F.col("nrm").alias("cn"))
+    rel = F.round(
+        F.expr(_DOT.format(a="qe", b="ce")) / (F.col("qn") * F.col("cn")), 6
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("rel"), "cid")
+    cand = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+        .withColumn("rel", rel)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MMR_CAND)
+        .select("qid", "cid", "rel", "ce", "cn")
+    )
+    a = cand.select("qid", F.col("cid").alias("cid_a"), F.col("ce").alias("ea"), F.col("cn").alias("na"))
+    b = cand.select(
+        F.col("qid").alias("qid_b"), F.col("cid").alias("cid_b"),
+        F.col("ce").alias("eb"), F.col("cn").alias("nb"),
+    )
+    pair = (
+        a.join(b, (F.col("qid") == F.col("qid_b")) & (F.col("cid_a") != F.col("cid_b")))
+        .select(
+            F.col("qid").alias("pqid"), "cid_a", "cid_b",
+            F.round(
+                F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("pc"),
+        )
+    )
+
+    lam = MMR_LAMBDA
+    k_sel = MMR_K
+
+    def greedy(cand_pdf, pair_pdf):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        if cand_pdf.empty:
+            return pd.DataFrame(columns=["qid", "sel_rk", "cid", "mmr"])
+        qid = int(cand_pdf["qid"].iloc[0])
+        rel_m = dict(zip(cand_pdf["cid"].astype(int), cand_pdf["rel"].astype(float)))
+        pc = {
+            (int(r.cid_a), int(r.cid_b)): float(r.pc)
+            for r in pair_pdf.itertuples()
+        }
+        selected: list[int] = []
+        out = []
+        remaining = set(rel_m)
+        for step in range(1, k_sel + 1):
+            best = None
+            for cid in remaining:
+                red = max((pc.get((cid, s), 0.0) for s in selected), default=0.0)
+                mmr = lam * rel_m[cid] - (1.0 - lam) * red
+                # argmax with ties to the SMALLEST cid — mirrors the
+                # oracle's ORDER BY mmr DESC, cid.
+                if best is None or mmr > best[0] or (mmr == best[0] and cid < best[1]):
+                    best = (mmr, cid)
+            # NO Python round() here: it is half-EVEN while DuckDB/Spark
+            # round() are half-away — the JVM-side F.round below matches.
+            out.append((qid, step, best[1], best[0]))
+            selected.append(best[1])
+            remaining.discard(best[1])
+        return pd.DataFrame(out, columns=["qid", "sel_rk", "cid", "mmr"])
+
+    res = (
+        cand.select("qid", "cid", "rel").groupBy("qid")
+        .cogroup(pair.groupBy("pqid"))
+        .applyInPandas(greedy, schema="qid bigint, sel_rk int, cid bigint, mmr double")
+    )
+    return res.select(
+        "qid", "sel_rk", "cid", (F.round("mmr", 7) + 0.0).alias("mmr")
+    ).orderBy("qid", "sel_rk")

@@ -3080,3 +3080,98 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = local_checkpoint(out)
     release_result(vocab)
     return out
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (Okapi BM25, k1=1.2 b=0.75) for a fixed term query.
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("vector", "window", "merge")
+BM25_TOP = 15
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_DUCK}, ' ')) AS tok FROM documents
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+  WHERE tok IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2
+),
+dfreq AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+term_scores AS (
+  SELECT t.doc_id,
+         round(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * (t.tf * ({BM25_K1} + 1.0))
+               / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * l.dl / s.avgdl)), 6)
+           AS sc
+  FROM tf t
+  JOIN dfreq d USING (tok)
+  JOIN dl l USING (doc_id), stats s
+),
+scored AS (
+  SELECT doc_id, round(sum(sc), 6) AS bm25 FROM term_scores GROUP BY 1
+),
+ranked AS (
+  SELECT doc_id, bm25,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+  FROM scored
+)
+SELECT rk, doc_id, bm25 FROM ranked WHERE rk <= {BM25_TOP} ORDER BY rk
+"""
+
+
+@register("text_bm25_topk", BM25_ORACLE, tags=("llm", "text", "ranking"))
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval for a fixed query term set — the
+    lexical half of a hybrid RAG retriever (idf-damped term saturation
+    with document-length normalization, k1={BM25_K1} b={BM25_B}).
+
+    Scale shape: the token explode + per-(doc, term) count is the only
+    wide stage and it is pre-filtered to the query terms, so the shuffled
+    rows are |matching docs| x |query| — not the token stream. Corpus
+    stats (N, avgdl) and the per-term df table are scalar/tiny aggregates
+    broadcast into the scoring projection; final top-k is a
+    TakeOrderedAndProject, never a global sort. Per-term scores round at
+    6 before the (<=|query|-term) sum, which rounds again — the
+    cross-engine float convention for summed ln() scores."""
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select("doc_id", F.explode(F.expr(f"split({_NORM}, ' ')")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    term_scores = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * (BM25_K1 + 1.0))
+                / (F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))),
+                6,
+            ).alias("sc"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    scored = term_scores.groupBy("doc_id").agg(F.round(F.sum("sc"), 6).alias("bm25"))
+    ranked = scored.withColumn(
+        "rk", F.row_number().over(W.partitionBy().orderBy(F.desc("bm25"), "doc_id"))
+    )
+    return ranked.filter(F.col("rk") <= BM25_TOP).select("rk", "doc_id", "bm25").orderBy("rk")
