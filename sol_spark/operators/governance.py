@@ -1297,3 +1297,226 @@ def warehouse_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (PIT) join: facts against the SCD2 dimension version that
+# was in effect at the fact's timestamp — the feature-store join.
+# ---------------------------------------------------------------------------
+
+PIT_JOIN_ORACLE = """
+WITH s AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+         lag(o_orderpriority) OVER w AS prev
+  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), starts AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate AS eff_from, o_orderkey
+  FROM s WHERE prev IS NULL OR prev <> o_orderpriority
+), dim AS (
+  SELECT o_custkey AS custkey, o_orderpriority AS priority, eff_from,
+         lead(eff_from) OVER w2 AS eff_to,
+         row_number() OVER w2 AS version_n
+  FROM starts
+  WINDOW w2 AS (PARTITION BY o_custkey ORDER BY eff_from, o_orderkey)
+), pit AS (
+  SELECT d.version_n, d.priority, o.o_orderkey, o.o_totalprice, o.o_custkey
+  FROM orders o JOIN dim d
+    ON d.custkey = o.o_custkey
+   AND o.o_orderdate >= d.eff_from
+   AND (d.eff_to IS NULL OR o.o_orderdate < d.eff_to)
+)
+SELECT version_n, priority,
+       count(*)::BIGINT AS n_orders,
+       count(DISTINCT o_custkey)::BIGINT AS n_customers,
+       round(sum(o_totalprice), 2) AS revenue
+FROM pit GROUP BY version_n, priority ORDER BY version_n, priority
+"""
+
+
+@register("warehouse_pit_join", PIT_JOIN_ORACLE, tags=("governance", "scd", "join"))
+def warehouse_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time correct join (the feature-store / ML-training join):
+    each order is matched to the SCD2 dimension version whose
+    [eff_from, eff_to) validity window contains the order date — never a
+    later version (no leakage of future attribute values into training
+    features), then rolled up per (version_n, priority).
+
+    Scale shape: the dim build is the shared :func:`scd2` two-window pass;
+    the fact-dim match is an EQUI-join on the customer key with the
+    validity range as a residual predicate — one co-partitioned shuffle,
+    never a time-range cross join. Versions partition each key's timeline,
+    so every fact matches exactly one version (zero-width same-day
+    versions match none, by the [from, to) rule — deterministic in both
+    engines)."""
+    t = load_tables(spark, sf_dir)
+    dim = scd2(t["orders"], "o_custkey", "o_orderpriority", ["o_orderdate", "o_orderkey"])
+    o = t["orders"].select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    pit = o.join(
+        dim,
+        (F.col("custkey") == F.col("o_custkey"))
+        & (F.col("o_orderdate") >= F.col("eff_from"))
+        & (F.col("eff_to").isNull() | (F.col("o_orderdate") < F.col("eff_to"))),
+    )
+    return (
+        pit.groupBy("version_n", "priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("version_n", "priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local DP: K-ary randomized response with unbiased frequency estimation.
+# ---------------------------------------------------------------------------
+
+RR_P_PPM = 250000  # lie probability p = 0.25
+_RR_CATS = ("click", "error", "purchase", "signup", "view")
+_RR_K = len(_RR_CATS)
+
+RR_ORACLE = f"""
+WITH cats(idx, cat) AS (VALUES {", ".join(f"({i}, '{c}')" for i, c in enumerate(_RR_CATS))}),
+coined AS (
+  SELECT e.event_id, e.event_type,
+         ('0x' || substr(md5('rr1' || e.event_id), 1, 8))::BIGINT % 1000000 AS coin,
+         ('0x' || substr(md5('rr2' || e.event_id), 1, 8))::BIGINT % {_RR_K - 1} AS shift,
+         c.idx AS true_idx
+  FROM events e JOIN cats c ON c.cat = e.event_type
+),
+reported AS (
+  SELECT CASE WHEN coin < {RR_P_PPM}
+              THEN (SELECT cat FROM cats
+                    WHERE idx = (true_idx + 1 + shift) % {_RR_K})
+              ELSE event_type END AS rep,
+         event_type
+  FROM coined
+),
+n_tot AS (SELECT count(*)::DOUBLE AS n FROM reported),
+obs AS (SELECT rep AS cat, count(*) AS reported_count FROM reported GROUP BY 1),
+tru AS (SELECT event_type AS cat, count(*) AS true_count FROM reported GROUP BY 1)
+SELECT t.cat, t.true_count::BIGINT AS true_count, o.reported_count::BIGINT AS reported_count,
+       round(n.n * ((o.reported_count / n.n - {RR_P_PPM / 1e6} / {_RR_K - 1})
+             / (1.0 - {RR_P_PPM / 1e6} - {RR_P_PPM / 1e6} / {_RR_K - 1})), 2) AS est_count,
+       round(abs(n.n * ((o.reported_count / n.n - {RR_P_PPM / 1e6} / {_RR_K - 1})
+             / (1.0 - {RR_P_PPM / 1e6} - {RR_P_PPM / 1e6} / {_RR_K - 1}))
+             - t.true_count) / t.true_count, 4) AS rel_err
+FROM tru t JOIN obs o ON o.cat = t.cat, n_tot n
+ORDER BY t.cat
+"""
+
+
+@register("privacy_randomized_response", RR_ORACLE, tags=("governance", "privacy"))
+def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ary randomized response (Warner) — the local-DP mechanism: each
+    row lies about its category with p=0.25 (reporting one of the K-1
+    others uniformly), then the collector de-biases the observed
+    frequencies with the closed-form unbiased estimator. epsilon_LDP =
+    ln((1-p)/(p/(K-1))) = ln(12) ~= 2.48 per row. Coins are the corpus'
+    integer-ppm md5 convention — the acceptance test is BIGINT vs BIGINT,
+    never a float-vs-probability compare, and the whole mechanism is
+    reproducible cross-engine.
+
+    Scale shape: perturbation is a pure projection (two md5s per row,
+    codegen'd); estimation is one K-row hash-agg plus scalar math. The
+    honest part: est_count is graded against the true count it is
+    estimating (rel_err column), the same audit contract as the sketch
+    family."""
+    t = load_tables(spark, sf_dir)
+    cats = F.array(*[F.lit(c) for c in _RR_CATS])
+    idx_map = F.create_map(*[x for i, c in enumerate(_RR_CATS) for x in (F.lit(c), F.lit(i))])
+    coined = t["events"].select(
+        "event_id", "event_type",
+        (F.expr("CAST(conv(substring(md5(concat('rr1', cast(event_id AS string))), 1, 8), 16, 10) AS BIGINT)") % 1000000).alias("coin"),
+        (F.expr("CAST(conv(substring(md5(concat('rr2', cast(event_id AS string))), 1, 8), 16, 10) AS BIGINT)") % (_RR_K - 1)).alias("shift"),
+        idx_map[F.col("event_type")].alias("true_idx"),
+    )
+    reported = coined.select(
+        "event_type",
+        F.when(
+            F.col("coin") < RR_P_PPM,
+            F.element_at(cats, ((F.col("true_idx") + 1 + F.col("shift")) % _RR_K + 1).cast("int")),
+        ).otherwise(F.col("event_type")).alias("rep"),
+    )
+    n_tot = reported.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    obs = reported.groupBy(F.col("rep").alias("cat")).agg(F.count(F.lit(1)).alias("reported_count"))
+    tru = reported.groupBy(F.col("event_type").alias("tcat")).agg(F.count(F.lit(1)).alias("true_count"))
+    p = RR_P_PPM / 1e6
+    q = p / (_RR_K - 1)
+    est = F.col("n") * ((F.col("reported_count") / F.col("n") - q) / (1.0 - p - q))
+    return (
+        tru.join(obs, F.col("cat") == F.col("tcat"))
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            F.col("tcat").alias("cat"), "true_count", "reported_count",
+            F.round(est, 2).alias("est_count"),
+            F.round(F.abs(est - F.col("true_count")) / F.col("true_count"), 4).alias("rel_err"),
+        )
+        .orderBy("cat")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-freshness / cadence audit over the event stream.
+# ---------------------------------------------------------------------------
+
+DQ_FRESHNESS_ORACLE = """
+WITH bounds AS (SELECT max(ts) AS global_max, min(ts) AS global_min FROM events),
+per AS (
+  SELECT event_type, count(*) AS n_events, max(ts) AS last_ts, min(ts) AS first_ts
+  FROM events GROUP BY event_type
+)
+SELECT p.event_type, p.n_events::BIGINT AS n_events, p.last_ts,
+       CAST(date_diff('second', p.last_ts, b.global_max) // 60 AS BIGINT) AS staleness_min,
+       CAST((SELECT count(*) FROM events e
+             WHERE e.event_type = p.event_type
+               AND e.ts > b.global_max - INTERVAL 24 HOUR) AS BIGINT) AS last_24h,
+       CAST((p.n_events * 3600) // (1 + date_diff('second', b.global_min, b.global_max))
+            AS BIGINT) AS per_hour_rate,
+       date_diff('second', p.last_ts, b.global_max) // 60 <= 120 AS is_fresh
+FROM per p, bounds b ORDER BY p.event_type
+"""
+
+
+@register("dq_freshness", DQ_FRESHNESS_ORACLE, tags=("governance", "dq"))
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness / cadence audit per event source: staleness of the last
+    arrival vs the stream's watermark (global max ts), last-24h arrival
+    count vs the lifetime hourly rate, and a fresh/stale flag at a 2 h
+    SLO — the table a warehouse's ingestion monitor renders. All integer
+    minute/second arithmetic; no floats anywhere.
+
+    Scale shape: one hash-agg scan for per-source bounds plus one
+    conditional-agg scan for the recent window (Catalyst merges both
+    against the same parquet scan); the global bounds row broadcasts."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    bounds = e.agg(F.max("ts").alias("global_max"), F.min("ts").alias("global_min"))
+    per = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("last_ts"),
+    )
+    recent = (
+        e.crossJoin(F.broadcast(bounds.select("global_max")))
+        .filter(F.col("ts") > F.col("global_max") - F.expr("INTERVAL 24 HOURS"))
+        .groupBy(F.col("event_type").alias("rtype"))
+        .agg(F.count(F.lit(1)).alias("last_24h"))
+    )
+    stal_min = (
+        (F.unix_timestamp("global_max") - F.unix_timestamp("last_ts")) / 60
+    ).cast("bigint")
+    return (
+        per.crossJoin(F.broadcast(bounds))
+        .join(recent, F.col("event_type") == F.col("rtype"))
+        .select(
+            "event_type", "n_events", "last_ts",
+            stal_min.alias("staleness_min"),
+            "last_24h",
+            F.expr(
+                "CAST((n_events * 3600) div (1 + (unix_timestamp(global_max) - unix_timestamp(global_min))) AS BIGINT)"
+            ).alias("per_hour_rate"),
+            (stal_min <= 120).alias("is_fresh"),
+        )
+        .orderBy("event_type")
+    )

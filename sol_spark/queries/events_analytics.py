@@ -2860,3 +2860,93 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_arm.alias("n_per_arm"),
         (n_arm * 2 > F.col("n_obs")).alias("under_powered"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped) multi-touch attribution, integer basis points.
+# ---------------------------------------------------------------------------
+
+ATTRIB_POS_ORACLE = """
+WITH purchases AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT event_id AS t_id, user_id, ts AS t_ts, event_type AS channel
+  FROM events WHERE event_type IN ('view', 'click')
+),
+matched AS (
+  SELECT p.p_id, t.t_id, t.channel,
+         row_number() OVER (PARTITION BY p.p_id ORDER BY t.t_ts, t.t_id) AS pos,
+         count(*) OVER (PARTITION BY p.p_id) AS m
+  FROM purchases p JOIN touches t
+    ON p.user_id = t.user_id
+   AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 24 HOUR
+),
+credited AS (
+  SELECT channel,
+         CASE WHEN m = 1 THEN 10000
+              WHEN pos = 1 THEN 4000
+              WHEN pos = m THEN 4000
+              ELSE 2000 // (m - 2) END AS credit_bp
+  FROM matched
+)
+SELECT channel,
+       count(*)::BIGINT AS n_credited_touches,
+       sum(credit_bp)::BIGINT AS total_credit_bp
+FROM credited GROUP BY channel ORDER BY channel
+"""
+
+
+@register("events_attribution_position", ATTRIB_POS_ORACLE, tags=("events", "attribution", "join"))
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: 40% of the
+    credit to the first touch, 40% to the last, the middle 20% split
+    evenly across interior touches (single-touch journeys take 100%).
+    Credits are integer basis points with the interior split as exact
+    integer division (remainder dropped — documented, deterministic), so
+    the channel totals are pure BIGINT sums — no float credit ever
+    crosses the engines. Complements events_attribution_linear (equal
+    split) with the industry's other standard rulebook.
+
+    Scale shape: same as the linear variant — purchase-touch match is an
+    EQUI-join on user_id with the 24 h window as a residual, journey
+    position/size come from one window over the matched frame (ordered by
+    the TOTAL (t_ts, t_id) key: simultaneous touches tie-break
+    deterministically), then one hash-agg per channel."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    e = t["events"]
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("pu"), F.col("ts").alias("p_ts")
+    )
+    touches = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("t_id"), F.col("user_id").alias("tu"),
+        F.col("ts").alias("t_ts"), F.col("event_type").alias("channel"),
+    )
+    matched = (
+        purchases.join(
+            touches,
+            (F.col("pu") == F.col("tu"))
+            & (F.col("t_ts") < F.col("p_ts"))
+            & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+        )
+        .withColumn("pos", F.row_number().over(W.partitionBy("p_id").orderBy("t_ts", "t_id")))
+        .withColumn("m", F.count(F.lit(1)).over(W.partitionBy("p_id")))
+    )
+    credit = (
+        F.when(F.col("m") == 1, F.lit(10000))
+        .when(F.col("pos") == 1, F.lit(4000))
+        .when(F.col("pos") == F.col("m"), F.lit(4000))
+        .otherwise(F.expr("2000 div (m - 2)"))
+    )
+    return (
+        matched.withColumn("credit_bp", credit)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_credited_touches"),
+            F.sum("credit_bp").alias("total_credit_bp"),
+        )
+        .orderBy("channel")
+    )

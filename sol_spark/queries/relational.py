@@ -2292,3 +2292,297 @@ def orders_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA over order priorities (exact-integer aggregation).
+# ---------------------------------------------------------------------------
+
+_ANOVA_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+# Per-group terms pivoted to NAMED scalars so the cross-group combination is
+# ONE fixed-order arithmetic expression — a plain SUM over the 5 group rows
+# would re-introduce engine-defined float addition order. The group sums
+# themselves are EXACT (integer cents in DECIMAL/HUGEINT), so both engines
+# convert identical integers to identical doubles before the scalar math.
+_ANOVA_TERM = "(CAST(s1_{i} AS DOUBLE) * CAST(s1_{i} AS DOUBLE) / CAST(n_{i} AS DOUBLE))"
+_ANOVA_SSW = " + ".join(
+    f"(CAST(s2_{i} AS DOUBLE) - {_ANOVA_TERM.format(i=i)})" for i in range(5)
+)
+_ANOVA_SSB_TERMS = " + ".join(_ANOVA_TERM.format(i=i) for i in range(5))
+_ANOVA_N = " + ".join(f"n_{i}" for i in range(5))
+_ANOVA_S1 = " + ".join(f"s1_{i}" for i in range(5))
+
+_ANOVA_FINAL = f"""
+SELECT 5 AS k, CAST(n_tot AS BIGINT) AS n,
+       CAST(4 AS BIGINT) AS df_between, CAST(n_tot - 5 AS BIGINT) AS df_within,
+       round(((ssb / 4.0) / (ssw / (CAST(n_tot AS DOUBLE) - 5.0))), 6) AS f_stat,
+       round(ssb / (ssb + ssw), 6) AS eta_sq
+FROM (
+  SELECT ({_ANOVA_N}) AS n_tot,
+         ({_ANOVA_SSB_TERMS})
+           - (CAST(({_ANOVA_S1}) AS DOUBLE) * CAST(({_ANOVA_S1}) AS DOUBLE)
+              / CAST(({_ANOVA_N}) AS DOUBLE)) AS ssb,
+         ({_ANOVA_SSW}) AS ssw
+  FROM piv
+)
+"""
+
+ANOVA_ORACLE = f"""
+WITH cents AS (
+  SELECT o_orderpriority AS pr, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+), grp AS (
+  SELECT pr, count(*) AS n, sum(c) AS s1, sum(c * c) AS s2 FROM cents GROUP BY pr
+), piv AS (
+  SELECT
+    {", ".join(f"max(CASE WHEN pr = '{p}' THEN n END) AS n_{i}, "
+               f"max(CASE WHEN pr = '{p}' THEN s1 END) AS s1_{i}, "
+               f"max(CASE WHEN pr = '{p}' THEN s2 END) AS s2_{i}"
+               for i, p in enumerate(_ANOVA_PRIORITIES))}
+  FROM grp
+)
+{_ANOVA_FINAL}
+"""
+
+
+@register("stats_anova_oneway", ANOVA_ORACLE, tags=("stats", "agg"))
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test: does order priority explain total-price
+    variance? Sums of squares via the exact-moment identity (ssw = sum s2_h
+    - s1_h^2/n_h; ssb by subtraction from the grand term), with every
+    group moment aggregated EXACTLY as integer cents (DECIMAL in Spark,
+    HUGEINT in DuckDB) and the floating-point combination done in ONE
+    fixed-order scalar expression over the pivoted per-group scalars —
+    identical IEEE op order on both engines, so the hash matches without
+    coarse rounding.
+
+    Scale shape: one hash-aggregate scan builds the k-row moment table
+    (mergeable partials — the same shape at 100 TB); everything after is
+    driver-scale arithmetic in the plan."""
+    t = load_tables(spark, sf_dir)
+    cents = t["orders"].select(
+        F.col("o_orderpriority").alias("pr"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("decimal(14,0)").alias("c"),
+    )
+    grp = cents.groupBy("pr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    piv = grp.agg(
+        *[
+            agg
+            for i, p in enumerate(_ANOVA_PRIORITIES)
+            for agg in (
+                F.max(F.when(F.col("pr") == p, F.col("n"))).alias(f"n_{i}"),
+                F.max(F.when(F.col("pr") == p, F.col("s1"))).alias(f"s1_{i}"),
+                F.max(F.when(F.col("pr") == p, F.col("s2"))).alias(f"s2_{i}"),
+            )
+        ]
+    )
+    inner = piv.selectExpr(
+        f"({_ANOVA_N}) AS n_tot",
+        f"({_ANOVA_SSB_TERMS}) - (CAST(({_ANOVA_S1}) AS DOUBLE) * CAST(({_ANOVA_S1}) AS DOUBLE) / CAST(({_ANOVA_N}) AS DOUBLE)) AS ssb",
+        f"({_ANOVA_SSW}) AS ssw",
+    )
+    return inner.selectExpr(
+        "5 AS k",
+        "CAST(n_tot AS BIGINT) AS n",
+        "CAST(4 AS BIGINT) AS df_between",
+        "CAST(n_tot - 5 AS BIGINT) AS df_within",
+        "round(((ssb / 4.0) / (ssw / (CAST(n_tot AS DOUBLE) - 5.0))), 6) AS f_stat",
+        "round(ssb / (ssb + ssw), 6) AS eta_sq",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Neyman-allocation stratified sampling (allocation proportional to N_h*S_h).
+# ---------------------------------------------------------------------------
+
+NEYMAN_TOTAL = 500
+
+NEYMAN_ORACLE = f"""
+WITH cents AS (
+  SELECT o_orderkey, o_orderpriority AS pr, o_totalprice,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+), grp AS (
+  SELECT pr, count(*) AS n, sum(c) AS s1, sum(c * c) AS s2 FROM cents GROUP BY pr
+), wgt AS (
+  SELECT pr, n,
+         sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+               / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS s_cents,
+         CAST(round(CAST(n AS DOUBLE) * sqrt((CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0))) AS BIGINT) AS w
+  FROM grp
+), alloc AS (
+  SELECT pr, n, s_cents, w,
+         CAST(({NEYMAN_TOTAL} * w) // (SELECT sum(w) FROM wgt) AS BIGINT) AS n_alloc
+  FROM wgt
+), ranked AS (
+  SELECT pr, o_totalprice,
+         row_number() OVER (PARTITION BY pr ORDER BY md5(o_orderkey::VARCHAR), o_orderkey) AS rk
+  FROM cents
+), sampled AS (
+  SELECT r.pr, count(*) AS got, round(sum(r.o_totalprice), 2) AS sample_sum
+  FROM ranked r JOIN alloc a ON a.pr = r.pr AND r.rk <= a.n_alloc
+  GROUP BY r.pr
+)
+SELECT a.pr AS priority, a.n AS n_h, round(a.s_cents / 100.0, 4) AS s_h,
+       a.n_alloc, s.got AS sample_n, s.sample_sum
+FROM alloc a JOIN sampled s ON s.pr = a.pr
+ORDER BY priority
+"""
+
+
+@register("sample_neyman", NEYMAN_ORACLE, tags=("sample", "stats"))
+def sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sampling: the fixed budget of
+    {NEYMAN_TOTAL} rows is split across priority strata proportionally to
+    N_h * S_h (stddev from the exact integer-cents moments), which
+    minimizes the variance of the stratified mean estimator — the right
+    sampling design when strata have unequal spread. The per-stratum draw
+    is the deterministic md5-order prefix (a hash-coin without floats:
+    the allocation itself is integer arithmetic on a rounded integer
+    weight, so no float ever crosses a floor() boundary cross-engine).
+
+    Scale shape: one exact-moment hash-agg for the design; the draw is a
+    per-stratum window top-n_alloc (rank over the hash order) — one
+    shuffle keyed by stratum. At 100 TB the md5-order prefix would be
+    replaced by a threshold on the hash value (no sort), same
+    distribution."""
+    t = load_tables(spark, sf_dir)
+    cents = t["orders"].select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("pr"),
+        "o_totalprice",
+        F.round(F.col("o_totalprice") * 100, 0).cast("decimal(14,0)").alias("c"),
+    )
+    grp = cents.groupBy("pr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n").cast("double")
+    ) / (F.col("n").cast("double") - 1.0)
+    wgt = grp.select(
+        "pr", "n",
+        F.sqrt(var).alias("s_cents"),
+        F.round(F.col("n").cast("double") * F.sqrt(var), 0).cast("bigint").alias("w"),
+    )
+    tot_w = wgt.agg(F.sum("w").alias("tw"))
+    alloc = wgt.crossJoin(F.broadcast(tot_w)).select(
+        "pr", "n", "s_cents", F.expr(f"({NEYMAN_TOTAL} * w) div tw").alias("n_alloc")
+    )
+    ranked = cents.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("pr").orderBy(F.md5(F.col("o_orderkey").cast("string")), "o_orderkey")
+        ),
+    )
+    sampled = (
+        ranked.join(F.broadcast(alloc.select(F.col("pr").alias("apr"), "n_alloc")),
+                    (F.col("pr") == F.col("apr")) & (F.col("rk") <= F.col("n_alloc")))
+        .groupBy("pr")
+        .agg(F.count(F.lit(1)).alias("sample_n"), F.round(F.sum("o_totalprice"), 2).alias("sample_sum"))
+    )
+    return (
+        alloc.join(sampled, "pr")
+        .select(
+            F.col("pr").alias("priority"), F.col("n").alias("n_h"),
+            F.round(F.col("s_cents") / 100.0, 4).alias("s_h"),
+            "n_alloc", "sample_n", "sample_sum",
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) theta sketch: distinct counts + set intersection.
+# ---------------------------------------------------------------------------
+
+KMV_K = 256
+_KMV_SCALE = 2 ** 60  # hashes are 15 hex chars = 60 bits, uniform on [0, 2^60)
+
+KMV_ORACLE = f"""
+WITH a AS (
+  SELECT DISTINCT o_custkey AS k FROM orders WHERE year(o_orderdate) <= 1997
+), b AS (
+  SELECT DISTINCT o_custkey AS k FROM orders WHERE year(o_orderdate) >= 1997
+), ha AS (SELECT k, ('0x' || substr(md5(k::VARCHAR), 1, 15))::BIGINT AS h FROM a),
+hb AS (SELECT k, ('0x' || substr(md5(k::VARCHAR), 1, 15))::BIGINT AS h FROM b),
+ska AS (SELECT h FROM ha ORDER BY h LIMIT {KMV_K}),
+skb AS (SELECT h FROM hb ORDER BY h LIMIT {KMV_K}),
+theta AS (
+  SELECT least((SELECT max(h) FROM ska), (SELECT max(h) FROM skb)) AS th
+),
+common AS (
+  SELECT count(*) AS c FROM ska JOIN skb USING (h), theta WHERE h < th
+),
+exact AS (
+  SELECT (SELECT count(*) FROM a) AS na, (SELECT count(*) FROM b) AS nb,
+         (SELECT count(*) FROM ha JOIN hb USING (k)) AS ni
+)
+SELECT na::BIGINT AS exact_a, nb::BIGINT AS exact_b, ni::BIGINT AS exact_inter,
+       c::BIGINT AS common_below_theta,
+       round(c * {_KMV_SCALE}.0 / th, 2) AS kmv_inter_est,
+       round(abs(c * {_KMV_SCALE}.0 / th - ni) / ni, 4) AS rel_err
+FROM common, theta, exact
+"""
+
+
+@register("sketch_kmv_intersection", KMV_ORACLE, tags=("approx", "sketch", "agg", "scale"))
+def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) theta-sketch set intersection: keep the
+    {KMV_K} smallest 60-bit hashes per side; theta = min of the two k-th
+    minima; |A intersect B| ~= |common hashes below theta| * 2^60 / theta.
+    The mergeable-sketch answer to "how many customers appear in BOTH
+    epochs" without a distinct-join — alongside the HLL family
+    (sketch_hll_rollup), this is the sketch that also supports
+    intersection/difference, which HLL cannot.
+
+    Scale shape: each sketch is a per-partition partial top-k merged at
+    the driver grain (TakeOrdered — no full sort, no global shuffle of
+    the key sets); the estimate is integer arithmetic plus one division.
+    The exact counts computed alongside are the audit the sketch is
+    graded against (same honesty contract as sim_recall_eval)."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].select("o_custkey", F.year("o_orderdate").alias("y"))
+    a = o.filter(F.col("y") <= 1997).select(F.col("o_custkey").alias("k")).distinct()
+    b = o.filter(F.col("y") >= 1997).select(F.col("o_custkey").alias("k")).distinct()
+    h = F.expr("CAST(conv(substring(md5(cast(k AS string)), 1, 15), 16, 10) AS BIGINT)")
+    ha = a.select("k", h.alias("h"))
+    hb = b.select("k", h.alias("h"))
+    ska = ha.select("h").orderBy("h").limit(KMV_K)
+    skb = hb.select("h").orderBy("h").limit(KMV_K)
+    theta = (
+        ska.agg(F.max("h").alias("tha"))
+        .crossJoin(skb.agg(F.max("h").alias("thb")))
+        .select(F.least("tha", "thb").alias("th"))
+    )
+    common = (
+        ska.join(skb, "h")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("th"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        ha.agg(F.count(F.lit(1)).alias("exact_a"))
+        .crossJoin(hb.agg(F.count(F.lit(1)).alias("exact_b")))
+        .crossJoin(ha.join(hb.select("k"), "k").agg(F.count(F.lit(1)).alias("exact_inter")))
+    )
+    est = F.col("c") * float(_KMV_SCALE) / F.col("th")
+    return (
+        common.crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "exact_a", "exact_b", "exact_inter",
+            F.col("c").alias("common_below_theta"),
+            F.round(est, 2).alias("kmv_inter_est"),
+            F.round(F.abs(est - F.col("exact_inter")) / F.col("exact_inter"), 4).alias("rel_err"),
+        )
+    )
