@@ -1520,3 +1520,163 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-payment audit: near-identical orders close in time.
+# ---------------------------------------------------------------------------
+
+DUP_PAY_WINDOW_DAYS = 7
+DUP_PAY_TOL_PCT = 3  # amounts within 3% of each other (non-vacuous at every fixture SF)
+
+DUP_PAY_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT a.o_custkey AS custkey, a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b,
+       a.cents AS cents_a, b.cents AS cents_b,
+       CAST(abs(date_diff('day', a.o_orderdate, b.o_orderdate)) AS BIGINT) AS day_gap,
+       a.o_orderdate = b.o_orderdate AS same_day
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+WHERE abs(date_diff('day', a.o_orderdate, b.o_orderdate)) <= {DUP_PAY_WINDOW_DAYS}
+  AND abs(a.cents - b.cents) * 100 <= least(a.cents, b.cents) * {DUP_PAY_TOL_PCT}
+ORDER BY custkey, orderkey_a, orderkey_b
+"""
+
+
+@register("dq_duplicate_payments", DUP_PAY_ORACLE, tags=("governance", "dq", "join"))
+def dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment audit (the classic AP-controls test): flag order
+    pairs from the same customer within {DUP_PAY_WINDOW_DAYS} days whose
+    amounts agree within {DUP_PAY_TOL_PCT}% — double submissions, split
+    invoices, re-keyed payments. Everything is BIGINT (integer cents, day
+    gaps): the tolerance test is |ca - cb| * 100 <= min(ca, cb) * pct,
+    never a float ratio.
+
+    Scale shape: self-join EQUI on the customer key (one co-partitioned
+    shuffle; candidate set is per-customer, not global) with the date
+    window and amount tolerance as residual predicates — the same
+    key+residual pattern as the attribution and PIT joins. A customer
+    with pathologically many orders is a plain skewed join key
+    (operators/skew.py applies)."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    a = o.select(
+        F.col("o_custkey").alias("custkey"), F.col("o_orderkey").alias("orderkey_a"),
+        F.col("o_orderdate").alias("date_a"), F.col("cents").alias("cents_a"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("ck_b"), F.col("o_orderkey").alias("orderkey_b"),
+        F.col("o_orderdate").alias("date_b"), F.col("cents").alias("cents_b"),
+    )
+    gap = F.abs(F.datediff("date_a", "date_b"))
+    return (
+        a.join(b, (F.col("custkey") == F.col("ck_b")) & (F.col("orderkey_a") < F.col("orderkey_b")))
+        .filter(
+            (gap <= DUP_PAY_WINDOW_DAYS)
+            & (F.abs(F.col("cents_a") - F.col("cents_b")) * 100
+               <= F.least("cents_a", "cents_b") * DUP_PAY_TOL_PCT)
+        )
+        .select(
+            "custkey", "orderkey_a", "orderkey_b", "cents_a", "cents_b",
+            gap.cast("bigint").alias("day_gap"),
+            (F.col("date_a") == F.col("date_b")).alias("same_day"),
+        )
+        .orderBy("custkey", "orderkey_a", "orderkey_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocking-scheme quality audit: reduction ratio + pair completeness.
+# ---------------------------------------------------------------------------
+
+ER_AUDIT_SAMPLE_MOD = 10  # exhaustive ground truth on custkey % 10 == 0
+
+ER_QUALITY_ORACLE = f"""
+WITH blocks AS (
+  SELECT c_nationkey, count(*) AS n FROM customer GROUP BY 1
+),
+cand AS (
+  SELECT sum(n * (n - 1) // 2) AS cand_pairs, sum(n) AS n_rows FROM blocks
+),
+samp AS (
+  SELECT c_custkey, c_name, c_nationkey FROM customer
+  WHERE c_custkey % {ER_AUDIT_SAMPLE_MOD} = 0
+),
+truth AS (
+  SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+         a.c_nationkey = b.c_nationkey AS same_block
+  FROM samp a JOIN samp b ON a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= {ER_MAX_EDIT}
+),
+pc AS (
+  SELECT count(*) AS true_matches,
+         sum(CASE WHEN same_block THEN 1 ELSE 0 END) AS found_in_block
+  FROM truth
+)
+SELECT c.n_rows::BIGINT AS n_rows,
+       c.cand_pairs::BIGINT AS cand_pairs,
+       (c.n_rows * (c.n_rows - 1) // 2)::BIGINT AS full_pairs,
+       round(1.0 - c.cand_pairs / (c.n_rows * (c.n_rows - 1) / 2.0), 6) AS reduction_ratio,
+       p.true_matches::BIGINT AS true_matches_sampled,
+       p.found_in_block::BIGINT AS found_in_block_sampled,
+       round(p.found_in_block / (1.0 * p.true_matches), 6) AS pair_completeness
+FROM cand c, pc p
+"""
+
+
+@register("er_blocking_quality", ER_QUALITY_ORACLE, tags=("governance", "entity-resolution", "eval"))
+def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme audit for er_blocking: reduction ratio (how much of
+    the all-pairs space the nation block prunes — closed form on block
+    sizes, NO pair is materialized for it) and pair completeness (what
+    fraction of true edit-distance matches the block retains), the two
+    standard record-linkage quality metrics. Ground truth is exhaustive
+    on a deterministic 1-in-{ER_AUDIT_SAMPLE_MOD} key sample — the same
+    honest-audit contract as sim_recall_eval, sized so the all-pairs
+    truth stays tractable at any SF.
+
+    Scale shape: reduction ratio is one block-size hash-agg plus closed-
+    form C(n,2) arithmetic; the truth pass is all-pairs ONLY on the fixed
+    sample fraction (|S|^2/2 comparisons, bounded by construction)."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"]
+    blocks = cust.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n"))
+    cand = blocks.agg(
+        F.sum(F.expr("n * (n - 1) div 2")).alias("cand_pairs"),
+        F.sum("n").alias("n_rows"),
+    )
+    samp = cust.filter(F.col("c_custkey") % ER_AUDIT_SAMPLE_MOD == 0).select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    a = samp.select(
+        F.col("c_custkey").alias("ka"), F.col("c_name").alias("na"), F.col("c_nationkey").alias("ba")
+    )
+    b = samp.select(
+        F.col("c_custkey").alias("kb"), F.col("c_name").alias("nb"), F.col("c_nationkey").alias("bb")
+    )
+    truth = (
+        a.join(b, F.col("ka") < F.col("kb"))
+        .filter(F.levenshtein("na", "nb") <= ER_MAX_EDIT)
+        .select((F.col("ba") == F.col("bb")).alias("same_block"))
+    )
+    pc = truth.agg(
+        F.count(F.lit(1)).alias("true_matches_sampled"),
+        F.sum(F.when(F.col("same_block"), 1).otherwise(0)).alias("found_in_block_sampled"),
+    )
+    return (
+        cand.crossJoin(F.broadcast(pc))
+        .select(
+            "n_rows", "cand_pairs",
+            F.expr("n_rows * (n_rows - 1) div 2").alias("full_pairs"),
+            F.round(1.0 - F.col("cand_pairs") / (F.col("n_rows") * (F.col("n_rows") - 1) / 2.0), 6).alias("reduction_ratio"),
+            "true_matches_sampled", "found_in_block_sampled",
+            F.round(F.col("found_in_block_sampled") / (1.0 * F.col("true_matches_sampled")), 6).alias("pair_completeness"),
+        )
+    )

@@ -3175,3 +3175,99 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rk", F.row_number().over(W.partitionBy().orderBy(F.desc("bm25"), "doc_id"))
     )
     return ranked.filter(F.col("rk") <= BM25_TOP).select("rk", "doc_id", "bm25").orderBy("rk")
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction (stopword-delimited phrases, degree/frequency).
+# ---------------------------------------------------------------------------
+
+RAKE_STOPWORDS = ("the", "and", "of", "is", "a")
+RAKE_TOP = 15
+_RAKE_SPLIT = r" ?\b(?:" + "|".join(RAKE_STOPWORDS) + r")\b ?"
+
+RAKE_ORACLE = f"""
+WITH frags AS (
+  SELECT doc_id, unnest(regexp_split_to_array({_NORM_DUCK}, '{_RAKE_SPLIT}')) AS frag
+  FROM documents
+),
+phrases AS (
+  SELECT trim(frag) AS phrase FROM frags WHERE trim(frag) <> ''
+),
+words AS (
+  SELECT phrase, unnest(string_split(phrase, ' ')) AS w,
+         len(string_split(phrase, ' ')) AS plen
+  FROM phrases
+),
+wstats AS (
+  SELECT w, count(*) AS freq, sum(plen) AS deg,
+         CAST((sum(plen) * 1000000) // count(*) AS BIGINT) AS score_ppm
+  FROM words GROUP BY w
+),
+pcount AS (
+  SELECT phrase, count(*) AS n_occ FROM phrases GROUP BY phrase
+),
+uwords AS (
+  SELECT p.phrase, unnest(string_split(p.phrase, ' ')) AS w FROM pcount p
+),
+pscore AS (
+  SELECT u.phrase, sum(s.score_ppm) AS score_ppm
+  FROM uwords u JOIN wstats s USING (w) GROUP BY u.phrase
+)
+SELECT rk, phrase, n_occ, score_ppm FROM (
+  SELECT p.phrase, c.n_occ, CAST(p.score_ppm AS BIGINT) AS score_ppm,
+         row_number() OVER (ORDER BY p.score_ppm DESC, c.n_occ DESC, p.phrase) AS rk
+  FROM pscore p JOIN pcount c USING (phrase)
+) WHERE rk <= {RAKE_TOP} ORDER BY rk
+"""
+
+
+@register("text_keyphrase_rake", RAKE_ORACLE, tags=("llm", "text", "ranking"))
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al.): candidate phrases are the
+    maximal stopword-free token runs; each word scores degree/frequency
+    (degree = total length of phrases it appears in — rewards words that
+    ride in long collocations); a phrase scores the sum of its words'
+    scores. Word scores are integer ppm (deg*1e6 div freq), so the
+    per-phrase sum is exact BIGINT arithmetic — no float crosses the
+    engines anywhere.
+
+    Scale shape: two explode+hash-agg passes over the corpus (phrase
+    table, then word stats) and a join of the DISTINCT phrase list
+    against the broadcast word-score table; top-k is a
+    TakeOrderedAndProject. The stopword split is a codegen'd regexp in
+    the scan projection."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    # NB: Spark SQL string literals process backslash escapes ('\b' would
+    # be a backspace), so the regex's backslashes are doubled here; DuckDB
+    # SQL strings are escape-free and take _RAKE_SPLIT verbatim.
+    split_sql = _RAKE_SPLIT.replace("\\", "\\\\")
+    frags = t["documents"].select(
+        F.explode(F.expr(f"split({_NORM}, '{split_sql}')")).alias("frag")
+    )
+    phrases = frags.select(F.trim("frag").alias("phrase")).filter(F.col("phrase") != "")
+    words = phrases.select(
+        "phrase",
+        F.explode(F.split("phrase", " ")).alias("w"),
+        F.size(F.split("phrase", " ")).alias("plen"),
+    )
+    wstats = words.groupBy("w").agg(
+        F.expr("CAST((sum(plen) * 1000000) div count(*) AS BIGINT)").alias("score_ppm")
+    )
+    pcount = phrases.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ"))
+    uwords = pcount.select("phrase", F.explode(F.split("phrase", " ")).alias("w"))
+    pscore = uwords.join(F.broadcast(wstats), "w").groupBy("phrase").agg(
+        F.sum("score_ppm").cast("bigint").alias("score_ppm")
+    )
+    ranked = (
+        pscore.join(pcount, "phrase")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy().orderBy(F.desc("score_ppm"), F.desc("n_occ"), "phrase")
+            ),
+        )
+        .filter(F.col("rk") <= RAKE_TOP)
+    )
+    return ranked.select("rk", "phrase", "n_occ", "score_ppm").orderBy("rk")

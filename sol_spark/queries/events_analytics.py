@@ -2950,3 +2950,114 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curves: cumulative revenue per cohort user at fixed ages.
+# ---------------------------------------------------------------------------
+
+LTV_AGES = (0, 3, 7, 14)
+
+COHORT_LTV_ORACLE = f"""
+WITH firsts AS (
+  SELECT user_id, min(ts) AS first_ts FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+),
+cohorts AS (
+  SELECT user_id, CAST((day(first_ts) - 1) // 7 AS BIGINT) AS cohort_week,
+         CAST(first_ts AS DATE) AS first_day
+  FROM firsts
+),
+sizes AS (
+  SELECT cohort_week, count(*) AS n_users FROM cohorts GROUP BY cohort_week
+),
+purch AS (
+  SELECT c.cohort_week,
+         date_diff('day', c.first_day, CAST(e.ts AS DATE)) AS age_days,
+         CAST(round(e.value * 100) AS BIGINT) AS cents
+  FROM events e JOIN cohorts c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+),
+grid AS (
+  SELECT s.cohort_week, a.age, s.n_users
+  FROM sizes s, (SELECT unnest([{", ".join(str(a) for a in LTV_AGES)}]) AS age) a
+),
+cum AS (
+  SELECT g.cohort_week, g.age, g.n_users,
+         coalesce(sum(p.cents), 0) AS cum_cents
+  FROM grid g LEFT JOIN purch p
+    ON p.cohort_week = g.cohort_week AND p.age_days <= g.age
+  GROUP BY g.cohort_week, g.age, g.n_users
+)
+SELECT cohort_week, age AS age_days, n_users::BIGINT AS n_users,
+       CAST(cum_cents AS BIGINT) AS cum_rev_cents,
+       CAST(cum_cents // n_users AS BIGINT) AS ltv_cents_per_user
+FROM cum ORDER BY cohort_week, age_days
+"""
+
+
+@register("events_cohort_ltv", COHORT_LTV_ORACLE, tags=("events", "cohort"))
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: users cohorted by first-PURCHASE week
+    (buyer cohorts — first-activity week is degenerate on the fixture:
+    everyone starts in week 0), with the cohort's cumulative purchase
+    revenue per user measured at fixed ages
+    ({", ".join(str(a) for a in LTV_AGES)} days) — the payback-curve
+    readout growth teams plot next to the retention triangle
+    (events_retention counts comebacks; this accumulates the money).
+    Revenue is exact integer cents; per-user LTV is integer division.
+
+    Scale shape: one hash-agg for first-activity, one equi-join keyed by
+    user to tag purchases with cohort + age, then ONE conditional
+    hash-agg per age threshold unpivoted from the same scan (the grid
+    left-join in the oracle is expressed as conditional sums — no
+    age-threshold row explosion crosses the shuffle)."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import functions as FF
+
+    e = t["events"]
+    firsts = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    )
+    cohorts = firsts.select(
+        "user_id",
+        ((F.dayofmonth("first_ts") - 1).cast("bigint") / 7).cast("bigint").alias("cohort_week"),
+        F.to_date("first_ts").alias("first_day"),
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_users"))
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(cohorts, "user_id")
+        .select(
+            "cohort_week",
+            F.datediff(F.to_date("ts"), F.col("first_day")).alias("age_days"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+    sums = purch.groupBy("cohort_week").agg(
+        *[
+            F.sum(F.when(F.col("age_days") <= a, F.col("cents")).otherwise(F.lit(0))).alias(f"c{a}")
+            for a in LTV_AGES
+        ]
+    )
+    stack_expr = "stack({n}, {args}) as (age_days, cum_raw)".format(
+        n=len(LTV_AGES),
+        args=", ".join(f"{a}, c{a}" for a in LTV_AGES),
+    )
+    unpivoted = sums.selectExpr("cohort_week", stack_expr)
+    # Explicit (cohort x age) grid so a purchase-free cohort still yields
+    # one zero row per age threshold (matching the oracle's grid).
+    ages = F.explode(F.array(*[F.lit(a) for a in LTV_AGES])).alias("age_days")
+    grid = sizes.select("cohort_week", "n_users", ages)
+    return (
+        grid.join(unpivoted, ["cohort_week", "age_days"], "left")
+        .select(
+            "cohort_week",
+            F.col("age_days").cast("bigint").alias("age_days"),
+            "n_users",
+            F.coalesce(F.col("cum_raw"), F.lit(0)).cast("bigint").alias("cum_rev_cents"),
+            F.expr("CAST(coalesce(cum_raw, 0) div n_users AS BIGINT)").alias("ltv_cents_per_user"),
+        )
+        .orderBy("cohort_week", "age_days")
+    )
