@@ -2097,15 +2097,26 @@ def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical doubles, so the integer bin is identical in both engines."""
     from pyspark.sql import Window as W
 
+    from sol_spark.operators.dedup import local_checkpoint
+
     t = load_tables(spark, sf_dir)
     li = t["lineitem"].select("l_extendedprice")
-    mm = li.agg(
-        F.min("l_extendedprice").alias("lo"),
-        F.max("l_extendedprice").alias("hi"),
-        F.count(F.lit(1)).alias("n"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("ex50"),
-        F.expr("percentile(l_extendedprice, 0.9)").alias("ex90"),
-        F.expr("percentile(l_extendedprice, 0.99)").alias("ex99"),
+    # ONE percentile buffer for all three quantiles (the scalar form costs
+    # one full value buffer PER call — measured 6.2 s vs 2.3 s at sf0.1),
+    # and the one-row mm frame is eagerly materialized so the three places
+    # it joins below don't each re-run the exact-quantile audit agg.
+    mm = local_checkpoint(
+        li.agg(
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("ex"),
+        ).select(
+            "lo", "hi", "n",
+            F.element_at("ex", 1).alias("ex50"),
+            F.element_at("ex", 2).alias("ex90"),
+            F.element_at("ex", 3).alias("ex99"),
+        )
     )
     width = (F.col("hi") - F.col("lo")) / QHIST_BINS
     binned = li.crossJoin(F.broadcast(mm)).select(
