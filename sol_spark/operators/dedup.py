@@ -3497,16 +3497,19 @@ sym AS MATERIALIZED (
   SELECT doc_a AS a, doc_b AS b FROM e
   UNION ALL SELECT doc_b AS a, doc_a AS b FROM e
 ),
-deg AS (SELECT a AS doc, count(*) AS degree FROM sym GROUP BY a),
+deg AS MATERIALIZED (SELECT a AS doc, count(*) AS degree FROM sym GROUP BY a),
 tri AS MATERIALIZED (
   SELECT DISTINCT e.doc_a, e.doc_b
   FROM e JOIN sym x ON x.a = e.doc_a JOIN sym y
     ON y.a = e.doc_b AND y.b = x.b
 ),
-bridges AS (
+-- LEFT JOIN ... IS NULL, not NOT EXISTS: the correlated-subquery form
+-- cost 52 s at sf0.1 vs 21 s for the hash anti-join (deg also
+-- MATERIALIZED — it is referenced twice).
+bridges AS MATERIALIZED (
   SELECT e.doc_a, e.doc_b FROM e
-  WHERE NOT EXISTS (SELECT 1 FROM tri t
-                    WHERE t.doc_a = e.doc_a AND t.doc_b = e.doc_b)
+  LEFT JOIN tri t ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b
+  WHERE t.doc_a IS NULL
 )
 SELECT b.doc_a, b.doc_b,
        da.degree::BIGINT AS deg_a, db.degree::BIGINT AS deg_b
