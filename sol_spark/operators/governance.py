@@ -1680,3 +1680,77 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("found_in_block_sampled") / (1.0 * F.col("true_matches_sampled")), 6).alias("pair_completeness"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance: merge partial agg states (base + delta)
+# ---------------------------------------------------------------------------
+
+AGG_MERGE_CUTOFF = "1997-01-01"  # base = shipped before, delta = on/after
+
+AGG_STATE_MERGE_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       count(*)::BIGINT AS n_rows,
+       sum(CAST(round(l_quantity * 100) AS BIGINT))::BIGINT AS sum_qty_cents,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_price_cents,
+       min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS min_price_cents,
+       max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS max_price_cents,
+       (sum(CAST(round(l_extendedprice * 100) AS BIGINT)) // count(*))::BIGINT AS avg_price_cents
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("warehouse_agg_state_merge", AGG_STATE_MERGE_ORACLE, tags=("warehouse", "agg", "scale"))
+def warehouse_agg_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: the nightly-merge pattern where a
+    materialized per-(returnflag, linestatus) rollup is kept current by
+    aggregating ONLY the delta partition and merging its partial state
+    into the stored base state — never rescanning the base fact table.
+    Here both states are computed (base = shipped before
+    {AGG_MERGE_CUTOFF}, delta = on/after), then MERGED with the
+    associative state algebra (sum of counts/sums, min of mins, max of
+    maxes; avg derived from merged sums at read time — never averaged
+    averages), while the ORACLE aggregates the full table directly — so
+    the green row PROVES the merge is lossless, the property that makes
+    the incremental schedule safe at 100 TB. All state is exact integer
+    cents, so mergeability is algebraic, not approximate.
+
+    Scale shape: two partition-pruned scans (on a date-partitioned table
+    the base state would be a stored {{~6}}-row table, not a scan) each
+    ending in a tiny hash-agg, then a 12-row union + re-agg — the merge
+    step itself is constant-size regardless of fact-table size, which is
+    the entire point."""
+    t = load_tables(spark, sf_dir)
+
+    def partial(df):
+        cents_q = F.round(F.col("l_quantity") * 100, 0).cast("bigint")
+        cents_p = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(cents_q).alias("sum_qty_cents"),
+            F.sum(cents_p).alias("sum_price_cents"),
+            F.min(cents_p).alias("min_price_cents"),
+            F.max(cents_p).alias("max_price_cents"),
+        )
+
+    li = t["lineitem"]
+    base = partial(li.filter(F.col("l_shipdate") < AGG_MERGE_CUTOFF))
+    delta = partial(li.filter(F.col("l_shipdate") >= AGG_MERGE_CUTOFF))
+    merged = (
+        base.unionAll(delta)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("sum_qty_cents").cast("bigint").alias("sum_qty_cents"),
+            F.sum("sum_price_cents").cast("bigint").alias("sum_price_cents"),
+            F.min("min_price_cents").alias("min_price_cents"),
+            F.max("max_price_cents").alias("max_price_cents"),
+        )
+    )
+    return merged.select(
+        "l_returnflag", "l_linestatus", "n_rows", "sum_qty_cents", "sum_price_cents",
+        "min_price_cents", "max_price_cents",
+        F.expr("sum_price_cents div n_rows").alias("avg_price_cents"),
+    ).orderBy("l_returnflag", "l_linestatus")

@@ -3271,3 +3271,73 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= RAKE_TOP)
     )
     return ranked.select("rk", "phrase", "n_occ", "score_ppm").orderBy("rk")
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick document vectors (long format: one row per non-zero bucket)
+# ---------------------------------------------------------------------------
+
+FHASH_BUCKETS = 512
+FHASH_DOC_MOD = 25  # vectorize a deterministic 1-in-25 doc sample
+
+FEATURE_HASHING_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_DUCK}, ' ')) AS tok
+  FROM documents WHERE doc_id % {FHASH_DOC_MOD} = 0
+), hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('fh' || tok), 1, 8))::BIGINT % {FHASH_BUCKETS} AS bucket,
+         CASE WHEN ('0x' || substr(md5('fs' || tok), 1, 1))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM toks WHERE tok <> ''
+)
+SELECT doc_id, bucket,
+       count(*)::BIGINT AS n_tok,
+       sum(sgn)::BIGINT AS feat
+FROM hashed GROUP BY doc_id, bucket
+HAVING sum(sgn) <> 0
+ORDER BY doc_id, bucket
+"""
+
+
+@register("text_feature_hashing", FEATURE_HASHING_ORACLE, tags=("llm", "text", "features"))
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick (Weinberger et al.) bag-of-words vectorization: each
+    token occurrence lands in md5('fh'||tok) % {FHASH_BUCKETS} with a
+    +/-1 sign from an independent hash bit, and a document's feature for
+    a bucket is the signed occurrence sum — the fixed-width, vocab-free
+    featurization that feeds sim_logreg_train/sim_knn_label without ever
+    building (or shipping) a vocabulary. Output is LONG format (doc_id,
+    bucket, n_tok, feat), one row per non-zero bucket — the sparse form
+    a 100 TB corpus must use (a dense {FHASH_BUCKETS}-wide row per doc
+    is pure zero-shipping; and the signed sum means collisions cancel in
+    expectation, which the HAVING <> 0 rows make visible). All integers.
+
+    Scale shape: one explode + two md5 projections + one (doc, bucket)
+    hash-agg, all whole-stage codegen; partial aggregation absorbs the
+    token fan-out map-side. The 1-in-{FHASH_DOC_MOD} doc gate is a
+    pushed-down scan predicate, the same deterministic-sample contract
+    as text_split_doc_pairs."""
+    t = load_tables(spark, sf_dir)
+    toks = (
+        t["documents"]
+        .filter(F.col("doc_id") % FHASH_DOC_MOD == 0)
+        .select("doc_id", F.explode(F.split(F.expr(_NORM), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    hashed = toks.select(
+        "doc_id",
+        F.expr(
+            f"CAST(conv(substring(md5(concat('fh', tok)), 1, 8), 16, 10) AS BIGINT) % {FHASH_BUCKETS}"
+        ).alias("bucket"),
+        F.expr(
+            "CASE WHEN CAST(conv(substring(md5(concat('fs', tok)), 1, 1), 16, 10) AS BIGINT) % 2 = 0"
+            " THEN 1 ELSE -1 END"
+        ).alias("sgn"),
+    )
+    return (
+        hashed.groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("sgn").cast("bigint").alias("feat"))
+        .filter(F.col("feat") != 0)
+        .orderBy("doc_id", "bucket")
+    )

@@ -2597,3 +2597,212 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(est - F.col("exact_inter")) / F.col("exact_inter"), 4).alias("rel_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join prefilter with measured false-positive audit
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 3               # hash functions
+BLOOM_BITS_PER_ELEM = 4   # m = 4 * |members| -> load ~ (1 - e^-0.75), fpr ~ 15%
+                          # (deliberately small so the FP path is exercised
+                          # and measurable at every fixture SF)
+
+SKETCH_BLOOM_ORACLE = f"""
+WITH members AS MATERIALIZED (
+  SELECT DISTINCT l_partkey AS k FROM lineitem
+  WHERE strftime(l_shipdate, '%Y-%m') = '1995-03'
+), mm AS MATERIALIZED (
+  SELECT count(*) AS n_members,
+         greatest(count(*) * {BLOOM_BITS_PER_ELEM}, 64) AS m_bits
+  FROM members
+), pos AS MATERIALIZED (
+  SELECT DISTINCT
+    ('0x' || substr(md5('bf' || i || '_' || mem.k), 1, 8))::BIGINT % mm.m_bits AS p
+  FROM members mem, mm, (SELECT unnest(['1', '2', '3']) AS i) h
+), probe_pos AS MATERIALIZED (
+  -- positions first, THEN a plain equi-join: embedding the md5 expression
+  -- in the join condition across the comma-joined relations degraded to a
+  -- nested loop (20 s at sf0.1; 0.3 s this way)
+  SELECT pr.p_partkey AS k,
+         ('0x' || substr(md5('bf' || h.i || '_' || pr.p_partkey), 1, 8))::BIGINT % mm.m_bits AS p
+  FROM part pr, mm, (SELECT unnest(['1', '2', '3']) AS i) h
+), probe_hits AS (
+  SELECT pp.k, count(*) AS hits
+  FROM probe_pos pp JOIN pos ON pos.p = pp.p
+  GROUP BY pp.k
+), passes AS MATERIALIZED (
+  SELECT k FROM probe_hits WHERE hits = {BLOOM_K}
+), audit AS (
+  SELECT (SELECT count(*) FROM part) AS n_probes,
+         (SELECT count(*) FROM passes) AS n_pass,
+         (SELECT count(*) FROM passes JOIN members USING (k)) AS n_true,
+         (SELECT count(*) FROM pos) AS n_positions
+)
+SELECT mm.n_members::BIGINT AS n_members,
+       mm.m_bits::BIGINT AS m_bits,
+       a.n_positions::BIGINT AS bits_set,
+       a.n_probes::BIGINT AS n_probes,
+       a.n_true::BIGINT AS n_true,
+       a.n_pass::BIGINT AS n_pass,
+       (a.n_pass - a.n_true)::BIGINT AS false_pos,
+       round((a.n_pass - a.n_true) / (1.0 * (a.n_probes - a.n_true)), 6) AS fpr_measured,
+       round((a.n_positions / (1.0 * mm.m_bits)) * (a.n_positions / (1.0 * mm.m_bits))
+             * (a.n_positions / (1.0 * mm.m_bits)), 6) AS fpr_load_est
+FROM audit a, mm
+"""
+
+
+@register("sketch_bloom_prefilter", SKETCH_BLOOM_ORACLE, tags=("approx", "sketch", "join", "scale"))
+def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join prefilter, audited: build a {BLOOM_K}-hash
+    Bloom filter over the parts shipped in 1995-03 (the build side of a
+    selective semi-join), probe EVERY part key through it, and report the
+    measured false-positive rate next to the load-based estimate
+    (bits_set/m)^k — the acceptance audit run before trusting a Bloom
+    prefilter to cut a 100 TB probe-side scan (the explicit-operator twin
+    of the runtime bloom join the engine plan-pins in
+    test_runtime_bloom_filter_join). The filter is deliberately small
+    ({BLOOM_BITS_PER_ELEM} bits/element) so false positives are
+    non-vacuous at every fixture SF; zero false NEGATIVES is structural
+    (every member's positions are in the set) and pytest-asserted.
+
+    Cross-engine safety: the 'bit array' is modeled as the DISTINCT set
+    of set bit positions (md5-derived, integer-modulo m), membership =
+    all {BLOOM_K} positions present, counted as an integer hits == k
+    gate; the only floats are two final round(...,6) ratios built from
+    integer counts by exact division/multiplication (no pow()).
+
+    Scale shape: the position set is one explode + hash-agg over the
+    build side, {BLOOM_K}m bits ~ KBs -> broadcast; the probe pass is one
+    explode + broadcast join + hits==k hash-agg (never a shuffle of the
+    probe side); the audit scalars are single-row aggregates."""
+    t = load_tables(spark, sf_dir)
+    from sol_spark.operators.dedup import local_checkpoint
+
+    members = (
+        t["lineitem"]
+        .filter(F.date_format("l_shipdate", "yyyy-MM") == "1995-03")
+        .select(F.col("l_partkey").alias("k"))
+        .distinct()
+    )
+    mm = local_checkpoint(
+        members.agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.greatest(
+                F.count(F.lit(1)) * BLOOM_BITS_PER_ELEM, F.lit(64).cast("bigint")
+            ).alias("m_bits"),
+        )
+    )
+    hashes = F.explode(F.array(*[F.lit(str(i)) for i in range(1, BLOOM_K + 1)])).alias("i")
+    pos_expr = (
+        "CAST(conv(substring(md5(concat('bf', i, '_', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        " % m_bits"
+    )
+    pos = (
+        members.select("k", hashes)
+        .crossJoin(F.broadcast(mm.select("m_bits")))
+        .select(F.expr(pos_expr).alias("p"))
+        .distinct()
+    )
+    probes = (
+        t["part"]
+        .select(F.col("p_partkey").alias("k"), hashes)
+        .crossJoin(F.broadcast(mm.select("m_bits")))
+        .select("k", F.expr(pos_expr).alias("p"))
+    )
+    passes = (
+        probes.join(F.broadcast(pos), "p")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == BLOOM_K)
+        .select("k")
+    )
+    n_true = passes.join(members, "k", "left_semi").agg(F.count(F.lit(1)).alias("n_true"))
+    audit = (
+        t["part"].agg(F.count(F.lit(1)).alias("n_probes"))
+        .crossJoin(F.broadcast(passes.agg(F.count(F.lit(1)).alias("n_pass"))))
+        .crossJoin(F.broadcast(n_true))
+        .crossJoin(F.broadcast(pos.agg(F.count(F.lit(1)).alias("bits_set"))))
+        .crossJoin(F.broadcast(mm))
+    )
+    load = F.col("bits_set") / (1.0 * F.col("m_bits"))
+    return audit.select(
+        "n_members", "m_bits", "bits_set", "n_probes", "n_true", "n_pass",
+        (F.col("n_pass") - F.col("n_true")).cast("bigint").alias("false_pos"),
+        F.round(
+            (F.col("n_pass") - F.col("n_true")) / (1.0 * (F.col("n_probes") - F.col("n_true"))), 6
+        ).alias("fpr_measured"),
+        F.round(load * load * load, 6).alias("fpr_load_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily open-order backlog series (opened vs fully-shipped cumulative diff)
+# ---------------------------------------------------------------------------
+
+BACKLOG_ORACLE = """
+WITH opened AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS opened
+  FROM orders GROUP BY 1
+), last_ship AS (
+  SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS close_day
+  FROM lineitem GROUP BY 1
+), closed AS (
+  SELECT close_day AS day, count(*) AS closed FROM last_ship GROUP BY 1
+), cal AS (
+  SELECT coalesce(o.day, c.day) AS day,
+         coalesce(o.opened, 0) AS opened,
+         coalesce(c.closed, 0) AS closed
+  FROM opened o FULL OUTER JOIN closed c ON o.day = c.day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       opened::BIGINT AS opened, closed::BIGINT AS closed,
+       (sum(opened) OVER w - sum(closed) OVER w)::BIGINT AS backlog
+FROM cal
+WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY 1
+"""
+
+
+@register("orders_backlog_snapshot", BACKLOG_ORACLE, tags=("warehouse", "window", "timeseries"))
+def orders_backlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog: an order enters the backlog on its order
+    date and leaves when its LAST line ships (the fulfillment-complete
+    event), so backlog(d) = cumulative opened - cumulative fully-shipped
+    through d — the ops time series behind every 'orders in flight'
+    dashboard (and the burn-down orders_fulfillment_lag summarizes in
+    percentile form). Orders with no lineitem rows never close, in both
+    engines alike. All counts BIGINT.
+
+    Scale shape: two hash-aggs (per-day opens; per-order max-shipdate
+    then per-day closes) reduce 100 TB of facts to one row per DAY
+    (~2.5 k rows for the whole TPC-H calendar) BEFORE the full-outer
+    align and the running-sum window — the single-partition window is
+    over the tiny day series, never the facts."""
+    t = load_tables(spark, sf_dir)
+    opened = (
+        t["orders"]
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("opened"))
+    )
+    closed = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("closed"))
+    )
+    cal = (
+        opened.join(closed, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("opened", F.lit(0)).cast("bigint").alias("opened"),
+            F.coalesce("closed", F.lit(0)).cast("bigint").alias("closed"),
+        )
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return cal.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "opened", "closed",
+        (F.sum("opened").over(w) - F.sum("closed").over(w)).cast("bigint").alias("backlog"),
+    ).orderBy("day")
