@@ -3572,3 +3572,62 @@ def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = local_checkpoint(out)
     release_result(e)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup: inverse-multiplicity sampling weights instead of hard drops.
+# SoftDeDup-style curation (and the Kandpal et al. 2022 dup-frequency
+# results) keep every document but down-weight it by its near-duplicate
+# multiplicity, so the effective token distribution matches the deduped
+# corpus without losing rare in-cluster variation.
+# ---------------------------------------------------------------------------
+
+DEDUP_SOFT_ORACLE = f"""{_MINHASH_CHAIN},
+nbr AS (
+  SELECT a.doc_id, count(DISTINCT b.doc_id) AS m
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  GROUP BY a.doc_id
+)
+SELECT doc_id,
+       CAST(m - 1 AS BIGINT) AS n_near_dups,
+       round(1.0 / m, 6) AS weight
+FROM nbr
+ORDER BY doc_id
+"""
+
+
+@register("dedup_soft_weights", DEDUP_SOFT_ORACLE, tags=("llm", "dedup", "lsh", "sampling"))
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: every document keeps a sampling weight 1/m, where m is
+    the number of distinct documents (itself included) sharing at least
+    one MinHash-LSH band bucket with it — the same signature/banding
+    stack as dedup_minhash_lsh, but the output is a reweighting, not a
+    drop list. A training sampler drawing doc d with probability
+    proportional to weight(d) sees each near-dup cluster with aggregate
+    mass ~1 regardless of how many copies crawled in, which is the
+    SoftDeDup/Kandpal correction for memorization-inducing duplication.
+
+    Scale shape: identical to the LSH dedup pipeline up to the band
+    frame; the multiplicity count is a self equi-join on (band, band_key)
+    — both sides shuffle on the same key so the second exchange is
+    reused, never all-pairs — followed by a distinct + hash-agg at doc
+    grain. No exact-Jaccard confirm pass is needed because the weight is
+    defined on the banded candidate relation itself (the calibration
+    audit dedup_minhash_calibration prices that relation's precision)."""
+    bands = _band_df(minhash_signature_df(hashed_shingle_rows_df(spark, sf_dir)))
+    nbrs = (
+        bands.join(
+            bands.withColumnsRenamed({"doc_id": "nb"}),
+            ["band", "band_key"],
+        )
+        .select("doc_id", "nb")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    return nbrs.select(
+        "doc_id",
+        (F.col("m") - 1).cast("long").alias("n_near_dups"),
+        F.round(F.lit(1.0) / F.col("m"), 6).alias("weight"),
+    ).orderBy("doc_id")

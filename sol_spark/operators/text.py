@@ -3341,3 +3341,297 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("feat") != 0)
         .orderBy("doc_id", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stupid-backoff trigram LM scoring — the distributed-LM recipe of Brants
+# et al. 2007 ("Large Language Models in Machine Translation"): no
+# discounting, a fixed backoff penalty, counts sharded by n-gram key. The
+# model trains on the English slice and scores EVERY document, so the
+# backoff chain (trigram -> bigram -> unigram) genuinely fires on held-out
+# text (reference parity: the reference's LM-scoring UDAF surface; here the
+# model IS three hash-aggregated count tables joined back to the scoring
+# corpus — no per-row Python, no model file).
+# ---------------------------------------------------------------------------
+
+LM_TRIGRAM_LANG = "en"       # training slice
+LM_BACKOFF_ALPHA = 0.4       # Brants et al.'s fixed backoff penalty
+
+LM_TRIGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split({_NORM_DUCK}, ' ') AS tk FROM documents
+),
+tri AS (
+  SELECT doc_id, lang, g[1] AS w1, g[2] AS w2, g[3] AS w3, count(*) AS tf
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_transform(range(1, len(tk) - 1),
+                                 i -> [tk[i], tk[i+1], tk[i+2]])) AS g
+    FROM toks WHERE len(tk) >= 3) x
+  GROUP BY ALL
+),
+m3 AS (
+  SELECT w1, w2, w3, sum(tf) AS c3 FROM tri
+  WHERE lang = '{LM_TRIGRAM_LANG}' GROUP BY w1, w2, w3
+),
+m2 AS (SELECT w1, w2, sum(c3) AS c2 FROM m3 GROUP BY w1, w2),
+m1 AS (
+  SELECT tok, count(*) AS c1
+  FROM (SELECT unnest(string_split({_NORM_DUCK}, ' ')) AS tok
+        FROM documents WHERE lang = '{LM_TRIGRAM_LANG}') u
+  GROUP BY tok
+),
+tot AS (SELECT sum(c1) AS n, count(*) AS v FROM m1)
+SELECT t.doc_id,
+       any_value(t.lang) AS lang,
+       CAST(sum(t.tf) AS BIGINT) AS n_trigrams,
+       CAST(sum(CASE WHEN g3.c3 IS NOT NULL THEN t.tf ELSE 0 END) AS BIGINT) AS n_hit3,
+       CAST(sum(CASE WHEN g3.c3 IS NULL AND b2.c2 IS NOT NULL THEN t.tf ELSE 0 END) AS BIGINT) AS n_hit2,
+       CAST(sum(CASE WHEN g3.c3 IS NULL AND b2.c2 IS NULL THEN t.tf ELSE 0 END) AS BIGINT) AS n_back1,
+       round(sum(t.tf * ln(
+         CASE WHEN g3.c3 IS NOT NULL THEN g3.c3 / g2.c2
+              WHEN b2.c2 IS NOT NULL THEN {LM_BACKOFF_ALPHA} * (b2.c2 / u2.c1)
+              ELSE {LM_BACKOFF_ALPHA} * {LM_BACKOFF_ALPHA} *
+                   ((COALESCE(u3.c1, 0) + 1) / (tot.n + tot.v))
+         END)) / sum(t.tf), 6) AS avg_logprob
+FROM tri t
+LEFT JOIN m3 g3 ON t.w1 = g3.w1 AND t.w2 = g3.w2 AND t.w3 = g3.w3
+LEFT JOIN m2 g2 ON t.w1 = g2.w1 AND t.w2 = g2.w2
+LEFT JOIN m2 b2 ON t.w2 = b2.w1 AND t.w3 = b2.w2
+LEFT JOIN m1 u2 ON t.w2 = u2.tok
+LEFT JOIN m1 u3 ON t.w3 = u3.tok
+CROSS JOIN tot
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@register("text_lm_trigram_backoff", LM_TRIGRAM_ORACLE, tags=("llm", "text", "quality"))
+def text_lm_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram LM (Brants et al. 2007): train trigram /
+    bigram / unigram count tables on the '{LM_TRIGRAM_LANG}' slice, score
+    every document's mean log S(w3|w1 w2) where
+
+      S = C3(w1 w2 w3)/C2(w1 w2)            if the trigram is in-model,
+          {LM_BACKOFF_ALPHA} * C2(w2 w3)/C1(w2)  else if the bigram is,
+          {LM_BACKOFF_ALPHA}^2 * (C1(w3)+1)/(N+V)  otherwise (add-one floor).
+
+    Unlike text_lm_bigram_score (interpolated, trained on the full corpus)
+    the model here is HELD-OUT for 4 of 5 language slices, so all three
+    backoff tiers fire — n_hit3/n_hit2/n_back1 report the tier mix per
+    document, the audit a contamination-free eval pipeline needs.
+
+    Scale shape (the Brants sharding, in Catalyst terms): documents
+    collapse to per-doc (w1,w2,w3, tf) map-side; the three model tables
+    are hash-aggs OF that frame (m2 derives from m3 — one corpus pass
+    total); scoring is five left equi-joins on n-gram keys — AQE
+    skew-splits Zipf-head keys and picks broadcast for the unigram side;
+    the (N, V) totals are a 1-row broadcast. Zero Python, zero UDFs."""
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id", "lang", F.expr(f"split({_NORM}, ' ')").alias("tk")
+    )
+    tri = (
+        toks.filter(F.size("tk") >= 3)
+        .select(
+            "doc_id", "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 2), i -> struct("
+                    "element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2,"
+                    " element_at(tk, i + 2) AS w3))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "lang", "g.w1", "g.w2", "g.w3")
+        .groupBy("doc_id", "lang", "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    m3 = (
+        tri.filter(F.col("lang") == LM_TRIGRAM_LANG)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.sum("tf").alias("c3"))
+    )
+    m2 = m3.groupBy("w1", "w2").agg(F.sum("c3").alias("c2"))
+    m1 = (
+        t["documents"]
+        .filter(F.col("lang") == LM_TRIGRAM_LANG)
+        .select(F.explode(F.expr(f"split({_NORM}, ' ')")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    tot = m1.agg(F.sum("c1").alias("n"), F.count(F.lit(1)).alias("v"))
+    score = F.expr(
+        f"CASE WHEN c3 IS NOT NULL THEN c3 / c2ctx"
+        f" WHEN c2back IS NOT NULL THEN {LM_BACKOFF_ALPHA} * (c2back / c1w2)"
+        f" ELSE {LM_BACKOFF_ALPHA} * {LM_BACKOFF_ALPHA} *"
+        f" ((COALESCE(c1w3, 0) + 1) / (n + v)) END"
+    )
+    return (
+        tri.join(m3, ["w1", "w2", "w3"], "left")
+        .join(m2.withColumnsRenamed({"w1": "a1", "w2": "a2", "c2": "c2ctx"}),
+              (F.col("w1") == F.col("a1")) & (F.col("w2") == F.col("a2")), "left")
+        .join(m2.withColumnsRenamed({"w1": "b1", "w2": "b2", "c2": "c2back"}),
+              (F.col("w2") == F.col("b1")) & (F.col("w3") == F.col("b2")), "left")
+        .join(m1.withColumnsRenamed({"tok": "t2", "c1": "c1w2"}),
+              F.col("w2") == F.col("t2"), "left")
+        .join(m1.withColumnsRenamed({"tok": "t3", "c1": "c1w3"}),
+              F.col("w3") == F.col("t3"), "left")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.sum("tf").cast("long").alias("n_trigrams"),
+            F.sum(F.when(F.col("c3").isNotNull(), F.col("tf")).otherwise(0))
+            .cast("long").alias("n_hit3"),
+            F.sum(F.when(F.col("c3").isNull() & F.col("c2back").isNotNull(), F.col("tf")).otherwise(0))
+            .cast("long").alias("n_hit2"),
+            F.sum(F.when(F.col("c3").isNull() & F.col("c2back").isNull(), F.col("tf")).otherwise(0))
+            .cast("long").alias("n_back1"),
+            F.round(F.sum(F.col("tf") * F.log(score)) / F.sum("tf"), 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi domain reweighting (Xie et al. 2023): exponentiated-gradient
+# ascent on domain weights driven by per-domain excess loss. The registered
+# form uses the corpus unigram-LM NLL as the proxy-model loss signal (the
+# paper's proxy-model per-domain excess loss, which no SQL engine can
+# train) and runs the full multiplicative-weights + uniform-smoothing
+# iteration — the part whose distributed shape matters: one corpus scan to
+# get K scalars, then a K-wide fold that never touches the data again.
+# ---------------------------------------------------------------------------
+
+DOREMI_ETA = 1.0     # EG step size
+DOREMI_SMOOTH = 0.1  # uniform-mixing coefficient c
+DOREMI_STEPS = 8     # fixed iteration budget
+
+DOREMI_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split({_NORM_DUCK}, ' ')) AS tok
+  FROM documents
+),
+uni AS (SELECT tok, count(*) AS ucnt FROM toks GROUP BY tok),
+tot AS (SELECT sum(ucnt)::DOUBLE AS n FROM uni),
+ndocs AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+dom0 AS (
+  SELECT t.source, count(*)::BIGINT AS n_tokens, sum(-ln(u.ucnt / tot.n)) AS s
+  FROM toks t JOIN uni u ON t.tok = u.tok CROSS JOIN tot
+  GROUP BY t.source
+),
+corp AS (SELECT sum(s) / sum(n_tokens) AS m FROM dom0),
+dom AS (
+  SELECT source, n_tokens, round(s / n_tokens, 6) AS dom_nll,
+         round(greatest(0, s / n_tokens - corp.m), 6) AS excess
+  FROM dom0, corp
+),
+vec AS (
+  SELECT list(source ORDER BY source) AS srcs,
+         list(excess ORDER BY source) AS exs,
+         count(*) AS k
+  FROM dom
+),
+fin AS (
+  -- DuckDB's reduce() has no initial-value form, so the fold runs over a
+  -- ({DOREMI_STEPS}+1)-element list of weight vectors: element 1 is the
+  -- uniform init (the accumulator seed), the {DOREMI_STEPS} trailing
+  -- copies are ignored by the lambda and exist only to drive iterations.
+  SELECT srcs, k,
+         reduce(
+           list_concat([list_transform(srcs, s -> 1.0 / k)],
+                       list_transform(range(1, {DOREMI_STEPS} + 1),
+                                      t -> list_transform(srcs, s -> 1.0 / k))),
+           (acc, x) -> list_transform(
+             range(1, k + 1),
+             i -> (1.0 - {DOREMI_SMOOTH}) *
+                  (acc[i] * exp({DOREMI_ETA} * exs[i])) /
+                  list_sum(list_transform(range(1, k + 1),
+                                          j -> acc[j] * exp({DOREMI_ETA} * exs[j])))
+                  + {DOREMI_SMOOTH} / k)
+         ) AS wfin
+  FROM vec
+)
+SELECT d.source, nd.n_docs, d.n_tokens, d.dom_nll, d.excess,
+       round(f.wfin[d.rn], 6) AS weight
+FROM (SELECT *, row_number() OVER (ORDER BY source) AS rn FROM dom) d
+JOIN ndocs nd ON nd.source = d.source
+CROSS JOIN fin f
+ORDER BY d.source
+"""
+
+
+@register("text_doremi_mix", DOREMI_ORACLE, tags=("llm", "text", "sampling"))
+def text_doremi_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi domain-mixture weights (Xie et al. 2023): per-domain excess
+    loss (domain mean token NLL under the corpus unigram model, minus the
+    corpus mean, clipped at 0 — the proxy for the paper's proxy-vs-
+    reference loss gap), then {DOREMI_STEPS} exponentiated-gradient steps
+
+      w' = (1-c) * softmax(log w + eta * excess) + c/K      (c={DOREMI_SMOOTH})
+
+    folded in ONE array expression. Complements text_domain_mix (UniMax
+    caps by budget; DoReMi re-weights by learnability signal).
+
+    Scale shape: one corpus scan collapses to K domain scalars (token
+    explode -> unigram hash-agg -> per-domain conditional agg); the
+    excess values are quantized to 6 digits BEFORE the fold so both
+    engines iterate on bit-identical doubles; the EG iteration itself is
+    a driver-free fold over a K-element array inside a 1-row projection —
+    at 100 TB the optimization costs literally nothing beyond the scan.
+    Zero Python; the iteration is `aggregate(sequence(1,T), ...)` in
+    whole-stage codegen."""
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "source", F.explode(F.expr(f"split({_NORM}, ' ')")).alias("tok")
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("ucnt"))
+    tot = uni.agg(F.sum("ucnt").cast("double").alias("n"))
+    ndocs = t["documents"].groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    dom0 = (
+        toks.join(uni, "tok")
+        .join(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(-F.log(F.col("ucnt") / F.col("n"))).alias("s"),
+        )
+    )
+    corp = dom0.agg((F.sum("s") / F.sum("n_tokens")).alias("m"))
+    dom = (
+        dom0.join(F.broadcast(corp))
+        .select(
+            "source", "n_tokens",
+            F.round(F.col("s") / F.col("n_tokens"), 6).alias("dom_nll"),
+            F.round(F.greatest(F.lit(0.0), F.col("s") / F.col("n_tokens") - F.col("m")), 6).alias("excess"),
+        )
+    )
+    vec = dom.agg(
+        F.sort_array(F.collect_list(F.struct("source", "excess"))).alias("p")
+    ).select(
+        F.expr("transform(p, x -> x.source)").alias("srcs"),
+        F.expr("transform(p, x -> x.excess)").alias("exs"),
+    )
+    fold = (
+        f"aggregate(sequence(1, {DOREMI_STEPS}),"
+        f" transform(exs, x -> CAST(1.0 / size(exs) AS DOUBLE)),"
+        f" (w, t) -> transform(sequence(1, size(exs)),"
+        f"   i -> (1.0 - {DOREMI_SMOOTH}) *"
+        f"        (element_at(w, i) * exp({DOREMI_ETA} * element_at(exs, i))) /"
+        f"        aggregate(transform(sequence(1, size(exs)),"
+        f"                            j -> element_at(w, j) * exp({DOREMI_ETA} * element_at(exs, j))),"
+        f"                  CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        f"        + {DOREMI_SMOOTH} / size(exs)))"
+    )
+    weights = vec.select(
+        F.posexplode(F.arrays_zip(F.col("srcs"), F.expr(fold).alias("w"))).alias("rn", "z")
+    ).select(
+        F.col("z.srcs").alias("source"), F.round(F.col("z.w"), 6).alias("weight")
+    )
+    return (
+        dom.join(ndocs, "source")
+        .join(F.broadcast(weights), "source")
+        .select("source", "n_docs", "n_tokens", "dom_nll", "excess", "weight")
+        .orderBy("source")
+    )
