@@ -3610,12 +3610,17 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to the LSH dedup pipeline up to the band
     frame; the multiplicity count is a self equi-join on (band, band_key)
-    — both sides shuffle on the same key so the second exchange is
-    reused, never all-pairs — followed by a distinct + hash-agg at doc
-    grain. No exact-Jaccard confirm pass is needed because the weight is
-    defined on the banded candidate relation itself (the calibration
-    audit dedup_minhash_calibration prices that relation's precision)."""
-    bands = _band_df(minhash_signature_df(hashed_shingle_rows_df(spark, sf_dir)))
+    — never all-pairs — followed by a distinct + hash-agg at doc grain.
+    No exact-Jaccard confirm pass is needed because the weight is defined
+    on the banded candidate relation itself (the calibration audit
+    dedup_minhash_calibration prices that relation's precision).
+
+    Storage: the band frame (4 small rows per doc) feeds BOTH sides of
+    the self-join; without persisting it the whole shingle-explode +
+    signature pipeline runs twice (measured ~2x wall). The persist is
+    band-frame-sized, not corpus-sized, and is released before return
+    (the same cache-lifecycle contract as dedup_minhash_lsh)."""
+    bands = _band_df(minhash_signature_df(hashed_shingle_rows_df(spark, sf_dir))).persist()
     nbrs = (
         bands.join(
             bands.withColumnsRenamed({"doc_id": "nb"}),
@@ -3626,8 +3631,9 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("m"))
     )
-    return nbrs.select(
+    result = nbrs.select(
         "doc_id",
         (F.col("m") - 1).cast("long").alias("n_near_dups"),
         F.round(F.lit(1.0) / F.col("m"), 6).alias("weight"),
     ).orderBy("doc_id")
+    return _eager_release(result, bands)
