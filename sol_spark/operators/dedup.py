@@ -3637,3 +3637,243 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) / F.col("m"), 6).alias("weight"),
     ).orderBy("doc_id")
     return _eager_release(result, bands)
+
+
+# ---------------------------------------------------------------------------
+# Luby maximal-independent-set keep-list over the near-dup graph: keep a
+# set of documents such that no two kept docs are near-duplicates of each
+# other (independence) AND every dropped doc has a kept near-duplicate
+# (maximality) — the representative-set guarantee per-cluster min-id
+# keep-lists cannot give on non-clique graphs. Classic distributed MIS
+# (Luby 1986), the symmetry-breaking primitive GraphX's Pregel loop is
+# typically demoed on; priorities are deterministic md5 coins so the
+# result is reproducible.
+# ---------------------------------------------------------------------------
+
+MIS_MAX_ROUNDS = 6  # oracle unroll depth == Spark round budget (see below)
+
+_MIS_PRIO = "CAST(conv(substring(md5(concat('mis', CAST({v} AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+_MIS_PRIO_DUCK = "('0x' || substr(md5('mis' || ({v})::VARCHAR), 1, 8))::BIGINT"
+
+
+def _mis_oracle_sql(rounds: int = MIS_MAX_ROUNDS) -> str:
+    """Unrolled Luby-MIS oracle over the SimHash pair graph.
+
+    The unroll depth equals the Spark operator's ``max_rounds`` budget BY
+    CONSTRUCTION (both derive from MIS_MAX_ROUNDS), and the Spark side
+    raises if it fails to converge within that budget — so oracle depth
+    and operator semantics cannot silently diverge (the pagerank(iters)
+    lesson from the r5 verdict). Rounds after convergence are no-ops on
+    empty live sets."""
+    parts = [f"""
+WITH pr AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({SIMHASH_ORACLE.replace("ORDER BY doc_a, doc_b", "")}) q
+), edges AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM pr
+  UNION ALL
+  SELECT doc_b, doc_a FROM pr
+), live1 AS MATERIALIZED (
+  SELECT DISTINCT a AS v, {_MIS_PRIO_DUCK.format(v='a')} AS p FROM edges
+)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+losers{i} AS (
+  SELECT DISTINCT e.a AS v
+  FROM edges e
+  JOIN live{i} la ON la.v = e.a
+  JOIN live{i} lb ON lb.v = e.b
+  WHERE lb.p < la.p OR (lb.p = la.p AND lb.v < la.v)
+), kept{i} AS MATERIALIZED (
+  SELECT l.v FROM live{i} l ANTI JOIN losers{i} o ON l.v = o.v
+), dom{i} AS MATERIALIZED (
+  SELECT DISTINCT e.b AS v
+  FROM edges e
+  JOIN kept{i} k ON e.a = k.v
+  JOIN live{i} l ON l.v = e.b
+), live{i + 1} AS MATERIALIZED (
+  SELECT l.v, l.p FROM live{i} l
+  ANTI JOIN kept{i} k ON l.v = k.v
+  ANTI JOIN dom{i} d ON l.v = d.v
+)""")
+    decided = "\n  UNION ALL\n".join(
+        f"  SELECT v, 1 AS kept, {i} AS decided_round FROM kept{i}\n"
+        f"  UNION ALL\n"
+        f"  SELECT v, 0, {i} FROM dom{i}"
+        for i in range(1, rounds + 1)
+    )
+    parts.append(f""",
+decided AS (
+{decided}
+)
+SELECT d.doc_id,
+       COALESCE(dec.kept, 1) AS kept,
+       COALESCE(dec.decided_round, 0) AS decided_round
+FROM documents d
+LEFT JOIN decided dec ON dec.v = d.doc_id
+ORDER BY d.doc_id""")
+    return "".join(parts)
+
+
+DEDUP_MIS_ORACLE = _mis_oracle_sql()
+
+
+@register("dedup_mis_keepset", DEDUP_MIS_ORACLE, tags=("llm", "dedup", "graph", "iterative"))
+def dedup_mis_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-independent-set keep-list (Luby 1986) over the SimHash
+    near-dup graph: per round, a live doc joins the keep set iff its
+    deterministic md5 priority (ties by doc_id) is a strict local minimum
+    among live neighbors; its neighbors become dominated (dropped); repeat
+    until no live vertex remains. Guarantees per round-trip: kept docs are
+    pairwise non-near-duplicate (independence) and every dropped doc has a
+    kept near-duplicate witness (maximality) — on non-clique near-dup
+    graphs a per-cluster min-id keep-list violates independence (the
+    min-id doc can itself near-match another cluster's keeper through a
+    bridge edge); MIS is the correct representative-set primitive. Docs
+    outside the graph are trivially kept at round 0.
+
+    Scale shape: each superstep is two equi-joins of the static edge set
+    against the (shrinking) live frame plus anti-joins — the Pregel
+    superstep shape via the shared iterate() loop (per-round eager
+    localCheckpoint, supersede-and-release, at most two round states
+    live). Luby converges in O(log n) rounds w.h.p.; the round budget
+    {MIS_MAX_ROUNDS} equals the oracle's unroll depth by construction and
+    the loop RAISES on non-convergence rather than truncating."""
+    ph = dedup_simhash(spark, sf_dir)
+    pairs = local_checkpoint(ph.select("doc_a", "doc_b"))
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionAll(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    edges = local_checkpoint(edges)
+    release_result(pairs)
+    state0 = (
+        edges.select(F.col("a").alias("v"))
+        .distinct()
+        .select(
+            "v",
+            F.expr(_MIS_PRIO.format(v="v")).alias("p"),
+            F.lit("live").alias("status"),
+            F.lit(0).alias("round"),
+        )
+    )
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        live = state.filter(F.col("status") == "live").select("v", "p")
+        la = live.select(F.col("v").alias("a"), F.col("p").alias("pa"))
+        lb = live.select(F.col("v").alias("b"), F.col("p").alias("pb"))
+        live_edges = edges.join(la, "a").join(lb, "b")
+        losers = (
+            live_edges.filter(
+                (F.col("pb") < F.col("pa"))
+                | ((F.col("pb") == F.col("pa")) & (F.col("b") < F.col("a")))
+            )
+            .select(F.col("a").alias("v"))
+            .distinct()
+        )
+        kept = live.join(losers, "v", "left_anti")
+        dom = (
+            live_edges.join(kept.select(F.col("v").alias("a")), "a", "left_semi")
+            .select(F.col("b").alias("v"))
+            .distinct()
+            .join(live, "v", "left_semi")
+        )
+        survivors = (
+            live.join(kept, "v", "left_anti").join(dom, "v", "left_anti")
+        )
+        return (
+            state.filter(F.col("status") != "live")
+            .unionAll(kept.select("v", "p", F.lit("kept").alias("status"), F.lit(i + 1).alias("round")))
+            .unionAll(
+                dom.join(live, "v")
+                .select("v", "p", F.lit("dominated").alias("status"), F.lit(i + 1).alias("round"))
+            )
+            .unionAll(survivors.select("v", "p", F.lit("live").alias("status"), F.lit(0).alias("round")))
+        )
+
+    def finalize(state: DataFrame) -> DataFrame:
+        docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+        dec = state.select(
+            F.col("v").alias("doc_id"),
+            F.when(F.col("status") == "kept", 1).otherwise(0).alias("k"),
+            F.col("round").alias("r"),
+        )
+        return (
+            docs.join(dec, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("k", F.lit(1)).cast("int").alias("kept"),
+                F.coalesce("r", F.lit(0)).cast("int").alias("decided_round"),
+            )
+            .orderBy("doc_id")
+        )
+
+    return iterate(
+        state0,
+        step,
+        finalize,
+        max_rounds=MIS_MAX_ROUNDS,
+        converged=lambda prev, cur: cur.filter(F.col("status") == "live").limit(1).isEmpty(),
+        no_convergence_error=f"Luby MIS: live vertices remain after {MIS_MAX_ROUNDS} rounds",
+        release=(edges,),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix: which sources duplicate each other.
+# ---------------------------------------------------------------------------
+
+DEDUP_CROSS_SOURCE_ORACLE = f"""{_MINHASH_CHAIN},
+src AS (SELECT doc_id, source FROM documents),
+m AS (
+  SELECT least(sa.source, sb.source) AS source_a,
+         greatest(sa.source, sb.source) AS source_b,
+         count(*) AS n_pairs
+  FROM cand c
+  JOIN src sa ON sa.doc_id = c.doc_a
+  JOIN src sb ON sb.doc_id = c.doc_b
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CASE WHEN source_a = source_b THEN 1 ELSE 0 END AS within_source
+FROM m
+ORDER BY source_a, source_b
+"""
+
+
+@register("dedup_cross_source_matrix", DEDUP_CROSS_SOURCE_ORACLE, tags=("llm", "dedup", "audit"))
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-by-source near-duplication matrix over the MinHash-LSH
+    candidate relation: for every unordered source pair, how many banded
+    candidate doc pairs straddle it. The audit that tells a corpus curator
+    WHERE duplication comes from — mirror sites (off-diagonal mass) vs
+    crawl-internal repetition (diagonal mass) — and which source pairs to
+    prioritize for cross-source dedup passes.
+
+    Scale shape: the band self-join from the LSH pipeline (never
+    all-pairs), then two joins of the candidate pairs against the
+    (doc_id, source) projection — both sides prunable to two columns at
+    the scan — and a K x K hash-agg whose output is bounded by source
+    cardinality, not corpus size."""
+    bands = _band_df(minhash_signature_df(hashed_shingle_rows_df(spark, sf_dir))).persist()
+    cand = (
+        bands.join(bands.withColumnsRenamed({"doc_id": "doc_b"}), ["band", "band_key"])
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    src = load_tables(spark, sf_dir)["documents"].select("doc_id", "source")
+    result = (
+        cand.join(src.withColumnsRenamed({"doc_id": "doc_a", "source": "sa"}), "doc_a")
+        .join(src.withColumnsRenamed({"doc_id": "doc_b", "source": "sb"}), "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            "source_a", "source_b", "n_pairs",
+            F.when(F.col("source_a") == F.col("source_b"), 1).otherwise(0).alias("within_source"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+    return _eager_release(result, bands)

@@ -61,6 +61,7 @@ EAGER_BUILD = {
     "graph_mst_cut_profile",  # composes graph_mst
     "text_tokenizer_fertility",  # BPE training loop runs during construction
     "dedup_ensemble_clusters",  # four pair pipelines + CC run during construction
+    "dedup_mis_keepset",  # Luby rounds via iterate() run during construction
     # third-wave r6 eager operators: PPR collects the seed list and
     # checkpoints the edge set; survivorship composes the eager ER
     # clustering; jaccard-links checkpoints the simhash pair set.

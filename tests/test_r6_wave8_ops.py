@@ -1,0 +1,77 @@
+"""Behavioral invariants for the round-6 eighth-wave operators: the Luby
+MIS keep-list (independence + maximality, the properties the hash-compare
+can't see) and the cross-source duplication matrix (mass accounting vs the
+raw candidate relation).
+"""
+
+from __future__ import annotations
+
+
+def _simhash_edges(spark, sf_dir):
+    from sol_spark.operators.dedup import dedup_simhash
+
+    pairs = dedup_simhash(spark, sf_dir).select("doc_a", "doc_b").collect()
+    edges = set()
+    for p in pairs:
+        edges.add((p["doc_a"], p["doc_b"]))
+        edges.add((p["doc_b"], p["doc_a"]))
+    return edges
+
+
+def test_mis_independence_maximality_and_rounds(spark, sf_dir):
+    """Kept set is an independent set of the near-dup graph; every dropped
+    doc has a kept neighbor (maximality); docs outside the graph are kept
+    at round 0; every graph vertex is decided within the round budget."""
+    from sol_spark.operators.dedup import MIS_MAX_ROUNDS, dedup_mis_keepset
+    from sol_spark.tables import load_tables
+
+    edges = _simhash_edges(spark, sf_dir)
+    rows = dedup_mis_keepset(spark, sf_dir).collect()
+    n_docs = load_tables(spark, sf_dir)["documents"].count()
+    assert len(rows) == n_docs
+    kept = {r["doc_id"] for r in rows if r["kept"] == 1}
+    dropped = {r["doc_id"] for r in rows if r["kept"] == 0}
+    graph_vertices = {a for a, _ in edges}
+    # independence: no edge inside the keep set
+    for a, b in edges:
+        assert not (a in kept and b in kept), f"adjacent kept pair {a},{b}"
+    # maximality: every dropped doc has a kept near-dup witness
+    for d in dropped:
+        assert any((d, k) in edges for k in kept), f"dropped {d} has no kept neighbor"
+    # only graph vertices can be dropped; non-graph docs decided at round 0
+    assert dropped <= graph_vertices
+    for r in rows:
+        if r["doc_id"] not in graph_vertices:
+            assert r["kept"] == 1 and r["decided_round"] == 0
+        else:
+            assert 1 <= r["decided_round"] <= MIS_MAX_ROUNDS
+    assert dropped, "fixture graph must make the MIS drop something"
+
+
+def test_cross_source_matrix_mass_accounting(spark, sf_dir):
+    """Matrix rows are unordered source pairs; total n_pairs equals the
+    candidate-pair count from the band relation; within_source flags the
+    diagonal."""
+    from sol_spark.operators.dedup import (
+        dedup_cross_source_matrix,
+        hashed_shingle_rows_df,
+        minhash_signature_df,
+        _band_df,
+    )
+    from pyspark.sql import functions as F
+
+    rows = dedup_cross_source_matrix(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["source_a"] <= r["source_b"]
+        assert r["n_pairs"] >= 1
+        assert r["within_source"] == (1 if r["source_a"] == r["source_b"] else 0)
+    bands = _band_df(minhash_signature_df(hashed_shingle_rows_df(spark, sf_dir)))
+    n_cand = (
+        bands.join(bands.withColumnsRenamed({"doc_id": "doc_b"}), ["band", "band_key"])
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .select("doc_id", "doc_b")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_pairs"] for r in rows) == n_cand
