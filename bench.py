@@ -79,6 +79,12 @@ HEADLINE = [
     # sketch — the third wave's new cost shapes.
     "events_token_bucket",
     "sketch_quantile_hist",
+    # r6 wave-7/8 additions: the held-out trigram-backoff scorer (five
+    # n-gram-key joins over the per-doc trigram frame) and the Luby MIS
+    # superstep loop over the near-dup graph — the last two new round-6
+    # cost shapes (multi-model-join scoring, shrinking-frontier rounds).
+    "text_lm_trigram_backoff",
+    "dedup_mis_keepset",
     "win_rank_topk_per_group",
     "time_rollup_hierarchy",
     "set_intersect",
