@@ -2806,3 +2806,113 @@ def orders_backlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("day", "yyyy-MM-dd").alias("day"), "opened", "closed",
         (F.sum("opened").over(w) - F.sum("closed").over(w)).cast("bigint").alias("backlog"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Approximate query processing: Horvitz-Thompson group-by estimates with
+# CLT confidence intervals off a deterministic Bernoulli sample — the
+# sample-and-extrapolate pattern (BlinkDB/online-aggregation lineage) a
+# 100 TB interactive dashboard runs instead of full scans. The operator is
+# self-auditing: it joins the exact answer back and flags CI coverage.
+# ---------------------------------------------------------------------------
+
+AQP_SAMPLE_PPM = 100_000  # 10% Bernoulli sample, integer-ppm md5 coin
+
+AQP_GROUPBY_CI_ORACLE = f"""
+WITH coin AS (
+  SELECT l_returnflag, l_linestatus, l_quantity,
+         ('0x' || substr(md5('aqp' || l_orderkey || '-' || l_linenumber), 1, 8))::BIGINT
+           % 1000000 < {AQP_SAMPLE_PPM} AS sampled
+  FROM lineitem
+),
+est AS (
+  SELECT l_returnflag, l_linestatus,
+         count(*)::BIGINT AS n_sampled,
+         sum(l_quantity) * 10.0 AS est_sum_qty,
+         1.96 * sqrt(9.0 * 10.0 * sum(l_quantity * l_quantity)) AS halfwidth
+  FROM coin WHERE sampled
+  GROUP BY l_returnflag, l_linestatus
+),
+exact AS (
+  SELECT l_returnflag, l_linestatus,
+         count(*)::BIGINT AS true_rows,
+         sum(l_quantity) AS true_sum_qty
+  FROM coin
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT e.l_returnflag, e.l_linestatus,
+       e.n_sampled,
+       e.n_sampled * 10 AS est_rows,
+       x.true_rows,
+       round(e.est_sum_qty, 2) AS est_sum_qty,
+       round(x.true_sum_qty, 2) AS true_sum_qty,
+       round(e.est_sum_qty - e.halfwidth, 2) AS ci_low,
+       round(e.est_sum_qty + e.halfwidth, 2) AS ci_high,
+       CASE WHEN e.est_sum_qty - e.halfwidth <= x.true_sum_qty
+             AND x.true_sum_qty <= e.est_sum_qty + e.halfwidth
+            THEN 1 ELSE 0 END AS ci_covers
+FROM est e JOIN exact x
+  ON e.l_returnflag = x.l_returnflag AND e.l_linestatus = x.l_linestatus
+ORDER BY e.l_returnflag, e.l_linestatus
+"""
+
+
+@register("aqp_groupby_ci", AQP_GROUPBY_CI_ORACLE, tags=("aqp", "sampling", "stats"))
+def aqp_groupby_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate GROUP BY with error bars: a deterministic 10% Bernoulli
+    sample (integer-ppm md5 coin per line, the repo-wide acceptance-test
+    convention — never a float-vs-probability compare) feeds
+    Horvitz-Thompson estimates est = sum(x)/f with the Bernoulli-design
+    variance Var = (1-f)/f^2 * sum(x^2) and a 95% CLT interval
+    est +- 1.96*sqrt(Var); sqrt is IEEE-exact cross-engine, the pow-free
+    form of the verify policy. The exact per-group answer is joined back
+    (this IS the audit: ci_covers flags groups whose interval missed).
+
+    Scale shape: at 100 TB the `sampled` branch is the only one a
+    dashboard runs — one scan whose predicate drops 90% of rows at the
+    coin, partial-aggregated map-side to one row per group; the exact
+    branch here exists to grade the estimator and shares the single scan
+    (both aggregate the same coin projection). Group count bounds the
+    output, never the data."""
+    t = load_tables(spark, sf_dir)
+    coin = t["lineitem"].select(
+        "l_returnflag", "l_linestatus", "l_quantity",
+        (
+            F.expr(
+                "CAST(conv(substring(md5(concat('aqp', CAST(l_orderkey AS STRING), '-',"
+                " CAST(l_linenumber AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000000"
+            )
+            < AQP_SAMPLE_PPM
+        ).alias("sampled"),
+    )
+    est = (
+        coin.filter("sampled")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            (F.sum("l_quantity") * 10.0).alias("est_sum_qty"),
+            (1.96 * F.sqrt(9.0 * 10.0 * F.sum(F.col("l_quantity") * F.col("l_quantity")))).alias("halfwidth"),
+        )
+    )
+    exact = coin.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("true_rows"),
+        F.sum("l_quantity").alias("true_sum_qty"),
+    )
+    return (
+        est.join(exact, ["l_returnflag", "l_linestatus"])
+        .select(
+            "l_returnflag", "l_linestatus", "n_sampled",
+            (F.col("n_sampled") * 10).alias("est_rows"),
+            "true_rows",
+            F.round("est_sum_qty", 2).alias("est_sum_qty"),
+            F.round("true_sum_qty", 2).alias("true_sum_qty"),
+            F.round(F.col("est_sum_qty") - F.col("halfwidth"), 2).alias("ci_low"),
+            F.round(F.col("est_sum_qty") + F.col("halfwidth"), 2).alias("ci_high"),
+            F.when(
+                (F.col("est_sum_qty") - F.col("halfwidth") <= F.col("true_sum_qty"))
+                & (F.col("true_sum_qty") <= F.col("est_sum_qty") + F.col("halfwidth")),
+                1,
+            ).otherwise(0).alias("ci_covers"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -75,3 +75,28 @@ def test_cross_source_matrix_mass_accounting(spark, sf_dir):
         .count()
     )
     assert sum(r["n_pairs"] for r in rows) == n_cand
+
+
+def test_aqp_estimates_cover_truth(spark, sf_dir):
+    """10% Bernoulli HT estimator: sampled counts are plausible (3-sigma
+    binomial band), every group's CI is non-degenerate and (at fixture
+    scale, qty in [1,50] with thousands of lines per group) covers the
+    true sum; the relative error is within 5 estimated sigmas."""
+    from sol_spark.queries.relational import aqp_groupby_ci
+
+    rows = aqp_groupby_ci(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_sampled"] >= 1
+        assert r["est_rows"] == 10 * r["n_sampled"]
+        # binomial 3-sigma sanity on the coin
+        import math
+        sd = math.sqrt(r["true_rows"] * 0.1 * 0.9)
+        assert abs(r["n_sampled"] - 0.1 * r["true_rows"]) <= max(5 * sd, 10)
+        assert r["ci_low"] < r["est_sum_qty"] < r["ci_high"]
+        assert r["ci_covers"] in (0, 1)
+        halfwidth = (r["ci_high"] - r["ci_low"]) / 2
+        assert abs(r["est_sum_qty"] - r["true_sum_qty"]) <= 5 / 1.96 * halfwidth
+    # 95% nominal coverage: on a handful of groups, demand none-missed is
+    # too strict only in theory — at qty-bounded fixture scale all cover.
+    assert sum(r["ci_covers"] for r in rows) >= len(rows) - 1
