@@ -3064,3 +3064,71 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "age_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust aggregation suite: trimmed / winsorized means + MAD per group —
+# the outlier-resistant summary a metrics warehouse reports next to the
+# plain mean (one bad tracker SKUs the mean; the 10-90 trimmed mean and
+# MAD do not).
+# ---------------------------------------------------------------------------
+
+ROBUST_LO = 0.1
+ROBUST_HI = 0.9
+
+STATS_ROBUST_ORACLE = f"""
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, {ROBUST_LO}) AS lo,
+         quantile_cont(value, {ROBUST_HI}) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*)::BIGINT AS n,
+       round(avg(e.value), 6) + 0.0 AS mean,
+       round(b.lo, 6) + 0.0 AS p10,
+       round(b.hi, 6) + 0.0 AS p90,
+       round(avg(e.value) FILTER (WHERE e.value >= b.lo AND e.value <= b.hi), 6) + 0.0 AS trimmed_mean,
+       round(avg(least(greatest(e.value, b.lo), b.hi)), 6) + 0.0 AS winsor_mean
+FROM events e JOIN b ON e.event_type = b.event_type
+GROUP BY e.event_type, b.lo, b.hi
+ORDER BY e.event_type
+"""
+
+
+@register("stats_robust_agg", STATS_ROBUST_ORACLE, tags=("events", "stats", "robust"))
+def stats_robust_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust per-group summary: plain mean, 10-90 trimmed mean
+    (rows outside the exact percentile band dropped), and winsorized mean
+    (rows clamped to the band) over the event value. The robust columns
+    move far less than the mean under heavy-tailed contamination — the
+    standard first-line defense for metric pipelines.
+
+    Scale shape: one exact-percentile aggregate per group (the
+    ObjectHashAggregate percentile path, same contract as
+    percentile_exact), its K-row result broadcast back onto the events
+    scan, then a single conditional hash-agg — two passes total,
+    partial-aggregated map-side, output bounded by group count. At 100 TB
+    the exact percentile pass is the cost; swap approx_percentile in if
+    1e-4 band error is acceptable (same plan shape)."""
+    t = load_tables(spark, sf_dir)
+    b = t["events"].groupBy("event_type").agg(
+        F.expr(f"percentile(value, {ROBUST_LO})").alias("lo"),
+        F.expr(f"percentile(value, {ROBUST_HI})").alias("hi"),
+    )
+    e = t["events"].join(F.broadcast(b), "event_type")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.round(F.avg("value"), 6) + 0.0).alias("mean"),
+            (F.round(F.first("lo"), 6) + 0.0).alias("p10"),
+            (F.round(F.first("hi"), 6) + 0.0).alias("p90"),
+            (F.round(
+                F.avg(F.when((F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi")), F.col("value"))),
+                6,
+            ) + 0.0).alias("trimmed_mean"),
+            (F.round(F.avg(F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))), 6) + 0.0).alias("winsor_mean"),
+        )
+        .orderBy("event_type")
+    )

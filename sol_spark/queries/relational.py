@@ -2916,3 +2916,139 @@ def aqp_groupby_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry pairwise-preference strengths by gradient ascent — the
+# preference-aggregation shape an RLHF/eval pipeline runs over judge
+# verdicts: items (here: sources) get strengths fitted on win/loss pairs,
+# the model lives on the driver, each iteration is ONE distributed pass.
+# ---------------------------------------------------------------------------
+
+BT_ITERS = 6
+BT_RATE = 2.0
+
+
+def _bt_oracle_sql() -> str:
+    """Unrolled gradient-ascent oracle: one (p_i, s_i) CTE pair per
+    iteration — the sim_logreg_train unroll pattern on pair grain."""
+    steps = []
+    for i in range(1, BT_ITERS + 1):
+        steps.append(f"""p{i} AS MATERIALIZED (
+  SELECT pr.win_src, pr.lose_src,
+         1.0 / (1.0 + exp(-(sw.s - sl.s))) AS p
+  FROM pairs pr
+  JOIN s{i - 1} sw ON sw.source = pr.win_src
+  JOIN s{i - 1} sl ON sl.source = pr.lose_src
+), s{i} AS MATERIALIZED (
+  SELECT st.source,
+         st.s + {BT_RATE} * (COALESCE(w.gw, 0.0) - COALESCE(l.gl, 0.0)) / n.n AS s
+  FROM s{i - 1} st
+  CROSS JOIN n
+  LEFT JOIN (SELECT win_src, sum(1.0 - p) AS gw FROM p{i} GROUP BY win_src) w
+    ON w.win_src = st.source
+  LEFT JOIN (SELECT lose_src, sum(1.0 - p) AS gl FROM p{i} GROUP BY lose_src) l
+    ON l.lose_src = st.source
+)""")
+    chain = ",\n".join(steps)
+    return f"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, source, length(text) AS len FROM documents
+),
+pairs AS MATERIALIZED (
+  SELECT CASE WHEN a.len > b.len THEN a.source ELSE b.source END AS win_src,
+         CASE WHEN a.len > b.len THEN b.source ELSE a.source END AS lose_src
+  FROM docs a JOIN docs b ON b.doc_id = a.doc_id + 1
+  WHERE a.source <> b.source AND a.len <> b.len
+),
+n AS (SELECT count(*)::DOUBLE AS n FROM pairs),
+srcs AS (SELECT DISTINCT source FROM documents),
+s0 AS (SELECT source, 0.0 AS s FROM srcs),
+{chain},
+gm AS (
+  SELECT source, count(*)::BIGINT AS games, sum(w)::BIGINT AS wins
+  FROM (SELECT win_src AS source, 1 AS w FROM pairs
+        UNION ALL SELECT lose_src, 0 FROM pairs) u
+  GROUP BY source
+)
+SELECT st.source,
+       COALESCE(gm.games, 0) AS games,
+       COALESCE(gm.wins, 0) AS wins,
+       round(st.s, 6) + 0.0 AS strength
+FROM s{BT_ITERS} st LEFT JOIN gm ON gm.source = st.source
+ORDER BY st.source
+"""
+
+
+STATS_BT_ORACLE = _bt_oracle_sql()
+
+
+@register("stats_bradley_terry", STATS_BT_ORACLE, tags=("stats", "ml", "iterative", "ranking"))
+def stats_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strengths over deterministic win/loss pairs:
+    consecutive documents (doc_id, doc_id+1) from different sources play a
+    game decided by text length (ties and same-source pairs dropped), and
+    source strengths are fitted by {BT_ITERS} full-batch gradient-ascent
+    steps on the BT log-likelihood — d/ds_win log p = 1 - p with
+    p = sigmoid(s_win - s_lose). This is the preference-aggregation
+    pattern an RLHF data pipeline runs over pairwise judge verdicts (items
+    = policies/sources, games = comparisons), the ranking counterpart of
+    sim_logreg_train's classification GD.
+
+    Scale shape (the MLlib GradientDescent structure, reference
+    mllib/.../optimization/GradientDescent.scala:162): the pair frame is
+    built once and checkpointed; each iteration compiles the K current
+    strengths into the plan as literals (K = |sources|, no join) and runs
+    ONE hash-agg returning 2K map-side-combined sum columns; the model
+    never leaves the driver, the data never re-shuffles. Fixed iteration
+    count keeps the computation SQL-expressible; the oracle unrolls the
+    SAME count from the same constant, and sums tolerate ulp reorder via
+    the terminal round(6)."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "source", F.length("text").alias("len"))
+    a = docs
+    b = docs.withColumnsRenamed({"doc_id": "doc_id_b", "source": "source_b", "len": "len_b"})
+    from sol_spark.operators.dedup import local_checkpoint, release_result
+
+    pairs = local_checkpoint(
+        a.join(b, F.col("doc_id_b") == F.col("doc_id") + 1)
+        .filter((F.col("source") != F.col("source_b")) & (F.col("len") != F.col("len_b")))
+        .select(
+            F.when(F.col("len") > F.col("len_b"), F.col("source")).otherwise(F.col("source_b")).alias("win_src"),
+            F.when(F.col("len") > F.col("len_b"), F.col("source_b")).otherwise(F.col("source")).alias("lose_src"),
+        )
+    )
+    n = pairs.count()
+    sources = sorted(r["source"] for r in t["documents"].select("source").distinct().collect())
+    s = {k: 0.0 for k in sources}
+    for _ in range(BT_ITERS):
+        sw = "CASE win_src " + " ".join(f"WHEN '{k}' THEN cast({s[k]!r} AS double)" for k in sources) + " END"
+        sl = "CASE lose_src " + " ".join(f"WHEN '{k}' THEN cast({s[k]!r} AS double)" for k in sources) + " END"
+        p = f"1.0 / (1.0 + exp(-(({sw}) - ({sl}))))"
+        aggs = []
+        for k in sources:
+            aggs.append(F.sum(F.expr(f"CASE WHEN win_src = '{k}' THEN 1.0 - ({p}) ELSE 0.0 END")).alias(f"gw_{k}"))
+            aggs.append(F.sum(F.expr(f"CASE WHEN lose_src = '{k}' THEN 1.0 - ({p}) ELSE 0.0 END")).alias(f"gl_{k}"))
+        g = pairs.agg(*aggs).collect()[0]
+        s = {k: s[k] + BT_RATE * (float(g[f"gw_{k}"]) - float(g[f"gl_{k}"])) / n for k in sources}
+    gm = (
+        pairs.select(F.col("win_src").alias("source"), F.lit(1).alias("w"))
+        .unionAll(pairs.select(F.col("lose_src").alias("source"), F.lit(0).alias("w")))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("games"), F.sum("w").cast("long").alias("wins"))
+    )
+    fitted = spark.createDataFrame(
+        [(k, round(s[k], 6) + 0.0) for k in sources], "source string, strength double"
+    )
+    out = local_checkpoint(
+        fitted.join(gm, "source", "left")
+        .select(
+            "source",
+            F.coalesce("games", F.lit(0)).cast("long").alias("games"),
+            F.coalesce("wins", F.lit(0)).cast("long").alias("wins"),
+            "strength",
+        )
+        .orderBy("source")
+    )
+    release_result(pairs)
+    return out

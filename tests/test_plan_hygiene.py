@@ -62,6 +62,7 @@ EAGER_BUILD = {
     "text_tokenizer_fertility",  # BPE training loop runs during construction
     "dedup_ensemble_clusters",  # four pair pipelines + CC run during construction
     "dedup_mis_keepset",  # Luby rounds via iterate() run during construction
+    "stats_bradley_terry",  # GD iterations collect during construction
     # third-wave r6 eager operators: PPR collects the seed list and
     # checkpoints the edge set; survivorship composes the eager ER
     # clustering; jaccard-links checkpoints the simhash pair set.

@@ -100,3 +100,36 @@ def test_aqp_estimates_cover_truth(spark, sf_dir):
     # 95% nominal coverage: on a handful of groups, demand none-missed is
     # too strict only in theory — at qty-bounded fixture scale all cover.
     assert sum(r["ci_covers"] for r in rows) >= len(rows) - 1
+
+
+def test_robust_agg_band_laws(spark, sf_dir):
+    """Trimmed and winsorized means must land inside the [p10, p90] band
+    (they average values from/clamped to it); the band is ordered; the
+    winsorized mean moves toward the band center relative to the mean."""
+    from sol_spark.queries.events_analytics import stats_robust_agg
+
+    rows = stats_robust_agg(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n"] > 0
+        assert r["p10"] <= r["p90"]
+        assert r["p10"] <= r["trimmed_mean"] <= r["p90"]
+        assert r["p10"] <= r["winsor_mean"] <= r["p90"]
+
+
+def test_bradley_terry_conservation_and_signal(spark, sf_dir):
+    """BT gradient steps conserve total strength (sum of gradients is
+    identically zero), every source plays, wins <= games, and the fitted
+    ordering agrees with win rate at the extremes."""
+    from sol_spark.queries.relational import stats_bradley_terry
+
+    rows = stats_bradley_terry(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r["strength"] for r in rows)) < 1e-4
+    played = [r for r in rows if r["games"] > 0]
+    assert len(played) >= 2
+    for r in rows:
+        assert 0 <= r["wins"] <= r["games"]
+    by_rate = sorted(played, key=lambda r: r["wins"] / r["games"])
+    assert by_rate[-1]["strength"] >= by_rate[0]["strength"]
+    assert any(abs(r["strength"]) > 1e-6 for r in rows), "fit never moved"
