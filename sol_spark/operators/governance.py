@@ -1754,3 +1754,86 @@ def warehouse_agg_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_price_cents", "max_price_cents",
         F.expr("sum_price_cents div n_rows").alias("avg_price_cents"),
     ).orderBy("l_returnflag", "l_linestatus")
+
+
+# ---------------------------------------------------------------------------
+# DP top-k selection (exponential mechanism via the Gumbel-max trick):
+# release WHICH k users are heaviest without releasing exact activity,
+# plus Laplace-noised counts for the selected rows. Complements
+# privacy_dp_counts (noisy aggregates over a public group key) — here the
+# IDENTITY of the released rows is itself the private choice.
+# ---------------------------------------------------------------------------
+
+DP_TOPK_K = 10
+DP_TOPK_EPS = 1.0
+# Gumbel scale 2k/eps: a composition-safe budget split across k picks
+# (count sensitivity 1 per pick), released in one shot via Gumbel-max.
+DP_TOPK_SCALE = 2.0 * DP_TOPK_K / DP_TOPK_EPS
+
+DP_TOPK_ORACLE = f"""
+WITH g AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+),
+noisy AS (
+  SELECT user_id, n,
+         n + {DP_TOPK_SCALE} * (-ln(-ln(
+           ((('0x' || substr(md5('dptk' || user_id), 1, 8))::BIGINT % 1000000) + 0.5)
+           / 1000000.0))) AS score,
+         ((('0x' || substr(md5('dptkl' || user_id), 1, 8))::BIGINT % 1000000) + 0.5)
+         / 1000000.0 AS ul
+  FROM g
+),
+sel AS (
+  SELECT user_id, n, score, ul,
+         row_number() OVER (ORDER BY score DESC, user_id) AS rank
+  FROM noisy
+)
+SELECT rank, user_id,
+       round(n + (CASE WHEN ul > 0.5 THEN -1.0 ELSE 1.0 END)
+               * ln(1 - 2 * abs(ul - 0.5)) * {DP_TOPK_K} / {DP_TOPK_EPS}, 3) AS noisy_count,
+       {DP_TOPK_EPS} AS epsilon
+FROM sel WHERE rank <= {DP_TOPK_K}
+ORDER BY rank
+"""
+
+
+@register("privacy_dp_topk", DP_TOPK_ORACLE, tags=("governance", "privacy"))
+def privacy_dp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private top-{DP_TOPK_K} heavy users: the exponential
+    mechanism realized as Gumbel-max — per-user activity count plus
+    Gumbel({DP_TOPK_SCALE}) noise, release the k arg-max identities, and
+    attach Laplace-noised counts (scale k/eps) for the released rows only.
+    True counts never leave. As in privacy_dp_counts, noise is an
+    inverse-CDF transform of a deterministic md5 uniform so the release is
+    oracle-reproducible; swap in a real RNG in production.
+
+    Scale shape: the corpus collapses to user grain in one map-side
+    combined hash-agg; selection is ORDER BY noisy score LIMIT k — Spark
+    plans TakeOrderedAndProject (per-partition heaps + k-row driver
+    merge), never a global sort; the rank window then runs on k rows.
+    ln/abs are IEEE-stable cross-engine; the only floats released are
+    already noise-dominated and rounded at 3."""
+    t = load_tables(spark, sf_dir)
+    g = t["events"].groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    uni = (
+        "((CAST(conv(substring(md5(concat('{tag}', CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        " % 1000000) + 0.5) / 1000000.0"
+    )
+    noisy = g.select(
+        "user_id", "n",
+        (F.col("n") + DP_TOPK_SCALE * -F.log(-F.log(F.expr(uni.format(tag="dptk"))))).alias("score"),
+        F.expr(uni.format(tag="dptkl")).alias("ul"),
+    )
+    top = noisy.orderBy(F.desc("score"), "user_id").limit(DP_TOPK_K)
+    w = Window.orderBy(F.desc("score"), "user_id")
+    lap = (
+        F.when(F.col("ul") > 0.5, -1.0).otherwise(1.0)
+        * F.log(1 - 2 * F.abs(F.col("ul") - 0.5))
+        * DP_TOPK_K / DP_TOPK_EPS
+    )
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "user_id",
+        F.round(F.col("n") + lap, 3).alias("noisy_count"),
+        F.lit(DP_TOPK_EPS).alias("epsilon"),
+    ).orderBy("rank")

@@ -3052,3 +3052,81 @@ def stats_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     release_result(pairs)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V association audit between two categorical columns.
+# ---------------------------------------------------------------------------
+
+CRAMERS_V_ORACLE = """
+WITH cells AS (
+  SELECT source, lang, count(*)::DOUBLE AS o FROM documents GROUP BY source, lang
+),
+marg_r AS (SELECT source, sum(o) AS rn FROM cells GROUP BY source),
+marg_c AS (SELECT lang, sum(o) AS cn FROM cells GROUP BY lang),
+tot AS (SELECT sum(o) AS n FROM cells),
+chi AS (
+  SELECT sum((c.o - r.rn * m.cn / t.n) * (c.o - r.rn * m.cn / t.n) / (r.rn * m.cn / t.n)) AS chi2
+  FROM cells c
+  JOIN marg_r r ON c.source = r.source
+  JOIN marg_c m ON c.lang = m.lang
+  CROSS JOIN tot t
+)
+SELECT CAST(t.n AS BIGINT) AS n,
+       (SELECT count(*) FROM marg_r) AS r,
+       (SELECT count(*) FROM marg_c) AS c,
+       ((SELECT count(*) FROM marg_r) - 1) * ((SELECT count(*) FROM marg_c) - 1) AS dof,
+       round(chi.chi2, 6) AS chi2,
+       round(sqrt(chi.chi2 / (t.n * (least((SELECT count(*) FROM marg_r),
+                                           (SELECT count(*) FROM marg_c)) - 1))), 6) AS cramers_v
+FROM chi CROSS JOIN tot t
+"""
+
+
+@register("stats_cramers_v", CRAMERS_V_ORACLE, tags=("stats", "audit"))
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test + Cramér's V effect size between two
+    categorical columns (source x lang on the documents table) — the
+    association audit a feature pipeline runs before trusting a
+    categorical predictor (V ~ 0: independent; V -> 1: redundant). ZERO
+    cells contribute nothing (observed 0 cells are absent from the sparse
+    contingency frame; their (0-e)^2/e mass is intentionally excluded —
+    the standard sparse-table convention, stated here because the choice
+    changes chi2).
+
+    Note sparse-cell convention: chi2 here sums over OBSERVED cells only,
+    so it underestimates the textbook statistic when expected counts for
+    empty cells are material — at fixture scale every cell is populated.
+
+    Scale shape: one (r x c)-bounded hash-agg off the scan, margins
+    derived FROM the cell frame (no second scan), everything downstream
+    is arithmetic on <= r*c rows; sqrt-only floats per the verify policy."""
+    t = load_tables(spark, sf_dir)
+    cells = (
+        t["documents"]
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    marg_r = cells.groupBy("source").agg(F.sum("o").alias("rn"))
+    marg_c = cells.groupBy("lang").agg(F.sum("o").alias("cn"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    e = F.col("rn") * F.col("cn") / F.col("n")
+    chi = (
+        cells.join(F.broadcast(marg_r), "source")
+        .join(F.broadcast(marg_c), "lang")
+        .join(F.broadcast(tot))
+        .agg(
+            F.sum((F.col("o") - e) * (F.col("o") - e) / e).alias("chi2"),
+            F.countDistinct("source").alias("r"),
+            F.countDistinct("lang").alias("c"),
+            F.sum("o").alias("nn"),
+        )
+    )
+    return chi.select(
+        F.col("nn").cast("long").alias("n"),
+        F.col("r").cast("long").alias("r"),
+        F.col("c").cast("long").alias("c"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(F.sqrt(F.col("chi2") / (F.col("nn") * (F.least("r", "c") - 1))), 6).alias("cramers_v"),
+    )

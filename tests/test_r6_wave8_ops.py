@@ -133,3 +133,50 @@ def test_bradley_terry_conservation_and_signal(spark, sf_dir):
     by_rate = sorted(played, key=lambda r: r["wins"] / r["games"])
     assert by_rate[-1]["strength"] >= by_rate[0]["strength"]
     assert any(abs(r["strength"]) > 1e-6 for r in rows), "fit never moved"
+
+
+def test_dp_topk_selects_heavy_users_without_global_sort(spark, sf_dir):
+    """Ranks are 1..k; selection is noise-perturbed but with scale 2k/eps
+    << fixture counts it must pick genuinely heavy users (true count >=
+    corpus median); the plan takes a top-k heap (TakeOrderedAndProject),
+    never a global sort of the user frame."""
+    from sol_spark.operators.governance import DP_TOPK_K, privacy_dp_topk
+    from sol_spark.tables import load_tables
+    from sol_spark.plans import explain_formatted
+    from pyspark.sql import functions as F
+    import statistics
+
+    df = privacy_dp_topk(spark, sf_dir)
+    assert "TakeOrderedAndProject" in explain_formatted(df)
+    rows = df.collect()
+    assert [r["rank"] for r in rows] == list(range(1, DP_TOPK_K + 1))
+    true = {
+        r["user_id"]: r["n"]
+        for r in load_tables(spark, sf_dir)["events"]
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    from sol_spark.operators.governance import DP_TOPK_EPS, DP_TOPK_SCALE
+
+    med = statistics.median(true.values())
+    # Gumbel(scale) noise can reorder users whose counts are within a few
+    # noise scales of each other (that IS the privacy), but it cannot
+    # promote a user arbitrarily: assert the deterministic utility band
+    # rather than strict heaviness, plus the Laplace bound on the count.
+    lap_max = (DP_TOPK_K / DP_TOPK_EPS) * 14.0  # |ln(1e-6)| ~ 13.8
+    for r in rows:
+        assert true[r["user_id"]] >= med - 4 * DP_TOPK_SCALE
+        assert abs(r["noisy_count"] - true[r["user_id"]]) <= lap_max
+
+
+def test_cramers_v_bounds(spark, sf_dir):
+    """V in [0, 1], chi2 >= 0, dof/dimension bookkeeping consistent, n
+    equals the table row count."""
+    from sol_spark.queries.relational import stats_cramers_v
+    from sol_spark.tables import load_tables
+
+    r = stats_cramers_v(spark, sf_dir).collect()[0]
+    assert r["n"] == load_tables(spark, sf_dir)["documents"].count()
+    assert r["chi2"] >= 0
+    assert 0.0 <= r["cramers_v"] <= 1.0
+    assert r["dof"] == (r["r"] - 1) * (r["c"] - 1)
+    assert r["r"] >= 2 and r["c"] >= 2
