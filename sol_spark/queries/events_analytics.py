@@ -3132,3 +3132,200 @@ def stats_robust_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall monotone-trend test — rank-based, so the statistic is PURE
+# INTEGER arithmetic until the final z (the cross-engine-safest possible
+# trend test, per the integer-first verify policy).
+# ---------------------------------------------------------------------------
+
+MANN_KENDALL_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END AS sgn
+  FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.day < b.day
+),
+s AS (
+  SELECT event_type, sum(sgn)::BIGINT AS s_stat, count(*)::BIGINT AS n_pairs
+  FROM pairs GROUP BY event_type
+),
+ties AS (
+  SELECT event_type, sum(tk * (tk - 1) * (2 * tk + 5))::BIGINT AS tie_term
+  FROM (SELECT event_type, n, count(*)::BIGINT AS tk FROM daily GROUP BY event_type, n) t
+  GROUP BY event_type
+),
+nn AS (SELECT event_type, count(*)::BIGINT AS n_days FROM daily GROUP BY event_type)
+SELECT s.event_type, nn.n_days, s.s_stat,
+       (nn.n_days * (nn.n_days - 1) * (2 * nn.n_days + 5) - ties.tie_term) AS var18,
+       round((s.s_stat - CASE WHEN s.s_stat > 0 THEN 1 WHEN s.s_stat < 0 THEN -1 ELSE 0 END)
+             / sqrt((nn.n_days * (nn.n_days - 1) * (2 * nn.n_days + 5) - ties.tie_term) / 18.0), 6) + 0.0 AS z,
+       CASE WHEN abs((s.s_stat - CASE WHEN s.s_stat > 0 THEN 1 WHEN s.s_stat < 0 THEN -1 ELSE 0 END)
+                     / sqrt((nn.n_days * (nn.n_days - 1) * (2 * nn.n_days + 5) - ties.tie_term) / 18.0)) > 1.96
+            THEN 1 ELSE 0 END AS trending
+FROM s JOIN ties USING (event_type) JOIN nn USING (event_type)
+ORDER BY s.event_type
+"""
+
+
+@register("events_mann_kendall", MANN_KENDALL_ORACLE, tags=("events", "timeseries", "stats"))
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test per event-type daily series:
+    S = sum over day pairs i<j of sign(n_j - n_i), tie-corrected variance
+    Var = (n(n-1)(2n+5) - sum t(t-1)(2t+5)) / 18, continuity-corrected
+    z = (S -+ 1)/sqrt(Var), flagged at |z| > 1.96. Rank-based, so S, the
+    tie term, and 18*Var are EXACT BIGINTs — the only float is the final
+    z (sqrt-only, rounded, -0.0-canonicalized), the trend test you can
+    trust across engines where OLS-slope t-tests drift in ulps.
+
+    Scale shape: the corpus collapses to the daily grid first (map-side
+    combined count per (type, day)); the pair join is per-type over
+    series DAYS (~n_days^2 per type, n_days bounded by the calendar, never
+    by event volume); tie/variance terms are one more hash-agg over the
+    daily grid. At 100 TB the heavy lifting is the first downsample —
+    exactly where it belongs."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    b = daily.withColumnsRenamed({"day": "day_b", "n": "n_b"})
+    s = (
+        daily.join(b, "event_type")
+        .filter(F.col("day") < F.col("day_b"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.signum(F.col("n_b") - F.col("n")).cast("long")).cast("long").alias("s_stat"),
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "n")
+        .agg(F.count(F.lit(1)).cast("long").alias("tk"))
+        .groupBy("event_type")
+        .agg(F.sum(F.col("tk") * (F.col("tk") - 1) * (2 * F.col("tk") + 5)).cast("long").alias("tie_term"))
+    )
+    nn = daily.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    var18 = (
+        F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5) - F.col("tie_term")
+    )
+    cc = F.when(F.col("s_stat") > 0, 1).when(F.col("s_stat") < 0, -1).otherwise(0)
+    z = (F.col("s_stat") - cc) / F.sqrt(var18 / 18.0)
+    return (
+        s.join(ties, "event_type")
+        .join(nn, "event_type")
+        .select(
+            "event_type", "n_days", "s_stat",
+            var18.cast("long").alias("var18"),
+            (F.round(z, 6) + 0.0).alias("z"),
+            F.when(F.abs(z) > 1.96, 1).otherwise(0).alias("trending"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bot/abuse scoring: inter-arrival regularity + behavioral entropy.
+# ---------------------------------------------------------------------------
+
+BOT_MIN_EVENTS = 20
+BOT_CV_PPM = 500_000     # CV below 0.5 => suspiciously regular cadence
+BOT_ENTROPY_MILLI = 800  # behavior entropy below 0.8 bits => monotonous mix
+
+BOT_SCORE_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_type, ts,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+),
+iat AS (
+  SELECT user_id,
+         count(*)::BIGINT AS n_events,
+         avg(gap_us) AS mu,
+         stddev_pop(gap_us) AS sd
+  FROM seq
+  GROUP BY user_id
+  HAVING count(*) >= {BOT_MIN_EVENTS}
+),
+mix AS (
+  SELECT user_id,
+         CAST(round(sum(-(c / tot) * log2(c / tot)) * 1000, 0) AS BIGINT) AS entropy_milli
+  FROM (
+    SELECT user_id, event_type, count(*)::DOUBLE AS c,
+           sum(count(*)) OVER (PARTITION BY user_id)::DOUBLE AS tot
+    FROM events GROUP BY user_id, event_type
+  ) m
+  GROUP BY user_id
+)
+SELECT i.user_id, i.n_events,
+       CAST(round(1000000.0 * i.sd / i.mu, 0) AS BIGINT) AS cadence_cv_ppm,
+       x.entropy_milli,
+       CASE WHEN 1000000.0 * i.sd / i.mu < {BOT_CV_PPM}
+             AND x.entropy_milli < {BOT_ENTROPY_MILLI} THEN 1 ELSE 0 END AS bot_flag
+FROM iat i JOIN mix x USING (user_id)
+ORDER BY i.user_id
+"""
+
+
+@register("events_bot_score", BOT_SCORE_ORACLE, tags=("events", "abuse", "audit"))
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/abuse heuristics per user: cadence regularity (coefficient of
+    variation of inter-arrival microseconds — real humans are bursty,
+    schedulers are metronomes) and behavioral entropy of the event-type
+    mix (bits, in integer millis); a user is flagged when BOTH are below
+    their thresholds. The per-signal columns ship so downstream review
+    queues can tune thresholds without recomputing.
+
+    Scale shape: one lag window per user (partitioned by the natural key,
+    ordered by a TOTAL (ts, event_id) key per the tie-order lesson), two
+    hash-aggs at user grain, a window-free entropy via the grouped
+    (user, type) frame. Scores quantized to integer ppm/milli so the
+    flag comparison is integer-exact cross-engine."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # timezone-free microsecond gaps DIRECTLY on the timestamp_ntz column
+    # (unix_micros(ntz.cast('timestamp')) would round-trip through the
+    # session zone and shift across DST under a non-UTC session — the
+    # asof_join_nearest lesson from ADVICE r5).
+    seq = t["events"].select(
+        "user_id",
+        F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts")).alias("gap_us"),
+    )
+    iat = (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.avg("gap_us").alias("mu"),
+            F.stddev_pop("gap_us").alias("sd"),
+        )
+        .filter(F.col("n_events") >= BOT_MIN_EVENTS)
+    )
+    cells = t["events"].groupBy("user_id", "event_type").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = cells.groupBy("user_id").agg(F.sum("c").alias("tot"))
+    mix = (
+        cells.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(-(F.col("c") / F.col("tot")) * F.log2(F.col("c") / F.col("tot"))) * 1000, 0)
+            .cast("long").alias("entropy_milli")
+        )
+    )
+    cv_ppm = 1000000.0 * F.col("sd") / F.col("mu")
+    return (
+        iat.join(mix, "user_id")
+        .select(
+            "user_id", "n_events",
+            F.round(cv_ppm, 0).cast("long").alias("cadence_cv_ppm"),
+            "entropy_milli",
+            F.when((cv_ppm < BOT_CV_PPM) & (F.col("entropy_milli") < BOT_ENTROPY_MILLI), 1)
+            .otherwise(0).alias("bot_flag"),
+        )
+        .orderBy("user_id")
+    )

@@ -180,3 +180,66 @@ def test_cramers_v_bounds(spark, sf_dir):
     assert 0.0 <= r["cramers_v"] <= 1.0
     assert r["dof"] == (r["r"] - 1) * (r["c"] - 1)
     assert r["r"] >= 2 and r["c"] >= 2
+
+
+def test_mann_kendall_integer_exactness_and_bounds(spark, sf_dir):
+    """S is bounded by the pair count, 18*Var matches the closed form
+    recomputed in Python from the daily grid, and z/trending agree."""
+    from sol_spark.queries.events_analytics import events_mann_kendall
+    from sol_spark.tables import load_tables
+    from pyspark.sql import functions as F
+    import math
+    from collections import Counter
+
+    rows = events_mann_kendall(spark, sf_dir).collect()
+    assert rows
+    daily = (
+        load_tables(spark, sf_dir)["events"]
+        .groupBy("event_type", F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    series = {}
+    for d in daily:
+        series.setdefault(d["event_type"], []).append((d["day"], d["n"]))
+    for r in rows:
+        pts = sorted(series[r["event_type"]])
+        n = len(pts)
+        assert r["n_days"] == n
+        s = sum(
+            (1 if pts[j][1] > pts[i][1] else -1 if pts[j][1] < pts[i][1] else 0)
+            for i in range(n) for j in range(i + 1, n)
+        )
+        assert r["s_stat"] == s
+        ties = Counter(v for _, v in pts)
+        tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+        assert r["var18"] == n * (n - 1) * (2 * n + 5) - tie_term
+        cc = 1 if s > 0 else -1 if s < 0 else 0
+        z = (s - cc) / math.sqrt(r["var18"] / 18.0)
+        assert abs(r["z"] - round(z, 6)) < 1e-9
+        assert r["trending"] == (1 if abs(z) > 1.96 else 0)
+
+
+def test_bot_score_signal_consistency(spark, sf_dir):
+    """Flags require BOTH low cadence CV and low behavior entropy; every
+    scored user meets the minimum event count; entropy is within
+    [0, log2(#event types)] millibits."""
+    from sol_spark.queries.events_analytics import (
+        BOT_CV_PPM,
+        BOT_ENTROPY_MILLI,
+        BOT_MIN_EVENTS,
+        events_bot_score,
+    )
+    from sol_spark.tables import load_tables
+    import math
+
+    rows = events_bot_score(spark, sf_dir).collect()
+    assert rows
+    n_types = load_tables(spark, sf_dir)["events"].select("event_type").distinct().count()
+    cap = int(round(math.log2(n_types) * 1000)) + 1
+    for r in rows:
+        assert r["n_events"] >= BOT_MIN_EVENTS
+        assert 0 <= r["entropy_milli"] <= cap
+        assert r["cadence_cv_ppm"] >= 0
+        expect = 1 if (r["cadence_cv_ppm"] < BOT_CV_PPM and r["entropy_milli"] < BOT_ENTROPY_MILLI) else 0
+        assert r["bot_flag"] == expect
