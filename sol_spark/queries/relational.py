@@ -3130,3 +3130,133 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("chi2", 6).alias("chi2"),
         F.round(F.sqrt(F.col("chi2") / (F.col("nn") * (F.least("r", "c") - 1))), 6).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sample-based NDV estimation audit (CBO stats collection): Chao1 and GEE
+# estimators off a 10% Bernoulli sample, graded against the exact NDV.
+# ---------------------------------------------------------------------------
+
+NDV_SAMPLE_PPM = 100_000  # 10%
+
+
+def _ndv_leg_sql(table: str, col: str, key_expr: str) -> str:
+    return f"""
+SELECT '{table}.{col}' AS column_name,
+       (SELECT count(*) FROM {table})::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_sampled,
+       count(DISTINCT {col})::BIGINT AS d_sample,
+       (SELECT count(*) FROM (
+          SELECT {col} FROM {table}
+          WHERE ('0x' || substr(md5('ndv' || {key_expr}), 1, 8))::BIGINT % 1000000 < {NDV_SAMPLE_PPM}
+          GROUP BY {col} HAVING count(*) = 1))::BIGINT AS f1,
+       (SELECT count(*) FROM (
+          SELECT {col} FROM {table}
+          WHERE ('0x' || substr(md5('ndv' || {key_expr}), 1, 8))::BIGINT % 1000000 < {NDV_SAMPLE_PPM}
+          GROUP BY {col} HAVING count(*) = 2))::BIGINT AS f2,
+       (SELECT count(DISTINCT {col}) FROM {table})::BIGINT AS true_ndv
+FROM {table}
+WHERE ('0x' || substr(md5('ndv' || {key_expr}), 1, 8))::BIGINT % 1000000 < {NDV_SAMPLE_PPM}
+"""
+
+
+PROFILE_NDV_ORACLE = f"""
+WITH legs AS (
+  {_ndv_leg_sql("lineitem", "l_partkey", "l_orderkey || '-' || l_linenumber")}
+  UNION ALL
+  {_ndv_leg_sql("lineitem", "l_suppkey", "l_orderkey || '-' || l_linenumber")}
+  UNION ALL
+  {_ndv_leg_sql("events", "user_id", "event_id")}
+),
+est AS (
+  SELECT *,
+         round(d_sample + f1 * (f1 - 1) / (2.0 * (f2 + 1)), 1) AS chao1,
+         round(sqrt(n_rows / (1.0 * n_sampled)) * f1 + (d_sample - f1), 1) AS gee
+  FROM legs
+)
+SELECT column_name, n_rows, n_sampled, d_sample, f1, f2, true_ndv, chao1, gee,
+       CAST(round(10000.0 * (chao1 - true_ndv) / true_ndv, 0) AS BIGINT) AS chao1_err_bp,
+       CAST(round(10000.0 * (gee - true_ndv) / true_ndv, 0) AS BIGINT) AS gee_err_bp
+FROM est
+ORDER BY column_name
+"""
+
+
+@register("profile_ndv_estimate", PROFILE_NDV_ORACLE, tags=("profile", "sampling", "stats"))
+def profile_ndv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count (NDV) estimation from a 10% Bernoulli sample, the
+    statistic a cost-based optimizer collects without full scans: Chao1
+    (d + f1(f1-1)/(2(f2+1)), the abundance-based lower bound) and GEE
+    (sqrt(N/n)*f1 + (d - f1), Charikar et al.'s guaranteed-error
+    estimator) from the sample's singleton/doubleton counts, graded
+    against the exact NDV in integer basis points. The audit shape: a
+    stats pipeline runs ONLY the sampled branch; truth is joined here to
+    price the estimators per column skew profile (keys with heavy reuse
+    vs near-unique keys).
+
+    Scale shape: per column, one coin-filtered scan -> (col, count)
+    hash-agg -> f1/f2/d from a second tiny agg over value grain; the
+    exact-NDV leg is one count-distinct per column (the thing production
+    would skip). All counts are exact integers; the estimators are
+    single-expression rationals + one sqrt, so cross-engine-stable at
+    round(1)."""
+    t = load_tables(spark, sf_dir)
+
+    def leg(table: str, col: str, key: F.Column) -> DataFrame:
+        base = t[table]
+        coin = (
+            F.expr(
+                "CAST(conv(substring(md5(concat('ndv', _ndv_key)), 1, 8), 16, 10) AS BIGINT) % 1000000"
+            )
+            < NDV_SAMPLE_PPM
+        )
+        sample = base.withColumn("_ndv_key", key).filter(coin)
+        vc = sample.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        stats = vc.agg(
+            F.count(F.lit(1)).cast("long").alias("d_sample"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("f1"),
+            F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("f2"),
+        )
+        n_sampled = sample.agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+        totals = base.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct(col).cast("long").alias("true_ndv"),
+        )
+        return (
+            stats.join(F.broadcast(n_sampled))
+            .join(F.broadcast(totals))
+            .select(
+                F.lit(f"{table}.{col}").alias("column_name"),
+                "n_rows", "n_sampled", "d_sample", "f1", "f2", "true_ndv",
+            )
+        )
+
+    legs = (
+        leg("lineitem", "l_partkey",
+            F.expr("concat(CAST(l_orderkey AS STRING), '-', CAST(l_linenumber AS STRING))"))
+        .unionAll(
+            leg("lineitem", "l_suppkey",
+                F.expr("concat(CAST(l_orderkey AS STRING), '-', CAST(l_linenumber AS STRING))"))
+        )
+        .unionAll(leg("events", "user_id", F.expr("CAST(event_id AS STRING)")))
+    )
+    chao1 = F.round(F.col("d_sample") + F.col("f1") * (F.col("f1") - 1) / (2.0 * (F.col("f2") + 1)), 1)
+    gee = F.round(
+        F.sqrt(F.col("n_rows") / (1.0 * F.col("n_sampled"))) * F.col("f1")
+        + (F.col("d_sample") - F.col("f1")),
+        1,
+    )
+    return (
+        legs.select(
+            "column_name", "n_rows", "n_sampled", "d_sample", "f1", "f2", "true_ndv",
+            chao1.alias("chao1"), gee.alias("gee"),
+        )
+        .select(
+            "*",
+            F.round(10000.0 * (F.col("chao1") - F.col("true_ndv")) / F.col("true_ndv"), 0)
+            .cast("long").alias("chao1_err_bp"),
+            F.round(10000.0 * (F.col("gee") - F.col("true_ndv")) / F.col("true_ndv"), 0)
+            .cast("long").alias("gee_err_bp"),
+        )
+        .orderBy("column_name")
+    )

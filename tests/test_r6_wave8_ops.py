@@ -243,3 +243,24 @@ def test_bot_score_signal_consistency(spark, sf_dir):
         assert r["cadence_cv_ppm"] >= 0
         expect = 1 if (r["cadence_cv_ppm"] < BOT_CV_PPM and r["entropy_milli"] < BOT_ENTROPY_MILLI) else 0
         assert r["bot_flag"] == expect
+
+
+def test_ndv_estimators_bracket_truth(spark, sf_dir):
+    """Chao1 is a lower-bound-style estimator (>= d_sample, and <= truth
+    plus slack); GEE must land within its sqrt(N/n) guarantee band of the
+    truth; sample bookkeeping is internally consistent."""
+    import math
+
+    from sol_spark.queries.relational import profile_ndv_estimate
+
+    rows = profile_ndv_estimate(spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 0 < r["n_sampled"] < r["n_rows"]
+        assert r["f1"] + r["f2"] <= r["d_sample"] <= r["n_sampled"]
+        assert r["d_sample"] <= r["true_ndv"]
+        assert r["chao1"] >= r["d_sample"]
+        # GEE's guarantee: within sqrt(N/n) multiplicative of truth
+        ratio = math.sqrt(r["n_rows"] / r["n_sampled"]) + 0.5
+        assert r["true_ndv"] / ratio <= max(r["gee"], 1.0) <= r["true_ndv"] * ratio
+        assert r["chao1_err_bp"] == round(10000.0 * (r["chao1"] - r["true_ndv"]) / r["true_ndv"])
