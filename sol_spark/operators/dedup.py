@@ -3877,3 +3877,68 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("source_a", "source_b")
     )
     return _eager_release(result, bands)
+
+
+# ---------------------------------------------------------------------------
+# Honesty audit for the hashed-shingle space: the whole LSH pipeline runs
+# on 32-bit shingle hashes (hashed_shingle_rows_df), which merges colliding
+# shingles by design. This prices that choice: how many distinct shingle
+# strings share a 32-bit hash at the current corpus size.
+# ---------------------------------------------------------------------------
+
+HASH_COLLISION_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ntext
+  FROM documents
+), toks AS (
+  SELECT doc_id, ntext, string_split(ntext, ' ') AS tk FROM norm
+), shingle AS (
+  SELECT DISTINCT shingle FROM (
+    SELECT doc_id,
+           CASE WHEN len(tk) < 3 THEN [ntext]
+                ELSE list_transform(range(1, len(tk) - 1),
+                                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS shl
+    FROM toks
+  ) s, unnest(s.shl) AS u(shingle)
+), hashed AS (
+  SELECT shingle, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM shingle
+),
+per_hash AS (SELECT h, count(*) AS k FROM hashed GROUP BY h)
+SELECT (SELECT count(*) FROM hashed)::BIGINT AS n_shingles,
+       count(*)::BIGINT AS n_hashes,
+       ((SELECT count(*) FROM hashed) - count(*))::BIGINT AS n_merged,
+       sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_collided_hashes,
+       CAST(1000000 * ((SELECT count(*) FROM hashed) - count(*))
+            / (SELECT count(*) FROM hashed) AS BIGINT) AS collision_ppm
+FROM per_hash
+"""
+
+
+@register("dedup_hash_collision_audit", HASH_COLLISION_ORACLE, tags=("llm", "dedup", "audit"))
+def dedup_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collision audit for the 32-bit hashed shingle space the LSH
+    pipelines run on: distinct shingle strings vs distinct md5-derived
+    32-bit hashes, merged-string count, and integer-ppm collision rate.
+    The dedup operators' docstrings claim "semantics = Jaccard over the
+    hashed shingle space"; this is the query a corpus owner runs to price
+    that approximation as the corpus grows (birthday regime: expected
+    merges ~ S^2/2^33 — negligible at fixture scale, and the audit is the
+    evidence, re-run at each corpus size, that says when to widen to 64
+    bits).
+
+    Scale shape: one distinct over shingle strings (the only stage the
+    string-keyed shuffle is ever needed for — the production pipeline
+    itself never pays it), one hash-agg over the 32-bit space, integer
+    outputs only."""
+    sh = shingle_rows_df(spark, sf_dir).select("s").distinct()
+    hashed = sh.select(
+        "s", F.expr("CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)").alias("h")
+    )
+    per_hash = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("k"))
+    return per_hash.agg(
+        F.sum("k").cast("long").alias("n_shingles"),
+        F.count(F.lit(1)).cast("long").alias("n_hashes"),
+        (F.sum("k") - F.count(F.lit(1))).cast("long").alias("n_merged"),
+        F.sum(F.when(F.col("k") >= 2, 1).otherwise(0)).cast("long").alias("n_collided_hashes"),
+        (1000000 * (F.sum("k") - F.count(F.lit(1))) / F.sum("k")).cast("long").alias("collision_ppm"),
+    )

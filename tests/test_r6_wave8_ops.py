@@ -264,3 +264,17 @@ def test_ndv_estimators_bracket_truth(spark, sf_dir):
         ratio = math.sqrt(r["n_rows"] / r["n_sampled"]) + 0.5
         assert r["true_ndv"] / ratio <= max(r["gee"], 1.0) <= r["true_ndv"] * ratio
         assert r["chao1_err_bp"] == round(10000.0 * (r["chao1"] - r["true_ndv"]) / r["true_ndv"])
+
+
+def test_hash_collision_audit_accounting(spark, sf_dir):
+    """Counting identities hold (merged = shingles - hashes, collided
+    hashes <= merged), and the ppm rate matches the integer division."""
+    from sol_spark.operators.dedup import dedup_hash_collision_audit
+
+    r = dedup_hash_collision_audit(spark, sf_dir).collect()[0]
+    assert r["n_shingles"] >= r["n_hashes"] > 0
+    assert r["n_merged"] == r["n_shingles"] - r["n_hashes"]
+    assert 0 <= r["n_collided_hashes"] <= r["n_merged"] or (
+        r["n_merged"] == 0 and r["n_collided_hashes"] == 0
+    )
+    assert r["collision_ppm"] == 1000000 * r["n_merged"] // r["n_shingles"]
