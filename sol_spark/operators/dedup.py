@@ -3650,7 +3650,12 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # result is reproducible.
 # ---------------------------------------------------------------------------
 
-MIS_MAX_ROUNDS = 6  # oracle unroll depth == Spark round budget (see below)
+# Oracle unroll depth == Spark round budget (see below). The fixture's
+# deterministic-priority MIS uses 6 rounds at sf0.1 (long chains in the
+# simhash graph slow the local-min rule down vs random re-draws), so the
+# budget carries 2x headroom; post-convergence oracle rounds are no-ops
+# on empty live sets.
+MIS_MAX_ROUNDS = 12
 
 _MIS_PRIO = "CAST(conv(substring(md5(concat('mis', CAST({v} AS STRING))), 1, 8), 16, 10) AS BIGINT)"
 _MIS_PRIO_DUCK = "('0x' || substr(md5('mis' || ({v})::VARCHAR), 1, 8))::BIGINT"
@@ -3757,6 +3762,11 @@ def dedup_mis_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def step(state: DataFrame, i: int) -> DataFrame:
+        # State carries ONLY kept + live rows: dominated vertices drop out
+        # of the round state immediately (their decided round is derived at
+        # finalize as the first round a neighbor was kept — equivalent by
+        # construction, and the per-round checkpoint shrinks to the
+        # still-undecided frontier plus the keep set, the 100 TB shape).
         live = state.filter(F.col("status") == "live").select("v", "p")
         la = live.select(F.col("v").alias("a"), F.col("p").alias("pa"))
         lb = live.select(F.col("v").alias("b"), F.col("p").alias("pb"))
@@ -3780,21 +3790,26 @@ def dedup_mis_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
             live.join(kept, "v", "left_anti").join(dom, "v", "left_anti")
         )
         return (
-            state.filter(F.col("status") != "live")
+            state.filter(F.col("status") == "kept")
             .unionAll(kept.select("v", "p", F.lit("kept").alias("status"), F.lit(i + 1).alias("round")))
-            .unionAll(
-                dom.join(live, "v")
-                .select("v", "p", F.lit("dominated").alias("status"), F.lit(i + 1).alias("round"))
-            )
             .unionAll(survivors.select("v", "p", F.lit("live").alias("status"), F.lit(0).alias("round")))
         )
 
     def finalize(state: DataFrame) -> DataFrame:
         docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
-        dec = state.select(
-            F.col("v").alias("doc_id"),
-            F.when(F.col("status") == "kept", 1).otherwise(0).alias("k"),
-            F.col("round").alias("r"),
+        kept = state.filter(F.col("status") == "kept").select(
+            F.col("v").alias("doc_id"), F.col("round").alias("r")
+        )
+        # Dominated vertices: first round one of their neighbors was kept.
+        dom = (
+            edges.join(kept.select(F.col("doc_id").alias("a"), F.col("r")), "a")
+            .select(F.col("b").alias("doc_id"), "r")
+            .join(kept.select("doc_id"), "doc_id", "left_anti")
+            .groupBy("doc_id")
+            .agg(F.min("r").alias("r"))
+        )
+        dec = kept.select("doc_id", F.lit(1).alias("k"), "r").unionAll(
+            dom.select("doc_id", F.lit(0).alias("k"), "r")
         )
         return (
             docs.join(dec, "doc_id", "left")
