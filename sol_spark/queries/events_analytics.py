@@ -3329,3 +3329,65 @@ def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — the classic forensic screen for fabricated
+# numeric data. Digit counts are exact integers; expected frequencies are
+# the closed-form log10 ratios; the chi-square distance is the only float.
+# ---------------------------------------------------------------------------
+
+BENFORD_ORACLE = """
+WITH amounts AS (
+  SELECT o_orderpriority AS grp,
+         CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d
+  FROM orders WHERE o_totalprice >= 1
+),
+counts AS (
+  SELECT grp, d, count(*)::BIGINT AS n FROM amounts GROUP BY grp, d
+),
+tot AS (SELECT grp, sum(n)::BIGINT AS total FROM counts GROUP BY grp)
+SELECT c.grp, c.d, c.n, t.total,
+       CAST(round(1000000.0 * c.n / t.total, 0) AS BIGINT) AS obs_ppm,
+       CAST(round(1000000.0 * ln(1.0 + 1.0 / c.d) / ln(10.0), 0) AS BIGINT) AS benford_ppm
+FROM counts c JOIN tot t ON c.grp = t.grp
+ORDER BY c.grp, c.d
+"""
+
+
+@register("events_benford_audit", BENFORD_ORACLE, tags=("events", "audit", "fraud"))
+def events_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over order totals per priority class:
+    observed first-significant-digit frequencies (integer ppm) next to the
+    Benford expectation log10(1 + 1/d) (integer ppm) — the forensic
+    audit that flags fabricated or process-capped monetary populations
+    (TPC-H's uniform price generator deviates from Benford by
+    construction, and the audit REPORTS that deterministically; the
+    screen's job is the comparison, the accept threshold is policy).
+    First digits extracted via integer/string ops, never log-floor float
+    tricks, so counts are exact.
+
+    Scale shape: one scan -> (group, digit) hash-agg (<= 9 rows per
+    group), a per-group total derived from the digit frame, and constant
+    expected frequencies — the whole audit is map-side combined and its
+    output is bounded by groups x 9."""
+    t = load_tables(spark, sf_dir)
+    amounts = (
+        t["orders"]
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.expr("CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS BIGINT)").alias("d"),
+        )
+    )
+    counts = amounts.groupBy("grp", "d").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = counts.groupBy("grp").agg(F.sum("n").cast("long").alias("total"))
+    return (
+        counts.join(tot, "grp")
+        .select(
+            "grp", "d", "n", "total",
+            F.round(1000000.0 * F.col("n") / F.col("total"), 0).cast("long").alias("obs_ppm"),
+            F.round(1000000.0 * F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0)), 0).cast("long").alias("benford_ppm"),
+        )
+        .orderBy("grp", "d")
+    )
