@@ -1837,3 +1837,81 @@ def privacy_dp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") + lap, 3).alias("noisy_count"),
         F.lit(DP_TOPK_EPS).alias("epsilon"),
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Approximate functional-dependency discovery (profiling for CBO/modeling)
+# ---------------------------------------------------------------------------
+
+_FD_CANDIDATES: tuple[tuple[str, str, str], ...] = (
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("lineitem", "l_orderkey", "l_linestatus"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_orderkey", "o_orderstatus"),
+)
+
+
+def _fd_cte(table: str, lhs: str, rhs: str) -> str:
+    label = f"{table}: {lhs} -> {rhs}"
+    return f"""
+SELECT '{label}' AS fd,
+       sum(tot)::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_lhs,
+       (sum(tot) - sum(mx))::BIGINT AS n_violations,
+       ((1000000 * (sum(tot) - sum(mx))) // sum(tot))::BIGINT AS err_ppm,
+       (CASE WHEN sum(tot) = sum(mx) THEN 1 ELSE 0 END)::BIGINT AS holds
+FROM (
+  SELECT l, max(c) AS mx, sum(c) AS tot
+  FROM (SELECT {lhs} AS l, {rhs} AS r, count(*)::BIGINT AS c FROM {table} GROUP BY 1, 2) g
+  GROUP BY l
+) p"""
+
+
+FD_DISCOVERY_ORACLE = (
+    "\nUNION ALL\n".join(_fd_cte(t_, l_, r_) for t_, l_, r_ in _FD_CANDIDATES)
+    + "\nORDER BY fd"
+)
+
+
+@register("warehouse_fd_discovery", FD_DISCOVERY_ORACLE, tags=("warehouse", "profiling", "audit"))
+def warehouse_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency audit (Metanome/TANE-style, fixed
+    candidate list): for each candidate A -> B, the g3 violation count —
+    the minimum rows to delete so the FD holds exactly, i.e.
+    N - sum over A of max count per (A, B). Exact keys report 0
+    violations; near-FDs report an integer-ppm error the modeler can
+    threshold. The profiling input behind key inference, normalization
+    advice, and CBO uniqueness hints.
+
+    Scale shape: each candidate is two map-side-combined hash-aggs
+    ((A, B) counts, then a per-A max/sum fold) and a one-row final
+    aggregate — one shuffle per candidate on the (A, B) key, no windows,
+    no joins; the six one-row results union into the scorecard. All
+    counts and the ppm are exact BIGINTs."""
+    t = load_tables(spark, sf_dir)
+    parts = []
+    for table, lhs, rhs in _FD_CANDIDATES:
+        cnt = (
+            t[table]
+            .select(F.col(lhs).alias("l"), F.col(rhs).alias("r"))
+            .groupBy("l", "r")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        per_lhs = cnt.groupBy("l").agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+        parts.append(
+            per_lhs.agg(
+                F.sum("tot").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_lhs"),
+                (F.sum("tot") - F.sum("mx")).cast("long").alias("n_violations"),
+                F.expr("(1000000 * (sum(tot) - sum(mx))) div sum(tot)")
+                .cast("long").alias("err_ppm"),
+                F.when(F.sum("tot") == F.sum("mx"), 1).otherwise(0)
+                .cast("long").alias("holds"),
+            ).select(F.lit(f"{table}: {lhs} -> {rhs}").alias("fd"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("fd")

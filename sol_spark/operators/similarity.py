@@ -2453,3 +2453,249 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "qid", "sel_rk", "cid", (F.round("mmr", 7) + 0.0).alias("mmr")
     ).orderBy("qid", "sel_rk")
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign-bit) quantization retrieval: 64 floats -> two 32-bit words,
+# Hamming-distance top-k. The memory-bound complement to PQ: 16x smaller
+# than float32 vectors, distance = two XOR+popcount ops, SIMD-trivial.
+# ---------------------------------------------------------------------------
+
+HAM_TOP_K = TOP_K
+
+
+def _sign_words(col: str) -> tuple[F.Column, F.Column]:
+    """Pack the 64 sign bits of ``col`` into two BIGINT-held 32-bit words
+    (dims 1-32 -> w1, 33-64 -> w2) as one unrolled codegen'd sum each.
+    Two half-words rather than one 64-bit pack so bit 64 never lands in
+    the BIGINT sign position (cross-engine shift-into-sign is UB bait)."""
+
+    def word(lo: int) -> F.Column:
+        acc = F.lit(0).cast("long")
+        for i in range(lo, lo + 32):
+            acc = acc + F.when(
+                F.element_at(F.col(col), i).cast("double") >= 0.0,
+                F.lit(1 << (i - lo)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        return acc
+
+    return word(1), word(33)
+
+
+_HAM_WORDS_SQL = """
+words AS (
+  SELECT vec_id,
+         sum(CASE WHEN i.i <= 32 AND embedding[i.i]::DOUBLE >= 0
+                  THEN (1::BIGINT << (i.i - 1)) ELSE 0 END)::BIGINT AS w1,
+         sum(CASE WHEN i.i > 32 AND embedding[i.i]::DOUBLE >= 0
+                  THEN (1::BIGINT << (i.i - 33)) ELSE 0 END)::BIGINT AS w2
+  FROM embeddings, dims i GROUP BY vec_id
+)"""
+
+SIM_HAMMING_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+{_HAM_WORDS_SQL},
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         (bit_count(xor(q.w1, c.w1)) + bit_count(xor(q.w2, c.w2)))::BIGINT AS hamming
+  FROM words q JOIN words c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT qid, cid, hamming,
+         row_number() OVER (PARTITION BY qid ORDER BY hamming, cid) AS rk
+  FROM scored
+)
+SELECT qid, cid, hamming, rk FROM ranked WHERE rk <= {HAM_TOP_K}
+ORDER BY qid, rk
+"""
+
+
+def _hamming_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, cid, hamming, rk) top-{HAM_TOP_K} by sign-bit Hamming distance."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    w1, w2 = _sign_words("embedding")
+    words = emb.select("vec_id", w1.alias("w1"), w2.alias("w2"))
+    q = words.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("w1").alias("qw1"), F.col("w2").alias("qw2")
+    )
+    scored = (
+        words.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            (
+                F.expr("bit_count(qw1 ^ w1)").cast("long")
+                + F.expr("bit_count(qw2 ^ w2)").cast("long")
+            ).alias("hamming"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy("hamming", "cid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= HAM_TOP_K)
+        .select("qid", "cid", "hamming", "rk")
+    )
+
+
+@register("sim_topk_hamming", SIM_HAMMING_ORACLE, tags=("llm", "similarity", "quantize"))
+def sim_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN: pack each vector's 64 sign bits into two
+    32-bit words and rank candidates by Hamming distance (XOR + popcount),
+    ties to the smaller cid. The standard first-stage filter when the
+    float corpus doesn't fit the retrieval tier: 16x compression, integer
+    distance, and the exact-cosine stage (sim_topk_exact) reranks the
+    survivors. Packing is an unrolled 32-term codegen'd sum per word —
+    bit 64 never touches the BIGINT sign bit, so Spark and DuckDB agree
+    without unsigned-shift gymnastics.
+
+    Scale shape: the corpus is scanned once to 2 BIGINTs per vector; the
+    {N_QUERIES}-row query side is broadcast, so there is no shuffle at all
+    until the final top-k window over qid (bounded by queries x corpus
+    candidates, same as sim_topk_exact's accepted shape)."""
+    return _hamming_ranked(spark, sf_dir).orderBy("qid", "rk")
+
+
+SIM_HAMMING_RECALL_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+{_HAM_WORDS_SQL},
+hscored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         bit_count(xor(q.w1, c.w1)) + bit_count(xor(q.w2, c.w2)) AS hamming
+  FROM words q JOIN words c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+hranked AS (
+  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY hamming, cid) AS rk
+  FROM hscored
+),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+norms AS (
+  SELECT vec_id, sqrt(sum(embedding[i.i]::DOUBLE * embedding[i.i]::DOUBLE)) AS nrm
+  FROM embeddings, dims i GROUP BY vec_id
+),
+dots AS (
+  SELECT qid, cid, sum(qe[i.i]::DOUBLE * ce[i.i]::DOUBLE) AS dot
+  FROM q, c, dims i WHERE qid <> cid GROUP BY qid, cid
+),
+escored AS (
+  SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid
+),
+eranked AS (
+  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+  FROM escored
+)
+SELECT h.qid,
+       count(e.cid)::BIGINT AS n_overlap,
+       ((1000000 * count(e.cid)) // {HAM_TOP_K})::BIGINT AS recall_ppm
+FROM hranked h
+LEFT JOIN eranked e ON e.qid = h.qid AND e.cid = h.cid AND e.rk <= {HAM_TOP_K}
+WHERE h.rk <= {HAM_TOP_K}
+GROUP BY h.qid
+ORDER BY h.qid
+"""
+
+
+@register("sim_hamming_recall", SIM_HAMMING_RECALL_ORACLE, tags=("llm", "similarity", "quantize", "audit"))
+def sim_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acceptance audit for the binary-quantized stage: recall@{HAM_TOP_K}
+    of the Hamming top-k against the exact-cosine top-k, per query. The
+    honest gate before swapping sign-bit retrieval into a pipeline — on
+    this near-orthogonal fixture the sign bits carry little of the cosine
+    ordering and the audit REPORTS that; the operator's job is the
+    measurement, the accept threshold is policy (same stance as
+    sim_recall_eval). Integer-ppm recall, no float anywhere."""
+    ham = _hamming_ranked(spark, sf_dir)
+    exact = sim_topk_exact(spark, sf_dir).select(
+        F.col("qid").alias("eqid"), F.col("cid").alias("ecid")
+    )
+    return (
+        ham.join(
+            exact,
+            (F.col("qid") == F.col("eqid")) & (F.col("cid") == F.col("ecid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("ecid").cast("long").alias("n_overlap"),
+            F.expr(f"(1000000 * count(ecid)) div {HAM_TOP_K}").cast("long").alias("recall_ppm"),
+        )
+        .orderBy("qid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining: per labeled query, the nearest neighbors whose label
+# DIFFERS — the contrastive-training pair generator (the negatives that are
+# hard precisely because they are close).
+# ---------------------------------------------------------------------------
+
+SIM_HARD_NEG_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+      FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS cid, label AS clabel, embedding AS ce FROM embeddings),
+norms AS (
+  SELECT vec_id, sqrt(sum(embedding[i.i]::DOUBLE * embedding[i.i]::DOUBLE)) AS nrm
+  FROM embeddings, dims i GROUP BY vec_id
+),
+dots AS (
+  SELECT qid, qlabel, cid, clabel, sum(qe[i.i]::DOUBLE * ce[i.i]::DOUBLE) AS dot
+  FROM q, c, dims i
+  WHERE qid <> cid AND qlabel <> clabel
+  GROUP BY qid, qlabel, cid, clabel
+),
+scored AS (
+  SELECT qid, qlabel, cid, clabel, round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid
+),
+ranked AS (
+  SELECT qid, qlabel, cid, clabel, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+  FROM scored
+)
+SELECT qid, qlabel::BIGINT AS qlabel, cid, clabel::BIGINT AS clabel, cosine, rk
+FROM ranked WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+"""
+
+
+@register("sim_hard_negatives", SIM_HARD_NEG_ORACLE, tags=("llm", "similarity", "training"))
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each labeled
+    query vector, the top-{TOP_K} nearest neighbors with a DIFFERENT label
+    — maximally confusing negatives, the pair generator behind dense
+    retrievers (DPR/ANCE-style) and embedding-model fine-tuning. Exactly
+    sim_topk_exact's broadcast shape plus a label-inequality predicate
+    evaluated BEFORE the expensive dot product, so the candidate set only
+    shrinks; at 100 TB the same label filter drops into the LSH/IVF
+    bucketed variants unchanged."""
+    emb = _with_norm(load_tables(spark, sf_dir)["embeddings"])
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"), F.col("nrm").alias("qn"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(q),
+            (F.col("vec_id") != F.col("qid")) & (F.col("label") != F.col("qlabel")),
+        )
+        .select(
+            "qid",
+            F.col("qlabel").cast("long").alias("qlabel"),
+            F.col("vec_id").alias("cid"),
+            F.col("label").cast("long").alias("clabel"),
+            F.round(
+                F.expr(_DOT.format(a="qe", b="embedding")) / (F.col("qn") * F.col("nrm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", "qlabel", "cid", "clabel", "cosine", "rk")
+        .orderBy("qid", "rk")
+    )

@@ -3635,3 +3635,102 @@ def text_doremi_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_docs", "n_tokens", "dom_nll", "excess", "weight")
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum schedule: difficulty-staged, hash-sharded training order
+# ---------------------------------------------------------------------------
+
+CURRICULUM_STAGES = 4
+CURRICULUM_SHARDS = 8
+_CURR_RANK_SHARDS = 16  # parallelism of the two-pass within-size rank
+
+_CURR_SHARD_SPARK = (
+    "pmod(CAST(conv(substring(md5(concat('c', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT), "
+    f"{CURRICULUM_SHARDS})"
+)
+_CURR_SHARD_DUCK = (
+    f"((('0x' || substr(md5('c' || doc_id::VARCHAR), 1, 8))::BIGINT % {CURRICULUM_SHARDS} + "
+    f"{CURRICULUM_SHARDS}) % {CURRICULUM_SHARDS})"
+)
+
+CURRICULUM_ORACLE = f"""
+WITH n_tot AS (SELECT count(*)::BIGINT AS n FROM documents),
+ranked AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS r0
+  FROM documents
+),
+st AS (
+  SELECT doc_id, n_chars,
+         ((r0 * {CURRICULUM_STAGES}) // n)::BIGINT AS stage,
+         {_CURR_SHARD_DUCK}::BIGINT AS shard
+  FROM ranked, n_tot
+)
+SELECT stage, shard,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       min(n_chars)::BIGINT AS min_chars,
+       max(n_chars)::BIGINT AS max_chars
+FROM st GROUP BY stage, shard
+ORDER BY stage, shard
+"""
+
+
+@register("sample_curriculum", CURRICULUM_ORACLE, tags=("llm", "sample", "training", "scale"))
+def sample_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning schedule: order the corpus easy-to-hard (doc
+    length as the difficulty proxy — swap in any registered quality score),
+    cut it into {CURRICULUM_STAGES} equal-count difficulty stages, and
+    hash-deal each stage onto {CURRICULUM_SHARDS} reader shards. The
+    scorecard (docs / chars / difficulty envelope per stage x shard) is
+    what a training launcher checks before pointing one reader group at
+    each stage directory.
+
+    Scale shape: the global difficulty rank is NEVER a single-task window —
+    it decomposes as rank = #(smaller docs) + within-size rank, i.e. a
+    per-size histogram with an exclusive prefix sum (bounded by distinct
+    lengths) broadcast back, plus the text_pack_sequences two-pass
+    shard-local row_number. Shard assignment is a stateless md5 coin, so
+    it needs no second pass at all, and the final aggregate is
+    {CURRICULUM_STAGES} x {CURRICULUM_SHARDS} rows."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "n_chars")
+    hist = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    w_smaller = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, -1)
+    smaller = hist.select(
+        "n_chars", F.coalesce(F.sum("cnt").over(w_smaller), F.lit(0)).alias("n_smaller")
+    )
+    n_tot = docs.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sharded = docs.withColumn("rshard", F.pmod("doc_id", F.lit(_CURR_RANK_SHARDS)))
+    w_local = W.partitionBy("n_chars", "rshard").orderBy("doc_id")
+    local = sharded.withColumn("local_rn", F.row_number().over(w_local))
+    shard_tot = sharded.groupBy("n_chars", "rshard").agg(F.count(F.lit(1)).alias("tot"))
+    w_off = W.partitionBy("n_chars").orderBy("rshard").rowsBetween(W.unboundedPreceding, -1)
+    offs = shard_tot.select(
+        "n_chars", "rshard", F.coalesce(F.sum("tot").over(w_off), F.lit(0)).alias("off")
+    )
+    staged = (
+        local.join(F.broadcast(offs), ["n_chars", "rshard"])
+        .join(F.broadcast(smaller), "n_chars")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "n_chars",
+            F.expr(
+                f"((n_smaller + off + local_rn - 1) * {CURRICULUM_STAGES}) div n"
+            ).cast("long").alias("stage"),
+            F.expr(_CURR_SHARD_SPARK).cast("long").alias("shard"),
+        )
+    )
+    return (
+        staged.groupBy("stage", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("stage", "shard")
+    )

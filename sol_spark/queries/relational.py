@@ -3260,3 +3260,81 @@ def profile_ndv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# ROC-AUC via the Mann-Whitney rank-sum (tie-corrected, exact integers)
+# ---------------------------------------------------------------------------
+
+AUC_ORACLE = """
+WITH lab AS (
+  SELECT source, n_chars, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+), hist AS (
+  SELECT source, n_chars, count(*)::BIGINT AS n_g, sum(pos)::BIGINT AS n1_g
+  FROM lab GROUP BY source, n_chars
+), cum AS (
+  SELECT source, n_g, n1_g,
+         COALESCE(sum(n_g) OVER (PARTITION BY source ORDER BY n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM hist
+), agg AS (
+  SELECT source,
+         sum(n1_g) AS n_pos, sum(n_g - n1_g) AS n_neg,
+         sum(n1_g * (2 * cb + n_g + 1)) AS r2
+  FROM cum GROUP BY source
+)
+SELECT source, n_pos::BIGINT AS n_pos, n_neg::BIGINT AS n_neg,
+       (r2 - n_pos * (n_pos + 1))::BIGINT AS u2,
+       ((1000000 * (r2 - n_pos * (n_pos + 1))) // (2 * n_pos * n_neg))::BIGINT AS auc_ppm
+FROM agg
+WHERE n_pos > 0 AND n_neg > 0
+ORDER BY source
+"""
+
+
+@register("stats_auc_mannwhitney", AUC_ORACLE, tags=("stats", "ml", "audit"))
+def stats_auc_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of a score separating a binary class, per group — here
+    doc length (n_chars) as the score for lang='en', per source — via the
+    Mann-Whitney U identity AUC = U/(n1*n0), the standard offline readout
+    for any ranking/quality/filter model. Tie-corrected with average
+    ranks, but computed WITHOUT per-row ranks: AUC depends only on the
+    per-(group, score) histogram, where a tie group at cumulative offset
+    cb with n_g members contributes n1_g * (2*cb + n_g + 1) to twice the
+    positive rank-sum. Everything through U stays exact BIGINT; the final
+    ppm is an exact integer division (never a float), so the result is
+    engine-independent at any scale.
+
+    Scale shape: one map-side-combined hash-agg to the (group, score)
+    histogram, a window over score WITHIN each group's (bounded,
+    distinct-score-sized) histogram frame, and a per-group fold — no
+    global sort, no per-row window, no pairwise expansion (the naive AUC
+    is an n1 x n0 cross join). Groups with a single class are excluded
+    (AUC undefined)."""
+    t = load_tables(spark, sf_dir)
+    lab = t["documents"].select(
+        "source", "n_chars",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    hist = lab.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("pos").cast("long").alias("n1_g"),
+    )
+    w_cb = W.partitionBy("source").orderBy("n_chars").rowsBetween(W.unboundedPreceding, -1)
+    cum = hist.withColumn("cb", F.coalesce(F.sum("n_g").over(w_cb), F.lit(0)))
+    agg = cum.groupBy("source").agg(
+        F.sum("n1_g").cast("long").alias("n_pos"),
+        F.sum(F.col("n_g") - F.col("n1_g")).cast("long").alias("n_neg"),
+        F.sum(F.col("n1_g") * (2 * F.col("cb") + F.col("n_g") + 1)).cast("long").alias("r2"),
+    )
+    return (
+        agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            "source", "n_pos", "n_neg",
+            (F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1)).alias("u2"),
+            F.expr("(1000000 * (r2 - n_pos * (n_pos + 1))) div (2 * n_pos * n_neg)")
+            .cast("long").alias("auc_ppm"),
+        )
+        .orderBy("source")
+    )
