@@ -3957,3 +3957,42 @@ def dedup_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("k") >= 2, 1).otherwise(0)).cast("long").alias("n_collided_hashes"),
         (1000000 * (F.sum("k") - F.count(F.lit(1))) / F.sum("k")).cast("long").alias("collision_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-size histogram: the shape report for the near-dup graph
+# ---------------------------------------------------------------------------
+
+CLUSTER_SIZE_HIST_ORACLE = DEDUP_CLUSTERS_ORACLE.replace(
+    "SELECT doc, cluster FROM cc ORDER BY doc",
+    """SELECT size, count(*)::BIGINT AS n_clusters,
+       (size * count(*))::BIGINT AS n_docs,
+       ((size - 1) * count(*))::BIGINT AS dup_excess
+FROM (SELECT cluster, count(*)::BIGINT AS size FROM cc GROUP BY cluster) s
+GROUP BY size ORDER BY size""",
+)
+
+
+@register("dedup_cluster_size_hist", CLUSTER_SIZE_HIST_ORACLE, tags=("llm", "dedup", "audit", "iterative"))
+def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram over the MinHash CC labels: how
+    many clusters of each size, the docs they hold, and the removable
+    excess (size-1 per cluster) — the one-page report that says whether
+    dedup savings come from a long tail of pairs or a few mega-clusters
+    (which is also the O(cluster^2) risk signal for any pairwise stage
+    downstream). Two bounded hash-aggs over the linear (doc, cluster)
+    labels; output is bounded by the largest cluster size."""
+    cc = dedup_clusters(spark, sf_dir)
+    sizes = cc.groupBy("cluster").agg(F.count(F.lit(1)).alias("size"))
+    out = (
+        sizes.groupBy("size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            "size",
+            "n_clusters",
+            (F.col("size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+            ((F.col("size") - 1) * F.col("n_clusters")).cast("long").alias("dup_excess"),
+        )
+        .orderBy("size")
+    )
+    return out

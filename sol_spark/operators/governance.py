@@ -1915,3 +1915,81 @@ def warehouse_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("fd")
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity (foreign-key orphan) audit across the star
+# ---------------------------------------------------------------------------
+
+_FK_EDGES: tuple[tuple[str, str, str, str], ...] = (
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def _fk_cte(child: str, fk: str, parent: str, pk: str) -> str:
+    label = f"{child}.{fk} -> {parent}.{pk}"
+    return f"""
+SELECT '{label}' AS fk,
+       sum(n)::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_keys,
+       COALESCE(sum(CASE WHEN pk IS NULL THEN n END), 0)::BIGINT AS orphan_rows,
+       sum(CASE WHEN pk IS NULL THEN 1 ELSE 0 END)::BIGINT AS orphan_keys,
+       ((1000000 * COALESCE(sum(CASE WHEN pk IS NULL THEN n END), 0)) // sum(n))::BIGINT AS orphan_ppm
+FROM (SELECT {fk} AS k, count(*)::BIGINT AS n FROM {child} WHERE {fk} IS NOT NULL GROUP BY 1) c
+LEFT JOIN (SELECT DISTINCT {pk} AS pk FROM {parent}) p ON p.pk = c.k"""
+
+
+FK_ORPHANS_ORACLE = (
+    "\nUNION ALL\n".join(_fk_cte(*e) for e in _FK_EDGES) + "\nORDER BY fk"
+)
+
+
+@register("dq_fk_orphans", FK_ORPHANS_ORACLE, tags=("warehouse", "dq", "audit"))
+def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the schema's FK graph: for each
+    child.fk -> parent.pk edge, the rows and distinct keys whose parent is
+    missing, with an integer-ppm orphan rate — the cross-TABLE complement
+    to dq_expectations' row-local rules, and the check a warehouse runs
+    after every load before exposing a snapshot. An intact fixture reports
+    zeros; the audit's value is that the zeros are MEASURED.
+
+    Scale shape: the child side collapses to its distinct-key histogram
+    BEFORE any join (a map-side-combined hash-agg, keys not rows), then
+    one equi-join per edge against the parent's key projection — at 100 TB
+    each edge shuffles only distinct keys, and AQE broadcasts the small
+    parent sides. No window, no anti-join pass separate from the
+    accounting join (one join serves both counts)."""
+    t = load_tables(spark, sf_dir)
+    parts = []
+    for child, fk, parent, pk in _FK_EDGES:
+        ck = (
+            t[child]
+            .filter(F.col(fk).isNotNull())
+            .groupBy(F.col(fk).alias("k"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        pks = t[parent].select(F.col(pk).alias("pk")).distinct()
+        joined = ck.join(pks, ck["k"] == pks["pk"], "left")
+        parts.append(
+            joined.agg(
+                F.sum("n").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.coalesce(F.sum(F.when(F.col("pk").isNull(), F.col("n"))), F.lit(0))
+                .cast("long").alias("orphan_rows"),
+                F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0))
+                .cast("long").alias("orphan_keys"),
+                F.expr(
+                    "(1000000 * COALESCE(sum(CASE WHEN pk IS NULL THEN n END), 0)) div sum(n)"
+                ).cast("long").alias("orphan_ppm"),
+            ).select(F.lit(f"{child}.{fk} -> {parent}.{pk}").alias("fk"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("fk")

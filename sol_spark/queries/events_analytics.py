@@ -3391,3 +3391,99 @@ def events_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp", "d")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-union coverage (sweep line over fixed-width activity intervals)
+# ---------------------------------------------------------------------------
+
+COVERAGE_WIDTH_S = 300  # each event opens a 5-minute activity interval
+
+INTERVAL_COVERAGE_ORACLE = f"""
+WITH iv AS (
+  SELECT user_id, event_id,
+         floor(epoch(ts))::BIGINT AS s,
+         floor(epoch(ts))::BIGINT + {COVERAGE_WIDTH_S} AS e
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, s, e,
+         CASE WHEN s > COALESCE(max(e) OVER (
+                  PARTITION BY user_id ORDER BY s, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+), islands AS (
+  SELECT user_id, s, e,
+         sum(new_island) OVER (
+           PARTITION BY user_id ORDER BY s, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+), merged AS (
+  SELECT user_id, island, min(s) AS lo, max(e) AS hi, count(*) AS n_events
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_intervals,
+       sum(hi - lo)::BIGINT AS covered_s,
+       sum(n_events)::BIGINT AS n_events,
+       max(hi - lo)::BIGINT AS longest_s
+FROM merged GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("events_interval_coverage", INTERVAL_COVERAGE_ORACLE, tags=("events", "windows"))
+def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity coverage: every event opens a {COVERAGE_WIDTH_S}-s
+    interval; overlapping intervals merge (interval union), and the readout
+    is merged-interval count, total covered seconds, and the longest
+    stretch — the classic sweep-line/gaps-and-islands computation behind
+    billing meters, uptime SLAs, and screen-time reports. Distinct from
+    sessionize: intervals have explicit extents, so islands close exactly
+    when the union does, not after an event gap.
+
+    Sweep line as two stacked windows per user: an island-start flag
+    (interval start beyond the running max of prior ends — the frame is
+    total-ordered by (s, event_id) so ties can't flip the flag) and a
+    running island id, then a (user, island) hash-agg. Epoch math is
+    timezone-free (DuckDB floor(epoch(ntz)), Spark timestampdiff on NTZ),
+    exact BIGINT seconds throughout.
+
+    Scale shape: both windows and the aggregate share the user_id
+    partitioning — ONE exchange total; state per row is a single running
+    max/sum. 100x more users widens the shuffle, never a partition."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    iv = t["events"].select(
+        "user_id", "event_id",
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").alias("s"),
+        (
+            F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+            + COVERAGE_WIDTH_S
+        ).alias("e"),
+    )
+    w_prev = W.partitionBy("user_id").orderBy("s", "event_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1).otherwise(0),
+    )
+    w_run = W.partitionBy("user_id").orderBy("s", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_run))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("lo"), F.max("e").alias("hi"), F.count(F.lit(1)).alias("n_ev")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.sum(F.col("hi") - F.col("lo")).cast("long").alias("covered_s"),
+            F.sum("n_ev").cast("long").alias("n_events"),
+            F.max(F.col("hi") - F.col("lo")).cast("long").alias("longest_s"),
+        )
+        .orderBy("user_id")
+    )

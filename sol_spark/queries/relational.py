@@ -3338,3 +3338,198 @@ def stats_auc_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation audit (CBO cardinality: exact vs Bernoulli-sample)
+# ---------------------------------------------------------------------------
+
+_JSE_P_PPM = 100000  # 10% Bernoulli sample, integer-ppm md5 coins
+_JSE_SCALE = (1000000 // _JSE_P_PPM) ** 2  # 1/(pA*pB) = 100
+
+
+def _jse_coin_spark(salt: str, key: str) -> str:
+    return (
+        f"(CAST(conv(substring(md5(concat('{salt}', {key})), 1, 8), 16, 10) AS BIGINT) "
+        f"% 1000000) < {_JSE_P_PPM}"
+    )
+
+
+def _jse_coin_duck(salt: str, key: str) -> str:
+    return (
+        f"((('0x' || substr(md5('{salt}' || {key}), 1, 8))::BIGINT % 1000000) "
+        f"< {_JSE_P_PPM})"
+    )
+
+
+# (name, table_a, key_a, rowid_a, table_b, key_b, rowid_b); a self-join uses
+# DIFFERENT salts per side so the two Bernoulli draws stay independent.
+_JSE_JOINS: tuple[tuple[str, str, str, str, str, str, str], ...] = (
+    ("customer x supplier ON nationkey",
+     "customer", "c_nationkey", "CAST(c_custkey AS STRING)",
+     "supplier", "s_nationkey", "CAST(s_suppkey AS STRING)"),
+    ("lineitem x lineitem ON partkey",
+     "lineitem", "l_partkey", "concat(CAST(l_orderkey AS STRING), '_', CAST(l_linenumber AS STRING))",
+     "lineitem", "l_partkey", "concat(CAST(l_orderkey AS STRING), '_', CAST(l_linenumber AS STRING))"),
+    ("orders x customer ON custkey",
+     "orders", "o_custkey", "CAST(o_orderkey AS STRING)",
+     "customer", "c_custkey", "CAST(c_custkey AS STRING)"),
+)
+
+
+def _jse_cte(name, ta, ka, ra, tb, kb, rb) -> str:  # type: ignore[no-untyped-def]
+    ra_d = ra.replace("CAST(", "(").replace(" AS STRING)", ")::VARCHAR").replace("concat(", "(").replace(", '_', ", " || '_' || ")
+    rb_d = rb.replace("CAST(", "(").replace(" AS STRING)", ")::VARCHAR").replace("concat(", "(").replace(", '_', ", " || '_' || ")
+    return f"""
+SELECT '{name}' AS join_name,
+       (SELECT sum(fa.n * fb.n)
+        FROM (SELECT {ka} AS k, count(*)::BIGINT AS n FROM {ta} GROUP BY 1) fa
+        JOIN (SELECT {kb} AS k, count(*)::BIGINT AS n FROM {tb} GROUP BY 1) fb
+          ON fb.k = fa.k)::BIGINT AS exact_rows,
+       (SELECT COALESCE(sum(fa.n * fb.n), 0)
+        FROM (SELECT {ka} AS k, count(*)::BIGINT AS n FROM {ta}
+              WHERE {_jse_coin_duck("ja", ra_d)} GROUP BY 1) fa
+        JOIN (SELECT {kb} AS k, count(*)::BIGINT AS n FROM {tb}
+              WHERE {_jse_coin_duck("jb", rb_d)} GROUP BY 1) fb
+          ON fb.k = fa.k)::BIGINT AS sampled_pairs"""
+
+
+JOIN_SIZE_ORACLE = (
+    "SELECT join_name, exact_rows, sampled_pairs, "
+    f"(sampled_pairs * {_JSE_SCALE})::BIGINT AS est_rows, "
+    "((10000 * abs(sampled_pairs * "
+    f"{_JSE_SCALE} - exact_rows)) // exact_rows)::BIGINT AS abs_err_bp, "
+    "(CASE WHEN sampled_pairs * "
+    f"{_JSE_SCALE} >= exact_rows THEN 1 ELSE -1 END)::BIGINT AS err_sign "
+    "FROM (\n"
+    + "\nUNION ALL\n".join(_jse_cte(*j) for j in _JSE_JOINS)
+    + "\n) u ORDER BY join_name"
+)
+
+
+@register("stats_join_size_estimate", JOIN_SIZE_ORACLE, tags=("stats", "cbo", "audit"))
+def stats_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation audit — the number a cost-based
+    optimizer needs before picking broadcast vs shuffle: for each join,
+    the EXACT output size sum_k f_A(k)*f_B(k) (aggregate-before-join over
+    distinct-key histograms; the self-join row is the skew-sensitive F2
+    moment) next to a 10% Bernoulli-sample estimate scaled by 1/(pA*pB),
+    graded in absolute basis points with a separate sign column (the
+    signed error in one integer division would floor differently across
+    engines for negatives). Coins are integer-ppm md5 draws keyed by row
+    id with per-SIDE salts, so the self-join's two samples are
+    independent and everything is deterministic at any parallelism.
+
+    Scale shape: the exact side never materializes the join — both inputs
+    collapse to per-key histograms first, so the worst shuffle is distinct
+    keys; the sample side scans 10% and reuses the same histogram plan.
+    At 100 TB this is exactly the ANALYZE pass a CBO runs, priced as one
+    hash-agg + one key-join per audited edge."""
+    t = load_tables(spark, sf_dir)
+    parts = []
+    for name, ta, ka, ra, tb, kb, rb in _JSE_JOINS:
+        def hist(table: str, key: str, rowid: str, salt: str, sampled: bool) -> DataFrame:
+            df = t[table]
+            if sampled:
+                df = df.filter(F.expr(_jse_coin_spark(salt, rowid)))
+            return df.groupBy(F.col(key).alias("k")).agg(
+                F.count(F.lit(1)).cast("long").alias("n")
+            )
+
+        def pair_sum(fa: DataFrame, fb: DataFrame) -> DataFrame:
+            return (
+                fa.join(fb.withColumnRenamed("n", "nb").withColumnRenamed("k", "kb"),
+                        F.col("k") == F.col("kb"))
+                .agg(F.coalesce(F.sum(F.col("n") * F.col("nb")), F.lit(0)).cast("long").alias("s"))
+            )
+
+        exact = pair_sum(hist(ta, ka, ra, "ja", False), hist(tb, kb, rb, "jb", False))
+        samp = pair_sum(hist(ta, ka, ra, "ja", True), hist(tb, kb, rb, "jb", True))
+        row = (
+            exact.withColumnRenamed("s", "exact_rows")
+            .crossJoin(samp.withColumnRenamed("s", "sampled_pairs"))
+            .select(
+                F.lit(name).alias("join_name"),
+                "exact_rows", "sampled_pairs",
+                (F.col("sampled_pairs") * _JSE_SCALE).cast("long").alias("est_rows"),
+                F.expr(
+                    f"(10000 * abs(sampled_pairs * {_JSE_SCALE} - exact_rows)) div exact_rows"
+                ).cast("long").alias("abs_err_bp"),
+                F.when(F.col("sampled_pairs") * _JSE_SCALE >= F.col("exact_rows"), 1)
+                .otherwise(-1).cast("long").alias("err_sign"),
+            )
+        )
+        parts.append(row)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("join_name")
+
+
+# ---------------------------------------------------------------------------
+# Calibration (reliability) table + Brier score, all-integer
+# ---------------------------------------------------------------------------
+
+CALIBRATION_ORACLE = """
+WITH scored AS (
+  SELECT CASE WHEN n_chars >= 2000 THEN 1000000 ELSE n_chars * 500 END AS p_ppm,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+), binned AS (
+  SELECT CASE WHEN p_ppm >= 1000000 THEN 9 ELSE (p_ppm * 10) // 1000000 END AS bin,
+         p_ppm, y
+  FROM scored
+)
+SELECT bin,
+       count(*)::BIGINT AS n,
+       (sum(p_ppm) // count(*))::BIGINT AS mean_pred_ppm,
+       ((1000000 * sum(y)) // count(*))::BIGINT AS frac_pos_ppm,
+       abs((sum(p_ppm) // count(*)) - ((1000000 * sum(y)) // count(*)))::BIGINT AS gap_ppm,
+       (sum((p_ppm - y * 1000000) * (p_ppm - y * 1000000)) // count(*))::BIGINT AS brier_e12
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+
+@register("stats_calibration_brier", CALIBRATION_ORACLE, tags=("stats", "ml", "audit"))
+def stats_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability (calibration) table for a probabilistic score — here a
+    capped length-based pseudo-probability min(n_chars/2000, 1) for
+    lang='en', standing in for any quality/filter model score: per decile
+    bin, the mean prediction vs the observed positive rate, their gap,
+    and the per-bin Brier contribution. The audit that catches a
+    quality-filter model that RANKS well (see stats_auc_mannwhitney) but
+    is miscalibrated, so its scores can't be thresholded as
+    probabilities. Every column is exact integer arithmetic: scores are
+    integer ppm, the Brier term is the mean of (p_ppm - y*1e6)^2 at e-12
+    scale via integer division — no float, no cross-engine drift. (At
+    extreme row counts the e12 sum wants a DECIMAL accumulator; the
+    per-bin mean keeps magnitudes in BIGINT range far past this fixture.)
+
+    Scale shape: one projection + one 10-row hash-agg — fully map-side
+    combined, no window, no join."""
+    t = load_tables(spark, sf_dir)
+    scored = t["documents"].select(
+        F.when(F.col("n_chars") >= 2000, 1000000)
+        .otherwise(F.col("n_chars") * 500).alias("p_ppm"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    binned = scored.select(
+        F.when(F.col("p_ppm") >= 1000000, 9)
+        .otherwise(F.expr("(p_ppm * 10) div 1000000")).cast("long").alias("bin"),
+        "p_ppm", "y",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr("sum(p_ppm) div count(*)").cast("long").alias("mean_pred_ppm"),
+            F.expr("(1000000 * sum(y)) div count(*)").cast("long").alias("frac_pos_ppm"),
+            F.expr(
+                "abs((sum(p_ppm) div count(*)) - ((1000000 * sum(y)) div count(*)))"
+            ).cast("long").alias("gap_ppm"),
+            F.expr(
+                "sum((p_ppm - y * 1000000) * (p_ppm - y * 1000000)) div count(*)"
+            ).cast("long").alias("brier_e12"),
+        )
+        .orderBy("bin")
+    )

@@ -73,6 +73,7 @@ EAGER_BUILD = {
     "dedup_keep_best_quality",  # composes the eager CC labeler
     "dedup_cc_incremental",  # two CC passes (base + quotient) during build
     "dedup_rand_index",  # composes both eager clusterings; scalar collects
+    "dedup_cluster_size_hist",  # composes the eager CC labeler
 }
 
 # Registered cartesian-by-design operators (bounded or demonstration ops).
