@@ -1993,3 +1993,125 @@ def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("fk")
+
+
+# ---------------------------------------------------------------------------
+# DP quantile release (exponential mechanism over value bins, Gumbel-max)
+# ---------------------------------------------------------------------------
+
+DP_QUANT_EPS = 1.0          # total budget across the three releases
+DP_QUANT_BINW = 10000       # o_totalprice bin width
+_DP_QUANT_QS = (25, 50, 75)
+DP_QUANT_SCALE = 2.0 * len(_DP_QUANT_QS) / DP_QUANT_EPS  # 2/eps_i, eps split 3 ways
+
+DP_QUANTILE_ORACLE = f"""
+WITH hist AS (
+  SELECT (CAST(o_totalprice AS BIGINT) // {DP_QUANT_BINW})::BIGINT AS bin,
+         count(*)::BIGINT AS cnt
+  FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT bin, cnt,
+         COALESCE(sum(cnt) OVER (ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS below,
+         sum(cnt) OVER ()::BIGINT AS n
+  FROM hist
+),
+scored AS (
+  SELECT q.q, c.bin, c.cnt, c.below, c.n,
+         ((q.q * c.n) // 100)::BIGINT AS target,
+         -abs(c.below + c.cnt // 2 - (q.q * c.n) // 100)
+           + {DP_QUANT_SCALE} * (-ln(-ln(
+             ((('0x' || substr(md5('dpq' || q.q || '_' || c.bin), 1, 8))::BIGINT
+               % 1000000) + 0.5) / 1000000.0))) AS score
+  FROM cum c CROSS JOIN (SELECT unnest([{", ".join(str(x) for x in _DP_QUANT_QS)}]) AS q) q
+),
+sel AS (
+  SELECT q, bin, cnt, below, target,
+         row_number() OVER (PARTITION BY q ORDER BY score DESC, bin) AS rn
+  FROM scored
+),
+truth AS (
+  SELECT q.q, min(c.bin) AS true_bin
+  FROM cum c CROSS JOIN (SELECT unnest([{", ".join(str(x) for x in _DP_QUANT_QS)}]) AS q) q
+  WHERE c.below + c.cnt >= (q.q * c.n) // 100
+  GROUP BY q.q
+)
+SELECT s.q::BIGINT AS q, s.bin AS released_bin, t.true_bin::BIGINT AS true_bin,
+       (s.below + s.cnt // 2)::BIGINT AS released_rank_mid,
+       s.target,
+       abs(s.below + s.cnt // 2 - s.target)::BIGINT AS rank_err
+FROM sel s JOIN truth t ON t.q = s.q
+WHERE s.rn = 1
+ORDER BY s.q
+"""
+
+
+@register("privacy_dp_quantile", DP_QUANTILE_ORACLE, tags=("governance", "privacy"))
+def privacy_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private quantile release: the exponential mechanism
+    over order-total value bins via Gumbel-max (the privacy_dp_topk
+    machinery pointed at rank utility): a bin's utility is -|its midpoint
+    rank - target rank|, scored plus Gumbel(2*3/eps) noise (budget split
+    across the three releases, rank sensitivity 1), and the arg-max bin is
+    released per quantile. Noise is the deterministic md5 inverse-CDF
+    uniform as in the other privacy_dp_* ops — oracle-reproducible, swap a
+    real RNG in production. true_bin/rank_err are AUDIT columns grading
+    mechanism utility; a production release drops them.
+
+    Scale shape: the corpus collapses to a bounded value-bin histogram in
+    one map-side-combined hash-agg; every window after that runs on the
+    bin frame (bounded by the value range / bin width), and the selection
+    is a per-quantile row_number over it. 100x more orders changes bin
+    COUNTS, not bin count."""
+    t = load_tables(spark, sf_dir)
+    hist = (
+        t["orders"]
+        .groupBy(
+            F.expr(f"CAST(o_totalprice AS BIGINT) div {DP_QUANT_BINW}")
+            .cast("long").alias("bin")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w_below = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "bin", "cnt",
+        F.coalesce(F.sum("cnt").over(w_below), F.lit(0)).cast("long").alias("below"),
+        F.sum("cnt").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in _DP_QUANT_QS])).alias("q")
+    )
+    uni = (
+        "((CAST(conv(substring(md5(concat('dpq', CAST(q AS STRING), '_', CAST(bin AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        " % 1000000) + 0.5) / 1000000.0"
+    )
+    scored = cum.crossJoin(F.broadcast(qs)).select(
+        "q", "bin", "cnt", "below", "n",
+        F.expr("(q * n) div 100").cast("long").alias("target"),
+        (
+            -F.abs(F.col("below") + F.expr("cnt div 2") - F.expr("(q * n) div 100"))
+            + DP_QUANT_SCALE * -F.log(-F.log(F.expr(uni)))
+        ).alias("score"),
+    )
+    w_sel = Window.partitionBy("q").orderBy(F.desc("score"), "bin")
+    sel = scored.withColumn("rn", F.row_number().over(w_sel)).filter(F.col("rn") == 1)
+    truth = (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(F.col("below") + F.col("cnt") >= F.expr("(q * n) div 100"))
+        .groupBy("q")
+        .agg(F.min("bin").alias("true_bin"))
+    )
+    return (
+        sel.join(truth, "q")
+        .select(
+            F.col("q").cast("long").alias("q"),
+            F.col("bin").alias("released_bin"),
+            F.col("true_bin").cast("long").alias("true_bin"),
+            (F.col("below") + F.expr("cnt div 2")).cast("long").alias("released_rank_mid"),
+            "target",
+            F.abs(F.col("below") + F.expr("cnt div 2") - F.col("target"))
+            .cast("long").alias("rank_err"),
+        )
+        .orderBy("q")
+    )

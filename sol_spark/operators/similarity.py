@@ -2699,3 +2699,230 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "qlabel", "cid", "clabel", "cosine", "rk")
         .orderBy("qid", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar (int8) quantized retrieval: normalized components -> round(127*x),
+# candidates ranked by the PURE-INTEGER dot product.
+# ---------------------------------------------------------------------------
+
+_INT8_Q_SPARK = (
+    "CAST(floor(127.0 * round(element_at({col}, {i}) / {nrm}, 6) + 0.5) AS BIGINT)"
+)
+_INT8_Q_DUCK = "CAST(floor(127.0 * round({col}[{i}] / {nrm}, 6) + 0.5) AS BIGINT)"
+
+
+def _int8_dot_spark(qcol: str, ccol: str, qn: str, cn: str) -> F.Column:
+    acc = F.lit(0).cast("long")
+    for i in range(1, EMB_DIM + 1):
+        qa = F.expr(_INT8_Q_SPARK.format(col=qcol, i=i, nrm=qn))
+        cb = F.expr(_INT8_Q_SPARK.format(col=ccol, i=i, nrm=cn))
+        acc = acc + qa * cb
+    return acc
+
+
+SIM_INT8_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+norms AS (
+  SELECT vec_id, sqrt(sum(embedding[i.i]::DOUBLE * embedding[i.i]::DOUBLE)) AS nrm
+  FROM embeddings, dims i GROUP BY vec_id
+),
+quant AS (
+  SELECT e.vec_id, i.i AS d,
+         {_INT8_Q_DUCK.format(col="e.embedding", i="i.i", nrm="n.nrm")} AS q
+  FROM embeddings e JOIN norms n ON n.vec_id = e.vec_id, dims i
+),
+dots AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.q * b.q)::BIGINT AS dot_int
+  FROM quant a JOIN quant b ON b.d = a.d AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < {N_QUERIES}
+  GROUP BY a.vec_id, b.vec_id
+),
+ranked AS (
+  SELECT qid, cid, dot_int,
+         row_number() OVER (PARTITION BY qid ORDER BY dot_int DESC, cid) AS rk
+  FROM dots
+)
+SELECT qid, cid, dot_int, rk FROM ranked WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+"""
+
+
+@register("sim_topk_int8", SIM_INT8_ORACLE, tags=("llm", "similarity", "quantize"))
+def sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) retrieval: components of the L2-normalized
+    vector round to q = floor(127*x + 0.5) in [-127, 127], and candidates
+    rank by the PURE-INTEGER dot product sum(q_a * q_b) — 4x smaller than
+    float32, integer SIMD on any hardware, and unlike the float cosine the
+    score has no summation-order sensitivity at all (integer addition
+    commutes exactly), so the ranking is bit-deterministic at any
+    parallelism. The half-up rounding sits on round(x, 6), the repo's
+    cross-engine float convention, so both engines quantize from the
+    identical double. Between sign-bit Hamming (32x, coarsest) and PQ/ADC
+    (codebook) this completes the quantized-retrieval ladder.
+
+    Scale shape: same as sim_topk_exact — corpus scanned once (quantization
+    is a projection), {N_QUERIES}-row query side broadcast, top-k window
+    per query."""
+    emb = _with_norm(load_tables(spark, sf_dir)["embeddings"])
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            _int8_dot_spark("qe", "embedding", "qn", "nrm").alias("dot_int"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("dot_int"), "cid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", "cid", "dot_int", "rk")
+        .orderBy("qid", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval quality metrics: P@k, MRR, nDCG against same-label relevance
+# ---------------------------------------------------------------------------
+
+RANK_K = 10
+
+# DCG discounts 1/log2(i+1) as REPR LITERALS baked into both engines'
+# expressions — never a runtime log() whose libm-vs-JVM ulp could drift the
+# sum. Prefix sums give the ideal DCG for any relevant-count <= k.
+import math as _math  # noqa: E402
+
+_DCG_W = [1.0 / _math.log2(i + 1) for i in range(1, RANK_K + 1)]
+_DCG_PREFIX = [sum(_DCG_W[: j + 1]) for j in range(RANK_K)]
+
+
+def _idcg_case(n_col: str) -> str:
+    """CASE expression: ideal DCG for least(n_rel_all, k) relevant items."""
+    arms = " ".join(
+        f"WHEN {j + 1} THEN {_DCG_PREFIX[j]!r}" for j in range(RANK_K)
+    )
+    return f"CASE least({n_col}, {RANK_K}) {arms} ELSE 0.0 END"
+
+
+def _dcg_expr(prefix: str) -> str:
+    """Fixed-order DCG over the pivoted per-rank relevance flags."""
+    return " + ".join(
+        f"COALESCE({prefix}{i}, 0) * {_DCG_W[i - 1]!r}" for i in range(1, RANK_K + 1)
+    )
+
+
+SIM_RANK_METRICS_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+      FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS cid, label AS clabel, embedding AS ce FROM embeddings),
+norms AS (
+  SELECT vec_id, sqrt(sum(embedding[i.i]::DOUBLE * embedding[i.i]::DOUBLE)) AS nrm
+  FROM embeddings, dims i GROUP BY vec_id
+),
+dots AS (
+  SELECT qid, qlabel, cid, clabel, sum(qe[i.i]::DOUBLE * ce[i.i]::DOUBLE) AS dot
+  FROM q, c, dims i WHERE qid <> cid GROUP BY qid, qlabel, cid, clabel
+),
+ranked AS (
+  SELECT qid, CASE WHEN clabel = qlabel THEN 1 ELSE 0 END AS rel,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(dot / (nq.nrm * nc.nrm), 6) DESC, cid) AS rk
+  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid
+),
+rel_all AS (
+  SELECT q.qid, count(*)::BIGINT AS n_rel_all
+  FROM q JOIN c ON c.clabel = q.qlabel AND c.cid <> q.qid
+  GROUP BY q.qid
+),
+piv AS (
+  SELECT qid,
+         sum(rel)::BIGINT AS n_rel_top,
+         min(CASE WHEN rel = 1 THEN rk END) AS first_rel,
+         {", ".join(f"max(CASE WHEN rk = {i} THEN rel END) AS r{i}" for i in range(1, RANK_K + 1))}
+  FROM ranked WHERE rk <= {RANK_K} GROUP BY qid
+)
+SELECT p.qid, p.n_rel_top, a.n_rel_all,
+       ((1000000 * p.n_rel_top) // {RANK_K})::BIGINT AS p_at_k_ppm,
+       COALESCE(1000000 // p.first_rel, 0)::BIGINT AS mrr_ppm,
+       CASE WHEN a.n_rel_all = 0 THEN 0.0
+            ELSE round(({_dcg_expr("r")}) / ({_idcg_case("a.n_rel_all")}), 6) + 0.0
+       END AS ndcg
+FROM piv p JOIN rel_all a ON a.qid = p.qid
+ORDER BY p.qid
+"""
+
+
+@register("sim_rank_metrics", SIM_RANK_METRICS_ORACLE, tags=("llm", "similarity", "audit", "eval"))
+def sim_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality scorecard for the exact-cosine run against
+    same-label relevance: precision@{RANK_K} and MRR in exact integer ppm,
+    and nDCG@{RANK_K} with the log2 discounts baked in as repr literals
+    (identical doubles in both engines; the DCG is a FIXED-ORDER 10-term
+    expression over pivoted per-rank flags, never an aggregation whose
+    float order floats). The eval harness every retrieval change gets
+    graded on — recall@k lives in sim_recall_eval/sim_hamming_recall; this
+    adds the rank-sensitive metrics.
+
+    Scale shape: the ranked top-k is sim_topk_exact's accepted broadcast
+    shape; the per-query pivot is a {RANK_K}-row-per-query hash-agg and
+    the relevant-population count is one broadcast label join — nothing
+    scales worse than the retrieval run being audited."""
+    emb = _with_norm(load_tables(spark, sf_dir)["embeddings"])
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"), F.col("nrm").alias("qn"),
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0).alias("rel"),
+            F.col("vec_id").alias("cid"),
+            F.round(
+                F.expr(_DOT.format(a="qe", b="embedding")) / (F.col("qn") * F.col("nrm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
+    ranked = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= RANK_K)
+    piv = ranked.groupBy("qid").agg(
+        F.sum("rel").cast("long").alias("n_rel_top"),
+        F.min(F.when(F.col("rel") == 1, F.col("rk"))).alias("first_rel"),
+        *[
+            F.max(F.when(F.col("rk") == i, F.col("rel"))).alias(f"r{i}")
+            for i in range(1, RANK_K + 1)
+        ],
+    )
+    labels = emb.select("vec_id", "label")
+    rel_all = (
+        labels.join(
+            F.broadcast(q.select("qid", "qlabel")),
+            (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel_all"))
+    )
+    return (
+        piv.join(rel_all, "qid")
+        .select(
+            "qid", "n_rel_top", "n_rel_all",
+            F.expr(f"(1000000 * n_rel_top) div {RANK_K}").cast("long").alias("p_at_k_ppm"),
+            F.coalesce(F.expr("1000000 div first_rel"), F.lit(0)).cast("long").alias("mrr_ppm"),
+            F.when(F.col("n_rel_all") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.expr(_dcg_expr("r")) / F.expr(_idcg_case("n_rel_all")), 6
+                )
+                + 0.0
+            ).alias("ndcg"),
+        )
+        .orderBy("qid")
+    )
