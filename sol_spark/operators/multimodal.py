@@ -444,3 +444,94 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed multimodal ingestion pipeline (integrity gate -> exact-signature
+# dedup -> chunk/byte manifest), per modality
+# ---------------------------------------------------------------------------
+
+_PIPE_CHUNKS_PER = -(-MEDIA_BYTES // CHUNK_BYTES)  # ceil, a plan-time constant
+
+MM_PIPELINE_ORACLE = f"""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         {_MODALITY} AS modality,
+         repeat(md5(text), 4) AS hx
+  FROM documents
+),
+flagged AS (
+  SELECT media_id, modality, hx,
+         CASE WHEN ('0x' || substr(hx, 1, 2))::INT % 7 = media_id % 7
+              THEN 1 ELSE 0 END AS ok_magic
+  FROM media
+),
+inflow AS (
+  SELECT modality, count(*)::BIGINT AS n_in,
+         sum(1 - ok_magic)::BIGINT AS n_failed
+  FROM flagged GROUP BY modality
+),
+kept AS (
+  SELECT modality,
+         count(*)::BIGINT AS n_passed,
+         count(DISTINCT substr(hx, 1, 15))::BIGINT AS n_kept
+  FROM flagged WHERE ok_magic = 1 GROUP BY modality
+)
+SELECT i.modality, i.n_in, i.n_failed, k.n_passed,
+       (k.n_passed - k.n_kept)::BIGINT AS n_dup_dropped,
+       k.n_kept,
+       (k.n_kept * {_PIPE_CHUNKS_PER})::BIGINT AS n_chunks,
+       (k.n_kept * {MEDIA_BYTES})::BIGINT AS kept_bytes
+FROM inflow i JOIN kept k ON k.modality = i.modality
+ORDER BY i.modality
+"""
+
+
+@register("pipeline_multimodal_corpus", MM_PIPELINE_ORACLE, tags=("llm", "multimodal", "pipeline"))
+def pipeline_multimodal_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed media-ingestion pipeline as ONE plan, mirroring
+    pipeline_rag_corpus for binary columns: integrity gate (the magic-byte
+    probe from mm_integrity_audit — the deliberately-strict stand-in for a
+    real format-signature check) -> exact-signature dedup (distinct
+    60-bit payload prefix per modality; near-dup would swap in
+    mm_phash_dedup's banded join) -> chunk/byte manifest with
+    {CHUNK_BYTES}-byte chunks. The output is the per-modality accounting
+    table an ingest job publishes: inflow, quarantine, duplicate drops,
+    kept media, and downstream chunk/byte volumes — every stage's flow is
+    explicit so a 100 TB run can be reconciled end to end.
+
+    Scale shape: a single scan computes flags and signatures (no decode,
+    pure column arithmetic on the binary/hex payload); the only
+    aggregation is per-modality with a distinct-signature count — a
+    two-level hash-agg, no windows, no joins except the 3-row manifest
+    stitch."""
+    media = media_table(spark, sf_dir)
+    first_byte = F.expr("CAST(conv(substring(hex(content), 1, 2), 16, 10) AS INT)")
+    flagged = media.select(
+        "media_id", "modality",
+        F.expr("substring(lower(hex(content)), 1, 15)").alias("sig"),
+        F.when(first_byte % 7 == F.col("media_id") % 7, 1).otherwise(0).alias("ok_magic"),
+    )
+    inflow = flagged.groupBy("modality").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in"),
+        F.sum(1 - F.col("ok_magic")).cast("long").alias("n_failed"),
+    )
+    kept = (
+        flagged.filter(F.col("ok_magic") == 1)
+        .groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_passed"),
+            F.countDistinct("sig").cast("long").alias("n_kept"),
+        )
+    )
+    return (
+        inflow.join(kept, "modality")
+        .select(
+            "modality", "n_in", "n_failed", "n_passed",
+            (F.col("n_passed") - F.col("n_kept")).cast("long").alias("n_dup_dropped"),
+            "n_kept",
+            (F.col("n_kept") * _PIPE_CHUNKS_PER).cast("long").alias("n_chunks"),
+            (F.col("n_kept") * MEDIA_BYTES).cast("long").alias("kept_bytes"),
+        )
+        .orderBy("modality")
+    )

@@ -3533,3 +3533,294 @@ def stats_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (tie-corrected, two-pass decomposed ranks)
+# ---------------------------------------------------------------------------
+
+_SPEAR_BUCK = 1 << 20  # prefix-decomposition bucket width for cent values
+
+SPEARMAN_ORACLE = f"""
+WITH pairs AS (
+  SELECT o.o_orderkey AS k,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS va,
+         COALESCE(lc.c, 0)::BIGINT AS vb
+  FROM orders o
+  LEFT JOIN (SELECT l_orderkey, count(*)::BIGINT AS c FROM lineitem GROUP BY 1) lc
+    ON lc.l_orderkey = o.o_orderkey
+),
+ha AS (
+  SELECT va AS v, count(*)::BIGINT AS cnt FROM pairs GROUP BY 1
+),
+ra AS (
+  SELECT v, (2 * COALESCE(sum(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + cnt + 1)::BIGINT AS r2
+  FROM ha
+),
+hb AS (
+  SELECT vb AS v, count(*)::BIGINT AS cnt FROM pairs GROUP BY 1
+),
+rb AS (
+  SELECT v, (2 * COALESCE(sum(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + cnt + 1)::BIGINT AS r2
+  FROM hb
+),
+sums AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(ra.r2)::HUGEINT AS s1, sum(rb.r2)::HUGEINT AS s2,
+         sum(ra.r2 * ra.r2)::HUGEINT AS s11,
+         sum(rb.r2 * rb.r2)::HUGEINT AS s22,
+         sum(ra.r2 * rb.r2)::HUGEINT AS s12
+  FROM pairs JOIN ra ON ra.v = pairs.va JOIN rb ON rb.v = pairs.vb
+)
+SELECT n, s1::BIGINT AS s1, s2::BIGINT AS s2,
+       round((n::DOUBLE * s12::DOUBLE - s1::DOUBLE * s2::DOUBLE)
+             / (sqrt(n::DOUBLE * s11::DOUBLE - s1::DOUBLE * s1::DOUBLE)
+                * sqrt(n::DOUBLE * s22::DOUBLE - s2::DOUBLE * s2::DOUBLE)), 6)
+       + 0.0 AS rho
+FROM sums
+"""
+
+
+@register("stats_spearman_corr", SPEARMAN_ORACLE, tags=("stats", "audit"))
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between order value and order width
+    (line count) — the robust monotone-association readout (Pearson lives
+    in stats_regression; rank correlation survives outliers and
+    nonlinearity). Tie-corrected with average ranks computed WITHOUT a
+    global sort: per-value histograms carry doubled average ranks
+    (2*smaller + cnt + 1, exact BIGINTs), rows join their rank by value,
+    and Pearson-on-ranks reduces to five integer sums combined in ONE
+    fixed-order double expression (sqrt is IEEE-exact; identical integer
+    inputs give the identical double both engines), rounded at 6.
+
+    Scale shape: two hash-agg histograms + two value-equi joins back to
+    the pair frame + one five-column fold. The line-count histogram is
+    bounded; the cent-value histogram prefix runs as a window over
+    DISTINCT values — at 100 TB swap in the bucket-decomposed two-pass
+    rank (sample_curriculum) for that single window; every other stage is
+    already scale-free. (The doubled-rank moment sums fit BIGINT through
+    ~10^6 rows; beyond that the accumulators want DECIMAL.)"""
+    t = load_tables(spark, sf_dir)
+    lc = t["lineitem"].groupBy("l_orderkey").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    pairs = (
+        t["orders"]
+        .join(lc, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .select(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("va"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("vb"),
+        )
+    )
+
+    def rank2(col: str) -> DataFrame:
+        hist = pairs.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+        return hist.select(
+            "v",
+            (2 * F.coalesce(F.sum("cnt").over(w), F.lit(0)) + F.col("cnt") + 1)
+            .cast("long").alias("r2"),
+        )
+
+    ra = rank2("va").withColumnRenamed("v", "av").withColumnRenamed("r2", "r2a")
+    rb = rank2("vb").withColumnRenamed("v", "bv").withColumnRenamed("r2", "r2b")
+    joined = (
+        pairs.join(ra, F.col("va") == F.col("av"))
+        .join(F.broadcast(rb), F.col("vb") == F.col("bv"))
+    )
+    sums = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r2a").cast("long").alias("s1"),
+        F.sum("r2b").cast("long").alias("s2"),
+        F.sum(F.col("r2a") * F.col("r2a")).cast("long").alias("s11"),
+        F.sum(F.col("r2b") * F.col("r2b")).cast("long").alias("s22"),
+        F.sum(F.col("r2a") * F.col("r2b")).cast("long").alias("s12"),
+    )
+    return sums.select(
+        "n", "s1", "s2",
+        (
+            F.round(
+                (
+                    F.col("n").cast("double") * F.col("s12").cast("double")
+                    - F.col("s1").cast("double") * F.col("s2").cast("double")
+                )
+                / (
+                    F.sqrt(
+                        F.col("n").cast("double") * F.col("s11").cast("double")
+                        - F.col("s1").cast("double") * F.col("s1").cast("double")
+                    )
+                    * F.sqrt(
+                        F.col("n").cast("double") * F.col("s22").cast("double")
+                        - F.col("s2").cast("double") * F.col("s2").cast("double")
+                    )
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV theta-sketch union + difference (completes the sketch set algebra)
+# ---------------------------------------------------------------------------
+
+KMV_UNION_ORACLE = f"""
+WITH a AS (
+  SELECT DISTINCT o_custkey AS k FROM orders WHERE year(o_orderdate) <= 1997
+), b AS (
+  SELECT DISTINCT o_custkey AS k FROM orders WHERE year(o_orderdate) >= 1997
+), ha AS (SELECT k, ('0x' || substr(md5(k::VARCHAR), 1, 15))::BIGINT AS h FROM a),
+hb AS (SELECT k, ('0x' || substr(md5(k::VARCHAR), 1, 15))::BIGINT AS h FROM b),
+ska AS (SELECT h FROM ha ORDER BY h LIMIT {KMV_K}),
+skb AS (SELECT h FROM hb ORDER BY h LIMIT {KMV_K}),
+sku AS (
+  SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb) u
+  ORDER BY h LIMIT {KMV_K}
+),
+thu AS (SELECT max(h) AS th, count(*) AS ku FROM sku),
+theta AS (
+  SELECT least((SELECT max(h) FROM ska), (SELECT max(h) FROM skb)) AS th
+),
+dcount AS (
+  SELECT count(*) AS d
+  FROM ska, theta
+  WHERE ska.h < theta.th AND ska.h NOT IN (SELECT h FROM skb)
+),
+exact AS (
+  SELECT (SELECT count(*) FROM (SELECT k FROM a UNION SELECT k FROM b) u) AS nu,
+         (SELECT count(*) FROM ha WHERE k NOT IN (SELECT k FROM hb)) AS nd
+)
+SELECT nu::BIGINT AS exact_union, nd::BIGINT AS exact_diff,
+       round((thu.ku - 1) * {_KMV_SCALE}.0 / thu.th, 2) AS kmv_union_est,
+       round(abs((thu.ku - 1) * {_KMV_SCALE}.0 / thu.th - nu) / greatest(nu, 1), 4) AS union_rel_err,
+       d::BIGINT AS diff_below_theta,
+       round(d * {_KMV_SCALE}.0 / theta.th, 2) AS kmv_diff_est,
+       round(abs(d * {_KMV_SCALE}.0 / theta.th - nd) / greatest(nd, 1), 4) AS diff_rel_err
+FROM thu, theta, dcount, exact
+"""
+
+
+@register("sketch_kmv_union_diff", KMV_UNION_ORACLE, tags=("approx", "sketch", "agg", "scale"))
+def sketch_kmv_union_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV theta-sketch UNION and DIFFERENCE estimates, completing the set
+    algebra started by sketch_kmv_intersection: the union sketch is the k
+    smallest distinct hashes of the two sketches merged (estimate
+    (k-1)*2^60/theta_u, the classic KMV cardinality form), and |A \\ B| is
+    the joint-theta count of A-sketch hashes below theta absent from B's
+    sketch, scaled by 2^60/theta. HLL can only union; this is the sketch
+    family a warehouse uses for "customers we LOST between epochs"
+    without ever joining the raw key sets. Exact counts ride along as the
+    honesty audit.
+
+    Scale shape: sketches are per-partition partial top-k merges
+    (TakeOrdered); all set algebra then happens on two {KMV_K}-row
+    frames."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].select("o_custkey", F.year("o_orderdate").alias("y"))
+    a = o.filter(F.col("y") <= 1997).select(F.col("o_custkey").alias("k")).distinct()
+    b = o.filter(F.col("y") >= 1997).select(F.col("o_custkey").alias("k")).distinct()
+    h = F.expr("CAST(conv(substring(md5(cast(k AS string)), 1, 15), 16, 10) AS BIGINT)")
+    ha = a.select("k", h.alias("h"))
+    hb = b.select("k", h.alias("h"))
+    ska = ha.select("h").orderBy("h").limit(KMV_K)
+    skb = hb.select("h").orderBy("h").limit(KMV_K)
+    sku = ska.union(skb).distinct().orderBy("h").limit(KMV_K)
+    thu = sku.agg(F.max("h").alias("thu"), F.count(F.lit(1)).alias("ku"))
+    theta = (
+        ska.agg(F.max("h").alias("tha"))
+        .crossJoin(skb.agg(F.max("h").alias("thb")))
+        .select(F.least("tha", "thb").alias("th"))
+    )
+    dcount = (
+        ska.join(skb, "h", "left_anti")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("th"))
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    exact = (
+        a.union(b).distinct().agg(F.count(F.lit(1)).alias("exact_union"))
+        .crossJoin(ha.join(hb.select("k"), "k", "left_anti").agg(F.count(F.lit(1)).alias("exact_diff")))
+    )
+    u_est = (F.col("ku") - 1) * float(_KMV_SCALE) / F.col("thu")
+    d_est = F.col("d") * float(_KMV_SCALE) / F.col("th")
+    return (
+        thu.crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(dcount))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "exact_union", "exact_diff",
+            F.round(u_est, 2).alias("kmv_union_est"),
+            F.round(
+                F.abs(u_est - F.col("exact_union")) / F.greatest("exact_union", F.lit(1)), 4
+            ).alias("union_rel_err"),
+            F.col("d").alias("diff_below_theta"),
+            F.round(d_est, 2).alias("kmv_diff_est"),
+            F.round(
+                F.abs(d_est - F.col("exact_diff")) / F.greatest("exact_diff", F.lit(1)), 4
+            ).alias("diff_rel_err"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wilson score intervals for per-group rates
+# ---------------------------------------------------------------------------
+
+_WILSON_Z = 1.959963984540054  # 97.5th normal quantile as a repr literal
+
+WILSON_ORACLE = f"""
+WITH g AS (
+  SELECT c_mktsegment AS segment,
+         count(*)::BIGINT AS n,
+         sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)::BIGINT AS pos
+  FROM customer GROUP BY 1
+)
+SELECT segment, n, pos,
+       ((1000000 * pos) // n)::BIGINT AS rate_ppm,
+       round((pos::DOUBLE / n + {_WILSON_Z} * {_WILSON_Z} / (2.0 * n)
+              - {_WILSON_Z} * sqrt(pos::DOUBLE / n * (1.0 - pos::DOUBLE / n) / n
+                  + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+             / (1.0 + {_WILSON_Z} * {_WILSON_Z} / n), 6) + 0.0 AS wilson_lo,
+       round((pos::DOUBLE / n + {_WILSON_Z} * {_WILSON_Z} / (2.0 * n)
+              + {_WILSON_Z} * sqrt(pos::DOUBLE / n * (1.0 - pos::DOUBLE / n) / n
+                  + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+             / (1.0 + {_WILSON_Z} * {_WILSON_Z} / n), 6) + 0.0 AS wilson_hi
+FROM g ORDER BY segment
+"""
+
+
+@register("stats_wilson_ci", WILSON_ORACLE, tags=("stats", "audit"))
+def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% interval for a per-group rate (share of customers
+    in arrears per market segment) — the interval every rate dashboard
+    should use instead of the normal approximation, which collapses at
+    small n and rates near 0/1 (Wilson stays inside [0, 1] by
+    construction). z is a repr literal so both engines start from the
+    identical double; the bound is ONE fixed-order expression over the
+    exact integer (n, pos) pair — sqrt is IEEE-exact, so results agree to
+    the 6-decimal rounding everywhere.
+
+    Scale shape: one conditional hash-agg to (group, n, pos); the
+    interval math is a projection over the group frame."""
+    t = load_tables(spark, sf_dir)
+    g = t["customer"].groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0)).cast("long").alias("pos"),
+    )
+    z = _WILSON_Z
+    p = F.col("pos").cast("double") / F.col("n")
+    nn = F.col("n").cast("double")
+    center = p + z * z / (2.0 * nn)
+    half = z * F.sqrt(p * (1.0 - p) / nn + z * z / (4.0 * nn * nn))
+    denom = 1.0 + z * z / nn
+    return g.select(
+        "segment", "n", "pos",
+        F.expr("(1000000 * pos) div n").cast("long").alias("rate_ppm"),
+        (F.round((center - half) / denom, 6) + 0.0).alias("wilson_lo"),
+        (F.round((center + half) / denom, 6) + 0.0).alias("wilson_hi"),
+    ).orderBy("segment")
