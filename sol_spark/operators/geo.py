@@ -204,3 +204,108 @@ def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey", "suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid-cell hotspot detection (Getis-Ord Gi*-lite over occupied cells)
+# ---------------------------------------------------------------------------
+
+GEO_HOTSPOT_ORACLE = f"""
+WITH cust AS (
+  SELECT c_custkey, {_LAT_DUCK.format(k="'c' || c_custkey")} AS lat,
+         {_LON_DUCK.format(k="'c' || c_custkey")} AS lon
+  FROM customer
+), cells AS (
+  SELECT (floor(lat / {CELL_DEG}))::BIGINT AS cy,
+         ((((floor(lon / {CELL_DEG}))::BIGINT % {N_LON_CELLS}) + {N_LON_CELLS}) % {N_LON_CELLS}) AS cx,
+         count(*)::BIGINT AS n
+  FROM cust GROUP BY 1, 2
+), scatter AS (
+  SELECT c.cy + oy.dy AS ty,
+         (((c.cx + ox.dx) % {N_LON_CELLS}) + {N_LON_CELLS}) % {N_LON_CELLS} AS tx,
+         sum(c.n)::BIGINT AS s
+  FROM cells c,
+       (SELECT unnest(range(-1, 2)) AS dy) oy,
+       (SELECT unnest(range(-1, 2)) AS dx) ox
+  GROUP BY 1, 2
+), stats AS (
+  SELECT count(*)::BIGINT AS nc, sum(n)::BIGINT AS s1, sum(n * n)::BIGINT AS s2
+  FROM cells
+)
+SELECT c.cy, c.cx, c.n, sc.s AS nbr_sum,
+       round((sc.s::DOUBLE - 9.0 * (st.s1::DOUBLE / st.nc))
+             / (3.0 * greatest(sqrt(st.s2::DOUBLE / st.nc
+                 - (st.s1::DOUBLE / st.nc) * (st.s1::DOUBLE / st.nc)), 1e-12)), 6)
+       + 0.0 AS z_gi
+FROM cells c
+JOIN scatter sc ON sc.ty = c.cy AND sc.tx = c.cx
+CROSS JOIN stats st
+ORDER BY c.cy, c.cx
+"""
+
+
+@register("geo_hotspots", GEO_HOTSPOT_ORACLE, tags=("geo", "stats", "audit"))
+def geo_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial hotspot detection (Getis-Ord Gi*-lite): per occupied grid
+    cell, the 3x3-neighborhood point mass and its z-score against the
+    occupied-cell count distribution — the density screen behind "where
+    do customers concentrate" maps. Neighborhoods are computed by
+    SCATTERING each cell's count to its nine wrapped targets and
+    re-aggregating (never a 9-way self-join), the longitude index wraps
+    modulo {N_LON_CELLS} at the antimeridian exactly like the geo joins,
+    and mean/variance come from exact integer cell moments, combined in
+    one fixed-order double expression, rounded at 6 (empty cells are
+    excluded from the reference field — a documented simplification of
+    full Gi*).
+
+    Scale shape: points collapse to the bounded cell grid in one
+    map-side-combined hash-agg; everything after runs on <= {12 * N_LON_CELLS}
+    rows."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].select(
+        F.expr(_LAT_SPARK.format(k="concat('c', c_custkey)")).alias("lat"),
+        F.expr(_LON_SPARK.format(k="concat('c', c_custkey)")).alias("lon"),
+    )
+    cells = cust.groupBy(
+        F.expr(f"CAST(floor(lat / {CELL_DEG}) AS BIGINT)").alias("cy"),
+        F.expr(
+            f"pmod(CAST(floor(lon / {CELL_DEG}) AS BIGINT), {N_LON_CELLS})"
+        ).alias("cx"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    offsets = (
+        spark.range(-1, 2)
+        .select(F.col("id").alias("dy"))
+        .crossJoin(spark.range(-1, 2).select(F.col("id").alias("dx")))
+    )
+    scatter = (
+        cells.crossJoin(F.broadcast(offsets))
+        .groupBy(
+            (F.col("cy") + F.col("dy")).alias("ty"),
+            F.pmod(F.col("cx") + F.col("dx"), F.lit(N_LON_CELLS)).alias("tx"),
+        )
+        .agg(F.sum("n").cast("long").alias("s"))
+    )
+    stats = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("nc"),
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("nc")
+    sd = F.sqrt(F.col("s2").cast("double") / F.col("nc") - mu * mu)
+    return (
+        cells.join(scatter, (F.col("ty") == F.col("cy")) & (F.col("tx") == F.col("cx")))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "cy", "cx", "n",
+            F.col("s").alias("nbr_sum"),
+            (
+                F.round(
+                    (F.col("s").cast("double") - 9.0 * mu)
+                    / (3.0 * F.greatest(sd, F.lit(1e-12))),
+                    6,
+                )
+                + 0.0
+            ).alias("z_gi"),
+        )
+        .orderBy("cy", "cx")
+    )

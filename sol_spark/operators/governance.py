@@ -2115,3 +2115,69 @@ def privacy_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pseudonymization consistency audit (tokenize, prove joins survive)
+# ---------------------------------------------------------------------------
+
+TOKENIZE_ORACLE = """
+WITH raw_counts AS (
+  SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY user_id
+),
+tok_counts AS (
+  SELECT md5('tk' || user_id) AS token, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+),
+hist_raw AS (
+  SELECT n, count(*)::BIGINT AS c FROM raw_counts GROUP BY n
+),
+hist_tok AS (
+  SELECT n, count(*)::BIGINT AS c FROM tok_counts GROUP BY n
+)
+SELECT COALESCE(r.n, t.n)::BIGINT AS events_per_entity,
+       COALESCE(r.c, 0)::BIGINT AS n_raw_entities,
+       COALESCE(t.c, 0)::BIGINT AS n_token_entities,
+       (CASE WHEN COALESCE(r.c, 0) = COALESCE(t.c, 0) THEN 1 ELSE 0 END)::BIGINT AS consistent
+FROM hist_raw r FULL OUTER JOIN hist_tok t ON t.n = r.n
+ORDER BY events_per_entity
+"""
+
+
+@register("privacy_tokenize_consistency", TOKENIZE_ORACLE, tags=("governance", "privacy", "audit"))
+def privacy_tokenize_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymization acceptance audit: tokenize user ids with a keyed
+    hash (md5('tk'||id) standing in for HMAC-with-secret) and prove the
+    analytical structure SURVIVES — the per-entity activity histogram
+    computed over raw ids and over tokens must match row for row (any
+    token collision merges two users and shifts a histogram bucket; any
+    non-determinism splits one). This is the check a privacy team signs
+    before swapping tokens into the warehouse: aggregates stay right,
+    while the raw id never has to leave the ingest boundary again.
+
+    Scale shape: two map-side-combined count aggs (one keyed by id, one
+    by token) collapsed to their bounded count-histograms, full-outer
+    joined on the count — no raw-grain join, no window."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    raw_hist = (
+        e.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    )
+    tok_hist = (
+        e.groupBy(F.expr("md5(concat('tk', CAST(user_id AS STRING)))").alias("token"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    return (
+        raw_hist.join(tok_hist, "n", "full_outer")
+        .select(
+            F.col("n").alias("events_per_entity"),
+            F.coalesce(F.col("cr"), F.lit(0)).cast("long").alias("n_raw_entities"),
+            F.coalesce(F.col("ct"), F.lit(0)).cast("long").alias("n_token_entities"),
+            F.when(
+                F.coalesce(F.col("cr"), F.lit(0)) == F.coalesce(F.col("ct"), F.lit(0)), 1
+            ).otherwise(0).cast("long").alias("consistent"),
+        )
+        .orderBy("events_per_entity")
+    )

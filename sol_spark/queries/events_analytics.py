@@ -3487,3 +3487,89 @@ def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-decay multi-touch attribution (dyadic integer weights)
+# ---------------------------------------------------------------------------
+
+DECAY_HALF_MIN = 360  # 6 h half-life over the 24 h lookback -> weights 8/4/2/1
+
+ATTRIB_DECAY_ORACLE = f"""
+WITH purchases AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT event_id AS t_id, user_id, ts AS t_ts, event_type AS channel
+  FROM events WHERE event_type IN ('view', 'click')
+),
+matched AS (
+  SELECT p.p_id, t.t_id, t.channel,
+         (8 >> ((epoch_us(p.p_ts) - epoch_us(t.t_ts)) // {DECAY_HALF_MIN * 60000000}))::BIGINT AS w
+  FROM purchases p JOIN touches t
+    ON p.user_id = t.user_id
+   AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 24 HOUR
+),
+credited AS (
+  SELECT channel,
+         (10000 * w) // greatest(sum(w) OVER (PARTITION BY p_id), 1) AS credit_bp
+  FROM matched
+)
+SELECT channel,
+       count(*)::BIGINT AS n_credited_touches,
+       sum(credit_bp)::BIGINT AS total_credit_bp
+FROM credited GROUP BY channel ORDER BY channel
+"""
+
+
+@register("events_attribution_time_decay", ATTRIB_DECAY_ORACLE, tags=("events", "attribution", "join"))
+def events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution with a {DECAY_HALF_MIN}-minute
+    half-life: a touch k half-lives before the purchase carries weight
+    2^-k, realized as the INTEGER weight 8 >> k (the 24 h lookback holds
+    exactly four half-lives) so per-journey shares are exact integer
+    basis-point divisions — no pow(), no float credit, no cross-engine
+    drift (general 2^(-t/h) decay is exactly the libm-vs-JVM pow() trap
+    the repo's conventions ban). Completes the attribution rulebook next
+    to linear and U-shaped.
+
+    Scale shape: identical to the other attribution ops — user_id
+    equi-join with the 24 h residual, one per-journey window for the
+    weight normalizer, one hash-agg per channel."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("pu"), F.col("ts").alias("p_ts")
+    )
+    touches = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("t_id"), F.col("user_id").alias("tu"),
+        F.col("ts").alias("t_ts"), F.col("event_type").alias("channel"),
+    )
+    matched = purchases.join(
+        touches,
+        (F.col("pu") == F.col("tu"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+    ).select(
+        "p_id", "channel",
+        F.expr(
+            "CAST(shiftright(8, CAST(timestampdiff(MICROSECOND, t_ts, p_ts) "
+            f"div {DECAY_HALF_MIN * 60000000} AS INT)) AS BIGINT)"
+        ).alias("w"),
+    )
+    credited = matched.select(
+        "channel",
+        F.expr("(10000 * w)").cast("long").alias("wc"),
+        F.sum("w").over(W.partitionBy("p_id")).cast("long").alias("sw"),
+    ).select("channel", F.expr("wc div greatest(sw, 1)").cast("long").alias("credit_bp"))
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_credited_touches"),
+            F.sum("credit_bp").cast("long").alias("total_credit_bp"),
+        )
+        .orderBy("channel")
+    )

@@ -3824,3 +3824,74 @@ def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round((center - half) / denom, 6) + 0.0).alias("wilson_lo"),
         (F.round((center + half) / denom, 6) + 0.0).alias("wilson_hi"),
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-evidence / information-value feature binning
+# ---------------------------------------------------------------------------
+
+WOE_ORACLE = """
+WITH binned AS (
+  SELECT CASE WHEN n_chars >= 1800 THEN 9 ELSE n_chars // 200 END AS bin,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+), per_bin AS (
+  SELECT bin, sum(y)::BIGINT AS n_pos, sum(1 - y)::BIGINT AS n_neg
+  FROM binned GROUP BY bin
+), tot AS (
+  SELECT sum(n_pos)::BIGINT AS p, sum(n_neg)::BIGINT AS q FROM per_bin
+)
+SELECT bin, n_pos, n_neg,
+       round(ln(((2 * n_pos + 1)::DOUBLE * (2 * q + 1)::DOUBLE)
+              / ((2 * n_neg + 1)::DOUBLE * (2 * p + 1)::DOUBLE)), 6) + 0.0 AS woe,
+       round(((2 * n_pos + 1)::DOUBLE / (2 * p + 1) - (2 * n_neg + 1)::DOUBLE / (2 * q + 1))
+             * ln(((2 * n_pos + 1)::DOUBLE * (2 * q + 1)::DOUBLE)
+                / ((2 * n_neg + 1)::DOUBLE * (2 * p + 1)::DOUBLE)), 6) + 0.0 AS iv_term
+FROM per_bin, tot
+ORDER BY bin
+"""
+
+
+@register("stats_woe_iv", WOE_ORACLE, tags=("stats", "ml", "audit"))
+def stats_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value table for a binned feature
+    vs a binary target (length bins vs lang='en') — the credit-scoring /
+    feature-selection readout that says how much separation each feature
+    carries and in which bins. Half-count smoothing via the all-integer
+    (2n+1)/(2N+1) form keeps every log argument a ratio of exact
+    integers, so both engines call ln on the identical double (the repo's
+    dp_* precedent); outputs round at 6. IV terms are per-bin — their sum
+    is the feature's IV, left to the consumer so the output stays a
+    partition-friendly table.
+
+    Scale shape: one projection + a 10-row hash-agg + a broadcast 1-row
+    totals join; fully map-side combined."""
+    t = load_tables(spark, sf_dir)
+    binned = t["documents"].select(
+        F.when(F.col("n_chars") >= 1800, 9)
+        .otherwise(F.expr("n_chars div 200")).cast("long").alias("bin"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("long").alias("n_neg"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_pos").cast("long").alias("p"), F.sum("n_neg").cast("long").alias("q")
+    )
+    woe = F.log(
+        ((2 * F.col("n_pos") + 1).cast("double") * (2 * F.col("q") + 1).cast("double"))
+        / ((2 * F.col("n_neg") + 1).cast("double") * (2 * F.col("p") + 1).cast("double"))
+    )
+    share_gap = (2 * F.col("n_pos") + 1).cast("double") / (2 * F.col("p") + 1) - (
+        2 * F.col("n_neg") + 1
+    ).cast("double") / (2 * F.col("q") + 1)
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            "bin", "n_pos", "n_neg",
+            (F.round(woe, 6) + 0.0).alias("woe"),
+            (F.round(share_gap * woe, 6) + 0.0).alias("iv_term"),
+        )
+        .orderBy("bin")
+    )
