@@ -312,3 +312,65 @@ def layout_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shard manifest with order-free content fingerprints (reproducibility)
+# ---------------------------------------------------------------------------
+
+MANIFEST_SHARDS = 16
+_MANIFEST_FP_MOD = 10 ** 12  # per-doc hash term; sums stay far inside BIGINT
+
+SHARD_MANIFEST_ORACLE = f"""
+WITH assigned AS (
+  SELECT doc_id, n_chars,
+         ((('0x' || substr(md5('sh' || doc_id::VARCHAR), 1, 8))::BIGINT
+           % {MANIFEST_SHARDS} + {MANIFEST_SHARDS}) % {MANIFEST_SHARDS}) AS shard,
+         ('0x' || substr(md5('fp' || doc_id::VARCHAR), 1, 12))::BIGINT % {_MANIFEST_FP_MOD} AS fp
+  FROM documents
+)
+SELECT shard,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       min(doc_id)::BIGINT AS min_doc_id,
+       max(doc_id)::BIGINT AS max_doc_id,
+       sum(fp)::BIGINT AS content_fingerprint
+FROM assigned GROUP BY shard ORDER BY shard
+"""
+
+
+@register("layout_shard_manifest", SHARD_MANIFEST_ORACLE, tags=("layout", "llm", "scale", "audit"))
+def layout_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducibility manifest for a {MANIFEST_SHARDS}-way hash-sharded
+    training-data write: per shard, row/byte totals, the id envelope, and
+    an ORDER-FREE content fingerprint (sum of per-doc 48-bit md5 terms) —
+    the receipt two independent pipeline runs compare to prove they wrote
+    the same corpus without re-reading either copy. A commutative sum is
+    the right fingerprint at scale: it is partition-order- and
+    task-retry-insensitive, unlike a concatenated digest (any two
+    differing corpora collide with probability ~ shard_count / 2^48).
+
+    Scale shape: one projection + one {MANIFEST_SHARDS}-row hash-agg,
+    fully map-side combined; the manifest is what partitionBy(shard)
+    writers emit per file in the real system."""
+    t = load_tables(spark, sf_dir)
+    assigned = t["documents"].select(
+        "doc_id", "n_chars",
+        F.expr(
+            f"pmod(CAST(conv(substring(md5(concat('sh', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT), {MANIFEST_SHARDS})"
+        ).alias("shard"),
+        F.expr(
+            f"CAST(conv(substring(md5(concat('fp', CAST(doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT) % {_MANIFEST_FP_MOD}"
+        ).alias("fp"),
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+            F.sum("fp").cast("long").alias("content_fingerprint"),
+        )
+        .orderBy("shard")
+    )

@@ -3734,3 +3734,163 @@ def sample_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage", "shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/val split leakage audit (shared-shingle semi-join across the split)
+# ---------------------------------------------------------------------------
+
+SPLIT_LEAKAGE_ORACLE = """
+WITH norm AS (
+  SELECT doc_id, source, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ntext
+  FROM documents
+), toks AS (
+  SELECT doc_id, source, ntext, string_split(ntext, ' ') AS tk FROM norm
+), shingle AS (
+  SELECT DISTINCT doc_id, source, shingle FROM (
+    SELECT doc_id, source,
+           CASE WHEN len(tk) < 3 THEN [ntext]
+                ELSE list_transform(range(1, len(tk) - 1),
+                                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS shl
+    FROM toks
+  ) s, unnest(s.shl) AS u(shingle)
+), sh AS (
+  SELECT doc_id, source, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS bh FROM shingle
+), split AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 100 < 10
+              THEN 'val' ELSE 'train' END AS split
+  FROM documents
+), train_h AS (
+  SELECT DISTINCT bh FROM sh JOIN split USING (doc_id) WHERE split = 'train'
+), val_docs AS (
+  SELECT DISTINCT sh.doc_id, sh.source FROM sh JOIN split USING (doc_id) WHERE split = 'val'
+), leaked AS (
+  SELECT DISTINCT sh.doc_id
+  FROM sh JOIN split USING (doc_id)
+  WHERE split = 'val' AND bh IN (SELECT bh FROM train_h)
+)
+SELECT v.source,
+       count(*)::BIGINT AS n_val_docs,
+       sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_leaked_docs,
+       ((1000000 * sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)) // count(*))::BIGINT AS leak_ppm
+FROM val_docs v LEFT JOIN leaked l ON l.doc_id = v.doc_id
+GROUP BY v.source
+ORDER BY v.source
+"""
+
+
+@register("text_split_leakage", SPLIT_LEAKAGE_ORACLE, tags=("llm", "text", "dedup", "audit"))
+def text_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val leakage audit for the registered hash split
+    (text_train_val_split's bucket rule, restated): per source, how many
+    val documents share at least one word-3-shingle with ANY train
+    document. Near-duplicates straddling the split are exactly how eval
+    numbers go quietly stale — the honest pipeline measures the leak rate
+    and either dedups BEFORE splitting or reports it. Shingles ride the
+    dedup pipeline's 32-bit hashed rows (16-byte working set, identical
+    hash both engines).
+
+    Scale shape: the train side collapses to DISTINCT shingle hashes
+    before any join (keys, not rows), the val side left-semi-joins that
+    key set (AQE broadcasts it when small), and the readout is one
+    per-source conditional agg. No pairwise doc x doc stage at all."""
+    from sol_spark.operators.dedup import hashed_shingle_rows_df
+
+    t = load_tables(spark, sf_dir)
+    bucket = F.expr("CAST(conv(substring(md5(cast(doc_id AS string)), 1, 6), 16, 10) AS BIGINT) % 100")
+    split = t["documents"].select(
+        "doc_id", "source", F.when(bucket < 10, "val").otherwise("train").alias("split")
+    )
+    sh = hashed_shingle_rows_df(spark, sf_dir).join(split, "doc_id")
+    train_h = sh.filter(F.col("split") == "train").select("h").distinct()
+    val_docs = (
+        sh.filter(F.col("split") == "val").select("doc_id", "source").distinct()
+    )
+    leaked = (
+        sh.filter(F.col("split") == "val")
+        .join(train_h, "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("leak", F.lit(1))
+    )
+    return (
+        val_docs.join(leaked, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_val_docs"),
+            F.sum(F.coalesce(F.col("leak"), F.lit(0))).cast("long").alias("n_leaked_docs"),
+            F.expr("(1000000 * sum(coalesce(leak, 0))) div count(*)")
+            .cast("long").alias("leak_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage / OOV-rate audit
+# ---------------------------------------------------------------------------
+
+OOV_VOCAB_K = 200
+
+OOV_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id, source, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ntext
+  FROM documents
+), toks AS (
+  SELECT doc_id, source, tok
+  FROM norm, unnest(string_split(ntext, ' ')) AS u(tok)
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ORDER BY c DESC, tok LIMIT {OOV_VOCAB_K}
+  ) v
+)
+SELECT source,
+       count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       ((1000000 * sum(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END)) // count(*))::BIGINT AS oov_ppm
+FROM toks LEFT JOIN vocab ON vocab.tok = toks.tok
+GROUP BY source ORDER BY source
+"""
+
+
+@register("text_oov_rate", OOV_ORACLE, tags=("llm", "text", "tokenizer", "audit"))
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: with a top-{OOV_VOCAB_K} frequency vocab
+    (standing in for the tokenizer's word-level vocabulary), the per-source
+    share of token instances that fall out-of-vocabulary — the number that
+    decides whether a tokenizer retrain is due before a new source joins
+    the mix (a domain whose OOV runs hot fragments into byte-fallback
+    tokens and quietly inflates its cost per document; see
+    text_tokenizer_fertility for the downstream symptom). Exact integer
+    ppm.
+
+    Scale shape: one token explode feeding two map-side-combined aggs —
+    the global vocab is a bounded top-k (TakeOrdered, never a global
+    sort) broadcast back as the join keep-list; the readout is one
+    conditional agg per source."""
+    t = load_tables(spark, sf_dir)
+    toks = (
+        t["documents"]
+        .select("source", F.expr(_NORM).alias("ntext"))
+        .select("source", F.explode(F.split("ntext", " ")).alias("tok"))
+    )
+    vocab = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tok").limit(OOV_VOCAB_K)
+        .select("tok").withColumn("in_vocab", F.lit(1))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_oov"),
+            F.expr(
+                "(1000000 * sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END)) div count(*)"
+            ).cast("long").alias("oov_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -3573,3 +3573,80 @@ def events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency (boundary sweep: +1/-1 running sum, max per day)
+# ---------------------------------------------------------------------------
+
+PEAK_CONCURRENCY_ORACLE = f"""
+WITH iv AS (
+  SELECT event_id,
+         strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         floor(epoch(ts))::BIGINT AS s,
+         floor(epoch(ts))::BIGINT + {COVERAGE_WIDTH_S} AS e
+  FROM events
+), bounds AS (
+  SELECT day, s AS t, 1 AS delta, event_id FROM iv
+  UNION ALL
+  SELECT day, e AS t, -1 AS delta, event_id FROM iv
+), running AS (
+  SELECT day, t, delta,
+         sum(delta) OVER (
+           PARTITION BY day ORDER BY t, delta, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+  FROM bounds
+)
+SELECT day,
+       max(live)::BIGINT AS peak_concurrent,
+       (count(*) / 2)::BIGINT AS n_intervals,
+       min(t)::BIGINT AS first_s,
+       max(t)::BIGINT AS last_s
+FROM running GROUP BY day ORDER BY day
+"""
+
+
+@register("events_peak_concurrency", PEAK_CONCURRENCY_ORACLE, tags=("events", "windows"))
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day: every event opens a {COVERAGE_WIDTH_S}-s
+    interval; the day's peak is the max of the +1/-1 boundary sweep — the
+    capacity-planning twin of events_interval_coverage (union length says
+    how BUSY the system was, peak says how WIDE it had to be). Half-open
+    intervals: at a shared timestamp the -1 sorts before the +1 (delta in
+    the ORDER BY), so an interval ending exactly when another starts never
+    double-counts; event_id makes the order total. Epoch seconds are
+    timezone-free BIGINTs.
+
+    Scale shape: boundary rows are a 2x projection (no join); the sweep is
+    one running-sum window and the readout one hash-agg, all partitioned
+    by day — the window never sees more than one day's boundaries."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    iv = t["events"].select(
+        "event_id",
+        F.expr("date_format(CAST(ts AS DATE), 'yyyy-MM-dd')").alias("day"),
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").alias("s"),
+    )
+    bounds = iv.select(
+        "day", F.col("s").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionByName(
+        iv.select(
+            "day", (F.col("s") + COVERAGE_WIDTH_S).alias("t"),
+            F.lit(-1).alias("delta"), "event_id",
+        )
+    )
+    w = W.partitionBy("day").orderBy("t", "delta", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    running = bounds.withColumn("live", F.sum("delta").over(w))
+    return (
+        running.groupBy("day")
+        .agg(
+            F.max("live").cast("long").alias("peak_concurrent"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+            F.min("t").cast("long").alias("first_s"),
+            F.max("t").cast("long").alias("last_s"),
+        )
+        .orderBy("day")
+    )
