@@ -3996,3 +3996,76 @@ def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("size")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Conductance of the label-propagation communities (cut quality per part)
+# ---------------------------------------------------------------------------
+
+GRAPH_CONDUCTANCE_ORACLE = f"""
+WITH lpa AS MATERIALIZED (
+  {GRAPH_LPA_ORACLE}
+), pr AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_ORACLE.replace("ORDER BY doc_a, doc_b", "")}) q
+), sym AS (SELECT doc_a AS u, doc_b AS v FROM pr UNION ALL SELECT doc_b, doc_a FROM pr),
+lab AS (
+  SELECT la.community AS lu, lb.community AS lv
+  FROM sym s JOIN lpa la ON la.doc = s.u JOIN lpa lb ON lb.doc = s.v
+),
+vols AS (
+  SELECT lu AS community, count(*)::BIGINT AS vol,
+         sum(CASE WHEN lu <> lv THEN 1 ELSE 0 END)::BIGINT AS cut
+  FROM lab GROUP BY lu
+),
+tot AS (SELECT sum(vol)::BIGINT AS tv FROM vols),
+nn AS (SELECT community, count(*)::BIGINT AS n_nodes FROM lpa GROUP BY community)
+SELECT v.community, nn.n_nodes, v.vol, v.cut,
+       ((1000000 * v.cut) // greatest(least(v.vol, tot.tv - v.vol), 1))::BIGINT
+         AS conductance_ppm
+FROM vols v JOIN nn ON nn.community = v.community CROSS JOIN tot
+ORDER BY v.community
+"""
+
+
+@register("graph_conductance", GRAPH_CONDUCTANCE_ORACLE, tags=("llm", "graph", "dedup", "iterative"))
+def graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conductance per label-propagation community: the directed-cut share
+    phi(S) = cut(S) / min(vol(S), vol(complement)) in exact integer ppm —
+    the partition-quality metric that catches what modularity misses (a
+    high-modularity split can still contain one community that leaks half
+    its edges; conductance grades each part on its own). Communities that
+    glue distinct dup-cliques through a bridge doc show up here first.
+
+    Scale shape: the labeled edge list is the same two node-key joins the
+    modularity op does (O(|E|) shuffled rows); volumes/cuts are one
+    hash-agg; the complement volume needs only the 1-row total crossed
+    back. All integers end to end."""
+    lpa = local_checkpoint(graph_label_propagation(spark, sf_dir))
+    mh = dedup_minhash_lsh(spark, sf_dir)
+    pairs = local_checkpoint(mh.select("doc_a", "doc_b"))
+    release_result(mh)
+    sym = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    la = lpa.select(F.col("doc").alias("u"), F.col("community").alias("lu"))
+    lb = lpa.select(F.col("doc").alias("v"), F.col("community").alias("lv"))
+    lab = sym.join(la, "u").join(lb, "v")
+    vols = lab.groupBy(F.col("lu").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("vol"),
+        F.sum(F.when(F.col("lu") != F.col("lv"), 1).otherwise(0)).cast("long").alias("cut"),
+    )
+    tot = vols.agg(F.sum("vol").cast("long").alias("tv"))
+    nn = lpa.groupBy("community").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    out = local_checkpoint(
+        vols.join(nn, "community")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "community", "n_nodes", "vol", "cut",
+            F.expr("(1000000 * cut) div greatest(least(vol, tv - vol), 1)")
+            .cast("long").alias("conductance_ppm"),
+        )
+        .orderBy("community")
+    )
+    release_result(lpa)
+    release_result(pairs)
+    return out

@@ -2181,3 +2181,71 @@ def privacy_tokenize_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("events_per_entity")
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-arriving dimension handling (inferred members + coverage accounting)
+# ---------------------------------------------------------------------------
+
+_LATE_DIM_KEEP_PPM = 900000  # 90% of customers have "arrived" in the snapshot
+
+INFERRED_MEMBERS_ORACLE = f"""
+WITH snapshot AS (
+  SELECT c_custkey FROM customer
+  WHERE (('0x' || substr(md5('ld' || c_custkey), 1, 8))::BIGINT % 1000000) < {_LATE_DIM_KEEP_PPM}
+),
+facts AS (
+  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+tagged AS (
+  SELECT f.o_custkey, f.cents,
+         CASE WHEN s.c_custkey IS NULL THEN 'inferred' ELSE 'real' END AS member_status
+  FROM facts f LEFT JOIN snapshot s ON s.c_custkey = f.o_custkey
+)
+SELECT member_status,
+       count(DISTINCT o_custkey)::BIGINT AS n_members,
+       count(*)::BIGINT AS n_facts,
+       sum(cents)::BIGINT AS fact_revenue_cents
+FROM tagged GROUP BY member_status ORDER BY member_status
+"""
+
+
+@register("warehouse_inferred_members", INFERRED_MEMBERS_ORACLE, tags=("warehouse", "etl", "audit"))
+def warehouse_inferred_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension handling: facts whose dimension row hasn't
+    landed yet (simulated by a deterministic 90% 'arrived' snapshot of
+    customer) are attached to INFERRED placeholder members instead of
+    being dropped or failing the load — the Kimball pattern every
+    warehouse ETL implements. The readout is the accounting both paths
+    get: member counts, fact counts, and revenue under real vs inferred
+    members, so a backfill job knows exactly how much restates when the
+    true dimension rows arrive (and the load provably conserved every
+    fact: the two n_facts sum to the fact count).
+
+    Scale shape: one left join of facts against the snapshot key
+    projection (AQE broadcasts the dim side) and one two-row conditional
+    agg with a distinct-member count — the exact plan shape of the
+    production MERGE's accounting query."""
+    t = load_tables(spark, sf_dir)
+    snapshot = t["customer"].filter(
+        F.expr(
+            "CAST(conv(substring(md5(concat('ld', CAST(c_custkey AS STRING))), 1, 8), 16, 10) AS BIGINT) "
+            f"% 1000000 < {_LATE_DIM_KEEP_PPM}"
+        )
+    ).select("c_custkey")
+    facts = t["orders"].select(
+        "o_custkey", F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents")
+    )
+    tagged = facts.join(snapshot, facts["o_custkey"] == snapshot["c_custkey"], "left").select(
+        "o_custkey", "cents",
+        F.when(F.col("c_custkey").isNull(), "inferred").otherwise("real").alias("member_status"),
+    )
+    return (
+        tagged.groupBy("member_status")
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_members"),
+            F.count(F.lit(1)).cast("long").alias("n_facts"),
+            F.sum("cents").cast("long").alias("fact_revenue_cents"),
+        )
+        .orderBy("member_status")
+    )

@@ -3895,3 +3895,102 @@ def stats_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Paired sign-flip permutation test (md5-seeded, all-integer statistics)
+# ---------------------------------------------------------------------------
+
+PERM_N = 64
+
+PERMTEST_ORACLE = f"""
+WITH cents AS (
+  SELECT o_custkey, year(o_orderdate) AS y,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+pairs AS (
+  SELECT o_custkey AS k,
+         sum(CASE WHEN y >= 1997 THEN c ELSE 0 END)
+           - sum(CASE WHEN y < 1997 THEN c ELSE 0 END) AS d
+  FROM cents GROUP BY o_custkey
+  HAVING sum(CASE WHEN y >= 1997 THEN 1 ELSE 0 END) > 0
+     AND sum(CASE WHEN y < 1997 THEN 1 ELSE 0 END) > 0
+),
+obs AS (SELECT count(*)::BIGINT AS n_pairs, sum(d)::BIGINT AS t_obs FROM pairs),
+perms AS (
+  SELECT p.p,
+         sum((1 - 2 * ((('0x' || substr(md5('pm' || p.p || '_' || k), 1, 8))::BIGINT % 2))) * d)::BIGINT AS t
+  FROM pairs, (SELECT unnest(range({PERM_N})) AS p) p
+  GROUP BY p.p
+)
+SELECT o.n_pairs, o.t_obs, {PERM_N}::BIGINT AS n_perms,
+       sum(CASE WHEN abs(pm.t) >= abs(o.t_obs) THEN 1 ELSE 0 END)::BIGINT AS n_ge,
+       ((1000000 * (1 + sum(CASE WHEN abs(pm.t) >= abs(o.t_obs) THEN 1 ELSE 0 END)))
+         // ({PERM_N} + 1))::BIGINT AS p_ppm
+FROM perms pm CROSS JOIN obs o
+GROUP BY o.n_pairs, o.t_obs
+"""
+
+
+@register("stats_permutation_test", PERMTEST_ORACLE, tags=("stats", "abtest"))
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign-flip permutation test: did per-customer spend change
+    between the pre-/post-1997 epochs? The test statistic T = sum(d_i) is
+    exact integer cents; each of the {PERM_N} permutations flips every
+    pair's sign by an md5 coin keyed on (perm, customer) — the
+    distribution-free randomization test with NO normality assumption, no
+    variance estimate, and (here) no float anywhere: the p-value is the
+    add-one-smoothed exceedance count in integer ppm. Deterministic
+    permutations keep the whole release oracle-reproducible (the
+    privacy_dp_* stance); production swaps a seeded RNG.
+
+    Scale shape: facts collapse to per-customer epoch sums (one hash-agg),
+    the permutation fan-out is a {PERM_N}x projection over the bounded
+    pair frame re-aggregated map-side, and the readout compares {PERM_N}
+    scalars against one."""
+    t = load_tables(spark, sf_dir)
+    cents = t["orders"].select(
+        "o_custkey", F.year("o_orderdate").alias("y"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("c"),
+    )
+    pairs = (
+        cents.groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            (
+                F.sum(F.when(F.col("y") >= 1997, F.col("c")).otherwise(0))
+                - F.sum(F.when(F.col("y") < 1997, F.col("c")).otherwise(0))
+            ).alias("d"),
+            F.sum(F.when(F.col("y") >= 1997, 1).otherwise(0)).alias("n_late"),
+            F.sum(F.when(F.col("y") < 1997, 1).otherwise(0)).alias("n_early"),
+        )
+        .filter((F.col("n_late") > 0) & (F.col("n_early") > 0))
+        .select("k", "d")
+    )
+    obs = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("d").cast("long").alias("t_obs"),
+    )
+    perm_ids = spark.range(PERM_N).select(F.col("id").alias("p"))
+    sign = F.expr(
+        "1 - 2 * (CAST(conv(substring(md5(concat('pm', CAST(p AS STRING), '_', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2)"
+    )
+    perms = (
+        pairs.crossJoin(F.broadcast(perm_ids))
+        .select("p", (sign * F.col("d")).alias("sd"))
+        .groupBy("p")
+        .agg(F.sum("sd").cast("long").alias("t"))
+    )
+    return (
+        perms.crossJoin(F.broadcast(obs))
+        .groupBy("n_pairs", "t_obs")
+        .agg(
+            F.lit(PERM_N).cast("long").alias("n_perms"),
+            F.sum(F.when(F.abs(F.col("t")) >= F.abs(F.col("t_obs")), 1).otherwise(0))
+            .cast("long").alias("n_ge"),
+            F.expr(
+                f"(1000000 * (1 + sum(CASE WHEN abs(t) >= abs(t_obs) THEN 1 ELSE 0 END))) div ({PERM_N} + 1)"
+            ).cast("long").alias("p_ppm"),
+        )
+        .select("n_pairs", "t_obs", "n_perms", "n_ge", "p_ppm")
+    )

@@ -74,6 +74,7 @@ EAGER_BUILD = {
     "dedup_cc_incremental",  # two CC passes (base + quotient) during build
     "dedup_rand_index",  # composes both eager clusterings; scalar collects
     "dedup_cluster_size_hist",  # composes the eager CC labeler
+    "graph_conductance",  # composes the eager LPA labeler
 }
 
 # Registered cartesian-by-design operators (bounded or demonstration ops).
