@@ -85,6 +85,12 @@ HEADLINE = [
     # cost shapes (multi-model-join scoring, shrinking-frontier rounds).
     "text_lm_trigram_backoff",
     "dedup_mis_keepset",
+    # r6 wave-14 additions: the cross-split shingle semi-join leakage audit
+    # (distinct-hash keep-list against the val shingle stream) and the
+    # boundary-sweep peak-concurrency window — the session's two new
+    # heavy-ish shapes (everything else in waves 9-15 is bounded hash-agg).
+    "text_split_leakage",
+    "events_peak_concurrency",
     "win_rank_topk_per_group",
     "time_rollup_hierarchy",
     "set_intersect",

@@ -2249,3 +2249,48 @@ def warehouse_inferred_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("member_status")
     )
+
+
+# ---------------------------------------------------------------------------
+# Junk-dimension build (low-cardinality flag combos -> surrogate keys)
+# ---------------------------------------------------------------------------
+
+JUNK_DIM_ORACLE = """
+WITH combos AS (
+  SELECT o_orderstatus AS status, o_orderpriority AS priority,
+         count(*)::BIGINT AS n_facts,
+         min(o_orderkey)::BIGINT AS first_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT row_number() OVER (ORDER BY status, priority) AS junk_key,
+       status, priority, n_facts, first_orderkey
+FROM combos ORDER BY junk_key
+"""
+
+
+@register("warehouse_junk_dimension", JUNK_DIM_ORACLE, tags=("warehouse", "etl"))
+def warehouse_junk_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Junk-dimension build (the Kimball pattern for stray low-cardinality
+    flags): the distinct (status, priority) combos observed in the fact
+    table become one tiny dimension with DETERMINISTIC surrogate keys
+    (dense row_number over the total (status, priority) order — never a
+    nondeterministic monotonically_increasing_id, so two independent
+    builds assign identical keys and the fact FK backfill is
+    reproducible). n_facts per combo is the occupancy audit that says
+    whether the junk dim should be enumerated-in-advance instead.
+
+    Scale shape: the fact table collapses to its combo histogram in one
+    map-side-combined hash-agg; the surrogate window runs on the bounded
+    combo frame only."""
+    t = load_tables(spark, sf_dir)
+    combos = t["orders"].groupBy(
+        F.col("o_orderstatus").alias("status"), F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_facts"),
+        F.min("o_orderkey").cast("long").alias("first_orderkey"),
+    )
+    w = Window.orderBy("status", "priority")
+    return combos.select(
+        F.row_number().over(w).cast("long").alias("junk_key"),
+        "status", "priority", "n_facts", "first_orderkey",
+    ).orderBy("junk_key")

@@ -3894,3 +3894,162 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain boilerplate detection (high-document-frequency line screen)
+# ---------------------------------------------------------------------------
+
+BOILER_MIN_DOCS = 2
+BOILER_SHARE_BP = 2000  # segment is boilerplate in its source at >= 20% of docs
+
+BOILERPLATE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split({_NORM_DUCK}, ' ') AS tk FROM documents
+), chunks AS (
+  SELECT doc_id, source,
+         list_aggregate(tk[(i.i*{_LD_CHUNK}+1):(i.i*{_LD_CHUNK}+{_LD_CHUNK})], 'string_agg', ' ') AS chunk
+  FROM toks, unnest(range((len(tk) + {_LD_CHUNK - 1}) // {_LD_CHUNK})) AS i(i)
+), src_docs AS (
+  SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs FROM chunks GROUP BY source
+), seg AS (
+  SELECT source, chunk,
+         count(*)::BIGINT AS n_instances,
+         count(DISTINCT doc_id)::BIGINT AS n_docs_with
+  FROM chunks GROUP BY source, chunk
+), flagged AS (
+  SELECT s.source, s.chunk, s.n_instances, s.n_docs_with,
+         CASE WHEN s.n_docs_with >= {BOILER_MIN_DOCS}
+               AND 10000 * s.n_docs_with >= {BOILER_SHARE_BP} * d.n_docs
+              THEN 1 ELSE 0 END AS boiler
+  FROM seg s JOIN src_docs d ON d.source = s.source
+)
+SELECT source,
+       count(*)::BIGINT AS n_segments_distinct,
+       sum(boiler)::BIGINT AS n_boiler_segments,
+       sum(CASE WHEN boiler = 1 THEN n_instances ELSE 0 END)::BIGINT AS boiler_instances,
+       ((1000000 * sum(CASE WHEN boiler = 1 THEN n_instances ELSE 0 END))
+         // sum(n_instances))::BIGINT AS boiler_share_ppm
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
+@register("text_boilerplate_lines", BOILERPLATE_ORACLE, tags=("llm", "text", "quality", "dedup"))
+def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain boilerplate screen (the trafilatura/CCNet curation rule
+    that global line-dedup can't express): a segment is boilerplate IN ITS
+    SOURCE when it appears in >= {BOILER_SHARE_BP} bp of that source's
+    documents (and at least {BOILER_MIN_DOCS} docs) — nav bars, cookie
+    banners, license footers. The readout prices the cleanup per source:
+    distinct segments, flagged segments, and the instance share the
+    rewrite would strip. text_line_dedup keeps FIRST occurrences
+    globally; this flags by WITHIN-DOMAIN document frequency — the two
+    compose (dedup first, then domain screen).
+
+    Scale shape: one segment explode -> a (source, segment) hash-agg with
+    doc-distinct counts -> a broadcast join of per-source doc totals ->
+    one per-source conditional agg. All counts and the ppm are exact
+    BIGINTs; no windows."""
+    t = load_tables(spark, sf_dir)
+    toks = f"split({_NORM}, ' ')"
+    chunks = t["documents"].select(
+        "doc_id", "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, (size({toks}) + {_LD_CHUNK - 1}) div {_LD_CHUNK} - 1), "
+                f"i -> array_join(slice({toks}, i*{_LD_CHUNK} + 1, {_LD_CHUNK}), ' '))"
+            )
+        ).alias("chunk"),
+    )
+    src_docs = chunks.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    seg = chunks.groupBy("source", "chunk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_instances"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs_with"),
+    )
+    flagged = seg.join(F.broadcast(src_docs), "source").select(
+        "source", "n_instances",
+        F.when(
+            (F.col("n_docs_with") >= BOILER_MIN_DOCS)
+            & (10000 * F.col("n_docs_with") >= BOILER_SHARE_BP * F.col("n_docs")),
+            1,
+        ).otherwise(0).alias("boiler"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments_distinct"),
+            F.sum("boiler").cast("long").alias("n_boiler_segments"),
+            F.sum(F.when(F.col("boiler") == 1, F.col("n_instances")).otherwise(0))
+            .cast("long").alias("boiler_instances"),
+            F.expr(
+                "(1000000 * sum(CASE WHEN boiler = 1 THEN n_instances ELSE 0 END)) div sum(n_instances)"
+            ).cast("long").alias("boiler_share_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Code-switching (intra-document language mixing) audit
+# ---------------------------------------------------------------------------
+
+_CS_EN = "('the','a','of','and','is','to','in','it','you','that')"
+_CS_DE = "('der','die','das','und','ist','zu','den','nicht','ich','ein')"
+CS_MIN_HITS = 2  # both languages need >= this many stopword hits to flag
+
+CODE_SWITCH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, tok
+  FROM (SELECT doc_id, source, string_split({_NORM_DUCK}, ' ') AS tk FROM documents) s,
+       unnest(s.tk) AS u(tok)
+), per_doc AS (
+  SELECT doc_id, source,
+         sum(CASE WHEN tok IN {_CS_EN} THEN 1 ELSE 0 END)::BIGINT AS en_hits,
+         sum(CASE WHEN tok IN {_CS_DE} THEN 1 ELSE 0 END)::BIGINT AS de_hits
+  FROM toks GROUP BY doc_id, source
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN en_hits >= {CS_MIN_HITS} AND de_hits >= {CS_MIN_HITS}
+                THEN 1 ELSE 0 END)::BIGINT AS n_mixed,
+       ((1000000 * sum(CASE WHEN en_hits >= {CS_MIN_HITS} AND de_hits >= {CS_MIN_HITS}
+                            THEN 1 ELSE 0 END)) // count(*))::BIGINT AS mixed_ppm
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+@register("text_code_switching", CODE_SWITCH_ORACLE, tags=("llm", "text", "quality"))
+def text_code_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching audit: documents whose body carries stopword
+    evidence of TWO languages at once (>= {CS_MIN_HITS} hits from both the
+    English and German marker sets) — the docs a per-document language-ID
+    label (text_lang_id) silently mislabels, and the first thing a
+    multilingual curation pass quarantines or segments. Per-source counts
+    and an exact integer-ppm mixed rate.
+
+    Scale shape: one token explode into a per-doc conditional hash-agg
+    (map-side combined; the marker sets are IN-list literals evaluated in
+    the scan stage), then a per-source fold. No joins, no windows."""
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id", "source", F.explode(F.split(F.expr(_NORM), " ")).alias("tok")
+    )
+    per_doc = toks.groupBy("doc_id", "source").agg(
+        F.sum(F.expr(f"CASE WHEN tok IN {_CS_EN} THEN 1 ELSE 0 END")).cast("long").alias("en_hits"),
+        F.sum(F.expr(f"CASE WHEN tok IN {_CS_DE} THEN 1 ELSE 0 END")).cast("long").alias("de_hits"),
+    )
+    mixed = (F.col("en_hits") >= CS_MIN_HITS) & (F.col("de_hits") >= CS_MIN_HITS)
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(mixed, 1).otherwise(0)).cast("long").alias("n_mixed"),
+            F.expr(
+                f"(1000000 * sum(CASE WHEN en_hits >= {CS_MIN_HITS} AND de_hits >= {CS_MIN_HITS} "
+                "THEN 1 ELSE 0 END)) div count(*)"
+            ).cast("long").alias("mixed_ppm"),
+        )
+        .orderBy("source")
+    )
