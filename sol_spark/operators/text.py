@@ -3643,7 +3643,7 @@ def text_doremi_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CURRICULUM_STAGES = 4
 CURRICULUM_SHARDS = 8
-_CURR_RANK_SHARDS = 16  # parallelism of the two-pass within-size rank
+_CURR_RANK_SPAN = 4096  # doc_id range per two-pass rank bucket (order-preserving)
 
 _CURR_SHARD_SPARK = (
     "pmod(CAST(conv(substring(md5(concat('c', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT), "
@@ -3704,7 +3704,13 @@ def sample_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars", F.coalesce(F.sum("cnt").over(w_smaller), F.lit(0)).alias("n_smaller")
     )
     n_tot = docs.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n"))
-    sharded = docs.withColumn("rshard", F.pmod("doc_id", F.lit(_CURR_RANK_SHARDS)))
+    # Range bucket (div), NOT doc_id % k: the bucket must preserve doc_id
+    # ORDER inside each size class so (rshard, doc_id) sorts exactly like
+    # the oracle's global (n_chars, doc_id) rank. A mod bucket permutes
+    # same-length docs across a stage boundary — the md5 shard of WHICH
+    # doc landed each side then shifts per-cell envelopes (caught by the
+    # round-6 sf0.1 sweep: min_chars 45 vs 48 in one cell).
+    sharded = docs.withColumn("rshard", F.expr(f"doc_id div {_CURR_RANK_SPAN}"))
     w_local = W.partitionBy("n_chars", "rshard").orderBy("doc_id")
     local = sharded.withColumn("local_rn", F.row_number().over(w_local))
     shard_tot = sharded.groupBy("n_chars", "rshard").agg(F.count(F.lit(1)).alias("tot"))

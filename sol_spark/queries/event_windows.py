@@ -210,7 +210,7 @@ def time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 UNIQUE_USERS_ORACLE = """
 SELECT to_timestamp(floor(epoch(ts))::BIGINT // 3600 * 3600)::TIMESTAMP AS window_start,
        count(DISTINCT user_id) AS exact_users,
-       true AS within_2pct
+       true AS within_4pct
 FROM events
 GROUP BY 1
 ORDER BY window_start
@@ -220,9 +220,13 @@ ORDER BY window_start
 @register("stream_window_unique_users", UNIQUE_USERS_ORACLE, tags=("streaming", "window", "approx"))
 def stream_window_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch shape of pipelines.window_unique_users plus the correctness
-    gate: the HLL++ estimate must land within 2% of the exact per-window
-    distinct count (estimates are deterministic for fixed input, so the
-    boolean is hash-stable — same contract as approx_count_distinct_bounds).
+    gate: the HLL++ estimate must land within 4% of the exact per-window
+    distinct count. The sketch runs at rsd=0.01, so 4% is a 4-sigma gate:
+    at sf0.1 the worst of 720 windows measured 2.48% (a plain 2-sigma gate
+    flipped on 3 windows there — the round-6 sf0.1 sweep catch), while a
+    genuine sketch regression blows straight past 4 sigma. Estimates are
+    deterministic for fixed input, so the boolean is hash-stable (same
+    contract as approx_count_distinct_bounds).
     The streaming twin runs the identical transform incrementally; HLL
     sketch-merge is batch-boundary-insensitive, so the estimates agree
     exactly (tests/test_streaming.py::test_window_unique_users_stream)."""
@@ -243,8 +247,8 @@ def stream_window_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_users",
             (
                 F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
-                <= 0.02
-            ).alias("within_2pct"),
+                <= 0.04
+            ).alias("within_4pct"),
         )
         .orderBy("window_start")
     )
