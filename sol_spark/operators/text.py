@@ -4059,3 +4059,80 @@ def text_code_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary-growth (Heaps-law) coverage curve
+# ---------------------------------------------------------------------------
+
+HEAPS_SLICES = 10
+
+HEAPS_ORACLE = f"""
+WITH sliced AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('hp' || doc_id::VARCHAR), 1, 8))::BIGINT % {HEAPS_SLICES} AS slice,
+         string_split({_NORM_DUCK}, ' ') AS tk
+  FROM documents
+), toks AS (
+  SELECT slice, tok FROM sliced, unnest(tk) AS u(tok)
+), per_slice AS (
+  SELECT slice, count(*)::BIGINT AS n_inst FROM toks GROUP BY slice
+), first_slice AS (
+  SELECT tok, min(slice) AS fs FROM toks GROUP BY tok
+), new_types AS (
+  SELECT fs AS slice, count(*)::BIGINT AS n_new FROM first_slice GROUP BY fs
+)
+SELECT p.slice,
+       p.n_inst,
+       COALESCE(n.n_new, 0)::BIGINT AS n_new_types,
+       sum(p.n_inst) OVER (ORDER BY p.slice
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS tokens_cum,
+       sum(COALESCE(n.n_new, 0)) OVER (ORDER BY p.slice
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS types_cum
+FROM per_slice p LEFT JOIN new_types n ON n.slice = p.slice
+ORDER BY p.slice
+"""
+
+
+@register("text_heaps_law", HEAPS_ORACLE, tags=("llm", "text", "tokenizer", "audit"))
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve: the corpus is cut into
+    {HEAPS_SLICES} pseudo-random hash slices and each row reports
+    cumulative token instances vs cumulative distinct types after b
+    slices — the curve whose log-log slope (Heaps beta) says how fast the
+    vocabulary still grows, i.e. whether MORE DATA from this mix keeps
+    buying new types (tokenizer sizing, dedup saturation, crawl-budget
+    calls all read this curve). The curve is exact integers; the fit is
+    left to the consumer (a 10-point float regression would hang the
+    output on engine-ordered float sums).
+
+    Scale shape: the cumulative-distinct trick is first-occurrence
+    attribution — min(slice) per type (one hash-agg keyed by token) makes
+    'distinct after b slices' a prefix sum over a {HEAPS_SLICES}-row
+    frame; the corpus is never re-scanned per prefix (the naive form is
+    {HEAPS_SLICES} distinct-counts over growing unions)."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    sliced = t["documents"].select(
+        F.expr(
+            f"CAST(conv(substring(md5(concat('hp', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % {HEAPS_SLICES}"
+        ).alias("slice"),
+        F.explode(F.split(F.expr(_NORM), " ")).alias("tok"),
+    )
+    per_slice = sliced.groupBy("slice").agg(F.count(F.lit(1)).cast("long").alias("n_inst"))
+    new_types = (
+        sliced.groupBy("tok").agg(F.min("slice").alias("slice"))
+        .groupBy("slice").agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    w = W.orderBy("slice").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        per_slice.join(new_types, "slice", "left")
+        .select(
+            "slice", "n_inst",
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new_types"),
+        )
+        .withColumn("tokens_cum", F.sum("n_inst").over(w).cast("long"))
+        .withColumn("types_cum", F.sum("n_new_types").over(w).cast("long"))
+        .orderBy("slice")
+    )

@@ -3650,3 +3650,141 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio mismatch (SRM) guardrail for hash-assigned experiments
+# ---------------------------------------------------------------------------
+
+_SRM_CRIT_E6 = 3841459  # chi-square(1) 95th percentile * 1e6, as a literal
+
+SRM_ORACLE = f"""
+WITH arms AS (
+  SELECT DISTINCT user_id,
+         ('0x' || substr(md5('ab' || user_id), 1, 8))::BIGINT % 2 AS arm
+  FROM events
+),
+counts AS (
+  SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1
+  FROM arms
+)
+SELECT n0, n1,
+       ((1000000 * (n0 - n1) * (n0 - n1)) // (n0 + n1))::BIGINT AS chi2_e6,
+       (CASE WHEN (1000000 * (n0 - n1) * (n0 - n1)) // (n0 + n1) > {_SRM_CRIT_E6}
+             THEN 1 ELSE 0 END)::BIGINT AS srm_flag
+FROM counts
+"""
+
+
+@register("events_ab_srm_check", SRM_ORACLE, tags=("events", "abtest", "dq"))
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail — the first check every experiment
+    readout runs before anyone looks at a metric: with a 50/50 hash
+    assignment, the unit counts per arm must pass a chi-square(1) test
+    ((n0-n1)^2/n in closed form for two arms); a flagged SRM means the
+    assignment or logging pipeline is biased and every downstream readout
+    is invalid. Exact integers end to end — chi2 is held at e6 scale via
+    integer division against the 3.841 critical value as a literal.
+
+    Scale shape: events collapse to distinct units (one hash-agg), then a
+    single 1-row conditional agg. Nothing else."""
+    t = load_tables(spark, sf_dir)
+    arms = (
+        t["events"]
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(conv(substring(md5(concat('ab', CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2"
+            ).alias("arm"),
+        )
+        .distinct()
+    )
+    counts = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+    )
+    return counts.select(
+        "n0", "n1",
+        F.expr("(1000000 * (n0 - n1) * (n0 - n1)) div (n0 + n1)").cast("long").alias("chi2_e6"),
+        F.expr(
+            f"CASE WHEN (1000000 * (n0 - n1) * (n0 - n1)) div (n0 + n1) > {_SRM_CRIT_E6} THEN 1 ELSE 0 END"
+        ).cast("long").alias("srm_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM-style segment migration matrix (monetary quintile, epoch over epoch)
+# ---------------------------------------------------------------------------
+
+RFM_MIGRATION_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey AS custkey,
+         CASE WHEN year(o_orderdate) < 1997 THEN 'early' ELSE 'late' END AS epoch,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1, 2
+),
+both_epochs AS (
+  SELECT custkey,
+         max(CASE WHEN epoch = 'early' THEN cents END) AS early_cents,
+         max(CASE WHEN epoch = 'late' THEN cents END) AS late_cents
+  FROM spend GROUP BY custkey
+  HAVING count(*) = 2
+),
+scored AS (
+  SELECT custkey,
+         ntile(5) OVER (ORDER BY early_cents, custkey) AS m_early,
+         ntile(5) OVER (ORDER BY late_cents, custkey) AS m_late
+  FROM both_epochs
+)
+SELECT m_early, m_late,
+       count(*)::BIGINT AS n_customers,
+       min(custkey)::BIGINT AS min_custkey
+FROM scored GROUP BY m_early, m_late
+ORDER BY m_early, m_late
+"""
+
+
+@register("rfm_migration", RFM_MIGRATION_ORACLE, tags=("events", "marts"))
+def rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment migration matrix: each repeat customer's monetary quintile
+    in the pre-1997 epoch vs after — the churn/upgrade flow chart behind
+    every lifecycle-marketing dashboard (rfm_segmentation gives the
+    snapshot; this gives the TRANSITIONS). Quintiles break ties by
+    custkey so the ntile boundary is a total order (the SCD2 lesson);
+    output is the 5x5 count matrix, all integers.
+
+    Scale shape: facts collapse to (customer, epoch) sums in one
+    hash-agg, pivoted per customer; the two ntile windows run over the
+    customer frame (bounded by customers, like rfm_segmentation — at
+    extreme scale the histogram-rank decomposition replaces them); the
+    matrix is a 25-row agg."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    spend = t["orders"].groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.when(F.year("o_orderdate") < 1997, "early").otherwise("late").alias("epoch"),
+    ).agg(F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("cents"))
+    both = (
+        spend.groupBy("custkey")
+        .agg(
+            F.max(F.when(F.col("epoch") == "early", F.col("cents"))).alias("early_cents"),
+            F.max(F.when(F.col("epoch") == "late", F.col("cents"))).alias("late_cents"),
+            F.count(F.lit(1)).alias("n_epochs"),
+        )
+        .filter(F.col("n_epochs") == 2)
+    )
+    scored = both.select(
+        "custkey",
+        F.ntile(5).over(W.orderBy("early_cents", "custkey")).alias("m_early"),
+        F.ntile(5).over(W.orderBy("late_cents", "custkey")).alias("m_late"),
+    )
+    return (
+        scored.groupBy("m_early", "m_late")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.min("custkey").cast("long").alias("min_custkey"),
+        )
+        .orderBy("m_early", "m_late")
+    )
