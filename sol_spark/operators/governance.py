@@ -2294,3 +2294,91 @@ def warehouse_junk_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("long").alias("junk_key"),
         "status", "priority", "n_facts", "first_orderkey",
     ).orderBy("junk_key")
+
+
+# ---------------------------------------------------------------------------
+# Bridge-table allocation (many-to-many with exact bp factors, conserved)
+# ---------------------------------------------------------------------------
+
+BRIDGE_ALLOC_ORACLE = """
+WITH numbered AS (
+  SELECT l_orderkey,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn,
+         count(*) OVER (PARTITION BY l_orderkey)::BIGINT AS n_lines
+  FROM lineitem
+),
+alloc AS (
+  SELECT l.l_orderkey, o.o_orderpriority AS priority,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+         (10000 // l.n_lines
+          + CASE WHEN l.rn = 1 THEN 10000 % l.n_lines ELSE 0 END)::BIGINT AS factor_bp
+  FROM numbered l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT priority,
+       count(DISTINCT l_orderkey)::BIGINT AS n_orders,
+       count(*)::BIGINT AS n_lines,
+       sum(factor_bp)::BIGINT AS factor_bp_total,
+       sum(cents * factor_bp)::BIGINT AS alloc_centsbp,
+       (CASE WHEN sum(factor_bp) = 10000 * count(DISTINCT l_orderkey)
+             THEN 1 ELSE 0 END)::BIGINT AS conserved
+FROM alloc GROUP BY priority ORDER BY priority
+"""
+
+
+@register("warehouse_bridge_allocation", BRIDGE_ALLOC_ORACLE, tags=("warehouse", "etl", "audit"))
+def warehouse_bridge_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bridge-table allocation factors (the Kimball many-to-many pattern):
+    an order's value is split across its lines with EXACT integer
+    basis-point factors — 10000 div n per line, remainder assigned to
+    exactly ONE line (row_number 1 in a per-order window; the fixture has
+    duplicate line numbers, so a min(l_linenumber) rule would double-pay
+    the remainder — caught by the conservation test) — so per-order
+    factors sum to exactly 10000 and allocated
+    value is conserved TO THE UNIT (float factors 1/n leak pennies at
+    warehouse scale and reconciliation pages someone at quarter close).
+    The readout proves it: per priority, factor totals equal
+    10000 x orders and the allocated cents-bp mass is exact.
+
+    Scale shape: one per-order width hash-agg joined back to lines plus
+    the order header (both equi-joins on the order key — co-partitioned,
+    one shuffle family), then a per-priority conditional agg."""
+    t = load_tables(spark, sf_dir)
+    w_ord = Window.partitionBy("l_orderkey")
+    numbered = t["lineitem"].select(
+        "l_orderkey",
+        F.row_number().over(w_ord.orderBy("l_linenumber", "l_partkey", "l_suppkey")).alias("rn"),
+        F.count(F.lit(1)).over(w_ord).cast("long").alias("n_lines"),
+    )
+    alloc = (
+        numbered
+        .join(
+            t["orders"].select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                F.col("o_orderpriority").alias("priority"),
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+            ),
+            "l_orderkey",
+        )
+        .select(
+            "l_orderkey", "priority", "cents",
+            (
+                F.expr("10000 div n_lines")
+                + F.when(F.col("rn") == 1, F.expr("10000 % n_lines")).otherwise(0)
+            ).cast("long").alias("factor_bp"),
+        )
+    )
+    return (
+        alloc.groupBy("priority")
+        .agg(
+            F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("factor_bp").cast("long").alias("factor_bp_total"),
+            F.sum(F.col("cents") * F.col("factor_bp")).cast("long").alias("alloc_centsbp"),
+            F.when(
+                F.sum("factor_bp") == 10000 * F.countDistinct("l_orderkey"), 1
+            ).otherwise(0).cast("long").alias("conserved"),
+        )
+        .orderBy("priority")
+    )

@@ -2926,3 +2926,68 @@ def sim_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster purity against labels (clustering acceptance, external criterion)
+# ---------------------------------------------------------------------------
+
+def _purity_oracle() -> str:
+    final = KM_ITERS + 1
+    return f"""{_kmeans_chain_sql()},
+lab AS (SELECT vec_id, label FROM embeddings),
+celllab AS (
+  SELECT a.cent_id, l.label, count(*)::BIGINT AS n
+  FROM a{final} a JOIN lab l USING (vec_id) GROUP BY 1, 2
+),
+tot AS (SELECT cent_id, sum(n)::BIGINT AS nt, max(n)::BIGINT AS mx FROM celllab GROUP BY cent_id),
+maj AS (
+  SELECT c.cent_id, min(c.label)::BIGINT AS majority_label
+  FROM celllab c JOIN tot t ON t.cent_id = c.cent_id AND c.n = t.mx
+  GROUP BY c.cent_id
+)
+SELECT t.cent_id, t.nt AS n_members, m.majority_label, t.mx AS n_majority,
+       ((1000000 * t.mx) // t.nt)::BIGINT AS purity_ppm
+FROM tot t JOIN maj m USING (cent_id)
+ORDER BY t.cent_id
+"""
+
+
+@register("sim_centroid_purity", _purity_oracle(), tags=("llm", "similarity", "ivf", "iterative", "eval"))
+def sim_centroid_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster purity of the trained k-means cells against the label
+    column — the external clustering criterion next to the internal ones
+    (emb_silhouette) and the pairwise one (dedup_rand_index): per cell,
+    its majority label (ties to the smallest label) and the exact
+    integer-ppm share that label holds. The acceptance number a
+    label-aware IVF/SemDeDup deployment is graded on.
+
+    Scale shape: training is the shared kmeans_centroids loop (model-sync
+    collect of K*D cells per round); scoring is the shuffle-free projected
+    argmin; purity is a (cell, label) hash-agg plus a per-cell argmax over
+    the bounded label set."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cent = kmeans_centroids(spark, emb.select("vec_id", "embedding"))
+    assigned = _km_assign(emb.select("vec_id", "embedding"), cent).select("vec_id", "cent_id")
+    celllab = (
+        assigned.join(emb.select("vec_id", F.col("label").cast("long").alias("label")), "vec_id")
+        .groupBy("cent_id", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = celllab.groupBy("cent_id").agg(
+        F.sum("n").cast("long").alias("n_members"), F.max("n").cast("long").alias("n_majority")
+    )
+    maj = (
+        celllab.join(tot, "cent_id")
+        .filter(F.col("n") == F.col("n_majority"))
+        .groupBy("cent_id")
+        .agg(F.min("label").alias("majority_label"))
+    )
+    return (
+        tot.join(maj, "cent_id")
+        .select(
+            "cent_id", "n_members", "majority_label", "n_majority",
+            F.expr("(1000000 * n_majority) div n_members").cast("long").alias("purity_ppm"),
+        )
+        .orderBy("cent_id")
+    )

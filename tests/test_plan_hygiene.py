@@ -75,6 +75,7 @@ EAGER_BUILD = {
     "dedup_rand_index",  # composes both eager clusterings; scalar collects
     "dedup_cluster_size_hist",  # composes the eager CC labeler
     "graph_conductance",  # composes the eager LPA labeler
+    "sim_centroid_purity",  # k-means model-sync loop runs during construction
 }
 
 # Registered cartesian-by-design operators (bounded or demonstration ops).
