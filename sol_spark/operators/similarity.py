@@ -2991,3 +2991,105 @@ def sim_centroid_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cent_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-stage retrieval: cheap Hamming prefilter -> exact cosine rerank
+# ---------------------------------------------------------------------------
+
+STAGE1_K = 50
+
+SIM_TWO_STAGE_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+{_HAM_WORDS_SQL},
+hscored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         bit_count(xor(q.w1, c.w1)) + bit_count(xor(q.w2, c.w2)) AS hamming
+  FROM words q JOIN words c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+stage1 AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY hamming, cid) AS rk
+    FROM hscored) t WHERE rk <= {STAGE1_K}
+),
+norms AS (
+  SELECT vec_id, sqrt(sum(embedding[i.i]::DOUBLE * embedding[i.i]::DOUBLE)) AS nrm
+  FROM embeddings, dims i GROUP BY vec_id
+),
+rescored AS (
+  SELECT s.qid, s.cid,
+         round(sum(eq.embedding[i.i]::DOUBLE * ec.embedding[i.i]::DOUBLE)
+               / any_value(nq.nrm * nc.nrm), 6) AS cosine
+  FROM stage1 s
+  JOIN embeddings eq ON eq.vec_id = s.qid
+  JOIN embeddings ec ON ec.vec_id = s.cid
+  JOIN norms nq ON nq.vec_id = s.qid
+  JOIN norms nc ON nc.vec_id = s.cid
+  CROSS JOIN dims i
+  GROUP BY s.qid, s.cid
+),
+final AS (
+  SELECT qid, cid, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+  FROM rescored
+)
+SELECT qid, cid, cosine, rk FROM final WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+"""
+
+
+@register("sim_two_stage_retrieval", SIM_TWO_STAGE_ORACLE, tags=("llm", "similarity", "quantize", "pipeline"))
+def sim_two_stage_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production retrieval architecture as ONE plan: a cheap integer
+    first stage (sign-bit Hamming over packed words, {STAGE1_K} candidates
+    per query — 16x-compressed scan, no float math) feeding an exact
+    float rerank (full cosine on the survivors only). The expensive stage
+    touches {STAGE1_K} x queries vectors instead of the corpus — at 100 TB
+    that is the difference between scanning 100 TB of float32 and 6 TB of
+    bits plus a few MB of rerank. sim_hamming_recall measures what the
+    prefilter alone loses; this op IS the mitigation.
+
+    Scale shape: stage 1 is sim_topk_hamming's broadcast shape; the
+    rerank joins the tiny candidate list back to the corpus by vec_id
+    (two hash joins AQE sizes), then one window over {STAGE1_K} rows per
+    query."""
+    emb = _with_norm(load_tables(spark, sf_dir)["embeddings"])
+    w1, w2 = _sign_words("embedding")
+    words = emb.select("vec_id", w1.alias("w1"), w2.alias("w2"))
+    q = words.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("w1").alias("qw1"), F.col("w2").alias("qw2")
+    )
+    stage1 = (
+        words.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", F.col("vec_id").alias("cid"),
+            (
+                F.expr("bit_count(qw1 ^ w1)").cast("long")
+                + F.expr("bit_count(qw2 ^ w2)").cast("long")
+            ).alias("hamming"),
+        )
+        .withColumn("rk", F.row_number().over(W.partitionBy("qid").orderBy("hamming", "cid")))
+        .filter(F.col("rk") <= STAGE1_K)
+        .select("qid", "cid")
+    )
+    qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+    ce = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), F.col("nrm").alias("cn"))
+    rescored = (
+        stage1.join(F.broadcast(qe), "qid")
+        .join(ce, "cid")
+        .select(
+            "qid", "cid",
+            F.round(F.expr(_DOT.format(a="qe", b="ce")) / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
+        )
+    )
+    return (
+        rescored.withColumn(
+            "rk", F.row_number().over(W.partitionBy("qid").orderBy(F.desc("cosine"), "cid"))
+        )
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", "cid", "cosine", "rk")
+        .orderBy("qid", "rk")
+    )

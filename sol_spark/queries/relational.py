@@ -3994,3 +3994,88 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_pairs", "t_obs", "n_perms", "n_ge", "p_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue bridge: epoch-over-epoch decomposition into volume + price/mix
+# ---------------------------------------------------------------------------
+
+REVENUE_BRIDGE_ORACLE = """
+WITH base AS (
+  SELECT o.o_orderpriority AS grp,
+         CASE WHEN year(o.o_orderdate) < 1997 THEN 'e' ELSE 'l' END AS epoch,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS cents,
+         CAST(l.l_quantity AS BIGINT) AS qty
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+piv AS (
+  SELECT grp,
+         sum(CASE WHEN epoch = 'e' THEN cents ELSE 0 END)::BIGINT AS rev_e,
+         sum(CASE WHEN epoch = 'l' THEN cents ELSE 0 END)::BIGINT AS rev_l,
+         sum(CASE WHEN epoch = 'e' THEN qty ELSE 0 END)::BIGINT AS qty_e,
+         sum(CASE WHEN epoch = 'l' THEN qty ELSE 0 END)::BIGINT AS qty_l
+  FROM base GROUP BY grp
+)
+SELECT grp, rev_e, rev_l,
+       (rev_l - rev_e)::BIGINT AS delta_cents,
+       ((qty_l - qty_e) * rev_e // qty_e)::BIGINT AS volume_effect_cents,
+       (rev_l - rev_e - ((qty_l - qty_e) * rev_e // qty_e))::BIGINT AS price_mix_effect_cents
+FROM piv ORDER BY grp
+"""
+
+
+@register("orders_revenue_bridge", REVENUE_BRIDGE_ORACLE, tags=("marts", "finance", "agg"))
+def orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period revenue bridge: the finance decomposition of
+    delta revenue into a VOLUME effect (quantity change at the old
+    realized price, (qty_l - qty_e) * rev_e/qty_e held as one exact
+    integer division) and a PRICE/MIX residual — defined by subtraction,
+    so the two effects sum to the delta EXACTLY, cent for cent (the
+    property a waterfall chart silently requires and float decompositions
+    silently violate). Discounted line revenue in exact integer cents.
+
+    Note on floor division: DuckDB's // floors toward -inf while Spark's
+    div truncates toward zero, so the volume term uses a sign-stable
+    rewrite on the Spark side (sign carried separately over the absolute
+    quotient) to reproduce floor semantics for negative deltas.
+
+    Scale shape: one fact-dim equi-join (orders broadcast-eligible
+    dimensions of the line grain) into a per-group pivoted conditional
+    agg; the bridge math is a projection over the group frame."""
+    t = load_tables(spark, sf_dir)
+    base = (
+        t["lineitem"]
+        .join(
+            t["orders"].select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                F.col("o_orderpriority").alias("grp"),
+                F.when(F.year("o_orderdate") < 1997, "e").otherwise("l").alias("epoch"),
+            ),
+            "l_orderkey",
+        )
+        .select(
+            "grp", "epoch",
+            F.expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)").alias("cents"),
+            F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+        )
+    )
+    piv = base.groupBy("grp").agg(
+        F.sum(F.when(F.col("epoch") == "e", F.col("cents")).otherwise(0)).cast("long").alias("rev_e"),
+        F.sum(F.when(F.col("epoch") == "l", F.col("cents")).otherwise(0)).cast("long").alias("rev_l"),
+        F.sum(F.when(F.col("epoch") == "e", F.col("qty")).otherwise(0)).cast("long").alias("qty_e"),
+        F.sum(F.when(F.col("epoch") == "l", F.col("qty")).otherwise(0)).cast("long").alias("qty_l"),
+    )
+    # floor((qty_l - qty_e) * rev_e / qty_e) with DuckDB's toward-negative
+    # semantics: Spark `div` truncates toward zero, so floor = trunc - 1
+    # exactly when the signs differ and the division is inexact.
+    num = (F.col("qty_l") - F.col("qty_e")) * F.col("rev_e")
+    trunc = F.expr("((qty_l - qty_e) * rev_e) div qty_e")
+    floor_div = F.when(
+        (num < 0) & (num % F.col("qty_e") != 0), trunc - 1
+    ).otherwise(trunc)
+    return piv.select(
+        "grp", "rev_e", "rev_l",
+        (F.col("rev_l") - F.col("rev_e")).cast("long").alias("delta_cents"),
+        floor_div.cast("long").alias("volume_effect_cents"),
+        (F.col("rev_l") - F.col("rev_e") - floor_div).cast("long").alias("price_mix_effect_cents"),
+    ).orderBy("grp")
