@@ -549,3 +549,44 @@ def test_reconciliation_aggregates_before_join(spark, sf_dir):
     join_pos = plan.find("FullOuter")
     # Aggregates appear below (after, in formatted output) the join node.
     assert plan.count("HashAggregate", join_pos) >= 2
+
+
+def test_fk_orphans_aggregates_child_before_join(spark, sf_dir):
+    """dq_fk_orphans must collapse every child side to its distinct-key
+    histogram BEFORE joining the parent keys: for each of the seven FK
+    edges, the plan's join children contain aggregates (keys join keys —
+    raw fact rows never shuffle against a dimension)."""
+    from sol_spark.operators.governance import _FK_EDGES, dq_fk_orphans
+
+    plan = _plan(dq_fk_orphans(spark, sf_dir))
+    # one outer join per edge, each fed by >= 2 aggregates (child histogram
+    # + the final accounting agg; parent distinct is an aggregate too)
+    assert plan.count("Join LeftOuter") + plan.count("BroadcastHashJoin") >= len(_FK_EDGES)
+    assert plan.count("HashAggregate") >= 3 * len(_FK_EDGES)
+
+
+def test_two_stage_rerank_joins_candidates_not_corpus(spark, sf_dir):
+    """sim_two_stage_retrieval's expensive cosine stage must be fed by the
+    stage-1 candidate list: exactly ONE broadcast nested-loop join (the
+    integer Hamming stage against the broadcast query words) — the rerank
+    reaches the corpus through hash equi-joins on vec_id, never a second
+    corpus-wide NLJ with float math."""
+    from sol_spark.operators.similarity import sim_two_stage_retrieval
+
+    import re
+
+    plan = _plan(sim_two_stage_retrieval(spark, sf_dir))
+    nlj_nodes = set(re.findall(r"BroadcastNestedLoopJoin[^(]*\((\d+)\)", plan))
+    assert len(nlj_nodes) == 1, f"expected exactly one NLJ node, got {nlj_nodes}"
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_auc_window_is_partitioned(spark, sf_dir):
+    """stats_auc_mannwhitney's rank window must run per source (the
+    histogram frame), never as a global single-partition window."""
+    from sol_spark.queries.relational import stats_auc_mannwhitney
+
+    plan = _plan(stats_auc_mannwhitney(spark, sf_dir))
+    assert "Window" in plan
+    # the window spec carries the group key as its partition expression
+    assert "windowspecdefinition(source" in plan
