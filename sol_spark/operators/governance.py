@@ -2382,3 +2382,89 @@ def warehouse_bridge_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-gap (ingest completeness) audit over a presumed-dense id column
+# ---------------------------------------------------------------------------
+
+GAP_TOP_K = 5
+
+_GAP_DROP_MOD = 997  # fault injection: ids with id % 997 < 3 "never arrived"
+
+ID_GAP_ORACLE = f"""
+WITH ids AS (
+  SELECT DISTINCT o_orderkey AS id FROM orders
+  WHERE o_orderkey % {_GAP_DROP_MOD} >= 3
+),
+tot AS (
+  SELECT count(*)::BIGINT AS n_actual,
+         (max(id) - min(id) + 1)::BIGINT AS n_expected
+  FROM ids
+),
+gaps AS (
+  SELECT id AS gap_after,
+         lead(id) OVER (ORDER BY id) AS next_id,
+         lead(id) OVER (ORDER BY id) - id - 1 AS missing
+  FROM ids
+),
+ranked AS (
+  SELECT gap_after, next_id, missing,
+         row_number() OVER (ORDER BY missing DESC, gap_after) AS rk
+  FROM gaps WHERE missing > 0
+)
+SELECT r.rk, r.gap_after, r.next_id, r.missing,
+       t.n_actual, t.n_expected,
+       (t.n_expected - t.n_actual)::BIGINT AS n_missing_total
+FROM ranked r CROSS JOIN tot t
+WHERE r.rk <= {GAP_TOP_K}
+ORDER BY r.rk
+"""
+
+
+@register("dq_id_gap_audit", ID_GAP_ORACLE, tags=("warehouse", "dq", "audit"))
+def dq_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-completeness audit over a presumed-dense id sequence: the
+    top-{GAP_TOP_K} largest holes (gap_after .. next_id) plus the total
+    missing count against the id envelope — the check that catches a
+    dropped CDC batch or a partial file long before any metric drifts
+    (a Benford/volume anomaly fires on distribution; this fires on
+    EXACTLY which ids never arrived). The fixture's ids are dense, so the
+    audit injects a deterministic lost batch (id % {_GAP_DROP_MOD} < 3)
+    the same way warehouse_inferred_members simulates a late dimension —
+    the machinery under test is the gap detection, which must then report
+    exactly those holes. All integers.
+
+    Scale shape: distinct ids feed one lead() window; at 100 TB the
+    window decomposes by id-range bucket (each bucket needs one boundary
+    row from its neighbor — the classic sessionize-at-scale trick), and
+    the top-k is TakeOrdered over gap rows only."""
+    t = load_tables(spark, sf_dir)
+    ids = (
+        t["orders"]
+        .filter(F.expr(f"o_orderkey % {_GAP_DROP_MOD} >= 3"))
+        .select(F.col("o_orderkey").alias("id"))
+        .distinct()
+    )
+    tot = ids.agg(
+        F.count(F.lit(1)).cast("long").alias("n_actual"),
+        (F.max("id") - F.min("id") + 1).cast("long").alias("n_expected"),
+    )
+    w = Window.orderBy("id")
+    gaps = ids.select(
+        F.col("id").alias("gap_after"),
+        F.lead("id").over(w).alias("next_id"),
+        (F.lead("id").over(w) - F.col("id") - 1).alias("missing"),
+    ).filter(F.col("missing") > 0)
+    ranked = gaps.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("missing"), "gap_after"))
+    ).filter(F.col("rk") <= GAP_TOP_K)
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "rk", "gap_after", "next_id", F.col("missing").cast("long").alias("missing"),
+            "n_actual", "n_expected",
+            (F.col("n_expected") - F.col("n_actual")).cast("long").alias("n_missing_total"),
+        )
+        .orderBy("rk")
+    )

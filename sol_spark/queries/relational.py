@@ -4079,3 +4079,77 @@ def orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         floor_div.cast("long").alias("volume_effect_cents"),
         (F.col("rev_l") - F.col("rev_e") - floor_div).cast("long").alias("price_mix_effect_cents"),
     ).orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# Distribution-free median CI (order statistics, binomial-normal ranks)
+# ---------------------------------------------------------------------------
+
+QUANTILE_CI_ORACLE = f"""
+WITH cents AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+),
+n_tot AS (SELECT count(*)::BIGINT AS n FROM cents),
+ranks AS (
+  SELECT n,
+         CAST(floor((n - {_WILSON_Z} * sqrt(n::DOUBLE)) / 2.0) AS BIGINT) AS r_lo,
+         CAST(ceil(1.0 + (n + {_WILSON_Z} * sqrt(n::DOUBLE)) / 2.0) AS BIGINT) AS r_hi,
+         (n + 1) // 2 AS r_med
+  FROM n_tot
+),
+hist AS (
+  SELECT v, count(*)::BIGINT AS c,
+         sum(count(*)) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+  FROM cents GROUP BY v
+)
+SELECT r.n, r.r_lo, r.r_med, r.r_hi,
+       (SELECT min(v) FROM hist WHERE cum >= r.r_lo)::BIGINT AS ci_lo_cents,
+       (SELECT min(v) FROM hist WHERE cum >= r.r_med)::BIGINT AS median_cents,
+       (SELECT min(v) FROM hist WHERE cum >= least(r.r_hi, r.n))::BIGINT AS ci_hi_cents
+FROM ranks r
+"""
+
+
+@register("stats_quantile_ci", QUANTILE_CI_ORACLE, tags=("stats", "audit"))
+def stats_quantile_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the MEDIAN via order
+    statistics: the binomial-normal rank bounds r = (n -+ z*sqrt(n))/2
+    pick the lower/upper order statistics that bracket the true median
+    with 95% coverage — no distributional assumption, no bootstrap
+    resamples (the bootstrap op prices the general case; this is the
+    closed form every robust dashboard should prefer for quantiles).
+    Values are exact integer cents; ranks come from one sqrt on an exact
+    integer (IEEE-exact, literal z), and the order statistics are read
+    off the value histogram's cumulative counts — never a global sort of
+    the raw rows.
+
+    Scale shape: one value-histogram hash-agg; the cumulative window runs
+    over DISTINCT values (bucket-decomposable at extreme scale as in
+    stats_spearman_corr); the three rank lookups are min-over-filtered
+    aggregates of the histogram frame."""
+    t = load_tables(spark, sf_dir)
+    cents = t["orders"].select(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("v"))
+    n_tot = cents.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    z = _WILSON_Z
+    ranks = n_tot.select(
+        "n",
+        F.expr(f"CAST(floor((n - {z!r} * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT)").alias("r_lo"),
+        F.expr(f"CAST(ceil(1.0 + (n + {z!r} * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT)").alias("r_hi"),
+        F.expr("(n + 1) div 2").cast("long").alias("r_med"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    hist = (
+        cents.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("cum", F.sum("c").over(w).cast("long"))
+    )
+    joined = hist.crossJoin(F.broadcast(ranks))
+    pick_lo = joined.filter(F.col("cum") >= F.col("r_lo")).agg(F.min("v").alias("ci_lo_cents"))
+    pick_med = joined.filter(F.col("cum") >= F.col("r_med")).agg(F.min("v").alias("median_cents"))
+    pick_hi = joined.filter(F.col("cum") >= F.least("r_hi", "n")).agg(F.min("v").alias("ci_hi_cents"))
+    return (
+        ranks.crossJoin(F.broadcast(pick_lo))
+        .crossJoin(F.broadcast(pick_med))
+        .crossJoin(F.broadcast(pick_hi))
+        .select("n", "r_lo", "r_med", "r_hi", "ci_lo_cents", "median_cents", "ci_hi_cents")
+    )
