@@ -2468,3 +2468,167 @@ def dq_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# FK fan-out profile (join cardinality distribution for the CBO)
+# ---------------------------------------------------------------------------
+
+_FANOUT_EDGES: tuple[tuple[str, str, str, str], ...] = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+)
+
+
+def _fanout_cte(child: str, fk: str, parent: str, pk: str) -> str:
+    label = f"{child}.{fk} -> {parent}.{pk}"
+    return f"""
+SELECT '{label}' AS fk,
+       count(*)::BIGINT AS n_parents,
+       COALESCE(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END), 0)::BIGINT AS n_childless,
+       min(n)::BIGINT AS min_fanout,
+       max(n)::BIGINT AS max_fanout,
+       ((100 * sum(n)) // count(*))::BIGINT AS avg_fanout_x100,
+       (SELECT min(nn) FROM (
+          SELECT n AS nn, sum(count(*)) OVER (ORDER BY n
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            sum(count(*)) OVER () AS tot
+          FROM (
+            SELECT p2.{pk}, COALESCE(c2.n, 0) AS n
+            FROM {parent} p2 LEFT JOIN (
+              SELECT {fk} AS k, count(*)::BIGINT AS n FROM {child} GROUP BY 1) c2
+              ON c2.k = p2.{pk}
+          ) f GROUP BY n) h
+        WHERE 2 * cum >= tot)::BIGINT AS p50_fanout
+FROM (
+  SELECT p.{pk}, COALESCE(c.n, 0) AS n
+  FROM {parent} p LEFT JOIN (
+    SELECT {fk} AS k, count(*)::BIGINT AS n FROM {child} GROUP BY 1) c
+    ON c.k = p.{pk}
+) f"""
+
+
+FK_FANOUT_ORACLE = (
+    "\nUNION ALL\n".join(_fanout_cte(*e) for e in _FANOUT_EDGES) + "\nORDER BY fk"
+)
+
+
+@register("dq_fk_fanout_profile", FK_FANOUT_ORACLE, tags=("warehouse", "profiling", "cbo", "audit"))
+def dq_fk_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join fan-out profile per FK edge — the per-parent child-count
+    distribution (min / exact lower-median / max, avg x100, childless
+    parents) a cost-based optimizer multiplies through join trees and a
+    modeler reads before denormalizing: a p50 of 4 with a max of 400 says
+    'skewed join, salt it' (see skew_diagnose for the per-KEY view; this
+    is the per-EDGE summary). Parents with no children are COUNTED (left
+    join, fan-out 0) — dropping them inflates every statistic. The median
+    is the exact lower median read off the bounded fan-out histogram; all
+    columns exact integers.
+
+    Scale shape: per edge, the child collapses to per-key counts (one
+    map-side-combined hash-agg), left-joins the parent key projection,
+    and every percentile-ish readout runs on the BOUNDED distinct-fanout
+    histogram — no sort of the raw frame, no float percentile."""
+    t = load_tables(spark, sf_dir)
+    parts = []
+    for child, fk, parent, pk in _FANOUT_EDGES:
+        ck = t[child].groupBy(F.col(fk).alias("k")).agg(F.count(F.lit(1)).cast("long").alias("n"))
+        fan = (
+            t[parent].select(F.col(pk).alias("pkk"))
+            .join(ck, F.col("pkk") == F.col("k"), "left")
+            .select(F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"))
+        )
+        hist = fan.groupBy("n").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cum = hist.select(
+            "n", "c",
+            F.sum("c").over(w).alias("cum"),
+            F.sum("c").over(Window.partitionBy()).alias("tot"),
+        )
+        p50 = cum.filter(2 * F.col("cum") >= F.col("tot")).agg(F.min("n").alias("p50_fanout"))
+        agg = fan.agg(
+            F.count(F.lit(1)).cast("long").alias("n_parents"),
+            F.sum(F.when(F.col("n") == 0, 1).otherwise(0)).cast("long").alias("n_childless"),
+            F.min("n").cast("long").alias("min_fanout"),
+            F.max("n").cast("long").alias("max_fanout"),
+            F.expr("(100 * sum(n)) div count(*)").cast("long").alias("avg_fanout_x100"),
+        )
+        parts.append(
+            agg.crossJoin(F.broadcast(p50)).select(
+                F.lit(f"{child}.{fk} -> {parent}.{pk}").alias("fk"),
+                "n_parents", "n_childless", "min_fanout", "max_fanout",
+                "avg_fanout_x100", F.col("p50_fanout").cast("long").alias("p50_fanout"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("fk")
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read delete-vector accounting (Iceberg/Delta MoR compaction gate)
+# ---------------------------------------------------------------------------
+
+_DV_FILES = 16           # simulated base files (hash of the row key)
+_DV_DELETE_PPM = 50000   # 5% of rows carry a position delete
+_DV_REWRITE_BP = 800     # rewrite a file when deleted share >= 8%
+
+DELETE_VECTOR_ORACLE = f"""
+WITH rows_ AS (
+  SELECT ((('0x' || substr(md5('f' || o_orderkey::VARCHAR), 1, 8))::BIGINT
+           % {_DV_FILES} + {_DV_FILES}) % {_DV_FILES}) AS file_id,
+         CASE WHEN (('0x' || substr(md5('dv' || o_orderkey::VARCHAR), 1, 8))::BIGINT
+                    % 1000000) < {_DV_DELETE_PPM} THEN 1 ELSE 0 END AS deleted
+  FROM orders
+),
+files AS (
+  SELECT file_id, count(*)::BIGINT AS n_rows, sum(deleted)::BIGINT AS n_deleted
+  FROM rows_ GROUP BY file_id
+)
+SELECT file_id, n_rows, n_deleted,
+       (n_rows - n_deleted)::BIGINT AS n_live,
+       ((10000 * n_deleted) // n_rows)::BIGINT AS deleted_bp,
+       (CASE WHEN 10000 * n_deleted >= {_DV_REWRITE_BP} * n_rows THEN 1 ELSE 0 END)::BIGINT AS rewrite_flag
+FROM files ORDER BY file_id
+"""
+
+
+@register("warehouse_delete_vectors", DELETE_VECTOR_ORACLE, tags=("warehouse", "layout", "audit"))
+def warehouse_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read delete-vector accounting (the Iceberg v2 / Delta DV
+    pattern): rows are hash-assigned to {_DV_FILES} simulated base files,
+    a deterministic {_DV_DELETE_PPM}-ppm position-delete vector marks
+    victims, and the per-file scorecard (rows / deleted / live /
+    deleted-bp) drives the compaction gate — rewrite when the dead share
+    crosses {_DV_REWRITE_BP} bp, the read-amplification budget every MoR
+    table maintains. Complements layout compaction (small files) with the
+    other rewrite trigger (dead rows). All integers; the coins are the
+    repo's standard md5-ppm fault injection.
+
+    Scale shape: one projection to (file, deleted) + one {_DV_FILES}-row
+    hash-agg — exactly the metadata-table query a real lake answers from
+    manifests without touching data files."""
+    t = load_tables(spark, sf_dir)
+    rows_ = t["orders"].select(
+        F.expr(
+            f"pmod(CAST(conv(substring(md5(concat('f', CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT), {_DV_FILES})"
+        ).alias("file_id"),
+        F.expr(
+            "CASE WHEN CAST(conv(substring(md5(concat('dv', CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT) "
+            f"% 1000000 < {_DV_DELETE_PPM} THEN 1 ELSE 0 END"
+        ).alias("deleted"),
+    )
+    files = rows_.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("deleted").cast("long").alias("n_deleted"),
+    )
+    return files.select(
+        "file_id", "n_rows", "n_deleted",
+        (F.col("n_rows") - F.col("n_deleted")).cast("long").alias("n_live"),
+        F.expr("(10000 * n_deleted) div n_rows").cast("long").alias("deleted_bp"),
+        F.expr(
+            f"CASE WHEN 10000 * n_deleted >= {_DV_REWRITE_BP} * n_rows THEN 1 ELSE 0 END"
+        ).cast("long").alias("rewrite_flag"),
+    ).orderBy("file_id")
