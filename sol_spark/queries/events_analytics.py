@@ -3788,3 +3788,84 @@ def rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("m_early", "m_late")
     )
+
+
+# ---------------------------------------------------------------------------
+# Alert debouncing (two-consecutive-hours hysteresis over volume alarms)
+# ---------------------------------------------------------------------------
+
+DEBOUNCE_THRESHOLD = 60  # events per hour per type
+
+ALERT_DEBOUNCE_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type,
+         floor(epoch(ts))::BIGINT // 3600 AS h,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+state AS (
+  SELECT event_type, h,
+         CASE WHEN n >= {DEBOUNCE_THRESHOLD} THEN 1 ELSE 0 END AS s,
+         lag(CASE WHEN n >= {DEBOUNCE_THRESHOLD} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY event_type ORDER BY h) AS s1,
+         lag(CASE WHEN n >= {DEBOUNCE_THRESHOLD} THEN 1 ELSE 0 END, 2)
+           OVER (PARTITION BY event_type ORDER BY h) AS s2
+  FROM hourly
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_hours,
+       sum(s)::BIGINT AS n_alarm_hours,
+       sum(CASE WHEN s = 1 AND COALESCE(s1, 0) = 0 THEN 1 ELSE 0 END)::BIGINT AS raw_alerts,
+       sum(CASE WHEN s = 1 AND s1 = 1 AND COALESCE(s2, 0) = 0 THEN 1 ELSE 0 END)::BIGINT AS debounced_alerts,
+       (sum(CASE WHEN s = 1 AND COALESCE(s1, 0) = 0 THEN 1 ELSE 0 END)
+        - sum(CASE WHEN s = 1 AND s1 = 1 AND COALESCE(s2, 0) = 0 THEN 1 ELSE 0 END))::BIGINT AS suppressed
+FROM state GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("events_alert_debounce", ALERT_DEBOUNCE_ORACLE, tags=("events", "windows", "ops"))
+def events_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert debouncing with a two-consecutive-hours hysteresis: a raw
+    volume alarm fires on any 0->1 threshold crossing; the debounced alarm
+    fires only when the high state HOLDS for a second hour (s, s-1 high
+    and s-2 low) — the flap suppressor every paging pipeline implements so
+    a single spiky hour doesn't wake anyone. The readout prices the
+    policy: raw vs debounced firings and the flaps suppressed, per
+    series. Gaps in the hour spine count as low (the fixture's hourly
+    spine is dense; a production form joins a generated spine first —
+    events_resample_ffill is that op). All integers.
+
+    Scale shape: one (type, hour) hash-agg, two lag windows over the
+    bounded per-type hourly frame, one per-type fold."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    hourly = t["events"].groupBy(
+        "event_type",
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 3600").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = W.partitionBy("event_type").orderBy("h")
+    state = hourly.select(
+        "event_type", "h",
+        F.when(F.col("n") >= DEBOUNCE_THRESHOLD, 1).otherwise(0).alias("s"),
+    ).select(
+        "event_type", "s",
+        F.lag("s").over(w).alias("s1"),
+        F.lag("s", 2).over(w).alias("s2"),
+    )
+    raw_edge = (F.col("s") == 1) & (F.coalesce(F.col("s1"), F.lit(0)) == 0)
+    deb_edge = (F.col("s") == 1) & (F.col("s1") == 1) & (F.coalesce(F.col("s2"), F.lit(0)) == 0)
+    return (
+        state.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum("s").cast("long").alias("n_alarm_hours"),
+            F.sum(F.when(raw_edge, 1).otherwise(0)).cast("long").alias("raw_alerts"),
+            F.sum(F.when(deb_edge, 1).otherwise(0)).cast("long").alias("debounced_alerts"),
+            (
+                F.sum(F.when(raw_edge, 1).otherwise(0))
+                - F.sum(F.when(deb_edge, 1).otherwise(0))
+            ).cast("long").alias("suppressed"),
+        )
+        .orderBy("event_type")
+    )

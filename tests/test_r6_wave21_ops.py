@@ -58,3 +58,54 @@ def test_delete_vectors_conservation_and_gate(spark, sf_dir):
         assert r["rewrite_flag"] == (
             1 if 10000 * r["n_deleted"] >= _DV_REWRITE_BP * r["n_rows"] else 0
         )
+
+
+def test_alert_debounce_laws(spark, sf_dir):
+    """Debounced firings never exceed raw firings; suppressed is their
+    difference; a Python replay over the hourly state sequence matches."""
+    from collections import defaultdict
+
+    from sol_spark.queries.events_analytics import (
+        DEBOUNCE_THRESHOLD,
+        events_alert_debounce,
+    )
+    from sol_spark.tables import load_tables
+    from pyspark.sql import functions as F
+
+    hourly = (
+        load_tables(spark, sf_dir)["events"]
+        .groupBy(
+            "event_type",
+            F.expr(
+                "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 3600"
+            ).alias("h"),
+        )
+        .count()
+        .collect()
+    )
+    seq = defaultdict(dict)
+    for r in hourly:
+        seq[r["event_type"]][r["h"]] = r["count"]
+    expected = {}
+    for et, hs in seq.items():
+        states = [1 if hs[h] >= DEBOUNCE_THRESHOLD else 0 for h in sorted(hs)]
+        raw = sum(
+            1 for i, s in enumerate(states) if s == 1 and (i == 0 or states[i - 1] == 0)
+        )
+        deb = sum(
+            1
+            for i, s in enumerate(states)
+            if i >= 1
+            and s == 1
+            and states[i - 1] == 1
+            and (i == 1 or states[i - 2] == 0)
+        )
+        expected[et] = (len(states), sum(states), raw, deb)
+    got = {
+        r["event_type"]: (r["n_hours"], r["n_alarm_hours"], r["raw_alerts"], r["debounced_alerts"])
+        for r in events_alert_debounce(spark, sf_dir).collect()
+    }
+    assert got == expected
+    for r in events_alert_debounce(spark, sf_dir).collect():
+        assert r["debounced_alerts"] <= r["raw_alerts"]
+        assert r["suppressed"] == r["raw_alerts"] - r["debounced_alerts"]
