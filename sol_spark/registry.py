@@ -162,17 +162,46 @@ _R7_WINDOW: tuple[str, ...] = (
 )
 
 
+# Round-8 driver window (tier 2-pinned), fixed at round-6 time so the
+# rotation plan survives session turnover AND module-import-order changes:
+# the 50 longest-unverified names after the pinned r7 window — the r6
+# similarity/graph/dedup additions and the r5/r6 governance family head.
+# The ~130 names behind these (this round's wave-9..21 additions and the
+# remaining governance/events/text audits) queue in registration order as
+# tier 3, ahead of the undelivered r4 window (now tier 4).
+_R8_WINDOW: tuple[str, ...] = (
+    "dedup_minhash_calibration", "sim_mips", "sample_kcenter",
+    "sim_knn_graph", "sim_topk_ivfpq", "sim_rrf_hybrid",
+    "sim_mmr_rerank", "sim_topk_hamming", "sim_hamming_recall",
+    "sim_hard_negatives", "sim_topk_int8", "sim_rank_metrics",
+    "sim_centroid_purity", "sim_two_stage_retrieval", "dedup_semdedup_kmeans",
+    "graph_bfs_distances", "dedup_prefix_filter_join", "dedup_representatives",
+    "dedup_sketch_pr", "graph_harmonic_centrality", "graph_mst",
+    "graph_mst_cut_profile", "dedup_ensemble_clusters", "graph_jaccard_links",
+    "graph_ppr", "graph_assortativity", "dedup_keep_best_quality",
+    "dedup_cc_incremental", "dedup_rand_index", "dedup_edit_distance",
+    "graph_local_bridges", "dedup_soft_weights", "dedup_mis_keepset",
+    "dedup_cross_source_matrix", "dedup_hash_collision_audit", "dedup_cluster_size_hist",
+    "graph_conductance", "geo_hotspots", "privacy_dp_counts",
+    "er_fellegi_sunter", "privacy_dp_user_contribution", "dq_key_discovery",
+    "er_survivorship", "dq_reconciliation", "privacy_dp_sum",
+    "warehouse_partition_stats", "warehouse_pit_join", "privacy_randomized_response",
+    "dq_freshness", "dq_duplicate_payments",
+)
+
+
 def all_queries() -> dict[str, QuerySpec]:
     """Import every query-defining module, then return the registry.
 
     Ordering note: the driver's correctness harness verifies queries in
     dict order under a fixed ~50-query budget, so the returned dict is
     explicitly tiered: (0) the pinned round-6 window; (1) the pinned
-    round-7 window; (2) every other name not in ``_DRIVER_VERIFIED`` and
-    not in the r4 window (new queries land here automatically), queued for
-    round 8; (3) the r4 window — driver-checked in r4 but with no
-    CORRECTNESS_r04.json artifact delivered, so it re-queues ahead of (4)
-    the r1-r3+r5 driver-green remainder.
+    round-7 window; (2) the pinned round-8 window; (3) every other name
+    not in ``_DRIVER_VERIFIED`` and not in the r4 window (new queries
+    land here automatically), queued for round 9+; (4) the r4 window —
+    driver-checked in r4 but with no CORRECTNESS_r04.json artifact
+    delivered, so it re-queues ahead of (5) the r1-r3+r5 driver-green
+    remainder.
     """
     # Imports are deferred so `import sol_spark` stays cheap.
     from sol_spark.operators import dedup, geo, governance, layout, multimodal, similarity, skew, text  # noqa: F401
@@ -189,17 +218,20 @@ def all_queries() -> dict[str, QuerySpec]:
     r4_rank = {name: i for i, name in enumerate(_R4_WINDOW)}
     r6_rank = {name: i for i, name in enumerate(_R6_WINDOW)}
     r7_rank = {name: i for i, name in enumerate(_R7_WINDOW)}
+    r8_rank = {name: i for i, name in enumerate(_R8_WINDOW)}
 
     def tier(name: str) -> tuple[int, int]:
         if name in r6_rank:
             return (0, r6_rank[name])
         if name in r7_rank:
             return (1, r7_rank[name])
+        if name in r8_rank:
+            return (2, r8_rank[name])
         if name not in _DRIVER_VERIFIED and name not in r4_rank:
-            return (2, 0)
+            return (3, 0)
         if name in r4_rank:
-            return (3, r4_rank[name])
-        return (4, 0)
+            return (4, r4_rank[name])
+        return (5, 0)
 
     names = list(_REGISTRY)
     # Stable sort: tier-1/2 members keep registration order among themselves.
