@@ -4153,3 +4153,63 @@ def stats_quantile_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(pick_hi))
         .select("n", "r_lo", "r_med", "r_hi", "ci_lo_cents", "median_cents", "ci_hi_cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL inclusion-exclusion intersection audit (why theta sketches exist)
+# ---------------------------------------------------------------------------
+
+HLL_IE_ORACLE = """
+WITH a AS (
+  SELECT DISTINCT o_custkey AS k FROM orders WHERE year(o_orderdate) <= 1997
+), b AS (
+  SELECT DISTINCT o_custkey AS k FROM orders WHERE year(o_orderdate) >= 1997
+),
+exact AS (
+  SELECT (SELECT count(*) FROM a) AS na, (SELECT count(*) FROM b) AS nb,
+         (SELECT count(*) FROM (SELECT k FROM a INTERSECT SELECT k FROM b) i) AS ni,
+         (SELECT count(*) FROM (SELECT k FROM a UNION SELECT k FROM b) u) AS nu
+)
+SELECT na::BIGINT AS exact_a, nb::BIGINT AS exact_b,
+       nu::BIGINT AS exact_union, ni::BIGINT AS exact_inter,
+       (na + nb - nu)::BIGINT AS ie_exact_check,
+       ((10000 * abs(na + nb - nu - ni)) // greatest(ni, 1))::BIGINT AS ie_err_bp
+FROM exact
+"""
+
+
+@register("sketch_hll_ie_audit", HLL_IE_ORACLE, tags=("approx", "sketch", "audit"))
+def sketch_hll_ie_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-exclusion intersection audit — the reason the KMV/theta
+    family exists: |A and B| = |A| + |B| - |A or B| is EXACT on exact
+    counts (the audit proves ie_err_bp == 0 on them) but on HLL estimates
+    the subtraction amplifies both sketches' relative error by
+    |A or B| / |A and B| (documented here as the decision rule; Spark's
+    HLL estimates are engine-local so the cross-engine row carries the
+    exact-side identity, and sketch_kmv_intersection carries the
+    production path). One distinct-collapse per side plus set ops — all
+    integer.
+
+    Scale shape: two distinct projections, one union/intersect pair of
+    key sets (hash-aggregated), a 1-row readout."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].select("o_custkey", F.year("o_orderdate").alias("y"))
+    a = o.filter(F.col("y") <= 1997).select(F.col("o_custkey").alias("k")).distinct()
+    b = o.filter(F.col("y") >= 1997).select(F.col("o_custkey").alias("k")).distinct()
+    na = a.agg(F.count(F.lit(1)).cast("long").alias("exact_a"))
+    nb = b.agg(F.count(F.lit(1)).cast("long").alias("exact_b"))
+    nu = a.union(b).distinct().agg(F.count(F.lit(1)).cast("long").alias("exact_union"))
+    ni = a.intersect(b).agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(ni))
+        .select(
+            "exact_a", "exact_b", "exact_union", "exact_inter",
+            (F.col("exact_a") + F.col("exact_b") - F.col("exact_union"))
+            .cast("long").alias("ie_exact_check"),
+            F.expr(
+                "(10000 * abs(exact_a + exact_b - exact_union - exact_inter)) div greatest(exact_inter, 1)"
+            ).cast("long").alias("ie_err_bp"),
+        )
+    )

@@ -109,3 +109,21 @@ def test_alert_debounce_laws(spark, sf_dir):
     for r in events_alert_debounce(spark, sf_dir).collect():
         assert r["debounced_alerts"] <= r["raw_alerts"]
         assert r["suppressed"] == r["raw_alerts"] - r["debounced_alerts"]
+
+
+def test_hll_ie_audit_identity(spark, sf_dir):
+    """Inclusion-exclusion is exact on exact counts: ie_exact_check equals
+    exact_inter and ie_err_bp is 0; side counts recompute from raw
+    orders."""
+    from sol_spark.queries.relational import sketch_hll_ie_audit
+    from sol_spark.tables import load_tables
+
+    orders = load_tables(spark, sf_dir)["orders"].select("o_custkey", "o_orderdate").collect()
+    a = {r["o_custkey"] for r in orders if r["o_orderdate"].year <= 1997}
+    b = {r["o_custkey"] for r in orders if r["o_orderdate"].year >= 1997}
+    row = sketch_hll_ie_audit(spark, sf_dir).collect()[0]
+    assert (row["exact_a"], row["exact_b"]) == (len(a), len(b))
+    assert row["exact_union"] == len(a | b)
+    assert row["exact_inter"] == len(a & b)
+    assert row["ie_exact_check"] == row["exact_inter"]
+    assert row["ie_err_bp"] == 0
