@@ -4136,3 +4136,84 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("types_cum", F.sum("n_new_types").over(w).cast("long"))
         .orderBy("slice")
     )
+
+
+# ---------------------------------------------------------------------------
+# Adaptive per-source length gate (percentile fences, two-pass)
+# ---------------------------------------------------------------------------
+
+_LG_LO_BP = 500    # keep docs within [p5, p95] of their source's lengths
+_LG_HI_BP = 9500
+
+LENGTH_GATE_ORACLE = f"""
+WITH hist AS (
+  SELECT source, n_chars, count(*)::BIGINT AS c FROM documents GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, n_chars, c,
+         sum(c) OVER (PARTITION BY source ORDER BY n_chars
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY source) AS tot
+  FROM hist
+),
+fences AS (
+  SELECT source,
+         min(CASE WHEN 10000 * cum >= {_LG_LO_BP} * tot THEN n_chars END)::BIGINT AS lo,
+         min(CASE WHEN 10000 * cum >= {_LG_HI_BP} * tot THEN n_chars END)::BIGINT AS hi
+  FROM cum GROUP BY source
+)
+SELECT d.source, f.lo, f.hi,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN d.n_chars BETWEEN f.lo AND f.hi THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       ((1000000 * sum(CASE WHEN d.n_chars BETWEEN f.lo AND f.hi THEN 1 ELSE 0 END))
+         // count(*))::BIGINT AS keep_ppm
+FROM documents d JOIN fences f ON f.source = d.source
+GROUP BY d.source, f.lo, f.hi
+ORDER BY d.source
+"""
+
+
+@register("text_length_gate_adaptive", LENGTH_GATE_ORACLE, tags=("llm", "text", "quality"))
+def text_length_gate_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-source length gate: instead of one global min/max
+    (text_quality_filter's absolute rule), each source keeps documents
+    inside ITS OWN [p5, p95] length fences — the RefinedWeb-style
+    per-domain adaptive threshold that doesn't punish a short-form domain
+    for not being Wikipedia. Fences are exact order statistics read off
+    the per-source length histogram's cumulative counts (the
+    stats_quantile_ci machinery, grouped); the readout is fences + keep
+    rates per source in exact integer ppm.
+
+    Scale shape: two passes sharing one histogram — a (source, length)
+    hash-agg whose per-source cumulative window is bounded by distinct
+    lengths, then a broadcast fence join back and a per-source conditional
+    agg. No sort of raw rows, no float percentile."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    hist = t["documents"].groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = W.partitionBy("source").orderBy("n_chars").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.select(
+        "source", "n_chars",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(W.partitionBy("source")).alias("tot"),
+    )
+    fences = cum.groupBy("source").agg(
+        F.min(F.when(10000 * F.col("cum") >= _LG_LO_BP * F.col("tot"), F.col("n_chars")))
+        .cast("long").alias("lo"),
+        F.min(F.when(10000 * F.col("cum") >= _LG_HI_BP * F.col("tot"), F.col("n_chars")))
+        .cast("long").alias("hi"),
+    )
+    kept = F.col("n_chars").between(F.col("lo"), F.col("hi"))
+    return (
+        t["documents"].join(F.broadcast(fences), "source")
+        .groupBy("source", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.expr(
+                "(1000000 * sum(CASE WHEN n_chars BETWEEN lo AND hi THEN 1 ELSE 0 END)) div count(*)"
+            ).cast("long").alias("keep_ppm"),
+        )
+        .orderBy("source")
+    )

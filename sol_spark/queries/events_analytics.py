@@ -3869,3 +3869,95 @@ def events_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# User lifecycle states (growth accounting: new / retained / resurrected /
+# dormant per week)
+# ---------------------------------------------------------------------------
+
+LIFECYCLE_ORACLE = """
+WITH weeks AS (
+  SELECT DISTINCT user_id,
+         (floor(epoch(ts))::BIGINT // 604800) AS wk
+  FROM events
+),
+lagged AS (
+  SELECT user_id, wk,
+         min(wk) OVER (PARTITION BY user_id) AS first_wk,
+         lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
+  FROM weeks
+),
+active AS (
+  SELECT wk,
+         CASE WHEN wk = first_wk THEN 'new'
+              WHEN prev_wk = wk - 1 THEN 'retained'
+              ELSE 'resurrected' END AS state,
+         user_id
+  FROM lagged
+),
+dormant AS (
+  SELECT wk + 1 AS wk, 'dormant' AS state, user_id
+  FROM lagged l
+  WHERE NOT EXISTS (SELECT 1 FROM weeks w WHERE w.user_id = l.user_id AND w.wk = l.wk + 1)
+    AND l.wk + 1 <= (SELECT max(wk) FROM weeks)
+)
+SELECT wk, state, count(*)::BIGINT AS n_users
+FROM (SELECT * FROM active UNION ALL SELECT * FROM dormant) u
+GROUP BY wk, state
+ORDER BY wk, state
+"""
+
+
+@register("events_lifecycle_states", LIFECYCLE_ORACLE, tags=("events", "growth", "marts"))
+def events_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-accounting lifecycle table: per week, users who are NEW
+    (first-ever week), RETAINED (also active the prior week), RESURRECTED
+    (active after a gap), and DORMANT (active last week, silent this week
+    — attributed to the week they went silent, up to the observation
+    horizon) — the four-state decomposition behind every DAU/WAU growth
+    review (events_retention gives the cohort matrix; this gives the flow
+    view whose identity active(t) = new + retained + resurrected and
+    delta-active = new + resurrected - dormant the test checks). Weeks
+    are timezone-free epoch // 604800 BIGINTs.
+
+    Scale shape: events collapse to distinct (user, week) in one
+    hash-agg; first/prev week come from one window per user; dormancy is
+    a per-row check against the NEXT week via left-anti semantics (the
+    window frame already holds the user's week list — no self-join at
+    the raw grain); the readout is a (week, state) hash-agg."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    weeks = t["events"].select(
+        "user_id",
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 604800").alias("wk"),
+    ).distinct()
+    w_user = W.partitionBy("user_id")
+    lagged = weeks.select(
+        "user_id", "wk",
+        F.min("wk").over(w_user).alias("first_wk"),
+        F.lag("wk").over(w_user.orderBy("wk")).alias("prev_wk"),
+        F.lead("wk").over(w_user.orderBy("wk")).alias("next_wk"),
+    )
+    active = lagged.select(
+        "wk",
+        F.when(F.col("wk") == F.col("first_wk"), "new")
+        .when(F.col("prev_wk") == F.col("wk") - 1, "retained")
+        .otherwise("resurrected").alias("state"),
+    )
+    horizon = weeks.agg(F.max("wk").alias("max_wk"))
+    dormant = (
+        lagged.crossJoin(F.broadcast(horizon))
+        .filter(
+            (F.col("next_wk").isNull() | (F.col("next_wk") > F.col("wk") + 1))
+            & (F.col("wk") + 1 <= F.col("max_wk"))
+        )
+        .select((F.col("wk") + 1).alias("wk"), F.lit("dormant").alias("state"))
+    )
+    return (
+        active.unionByName(dormant)
+        .groupBy("wk", "state")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("wk", "state")
+    )

@@ -1,0 +1,87 @@
+"""Behavioral invariants for the round-6 twenty-second-wave operators: the
+adaptive length gate (fence order statistics recomputed in Python) and the
+lifecycle-state table (growth-accounting identities)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+
+def test_length_gate_fences_match_order_statistics(spark, sf_dir):
+    from sol_spark.operators.text import _LG_HI_BP, _LG_LO_BP, text_length_gate_adaptive
+    from sol_spark.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"].select("source", "n_chars").collect()
+    by_src = defaultdict(list)
+    for d in docs:
+        by_src[d["source"]].append(d["n_chars"])
+    rows = {r["source"]: r for r in text_length_gate_adaptive(spark, sf_dir).collect()}
+    assert set(rows) == set(by_src)
+    for src, vals in by_src.items():
+        vals.sort()
+        n = len(vals)
+        # smallest value whose cumulative count reaches the bp threshold
+        lo = next(v for i, v in enumerate(vals) if 10000 * (i + 1) >= _LG_LO_BP * n)
+        hi = next(v for i, v in enumerate(vals) if 10000 * (i + 1) >= _LG_HI_BP * n)
+        r = rows[src]
+        assert (r["lo"], r["hi"]) == (lo, hi)
+        kept = sum(1 for v in vals if lo <= v <= hi)
+        assert r["n_docs"] == n and r["n_kept"] == kept
+        assert r["keep_ppm"] == (1000000 * kept) // n
+        assert kept >= (9000 * n) // 10000  # the fences keep >= ~90%
+
+
+def test_lifecycle_growth_accounting_identities(spark, sf_dir):
+    """active(t) = new + retained + resurrected matches the distinct
+    weekly active count; delta active = new + resurrected - dormant for
+    every interior week; states recompute from a Python replay."""
+    from sol_spark.queries.events_analytics import events_lifecycle_states
+    from sol_spark.tables import load_tables
+    from pyspark.sql import functions as F
+
+    weeks = (
+        load_tables(spark, sf_dir)["events"]
+        .select(
+            "user_id",
+            F.expr(
+                "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 604800"
+            ).alias("wk"),
+        )
+        .distinct()
+        .collect()
+    )
+    user_weeks = defaultdict(set)
+    for r in weeks:
+        user_weeks[r["user_id"]].add(r["wk"])
+    max_wk = max(w for ws in user_weeks.values() for w in ws)
+    expected = defaultdict(int)
+    for _, ws in user_weeks.items():
+        first = min(ws)
+        for w in ws:
+            if w == first:
+                expected[(w, "new")] += 1
+            elif w - 1 in ws:
+                expected[(w, "retained")] += 1
+            else:
+                expected[(w, "resurrected")] += 1
+            if w + 1 not in ws and w + 1 <= max_wk:
+                expected[(w + 1, "dormant")] += 1
+    got = {
+        (r["wk"], r["state"]): r["n_users"]
+        for r in events_lifecycle_states(spark, sf_dir).collect()
+    }
+    assert got == dict(expected)
+    # identities per week
+    actives = defaultdict(int)
+    for r in weeks:
+        actives[r["wk"]] += 1
+    wks = sorted(actives)
+    for w in wks:
+        assert actives[w] == (
+            got.get((w, "new"), 0) + got.get((w, "retained"), 0) + got.get((w, "resurrected"), 0)
+        )
+    for a, b in zip(wks, wks[1:]):
+        if b == a + 1:
+            assert actives[b] - actives[a] == (
+                got.get((b, "new"), 0) + got.get((b, "resurrected"), 0) - got.get((b, "dormant"), 0)
+            )
