@@ -2632,3 +2632,73 @@ def warehouse_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CASE WHEN 10000 * n_deleted >= {_DV_REWRITE_BP} * n_rows THEN 1 ELSE 0 END"
         ).cast("long").alias("rewrite_flag"),
     ).orderBy("file_id")
+
+
+# ---------------------------------------------------------------------------
+# Hash-uniformity goodness-of-fit (audits the md5-shard assumption)
+# ---------------------------------------------------------------------------
+
+_HU_BUCKETS = 16
+_HU_CRIT_E6 = 24995790  # chi-square(15) 95th percentile * 1e6, literal
+
+HASH_UNIFORMITY_ORACLE = f"""
+WITH b AS (
+  SELECT ((('0x' || substr(md5('hu' || o_orderkey::VARCHAR), 1, 8))::BIGINT
+           % {_HU_BUCKETS} + {_HU_BUCKETS}) % {_HU_BUCKETS}) AS bucket,
+         count(*)::BIGINT AS n
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT sum(n)::BIGINT AS t, count(*)::BIGINT AS k FROM b)
+SELECT tot.k AS n_buckets, tot.t AS n_rows,
+       min(b.n)::BIGINT AS min_bucket,
+       max(b.n)::BIGINT AS max_bucket,
+       ((1000000 * {_HU_BUCKETS} * sum((b.n * {_HU_BUCKETS} - tot.t) * (b.n * {_HU_BUCKETS} - tot.t)))
+         // ({_HU_BUCKETS} * {_HU_BUCKETS} * tot.t))::BIGINT AS chi2_e6,
+       (CASE WHEN (1000000 * {_HU_BUCKETS} * sum((b.n * {_HU_BUCKETS} - tot.t) * (b.n * {_HU_BUCKETS} - tot.t)))
+                  // ({_HU_BUCKETS} * {_HU_BUCKETS} * tot.t) > {_HU_CRIT_E6}
+             THEN 1 ELSE 0 END)::BIGINT AS nonuniform_flag
+FROM b CROSS JOIN tot
+GROUP BY tot.k, tot.t
+"""
+
+
+@register("dq_hash_uniformity", HASH_UNIFORMITY_ORACLE, tags=("warehouse", "dq", "audit"))
+def dq_hash_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodness-of-fit audit for the md5 bucket assignment every sharding,
+    sampling, and split operator in this repo leans on: chi-square of the
+    {_HU_BUCKETS}-bucket counts against uniform, held in exact integers by
+    clearing denominators (sum((k*n - t)^2) scaled by 1e6*k / (k^2*t) ==
+    1e6 * sum((n - t/k)^2 / (t/k)), no float expected counts), compared
+    to the chi-square({_HU_BUCKETS - 1}) critical value as a literal. A
+    flagged audit means the key domain correlates with the hash bytes —
+    every hash-mod sample downstream is then biased.
+
+    Scale shape: one {_HU_BUCKETS}-row hash-agg plus a 1-row fold."""
+    t = load_tables(spark, sf_dir)
+    k = _HU_BUCKETS
+    b = t["orders"].groupBy(
+        F.expr(
+            f"pmod(CAST(conv(substring(md5(concat('hu', CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT), {k})"
+        ).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = b.agg(F.sum("n").cast("long").alias("t"), F.count(F.lit(1)).cast("long").alias("kk"))
+    chi2 = F.expr(
+        f"(1000000 * {k} * sum((n * {k} - t) * (n * {k} - t))) div ({k} * {k} * t)"
+    )
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .groupBy("kk", "t")
+        .agg(
+            F.min("n").cast("long").alias("min_bucket"),
+            F.max("n").cast("long").alias("max_bucket"),
+            chi2.cast("long").alias("chi2_e6"),
+            F.expr(
+                f"CASE WHEN (1000000 * {k} * sum((n * {k} - t) * (n * {k} - t))) div ({k} * {k} * t) > {_HU_CRIT_E6} "
+                "THEN 1 ELSE 0 END"
+            ).cast("long").alias("nonuniform_flag"),
+        )
+        .select(
+            F.col("kk").alias("n_buckets"), F.col("t").alias("n_rows"),
+            "min_bucket", "max_bucket", "chi2_e6", "nonuniform_flag",
+        )
+    )

@@ -85,3 +85,33 @@ def test_lifecycle_growth_accounting_identities(spark, sf_dir):
             assert actives[b] - actives[a] == (
                 got.get((b, "new"), 0) + got.get((b, "resurrected"), 0) - got.get((b, "dormant"), 0)
             )
+
+
+def test_hash_uniformity_recompute_and_flag(spark, sf_dir):
+    """chi2 recomputes exactly from Python bucket counts; the md5 buckets
+    on the fixture must pass (flag 0) — the assumption every hash-mod
+    sampler in the repo rests on."""
+    import hashlib
+    from collections import Counter
+
+    from sol_spark.operators.governance import (
+        _HU_BUCKETS,
+        _HU_CRIT_E6,
+        dq_hash_uniformity,
+    )
+    from sol_spark.tables import load_tables
+
+    keys = [r["o_orderkey"] for r in load_tables(spark, sf_dir)["orders"].select("o_orderkey").collect()]
+    counts = Counter(
+        int(hashlib.md5(f"hu{k}".encode()).hexdigest()[:8], 16) % _HU_BUCKETS for k in keys
+    )
+    t = len(keys)
+    k = _HU_BUCKETS
+    chi2 = (1000000 * k * sum((n * k - t) ** 2 for n in counts.values())) // (k * k * t)
+    row = dq_hash_uniformity(spark, sf_dir).collect()[0]
+    assert row["n_buckets"] == len(counts) and row["n_rows"] == t
+    assert row["min_bucket"] == min(counts.values())
+    assert row["max_bucket"] == max(counts.values())
+    assert row["chi2_e6"] == chi2
+    assert row["nonuniform_flag"] == (1 if chi2 > _HU_CRIT_E6 else 0)
+    assert row["nonuniform_flag"] == 0, "md5 buckets must look uniform on the fixture"
