@@ -3093,3 +3093,108 @@ def sim_two_stage_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid", "cosine", "rk")
         .orderBy("qid", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pre-filter vs post-filter attribute-constrained retrieval
+# ---------------------------------------------------------------------------
+
+POSTFILTER_POOL = 10  # post-filter keeps the global top-10, then filters
+
+SIM_FILTER_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+      FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS cid, label AS clabel, embedding AS ce FROM embeddings),
+norms AS (
+  SELECT vec_id, sqrt(sum(embedding[i.i]::DOUBLE * embedding[i.i]::DOUBLE)) AS nrm
+  FROM embeddings, dims i GROUP BY vec_id
+),
+scored AS (
+  SELECT qid, qlabel, cid, clabel,
+         round(sum(qe[i.i]::DOUBLE * ce[i.i]::DOUBLE)
+               / any_value(nq.nrm * nc.nrm), 6) AS cosine
+  FROM q, c, dims i
+  JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid
+  WHERE qid <> cid
+  GROUP BY qid, qlabel, cid, clabel
+),
+pre AS (
+  SELECT qid, count(*) AS n FROM (
+    SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+    FROM scored WHERE clabel = qlabel) t
+  WHERE rk <= {TOP_K} GROUP BY qid
+),
+post AS (
+  SELECT qid, sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS n FROM (
+    SELECT qid, clabel, qlabel,
+           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+    FROM scored) t
+  WHERE rk <= {POSTFILTER_POOL} GROUP BY qid
+)
+SELECT p.qid,
+       p.n::BIGINT AS prefilter_hits,
+       COALESCE(po.n, 0)::BIGINT AS postfilter_hits,
+       (p.n - COALESCE(po.n, 0))::BIGINT AS lost_by_postfilter
+FROM pre p LEFT JOIN post po ON po.qid = p.qid
+ORDER BY p.qid
+"""
+
+
+@register("sim_prefilter_vs_postfilter", SIM_FILTER_ORACLE, tags=("llm", "similarity", "audit"))
+def sim_prefilter_vs_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The attribute-filtered retrieval design lesson, measured: a
+    PRE-filtered search (apply the label predicate, then take top-{TOP_K})
+    always returns k results; a POST-filtered search (take the global
+    top-{POSTFILTER_POOL}, then filter) silently returns FEWER whenever
+    the constraint is selective — the classic vector-database failure
+    mode. Per query: hits under each strategy and the deficit. On the
+    near-orthogonal fixture with 1/8 label selectivity the deficit is
+    non-zero by construction, which is the point of the audit.
+
+    Scale shape: one scored pass serves both strategies (the pre-filter
+    branch filters BEFORE its window, so its candidate set only shrinks);
+    both windows are per-query top-k over the broadcast-join output —
+    sim_topk_exact's accepted shape, done twice on one subtree."""
+    emb = _with_norm(load_tables(spark, sf_dir)["embeddings"])
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"), F.col("nrm").alias("qn"),
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "qlabel",
+            F.col("vec_id").alias("cid"), F.col("label").alias("clabel"),
+            F.round(
+                F.expr(_DOT.format(a="qe", b="embedding")) / (F.col("qn") * F.col("nrm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
+    pre = (
+        scored.filter(F.col("clabel") == F.col("qlabel"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("prefilter_hits"))
+    )
+    post = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= POSTFILTER_POOL)
+        .groupBy("qid")
+        .agg(
+            F.sum(F.when(F.col("clabel") == F.col("qlabel"), 1).otherwise(0))
+            .cast("long").alias("postfilter_hits")
+        )
+    )
+    return (
+        pre.join(post, "qid", "left")
+        .select(
+            "qid", "prefilter_hits",
+            F.coalesce("postfilter_hits", F.lit(0)).cast("long").alias("postfilter_hits"),
+            (F.col("prefilter_hits") - F.coalesce("postfilter_hits", F.lit(0)))
+            .cast("long").alias("lost_by_postfilter"),
+        )
+        .orderBy("qid")
+    )

@@ -115,3 +115,23 @@ def test_hash_uniformity_recompute_and_flag(spark, sf_dir):
     assert row["chi2_e6"] == chi2
     assert row["nonuniform_flag"] == (1 if chi2 > _HU_CRIT_E6 else 0)
     assert row["nonuniform_flag"] == 0, "md5 buckets must look uniform on the fixture"
+
+
+def test_prefilter_vs_postfilter_laws(spark, sf_dir):
+    """Pre-filter always fills k; post-filter hits never exceed the pool
+    or the pre-filter count at equal k; the deficit is non-vacuous on the
+    fixture (the audit's whole point)."""
+    from sol_spark.operators.similarity import (
+        N_QUERIES,
+        POSTFILTER_POOL,
+        TOP_K,
+        sim_prefilter_vs_postfilter,
+    )
+
+    rows = sim_prefilter_vs_postfilter(spark, sf_dir).collect()
+    assert sorted(r["qid"] for r in rows) == list(range(N_QUERIES))
+    for r in rows:
+        assert r["prefilter_hits"] == TOP_K
+        assert 0 <= r["postfilter_hits"] <= POSTFILTER_POOL
+        assert r["lost_by_postfilter"] == r["prefilter_hits"] - r["postfilter_hits"]
+    assert any(r["lost_by_postfilter"] > 0 for r in rows)
