@@ -4069,3 +4069,56 @@ def graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     release_result(lpa)
     release_result(pairs)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Per-source duplication drop-rate scorecard (the dedup savings report)
+# ---------------------------------------------------------------------------
+
+DUP_RATE_BY_SOURCE_ORACLE = DEDUP_CLUSTERS_ORACLE.replace(
+    "SELECT doc, cluster FROM cc ORDER BY doc",
+    """SELECT d.source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN c.doc IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_clustered,
+       sum(CASE WHEN c.doc IS NOT NULL AND c.cluster <> d.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       ((1000000 * sum(CASE WHEN c.doc IS NOT NULL AND c.cluster <> d.doc_id THEN 1 ELSE 0 END))
+         // count(*))::BIGINT AS drop_ppm
+FROM documents d LEFT JOIN cc c ON c.doc = d.doc_id
+GROUP BY d.source ORDER BY d.source""",
+)
+
+
+@register("dedup_rate_by_source", DUP_RATE_BY_SOURCE_ORACLE, tags=("llm", "dedup", "audit", "iterative"))
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup savings report every corpus owner asks for first: per
+    source, how many docs sit in a near-dup cluster and how many the
+    min-id keep policy DROPS, in exact integer ppm — the table that says
+    which ingest feeds are mostly mirrors (drop their crawl budget) and
+    which are clean. Composes the MinHash CC labels with the documents
+    dimension; the keep rule matches dedup_keep_list (cluster label ==
+    min member id keeps).
+
+    Scale shape: the CC labels are linear in clustered docs; one
+    broadcast-eligible left join against documents and a per-source
+    conditional agg — nothing beyond the clustering it reuses."""
+    cc = dedup_clusters(spark, sf_dir)
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "source")
+    joined = docs.join(cc, docs["doc_id"] == cc["doc"], "left")
+    out = local_checkpoint(
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("doc").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_clustered"),
+            F.sum(
+                F.when(F.col("doc").isNotNull() & (F.col("cluster") != F.col("doc_id")), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_dropped"),
+            F.expr(
+                "(1000000 * sum(CASE WHEN doc IS NOT NULL AND cluster <> doc_id THEN 1 ELSE 0 END)) div count(*)"
+            ).cast("long").alias("drop_ppm"),
+        )
+        .orderBy("source")
+    )
+    release_result(cc)
+    return out

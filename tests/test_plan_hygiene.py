@@ -76,6 +76,7 @@ EAGER_BUILD = {
     "dedup_cluster_size_hist",  # composes the eager CC labeler
     "graph_conductance",  # composes the eager LPA labeler
     "sim_centroid_purity",  # k-means model-sync loop runs during construction
+    "dedup_rate_by_source",  # composes the eager CC labeler
 }
 
 # Registered cartesian-by-design operators (bounded or demonstration ops).

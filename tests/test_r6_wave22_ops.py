@@ -135,3 +135,31 @@ def test_prefilter_vs_postfilter_laws(spark, sf_dir):
         assert 0 <= r["postfilter_hits"] <= POSTFILTER_POOL
         assert r["lost_by_postfilter"] == r["prefilter_hits"] - r["postfilter_hits"]
     assert any(r["lost_by_postfilter"] > 0 for r in rows)
+
+
+def test_dup_rate_by_source_accounting(spark, sf_dir):
+    """Per-source totals cover the corpus; drops reconcile with the raw
+    CC labels and the min-id keep rule; clustered >= dropped."""
+    from collections import defaultdict
+
+    from sol_spark.operators.dedup import dedup_clusters, dedup_rate_by_source
+    from sol_spark.tables import load_tables
+
+    cc = {r["doc"]: r["cluster"] for r in dedup_clusters(spark, sf_dir).collect()}
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "source").collect()
+    exp = defaultdict(lambda: [0, 0, 0])
+    for d in docs:
+        e = exp[d["source"]]
+        e[0] += 1
+        if d["doc_id"] in cc:
+            e[1] += 1
+            if cc[d["doc_id"]] != d["doc_id"]:
+                e[2] += 1
+    rows = dedup_rate_by_source(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in rows) == len(docs)
+    for r in rows:
+        e = exp[r["source"]]
+        assert (r["n_docs"], r["n_clustered"], r["n_dropped"]) == tuple(e)
+        assert r["n_dropped"] <= r["n_clustered"] <= r["n_docs"]
+        assert r["drop_ppm"] == (1000000 * r["n_dropped"]) // r["n_docs"]
+    assert any(r["n_dropped"] > 0 for r in rows)
