@@ -1,6 +1,11 @@
 """Dev loop: run every registered query against the DuckDB oracle.
 
-Usage: python scripts/check_oracle.py [sf_dir] [name_filter...]
+Usage: python scripts/check_oracle.py [--strict] [sf_dir] [name_filter...]
+
+``--strict`` reproduces the driver's tolerance-free value hash (float repr
+equality instead of rel_tol=1e-6) — run the full corpus in strict mode at
+sf0.01 AND sf0.1 at least once per round to flush round(float) last-digit
+ties before the driver samples them.
 """
 
 from __future__ import annotations
@@ -16,8 +21,10 @@ from sol_spark.session import get_session
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    name_filters = sys.argv[2:]
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    exact = "--strict" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    name_filters = argv[1:]
     spark = get_session("check_oracle")
     specs = all_queries()
     failures = []
@@ -31,7 +38,7 @@ def main() -> int:
                 n = df.count()
                 print(f"  {name:35s} rows-only: {n} rows [{time.time()-t0:.1f}s]")
                 continue
-            ok, msg = compare(df, spec.oracle, sf_dir)
+            ok, msg = compare(df, spec.oracle, sf_dir, exact=exact)
         except Exception as e:  # noqa: BLE001
             ok, msg = False, f"EXC {type(e).__name__}: {str(e)[:300]}"
         status = "PASS" if ok else "FAIL"

@@ -3650,15 +3650,21 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # result is reproducible.
 # ---------------------------------------------------------------------------
 
-# Oracle unroll depth == Spark round budget (see below). The fixture's
-# deterministic-priority MIS uses 6 rounds at sf0.1 (long chains in the
-# simhash graph slow the local-min rule down vs random re-draws), so the
-# budget carries 2x headroom; post-convergence oracle rounds are no-ops
-# on empty live sets.
-MIS_MAX_ROUNDS = 12
+# Oracle unroll depth == Spark round budget (see below). Priorities are
+# RE-DRAWN each round (classic Luby) from the deterministic seed
+# md5('mis' || round || '_' || v): fixed per-vertex priorities make chain
+# graphs resolve one local minimum at a time (the r6 run needed 12 rounds
+# at sf0.1), while per-round re-draws restore the expected O(log n)
+# convergence — sf0.1 now decides every vertex in 3 rounds, so 6 carries
+# 2x headroom; post-convergence oracle rounds are no-ops on empty live
+# sets.
+MIS_MAX_ROUNDS = 6
 
-_MIS_PRIO = "CAST(conv(substring(md5(concat('mis', CAST({v} AS STRING))), 1, 8), 16, 10) AS BIGINT)"
-_MIS_PRIO_DUCK = "('0x' || substr(md5('mis' || ({v})::VARCHAR), 1, 8))::BIGINT"
+_MIS_PRIO = (
+    "CAST(conv(substring(md5(concat('mis', CAST({r} AS STRING), '_', "
+    "CAST({v} AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+)
+_MIS_PRIO_DUCK = "('0x' || substr(md5('mis' || ({r})::VARCHAR || '_' || ({v})::VARCHAR), 1, 8))::BIGINT"
 
 
 def _mis_oracle_sql(rounds: int = MIS_MAX_ROUNDS) -> str:
@@ -3678,15 +3684,17 @@ WITH pr AS MATERIALIZED (
   UNION ALL
   SELECT doc_b, doc_a FROM pr
 ), live1 AS MATERIALIZED (
-  SELECT DISTINCT a AS v, {_MIS_PRIO_DUCK.format(v='a')} AS p FROM edges
+  SELECT DISTINCT a AS v FROM edges
 )"""]
     for i in range(1, rounds + 1):
         parts.append(f""",
-losers{i} AS (
+prio{i} AS MATERIALIZED (
+  SELECT v, {_MIS_PRIO_DUCK.format(r=i, v='v')} AS p FROM live{i}
+), losers{i} AS (
   SELECT DISTINCT e.a AS v
   FROM edges e
-  JOIN live{i} la ON la.v = e.a
-  JOIN live{i} lb ON lb.v = e.b
+  JOIN prio{i} la ON la.v = e.a
+  JOIN prio{i} lb ON lb.v = e.b
   WHERE lb.p < la.p OR (lb.p = la.p AND lb.v < la.v)
 ), kept{i} AS MATERIALIZED (
   SELECT l.v FROM live{i} l ANTI JOIN losers{i} o ON l.v = o.v
@@ -3696,7 +3704,7 @@ losers{i} AS (
   JOIN kept{i} k ON e.a = k.v
   JOIN live{i} l ON l.v = e.b
 ), live{i + 1} AS MATERIALIZED (
-  SELECT l.v, l.p FROM live{i} l
+  SELECT l.v FROM live{i} l
   ANTI JOIN kept{i} k ON l.v = k.v
   ANTI JOIN dom{i} d ON l.v = d.v
 )""")
@@ -3726,9 +3734,11 @@ DEDUP_MIS_ORACLE = _mis_oracle_sql()
 def dedup_mis_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-independent-set keep-list (Luby 1986) over the SimHash
     near-dup graph: per round, a live doc joins the keep set iff its
-    deterministic md5 priority (ties by doc_id) is a strict local minimum
-    among live neighbors; its neighbors become dominated (dropped); repeat
-    until no live vertex remains. Guarantees per round-trip: kept docs are
+    deterministic md5 priority — RE-DRAWN each round from the round-salted
+    seed, the classic Luby coin that gives expected O(log n) rounds even on
+    chain graphs (ties by doc_id) — is a strict local minimum among live
+    neighbors; its neighbors become dominated (dropped); repeat until no
+    live vertex remains. Guarantees per round-trip: kept docs are
     pairwise non-near-duplicate (independence) and every dropped doc has a
     kept near-duplicate witness (maximality) — on non-clique near-dup
     graphs a per-cluster min-id keep-list violates independence (the
@@ -3753,12 +3763,7 @@ def dedup_mis_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
     state0 = (
         edges.select(F.col("a").alias("v"))
         .distinct()
-        .select(
-            "v",
-            F.expr(_MIS_PRIO.format(v="v")).alias("p"),
-            F.lit("live").alias("status"),
-            F.lit(0).alias("round"),
-        )
+        .select("v", F.lit("live").alias("status"), F.lit(0).alias("round"))
     )
 
     def step(state: DataFrame, i: int) -> DataFrame:
@@ -3767,7 +3772,11 @@ def dedup_mis_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
         # finalize as the first round a neighbor was kept — equivalent by
         # construction, and the per-round checkpoint shrinks to the
         # still-undecided frontier plus the keep set, the 100 TB shape).
-        live = state.filter(F.col("status") == "live").select("v", "p")
+        # Priorities are re-drawn here per round (classic Luby) from the
+        # round-salted md5 seed shared with the oracle unroll.
+        live = state.filter(F.col("status") == "live").select(
+            "v", F.expr(_MIS_PRIO.format(r=i + 1, v="v")).alias("p")
+        )
         la = live.select(F.col("v").alias("a"), F.col("p").alias("pa"))
         lb = live.select(F.col("v").alias("b"), F.col("p").alias("pb"))
         live_edges = edges.join(la, "a").join(lb, "b")
@@ -3791,8 +3800,8 @@ def dedup_mis_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return (
             state.filter(F.col("status") == "kept")
-            .unionAll(kept.select("v", "p", F.lit("kept").alias("status"), F.lit(i + 1).alias("round")))
-            .unionAll(survivors.select("v", "p", F.lit("live").alias("status"), F.lit(0).alias("round")))
+            .unionAll(kept.select("v", F.lit("kept").alias("status"), F.lit(i + 1).alias("round")))
+            .unionAll(survivors.select("v", F.lit("live").alias("status"), F.lit(0).alias("round")))
         )
 
     def finalize(state: DataFrame) -> DataFrame:
@@ -3923,8 +3932,8 @@ SELECT (SELECT count(*) FROM hashed)::BIGINT AS n_shingles,
        count(*)::BIGINT AS n_hashes,
        ((SELECT count(*) FROM hashed) - count(*))::BIGINT AS n_merged,
        sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_collided_hashes,
-       CAST(1000000 * ((SELECT count(*) FROM hashed) - count(*))
-            / (SELECT count(*) FROM hashed) AS BIGINT) AS collision_ppm
+       ((1000000 * ((SELECT count(*) FROM hashed) - count(*)))
+            // (SELECT count(*) FROM hashed))::BIGINT AS collision_ppm
 FROM per_hash
 """
 
@@ -3955,7 +3964,7 @@ def dedup_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_hashes"),
         (F.sum("k") - F.count(F.lit(1))).cast("long").alias("n_merged"),
         F.sum(F.when(F.col("k") >= 2, 1).otherwise(0)).cast("long").alias("n_collided_hashes"),
-        (1000000 * (F.sum("k") - F.count(F.lit(1))) / F.sum("k")).cast("long").alias("collision_ppm"),
+        F.expr("(1000000 * (sum(k) - count(*))) div sum(k)").cast("long").alias("collision_ppm"),
     )
 
 

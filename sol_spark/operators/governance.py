@@ -2006,7 +2006,7 @@ DP_QUANT_SCALE = 2.0 * len(_DP_QUANT_QS) / DP_QUANT_EPS  # 2/eps_i, eps split 3 
 
 DP_QUANTILE_ORACLE = f"""
 WITH hist AS (
-  SELECT (CAST(o_totalprice AS BIGINT) // {DP_QUANT_BINW})::BIGINT AS bin,
+  SELECT (CAST(floor(o_totalprice) AS BIGINT) // {DP_QUANT_BINW})::BIGINT AS bin,
          count(*)::BIGINT AS cnt
   FROM orders GROUP BY 1
 ),
@@ -2068,7 +2068,7 @@ def privacy_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = (
         t["orders"]
         .groupBy(
-            F.expr(f"CAST(o_totalprice AS BIGINT) div {DP_QUANT_BINW}")
+            F.expr(f"CAST(floor(o_totalprice) AS BIGINT) div {DP_QUANT_BINW}")
             .cast("long").alias("bin")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))

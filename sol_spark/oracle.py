@@ -27,8 +27,13 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _normalize(df: pd.DataFrame) -> list[list[Any]]:
-    """Sort columns by name, canonicalize cell values, sort rows."""
+def _normalize(df: pd.DataFrame, exact: bool = False) -> list[list[Any]]:
+    """Sort columns by name, canonicalize cell values, sort rows.
+
+    ``exact=True`` keeps the full float value (no 6-decimal rounding), so
+    the row-sort key and the subsequent compare see exactly what the
+    driver's value hash sees.
+    """
     df = df[sorted(df.columns)]
     rows: list[list[Any]] = []
     for row in df.itertuples(index=False):
@@ -39,7 +44,7 @@ def _normalize(df: pd.DataFrame) -> list[list[Any]]:
             elif isinstance(v, (bool,)):
                 out.append(bool(v))
             elif isinstance(v, float):
-                out.append(round(v, 6))
+                out.append(float(v) if exact else round(v, 6))
             elif isinstance(v, pd.Timestamp):
                 out.append(v.tz_localize(None) if v.tzinfo else v)
             else:
@@ -89,7 +94,7 @@ def _dtype_token(s: pd.Series) -> str:
     return "empty"
 
 
-def _values_close(a: Any, b: Any, rtol: float = 1e-6) -> bool:
+def _values_close(a: Any, b: Any, rtol: float = 1e-6, exact: bool = False) -> bool:
     if a is None and b is None:
         return True
     if isinstance(a, float) or isinstance(b, float):
@@ -99,14 +104,26 @@ def _values_close(a: Any, b: Any, rtol: float = 1e-6) -> bool:
             return False
         if math.isnan(fa) and math.isnan(fb):
             return True
+        if exact:
+            # The driver hashes the decimal string of each cell, so strict
+            # mode compares reprs: catches 1-ulp last-digit ties that
+            # rel_tol swallows AND the -0.0 vs 0.0 sign split (Python's
+            # ``-0.0 == 0.0`` is True but the hashed strings differ).
+            return repr(fa) == repr(fb)
         return math.isclose(fa, fb, rel_tol=rtol, abs_tol=1e-6)
     if isinstance(a, (int,)) and isinstance(b, (int,)):
         return a == b
     return str(a) == str(b)
 
 
-def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
-    """Returns (ok, message). Row-order and column-order insensitive."""
+def compare(spark_df, oracle_sql: str, sf_dir: str, exact: bool = False) -> tuple[bool, str]:
+    """Returns (ok, message). Row-order and column-order insensitive.
+
+    ``exact=True`` reproduces the driver's tolerance-free value hash:
+    floats must agree to the last decimal digit (repr equality), not to
+    rel_tol=1e-6 — the mode that would have caught tpcds_q47/q57 locally
+    before round 6 shipped them red.
+    """
     sp = spark_df.toPandas()
     con = duck_connection(sf_dir)
     try:
@@ -123,9 +140,9 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
         ta, tb = _dtype_token(sp[c]), _dtype_token(du[c])
         if ta != tb and "empty" not in (ta, tb):
             return False, f"dtype drift in col {c}: spark={ta} oracle={tb}"
-    a_rows, b_rows = _normalize(sp), _normalize(du)
+    a_rows, b_rows = _normalize(sp, exact=exact), _normalize(du, exact=exact)
     for i, (ra, rb) in enumerate(zip(a_rows, b_rows)):
         for j, (va, vb) in enumerate(zip(ra, rb)):
-            if not _values_close(va, vb):
+            if not _values_close(va, vb, exact=exact):
                 return False, f"value mismatch at sorted-row {i}, col {sorted(sp.columns)[j]}: spark={va!r} oracle={vb!r}"
     return True, f"ok ({len(sp)} rows)"

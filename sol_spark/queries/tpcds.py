@@ -3915,22 +3915,26 @@ def _q47_style_oracle(fact: str, date_col: str, price_col: str, dim_join: str, d
 WITH {DS_CTES},
 v1 AS (
   SELECT i_brand, {dim_col}, year({date_col}) AS d_year, month({date_col}) AS d_moy,
-         round(sum({price_col}), 4) AS sum_sales
+         sum(CAST(round({price_col} * 10000) AS BIGINT)) AS sum_units
   FROM {fact} JOIN item ON i_item_sk = {fact[:1]}s_item_sk
               {dim_join}
   WHERE year({date_col}) IN (1996, 1997)
   GROUP BY i_brand, {dim_col}, year({date_col}), month({date_col})),
 v2 AS (
   SELECT *,
-         avg(sum_sales) OVER (PARTITION BY i_brand, {dim_col}, d_year) AS avg_monthly,
-         lag(sum_sales) OVER (PARTITION BY i_brand, {dim_col} ORDER BY d_year, d_moy) AS psum,
-         lead(sum_sales) OVER (PARTITION BY i_brand, {dim_col} ORDER BY d_year, d_moy) AS nsum
+         sum(sum_units) OVER (PARTITION BY i_brand, {dim_col}, d_year) AS tot_units,
+         count(*) OVER (PARTITION BY i_brand, {dim_col}, d_year) AS n_months,
+         lag(sum_units) OVER (PARTITION BY i_brand, {dim_col} ORDER BY d_year, d_moy) AS punits,
+         lead(sum_units) OVER (PARTITION BY i_brand, {dim_col} ORDER BY d_year, d_moy) AS nunits
   FROM v1)
-SELECT i_brand, {dim_col}, d_year, d_moy, round(avg_monthly, 4) AS avg_monthly_sales,
-       sum_sales, psum, nsum
+SELECT i_brand, {dim_col}, d_year, d_moy,
+       ((2 * tot_units + n_months) // (2 * n_months)) / 10000.0 AS avg_monthly_sales,
+       sum_units / 10000.0 AS sum_sales,
+       punits / 10000.0 AS psum,
+       nunits / 10000.0 AS nsum
 FROM v2
-WHERE d_year = 1997 AND avg_monthly > 0
-  AND abs(sum_sales - avg_monthly) / avg_monthly > 0.1
+WHERE d_year = 1997 AND tot_units > 0
+  AND abs(10 * n_months * sum_units - 10 * tot_units) > tot_units
 ORDER BY i_brand, {dim_col}, d_moy
 LIMIT 100
 """
@@ -3938,31 +3942,43 @@ LIMIT 100
 
 def _q47_style(spark: SparkSession, sf_dir: str, fact: str, prefix: str, date_col: str,
                price_col: str, dim: DataFrame, dim_key: str, fact_dim_key: str, dim_col: str) -> DataFrame:
+    # Money travels as BIGINT ten-thousandths of a dollar from the scan
+    # (exact: the price has at most 4 decimal digits), so the yearly-average
+    # window and the >10% deviation predicate are order-free integer
+    # arithmetic — immune to the cross-engine round(sum(double), 4) last-digit
+    # ties that failed the driver's exact hash in round 6. Display columns
+    # are one integer-by-constant IEEE division, identical in both engines.
     ds = _ds(spark, sf_dir)
+    units = F.round(F.col(price_col) * 10000).cast("bigint")
     v1 = (
         ds[fact]
         .filter(F.year(date_col).isin(1996, 1997))
         .join(ds["item"].select("i_item_sk", "i_brand"), F.col(f"{prefix}_item_sk") == F.col("i_item_sk"))
         .join(F.broadcast(dim), F.col(fact_dim_key) == F.col(dim_key))
         .groupBy("i_brand", dim_col, F.year(date_col).alias("d_year"), F.month(date_col).alias("d_moy"))
-        .agg(F.round(F.sum(price_col), 4).alias("sum_sales"))
+        .agg(F.sum(units).alias("sum_units"))
     )
     w_year = W.partitionBy("i_brand", dim_col, "d_year")
     w_seq = W.partitionBy("i_brand", dim_col).orderBy("d_year", "d_moy")
     v2 = v1.select(
         "*",
-        F.avg("sum_sales").over(w_year).alias("avg_monthly"),
-        F.lag("sum_sales").over(w_seq).alias("psum"),
-        F.lead("sum_sales").over(w_seq).alias("nsum"),
+        F.sum("sum_units").over(w_year).alias("tot_units"),
+        F.count(F.lit(1)).over(w_year).alias("n_months"),
+        F.lag("sum_units").over(w_seq).alias("punits"),
+        F.lead("sum_units").over(w_seq).alias("nunits"),
     )
     return (
         v2.filter(
-            (F.col("d_year") == 1997) & (F.col("avg_monthly") > 0)
-            & (F.abs(F.col("sum_sales") - F.col("avg_monthly")) / F.col("avg_monthly") > 0.1)
+            (F.col("d_year") == 1997) & (F.col("tot_units") > 0)
+            & (F.abs(10 * F.col("n_months") * F.col("sum_units") - 10 * F.col("tot_units"))
+               > F.col("tot_units"))
         )
         .select(
             "i_brand", dim_col, "d_year", "d_moy",
-            F.round("avg_monthly", 4).alias("avg_monthly_sales"), "sum_sales", "psum", "nsum",
+            (F.expr("(2 * tot_units + n_months) div (2 * n_months)") / 10000.0).alias("avg_monthly_sales"),
+            (F.col("sum_units") / 10000.0).alias("sum_sales"),
+            (F.col("punits") / 10000.0).alias("psum"),
+            (F.col("nunits") / 10000.0).alias("nsum"),
         )
         .orderBy("i_brand", dim_col, "d_moy")
         .limit(100)
@@ -3982,9 +3998,10 @@ def tpcds_q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-agg over the fact, then BOTH window families — the yearly avg
     partition and the month-sequence lag/lead — run over the aggregated
     frame (|brands x stores x 24| rows); Spark plans them as two window
-    nodes sharing one sort on the common (brand, store) prefix. The
-    deviation predicate divides 4-rounded sums, keeping the threshold
-    decision identical cross-engine."""
+    nodes sharing one sort on the common (brand, store) prefix. Money is
+    exact BIGINT ten-thousandths-of-a-dollar end to end; the average uses
+    integer HALF_UP division and the >10% deviation test is an integer
+    cross-multiplication, so no accumulation order can flip a row."""
     ds = _ds(spark, sf_dir)
     return _q47_style(
         spark, sf_dir, "store_sales", "ss", "ss_sold_date_sk", "ss_sales_price",

@@ -116,11 +116,17 @@ _R4_WINDOW: tuple[str, ...] = (
 )
 
 
-# Round-6 driver window (tier 0 this round): the 50 never-driver-checked
-# r4 additions pinned at round-5 time — the r4 LLM-operator/audit families
-# plus TPC-DS waves up to q23/q49. All 50 passed the judge's independent
-# oracle re-run at sf0.01 in round 5.
+# Round-7 tier 0: the two CORRECTNESS_r06 exact-hash reds (the
+# round(sum(double),4) deviation-window ties), re-pinned FIRST so the
+# driver re-verifies the round-7 integer-cent rewrite. The other 48 r6
+# window names came back green in CORRECTNESS_r06.json and are folded into
+# _DRIVER_VERIFIED below.
 _R6_WINDOW: tuple[str, ...] = (
+    "tpcds_q47", "tpcds_q57",
+)
+
+# The 48 green rows of CORRECTNESS_r06.json (driver round 6).
+_DRIVER_VERIFIED = _DRIVER_VERIFIED | frozenset({
     "dedup_incremental", "graph_label_propagation", "dedup_method_overlap",
     "dedup_threshold_sweep", "dedup_band_sweep", "graph_degree_stats",
     "mm_integrity_audit", "sim_topk_pq", "emb_matryoshka_eval",
@@ -132,10 +138,10 @@ _R6_WINDOW: tuple[str, ...] = (
     "tpcds_q21", "tpcds_q22", "tpcds_q37", "tpcds_q82", "tpcds_q39",
     "tpcds_q40", "tpcds_q72", "tpcds_q99", "tpcds_q16", "tpcds_q38",
     "tpcds_q87", "tpcds_q97", "tpcds_q74", "tpcds_q17", "tpcds_q31",
-    "tpcds_q47", "tpcds_q57", "tpcds_q30", "tpcds_q85", "tpcds_q91",
+    "tpcds_q30", "tpcds_q85", "tpcds_q91",
     "tpcds_q8", "tpcds_q23", "tpcds_q49", "tpcds_q4", "tpcds_q26",
     "tpcds_q58", "tpcds_q62",
-)
+})
 
 # Round-7 driver window (tier 1), pinned now so the rotation plan survives
 # session turnover: the next 50 never-driver-checked names in registration
@@ -195,7 +201,8 @@ def all_queries() -> dict[str, QuerySpec]:
 
     Ordering note: the driver's correctness harness verifies queries in
     dict order under a fixed ~50-query budget, so the returned dict is
-    explicitly tiered: (0) the pinned round-6 window; (1) the pinned
+    explicitly tiered: (0) tpcds_q47/q57 — the r6 exact-hash reds, pinned
+    first so the driver re-verifies the integer-cent fix; (1) the pinned
     round-7 window; (2) the pinned round-8 window; (3) every other name
     not in ``_DRIVER_VERIFIED`` and not in the r4 window (new queries
     land here automatically), queued for round 9+; (4) the r4 window —

@@ -760,17 +760,26 @@ def test_mst_is_minimum_spanning_forest(spark, sf_dir):
     baseline."""
     from sol_spark.operators.dedup import dedup_simhash, graph_mst, release_result
 
-    def n_persisted():
-        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    def persisted_ids():
+        # Id SET, not count: an earlier test in the shared session may
+        # legitimately leave a persisted RDD behind, which shifted an
+        # absolute-count baseline and made this assertion order-dependent
+        # (r6 suite flake). The invariant under test is "this test's own
+        # operators release everything THEY persisted" — a subset check.
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().keysIterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
 
-    base = n_persisted()
+    base = persisted_ids()
     ph = dedup_simhash(spark, sf_dir)
     wedges = [(r["doc_a"], r["doc_b"], r["hamming"]) for r in ph.collect()]
     release_result(ph)
     mst_df = graph_mst(spark, sf_dir)
     mst = [(r["doc_a"], r["doc_b"], r["weight"]) for r in mst_df.collect()]
     release_result(mst_df)
-    assert n_persisted() == base
+    assert persisted_ids() <= base
 
     parent: dict[int, int] = {}
 
