@@ -1692,25 +1692,35 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 RF_REFRESH_ORACLE = """
-WITH inserts AS (
-  -- RF1: re-keyed copies of every 10th order (the "new sales" stream)
+WITH base AS (
+  -- Money as exact BIGINT cents from the scan (o_totalprice has exactly
+  -- 2 decimals), so the 5% uplift and the status rollup are order-free
+  -- integer arithmetic — round(sum(double), 2) tied in the last cent
+  -- digit under the strict (driver-hash) compare at sf0.01.
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+inserts AS (
+  -- RF1: re-keyed copies of every 10th order (the "new sales" stream),
+  -- 5% uplift rounded HALF_UP to whole cents in integer space
   SELECT o_orderkey + 100000000 AS o_orderkey, o_orderstatus,
-         round(o_totalprice * 1.05, 2) AS o_totalprice
-  FROM orders WHERE o_orderkey % 10 = 3
+         (cents * 105 + 50) // 100 AS cents
+  FROM base WHERE o_orderkey % 10 = 3
 ),
 deletes AS (
   -- RF2: every 13th original order leaves the warehouse
-  SELECT o_orderkey FROM orders WHERE o_orderkey % 13 = 0
+  SELECT o_orderkey FROM base WHERE o_orderkey % 13 = 0
 ),
 refreshed AS (
-  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o
+  SELECT o_orderkey, o_orderstatus, cents FROM base o
   WHERE NOT EXISTS (SELECT 1 FROM deletes d WHERE d.o_orderkey = o.o_orderkey)
   UNION ALL
-  SELECT o_orderkey, o_orderstatus, o_totalprice FROM inserts
+  SELECT o_orderkey, o_orderstatus, cents FROM inserts
 )
 SELECT o_orderstatus,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_price,
+       sum(cents) / 100.0 AS total_price,
        CAST(sum(CASE WHEN o_orderkey >= 100000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
 FROM refreshed
 GROUP BY o_orderstatus ORDER BY o_orderstatus
@@ -1736,13 +1746,20 @@ def warehouse_rf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     appended batch, which is the property that makes nightly refresh
     affordable at 100 TB."""
     t = load_tables(spark, sf_dir)
-    orders = t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice")
+    # Money as exact BIGINT cents from the scan; the uplift rounds HALF_UP
+    # in integer space and the rollup sum is order-free (the q47/q57
+    # integer-money discipline — round(sum(double), 2) tied under the
+    # driver-hash compare).
+    orders = t["orders"].select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
     inserts = (
         orders.where(F.col("o_orderkey") % 10 == 3)
         .select(
             (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
             "o_orderstatus",
-            F.round(F.col("o_totalprice") * 1.05, 2).alias("o_totalprice"),
+            F.expr("(cents * 105 + 50) div 100").alias("cents"),
         )
     )
     deletes = orders.where(F.col("o_orderkey") % 13 == 0).select("o_orderkey")
@@ -1751,7 +1768,7 @@ def warehouse_rf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         refreshed.groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            (F.sum("cents") / 100.0).alias("total_price"),
             F.sum(F.when(F.col("o_orderkey") >= 100000000, 1).otherwise(0)).cast("long").alias("n_inserted"),
         )
         .orderBy("o_orderstatus")

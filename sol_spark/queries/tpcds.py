@@ -6106,16 +6106,20 @@ Q63_ORACLE = f"""
 WITH {DS_CTES},
 v1 AS (
   SELECT i_manager_id, month(ss_sold_date_sk) AS d_moy,
-         round(sum(ss_sales_price), 4) AS sum_sales
+         sum(CAST(round(ss_sales_price * 10000) AS BIGINT)) AS sum_units
   FROM store_sales JOIN item ON ss_item_sk = i_item_sk
   WHERE year(ss_sold_date_sk) = 1997 AND i_category IN ('Books', 'Music')
-  GROUP BY i_manager_id, month(ss_sold_date_sk))
-SELECT i_manager_id, d_moy, sum_sales,
-       round(avg(sum_sales) OVER (PARTITION BY i_manager_id), 4) AS avg_monthly_sales
-FROM v1
-QUALIFY CASE WHEN avg(sum_sales) OVER (PARTITION BY i_manager_id) > 0
-             THEN abs(sum_sales - avg(sum_sales) OVER (PARTITION BY i_manager_id))
-                  / avg(sum_sales) OVER (PARTITION BY i_manager_id) ELSE NULL END > 0.1
+  GROUP BY i_manager_id, month(ss_sold_date_sk)),
+v2 AS (
+  SELECT i_manager_id, d_moy, sum_units,
+         sum(sum_units) OVER (PARTITION BY i_manager_id) AS tot_units,
+         count(*) OVER (PARTITION BY i_manager_id) AS n_months
+  FROM v1)
+SELECT i_manager_id, d_moy, sum_units / 10000.0 AS sum_sales,
+       ((2 * tot_units + n_months) // (2 * n_months)) / 10000.0 AS avg_monthly_sales
+FROM v2
+WHERE tot_units > 0
+  AND abs(10 * n_months * sum_units - 10 * tot_units) > tot_units
 ORDER BY i_manager_id, d_moy
 LIMIT 100
 """
@@ -6126,7 +6130,11 @@ def tpcds_q63(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q63 (reference tpcds/q63.sql) — the manager-grain member of
     the q53/q89 deviation-window family: months where a manager's
     category sales strayed >10% from their yearly average (QUALIFY in the
-    oracle, a post-window filter in the Spark build)."""
+    oracle, a post-window filter in the Spark build). Money is exact BIGINT
+    ten-thousandths-of-a-dollar end to end (the q47/q57 discipline): the
+    average uses integer HALF_UP division and the >10% deviation test is an
+    integer cross-multiplication, so no accumulation order or round()
+    last-digit tie can flip a row."""
     ds = _ds(spark, sf_dir)
     items = ds["item"].filter(F.col("i_category").isin("Books", "Music")).select("i_item_sk", "i_manager_id")
     v1 = (
@@ -6134,14 +6142,22 @@ def tpcds_q63(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.year("ss_sold_date_sk") == 1997)
         .join(items, F.col("ss_item_sk") == F.col("i_item_sk"))
         .groupBy("i_manager_id", F.month("ss_sold_date_sk").alias("d_moy"))
-        .agg(F.round(F.sum("ss_sales_price"), 4).alias("sum_sales"))
+        .agg(F.sum(F.round(F.col("ss_sales_price") * 10000).cast("bigint")).alias("sum_units"))
     )
     w = W.partitionBy("i_manager_id")
-    avg_m = F.avg("sum_sales").over(w)
     return (
-        v1.withColumn("avg_raw", avg_m)
-        .filter((F.col("avg_raw") > 0) & (F.abs(F.col("sum_sales") - F.col("avg_raw")) / F.col("avg_raw") > 0.1))
-        .select("i_manager_id", "d_moy", "sum_sales", F.round("avg_raw", 4).alias("avg_monthly_sales"))
+        v1.withColumn("tot_units", F.sum("sum_units").over(w))
+        .withColumn("n_months", F.count(F.lit(1)).over(w))
+        .filter(
+            (F.col("tot_units") > 0)
+            & (F.abs(10 * F.col("n_months") * F.col("sum_units") - 10 * F.col("tot_units"))
+               > F.col("tot_units"))
+        )
+        .select(
+            "i_manager_id", "d_moy",
+            (F.col("sum_units") / 10000.0).alias("sum_sales"),
+            (F.expr("(2 * tot_units + n_months) div (2 * n_months)") / 10000.0).alias("avg_monthly_sales"),
+        )
         .orderBy("i_manager_id", "d_moy")
         .limit(100)
     )
