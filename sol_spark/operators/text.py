@@ -4217,3 +4217,292 @@ def text_length_gate_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget allocation across sources (quality-ordered greedy fill with
+# an epoch cap) — the pretraining-mix planning step that turns "we can
+# afford B tokens" into a per-source allocation.
+# ---------------------------------------------------------------------------
+
+_TB_BUDGET_NUM = 2     # budget = 2/5 of the corpus's total tokens
+_TB_BUDGET_DEN = 5
+_TB_MAX_EPOCHS = 2     # a source may be repeated at most twice
+
+TOKEN_BUDGET_ORACLE = f"""
+WITH per_src AS (
+  SELECT source,
+         sum(n_chars // 4)::BIGINT AS tokens,
+         ((1000000 * sum(len(list_filter(string_split({_NORM_DUCK}, ' '),
+               x -> x IN ('the', 'and', 'of', 'is', 'a')))))
+          // sum(len(string_split({_NORM_DUCK}, ' '))))::BIGINT AS quality_ppm
+  FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY quality_ppm DESC, source) AS rk,
+         sum({_TB_MAX_EPOCHS} * tokens) OVER (ORDER BY quality_ppm DESC, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cap,
+         (({_TB_BUDGET_NUM} * sum(tokens) OVER ()) // {_TB_BUDGET_DEN})::BIGINT AS budget
+  FROM per_src
+)
+SELECT source, rk, quality_ppm, tokens,
+       greatest(0, least({_TB_MAX_EPOCHS} * tokens,
+                         budget - (cum_cap - {_TB_MAX_EPOCHS} * tokens)))::BIGINT AS alloc_tokens,
+       ((1000000 * greatest(0, least({_TB_MAX_EPOCHS} * tokens,
+                         budget - (cum_cap - {_TB_MAX_EPOCHS} * tokens)))) // tokens)::BIGINT AS epochs_ppm
+FROM ranked ORDER BY rk
+"""
+
+
+@register("pipeline_token_budget", TOKEN_BUDGET_ORACLE, tags=("llm", "pipeline", "mix"))
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation across sources: rank sources by a
+    deterministic quality signal (English stopword-hit rate in integer
+    ppm), then fill a global budget (2/5 of the corpus's tokens) greedily
+    in quality order, where each source contributes at most
+    _TB_MAX_EPOCHS passes over its own tokens and the boundary source
+    gets the partial remainder — the planning step between "quality
+    scores exist" and "the sampler knows how many tokens to draw per
+    source" in a pretraining mix (cf. the epoch-capped allocations in
+    Llama/Gopher data recipes). All integer arithmetic: the allocation is
+    a running-capacity window expression, so the released plan is exact
+    at any scale.
+
+    Scale shape: one (source)-keyed hash-agg over the corpus computes
+    tokens + quality per source (map-side combined); everything after —
+    ranking, cumulative capacity, waterline fill — runs on the tiny
+    per-source frame in a single window over one sort of |sources| rows.
+    The corpus itself is scanned once and never shuffled at row grain."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    ntok = F.expr(f"size(split({_NORM}, ' '))")
+    hits = F.expr(_score_spark("en"))
+    per_src = (
+        t["documents"]
+        .groupBy("source")
+        .agg(
+            F.sum(F.expr("n_chars div 4")).cast("long").alias("tokens"),
+            F.expr(
+                f"(1000000 * sum(size(filter(split({_NORM}, ' '), "
+                f"x -> x IN ('the', 'and', 'of', 'is', 'a'))))) "
+                f"div sum(size(split({_NORM}, ' ')))"
+            ).cast("long").alias("quality_ppm"),
+        )
+    )
+    w_ord = W.orderBy(F.col("quality_ppm").desc(), "source")
+    w_cum = w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    cap = _TB_MAX_EPOCHS * F.col("tokens")
+    ranked = per_src.select(
+        "*",
+        F.row_number().over(w_ord).alias("rk"),
+        F.sum(cap).over(w_cum).alias("cum_cap"),
+        F.expr(
+            f"({_TB_BUDGET_NUM} * sum(tokens) OVER ()) div {_TB_BUDGET_DEN}"
+        ).cast("long").alias("budget"),
+    )
+    alloc = F.greatest(
+        F.lit(0),
+        F.least(cap, F.col("budget") - (F.col("cum_cap") - cap)),
+    )
+    return (
+        ranked.select(
+            "source", "rk", "quality_ppm", "tokens",
+            alloc.cast("long").alias("alloc_tokens"),
+            F.expr(
+                f"(1000000 * greatest(0, least({_TB_MAX_EPOCHS} * tokens, "
+                f"budget - (cum_cap - {_TB_MAX_EPOCHS} * tokens)))) div tokens"
+            ).cast("long").alias("epochs_ppm"),
+        )
+        .orderBy("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa: chance-corrected agreement between the heuristic lang-id
+# classifier and the corpus's true labels — the one-number complement to
+# text_lang_id_eval's confusion matrix, in exact integer arithmetic.
+# ---------------------------------------------------------------------------
+
+COHENS_KAPPA_ORACLE = f"""
+WITH preds AS (
+  SELECT lang AS a, {_pred_case(_score_duck).format(cjk=_CJK_DUCK)} AS b
+  FROM documents
+),
+conf AS (SELECT a, b, count(*)::BIGINT AS n FROM preds GROUP BY a, b),
+tot AS (
+  SELECT sum(n)::BIGINT AS n_docs,
+         sum(CASE WHEN a = b THEN n ELSE 0 END)::BIGINT AS n_agree
+  FROM conf
+),
+marg AS (
+  SELECT sum(ra.row_n * cb.col_n)::BIGINT AS sum_rc
+  FROM (SELECT a, sum(n) AS row_n FROM conf GROUP BY a) ra
+  JOIN (SELECT b, sum(n) AS col_n FROM conf GROUP BY b) cb ON ra.a = cb.b
+)
+SELECT n_docs, n_agree,
+       ((1000000 * n_agree) // n_docs)::BIGINT AS agree_ppm,
+       ((1000000 * sum_rc) // (n_docs * n_docs))::BIGINT AS expected_agree_ppm,
+       (CASE WHEN n_docs * n_agree >= sum_rc
+             THEN (1000000 * (n_docs * n_agree - sum_rc)) // (n_docs * n_docs - sum_rc)
+             ELSE -((1000000 * (sum_rc - n_docs * n_agree)) // (n_docs * n_docs - sum_rc))
+        END)::BIGINT AS kappa_ppm
+FROM tot, marg
+"""
+
+
+@register("stats_cohens_kappa", COHENS_KAPPA_ORACLE, tags=("llm", "stats", "eval"))
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the deterministic lang-id heuristic and the
+    true lang column: observed agreement corrected by the agreement two
+    independent raters with these marginals would reach by chance —
+    THE standard inter-annotator/classifier-vs-truth scalar for labeling
+    pipelines (a classifier can post 80% raw accuracy on a skewed corpus
+    and still have kappa near 0). kappa = (po - pe) / (1 - pe) computed
+    entirely in BIGINT: numerator and denominator stay as integer
+    cross-products and the ppm division floors the MAGNITUDE before
+    re-applying the sign, so DuckDB's floor-division and Spark's
+    truncating div cannot disagree on negative kappa.
+
+    Scale shape: one label-pair hash-agg over the corpus (the same scan
+    expression the classifier itself uses); the marginal cross-product and
+    kappa run on the <=|langs|^2 confusion frame."""
+    t = load_tables(spark, sf_dir)
+    pred = F.expr(_pred_case(_score_spark).format(cjk=_CJK_SPARK))
+    conf = (
+        t["documents"]
+        .select(F.col("lang").alias("a"), pred.alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = conf.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("n")).otherwise(0)).cast("long").alias("n_agree"),
+    )
+    row_n = conf.groupBy("a").agg(F.sum("n").alias("row_n"))
+    col_n = conf.groupBy("b").agg(F.sum("n").alias("col_n"))
+    marg = (
+        row_n.join(col_n, F.col("a") == F.col("b"))
+        .agg(F.sum(F.col("row_n") * F.col("col_n")).cast("long").alias("sum_rc"))
+    )
+    return tot.crossJoin(F.broadcast(marg)).select(
+        "n_docs", "n_agree",
+        F.expr("(1000000 * n_agree) div n_docs").cast("long").alias("agree_ppm"),
+        F.expr("(1000000 * sum_rc) div (n_docs * n_docs)").cast("long").alias("expected_agree_ppm"),
+        F.expr(
+            "CASE WHEN n_docs * n_agree >= sum_rc "
+            "THEN (1000000 * (n_docs * n_agree - sum_rc)) div (n_docs * n_docs - sum_rc) "
+            "ELSE -((1000000 * (sum_rc - n_docs * n_agree)) div (n_docs * n_docs - sum_rc)) END"
+        ).cast("long").alias("kappa_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# McNemar's paired test between two keep/drop gates over the same corpus —
+# does the adaptive per-source length gate actually decide differently
+# from the global fence, and how asymmetrically?
+# ---------------------------------------------------------------------------
+
+_MCN_GLOBAL_LO = 200
+_MCN_GLOBAL_HI = 20000
+
+MCNEMAR_ORACLE = f"""
+WITH hist AS (
+  SELECT source, n_chars, count(*)::BIGINT AS c FROM documents GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, n_chars, c,
+         sum(c) OVER (PARTITION BY source ORDER BY n_chars
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY source) AS tot
+  FROM hist
+),
+fences AS (
+  SELECT source,
+         min(CASE WHEN 10000 * cum >= {_LG_LO_BP} * tot THEN n_chars END)::BIGINT AS lo,
+         min(CASE WHEN 10000 * cum >= {_LG_HI_BP} * tot THEN n_chars END)::BIGINT AS hi
+  FROM cum GROUP BY source
+),
+gated AS (
+  SELECT (d.n_chars BETWEEN {_MCN_GLOBAL_LO} AND {_MCN_GLOBAL_HI}) AS keep_global,
+         (d.n_chars BETWEEN f.lo AND f.hi) AS keep_adaptive
+  FROM documents d JOIN fences f ON f.source = d.source
+)
+SELECT count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN keep_global AND keep_adaptive THEN 1 ELSE 0 END)::BIGINT AS both_keep,
+       sum(CASE WHEN keep_global AND NOT keep_adaptive THEN 1 ELSE 0 END)::BIGINT AS only_global,
+       sum(CASE WHEN NOT keep_global AND keep_adaptive THEN 1 ELSE 0 END)::BIGINT AS only_adaptive,
+       sum(CASE WHEN NOT keep_global AND NOT keep_adaptive THEN 1 ELSE 0 END)::BIGINT AS neither,
+       (CASE WHEN sum(CASE WHEN keep_global <> keep_adaptive THEN 1 ELSE 0 END) = 0 THEN 0
+             ELSE (1000000
+                   * (sum(CASE WHEN keep_global AND NOT keep_adaptive THEN 1 ELSE 0 END)
+                      - sum(CASE WHEN NOT keep_global AND keep_adaptive THEN 1 ELSE 0 END))
+                   * (sum(CASE WHEN keep_global AND NOT keep_adaptive THEN 1 ELSE 0 END)
+                      - sum(CASE WHEN NOT keep_global AND keep_adaptive THEN 1 ELSE 0 END)))
+                  // sum(CASE WHEN keep_global <> keep_adaptive THEN 1 ELSE 0 END)
+        END)::BIGINT AS mcnemar_stat_ppm
+FROM gated
+"""
+
+
+@register("stats_mcnemar", MCNEMAR_ORACLE, tags=("llm", "stats", "eval"))
+def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test between two keep/drop gates applied to the
+    SAME documents — the global [200, 20000] length fence vs the adaptive
+    per-source [p5, p95] fence: the discordant cells (kept by exactly one
+    gate) carry all the evidence, and the statistic (b-c)^2/(b+c) asks
+    whether the disagreement is symmetric noise or a directional policy
+    change. This is the right test when comparing two filters on one
+    corpus (a two-proportion z-test would wrongly treat the samples as
+    independent). (b-c)^2 is non-negative, so the ppm division is
+    engine-identical integer arithmetic.
+
+    Scale shape: the fence computation reuses the per-source histogram
+    (bounded by distinct lengths); the pairing is one conditional agg over
+    a single corpus scan with the broadcast fences joined in — no
+    row-grain shuffle."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    hist = t["documents"].groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = W.partitionBy("source").orderBy("n_chars").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.select(
+        "source", "n_chars",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(W.partitionBy("source")).alias("tot"),
+    )
+    fences = cum.groupBy("source").agg(
+        F.min(F.when(10000 * F.col("cum") >= _LG_LO_BP * F.col("tot"), F.col("n_chars")))
+        .cast("long").alias("lo"),
+        F.min(F.when(10000 * F.col("cum") >= _LG_HI_BP * F.col("tot"), F.col("n_chars")))
+        .cast("long").alias("hi"),
+    )
+    gated = (
+        t["documents"].join(F.broadcast(fences), "source")
+        .select(
+            F.col("n_chars").between(_MCN_GLOBAL_LO, _MCN_GLOBAL_HI).alias("keep_global"),
+            F.col("n_chars").between(F.col("lo"), F.col("hi")).alias("keep_adaptive"),
+        )
+    )
+    b = F.sum(F.when(F.col("keep_global") & ~F.col("keep_adaptive"), 1).otherwise(0))
+    c = F.sum(F.when(~F.col("keep_global") & F.col("keep_adaptive"), 1).otherwise(0))
+    disc = F.sum(F.when(F.col("keep_global") != F.col("keep_adaptive"), 1).otherwise(0))
+    return gated.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("keep_global") & F.col("keep_adaptive"), 1).otherwise(0))
+        .cast("long").alias("both_keep"),
+        b.cast("long").alias("only_global"),
+        c.cast("long").alias("only_adaptive"),
+        F.sum(F.when(~F.col("keep_global") & ~F.col("keep_adaptive"), 1).otherwise(0))
+        .cast("long").alias("neither"),
+        F.when(disc == 0, F.lit(0))
+        .otherwise(F.expr(
+            "(1000000 * (sum(CASE WHEN keep_global AND NOT keep_adaptive THEN 1 ELSE 0 END) "
+            " - sum(CASE WHEN NOT keep_global AND keep_adaptive THEN 1 ELSE 0 END)) "
+            " * (sum(CASE WHEN keep_global AND NOT keep_adaptive THEN 1 ELSE 0 END) "
+            " - sum(CASE WHEN NOT keep_global AND keep_adaptive THEN 1 ELSE 0 END))) "
+            "div sum(CASE WHEN keep_global <> keep_adaptive THEN 1 ELSE 0 END)"
+        ))
+        .cast("long").alias("mcnemar_stat_ppm"),
+    )

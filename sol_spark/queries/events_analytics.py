@@ -3961,3 +3961,91 @@ def events_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy("wk", "state")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential probability ratio test (Wald SPRT), integer form: per-user
+# sequential decision on whether their click propensity is low (p0 = 1/3)
+# or high (p1 = 2/3), decided at the FIRST event where the evidence walk
+# crosses the boundary — the streaming-experimentation primitive that
+# stops collecting data per unit as soon as the answer is known.
+# ---------------------------------------------------------------------------
+
+SPRT_BOUNDARY = 5  # decide when |2*successes - n| >= 5 (~= ln boundary / ln 2)
+
+SPRT_ORACLE = f"""
+WITH walk AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         sum(CASE WHEN event_type IN ('click', 'purchase') THEN 1 ELSE -1 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w
+  FROM events
+),
+marked AS (
+  SELECT user_id, rn, w,
+         min(CASE WHEN abs(w) >= {SPRT_BOUNDARY} THEN rn END)
+           OVER (PARTITION BY user_id) AS dec_rn,
+         count(*) OVER (PARTITION BY user_id) AS n_events
+  FROM walk
+)
+SELECT user_id, n_events::BIGINT AS n_events,
+       CASE WHEN dec_rn IS NULL THEN 'undecided'
+            WHEN w > 0 THEN 'accept_p1' ELSE 'accept_p0' END AS decision,
+       COALESCE(dec_rn, 0)::BIGINT AS n_at_decision,
+       w::BIGINT AS w_at_decision
+FROM marked
+WHERE rn = COALESCE(dec_rn, n_events)
+ORDER BY user_id
+"""
+
+
+@register("stats_sprt_bernoulli", SPRT_ORACLE, tags=("llm", "stats", "sequential"))
+def stats_sprt_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT per user over the ts-ordered event stream, in the exact
+    integer form: with hypotheses p0 = 1/3 vs p1 = 2/3 the log-likelihood
+    ratio after s successes in n trials is (2s - n) * ln2, so the test
+    reduces to the integer evidence walk w = 2s - n crossing +/-{SPRT_BOUNDARY}
+    (success = click/purchase). Each user reports the FIRST crossing —
+    decision, sample size at decision, and the walk value — or their final
+    state if the budget of events never decides. The p0/p1 pair is chosen
+    so the boundary is a pure integer (the stats-suite discipline: no libm
+    log in the decision path, so Spark and DuckDB cannot disagree by an
+    ulp). The window ORDER BY (ts, event_id) is a total key — equal
+    timestamps cannot flip the walk between engines.
+
+    Scale shape: one window pass partitioned by user (the per-user
+    sequence fits an executor by construction), then a same-partition
+    filter picks each user's decision row — no second shuffle, no
+    driver-side iteration; at 100 TB this is the standard
+    sessionize-shaped single exchange on user_id."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    w_seq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_all = W.partitionBy("user_id")
+    walk = t["events"].select(
+        "user_id",
+        F.row_number().over(w_seq).alias("rn"),
+        F.sum(
+            F.when(F.col("event_type").isin("click", "purchase"), 1).otherwise(-1)
+        ).over(w_seq.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("w"),
+    )
+    marked = walk.select(
+        "user_id", "rn", "w",
+        F.min(F.when(F.abs("w") >= SPRT_BOUNDARY, F.col("rn"))).over(w_all).alias("dec_rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_events"),
+    )
+    return (
+        marked.filter(F.col("rn") == F.coalesce("dec_rn", "n_events"))
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.when(F.col("dec_rn").isNull(), F.lit("undecided"))
+            .when(F.col("w") > 0, F.lit("accept_p1"))
+            .otherwise(F.lit("accept_p0")).alias("decision"),
+            F.coalesce("dec_rn", F.lit(0)).cast("long").alias("n_at_decision"),
+            F.col("w").cast("long").alias("w_at_decision"),
+        )
+        .orderBy("user_id")
+    )

@@ -4230,3 +4230,84 @@ def sketch_hll_ie_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("ie_err_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Online-aggregation error curve: how fast does a hash-sampled estimate of
+# avg(o_totalprice) converge as the sample fraction grows? The AQP
+# acceptance audit that prices "show a 1% answer first".
+# ---------------------------------------------------------------------------
+
+_AQP_FRACS = (1, 2, 5, 10, 20, 50, 100)
+
+AQP_ERR_CURVE_ORACLE = f"""
+WITH tagged AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         ('0x' || substr(md5('aqp' || o_orderkey::VARCHAR), 1, 8))::BIGINT % 100 AS b
+  FROM orders
+),
+agg AS (
+  SELECT
+    {", ".join(f"sum(CASE WHEN b < {f} THEN cents ELSE 0 END)::BIGINT AS s{f}, "
+               f"sum(CASE WHEN b < {f} THEN 1 ELSE 0 END)::BIGINT AS n{f}" for f in _AQP_FRACS)}
+  FROM tagged
+),
+curve AS (
+  {" UNION ALL ".join(f"SELECT {f} AS pct, s{f} AS s, n{f} AS n FROM agg" for f in _AQP_FRACS)}
+),
+truth AS (SELECT (2 * s100 + n100) // (2 * n100) AS true_avg FROM agg)
+SELECT pct, n AS n_rows,
+       ((2 * s + n) // (2 * n))::BIGINT AS est_avg_cents,
+       true_avg::BIGINT AS true_avg_cents,
+       ((1000000 * abs((2 * s + n) // (2 * n) - true_avg)) // true_avg)::BIGINT AS err_ppm
+FROM curve, truth
+ORDER BY pct
+"""
+
+
+@register("aqp_error_vs_fraction", AQP_ERR_CURVE_ORACLE, tags=("aqp", "sampling", "stats"))
+def aqp_error_vs_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online-aggregation convergence curve: deterministic md5-bucket
+    samples at 1/2/5/10/20/50/100% of orders, each estimating
+    avg(o_totalprice), with the exact integer-ppm error of each estimate
+    against the full answer — the curve an AQP layer shows to justify
+    serving the 1% answer while the full scan finishes (Hellerstein's
+    online aggregation, priced on this corpus). Nested prefixes (bucket
+    < f) make the samples monotone: each fraction extends the last, the
+    online-agg refinement property. Money is BIGINT cents with HALF_UP
+    integer averaging — no float accumulation anywhere.
+
+    Scale shape: ONE scan computes all seven conditional (sum, count)
+    pairs map-side (a 14-cell partial agg, no shuffle of rows); the curve
+    is an unpivot of the single-row aggregate. This is the 100 TB shape:
+    adding a fraction adds two cells, not a pass."""
+    t = load_tables(spark, sf_dir)
+    tagged = t["orders"].select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.expr(
+            "CAST(conv(substring(md5(concat('aqp', CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100"
+        ).alias("b"),
+    )
+    agg = tagged.agg(
+        *[
+            c
+            for f in _AQP_FRACS
+            for c in (
+                F.sum(F.when(F.col("b") < f, F.col("cents")).otherwise(0)).cast("long").alias(f"s{f}"),
+                F.sum(F.when(F.col("b") < f, 1).otherwise(0)).cast("long").alias(f"n{f}"),
+            )
+        ]
+    )
+    stack_args = ", ".join(f"{f}, s{f}, n{f}" for f in _AQP_FRACS)
+    curve = agg.select(
+        F.expr(f"stack({len(_AQP_FRACS)}, {stack_args}) AS (pct, s, n)"),
+        F.expr("(2 * s100 + n100) div (2 * n100)").alias("true_avg"),
+    )
+    return curve.select(
+        "pct",
+        F.col("n").alias("n_rows"),
+        F.expr("(2 * s + n) div (2 * n)").cast("long").alias("est_avg_cents"),
+        F.col("true_avg").cast("long").alias("true_avg_cents"),
+        F.expr("(1000000 * abs((2 * s + n) div (2 * n) - true_avg)) div true_avg")
+        .cast("long").alias("err_ppm"),
+    ).orderBy("pct")
