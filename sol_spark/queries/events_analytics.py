@@ -850,10 +850,54 @@ def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EWMA_ALPHA = 0.3
 
+# Exact hourly mean for the recurrence family: `value` has exactly 2
+# decimals, so the BIGINT cent sum is exact (order-free) and
+# x = cents / (100.0 * n) is ONE IEEE division of identical integers in
+# both engines — bit-identical x, immune to each engine's summation order
+# (avg(double) tied in the 6th decimal at sf0.1, round-7 strict sweep).
+_HOURLY_X_DUCK = """
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         sum(CAST(round(value * 100) AS BIGINT)) / (100.0 * count(*)) AS x
+  FROM events GROUP BY 1, 2
+"""
+
+# Display rounding for the family: round-half-up at 6 decimals via
+# floor(v*1e6 + 0.5) — a pure IEEE function of the (bit-identical) double,
+# so Spark's shortest-decimal round and DuckDB's binary round can never
+# split a .xxxxxx5 tie again.
+_R6_DUCK = "floor(({c}) * 1000000 + 0.5) / 1000000.0"
+
+
+def _r6(col: str):
+    """Spark twin of _R6_DUCK (see above): deterministic half-up at 6.
+
+    The divisor must be an explicit DOUBLE: Spark's SQL parser types the
+    literal ``1000000.0`` as DECIMAL(8,1), making ``floor(..)/1000000.0``
+    a DECIMAL(30,9) whose Arrow decimal->double conversion multiplies the
+    unscaled value by 1e-9 — NOT the same double as ``3106712/1e6``."""
+    return F.expr(f"floor(({col}) * 1000000 + 0.5) / cast(1000000 as double)")
+
+
+def _hourly_x(t) -> DataFrame:
+    """Spark twin of _HOURLY_X_DUCK: exact hourly mean via BIGINT cents."""
+    return (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.expr("cast(date_trunc('hour', ts) as timestamp_ntz)").alias("hour"),
+        )
+        .agg(
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                / (100.0 * F.count(F.lit(1)))
+            ).alias("x")
+        )
+    )
+
+
 EVENTS_EWMA_ORACLE = f"""
 WITH RECURSIVE hourly AS (
-  SELECT event_type, date_trunc('hour', ts) AS hour, avg(value) AS x
-  FROM events GROUP BY 1, 2
+  {_HOURLY_X_DUCK}
 ), seq AS (
   SELECT event_type, hour, x,
          row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
@@ -864,7 +908,8 @@ WITH RECURSIVE hourly AS (
   SELECT s.event_type, s.hour, s.x, s.rn, {EWMA_ALPHA} * s.x + {1 - EWMA_ALPHA} * e.y
   FROM seq s JOIN ew e ON s.event_type = e.event_type AND s.rn = e.rn + 1
 )
-SELECT event_type, hour, round(x, 6) AS avg_value, round(y, 6) AS ewma
+SELECT event_type, hour, {_R6_DUCK.format(c='x')} AS avg_value,
+       {_R6_DUCK.format(c='y')} AS ewma
 FROM ew ORDER BY event_type, hour
 """
 
@@ -888,14 +933,7 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     t = load_tables(spark, sf_dir)
-    hourly = (
-        t["events"]
-        .groupBy(
-            "event_type",
-            F.expr("cast(date_trunc('hour', ts) as timestamp_ntz)").alias("hour"),
-        )
-        .agg(F.avg("value").alias("x"))
-    )
+    hourly = _hourly_x(t)
     alpha = EWMA_ALPHA
 
     def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -914,8 +952,8 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "hour",
-            F.round("x", 6).alias("avg_value"),
-            F.round("ewma", 6).alias("ewma"),
+            _r6("x").alias("avg_value"),
+            _r6("ewma").alias("ewma"),
         )
         .orderBy("event_type", "hour")
     )
@@ -929,10 +967,9 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 # grouped-map recurrence and the recursive-CTE oracle produce bit-identical
 # IEEE streams (a 0.3/0.7 pair would hinge on round-to-even of 1 - 0.3).
 
-EVENTS_HOLT_ORACLE = """
+EVENTS_HOLT_ORACLE = f"""
 WITH RECURSIVE hourly AS (
-  SELECT event_type, date_trunc('hour', ts) AS hour, avg(value) AS x
-  FROM events GROUP BY 1, 2
+  {_HOURLY_X_DUCK}
 ), seq AS (
   SELECT event_type, hour, x,
          row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
@@ -945,10 +982,10 @@ WITH RECURSIVE hourly AS (
          0.5 * ((0.5 * s.x + 0.5 * (h.l + h.b)) - h.l) + 0.5 * h.b
   FROM seq s JOIN holt h ON s.event_type = h.event_type AND s.rn = h.rn + 1
 )
-SELECT event_type, hour, round(x, 6) AS avg_value,
-       round(l, 6) + 0.0 AS level,
-       round(b, 6) + 0.0 AS trend,
-       round(l + b, 6) + 0.0 AS forecast_next
+SELECT event_type, hour, {_R6_DUCK.format(c='x')} AS avg_value,
+       {_R6_DUCK.format(c='l')} + 0.0 AS level,
+       {_R6_DUCK.format(c='b')} + 0.0 AS trend,
+       {_R6_DUCK.format(c='l + b')} + 0.0 AS forecast_next
 FROM holt ORDER BY event_type, hour
 """
 
@@ -972,14 +1009,7 @@ def events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     t = load_tables(spark, sf_dir)
-    hourly = (
-        t["events"]
-        .groupBy(
-            "event_type",
-            F.expr("cast(date_trunc('hour', ts) as timestamp_ntz)").alias("hour"),
-        )
-        .agg(F.avg("value").alias("x"))
-    )
+    hourly = _hourly_x(t)
 
     def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("hour").reset_index(drop=True)
@@ -1005,10 +1035,10 @@ def events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "hour",
-            F.round("x", 6).alias("avg_value"),
-            (F.round("l", 6) + 0.0).alias("level"),
-            (F.round("b", 6) + 0.0).alias("trend"),
-            (F.round(F.col("l") + F.col("b"), 6) + 0.0).alias("forecast_next"),
+            _r6("x").alias("avg_value"),
+            (_r6("l") + 0.0).alias("level"),
+            (_r6("b") + 0.0).alias("trend"),
+            (_r6("l + b") + 0.0).alias("forecast_next"),
         )
         .orderBy("event_type", "hour")
     )
@@ -1330,10 +1360,9 @@ def events_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CUSUM change-point statistic per series
 # ---------------------------------------------------------------------------
 
-EVENTS_CUSUM_ORACLE = """
+EVENTS_CUSUM_ORACLE = f"""
 WITH RECURSIVE hourly AS (
-  SELECT event_type, date_trunc('hour', ts) AS hour, avg(value) AS x
-  FROM events GROUP BY 1, 2
+  {_HOURLY_X_DUCK}
 ), stats AS (
   SELECT event_type, avg(x) AS mu, stddev_samp(x) AS sd
   FROM hourly GROUP BY 1
@@ -1350,7 +1379,8 @@ WITH RECURSIVE hourly AS (
          greatest(0.0, c.s + (q.x - q.mu - 0.5 * q.sd))
   FROM seq q JOIN cu c ON q.event_type = c.event_type AND q.rn = c.rn + 1
 )
-SELECT event_type, hour, round(x, 6) AS avg_value, round(s, 6) AS cusum,
+SELECT event_type, hour, {_R6_DUCK.format(c='x')} AS avg_value,
+       {_R6_DUCK.format(c='s')} AS cusum,
        s > 4 * sd AS alarm
 FROM cu ORDER BY event_type, hour
 """
@@ -1373,14 +1403,7 @@ def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     t = load_tables(spark, sf_dir)
-    hourly = (
-        t["events"]
-        .groupBy(
-            "event_type",
-            F.expr("cast(date_trunc('hour', ts) as timestamp_ntz)").alias("hour"),
-        )
-        .agg(F.avg("value").alias("x"))
-    )
+    hourly = _hourly_x(t)
     stats = hourly.groupBy("event_type").agg(
         F.avg("x").alias("mu"), F.stddev_samp("x").alias("sd")
     )
@@ -1409,8 +1432,8 @@ def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "hour",
-            F.round("x", 6).alias("avg_value"),
-            F.round("s", 6).alias("cusum"),
+            _r6("x").alias("avg_value"),
+            _r6("s").alias("cusum"),
             (F.col("s") > 4 * F.col("sd")).alias("alarm"),
         )
         .orderBy("event_type", "hour")
@@ -2481,8 +2504,7 @@ STL_HALF = 12  # centered trend window: 12 preceding + current + 12 following
 
 EVENTS_STL_ORACLE = f"""
 WITH hourly AS (
-  SELECT event_type, date_trunc('hour', ts) AS hour, avg(value) AS x
-  FROM events GROUP BY 1, 2
+  {_HOURLY_X_DUCK}
 ), tr AS (
   SELECT event_type, hour, x,
          CASE WHEN count(*) OVER w = {2 * STL_HALF + 1}
@@ -2500,10 +2522,10 @@ WITH hourly AS (
   FROM seas_raw
 )
 SELECT t.event_type, t.hour,
-       round(t.x, 6) + 0.0 AS avg_value,
-       round(t.trend, 6) + 0.0 AS trend,
-       round(s.seasonal, 6) + 0.0 AS seasonal,
-       round(t.x - t.trend - s.seasonal, 6) + 0.0 AS residual
+       {_R6_DUCK.format(c="t.x")} + 0.0 AS avg_value,
+       {_R6_DUCK.format(c="t.trend")} + 0.0 AS trend,
+       {_R6_DUCK.format(c="s.seasonal")} + 0.0 AS seasonal,
+       {_R6_DUCK.format(c="t.x - t.trend - s.seasonal")} + 0.0 AS residual
 FROM tr t JOIN seas s ON s.event_type = t.event_type AND s.hod = t.hod
 ORDER BY t.event_type, t.hour
 """
@@ -2531,14 +2553,7 @@ def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     t = load_tables(spark, sf_dir)
-    hourly = (
-        t["events"]
-        .groupBy(
-            "event_type",
-            F.expr("cast(date_trunc('hour', ts) as timestamp_ntz)").alias("hour"),
-        )
-        .agg(F.avg("value").alias("x"))
-    )
+    hourly = _hourly_x(t)
     w = (
         W.partitionBy("event_type")
         .orderBy("hour")
@@ -2568,12 +2583,10 @@ def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "hour",
-            (F.round("x", 6) + 0.0).alias("avg_value"),
-            (F.round("trend", 6) + 0.0).alias("trend"),
-            (F.round("seasonal", 6) + 0.0).alias("seasonal"),
-            (F.round(F.col("x") - F.col("trend") - F.col("seasonal"), 6) + 0.0).alias(
-                "residual"
-            ),
+            (_r6("x") + 0.0).alias("avg_value"),
+            (_r6("trend") + 0.0).alias("trend"),
+            (_r6("seasonal") + 0.0).alias("seasonal"),
+            (_r6("x - trend - seasonal") + 0.0).alias("residual"),
         )
         .orderBy("event_type", "hour")
     )
@@ -2583,14 +2596,14 @@ def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Holt-Winters (deseasonalized Holt): level + trend + fixed seasonal index
 # ---------------------------------------------------------------------------
 
-EVENTS_HW_ORACLE = """
+EVENTS_HW_ORACLE = f"""
 WITH RECURSIVE hourly AS MATERIALIZED (
-  SELECT event_type, date_trunc('hour', ts) AS hour, avg(value) AS x,
-         CAST(extract(hour FROM date_trunc('hour', ts)) AS BIGINT) AS hod
-  FROM events GROUP BY 1, 2
+  SELECT event_type, hour, x,
+         CAST(extract(hour FROM hour) AS BIGINT) AS hod
+  FROM ({_HOURLY_X_DUCK}) hx
 ), seas AS MATERIALIZED (
   SELECT event_type, hod,
-         round(avg(x) - avg(avg(x)) OVER (PARTITION BY event_type), 6) AS s
+         {_R6_DUCK.format(c="avg(x) - avg(avg(x)) OVER (PARTITION BY event_type)")} AS s
   FROM hourly GROUP BY event_type, hod
 ), seq AS MATERIALIZED (
   SELECT h.event_type, h.hour, h.x, h.hod, se.s, h.x - se.s AS d,
@@ -2606,11 +2619,11 @@ WITH RECURSIVE hourly AS MATERIALIZED (
   FROM seq s2 JOIN hw h ON s2.event_type = h.event_type AND s2.rn = h.rn + 1
 )
 SELECT w.event_type, w.hour,
-       round(w.x, 6) + 0.0 AS avg_value,
+       {_R6_DUCK.format(c="w.x")} + 0.0 AS avg_value,
        w.s + 0.0 AS seasonal,
-       round(w.l, 6) + 0.0 AS level,
-       round(w.b, 6) + 0.0 AS trend,
-       round(w.l + w.b + sn.s, 6) + 0.0 AS forecast_next
+       {_R6_DUCK.format(c="w.l")} + 0.0 AS level,
+       {_R6_DUCK.format(c="w.b")} + 0.0 AS trend,
+       {_R6_DUCK.format(c="w.l + w.b + sn.s")} + 0.0 AS forecast_next
 FROM hw w
 JOIN seas sn ON sn.event_type = w.event_type AND sn.hod = (w.hod + 1) % 24
 ORDER BY w.event_type, w.hour
@@ -2621,8 +2634,8 @@ ORDER BY w.event_type, w.hour
 def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt-Winters additive forecasting in its deseasonalize-then-Holt
     form: a fixed per-hour-of-day seasonal index (mean of the hourly series
-    per slot, centered to zero across the 24 slots, rounded to 6 so both
-    engines feed the recurrence the IDENTICAL double), subtracted from the
+    per slot, centered to zero across the 24 slots, half-up-floored at 6
+    so both engines feed the recurrence the IDENTICAL double), subtracted from the
     series before the events_holt level+trend recurrence (alpha = beta =
     1/2, binary-exact), and added back for the one-step forecast
     l_t + b_t + s[(hod+1) % 24]. The classical decomposition completes the
@@ -2634,32 +2647,19 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     back broadcast; the recurrence runs per-series inside ONE Arrow-batched
     grouped-map call, exactly like events_holt. The recurrence input d is
     a subtraction of two doubles that are bitwise-identical across engines
-    (x from the same parquet aggregate, s from the same round(avg, 6)), so
+    (x is the exact cent-sum division, s the same floor-form rounding), so
     the IEEE streams are bit-identical — same contract the EWMA/CUSUM/Holt
     family already pins."""
     import pandas as pd
     from pyspark.sql import Window as W
 
     t = load_tables(spark, sf_dir)
-    hourly = (
-        t["events"]
-        .groupBy(
-            "event_type",
-            F.expr("cast(date_trunc('hour', ts) as timestamp_ntz)").alias("hour"),
-        )
-        .agg(F.avg("value").alias("x"))
-        .withColumn("hod", F.hour("hour").cast("bigint"))
-    )
+    hourly = _hourly_x(t).withColumn("hod", F.hour("hour").cast("bigint"))
     seas = (
         hourly.groupBy("event_type", "hod")
         .agg(F.avg("x").alias("s_raw"))
-        .select(
-            "event_type",
-            "hod",
-            F.round(
-                F.col("s_raw") - F.avg("s_raw").over(W.partitionBy("event_type")), 6
-            ).alias("s"),
-        )
+        .withColumn("s_mean", F.avg("s_raw").over(W.partitionBy("event_type")))
+        .select("event_type", "hod", _r6("s_raw - s_mean").alias("s"))
     )
     seq = hourly.join(F.broadcast(seas), ["event_type", "hod"]).withColumn(
         "d", F.col("x") - F.col("s")
@@ -2697,13 +2697,11 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "hour",
-            (F.round("x", 6) + 0.0).alias("avg_value"),
+            (_r6("x") + 0.0).alias("avg_value"),
             (F.col("s") + 0.0).alias("seasonal"),
-            (F.round("l", 6) + 0.0).alias("level"),
-            (F.round("b", 6) + 0.0).alias("trend"),
-            (F.round(F.col("l") + F.col("b") + F.col("s_next"), 6) + 0.0).alias(
-                "forecast_next"
-            ),
+            (_r6("l") + 0.0).alias("level"),
+            (_r6("b") + 0.0).alias("trend"),
+            (_r6("l + b + s_next") + 0.0).alias("forecast_next"),
         )
         .orderBy("event_type", "hour")
     )
