@@ -2702,3 +2702,91 @@ def dq_hash_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_bucket", "max_bucket", "chi2_e6", "nonuniform_flag",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot/partition retention policy: keep the last N daily partitions,
+# then month-end representatives for a longer horizon, expire the rest —
+# the expire-snapshots planning query (Iceberg expireSnapshots / Delta
+# VACUUM with a tiered GFS-style retention schedule).
+# ---------------------------------------------------------------------------
+
+RETAIN_DAILY = 7     # most recent 7 days kept at day grain
+RETAIN_WEEKS = 4     # last present day of each of the last 4 epoch-weeks kept
+
+RETENTION_ORACLE = f"""
+WITH days AS (
+  SELECT date_trunc('day', ts) AS part_day, count(*)::BIGINT AS n_rows
+  FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY part_day DESC) AS day_rk,
+         row_number() OVER (PARTITION BY (floor(epoch(part_day))::BIGINT // 604800)
+                            ORDER BY part_day DESC) AS in_week_rk,
+         (floor(epoch(part_day))::BIGINT // 604800) AS widx,
+         max(floor(epoch(part_day))::BIGINT // 604800) OVER () AS max_widx
+  FROM days
+)
+SELECT part_day, n_rows,
+       CASE WHEN day_rk <= {RETAIN_DAILY} THEN 'daily'
+            WHEN in_week_rk = 1 AND widx > max_widx - {RETAIN_WEEKS} THEN 'weekly'
+            ELSE 'expire' END AS policy,
+       day_rk::BIGINT AS recency_rank
+FROM ranked ORDER BY part_day
+"""
+
+
+@register("warehouse_retention_policy", RETENTION_ORACLE, tags=("warehouse", "maintenance"))
+def warehouse_retention_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered partition-retention plan over the daily event partitions:
+    the most recent {RETAIN_DAILY} days stay at day grain, each of the
+    last {RETAIN_WEEKS} epoch-weeks keeps its last present day as the
+    week-end representative, and everything older is marked for expiry —
+    the grandfather-father-son schedule behind Iceberg expire_snapshots /
+    Delta VACUUM planning, as a pure metadata query. Weeks are timezone-
+    free epoch // 604800 BIGINTs (the events_lifecycle_states convention
+    — calendar ISO weeks differ between engines); every rule is an
+    integer rank off ONE ordered pass over the DISTINCT day list (total
+    order — no tie ambiguity), so the plan is deterministic and
+    engine-exact. A production schedule appends monthly/yearly tiers with
+    the same in-bucket-rank rule on coarser integer buckets.
+
+    Scale shape: the day inventory is a metadata-scale hash-agg (a real
+    lakehouse reads the partition/snapshot manifest); ranking windows run
+    over |days| rows. The fact table is scanned once, never shuffled at
+    row grain, and the expiry itself is a separate metadata delete."""
+    t = load_tables(spark, sf_dir)
+    days = (
+        t["events"]
+        .groupBy(F.expr("cast(date_trunc('day', ts) as timestamp_ntz)").alias("part_day"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    widx = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', part_day) div 604800"
+    )
+    ranked = days.select(
+        "*",
+        F.row_number().over(Window.orderBy(F.col("part_day").desc())).alias("day_rk"),
+        F.row_number()
+        .over(Window.partitionBy(widx).orderBy(F.col("part_day").desc()))
+        .alias("in_week_rk"),
+        widx.alias("widx"),
+        F.max(widx).over(Window.partitionBy()).alias("max_widx"),
+    )
+    return (
+        ranked.select(
+            "part_day",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.when(F.col("day_rk") <= RETAIN_DAILY, F.lit("daily"))
+            .when(
+                (F.col("in_week_rk") == 1)
+                & (F.col("widx") > F.col("max_widx") - RETAIN_WEEKS),
+                F.lit("weekly"),
+            )
+            .otherwise(F.lit("expire"))
+            .alias("policy"),
+            F.col("day_rk").cast("long").alias("recency_rank"),
+        )
+        .orderBy("part_day")
+    )

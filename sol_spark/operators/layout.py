@@ -374,3 +374,98 @@ def layout_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Compaction planning: pack small "files" into target-size groups with a
+# sequential (order-preserving) fill — the OPTIMIZE/compact planning query
+# a lakehouse maintenance job runs nightly.
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET_ROWS = 4096   # target rows per compacted output file
+COMPACT_WASTE_BP_MAX = 10000
+
+COMPACTION_PLAN_ORACLE = f"""
+WITH files AS (
+  -- one "file" per (ship-month, return-flag): the small-file population a
+  -- partitioned daily ingest actually produces
+  SELECT date_trunc('month', l_shipdate) AS part_month, l_returnflag AS flag,
+         count(*)::BIGINT AS n_rows
+  FROM lineitem GROUP BY 1, 2
+),
+seq AS (
+  SELECT *,
+         sum(n_rows) OVER (ORDER BY part_month, flag
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM files
+),
+binned AS (
+  -- order-preserving sequential fill: a file joins the group its cumulative
+  -- row count lands in (cum-1 keeps an exact-boundary file in the group it
+  -- fills rather than opening the next one)
+  SELECT *, ((cum - 1) // {COMPACT_TARGET_ROWS})::BIGINT AS grp FROM seq
+)
+SELECT grp,
+       count(*)::BIGINT AS n_files,
+       sum(n_rows)::BIGINT AS n_rows,
+       min(part_month) AS first_month,
+       max(part_month) AS last_month,
+       CASE WHEN sum(n_rows) >= {COMPACT_TARGET_ROWS}
+            THEN 0
+            ELSE ((10000 * ({COMPACT_TARGET_ROWS} - sum(n_rows))) // {COMPACT_TARGET_ROWS})
+       END::BIGINT AS underfill_bp
+FROM binned
+GROUP BY grp ORDER BY grp
+"""
+
+
+@register("layout_compaction_plan", COMPACTION_PLAN_ORACLE, tags=("layout", "warehouse", "maintenance"))
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: the (ship-month, return-flag) grain
+    stands in for a partitioned ingest's small-file population; files are
+    packed into target-size output groups by an ORDER-PRESERVING
+    sequential fill (cumulative rows div target — the bucket rule that
+    keeps each compacted file a contiguous month range, so partition
+    pruning on the compacted layout still works; the verify-skill lesson:
+    order-preserving buckets, never mod). The readout per planned output
+    file: member count, rows, covered month range, and integer-bp
+    underfill. Because input files are never split, an interior group may
+    underfill by strictly less than the next group's straddling first
+    file (tested); a real compactor uses underfill_bp to decide whether
+    the straddle is worth a row-level rewrite.
+
+    Scale shape: the file inventory is a metadata-scale hash-agg (in a
+    real lakehouse it reads the manifest, not the data); the fill is one
+    running-sum window over |files| rows ordered by the partition key.
+    The data itself is never shuffled — this is the PLANNING query; the
+    rewrite it emits is a separate repartitionByRange job per group."""
+    t = load_tables(spark, sf_dir)
+    files = (
+        t["lineitem"]
+        .groupBy(
+            F.date_trunc("month", "l_shipdate").alias("part_month"),
+            F.col("l_returnflag").alias("flag"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    binned = files.select(
+        "*",
+        F.expr(f"(sum(n_rows) OVER (ORDER BY part_month, flag "
+               f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) div {COMPACT_TARGET_ROWS}")
+        .alias("grp"),
+    )
+    return (
+        binned.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.min("part_month").alias("first_month"),
+            F.max("part_month").alias("last_month"),
+            F.when(F.sum("n_rows") >= COMPACT_TARGET_ROWS, F.lit(0))
+            .otherwise(
+                F.expr(f"(10000 * ({COMPACT_TARGET_ROWS} - sum(n_rows))) div {COMPACT_TARGET_ROWS}")
+            )
+            .cast("long").alias("underfill_bp"),
+        )
+        .orderBy("grp")
+    )

@@ -537,3 +537,59 @@ def ewma_hourly_state(events: DataFrame, alpha: float = 0.3) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sprt_state(events: DataFrame) -> DataFrame:
+    """Streaming SPRT monitor with keyed integer state: per user the state
+    is (w, n, dec_rn, dec_w) where w = 2s - n is the evidence walk of the
+    batch operator events_analytics.stats_sprt_bernoulli; each micro-batch
+    folds its (ts, event_id)-sorted rows into the walk and re-emits the
+    user's current sequential-test status (update mode). Once the walk
+    first crosses +/-SPRT_BOUNDARY the decision freezes — later events
+    update n_events but can never flip the verdict, which is the whole
+    point of a sequential test (announce at first crossing, spend no more
+    budget on that unit). Constants and the success predicate are imported
+    from the batch op so the twins cannot drift; the drained stream's
+    final emission per key equals the batch plan exactly (all-integer
+    transitions)."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from sol_spark.queries.events_analytics import SPRT_BOUNDARY
+
+    def update(key, pdfs, state):  # noqa: ANN001
+        if state.exists:
+            w, n, dec_rn, dec_w = state.get
+        else:
+            w, n, dec_rn, dec_w = 0, 0, 0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for et in pdf["event_type"].to_numpy():
+                n += 1
+                w += 1 if et in ("click", "purchase") else -1
+                if dec_rn == 0 and abs(w) >= SPRT_BOUNDARY:
+                    dec_rn, dec_w = n, w
+        state.update((w, n, dec_rn, dec_w))
+        decision = (
+            "undecided" if dec_rn == 0 else ("accept_p1" if dec_w > 0 else "accept_p0")
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "decision": [decision],
+                "n_at_decision": [dec_rn],
+                "w_at_decision": [dec_w if dec_rn != 0 else w],
+            }
+        )
+
+    return events.select("user_id", "ts", "event_id", "event_type").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id bigint, n_events bigint, decision string, "
+            "n_at_decision bigint, w_at_decision bigint"
+        ),
+        stateStructType="w bigint, n bigint, dec_rn bigint, dec_w bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
