@@ -4131,3 +4131,99 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     release_result(cc)
     return out
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-2 scoring of near-duplicate candidate pairs: directional distinct-
+# bigram recall/precision/F1 — the ORDERED-ngram complement to Jaccard
+# (which is order-blind: a shuffled bag of the same words scores 1.0 on
+# unigram Jaccard but near 0 on bigram recall).
+# ---------------------------------------------------------------------------
+
+ROUGE2_ORACLE = f"""
+WITH pr AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({SIMHASH_ORACLE.replace("ORDER BY doc_a, doc_b", "")}) q
+), toks AS (
+  SELECT doc_id, string_split({_NORM_DUCK_TEXT}, ' ') AS tk FROM documents
+), bg AS MATERIALIZED (
+  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i + 1] AS b
+  FROM toks, unnest(range(1, len(tk))) AS r(i)
+  WHERE len(tk) >= 2
+), nbg AS MATERIALIZED (
+  SELECT doc_id, count(*)::BIGINT AS n FROM bg GROUP BY doc_id
+), inter AS (
+  SELECT p.doc_a, p.doc_b, count(*)::BIGINT AS m
+  FROM pr p
+  JOIN bg a ON a.doc_id = p.doc_a
+  JOIN bg b ON b.doc_id = p.doc_b AND b.b = a.b
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b,
+       COALESCE(i.m, 0) AS n_shared_bigrams,
+       ((1000000 * COALESCE(i.m, 0)) // nb.n)::BIGINT AS rouge2_recall_ppm,
+       ((1000000 * COALESCE(i.m, 0)) // na.n)::BIGINT AS rouge2_precision_ppm,
+       ((2000000 * COALESCE(i.m, 0)) // (na.n + nb.n))::BIGINT AS rouge2_f1_ppm
+FROM pr p
+JOIN nbg na ON na.doc_id = p.doc_a
+JOIN nbg nb ON nb.doc_id = p.doc_b
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
+@register("dedup_rouge2_pairs", ROUGE2_ORACLE, tags=("llm", "dedup", "eval"))
+def dedup_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 (distinct-bigram overlap) scoring of the SimHash candidate
+    pairs: directional recall (shared bigrams / candidate's bigrams),
+    precision, and the harmonic F1, all in exact integer ppm. Bigrams see
+    WORD ORDER, which Jaccard-over-shingle-sets partially and unigram
+    overlap entirely ignore — a template page with reshuffled fields
+    scores high on set overlap but low here, so this is the pair-level
+    second opinion a dedup reviewer wants before bulk-dropping candidates
+    (and the standard summarization-eval metric, reused as a similarity
+    audit). Computed only over the banded candidate pairs — never all
+    pairs (the cluster-confinement discipline of the dedup family).
+
+    Scale shape: one explode builds the distinct (doc, bigram) frame; the
+    intersection is an equi-join keyed on (doc via the pair frame, bigram
+    string — hash it to a BIGINT first at 100 TB, the MinHash working-row
+    trick); denominators are a per-doc hash-agg broadcast back onto the
+    bounded pair list."""
+    ph = dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select("doc_id", F.expr(f"split({_NORM}, ' ')").alias("tk"))
+    bg = (
+        toks.filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.expr("sequence(1, size(tk) - 1)")).alias("i"),
+            "tk",
+        )
+        .select(
+            "doc_id",
+            F.expr("concat(element_at(tk, i), ' ', element_at(tk, i + 1))").alias("b"),
+        )
+        .distinct()
+    )
+    nbg = bg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ba = bg.select(F.col("doc_id").alias("doc_a"), F.col("b").alias("bgram"))
+    bb = bg.select(F.col("doc_id").alias("doc_b"), F.col("b").alias("bgram"))
+    inter = (
+        ph.join(ba, "doc_a")
+        .join(bb, ["doc_b", "bgram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    return (
+        ph.join(nbg.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
+        .join(nbg.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a", "doc_b",
+            F.coalesce("m", F.lit(0)).cast("long").alias("n_shared_bigrams"),
+            F.expr("(1000000 * coalesce(m, 0)) div nb").cast("long").alias("rouge2_recall_ppm"),
+            F.expr("(1000000 * coalesce(m, 0)) div na").cast("long").alias("rouge2_precision_ppm"),
+            F.expr("(2000000 * coalesce(m, 0)) div (na + nb)").cast("long").alias("rouge2_f1_ppm"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -4506,3 +4506,92 @@ def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
         .cast("long").alias("mcnemar_stat_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gibberish / mojibake screen: character-class evidence (consonant runs,
+# vowel starvation, symbol and digit density) — the cheap keyboard-mash /
+# binary-spill detector that complements the token-level quality gates.
+# ---------------------------------------------------------------------------
+
+_GIB_CONS_RUN = 5          # flag a run of >= 5 consonants ("zxkqv...")
+_GIB_VOWEL_MIN_PPM = 250000
+_GIB_SYMBOL_MAX_PPM = 100000
+_CONS_RE = "[bcdfghjklmnpqrstvwxyz]{2,}"
+
+GIBBERISH_ORACLE = f"""
+WITH feat AS (
+  SELECT doc_id,
+         COALESCE(list_max(list_transform(
+           regexp_extract_all(lower(text), '{_CONS_RE}'), r -> length(r))), 1) AS max_cons_run,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_letters,
+         length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS n_vowels,
+         length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS n_symbols,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+         length(text) AS n
+  FROM documents
+)
+SELECT doc_id,
+       max_cons_run::BIGINT AS max_cons_run,
+       CASE WHEN n_letters > 0 THEN (1000000 * n_vowels) // n_letters ELSE 0 END::BIGINT AS vowel_ppm,
+       ((1000000 * n_symbols) // n)::BIGINT AS symbol_ppm,
+       ((1000000 * n_digits) // n)::BIGINT AS digit_ppm,
+       (max_cons_run >= {_GIB_CONS_RUN}
+        OR (n_letters > 0 AND (1000000 * n_vowels) // n_letters < {_GIB_VOWEL_MIN_PPM})
+        OR (1000000 * n_symbols) // n > {_GIB_SYMBOL_MAX_PPM}) AS gibberish
+FROM feat ORDER BY doc_id
+"""
+
+
+@register("text_gibberish_score", GIBBERISH_ORACLE, tags=("llm", "text", "quality"))
+def text_gibberish_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class gibberish screen per document: longest consonant
+    run (keyboard mash and base64 spills produce runs English never
+    does), vowel share of letters (real language sits near 380000 ppm;
+    mojibake starves it), symbol density, and digit density — with a
+    three-way OR flag at the conventional fences. This is the
+    character-level complement to text_quality_filter's token rules and
+    text_repetition's duplication rules: a document can pass both and
+    still be a binary spill. All thresholds compare exact integer ppm —
+    no float in the decision path. The consonant-run regex is
+    backreference-free on purpose: DuckDB's RE2 has no backrefs, so the
+    portable alternative (an explicit character class) is also the one
+    the oracle can run verbatim.
+
+    Scale shape: a pure codegen'd projection over one scan (regexes are
+    scan-local, no shuffle); the flag pipelines into the same scan as the
+    other per-document gates."""
+    t = load_tables(spark, sf_dir)
+    feat = t["documents"].select(
+        "doc_id",
+        F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.expr(f"regexp_extract_all(lower(text), '{_CONS_RE}', 0)"),
+                    lambda r: F.length(r),
+                )
+            ),
+            F.lit(1),
+        ).alias("max_cons_run"),
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z]", "")).alias("n_letters"),
+        F.length(F.regexp_replace(F.lower("text"), "[^aeiou]", "")).alias("n_vowels"),
+        F.length(F.regexp_replace(F.lower("text"), "[a-z0-9 ]", "")).alias("n_symbols"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).alias("n_digits"),
+        F.length("text").alias("n"),
+    )
+    vowel_ppm = F.when(
+        F.col("n_letters") > 0, F.expr("(1000000 * n_vowels) div n_letters")
+    ).otherwise(F.lit(0))
+    symbol_ppm = F.expr("(1000000 * n_symbols) div n")
+    return feat.select(
+        "doc_id",
+        F.col("max_cons_run").cast("long").alias("max_cons_run"),
+        vowel_ppm.cast("long").alias("vowel_ppm"),
+        symbol_ppm.cast("long").alias("symbol_ppm"),
+        F.expr("(1000000 * n_digits) div n").cast("long").alias("digit_ppm"),
+        (
+            (F.col("max_cons_run") >= _GIB_CONS_RUN)
+            | ((F.col("n_letters") > 0) & (vowel_ppm < _GIB_VOWEL_MIN_PPM))
+            | (symbol_ppm > _GIB_SYMBOL_MAX_PPM)
+        ).alias("gibberish"),
+    ).orderBy("doc_id")
