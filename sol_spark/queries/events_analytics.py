@@ -4047,3 +4047,132 @@ def stats_sprt_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# TOST equivalence test (two one-sided Welch tests): the "is B no
+# different from A within a margin" readout — the question a guardrail
+# metric actually asks, which the significance test cannot answer
+# (failing to reject null != demonstrating equivalence).
+# ---------------------------------------------------------------------------
+
+TOST_MARGIN_DIV = 20   # equivalence margin = pooled mean / 20 (+/- 5%)
+TOST_Z = 1.645          # one-sided 95%
+
+TOST_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+assigned AS (
+  SELECT v,
+         CASE WHEN (('0x' || substr(md5('ab' || user_id), 1, 8))::BIGINT % 2) = 0
+              THEN 'A' ELSE 'B' END AS variant
+  FROM per_user
+),
+stats AS (
+  SELECT variant, count(*)::BIGINT AS n, sum(v)::BIGINT AS s1,
+         sum(v * v)::BIGINT AS s2
+  FROM assigned GROUP BY variant
+),
+wide AS (
+  SELECT
+    max(CASE WHEN variant = 'A' THEN n END) AS na,
+    max(CASE WHEN variant = 'A' THEN s1 END) AS s1a,
+    max(CASE WHEN variant = 'A' THEN s2 END) AS s2a,
+    max(CASE WHEN variant = 'B' THEN n END) AS nb,
+    max(CASE WHEN variant = 'B' THEN s1 END) AS s1b,
+    max(CASE WHEN variant = 'B' THEN s2 END) AS s2b
+  FROM stats
+),
+calc AS (
+  SELECT na, nb,
+         s1a / na AS ma, s1b / nb AS mb,
+         (na * s2a - s1a * s1a) / (na * (na - 1.0)) AS va,
+         (nb * s2b - s1b * s1b) / (nb * (nb - 1.0)) AS vb,
+         (s1a + s1b) / (na + nb) / {TOST_MARGIN_DIV} AS margin
+  FROM wide
+)
+SELECT na, nb,
+       floor(ma * 100 + 0.5) / CAST(100 AS DOUBLE) AS mean_a_cents,
+       floor(mb * 100 + 0.5) / CAST(100 AS DOUBLE) AS mean_b_cents,
+       floor(margin * 100 + 0.5) / CAST(100 AS DOUBLE) AS margin_cents,
+       floor((ma - mb + margin) / sqrt(va / na + vb / nb) * 10000 + 0.5)
+         / CAST(10000 AS DOUBLE) AS t_lower,
+       floor((ma - mb - margin) / sqrt(va / na + vb / nb) * 10000 + 0.5)
+         / CAST(10000 AS DOUBLE) AS t_upper,
+       ((ma - mb + margin) / sqrt(va / na + vb / nb) > {TOST_Z}
+        AND (ma - mb - margin) / sqrt(va / na + vb / nb) < -{TOST_Z}) AS equivalent
+FROM calc
+"""
+
+
+@register("stats_tost_equivalence", TOST_ORACLE, tags=("events", "stats", "experiment"))
+def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence readout on the A/B hash split (Schuirmann's two
+    one-sided Welch tests): B's per-user purchase spend is declared
+    EQUIVALENT to A's within a +/-(pooled mean / {TOST_MARGIN_DIV})
+    margin (5%) iff BOTH one-sided t statistics clear the {TOST_Z} fence
+    — the guardrail question ("did the change leave spend alone?") that
+    events_ab_test's significance flag cannot answer, since failing to
+    reject the null is not evidence of equivalence. On the fixture's A/A
+    split the verdict is equivalent = true once the corpus has the power
+    (sf0.1's 1500 users); at tiny SFs the honest verdict is false —
+    underpowered data cannot demonstrate equivalence, which is exactly
+    the asymmetry the TOST construction exists to enforce.
+
+    Cross-engine float discipline: money is BIGINT cents, the per-arm
+    aggregates are (n, sum, sum-of-squares) BIGINTs, and every float —
+    mean, Welch variance, both t statistics — is ONE fixed expression
+    tree over those exact integers (single divisions, one IEEE sqrt), so
+    the doubles are bit-identical in both engines and the fence
+    comparison cannot flip; displays use the floor-form rounding. No
+    order-dependent float summation exists anywhere in the plan.
+
+    Scale shape: one user-keyed aggregate, one 2-row arm aggregate,
+    scalar math on a 1-row frame."""
+    t = load_tables(spark, sf_dir)
+    per_user = (
+        t["events"]
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("v"))
+    )
+    assigned = per_user.select(
+        "v",
+        F.when(
+            F.expr("CAST(conv(substring(md5(concat('ab', user_id)), 1, 8), 16, 10) AS BIGINT) % 2") == 0,
+            "A",
+        ).otherwise("B").alias("variant"),
+    )
+    stats = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    wide = stats.agg(
+        *[
+            F.max(F.when(F.col("variant") == arm, F.col(c))).alias(f"{c}{arm.lower()}")
+            for arm in ("A", "B")
+            for c in ("n", "s1", "s2")
+        ]
+    )
+    calc = wide.select(
+        F.col("na"), F.col("nb"),
+        F.expr("s1a / na").alias("ma"),
+        F.expr("s1b / nb").alias("mb"),
+        F.expr("(na * s2a - s1a * s1a) / (na * (na - 1.0))").alias("va"),
+        F.expr("(nb * s2b - s1b * s1b) / (nb * (nb - 1.0))").alias("vb"),
+        F.expr(f"(s1a + s1b) / (na + nb) / {TOST_MARGIN_DIV}").alias("margin"),
+    )
+    t_lo = "(ma - mb + margin) / sqrt(va / na + vb / nb)"
+    t_up = "(ma - mb - margin) / sqrt(va / na + vb / nb)"
+    return calc.select(
+        "na", "nb",
+        F.expr("floor(ma * 100 + 0.5) / cast(100 as double)").alias("mean_a_cents"),
+        F.expr("floor(mb * 100 + 0.5) / cast(100 as double)").alias("mean_b_cents"),
+        F.expr("floor(margin * 100 + 0.5) / cast(100 as double)").alias("margin_cents"),
+        F.expr(f"floor(({t_lo}) * 10000 + 0.5) / cast(10000 as double)").alias("t_lower"),
+        F.expr(f"floor(({t_up}) * 10000 + 0.5) / cast(10000 as double)").alias("t_upper"),
+        F.expr(f"({t_lo}) > {TOST_Z} AND ({t_up}) < -{TOST_Z}").alias("equivalent"),
+    )

@@ -4311,3 +4311,72 @@ def aqp_error_vs_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * abs((2 * s + n) div (2 * n) - true_avg)) div true_avg")
         .cast("long").alias("err_ppm"),
     ).orderBy("pct")
+
+
+# ---------------------------------------------------------------------------
+# Banded range join WITHOUT an equi key: incident correlation across all
+# users (error -> purchases within the next minute, any user). The naive
+# plan is a broadcast nested loop; bucketing time into band-width buckets
+# and joining on the bucket turns it into an equi shuffle join — the
+# production rewrite for keyless interval joins at 100 TB.
+# ---------------------------------------------------------------------------
+
+RANGE_BAND_S = 600  # sized so the pair set is non-vacuous at sf0.001 (5 pairs)
+
+RANGE_BANDED_ORACLE = f"""
+SELECT a.event_id AS err_id, b.event_id AS purchase_id
+FROM events a JOIN events b
+  ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL {RANGE_BAND_S} SECOND
+WHERE a.event_type = 'error' AND b.event_type = 'purchase'
+ORDER BY err_id, purchase_id
+"""
+
+
+@register("range_join_banded", RANGE_BANDED_ORACLE, tags=("range", "join", "banded"))
+def range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval join, banded: pair every error with every purchase
+    (ANY user) in the following {RANGE_BAND_S}-second window — the
+    incident-correlation query that has NO equi key, which Spark would
+    otherwise plan as a broadcast-nested-loop scan of every (error,
+    purchase) combination. The rewrite: bucket both sides by
+    epoch // {RANGE_BAND_S}; a window of width {RANGE_BAND_S}s starting at
+    an error can only overlap buckets b and b+1, so the left side explodes
+    into exactly two (bucket, row) copies and the join becomes an EQUI
+    join on the bucket with the precise range predicate as the residual
+    condition. Cost: 2x the left side through one hash shuffle instead of
+    |errors| x |purchases| comparisons — the standard interval-bucketing
+    rewrite (cf. range-join optimization hints in lakehouse engines),
+    expressed with plain DataFrame ops so AQE still sizes the shuffle.
+
+    The oracle states the naive formulation; the banded plan must produce
+    the identical pair set (the banding is lossless by the bucket-overlap
+    argument above, which the wave test re-proves in Python)."""
+    t = load_tables(spark, sf_dir)
+    bucket = lambda c: F.expr(  # noqa: E731
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c}) div {RANGE_BAND_S}"
+    )
+    errors = (
+        t["events"]
+        .filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("err_id"), F.col("ts").alias("a_ts"))
+        .withColumn("bk", F.explode(F.array(bucket("a_ts"), bucket("a_ts") + 1)))
+    )
+    purchases = (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("b_ts"),
+            bucket("ts").alias("bk"),
+        )
+    )
+    return (
+        errors.join(
+            purchases,
+            (errors["bk"] == purchases["bk"])
+            & (F.col("b_ts") > F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {RANGE_BAND_S} SECOND")),
+        )
+        .select("err_id", "purchase_id")
+        .orderBy("err_id", "purchase_id")
+    )
