@@ -113,11 +113,21 @@ def test_no_complex_types_in_output(spark, sf_dir, name):
     instead. (The EAGER_BUILD iterative operators are excluded here like
     above; their outputs are scalar key/label/weight columns, covered by
     their oracle rows.)"""
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
 
     spec = all_queries()[name]
     schema = spec.fn(spark, sf_dir).schema
     for f in schema.fields:
         assert not isinstance(f.dataType, (ArrayType, MapType, StructType)), (
             f"{name}: complex-typed output column {f.name}: {f.dataType.simpleString()}"
+        )
+        # DecimalType is equally hazardous: Spark's SQL parser types literals
+        # like 1000000.0 as DECIMAL, and a long/DECIMAL division yields
+        # DECIMAL(30,9) whose Arrow decimal->double conversion multiplies the
+        # unscaled value by 1e-9 — NOT the double the oracle computes
+        # (events_holt_winters 'seasonal', round-7 strict sweep). Divide by
+        # cast(... as double) instead.
+        assert not isinstance(f.dataType, DecimalType), (
+            f"{name}: DECIMAL output column {f.name}: {f.dataType.simpleString()}"
+            " — use cast(... as double) divisors (see _r6 in events_analytics)"
         )
