@@ -91,6 +91,14 @@ HEADLINE = [
     # heavy-ish shapes (everything else in waves 9-15 is bounded hash-agg).
     "text_split_leakage",
     "events_peak_concurrency",
+    # r7 additions: the ROUGE-2 bigram-intersection join over the banded
+    # candidate pairs, the keyless banded range join (the BNLJ rewrite),
+    # and the per-user SPRT window pass — the round's three new cost
+    # shapes (pair-scoped string join, exploded bucket equi-join, full
+    # event-stream window).
+    "dedup_rouge2_pairs",
+    "range_join_banded",
+    "stats_sprt_bernoulli",
     "win_rank_topk_per_group",
     "time_rollup_hierarchy",
     "set_intersect",

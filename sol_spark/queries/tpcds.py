@@ -2736,7 +2736,7 @@ WITH {DS_CTES},
 agg AS (
   SELECT i.i_category, i.i_class, i.i_brand, i.i_item_desc AS i_product_name,
          d.d_year, d.d_qoy, d.d_moy, s.s_store_name AS s_store_id,
-         round(sum(ss.ss_sales_price * ss.ss_quantity), 4) AS sumsales
+         sum(CAST(round(ss.ss_sales_price * 10000) AS BIGINT) * ss.ss_quantity) / 10000.0 AS sumsales
   FROM store_sales ss
   JOIN date_dim d ON ss.ss_sold_date_sk = d.d_date_sk
   JOIN item i ON ss.ss_item_sk = i.i_item_sk
@@ -2768,7 +2768,9 @@ def tpcds_q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     which Spark applies automatically); the rank window partitions on
     i_category over ALREADY-AGGREGATED rows. Ties share ranks in both
     engines, so the rk <= 10 row SET is deterministic even where sumsales
-    ties."""
+    ties. sumsales is an exact BIGINT ten-thousandths sum divided once at
+    display — round(sum(double), 4) tied in the last digit at sf0.1 under
+    the strict sweep."""
     ds = _ds(spark, sf_dir)
     dd = ds["date_dim"].filter(F.col("d_year") == 2000)
     agg = (
@@ -2780,7 +2782,12 @@ def tpcds_q67(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i_category", "i_class", "i_brand", "i_item_desc",
             "d_year", "d_qoy", "d_moy", "s_store_name",
         )
-        .agg(F.round(F.sum(F.col("ss_sales_price") * F.col("ss_quantity")), 4).alias("sumsales"))
+        .agg(
+            (
+                F.sum(F.round(F.col("ss_sales_price") * 10000).cast("bigint") * F.col("ss_quantity"))
+                / 10000.0
+            ).alias("sumsales")
+        )
         .select(
             "i_category", "i_class", "i_brand",
             F.col("i_item_desc").alias("i_product_name"),
@@ -6531,7 +6538,8 @@ def tpcds_q22a(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q27A_ORACLE = f"""
 WITH {DS_CTES},
 base AS (
-  SELECT i_item_id, s_state, ss_quantity AS q, ss_sales_price AS p
+  SELECT i_item_id, s_state, CAST(round(ss_quantity) AS BIGINT) AS q,
+         CAST(round(ss_sales_price * 10000) AS BIGINT) AS pu
   FROM store_sales
   JOIN customer_demographics ON ss_cdemo_sk = cd_demo_sk
   JOIN item ON ss_item_sk = i_item_sk
@@ -6540,13 +6548,19 @@ base AS (
     AND year(ss_sold_date_sk) = 1997)
 SELECT * FROM (
   SELECT i_item_id, s_state, 0 AS g_state,
-         round(avg(q), 4) AS agg1, round(avg(p), 4) AS agg2
+         ((2 * 10000 * sum(q) + count(*)) // (2 * count(*))) / 10000.0 AS agg1,
+         ((2 * sum(pu) + count(*)) // (2 * count(*))) / 10000.0 AS agg2
   FROM base GROUP BY i_item_id, s_state
   UNION ALL
-  SELECT i_item_id, NULL, 1, round(avg(q), 4), round(avg(p), 4)
+  SELECT i_item_id, NULL, 1,
+         ((2 * 10000 * sum(q) + count(*)) // (2 * count(*))) / 10000.0,
+         ((2 * sum(pu) + count(*)) // (2 * count(*))) / 10000.0
   FROM base GROUP BY i_item_id
   UNION ALL
-  SELECT NULL, NULL, 1, round(avg(q), 4), round(avg(p), 4) FROM base
+  SELECT NULL, NULL, 1,
+         ((2 * 10000 * sum(q) + count(*)) // (2 * count(*))) / 10000.0,
+         ((2 * sum(pu) + count(*)) // (2 * count(*))) / 10000.0
+  FROM base
 ) u
 ORDER BY i_item_id NULLS FIRST, s_state NULLS FIRST
 LIMIT 100
@@ -6570,16 +6584,25 @@ def tpcds_q27a(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cd), F.col("ss_cdemo_sk") == F.col("cd_demo_sk"))
         .join(ds["item"].select("i_item_sk", "i_item_id"), F.col("ss_item_sk") == F.col("i_item_sk"))
         .join(F.broadcast(ds["store"]), F.col("ss_store_sk") == F.col("s_store_sk"))
-        .select("i_item_id", "s_state", F.col("ss_quantity").alias("q"), F.col("ss_sales_price").alias("p"))
+        .select(
+            "i_item_id", "s_state",
+            F.round(F.col("ss_quantity")).cast("bigint").alias("q"),
+            F.round(F.col("ss_sales_price") * 10000).cast("bigint").alias("pu"),
+        )
     )
+    # round(avg, 4) as exact integer HALF_UP division (the q47/q57 money
+    # discipline): avg(q) over integer quantities and avg(p) over BIGINT
+    # ten-thousandths — round(avg(double), 4) tied at sf0.1 strict.
+    agg1 = (F.expr("cast(2 * 10000 * sum(q) + count(*) as bigint) div cast(2 * count(*) as bigint)") / 10000.0).alias("agg1")
+    agg2 = (F.expr("cast(2 * sum(pu) + count(*) as bigint) div cast(2 * count(*) as bigint)") / 10000.0).alias("agg2")
     lvl1 = base.groupBy("i_item_id", "s_state").agg(
-        F.round(F.avg("q"), 4).alias("agg1"), F.round(F.avg("p"), 4).alias("agg2")
+        agg1, agg2
     ).select("i_item_id", "s_state", F.lit(0).alias("g_state"), "agg1", "agg2")
     lvl2 = base.groupBy("i_item_id").agg(
-        F.round(F.avg("q"), 4).alias("agg1"), F.round(F.avg("p"), 4).alias("agg2")
+        agg1, agg2
     ).select("i_item_id", F.lit(None).cast("string").alias("s_state"), F.lit(1).alias("g_state"), "agg1", "agg2")
     lvl3 = base.agg(
-        F.round(F.avg("q"), 4).alias("agg1"), F.round(F.avg("p"), 4).alias("agg2")
+        agg1, agg2
     ).select(
         F.lit(None).cast("string").alias("i_item_id"), F.lit(None).cast("string").alias("s_state"),
         F.lit(1).alias("g_state"), "agg1", "agg2",
