@@ -4146,7 +4146,8 @@ WITH pr AS MATERIALIZED (
 ), toks AS (
   SELECT doc_id, string_split({_NORM_DUCK_TEXT}, ' ') AS tk FROM documents
 ), bg AS MATERIALIZED (
-  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i + 1] AS b
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(tk[i] || ' ' || tk[i + 1]), 1, 15))::BIGINT AS b
   FROM toks, unnest(range(1, len(tk))) AS r(i)
   WHERE len(tk) >= 2
 ), nbg AS MATERIALIZED (
@@ -4184,15 +4185,26 @@ def dedup_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit). Computed only over the banded candidate pairs — never all
     pairs (the cluster-confinement discipline of the dedup family).
 
-    Scale shape: one explode builds the distinct (doc, bigram) frame; the
-    intersection is an equi-join keyed on (doc via the pair frame, bigram
-    string — hash it to a BIGINT first at 100 TB, the MinHash working-row
-    trick); denominators are a per-doc hash-agg broadcast back onto the
-    bounded pair list."""
-    ph = dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    Scale shape: one explode builds the distinct (doc, bigram) frame with
+    the bigram hashed to a 60-bit BIGINT at the scan (the MinHash
+    working-row trick — the intersection join then shuffles 8-byte keys,
+    not strings; dedup_hash_collision_audit is the standing query that
+    prices the collision rate of exactly this hashed space); the frame is
+    checkpointed once for its three consumers, and the denominators are a
+    per-doc hash-agg joined back onto the bounded pair list."""
+    # The candidate pair frame feeds the intersection AND the output spine;
+    # the distinct bigram frame feeds THREE consumers (both join sides and
+    # the denominators). Checkpoint each once so neither subtree re-executes.
+    ph = local_checkpoint(dedup_simhash(spark, sf_dir).select("doc_a", "doc_b"))
     t = load_tables(spark, sf_dir)
     toks = t["documents"].select("doc_id", F.expr(f"split({_NORM}, ' ')").alias("tk"))
-    bg = (
+    # The distinct bigram frame feeds THREE consumers (both join sides and
+    # the denominators); checkpoint it once so the explode+distinct runs
+    # once instead of three times. Quiet-box sf0.1 profile: simhash
+    # candidates ~2.3 s + bigram frame ~1.1 s + the 16M-row intersection
+    # join ~3.9 s — the join is the honest price of pairwise bigram
+    # intersection over 271k banded candidates.
+    bg = local_checkpoint(
         toks.filter(F.size("tk") >= 2)
         .select(
             "doc_id",
@@ -4201,7 +4213,9 @@ def dedup_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
-            F.expr("concat(element_at(tk, i), ' ', element_at(tk, i + 1))").alias("b"),
+            F.expr(
+                "CAST(conv(substring(md5(concat(element_at(tk, i), ' ', element_at(tk, i + 1))), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("b"),
         )
         .distinct()
     )
@@ -4214,7 +4228,7 @@ def dedup_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("m"))
     )
-    return (
+    out = (
         ph.join(nbg.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
         .join(nbg.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
         .join(inter, ["doc_a", "doc_b"], "left")
@@ -4227,3 +4241,7 @@ def dedup_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+    out = local_checkpoint(out)
+    release_result(bg)
+    release_result(ph)
+    return out

@@ -77,6 +77,10 @@ EAGER_BUILD = {
     "graph_conductance",  # composes the eager LPA labeler
     "sim_centroid_purity",  # k-means model-sync loop runs during construction
     "dedup_rate_by_source",  # composes the eager CC labeler
+    # r7 eager operators: ROUGE-2 checkpoints the candidate-pair and
+    # distinct-bigram frames during construction (each feeds multiple
+    # consumers); oracle + recompute test cover it.
+    "dedup_rouge2_pairs",
 }
 
 # Registered cartesian-by-design operators (bounded or demonstration ops).
