@@ -4595,3 +4595,79 @@ def text_gibberish_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (symbol_ppm > _GIB_SYMBOL_MAX_PPM)
         ).alias("gibberish"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# License / rights-marker screen: the curation gate that routes documents
+# carrying copyright or license markers to review before pretraining.
+# ---------------------------------------------------------------------------
+
+_LIC_COPYRIGHT = "(copyright|all rights reserved|\\(c\\) [0-9]{4})"
+_LIC_PERMISSIVE = "(mit license|apache license|bsd license|creative commons|cc-by)"
+_LIC_COPYLEFT = "(gpl|gnu general public license|copyleft|affero)"
+
+LICENSE_FLAGS_ORACLE = f"""
+WITH flags AS (
+  SELECT doc_id, source,
+         regexp_matches(lower(text), '{_LIC_COPYRIGHT}') AS has_copyright,
+         regexp_matches(lower(text), '{_LIC_PERMISSIVE}') AS has_permissive,
+         regexp_matches(lower(text), '{_LIC_COPYLEFT}') AS has_copyleft
+  FROM documents
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN has_copyright THEN 1 ELSE 0 END)::BIGINT AS n_copyright,
+       sum(CASE WHEN has_permissive THEN 1 ELSE 0 END)::BIGINT AS n_permissive,
+       sum(CASE WHEN has_copyleft THEN 1 ELSE 0 END)::BIGINT AS n_copyleft,
+       sum(CASE WHEN has_copyright OR has_permissive OR has_copyleft THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+       ((1000000 * sum(CASE WHEN has_copyright OR has_permissive OR has_copyleft THEN 1 ELSE 0 END))
+         // count(*))::BIGINT AS flagged_ppm
+FROM flags
+GROUP BY source ORDER BY source
+"""
+
+
+@register("text_license_flags", LICENSE_FLAGS_ORACLE, tags=("llm", "text", "governance"))
+def text_license_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License/rights-marker scorecard per source: copyright notices,
+    permissive-license markers (MIT/Apache/BSD/CC), and copyleft markers
+    (GPL/AGPL) matched with portable case-folded regexes, rolled up to
+    per-source counts and an integer-ppm flag rate — the rights-review
+    routing report a pretraining pipeline produces before a source is
+    admitted (marker counts are evidence for a human/policy decision, not
+    a legal determination; the per-document booleans are one projection
+    away for the routing join). On the clean synthetic corpus the honest
+    rates are 0 ppm — the regex laws are pinned by the wave test with
+    injected marker texts.
+
+    Scale shape: three scan-local regex predicates folded into one
+    source-keyed hash-agg; no shuffle beyond the |sources| rollup."""
+    t = load_tables(spark, sf_dir)
+    low = F.lower("text")
+    has_c = low.rlike(_LIC_COPYRIGHT)
+    has_p = low.rlike(_LIC_PERMISSIVE)
+    has_l = low.rlike(_LIC_COPYLEFT)
+    return (
+        t["documents"]
+        .select(
+            "source",
+            has_c.alias("has_copyright"),
+            has_p.alias("has_permissive"),
+            has_l.alias("has_copyleft"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("has_copyright"), 1).otherwise(0)).cast("long").alias("n_copyright"),
+            F.sum(F.when(F.col("has_permissive"), 1).otherwise(0)).cast("long").alias("n_permissive"),
+            F.sum(F.when(F.col("has_copyleft"), 1).otherwise(0)).cast("long").alias("n_copyleft"),
+            F.sum(
+                F.when(F.col("has_copyright") | F.col("has_permissive") | F.col("has_copyleft"), 1).otherwise(0)
+            ).cast("long").alias("n_flagged"),
+            F.expr(
+                "(1000000 * sum(CASE WHEN has_copyright OR has_permissive OR has_copyleft "
+                "THEN 1 ELSE 0 END)) div count(*)"
+            ).cast("long").alias("flagged_ppm"),
+        )
+        .orderBy("source")
+    )

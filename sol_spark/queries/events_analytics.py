@@ -4176,3 +4176,172 @@ def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"floor(({t_up}) * 10000 + 0.5) / cast(10000 as double)").alias("t_upper"),
         F.expr(f"({t_lo}) > {TOST_Z} AND ({t_up}) < -{TOST_Z}").alias("equivalent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Process-mining conformance: check each user's event sequence against an
+# allowed transition graph — the audit that tells you whether the funnel
+# model and the instrumented reality agree.
+# ---------------------------------------------------------------------------
+
+# Allowed direct transitions (from, to). 'error' is reachable from anywhere
+# but may only be followed by 'view' (the recovery path) — every other edge
+# out of error is a conformance violation, as is purchase -> purchase
+# (double-fire) and anything skipping signup at session start.
+_CONFORM_EDGES = (
+    ("signup", "view"), ("view", "view"), ("view", "click"), ("click", "view"),
+    ("click", "click"), ("click", "purchase"), ("purchase", "view"),
+    ("signup", "error"), ("view", "error"), ("click", "error"),
+    ("purchase", "error"), ("error", "view"),
+)
+
+CONFORMANCE_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+allowed(f, t) AS (VALUES {", ".join(f"('{a}', '{b}')" for a, b in _CONFORM_EDGES)}),
+flagged AS (
+  SELECT s.user_id, s.ts, s.event_id, s.prev, s.event_type,
+         (s.prev IS NOT NULL AND a.f IS NULL) AS bad
+  FROM seq s LEFT JOIN allowed a ON a.f = s.prev AND a.t = s.event_type
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_transitions,
+       sum(CASE WHEN bad THEN 1 ELSE 0 END)::BIGINT AS n_violations,
+       ((1000000 * sum(CASE WHEN bad THEN 1 ELSE 0 END)) // count(*))::BIGINT AS violation_ppm,
+       min(CASE WHEN bad THEN event_id END)::BIGINT AS first_violation_event,
+       min(CASE WHEN bad THEN prev || '>' || event_type END) AS worst_edge
+FROM flagged
+WHERE prev IS NOT NULL
+GROUP BY user_id
+HAVING sum(CASE WHEN bad THEN 1 ELSE 0 END) > 0
+ORDER BY user_id
+"""
+
+
+@register("events_conformance_audit", CONFORMANCE_ORACLE, tags=("events", "process-mining"))
+def events_conformance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-mining conformance audit: each user's (ts, event_id)-ordered
+    event stream is checked edge-by-edge against the declared transition
+    model (the funnel the product team THINKS users follow); users with
+    any non-conforming transition report their violation count, integer-
+    ppm rate, the first offending event id, and the lexicographically
+    first bad edge label — the token-replay flavor of conformance checking
+    (van der Aalst), reduced to one lag window plus a broadcast anti-match
+    against the edge list. Every output is an integer or a label; the
+    window ORDER BY (ts, event_id) is total, so the flagged set is
+    deterministic cross-engine.
+
+    Scale shape: ONE exchange on user_id for the lag window; the allowed
+    edge list (|event types|^2 at most) broadcasts; the rollup is a
+    user-keyed hash-agg on the same partitioning — no second shuffle."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    allowed = spark.createDataFrame(list(_CONFORM_EDGES), "f string, t string")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        "user_id", "ts", "event_id", "event_type",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    flagged = (
+        seq.join(
+            F.broadcast(allowed),
+            (F.col("prev") == F.col("f")) & (F.col("event_type") == F.col("t")),
+            "left",
+        )
+        .where(F.col("prev").isNotNull())
+        .select(
+            "user_id", "event_id", "prev", "event_type",
+            F.col("f").isNull().alias("bad"),
+        )
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            F.sum(F.when(F.col("bad"), 1).otherwise(0)).cast("long").alias("n_violations"),
+            F.expr("(1000000 * sum(CASE WHEN bad THEN 1 ELSE 0 END)) div count(*)")
+            .cast("long").alias("violation_ppm"),
+            F.min(F.when(F.col("bad"), F.col("event_id"))).cast("long").alias("first_violation_event"),
+            F.min(F.when(F.col("bad"), F.concat_ws(">", "prev", "event_type"))).alias("worst_edge"),
+        )
+        .where(F.col("n_violations") > 0)
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness: daily active users over 30-day rolling monthly
+# actives — the engagement ratio, computed exactly via a banded presence
+# join (the sketch path for 100 TB is sketch_bitmap_distinct).
+# ---------------------------------------------------------------------------
+
+STICKINESS_WINDOW_D = 30
+
+STICKINESS_ORACLE = f"""
+WITH presence AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+),
+days AS (SELECT DISTINCT d FROM presence),
+dau AS (SELECT d, count(*)::BIGINT AS dau FROM presence GROUP BY d),
+mau AS (
+  SELECT g.d, count(DISTINCT p.user_id)::BIGINT AS mau
+  FROM days g JOIN presence p
+    ON p.d <= g.d AND p.d > g.d - INTERVAL {STICKINESS_WINDOW_D} DAY
+  GROUP BY g.d
+)
+SELECT dau.d AS day, dau.dau, mau.mau,
+       ((1000000 * dau.dau) // mau.mau)::BIGINT AS stickiness_ppm
+FROM dau JOIN mau ON mau.d = dau.d
+ORDER BY day
+"""
+
+
+@register("events_dau_mau_stickiness", STICKINESS_ORACLE, tags=("events", "engagement"))
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day: daily actives over rolling
+    {STICKINESS_WINDOW_D}-day actives in exact integer ppm — THE
+    engagement ratio. A rolling COUNT DISTINCT cannot merge across window
+    panes, so the exact form joins the (user, day) presence frame to the
+    day grid banded to the trailing window and distinct-counts per day —
+    a |users x active-days| x {STICKINESS_WINDOW_D} expansion that is the
+    honest exact cost; at 100 TB the production path swaps the presence
+    join for mergeable per-day roaring bitmaps OR'd over the window
+    (sketch_bitmap_distinct is that primitive in this repo) with identical
+    output semantics.
+
+    Scale shape: presence is one distinct over (user, day) — the only
+    row-grain shuffle; the day grid is tiny and broadcast; the banded join
+    fans presence rows {STICKINESS_WINDOW_D}x at most before a per-day
+    distinct agg."""
+    t = load_tables(spark, sf_dir)
+    presence = (
+        t["events"]
+        .select("user_id", F.expr("cast(date_trunc('day', ts) as timestamp_ntz)").alias("d"))
+        .distinct()
+    )
+    days = presence.select("d").distinct().select(F.col("d").alias("g"))
+    dau = presence.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    mau = (
+        F.broadcast(days)
+        .join(
+            presence,
+            (F.col("d") <= F.col("g"))
+            & (F.col("d") > F.col("g") - F.expr(f"INTERVAL {STICKINESS_WINDOW_D} DAY")),
+        )
+        .groupBy("g")
+        .agg(F.count_distinct("user_id").alias("mau"))
+    )
+    return (
+        dau.join(mau, F.col("d") == F.col("g"))
+        .select(
+            F.col("d").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("mau").cast("long").alias("mau"),
+            F.expr("(1000000 * dau) div mau").cast("long").alias("stickiness_ppm"),
+        )
+        .orderBy("day")
+    )
