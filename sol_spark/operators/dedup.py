@@ -4245,3 +4245,64 @@ def dedup_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     release_result(bg)
     release_result(ph)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Cluster cohesion via ROUGE-2: per duplicate cluster, the ordered-ngram
+# evidence supporting its pairs — finds clusters glued together by weak
+# (set-overlap-only) evidence before a bulk keep/drop is executed.
+# ---------------------------------------------------------------------------
+
+CLUSTER_COHESION_ORACLE = f"""
+WITH labels AS MATERIALIZED (
+  SELECT doc, cluster FROM ({DEDUP_SIMHASH_CLUSTERS_ORACLE.replace("ORDER BY doc", "")}) lc
+), rg AS MATERIALIZED (
+  SELECT doc_a, doc_b, rouge2_f1_ppm
+  FROM ({ROUGE2_ORACLE.replace("ORDER BY p.doc_a, p.doc_b", "")}) rr
+)
+SELECT l.cluster,
+       count(*)::BIGINT AS n_pairs,
+       (sum(r.rouge2_f1_ppm) // count(*))::BIGINT AS mean_f1_ppm,
+       min(r.rouge2_f1_ppm)::BIGINT AS min_f1_ppm,
+       (min(r.rouge2_f1_ppm) < 500000) AS weak_evidence
+FROM rg r JOIN labels l ON l.doc = r.doc_a
+GROUP BY l.cluster
+ORDER BY l.cluster
+"""
+
+
+@register("dedup_cluster_cohesion", CLUSTER_COHESION_ORACLE, tags=("llm", "dedup", "eval", "iterative"))
+def dedup_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster ROUGE-2 cohesion scorecard: every SimHash candidate
+    pair lies inside one connected component by construction, so joining
+    the pair scores to the CC labels prices each duplicate cluster's
+    ordered-ngram evidence — mean and MINIMUM pair F1 in integer ppm, and
+    a weak-evidence flag when any member pair scores under 0.5 (a cluster
+    whose weakest link is word-order-dissimilar is a banding accident or a
+    template family, and bulk-dropping it loses real data; route it to
+    dedup_keep_best_quality instead of min-id keep). The min is the
+    honest statistic: means hide one bad link in a big clique.
+
+    Scale shape: composes two linear frames — per-doc labels and the
+    banded pair scores — with one broadcast-ranged equi-join on doc_a
+    (both endpoints share a cluster, so one endpoint's label suffices) and
+    a cluster-keyed hash-agg. All integer outputs."""
+    labels_raw = dedup_simhash_clusters(spark, sf_dir)
+    rouge_raw = dedup_rouge2_pairs(spark, sf_dir)
+    labels = labels_raw.select(F.col("doc").alias("doc_a"), "cluster")
+    rouge = rouge_raw.select("doc_a", "doc_b", "rouge2_f1_ppm")
+    out = (
+        rouge.join(labels, "doc_a")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr("sum(rouge2_f1_ppm) div count(*)").cast("long").alias("mean_f1_ppm"),
+            F.min("rouge2_f1_ppm").cast("long").alias("min_f1_ppm"),
+            (F.min("rouge2_f1_ppm") < 500000).alias("weak_evidence"),
+        )
+        .orderBy("cluster")
+    )
+    out = local_checkpoint(out)
+    release_result(labels_raw)
+    release_result(rouge_raw)
+    return out

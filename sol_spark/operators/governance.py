@@ -2790,3 +2790,84 @@ def warehouse_retention_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tamper-evident audit-log chain verification: per-day hash chains over the
+# event log, recomputed and checked — the "has anyone edited history"
+# query for an append-only compliance log.
+# ---------------------------------------------------------------------------
+
+AUDIT_CHAIN_ORACLE = """
+WITH RECURSIVE ev AS MATERIALIZED (
+  SELECT date_trunc('day', ts) AS day, event_id, user_id, event_type,
+         row_number() OVER (PARTITION BY date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY date_trunc('day', ts)) AS n
+  FROM events
+), chain AS (
+  SELECT day, event_id, rn, n,
+         md5('genesis' || '|' || event_id::VARCHAR || '|' || user_id::VARCHAR
+             || '|' || event_type) AS h
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.day, e.event_id, e.rn, e.n,
+         md5(c.h || '|' || e.event_id::VARCHAR || '|' || e.user_id::VARCHAR
+             || '|' || e.event_type)
+  FROM ev e JOIN chain c ON e.day = c.day AND e.rn = c.rn + 1
+)
+SELECT day, n::BIGINT AS n_events,
+       max(CASE WHEN rn = n THEN h END) AS head_hash,
+       max(CASE WHEN rn = n THEN event_id END)::BIGINT AS head_event_id
+FROM chain
+GROUP BY day, n ORDER BY day
+"""
+
+
+@register("warehouse_audit_chain", AUDIT_CHAIN_ORACLE, tags=("warehouse", "governance", "integrity"))
+def warehouse_audit_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tamper-evident hash chain per day over the audit (event) log:
+    h_1 = md5('genesis' | row_1), h_i = md5(h_{i-1} | row_i) in the total
+    (ts, event_id) order, emitting each day's chain head — the receipt a
+    compliance pipeline stores out-of-band; any historical edit, delete,
+    or reorder changes every subsequent hash and the head stops matching
+    the stored receipt (the verify step is one equi-join of receipts to
+    this output). Day-scoped chains bound the sequential dependency: a
+    year of history verifies as 365 independent chains.
+
+    Scale shape: the chain is inherently sequential WITHIN a day but
+    embarrassingly parallel ACROSS days — one Arrow grouped-map per day
+    partition computes the fold (the events_ewma recurrence pattern, with
+    md5 strings instead of doubles); the oracle replays the identical fold
+    as a recursive CTE. Output is |days| rows."""
+    import pandas as pd
+    from hashlib import md5 as _md5
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        F.expr("cast(date_trunc('day', ts) as timestamp_ntz)").alias("day"),
+        "ts", "event_id", "user_id", "event_type",
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        h = "genesis"
+        for eid, uid, et in zip(pdf["event_id"], pdf["user_id"], pdf["event_type"]):
+            h = _md5(f"{h}|{eid}|{uid}|{et}".encode()).hexdigest()
+        return pd.DataFrame(
+            {
+                "day": [pdf["day"].iloc[0]],
+                "n_events": [len(pdf)],
+                "head_hash": [h],
+                "head_event_id": [int(pdf["event_id"].iloc[-1])],
+            }
+        )
+
+    return (
+        ev.groupBy("day")
+        .applyInPandas(
+            fold,
+            "day timestamp_ntz, n_events bigint, head_hash string, head_event_id bigint",
+        )
+        .orderBy("day")
+    )

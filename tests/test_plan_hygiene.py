@@ -79,8 +79,10 @@ EAGER_BUILD = {
     "dedup_rate_by_source",  # composes the eager CC labeler
     # r7 eager operators: ROUGE-2 checkpoints the candidate-pair and
     # distinct-bigram frames during construction (each feeds multiple
-    # consumers); oracle + recompute test cover it.
+    # consumers); cluster cohesion composes two eager operators. Oracle +
+    # recompute tests cover them.
     "dedup_rouge2_pairs",
+    "dedup_cluster_cohesion",
 }
 
 # Registered cartesian-by-design operators (bounded or demonstration ops).

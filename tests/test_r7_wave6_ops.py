@@ -1,0 +1,83 @@
+"""Behavioral invariants for the round-7 sixth-wave operators: the audit
+hash chain (Python fold replay + tamper detection) and the ROUGE cluster
+cohesion scorecard (label/pair accounting)."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+
+def test_audit_chain_fold_replay_and_tamper_sensitivity(spark, sf_dir):
+    from sol_spark.operators.governance import warehouse_audit_chain
+    from sol_spark.tables import load_tables
+    from pyspark.sql import functions as F
+
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .select(
+            F.expr("cast(date_trunc('day', ts) as timestamp_ntz)").alias("day"),
+            "ts", "event_id", "user_id", "event_type",
+        )
+        .collect()
+    )
+    by_day = defaultdict(list)
+    for e in ev:
+        by_day[e["day"]].append(e)
+    heads = {}
+    for day, es in by_day.items():
+        es.sort(key=lambda e: (e["ts"], e["event_id"]))
+        h = "genesis"
+        for e in es:
+            h = hashlib.md5(
+                f"{h}|{e['event_id']}|{e['user_id']}|{e['event_type']}".encode()
+            ).hexdigest()
+        heads[day] = (len(es), h, es[-1]["event_id"])
+    rows = {r["day"]: r for r in warehouse_audit_chain(spark, sf_dir).collect()}
+    assert set(rows) == set(heads)
+    for day, (n, h, last_eid) in heads.items():
+        r = rows[day]
+        assert (r["n_events"], r["head_hash"], r["head_event_id"]) == (n, h, last_eid)
+    # tamper sensitivity: editing ONE mid-chain row changes the head
+    day, es = next(iter(sorted(by_day.items())))
+    es.sort(key=lambda e: (e["ts"], e["event_id"]))
+    h = "genesis"
+    for i, e in enumerate(es):
+        etype = "TAMPERED" if i == len(es) // 2 else e["event_type"]
+        h = hashlib.md5(f"{h}|{e['event_id']}|{e['user_id']}|{etype}".encode()).hexdigest()
+    assert h != heads[day][1]
+
+
+def test_cluster_cohesion_accounting(spark, sf_dir):
+    """Every scored pair lands in exactly one cluster (both endpoints share
+    it), the per-cluster stats recompute from the pair frame, and min <=
+    mean always."""
+    from sol_spark.operators.dedup import (
+        dedup_cluster_cohesion,
+        dedup_rouge2_pairs,
+        dedup_simhash_clusters,
+        release_result,
+    )
+
+    lab_df = dedup_simhash_clusters(spark, sf_dir)
+    labels = {r["doc"]: r["cluster"] for r in lab_df.collect()}
+    release_result(lab_df)
+    rg_df = dedup_rouge2_pairs(spark, sf_dir)
+    pairs = [(r["doc_a"], r["doc_b"], r["rouge2_f1_ppm"]) for r in rg_df.collect()]
+    release_result(rg_df)
+    per_cluster = defaultdict(list)
+    for a, b, f1 in pairs:
+        assert labels[a] == labels[b]  # a candidate pair never crosses clusters
+        per_cluster[labels[a]].append(f1)
+    out_df = dedup_cluster_cohesion(spark, sf_dir)
+    rows = {r["cluster"]: r for r in out_df.collect()}
+    release_result(out_df)
+    assert set(rows) == set(per_cluster)
+    assert rows, "no clusters scored"
+    for c, f1s in per_cluster.items():
+        r = rows[c]
+        assert r["n_pairs"] == len(f1s)
+        assert r["mean_f1_ppm"] == sum(f1s) // len(f1s)
+        assert r["min_f1_ppm"] == min(f1s)
+        assert r["min_f1_ppm"] <= r["mean_f1_ppm"]
+        assert r["weak_evidence"] == (min(f1s) < 500000)
