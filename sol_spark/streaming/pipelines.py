@@ -593,3 +593,66 @@ def sprt_state(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def audit_chain_state(events: DataFrame) -> DataFrame:
+    """Streaming audit-chain maintainer with keyed state: per day the
+    state is (head_hash, n_events, last ts_us, last event_id); each
+    micro-batch folds its (ts, event_id)-sorted rows into the md5 chain
+    and re-emits the day's current head (update mode) — the online twin
+    of governance.warehouse_audit_chain, and the repo's only stateful
+    operator carrying a STRING in keyed state (the chain head is the
+    state, not an aggregate). Because the file replay delivers each day's
+    rows in ts order across batches, the drained stream's final emission
+    per day equals the batch fold byte-exactly; an out-of-order arrival
+    in production is detected (arriving (ts, event_id) below the stored
+    last) and surfaced as a broken_order flag rather than silently hashed
+    into a different chain."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from hashlib import md5 as _md5
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):  # noqa: ANN001
+        if state.exists:
+            h, n, last_us, last_eid, broken = state.get
+        else:
+            h, n, last_us, last_eid, broken = "genesis", 0, -1, -1, 0
+        for pdf in pdfs:
+            pdf = pdf.assign(ts_us=pdf["ts"].astype("int64") // 1000)
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for eid, uid, et, ts_us in zip(
+                pdf["event_id"], pdf["user_id"], pdf["event_type"], pdf["ts_us"]
+            ):
+                if (int(ts_us), int(eid)) < (last_us, last_eid):
+                    broken = 1
+                h = _md5(f"{h}|{eid}|{uid}|{et}".encode()).hexdigest()
+                n += 1
+                last_us, last_eid = int(ts_us), int(eid)
+        state.update((h, n, last_us, last_eid, broken))
+        yield pd.DataFrame(
+            {
+                "day": [key[0]],
+                "n_events": [n],
+                "head_hash": [h],
+                "head_event_id": [last_eid],
+                "broken_order": [bool(broken)],
+            }
+        )
+
+    keyed = events.select(
+        F.expr("cast(date_trunc('day', ts) as timestamp_ntz)").alias("day"),
+        "ts", "event_id", "user_id", "event_type",
+    )
+    return keyed.groupBy("day").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "day timestamp_ntz, n_events bigint, head_hash string, "
+            "head_event_id bigint, broken_order boolean"
+        ),
+        stateStructType=(
+            "h string, n bigint, last_us bigint, last_eid bigint, broken int"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

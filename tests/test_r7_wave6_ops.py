@@ -81,3 +81,27 @@ def test_cluster_cohesion_accounting(spark, sf_dir):
         assert r["min_f1_ppm"] == min(f1s)
         assert r["min_f1_ppm"] <= r["mean_f1_ppm"]
         assert r["weak_evidence"] == (min(f1s) < 500000)
+
+
+def test_audit_chain_stream_equals_batch(spark, sf_dir):
+    """Streaming audit chain (string keyed state) must converge to the
+    batch fold byte-exactly after the multi-batch replay drains, with no
+    out-of-order breaks under the ts-range file replay."""
+    from sol_spark.operators.governance import warehouse_audit_chain
+    from sol_spark.streaming import pipelines as P
+    from tests.test_streaming import _run
+
+    got = _run(spark, sf_dir, P.audit_chain_state, "update", n_files=4)
+    latest: dict = {}
+    for r in got:
+        if r.day not in latest or r.n_events > latest[r.day][0]:
+            latest[r.day] = (r.n_events, r.head_hash, r.head_event_id, r.broken_order)
+    want = {
+        r["day"]: (r["n_events"], r["head_hash"], r["head_event_id"])
+        for r in warehouse_audit_chain(spark, sf_dir).collect()
+    }
+    assert set(latest) == set(want)
+    for day in want:
+        n, h, eid, broken = latest[day]
+        assert (n, h, eid) == want[day], f"day {day}"
+        assert broken is False  # the ordered replay never breaks the chain
