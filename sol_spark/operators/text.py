@@ -4671,3 +4671,51 @@ def text_license_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-aware split: ALL documents of a source land in the same split —
+# the GroupShuffleSplit semantics that stop near-duplicate siblings from
+# straddling the train/val boundary.
+# ---------------------------------------------------------------------------
+
+_GROUP_SPLIT_VAL_PCT = 20  # per-GROUP rate; realized doc share varies
+
+GROUP_SPLIT_ORACLE = f"""
+SELECT doc_id, source,
+       CASE WHEN ('0x' || substr(md5('grp' || source), 1, 6))::BIGINT % 100 < {_GROUP_SPLIT_VAL_PCT}
+            THEN 'val' ELSE 'train' END AS split
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("text_group_split", GROUP_SPLIT_ORACLE, tags=("llm", "text", "split"))
+def text_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val split: the md5 coin is tossed on the SOURCE,
+    not the document, so every document of a source lands in the same
+    split (scikit-learn's GroupShuffleSplit semantics). This is the split
+    to use when leakage runs along group lines — near-duplicate pages
+    within a crawl domain, chunks of one conversation, takes of one
+    recording — where text_train_val_split's per-doc hash would place
+    siblings on both sides of the boundary and text_split_leakage would
+    then (correctly) light up. Trade-off stated honestly: the realized
+    document share of 'val' varies with group sizes around the
+    {_GROUP_SPLIT_VAL_PCT}% group rate; stability and leakage-tightness
+    are what this split buys, not an exact ratio.
+
+    Scale shape: a pure scan-local projection (hash of an existing
+    column), shuffle-free, stable as the corpus grows — identical
+    operational properties to the per-doc split."""
+    t = load_tables(spark, sf_dir)
+    coin = F.expr(
+        f"CAST(conv(substring(md5(concat('grp', source)), 1, 6), 16, 10) AS BIGINT) % 100"
+    )
+    return (
+        t["documents"]
+        .select(
+            "doc_id", "source",
+            F.when(coin < _GROUP_SPLIT_VAL_PCT, "val").otherwise("train").alias("split"),
+        )
+        .orderBy("doc_id")
+    )

@@ -105,3 +105,26 @@ def test_audit_chain_stream_equals_batch(spark, sf_dir):
         n, h, eid, broken = latest[day]
         assert (n, h, eid) == want[day], f"day {day}"
         assert broken is False  # the ordered replay never breaks the chain
+
+
+def test_group_split_never_straddles_a_source(spark, sf_dir):
+    import hashlib
+
+    from sol_spark.operators.text import _GROUP_SPLIT_VAL_PCT, text_group_split
+
+    rows = text_group_split(spark, sf_dir).collect()
+    by_source = {}
+    for r in rows:
+        assert r["split"] in ("train", "val")
+        want = (
+            "val"
+            if int(hashlib.md5(f"grp{r['source']}".encode()).hexdigest()[:6], 16) % 100
+            < _GROUP_SPLIT_VAL_PCT
+            else "train"
+        )
+        assert r["split"] == want
+        if r["source"] in by_source:
+            assert by_source[r["source"]] == r["split"]  # never straddles
+        by_source[r["source"]] = r["split"]
+    splits = set(by_source.values())
+    assert splits == {"train", "val"}  # both sides populated
