@@ -4306,3 +4306,130 @@ def dedup_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     release_result(labels_raw)
     release_result(rouge_raw)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Cross-split near-dup decontamination: MinHash evidence that a VAL
+# document has a near-duplicate in TRAIN — the fuzzy generalization of
+# text_contamination's exact n-gram check, and the audit every eval-split
+# release runs (benchmark decontamination a la GPT-3 appendix C).
+# ---------------------------------------------------------------------------
+
+DECONTAM_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ntext,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 10
+              THEN 'val' ELSE 'train' END AS split
+  FROM documents
+), toks AS (
+  SELECT doc_id, split, ntext, string_split(ntext, ' ') AS tk FROM norm
+), shingle AS (
+  SELECT DISTINCT doc_id, split, shingle FROM (
+    SELECT doc_id, split,
+           CASE WHEN len(tk) < 3 THEN [ntext]
+                ELSE list_transform(range(1, len(tk) - 1),
+                                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS shl
+    FROM toks
+  ) s, unnest(s.shl) AS u(shingle)
+), sh AS (
+  SELECT doc_id, split, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS bh FROM shingle
+), mh AS (
+  SELECT doc_id, split, i, min((bh * (2*i + 1) + 7919*(i + 1)) % {MINHASH_P}) AS h
+  FROM sh, (SELECT unnest(range({N_HASHES})) AS i) hs
+  GROUP BY doc_id, split, i
+), bands AS (
+  SELECT doc_id, split, i // {ROWS_PER_BAND} AS band,
+         string_agg(h::VARCHAR, '|' ORDER BY i) AS band_key
+  FROM mh GROUP BY doc_id, split, i // {ROWS_PER_BAND}
+), cand AS (
+  SELECT DISTINCT t.doc_id AS train_doc, v.doc_id AS val_doc
+  FROM bands t JOIN bands v ON t.band = v.band AND t.band_key = v.band_key
+  WHERE t.split = 'train' AND v.split = 'val'
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), confirmed AS (
+  SELECT c.val_doc, c.train_doc,
+         (10000 * count(*)) // (zt.n + zv.n - count(*)) AS jaccard_bp
+  FROM cand c
+  JOIN sh st ON st.doc_id = c.train_doc
+  JOIN sh sv ON sv.doc_id = c.val_doc AND st.bh = sv.bh
+  JOIN sizes zt ON zt.doc_id = c.train_doc
+  JOIN sizes zv ON zv.doc_id = c.val_doc
+  GROUP BY c.val_doc, c.train_doc, zt.n, zv.n
+  HAVING count(*) / (zt.n + zv.n - count(*)) >= {JACCARD_THRESHOLD}
+), best AS (
+  SELECT val_doc, max(jaccard_bp) AS best_jaccard_bp,
+         count(*)::BIGINT AS n_train_matches
+  FROM confirmed GROUP BY val_doc
+)
+SELECT b.val_doc, b.n_train_matches, b.best_jaccard_bp,
+       min(c.train_doc)::BIGINT AS best_train_doc
+FROM best b JOIN confirmed c
+  ON c.val_doc = b.val_doc AND c.jaccard_bp = b.best_jaccard_bp
+GROUP BY b.val_doc, b.n_train_matches, b.best_jaccard_bp
+ORDER BY b.val_doc
+"""
+
+
+@register("dedup_cross_split_decontam", DECONTAM_ORACLE, tags=("llm", "dedup", "split", "audit"))
+def dedup_cross_split_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate decontamination across the train/val hash split:
+    MinHash-LSH candidates restricted to (train, val) pairs, confirmed by
+    exact Jaccard at the {JACCARD_THRESHOLD} fence, reported per
+    contaminated VAL document with its match count and best (highest-
+    Jaccard, ties to the lowest train doc id) training near-duplicate —
+    the release audit that says which eval documents the model has
+    effectively seen. Complements text_contamination (exact 8-gram hits)
+    and text_split_leakage (ANY shared shingle): this is the calibrated
+    near-dup tier between them, using the same split rule as
+    text_train_val_split so the three audits describe one split.
+
+    Scale shape: identical to dedup_minhash_lsh — the band self-join is
+    replaced by a train-side x val-side band join (strictly smaller), and
+    the val side is ~10% of the corpus, so candidate generation is
+    CHEAPER than full dedup; the per-val rollup is bounded by confirmed
+    matches."""
+    rows = hashed_shingle_rows_df(spark, sf_dir).persist()
+    rows.count()
+    split = F.when(
+        F.expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT) % 100") < 10,
+        "val",
+    ).otherwise("train")
+    bands = _band_df(minhash_signature_df(rows)).withColumn("split", split)
+    cand = (
+        bands.filter(F.col("split") == "train").alias("t")
+        .join(bands.filter(F.col("split") == "val").alias("v"), ["band", "band_key"])
+        .select(F.col("t.doc_id").alias("train_doc"), F.col("v.doc_id").alias("val_doc"))
+        .distinct()
+    )
+    sizes = rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    confirmed = (
+        cand.join(rows.select(F.col("doc_id").alias("train_doc"), "h"), "train_doc")
+        .join(rows.select(F.col("doc_id").alias("val_doc"), "h"), ["val_doc", "h"])
+        .groupBy("val_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("ni"))
+        .join(sizes.select(F.col("doc_id").alias("train_doc"), F.col("n").alias("nt")), "train_doc")
+        .join(sizes.select(F.col("doc_id").alias("val_doc"), F.col("n").alias("nv")), "val_doc")
+        .filter(F.col("ni") / (F.col("nt") + F.col("nv") - F.col("ni")) >= JACCARD_THRESHOLD)
+        .select(
+            "val_doc", "train_doc",
+            F.expr("(10000 * ni) div (nt + nv - ni)").alias("jaccard_bp"),
+        )
+    )
+    best = confirmed.groupBy("val_doc").agg(
+        F.max("jaccard_bp").alias("best_jaccard_bp"),
+        F.count(F.lit(1)).cast("long").alias("n_train_matches"),
+    )
+    out = (
+        best.join(
+            confirmed.select("val_doc", F.col("jaccard_bp").alias("best_jaccard_bp"), "train_doc"),
+            ["val_doc", "best_jaccard_bp"],
+        )
+        .groupBy("val_doc", "n_train_matches", "best_jaccard_bp")
+        .agg(F.min("train_doc").cast("long").alias("best_train_doc"))
+        .select("val_doc", "n_train_matches", "best_jaccard_bp", "best_train_doc")
+        .orderBy("val_doc")
+    )
+    out = local_checkpoint(out)
+    rows.unpersist()
+    return out

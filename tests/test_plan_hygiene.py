@@ -83,6 +83,7 @@ EAGER_BUILD = {
     # recompute tests cover them.
     "dedup_rouge2_pairs",
     "dedup_cluster_cohesion",
+    "dedup_cross_split_decontam",  # persists the hashed shingle rows during build
 }
 
 # Registered cartesian-by-design operators (bounded or demonstration ops).

@@ -128,3 +128,48 @@ def test_group_split_never_straddles_a_source(spark, sf_dir):
         by_source[r["source"]] = r["split"]
     splits = set(by_source.values())
     assert splits == {"train", "val"}  # both sides populated
+
+
+def test_decontam_consistency_with_split_and_dedup(spark, sf_dir):
+    """Every reported val doc is actually in 'val' under the shared split
+    rule, its best train match is in 'train', the best pair appears in the
+    full MinHash pair set with the same Jaccard, and every full-dedup pair
+    that straddles the split is reported."""
+    import hashlib
+
+    from sol_spark.operators.dedup import (
+        dedup_cross_split_decontam,
+        dedup_minhash_lsh,
+        release_result,
+    )
+
+    def split_of(doc_id: int) -> str:
+        return "val" if int(hashlib.md5(str(doc_id).encode()).hexdigest()[:6], 16) % 100 < 10 else "train"
+
+    out_df = dedup_cross_split_decontam(spark, sf_dir)
+    out = {r["val_doc"]: r for r in out_df.collect()}
+    release_result(out_df)
+    full = {}
+    for r in dedup_minhash_lsh(spark, sf_dir).collect():
+        full[(r["doc_a"], r["doc_b"])] = r["jaccard_bp"]
+    # full-dedup pairs straddling the split must all be reported
+    expected = {}
+    for (a, b), jb in full.items():
+        sa, sb = split_of(a), split_of(b)
+        if {sa, sb} == {"train", "val"}:
+            v, t = (a, b) if sa == "val" else (b, a)
+            cur = expected.setdefault(v, [0, -1, None])
+            cur[0] += 1
+            if (jb, -t) > (cur[1], -(cur[2] if cur[2] is not None else 1 << 62)):
+                cur[1], cur[2] = jb, t
+    assert set(out) >= set(expected)
+    assert len(out) > 0  # the fixture's dup structure crosses the split
+    for v, r in out.items():
+        assert split_of(v) == "val"
+        assert split_of(r["best_train_doc"]) == "train"
+        pair = (min(v, r["best_train_doc"]), max(v, r["best_train_doc"]))
+        assert full.get(pair) == r["best_jaccard_bp"]
+    for v, (n, jb, t) in expected.items():
+        r = out[v]
+        assert r["n_train_matches"] >= n
+        assert r["best_jaccard_bp"] >= jb
