@@ -4345,3 +4345,113 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-free prediction intervals for the naive forecaster:
+# residual order statistics per series — the uncertainty readout the
+# point-forecast ladder (naive/EWMA/Holt) deliberately omits.
+# ---------------------------------------------------------------------------
+
+_PI_LO_BP = 1000   # p10 / p90 residual fences
+_PI_HI_BP = 9000
+
+FORECAST_PI_ORACLE = f"""
+WITH hourly AS (
+  {_HOURLY_X_DUCK}
+), resid AS (
+  SELECT event_type, hour, x,
+         x - lag(x) OVER (PARTITION BY event_type ORDER BY hour) AS r
+  FROM hourly
+), hist AS (
+  SELECT event_type, r, count(*)::BIGINT AS c
+  FROM resid WHERE r IS NOT NULL GROUP BY event_type, r
+), cum AS (
+  SELECT event_type, r, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY r
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS tot
+  FROM hist
+), fences AS (
+  SELECT event_type,
+         min(CASE WHEN 10000 * cum >= {_PI_LO_BP} * tot THEN r END) AS p10,
+         min(CASE WHEN 10000 * cum >= {_PI_HI_BP} * tot THEN r END) AS p90,
+         max(tot)::BIGINT AS n_resid
+  FROM cum GROUP BY event_type
+), last_obs AS (
+  SELECT event_type, x AS last_x
+  FROM (SELECT event_type, x,
+               row_number() OVER (PARTITION BY event_type ORDER BY hour DESC) AS rn
+        FROM hourly) t
+  WHERE rn = 1
+)
+SELECT f.event_type, f.n_resid,
+       {_R6_DUCK.format(c="f.p10")} + 0.0 AS p10_resid,
+       {_R6_DUCK.format(c="f.p90")} + 0.0 AS p90_resid,
+       {_R6_DUCK.format(c="l.last_x")} AS last_value,
+       {_R6_DUCK.format(c="l.last_x + f.p10")} + 0.0 AS pi_lo,
+       {_R6_DUCK.format(c="l.last_x + f.p90")} + 0.0 AS pi_hi
+FROM fences f JOIN last_obs l ON l.event_type = f.event_type
+ORDER BY f.event_type
+"""
+
+
+@register("events_forecast_pi", FORECAST_PI_ORACLE, tags=("events", "timeseries", "uncertainty"))
+def events_forecast_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free one-step prediction interval per series: the
+    [p10, p90] order statistics of the naive forecaster's historical
+    residuals, added to the last observation — conformal prediction's
+    split-residual baseline, and the uncertainty readout that turns the
+    point-forecast ladder into an alertable band (a value outside
+    [pi_lo, pi_hi] is a genuine 80%-band breach, not a vibe). Residuals
+    are differences of the bit-identical exact hourly means, the fences
+    are exact order statistics read off the per-series residual histogram
+    (no float percentile), and displays use the floor-form rounding — the
+    same three disciplines that made the recurrence family tie-proof.
+
+    Scale shape: one lag window per series over the hourly downsample,
+    a (series, residual)-keyed histogram agg bounded by distinct residual
+    values, and a cumulative window over that bounded frame. No sort of
+    raw events; |series| rows out."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    hourly = _hourly_x(t)
+    w_seq = W.partitionBy("event_type").orderBy("hour")
+    resid = hourly.select(
+        "event_type", "hour", "x",
+        (F.col("x") - F.lag("x").over(w_seq)).alias("r"),
+    )
+    hist = (
+        resid.where(F.col("r").isNotNull())
+        .groupBy("event_type", "r")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = W.partitionBy("event_type").orderBy("r").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.select(
+        "event_type", "r",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(W.partitionBy("event_type")).alias("tot"),
+    )
+    fences = cum.groupBy("event_type").agg(
+        F.min(F.when(10000 * F.col("cum") >= _PI_LO_BP * F.col("tot"), F.col("r"))).alias("p10"),
+        F.min(F.when(10000 * F.col("cum") >= _PI_HI_BP * F.col("tot"), F.col("r"))).alias("p90"),
+        F.max("tot").cast("long").alias("n_resid"),
+    )
+    last_obs = (
+        hourly.withColumn("rn", F.row_number().over(W.partitionBy("event_type").orderBy(F.col("hour").desc())))
+        .where(F.col("rn") == 1)
+        .select("event_type", F.col("x").alias("last_x"))
+    )
+    return (
+        fences.join(last_obs, "event_type")
+        .select(
+            "event_type", "n_resid",
+            (_r6("p10") + 0.0).alias("p10_resid"),
+            (_r6("p90") + 0.0).alias("p90_resid"),
+            _r6("last_x").alias("last_value"),
+            (_r6("last_x + p10") + 0.0).alias("pi_lo"),
+            (_r6("last_x + p90") + 0.0).alias("pi_hi"),
+        )
+        .orderBy("event_type")
+    )

@@ -173,3 +173,43 @@ def test_decontam_consistency_with_split_and_dedup(spark, sf_dir):
         r = out[v]
         assert r["n_train_matches"] >= n
         assert r["best_jaccard_bp"] >= jb
+
+
+def test_forecast_pi_order_statistics_replay(spark, sf_dir):
+    """Replay the residual order statistics in Python from the exact
+    hourly means; the interval must bracket the point forecast and hold
+    ~80% of historical residuals by construction."""
+    import math
+    from collections import defaultdict as _dd
+
+    from sol_spark.queries.events_analytics import _PI_HI_BP, _PI_LO_BP, events_forecast_pi, _hourly_x
+    from sol_spark.tables import load_tables
+
+    hourly = _hourly_x(load_tables(spark, sf_dir)).collect()
+    series = _dd(list)
+    for r in hourly:
+        series[r["event_type"]].append((r["hour"], r["x"]))
+    rows = {r["event_type"]: r for r in events_forecast_pi(spark, sf_dir).collect()}
+    assert set(rows) == set(series)
+
+    def r6(v: float) -> float:
+        return math.floor(v * 1000000 + 0.5) / 1000000
+
+    for et, pts in series.items():
+        pts.sort()
+        xs = [x for _, x in pts]
+        resid = sorted(b - a for a, b in zip(xs, xs[1:]))
+        n = len(resid)
+        p10 = next(v for i, v in enumerate(resid) if 10000 * (i + 1) >= _PI_LO_BP * n)
+        p90 = next(v for i, v in enumerate(resid) if 10000 * (i + 1) >= _PI_HI_BP * n)
+        r = rows[et]
+        assert r["n_resid"] == n
+        assert r["p10_resid"] == r6(p10) + 0.0
+        assert r["p90_resid"] == r6(p90) + 0.0
+        assert r["last_value"] == r6(xs[-1])
+        assert r["pi_lo"] == r6(xs[-1] + p10) + 0.0
+        assert r["pi_hi"] == r6(xs[-1] + p90) + 0.0
+        assert r["pi_lo"] <= r["last_value"] + r["p90_resid"]
+        # the fences really are the ~[10, 90] band of residual history
+        inside = sum(1 for v in resid if p10 <= v <= p90)
+        assert inside >= (7 * n) // 10
