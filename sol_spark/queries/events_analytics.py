@@ -2108,7 +2108,11 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AB_TEST_ORACLE = """
 WITH per_user AS (
-  SELECT user_id, sum(value) AS v
+  -- money as exact BIGINT cents: the arm aggregates are (n, sum, sum-sq)
+  -- integers, every float below is ONE fixed IEEE expression tree over
+  -- them (the stats_tost_equivalence discipline; round(avg(double), 4)
+  -- tied in the last digit under the strict sweep at sf0.001)
+  SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS v
   FROM events WHERE event_type = 'purchase' GROUP BY user_id
 ),
 assigned AS (
@@ -2118,23 +2122,33 @@ assigned AS (
   FROM per_user
 ),
 stats AS (
-  SELECT variant, count(*) AS n, avg(v) AS m, var_samp(v) AS s2
+  SELECT variant, count(*)::BIGINT AS n, sum(v)::BIGINT AS s1,
+         sum(v * v)::BIGINT AS s2
   FROM assigned GROUP BY variant
 ),
 wide AS (
   SELECT
     max(CASE WHEN variant = 'A' THEN n END) AS na,
-    max(CASE WHEN variant = 'A' THEN m END) AS ma,
-    max(CASE WHEN variant = 'A' THEN s2 END) AS va,
+    max(CASE WHEN variant = 'A' THEN s1 END) AS s1a,
+    max(CASE WHEN variant = 'A' THEN s2 END) AS s2a,
     max(CASE WHEN variant = 'B' THEN n END) AS nb,
-    max(CASE WHEN variant = 'B' THEN m END) AS mb,
-    max(CASE WHEN variant = 'B' THEN s2 END) AS vb
+    max(CASE WHEN variant = 'B' THEN s1 END) AS s1b,
+    max(CASE WHEN variant = 'B' THEN s2 END) AS s2b
   FROM stats
+),
+calc AS (
+  SELECT na, nb,
+         s1a / na / 100 AS ma, s1b / nb / 100 AS mb,
+         (na * s2a - s1a * s1a) / (na * (na - 1.0)) / 10000 AS va,
+         (nb * s2b - s1b * s1b) / (nb * (nb - 1.0)) / 10000 AS vb
+  FROM wide
 )
-SELECT na, round(ma, 4) AS mean_a, nb, round(mb, 4) AS mean_b,
-       round((ma - mb) / sqrt(va / na + vb / nb), 4) AS t_stat,
+SELECT na, floor(ma * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS mean_a,
+       nb, floor(mb * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS mean_b,
+       floor((ma - mb) / sqrt(va / na + vb / nb) * 10000 + 0.5)
+         / CAST(10000 AS DOUBLE) AS t_stat,
        abs((ma - mb) / sqrt(va / na + vb / nb)) > 1.96 AS significant
-FROM wide
+FROM calc
 """
 
 
@@ -2156,7 +2170,7 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["events"]
         .where(F.col("event_type") == "purchase")
         .groupBy("user_id")
-        .agg(F.sum("value").alias("v"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("v"))
     )
     assigned = per_user.select(
         "v",
@@ -2165,23 +2179,37 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "A",
         ).otherwise("B").alias("variant"),
     )
+    # Exact BIGINT (n, sum, sum-sq) per arm; every float below is one
+    # fixed IEEE expression tree over those integers (the
+    # stats_tost_equivalence discipline — round(avg(double), 4) tied under
+    # the strict sweep).
     stats = assigned.groupBy("variant").agg(
-        F.count(F.lit(1)).alias("n"), F.avg("v").alias("m"), F.var_samp("v").alias("s2")
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
     )
     wide = stats.agg(
-        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("na"),
-        F.max(F.when(F.col("variant") == "A", F.col("m"))).alias("ma"),
-        F.max(F.when(F.col("variant") == "A", F.col("s2"))).alias("va"),
-        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("nb"),
-        F.max(F.when(F.col("variant") == "B", F.col("m"))).alias("mb"),
-        F.max(F.when(F.col("variant") == "B", F.col("s2"))).alias("vb"),
+        *[
+            F.max(F.when(F.col("variant") == arm, F.col(c))).alias(f"{c}{arm.lower()}")
+            for arm in ("A", "B")
+            for c in ("n", "s1", "s2")
+        ]
     )
-    tstat = (F.col("ma") - F.col("mb")) / F.sqrt(F.col("va") / F.col("na") + F.col("vb") / F.col("nb"))
-    return wide.select(
-        "na", F.round("ma", 4).alias("mean_a"),
-        "nb", F.round("mb", 4).alias("mean_b"),
-        F.round(tstat, 4).alias("t_stat"),
-        (F.abs(tstat) > 1.96).alias("significant"),
+    calc = wide.select(
+        "na", "nb",
+        F.expr("s1a / na / 100").alias("ma"),
+        F.expr("s1b / nb / 100").alias("mb"),
+        F.expr("(na * s2a - s1a * s1a) / (na * (na - 1.0)) / 10000").alias("va"),
+        F.expr("(nb * s2b - s1b * s1b) / (nb * (nb - 1.0)) / 10000").alias("vb"),
+    )
+    tstat = "(ma - mb) / sqrt(va / na + vb / nb)"
+    return calc.select(
+        "na",
+        F.expr("floor(ma * 10000 + 0.5) / cast(10000 as double)").alias("mean_a"),
+        "nb",
+        F.expr("floor(mb * 10000 + 0.5) / cast(10000 as double)").alias("mean_b"),
+        F.expr(f"floor(({tstat}) * 10000 + 0.5) / cast(10000 as double)").alias("t_stat"),
+        F.expr(f"abs({tstat}) > 1.96").alias("significant"),
     )
 
 

@@ -5477,19 +5477,26 @@ def tpcds_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q18_ORACLE = f"""
-WITH {DS_CTES}
-SELECT ca_state, ca_city,
-       round(avg(cs_quantity), 4) AS agg1,
-       round(avg(cs_ext_sales_price), 4) AS agg2,
-       round(avg(cs_net_profit), 4) AS agg3,
-       round(avg(hd_dep_count), 4) AS agg4
-FROM catalog_sales
+WITH {DS_CTES},
+units AS (
+  SELECT ca_state, ca_city,
+         CAST(round(cs_quantity) AS BIGINT) * 10000 AS qu,
+         CAST(round(cs_ext_sales_price * 10000) AS BIGINT) AS pu,
+         CAST(round(cs_net_profit * 10000) AS BIGINT) AS pru,
+         CAST(round(hd_dep_count) AS BIGINT) * 10000 AS du
+  FROM catalog_sales
 JOIN customer_dim ON cs_bill_customer_sk = c_customer_sk
 JOIN customer_address ON c_current_addr_sk = ca_address_sk
 JOIN household_demographics ON cs_bill_hdemo_sk = hd_demo_sk
 JOIN customer_demographics ON cs_bill_cdemo_sk = cd_demo_sk
 WHERE cd_gender = 'F' AND cd_education_status = 'Primary'
-  AND year(cs_sold_date_sk) = 1997
+  AND year(cs_sold_date_sk) = 1997)
+SELECT ca_state, ca_city,
+       (CASE WHEN sum(qu) >= 0 THEN (2 * sum(qu) + count(qu)) // (2 * count(qu)) ELSE -((2 * -sum(qu) + count(qu)) // (2 * count(qu))) END) / 10000.0 AS agg1,
+       (CASE WHEN sum(pu) >= 0 THEN (2 * sum(pu) + count(pu)) // (2 * count(pu)) ELSE -((2 * -sum(pu) + count(pu)) // (2 * count(pu))) END) / 10000.0 AS agg2,
+       (CASE WHEN sum(pru) >= 0 THEN (2 * sum(pru) + count(pru)) // (2 * count(pru)) ELSE -((2 * -sum(pru) + count(pru)) // (2 * count(pru))) END) / 10000.0 AS agg3,
+       (CASE WHEN sum(du) >= 0 THEN (2 * sum(du) + count(du)) // (2 * count(du)) ELSE -((2 * -sum(du) + count(du)) // (2 * count(du))) END) / 10000.0 AS agg4
+FROM units
 GROUP BY ROLLUP (ca_state, ca_city)
 ORDER BY ca_state NULLS FIRST, ca_city NULLS FIRST
 LIMIT 100
@@ -5513,12 +5520,22 @@ def tpcds_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ds["customer_dim"].select("c_customer_sk", "c_current_addr_sk"), F.col("cs_bill_customer_sk") == F.col("c_customer_sk"))
         .join(ds["customer_address"].select("ca_address_sk", "ca_state", "ca_city"), F.col("c_current_addr_sk") == F.col("ca_address_sk"))
         .join(F.broadcast(ds["household_demographics"]), F.col("cs_bill_hdemo_sk") == F.col("hd_demo_sk"))
+        .select(
+            "ca_state", "ca_city",
+            (F.round(F.col("cs_quantity")).cast("bigint") * 10000).alias("qu"),
+            F.round(F.col("cs_ext_sales_price") * 10000).cast("bigint").alias("pu"),
+            F.round(F.col("cs_net_profit") * 10000).cast("bigint").alias("pru"),
+            (F.round(F.col("hd_dep_count")).cast("bigint") * 10000).alias("du"),
+        )
         .rollup("ca_state", "ca_city")
         .agg(
-            F.round(F.avg("cs_quantity"), 4).alias("agg1"),
-            F.round(F.avg("cs_ext_sales_price"), 4).alias("agg2"),
-            F.round(F.avg("cs_net_profit"), 4).alias("agg3"),
-            F.round(F.avg("hd_dep_count"), 4).alias("agg4"),
+            # round(avg, 4) as sign-safe integer HALF_UP over exact unit
+            # sums (profit can be negative; floor-div vs trunc-div must not
+            # split) — the q47/q57 money discipline.
+            (F.expr('(CASE WHEN sum(qu) >= 0 THEN (2 * sum(qu) + count(qu)) div (2 * count(qu)) ELSE -((2 * -sum(qu) + count(qu)) div (2 * count(qu))) END)') / 10000.0).alias("agg1"),
+            (F.expr('(CASE WHEN sum(pu) >= 0 THEN (2 * sum(pu) + count(pu)) div (2 * count(pu)) ELSE -((2 * -sum(pu) + count(pu)) div (2 * count(pu))) END)') / 10000.0).alias("agg2"),
+            (F.expr('(CASE WHEN sum(pru) >= 0 THEN (2 * sum(pru) + count(pru)) div (2 * count(pru)) ELSE -((2 * -sum(pru) + count(pru)) div (2 * count(pru))) END)') / 10000.0).alias("agg3"),
+            (F.expr('(CASE WHEN sum(du) >= 0 THEN (2 * sum(du) + count(du)) div (2 * count(du)) ELSE -((2 * -sum(du) + count(du)) div (2 * count(du))) END)') / 10000.0).alias("agg4"),
         )
         .orderBy(F.col("ca_state").asc_nulls_first(), F.col("ca_city").asc_nulls_first())
         .limit(100)
