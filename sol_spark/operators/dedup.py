@@ -3746,11 +3746,14 @@ def dedup_mis_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
     bridge edge); MIS is the correct representative-set primitive. Docs
     outside the graph are trivially kept at round 0.
 
-    Scale shape: each superstep is two equi-joins of the static edge set
-    against the (shrinking) live frame plus anti-joins — the Pregel
-    superstep shape via the shared iterate() loop (per-round eager
-    localCheckpoint, supersede-and-release, at most two round states
-    live). Luby converges in O(log n) rounds w.h.p.; the round budget
+    Scale shape: each superstep is SCATTER-GATHER — one equi-join of the
+    static edge set against the (shrinking) live frame, a per-vertex
+    min-aggregate of neighbor (priority, id) pairs, and the local keep
+    decision — the Pregel superstep shape via the shared iterate() loop
+    (per-round eager localCheckpoint, supersede-and-release, at most two
+    round states live; the r6 losers/anti-join cascade is replaced by the
+    single aggregate, which is both fewer stages and the map-side-combine
+    shape a 1000-executor cluster wants). Luby converges in O(log n) rounds w.h.p.; the round budget
     {MIS_MAX_ROUNDS} equals the oracle's unroll depth by construction and
     the loop RAISES on non-convergence rather than truncating."""
     ph = dedup_simhash(spark, sf_dir)
@@ -3774,23 +3777,30 @@ def dedup_mis_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
         # still-undecided frontier plus the keep set, the 100 TB shape).
         # Priorities are re-drawn here per round (classic Luby) from the
         # round-salted md5 seed shared with the oracle unroll.
+        # Scatter-gather form (one edge join + one min-aggregate per round,
+        # replacing the r6 losers/anti-join cascade — fewer stages, same
+        # rule): each live vertex receives min over live neighbors of the
+        # (priority, id) pair and keeps itself iff its own pair is smaller.
+        # All (p, v) pairs are distinct (v is unique), so the strict "<"
+        # reproduces the oracle's `pb < pa OR (pb = pa AND b < a)` tie rule
+        # exactly.
         live = state.filter(F.col("status") == "live").select(
             "v", F.expr(_MIS_PRIO.format(r=i + 1, v="v")).alias("p")
         )
-        la = live.select(F.col("v").alias("a"), F.col("p").alias("pa"))
         lb = live.select(F.col("v").alias("b"), F.col("p").alias("pb"))
-        live_edges = edges.join(la, "a").join(lb, "b")
-        losers = (
-            live_edges.filter(
-                (F.col("pb") < F.col("pa"))
-                | ((F.col("pb") == F.col("pa")) & (F.col("b") < F.col("a")))
-            )
-            .select(F.col("a").alias("v"))
-            .distinct()
+        nbr_min = (
+            edges.join(lb, "b")
+            .groupBy("a")
+            .agg(F.min(F.struct(F.col("pb"), F.col("b"))).alias("mn"))
+            .select(F.col("a").alias("v"), "mn")
         )
-        kept = live.join(losers, "v", "left_anti")
+        scored = live.join(nbr_min, "v", "left")
+        kept = scored.filter(
+            F.col("mn").isNull()
+            | (F.struct(F.col("p"), F.col("v")) < F.col("mn"))
+        ).select("v", "p")
         dom = (
-            live_edges.join(kept.select(F.col("v").alias("a")), "a", "left_semi")
+            edges.join(kept.select(F.col("v").alias("a")), "a", "left_semi")
             .select(F.col("b").alias("v"))
             .distinct()
             .join(live, "v", "left_semi")
