@@ -3198,3 +3198,88 @@ def sim_prefilter_vs_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Filtered top-k: cosine nearest neighbors UNDER a metadata predicate
+# (label equality) — the vector-DB "filtered search" primitive, with the
+# filter applied as index partitioning (pre-filter), never as a post-pass
+# over an unconstrained top-k.
+# ---------------------------------------------------------------------------
+
+SIM_FILTERED_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+q AS (SELECT vec_id AS qid, embedding AS qe, label AS want
+      FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS cid, embedding AS ce, label FROM embeddings),
+norms AS (
+  SELECT vec_id, sqrt(sum(embedding[i.i]::DOUBLE * embedding[i.i]::DOUBLE)) AS nrm
+  FROM embeddings, dims i GROUP BY vec_id
+),
+dots AS (
+  SELECT qid, cid, q.want, sum(qe[i.i]::DOUBLE * ce[i.i]::DOUBLE) AS dot
+  FROM q, c, dims i
+  WHERE qid <> cid AND c.label = q.want
+  GROUP BY qid, cid, q.want
+),
+scored AS (
+  SELECT qid, cid, want, round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots JOIN norms nq ON nq.vec_id = qid
+            JOIN norms nc ON nc.vec_id = cid
+),
+ranked AS (
+  SELECT qid, cid, want, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+  FROM scored
+)
+SELECT qid, CAST(want AS BIGINT) AS want_label, cid, cosine, rk
+FROM ranked WHERE rk <= {TOP_K}
+ORDER BY qid, rk
+"""
+
+
+@register("sim_topk_filtered", SIM_FILTERED_ORACLE, tags=("llm", "similarity", "filtered"))
+def sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered cosine top-k: each query retrieves its nearest neighbors
+    AMONG VECTORS OF ITS OWN LABEL ONLY — the metadata-constrained search
+    every production vector DB serves ("top docs about X from tenant T").
+    The filter is applied as a join predicate BEFORE scoring (pre-filter),
+    so every query's result is guaranteed k matching rows when they exist;
+    sim_prefilter_vs_postfilter is the standing audit quantifying how the
+    naive post-filter alternative silently under-fills. At 100 TB the
+    label is the index's partition key — the predicate becomes partition
+    pruning and each query scans only its label's shard, which is exactly
+    how this plan reads (label equality pushed into the broadcast-join
+    condition, never a post-window filter).
+
+    Scale shape: corpus stays partitioned, queries broadcast WITH their
+    filter label; the per-label window keeps k rows per query per
+    partition before the final shuffle."""
+    t = load_tables(spark, sf_dir)
+    emb = _with_norm(t["embeddings"])
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"), F.col("label").alias("want"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"), "label",
+    )
+    dot = F.expr(_DOT.format(a="qe", b="ce"))
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("qid") != F.col("cid")) & (F.col("label") == F.col("want")),
+        )
+        .withColumn("cosine", F.round(dot / (F.col("qn") * F.col("cn")), 6))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "qid", F.col("want").cast("bigint").alias("want_label"),
+            "cid", "cosine", "rk",
+        )
+        .orderBy("qid", "rk")
+    )

@@ -213,3 +213,45 @@ def test_forecast_pi_order_statistics_replay(spark, sf_dir):
         # the fences really are the ~[10, 90] band of residual history
         inside = sum(1 for v in resid if p10 <= v <= p90)
         assert inside >= (7 * n) // 10
+
+
+def test_filtered_topk_respects_the_predicate_exactly(spark, sf_dir):
+    """Every returned neighbor carries the query's label; the result equals
+    a Python brute-force filtered search; and the filtered ranking differs
+    from the unconstrained one somewhere (the predicate has teeth)."""
+    import math
+
+    from sol_spark.operators.similarity import N_QUERIES, TOP_K, sim_topk_exact, sim_topk_filtered
+    from sol_spark.tables import load_tables
+
+    emb = {
+        r["vec_id"]: (list(r["embedding"]), r["label"])
+        for r in load_tables(spark, sf_dir)["embeddings"].collect()
+    }
+    rows = sim_topk_filtered(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert set(by_q) == set(range(N_QUERIES))
+    for qid, rs in by_q.items():
+        qe, want = emb[qid]
+        qn = math.sqrt(sum(x * x for x in qe))
+        scored = []
+        for cid, (ce, lab) in emb.items():
+            if cid == qid or lab != want:
+                continue
+            dot = sum(float(a) * float(b) for a, b in zip(qe, ce))
+            cn = math.sqrt(sum(x * x for x in ce))
+            scored.append((round(dot / (qn * cn), 6), cid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        rs.sort(key=lambda r: r["rk"])
+        assert len(rs) == min(TOP_K, len(scored))
+        for r, (cos, cid) in zip(rs, scored):
+            assert r["want_label"] == want
+            assert emb[r["cid"]][1] == want  # predicate holds on every row
+            assert (r["cid"], r["cosine"]) == (cid, cos)
+    unfiltered = {
+        (r["qid"], r["rk"]): r["cid"] for r in sim_topk_exact(spark, sf_dir).collect()
+    }
+    filtered = {(r["qid"], r["rk"]): r["cid"] for r in rows}
+    assert filtered != unfiltered  # the constraint changes some answer
