@@ -4380,3 +4380,110 @@ def range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("err_id", "purchase_id")
         .orderBy("err_id", "purchase_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC/XYZ classification: revenue concentration x demand variability per
+# part — the inventory-planning segmentation, in exact integer arithmetic
+# (CV^2 fences via cross-multiplication, no float stddev anywhere).
+# ---------------------------------------------------------------------------
+
+ABC_XYZ_ORACLE = """
+WITH monthly AS (
+  SELECT l_partkey, date_trunc('month', l_shipdate) AS m,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS qty,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+  FROM lineitem GROUP BY 1, 2
+),
+horizon AS (SELECT count(DISTINCT m)::BIGINT AS n_months FROM monthly),
+per_part AS (
+  SELECT l_partkey,
+         sum(cents)::BIGINT AS revenue_cents,
+         sum(qty)::BIGINT AS s1,
+         sum(qty * qty)::BIGINT AS s2,
+         count(*)::BIGINT AS pres
+  FROM monthly GROUP BY l_partkey
+),
+ranked AS (
+  SELECT p.*, h.n_months,
+         sum(revenue_cents) OVER (ORDER BY revenue_cents DESC, l_partkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
+         sum(revenue_cents) OVER () AS tot_cents
+  FROM per_part p, horizon h
+)
+SELECT l_partkey, revenue_cents,
+       ((10000 * revenue_cents) // tot_cents)::BIGINT AS rev_share_bp,
+       CASE WHEN 100 * cum_cents <= 80 * tot_cents THEN 'A'
+            WHEN 100 * cum_cents <= 95 * tot_cents THEN 'B'
+            ELSE 'C' END AS abc,
+       ((10000 * (pres * s2 - s1 * s1)) // (s1 * s1))::BIGINT AS cv2_bp,
+       CASE WHEN 4 * (pres * s2 - s1 * s1) <= s1 * s1 THEN 'X'
+            WHEN pres * s2 - s1 * s1 <= s1 * s1 THEN 'Y'
+            ELSE 'Z' END AS xyz,
+       ((10000 * n_months) // pres)::BIGINT AS adi_bp
+FROM ranked
+ORDER BY l_partkey
+"""
+
+
+@register("orders_abc_xyz", ABC_XYZ_ORACLE, tags=("warehouse", "planning", "stats"))
+def orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ inventory segmentation per part: ABC = cumulative revenue
+    share fences (A <= 80%, B <= 95%, C rest) over the revenue-descending
+    rank, XYZ = demand-variability classes from the POPULATION CV^2 of
+    the NONZERO monthly demand, with intermittency carried separately as
+    the Average Demand Interval (adi_bp = 10000 * horizon months /
+    present months — the Syntetos-Boylan companion; folding zero months
+    into the CV would drown variability in intermittency and class this
+    corpus's every part Z) — the classic planning matrix (AX = automate,
+    CZ = review).
+    Every fence is exact integer cross-multiplication: ABC compares
+    100*cum against 80/95*total cents; CV^2 <= 0.25 / 1.0 become
+    4*(n*S2 - S1^2) <= S1^2 / (n*S2 - S1^2) <= S1^2 over BIGINT monthly
+    sums — zero float in any classification path.
+
+    Scale shape: one (part, month) hash-agg over the fact, one per-part
+    rollup, and a cumulative window over the |parts| frame ordered by the
+    total (revenue, partkey) key; the two-row horizon scalar broadcasts.
+    The fact is scanned once and never shuffled at row grain beyond the
+    monthly agg."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    monthly = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey"), F.date_trunc("month", "l_shipdate").alias("m"))
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("cents"),
+        )
+    )
+    horizon = monthly.select(F.countDistinct("m").alias("n_months"))
+    per_part = monthly.groupBy("l_partkey").agg(
+        F.sum("cents").alias("revenue_cents"),
+        F.sum("qty").alias("s1"),
+        F.sum(F.col("qty") * F.col("qty")).alias("s2"),
+        F.count(F.lit(1)).alias("pres"),
+    )
+    w_cum = W.orderBy(F.col("revenue_cents").desc(), "l_partkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ranked = per_part.crossJoin(F.broadcast(horizon)).select(
+        "*",
+        F.sum("revenue_cents").over(w_cum).alias("cum_cents"),
+        F.sum("revenue_cents").over(W.partitionBy()).alias("tot_cents"),
+    )
+    dev = F.col("pres") * F.col("s2") - F.col("s1") * F.col("s1")
+    return ranked.select(
+        "l_partkey",
+        F.col("revenue_cents").cast("long").alias("revenue_cents"),
+        F.expr("(10000 * revenue_cents) div tot_cents").cast("long").alias("rev_share_bp"),
+        F.when(100 * F.col("cum_cents") <= 80 * F.col("tot_cents"), "A")
+        .when(100 * F.col("cum_cents") <= 95 * F.col("tot_cents"), "B")
+        .otherwise("C").alias("abc"),
+        F.expr("(10000 * (pres * s2 - s1 * s1)) div (s1 * s1)").cast("long").alias("cv2_bp"),
+        F.when(4 * dev <= F.col("s1") * F.col("s1"), "X")
+        .when(dev <= F.col("s1") * F.col("s1"), "Y")
+        .otherwise("Z").alias("xyz"),
+        F.expr("(10000 * n_months) div pres").cast("long").alias("adi_bp"),
+    ).orderBy("l_partkey")

@@ -255,3 +255,56 @@ def test_filtered_topk_respects_the_predicate_exactly(spark, sf_dir):
     }
     filtered = {(r["qid"], r["rk"]): r["cid"] for r in rows}
     assert filtered != unfiltered  # the constraint changes some answer
+
+
+def test_abc_xyz_class_laws(spark, sf_dir):
+    """Classification replayed in Python from the monthly frame: ABC fences
+    on cumulative revenue share, XYZ fences on integer CV^2; both
+    dimensions must actually separate the fixture parts."""
+    from collections import defaultdict as _dd
+
+    from sol_spark.queries.relational import orders_abc_xyz
+    from sol_spark.tables import load_tables
+    from pyspark.sql import functions as F
+
+    monthly = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .groupBy(F.col("l_partkey"), F.date_trunc("month", "l_shipdate").alias("m"))
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("cents"),
+        )
+        .collect()
+    )
+    months = {r["m"] for r in monthly}
+    n = len(months)
+    agg = _dd(lambda: [0, 0, 0])  # cents, s1, s2
+    for r in monthly:
+        a = agg[r["l_partkey"]]
+        a[0] += r["cents"]
+        a[1] += r["qty"]
+        a[2] += r["qty"] * r["qty"]
+    tot = sum(a[0] for a in agg.values())
+    order = sorted(agg, key=lambda k: (-agg[k][0], k))
+    cum, abc = 0, {}
+    for k in order:
+        cum += agg[k][0]
+        abc[k] = "A" if 100 * cum <= 80 * tot else ("B" if 100 * cum <= 95 * tot else "C")
+    pres = _dd(int)
+    for r in monthly:
+        pres[r["l_partkey"]] += 1
+    rows = {r["l_partkey"]: r for r in orders_abc_xyz(spark, sf_dir).collect()}
+    assert set(rows) == set(agg)
+    for k, (cents, s1, s2) in agg.items():
+        r = rows[k]
+        assert r["revenue_cents"] == cents
+        assert r["rev_share_bp"] == (10000 * cents) // tot
+        assert r["abc"] == abc[k]
+        dev = pres[k] * s2 - s1 * s1
+        assert r["cv2_bp"] == (10000 * dev) // (s1 * s1)
+        want = "X" if 4 * dev <= s1 * s1 else ("Y" if dev <= s1 * s1 else "Z")
+        assert r["xyz"] == want
+        assert r["adi_bp"] == (10000 * n) // pres[k]
+        assert r["adi_bp"] >= 10000  # ADI >= 1 by construction
+    assert len({r["abc"] for r in rows.values()}) >= 2
+    assert len({r["xyz"] for r in rows.values()}) >= 2
