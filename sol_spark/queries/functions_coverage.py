@@ -795,3 +795,55 @@ def fn_scalar_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 bitmap aggregate family: bitmap_bucket_number / bitmap_bit_position
+# / bitmap_construct_agg / bitmap_count — the roaring-bitmap-style exact
+# distinct-count primitive (the mergeable exact path next to HLL's
+# approximate one). Oracle mirrors the documented bucket arithmetic.
+# ---------------------------------------------------------------------------
+
+FN_BITMAP_ORACLE = """
+SELECT CASE WHEN o_orderkey >= 1 THEN (o_orderkey - 1) // 32768 + 1 ELSE 0 END AS bucket,
+       count(*)::BIGINT AS n_rows,
+       count(DISTINCT CASE WHEN o_orderkey >= 1 THEN (o_orderkey - 1) % 32768
+                           ELSE -o_orderkey END)::BIGINT AS n_distinct_positions
+FROM orders
+GROUP BY 1 ORDER BY bucket
+"""
+
+
+@register("fn_bitmap", FN_BITMAP_ORACLE, tags=("functions", "bitmap", "spark4"))
+def fn_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 bitmap function family over the order keys:
+    bitmap_bucket_number shards the key space into 32768-bit buckets,
+    bitmap_bit_position places each key in its bucket, and
+    bitmap_count(bitmap_construct_agg(...)) counts distinct positions per
+    bucket EXACTLY from the packed bitmap — the mergeable exact
+    distinct-count layout (per-bucket bitmaps OR together across
+    partitions/days, cf. sketch_bitmap_distinct for the applied form).
+    The oracle mirrors the bucket arithmetic ((x-1) div 32768 + 1 /
+    (x-1) mod 32768 for positive keys; non-positives land in bucket 0 at
+    position |x| — probed against Spark's actual edge behavior, which the
+    fixture's o_orderkey = 0 exercises) with a plain COUNT DISTINCT, so
+    the bitmap path's exactness is value-verified, not assumed.
+
+    Scale shape: one hash-agg keyed on the bucket; each group's state is
+    a fixed 4 KB bitmap regardless of row count — the property that makes
+    the exact path viable at 100 TB where a count-distinct state would
+    grow with cardinality."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .select(
+            F.expr("bitmap_bucket_number(o_orderkey)").alias("bucket"),
+            F.expr("bitmap_bit_position(o_orderkey)").alias("pos"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.expr("bitmap_count(bitmap_construct_agg(pos))").cast("long").alias("n_distinct_positions"),
+        )
+        .orderBy("bucket")
+    )
