@@ -4483,3 +4483,83 @@ def events_forecast_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# SLO error-budget accounting: daily error rates against a 99% success
+# objective, cumulative budget burn over the 30-day window, burn-rate
+# alerts — SRE's error-budget arithmetic in exact integer ppm.
+# ---------------------------------------------------------------------------
+
+SLO_TARGET_PPM = 990000      # 99% success objective
+SLO_BUDGET_PPM = 1000000 - SLO_TARGET_PPM
+SLO_FAST_BURN_X = 3          # alert when a day burns at >= 3x the even rate
+
+SLO_BUDGET_ORACLE = f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         count(*)::BIGINT AS n,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS errs
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT *,
+         sum(errs) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_errs,
+         sum(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+  FROM daily
+)
+SELECT day, n AS n_events, errs AS n_errors,
+       ((1000000 * errs) // n)::BIGINT AS error_ppm,
+       ((1000000 * cum_errs) // cum_n)::BIGINT AS cum_error_ppm,
+       -- share of the allowance consumed so far, in ppm of the budget
+       ((1000000::BIGINT * 1000000 * cum_errs) // ({SLO_BUDGET_PPM}::BIGINT * cum_n))::BIGINT
+         AS budget_used_ppm,
+       (1000000 * errs > {SLO_FAST_BURN_X} * {SLO_BUDGET_PPM} * n) AS fast_burn_alert,
+       (1000000 * cum_errs > {SLO_BUDGET_PPM} * cum_n) AS budget_exhausted
+FROM cum ORDER BY day
+"""
+
+
+@register("events_slo_error_budget", SLO_BUDGET_ORACLE, tags=("events", "sre", "slo"))
+def events_slo_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget accounting per day against a {SLO_TARGET_PPM}-ppm
+    success objective: daily and cumulative error rates, the share of the
+    allowance consumed so far, the burn-rate alert (a day burning at
+    >= {SLO_FAST_BURN_X}x the even spend rate — Google SRE workbook's
+    fast-burn page), and the exhaustion flag (cumulative rate above the
+    allowance) — all decisions as exact integer cross-multiplications of
+    BIGINT counts, so the alert set is engine-identical by construction.
+
+    Scale shape: one day-keyed hash-agg over the events (map-side
+    combined), cumulative windows over the |days| frame. At 100 TB the
+    daily frame is metadata-sized; the only row-grain work is the one
+    conditional aggregate."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy(F.expr("cast(date_trunc('day', ts) as timestamp_ntz)").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errs"),
+        )
+    )
+    w_cum = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = daily.select(
+        "*",
+        F.sum("errs").over(w_cum).alias("cum_errs"),
+        F.sum("n").over(w_cum).alias("cum_n"),
+    )
+    return cum.select(
+        "day",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("errs").cast("long").alias("n_errors"),
+        F.expr("(1000000 * errs) div n").cast("long").alias("error_ppm"),
+        F.expr("(1000000 * cum_errs) div cum_n").cast("long").alias("cum_error_ppm"),
+        F.expr(
+            f"(cast(1000000 as bigint) * 1000000 * cum_errs) div (cast({SLO_BUDGET_PPM} as bigint) * cum_n)"
+        ).cast("long").alias("budget_used_ppm"),
+        (1000000 * F.col("errs") > SLO_FAST_BURN_X * SLO_BUDGET_PPM * F.col("n")).alias("fast_burn_alert"),
+        (1000000 * F.col("cum_errs") > SLO_BUDGET_PPM * F.col("cum_n")).alias("budget_exhausted"),
+    ).orderBy("day")

@@ -308,3 +308,45 @@ def test_abc_xyz_class_laws(spark, sf_dir):
         assert r["adi_bp"] >= 10000  # ADI >= 1 by construction
     assert len({r["abc"] for r in rows.values()}) >= 2
     assert len({r["xyz"] for r in rows.values()}) >= 2
+
+
+def test_slo_budget_replay(spark, sf_dir):
+    """Replay the budget arithmetic in Python from daily (n, errs) counts;
+    the fixture's ~20% error rate must exhaust a 1% budget immediately
+    (non-vacuous alert path)."""
+    from collections import defaultdict as _dd
+
+    from sol_spark.queries.events_analytics import (
+        SLO_BUDGET_PPM,
+        SLO_FAST_BURN_X,
+        events_slo_error_budget,
+    )
+    from sol_spark.tables import load_tables
+    from pyspark.sql import functions as F
+
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .select(F.expr("cast(date_trunc('day', ts) as timestamp_ntz)").alias("d"), "event_type")
+        .collect()
+    )
+    daily = _dd(lambda: [0, 0])
+    for r in ev:
+        a = daily[r["d"]]
+        a[0] += 1
+        a[1] += r["event_type"] == "error"
+    rows = {r["day"]: r for r in events_slo_error_budget(spark, sf_dir).collect()}
+    assert set(rows) == set(daily)
+    cum_n = cum_e = 0
+    for d in sorted(daily):
+        n, e = daily[d]
+        cum_n += n
+        cum_e += e
+        r = rows[d]
+        assert (r["n_events"], r["n_errors"]) == (n, e)
+        assert r["error_ppm"] == (1000000 * e) // n
+        assert r["cum_error_ppm"] == (1000000 * cum_e) // cum_n
+        assert r["budget_used_ppm"] == (1000000 * 1000000 * cum_e) // (SLO_BUDGET_PPM * cum_n)
+        assert r["fast_burn_alert"] == (1000000 * e > SLO_FAST_BURN_X * SLO_BUDGET_PPM * n)
+        assert r["budget_exhausted"] == (1000000 * cum_e > SLO_BUDGET_PPM * cum_n)
+    assert any(r["fast_burn_alert"] for r in rows.values())
+    assert rows[max(daily)]["budget_exhausted"]
