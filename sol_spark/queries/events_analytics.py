@@ -4563,3 +4563,99 @@ def events_slo_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1000000 * F.col("errs") > SLO_FAST_BURN_X * SLO_BUDGET_PPM * F.col("n")).alias("fast_burn_alert"),
         (1000000 * F.col("cum_errs") > SLO_BUDGET_PPM * F.col("cum_n")).alias("budget_exhausted"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Incident statistics: error events sessionized into incidents (gap rule),
+# durations and MTTR — the postmortem-ledger companion to the SLO budget.
+# ---------------------------------------------------------------------------
+
+INCIDENT_GAP_S = 1800  # a >=30-minute quiet gap closes an incident
+
+INCIDENT_ORACLE = f"""
+WITH errs AS (
+  SELECT ts, event_id,
+         floor(epoch(ts))::BIGINT AS sec
+  FROM events WHERE event_type = 'error'
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN sec - lag(sec) OVER (ORDER BY sec, event_id) >= {INCIDENT_GAP_S}
+              OR lag(sec) OVER (ORDER BY sec, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_inc
+  FROM errs
+),
+grp AS (
+  SELECT *,
+         sum(new_inc) OVER (ORDER BY sec, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS inc_id
+  FROM flagged
+),
+incidents AS (
+  SELECT inc_id, count(*)::BIGINT AS n_errors,
+         min(sec) AS start_sec, max(sec) AS end_sec,
+         (max(sec) - min(sec))::BIGINT AS duration_s
+  FROM grp GROUP BY inc_id
+)
+SELECT count(*)::BIGINT AS n_incidents,
+       sum(n_errors)::BIGINT AS n_error_events,
+       max(n_errors)::BIGINT AS worst_incident_errors,
+       max(duration_s)::BIGINT AS longest_duration_s,
+       (sum(duration_s) // count(*))::BIGINT AS mttr_s,
+       sum(CASE WHEN n_errors = 1 THEN 1 ELSE 0 END)::BIGINT AS n_blips
+FROM incidents
+"""
+
+
+@register("events_incident_stats", INCIDENT_ORACLE, tags=("events", "sre", "sessionize"))
+def events_incident_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incident ledger from the raw error stream: errors separated by less
+    than {INCIDENT_GAP_S} s of quiet belong to one incident (the
+    gaps-and-islands sessionization, keyed on the GLOBAL error timeline —
+    incidents are a system property, not per-user), then the postmortem
+    scalars: incident count, worst incident size, longest duration, mean
+    time to recovery (integer floor seconds), and single-error blips. The
+    window ORDER BY (sec, event_id) is total, so island boundaries are
+    engine-identical; every output is a BIGINT.
+
+    Scale shape: errors are a filtered fraction of the fact; the islands
+    window runs over that filtered stream (at 100 TB: still a single
+    ordered pass over errors only — if even that is too wide, bucket by
+    day first and stitch boundary islands, the interval-coverage trick).
+    The rollup is a 1-row aggregate."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    errs = (
+        t["events"]
+        .where(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").alias("sec"),
+        )
+    )
+    w_seq = W.orderBy("sec", "event_id")
+    flagged = errs.select(
+        "*",
+        F.when(
+            (F.col("sec") - F.lag("sec").over(w_seq) >= INCIDENT_GAP_S)
+            | F.lag("sec").over(w_seq).isNull(),
+            1,
+        ).otherwise(0).alias("new_inc"),
+    )
+    grp = flagged.select(
+        "*",
+        F.sum("new_inc").over(w_seq.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("inc_id"),
+    )
+    incidents = grp.groupBy("inc_id").agg(
+        F.count(F.lit(1)).alias("n_errors"),
+        (F.max("sec") - F.min("sec")).alias("duration_s"),
+    )
+    return incidents.agg(
+        F.count(F.lit(1)).cast("long").alias("n_incidents"),
+        F.sum("n_errors").cast("long").alias("n_error_events"),
+        F.max("n_errors").cast("long").alias("worst_incident_errors"),
+        F.max("duration_s").cast("long").alias("longest_duration_s"),
+        F.expr("sum(duration_s) div count(*)").cast("long").alias("mttr_s"),
+        F.sum(F.when(F.col("n_errors") == 1, 1).otherwise(0)).cast("long").alias("n_blips"),
+    )

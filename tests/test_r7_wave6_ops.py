@@ -350,3 +350,36 @@ def test_slo_budget_replay(spark, sf_dir):
         assert r["budget_exhausted"] == (1000000 * cum_e > SLO_BUDGET_PPM * cum_n)
     assert any(r["fast_burn_alert"] for r in rows.values())
     assert rows[max(daily)]["budget_exhausted"]
+
+
+def test_incident_islands_replay(spark, sf_dir):
+    """Replay the gaps-and-islands rule in Python over the error stream;
+    blips + multi-error incidents both occur (non-vacuous)."""
+    import datetime
+
+    from sol_spark.queries.events_analytics import INCIDENT_GAP_S, events_incident_stats
+    from sol_spark.tables import load_tables
+    from pyspark.sql import functions as F
+
+    errs = sorted(
+        (int((r["ts"] - datetime.datetime(1970, 1, 1)).total_seconds()), r["event_id"])
+        for r in load_tables(spark, sf_dir)["events"]
+        .where(F.col("event_type") == "error")
+        .select("ts", "event_id")
+        .collect()
+    )
+    incidents = []
+    for sec, _eid in errs:
+        if not incidents or sec - incidents[-1][-1] >= INCIDENT_GAP_S:
+            incidents.append([sec])
+        else:
+            incidents[-1].append(sec)
+    r = events_incident_stats(spark, sf_dir).collect()[0]
+    assert r["n_incidents"] == len(incidents)
+    assert r["n_error_events"] == len(errs)
+    assert r["worst_incident_errors"] == max(len(i) for i in incidents)
+    durs = [i[-1] - i[0] for i in incidents]
+    assert r["longest_duration_s"] == max(durs)
+    assert r["mttr_s"] == sum(durs) // len(incidents)
+    assert r["n_blips"] == sum(1 for i in incidents if len(i) == 1)
+    assert 0 < r["n_blips"] < r["n_incidents"]  # both island shapes occur
