@@ -2851,9 +2851,14 @@ def warehouse_audit_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        # Coerce ids to int EXPLICITLY before formatting: the oracle hashes
+        # user_id::VARCHAR, and f"{uid}" is only byte-identical while pandas
+        # delivers a non-null int64 — a nullable/float-typed column would
+        # silently render '123.0'/'nan' and corrupt every downstream hash
+        # (r7 ADVICE item 4). int() raises loudly on NaN instead.
         h = "genesis"
         for eid, uid, et in zip(pdf["event_id"], pdf["user_id"], pdf["event_type"]):
-            h = _md5(f"{h}|{eid}|{uid}|{et}".encode()).hexdigest()
+            h = _md5(f"{h}|{int(eid)}|{int(uid)}|{et}".encode()).hexdigest()
         return pd.DataFrame(
             {
                 "day": [pdf["day"].iloc[0]],

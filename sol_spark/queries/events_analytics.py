@@ -2137,10 +2137,17 @@ wide AS (
   FROM stats
 ),
 calc AS (
+  -- variance with the subtraction STAGED IN DOUBLE ((s2 - s1/n*s1), not
+  -- the all-integer cross-product (n*s2 - s1*s1)): the integer form
+  -- overflows int64 around sf10 where DuckDB raises but non-ANSI Spark
+  -- wraps silently (r7 ADVICE item 1). Every operand casts bigint->double
+  -- identically in both engines (nearest-even) and the expression tree is
+  -- shared verbatim with the Spark side, so the doubles stay bit-identical
+  -- at ANY scale -- precision degrades past 2^53 gracefully and equally.
   SELECT na, nb,
          s1a / na / 100 AS ma, s1b / nb / 100 AS mb,
-         (na * s2a - s1a * s1a) / (na * (na - 1.0)) / 10000 AS va,
-         (nb * s2b - s1b * s1b) / (nb * (nb - 1.0)) / 10000 AS vb
+         (s2a - s1a / na * s1a) / (na - 1.0) / 10000 AS va,
+         (s2b - s1b / nb * s1b) / (nb - 1.0) / 10000 AS vb
   FROM wide
 )
 SELECT na, floor(ma * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS mean_a,
@@ -2195,12 +2202,16 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in ("n", "s1", "s2")
         ]
     )
+    # Variance subtraction staged in double (see the oracle comment): the
+    # all-integer cross-product n*s2 - s1*s1 overflows int64 around sf10,
+    # silently under Spark's non-ANSI wraparound. The staged form shares
+    # one IEEE expression tree with the oracle at any scale.
     calc = wide.select(
         "na", "nb",
         F.expr("s1a / na / 100").alias("ma"),
         F.expr("s1b / nb / 100").alias("mb"),
-        F.expr("(na * s2a - s1a * s1a) / (na * (na - 1.0)) / 10000").alias("va"),
-        F.expr("(nb * s2b - s1b * s1b) / (nb * (nb - 1.0)) / 10000").alias("vb"),
+        F.expr("(s2a - s1a / na * s1a) / (na - 1.0) / 10000").alias("va"),
+        F.expr("(s2b - s1b / nb * s1b) / (nb - 1.0) / 10000").alias("vb"),
     )
     tstat = "(ma - mb) / sqrt(va / na + vb / nb)"
     return calc.select(
@@ -4114,10 +4125,14 @@ wide AS (
   FROM stats
 ),
 calc AS (
+  -- variance subtraction staged in double (not the all-integer
+  -- n*s2 - s1*s1 cross-product, which overflows int64 around sf10 with
+  -- engine-divergent behavior — r7 ADVICE item 1); shared expression tree
+  -- with the Spark side keeps the doubles bit-identical at any scale
   SELECT na, nb,
          s1a / na AS ma, s1b / nb AS mb,
-         (na * s2a - s1a * s1a) / (na * (na - 1.0)) AS va,
-         (nb * s2b - s1b * s1b) / (nb * (nb - 1.0)) AS vb,
+         (s2a - s1a / na * s1a) / (na - 1.0) AS va,
+         (s2b - s1b / nb * s1b) / (nb - 1.0) AS vb,
          (s1a + s1b) / (na + nb) / {TOST_MARGIN_DIV} AS margin
   FROM wide
 )
@@ -4152,10 +4167,15 @@ def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine float discipline: money is BIGINT cents, the per-arm
     aggregates are (n, sum, sum-of-squares) BIGINTs, and every float —
     mean, Welch variance, both t statistics — is ONE fixed expression
-    tree over those exact integers (single divisions, one IEEE sqrt), so
+    tree over those exact integers, shared verbatim with the oracle, so
     the doubles are bit-identical in both engines and the fence
     comparison cannot flip; displays use the floor-form rounding. No
-    order-dependent float summation exists anywhere in the plan.
+    order-dependent float summation exists anywhere in the plan. The
+    variance stages its subtraction in double ((s2 - s1/n*s1)/(n-1), not
+    the all-integer n*s2 - s1*s1 cross-product that overflows int64
+    around sf10 with engine-divergent wrap/raise behavior), so the
+    bit-identity claim holds at ANY scale — past 2^53 precision degrades
+    gracefully and equally on both sides.
 
     Scale shape: one user-keyed aggregate, one 2-row arm aggregate,
     scalar math on a 1-row frame."""
@@ -4185,12 +4205,13 @@ def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in ("n", "s1", "s2")
         ]
     )
+    # Staged-double variance — see the oracle comment (int64 overflow ~sf10).
     calc = wide.select(
         F.col("na"), F.col("nb"),
         F.expr("s1a / na").alias("ma"),
         F.expr("s1b / nb").alias("mb"),
-        F.expr("(na * s2a - s1a * s1a) / (na * (na - 1.0))").alias("va"),
-        F.expr("(nb * s2b - s1b * s1b) / (nb * (nb - 1.0))").alias("vb"),
+        F.expr("(s2a - s1a / na * s1a) / (na - 1.0)").alias("va"),
+        F.expr("(s2b - s1b / nb * s1b) / (nb - 1.0)").alias("vb"),
         F.expr(f"(s1a + s1b) / (na + nb) / {TOST_MARGIN_DIV}").alias("margin"),
     )
     t_lo = "(ma - mb + margin) / sqrt(va / na + vb / nb)"
@@ -4615,14 +4636,23 @@ def events_incident_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     incidents are a system property, not per-user), then the postmortem
     scalars: incident count, worst incident size, longest duration, mean
     time to recovery (integer floor seconds), and single-error blips. The
-    window ORDER BY (sec, event_id) is total, so island boundaries are
-    engine-identical; every output is a BIGINT.
+    oracle's window ORDER BY (sec, event_id) is total, so island
+    boundaries are engine-identical; every output is a BIGINT.
 
-    Scale shape: errors are a filtered fraction of the fact; the islands
-    window runs over that filtered stream (at 100 TB: still a single
-    ordered pass over errors only — if even that is too wide, bucket by
-    day first and stitch boundary islands, the interval-coverage trick).
-    The rollup is a 1-row aggregate."""
+    Scale shape (the day-bucket-and-stitch decomposition, r7 verdict ask
+    #4): errors are sessionized inside DAY buckets with a partitioned
+    window — the wide pass over the filtered error stream is fully
+    parallel — then per-(day, island) summaries are chain-merged across
+    boundaries. Islands within one day are >= {INCIDENT_GAP_S} s apart by
+    construction, so the summary frame is bounded at ceil(86400/
+    {INCIDENT_GAP_S}) = 48 islands/day regardless of error volume, and the
+    stitch window over it is declared single-partition EXPLICITLY (constant
+    partition key — a deliberate bounded-frame scan, not an accidental
+    global window). The merge rule (island start - previous island end >=
+    gap starts a new incident) applied to ALL islands in (day, island)
+    order reproduces the flat-sequence islands exactly: within-day
+    neighbors always satisfy it, so only genuine boundary-crossing islands
+    fuse. The rollup is a 1-row aggregate."""
     from pyspark.sql import Window as W
 
     t = load_tables(spark, sf_dir)
@@ -4633,23 +4663,47 @@ def events_incident_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").alias("sec"),
         )
+        .withColumn("day", F.expr("sec div 86400"))
     )
-    w_seq = W.orderBy("sec", "event_id")
+    w_day = W.partitionBy("day").orderBy("sec", "event_id")
     flagged = errs.select(
         "*",
         F.when(
-            (F.col("sec") - F.lag("sec").over(w_seq) >= INCIDENT_GAP_S)
-            | F.lag("sec").over(w_seq).isNull(),
+            (F.col("sec") - F.lag("sec").over(w_day) >= INCIDENT_GAP_S)
+            | F.lag("sec").over(w_day).isNull(),
             1,
         ).otherwise(0).alias("new_inc"),
     )
     grp = flagged.select(
         "*",
-        F.sum("new_inc").over(w_seq.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("inc_id"),
+        F.sum("new_inc").over(w_day.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("day_inc"),
     )
-    incidents = grp.groupBy("inc_id").agg(
-        F.count(F.lit(1)).alias("n_errors"),
-        (F.max("sec") - F.min("sec")).alias("duration_s"),
+    isl = grp.groupBy("day", "day_inc").agg(
+        F.count(F.lit(1)).alias("isl_errors"),
+        F.min("sec").alias("start_sec"),
+        F.max("sec").alias("end_sec"),
+    )
+    # Bounded boundary merge: <= 48 islands/day, single partition ON
+    # PURPOSE. The constant partition key must be non-foldable (pmod, not
+    # lit(0)): Catalyst folds literal keys to an empty partition spec,
+    # which turns the deliberate bounded scan back into the accidental
+    # global-window shape the WindowExec warning exists to flag.
+    w_g = W.partitionBy(F.pmod(F.col("day"), F.lit(1))).orderBy("day", "day_inc")
+    stitched = isl.select(
+        "*",
+        F.when(
+            (F.col("start_sec") - F.lag("end_sec").over(w_g) >= INCIDENT_GAP_S)
+            | F.lag("end_sec").over(w_g).isNull(),
+            1,
+        ).otherwise(0).alias("new_glob"),
+    )
+    merged = stitched.select(
+        "*",
+        F.sum("new_glob").over(w_g.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("inc_id"),
+    )
+    incidents = merged.groupBy("inc_id").agg(
+        F.sum("isl_errors").alias("n_errors"),
+        (F.max("end_sec") - F.min("start_sec")).alias("duration_s"),
     )
     return incidents.agg(
         F.count(F.lit(1)).cast("long").alias("n_incidents"),

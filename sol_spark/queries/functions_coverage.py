@@ -804,11 +804,18 @@ def fn_scalar_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
 # approximate one). Oracle mirrors the documented bucket arithmetic.
 # ---------------------------------------------------------------------------
 
+# Non-positive keys follow Spark's TRUNCATING div/mod (probed on literal
+# keys, pinned in tests/test_r8_wave1_ops.py): bucket = trunc(x / 32768) =
+# -((-x) // 32768), position = (-x) % 32768 — NOT the "bucket 0, position
+# |x|" shorthand the r7 oracle claimed, which agrees only on (-32768, 0]
+# and silently diverges below (r7 ADVICE item 3; the fixture's o_orderkey
+# >= 0 never exercised the branch, so the wave test pins it on literals).
 FN_BITMAP_ORACLE = """
-SELECT CASE WHEN o_orderkey >= 1 THEN (o_orderkey - 1) // 32768 + 1 ELSE 0 END AS bucket,
+SELECT CASE WHEN o_orderkey >= 1 THEN (o_orderkey - 1) // 32768 + 1
+            ELSE -((-o_orderkey) // 32768) END AS bucket,
        count(*)::BIGINT AS n_rows,
        count(DISTINCT CASE WHEN o_orderkey >= 1 THEN (o_orderkey - 1) % 32768
-                           ELSE -o_orderkey END)::BIGINT AS n_distinct_positions
+                           ELSE (-o_orderkey) % 32768 END)::BIGINT AS n_distinct_positions
 FROM orders
 GROUP BY 1 ORDER BY bucket
 """
@@ -824,9 +831,10 @@ def fn_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-count layout (per-bucket bitmaps OR together across
     partitions/days, cf. sketch_bitmap_distinct for the applied form).
     The oracle mirrors the bucket arithmetic ((x-1) div 32768 + 1 /
-    (x-1) mod 32768 for positive keys; non-positives land in bucket 0 at
-    position |x| — probed against Spark's actual edge behavior, which the
-    fixture's o_orderkey = 0 exercises) with a plain COUNT DISTINCT, so
+    (x-1) mod 32768 for positive keys; non-positives use truncating
+    div/mod — bucket trunc(x/32768), position (-x) mod 32768 — probed
+    against Spark's actual edge behavior on literal negative keys and
+    pinned in tests/test_r8_wave1_ops.py) with a plain COUNT DISTINCT, so
     the bitmap path's exactness is value-verified, not assumed.
 
     Scale shape: one hash-agg keyed on the bucket; each group's state is

@@ -4442,6 +4442,16 @@ def orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     4*(n*S2 - S1^2) <= S1^2 / (n*S2 - S1^2) <= S1^2 over BIGINT monthly
     sums — zero float in any classification path.
 
+    Scale bound (r7 ADVICE item 1): the integer cross-products cap at
+    ~10000*pres*S2, which stays inside int64 while a single part's
+    cumulative quantity S1 < ~3e9 units (S2 < S1^2). TPC-H density is
+    per-part CONSTANT (~30 lineitems/part at every SF: lineitems and
+    parts both scale linearly), so S1 ~ 750 and the fences hold at any
+    SF; only a corpus whose per-key density itself grows — not this
+    schema — could approach the bound, and the events-family Welch
+    operators that do face growing keys use the staged-double variance
+    instead (events_ab_test, stats_tost_equivalence).
+
     Scale shape: one (part, month) hash-agg over the fact, one per-part
     rollup, and a cumulative window over the |parts| frame ordered by the
     total (revenue, partkey) key; the two-row horizon scalar broadcasts.

@@ -1,0 +1,138 @@
+"""Behavioral invariants for the round-8 first wave: the bitmap bucket
+arithmetic pinned on literal NEGATIVE keys (the fixture's o_orderkey
+domain is >= 0, so FN_BITMAP_ORACLE's else-branch for negatives was
+asserted but never exercised — r7 ADVICE item 3), and the iterate()
+fused-probe path (one job per round must behave exactly like the
+checkpoint-then-probe path it replaces)."""
+
+from __future__ import annotations
+
+
+def _oracle_bucket(x: int) -> int:
+    # FN_BITMAP_ORACLE's formula (functions_coverage.py): positives shard
+    # into 32768-bit buckets 1..N; non-positives follow Spark's TRUNCATING
+    # div — bucket trunc(x/32768), i.e. -((-x) // 32768).
+    return (x - 1) // 32768 + 1 if x >= 1 else -((-x) // 32768)
+
+
+def _oracle_pos(x: int) -> int:
+    return (x - 1) % 32768 if x >= 1 else (-x) % 32768
+
+
+def test_bitmap_bucket_formula_on_negative_and_edge_keys(spark):
+    """Evaluate Spark's bitmap_bucket_number / bitmap_bit_position on
+    literal keys spanning negatives, zero, and bucket boundaries, and pin
+    each against the oracle's claimed formula — closing the domain gap
+    where the else-branch was oracle-asserted but fixture-unexercised."""
+    keys = [-70000, -32769, -32768, -5, -1, 0, 1, 2, 32767, 32768, 32769, 65536, 65537]
+    rows = (
+        spark.range(1)
+        .selectExpr(
+            *[
+                e
+                for i, k in enumerate(keys)
+                for e in (
+                    f"bitmap_bucket_number({k}L) AS b_{i}",
+                    f"bitmap_bit_position({k}L) AS p_{i}",
+                )
+            ]
+        )
+        .collect()[0]
+    )
+    for i, k in enumerate(keys):
+        assert rows[f"b_{i}"] == _oracle_bucket(k), f"bucket({k})"
+        assert rows[f"p_{i}"] == _oracle_pos(k), f"position({k})"
+
+
+def test_bitmap_construct_agg_counts_negative_positions(spark):
+    """bitmap_count(bitmap_construct_agg(...)) over a mixed positive/
+    negative key set must equal COUNT DISTINCT of the oracle positions per
+    oracle bucket — the fixture-independent form of fn_bitmap's contract."""
+    keys = [-5, -5, -1, 0, 1, 1, 2, 32768, 32769, -32768]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long").selectExpr(
+        "bitmap_bucket_number(k) AS bucket", "bitmap_bit_position(k) AS pos"
+    )
+    got = {
+        r["bucket"]: r["n"]
+        for r in df.groupBy("bucket")
+        .agg(F.expr("bitmap_count(bitmap_construct_agg(pos))").alias("n"))
+        .collect()
+    }
+    want: dict[int, set[int]] = {}
+    for k in keys:
+        want.setdefault(_oracle_bucket(k), set()).add(_oracle_pos(k))
+    assert got == {b: len(ps) for b, ps in want.items()}
+
+
+def test_iterate_fused_probe_matches_converged_path(spark):
+    """The fused probe (lazy checkpoint + one aggregate job) must converge
+    on the same round and leave no persisted blocks behind, exactly like
+    the converged(prev, cur) path: run a shrink-by-half toy loop both ways
+    and compare results and storage."""
+    from pyspark.sql import functions as F
+
+    from sol_spark.operators.dedup import iterate, release_result
+
+    def mk_state():
+        return spark.range(100).select(F.col("id").alias("v"), F.lit("live").alias("status"))
+
+    def step(state, i):
+        # halve the live set each round; keep the rest
+        live = state.filter(F.col("status") == "live")
+        kept = state.filter(F.col("status") == "kept")
+        promoted = live.filter(F.col("v") % 2 == 0).select(
+            "v", F.lit("kept").alias("status")
+        )
+        survivors = live.filter(F.col("v") % 2 == 1).select(
+            (F.col("v") / 2).cast("long").alias("v"), "status"
+        )
+        return kept.unionAll(promoted).unionAll(survivors)
+
+    def finalize(state):
+        return state.groupBy("status").count()
+
+    probe = F.coalesce(F.sum(F.when(F.col("status") == "live", 1)), F.lit(0))
+
+    r1 = iterate(
+        mk_state(),
+        step,
+        finalize,
+        max_rounds=10,
+        converged=lambda prev, cur: cur.filter(F.col("status") == "live").limit(1).isEmpty(),
+    )
+    rows1 = {r["status"]: r["count"] for r in r1.collect()}
+    release_result(r1)
+    r2 = iterate(
+        mk_state(),
+        step,
+        finalize,
+        max_rounds=10,
+        probe=probe,
+        probe_converged=lambda prev, cur: cur == 0,
+    )
+    rows2 = {r["status"]: r["count"] for r in r2.collect()}
+    release_result(r2)
+    assert rows1 == rows2
+    # storage contract: nothing persisted survives after release_result
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert jmap.size() == 0
+
+
+def test_iterate_fused_probe_raises_on_budget_exhaustion(spark):
+    from pyspark.sql import functions as F
+    import pytest
+
+    from sol_spark.operators.dedup import iterate
+
+    state = spark.range(4).select(F.col("id").alias("v"), F.lit("live").alias("status"))
+    with pytest.raises(RuntimeError, match="no convergence|live"):
+        iterate(
+            state,
+            lambda s, i: s,  # never converges
+            lambda s: s,
+            max_rounds=2,
+            probe=F.coalesce(F.sum(F.when(F.col("status") == "live", 1)), F.lit(0)),
+            probe_converged=lambda prev, cur: cur == 0,
+        )
