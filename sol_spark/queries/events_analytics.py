@@ -4554,9 +4554,14 @@ def events_slo_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one day-keyed hash-agg over the events (map-side
     combined), cumulative windows over the |days| frame. At 100 TB the
     daily frame is metadata-sized; the only row-grain work is the one
-    conditional aggregate."""
-    from pyspark.sql import Window as W
+    conditional aggregate.
 
+    The gold readout (cumulative windows + integer fences) lives in
+    :func:`slo_budget_readout`, SHARED with the streaming twin
+    (streaming/pipelines.py slo_daily_counts): the stream maintains the
+    same (day, n, errs) silver frame via a stateful aggregation and the
+    drained table flows through this exact readout, so the twins cannot
+    drift."""
     t = load_tables(spark, sf_dir)
     daily = (
         t["events"]
@@ -4566,6 +4571,17 @@ def events_slo_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errs"),
         )
     )
+    return slo_budget_readout(daily)
+
+
+def slo_budget_readout(daily: DataFrame) -> DataFrame:
+    """Gold SLO readout over a (day, n, errs) silver frame: cumulative
+    windows over the |days| rows plus the all-integer fence arithmetic.
+    One function serves the batch operator and the streaming twin — the
+    alert decisions are BIGINT cross-multiplications, so batch and drained
+    stream agree exactly, not approximately."""
+    from pyspark.sql import Window as W
+
     w_cum = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
     cum = daily.select(
         "*",

@@ -656,3 +656,27 @@ def audit_chain_state(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def slo_daily_counts(events: DataFrame) -> DataFrame:
+    """Streaming half of the SLO error-budget twin: maintain the silver
+    (day, n, errs) daily ledger as a stateful streaming aggregation
+    (StateStoreRestore/SaveExec — day-keyed state, one fixed-size row per
+    day). The gold readout — cumulative budget windows and the integer
+    alert fences — is NOT re-implemented here: the drained table flows
+    through the batch operator's own
+    :func:`sol_spark.queries.events_analytics.slo_budget_readout`, so the
+    streaming and batch paths share the fence arithmetic by construction
+    and the drained stream equals the batch plan EXACTLY (all decisions
+    are BIGINT cross-multiplications; no float ever enters).
+
+    Run in complete mode: the daily frame is metadata-sized (|days| rows),
+    which is exactly the case complete-mode re-emission is for; at 100 TB
+    the row-grain work is the map-side-combined conditional count, and the
+    state store holds two BIGINTs per day."""
+    return events.groupBy(
+        F.expr("cast(date_trunc('day', ts) as timestamp_ntz)").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errs"),
+    )

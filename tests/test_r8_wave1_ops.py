@@ -136,3 +136,29 @@ def test_iterate_fused_probe_raises_on_budget_exhaustion(spark):
             probe=F.coalesce(F.sum(F.when(F.col("status") == "live", 1)), F.lit(0)),
             probe_converged=lambda prev, cur: cur == 0,
         )
+
+
+def test_slo_budget_stream_equals_batch(spark, sf_dir):
+    """The SLO error-budget streaming twin: drain the day-keyed stateful
+    aggregation across 4 micro-batches (complete mode), push the drained
+    silver table through the SHARED gold readout, and require exact
+    equality with the batch operator — every fence decision is integer
+    cross-multiplication, so equality is bitwise, not approximate."""
+    from sol_spark.queries.events_analytics import (
+        events_slo_error_budget,
+        slo_budget_readout,
+    )
+    from sol_spark.streaming import pipelines as P
+    from tests.test_streaming import _run
+
+    got = _run(spark, sf_dir, P.slo_daily_counts, "complete", n_files=4)
+    silver = spark.createDataFrame(got, "day timestamp_ntz, n bigint, errs bigint")
+    stream_rows = [tuple(r) for r in slo_budget_readout(silver).collect()]
+    batch_rows = [tuple(r) for r in events_slo_error_budget(spark, sf_dir).collect()]
+    assert len(stream_rows) == len(batch_rows) > 0
+    assert stream_rows == batch_rows
+    names = [f.name for f in events_slo_error_budget(spark, sf_dir).schema.fields]
+    assert names == [
+        "day", "n_events", "n_errors", "error_ppm", "cum_error_ppm",
+        "budget_used_ppm", "fast_burn_alert", "budget_exhausted",
+    ]
