@@ -169,13 +169,19 @@ def iterate(
             new = step(state, i)
             if checkpoint_rounds:
                 if probe is not None:
-                    # Fused path: lazy checkpoint mark, then ONE full-frame
-                    # aggregate job that materializes every partition into
-                    # the block store AND returns the convergence metric —
-                    # the deferred checkpoint then completes at job end with
-                    # no missing partitions, so no second job is scheduled.
-                    new = local_checkpoint(new, eager=False)
-                    metric = new.agg(probe.alias("m")).collect()[0][0]
+                    # Fused path: attach the convergence metric as an
+                    # OBSERVATION (CollectMetrics — per-task partial
+                    # aggregation merged driver-side like an accumulator,
+                    # no shuffle, no extra stage) and let the eager
+                    # checkpoint's own materialization job evaluate it.
+                    # One single-stage job per round, where the old path
+                    # paid checkpoint-then-probe (two jobs) and a naive
+                    # agg() fusion would pay a two-stage shuffle job.
+                    from pyspark.sql import Observation
+
+                    obs = Observation(f"iterate_probe_{i}")
+                    new = local_checkpoint(new.observe(obs, probe.alias("m")))
+                    metric = obs.get["m"]
                     done = probe_converged(prev_metric, metric)
                     prev_metric = metric
                 else:
@@ -3834,16 +3840,18 @@ def dedup_mis_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept = scored.filter(
             F.col("mn").isNull()
             | (F.struct(F.col("p"), F.col("v")) < F.col("mn"))
-        ).select("v", "p")
-        dom = (
+        ).select("v")
+        # Removal set for the anti join: kept plus every neighbor of a kept
+        # vertex. NO distinct and NO live-intersection here — an anti join
+        # ignores duplicates, and rows outside the live set cannot remove
+        # anything from it, so both extra shuffles the r7 step paid per
+        # round were pure latency (the fixed per-round cost dominates this
+        # shrinking-frontier loop; r7 verdict ask #6).
+        removed = kept.unionAll(
             edges.join(kept.select(F.col("v").alias("a")), "a", "left_semi")
             .select(F.col("b").alias("v"))
-            .distinct()
-            .join(live, "v", "left_semi")
         )
-        survivors = (
-            live.join(kept, "v", "left_anti").join(dom, "v", "left_anti")
-        )
+        survivors = live.select("v").join(removed, "v", "left_anti")
         return (
             state.filter(F.col("status") == "kept")
             .unionAll(kept.select("v", F.lit("kept").alias("status"), F.lit(i + 1).alias("round")))
