@@ -4729,3 +4729,118 @@ def events_incident_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(duration_s) div count(*)").cast("long").alias("mttr_s"),
         F.sum(F.when(F.col("n_errors") == 1, 1).otherwise(0)).cast("long").alias("n_blips"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Off-policy bandit replay (IPS / SNIPS): evaluate a candidate
+# recommendation policy on LOGGED interaction data without deploying it —
+# the counterfactual readout an RLHF/recsys data pipeline runs before an
+# online test. Everything is exact integer ppm.
+# ---------------------------------------------------------------------------
+
+BANDIT_REWARD_MIN = 50  # a logged interaction counts as reward 1 iff value > 50
+
+BANDIT_REPLAY_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_type AS action,
+         CASE WHEN value > {BANDIT_REWARD_MIN} THEN 1 ELSE 0 END AS r
+  FROM events
+),
+tot AS (SELECT count(*)::BIGINT AS n FROM ev),
+ua AS (
+  SELECT user_id, action, count(*)::BIGINT AS cnt
+  FROM ev GROUP BY user_id, action
+),
+target AS (
+  -- deterministic candidate policy: play each user's modal logged action,
+  -- ties broken by action name ascending (a total order, engine-identical)
+  SELECT user_id, action AS tgt
+  FROM (
+    SELECT user_id, action,
+           row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, action) AS rn
+    FROM ua
+  ) q WHERE rn = 1
+),
+joined AS (
+  SELECT e.action, e.r,
+         CASE WHEN e.action = t.tgt THEN 1 ELSE 0 END AS m
+  FROM ev e JOIN target t ON t.user_id = e.user_id
+),
+act AS (
+  SELECT action, count(*)::BIGINT AS n_a,
+         sum(m)::BIGINT AS matched_n, sum(m * r)::BIGINT AS matched_r
+  FROM joined GROUP BY action
+),
+w AS (
+  SELECT action, n_a, matched_n, matched_r,
+         (1000000::BIGINT * 1000000) // ((1000000 * n_a) // (SELECT n FROM tot)) AS w_ppm
+  FROM act
+)
+SELECT (SELECT n FROM tot) AS n_events,
+       sum(matched_n)::BIGINT AS n_matched,
+       ((1000000 * sum(matched_n)) // (SELECT n FROM tot))::BIGINT AS match_ppm,
+       (sum(matched_r * w_ppm) // (SELECT n FROM tot))::BIGINT AS ips_ppm,
+       ((1000000 * sum(matched_r * w_ppm)) // sum(matched_n * w_ppm))::BIGINT AS snips_ppm,
+       ((1000000 * sum(matched_r)) // sum(matched_n))::BIGINT AS direct_ppm
+FROM w
+"""
+
+
+@register("events_bandit_replay", BANDIT_REPLAY_ORACLE, tags=("events", "eval", "counterfactual"))
+def events_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation of a candidate policy on logged bandit data:
+    the target policy (each user's modal logged action, ties by action
+    name — a deterministic, engine-identical rule) is replayed against the
+    log, and its value is estimated three ways — IPS (inverse-propensity
+    weighting by the logging policy's empirical action frequencies), the
+    self-normalized SNIPS (divides by the importance-weight mass instead
+    of N, trading a little bias for much lower variance — the estimator
+    production replay systems actually ship), and the naive direct match
+    average as the biased baseline. Propensities, weights, and all three
+    estimates are exact BIGINT ppm arithmetic (floored divisions mirrored
+    verbatim in the oracle), so the counterfactual readout is
+    engine-identical — the discipline the A/B family established, applied
+    to the counterfactual question "what WOULD this policy have earned".
+
+    Scale shape: one (user, action) hash-agg, a per-user row_number argmax
+    over it, one broadcast-joined match pass over the log, and a
+    |actions|-row rollup; nothing row-grain survives past the two
+    map-side-combinable aggregates."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    ev = t["events"].select(
+        "user_id",
+        F.col("event_type").alias("action"),
+        F.when(F.col("value") > BANDIT_REWARD_MIN, 1).otherwise(0).alias("r"),
+    )
+    ua = ev.groupBy("user_id", "action").agg(F.count(F.lit(1)).alias("cnt"))
+    target = (
+        ua.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("user_id").orderBy(F.col("cnt").desc(), "action")),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("action").alias("tgt"))
+    )
+    joined = ev.join(target, "user_id").select(
+        "action", "r", F.when(F.col("action") == F.col("tgt"), 1).otherwise(0).alias("m")
+    )
+    act = joined.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n_a"),
+        F.sum("m").alias("matched_n"),
+        F.sum(F.col("m") * F.col("r")).alias("matched_r"),
+    )
+    tot = ev.agg(F.count(F.lit(1)).alias("n"))
+    w = act.crossJoin(F.broadcast(tot)).select(
+        "*",
+        F.expr("(cast(1000000 as bigint) * 1000000) div ((1000000 * n_a) div n)").alias("w_ppm"),
+    )
+    return w.agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.sum("matched_n").cast("long").alias("n_matched"),
+        F.expr("(1000000 * sum(matched_n)) div max(n)").cast("long").alias("match_ppm"),
+        F.expr("sum(matched_r * w_ppm) div max(n)").cast("long").alias("ips_ppm"),
+        F.expr("(1000000 * sum(matched_r * w_ppm)) div sum(matched_n * w_ppm)").cast("long").alias("snips_ppm"),
+        F.expr("(1000000 * sum(matched_r)) div sum(matched_n)").cast("long").alias("direct_ppm"),
+    )

@@ -855,3 +855,79 @@ def fn_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 VARIANT type: parse_json / variant_get / try_variant_get /
+# schema_of_variant / is_variant_null — the open semi-structured column
+# type (shredded binary JSON). The query round-trips typed row data
+# through JSON text into VARIANT and extracts it back with typed paths;
+# the oracle computes every expected value directly from the base
+# columns, so the round-trip's losslessness is value-verified.
+# ---------------------------------------------------------------------------
+
+FN_VARIANT_ORACLE = """
+SELECT o_orderkey,
+       o_orderkey AS v_key,
+       o_custkey AS v_nested_cust,
+       o_orderpriority AS v_tag1,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS v_cents,
+       CAST(NULL AS VARCHAR) AS v_missing,
+       CAST(NULL AS BIGINT) AS v_badcast,
+       (o_orderkey % 3 = 0) AS v_is_null,
+       'OBJECT<cents: BIGINT, k: BIGINT, maybe: ' ||
+         CASE WHEN o_orderkey % 3 = 0 THEN 'VOID' ELSE 'BIGINT' END ||
+         ', nested: OBJECT<c: BIGINT>, tags: ARRAY<STRING>>' AS v_schema
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+@register("fn_variant", FN_VARIANT_ORACLE, tags=("functions", "variant", "spark4"))
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT family: each order row is serialized to JSON text
+    (to_json over a nested struct), parsed into a VARIANT with parse_json,
+    and read back through TYPED paths — variant_get for scalar/array/
+    nested-object access, try_variant_get returning NULL on an impossible
+    cast (priority string as BIGINT) instead of raising, is_variant_null
+    distinguishing a JSON null VALUE from an absent path, and
+    schema_of_variant reporting the per-row inferred shape (VOID where the
+    value is a JSON null). The oracle computes every expected value from
+    the base columns, so the text -> VARIANT -> typed-value round trip is
+    verified lossless; money rides as BIGINT cents (a JSON double would
+    re-enter the cross-engine float minefield for nothing).
+
+    Scale shape: pure per-row projection — whole-stage codegen, no
+    shuffle; VARIANT's binary encoding is exactly the shredded-JSON
+    layout a 100 TB semi-structured column wants (parse once, push typed
+    paths down instead of re-parsing text per query)."""
+    t = load_tables(spark, sf_dir)
+    v = t["orders"].select(
+        "o_orderkey",
+        F.parse_json(
+            F.to_json(
+                F.struct(
+                    F.col("o_orderkey").alias("k"),
+                    F.struct(F.col("o_custkey").alias("c")).alias("nested"),
+                    F.array(F.col("o_orderstatus"), F.col("o_orderpriority")).alias("tags"),
+                    F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+                    F.when(F.col("o_orderkey") % 3 != 0, F.col("o_orderkey")).alias("maybe"),
+                ),
+                # keep the JSON null VALUE in the text (to_json drops null
+                # fields by default, which would turn the is_variant_null
+                # probe into an absent-path probe)
+                {"ignoreNullFields": "false"},
+            )
+        ).alias("v"),
+    )
+    return v.select(
+        "o_orderkey",
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("v_key"),
+        F.expr("variant_get(v, '$.nested.c', 'bigint')").alias("v_nested_cust"),
+        F.expr("variant_get(v, '$.tags[1]', 'string')").alias("v_tag1"),
+        F.expr("variant_get(v, '$.cents', 'bigint')").alias("v_cents"),
+        F.expr("variant_get(v, '$.absent', 'string')").alias("v_missing"),
+        F.expr("try_variant_get(v, '$.tags[1]', 'bigint')").alias("v_badcast"),
+        F.expr("is_variant_null(variant_get(v, '$.maybe'))").alias("v_is_null"),
+        F.expr("schema_of_variant(v)").alias("v_schema"),
+    ).orderBy("o_orderkey")

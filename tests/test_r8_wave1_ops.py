@@ -162,3 +162,39 @@ def test_slo_budget_stream_equals_batch(spark, sf_dir):
         "day", "n_events", "n_errors", "error_ppm", "cum_error_ppm",
         "budget_used_ppm", "fast_burn_alert", "budget_exhausted",
     ]
+
+
+def test_statestore_reader_exposes_agg_state(spark, tmp_path):
+    """Spark 4 state-store data source: after an availableNow streaming
+    aggregation drains into a checkpoint, `spark.read.format("statestore")`
+    must expose the operator's keyed state (key.k -> value.count) equal to
+    the batch groupBy, and `state-metadata` must list the stateful
+    operator — the offline state-introspection surface an operator
+    debugging a 1000-executor streaming job relies on."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ckpt")
+    spark.range(100).select((F.col("id") % 7).alias("k"), F.col("id").alias("v")).write.parquet(src)
+    stream = spark.readStream.schema("k long, v long").parquet(src)
+    agg = stream.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ss_reader_probe")
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    state = {
+        r["k"]: r["n"]
+        for r in spark.read.format("statestore")
+        .load(ck)
+        .select(F.col("key.k").alias("k"), F.col("value.count").alias("n"))
+        .collect()
+    }
+    want = {k: 100 // 7 + (1 if k < 100 % 7 else 0) for k in range(7)}
+    assert state == want
+    meta = spark.read.format("state-metadata").load(ck).collect()
+    assert len(meta) == 1 and "stateStoreSave" in meta[0]["operatorName"]
