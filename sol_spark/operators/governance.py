@@ -2876,3 +2876,88 @@ def warehouse_audit_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Synthetic-data allocation with exact marginals: apportion a fixed budget
+# of synthetic rows across the (event_type, day-of-week) contingency cells
+# proportionally to the true counts, using LARGEST-REMAINDER rounding so
+# the synthetic total is exactly the budget and every cell is within one
+# row of its exact proportional share — the allocation step of a
+# marginal-preserving synthetic data generator (the release mechanism
+# privacy_dp_counts pairs with when counts must stay non-noisy).
+# ---------------------------------------------------------------------------
+
+SYNTH_BUDGET = 10000  # synthetic rows to allocate
+
+SYNTH_ALLOCATION_ORACLE = f"""
+WITH cells AS (
+  -- +1: DuckDB dayofweek is 0(Sun)..6, Spark's is 1(Sun)..7
+  SELECT event_type, (dayofweek(ts) + 1)::BIGINT AS dow, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT sum(c)::BIGINT AS t FROM cells),
+quota AS (
+  SELECT event_type, dow, c,
+         (({SYNTH_BUDGET}::BIGINT * c) // t)::BIGINT AS q,
+         ({SYNTH_BUDGET}::BIGINT * c - (({SYNTH_BUDGET}::BIGINT * c) // t) * t)::BIGINT AS rem
+  FROM cells, tot
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY rem DESC, event_type, dow) AS rk,
+         {SYNTH_BUDGET} - sum(q) OVER () AS leftover
+  FROM quota
+)
+SELECT event_type, dow, c AS true_count,
+       (q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS synth_count,
+       q::BIGINT AS floor_quota,
+       rem::BIGINT AS remainder_units
+FROM ranked
+ORDER BY event_type, dow
+"""
+
+
+@register("privacy_synthetic_allocation", SYNTH_ALLOCATION_ORACLE, tags=("governance", "privacy", "synthetic"))
+def privacy_synthetic_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a {SYNTH_BUDGET}-row
+    synthetic budget across the (event_type, day-of-week) contingency
+    cells: each cell gets floor(budget * c / total), and the leftover rows
+    go one-each to the cells with the largest fractional remainders
+    (remainders compared as EXACT integer units budget*c - q*total — no
+    float ever enters, and the tie order (remainder, event_type, dow) is
+    total, so the allocation is engine-identical). Guarantees: synthetic
+    total == budget exactly; every cell within one row of its exact
+    share — the quota property that makes marginal-preserving synthesis
+    auditable.
+
+    Scale shape: one contingency hash-agg over the fact; everything after
+    runs on the bounded |event_types| x 7 cell frame (the rank window is
+    deliberately global over that metadata-sized frame)."""
+    t = load_tables(spark, sf_dir)
+    cells = (
+        t["events"]
+        .groupBy("event_type", F.dayofweek("ts").cast("bigint").alias("dow"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cells.agg(F.sum("c").alias("t"))
+    quota = cells.crossJoin(F.broadcast(tot)).select(
+        "event_type", "dow", "c",
+        F.expr(f"(cast({SYNTH_BUDGET} as bigint) * c) div t").alias("q"),
+        F.expr(
+            f"cast({SYNTH_BUDGET} as bigint) * c - ((cast({SYNTH_BUDGET} as bigint) * c) div t) * t"
+        ).alias("rem"),
+    )
+    w_rank = Window.orderBy(F.col("rem").desc(), "event_type", "dow")
+    ranked = quota.select(
+        "*",
+        F.row_number().over(w_rank).alias("rk"),
+        (F.lit(SYNTH_BUDGET) - F.sum("q").over(Window.partitionBy())).alias("leftover"),
+    )
+    return ranked.select(
+        "event_type", "dow",
+        F.col("c").cast("long").alias("true_count"),
+        (F.col("q") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)).cast("long").alias("synth_count"),
+        F.col("q").cast("long").alias("floor_quota"),
+        F.col("rem").cast("long").alias("remainder_units"),
+    ).orderBy("event_type", "dow")

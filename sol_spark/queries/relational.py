@@ -4497,3 +4497,154 @@ def orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("Z").alias("xyz"),
         F.expr("(10000 * n_months) div pres").cast("long").alias("adi_bp"),
     ).orderBy("l_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Modern SQL sugar (Spark 3.4+/4.x parity): GROUP BY ALL, ORDER BY ALL,
+# lateral column aliases — the analyst-ergonomics surface both engines
+# now share, verified end-to-end instead of assumed.
+# ---------------------------------------------------------------------------
+
+SQL_SUGAR_ORACLE = """
+SELECT pri, yr, n, cents,
+       (cents // n)::BIGINT AS cents_per_order,
+       (cents_per_order // 100)::BIGINT AS dollars_per_order
+FROM (
+  SELECT o_orderpriority AS pri,
+         year(o_orderdate) AS yr,
+         count(*)::BIGINT AS n,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+  FROM orders
+  GROUP BY ALL
+) agg
+ORDER BY ALL
+"""
+
+
+@register("rel_sql_sugar", SQL_SUGAR_ORACLE, tags=("relational", "sql", "spark4"))
+def rel_sql_sugar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern SQL ergonomics, run as REAL SQL through spark.sql: GROUP BY
+    ALL infers the grouping key from the non-aggregate select items,
+    ORDER BY ALL orders by every output column left-to-right, and lateral
+    column aliases let later select items reference earlier ones
+    (cents_per_order reuses cents and n; dollars_per_order reuses
+    cents_per_order — two alias hops). Lateral aliases and GROUP BY ALL
+    cannot share one SELECT in Spark (UNSUPPORTED_FEATURE.
+    LATERAL_COLUMN_ALIAS_IN_GROUP_BY — a real conformance edge this query
+    documents), so the aliases live in the wrapping select; DuckDB shares
+    all three features and the oracle is the SAME shape modulo the
+    cent-cast dialect — the closest thing to a cross-engine SQL-sugar
+    conformance row.
+
+    Scale shape: one hash-agg; the sugar is purely front-end (the plan is
+    identical to the explicit GROUP BY), which is the point being
+    verified."""
+    t = load_tables(spark, sf_dir)
+    t["orders"].createOrReplaceTempView("v_sugar_orders")
+    return spark.sql(
+        """
+        SELECT pri, yr, n, cents,
+               cents div n AS cents_per_order,
+               cents_per_order div 100 AS dollars_per_order
+        FROM (
+          SELECT o_orderpriority AS pri,
+                 year(o_orderdate) AS yr,
+                 count(*) AS n,
+                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+          FROM v_sugar_orders
+          GROUP BY ALL
+        ) agg
+        ORDER BY ALL
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chain-ladder run-off triangle: order cohorts by month, revenue developed
+# by shipment age — the actuarial / finance-ops view of fulfillment, with
+# the age-to-age development factors a reserving analyst reads off the
+# triangle. Exact integer cents and ppm factors.
+# ---------------------------------------------------------------------------
+
+CHAIN_LADDER_ORACLE = """
+WITH dev AS (
+  SELECT date_trunc('month', o.o_orderdate) AS cohort,
+         (year(l.l_shipdate) * 12 + month(l.l_shipdate))
+           - (year(o.o_orderdate) * 12 + month(o.o_orderdate)) AS age,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+cells AS (
+  SELECT cohort, age, sum(cents)::BIGINT AS inc
+  FROM dev WHERE age BETWEEN 0 AND 6 GROUP BY cohort, age
+),
+cum AS (
+  SELECT cohort, age,
+         sum(inc) OVER (PARTITION BY cohort ORDER BY age
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM cells
+),
+pairs AS (
+  -- age-to-age: only cohorts that have BOTH columns contribute (the
+  -- standard volume-weighted chain-ladder estimator)
+  SELECT a.age AS age_from, sum(b.c)::BIGINT AS num, sum(a.c)::BIGINT AS den
+  FROM cum a JOIN cum b ON b.cohort = a.cohort AND b.age = a.age + 1
+  GROUP BY a.age
+)
+SELECT age_from, age_from + 1 AS age_to,
+       num AS cum_cents_to, den AS cum_cents_from,
+       ((1000000 * num) // den)::BIGINT AS dev_factor_ppm
+FROM pairs
+ORDER BY age_from
+"""
+
+
+@register("orders_chain_ladder", CHAIN_LADDER_ORACLE, tags=("warehouse", "finance", "marts"))
+def orders_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-ladder development factors from the order/shipment run-off
+    triangle: cohorts are order months, development age is months from
+    order to shipment (0..6 — TPC-H ships within ~4 months), cells are
+    cumulative shipped cents, and the age-to-age factor is the
+    volume-weighted chain-ladder estimator f_k = sum(C_{i,k+1}) /
+    sum(C_{i,k}) over cohorts observed at BOTH ages — the actuarial
+    reserving readout, reused here as a fulfillment-completion curve
+    (how much of a cohort's revenue has shipped by age k). Factors are
+    exact integer ppm; cents are exact BIGINT.
+
+    Scale shape: one fact join keyed on orderkey (co-partitioned), a
+    (cohort, age) hash-agg bounded by months x 7, a per-cohort cumulative
+    window over that metadata-sized frame, and a self-join on the
+    adjacent age — nothing row-grain past the first aggregate."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    dev = (
+        t["orders"]
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.date_trunc("month", "o_orderdate").alias("cohort"),
+            (
+                (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+                - (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            ).alias("age"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        )
+        .filter(F.col("age").between(0, 6))
+    )
+    cells = dev.groupBy("cohort", "age").agg(F.sum("cents").alias("inc"))
+    w_cum = W.partitionBy("cohort").orderBy("age").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = cells.select("cohort", "age", F.sum("inc").over(w_cum).alias("c"))
+    nxt = cum.select(F.col("cohort"), (F.col("age") - 1).alias("age_from"), F.col("c").alias("c_next"))
+    pairs = (
+        cum.select("cohort", F.col("age").alias("age_from"), F.col("c").alias("c_cur"))
+        .join(nxt, ["cohort", "age_from"])
+        .groupBy("age_from")
+        .agg(F.sum("c_next").alias("num"), F.sum("c_cur").alias("den"))
+    )
+    return pairs.select(
+        "age_from",
+        (F.col("age_from") + 1).alias("age_to"),
+        F.col("num").cast("long").alias("cum_cents_to"),
+        F.col("den").cast("long").alias("cum_cents_from"),
+        F.expr("(1000000 * num) div den").cast("long").alias("dev_factor_ppm"),
+    ).orderBy("age_from")

@@ -198,3 +198,29 @@ def test_statestore_reader_exposes_agg_state(spark, tmp_path):
     assert state == want
     meta = spark.read.format("state-metadata").load(ck).collect()
     assert len(meta) == 1 and "stateStoreSave" in meta[0]["operatorName"]
+
+
+def test_parameterized_sql_and_execute_immediate(spark):
+    """Spark 4 SQL-scripting surface: named-parameter spark.sql(args=...),
+    EXECUTE IMMEDIATE over a DECLAREd session variable with USING binds,
+    and IDENTIFIER() resolving a table name from a parameter — pinned
+    behaviorally (DuckDB has no twin surface, so this is pytest-only)."""
+    from pyspark.sql import functions as F
+
+    spark.range(50).select(F.col("id").alias("k")).createOrReplaceTempView("v_param_probe")
+    # named + positional parameter binds
+    assert spark.sql(
+        "SELECT count(*) AS n FROM v_param_probe WHERE k < :lim", args={"lim": 10}
+    ).collect()[0]["n"] == 10
+    assert spark.sql(
+        "SELECT count(*) AS n FROM v_param_probe WHERE k < ?", args=[7]
+    ).collect()[0]["n"] == 7
+    # IDENTIFIER() from a parameter
+    assert spark.sql(
+        "SELECT max(k) AS m FROM IDENTIFIER(:t)", args={"t": "v_param_probe"}
+    ).collect()[0]["m"] == 49
+    # EXECUTE IMMEDIATE with a session variable holding the statement text
+    spark.sql("DECLARE OR REPLACE ei_stmt STRING")
+    spark.sql("SET VAR ei_stmt = 'SELECT sum(k) AS s FROM IDENTIFIER(:t) WHERE k < :lim'")
+    r = spark.sql("EXECUTE IMMEDIATE ei_stmt USING 'v_param_probe' AS t, 5 AS lim").collect()
+    assert r[0]["s"] == 10  # 0+1+2+3+4
