@@ -4719,3 +4719,166 @@ def text_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# fastText-style quality classifier: hashed token features -> linear model
+# trained by full-batch gradient descent — the CCNet/fastText filtering
+# pattern (train a cheap linear classifier on weak labels, score the
+# corpus). The twist that makes it oracle-exact at ANY scale: the link is
+# the rational "fast sigmoid" 0.5 + x/(2(1+|x|)) evaluated in EXACT
+# integer ppm (no exp, no libm), weights live in integer micro-units, and
+# every aggregate is a BIGINT sum — the whole training loop is
+# bit-identical across engines by construction, unlike the
+# exp-based sim_logreg_train whose agreement rests on rounding.
+# ---------------------------------------------------------------------------
+
+FT_BUCKETS = 64     # hashed feature space (presence features)
+FT_ITERS = 3        # full-batch GD steps, unrolled in the oracle
+FT_LR_DIV = 2       # step = sign(g) * (|g| div (FT_LR_DIV * N)) micro-units
+
+_FT_TOKS_DUCK = f"""
+  SELECT DISTINCT doc_id,
+         (('0x' || substr(md5(tok), 1, 8))::BIGINT % {FT_BUCKETS}) AS bucket
+  FROM (
+    SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+"""
+
+
+def _ft_oracle_sql() -> str:
+    """Unrolled {FT_ITERS}-step integer GD; each step is two MATERIALIZED
+    CTEs (per-doc score fold, per-bucket gradient)."""
+    parts = [f"""
+WITH toks AS MATERIALIZED ({_FT_TOKS_DUCK}),
+lab AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y FROM documents
+),
+n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM toks),
+w0 AS MATERIALIZED (SELECT DISTINCT bucket, 0::BIGINT AS w FROM toks)"""]
+    for i in range(1, FT_ITERS + 1):
+        parts.append(f""",
+s{i} AS MATERIALIZED (
+  SELECT t.doc_id, sum(w.w)::BIGINT AS s
+  FROM toks t JOIN w{i - 1} w USING (bucket)
+  GROUP BY t.doc_id
+),
+e{i} AS MATERIALIZED (
+  SELECT s.doc_id,
+         (500000
+          + CASE WHEN s.s >= 0
+                 THEN (1000000 * s.s) // (2 * (1000000 + s.s))
+                 ELSE -((1000000 * -s.s) // (2 * (1000000 - s.s))) END
+          - 1000000 * l.y)::BIGINT AS err_ppm
+  FROM s{i} s JOIN lab l USING (doc_id)
+),
+g{i} AS MATERIALIZED (
+  SELECT t.bucket, sum(e.err_ppm)::BIGINT AS g
+  FROM toks t JOIN e{i} e USING (doc_id)
+  GROUP BY t.bucket
+),
+w{i} AS MATERIALIZED (
+  SELECT w.bucket,
+         (w.w - CASE WHEN g.g >= 0
+                     THEN g.g // ({FT_LR_DIV} * (SELECT n FROM n))
+                     ELSE -((-g.g) // ({FT_LR_DIV} * (SELECT n FROM n))) END)::BIGINT AS w
+  FROM w{i - 1} w JOIN g{i} g USING (bucket)
+)""")
+    parts.append(f"""
+SELECT w.bucket,
+       df.df AS doc_freq,
+       w.w AS weight_micro
+FROM w{FT_ITERS} w
+JOIN (SELECT bucket, count(*)::BIGINT AS df FROM toks GROUP BY bucket) df USING (bucket)
+ORDER BY w.bucket""")
+    return "".join(parts)
+
+
+TEXT_FASTTEXT_ORACLE = _ft_oracle_sql()
+
+
+@register("text_fasttext_quality", TEXT_FASTTEXT_ORACLE, tags=("llm", "text", "ml", "iterative"))
+def text_fasttext_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality classifier (the fastText/CCNet corpus
+    filtering pattern): distinct tokens hash into {FT_BUCKETS} presence
+    buckets, the binary weak label is the substantial-document gate
+    n_chars >= 300 (the fixture's lang column is assigned independently of
+    the text, so nothing could learn it; length is the fixture's one
+    honestly text-correlated target -- presence breadth across buckets
+    predicts it, and the trained model separates the classes instead of
+    flipping coins), and {FT_ITERS}
+    full-batch gradient steps train per-bucket weights. EVERY quantity is
+    an exact integer — weights in micro-units, the link is the rational
+    fast sigmoid 0.5 + x/(2(1+|x|)) computed as integer ppm with
+    signed-magnitude floor division (DuckDB // floors, Spark div
+    truncates; flooring the magnitude and re-applying the sign makes them
+    agree), the gradient is a BIGINT sum of err_ppm, and the step is an
+    integer division — so the trained model is BIT-IDENTICAL across
+    engines at any scale, with no exp/libm dependence and no
+    order-sensitive float summation anywhere (the discipline the events
+    recurrence family established, applied to model training).
+
+    Scale shape: per iteration, one (doc x feature) join against the
+    {FT_BUCKETS}-row broadcast weight frame, a per-doc BIGINT fold, and a
+    per-bucket map-side-combinable gradient agg; the model syncs to the
+    driver as {FT_BUCKETS} rows per step (the sim_logreg_train /
+    GradientDescent.runMiniBatchSGD structure, reference
+    mllib/optimization/GradientDescent.scala:162)."""
+    from sol_spark.operators.dedup import local_checkpoint, release_result
+
+    t = load_tables(spark, sf_dir)
+    toks = (
+        t["documents"]
+        .select("doc_id", F.explode(F.expr(f"split({_NORM}, ' ')")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % {FT_BUCKETS}"
+            ).alias("bucket"),
+        )
+        .distinct()
+    )
+    toks = local_checkpoint(toks)
+    lab = t["documents"].select(
+        "doc_id", F.expr("CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END").alias("y")
+    )
+    n_docs = toks.select("doc_id").distinct().count()
+    df_counts = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = {r["bucket"]: 0 for r in df_counts.select("bucket").collect()}
+    den = FT_LR_DIV * n_docs
+    for _ in range(FT_ITERS):
+        wdf = spark.createDataFrame(sorted(w.items()), "bucket bigint, w bigint")
+        s = (
+            toks.join(F.broadcast(wdf), "bucket")
+            .groupBy("doc_id")
+            .agg(F.sum("w").alias("s"))
+        )
+        e = s.join(lab, "doc_id").select(
+            "doc_id",
+            F.expr(
+                "cast(500000 + CASE WHEN s >= 0 "
+                "THEN (1000000 * s) div (2 * (1000000 + s)) "
+                "ELSE -((1000000 * -s) div (2 * (1000000 - s))) END "
+                "- 1000000 * y AS bigint)"
+            ).alias("err_ppm"),
+        )
+        grads = {
+            r["bucket"]: r["g"]
+            for r in toks.join(e, "doc_id").groupBy("bucket").agg(F.sum("err_ppm").alias("g")).collect()
+        }
+        for b, g in grads.items():
+            step = g // den if g >= 0 else -((-g) // den)
+            w[b] = w[b] - step
+    wdf = spark.createDataFrame(sorted(w.items()), "bucket bigint, weight_micro bigint")
+    out = (
+        wdf.join(df_counts, "bucket")
+        .select("bucket", F.col("doc_freq").cast("long"), F.col("weight_micro").cast("long"))
+        .orderBy("bucket")
+    )
+    # df_counts reads the checkpointed toks: materialize the output FIRST,
+    # then drop the input blocks (the iterate()/finalize discipline).
+    out = local_checkpoint(out)
+    release_result(toks)
+    return out

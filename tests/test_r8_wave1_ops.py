@@ -224,3 +224,40 @@ def test_parameterized_sql_and_execute_immediate(spark):
     spark.sql("SET VAR ei_stmt = 'SELECT sum(k) AS s FROM IDENTIFIER(:t) WHERE k < :lim'")
     r = spark.sql("EXECUTE IMMEDIATE ei_stmt USING 'v_param_probe' AS t, 5 AS lim").collect()
     assert r[0]["s"] == 10  # 0+1+2+3+4
+
+
+def test_fasttext_quality_model_discriminates(spark, sf_dir):
+    """The integer-GD hashed-feature classifier must actually LEARN: score
+    each document with the trained weights and require a median-split
+    accuracy well above chance against the n_chars >= 300 label (the
+    oracle proves bit-exactness; this proves non-vacuity)."""
+    from pyspark.sql import functions as F
+
+    from sol_spark.operators.text import _NORM, FT_BUCKETS, text_fasttext_quality
+    from sol_spark.operators.dedup import release_result
+    from sol_spark.tables import load_tables
+
+    w = text_fasttext_quality(spark, sf_dir)
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        docs.select("doc_id", F.explode(F.expr(f"split({_NORM}, ' ')")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % {FT_BUCKETS}"
+            ).alias("bucket"),
+        )
+        .distinct()
+    )
+    scores = (
+        toks.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("weight_micro").alias("s"))
+        .join(docs.select("doc_id", (F.col("n_chars") >= 300).alias("y")), "doc_id")
+    )
+    rows = scores.collect()
+    release_result(w)
+    med = sorted(r["s"] for r in rows)[len(rows) // 2]
+    acc = sum((r["s"] > med) == r["y"] for r in rows) / len(rows)
+    assert acc > 0.75, f"median-split accuracy {acc}"
