@@ -3097,6 +3097,21 @@ def tpcds_q77(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup's ExpandExec runs over that tiny combined frame, never over the
     facts. The cross-joined catalog total is a 1-row broadcast. All money
     values are exact 4-decimal sums, so every rollup level rounds exactly."""
+    return (
+        _q77_combined(spark, sf_dir)
+        .rollup("channel", "id")
+        .agg(
+            F.round(F.sum("sales"), 4).alias("sales"),
+            F.round(F.sum("returns_amt"), 4).alias("returns_amt"),
+            F.round(F.sum("profit"), 4).alias("profit"),
+        )
+        .orderBy(F.col("channel").asc_nulls_first(), F.col("id").asc_nulls_first())
+    )
+
+
+def _q77_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q77's per-channel P&L union frame — shared by q77 (ROLLUP) and the
+    v2.7 q77a (explicit union of levels)."""
     ds = _ds(spark, sf_dir)
     dd = F.broadcast(
         ds["date_dim"].filter((F.col("d_year") == 1996) & (F.col("d_moy").between(5, 6)))
@@ -3157,16 +3172,7 @@ def tpcds_q77(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("profit") - F.coalesce("profit_loss", F.lit(0.0))).alias("profit"),
         )
     )
-    return (
-        store_part.unionAll(catalog_part).unionAll(web_part)
-        .rollup("channel", "id")
-        .agg(
-            F.round(F.sum("sales"), 4).alias("sales"),
-            F.round(F.sum("returns_amt"), 4).alias("returns_amt"),
-            F.round(F.sum("profit"), 4).alias("profit"),
-        )
-        .orderBy(F.col("channel").asc_nulls_first(), F.col("id").asc_nulls_first())
-    )
+    return store_part.unionAll(catalog_part).unionAll(web_part)
 
 
 # ---------------------------------------------------------------------------
@@ -5419,6 +5425,21 @@ def tpcds_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     The (channel, id) ROLLUP then runs over the tiny combined frame.
     Plan: 6 filtered scans, 3 union-aggregates, one Expand over ~|ids|
     rows."""
+    return (
+        _q5_combined(spark, sf_dir)
+        .rollup("channel", "id")
+        .agg(
+            F.round(F.sum("sales"), 4).alias("sales"),
+            F.round(F.sum("returns_amt"), 4).alias("returns_amt"),
+            F.round(F.sum("profit"), 4).alias("profit"),
+        )
+        .orderBy(F.col("channel").asc_nulls_first(), F.col("id").asc_nulls_first())
+    )
+
+
+def _q5_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q5's signed-union per-channel P&L frame — shared by q5 (ROLLUP) and
+    the v2.7 q5a (explicit union of levels)."""
     ds = _ds(spark, sf_dir)
 
     def chan(sales: DataFrame, returns: DataFrame, label: str) -> DataFrame:
@@ -5464,16 +5485,7 @@ def tpcds_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wr_return_amt").alias("return_amt"), F.col("wr_net_loss").alias("net_loss")),
         "web channel",
     )
-    return (
-        ssr.unionAll(csr).unionAll(wsr)
-        .rollup("channel", "id")
-        .agg(
-            F.round(F.sum("sales"), 4).alias("sales"),
-            F.round(F.sum("returns_amt"), 4).alias("returns_amt"),
-            F.round(F.sum("profit"), 4).alias("profit"),
-        )
-        .orderBy(F.col("channel").asc_nulls_first(), F.col("id").asc_nulls_first())
-    )
+    return ssr.unionAll(csr).unionAll(wsr)
 
 
 Q18_ORACLE = f"""
@@ -6394,6 +6406,22 @@ def tpcds_q80(spark: SparkSession, sf_dir: str) -> DataFrame:
     before aggregating — the third of the spec's three P&L formulations.
     Plan: three line-grain left joins, three item aggregates, Expand over
     the union of |items| rows."""
+    return (
+        _q80_combined(spark, sf_dir)
+        .rollup("channel", "id")
+        .agg(
+            F.round(F.sum("sales"), 4).alias("sales"),
+            F.round(F.sum("returns_amt"), 4).alias("returns_amt"),
+            F.round(F.sum("profit"), 4).alias("profit"),
+        )
+        .orderBy(F.col("channel").asc_nulls_first(), F.col("id").asc_nulls_first())
+        .limit(100)
+    )
+
+
+def _q80_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q80's item-grain per-channel P&L union frame — shared by q80
+    (ROLLUP) and the v2.7 q80a (explicit union of levels)."""
     ds = _ds(spark, sf_dir)
     promo_ok = ds["promotion"].filter(F.col("p_channel_email") == "N").select("p_promo_sk")
     item = ds["item"].select("i_item_sk", "i_item_id")
@@ -6453,17 +6481,7 @@ def tpcds_q80(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("web channel").alias("channel"), "id", "sales", "returns_amt", "profit")
     )
-    return (
-        ssr.unionAll(csr).unionAll(wsr)
-        .rollup("channel", "id")
-        .agg(
-            F.round(F.sum("sales"), 4).alias("sales"),
-            F.round(F.sum("returns_amt"), 4).alias("returns_amt"),
-            F.round(F.sum("profit"), 4).alias("profit"),
-        )
-        .orderBy(F.col("channel").asc_nulls_first(), F.col("id").asc_nulls_first())
-        .limit(100)
-    )
+    return ssr.unionAll(csr).unionAll(wsr)
 
 
 # ---------------------------------------------------------------------------
@@ -6923,5 +6941,624 @@ def tpcds_q51a(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("promo_cumulative") > F.col("store_cumulative"))
         .orderBy("item_sk", "month_seq")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18a — q18's (state, city) rollup as an explicit union of levels
+# (TPC-DS v2.7, reference tpcds-v2.7.0/q18a.sql)
+# ---------------------------------------------------------------------------
+
+_Q18A_AVG = "(CASE WHEN sum({u}) >= 0 THEN (2 * sum({u}) + count({u})) // (2 * count({u})) ELSE -((2 * -sum({u}) + count({u})) // (2 * count({u}))) END) / 10000.0"
+
+Q18A_ORACLE = f"""
+WITH {DS_CTES},
+units AS (
+  SELECT ca_state, ca_city,
+         CAST(round(cs_quantity) AS BIGINT) * 10000 AS qu,
+         CAST(round(cs_ext_sales_price * 10000) AS BIGINT) AS pu,
+         CAST(round(cs_net_profit * 10000) AS BIGINT) AS pru,
+         CAST(round(hd_dep_count) AS BIGINT) * 10000 AS du
+  FROM catalog_sales
+JOIN customer_dim ON cs_bill_customer_sk = c_customer_sk
+JOIN customer_address ON c_current_addr_sk = ca_address_sk
+JOIN household_demographics ON cs_bill_hdemo_sk = hd_demo_sk
+JOIN customer_demographics ON cs_bill_cdemo_sk = cd_demo_sk
+WHERE cd_gender = 'F' AND cd_education_status = 'Primary'
+  AND year(cs_sold_date_sk) = 1997),
+lv AS (
+  SELECT ca_state, ca_city, 0 AS lochierarchy,
+         {_Q18A_AVG.format(u='qu')} AS agg1, {_Q18A_AVG.format(u='pu')} AS agg2,
+         {_Q18A_AVG.format(u='pru')} AS agg3, {_Q18A_AVG.format(u='du')} AS agg4
+  FROM units GROUP BY ca_state, ca_city
+  UNION ALL
+  SELECT ca_state, NULL, 1,
+         {_Q18A_AVG.format(u='qu')}, {_Q18A_AVG.format(u='pu')},
+         {_Q18A_AVG.format(u='pru')}, {_Q18A_AVG.format(u='du')}
+  FROM units GROUP BY ca_state
+  UNION ALL
+  SELECT NULL, NULL, 2,
+         {_Q18A_AVG.format(u='qu')}, {_Q18A_AVG.format(u='pu')},
+         {_Q18A_AVG.format(u='pru')}, {_Q18A_AVG.format(u='du')}
+  FROM units)
+SELECT ca_state, ca_city, lochierarchy::BIGINT AS lochierarchy,
+       agg1, agg2, agg3, agg4
+FROM lv
+ORDER BY lochierarchy, ca_state NULLS FIRST, ca_city NULLS FIRST
+LIMIT 100
+"""
+
+_Q18A_AVG_SPARK = _Q18A_AVG.replace("//", "div")
+
+
+@register("tpcds_q18a", Q18A_ORACLE, tags=("tpcds", "v27", "union", "catalog"))
+def tpcds_q18a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS v2.7 q18a (reference tpcds-v2.7.0/q18a.sql): q18's geography
+    ROLLUP re-expressed as an explicit union of per-level aggregates, each
+    level re-averaging the RAW unit rows (the variant's defining property
+    — level aggregates are not derivable from level 0 for AVG). Averages
+    are the q18 sign-safe integer HALF_UP form over exact ten-thousandth
+    units; an explicit lochierarchy column replaces grouping()."""
+    ds = _ds(spark, sf_dir)
+    cd = ds["customer_demographics"].filter(
+        (F.col("cd_gender") == "F") & (F.col("cd_education_status") == "Primary")
+    )
+    units = (
+        ds["catalog_sales"]
+        .filter(F.year("cs_sold_date_sk") == 1997)
+        .join(F.broadcast(cd), F.col("cs_bill_cdemo_sk") == F.col("cd_demo_sk"))
+        .join(ds["customer_dim"].select("c_customer_sk", "c_current_addr_sk"),
+              F.col("cs_bill_customer_sk") == F.col("c_customer_sk"))
+        .join(ds["customer_address"].select("ca_address_sk", "ca_state", "ca_city"),
+              F.col("c_current_addr_sk") == F.col("ca_address_sk"))
+        .join(F.broadcast(ds["household_demographics"]), F.col("cs_bill_hdemo_sk") == F.col("hd_demo_sk"))
+        .select(
+            "ca_state", "ca_city",
+            (F.round(F.col("cs_quantity")).cast("bigint") * 10000).alias("qu"),
+            F.round(F.col("cs_ext_sales_price") * 10000).cast("bigint").alias("pu"),
+            F.round(F.col("cs_net_profit") * 10000).cast("bigint").alias("pru"),
+            (F.round(F.col("hd_dep_count")).cast("bigint") * 10000).alias("du"),
+        )
+    )
+
+    def level(grouped, state_col, city_col, lh: int) -> DataFrame:
+        return grouped.agg(
+            *[
+                (F.expr(_Q18A_AVG_SPARK.format(u=u))).alias(f"agg{i + 1}")
+                for i, u in enumerate(("qu", "pu", "pru", "du"))
+            ]
+        ).select(
+            state_col.alias("ca_state"), city_col.alias("ca_city"),
+            F.lit(lh).alias("lochierarchy"), "agg1", "agg2", "agg3", "agg4",
+        )
+
+    lv0 = level(units.groupBy("ca_state", "ca_city"), F.col("ca_state"), F.col("ca_city"), 0)
+    lv1 = level(units.groupBy("ca_state"), F.col("ca_state"), F.lit(None).cast("string"), 1)
+    lv2 = level(units.groupBy(), F.lit(None).cast("string"), F.lit(None).cast("string"), 2)
+    return (
+        lv0.unionByName(lv1).unionByName(lv2)
+        .select("ca_state", "ca_city", F.col("lochierarchy").cast("long"), "agg1", "agg2", "agg3", "agg4")
+        .orderBy("lochierarchy", F.col("ca_state").asc_nulls_first(), F.col("ca_city").asc_nulls_first())
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q70a — q70's (state, city) rollup as a union of levels with the
+# rank-within-parent window (TPC-DS v2.7, reference tpcds-v2.7.0/q70a.sql)
+# ---------------------------------------------------------------------------
+
+Q70A_ORACLE = f"""
+WITH {DS_CTES},
+top_states AS (
+  SELECT s_state FROM (
+    SELECT s.s_state,
+           rank() OVER (ORDER BY sum(ss.ss_net_profit) DESC, s.s_state) AS r
+    FROM store_sales ss JOIN store s ON ss.ss_store_sk = s.s_store_sk
+    GROUP BY s.s_state
+  ) t WHERE r <= 5
+),
+base AS (
+  SELECT s.s_state, s.s_city, ss.ss_net_profit AS p
+  FROM store_sales ss JOIN store s ON ss.ss_store_sk = s.s_store_sk
+  WHERE s.s_state IN (SELECT s_state FROM top_states)
+),
+lv AS (
+  SELECT s_state, s_city, 0 AS lochierarchy, round(sum(p), 4) AS total_sum
+  FROM base GROUP BY s_state, s_city
+  UNION ALL
+  SELECT s_state, NULL, 1, round(sum(p), 4) FROM base GROUP BY s_state
+  UNION ALL
+  SELECT NULL, NULL, 2, round(sum(p), 4) FROM base)
+SELECT total_sum, s_state AS state, s_city AS city,
+       lochierarchy::BIGINT AS lochierarchy,
+       rank() OVER (
+         PARTITION BY lochierarchy,
+                      CASE WHEN lochierarchy = 0 THEN s_state END
+         ORDER BY total_sum DESC) AS rank_within_parent
+FROM lv
+ORDER BY lochierarchy DESC, CASE WHEN lochierarchy = 0 THEN s_state END NULLS FIRST,
+         rank_within_parent, state NULLS FIRST, city NULLS FIRST
+"""
+
+
+@register("tpcds_q70a", Q70A_ORACLE, tags=("tpcds", "v27", "union", "window"))
+def tpcds_q70a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS v2.7 q70a (reference tpcds-v2.7.0/q70a.sql): q70's
+    state/city ROLLUP over the top-5-profit states as an explicit
+    three-level union, ranked within parent like q36a — the v2.7
+    formulation that trades one ExpandExec for three scans of the reduced
+    base (here: three aggregates of ONE narrowed join output)."""
+    ds = _ds(spark, sf_dir)
+    joined = ds["store_sales"].join(
+        F.broadcast(ds["store"].select("s_store_sk", "s_state", "s_city")),
+        F.col("ss_store_sk") == F.col("s_store_sk"),
+    )
+    per_state = joined.groupBy("s_state").agg(F.sum("ss_net_profit").alias("p"))
+    top = (
+        per_state.select(
+            "s_state", F.rank().over(W.orderBy(F.desc("p"), F.col("s_state"))).alias("r")
+        )
+        .filter(F.col("r") <= 5)
+        .select("s_state")
+    )
+    base = joined.join(F.broadcast(top), "s_state", "left_semi").select(
+        "s_state", "s_city", F.col("ss_net_profit").alias("p")
+    )
+    lv0 = base.groupBy("s_state", "s_city").agg(F.round(F.sum("p"), 4).alias("total_sum")).select(
+        "s_state", "s_city", F.lit(0).alias("lochierarchy"), "total_sum")
+    lv1 = base.groupBy("s_state").agg(F.round(F.sum("p"), 4).alias("total_sum")).select(
+        "s_state", F.lit(None).cast("string").alias("s_city"), F.lit(1).alias("lochierarchy"), "total_sum")
+    lv2 = base.agg(F.round(F.sum("p"), 4).alias("total_sum")).select(
+        F.lit(None).cast("string").alias("s_state"), F.lit(None).cast("string").alias("s_city"),
+        F.lit(2).alias("lochierarchy"), "total_sum")
+    lv = lv0.unionByName(lv1).unionByName(lv2)
+    w = W.partitionBy(
+        "lochierarchy", F.when(F.col("lochierarchy") == 0, F.col("s_state"))
+    ).orderBy(F.desc("total_sum"))
+    return (
+        lv.select(
+            "total_sum",
+            F.col("s_state").alias("state"),
+            F.col("s_city").alias("city"),
+            F.col("lochierarchy").cast("long").alias("lochierarchy"),
+            F.rank().over(w).alias("rank_within_parent"),
+        )
+        .orderBy(
+            F.desc("lochierarchy"),
+            F.when(F.col("lochierarchy") == 0, F.col("state")).asc_nulls_first(),
+            "rank_within_parent",
+            F.col("state").asc_nulls_first(),
+            F.col("city").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q77a — q77's (channel, id) rollup as an explicit union of levels
+# (TPC-DS v2.7, reference tpcds-v2.7.0/q77a.sql)
+# ---------------------------------------------------------------------------
+
+_Q77_COMBINED_SQL = Q77_ORACLE[: Q77_ORACLE.index(")\nSELECT channel") + 2]
+
+Q77A_ORACLE = f"""{_Q77_COMBINED_SQL}, lv AS (
+  SELECT channel, id, 0 AS lochierarchy,
+         round(sum(sales), 4) AS sales, round(sum(returns_amt), 4) AS returns_amt,
+         round(sum(profit), 4) AS profit
+  FROM combined GROUP BY channel, id
+  UNION ALL
+  SELECT channel, NULL, 1, round(sum(sales), 4), round(sum(returns_amt), 4), round(sum(profit), 4)
+  FROM combined GROUP BY channel
+  UNION ALL
+  SELECT NULL, NULL, 2, round(sum(sales), 4), round(sum(returns_amt), 4), round(sum(profit), 4)
+  FROM combined)
+SELECT channel, id, lochierarchy::BIGINT AS lochierarchy, sales, returns_amt, profit
+FROM lv
+ORDER BY lochierarchy, channel NULLS FIRST, id NULLS FIRST
+"""
+
+
+@register("tpcds_q77a", Q77A_ORACLE, tags=("tpcds", "v27", "union", "crosschannel"))
+def tpcds_q77a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS v2.7 q77a (reference tpcds-v2.7.0/q77a.sql): q77's
+    (channel, id) ROLLUP over the per-channel P&L union as an explicit
+    three-level union — the shared combined frame (_q77_combined) is built
+    once and re-aggregated per level, so the six fact passes are not
+    repeated (the v2.7 file re-expands them; the DataFrame form names the
+    common subplan instead)."""
+    combined = _q77_combined(spark, sf_dir)
+
+    def lv(grouped, ch, i, lh: int) -> DataFrame:
+        return grouped.agg(
+            F.round(F.sum("sales"), 4).alias("sales"),
+            F.round(F.sum("returns_amt"), 4).alias("returns_amt"),
+            F.round(F.sum("profit"), 4).alias("profit"),
+        ).select(
+            ch.alias("channel"), i.alias("id"), F.lit(lh).alias("lochierarchy"),
+            "sales", "returns_amt", "profit",
+        )
+
+    out = (
+        lv(combined.groupBy("channel", "id"), F.col("channel"), F.col("id"), 0)
+        .unionByName(lv(combined.groupBy("channel"), F.col("channel"), F.lit(None).cast("long"), 1))
+        .unionByName(lv(combined.groupBy(), F.lit(None).cast("string"), F.lit(None).cast("long"), 2))
+    )
+    return (
+        out.select("channel", "id", F.col("lochierarchy").cast("long"), "sales", "returns_amt", "profit")
+        .orderBy("lochierarchy", F.col("channel").asc_nulls_first(), F.col("id").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------------------
+# q5a — q5's (channel, id) rollup as an explicit union of levels
+# (TPC-DS v2.7, reference tpcds-v2.7.0/q5a.sql)
+# ---------------------------------------------------------------------------
+
+_Q5_CTES_SQL = Q5_ORACLE[: Q5_ORACLE.index("\nSELECT channel")]
+
+Q5A_ORACLE = f"""{_Q5_CTES_SQL},
+combined AS (
+  SELECT 'store channel' AS channel, * FROM ssr
+  UNION ALL SELECT 'catalog channel', * FROM csr
+  UNION ALL SELECT 'web channel', * FROM wsr),
+lv AS (
+  SELECT channel, id, 0 AS lochierarchy,
+         round(sum(sales), 4) AS sales, round(sum(returns_amt), 4) AS returns_amt,
+         round(sum(profit), 4) AS profit
+  FROM combined GROUP BY channel, id
+  UNION ALL
+  SELECT channel, NULL, 1, round(sum(sales), 4), round(sum(returns_amt), 4), round(sum(profit), 4)
+  FROM combined GROUP BY channel
+  UNION ALL
+  SELECT NULL, NULL, 2, round(sum(sales), 4), round(sum(returns_amt), 4), round(sum(profit), 4)
+  FROM combined)
+SELECT channel, id, lochierarchy::BIGINT AS lochierarchy, sales, returns_amt, profit
+FROM lv
+ORDER BY lochierarchy, channel NULLS FIRST, id NULLS FIRST
+"""
+
+
+@register("tpcds_q5a", Q5A_ORACLE, tags=("tpcds", "v27", "union", "crosschannel"))
+def tpcds_q5a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS v2.7 q5a (reference tpcds-v2.7.0/q5a.sql): q5's
+    (channel, id) ROLLUP over the signed-union P&L as an explicit
+    three-level union, re-aggregating the shared combined frame
+    (_q5_combined) per level — one subplan, three bounded aggregates."""
+    combined = _q5_combined(spark, sf_dir)
+
+    def lv(grouped, ch, i, lh: int) -> DataFrame:
+        return grouped.agg(
+            F.round(F.sum("sales"), 4).alias("sales"),
+            F.round(F.sum("returns_amt"), 4).alias("returns_amt"),
+            F.round(F.sum("profit"), 4).alias("profit"),
+        ).select(
+            ch.alias("channel"), i.alias("id"), F.lit(lh).alias("lochierarchy"),
+            "sales", "returns_amt", "profit",
+        )
+
+    out = (
+        lv(combined.groupBy("channel", "id"), F.col("channel"), F.col("id"), 0)
+        .unionByName(lv(combined.groupBy("channel"), F.col("channel"), F.lit(None).cast("long"), 1))
+        .unionByName(lv(combined.groupBy(), F.lit(None).cast("string"), F.lit(None).cast("long"), 2))
+    )
+    return (
+        out.select("channel", "id", F.col("lochierarchy").cast("long"), "sales", "returns_amt", "profit")
+        .orderBy("lochierarchy", F.col("channel").asc_nulls_first(), F.col("id").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------------------
+# q80a — q80's (channel, item) rollup as an explicit union of levels
+# (TPC-DS v2.7, reference tpcds-v2.7.0/q80a.sql)
+# ---------------------------------------------------------------------------
+
+_Q80_CTES_SQL = Q80_ORACLE[: Q80_ORACLE.index("\nSELECT channel")]
+
+Q80A_ORACLE = f"""{_Q80_CTES_SQL},
+combined AS (
+  SELECT 'store channel' AS channel, * FROM ssr
+  UNION ALL SELECT 'catalog channel', * FROM csr
+  UNION ALL SELECT 'web channel', * FROM wsr),
+lv AS (
+  SELECT channel, id, 0 AS lochierarchy,
+         round(sum(sales), 4) AS sales, round(sum(returns_amt), 4) AS returns_amt,
+         round(sum(profit), 4) AS profit
+  FROM combined GROUP BY channel, id
+  UNION ALL
+  SELECT channel, NULL, 1, round(sum(sales), 4), round(sum(returns_amt), 4), round(sum(profit), 4)
+  FROM combined GROUP BY channel
+  UNION ALL
+  SELECT NULL, NULL, 2, round(sum(sales), 4), round(sum(returns_amt), 4), round(sum(profit), 4)
+  FROM combined)
+SELECT channel, id, lochierarchy::BIGINT AS lochierarchy, sales, returns_amt, profit
+FROM lv
+ORDER BY lochierarchy, channel NULLS FIRST, id NULLS FIRST
+LIMIT 100
+"""
+
+
+@register("tpcds_q80a", Q80A_ORACLE, tags=("tpcds", "v27", "union", "crosschannel"))
+def tpcds_q80a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS v2.7 q80a (reference tpcds-v2.7.0/q80a.sql): q80's
+    (channel, item) ROLLUP over the line-matched P&L as an explicit
+    three-level union over the shared combined frame (_q80_combined)."""
+    combined = _q80_combined(spark, sf_dir)
+
+    def lv(grouped, ch, i, lh: int) -> DataFrame:
+        return grouped.agg(
+            F.round(F.sum("sales"), 4).alias("sales"),
+            F.round(F.sum("returns_amt"), 4).alias("returns_amt"),
+            F.round(F.sum("profit"), 4).alias("profit"),
+        ).select(
+            ch.alias("channel"), i.alias("id"), F.lit(lh).alias("lochierarchy"),
+            "sales", "returns_amt", "profit",
+        )
+
+    out = (
+        lv(combined.groupBy("channel", "id"), F.col("channel"), F.col("id"), 0)
+        .unionByName(lv(combined.groupBy("channel"), F.col("channel"), F.lit(None).cast("string"), 1))
+        .unionByName(lv(combined.groupBy(), F.lit(None).cast("string"), F.lit(None).cast("string"), 2))
+    )
+    return (
+        out.select("channel", "id", F.col("lochierarchy").cast("long"), "sales", "returns_amt", "profit")
+        .orderBy("lochierarchy", F.col("channel").asc_nulls_first(), F.col("id").asc_nulls_first())
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q67a — q67's 8-column rollup as an explicit 9-level union
+# (TPC-DS v2.7, reference tpcds-v2.7.0/q67a.sql). Both sides are GENERATED
+# by one loop over the rollup prefixes, so the nine levels cannot drift.
+# ---------------------------------------------------------------------------
+
+_Q67_COLS: tuple[tuple[str, str], ...] = (
+    ("i_category", "VARCHAR"), ("i_class", "VARCHAR"), ("i_brand", "VARCHAR"),
+    ("i_item_desc", "VARCHAR"), ("d_year", "INTEGER"), ("d_qoy", "INTEGER"),
+    ("d_moy", "INTEGER"), ("s_store_name", "VARCHAR"),
+)
+
+
+def _q67a_oracle_sql() -> str:
+    base = """
+base AS MATERIALIZED (
+  SELECT i.i_category, i.i_class, i.i_brand, i.i_item_desc,
+         d.d_year, d.d_qoy, d.d_moy, s.s_store_name,
+         CAST(round(ss.ss_sales_price * 10000) AS BIGINT) * ss.ss_quantity AS u
+  FROM store_sales ss
+  JOIN date_dim d ON ss.ss_sold_date_sk = d.d_date_sk
+  JOIN item i ON ss.ss_item_sk = i.i_item_sk
+  JOIN store s ON ss.ss_store_sk = s.s_store_sk
+  WHERE d.d_year = 2000
+)"""
+    levels = []
+    for k in range(len(_Q67_COLS), -1, -1):
+        sel = [
+            (name if j < k else f"CAST(NULL AS {typ})") + f" AS {name}"
+            for j, (name, typ) in enumerate(_Q67_COLS)
+        ]
+        grp = ", ".join(name for name, _ in _Q67_COLS[:k])
+        levels.append(
+            "  SELECT " + ", ".join(sel) + ", sum(u) / 10000.0 AS sumsales FROM base"
+            + (f" GROUP BY {grp}" if grp else "")
+        )
+    union = "\n  UNION ALL\n".join(levels)
+    return f"""
+WITH {DS_CTES},{base},
+agg AS (
+{union}
+)
+SELECT * FROM (
+  SELECT i_category, i_class, i_brand, i_item_desc AS i_product_name,
+         d_year, d_qoy, d_moy, s_store_name AS s_store_id, sumsales,
+         rank() OVER (PARTITION BY i_category ORDER BY sumsales DESC) AS rk
+  FROM agg
+) t
+WHERE rk <= 10
+ORDER BY i_category NULLS FIRST, rk, i_class NULLS FIRST, i_brand NULLS FIRST,
+         i_product_name NULLS FIRST, d_year NULLS FIRST, d_qoy NULLS FIRST,
+         d_moy NULLS FIRST, s_store_id NULLS FIRST
+"""
+
+
+Q67A_ORACLE = _q67a_oracle_sql()
+
+
+@register("tpcds_q67a", Q67A_ORACLE, tags=("tpcds", "v27", "union", "window"))
+def tpcds_q67a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS v2.7 q67a (reference tpcds-v2.7.0/q67a.sql): q67's 8-column
+    ROLLUP as an explicit NINE-level union — the v2.7 formulation trades
+    the single ExpandExec (9x row fan-out through one shuffle) for nine
+    aggregates over a shared base; on a real cluster the named common
+    subplan is scanned once and each level is a map-side-combined
+    hash-agg, which can beat the Expand when the fact is wide. Both the
+    Spark levels and the oracle's are generated by one loop over the
+    rollup prefixes, so the formulations cannot drift. sumsales stays an
+    exact BIGINT ten-thousandths sum divided once at display (the q67
+    integer-unit discipline)."""
+    from sol_spark.operators.dedup import local_checkpoint, release_result
+
+    ds = _ds(spark, sf_dir)
+    dd = ds["date_dim"].filter(F.col("d_year") == 2000)
+    base = (
+        ds["store_sales"]
+        .join(F.broadcast(dd), F.col("ss_sold_date_sk") == F.col("d_date_sk"))
+        .join(ds["item"], F.col("ss_item_sk") == F.col("i_item_sk"))
+        .join(F.broadcast(ds["store"]), F.col("ss_store_sk") == F.col("s_store_sk"))
+        .select(
+            *[name for name, _ in _Q67_COLS],
+            (F.round(F.col("ss_sales_price") * 10000).cast("bigint") * F.col("ss_quantity")).alias("u"),
+        )
+    )
+    # One materialization serves all nine level aggregates (the named
+    # common subplan the v2.7 SQL re-expands textually).
+    base = local_checkpoint(base)
+    spark_type = {"VARCHAR": "string", "INTEGER": "int"}
+    levels = []
+    for k in range(len(_Q67_COLS), -1, -1):
+        keep = [name for name, _ in _Q67_COLS[:k]]
+        grouped = base.groupBy(*keep) if keep else base.groupBy()
+        lvl = grouped.agg((F.sum("u") / 10000.0).alias("sumsales")).select(
+            *[
+                (F.col(name) if j < k else F.lit(None).cast(spark_type[typ])).alias(name)
+                for j, (name, typ) in enumerate(_Q67_COLS)
+            ],
+            "sumsales",
+        )
+        levels.append(lvl)
+    agg = levels[0]
+    for lvl in levels[1:]:
+        agg = agg.unionByName(lvl)
+    w = W.partitionBy("i_category").orderBy(F.desc("sumsales"))
+    out = (
+        agg.select(
+            "i_category", "i_class", "i_brand",
+            F.col("i_item_desc").alias("i_product_name"),
+            "d_year", "d_qoy", "d_moy",
+            F.col("s_store_name").alias("s_store_id"),
+            "sumsales",
+        )
+        .withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 10)
+        .orderBy(
+            F.col("i_category").asc_nulls_first(), "rk",
+            F.col("i_class").asc_nulls_first(), F.col("i_brand").asc_nulls_first(),
+            F.col("i_product_name").asc_nulls_first(), F.col("d_year").asc_nulls_first(),
+            F.col("d_qoy").asc_nulls_first(), F.col("d_moy").asc_nulls_first(),
+            F.col("s_store_id").asc_nulls_first(),
+        )
+    )
+    out = local_checkpoint(out)
+    release_result(base)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q14a — q14's per-channel brand report with the v2.7 union-of-levels
+# hierarchy rollup (reference tpcds-v2.7.0/q14a.sql)
+# ---------------------------------------------------------------------------
+
+_Q14A_RESULTS_SQL = Q14_ORACLE[Q14_ORACLE.index("WITH") : Q14_ORACLE.index("\nSELECT channel")]
+
+Q14A_ORACLE = f"""{_Q14A_RESULTS_SQL},
+results AS (
+  SELECT channel, i_brand_id, i_class, i_category_id,
+         round(sum(p), 4) AS sum_sales, count(*)::BIGINT AS number_sales
+  FROM united JOIN item ON item_sk = i_item_sk
+  WHERE item_sk IN (SELECT item_sk FROM cross_items)
+  GROUP BY channel, i_brand_id, i_class, i_category_id
+  HAVING sum(p) > (SELECT average_sales FROM avg_sales) * 10),
+lv AS (
+  SELECT channel, i_brand_id, i_class, i_category_id, sum_sales, number_sales
+  FROM results
+  UNION ALL
+  SELECT channel, i_brand_id, i_class, NULL,
+         round(sum(sum_sales), 4), sum(number_sales)
+  FROM results GROUP BY channel, i_brand_id, i_class
+  UNION ALL
+  SELECT channel, i_brand_id, NULL, NULL,
+         round(sum(sum_sales), 4), sum(number_sales)
+  FROM results GROUP BY channel, i_brand_id
+  UNION ALL
+  SELECT channel, NULL, NULL, NULL,
+         round(sum(sum_sales), 4), sum(number_sales)
+  FROM results GROUP BY channel
+  UNION ALL
+  SELECT NULL, NULL, NULL, NULL,
+         round(sum(sum_sales), 4), sum(number_sales)
+  FROM results)
+SELECT channel, i_brand_id, i_class, i_category_id,
+       sum_sales, number_sales::BIGINT AS number_sales
+FROM lv
+ORDER BY channel NULLS FIRST, i_brand_id NULLS FIRST, i_class NULLS FIRST,
+         i_category_id NULLS FIRST
+LIMIT 100
+"""
+
+
+@register("tpcds_q14a", Q14A_ORACLE, tags=("tpcds", "v27", "union", "crosschannel"))
+def tpcds_q14a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS v2.7 q14a (reference tpcds-v2.7.0/q14a.sql): q14's
+    cross-channel brand report extended down the item hierarchy — the
+    HAVING-filtered (channel, brand, class, category) level-0 aggregate is
+    then rolled up through four more levels as an explicit union, each
+    level SUMMING level-0 totals (unlike q18a's averages, sums are exactly
+    derivable from the finer level, which is what the v2.7 file does).
+    Reuses q14's cross_items INTERSECT keep-list and scalar sales cutoff."""
+    ds = _ds(spark, sf_dir)
+
+    def items_of(fact: str, item: str, date: str) -> DataFrame:
+        return ds[fact].filter(F.year(date) == 1996).select(F.col(item).alias("item_sk")).distinct()
+
+    cross_items = (
+        items_of("store_sales", "ss_item_sk", "ss_sold_date_sk")
+        .intersect(items_of("catalog_sales", "cs_item_sk", "cs_sold_date_sk"))
+        .intersect(items_of("web_sales", "ws_item_sk", "ws_sold_date_sk"))
+    )
+
+    def prices(fact: str, item: str, date: str, price: str, yr: int, ch: str | None = None) -> DataFrame:
+        d = ds[fact].filter(F.year(date) == yr)
+        cols = [F.col(item).alias("item_sk"), F.col(price).alias("p")]
+        if ch is not None:
+            cols.insert(0, F.lit(ch).alias("channel"))
+        return d.select(*cols)
+
+    avg_sales = (
+        prices("store_sales", "ss_item_sk", "ss_sold_date_sk", "ss_ext_sales_price", 1996)
+        .unionAll(prices("catalog_sales", "cs_item_sk", "cs_sold_date_sk", "cs_ext_sales_price", 1996))
+        .unionAll(prices("web_sales", "ws_item_sk", "ws_sold_date_sk", "ws_ext_sales_price", 1996))
+        .agg(F.avg("p").alias("average_sales"))
+    )
+    united = (
+        prices("store_sales", "ss_item_sk", "ss_sold_date_sk", "ss_ext_sales_price", 1997, "store")
+        .unionAll(prices("catalog_sales", "cs_item_sk", "cs_sold_date_sk", "cs_ext_sales_price", 1997, "catalog"))
+        .unionAll(prices("web_sales", "ws_item_sk", "ws_sold_date_sk", "ws_ext_sales_price", 1997, "web"))
+    )
+    results = (
+        united.join(F.broadcast(cross_items), "item_sk", "left_semi")
+        .join(ds["item"].select("i_item_sk", "i_brand_id", "i_class", "i_category_id"),
+              F.col("item_sk") == F.col("i_item_sk"))
+        .groupBy("channel", "i_brand_id", "i_class", "i_category_id")
+        .agg(F.sum("p").alias("raw_sales"), F.count(F.lit(1)).alias("number_sales"))
+        .crossJoin(F.broadcast(avg_sales))
+        .filter(F.col("raw_sales") > F.col("average_sales") * 10)
+        .select(
+            "channel", "i_brand_id", "i_class", "i_category_id",
+            F.round(F.col("raw_sales"), 4).alias("sum_sales"), "number_sales",
+        )
+    )
+
+    def lv(keys: list[str]) -> DataFrame:
+        grouped = results.groupBy(*keys) if keys else results.groupBy()
+        nulls = {
+            "i_brand_id": F.lit(None).cast("int"),
+            "i_class": F.lit(None).cast("string"),
+            "i_category_id": F.lit(None).cast("bigint"),
+            "channel": F.lit(None).cast("string"),
+        }
+        return grouped.agg(
+            F.round(F.sum("sum_sales"), 4).alias("sum_sales"),
+            F.sum("number_sales").alias("number_sales"),
+        ).select(
+            *[
+                (F.col(c) if c in keys else nulls[c]).alias(c)
+                for c in ("channel", "i_brand_id", "i_class", "i_category_id")
+            ],
+            "sum_sales", "number_sales",
+        )
+
+    out = results.select("channel", "i_brand_id", "i_class", "i_category_id", "sum_sales", "number_sales")
+    for keys in (["channel", "i_brand_id", "i_class"], ["channel", "i_brand_id"], ["channel"], []):
+        out = out.unionByName(lv(keys))
+    return (
+        out.select(
+            "channel", "i_brand_id", "i_class", "i_category_id",
+            "sum_sales", F.col("number_sales").cast("long").alias("number_sales"),
+        )
+        .orderBy(
+            F.col("channel").asc_nulls_first(), F.col("i_brand_id").asc_nulls_first(),
+            F.col("i_class").asc_nulls_first(), F.col("i_category_id").asc_nulls_first(),
+        )
         .limit(100)
     )
