@@ -99,6 +99,14 @@ HEADLINE = [
     "dedup_rouge2_pairs",
     "range_join_banded",
     "stats_sprt_bernoulli",
+    # r8 additions: the all-integer hashed-feature GD trainer (model-sync
+    # loop with broadcast weight joins), the 9-level union reformulation
+    # of q67 (union-of-aggs vs its base's ExpandExec — a standing A/B of
+    # the two rollup physical strategies), and the off-policy bandit
+    # replay (two-pass policy evaluation over the full event stream).
+    "text_fasttext_quality",
+    "tpcds_q67a",
+    "events_bandit_replay",
     "win_rank_topk_per_group",
     "time_rollup_hierarchy",
     "set_intersect",

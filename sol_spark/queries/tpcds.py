@@ -6989,7 +6989,10 @@ ORDER BY lochierarchy, ca_state NULLS FIRST, ca_city NULLS FIRST
 LIMIT 100
 """
 
-_Q18A_AVG_SPARK = _Q18A_AVG.replace("//", "div")
+# div for floor division AND a double divisor: `/ 10000.0` inside F.expr
+# would type as DECIMAL (the Arrow decimal->double hazard the hygiene gate
+# rejects); q18 itself divides a Column by a Python float, which is double.
+_Q18A_AVG_SPARK = _Q18A_AVG.replace("//", "div").replace("/ 10000.0", "/ cast(10000 as double)")
 
 
 @register("tpcds_q18a", Q18A_ORACLE, tags=("tpcds", "v27", "union", "catalog"))

@@ -84,6 +84,12 @@ EAGER_BUILD = {
     "dedup_rouge2_pairs",
     "dedup_cluster_cohesion",
     "dedup_cross_split_decontam",  # persists the hashed shingle rows during build
+    # r8 eager operators: the fastText trainer runs its integer-GD
+    # model-sync loop during construction; q67a checkpoints the shared
+    # 9-level base; MIS now probes convergence through an Observation on
+    # the checkpoint job (still eager). Oracle + behavioral tests cover.
+    "text_fasttext_quality",
+    "tpcds_q67a",
 }
 
 # Registered cartesian-by-design operators (bounded or demonstration ops).
