@@ -4634,12 +4634,22 @@ def orders_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = dev.groupBy("cohort", "age").agg(F.sum("cents").alias("inc"))
     w_cum = W.partitionBy("cohort").orderBy("age").rowsBetween(W.unboundedPreceding, W.currentRow)
     cum = cells.select("cohort", "age", F.sum("inc").over(w_cum).alias("c"))
-    nxt = cum.select(F.col("cohort"), (F.col("age") - 1).alias("age_from"), F.col("c").alias("c_next"))
+    # Adjacent-age pairing via lead() on the SAME cohort window the
+    # cumulative uses — a self-join here would recompute the whole
+    # fact-join subtree twice (the oracle's join formulation is fine for
+    # DuckDB; a distributed plan wants one pass). lead() pairs the next
+    # ROW, so guard on it being literally age + 1.
+    w_next = W.partitionBy("cohort").orderBy("age")
     pairs = (
-        cum.select("cohort", F.col("age").alias("age_from"), F.col("c").alias("c_cur"))
-        .join(nxt, ["cohort", "age_from"])
-        .groupBy("age_from")
-        .agg(F.sum("c_next").alias("num"), F.sum("c_cur").alias("den"))
+        cum.select(
+            "age",
+            "c",
+            F.lead("age").over(w_next).alias("age_n"),
+            F.lead("c").over(w_next).alias("c_n"),
+        )
+        .filter(F.col("age_n") == F.col("age") + 1)
+        .groupBy(F.col("age").alias("age_from"))
+        .agg(F.sum("c_n").alias("num"), F.sum("c").alias("den"))
     )
     return pairs.select(
         "age_from",
