@@ -75,6 +75,14 @@ def test_iterate_fused_probe_matches_converged_path(spark):
 
     from sol_spark.operators.dedup import iterate, release_result
 
+    # id-set delta, not a global zero assertion: the shared session can
+    # legitimately hold other tests' persisted blocks (the r6 MST-flake
+    # lesson)
+    before = {
+        int(k)
+        for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+
     def mk_state():
         return spark.range(100).select(F.col("id").alias("v"), F.lit("live").alias("status"))
 
@@ -115,9 +123,12 @@ def test_iterate_fused_probe_matches_converged_path(spark):
     rows2 = {r["status"]: r["count"] for r in r2.collect()}
     release_result(r2)
     assert rows1 == rows2
-    # storage contract: nothing persisted survives after release_result
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    assert jmap.size() == 0
+    # storage contract: no NEW persisted blocks survive after release_result
+    after = {
+        int(k)
+        for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    assert after - before == set(), f"leaked blocks: {after - before}"
 
 
 def test_iterate_fused_probe_raises_on_budget_exhaustion(spark):
