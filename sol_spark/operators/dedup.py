@@ -4506,3 +4506,84 @@ def dedup_cross_split_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = local_checkpoint(out)
     rows.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Capped pairwise emission: the linear-output production form of the
+# pairwise family. dedup_simhash's pair list is O(cluster^2) inside dense
+# duplicate clusters (the watch carried since round 1, mitigated by the
+# clusters variant); when pair-level output is REQUIRED (review queues,
+# pairwise audits), cap it at K nearest candidates per document — output
+# is <= |V| * K rows regardless of cluster shape.
+# ---------------------------------------------------------------------------
+
+PAIRS_CAP_K = 3  # nearest banded candidates kept per document
+
+DEDUP_PAIRS_CAPPED_ORACLE = f"""
+WITH pr AS MATERIALIZED (
+  SELECT doc_a, doc_b, hamming FROM ({SIMHASH_ORACLE.replace("ORDER BY doc_a, doc_b", "")}) q
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS nbr, hamming FROM pr
+  UNION ALL
+  SELECT doc_b, doc_a, hamming FROM pr
+),
+topk AS (
+  SELECT src, nbr, hamming,
+         row_number() OVER (PARTITION BY src ORDER BY hamming, nbr) AS rk
+  FROM sym
+),
+kept AS (SELECT * FROM topk WHERE rk <= {PAIRS_CAP_K})
+SELECT least(src, nbr)::BIGINT AS doc_a,
+       greatest(src, nbr)::BIGINT AS doc_b,
+       min(hamming)::BIGINT AS hamming,
+       (count(*) = 2) AS mutual
+FROM kept
+GROUP BY 1, 2
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_pairs_capped", DEDUP_PAIRS_CAPPED_ORACLE, tags=("llm", "dedup", "audit"))
+def dedup_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document capped pair emission over the SimHash candidates: each
+    document keeps its {PAIRS_CAP_K} nearest banded candidates (hamming
+    ascending, neighbor id as the total tiebreak), and the symmetric
+    directions fold back into canonical pairs with a `mutual` flag (both
+    endpoints kept each other — the high-precision subset, mirroring
+    sim_knn_graph's mutuality semantics). This is the LINEAR-OUTPUT
+    production form of pairwise dedup evidence: a template family of m
+    near-identical pages emits m*{PAIRS_CAP_K} rows instead of m^2/2, so
+    review queues and pair audits stay bounded no matter how degenerate a
+    duplicate cluster is — closing the pairwise-quadratic watch carried
+    on dedup_simhash since round 1 (its uncapped output remains available
+    for cluster-confined audits; dedup_simhash_clusters remains the
+    keep/drop production path).
+
+    Scale shape: the banded candidate join is unchanged (never all-pairs);
+    the cap is one row_number window partitioned by src over the candidate
+    edges, then a (doc_a, doc_b) hash-agg of at most 2 rows per pair."""
+    pairs = dedup_simhash(spark, sf_dir)
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("nbr"), "hamming"
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("nbr"), "hamming")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("src").orderBy("hamming", "nbr")
+    kept = sym.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= PAIRS_CAP_K)
+    return (
+        kept.groupBy(
+            F.least("src", "nbr").alias("doc_a"),
+            F.greatest("src", "nbr").alias("doc_b"),
+        )
+        .agg(
+            F.min("hamming").cast("long").alias("hamming"),
+            (F.count(F.lit(1)) == 2).alias("mutual"),
+        )
+        .select(
+            F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), "hamming", "mutual"
+        )
+        .orderBy("doc_a", "doc_b")
+    )

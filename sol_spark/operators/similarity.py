@@ -3283,3 +3283,125 @@ def sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph-based ANN search: greedy beam search over the kNN graph — the core
+# loop of the NSW/HNSW index family (navigate from an entry point along
+# neighbor edges toward the query). Bounded rounds + beam keep it
+# SQL-expressible; both engine sides share the round structure.
+# ---------------------------------------------------------------------------
+
+GS_ROUNDS = 3  # navigation hops
+GS_BEAM = 4    # beam width (candidates kept per query per round)
+
+
+def _graph_search_oracle_sql() -> str:
+    knn_ctes = SIM_KNN_GRAPH_ORACLE[: SIM_KNN_GRAPH_ORACLE.index("\nSELECT k.src")]
+    parts = [f"""{knn_ctes},
+q AS MATERIALIZED (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+entry AS (SELECT min(vec_id) AS v FROM embeddings WHERE vec_id >= {N_QUERIES}),
+f0 AS MATERIALIZED (SELECT q.qid, e.v AS vec FROM q, entry e)"""]
+    for r in range(1, GS_ROUNDS + 1):
+        parts.append(f""",
+c{r} AS MATERIALIZED (
+  SELECT DISTINCT qid, vec FROM (
+    SELECT qid, vec FROM f{r - 1}
+    UNION ALL
+    SELECT f.qid, k.nbr FROM f{r - 1} f JOIN knn k ON k.src = f.vec
+  ) u
+),
+s{r} AS MATERIALIZED (
+  SELECT c.qid, c.vec,
+         round(sum(q.qe[i.i]::DOUBLE * e.embedding[i.i]::DOUBLE)
+               / (nq.nrm * nv.nrm), 6) AS cosine
+  FROM c{r} c
+  JOIN q ON q.qid = c.qid
+  JOIN embeddings e ON e.vec_id = c.vec
+  JOIN norms nq ON nq.vec_id = c.qid
+  JOIN norms nv ON nv.vec_id = c.vec,
+  dims i
+  GROUP BY c.qid, c.vec, nq.nrm, nv.nrm
+),
+f{r} AS MATERIALIZED (
+  SELECT qid, vec, cosine FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec) AS rn
+    FROM s{r}
+  ) t WHERE rn <= {GS_BEAM}
+)""")
+    parts.append(f"""
+SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec) AS rk,
+       vec AS vec_id, cosine
+FROM f{GS_ROUNDS}
+ORDER BY qid, rk
+""")
+    return "".join(parts)
+
+
+SIM_GRAPH_SEARCH_ORACLE = _graph_search_oracle_sql()
+
+
+@register("sim_graph_search", SIM_GRAPH_SEARCH_ORACLE, tags=("llm", "similarity", "graph", "ann"))
+def sim_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-navigating ANN (the NSW/HNSW search loop): from a fixed entry
+    vertex, each of {GS_ROUNDS} rounds expands the current beam along the
+    kNN graph's edges, scores the (deduplicated) candidates against the
+    query, and keeps the top-{GS_BEAM} by (cosine DESC, vec_id) — the
+    greedy navigate-toward-the-query primitive the graph-index family is
+    built on, completing the ANN ladder next to IVF/PQ/LSH/Hamming/MIPS.
+    Determinism: cosine is the round-6 value both engines agree on (the
+    sim_knn_graph discipline) and every selection orders by the total
+    (cosine, vec_id) key, so the beam trajectory is engine-identical.
+
+    Scale shape: the kNN edge set is the bucketed build (never all-pairs);
+    per round the frontier is {N_QUERIES} x <= {GS_BEAM} rows, its one-hop
+    expansion joins the |V|*k edge list on vec id (prunable to the
+    frontier by the join), and scoring joins the bounded candidate list —
+    not the corpus — against the embeddings; the query block broadcasts.
+    Rounds are a fixed unroll: the plan is static, lazy, and
+    whole-stage-codegen'd end to end (unrolled_dot, no higher-order
+    lambdas)."""
+    t = load_tables(spark, sf_dir)
+    emb = _with_norm(t["embeddings"])
+    knn = sim_knn_graph(spark, sf_dir).select("src", "nbr")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+    entry = emb.filter(F.col("vec_id") >= N_QUERIES).agg(F.min("vec_id").alias("vec"))
+    frontier = q.select("qid").crossJoin(F.broadcast(entry))
+    for _ in range(GS_ROUNDS):
+        cand = (
+            frontier.select("qid", "vec")
+            .unionAll(
+                frontier.select("qid", "vec")
+                .join(knn, F.col("vec") == F.col("src"))
+                .select("qid", F.col("nbr").alias("vec"))
+            )
+            .distinct()
+        )
+        scored = (
+            cand.join(emb.select(F.col("vec_id").alias("vec"), "embedding", "nrm"), "vec")
+            .join(F.broadcast(q), "qid")
+            .withColumn(
+                "cosine",
+                F.round(unrolled_dot("qe", "embedding") / (F.col("qn") * F.col("nrm")), 6),
+            )
+        )
+        w = W.partitionBy("qid").orderBy(F.desc("cosine"), "vec")
+        frontier = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= GS_BEAM)
+            .select("qid", "vec", "cosine")
+        )
+    w_out = W.partitionBy("qid").orderBy(F.desc("cosine"), "vec")
+    return (
+        frontier.select(
+            "qid",
+            F.row_number().over(w_out).alias("rk"),
+            F.col("vec").alias("vec_id"),
+            "cosine",
+        )
+        .orderBy("qid", "rk")
+    )
