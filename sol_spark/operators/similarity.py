@@ -3286,24 +3286,67 @@ def sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Graph-based ANN search: greedy beam search over the kNN graph — the core
-# loop of the NSW/HNSW index family (navigate from an entry point along
-# neighbor edges toward the query). Bounded rounds + beam keep it
-# SQL-expressible; both engine sides share the round structure.
+# Graph-based ANN search: greedy beam search over a navigation graph — the
+# core loop of the NSW/HNSW index family (enter near the query, walk
+# neighbor edges toward it). The nav graph uses a COARSER bucket than the
+# 8-bit kNN graph (4 sign bits -> ~1/16 of the corpus per bucket): the
+# 8-bit buckets fragment this fixture into ~4-node components where no
+# entry strategy can navigate anywhere, while 4-bit components are big
+# enough that both the beam pruning and the recall gate measure something.
+# Entry point per query: the smallest non-query vector in the QUERY'S OWN
+# bucket (the hybrid LSH-entry + graph-refinement design), falling back to
+# the global minimum when the bucket is empty.
 # ---------------------------------------------------------------------------
 
-GS_ROUNDS = 3  # navigation hops
-GS_BEAM = 4    # beam width (candidates kept per query per round)
+GS_LSH_BITS = 4  # nav-graph bucket width (coarser than the 8-bit kNN graph)
+GS_KNN_K = 3     # out-degree of the nav graph
+GS_ROUNDS = 8    # navigation hops (the 4-bit bucket components need ~8 to traverse)
+GS_BEAM = 6      # beam width (candidates kept per query per round)
 
-
-def _graph_search_oracle_sql() -> str:
-    knn_ctes = SIM_KNN_GRAPH_ORACLE[: SIM_KNN_GRAPH_ORACLE.index("\nSELECT k.src")]
-    parts = [f"""{knn_ctes},
+_GS_NAV_CTES = f"""
+WITH dims AS (SELECT unnest(range(1, {EMB_DIM + 1})) AS i),
+b AS (
+  SELECT vec_id, embedding,
+         list_aggregate(list_transform(embedding[1:{GS_LSH_BITS}],
+                        x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '') AS bucket
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, sqrt(sum(embedding[i.i]::DOUBLE * embedding[i.i]::DOUBLE)) AS nrm
+  FROM embeddings, dims i GROUP BY vec_id
+),
+dots AS (
+  SELECT a.vec_id AS src, c.vec_id AS nbr,
+         sum(a.embedding[i.i]::DOUBLE * c.embedding[i.i]::DOUBLE) AS dot
+  FROM b a JOIN b c USING (bucket), dims i
+  WHERE a.vec_id <> c.vec_id
+  GROUP BY 1, 2
+),
+knn AS (
+  SELECT src, nbr FROM (
+    SELECT src, nbr,
+           row_number() OVER (PARTITION BY src
+             ORDER BY round(dot / (ns.nrm * nn.nrm), 6) DESC, nbr) AS rk
+    FROM dots JOIN norms ns ON ns.vec_id = src
+              JOIN norms nn ON nn.vec_id = nbr
+  ) r WHERE rk <= {GS_KNN_K}
+),
 q AS MATERIALIZED (
   SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
 ),
-entry AS (SELECT min(vec_id) AS v FROM embeddings WHERE vec_id >= {N_QUERIES}),
-f0 AS MATERIALIZED (SELECT q.qid, e.v AS vec FROM q, entry e)"""]
+entry AS MATERIALIZED (
+  SELECT qb.vec_id AS qid,
+         coalesce(min(v.vec_id) FILTER (WHERE v.bucket = qb.bucket),
+                  (SELECT min(vec_id) FROM embeddings WHERE vec_id >= {N_QUERIES})) AS vec
+  FROM b qb JOIN b v ON v.vec_id >= {N_QUERIES}
+  WHERE qb.vec_id < {N_QUERIES}
+  GROUP BY qb.vec_id, qb.bucket
+),
+f0 AS MATERIALIZED (SELECT qid, vec FROM entry)"""
+
+
+def _graph_search_oracle_sql() -> str:
+    parts = [_GS_NAV_CTES]
     for r in range(1, GS_ROUNDS + 1):
         parts.append(f""",
 c{r} AS MATERIALIZED (
@@ -3342,35 +3385,85 @@ ORDER BY qid, rk
 
 SIM_GRAPH_SEARCH_ORACLE = _graph_search_oracle_sql()
 
+_GS_BUCKET_SPARK = (
+    f"concat_ws('', transform(slice(embedding, 1, {GS_LSH_BITS}), "
+    "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))"
+)
+
+
+def _gs_nav_graph(emb: DataFrame) -> DataFrame:
+    """Nav-graph edges: per-vector top-{GS_KNN_K} cosine neighbors within
+    its {GS_LSH_BITS}-bit sign bucket."""
+    a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ae"),
+                   F.col("nrm").alias("an"), "gbucket")
+    c = emb.select(F.col("vec_id").alias("nbr"), F.col("embedding").alias("ce"),
+                   F.col("nrm").alias("cn"), "gbucket")
+    scored = (
+        a.join(c, "gbucket")
+        .filter(F.col("src") != F.col("nbr"))
+        .withColumn("cosine", F.round(unrolled_dot("ae", "ce") / (F.col("an") * F.col("cn")), 6))
+    )
+    w = W.partitionBy("src").orderBy(F.desc("cosine"), "nbr")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= GS_KNN_K)
+        .select("src", "nbr")
+    )
+
 
 @register("sim_graph_search", SIM_GRAPH_SEARCH_ORACLE, tags=("llm", "similarity", "graph", "ann"))
 def sim_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graph-navigating ANN (the NSW/HNSW search loop): from a fixed entry
-    vertex, each of {GS_ROUNDS} rounds expands the current beam along the
-    kNN graph's edges, scores the (deduplicated) candidates against the
-    query, and keeps the top-{GS_BEAM} by (cosine DESC, vec_id) — the
-    greedy navigate-toward-the-query primitive the graph-index family is
-    built on, completing the ANN ladder next to IVF/PQ/LSH/Hamming/MIPS.
-    Determinism: cosine is the round-6 value both engines agree on (the
-    sim_knn_graph discipline) and every selection orders by the total
-    (cosine, vec_id) key, so the beam trajectory is engine-identical.
+    """Graph-navigating ANN (the NSW/HNSW search loop): each query enters
+    the navigation graph at the smallest non-query vector of its OWN
+    {GS_LSH_BITS}-bit sign bucket (the hybrid LSH-entry + graph-refinement
+    design; global-minimum fallback for empty buckets), then {GS_ROUNDS}
+    rounds expand the beam along the graph's edges, score the
+    deduplicated candidates against the query, and keep the
+    top-{GS_BEAM} by (cosine DESC, vec_id) — the greedy
+    navigate-toward-the-query primitive the graph-index family is built
+    on, completing the ANN ladder next to IVF/PQ/LSH/Hamming/MIPS. The
+    nav graph is deliberately COARSER-bucketed than sim_knn_graph: 8-bit
+    buckets fragment this corpus into ~4-node components where navigation
+    is vacuous, while {GS_LSH_BITS}-bit components are large enough that
+    beam pruning and the recall gate (sim_graph_recall) measure real
+    behavior. Determinism: round-6 cosines + total (cosine, vec_id)
+    ordering make the beam trajectory engine-identical.
 
-    Scale shape: the kNN edge set is the bucketed build (never all-pairs);
-    per round the frontier is {N_QUERIES} x <= {GS_BEAM} rows, its one-hop
-    expansion joins the |V|*k edge list on vec id (prunable to the
-    frontier by the join), and scoring joins the bounded candidate list —
-    not the corpus — against the embeddings; the query block broadcasts.
-    Rounds are a fixed unroll: the plan is static, lazy, and
-    whole-stage-codegen'd end to end (unrolled_dot, no higher-order
-    lambdas)."""
+    Scale shape: the nav-graph build is the bucketed self-join (never
+    all-pairs); per round the frontier is {N_QUERIES} x <= {GS_BEAM}
+    rows, its one-hop expansion joins the |V|*k edge list, and scoring
+    joins the bounded candidate list — not the corpus — against the
+    embeddings; the query block broadcasts. Rounds are a fixed unroll:
+    the plan is static, lazy, and codegen'd (unrolled_dot, no
+    higher-order lambdas in the hot path)."""
     t = load_tables(spark, sf_dir)
-    emb = _with_norm(t["embeddings"])
-    knn = sim_knn_graph(spark, sf_dir).select("src", "nbr")
+    emb = _with_norm(t["embeddings"]).withColumn("gbucket", F.expr(_GS_BUCKET_SPARK))
+    knn = _gs_nav_graph(emb)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"), "gbucket",
     )
-    entry = emb.filter(F.col("vec_id") >= N_QUERIES).agg(F.min("vec_id").alias("vec"))
-    frontier = q.select("qid").crossJoin(F.broadcast(entry))
+    others = emb.filter(F.col("vec_id") >= N_QUERIES)
+    global_min = others.agg(F.min("vec_id").alias("gmin"))
+    bucket_min = (
+        q.select("qid", "gbucket")
+        .join(others.select(F.col("vec_id").alias("bvec"), "gbucket"), "gbucket", "left")
+        .groupBy("qid")
+        .agg(F.min("bvec").alias("bmin"))
+    )
+    frontier = bucket_min.crossJoin(F.broadcast(global_min)).select(
+        "qid", F.coalesce("bmin", "gmin").alias("vec")
+    )
+    # Each round references the previous frontier TWICE (the union of
+    # carry-over and expansion), so a lazy unroll doubles the plan per
+    # round — 2^{GS_ROUNDS} nodes by the end. Checkpoint the tiny
+    # (queries x beam) frontier each round instead (the iterate()
+    # discipline), releasing the superseded round's blocks.
+    from sol_spark.operators.dedup import local_checkpoint, release_result
+
+    emb = local_checkpoint(emb)
+    knn = local_checkpoint(knn)
+    frontier = local_checkpoint(frontier)
     for _ in range(GS_ROUNDS):
         cand = (
             frontier.select("qid", "vec")
@@ -3383,20 +3476,22 @@ def sim_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         scored = (
             cand.join(emb.select(F.col("vec_id").alias("vec"), "embedding", "nrm"), "vec")
-            .join(F.broadcast(q), "qid")
+            .join(F.broadcast(q.select("qid", "qe", "qn")), "qid")
             .withColumn(
                 "cosine",
                 F.round(unrolled_dot("qe", "embedding") / (F.col("qn") * F.col("nrm")), 6),
             )
         )
         w = W.partitionBy("qid").orderBy(F.desc("cosine"), "vec")
-        frontier = (
+        nxt = local_checkpoint(
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= GS_BEAM)
             .select("qid", "vec", "cosine")
         )
+        release_result(frontier)
+        frontier = nxt
     w_out = W.partitionBy("qid").orderBy(F.desc("cosine"), "vec")
-    return (
+    out = local_checkpoint(
         frontier.select(
             "qid",
             F.row_number().over(w_out).alias("rk"),
@@ -3404,4 +3499,96 @@ def sim_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
         .orderBy("qid", "rk")
+    )
+    release_result(frontier)
+    release_result(knn)
+    release_result(emb)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Recall gate for the graph-search rung — every ANN rung in the ladder
+# carries one (the nprobe/hamming/recall_eval discipline).
+# ---------------------------------------------------------------------------
+
+def _graph_recall_oracle_sql() -> str:
+    search = SIM_GRAPH_SEARCH_ORACLE.replace("ORDER BY qid, rk", "")
+    return f"""
+WITH g AS MATERIALIZED (
+  SELECT qid, vec_id FROM ({search}) s
+),
+dims AS (SELECT unnest(range(1, {EMB_DIM + 1})) AS i),
+norms AS (
+  SELECT vec_id, sqrt(sum(embedding[i.i]::DOUBLE * embedding[i.i]::DOUBLE)) AS nrm
+  FROM embeddings, dims i GROUP BY vec_id
+),
+exact AS MATERIALIZED (
+  SELECT qid, vec_id FROM (
+    SELECT q.vec_id AS qid, v.vec_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(sum(q.embedding[i.i]::DOUBLE * v.embedding[i.i]::DOUBLE)
+                            / (nq.nrm * nv.nrm), 6) DESC, v.vec_id) AS rn
+    FROM embeddings q
+    JOIN embeddings v ON q.vec_id < {N_QUERIES} AND v.vec_id >= {N_QUERIES}
+    JOIN norms nq ON nq.vec_id = q.vec_id
+    JOIN norms nv ON nv.vec_id = v.vec_id,
+    dims i
+    GROUP BY q.vec_id, v.vec_id, nq.nrm, nv.nrm
+  ) t WHERE rn <= {GS_BEAM}
+)
+SELECT e.qid,
+       count(g.vec_id)::BIGINT AS n_hit,
+       ((1000000 * count(g.vec_id)) // {GS_BEAM})::BIGINT AS recall_ppm
+FROM exact e LEFT JOIN g ON g.qid = e.qid AND g.vec_id = e.vec_id
+GROUP BY e.qid
+ORDER BY e.qid
+"""
+
+
+SIM_GRAPH_RECALL_ORACLE = _graph_recall_oracle_sql()
+
+
+@register("sim_graph_recall", SIM_GRAPH_RECALL_ORACLE, tags=("llm", "similarity", "graph", "eval"))
+def sim_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the graph-search rung: per query, how many of the
+    exact brute-force top-{GS_BEAM} (excluding the query block itself,
+    matching the search's candidate universe) the {GS_ROUNDS}-hop beam
+    actually reached, as exact integer ppm — the honest-accuracy audit
+    every ANN rung in the ladder carries (cf. sim_recall_eval /
+    sim_hamming_recall / sim_nprobe_sweep). A low number here is not a
+    bug: it prices entry-point quality and hop budget, which is exactly
+    what an index tuner needs to see.
+
+    Scale shape: the exact side is the {N_QUERIES}-row broadcast
+    brute-force (the ladder's baseline rung); the graph side is the
+    bounded beam; the grade is a per-query count over <= {GS_BEAM} rows."""
+    t = load_tables(spark, sf_dir)
+    emb = _with_norm(t["embeddings"])
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+    v = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("vec"), "embedding", "nrm"
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), "vec")
+    exact = (
+        v.join(F.broadcast(q))
+        .withColumn(
+            "cosine",
+            F.round(unrolled_dot("qe", "embedding") / (F.col("qn") * F.col("nrm")), 6),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= GS_BEAM)
+        .select("qid", "vec")
+    )
+    g = sim_graph_search(spark, sf_dir).select("qid", F.col("vec_id").alias("vec"), F.lit(1).alias("hit"))
+    return (
+        exact.join(g, ["qid", "vec"], "left")
+        .groupBy("qid")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hit"),
+            F.expr(f"(1000000 * sum(coalesce(hit, 0))) div {GS_BEAM}").cast("long").alias("recall_ppm"),
+        )
+        .orderBy("qid")
     )

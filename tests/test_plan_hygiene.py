@@ -90,6 +90,10 @@ EAGER_BUILD = {
     # the checkpoint job (still eager). Oracle + behavioral tests cover.
     "text_fasttext_quality",
     "tpcds_q67a",
+    # beam-search rounds checkpoint the frontier (a lazy unroll doubles
+    # the plan per round); the recall gate composes the eager search
+    "sim_graph_search",
+    "sim_graph_recall",
 }
 
 # Registered cartesian-by-design operators (bounded or demonstration ops).

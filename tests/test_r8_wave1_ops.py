@@ -272,3 +272,31 @@ def test_fasttext_quality_model_discriminates(spark, sf_dir):
     med = sorted(r["s"] for r in rows)[len(rows) // 2]
     acc = sum((r["s"] > med) == r["y"] for r in rows) / len(rows)
     assert acc > 0.75, f"median-split accuracy {acc}"
+
+
+def test_graph_search_storage_contract(spark, sf_dir):
+    """sim_graph_search checkpoints per-round frontiers, the nav graph,
+    and the embedding frame during construction: only its OWN output may
+    survive the call, and release_result returns storage to baseline
+    (id-set delta, shared-session-safe)."""
+    from sol_spark.operators.dedup import release_result
+    from sol_spark.operators.similarity import GS_BEAM, N_QUERIES, sim_graph_search
+
+    before = {
+        int(k) for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    out = sim_graph_search(spark, sf_dir)
+    rows = out.collect()
+    assert 0 < len(rows) <= N_QUERIES * GS_BEAM
+    # beam ranks are dense per query and cosines non-increasing
+    byq = {}
+    for r in sorted(rows, key=lambda r: (r["qid"], r["rk"])):
+        byq.setdefault(r["qid"], []).append(r)
+    for q, rs in byq.items():
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert all(a["cosine"] >= b["cosine"] for a, b in zip(rs, rs[1:]))
+    release_result(out)
+    after = {
+        int(k) for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    assert after - before == set(), f"leaked blocks: {after - before}"
