@@ -166,3 +166,63 @@ def gen_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey", "k")
     )
+
+
+# ---------------------------------------------------------------------------
+# variant_explode — the Spark 4 VARIANT-side generator (the lateral TVF
+# that unnests a semi-structured value into (pos, key, value) rows),
+# completing the VARIANT surface next to fn_variant's scalar paths.
+# ---------------------------------------------------------------------------
+
+GEN_VARIANT_EXPLODE_ORACLE = """
+WITH n AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 50 = 0
+)
+SELECT o_orderkey, pos, key, val FROM (
+  SELECT o_orderkey, 0 AS pos, 'cents' AS key,
+         CAST(round(o_totalprice * 100) AS BIGINT)::VARCHAR AS val
+  FROM orders WHERE o_orderkey % 50 = 0
+  UNION ALL
+  SELECT o_orderkey, 1, 'k', o_orderkey::VARCHAR FROM orders WHERE o_orderkey % 50 = 0
+  UNION ALL
+  SELECT o_orderkey, 2, 'tags',
+         '["' || o_orderstatus || '","' || o_orderpriority || '"]'
+  FROM orders WHERE o_orderkey % 50 = 0
+) u
+ORDER BY o_orderkey, pos
+"""
+
+
+@register("gen_variant_explode", GEN_VARIANT_EXPLODE_ORACLE, tags=("functions", "variant", "generator", "spark4"))
+def gen_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 variant_explode: each order row serializes to JSON, parses
+    into a VARIANT, and the LATERAL TVF unnests the object into
+    (pos, key, value) rows — object keys come back in lexicographic
+    binary-encoding order (cents, k, tags), values re-serialized with
+    to_json for a type-stable string column. The oracle constructs the
+    expected exploded rows directly from the base columns, so the
+    VARIANT encode -> explode -> decode path is verified lossless,
+    including the canonical JSON rendering of the nested array.
+
+    Scale shape: a generator over a per-row ternary object — GenerateExec
+    fan-out 3x, no shuffle, codegen'd serialization."""
+    t = load_tables(spark, sf_dir)
+    t["orders"].filter(F.col("o_orderkey") % 50 == 0).selectExpr(
+        "o_orderkey",
+        "parse_json(to_json(named_struct("
+        "'cents', CAST(round(o_totalprice * 100) AS BIGINT), "
+        "'k', o_orderkey, "
+        "'tags', array(o_orderstatus, o_orderpriority)))) AS vj",
+    ).createOrReplaceTempView("v_variant_explode")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o.pos, o.key, to_json(o.value) AS val
+        FROM v_variant_explode t, LATERAL variant_explode(t.vj) AS o
+        ORDER BY o_orderkey, o.pos
+        """
+    ).selectExpr(
+        "o_orderkey", "cast(pos as int) pos", "key",
+        # object members render as canonical JSON: strip the quotes from
+        # plain scalars so the oracle can build values from base columns
+        "CASE WHEN key = 'tags' THEN val ELSE regexp_replace(val, '\"', '') END AS val",
+    )
