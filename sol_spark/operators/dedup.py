@@ -4587,3 +4587,109 @@ def dedup_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-truss of the CAPPED near-dup graph: the maximal subgraph where every
+# edge participates in >= (k-2) triangles — EDGE-grade cohesion, one rung
+# stricter than k-core's vertex degrees. Runs on dedup_pairs_capped's
+# bounded-degree graph rather than the raw banded pairs: the raw SimHash
+# graph is clique-dominated, where triangle counting is cubic in clique
+# size (a standalone-timed 224 s oracle at sf0.1) AND nothing peels
+# (every clique edge has massive support — a vacuous audit); the capped
+# graph has degree <= 2*PAIRS_CAP_K, so support is cheap and genuinely
+# separates triangle-corroborated cluster edges from the chain/bridge
+# links min-id keep-lists trip over. Cap-for-size -> truss-for-precision
+# is the composition.
+# ---------------------------------------------------------------------------
+
+TRUSS_K = 4           # 4-truss: every surviving edge needs >= 2 triangles
+TRUSS_MAX_ROUNDS = 6  # peeling rounds; removal is monotone so count-stable == fixed point
+
+
+def _truss_oracle_sql() -> str:
+    steps = []
+    for r in range(1, TRUSS_MAX_ROUNDS + 1):
+        steps.append(f""",
+t{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM t{r - 1} e
+  JOIN (
+    SELECT x.a, x.b, count(*) AS sup FROM t{r - 1} x
+    JOIN (SELECT a, b FROM t{r - 1} UNION ALL SELECT b, a FROM t{r - 1}) s1 ON s1.a = x.a
+    JOIN (SELECT a, b FROM t{r - 1} UNION ALL SELECT b, a FROM t{r - 1}) s2
+      ON s2.a = x.b AND s2.b = s1.b
+    GROUP BY x.a, x.b
+  ) sup ON sup.a = e.a AND sup.b = e.b
+  WHERE sup.sup >= {TRUSS_K - 2}
+)""")
+    return f"""
+WITH pr AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({DEDUP_PAIRS_CAPPED_ORACLE.replace("ORDER BY doc_a, doc_b", "")}) q
+),
+t0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pr){"".join(steps)}
+SELECT a::BIGINT AS doc_a, b::BIGINT AS doc_b
+FROM t{TRUSS_MAX_ROUNDS}
+ORDER BY doc_a, doc_b
+"""
+
+
+GRAPH_KTRUSS_ORACLE = _truss_oracle_sql()
+
+
+@register("graph_ktruss", GRAPH_KTRUSS_ORACLE, tags=("llm", "dedup", "graph", "iterative"))
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{TRUSS_K}-truss of the capped near-dup graph: iteratively peel
+    every edge whose triangle support (common neighbors of its endpoints
+    within the CURRENT surviving edge set) falls below {TRUSS_K} - 2,
+    until a fixed point. Input is dedup_pairs_capped's bounded-degree
+    graph (degree <= 2 x {PAIRS_CAP_K}) — on the raw clique-dominated
+    banded graph triangle support is cubic in clique size and peels
+    nothing, while here the truss genuinely separates
+    triangle-corroborated cluster edges (safe bulk-drop evidence) from
+    the chain/bridge links that glue drifted revisions into one CC blob
+    (route those to review). The precision companion to graph_kcore's
+    vertex-degree cohesion.
+
+    Scale shape: each round is a distributed triangle count scoped to the
+    live edge set — one equi-join of the symmetric adjacency with itself
+    on the shared endpoint (bounded fan-out by the degree cap), closed
+    against the edge list, per-edge hash-agg — through the shared
+    iterate() loop with the FUSED Observation probe: removal is monotone,
+    so a round whose edge count equals the previous round's is a fixed
+    point (one single-stage job per round). Raises on budget exhaustion;
+    the oracle unrolls the identical {TRUSS_MAX_ROUNDS} rounds
+    (post-convergence rounds are no-ops on a stable edge set)."""
+    pc = dedup_pairs_capped(spark, sf_dir)
+    edges0 = local_checkpoint(pc.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")))
+
+    def step(edges: DataFrame, i: int) -> DataFrame:
+        sym = edges.select("a", "b").unionAll(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        s1 = sym.select(F.col("a").alias("xa"), F.col("b").alias("w"))
+        s2 = sym.select(F.col("a").alias("xb"), F.col("b").alias("w"))
+        sup = (
+            edges.join(s1, F.col("a") == F.col("xa"))
+            .join(s2, (F.col("b") == F.col("xb")) & (s1["w"] == s2["w"]))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("sup"))
+            .filter(F.col("sup") >= TRUSS_K - 2)
+            .select("a", "b")
+        )
+        return sup
+
+    def finalize(edges: DataFrame) -> DataFrame:
+        return edges.select(
+            F.col("a").cast("long").alias("doc_a"), F.col("b").cast("long").alias("doc_b")
+        ).orderBy("doc_a", "doc_b")
+
+    return iterate(
+        edges0,
+        step,
+        finalize,
+        max_rounds=TRUSS_MAX_ROUNDS,
+        probe=F.count(F.lit(1)),
+        probe_converged=lambda prev, cur: prev == cur,
+        no_convergence_error=f"k-truss: edge set still shrinking after {TRUSS_MAX_ROUNDS} rounds",
+        release=(edges0,),
+    )

@@ -94,6 +94,7 @@ EAGER_BUILD = {
     # the plan per round); the recall gate composes the eager search
     "sim_graph_search",
     "sim_graph_recall",
+    "graph_ktruss",  # peeling rounds via iterate() run during construction
 }
 
 # Registered cartesian-by-design operators (bounded or demonstration ops).
