@@ -300,3 +300,23 @@ def test_graph_search_storage_contract(spark, sf_dir):
         int(k) for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
     }
     assert after - before == set(), f"leaked blocks: {after - before}"
+
+
+def test_arrow_udf_scalar_surface(spark):
+    """Spark 4.1 @arrow_udf: a scalar UDF receiving pyarrow Arrays (one
+    step lower-level than pandas_udf — no pandas conversion at all). Pin
+    that it computes vectorized-exact integers and plans as the sanctioned
+    ArrowEvalPython node, never row-at-a-time BatchEvalPython."""
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf("long")
+    def cents_mod(a):  # a: pyarrow.Array
+        return pc.add(pc.multiply(a, 31), 7)
+
+    df = spark.range(1000).select(cents_mod("id").alias("v"), "id")
+    rows = df.collect()
+    assert all(r["v"] == r["id"] * 31 + 7 for r in rows)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython\n" not in plan
