@@ -4882,3 +4882,123 @@ def text_fasttext_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = local_checkpoint(out)
     release_result(toks)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary-drift audit between the train/val hash splits: chi-square
+# contributions per token in exact integer ppm — "did the 90/10 hash split
+# skew the vocabulary" (the distributional companion to
+# text_split_leakage's membership audit). A skewed split silently biases
+# every held-out perplexity the pipeline reports.
+# ---------------------------------------------------------------------------
+
+VOCAB_DRIFT_TOP = 30  # report the TOP chi2-contributing tokens
+
+VOCAB_DRIFT_ORACLE = f"""
+WITH sp AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 10
+              THEN 'val' ELSE 'train' END AS split,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+),
+cnt AS (
+  SELECT tok,
+         sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::BIGINT AS n_train,
+         sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)::BIGINT AS n_val
+  FROM sp WHERE tok <> '' GROUP BY tok
+),
+tot AS (
+  SELECT sum(n_train)::BIGINT AS t_train, sum(n_val)::BIGINT AS t_val FROM cnt
+),
+chi AS (
+  -- expected val count e = tok_total * t_val / grand, all integer-scaled:
+  -- chi2 term ppm = 1e6 * (o*grand - tok_total*t_val)^2
+  --                 / (grand * tok_total * t_val * (grand - t_val) / ... )
+  -- use the 2x2 per-token chi2 closed form:
+  -- chi2 = grand * (n_val*t_train - n_train*t_val)^2
+  --        / (tok_total * (grand - tok_total) * t_train * t_val)
+  -- emitted as floor ppm with every product exact BIGINT (magnitudes:
+  -- counts < 2^20, grand < 2^24 -> the cube stays far inside int64 ...
+  -- except (n_val*t_train)^2 which can reach ~2^80: stage the square in
+  -- DOUBLE (both engines cast identically; the display floor is shared)
+  SELECT c.tok, c.n_train, c.n_val,
+         CAST(floor(
+           1000000.0
+           * ((t.t_train + t.t_val)
+              * ((c.n_val * t.t_train - c.n_train * t.t_val)::DOUBLE
+                 * (c.n_val * t.t_train - c.n_train * t.t_val)::DOUBLE)
+              / (((c.n_train + c.n_val) * ((t.t_train + t.t_val) - (c.n_train + c.n_val)))::DOUBLE
+                 * t.t_train::DOUBLE * t.t_val::DOUBLE))
+         ) AS BIGINT) AS chi2_ppm
+  FROM cnt c, tot t
+  WHERE c.n_train + c.n_val < t.t_train + t.t_val
+)
+SELECT tok, n_train, n_val, chi2_ppm FROM (
+  SELECT *, row_number() OVER (ORDER BY chi2_ppm DESC, tok) AS rk FROM chi
+) q WHERE rk <= {VOCAB_DRIFT_TOP}
+ORDER BY chi2_ppm DESC, tok
+"""
+
+
+@register("text_split_vocab_drift", VOCAB_DRIFT_ORACLE, tags=("llm", "text", "split", "stats"))
+def text_split_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token 2x2 chi-square between the train and val hash splits
+    (the text_train_val_split rule), reporting the {VOCAB_DRIFT_TOP}
+    largest contributors in floor-ppm — the vocabulary-drift audit that
+    tells a pipeline whether its held-out perplexities are computed on a
+    distributionally skewed split. Float discipline: the chi2 numerator's
+    square can reach ~2^80, so it is STAGED IN DOUBLE from exact BIGINT
+    deltas (both engines cast bigint->double identically; the expression
+    tree is shared verbatim and display is the floor form), and the
+    selection orders by the already-floored integer with a token
+    tiebreak — engine-identical top-K.
+
+    Scale shape: one explode + one (token, split) conditional hash-agg
+    (map-side combined), a 2-row totals broadcast, per-token scalar math,
+    and a top-K over the |vocab| frame."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    sp = (
+        t["documents"]
+        .select(
+            F.expr(
+                "CASE WHEN CAST(conv(substring(md5(cast(doc_id AS string)), 1, 6), 16, 10) AS BIGINT) % 100 < 10"
+                " THEN 'val' ELSE 'train' END"
+            ).alias("split"),
+            F.explode(F.expr(f"split({_NORM}, ' ')")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    cnt = sp.groupBy("tok").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("n_val"),
+    )
+    tot = cnt.agg(F.sum("n_train").alias("t_train"), F.sum("n_val").alias("t_val"))
+    chi = (
+        cnt.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_train") + F.col("n_val") < F.col("t_train") + F.col("t_val"))
+        .select(
+            "tok", "n_train", "n_val",
+            F.expr(
+                "CAST(floor(1000000.0"
+                " * ((t_train + t_val)"
+                "    * (CAST(n_val * t_train - n_train * t_val AS DOUBLE)"
+                "       * CAST(n_val * t_train - n_train * t_val AS DOUBLE))"
+                "    / (CAST((n_train + n_val) * ((t_train + t_val) - (n_train + n_val)) AS DOUBLE)"
+                "       * CAST(t_train AS DOUBLE) * CAST(t_val AS DOUBLE)))"
+                ") AS BIGINT)"
+            ).alias("chi2_ppm"),
+        )
+    )
+    w = W.orderBy(F.desc("chi2_ppm"), "tok")
+    return (
+        chi.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= VOCAB_DRIFT_TOP)
+        .select(
+            "tok",
+            F.col("n_train").cast("long"), F.col("n_val").cast("long"), "chi2_ppm",
+        )
+        .orderBy(F.desc("chi2_ppm"), "tok")
+    )
