@@ -4244,13 +4244,22 @@ def dedup_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit). Computed only over the banded candidate pairs — never all
     pairs (the cluster-confinement discipline of the dedup family).
 
-    Scale shape: one explode builds the distinct (doc, bigram) frame with
-    the bigram hashed to a 60-bit BIGINT at the scan (the MinHash
-    working-row trick — the intersection join then shuffles 8-byte keys,
-    not strings; dedup_hash_collision_audit is the standing query that
-    prices the collision rate of exactly this hashed space); the frame is
-    checkpointed once for its three consumers, and the denominators are a
-    per-doc hash-agg joined back onto the bounded pair list."""
+    Scale shape: one explode builds the per-doc DISTINCT-bigram ARRAY
+    with each bigram hashed to a 60-bit BIGINT at the scan (the MinHash
+    working-row trick; dedup_hash_collision_audit is the standing query
+    that prices the collision rate of exactly this hashed space) —
+    collect_set's partial aggregation dedups map-side, so the only
+    full-width shuffle carries one array row per candidate DOCUMENT, not
+    one row per (pair x bigram). The pair list then picks up both arrays
+    via two equi-joins and the intersection runs JVM-side inside codegen
+    (array_intersect builds a hash set per row: O(|a|+|b|) per pair, the
+    same total work as the exploded join but with none of its shuffle).
+    Watch: a pathologically long document makes a wide array row (8 B per
+    distinct bigram — ~8 MB at a million distinct bigrams); if the corpus
+    grows such outliers, split them by the cdc_chunks boundaries upstream
+    or fall back to the exploded (doc, bigram) join, which this shape
+    replaced and which trades that row-width bound for a pair x bigram
+    shuffle."""
     # The candidate pair frame feeds the intersection AND the output spine;
     # the distinct bigram frame feeds THREE consumers (both join sides and
     # the denominators). Checkpoint each once so neither subtree re-executes.
@@ -4271,13 +4280,12 @@ def dedup_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cand_docs, "doc_id", "left_semi")
         .select("doc_id", F.expr(f"split({_NORM}, ' ')").alias("tk"))
     )
-    # The distinct bigram frame feeds THREE consumers (both join sides and
-    # the denominators); checkpoint it once so the explode+distinct runs
-    # once instead of three times. Quiet-box sf0.1 profile: simhash
-    # candidates ~2.3 s + bigram frame ~1.1 s + the 16M-row intersection
-    # join ~3.9 s — the join is the honest price of pairwise bigram
-    # intersection over 271k banded candidates.
-    bg = local_checkpoint(
+    # The per-doc bigram ARRAY frame feeds two consumers (the doc_a and
+    # doc_b sides of the pair join); checkpoint it once. collect_set
+    # subsumes the old standalone .distinct() — its partial aggregation
+    # dedups map-side, so explode-to-array is ONE shuffle. No sort: only
+    # set sizes are consumed, and size() is order-independent.
+    bgarr = local_checkpoint(
         toks.filter(F.size("tk") >= 2)
         .select(
             "doc_id",
@@ -4290,32 +4298,34 @@ def dedup_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(conv(substring(md5(concat(element_at(tk, i), ' ', element_at(tk, i + 1))), 1, 15), 16, 10) AS BIGINT)"
             ).alias("b"),
         )
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("b").alias("bs"))
     )
-    nbg = bg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ba = bg.select(F.col("doc_id").alias("doc_a"), F.col("b").alias("bgram"))
-    bb = bg.select(F.col("doc_id").alias("doc_b"), F.col("b").alias("bgram"))
-    inter = (
-        ph.join(ba, "doc_a")
-        .join(bb, ["doc_b", "bgram"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("m"))
-    )
+    # Inner joins on both sides replicate the oracle's nbg inner joins: a
+    # pair whose member has <2 tokens (no bigrams) drops out on BOTH
+    # engines. m falls out of array_intersect — no third join, no
+    # left-join/coalesce seam for the zero-overlap pairs.
     out = (
-        ph.join(nbg.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
-        .join(nbg.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
-        .join(inter, ["doc_a", "doc_b"], "left")
+        ph.join(bgarr.withColumnsRenamed({"doc_id": "doc_a", "bs": "ba"}), "doc_a")
+        .join(bgarr.withColumnsRenamed({"doc_id": "doc_b", "bs": "bb"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ba", "bb")).cast("long").alias("m"),
+            F.size("ba").cast("long").alias("na"),
+            F.size("bb").cast("long").alias("nb"),
+        )
         .select(
             "doc_a", "doc_b",
-            F.coalesce("m", F.lit(0)).cast("long").alias("n_shared_bigrams"),
-            F.expr("(1000000 * coalesce(m, 0)) div nb").cast("long").alias("rouge2_recall_ppm"),
-            F.expr("(1000000 * coalesce(m, 0)) div na").cast("long").alias("rouge2_precision_ppm"),
-            F.expr("(2000000 * coalesce(m, 0)) div (na + nb)").cast("long").alias("rouge2_f1_ppm"),
+            F.col("m").alias("n_shared_bigrams"),
+            F.expr("(1000000 * m) div nb").cast("long").alias("rouge2_recall_ppm"),
+            F.expr("(1000000 * m) div na").cast("long").alias("rouge2_precision_ppm"),
+            F.expr("(2000000 * m) div (na + nb)").cast("long").alias("rouge2_f1_ppm"),
         )
         .orderBy("doc_a", "doc_b")
     )
     out = local_checkpoint(out)
-    release_result(bg)
+    release_result(bgarr)
     release_result(ph)
     return out
 
