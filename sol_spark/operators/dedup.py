@@ -4703,3 +4703,153 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
         no_convergence_error=f"k-truss: edge set still shrinking after {TRUSS_MAX_ROUNDS} rounds",
         release=(edges0,),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact shared-token-run evidence over the capped candidate pairs: the
+# substring-dedup statistic (Lee et al., "Deduplicating Training Data
+# Makes Language Models Better" — their suffix-array pass finds verbatim
+# runs >= 50 tokens). Re-expressed relationally: positional k-gram
+# anchors + diagonal gaps-and-islands, confined to the bounded pair list.
+# ---------------------------------------------------------------------------
+
+SPAN_K = 5        # token k-gram anchor width
+SPAN_FREQ_CAP = 8  # per-doc k-gram frequency cap (stop-gram filter)
+
+SHARED_SPANS_ORACLE = f"""
+WITH pc AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({DEDUP_PAIRS_CAPPED_ORACLE.replace("ORDER BY doc_a, doc_b", "")}) q
+), cand AS (
+  SELECT DISTINCT doc_a AS doc_id FROM pc
+  UNION
+  SELECT DISTINCT doc_b FROM pc
+), toks AS (
+  SELECT d.doc_id, string_split({_NORM_DUCK_TEXT}, ' ') AS tk
+  FROM documents d JOIN cand c ON c.doc_id = d.doc_id
+), kg0 AS (
+  SELECT doc_id, i AS p,
+         ('0x' || substr(md5(array_to_string(tk[i:i + {SPAN_K - 1}], ' ')), 1, 15))::BIGINT AS h
+  FROM toks, unnest(range(1, len(tk) - {SPAN_K} + 2)) AS r(i)
+  WHERE len(tk) >= {SPAN_K}
+), kg AS MATERIALIZED (
+  SELECT doc_id, p, h FROM (
+    SELECT doc_id, p, h, count(*) OVER (PARTITION BY doc_id, h) AS c FROM kg0
+  ) WHERE c <= {SPAN_FREQ_CAP}
+), m AS (
+  SELECT pc.doc_a, pc.doc_b, a.p AS pa, a.p - b.p AS diag
+  FROM pc
+  JOIN kg a ON a.doc_id = pc.doc_a
+  JOIN kg b ON b.doc_id = pc.doc_b AND b.h = a.h
+), isl AS (
+  SELECT doc_a, doc_b, count(*) AS run_len
+  FROM (
+    SELECT doc_a, doc_b, diag, pa,
+           pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+    FROM m
+  )
+  GROUP BY doc_a, doc_b, diag, grp
+)
+SELECT doc_a, doc_b,
+       (max(run_len) + {SPAN_K} - 1)::BIGINT AS longest_run_tokens,
+       count(*)::BIGINT AS n_spans,
+       sum(run_len)::BIGINT AS n_matched_kgrams
+FROM isl
+GROUP BY doc_a, doc_b
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_shared_spans", SHARED_SPANS_ORACLE, tags=("llm", "dedup", "eval"))
+def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-token-run evidence per capped candidate pair: the
+    longest VERBATIM token run the two documents share, the number of
+    maximal shared runs, and the total matched k-gram positions — the
+    substring-dedup statistic of Lee et al.'s suffix-array pass
+    ("Deduplicating Training Data Makes Language Models Better"),
+    re-expressed relationally. Set-overlap scores (Jaccard, ROUGE-2) say
+    two docs share VOCABULARY; this says they share literal PASSAGES —
+    the evidence tier that justifies span surgery (text_span_removal)
+    instead of whole-document drops.
+
+    Method: {SPAN_K}-token k-grams hashed to 60-bit BIGINTs at the scan
+    carry their POSITION; for each candidate pair, equal anchors align on
+    a diagonal (pa - pb), and consecutive positions on one diagonal are a
+    verbatim run — gaps-and-islands (pa - row_number) per (pair, diag)
+    recovers maximal runs exactly: a k-gram-match island of length r is a
+    shared run of r + {SPAN_K} - 1 tokens. Per-doc k-grams repeating
+    more than {SPAN_FREQ_CAP}x are dropped first (the stop-gram filter
+    every positional-anchor system applies — winnowing's robustness
+    discipline): without it one degenerate repeated phrase makes the
+    per-pair position join quadratic in its frequency; with it the
+    combos are bounded at {SPAN_FREQ_CAP}^2 per anchor. A run broken by
+    a dropped stop-gram splits into two reported runs (documented
+    conservatism — lengths are never overstated).
+
+    Scale shape: pair list is dedup_pairs_capped's LINEAR-output capped
+    graph (never the raw quadratic cliques); only candidate documents
+    are tokenized (semi-join before the explode, the rouge2 discipline);
+    the position explode is a cheap int sequence with codegen'd
+    slice/concat per row (the text_dup_spans lesson — no higher-order
+    lambda re-evaluation); everything downstream is equi-joins and
+    hash-aggs on 8-byte keys, exact BIGINT end to end."""
+    ph = local_checkpoint(dedup_pairs_capped(spark, sf_dir).select("doc_a", "doc_b"))
+    t = load_tables(spark, sf_dir)
+    cand_docs = (
+        ph.select(F.col("doc_a").alias("doc_id"))
+        .union(ph.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    toks = (
+        t["documents"]
+        .join(cand_docs, "doc_id", "left_semi")
+        .select("doc_id", F.expr(f"split({_NORM}, ' ')").alias("tk"))
+    )
+    kg0 = (
+        toks.filter(F.size("tk") >= SPAN_K)
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(1, size(tk) - {SPAN_K} + 1)")).alias("p"),
+            "tk",
+        )
+        .select(
+            "doc_id",
+            "p",
+            F.expr(
+                f"CAST(conv(substring(md5(concat_ws(' ', slice(tk, p, {SPAN_K}))), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    kg = local_checkpoint(
+        kg0.withColumn("c", F.count(F.lit(1)).over(W.partitionBy("doc_id", "h")))
+        .filter(F.col("c") <= SPAN_FREQ_CAP)
+        .select("doc_id", "p", "h")
+    )
+    m = (
+        ph.join(
+            kg.withColumnsRenamed({"doc_id": "doc_a", "p": "pa"}), "doc_a"
+        )
+        .join(
+            kg.withColumnsRenamed({"doc_id": "doc_b", "p": "pb"}), ["doc_b", "h"]
+        )
+        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    wd = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    isl = (
+        m.withColumn("grp", F.col("pa") - F.row_number().over(wd))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    out = local_checkpoint(
+        isl.groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("run_len") + F.lit(SPAN_K - 1)).cast("long").alias("longest_run_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum("run_len").cast("long").alias("n_matched_kgrams"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+    release_result(kg)
+    release_result(ph)
+    return out

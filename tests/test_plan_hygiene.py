@@ -82,6 +82,7 @@ EAGER_BUILD = {
     # consumers); cluster cohesion composes two eager operators. Oracle +
     # recompute tests cover them.
     "dedup_rouge2_pairs",
+    "dedup_shared_spans",  # checkpoints the capped pairs + anchor frame during build
     "dedup_cluster_cohesion",
     "dedup_cross_split_decontam",  # persists the hashed shingle rows during build
     # r8 eager operators: the fastText trainer runs its integer-GD
