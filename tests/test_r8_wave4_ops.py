@@ -76,3 +76,35 @@ def test_shared_spans_matches_python_replay(spark, sf_dir):
     assert max(r["longest_run_tokens"] for r in rows) > SPAN_K, (
         "at least one pair must share a run strictly longer than the anchor"
     )
+
+
+def test_fdr_bh_step_up_invariants(spark, sf_dir):
+    """Replay the BH step-up in pure Python from the per-test exceedance
+    counts and pin the rejection frontier, the rational p-values, and the
+    monotonicity law (anything with a smaller p than a rejected test is
+    rejected too)."""
+    from sol_spark.queries.events_analytics import (
+        FDR_PERM_N,
+        FDR_Q_PPM,
+        stats_fdr_bh,
+    )
+
+    rows = stats_fdr_bh(spark, sf_dir).collect()
+    m = len(rows)
+    assert m >= 2
+    # ranks are a total order aligned with (n_ge, event_type)
+    assert [r["rk"] for r in rows] == list(range(1, m + 1))
+    assert [(r["n_ge"], r["event_type"]) for r in rows] == sorted(
+        (r["n_ge"], r["event_type"]) for r in rows
+    )
+    k = 0
+    for r in rows:
+        assert r["p_ppm"] == (1_000_000 * (1 + r["n_ge"])) // (FDR_PERM_N + 1)
+        assert r["bh_cutoff_ppm"] == (r["rk"] * FDR_Q_PPM) // m
+        if 1_000_000 * m * (1 + r["n_ge"]) <= r["rk"] * FDR_Q_PPM * (FDR_PERM_N + 1):
+            k = r["rk"]
+    for r in rows:
+        assert r["rejected"] == (r["rk"] <= k)
+    # monotonicity: the rejected set is a prefix of the p-sorted family
+    rejected_ranks = [r["rk"] for r in rows if r["rejected"]]
+    assert rejected_ranks == list(range(1, len(rejected_ranks) + 1))
