@@ -5001,3 +5001,109 @@ def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(rk * {FDR_Q_PPM}) div m").cast("long").alias("bh_cutoff_ppm"),
         (F.col("rk") <= F.col("k")).alias("rejected"),
     ).orderBy("rk")
+
+
+# ---------------------------------------------------------------------------
+# Watermark-delay audit: how much event-time disorder does the stream
+# actually carry, and what fraction of events would each candidate
+# watermark delay DROP? The offline tuning pass run before committing a
+# withWatermark() clause to production.
+# ---------------------------------------------------------------------------
+
+WM_DELAY_GRID_S = (0, 30, 60, 120, 300, 600)
+WM_MAX_NET_DELAY_S = 600  # synthetic md5 network delay bound (fixture arrives sorted)
+
+WATERMARK_LATENESS_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, floor(epoch(ts))::BIGINT AS sec,
+         floor(epoch(ts))::BIGINT
+           + (('0x' || substr(md5('wl' || event_id), 1, 8))::BIGINT % {WM_MAX_NET_DELAY_S}) AS arr
+  FROM events
+), r AS (
+  SELECT sec, max(sec) OVER (ORDER BY arr, event_id ROWS UNBOUNDED PRECEDING) AS runmax
+  FROM e
+), l AS (
+  SELECT greatest(runmax - sec, 0)::BIGINT AS late FROM r
+), d AS (SELECT unnest([{", ".join(str(x) for x in WM_DELAY_GRID_S)}]) AS wm)
+SELECT d.wm::BIGINT AS wm_delay_s,
+       count(*)::BIGINT AS n_events,
+       sum(CASE WHEN l.late > d.wm THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       ((1000000 * sum(CASE WHEN l.late > d.wm THEN 1 ELSE 0 END)) // count(*))::BIGINT AS drop_ppm
+FROM l CROSS JOIN d
+GROUP BY d.wm
+ORDER BY wm_delay_s
+"""
+
+
+@register("events_watermark_lateness", WATERMARK_LATENESS_ORACLE, tags=("events", "streaming", "audit"))
+def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay audit: replay the log in ARRIVAL order and measure
+    each event's lateness against the running maximum event time — then,
+    for every candidate ``withWatermark`` delay d, the exact count and ppm
+    of events Structured Streaming would drop (an event is dropped iff
+    lateness > d). This is the offline pass that turns "pick a watermark"
+    from folklore into a measured CDF: the grid row where drop_ppm
+    crosses the pipeline's loss budget IS the delay to configure. The
+    fixture arrives time-sorted, so a deterministic md5 network delay
+    (0..{WM_MAX_NET_DELAY_S - 1} s, keyed on event_id) synthesizes the
+    disorder; production replaces ``arr`` with the logged ingest
+    timestamp and the operator is unchanged.
+
+    Scale shape: the global running max is NEVER a single-partition
+    window over the fact — it decomposes into day-bucketed local running
+    maxima (partitioned window) plus a prefix max over the bounded
+    per-bucket summary (<= days-of-retention rows, single partition
+    DECLARED with a non-foldable constant key), stitched back with one
+    broadcast join: the two-level scan events_incident_stats established,
+    reused for a second global-sequence statistic. The delay grid is a
+    broadcast cross join over a constant 6-row frame, re-aggregated
+    map-side."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    e = t["events"].select(
+        "event_id",
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").alias("sec"),
+        F.expr(
+            f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            f" + CAST(conv(substring(md5(concat('wl', CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % {WM_MAX_NET_DELAY_S}"
+        ).alias("arr"),
+    ).select("event_id", "sec", "arr", (F.col("arr") - F.col("arr") % 86400).alias("day"))
+    w_day = W.partitionBy("day").orderBy("arr", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    local = e.select("sec", "day", F.max("sec").over(w_day).alias("local_runmax"))
+    bmax = e.groupBy("day").agg(F.max("sec").alias("bucket_max"))
+    # Prefix max over the bounded bucket summary: single partition ON
+    # PURPOSE (<= retention days rows); non-foldable constant key so the
+    # deliberate bounded scan isn't read as an accidental global window.
+    w_g = W.partitionBy(F.pmod(F.col("day"), F.lit(1))).orderBy("day").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    prefix = bmax.select("day", F.max("bucket_max").over(w_g).alias("prev_max"))
+    lateness = (
+        local.join(F.broadcast(prefix), "day")
+        .select(
+            F.greatest(
+                F.greatest(F.col("local_runmax"), F.coalesce("prev_max", F.col("local_runmax")))
+                - F.col("sec"),
+                F.lit(0),
+            ).cast("long").alias("late")
+        )
+    )
+    delays = spark.createDataFrame(
+        [(int(d),) for d in WM_DELAY_GRID_S], "wm_delay_s long"
+    )
+    return (
+        lateness.crossJoin(F.broadcast(delays))
+        .groupBy("wm_delay_s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(F.col("late") > F.col("wm_delay_s"), 1).otherwise(0))
+            .cast("long").alias("n_dropped"),
+            F.expr(
+                "(1000000 * sum(CASE WHEN late > wm_delay_s THEN 1 ELSE 0 END)) div count(*)"
+            ).cast("long").alias("drop_ppm"),
+        )
+        .orderBy("wm_delay_s")
+    )

@@ -108,3 +108,51 @@ def test_fdr_bh_step_up_invariants(spark, sf_dir):
     # monotonicity: the rejected set is a prefix of the p-sorted family
     rejected_ranks = [r["rk"] for r in rows if r["rejected"]]
     assert rejected_ranks == list(range(1, len(rejected_ranks) + 1))
+
+
+def test_watermark_lateness_matches_naive_global_scan(spark, sf_dir):
+    """The day-bucketed two-level running max must equal the naive global
+    scan: replay arrival order in pure Python, recompute every grid row,
+    and pin monotonicity (a longer watermark never drops more)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from sol_spark.queries.events_analytics import (
+        WM_DELAY_GRID_S,
+        WM_MAX_NET_DELAY_S,
+        events_watermark_lateness,
+    )
+
+    rows = {r["wm_delay_s"]: r for r in events_watermark_lateness(spark, sf_dir).collect()}
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_id",
+            F.expr(
+                "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', cast(ts as timestamp_ntz))"
+            ).alias("sec"),
+        )
+        .collect()
+    )
+    recs = []
+    for r in ev:
+        delay = (
+            int(hashlib.md5(f"wl{r['event_id']}".encode()).hexdigest()[:8], 16)
+            % WM_MAX_NET_DELAY_S
+        )
+        recs.append((r["sec"] + delay, r["event_id"], r["sec"]))
+    recs.sort()
+    runmax, lates = -(10**18), []
+    for _, _, sec in recs:
+        runmax = max(runmax, sec)
+        lates.append(runmax - sec)
+    for d in WM_DELAY_GRID_S:
+        got = rows[d]
+        want_dropped = sum(1 for x in lates if x > d)
+        assert got["n_events"] == len(lates)
+        assert got["n_dropped"] == want_dropped, f"wm={d}"
+        assert got["drop_ppm"] == (1_000_000 * want_dropped) // len(lates)
+    grid = [rows[d]["n_dropped"] for d in sorted(rows)]
+    assert grid == sorted(grid, reverse=True), "drops must shrink as the delay grows"
+    assert grid[0] > 0, "the zero-delay row must drop events (disorder is real)"
