@@ -680,3 +680,75 @@ def slo_daily_counts(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errs"),
     )
+
+
+# Watermark-drop twin constants: synthetic arrival delay bound, the
+# configured watermark, and the window width. The delay bound is
+# BACKFILL-scale (up to 10 days — devices coming online, replayed
+# queues), far beyond the watermark AND beyond one micro-batch's arrival
+# span, so rows genuinely arrive after their window's state was evicted
+# and the engine's real drop path fires at every SF (the batch audit
+# events_watermark_lateness prices a gentler jitter GRID; this twin pins
+# the engine's actual semantics at one configured point).
+#
+# Pinned finding (test_watermark_drop_stream_twin_matches_replay): an
+# append-mode windowed aggregation uses TWO watermarks per micro-batch —
+# late INPUT rows are filtered against the PREVIOUS batch's watermark
+# (eventTimeWatermarkForLateEvents) while state eviction/emission uses the
+# CURRENT one (eventTimeWatermarkForEviction). A row later than the
+# current watermark but not the previous one is therefore still COUNTED —
+# "too late" is decided one batch behind the eviction frontier.
+WM_TWIN_DELAY_MOD_S = 864000
+WM_TWIN_WATERMARK_S = 900
+WM_TWIN_WINDOW_S = 3600
+
+
+def events_arrival_stream(
+    spark: SparkSession, sf_dir: str, n_files: int = 6
+) -> tuple[DataFrame, str]:
+    """Replay the events fixture as a file stream in synthetic ARRIVAL
+    order: arrival = event time + an md5 network delay (0..{delay} s keyed
+    on event_id), files range-split by arrival so later micro-batches
+    carry EARLIER event times — the out-of-orderness a watermark exists to
+    bound. Same materialize-through-Spark discipline as
+    :func:`events_stream` (never copy the raw fixture; stagger mtimes so
+    the file source replays in arrival order)."""
+    from sol_spark.tables import _read
+
+    batch = _read(spark, os.path.join(sf_dir, "events.parquet")).withColumn(
+        "arr",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            f" + CAST(conv(substring(md5(concat('wl', CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % {WM_TWIN_DELAY_MOD_S}"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="solspark_arrstream_")
+    batch.repartitionByRange(n_files, "arr").drop("arr").write.mode("overwrite").parquet(tmp)
+    import time as _time
+
+    parts = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    base = _time.time() - 300
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(tmp, f), (base + i, base + i))
+    schema = _read(spark, os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmp)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    return stream, tmp
+
+
+def watermarked_hourly_counts(events: DataFrame) -> DataFrame:
+    """Hourly event counts under a REAL {wm} s watermark: rows whose
+    window's state was already evicted by the advancing watermark are
+    dropped by the engine — the behavior events_watermark_lateness prices
+    offline, here pinned live. Run in update mode; the final per-window
+    count is the last (= max, counts are monotone) update emitted."""
+    return (
+        events.withWatermark("ts", f"{WM_TWIN_WATERMARK_S} seconds")
+        .groupBy(F.window("ts", f"{WM_TWIN_WINDOW_S} seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("window_start"), "n")
+    )

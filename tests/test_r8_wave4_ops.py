@@ -156,3 +156,73 @@ def test_watermark_lateness_matches_naive_global_scan(spark, sf_dir):
     grid = [rows[d]["n_dropped"] for d in sorted(rows)]
     assert grid == sorted(grid, reverse=True), "drops must shrink as the delay grows"
     assert grid[0] > 0, "the zero-delay row must drop events (disorder is real)"
+
+def test_watermark_drop_stream_twin_matches_replay(spark, sf_dir):
+    """Run a REAL withWatermark windowed aggregation over arrival-ordered
+    micro-batches (backfill-scale lateness) and require the engine's
+    emitted windows to equal an exact replay of the TWO-watermark
+    semantics: late input rows are filtered against the PREVIOUS batch's
+    watermark, state eviction/emission uses the CURRENT one. The replay
+    reads back the ACTUAL materialized part files (range-split boundaries
+    are sampled, so batch composition must come from disk)."""
+    import datetime
+    import os
+    import shutil
+    from collections import Counter, defaultdict
+
+    from pyspark.sql import functions as F
+
+    from sol_spark.streaming import pipelines as P
+
+    stream, tmp = P.events_arrival_stream(spark, sf_dir, n_files=6)
+    try:
+        sink = P.run_stream_to_memory(
+            P.watermarked_hourly_counts(stream), output_mode="append"
+        )
+        rows = sink.collect()
+        # no window ever emits twice: very-late rows are DROPPED by the
+        # lagged filter, never re-create evicted state
+        assert not [k for k, v in Counter(r["window_start"] for r in rows).items() if v > 1]
+        got = {r["window_start"]: r["n"] for r in rows}
+
+        parts = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        assert len(parts) == 6
+        win_us = P.WM_TWIN_WINDOW_S * 1_000_000
+        batches = [
+            [
+                r["us"]
+                for r in spark.read.parquet(os.path.join(tmp, p))
+                .select(
+                    F.expr(
+                        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                    ).alias("us")
+                )
+                .collect()
+            ]
+            for p in parts
+        ]
+        state = defaultdict(int)
+        emitted = {}
+        wm_late, wm_evict, dropped = None, None, 0
+        for us in batches + [[]]:  # trailing no-data batch advances eviction once more
+            for u in us:
+                k = u // win_us * win_us
+                if wm_late is not None and k + win_us <= wm_late:
+                    dropped += 1
+                    continue
+                state[k] += 1
+            if wm_evict is not None:
+                for k in [k for k in state if k + win_us <= wm_evict]:
+                    emitted[k] = state.pop(k)
+            wm_late = wm_evict
+            if us:
+                bwm = (max(us) // 1000) * 1000 - P.WM_TWIN_WATERMARK_S * 1_000_000
+                wm_evict = bwm if wm_evict is None else max(wm_evict, bwm)
+        want = {
+            datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=k): v
+            for k, v in emitted.items()
+        }
+        assert dropped > 0, "the twin must exercise the real drop path"
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
