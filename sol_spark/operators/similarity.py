@@ -3592,3 +3592,75 @@ def sim_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Range search: ALL neighbors above a similarity threshold (the FAISS
+# RangeSearch API shape) — the retrieval mode dedup and recall-sensitive
+# RAG actually want, where "top-k" silently truncates dense neighborhoods
+# and pads sparse ones.
+# ---------------------------------------------------------------------------
+
+RANGE_TAU = 0.20  # cosine threshold (rounded-cosine frontier, ~2sigma here)
+
+SIM_RANGE_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+norms AS (
+  SELECT vec_id, sqrt(sum(embedding[i.i]::DOUBLE * embedding[i.i]::DOUBLE)) AS nrm
+  FROM embeddings, dims i GROUP BY vec_id
+),
+dots AS (
+  SELECT qid, cid, sum(qe[i.i]::DOUBLE * ce[i.i]::DOUBLE) AS dot
+  FROM q, c, dims i
+  WHERE qid <> cid
+  GROUP BY qid, cid
+),
+scored AS (
+  SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots JOIN norms nq ON nq.vec_id = qid
+            JOIN norms nc ON nc.vec_id = cid
+)
+SELECT qid, cid, cosine
+FROM scored
+WHERE cosine >= {RANGE_TAU}
+ORDER BY qid, cosine DESC, cid
+"""
+
+
+@register("sim_range_search", SIM_RANGE_ORACLE, tags=("llm", "similarity"))
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search (FAISS RangeSearch shape): every corpus vector whose
+    cosine with a query clears {RANGE_TAU}, not a fixed-k truncation —
+    the retrieval mode near-dup sweeps and recall-bound RAG want, since
+    top-k silently CUTS dense neighborhoods (losing true duplicates past
+    rank k) and PADS sparse ones (hauling junk neighbors in). The
+    threshold is applied to the ROUNDED cosine, so the accept/reject
+    frontier is the same shortest-decimal value on both engines.
+
+    Scale shape: identical broadcast-query discipline to sim_topk_exact —
+    corpus stays partitioned, the query block broadcasts, the dot product
+    is the UNROLLED codegen'd fold (bit-identical to the oracle's ordered
+    sum) — but strictly CHEAPER than top-k: the threshold is a plain
+    filter in the projection, so there is NO per-query window and NO rank
+    shuffle at all; output rows leave pre-filtered. At 100 TB the
+    production prefilter is the LSH bucket equi-join (sim_topk_lsh's
+    shape) with this exact scoring as the verify pass over candidates
+    only; sim_prefilter_vs_postfilter is the standing audit of that
+    composition."""
+    t = load_tables(spark, sf_dir)
+    emb = _with_norm(t["embeddings"])
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), F.col("nrm").alias("cn")
+    )
+    return (
+        c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+        .withColumn("cosine", F.round(unrolled_dot("qe", "ce") / (F.col("qn") * F.col("cn")), 6))
+        .filter(F.col("cosine") >= RANGE_TAU)
+        .select("qid", "cid", "cosine")
+        .orderBy("qid", F.desc("cosine"), "cid")
+    )
