@@ -469,3 +469,228 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve: the OTHER multi-dimensional clustering curve (Iceberg's
+# OPTIMIZE supports both). Z-order takes long jumps at power-of-two
+# boundaries, splitting some query boxes across distant curve ranges;
+# Hilbert is continuous (every step moves to an adjacent cell), which
+# typically reads fewer files for the same box predicate. The mapping is
+# the classic per-level quadrant fold (Wikipedia xy2d): at each level s,
+# the quadrant digit is (3*rx) XOR ry and the frame rotates/reflects —
+# expressed here with div/mod/CASE only, unrolled once per level, so the
+# SAME arithmetic runs in Spark (chained projections) and DuckDB
+# (chained CTEs) and is oracle-verifiable row-by-row.
+# ---------------------------------------------------------------------------
+
+H_SIDE = 1 << Z_BITS  # 16 bits per dimension, same domain as the Z curve
+
+
+def _hilbert_step_sql(s: int) -> tuple[str, str, str]:
+    """(d_increment, x_new, y_new) SQL for one level, over columns hx/hy.
+
+    rx/ry are the level-s bits; the quadrant digit (3*rx) XOR ry over
+    bits is the polynomial 3*rx + ry - 2*rx*ry; the rotation keeps
+    (hx, hy) when ry=1, swaps when ry=0 & rx=0, and reflects-then-swaps
+    (x -> side-1-x) when ry=0 & rx=1."""
+    rx = f"((hx // {s}) % 2)"
+    ry = f"((hy // {s}) % 2)"
+    dq = f"{s * s} * (3 * {rx} + {ry} - 2 * {rx} * {ry})"
+    x_new = (
+        f"CASE WHEN {ry} = 1 THEN hx WHEN {rx} = 0 THEN hy ELSE {H_SIDE - 1} - hy END"
+    )
+    y_new = (
+        f"CASE WHEN {ry} = 1 THEN hy WHEN {rx} = 0 THEN hx ELSE {H_SIDE - 1} - hx END"
+    )
+    return dq, x_new, y_new
+
+
+def hilbert_df(base: DataFrame, x_sql: str, y_sql: str, out: str = "hval") -> DataFrame:
+    """Append the Hilbert curve value of two non-negative integer SQL
+    expressions (low 16 bits of each) as column ``out`` — one chained
+    projection per level, all codegen'd integer arithmetic."""
+    df = base.select(
+        "*",
+        F.expr(f"({x_sql}) % {H_SIDE}").alias("hx"),
+        F.expr(f"({y_sql}) % {H_SIDE}").alias("hy"),
+        F.lit(0).cast("long").alias("hd"),
+    )
+    s = H_SIDE // 2
+    while s > 0:
+        dq, x_new, y_new = _hilbert_step_sql(s)
+        df = df.select(
+            *[c for c in df.columns if c not in ("hx", "hy", "hd")],
+            F.expr(x_new.replace("//", " div ")).alias("hx"),
+            F.expr(y_new.replace("//", " div ")).alias("hy"),
+            (F.col("hd") + F.expr(dq.replace("//", " div "))).cast("long").alias("hd"),
+        )
+        s //= 2
+    return df.withColumnRenamed("hd", out).drop("hx", "hy")
+
+
+def _hilbert_oracle_chain(x_sql: str, y_sql: str) -> str:
+    """The identical fold as chained DuckDB CTEs; yields CTE text whose
+    final relation h{levels} carries lineitem keys + hd."""
+    steps = [
+        f"h0 AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,"
+        f" ({x_sql}) % {H_SIDE} AS hx, ({y_sql}) % {H_SIDE} AS hy, 0::BIGINT AS hd FROM lineitem)"
+    ]
+    s, i = H_SIDE // 2, 0
+    while s > 0:
+        dq, x_new, y_new = _hilbert_step_sql(s)
+        steps.append(
+            f"h{i + 1} AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,"
+            f" {x_new} AS hx, {y_new} AS hy, (hd + {dq})::BIGINT AS hd FROM h{i})"
+        )
+        s //= 2
+        i += 1
+    return ",\n".join(steps), f"h{i}"
+
+
+_H_CTES, _H_LAST = _hilbert_oracle_chain("l_partkey", "l_suppkey")
+
+LAYOUT_HILBERT_ORACLE = f"""
+WITH {_H_CTES}
+SELECT l_orderkey, l_linenumber, hd AS hval
+FROM {_H_LAST}
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register("layout_hilbert", LAYOUT_HILBERT_ORACLE, tags=("layout", "scale"))
+def layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert curve value per lineitem row over (l_partkey, l_suppkey) —
+    the write path is the same repartitionByRange + sortWithinPartitions
+    as layout_zorder with hval in place of zval. Same integer-only
+    unrolled fold on both engines ({Z_BITS} levels of div/mod/CASE), so
+    the mapping is verified row-by-row; layout_curve_ab is the standing
+    A/B that prices Hilbert's continuity against Z-order's cheaper
+    expression on the SAME zone-map grading."""
+    t = load_tables(spark, sf_dir)
+    base = t["lineitem"].select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    return (
+        hilbert_df(base, "l_partkey", "l_suppkey")
+        .select("l_orderkey", "l_linenumber", F.col("hval"))
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+LAYOUT_CURVE_AB_ORACLE = f"""
+WITH {_H_CTES},
+base AS MATERIALIZED (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, hd AS hval,
+         {_ZV} AS zval
+  FROM {_H_LAST}
+), laid AS (
+  SELECT 'hilbert' AS layout,
+         ntile({AUDIT_FILES}) OVER (ORDER BY hval, l_orderkey, l_linenumber) AS f,
+         l_partkey, l_suppkey
+  FROM base
+  UNION ALL
+  SELECT 'zorder',
+         ntile({AUDIT_FILES}) OVER (ORDER BY zval, l_orderkey, l_linenumber),
+         l_partkey, l_suppkey
+  FROM base
+), zone AS (
+  SELECT layout, f, count(*) AS n_rows,
+         min(l_partkey) AS pk_lo, max(l_partkey) AS pk_hi,
+         min(l_suppkey) AS sk_lo, max(l_suppkey) AS sk_hi,
+         sum(CASE WHEN l_partkey BETWEEN {BOX_PK_LO} AND {BOX_PK_HI}
+                   AND l_suppkey BETWEEN {BOX_SK_LO} AND {BOX_SK_HI}
+                  THEN 1 ELSE 0 END) AS n_match,
+         sum(CASE WHEN l_suppkey BETWEEN {BOX_SK_LO} AND {BOX_SK_HI}
+                  THEN 1 ELSE 0 END) AS n_match_sk
+  FROM laid GROUP BY layout, f
+), graded AS (
+  SELECT 'box_both_keys' AS predicate, layout, n_rows, n_match,
+         CASE WHEN pk_lo <= {BOX_PK_HI} AND pk_hi >= {BOX_PK_LO}
+               AND sk_lo <= {BOX_SK_HI} AND sk_hi >= {BOX_SK_LO}
+              THEN 1 ELSE 0 END AS must_read
+  FROM zone
+  UNION ALL
+  SELECT 'suppkey_only', layout, n_rows, n_match_sk,
+         CASE WHEN sk_lo <= {BOX_SK_HI} AND sk_hi >= {BOX_SK_LO}
+              THEN 1 ELSE 0 END
+  FROM zone
+)
+SELECT predicate, layout,
+       count(*) AS n_files,
+       (sum(must_read))::BIGINT AS files_read,
+       ((10000 * (count(*) - sum(must_read))) // count(*))::BIGINT AS skip_bp,
+       (sum(CASE WHEN must_read = 1 THEN n_rows ELSE 0 END))::BIGINT AS rows_scanned,
+       (sum(n_match))::BIGINT AS rows_matched
+FROM graded GROUP BY predicate, layout ORDER BY predicate, layout
+"""
+
+
+@register("layout_curve_ab", LAYOUT_CURVE_AB_ORACLE, tags=("layout", "scale"))
+def layout_curve_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs Hilbert, graded head-to-head on the SAME zone-map
+    methodology as layout_skipping_audit (same {AUDIT_FILES} logical
+    files, same box and single-key predicates, same min/max overlap
+    rule a parquet reader applies). This is the standing physical-design
+    A/B the two curve operators exist to answer: Hilbert's continuity
+    (every curve step is an adjacent cell — no Z-shaped jumps) buys
+    tighter file envelopes for the same write cost, vs Z-order's cheaper
+    64-term expression; the scorecard prices that trade per predicate
+    the way tpcds_q67 vs q67a prices ExpandExec vs unioned hash-aggs.
+
+    Scale shape: one scan computes BOTH curve values (codegen'd integer
+    folds), the audit's global ntile sorts stand in for the write-path
+    repartitionByRange (costed once on a sample at 100 TB), and grading
+    is two hash-aggs over |files| rows."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    base = hilbert_df(
+        t["lineitem"].select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        "l_partkey",
+        "l_suppkey",
+    ).withColumn("zval", zorder_expr("l_partkey", "l_suppkey"))
+    laid = None
+    for name, order in (("hilbert", "hval"), ("zorder", "zval")):
+        part = base.select(
+            F.lit(name).alias("layout"),
+            F.ntile(AUDIT_FILES).over(W.orderBy(order, "l_orderkey", "l_linenumber")).alias("f"),
+            "l_partkey", "l_suppkey",
+        )
+        laid = part if laid is None else laid.unionByName(part)
+    in_box = (
+        F.col("l_partkey").between(BOX_PK_LO, BOX_PK_HI)
+        & F.col("l_suppkey").between(BOX_SK_LO, BOX_SK_HI)
+    )
+    in_sk = F.col("l_suppkey").between(BOX_SK_LO, BOX_SK_HI)
+    zone = laid.groupBy("layout", "f").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_partkey").alias("pk_lo"), F.max("l_partkey").alias("pk_hi"),
+        F.min("l_suppkey").alias("sk_lo"), F.max("l_suppkey").alias("sk_hi"),
+        F.sum(F.when(in_box, 1).otherwise(0)).alias("n_match"),
+        F.sum(F.when(in_sk, 1).otherwise(0)).alias("n_match_sk"),
+    )
+    sk_overlap = (F.col("sk_lo") <= BOX_SK_HI) & (F.col("sk_hi") >= BOX_SK_LO)
+    pk_overlap = (F.col("pk_lo") <= BOX_PK_HI) & (F.col("pk_hi") >= BOX_PK_LO)
+    graded = zone.select(
+        F.lit("box_both_keys").alias("predicate"), "layout", "n_rows",
+        F.col("n_match").alias("n_match"),
+        F.when(pk_overlap & sk_overlap, 1).otherwise(0).alias("must_read"),
+    ).unionByName(
+        zone.select(
+            F.lit("suppkey_only").alias("predicate"), "layout", "n_rows",
+            F.col("n_match_sk").alias("n_match"),
+            F.when(sk_overlap, 1).otherwise(0).alias("must_read"),
+        )
+    )
+    return (
+        graded.groupBy("predicate", "layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("must_read").cast("long").alias("files_read"),
+            F.expr("(10000 * (count(*) - sum(must_read))) div count(*)")
+            .cast("long").alias("skip_bp"),
+            F.sum(F.when(F.col("must_read") == 1, F.col("n_rows")).otherwise(0))
+            .cast("long").alias("rows_scanned"),
+            F.sum("n_match").cast("long").alias("rows_matched"),
+        )
+        .orderBy("predicate", "layout")
+    )

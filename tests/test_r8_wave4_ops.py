@@ -226,3 +226,66 @@ def test_watermark_drop_stream_twin_matches_replay(spark, sf_dir):
         assert got == want
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_hilbert_fold_is_the_canonical_curve(spark, sf_dir):
+    """The unrolled div/mod fold must BE the classic Hilbert mapping:
+    compare against the textbook xy2d on the fixture keys, and pin the
+    continuity property (consecutive curve values are Manhattan-adjacent)
+    via the inverse walk."""
+    from sol_spark.operators.layout import H_SIDE, layout_hilbert
+
+    def wiki_xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    def wiki_d2xy(n, d):
+        x = y = 0
+        t, s = d, 1
+        while s < n:
+            rx = 1 & (t // 2)
+            ry = 1 & (t ^ rx)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            x, y = x + s * rx, y + s * ry
+            t //= 4
+            s *= 2
+        return x, y
+
+    from collections import Counter
+
+    # (l_orderkey, l_linenumber) is NOT unique in the fixture, so pin the
+    # full multiset: every row's hval must be the textbook mapping of its
+    # own (partkey, suppkey).
+    want = Counter(
+        (
+            r["l_orderkey"],
+            r["l_linenumber"],
+            wiki_xy2d(H_SIDE, r["l_partkey"] % H_SIDE, r["l_suppkey"] % H_SIDE),
+        )
+        for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .collect()
+    )
+    got = Counter(
+        (r["l_orderkey"], r["l_linenumber"], r["hval"])
+        for r in layout_hilbert(spark, sf_dir).collect()
+    )
+    assert got == want
+    # continuity: each curve step moves to a Manhattan-adjacent cell
+    prev = wiki_d2xy(H_SIDE, 10_000)
+    for d in range(10_001, 11_001):
+        cur = wiki_d2xy(H_SIDE, d)
+        assert abs(cur[0] - prev[0]) + abs(cur[1] - prev[1]) == 1
+        prev = cur
