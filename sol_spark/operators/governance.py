@@ -2961,3 +2961,100 @@ def privacy_synthetic_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q").cast("long").alias("floor_quota"),
         F.col("rem").cast("long").alias("remainder_units"),
     ).orderBy("event_type", "dow")
+
+
+# ---------------------------------------------------------------------------
+# Schema/profile drift between two epochs of the same table: the ingest
+# regression alarm that fires when an upstream producer silently changes
+# cardinality or starts emitting nulls, BEFORE downstream joins blow up.
+# ---------------------------------------------------------------------------
+
+_DRIFT_COLS = ("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+_DRIFT_SPLIT_Y = 1996  # epoch a: years < split; epoch b: years >= split
+
+
+def _drift_oracle_sql() -> str:
+    per_col_aggs = ", ".join(
+        f"count(*) - count({c}) AS {c}_nulls, count(DISTINCT {c}) AS {c}_ndv"
+        for c in _DRIFT_COLS
+    )
+    unions = "\n  UNION ALL\n  ".join(
+        f"SELECT late, n, '{c}' AS col, {c}_nulls AS nulls, {c}_ndv AS ndv FROM pro"
+        for c in _DRIFT_COLS
+    )
+    return f"""
+WITH pro AS MATERIALIZED (
+  SELECT (year(o_orderdate) >= {_DRIFT_SPLIT_Y}) AS late,
+         count(*) AS n, {per_col_aggs}
+  FROM orders GROUP BY 1
+), long AS (
+  {unions}
+)
+SELECT a.col,
+       a.n::BIGINT AS n_a, b.n::BIGINT AS n_b,
+       ((1000000 * a.nulls) // a.n)::BIGINT AS null_ppm_a,
+       ((1000000 * b.nulls) // b.n)::BIGINT AS null_ppm_b,
+       a.ndv::BIGINT AS ndv_a, b.ndv::BIGINT AS ndv_b,
+       ((1000000 * abs(b.ndv - a.ndv)) // a.ndv)::BIGINT AS ndv_drift_ppm,
+       (abs(b.ndv - a.ndv) * 10 > a.ndv) AS drift_flag
+FROM long a JOIN long b ON a.col = b.col AND a.late = false AND b.late = true
+ORDER BY a.col
+"""
+
+
+DQ_SCHEMA_DRIFT_ORACLE = _drift_oracle_sql()
+
+
+@register("dq_schema_drift", DQ_SCHEMA_DRIFT_ORACLE, tags=("governance", "dq", "profiling"))
+def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile drift between two epochs of the orders table:
+    null rate and exact distinct cardinality per epoch, the NDV drift in
+    integer ppm, and a flag when cardinality moved more than 10% (integer
+    cross-multiplication — no float threshold). This is the ingest
+    regression alarm: a producer that silently starts hashing customer
+    ids, collapsing statuses, or defaulting a column to NULL shows up
+    here as a cardinality cliff before any downstream join degrades.
+
+    Scale shape: ONE scan — a 2-group conditional aggregate whose exact
+    per-column distincts rewrite through RewriteDistinctAggregates
+    (expand + partial agg, the profile_columns discipline; swap in
+    approx_count_distinct at 100 TB); the wide 2-row profile unpivots via
+    stack() and self-joins into the per-column scorecard, all on
+    metadata-sized frames."""
+    t = load_tables(spark, sf_dir)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _DRIFT_COLS:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"{c}_nulls"))
+        aggs.append(F.countDistinct(c).alias(f"{c}_ndv"))
+    pro = (
+        t["orders"]
+        .groupBy((F.year("o_orderdate") >= _DRIFT_SPLIT_Y).alias("late"))
+        .agg(*aggs)
+    )
+    stack_args = ", ".join(
+        f"'{c}', {c}_nulls, {c}_ndv" for c in _DRIFT_COLS
+    )
+    long = pro.selectExpr(
+        "late", "n", f"stack({len(_DRIFT_COLS)}, {stack_args}) AS (col, nulls, ndv)"
+    )
+    a = long.filter(~F.col("late")).select(
+        "col", F.col("n").alias("na"), F.col("nulls").alias("nulls_a"), F.col("ndv").alias("ndva")
+    )
+    b = long.filter(F.col("late")).select(
+        "col", F.col("n").alias("nb"), F.col("nulls").alias("nulls_b"), F.col("ndv").alias("ndvb")
+    )
+    return (
+        a.join(b, "col")
+        .select(
+            "col",
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            F.expr("(1000000 * nulls_a) div na").cast("long").alias("null_ppm_a"),
+            F.expr("(1000000 * nulls_b) div nb").cast("long").alias("null_ppm_b"),
+            F.col("ndva").cast("long").alias("ndv_a"),
+            F.col("ndvb").cast("long").alias("ndv_b"),
+            F.expr("(1000000 * abs(ndvb - ndva)) div ndva").cast("long").alias("ndv_drift_ppm"),
+            (F.abs(F.col("ndvb") - F.col("ndva")) * 10 > F.col("ndva")).alias("drift_flag"),
+        )
+        .orderBy("col")
+    )
