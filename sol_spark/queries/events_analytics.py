@@ -5107,3 +5107,94 @@ def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("wm_delay_s")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window rate limiter replay: the OTHER classic limiter (GitHub /
+# Stripe-style "K requests per trailing W"), self-referential on the set
+# of previously ALLOWED events — complements events_token_bucket's GCRA.
+# ---------------------------------------------------------------------------
+
+RL_K = 2            # max allowed events per trailing window
+RL_W_S = 604800     # 7-day sliding window
+_RL_NEG = -10**15   # "never" sentinel for the allowed-history state
+
+EVENTS_RATE_LIMIT_ORACLE = f"""
+WITH RECURSIVE seq AS MATERIALIZED (
+  SELECT event_id, user_id, ts,
+         floor(epoch(ts))::BIGINT AS t,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), rl AS (
+  SELECT event_id, user_id, ts, t, rn,
+         true AS allowed, t AS la1, {_RL_NEG}::BIGINT AS la2
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_id, s.user_id, s.ts, s.t, s.rn,
+         (h.la2 <= s.t - {RL_W_S}),
+         CASE WHEN h.la2 <= s.t - {RL_W_S} THEN s.t ELSE h.la1 END,
+         CASE WHEN h.la2 <= s.t - {RL_W_S} THEN h.la1 ELSE h.la2 END
+  FROM seq s JOIN rl h ON s.user_id = h.user_id AND s.rn = h.rn + 1
+)
+SELECT event_id, user_id, ts, allowed,
+       (CASE WHEN allowed THEN 0 ELSE la2 + {RL_W_S} - t END)::BIGINT AS wait_s
+FROM rl ORDER BY user_id, ts, event_id
+"""
+
+
+@register("events_rate_limit_sliding", EVENTS_RATE_LIMIT_ORACLE, tags=("events", "stateful"))
+def events_rate_limit_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rate-limiter replay: each user's stream passes a
+    "{RL_K} allowed events per trailing {RL_W_S} s" gate — an event is
+    allowed iff fewer than {RL_K} ALLOWED events (the self-referential
+    part a window function cannot express) sit in its trailing window,
+    and denials report the exact integer wait_s until the oldest blocker
+    ages out (the Retry-After header value). The GCRA twin
+    events_token_bucket forfeits fractional credit; this limiter is
+    exact over the trailing window — replaying BOTH over the same logged
+    traffic is how the two enforcement styles are compared before
+    rollout.
+
+    Scale shape: identical to events_token_bucket — per-user bounded
+    state ({RL_K} BIGINT timestamps), ONE Arrow-batched grouped-map
+    partition-parallel across users, all-integer transitions (the oracle
+    recursive CTE matches hash-exactly), checkpoint before the output
+    sort so the sampling pass can't re-run the state machine."""
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "event_id", "user_id", "ts",
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").alias("t"),
+    )
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        la = [_RL_NEG] * RL_K  # most-recent first
+        allowed_out, wait_out = [], []
+        for tt in pdf["t"].to_numpy():
+            tt = int(tt)
+            blocker = la[RL_K - 1]
+            ok = blocker <= tt - RL_W_S
+            if ok:
+                la = [tt] + la[: RL_K - 1]
+                wait_out.append(0)
+            else:
+                wait_out.append(blocker + RL_W_S - tt)
+            allowed_out.append(ok)
+        pdf["allowed"] = allowed_out
+        pdf["wait_s"] = wait_out
+        return pdf
+
+    replayed = (
+        ev.groupBy("user_id")
+        .applyInPandas(
+            replay,
+            "event_id bigint, user_id bigint, ts timestamp_ntz, t bigint, "
+            "allowed boolean, wait_s bigint",
+        )
+        .select("event_id", "user_id", "ts", "allowed", "wait_s")
+    )
+    from sol_spark.operators.dedup import local_checkpoint
+
+    return local_checkpoint(replayed).orderBy("user_id", "ts", "event_id")

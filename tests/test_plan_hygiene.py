@@ -83,6 +83,7 @@ EAGER_BUILD = {
     # recompute tests cover them.
     "dedup_rouge2_pairs",
     "dedup_shared_spans",  # checkpoints the capped pairs + anchor frame during build
+    "events_rate_limit_sliding",  # checkpoints the grouped-map replay before the sort
     "dedup_cluster_cohesion",
     "dedup_cross_split_decontam",  # persists the hashed shingle rows during build
     # r8 eager operators: the fastText trainer runs its integer-GD
