@@ -4853,3 +4853,71 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     release_result(kg)
     release_result(ph)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Diameter / effective-diameter estimate from the BFS seed sample — the
+# "how many hops is this graph, really" summary (ANF/HyperBall's question,
+# answered here exactly over the seed sample instead of approximately
+# over all sources).
+# ---------------------------------------------------------------------------
+
+GRAPH_DIAMETER_ORACLE = f"""
+WITH bfs AS MATERIALIZED (
+  SELECT seed, doc, dist FROM ({GRAPH_BFS_ORACLE.replace("ORDER BY seed, doc", "")}) q
+), per AS (
+  SELECT seed, dist, count(*) AS c FROM bfs GROUP BY seed, dist
+), cum AS (
+  SELECT seed, dist, c,
+         sum(c) OVER (PARTITION BY seed ORDER BY dist ROWS UNBOUNDED PRECEDING) AS cume,
+         sum(c) OVER (PARTITION BY seed) AS n_reached
+  FROM per
+)
+SELECT seed,
+       max(n_reached)::BIGINT AS n_reached,
+       max(dist)::BIGINT AS ecc_lb,
+       min(CASE WHEN 10 * cume >= 9 * n_reached THEN dist END)::BIGINT AS eff_diameter_90
+FROM cum
+GROUP BY seed
+ORDER BY seed
+"""
+
+
+@register("graph_diameter_estimate", GRAPH_DIAMETER_ORACLE, tags=("llm", "dedup", "graph", "iterative"))
+def graph_diameter_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-seed eccentricity and effective diameter over the BFS sample:
+    for each of the {BFS_SEEDS} seed sources, how many documents it
+    reaches within the {BFS_ROUNDS}-hop horizon, its eccentricity lower
+    bound (max observed distance — the max over seeds lower-bounds the
+    graph diameter), and the 90% effective diameter (smallest d whose
+    cumulative reach clears 90%, the integer cross-multiplication
+    10*cum >= 9*n). Near-dup graphs are supposed to be SHALLOW cliques —
+    a seed whose effective diameter approaches the horizon exposes a
+    topic CHAIN being glued by banding accidents, the structure CC-based
+    keep-lists silently collapse.
+
+    Scale shape: composes the eager BFS (per-round relaxation joins,
+    checkpoint+release); everything here is a per-seed hash-agg plus a
+    window over at most {BFS_ROUNDS}+1 distance rows per seed."""
+    bfs = graph_bfs_distances(spark, sf_dir)
+    per = bfs.groupBy("seed", "dist").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window as W
+
+    w_cum = W.partitionBy("seed").orderBy("dist").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.partitionBy("seed").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cum = per.select(
+        "seed", "dist", "c",
+        F.sum("c").over(w_cum).alias("cume"),
+        F.sum("c").over(w_all).alias("n_reached"),
+    )
+    return (
+        cum.groupBy("seed")
+        .agg(
+            F.max("n_reached").cast("long").alias("n_reached"),
+            F.max("dist").cast("long").alias("ecc_lb"),
+            F.min(
+                F.when(10 * F.col("cume") >= 9 * F.col("n_reached"), F.col("dist"))
+            ).cast("long").alias("eff_diameter_90"),
+        )
+        .orderBy("seed")
+    )

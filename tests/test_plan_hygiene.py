@@ -49,6 +49,7 @@ EAGER_BUILD = {
     "dedup_semdedup",
     "dedup_semdedup_kmeans",
     "graph_bfs_distances",
+    "graph_diameter_estimate",  # composes the eager BFS
     "dedup_representatives",  # composes two eager iterative operators
     # late-r6 eager operators: sketch-PR checkpoints each method's pair
     # set before grading; harmonic centrality composes the eager BFS;
