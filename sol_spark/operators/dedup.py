@@ -4921,3 +4921,155 @@ def graph_diameter_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seed")
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximal matching on the capped near-dup graph: a pairing in which no two
+# matched edges share a vertex and no unmatched edge has both endpoints
+# free — the assignment primitive (pair each doc with ONE best-evidence
+# partner for human review / A-vs-B dedup adjudication), and the edge-side
+# sibling of Luby MIS: locally-minimal edges match in parallel.
+# ---------------------------------------------------------------------------
+
+MATCH_MAX_ROUNDS = 8
+
+
+def _match_key_sql(a: str, b: str) -> str:
+    """Total-order edge key: the md5 priority (decimal, zero-padded to 19)
+    then both endpoint ids (padded to 10) — lexicographic min == numeric
+    (priority, a, b) min, identical in both engines."""
+    p = (
+        f"CAST(conv(substring(md5(concat('mm', CAST({a} AS STRING), '_', CAST({b} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return (
+        f"concat(lpad(CAST({p} AS STRING), 19, '0'), '_',"
+        f" lpad(CAST({a} AS STRING), 10, '0'), '_', lpad(CAST({b} AS STRING), 10, '0'))"
+    )
+
+
+def _match_oracle_sql() -> str:
+    pd = (
+        "('0x' || substr(md5('mm' || a || '_' || b), 1, 15))::BIGINT"
+    )
+    key = (
+        f"lpad(CAST({pd} AS VARCHAR), 19, '0') || '_' ||"
+        " lpad(CAST(a AS VARCHAR), 10, '0') || '_' || lpad(CAST(b AS VARCHAR), 10, '0')"
+    )
+    steps = []
+    for r in range(1, MATCH_MAX_ROUNDS + 1):
+        steps.append(f""",
+pk{r} AS MATERIALIZED (
+  SELECT v, min(key) AS mk FROM (
+    SELECT a AS v, key FROM live{r - 1} UNION ALL SELECT b, key FROM live{r - 1}
+  ) s GROUP BY v
+), m{r} AS MATERIALIZED (
+  SELECT e.a, e.b, {r}::BIGINT AS rnd FROM live{r - 1} e
+  JOIN pk{r} pa ON pa.v = e.a AND pa.mk = e.key
+  JOIN pk{r} pb ON pb.v = e.b AND pb.mk = e.key
+), mv{r} AS MATERIALIZED (
+  SELECT a AS v FROM m{r} UNION SELECT b FROM m{r}
+), live{r} AS MATERIALIZED (
+  SELECT e.a, e.b, e.key FROM live{r - 1} e
+  WHERE e.a NOT IN (SELECT v FROM mv{r}) AND e.b NOT IN (SELECT v FROM mv{r})
+)""")
+    mall = " UNION ALL ".join(
+        f"SELECT a, b, rnd FROM m{r}" for r in range(1, MATCH_MAX_ROUNDS + 1)
+    )
+    return f"""
+WITH pc AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({DEDUP_PAIRS_CAPPED_ORACLE.replace("ORDER BY doc_a, doc_b", "")}) q
+), live0 AS MATERIALIZED (
+  SELECT a, b, {key} AS key FROM (SELECT doc_a AS a, doc_b AS b FROM pc) e
+){"".join(steps)}
+SELECT a::BIGINT AS doc_a, b::BIGINT AS doc_b, rnd AS match_round
+FROM ({mall}) q
+ORDER BY doc_a, doc_b
+"""
+
+
+GRAPH_MATCHING_ORACLE = _match_oracle_sql()
+
+
+@register("graph_maximal_matching", GRAPH_MATCHING_ORACLE, tags=("llm", "dedup", "graph", "iterative"))
+def graph_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel maximal matching on the capped near-dup graph — the
+    edge-side sibling of Luby MIS: every round, each vertex points at its
+    minimum-priority incident live edge (md5 edge priority, endpoint ids
+    as the total tiebreak), edges pointed at from BOTH ends join the
+    matching, and all edges touching a newly matched vertex leave the
+    live set. Locally-minimal edges are independent, so rounds are
+    conflict-free and the result is a valid maximal matching — the
+    pairing primitive for review-queue assignment (each doc adjudicated
+    against ONE partner) where the capped graph's mutual-k pairs alone
+    may overlap vertices.
+
+    Scale shape: runs on dedup_pairs_capped's bounded-degree LINEAR graph;
+    each round is one per-vertex min hash-agg over the symmetric live
+    edges (map-side combinable) + two equi-joins + two anti-joins,
+    through the shared iterate() loop (fused Observation probe, per-round
+    checkpoint/release). Static priorities still guarantee progress
+    (the global minimum edge always matches); {MATCH_MAX_ROUNDS} rounds
+    raise fail-loud if the cap is ever hit, and the oracle unrolls the
+    identical rounds (no-ops after convergence)."""
+    pc = dedup_pairs_capped(spark, sf_dir)
+    edges0 = local_checkpoint(
+        pc.select(
+            F.col("doc_a").alias("a"),
+            F.col("doc_b").alias("b"),
+            F.expr(_match_key_sql("doc_a", "doc_b")).alias("key"),
+        )
+    )
+    state0 = edges0.select(
+        "a", "b", "key", F.lit("live").alias("status"), F.lit(0).cast("long").alias("rnd")
+    )
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        live = state.filter(F.col("status") == "live").select("a", "b", "key")
+        sym = live.select(F.col("a").alias("v"), "key").unionAll(
+            live.select(F.col("b").alias("v"), "key")
+        )
+        picks = sym.groupBy("v").agg(F.min("key").alias("mk"))
+        graded = (
+            live.join(
+                picks.withColumnsRenamed({"v": "a", "mk": "mka"}), "a"
+            )
+            .join(picks.withColumnsRenamed({"v": "b", "mk": "mkb"}), "b")
+            .withColumn("newly", (F.col("key") == F.col("mka")) & (F.col("key") == F.col("mkb")))
+        )
+        matched_v = (
+            graded.filter("newly").select(F.col("a").alias("v"))
+            .union(graded.filter("newly").select(F.col("b").alias("v")))
+            .distinct()
+        )
+        still = (
+            graded.filter(~F.col("newly"))
+            .join(matched_v, graded["a"] == matched_v["v"], "left_anti")
+            .join(matched_v, graded["b"] == matched_v["v"], "left_anti")
+            .select("a", "b", "key", F.lit("live").alias("status"), F.lit(0).cast("long").alias("rnd"))
+        )
+        newly = graded.filter("newly").select(
+            "a", "b", "key", F.lit("matched").alias("status"), F.lit(i + 1).cast("long").alias("rnd")
+        )
+        return still.unionByName(newly).unionByName(state.filter(F.col("status") == "matched"))
+
+    def finalize(state: DataFrame) -> DataFrame:
+        return (
+            state.filter(F.col("status") == "matched")
+            .select(
+                F.col("a").cast("long").alias("doc_a"),
+                F.col("b").cast("long").alias("doc_b"),
+                F.col("rnd").alias("match_round"),
+            )
+            .orderBy("doc_a", "doc_b")
+        )
+
+    return iterate(
+        state0,
+        step,
+        finalize,
+        max_rounds=MATCH_MAX_ROUNDS,
+        probe=F.coalesce(F.sum(F.when(F.col("status") == "live", 1)), F.lit(0)),
+        probe_converged=lambda prev, cur: cur == 0,
+        no_convergence_error=f"maximal matching: live edges remain after {MATCH_MAX_ROUNDS} rounds",
+        release=(edges0,),
+    )

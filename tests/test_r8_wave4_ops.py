@@ -289,3 +289,23 @@ def test_hilbert_fold_is_the_canonical_curve(spark, sf_dir):
         cur = wiki_d2xy(H_SIDE, d)
         assert abs(cur[0] - prev[0]) + abs(cur[1] - prev[1]) == 1
         prev = cur
+
+
+def test_maximal_matching_invariants(spark, sf_dir):
+    """A matching must be VALID (no vertex matched twice) and MAXIMAL
+    (every capped edge has at least one matched endpoint) — the two laws
+    that make it usable as a review-pairing assignment."""
+    from sol_spark.operators.dedup import dedup_pairs_capped, graph_maximal_matching
+
+    matched = [
+        (r["doc_a"], r["doc_b"]) for r in graph_maximal_matching(spark, sf_dir).collect()
+    ]
+    assert matched, "fixture must produce a non-empty matching"
+    seen = set()
+    for a, b in matched:
+        assert a not in seen and b not in seen, f"vertex matched twice: {(a, b)}"
+        seen.update((a, b))
+    for r in dedup_pairs_capped(spark, sf_dir).collect():
+        assert r["doc_a"] in seen or r["doc_b"] in seen, (
+            f"unmatched edge with both endpoints free: {(r['doc_a'], r['doc_b'])}"
+        )
