@@ -752,3 +752,62 @@ def watermarked_hourly_counts(events: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").cast("timestamp_ntz").alias("window_start"), "n")
     )
+
+
+def rate_limit_sliding_state(events: DataFrame) -> DataFrame:
+    """Streaming sliding-window rate limiter with keyed state: per user
+    the state is the {K} most recent ALLOWED epoch seconds; each arriving
+    event is allowed iff the oldest of them has aged past the window, and
+    denials emit the exact integer Retry-After. The ONLINE twin of
+    events_analytics.events_rate_limit_sliding — identical integer
+    transitions (constants imported from the batch op so the two can
+    never drift), so the drained stream equals the batch replay exactly.
+    Append mode: one decision row per event, no window to close."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from sol_spark.queries.events_analytics import _RL_NEG, RL_K, RL_W_S
+
+    def update(key, pdfs, state):  # noqa: ANN001
+        la = list(state.get) if state.exists else [_RL_NEG] * RL_K
+        out = {"event_id": [], "ts": [], "allowed": [], "wait_s": []}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            secs = pdf["ts"].astype("int64") // 1_000_000_000
+            for eid, ts_val, t in zip(
+                pdf["event_id"].to_numpy(), pdf["ts"], secs.to_numpy()
+            ):
+                t = int(t)
+                blocker = la[RL_K - 1]
+                ok = blocker <= t - RL_W_S
+                if ok:
+                    la = [t] + la[: RL_K - 1]
+                    wait = 0
+                else:
+                    wait = blocker + RL_W_S - t
+                out["event_id"].append(int(eid))
+                out["ts"].append(ts_val)
+                out["allowed"].append(bool(ok))
+                out["wait_s"].append(int(wait))
+        state.update(tuple(la))
+        yield pd.DataFrame(
+            {
+                "user_id": key[0],
+                "event_id": out["event_id"],
+                "ts": out["ts"],
+                "allowed": out["allowed"],
+                "wait_s": out["wait_s"],
+            }
+        )
+
+    state_schema = ", ".join(f"la{i} bigint" for i in range(1, RL_K + 1))
+    return events.select("user_id", "event_id", "ts").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id bigint, event_id bigint, ts timestamp_ntz, "
+            "allowed boolean, wait_s bigint"
+        ),
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -309,3 +309,23 @@ def test_maximal_matching_invariants(spark, sf_dir):
         assert r["doc_a"] in seen or r["doc_b"] in seen, (
             f"unmatched edge with both endpoints free: {(r['doc_a'], r['doc_b'])}"
         )
+
+
+def test_rate_limit_sliding_stream_equals_batch(spark, sf_dir):
+    """Streaming sliding-window limiter (keyed K-timestamp state) must
+    equal the batch replay EXACTLY — same integer transitions and
+    Retry-After values, every event exactly once, both branches hit."""
+    from sol_spark.queries.events_analytics import events_rate_limit_sliding
+    from sol_spark.streaming import pipelines as P
+    from tests.test_streaming import _run
+
+    got = _run(spark, sf_dir, P.rate_limit_sliding_state, "append", n_files=4)
+    stream = {r.event_id: (r.allowed, r.wait_s) for r in got}
+    assert len(stream) == len(got), "an event was emitted more than once"
+    want = {
+        r.event_id: (r.allowed, r.wait_s)
+        for r in events_rate_limit_sliding(spark, sf_dir).collect()
+    }
+    assert stream == want
+    flags = [a for a, _ in want.values()]
+    assert any(flags) and not all(flags)
