@@ -329,3 +329,44 @@ def test_rate_limit_sliding_stream_equals_batch(spark, sf_dir):
     assert stream == want
     flags = [a for a, _ in want.values()]
     assert any(flags) and not all(flags)
+
+
+def test_sql_scripting_control_flow(spark, sf_dir):
+    """Spark 4 SQL scripting surface pin: a BEGIN..END block with DECLARE /
+    SET / WHILE / IF runs under spark.sql.scripting.enabled and its final
+    statement's result comes back as the script's DataFrame — including a
+    data statement over a real table."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        got = spark.sql(
+            """
+            BEGIN
+              DECLARE i BIGINT DEFAULT 0;
+              DECLARE acc BIGINT DEFAULT 0;
+              WHILE i < 5 DO
+                SET i = i + 1;
+                IF i % 2 = 1 THEN
+                  SET acc = acc + i;
+                END IF;
+              END WHILE;
+              SELECT acc AS odd_sum, i AS iterations;
+            END
+            """
+        ).collect()
+        assert [tuple(r) for r in got] == [(9, 5)]  # 1 + 3 + 5
+
+        spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+            "script_nation"
+        )
+        got2 = spark.sql(
+            """
+            BEGIN
+              DECLARE lim BIGINT DEFAULT 10;
+              SELECT count(*) AS n FROM script_nation WHERE n_nationkey < lim;
+            END
+            """
+        ).collect()
+        assert got2[0]["n"] == 10
+    finally:
+        spark.conf.unset("spark.sql.scripting.enabled")
+        spark.catalog.dropTempView("script_nation")
