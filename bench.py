@@ -107,6 +107,15 @@ HEADLINE = [
     "text_fasttext_quality",
     "tpcds_q67a",
     "events_bandit_replay",
+    # r8 continuation additions: the positional k-gram islands pass
+    # (exact verbatim-run evidence over the capped pairs), the per-user
+    # grouped-map sliding limiter (K-deep allowed-history state), and the
+    # iterate()-looped parallel edge matching — the session's three new
+    # cost shapes (position join + double window, stateful replay,
+    # shrinking-edge-set rounds).
+    "dedup_shared_spans",
+    "events_rate_limit_sliding",
+    "graph_maximal_matching",
     "win_rank_topk_per_group",
     "time_rollup_hierarchy",
     "set_intersect",

@@ -3058,3 +3058,119 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+# ---------------------------------------------------------------------------
+# Write-Audit-Publish gate: the staging checklist a lakehouse runs on a
+# landed-but-unpublished batch; publish iff every check passes.
+# ---------------------------------------------------------------------------
+
+WAP_STAGE_Y = 2001        # the staged batch: the newest (partial) year
+WAP_VOL_FLOOR_X10 = 8     # staged volume must be >= 80% of the published per-year avg
+WAP_VOL_CEIL = 2          # ... and <= 2x it
+
+WAP_GATE_ORACLE = f"""
+WITH staged AS MATERIALIZED (
+  SELECT * FROM orders WHERE year(o_orderdate) = {WAP_STAGE_Y}
+), pub AS MATERIALIZED (
+  SELECT * FROM orders WHERE year(o_orderdate) < {WAP_STAGE_Y}
+), wide AS (
+  SELECT
+    (SELECT count(*) FROM staged)::BIGINT AS n,
+    ((SELECT count(*) FROM pub) // (SELECT count(DISTINCT year(o_orderdate)) FROM pub))::BIGINT AS avg_y,
+    (SELECT count(*) - count(o_custkey) FROM staged)::BIGINT AS null_keys,
+    (SELECT COALESCE(sum(c - 1), 0) FROM (
+       SELECT count(*) AS c FROM staged GROUP BY o_orderkey HAVING count(*) > 1) d)::BIGINT AS pk_dups,
+    (SELECT count(*) FROM staged s WHERE NOT EXISTS (
+       SELECT 1 FROM customer c WHERE c.c_custkey = s.o_custkey))::BIGINT AS fk_orphans,
+    (SELECT count(*) FROM staged WHERE o_totalprice <= 0)::BIGINT AS bad_price,
+    (SELECT count(*) FROM (
+       SELECT DISTINCT o_orderstatus FROM staged
+       EXCEPT
+       SELECT DISTINCT o_orderstatus FROM pub) q)::BIGINT AS novel_status
+), graded AS (
+  SELECT 'fk_orphans' AS check_name, fk_orphans AS observed, 0::BIGINT AS bound,
+         fk_orphans = 0 AS ok FROM wide
+  UNION ALL SELECT 'null_keys', null_keys, 0, null_keys = 0 FROM wide
+  UNION ALL SELECT 'pk_duplicates', pk_dups, 0, pk_dups = 0 FROM wide
+  UNION ALL SELECT 'price_domain', bad_price, 0, bad_price = 0 FROM wide
+  UNION ALL SELECT 'status_novel', novel_status, 0, novel_status = 0 FROM wide
+  UNION ALL SELECT 'volume_ceiling', n, {WAP_VOL_CEIL} * avg_y, n <= {WAP_VOL_CEIL} * avg_y FROM wide
+  UNION ALL SELECT 'volume_floor', 10 * n, {WAP_VOL_FLOOR_X10} * avg_y,
+                   10 * n >= {WAP_VOL_FLOOR_X10} * avg_y FROM wide
+)
+SELECT check_name, observed, bound, ok,
+       (SELECT bool_and(ok) FROM graded) AS publish
+FROM graded ORDER BY check_name
+"""
+
+
+@register("warehouse_wap_gate", WAP_GATE_ORACLE, tags=("warehouse", "dq", "governance"))
+def warehouse_wap_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish gate: the staged batch (newest order year —
+    landed, not yet published) runs the publish checklist against the
+    published history — primary-key duplicates, FK orphans vs the
+    customer dimension, null keys, value-domain violations, NOVEL status
+    codes the history has never seen, and a volume band (>= {WAP_VOL_FLOOR_X10}0%
+    and <= {WAP_VOL_CEIL}00% of the published per-year average, integer
+    cross-multiplications). One row per check with the observed count and
+    its bound, plus the overall publish verdict — the swap/no-swap
+    decision Iceberg/Delta WAP branches gate on. On the fixture the
+    partial staged year FAILS the volume floor, so the blocking branch is
+    exercised at every SF while the integrity checks pass.
+
+    Scale shape: every check is a conditional aggregate or an anti-join
+    against a broadcastable dimension over the staged slice only
+    (partition pruning at scale: the staged year is the natural partition
+    key); the checklist itself is a 7-row frame."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    staged = o.filter(F.year("o_orderdate") == WAP_STAGE_Y)
+    pub = o.filter(F.year("o_orderdate") < WAP_STAGE_Y)
+    pubs = pub.agg(
+        F.expr("count(*) div count(DISTINCT year(o_orderdate))").cast("long").alias("avg_y")
+    )
+    stats = staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).cast("long").alias("null_keys"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).cast("long").alias("bad_price"),
+    )
+    pk_dups = (
+        staged.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("long").alias("pk_dups"))
+    )
+    fk_orphans = (
+        staged.join(t["customer"], staged["o_custkey"] == t["customer"]["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("fk_orphans"))
+    )
+    novel = (
+        staged.select("o_orderstatus").distinct()
+        .join(pub.select("o_orderstatus").distinct(), "o_orderstatus", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("novel_status"))
+    )
+    wide = (
+        stats.crossJoin(F.broadcast(pubs))
+        .crossJoin(F.broadcast(pk_dups))
+        .crossJoin(F.broadcast(fk_orphans))
+        .crossJoin(F.broadcast(novel))
+    )
+    graded = wide.selectExpr(
+        f"""stack(7,
+          'fk_orphans', fk_orphans, CAST(0 AS BIGINT), fk_orphans = 0,
+          'null_keys', null_keys, CAST(0 AS BIGINT), null_keys = 0,
+          'pk_duplicates', pk_dups, CAST(0 AS BIGINT), pk_dups = 0,
+          'price_domain', bad_price, CAST(0 AS BIGINT), bad_price = 0,
+          'status_novel', novel_status, CAST(0 AS BIGINT), novel_status = 0,
+          'volume_ceiling', n, CAST({WAP_VOL_CEIL} * avg_y AS BIGINT), n <= {WAP_VOL_CEIL} * avg_y,
+          'volume_floor', 10 * n, CAST({WAP_VOL_FLOOR_X10} * avg_y AS BIGINT),
+            10 * n >= {WAP_VOL_FLOOR_X10} * avg_y
+        ) AS (check_name, observed, bound, ok)"""
+    )
+    verdict = graded.agg(F.min("ok").alias("publish"))
+    return (
+        graded.crossJoin(F.broadcast(verdict))
+        .select("check_name", "observed", "bound", "ok", "publish")
+        .orderBy("check_name")
+    )
