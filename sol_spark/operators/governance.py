@@ -3037,14 +3037,20 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     long = pro.selectExpr(
         "late", "n", f"stack({len(_DRIFT_COLS)}, {stack_args}) AS (col, nulls, ndv)"
     )
-    a = long.filter(~F.col("late")).select(
-        "col", F.col("n").alias("na"), F.col("nulls").alias("nulls_a"), F.col("ndv").alias("ndva")
-    )
-    b = long.filter(F.col("late")).select(
-        "col", F.col("n").alias("nb"), F.col("nulls").alias("nulls_b"), F.col("ndv").alias("ndvb")
-    )
+    # Pivot the two epochs with one conditional agg instead of an a/b
+    # self-join: the self-join form re-planned the whole upstream
+    # aggregate (and its scan) once per side — 4 parquet scans for a
+    # one-scan claim (caught by the plan pin in test_r8_plans).
     return (
-        a.join(b, "col")
+        long.groupBy("col")
+        .agg(
+            F.max(F.when(~F.col("late"), F.col("n"))).alias("na"),
+            F.max(F.when(F.col("late"), F.col("n"))).alias("nb"),
+            F.max(F.when(~F.col("late"), F.col("nulls"))).alias("nulls_a"),
+            F.max(F.when(F.col("late"), F.col("nulls"))).alias("nulls_b"),
+            F.max(F.when(~F.col("late"), F.col("ndv"))).alias("ndva"),
+            F.max(F.when(F.col("late"), F.col("ndv"))).alias("ndvb"),
+        )
         .select(
             "col",
             F.col("na").cast("long").alias("n_a"),

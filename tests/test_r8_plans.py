@@ -110,3 +110,41 @@ def test_synthetic_allocation_total_is_exact(spark, sf_dir):
     rows = privacy_synthetic_allocation(spark, sf_dir).collect()
     assert sum(r["synth_count"] for r in rows) == SYNTH_BUDGET
     assert all(r["synth_count"] - r["floor_quota"] in (0, 1) for r in rows)
+
+
+def test_schema_drift_single_scan(spark, sf_dir):
+    """dq_schema_drift's docstring claims ONE scan: the epoch pivot must be
+    a conditional agg, not an a/b self-join that re-plans the upstream
+    aggregate (and its scan) once per side."""
+    from sol_spark.operators.governance import dq_schema_drift
+
+    plan = _plan(dq_schema_drift(spark, sf_dir))
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, f"expected one parquet scan, saw {len(scans)}"
+    assert "Expand" in plan  # exact multi-column distincts rewrite
+
+
+def test_range_search_has_no_window(spark, sf_dir):
+    """sim_range_search's scale claim: the threshold is a plain filter —
+    no per-query rank window anywhere in the plan (that's what makes it
+    strictly cheaper than top-k), and the query block broadcasts."""
+    from sol_spark.operators.similarity import sim_range_search
+
+    plan = _plan(sim_range_search(spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_watermark_lateness_windows_partitioned(spark, sf_dir):
+    """events_watermark_lateness's scale claim: the global running max is
+    day-bucketed + a bounded declared prefix scan — every windowspec
+    either carries the day partition key or the non-foldable constant,
+    never an accidental unpartitioned ORDER BY over the fact."""
+    from sol_spark.queries.events_analytics import events_watermark_lateness
+
+    plan = _plan(events_watermark_lateness(spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the plan"
+    for s in specs:
+        first = s.split(",")[0]
+        assert " ASC" not in first and " DESC" not in first, f"unpartitioned window: {s}"
