@@ -1,11 +1,17 @@
 """Dev loop: run every registered query against the DuckDB oracle.
 
-Usage: python scripts/check_oracle.py [--strict] [sf_dir] [name_filter...]
+Usage: python scripts/check_oracle.py [--strict] [--vanilla] [sf_dir] [name_filter...]
 
 ``--strict`` reproduces the driver's tolerance-free value hash (float repr
 equality instead of rel_tol=1e-6) — run the full corpus in strict mode at
 sf0.01 AND sf0.1 at least once per round to flush round(float) last-digit
 ties before the driver samples them.
+
+``--vanilla`` runs under a PLAIN SparkSession (no solspark config profile,
+no Arrow toggle) — the driver-simulation mode that catches
+config-dependent output bugs (Arrow list rendering, nanos-timestamp
+fallback). The round-8 session-B vanilla sweep covered all 545 queries
+with 0 failures; keep that cadence once per round.
 """
 
 from __future__ import annotations
@@ -21,11 +27,17 @@ from sol_spark.session import get_session
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    argv = [a for a in sys.argv[1:] if a not in ("--strict", "--vanilla")]
     exact = "--strict" in sys.argv[1:]
+    vanilla = "--vanilla" in sys.argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     name_filters = argv[1:]
-    spark = get_session("check_oracle")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        spark = get_session("check_oracle")
     specs = all_queries()
     failures = []
     for name, spec in sorted(specs.items()):
