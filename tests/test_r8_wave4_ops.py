@@ -370,3 +370,51 @@ def test_sql_scripting_control_flow(spark, sf_dir):
     finally:
         spark.conf.unset("spark.sql.scripting.enabled")
         spark.catalog.dropTempView("script_nation")
+
+
+def test_minhash_lsh_cross_validates_against_mllib(spark, sf_dir):
+    """Independent-implementation cross-check of the dedup family: our
+    12-perm/4-band MinHash pipeline, pyspark.ml's MinHashLSH (seeded), and
+    an exhaustive pure-Python Jaccard all computed over the SAME shingle
+    sets must agree on the J >= 0.5 pair set; MLlib's reported distance is
+    exactly 1 - J (it verifies candidates exactly), and our jaccard_bp
+    matches the string-space Jaccard to within hash-collision noise."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+    from pyspark.sql import functions as F
+
+    from sol_spark.operators.dedup import dedup_minhash_lsh, shingle_df
+
+    sh = shingle_df(spark, sf_dir).select("doc_id", "shingles")
+    docs = {r["doc_id"]: set(r["shingles"]) for r in sh.collect()}
+    ids = sorted(docs)
+    truth = {}
+    for i, x in enumerate(ids):
+        for y in ids[i + 1 :]:
+            j = len(docs[x] & docs[y]) / len(docs[x] | docs[y])
+            if j >= 0.5:
+                truth[(x, y)] = j
+    assert truth, "fixture must contain true near-dup pairs"
+
+    cv = CountVectorizer(inputCol="shingles", outputCol="features", binary=True, vocabSize=1 << 18)
+    vec = cv.fit(sh).transform(sh).select("doc_id", "features")
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=12, seed=42).fit(vec)
+    mllib = {
+        (r["a"], r["b"]): r["d"]
+        for r in mh.approxSimilarityJoin(vec, vec, 0.5, distCol="d")
+        .filter("datasetA.doc_id < datasetB.doc_id")
+        .select(F.col("datasetA.doc_id").alias("a"), F.col("datasetB.doc_id").alias("b"), "d")
+        .collect()
+    }
+    assert set(mllib) == set(truth)
+    for p, d in mllib.items():
+        assert abs((1 - truth[p]) - d) < 1e-9
+
+    ours = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_bp"]
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert set(ours) == set(truth)
+    for p, bp in ours.items():
+        # ours scores Jaccard over the 32-bit hashed shingle space; a
+        # collision can only nudge the ratio, never move it past 100 bp
+        assert abs(bp - round(10000 * truth[p])) <= 100, (p, bp, truth[p])
