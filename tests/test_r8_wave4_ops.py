@@ -418,3 +418,82 @@ def test_minhash_lsh_cross_validates_against_mllib(spark, sf_dir):
         # ours scores Jaccard over the 32-bit hashed shingle space; a
         # collision can only nudge the ratio, never move it past 100 bp
         assert abs(bp - round(10000 * truth[p])) <= 100, (p, bp, truth[p])
+
+
+def test_basket_rules_cross_validates_against_fpgrowth(spark, sf_dir):
+    """Independent-implementation cross-check of the association-rule
+    family: pyspark.ml.fpm.FPGrowth over the same order baskets, filtered
+    to single-item antecedent/consequent, must produce the IDENTICAL rule
+    set as basket_rules; its exact confidence floors to our integer bp
+    and its lift agrees within float-expression-order noise."""
+    from pyspark.ml.fpm import FPGrowth
+    from pyspark.sql import functions as F
+
+    from sol_spark.queries.relational import (
+        BASKET_MIN_SUPPORT,
+        RULE_MIN_CONF_BP,
+        basket_rules,
+    )
+
+    items = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    baskets = items.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("items"))
+    n = baskets.count()
+    # strictly between (support-1) and support so float threshold jitter
+    # can never flip an integer count across the boundary
+    fp = FPGrowth(
+        itemsCol="items",
+        minSupport=(BASKET_MIN_SUPPORT - 0.5) / n,
+        minConfidence=RULE_MIN_CONF_BP / 10000,
+    ).fit(baskets)
+    mllib = {
+        (r["antecedent"][0], r["consequent"][0]): (r["confidence"], r["lift"])
+        for r in fp.associationRules.collect()
+        if len(r["antecedent"]) == 1 and len(r["consequent"]) == 1
+    }
+    ours = {
+        (r["antecedent"], r["consequent"]): (r["confidence_bp"], r["lift"])
+        for r in basket_rules(spark, sf_dir).collect()
+    }
+    assert ours, "fixture must produce rules"
+    assert set(mllib) == set(ours)
+    for k, (conf, lift) in mllib.items():
+        bp, our_lift = ours[k]
+        assert int(conf * 10000) == bp or abs(conf * 10000 - bp) < 1 + 1e-9
+        assert abs(lift - our_lift) <= 5e-4  # ours rounds at 4
+
+
+def test_spearman_cross_validates_against_mllib(spark, sf_dir):
+    """stats_spearman_corr's tie-corrected integer-rank rho must equal
+    pyspark.ml.stat.Correlation('spearman') on the same (order value,
+    order width) pairs to within the operator's round-6 display grain."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.stat import Correlation
+    from pyspark.sql import functions as F
+
+    from sol_spark.queries.relational import stats_spearman_corr
+
+    ours = stats_spearman_corr(spark, sf_dir).collect()[0]
+    rho_col = [c for c in ours.asDict() if "rho" in c or "spearman" in c]
+    assert rho_col, f"no rho column in {list(ours.asDict())}"
+    our_rho = ours[rho_col[0]]
+
+    lc = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    pairs = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .join(lc, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .select(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").cast("double").alias("va"),
+            F.coalesce(F.col("c"), F.lit(0.0)).alias("vb"),
+        )
+    )
+    vec = VectorAssembler(inputCols=["va", "vb"], outputCol="f").transform(pairs)
+    m = Correlation.corr(vec, "f", "spearman").collect()[0][0]
+    assert abs(m[0, 1] - our_rho) <= 2e-6
