@@ -497,3 +497,30 @@ def test_spearman_cross_validates_against_mllib(spark, sf_dir):
     vec = VectorAssembler(inputCols=["va", "vb"], outputCol="f").transform(pairs)
     m = Correlation.corr(vec, "f", "spearman").collect()[0][0]
     assert abs(m[0, 1] - our_rho) <= 2e-6
+
+
+def test_regr_family_cross_validates_against_mllib_ols(spark, sf_dir):
+    """stats_regression's regr_* aggregates must equal MLlib
+    LinearRegression's exact normal-equation solve per group (same
+    closed-form least squares, independently implemented) within the
+    operator's display rounding."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+    from pyspark.sql import functions as F
+
+    from sol_spark.queries.relational import stats_regression
+
+    ours = {r["l_returnflag"]: r for r in stats_regression(spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+    for flag, r in ours.items():
+        grp = VectorAssembler(inputCols=["x"], outputCol="f").transform(
+            li.filter(F.col("l_returnflag") == flag)
+        )
+        m = LinearRegression(featuresCol="f", labelCol="y", solver="normal", regParam=0.0).fit(grp)
+        assert abs(m.coefficients[0] - r["slope"]) <= 5e-4, flag
+        assert abs(m.intercept - r["intercept"]) <= 5e-2, flag
+        assert abs(m.summary.r2 - r["r2"]) <= 5e-4, flag
