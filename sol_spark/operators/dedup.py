@@ -5036,10 +5036,10 @@ def graph_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(picks.withColumnsRenamed({"v": "b", "mk": "mkb"}), "b")
             .withColumn("newly", (F.col("key") == F.col("mka")) & (F.col("key") == F.col("mkb")))
         )
-        matched_v = (
-            graded.filter("newly").select(F.col("a").alias("v"))
-            .union(graded.filter("newly").select(F.col("b").alias("v")))
-            .distinct()
+        # Anti-join build side: duplicates are harmless to anti semantics,
+        # so no distinct — one less shuffle per round on the tiny frame.
+        matched_v = graded.filter("newly").select(F.col("a").alias("v")).unionAll(
+            graded.filter("newly").select(F.col("b").alias("v"))
         )
         still = (
             graded.filter(~F.col("newly"))
