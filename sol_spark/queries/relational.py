@@ -4658,3 +4658,113 @@ def orders_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("den").cast("long").alias("cum_cents_from"),
         F.expr("(1000000 * num) div den").cast("long").alias("dev_factor_ppm"),
     ).orderBy("age_from")
+
+
+# ---------------------------------------------------------------------------
+# HDR-histogram quantiles: LOG-scaled buckets (fixed relative error) — the
+# long-tail companion to sketch_quantile_hist's equi-width bins, which
+# spend their budget uniformly and starve the tail a latency/price
+# distribution actually lives in.
+# ---------------------------------------------------------------------------
+
+HDR_SUB_BITS = 5  # 2^5 sub-buckets per octave -> relative error <= 1/32
+
+HDR_QUANTILES_ORACLE = f"""
+WITH c AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+), nn AS (SELECT count(*)::BIGINT AS n FROM c),
+b AS (
+  SELECT v, length(bin(v)) AS bl FROM c
+), bucketed AS (
+  SELECT CASE WHEN bl <= {HDR_SUB_BITS} THEN v
+         ELSE CAST(power(2, bl - 1) AS BIGINT)
+              + ((v - CAST(power(2, bl - 1) AS BIGINT))
+                 // CAST(power(2, bl - 1 - {HDR_SUB_BITS}) AS BIGINT))
+                * CAST(power(2, bl - 1 - {HDR_SUB_BITS}) AS BIGINT) END AS low,
+         CASE WHEN bl <= {HDR_SUB_BITS} THEN 1::BIGINT
+         ELSE CAST(power(2, bl - 1 - {HDR_SUB_BITS}) AS BIGINT) END AS width
+  FROM b
+), counts AS (
+  SELECT low, width, count(*)::BIGINT AS cnt FROM bucketed GROUP BY low, width
+), cum AS (
+  SELECT low, width, cnt, sum(cnt) OVER (ORDER BY low) AS cume FROM counts
+), qs AS (SELECT unnest([50, 90, 99]) AS q_pct),
+pick AS (
+  SELECT q.q_pct,
+         ((q.q_pct * nn.n + 99) // 100)::BIGINT AS rnk,
+         min(cum.low)::BIGINT AS est_cents,
+         arg_min(cum.width, cum.low)::BIGINT AS width_cents
+  FROM qs q CROSS JOIN nn
+  JOIN cum ON cum.cume >= (q.q_pct * nn.n + 99) // 100
+  GROUP BY q.q_pct, nn.n
+)
+SELECT q_pct::BIGINT AS q_pct, (SELECT n FROM nn) AS n, rnk, est_cents, width_cents,
+       ((10000 * width_cents) // est_cents)::BIGINT AS err_bound_bp
+FROM pick ORDER BY q_pct
+"""
+
+
+@register("sketch_hdr_quantiles", HDR_QUANTILES_ORACLE, tags=("approx", "sketch", "agg", "scale"))
+def sketch_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a LOG-scaled (HDR-histogram) bucket sketch: each
+    octave [2^(k-1), 2^k) splits into 2^{HDR_SUB_BITS} equal sub-buckets,
+    so the sketch guarantees relative error <= 2^-{HDR_SUB_BITS} (~3%) at
+    EVERY quantile — where sketch_quantile_hist's equi-width bins spend
+    the whole budget uniformly and starve the long tail (P99 of a skewed
+    distribution lands in one coarse bin). The pair is the standing
+    sketch A/B: equi-width wins when the distribution is compact and the
+    min/max pre-pass is affordable; HDR needs NO pre-pass (bucket id is a
+    pure function of the value — one scan, fully mergeable, the same
+    fixed-size-state contract as HLL/count-min) and its error is
+    value-relative, which is what latency/price SLOs quote. Everything is
+    BIGINT: the estimate is the bucket's lower bound in cents and
+    err_bound_bp its GUARANTEED width-over-estimate bound; the containment
+    law (exact disc quantile in [est, est+width)) is pinned in pytest.
+
+    Scale shape: ONE scan projects each value to (bucket_low, width) with
+    length(bin(v)) + exact power-of-two integer arithmetic (no float log
+    whose ulps could flip a boundary); a bucket-count hash-agg
+    (map-side combinable, mergeable across any partitioning); the
+    cumulative pick runs on the bounded bucket frame (<= 64 octaves x
+    2^{HDR_SUB_BITS} rows, single partition DECLARED non-foldable)."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    c = t["lineitem"].select(
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("v")
+    ).withColumn("bl", F.length(F.bin("v")))
+    bucketed = c.select(
+        F.expr(
+            f"""CASE WHEN bl <= {HDR_SUB_BITS} THEN v
+            ELSE CAST(pow(2.0, bl - 1) AS BIGINT)
+                 + ((v - CAST(pow(2.0, bl - 1) AS BIGINT))
+                    div CAST(pow(2.0, bl - 1 - {HDR_SUB_BITS}) AS BIGINT))
+                   * CAST(pow(2.0, bl - 1 - {HDR_SUB_BITS}) AS BIGINT) END"""
+        ).alias("low"),
+        F.expr(
+            f"CASE WHEN bl <= {HDR_SUB_BITS} THEN CAST(1 AS BIGINT)"
+            f" ELSE CAST(pow(2.0, bl - 1 - {HDR_SUB_BITS}) AS BIGINT) END"
+        ).alias("width"),
+    )
+    counts = bucketed.groupBy("low", "width").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w_cum = W.partitionBy(F.pmod(F.col("low"), F.lit(1))).orderBy("low").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = counts.select("low", "width", F.sum("cnt").over(w_cum).alias("cume"))
+    nn = c.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    qs = spark.createDataFrame([(50,), (90,), (99,)], "q_pct long")
+    ranks = qs.crossJoin(F.broadcast(nn)).select(
+        "q_pct", "n", F.expr("(q_pct * n + 99) div 100").cast("long").alias("rnk")
+    )
+    pick = (
+        ranks.join(F.broadcast(cum), F.col("cume") >= F.col("rnk"))
+        .groupBy("q_pct", "n", "rnk")
+        .agg(
+            F.min("low").cast("long").alias("est_cents"),
+            F.expr("min_by(width, low)").cast("long").alias("width_cents"),
+        )
+    )
+    return pick.select(
+        "q_pct", "n", "rnk", "est_cents", "width_cents",
+        F.expr("(10000 * width_cents) div est_cents").cast("long").alias("err_bound_bp"),
+    ).orderBy("q_pct")

@@ -524,3 +524,30 @@ def test_regr_family_cross_validates_against_mllib_ols(spark, sf_dir):
         assert abs(m.coefficients[0] - r["slope"]) <= 5e-4, flag
         assert abs(m.intercept - r["intercept"]) <= 5e-2, flag
         assert abs(m.summary.r2 - r["r2"]) <= 5e-4, flag
+
+
+def test_hdr_quantiles_containment_law(spark, sf_dir):
+    """The HDR sketch's guarantee: the exact rank-r value lies in
+    [est, est + width), and the published error bound holds — verified
+    against a full Python sort of the cents."""
+    from pyspark.sql import functions as F
+
+    from sol_spark.queries.relational import sketch_hdr_quantiles
+
+    cents = sorted(
+        r["v"]
+        for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("v"))
+        .collect()
+    )
+    n = len(cents)
+    for r in sketch_hdr_quantiles(spark, sf_dir).collect():
+        assert r["n"] == n
+        rank = (r["q_pct"] * n + 99) // 100
+        assert r["rnk"] == rank
+        exact = cents[rank - 1]
+        assert r["est_cents"] <= exact < r["est_cents"] + r["width_cents"], (
+            r["q_pct"], exact, r["est_cents"], r["width_cents"]
+        )
+        assert r["err_bound_bp"] == (10000 * r["width_cents"]) // r["est_cents"]
+        assert r["err_bound_bp"] <= 10000 // (1 << 5) + 1  # ~2^-5 relative
