@@ -5073,3 +5073,139 @@ def graph_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         no_convergence_error=f"maximal matching: live edges remain after {MATCH_MAX_ROUNDS} rounds",
         release=(edges0,),
     )
+
+
+# ---------------------------------------------------------------------------
+# Densest-subgraph peeling (Charikar / Bahmani parallel variant): which
+# rounds of "remove everything at or below (1+eps) x average degree"
+# carry the densest core — the community-strength summary of the raw
+# banded near-dup graph (a high-density core = a template family worth a
+# single representative; a low-density graph = drifted revisions).
+# ---------------------------------------------------------------------------
+
+DSG_MAX_ROUNDS = 12
+# keep v iff deg(v) > (1 + 1/10) * 2E/V  <=>  5 * deg * V > 11 * E
+DSG_EPS_NUM, DSG_EPS_DEN = 11, 10
+
+
+def _dsg_oracle_sql() -> str:
+    steps = []
+    rows = []
+    for r in range(DSG_MAX_ROUNDS + 1):
+        if r > 0:
+            steps.append(f"""
+deg{r - 1} AS MATERIALIZED (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM e{r - 1} UNION ALL SELECT b FROM e{r - 1}
+  ) s GROUP BY v
+), st{r - 1} AS MATERIALIZED (
+  SELECT (SELECT count(*) FROM e{r - 1})::BIGINT AS ecnt,
+         (SELECT count(*) FROM deg{r - 1})::BIGINT AS vcnt
+), e{r} AS MATERIALIZED (
+  SELECT x.a, x.b FROM e{r - 1} x
+  JOIN deg{r - 1} da ON da.v = x.a
+  JOIN deg{r - 1} db ON db.v = x.b
+  CROSS JOIN st{r - 1} s
+  WHERE 5 * da.d * s.vcnt > {DSG_EPS_NUM} * s.ecnt
+    AND 5 * db.d * s.vcnt > {DSG_EPS_NUM} * s.ecnt
+)""")
+        # per-round summary row (vcnt from the degree frame of round r)
+        rows.append(
+            f"SELECT {r}::BIGINT AS round,"
+            f" (SELECT count(*) FROM (SELECT a AS v FROM e{r} UNION SELECT b FROM e{r}) u)::BIGINT AS n_vertices,"
+            f" (SELECT count(*) FROM e{r})::BIGINT AS n_edges"
+        )
+    unioned = " UNION ALL ".join(rows)
+    return f"""
+WITH pr AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({SIMHASH_ORACLE.replace("ORDER BY doc_a, doc_b", "")}) q
+), e0 AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM pr
+){"".join("," + s for s in steps)},
+summary AS (
+  SELECT round, n_vertices, n_edges,
+         CASE WHEN n_vertices = 0 THEN 0
+              ELSE (1000000 * n_edges) // n_vertices END AS density_ppm
+  FROM ({unioned}) q
+  WHERE n_vertices > 0
+)
+SELECT round, n_vertices, n_edges, density_ppm,
+       density_ppm = (SELECT max(density_ppm) FROM summary)
+         AND round = (SELECT min(round) FROM summary s2
+                      WHERE s2.density_ppm = (SELECT max(density_ppm) FROM summary))
+         AS is_best
+FROM summary ORDER BY round
+"""
+
+
+GRAPH_DSG_ORACLE = _dsg_oracle_sql()
+
+
+@register("graph_densest_subgraph", GRAPH_DSG_ORACLE, tags=("llm", "dedup", "graph", "iterative"))
+def graph_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densest-subgraph peeling ladder over the raw banded near-dup
+    graph: each round removes EVERY vertex at or below (1 + 1/10) x the
+    current average degree (Bahmani et al.'s parallel 2(1+eps)-approx of
+    Charikar's peeling — the keep test is the integer cross-multiplication
+    5*deg*V > {DSG_EPS_NUM}*E, no float ratio), and the per-round
+    (vertices, edges, density) summary marks the densest round reached.
+    The best round's density is the graph's core strength: a near-dup
+    graph whose core density stays near the full graph's is one giant
+    template family (bulk-drop safe); a fast-collapsing ladder means the
+    blob is glued from sparse chains (route to review). Density is
+    edges-per-vertex in exact integer ppm.
+
+    Scale shape: peeling needs only DEGREES — one symmetric hash-agg and
+    two semi-join-shaped filters per round, linear in live edges even on
+    the clique-dominated raw graph (this is why peeling is the densest-
+    core primitive that scales where triangle-based cohesion cannot);
+    at least the min-degree vertex dies every round, so rounds are
+    O(log V / eps) and the {DSG_MAX_ROUNDS}-round unroll is the fail-loud
+    budget. Per-round E/V are 1-row scalar collects (the model-sync
+    shape); the live edge set is checkpointed and released per round."""
+    ph = dedup_simhash(spark, sf_dir)
+    edges = local_checkpoint(ph.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")))
+    release_result(ph)
+    summary = []
+    prev = None
+    for r in range(DSG_MAX_ROUNDS + 1):
+        deg = (
+            edges.select(F.col("a").alias("v"))
+            .unionAll(edges.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        deg = local_checkpoint(deg)
+        ecnt, vcnt = edges.count(), deg.count()
+        if vcnt > 0:
+            summary.append((r, vcnt, ecnt, (1_000_000 * ecnt) // vcnt))
+        if prev is not None:
+            release_result(prev)
+        if ecnt == 0:
+            release_result(deg)
+            release_result(edges)
+            break
+        da = deg.withColumnsRenamed({"v": "a", "d": "da"})
+        db = deg.withColumnsRenamed({"v": "b", "d": "db"})
+        nxt = local_checkpoint(
+            edges.join(F.broadcast(da), "a")
+            .join(F.broadcast(db), "b")
+            .filter(
+                (5 * F.col("da") * F.lit(vcnt) > DSG_EPS_NUM * F.lit(ecnt))
+                & (5 * F.col("db") * F.lit(vcnt) > DSG_EPS_NUM * F.lit(ecnt))
+            )
+            .select("a", "b")
+        )
+        release_result(edges)
+        edges = nxt
+        prev = deg
+    else:
+        release_result(edges)
+        if prev is not None:
+            release_result(prev)
+    best = max(s[3] for s in summary)
+    best_round = min(s[0] for s in summary if s[3] == best)
+    rows = [(r, v, e, d, r == best_round) for r, v, e, d in summary]
+    return spark.createDataFrame(
+        rows, "round long, n_vertices long, n_edges long, density_ppm long, is_best boolean"
+    ).orderBy("round")

@@ -99,6 +99,7 @@ EAGER_BUILD = {
     "sim_graph_recall",
     "graph_ktruss",  # peeling rounds via iterate() run during construction
     "graph_maximal_matching",  # matching rounds via iterate() run during construction
+    "graph_densest_subgraph",  # peeling rounds + scalar collects run during construction
 }
 
 # Registered cartesian-by-design operators (bounded or demonstration ops).
