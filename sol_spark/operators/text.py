@@ -5002,3 +5002,159 @@ def text_split_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("chi2_ppm"), "tok")
     )
+
+
+# ---------------------------------------------------------------------------
+# Packing-policy A/B: contiguous concat (zero padding, documents split at
+# bin boundaries) vs no-split sequential first-fit (documents intact, pad
+# waste) — the scorecard that decides a training pipeline's packer.
+# ---------------------------------------------------------------------------
+
+PACK_BIN = 2048
+
+PACKING_AB_ORACLE = f"""
+WITH RECURSIVE toks AS MATERIALIZED (
+  SELECT doc_id, lang, doc_id % {PACK_SHARDS} AS shard,
+         len(string_split({_NORM_DUCK}, ' '))::BIGINT AS n,
+         row_number() OVER (PARTITION BY lang, doc_id % {PACK_SHARDS}
+                            ORDER BY doc_id) AS rn
+  FROM documents
+), contig AS (
+  SELECT lang, n,
+         sum(n) OVER (PARTITION BY lang ORDER BY shard, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+), contig_stats AS (
+  SELECT sum(n)::BIGINT AS total,
+         sum(((cum + {PACK_BIN} - 1) // {PACK_BIN}))::BIGINT * 0
+           + sum(CASE WHEN (cum - n) // {PACK_BIN} <> (cum - 1) // {PACK_BIN}
+                      THEN 1 ELSE 0 END)::BIGINT AS n_split,
+         sum(CASE WHEN rnk = 1 THEN bins ELSE 0 END)::BIGINT AS n_bins
+  FROM (
+    SELECT lang, n, cum,
+           row_number() OVER (PARTITION BY lang ORDER BY cum DESC) AS rnk,
+           (cum + {PACK_BIN} - 1) // {PACK_BIN} AS bins
+    FROM contig
+  ) q
+), ff AS (
+  SELECT t.lang, t.shard, t.rn, t.n,
+         t.n AS fill, 1::BIGINT AS bins
+  FROM toks t WHERE t.rn = 1
+  UNION ALL
+  SELECT s.lang, s.shard, s.rn, s.n,
+         CASE WHEN h.fill + s.n > {PACK_BIN} THEN s.n ELSE h.fill + s.n END,
+         CASE WHEN h.fill + s.n > {PACK_BIN} THEN h.bins + 1 ELSE h.bins END
+  FROM toks s JOIN ff h ON s.lang = h.lang AND s.shard = h.shard AND s.rn = h.rn + 1
+), ff_stats AS (
+  SELECT sum(n_bins)::BIGINT AS n_bins, sum(total)::BIGINT AS total
+  FROM (
+    SELECT lang, shard, max(bins) AS n_bins, sum(n) AS total
+    FROM ff GROUP BY lang, shard
+  ) q
+)
+SELECT 'contiguous_split' AS policy,
+       n_bins, total AS total_tokens,
+       (n_bins * {PACK_BIN})::BIGINT AS capacity_tokens,
+       ((1000000 * (n_bins * {PACK_BIN} - total)) // (n_bins * {PACK_BIN}))::BIGINT AS pad_waste_ppm,
+       n_split AS n_split_docs
+FROM contig_stats
+UNION ALL
+SELECT 'firstfit_nosplit', n_bins, total,
+       (n_bins * {PACK_BIN})::BIGINT,
+       ((1000000 * (n_bins * {PACK_BIN} - total)) // (n_bins * {PACK_BIN}))::BIGINT,
+       0::BIGINT
+FROM ff_stats
+ORDER BY policy
+"""
+
+
+@register("text_packing_ab", PACKING_AB_ORACLE, tags=("llm", "text", "packing"))
+def text_packing_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-policy scorecard: the SAME documents packed two ways into
+    {PACK_BIN}-token bins — contiguous concat (text_pack_sequences'
+    policy: zero padding except the final bin per language, but documents
+    SPLIT at bin boundaries — n_split_docs is the attention-mask damage)
+    vs no-split sequential first-fit (documents intact; a doc that would
+    overflow opens a fresh bin, and the abandoned tail is pad waste).
+    Exact integer accounting: bins, capacity, pad-waste ppm, splits —
+    the two costs a training pipeline trades (wasted FLOPs vs truncated
+    context), priced on real data instead of folklore.
+
+    Scale shape: the contiguous side reuses the two-pass decomposed
+    prefix sum; the first-fit side is a per-(lang, shard) bounded-state
+    recurrence (fill, bins — two BIGINTs) in ONE Arrow grouped-map,
+    partition-parallel across {PACK_SHARDS} shards per language exactly
+    like the limiter replays, with a recursive-CTE oracle carrying the
+    identical state."""
+    import pandas as pd
+
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id",
+        "lang",
+        F.pmod("doc_id", F.lit(PACK_SHARDS)).alias("shard"),
+        F.size(F.expr(f"split({_NORM}, ' ')")).cast("long").alias("n"),
+    )
+    # contiguous: per-lang running sum (decomposed-safe at scale; the
+    # audit only needs totals, so one window per lang is fine here)
+    w_cum = W.partitionBy("lang").orderBy("shard", "doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    contig = toks.select("lang", "n", F.sum("n").over(w_cum).alias("cum"))
+    per_lang = contig.groupBy("lang").agg(
+        F.sum("n").alias("total"),
+        F.expr(f"(max(cum) + {PACK_BIN} - 1) div {PACK_BIN}").alias("bins"),
+        F.sum(
+            F.when(
+                F.expr(f"(cum - n) div {PACK_BIN} <> (cum - 1) div {PACK_BIN}"), 1
+            ).otherwise(0)
+        ).alias("n_split"),
+    )
+    contig_stats = per_lang.agg(
+        F.sum("bins").cast("long").alias("n_bins"),
+        F.sum("total").cast("long").alias("total_tokens"),
+        F.sum("n_split").cast("long").alias("n_split_docs"),
+    )
+
+    def ff(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        fill, bins, total = 0, 0, 0
+        for n in pdf["n"].to_numpy():
+            n = int(n)
+            total += n
+            if bins == 0 or fill + n > PACK_BIN:
+                bins += 1
+                fill = n
+            else:
+                fill += n
+        return pd.DataFrame(
+            {"lang": [pdf["lang"].iloc[0]], "shard": [pdf["shard"].iloc[0]],
+             "bins": [bins], "total": [total]}
+        )
+
+    ff_groups = toks.groupBy("lang", "shard").applyInPandas(
+        ff, "lang string, shard bigint, bins bigint, total bigint"
+    )
+    ff_stats = ff_groups.agg(
+        F.sum("bins").cast("long").alias("n_bins"),
+        F.sum("total").cast("long").alias("total_tokens"),
+    )
+
+    def score(stats: DataFrame, policy: str, splits_col) -> DataFrame:
+        return stats.select(
+            F.lit(policy).alias("policy"),
+            "n_bins",
+            "total_tokens",
+            (F.col("n_bins") * PACK_BIN).cast("long").alias("capacity_tokens"),
+            F.expr(
+                f"(1000000 * (n_bins * {PACK_BIN} - total_tokens)) div (n_bins * {PACK_BIN})"
+            ).cast("long").alias("pad_waste_ppm"),
+            splits_col.cast("long").alias("n_split_docs"),
+        )
+
+    out = score(contig_stats, "contiguous_split", F.col("n_split_docs")).unionByName(
+        score(ff_stats, "firstfit_nosplit", F.lit(0))
+    )
+    return out.orderBy("policy")
