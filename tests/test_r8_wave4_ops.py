@@ -551,3 +551,64 @@ def test_hdr_quantiles_containment_law(spark, sf_dir):
         )
         assert r["err_bound_bp"] == (10000 * r["width_cents"]) // r["est_cents"]
         assert r["err_bound_bp"] <= 10000 // (1 << 5) + 1  # ~2^-5 relative
+
+
+def test_rate_limit_keyed_state_survives_restart(spark, sf_dir):
+    """Keyed-state RECOVERY: drain the first half of the log (availableNow)
+    into a parquet sink, stop, deliver the second half, restart from the
+    SAME checkpoint — the K-deep allowed-history must come back from the
+    state store, so the union of both runs' decisions equals the batch
+    replay EXACTLY (a restart that lost state would re-allow early events
+    in half 2)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sol_spark.queries.events_analytics import events_rate_limit_sliding
+    from sol_spark.streaming import pipelines as P
+    from sol_spark.tables import _read
+
+    batch = _read(spark, f"{sf_dir}/events.parquet")
+    mid = batch.approxQuantile("event_id", [0.5], 0.0)[0]
+    root = tempfile.mkdtemp(prefix="solspark_rlckpt_")
+    src, out, ckpt = (os.path.join(root, d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        q = (
+            P.rate_limit_sliding_state(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    try:
+        # halves split by ts order (event_id is ts-ordered in the fixture)
+        batch.filter(F.col("event_id") <= mid).coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        n1 = spark.read.parquet(out).count()
+        batch.filter(F.col("event_id") > mid).coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        got = {
+            r["event_id"]: (r["allowed"], r["wait_s"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert len(got) > n1, "second run must process the delivered half"
+        want = {
+            r["event_id"]: (r["allowed"], r["wait_s"])
+            for r in events_rate_limit_sliding(spark, sf_dir).collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
