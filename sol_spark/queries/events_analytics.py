@@ -5198,3 +5198,67 @@ def events_rate_limit_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sol_spark.operators.dedup import local_checkpoint
 
     return local_checkpoint(replayed).orderBy("user_id", "ts", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap matrix: per event-type pair, the Jaccard of their user
+# audiences — the "who does both" readout behind cross-sell and feature-
+# adoption dashboards.
+# ---------------------------------------------------------------------------
+
+AUDIENCE_OVERLAP_ORACLE = """
+WITH au AS MATERIALIZED (
+  SELECT DISTINCT event_type AS g, user_id AS u FROM events
+), sizes AS (
+  SELECT g, count(*)::BIGINT AS n FROM au GROUP BY g
+), inter AS (
+  SELECT a.g AS g_a, b.g AS g_b, count(*)::BIGINT AS n_both
+  FROM au a JOIN au b ON a.u = b.u AND a.g < b.g
+  GROUP BY a.g, b.g
+)
+SELECT i.g_a, i.g_b, sa.n AS n_a, sb.n AS n_b, i.n_both,
+       ((1000000 * i.n_both) // (sa.n + sb.n - i.n_both))::BIGINT AS jaccard_ppm,
+       ((1000000 * i.n_both) // least(sa.n, sb.n))::BIGINT AS containment_ppm
+FROM inter i
+JOIN sizes sa ON sa.g = i.g_a
+JOIN sizes sb ON sb.g = i.g_b
+ORDER BY i.g_a, i.g_b
+"""
+
+
+@register("events_audience_overlap", AUDIENCE_OVERLAP_ORACLE, tags=("events", "audit"))
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix: for every pair of event types, the exact
+    Jaccard and containment (overlap over the SMALLER audience — the
+    adoption-funnel reading) of their distinct-user audiences, in integer
+    ppm. This is the cross-sell / feature-adoption readout: high
+    containment with low Jaccard means one audience nests inside the
+    other (upsell path); low both means disjoint populations (separate
+    campaigns).
+
+    Scale shape: audiences collapse to DISTINCT (type, user) rows in one
+    hash-agg; the pair intersection is a self-equi-join ON user_id
+    (co-partitioned, |types|^2-bounded fan-out per user — never a cross
+    join), and the readout joins two broadcastable |types|-row size
+    frames. At 100 TB this is one shuffle of the deduped audience frame,
+    keyed the same way the sessionize/funnel family already shuffles."""
+    t = load_tables(spark, sf_dir)
+    au = t["events"].select(F.col("event_type").alias("g"), F.col("user_id").alias("u")).distinct()
+    sizes = au.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = au.withColumnsRenamed({"g": "g_a"})
+    b = au.withColumnsRenamed({"g": "g_b"})
+    inter = (
+        a.join(b, (a["u"] == b["u"]) & (F.col("g_a") < F.col("g_b")))
+        .groupBy("g_a", "g_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnsRenamed({"g": "g_a", "n": "n_a"})), "g_a")
+        .join(F.broadcast(sizes.withColumnsRenamed({"g": "g_b", "n": "n_b"})), "g_b")
+        .select(
+            "g_a", "g_b", "n_a", "n_b", "n_both",
+            F.expr("(1000000 * n_both) div (n_a + n_b - n_both)").cast("long").alias("jaccard_ppm"),
+            F.expr("(1000000 * n_both) div least(n_a, n_b)").cast("long").alias("containment_ppm"),
+        )
+        .orderBy("g_a", "g_b")
+    )
