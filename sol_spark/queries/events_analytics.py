@@ -5262,3 +5262,106 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g_a", "g_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov next-event backtest: train the transition model on the month's
+# first half, score top-1 next-event accuracy on the second half — the
+# temporal-split evaluation discipline applied to the in-engine model.
+# ---------------------------------------------------------------------------
+
+MARKOV_BT_SPLIT_DAY = 16
+
+MARKOV_BACKTEST_ORACLE = f"""
+WITH seq AS MATERIALIZED (
+  SELECT user_id, event_type, ts, event_id,
+         day(ts) >= {MARKOV_BT_SPLIT_DAY} AS late,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+         lead(day(ts) >= {MARKOV_BT_SPLIT_DAY})
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt_late
+  FROM events
+), train AS (
+  SELECT event_type AS cur, nxt, count(*)::BIGINT AS c
+  FROM seq WHERE NOT late AND nxt IS NOT NULL AND NOT nxt_late
+  GROUP BY cur, nxt
+), pred AS (
+  -- one padded string key encodes (count DESC, next-state name ASC) as a
+  -- single lexicographic min — the composite-total-order trick, since a
+  -- tuple-ordered arg_max is not portable
+  SELECT cur,
+         arg_min(nxt, lpad(CAST(1000000000000 - c AS VARCHAR), 13, '0') || '_' || nxt)
+           AS predicted
+  FROM train
+  GROUP BY cur
+), test AS (
+  SELECT event_type AS cur, nxt
+  FROM seq WHERE late AND nxt IS NOT NULL AND nxt_late
+)
+SELECT t.cur,
+       p.predicted,
+       count(*)::BIGINT AS n_transitions,
+       sum(CASE WHEN t.nxt = p.predicted THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+       ((1000000 * sum(CASE WHEN t.nxt = p.predicted THEN 1 ELSE 0 END))
+         // count(*))::BIGINT AS acc_ppm
+FROM test t JOIN pred p ON p.cur = t.cur
+GROUP BY t.cur, p.predicted
+ORDER BY t.cur
+"""
+
+
+@register("events_markov_backtest", MARKOV_BACKTEST_ORACLE, tags=("events", "eval", "ml"))
+def events_markov_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-split backtest of the Markov next-event model: transition
+    counts train on the month's FIRST half (only transitions fully inside
+    it), the per-state argmax becomes the predictor (count desc, then the
+    next-state name as the deterministic total tiebreak, both encoded in
+    ONE padded string key so a single lexicographic min decides it
+    identically on both engines),
+    and top-1 accuracy is scored on second-half transitions in exact
+    integer ppm. This is the evaluation discipline the transition matrix
+    (events_markov_transitions) needs before anyone ships "most likely
+    next action" — accuracy against the marginal baseline, measured
+    out-of-time, not in-sample.
+
+    Scale shape: one lead() window per user builds consecutive pairs
+    (user-partitioned — the sessionize shuffle key); train and test are
+    conditional hash-aggs off that single pass; the predictor is a
+    |states|-row broadcast."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    w_u = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        "user_id", "event_type", "ts", "event_id",
+        (F.dayofmonth("ts") >= MARKOV_BT_SPLIT_DAY).alias("late"),
+    ).select(
+        "event_type", "late",
+        F.lead("event_type").over(w_u).alias("nxt"),
+        F.lead("late").over(w_u).alias("nxt_late"),
+    )
+    train = (
+        seq.filter(~F.col("late") & F.col("nxt").isNotNull() & ~F.col("nxt_late"))
+        .groupBy(F.col("event_type").alias("cur"), "nxt")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    pred = train.groupBy("cur").agg(
+        F.expr(
+            "min_by(nxt, concat(lpad(CAST(1000000000000 - c AS STRING), 13, '0'), '_', nxt))"
+        ).alias("predicted")
+    )
+    test = seq.filter(F.col("late") & F.col("nxt").isNotNull() & F.col("nxt_late")).select(
+        F.col("event_type").alias("cur"), "nxt"
+    )
+    return (
+        test.join(F.broadcast(pred), "cur")
+        .groupBy("cur", "predicted")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            F.sum(F.when(F.col("nxt") == F.col("predicted"), 1).otherwise(0))
+            .cast("long").alias("n_correct"),
+            F.expr(
+                "(1000000 * sum(CASE WHEN nxt = predicted THEN 1 ELSE 0 END)) div count(*)"
+            ).cast("long").alias("acc_ppm"),
+        )
+        .orderBy("cur")
+    )
