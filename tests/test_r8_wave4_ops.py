@@ -612,3 +612,34 @@ def test_rate_limit_keyed_state_survives_restart(spark, sf_dir):
         assert got == want
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_kmeans_objective_cross_validates_against_mllib(spark, sf_dir):
+    """Objective-level cross-check of the in-engine Lloyd trainer: its
+    WCSS on the embedding corpus must land in the same cost regime as a
+    fully-converged MLlib KMeans with the same K — a broken assignment
+    or update step would blow the ratio far past the band, while two
+    correct k-means runs on (structureless) random embeddings land within
+    a few percent of each other."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.sql import functions as F
+
+    from sol_spark.operators.similarity import KM_K, sim_kmeans_train
+
+    ours = sim_kmeans_train(spark, sf_dir).collect()
+    assert len(ours) == KM_K
+    n_total = sum(r["n_members"] for r in ours)
+    our_wcss = sum(r["n_members"] * r["avg_sqdist"] for r in ours)
+
+    vec = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(F.expr("transform(embedding, x -> cast(x as double))").alias("arr"))
+        .selectExpr(*[f"arr[{i}] AS f{i}" for i in range(64)])
+    )
+    assembled = VectorAssembler(inputCols=[f"f{i}" for i in range(64)], outputCol="f").transform(vec)
+    model = KMeans(k=KM_K, seed=7, maxIter=20, featuresCol="f").fit(assembled)
+    mllib_wcss = model.summary.trainingCost
+    assert n_total == assembled.count()
+    ratio = our_wcss / mllib_wcss
+    assert 1 / 1.5 <= ratio <= 1.5, f"WCSS regime mismatch: ours={our_wcss} mllib={mllib_wcss}"
