@@ -35,6 +35,14 @@ def main() -> int:
     if vanilla:
         from pyspark.sql import SparkSession
 
+        if SparkSession.getActiveSession() is not None:
+            # getOrCreate() would silently return the pre-existing
+            # (solspark-configured) session, defeating the plain-session
+            # driver simulation — fail loud instead.
+            raise RuntimeError(
+                "--vanilla requires a fresh process: a SparkSession is "
+                "already active and getOrCreate() would reuse its config"
+            )
         spark = SparkSession.builder.master("local[8]").getOrCreate()
     else:
         spark = get_session("check_oracle")

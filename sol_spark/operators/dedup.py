@@ -5160,9 +5160,13 @@ def graph_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     the clique-dominated raw graph (this is why peeling is the densest-
     core primitive that scales where triangle-based cohesion cannot);
     at least the min-degree vertex dies every round, so rounds are
-    O(log V / eps) and the {DSG_MAX_ROUNDS}-round unroll is the fail-loud
-    budget. Per-round E/V are 1-row scalar collects (the model-sync
-    shape); the live edge set is checkpointed and released per round."""
+    O(log V / eps) and the {DSG_MAX_ROUNDS}-round unroll is a fail-loud
+    budget (RAISES if edges survive the last round, like graph_ktruss /
+    graph_maximal_matching). Per-round E/V are 1-row scalar collects (the
+    model-sync shape); the live edge set is checkpointed and released per
+    round. The per-round degree joins carry no broadcast hint — the
+    degree frame is O(live vertices), unbounded at the 100 TB shape, so
+    AQE picks the strategy (broadcast at test SFs, shuffle at scale)."""
     ph = dedup_simhash(spark, sf_dir)
     edges = local_checkpoint(ph.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")))
     release_result(ph)
@@ -5185,11 +5189,18 @@ def graph_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             release_result(deg)
             release_result(edges)
             break
+        if r == DSG_MAX_ROUNDS:
+            release_result(deg)
+            release_result(edges)
+            raise RuntimeError(
+                f"graph_densest_subgraph: {ecnt} edges survive after "
+                f"{DSG_MAX_ROUNDS + 1} peeling rounds"
+            )
         da = deg.withColumnsRenamed({"v": "a", "d": "da"})
         db = deg.withColumnsRenamed({"v": "b", "d": "db"})
         nxt = local_checkpoint(
-            edges.join(F.broadcast(da), "a")
-            .join(F.broadcast(db), "b")
+            edges.join(da, "a")
+            .join(db, "b")
             .filter(
                 (5 * F.col("da") * F.lit(vcnt) > DSG_EPS_NUM * F.lit(ecnt))
                 & (5 * F.col("db") * F.lit(vcnt) > DSG_EPS_NUM * F.lit(ecnt))
@@ -5199,10 +5210,12 @@ def graph_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         release_result(edges)
         edges = nxt
         prev = deg
-    else:
-        release_result(edges)
-        if prev is not None:
-            release_result(prev)
+    if not summary:
+        # Degenerate corpora (single doc, no simhash pairs) yield an empty
+        # graph — round 0 has V=0 — matching the oracle's empty result set.
+        return spark.createDataFrame(
+            [], "round long, n_vertices long, n_edges long, density_ppm long, is_best boolean"
+        )
     best = max(s[3] for s in summary)
     best_round = min(s[0] for s in summary if s[3] == best)
     rows = [(r, v, e, d, r == best_round) for r, v, e, d in summary]

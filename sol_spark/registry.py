@@ -189,10 +189,51 @@ _R9_WINDOW: tuple[str, ...] = (
     "ssb_q3_1", "ssb_q3_2", "ssb_q3_3", "ssb_q3_4", "ssb_q4_1",
 )
 
-# Tier-3 head: the r4-backlog tail that _R9_WINDOW's 50-slot budget cannot
-# hold — pinned so the r7 tail-orphan failure mode can't recur at r9.
+# Tier-1 head (round 9): the r4-backlog tail that _R9_WINDOW's 50-slot
+# budget cannot hold — pinned so the r7 tail-orphan failure mode can't
+# recur at r9. _R9_WINDOW (48) + _R10_HEAD (2) exactly fill the budget.
 _R10_HEAD: tuple[str, ...] = (
     "ssb_q4_2", "ssb_q4_3",
+)
+
+# CORRECTNESS_r08.json: all 50 rows (tier 0 q81/q84 + the 48-name
+# _R8_WINDOW) came back exact-hash green, so both pins fold into the
+# driver-verified set and _R9_WINDOW rotates to the front for round 9.
+_DRIVER_VERIFIED = _DRIVER_VERIFIED | frozenset(_R8_T0) | frozenset(_R8_WINDOW)
+
+# Round-10 driver window (tier 2), pinned at round-9 time (round-8 verdict
+# ask #5) so session turnover can't scramble registration order: the first
+# 48 never-driver-sampled names in registration order once _R9_WINDOW +
+# _R10_HEAD clear — the r8 session-A/B additions (sim graph/range search,
+# rouge2/shared-spans/capped-pairs dedup, the graph-algorithm wave 2,
+# warehouse/privacy/dq wave 2, the layout family) plus the head of the
+# text tier-4 pool. All strict-green locally at three SFs.
+_R10_WINDOW: tuple[str, ...] = (
+    "sim_prefilter_vs_postfilter", "sim_topk_filtered", "sim_graph_search",
+    "sim_graph_recall", "sim_range_search", "dedup_rate_by_source",
+    "dedup_rouge2_pairs", "dedup_cluster_cohesion",
+    "dedup_cross_split_decontam", "dedup_pairs_capped", "graph_ktruss",
+    "dedup_shared_spans", "graph_diameter_estimate",
+    "graph_maximal_matching", "graph_densest_subgraph",
+    "er_blocking_quality", "warehouse_agg_state_merge", "privacy_dp_topk",
+    "warehouse_fd_discovery", "dq_fk_orphans", "privacy_dp_quantile",
+    "privacy_tokenize_consistency", "warehouse_inferred_members",
+    "warehouse_junk_dimension", "warehouse_bridge_allocation",
+    "dq_id_gap_audit", "dq_fk_fanout_profile", "warehouse_delete_vectors",
+    "dq_hash_uniformity", "warehouse_retention_policy",
+    "warehouse_audit_chain", "privacy_synthetic_allocation",
+    "dq_schema_drift", "warehouse_wap_gate", "layout_skipping_audit",
+    "layout_shard_balance", "layout_shard_manifest",
+    "layout_compaction_plan", "layout_hilbert", "layout_curve_ab",
+    "pipeline_multimodal_corpus", "sample_temperature", "text_cdc_chunks",
+    "text_ngram_novelty", "text_bpe_train", "text_bpe_apply",
+    "text_span_removal", "text_ccnet_buckets",
+)
+
+# Tier-3 head (round 10): the _R10_WINDOW tail the 50-slot budget cannot
+# hold — same orphan insurance as _R10_HEAD was for round 9.
+_R11_HEAD: tuple[str, ...] = (
+    "text_tokenizer_fertility", "text_bm25_topk",
 )
 
 
@@ -201,18 +242,18 @@ def all_queries() -> dict[str, QuerySpec]:
 
     Ordering note: the driver's correctness harness verifies queries in
     dict order under a fixed ~50-query budget, so the returned dict is
-    explicitly tiered: (0) tpcds_q81/q84 — pinned in the r7 window but cut
-    by the 50-slot budget, re-pinned first so they cannot orphan again;
-    (1) the pinned round-8 window (48 names, so tiers 0+1 exactly fill the
-    budget); (2) the pinned round-9 window; (3) the pinned r10 head, then
-    every other name not in ``_DRIVER_VERIFIED`` in registration order
-    (new queries land here automatically), queued for round 10+;
-    (4) the driver-green remainder.
+    explicitly tiered: (0) the pinned round-9 window — the r4 backlog whose
+    CORRECTNESS artifact was never delivered (48 names); (1) the pinned
+    r10 head (2 names, so tiers 0+1 exactly fill the budget); (2) the
+    pinned round-10 window; (3) the pinned r11 head, then every other name
+    not in ``_DRIVER_VERIFIED`` in registration order (new queries land
+    here automatically), queued for round 11+; (4) the driver-green
+    remainder.
     """
     # Imports are deferred so `import sol_spark` stays cheap.
     from sol_spark.operators import dedup, geo, governance, layout, multimodal, similarity, skew, text  # noqa: F401
     from sol_spark.queries import tpch  # noqa: F401
-    from sol_spark.queries import relational, ssb, tpcds  # noqa: F401
+    from sol_spark.queries import relational, ssb, tpcds, tpcds_modified  # noqa: F401
     from sol_spark.queries import (  # noqa: F401
         event_windows,
         events_analytics,
@@ -221,20 +262,20 @@ def all_queries() -> dict[str, QuerySpec]:
         pandas_ops,
     )
 
-    t0_rank = {name: i for i, name in enumerate(_R8_T0)}
-    r8_rank = {name: i for i, name in enumerate(_R8_WINDOW)}
     r9_rank = {name: i for i, name in enumerate(_R9_WINDOW)}
-    r10_rank = {name: i for i, name in enumerate(_R10_HEAD)}
+    r10h_rank = {name: i for i, name in enumerate(_R10_HEAD)}
+    r10_rank = {name: i for i, name in enumerate(_R10_WINDOW)}
+    r11h_rank = {name: i for i, name in enumerate(_R11_HEAD)}
 
     def tier(name: str) -> tuple[int, int]:
-        if name in t0_rank:
-            return (0, t0_rank[name])
-        if name in r8_rank:
-            return (1, r8_rank[name])
         if name in r9_rank:
-            return (2, r9_rank[name])
+            return (0, r9_rank[name])
+        if name in r10h_rank:
+            return (1, r10h_rank[name])
         if name in r10_rank:
-            return (3, r10_rank[name])
+            return (2, r10_rank[name])
+        if name in r11h_rank:
+            return (3, r11h_rank[name])
         if name not in _DRIVER_VERIFIED:
             return (4, 0)
         return (5, 0)

@@ -40,7 +40,9 @@ def fresh_tables(spark):
     yield
     from sol_spark.tables import load_tables
 
-    load_tables(spark, "/root/testdata/sf0.001")
+    from conftest import SF_DIR
+
+    load_tables(spark, SF_DIR)
 
 
 def test_dedup_family_on_empty_corpus(spark, tmp_path, fresh_tables):
