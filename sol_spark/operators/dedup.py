@@ -3800,10 +3800,10 @@ def dedup_mis_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
     the loop RAISES on non-convergence rather than truncating."""
     ph = dedup_simhash(spark, sf_dir)
     pairs = local_checkpoint(ph.select("doc_a", "doc_b"))
-    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionAll(
+    sym = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionAll(
         pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
     )
-    edges = local_checkpoint(edges)
+    edges = local_checkpoint(sym)
     release_result(pairs)
     state0 = (
         edges.select(F.col("a").alias("v"))
@@ -3830,17 +3830,26 @@ def dedup_mis_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v", F.expr(_MIS_PRIO.format(r=i + 1, v="v")).alias("p")
         )
         lb = live.select(F.col("v").alias("b"), F.col("p").alias("pb"))
-        nbr_min = (
-            edges.join(lb, "b")
-            .groupBy("a")
-            .agg(F.min(F.struct(F.col("pb"), F.col("b"))).alias("mn"))
-            .select(F.col("a").alias("v"), "mn")
+        # Fused gather: each vertex's OWN (p, v) pair rides the same
+        # union as its neighbors' messages, so one groupBy-min replaces
+        # the old nbr_min-agg-then-left-join — kept iff the global min is
+        # the vertex's own pair (all (p, v) pairs are distinct because v
+        # is unique, so the strict "<" tie rule is preserved exactly: no
+        # live neighbors -> only the own row -> kept; otherwise min==own
+        # iff own < every neighbor pair). Dead receivers can't sneak in:
+        # only live vertices contribute an own-row, and only own-rows
+        # satisfy mv == v.
+        own = live.select(F.col("v"), F.col("p").alias("mp"), F.col("v").alias("mv"))
+        nbr = edges.join(lb, "b").select(
+            F.col("a").alias("v"), F.col("pb").alias("mp"), F.col("b").alias("mv")
         )
-        scored = live.join(nbr_min, "v", "left")
-        kept = scored.filter(
-            F.col("mn").isNull()
-            | (F.struct(F.col("p"), F.col("v")) < F.col("mn"))
-        ).select("v")
+        kept = (
+            own.unionAll(nbr)
+            .groupBy("v")
+            .agg(F.min(F.struct(F.col("mp"), F.col("mv"))).alias("mn"))
+            .filter(F.col("mn.mv") == F.col("v"))
+            .select("v")
+        )
         # Removal set for the anti join: kept plus every neighbor of a kept
         # vertex. NO distinct and NO live-intersection here — an anti join
         # ignores duplicates, and rows outside the live set cannot remove
@@ -5029,28 +5038,32 @@ def graph_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             live.select(F.col("b").alias("v"), "key")
         )
         picks = sym.groupBy("v").agg(F.min("key").alias("mk"))
-        graded = (
-            live.join(
-                picks.withColumnsRenamed({"v": "a", "mk": "mka"}), "a"
-            )
-            .join(picks.withColumnsRenamed({"v": "b", "mk": "mkb"}), "b")
-            .withColumn("newly", (F.col("key") == F.col("mka")) & (F.col("key") == F.col("mkb")))
+        # Endpoint voting: an endpoint votes for its min-key edge; an edge
+        # holding BOTH its endpoints' votes is locally minimal on both
+        # sides — the same mka==key AND mkb==key rule as before, but one
+        # vote-count aggregate replaces the two live⋈picks equi-joins
+        # (sym's shuffle on v is shared by picks, votes, and dead_keys via
+        # exchange reuse). An edge's key appears at most twice in sym, so
+        # nv == 2 is exact, and duplicate-free by construction.
+        votes = sym.join(picks, "v").filter(F.col("key") == F.col("mk"))
+        matched_keys = (
+            votes.groupBy("key").agg(F.count(F.lit(1)).alias("nv")).filter(F.col("nv") == 2).select("key")
         )
-        # Anti-join build side: duplicates are harmless to anti semantics,
-        # so no distinct — one less shuffle per round on the tiny frame.
-        matched_v = graded.filter("newly").select(F.col("a").alias("v")).unionAll(
-            graded.filter("newly").select(F.col("b").alias("v"))
+        newly = live.join(matched_keys, "key", "left_semi")
+        # Anti-join build side: dead_keys includes the matched edges
+        # themselves plus every live edge touching a matched vertex;
+        # duplicates are harmless to anti semantics, so no distinct.
+        matched_v = newly.select(F.col("a").alias("v")).unionAll(
+            newly.select(F.col("b").alias("v"))
         )
-        still = (
-            graded.filter(~F.col("newly"))
-            .join(matched_v, graded["a"] == matched_v["v"], "left_anti")
-            .join(matched_v, graded["b"] == matched_v["v"], "left_anti")
-            .select("a", "b", "key", F.lit("live").alias("status"), F.lit(0).cast("long").alias("rnd"))
+        dead_keys = sym.join(matched_v, "v", "left_semi").select("key")
+        still = live.join(dead_keys, "key", "left_anti").select(
+            "a", "b", "key", F.lit("live").alias("status"), F.lit(0).cast("long").alias("rnd")
         )
-        newly = graded.filter("newly").select(
+        newly_rows = newly.select(
             "a", "b", "key", F.lit("matched").alias("status"), F.lit(i + 1).cast("long").alias("rnd")
         )
-        return still.unionByName(newly).unionByName(state.filter(F.col("status") == "matched"))
+        return still.unionByName(newly_rows).unionByName(state.filter(F.col("status") == "matched"))
 
     def finalize(state: DataFrame) -> DataFrame:
         return (
