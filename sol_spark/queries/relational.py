@@ -4442,9 +4442,13 @@ def orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     4*(n*S2 - S1^2) <= S1^2 / (n*S2 - S1^2) <= S1^2 over BIGINT monthly
     sums — zero float in any classification path.
 
-    Scale bound (r7 ADVICE item 1): the integer cross-products cap at
-    ~10000*pres*S2, which stays inside int64 while a single part's
-    cumulative quantity S1 < ~3e9 units (S2 < S1^2). TPC-H density is
+    Scale bound (r7 ADVICE item 1, tightened r9): the X-fence multiplies
+    the cross-product by 4, so the binding constraint is 4*S1^2 <= int64 —
+    a single part's cumulative quantity S1 < ~1.5e9 units (sqrt(int64/4);
+    a draft of this note claimed ~3e9 until the r9 overflow property
+    caught the factor-2 overstatement — tests/test_r9_overflow_bounds.py
+    drives the fence at the boundary and proves the oracle raises loudly
+    one order past it). TPC-H density is
     per-part CONSTANT (~30 lineitems/part at every SF: lineitems and
     parts both scale linearly), so S1 ~ 750 and the fences hold at any
     SF; only a corpus whose per-key density itself grows — not this
