@@ -811,3 +811,120 @@ def rate_limit_sliding_state(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def incident_islands_state(events: DataFrame) -> DataFrame:
+    """Streaming gaps-and-islands sessionization keyed by DAY BUCKET — the
+    online twin of the batch events_analytics.events_incident_stats
+    decomposition (and the first twin for a GLOBAL-timeline operator:
+    there is no per-user key; the day bucket IS the state key, exactly the
+    partitioning the batch op's first pass uses). Per day the state is two
+    BIGINTs (last error second, running island index); an arriving error
+    row starts a new island iff its gap from the previous error is >=
+    INCIDENT_GAP_S, and EVERY error row is emitted immediately with its
+    (day, island) assignment (append mode — no end-of-stream flush
+    problem, because islands are reconstructed from their member rows, not
+    from a close event). Island membership depends only on second-level
+    gaps, so within-second arrival ties cannot change assignments, and the
+    ts-range-split file replay guarantees per-day in-order arrival across
+    micro-batches (a day split across batches continues its open island
+    from state). The cross-day boundary merge is deliberately NOT done in
+    the stream: it needs adjacent-day adjacency, which is what
+    :func:`incident_rollup_from_islands` applies to the drained, bounded
+    (<= 48 islands/day) output — the same two-level decomposition the
+    batch operator pins."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):  # noqa: ANN001
+        if state.exists:
+            last_sec, island = state.get
+        else:
+            last_sec, island = -(1 << 62), 0
+        from sol_spark.queries.events_analytics import INCIDENT_GAP_S
+
+        out_eid, out_sec, out_isl = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            secs = pdf["ts"].astype("int64") // 1_000_000_000
+            for eid, sec in zip(pdf["event_id"].to_numpy(), secs.to_numpy()):
+                sec = int(sec)
+                if sec - last_sec >= INCIDENT_GAP_S:
+                    island += 1
+                last_sec = sec
+                out_eid.append(int(eid))
+                out_sec.append(sec)
+                out_isl.append(island)
+        state.update((last_sec, island))
+        yield pd.DataFrame(
+            {
+                "day": key[0],
+                "event_id": out_eid,
+                "sec": out_sec,
+                "island": out_isl,
+            }
+        )
+
+    errs = (
+        events.where(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "ts",
+            F.expr(
+                "timestampdiff(SECOND, TIMESTAMP '1970-01-01 00:00:00', ts) div 86400"
+            ).alias("day"),
+        )
+    )
+    return errs.groupBy("day").applyInPandasWithState(
+        update,
+        outputStructType="day bigint, event_id bigint, sec bigint, island bigint",
+        stateStructType="last_sec bigint, island bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def incident_rollup_from_islands(islands: DataFrame) -> DataFrame:
+    """Batch finisher for :func:`incident_islands_state`: rebuild each
+    (day, island) summary from its member rows, apply the batch operator's
+    cross-day boundary merge over the bounded island frame (<= 48/day, a
+    deliberate single-partition window over a NON-FOLDABLE constant key —
+    the events_incident_stats discipline), and emit the identical 1-row
+    incident rollup. Kept as a separate batch step because adjacent-day
+    merging needs both days closed; running it over the drained sink is
+    the foreachBatch-style boundary pass the two-level decomposition
+    prescribes."""
+    from pyspark.sql import Window as W
+
+    from sol_spark.queries.events_analytics import INCIDENT_GAP_S
+
+    isl = islands.groupBy("day", "island").agg(
+        F.count(F.lit(1)).alias("isl_errors"),
+        F.min("sec").alias("start_sec"),
+        F.max("sec").alias("end_sec"),
+    )
+    w_g = W.partitionBy(F.pmod(F.col("day"), F.lit(1))).orderBy("day", "island")
+    stitched = isl.select(
+        "*",
+        F.when(
+            (F.col("start_sec") - F.lag("end_sec").over(w_g) >= INCIDENT_GAP_S)
+            | F.lag("end_sec").over(w_g).isNull(),
+            1,
+        ).otherwise(0).alias("new_glob"),
+    )
+    merged = stitched.select(
+        "*",
+        F.sum("new_glob").over(w_g.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("inc_id"),
+    )
+    incidents = merged.groupBy("inc_id").agg(
+        F.sum("isl_errors").alias("n_errors"),
+        (F.max("end_sec") - F.min("start_sec")).alias("duration_s"),
+    )
+    return incidents.agg(
+        F.count(F.lit(1)).cast("long").alias("n_incidents"),
+        F.sum("n_errors").cast("long").alias("n_error_events"),
+        F.max("n_errors").cast("long").alias("worst_incident_errors"),
+        F.max("duration_s").cast("long").alias("longest_duration_s"),
+        F.expr("sum(duration_s) div count(*)").cast("long").alias("mttr_s"),
+        F.sum(F.when(F.col("n_errors") == 1, 1).otherwise(0)).cast("long").alias("n_blips"),
+    )

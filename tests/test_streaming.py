@@ -762,3 +762,38 @@ def test_token_bucket_stream_equals_batch(spark, sf_dir):
     }
     assert stream == want
     assert any(a for a, _ in want.values()) and not all(a for a, _ in want.values())
+
+
+def test_incident_islands_stream_equals_batch(spark, sf_dir):
+    """Streaming gaps-and-islands sessionization (day-bucket keyed state,
+    per-event island assignment) + the bounded boundary-merge finisher
+    must reproduce the batch events_incident_stats rollup EXACTLY — the
+    first stream twin for a GLOBAL-timeline operator. Six-file ts-range
+    replay forces days to span micro-batches, so open islands must
+    continue from the keyed state."""
+    from pyspark.sql import functions as F
+
+    from sol_spark.queries.events_analytics import events_incident_stats
+
+    stream, tmp = P.events_stream(spark, sf_dir, n_files=6)
+    try:
+        drained = P.run_stream_to_memory(
+            P.incident_islands_state(stream), output_mode="append"
+        )
+        # Every error event assigned exactly once before any rollup.
+        n_err = (
+            load_tables(spark, sf_dir)["events"]
+            .where(F.col("event_type") == "error")
+            .count()
+        )
+        assert drained.count() == n_err
+        assert drained.select("event_id").distinct().count() == n_err
+        got = P.incident_rollup_from_islands(drained).collect()[0].asDict()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    want = events_incident_stats(spark, sf_dir).collect()[0].asDict()
+    assert got == want
+    # Non-vacuous: the fixture must contain real multi-error incidents and
+    # at least one blip, or the twin proves nothing.
+    assert want["n_incidents"] > 1
+    assert want["worst_incident_errors"] > 1
