@@ -5365,3 +5365,135 @@ def events_markov_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cur")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced A/B readout: adjust the experiment metric by each
+# user's PRE-period covariate — the standard trick that cuts experiment
+# runtimes by the metric's pre/post correlation (Deng et al., WSDM'13,
+# public method).
+# ---------------------------------------------------------------------------
+
+CUPED_CUTOVER = "2024-01-16"  # pre-period before, experiment period after
+
+# The staged-double moment expressions, shared VERBATIM between engines
+# (the events_ab_test Welch discipline, now property-enforced by
+# tests/test_r9_overflow_bounds.py): integer moment sums stay BIGINT, every
+# float is one fixed IEEE tree over them. theta = cov(x,y)/var(x); r2 is
+# the pooled variance-reduction fraction theta * cov/var(y).
+_CUPED_TH = "((sxy - sx / n * sy) / (sxx - sx / n * sx))"
+_CUPED_R2 = f"({_CUPED_TH} * ((sxy - sx / n * sy) / (syy - sy / n * sy)))"
+_CUPED_RAW = "((syv / nv) / 100)"
+_CUPED_ADJ = f"((syv / nv - {_CUPED_TH} * (sxv / nv - sx / n)) / 100)"
+
+STATS_CUPED_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN ts < TIMESTAMP '{CUPED_CUTOVER} 00:00:00'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS x,
+         sum(CASE WHEN ts >= TIMESTAMP '{CUPED_CUTOVER} 00:00:00'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+assigned AS (
+  SELECT user_id, x, y,
+         CASE WHEN (('0x' || substr(md5('ab' || user_id), 1, 8))::BIGINT % 2) = 0
+              THEN 'A' ELSE 'B' END AS variant
+  FROM per_user
+),
+g AS (
+  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+         sum(y * y)::BIGINT AS syy
+  FROM assigned
+),
+v AS (
+  SELECT variant, count(*)::BIGINT AS nv, sum(x)::BIGINT AS sxv,
+         sum(y)::BIGINT AS syv
+  FROM assigned GROUP BY variant
+)
+SELECT variant, nv AS n_users,
+       {_R6_DUCK.format(c=_CUPED_RAW)} AS mean_raw,
+       {_R6_DUCK.format(c=_CUPED_ADJ)} AS mean_cuped,
+       {_R6_DUCK.format(c=_CUPED_TH)} AS theta,
+       {_R6_DUCK.format(c=_CUPED_R2)} AS var_reduction
+FROM v CROSS JOIN g
+ORDER BY variant
+"""
+
+
+@register("stats_cuped", STATS_CUPED_ORACLE, tags=("events", "stats", "experiment"))
+def stats_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout: per purchase-user, the
+    pre-period spend (before {CUPED_CUTOVER}) is the covariate X and the
+    experiment-period spend the metric Y; theta = cov(X,Y)/var(X) over the
+    pooled users, and each arm's adjusted mean is
+    mean(Y_v) - theta * (mean(X_v) - mean(X)) — the Deng-et-al estimator
+    that shrinks experiment confidence intervals by the pre/post r^2
+    (reported as var_reduction). Assignment reuses events_ab_test's md5
+    coin, so the arms are the same population.
+
+    Cross-engine float: all five moment sums are exact BIGINT cents
+    (documented bound: per-user x*y < int64/n — the events fixture's spend
+    magnitudes sit ~6 orders inside it; the r9 overflow properties prove
+    the oracle raises loudly if a corpus ever breaches the staging
+    discipline), and theta/r^2/means are ONE shared IEEE expression tree
+    (_CUPED_* strings) evaluated identically by both engines, rounded
+    half-up at 6.
+
+    Scale shape: one hash-agg to per-user (x, y), one 2-row arm agg, one
+    1-row global moment agg broadcast-crossed back — the fact is scanned
+    once; nothing row-grain ever reshuffles."""
+    t = load_tables(spark, sf_dir)
+    per_user = (
+        t["events"]
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN ts < TIMESTAMP '{CUPED_CUTOVER} 00:00:00' "
+                    "THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END"
+                )
+            ).alias("x"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN ts >= TIMESTAMP '{CUPED_CUTOVER} 00:00:00' "
+                    "THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END"
+                )
+            ).alias("y"),
+        )
+    )
+    assigned = per_user.select(
+        "x",
+        "y",
+        F.expr(
+            "CASE WHEN pmod(cast(conv(substring(md5(concat('ab', user_id)), 1, 8), 16, 10) as bigint), 2) = 0"
+            " THEN 'A' ELSE 'B' END"
+        ).alias("variant"),
+    )
+    g = assigned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    v = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("nv"),
+        F.sum("x").alias("sxv"),
+        F.sum("y").alias("syv"),
+    )
+    return (
+        v.crossJoin(F.broadcast(g))
+        .select(
+            "variant",
+            F.col("nv").alias("n_users"),
+            _r6(_CUPED_RAW).alias("mean_raw"),
+            _r6(_CUPED_ADJ).alias("mean_cuped"),
+            _r6(_CUPED_TH).alias("theta"),
+            _r6(_CUPED_R2).alias("var_reduction"),
+        )
+        .orderBy("variant")
+    )
