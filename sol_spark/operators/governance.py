@@ -3180,3 +3180,184 @@ def warehouse_wap_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("check_name", "observed", "bound", "ok", "publish")
         .orderBy("check_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance for an aggregate: apply a changelog's
+# +/- deltas to yesterday's materialized agg instead of recomputing it.
+# ---------------------------------------------------------------------------
+
+IVM_AGG_ORACLE = """
+WITH effective AS (
+  -- post-changelog state, recomputed from scratch: base rows minus
+  -- deletes, plus inserts, with updates re-priced (+5 percent on the cents)
+  SELECT o_orderdate, o_orderpriority,
+         CASE WHEN o_orderkey % 10 = 6
+              THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                   + CAST(round(o_totalprice * 100) AS BIGINT) // 20
+              ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents
+  FROM orders
+  WHERE NOT (o_orderkey % 10 = 7)
+)
+SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym, o_orderpriority,
+       count(*)::BIGINT AS n_orders, sum(cents)::BIGINT AS revenue_cents
+FROM effective
+GROUP BY 1, 2
+ORDER BY ym, o_orderpriority
+"""
+
+
+@register("warehouse_ivm_agg", IVM_AGG_ORACLE, tags=("warehouse", "cdc", "incremental"))
+def warehouse_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of a (month, priority) revenue
+    aggregate under a CDC changelog: the base snapshot's materialized agg
+    is MERGED with the changelog's signed deltas — +1/+cents for inserts,
+    -1/-cents for deletes, a delete+insert pair for updates — instead of
+    rescanning the base. Synthetic changelog over orders: keys %10 in
+    (8,9) are inserts (they post-date the snapshot), %10 = 7 rows are
+    deletes, %10 = 6 rows are updates re-priced +5%. Groups whose count
+    reaches zero drop out, exactly as a recompute would drop them.
+
+    The ORACLE IS THE FULL RECOMPUTE over the post-changelog state, so the
+    exact-hash compare proves the delta-merge path equals rescanning —
+    the invariant that makes IVM trustworthy. All money is exact BIGINT
+    cents; the +5%% reprice is integer `div 20` so both paths round
+    identically.
+
+    Scale shape: at 100 TB the base agg is |groups| rows (months x 5
+    priorities — dim-scale, NOT fact-scale) and the changelog agg scans
+    only the delta partition; the merge is a groups-sized outer union.
+    The base fact is never rescanned — that is the entire point, and the
+    reason nightly aggregate refresh stays minutes, not hours. (Here the
+    "materialized" base agg is derived in-plan from the same fixture, so
+    the driver can verify it; a production run reads it from the table
+    the previous run wrote.)"""
+    t = load_tables(spark, sf_dir)
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    orders = t["orders"].select(
+        "o_orderkey",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym"),
+        "o_orderpriority",
+        cents.alias("cents"),
+        (F.col("o_orderkey") % 10).alias("slot"),
+    )
+    # Yesterday's materialized view: the snapshot excludes post-snapshot
+    # inserts (slots 8, 9) but still contains the rows the changelog will
+    # delete (7) or update (6).
+    base_agg = (
+        orders.filter(F.col("slot") < 8)
+        .groupBy("ym", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("rev"))
+    )
+    # Changelog as signed delta rows: insert(+), delete(-), update(-old,+new).
+    ins = orders.filter(F.col("slot").isin(8, 9)).select(
+        "ym", "o_orderpriority", F.lit(1).alias("dn"), F.col("cents").alias("drev")
+    )
+    dels = orders.filter(F.col("slot") == 7).select(
+        "ym", "o_orderpriority", F.lit(-1).alias("dn"), (-F.col("cents")).alias("drev")
+    )
+    upd_old = orders.filter(F.col("slot") == 6).select(
+        "ym", "o_orderpriority", F.lit(-1).alias("dn"), (-F.col("cents")).alias("drev")
+    )
+    upd_new = orders.filter(F.col("slot") == 6).select(
+        "ym",
+        "o_orderpriority",
+        F.lit(1).alias("dn"),
+        (F.col("cents") + F.expr("cents div 20")).alias("drev"),
+    )
+    delta_agg = (
+        ins.unionByName(dels).unionByName(upd_old).unionByName(upd_new)
+        .groupBy("ym", "o_orderpriority")
+        .agg(F.sum("dn").alias("dn"), F.sum("drev").alias("drev"))
+    )
+    return (
+        base_agg.join(delta_agg, ["ym", "o_orderpriority"], "full_outer")
+        .select(
+            "ym",
+            "o_orderpriority",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n_orders"),
+            (F.coalesce("rev", F.lit(0)) + F.coalesce("drev", F.lit(0))).alias("revenue_cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+        .orderBy("ym", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit: the classic fabricated-numbers screen for a
+# money column, with precomputed integer-ppm expectations.
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) in exact ppm, as LITERALS (both engines share the
+# constants instead of each calling log10 and disagreeing by an ulp).
+BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+               6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+_BENFORD_CASE = "CASE d " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in BENFORD_PPM.items()
+) + " END"
+
+DQ_BENFORD_ORACLE = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d
+  FROM orders WHERE o_totalprice > 0
+),
+counts AS (
+  SELECT d, count(*)::BIGINT AS n_obs FROM digits GROUP BY d
+),
+tot AS (SELECT sum(n_obs)::BIGINT AS n FROM counts)
+SELECT d AS digit, n_obs,
+       (1000000 * n_obs) // n AS obs_ppm,
+       {_BENFORD_CASE} AS exp_ppm,
+       floor(((CAST(1000000 AS DOUBLE) * n_obs / n - {_BENFORD_CASE})
+              * (CAST(1000000 AS DOUBLE) * n_obs / n - {_BENFORD_CASE}) / {_BENFORD_CASE})
+             * 1000000 + 0.5) / CAST(1000000 AS DOUBLE) AS chi2_contrib
+FROM counts CROSS JOIN tot
+ORDER BY digit
+"""
+
+
+@register("dq_benford_audit", DQ_BENFORD_ORACLE, tags=("governance", "dq", "audit"))
+def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of the money column — the classic screen
+    for fabricated or truncated figures in a financial fact: observed
+    first-significant-digit frequencies (of the exact cent amounts)
+    against Benford expectations, with each digit's chi-square
+    contribution. The log10(1+1/d) expectations are PRECOMPUTED integer
+    ppm literals shared by both engines — calling log10 at runtime would
+    let the engines disagree by an ulp inside a downstream round (the
+    pow/ln rule from the cross-engine float discipline). Counts and
+    obs_ppm are exact integers; the chi2 contribution is one shared IEEE
+    tree rounded half-up at 6.
+
+    Scale shape: a 9-group map-side-combinable hash-agg over one fact
+    scan plus a broadcast 1-row total — digit extraction is a codegen
+    string op on the cent integer, no UDF."""
+    t = load_tables(spark, sf_dir)
+    digits = (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.expr(
+                "CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
+            ).alias("d")
+        )
+    )
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = counts.agg(F.sum("n_obs").alias("n"))
+    chi = (
+        f"floor(((CAST(1000000 AS DOUBLE) * n_obs / n - {_BENFORD_CASE})"
+        f" * (CAST(1000000 AS DOUBLE) * n_obs / n - {_BENFORD_CASE}) / {_BENFORD_CASE})"
+        " * 1000000 + 0.5) / cast(1000000 as double)"
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("digit"),
+            "n_obs",
+            F.expr("(1000000 * n_obs) div n").alias("obs_ppm"),
+            F.expr(_BENFORD_CASE).alias("exp_ppm"),
+            F.expr(chi).alias("chi2_contrib"),
+        )
+        .orderBy("digit")
+    )
