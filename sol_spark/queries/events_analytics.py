@@ -5497,3 +5497,105 @@ def stats_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences: the quasi-experimental companion to
+# stats_cuped — same md5 arms, same pre/post cutover, treatment effect as
+# the double difference of arm means.
+# ---------------------------------------------------------------------------
+
+_DID_CELL = "((s / n) / 100)"
+
+STATS_DID_ORACLE = f"""
+WITH labeled AS (
+  SELECT CASE WHEN (('0x' || substr(md5('ab' || user_id), 1, 8))::BIGINT % 2) = 0
+              THEN 'A' ELSE 'B' END AS variant,
+         CASE WHEN ts < TIMESTAMP '{CUPED_CUTOVER} 00:00:00' THEN 'pre' ELSE 'post' END AS period,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+cells AS (
+  SELECT variant, period, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s
+  FROM labeled GROUP BY variant, period
+),
+wide AS (
+  SELECT
+    max(CASE WHEN variant = 'A' AND period = 'pre' THEN {_DID_CELL} END) AS a_pre,
+    max(CASE WHEN variant = 'A' AND period = 'post' THEN {_DID_CELL} END) AS a_post,
+    max(CASE WHEN variant = 'B' AND period = 'pre' THEN {_DID_CELL} END) AS b_pre,
+    max(CASE WHEN variant = 'B' AND period = 'post' THEN {_DID_CELL} END) AS b_post,
+    max(CASE WHEN variant = 'A' AND period = 'pre' THEN n END) AS n_a_pre,
+    max(CASE WHEN variant = 'A' AND period = 'post' THEN n END) AS n_a_post,
+    max(CASE WHEN variant = 'B' AND period = 'pre' THEN n END) AS n_b_pre,
+    max(CASE WHEN variant = 'B' AND period = 'post' THEN n END) AS n_b_post
+  FROM cells
+)
+SELECT n_a_pre, n_a_post, n_b_pre, n_b_post,
+       {_R6_DUCK.format(c="a_pre")} AS mean_a_pre,
+       {_R6_DUCK.format(c="a_post")} AS mean_a_post,
+       {_R6_DUCK.format(c="b_pre")} AS mean_b_pre,
+       {_R6_DUCK.format(c="b_post")} AS mean_b_post,
+       {_R6_DUCK.format(c="(b_post - b_pre) - (a_post - a_pre)")} AS did_effect
+FROM wide
+"""
+
+
+@register("stats_diff_in_diff", STATS_DID_ORACLE, tags=("events", "stats", "experiment"))
+def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout: per (arm, period) cell the mean
+    purchase value (exact BIGINT cent sums, ONE division per cell), and
+    the DiD treatment effect (B_post - B_pre) - (A_post - A_pre) — the
+    quasi-experimental estimator for when assignment isn't randomized but
+    a parallel-trends control arm exists. Same md5 coin and cutover as
+    stats_cuped, so the three experiment readouts (Welch t, CUPED, DiD)
+    are directly comparable over the same population.
+
+    Scale shape: one fact scan into a FOUR-row hash-agg; everything after
+    is a 1-row conditional pivot — nothing scales with data at all past
+    the scan."""
+    t = load_tables(spark, sf_dir)
+    labeled = (
+        t["events"]
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.expr(
+                "CASE WHEN pmod(cast(conv(substring(md5(concat('ab', user_id)), 1, 8), 16, 10) as bigint), 2) = 0"
+                " THEN 'A' ELSE 'B' END"
+            ).alias("variant"),
+            F.expr(
+                f"CASE WHEN ts < TIMESTAMP '{CUPED_CUTOVER} 00:00:00' THEN 'pre' ELSE 'post' END"
+            ).alias("period"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    cells = labeled.groupBy("variant", "period").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    wide = cells.agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("variant") == v) & (F.col("period") == p),
+                    F.expr(_DID_CELL),
+                )
+            ).alias(f"{v.lower()}_{p}")
+            for v in ("A", "B")
+            for p in ("pre", "post")
+        ],
+        *[
+            F.max(
+                F.when((F.col("variant") == v) & (F.col("period") == p), F.col("n"))
+            ).alias(f"n_{v.lower()}_{p}")
+            for v in ("A", "B")
+            for p in ("pre", "post")
+        ],
+    )
+    return wide.select(
+        "n_a_pre", "n_a_post", "n_b_pre", "n_b_post",
+        _r6("a_pre").alias("mean_a_pre"),
+        _r6("a_post").alias("mean_a_post"),
+        _r6("b_pre").alias("mean_b_pre"),
+        _r6("b_post").alias("mean_b_post"),
+        _r6("(b_post - b_pre) - (a_post - a_pre)").alias("did_effect"),
+    )

@@ -4772,3 +4772,109 @@ def sketch_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_pct", "n", "rnk", "est_cents", "width_cents",
         F.expr("(10000 * width_cents) div est_cents").cast("long").alias("err_bound_bp"),
     ).orderBy("q_pct")
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation: how many samples to draw per stratum for a fixed
+# budget — optimal allocation proportional to N_h * S_h, integerized by
+# largest remainder so both engines land on identical whole samples.
+# ---------------------------------------------------------------------------
+
+NEYMAN_BUDGET = 1000  # total samples to allocate across strata
+
+NEYMAN_ORACLE = f"""
+WITH strata AS (
+  -- moments in WHOLE DOLLARS, not cents: the squared-cents sum breaches
+  -- int64 at sf0.1 (the oracle raised, exactly as the overflow-bound
+  -- properties promise); dollar units keep n_h * maxprice^2 inside int64
+  -- to ~sf20 and the allocation only needs the std's RATIOS.
+  SELECT o_orderpriority AS stratum, count(*)::BIGINT AS n,
+         sum(CAST(round(o_totalprice) AS BIGINT))::BIGINT AS s1,
+         sum(CAST(round(o_totalprice) AS BIGINT)
+             * CAST(round(o_totalprice) AS BIGINT))::BIGINT AS s2
+  FROM orders GROUP BY o_orderpriority
+),
+weighted AS (
+  -- N_h * S_h collapsed to an INTEGER dollar-unit weight BEFORE any
+  -- cross-stratum sum: sqrt of the staged-double variance is IEEE-exact
+  -- in both engines, and integer sums are order-free where float sums
+  -- are not (the unrolled_dot ordering rule, sidestepped entirely).
+  SELECT stratum, n,
+         CAST(floor(n * sqrt((s2 - s1 / n * s1) / (n - 1.0)) + 0.5) AS BIGINT) AS w
+  FROM strata
+),
+tot AS (SELECT sum(w)::BIGINT AS tw, count(*)::BIGINT AS k FROM weighted),
+base AS (
+  SELECT stratum, n, w,
+         ({NEYMAN_BUDGET} * w) // tw AS floor_alloc,
+         ({NEYMAN_BUDGET} * w) % tw AS rem
+  FROM weighted CROSS JOIN tot
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, stratum) AS rr,
+         {NEYMAN_BUDGET} - sum(floor_alloc) OVER () AS leftover
+  FROM base
+)
+SELECT stratum, n AS n_rows, w AS weight_unit,
+       (floor_alloc + CASE WHEN rr <= leftover THEN 1 ELSE 0 END) AS alloc_n
+FROM ranked
+ORDER BY stratum
+"""
+
+
+@register("sample_neyman_allocation", NEYMAN_ORACLE, tags=("sample", "stats"))
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal sampling allocation: for a fixed budget of
+    {NEYMAN_BUDGET} samples, each stratum (order priority) gets samples
+    proportional to N_h * S_h (its size times its money std) — the
+    allocation that minimizes the stratified estimator's variance, i.e.
+    the principled answer to "how much of each slice do I label/audit".
+
+    Cross-engine exactness: the only floats are the staged-double variance
+    and its sqrt (IEEE-exact in both engines); each stratum's weight
+    collapses to an INTEGER dollar-unit immediately, so the cross-stratum
+    total is an order-free integer sum — the float-sum ordering hazard is
+    sidestepped, not managed. Integerization is largest-remainder over the
+    integer products, which provably sums to the budget exactly; ties
+    break on the stratum key (total order).
+
+    Scale shape: one fact scan into a |strata|-row moment agg; the
+    allocation arithmetic runs on that dim-sized frame with one bounded
+    window (|strata| rows, broadcast-scale). At 100 TB this is the
+    planning step before sample_stratified pulls the actual rows."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    dollars = F.expr("CAST(round(o_totalprice) AS BIGINT)")
+    strata = t["orders"].groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dollars).alias("s1"),
+        F.sum(dollars * dollars).alias("s2"),
+    )
+    weighted = strata.select(
+        "stratum",
+        "n",
+        F.expr(
+            "CAST(floor(n * sqrt((s2 - s1 / n * s1) / (n - 1.0)) + 0.5) AS BIGINT)"
+        ).alias("w"),
+    )
+    tot = weighted.agg(F.sum("w").alias("tw"))
+    base = weighted.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n",
+        "w",
+        F.expr(f"({NEYMAN_BUDGET} * w) div tw").alias("floor_alloc"),
+        F.expr(f"({NEYMAN_BUDGET} * w) % tw").alias("rem"),
+    )
+    w_all = W.partitionBy(F.pmod(F.col("floor_alloc"), F.lit(1)))
+    ranked = base.select(
+        "*",
+        F.row_number().over(w_all.orderBy(F.desc("rem"), "stratum")).alias("rr"),
+        (F.lit(NEYMAN_BUDGET) - F.sum("floor_alloc").over(w_all)).alias("leftover"),
+    )
+    return ranked.select(
+        "stratum",
+        F.col("n").alias("n_rows"),
+        F.col("w").alias("weight_unit"),
+        (F.col("floor_alloc") + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)).alias("alloc_n"),
+    ).orderBy("stratum")
