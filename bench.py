@@ -116,6 +116,15 @@ HEADLINE = [
     "dedup_shared_spans",
     "events_rate_limit_sliding",
     "graph_maximal_matching",
+    # r9 additions: the broadcast Bloom-sketch ingest probe (bit_or word
+    # agg + broadcast bit test — the no-shuffle incremental-dedup shape),
+    # the delta-merge incremental view maintenance (changelog agg merged
+    # into the snapshot agg, fact never rescanned), and the modified-
+    # dialect q27 (three re-aggregation passes over a shared slice vs the
+    # base's one-pass ExpandExec rollup — a standing A/B like q67/q67a).
+    "dedup_bloom_incremental",
+    "warehouse_ivm_agg",
+    "tpcds_q27m",
     "win_rank_topk_per_group",
     "time_rollup_hierarchy",
     "set_intersect",

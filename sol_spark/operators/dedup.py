@@ -1065,7 +1065,15 @@ def pagerank(pairs: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
         pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
     )
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-    edges = local_checkpoint(sym.join(deg, "a"))  # (a, b, deg) reused per round
+    # (a, b, deg) reused per round — CACHED pre-partitioned on the round
+    # join key (persist preserves outputPartitioning where localCheckpoint
+    # drops it on this build), so each power iteration exchanges only the
+    # |V|-row rank vector, never the edge set; the message groupBy("b") is
+    # the round's single edge-volume shuffle. Materialized eagerly so the
+    # pair pipeline upstream runs exactly once (measured 13s -> 4s at
+    # sf0.01 when this frame was re-evaluated lazily).
+    width = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    edges = sym.join(deg, "a").repartition(width, "a").persist()
     n = max(edges.select("a").distinct().count(), 1)
     # Init from the CHECKPOINTED edges, not from deg: deg's lineage reaches
     # back through the whole pair pipeline, and re-evaluating it here would
@@ -1080,17 +1088,21 @@ def pagerank(pairs: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
             .withColumnRenamed("doc2", "doc")
         )
 
-    return iterate(
-        rank0,
-        power_step,
-        lambda rank: rank.select("doc", F.round("r", 6).alias("rank")).orderBy("doc"),
-        max_rounds=iters,
-        # Fixed small iteration count: plan depth stays bounded without
-        # per-round checkpoints (the CC loop checkpoints because its round
-        # count is data-dependent).
-        checkpoint_rounds=False,
-        release=(edges,),
-    )
+    try:
+        return iterate(
+            rank0,
+            power_step,
+            lambda rank: rank.select("doc", F.round("r", 6).alias("rank")).orderBy("doc"),
+            max_rounds=iters,
+            # Fixed small iteration count: plan depth stays bounded without
+            # per-round checkpoints (the CC loop checkpoints because its
+            # round count is data-dependent).
+            checkpoint_rounds=False,
+        )
+    finally:
+        # Cached, not checkpointed: unpersist directly (release_result's
+        # id bookkeeping is for localCheckpoint RDDs).
+        edges.unpersist()
 
 
 @register("dedup_pagerank", DEDUP_PAGERANK_ORACLE, tags=("llm", "dedup", "graph", "iterative"))
@@ -3803,10 +3815,24 @@ def dedup_mis_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionAll(
         pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
     )
-    edges = local_checkpoint(sym)
+    # TWO cached copies of the symmetric edge set, hash-partitioned on
+    # each per-round join key — the Pregel edge-cut trade (2x edge
+    # storage for zero edge shuffles per round). persist(), NOT
+    # localCheckpoint: a checkpoint's LogicalRDD drops outputPartitioning
+    # (verified on this build — the per-round join re-shuffled the edges
+    # anyway), while InMemoryRelation keeps it, so every round's message
+    # join (on b) and kept-neighbor semi join (on a) exchange ONLY the
+    # tiny live/kept side. The static edge frame never needs lineage
+    # truncation, so cache is also the right storage tool; both copies
+    # unpersist in the finally below.
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges_by_b = sym.repartition(width, "b").persist()
+    edges_by_a = sym.repartition(width, "a").persist()
+    edges_by_a.count()  # materialize both caches before the rounds
+    edges_by_b.count()
     release_result(pairs)
     state0 = (
-        edges.select(F.col("a").alias("v"))
+        edges_by_a.select(F.col("a").alias("v"))
         .distinct()
         .select("v", F.lit("live").alias("status"), F.lit(0).alias("round"))
     )
@@ -3840,7 +3866,7 @@ def dedup_mis_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
         # only live vertices contribute an own-row, and only own-rows
         # satisfy mv == v.
         own = live.select(F.col("v"), F.col("p").alias("mp"), F.col("v").alias("mv"))
-        nbr = edges.join(lb, "b").select(
+        nbr = edges_by_b.join(lb, "b").select(
             F.col("a").alias("v"), F.col("pb").alias("mp"), F.col("b").alias("mv")
         )
         kept = (
@@ -3857,7 +3883,7 @@ def dedup_mis_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round were pure latency (the fixed per-round cost dominates this
         # shrinking-frontier loop; r7 verdict ask #6).
         removed = kept.unionAll(
-            edges.join(kept.select(F.col("v").alias("a")), "a", "left_semi")
+            edges_by_a.join(kept.select(F.col("v").alias("a")), "a", "left_semi")
             .select(F.col("b").alias("v"))
         )
         survivors = live.select("v").join(removed, "v", "left_anti")
@@ -3874,7 +3900,7 @@ def dedup_mis_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # Dominated vertices: first round one of their neighbors was kept.
         dom = (
-            edges.join(kept.select(F.col("doc_id").alias("a"), F.col("r")), "a")
+            edges_by_a.join(kept.select(F.col("doc_id").alias("a"), F.col("r")), "a")
             .select(F.col("b").alias("doc_id"), "r")
             .join(kept.select("doc_id"), "doc_id", "left_anti")
             .groupBy("doc_id")
@@ -3893,20 +3919,25 @@ def dedup_mis_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id")
         )
 
-    return iterate(
-        state0,
-        step,
-        finalize,
-        max_rounds=MIS_MAX_ROUNDS,
-        # Fused probe: the live-row count rides the same job that
-        # materializes the round checkpoint — one job per round, halving the
-        # fixed checkpoint-then-probe latency that dominates this
-        # shrinking-frontier loop (r7 verdict ask #6).
-        probe=F.coalesce(F.sum(F.when(F.col("status") == "live", 1)), F.lit(0)),
-        probe_converged=lambda prev, cur: cur == 0,
-        no_convergence_error=f"Luby MIS: live vertices remain after {MIS_MAX_ROUNDS} rounds",
-        release=(edges,),
-    )
+    try:
+        return iterate(
+            state0,
+            step,
+            finalize,
+            max_rounds=MIS_MAX_ROUNDS,
+            # Fused probe: the live-row count rides the same job that
+            # materializes the round checkpoint — one job per round, halving
+            # the fixed checkpoint-then-probe latency that dominates this
+            # shrinking-frontier loop (r7 verdict ask #6).
+            probe=F.coalesce(F.sum(F.when(F.col("status") == "live", 1)), F.lit(0)),
+            probe_converged=lambda prev, cur: cur == 0,
+            no_convergence_error=f"Luby MIS: live vertices remain after {MIS_MAX_ROUNDS} rounds",
+        )
+    finally:
+        # Cached (not checkpointed) static frames: unpersist directly —
+        # release_result's id bookkeeping is for localCheckpoint RDDs.
+        edges_by_b.unpersist()
+        edges_by_a.unpersist()
 
 
 # ---------------------------------------------------------------------------
