@@ -1065,15 +1065,7 @@ def pagerank(pairs: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
         pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
     )
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-    # (a, b, deg) reused per round — CACHED pre-partitioned on the round
-    # join key (persist preserves outputPartitioning where localCheckpoint
-    # drops it on this build), so each power iteration exchanges only the
-    # |V|-row rank vector, never the edge set; the message groupBy("b") is
-    # the round's single edge-volume shuffle. Materialized eagerly so the
-    # pair pipeline upstream runs exactly once (measured 13s -> 4s at
-    # sf0.01 when this frame was re-evaluated lazily).
-    width = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    edges = sym.join(deg, "a").repartition(width, "a").persist()
+    edges = local_checkpoint(sym.join(deg, "a"))  # (a, b, deg) reused per round
     n = max(edges.select("a").distinct().count(), 1)
     # Init from the CHECKPOINTED edges, not from deg: deg's lineage reaches
     # back through the whole pair pipeline, and re-evaluating it here would
@@ -1088,21 +1080,17 @@ def pagerank(pairs: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
             .withColumnRenamed("doc2", "doc")
         )
 
-    try:
-        return iterate(
-            rank0,
-            power_step,
-            lambda rank: rank.select("doc", F.round("r", 6).alias("rank")).orderBy("doc"),
-            max_rounds=iters,
-            # Fixed small iteration count: plan depth stays bounded without
-            # per-round checkpoints (the CC loop checkpoints because its
-            # round count is data-dependent).
-            checkpoint_rounds=False,
-        )
-    finally:
-        # Cached, not checkpointed: unpersist directly (release_result's
-        # id bookkeeping is for localCheckpoint RDDs).
-        edges.unpersist()
+    return iterate(
+        rank0,
+        power_step,
+        lambda rank: rank.select("doc", F.round("r", 6).alias("rank")).orderBy("doc"),
+        max_rounds=iters,
+        # Fixed small iteration count: plan depth stays bounded without
+        # per-round checkpoints (the CC loop checkpoints because its round
+        # count is data-dependent).
+        checkpoint_rounds=False,
+        release=(edges,),
+    )
 
 
 @register("dedup_pagerank", DEDUP_PAGERANK_ORACLE, tags=("llm", "dedup", "graph", "iterative"))
@@ -3815,24 +3803,20 @@ def dedup_mis_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionAll(
         pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
     )
-    # TWO cached copies of the symmetric edge set, hash-partitioned on
-    # each per-round join key — the Pregel edge-cut trade (2x edge
-    # storage for zero edge shuffles per round). persist(), NOT
-    # localCheckpoint: a checkpoint's LogicalRDD drops outputPartitioning
-    # (verified on this build — the per-round join re-shuffled the edges
-    # anyway), while InMemoryRelation keeps it, so every round's message
-    # join (on b) and kept-neighbor semi join (on a) exchange ONLY the
-    # tiny live/kept side. The static edge frame never needs lineage
-    # truncation, so cache is also the right storage tool; both copies
-    # unpersist in the finally below.
-    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edges_by_b = sym.repartition(width, "b").persist()
-    edges_by_a = sym.repartition(width, "a").persist()
-    edges_by_a.count()  # materialize both caches before the rounds
-    edges_by_b.count()
+    # One checkpointed symmetric edge set, re-joined per round. A
+    # pre-partitioned persist()ed edge-cut (2 cached copies keyed on each
+    # round join key) was tried in r9 and REVERTED: the cached
+    # partitioning makes Catalyst plan a sort-merge join that SORTS the
+    # full edge set every round, which measured ~2x slower on the quiet
+    # box than letting AQE broadcast the shrinking live frame against the
+    # unsorted checkpoint (5.9s -> 10.7s for the whole operator). At the
+    # 1000-executor scale where the frontier outgrows broadcast, the
+    # right form is a shuffled-hash join over bucketed edge TABLES, not
+    # an in-memory cache — recorded here so the experiment isn't re-run.
+    edges = local_checkpoint(sym)
     release_result(pairs)
     state0 = (
-        edges_by_a.select(F.col("a").alias("v"))
+        edges.select(F.col("a").alias("v"))
         .distinct()
         .select("v", F.lit("live").alias("status"), F.lit(0).alias("round"))
     )
@@ -3866,7 +3850,7 @@ def dedup_mis_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
         # only live vertices contribute an own-row, and only own-rows
         # satisfy mv == v.
         own = live.select(F.col("v"), F.col("p").alias("mp"), F.col("v").alias("mv"))
-        nbr = edges_by_b.join(lb, "b").select(
+        nbr = edges.join(lb, "b").select(
             F.col("a").alias("v"), F.col("pb").alias("mp"), F.col("b").alias("mv")
         )
         kept = (
@@ -3883,7 +3867,7 @@ def dedup_mis_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round were pure latency (the fixed per-round cost dominates this
         # shrinking-frontier loop; r7 verdict ask #6).
         removed = kept.unionAll(
-            edges_by_a.join(kept.select(F.col("v").alias("a")), "a", "left_semi")
+            edges.join(kept.select(F.col("v").alias("a")), "a", "left_semi")
             .select(F.col("b").alias("v"))
         )
         survivors = live.select("v").join(removed, "v", "left_anti")
@@ -3900,7 +3884,7 @@ def dedup_mis_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # Dominated vertices: first round one of their neighbors was kept.
         dom = (
-            edges_by_a.join(kept.select(F.col("doc_id").alias("a"), F.col("r")), "a")
+            edges.join(kept.select(F.col("doc_id").alias("a"), F.col("r")), "a")
             .select(F.col("b").alias("doc_id"), "r")
             .join(kept.select("doc_id"), "doc_id", "left_anti")
             .groupBy("doc_id")
@@ -3919,25 +3903,20 @@ def dedup_mis_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id")
         )
 
-    try:
-        return iterate(
-            state0,
-            step,
-            finalize,
-            max_rounds=MIS_MAX_ROUNDS,
-            # Fused probe: the live-row count rides the same job that
-            # materializes the round checkpoint — one job per round, halving
-            # the fixed checkpoint-then-probe latency that dominates this
-            # shrinking-frontier loop (r7 verdict ask #6).
-            probe=F.coalesce(F.sum(F.when(F.col("status") == "live", 1)), F.lit(0)),
-            probe_converged=lambda prev, cur: cur == 0,
-            no_convergence_error=f"Luby MIS: live vertices remain after {MIS_MAX_ROUNDS} rounds",
-        )
-    finally:
-        # Cached (not checkpointed) static frames: unpersist directly —
-        # release_result's id bookkeeping is for localCheckpoint RDDs.
-        edges_by_b.unpersist()
-        edges_by_a.unpersist()
+    return iterate(
+        state0,
+        step,
+        finalize,
+        max_rounds=MIS_MAX_ROUNDS,
+        # Fused probe: the live-row count rides the same job that
+        # materializes the round checkpoint — one job per round, halving the
+        # fixed checkpoint-then-probe latency that dominates this
+        # shrinking-frontier loop (r7 verdict ask #6).
+        probe=F.coalesce(F.sum(F.when(F.col("status") == "live", 1)), F.lit(0)),
+        probe_converged=lambda prev, cur: cur == 0,
+        no_convergence_error=f"Luby MIS: live vertices remain after {MIS_MAX_ROUNDS} rounds",
+        release=(edges,),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -5069,32 +5048,33 @@ def graph_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             live.select(F.col("b").alias("v"), "key")
         )
         picks = sym.groupBy("v").agg(F.min("key").alias("mk"))
-        # Endpoint voting: an endpoint votes for its min-key edge; an edge
-        # holding BOTH its endpoints' votes is locally minimal on both
-        # sides — the same mka==key AND mkb==key rule as before, but one
-        # vote-count aggregate replaces the two live⋈picks equi-joins
-        # (sym's shuffle on v is shared by picks, votes, and dead_keys via
-        # exchange reuse). An edge's key appears at most twice in sym, so
-        # nv == 2 is exact, and duplicate-free by construction.
-        votes = sym.join(picks, "v").filter(F.col("key") == F.col("mk"))
-        matched_keys = (
-            votes.groupBy("key").agg(F.count(F.lit(1)).alias("nv")).filter(F.col("nv") == 2).select("key")
+        # Two picks joins grade each live edge on both endpoints. An
+        # endpoint-vote-count rewrite (one groupBy over sym's join with
+        # picks) was tried in r9 and reverted: it measured ~1s slower on
+        # the quiet box — the extra key-grain aggregate outweighed the
+        # join it saved on this shrinking edge set.
+        graded = (
+            live.join(
+                picks.withColumnsRenamed({"v": "a", "mk": "mka"}), "a"
+            )
+            .join(picks.withColumnsRenamed({"v": "b", "mk": "mkb"}), "b")
+            .withColumn("newly", (F.col("key") == F.col("mka")) & (F.col("key") == F.col("mkb")))
         )
-        newly = live.join(matched_keys, "key", "left_semi")
-        # Anti-join build side: dead_keys includes the matched edges
-        # themselves plus every live edge touching a matched vertex;
-        # duplicates are harmless to anti semantics, so no distinct.
-        matched_v = newly.select(F.col("a").alias("v")).unionAll(
-            newly.select(F.col("b").alias("v"))
+        # Anti-join build side: duplicates are harmless to anti semantics,
+        # so no distinct — one less shuffle per round on the tiny frame.
+        matched_v = graded.filter("newly").select(F.col("a").alias("v")).unionAll(
+            graded.filter("newly").select(F.col("b").alias("v"))
         )
-        dead_keys = sym.join(matched_v, "v", "left_semi").select("key")
-        still = live.join(dead_keys, "key", "left_anti").select(
-            "a", "b", "key", F.lit("live").alias("status"), F.lit(0).cast("long").alias("rnd")
+        still = (
+            graded.filter(~F.col("newly"))
+            .join(matched_v, graded["a"] == matched_v["v"], "left_anti")
+            .join(matched_v, graded["b"] == matched_v["v"], "left_anti")
+            .select("a", "b", "key", F.lit("live").alias("status"), F.lit(0).cast("long").alias("rnd"))
         )
-        newly_rows = newly.select(
+        newly = graded.filter("newly").select(
             "a", "b", "key", F.lit("matched").alias("status"), F.lit(i + 1).cast("long").alias("rnd")
         )
-        return still.unionByName(newly_rows).unionByName(state.filter(F.col("status") == "matched"))
+        return still.unionByName(newly).unionByName(state.filter(F.col("status") == "matched"))
 
     def finalize(state: DataFrame) -> DataFrame:
         return (

@@ -63,14 +63,14 @@ def test_ivm_merge_is_groups_sized_outer_join(spark, sf_dir):
     assert "HashAggregate" in plan[join_pos:], "merge join is not above the aggregates"
 
 
-def test_mis_round_never_reshuffles_the_edge_set(spark, sf_dir):
-    """The MIS edge-cut claim: with the edge set CACHED pre-partitioned on
-    the join key (persist — a localCheckpoint drops outputPartitioning on
-    this build), a round's message join must not insert an
-    ENSURE_REQUIREMENTS exchange over the edge side — only the tiny live
-    frame may exchange. Probed with broadcast disabled so the shuffle path
-    (the 100 TB shape, where the live frontier is NOT broadcastable) is
-    what's planned."""
+def test_mis_fused_gather_has_single_aggregate(spark, sf_dir):
+    """The shipped Luby gather shape: own (priority, id) pairs ride the
+    neighbor-message union into ONE groupBy-min — no second aggregate and
+    no post-aggregation left join in the kept-set subplan. (The r9
+    persist()ed pre-partitioned edge-cut variant was tried and reverted:
+    cached partitioning forced a per-round SortMergeJoin edge sort that
+    measured ~2x slower than AQE's broadcast of the shrinking live frame —
+    see the operator comment.)"""
     from pyspark.sql import functions as F
 
     from sol_spark.operators.dedup import (
@@ -83,30 +83,32 @@ def test_mis_round_never_reshuffles_the_edge_set(spark, sf_dir):
     ph = dedup_simhash(spark, sf_dir)
     pairs = local_checkpoint(ph.select("doc_a", "doc_b"))
     release_result(ph)
-    sym = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionAll(
-        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
-    )
-    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edges_by_b = sym.repartition(width, "b").persist()
-    edges_by_b.count()
-    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        live = (
-            edges_by_b.select(F.col("a").alias("v")).distinct()
-            .select("v", F.expr(_MIS_PRIO.format(r=1, v="v")).alias("p"))
+    edges = local_checkpoint(
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionAll(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
         )
-        lb = live.select(F.col("v").alias("b"), F.col("p").alias("pb"))
-        nbr = edges_by_b.join(lb, "b")
-        plan = _executed(nbr)
-        # The edge side's only exchange is its cached REPARTITION_BY_NUM
-        # (inside the InMemoryRelation); no planner-inserted
-        # ENSURE_REQUIREMENTS exchange re-shuffles the a/b edge columns
-        # feeding the join's streamed side.
-        # Exactly one ENSURE_REQUIREMENTS exchange may appear: the lb side.
-        all_ensure = [ln for ln in plan.split("\n") if "ENSURE_REQUIREMENTS" in ln]
-        assert len(all_ensure) == 1, f"expected only the live-side exchange, got: {all_ensure}"
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
-        edges_by_b.unpersist()
-        release_result(pairs)
+    )
+    release_result(pairs)
+    live = (
+        edges.select(F.col("a").alias("v")).distinct()
+        .select("v", F.expr(_MIS_PRIO.format(r=1, v="v")).alias("p"))
+    )
+    lb = live.select(F.col("v").alias("b"), F.col("p").alias("pb"))
+    own = live.select(F.col("v"), F.col("p").alias("mp"), F.col("v").alias("mv"))
+    nbr = edges.join(lb, "b").select(
+        F.col("a").alias("v"), F.col("pb").alias("mp"), F.col("b").alias("mv")
+    )
+    kept = (
+        own.unionAll(nbr)
+        .groupBy("v")
+        .agg(F.min(F.struct(F.col("mp"), F.col("mv"))).alias("mn"))
+        .filter(F.col("mn.mv") == F.col("v"))
+        .select("v")
+    )
+    plan = kept._jdf.queryExecution().optimizedPlan().toString()
+    # The pre-fusion shape left-joined live against the neighbor-min
+    # aggregate; the fused shape has no outer join anywhere — the own-pair
+    # union subsumes the null case.
+    assert "LeftOuter" not in plan, "fused gather must not need a left join"
+    assert "min(" in plan
+    release_result(edges)
