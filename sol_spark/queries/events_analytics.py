@@ -5599,3 +5599,138 @@ def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6("b_post").alias("mean_b_post"),
         _r6("(b_post - b_pre) - (a_post - a_pre)").alias("did_effect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution: split each purchase's revenue across the user's
+# preceding touch events under first/last/linear models — exact integer
+# cents, largest-remainder linear split.
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOW_DAYS = 7
+
+ATTRIBUTION_ORACLE = f"""
+WITH touches AS (
+  SELECT user_id, event_id, ts,
+         CASE event_id % 4 WHEN 0 THEN 'organic' WHEN 1 THEN 'paid'
+                           WHEN 2 THEN 'email' ELSE 'social' END AS channel
+  FROM events WHERE event_type = 'view'
+),
+conv AS (
+  SELECT event_id AS conv_id, user_id, ts AS conv_ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+paths AS (
+  SELECT c.conv_id, c.cents, t.channel,
+         row_number() OVER (PARTITION BY c.conv_id ORDER BY t.ts, t.event_id) AS rn,
+         count(*) OVER (PARTITION BY c.conv_id) AS k
+  FROM conv c JOIN touches t
+    ON t.user_id = c.user_id
+   AND t.ts <= c.conv_ts
+   AND t.ts > c.conv_ts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+),
+attributed AS (
+  SELECT channel,
+         CASE WHEN rn = 1 THEN cents ELSE 0 END AS first_cents,
+         CASE WHEN rn = k THEN cents ELSE 0 END AS last_cents,
+         cents // k + CASE WHEN rn <= cents % k THEN 1 ELSE 0 END AS linear_cents,
+         CASE WHEN rn = 1 THEN 1 ELSE 0 END AS conv_touch
+  FROM paths
+),
+unmatched AS (
+  SELECT 'untouched' AS channel,
+         sum(cents)::BIGINT AS first_cents, sum(cents)::BIGINT AS last_cents,
+         sum(cents)::BIGINT AS linear_cents, count(*)::BIGINT AS conversions
+  FROM conv WHERE conv_id NOT IN (SELECT conv_id FROM paths)
+)
+SELECT channel,
+       sum(first_cents)::BIGINT AS first_touch_cents,
+       sum(last_cents)::BIGINT AS last_touch_cents,
+       sum(linear_cents)::BIGINT AS linear_cents,
+       sum(conv_touch)::BIGINT AS conversions
+FROM attributed GROUP BY channel
+UNION ALL
+SELECT channel, first_cents, last_cents, linear_cents, conversions
+FROM unmatched WHERE conversions > 0
+ORDER BY channel
+"""
+
+
+@register("events_attribution", ATTRIBUTION_ORACLE, tags=("events", "attribution", "join"))
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch revenue attribution: each purchase's cents split across
+    the user's view-touches in the preceding {ATTR_WINDOW_DAYS} days under
+    the three standard models — first-touch (all to the earliest), last-
+    touch (all to the latest), and linear (equal split, with the
+    remainder cents assigned to the EARLIEST touches by the
+    largest-remainder rule, so every model conserves revenue EXACTLY:
+    sum(linear) == sum(first) == sum(last) == attributed cents, an
+    integer identity no float split can give). Touch channels derive from
+    the event id (the fixture has no channel column); purchases with no
+    touch in the window land in an explicit 'untouched' row — attribution
+    that silently drops unmatched revenue is the classic dashboard lie.
+
+    Scale shape: a ts-banded equi-join on user_id (the per-user touch
+    history is bounded by the window), one window pass per conversion
+    path keyed by conversion id, and a channel-cardinality hash-agg. The
+    anti-join for unmatched conversions reuses the path frame's
+    conversion ids. Ordering ties break on (ts, event_id) — a total key,
+    per the window-determinism discipline."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    touches = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("t_eid"),
+        F.col("ts").alias("t_ts"),
+        F.expr(
+            "CASE pmod(event_id, 4) WHEN 0 THEN 'organic' WHEN 1 THEN 'paid'"
+            " WHEN 2 THEN 'email' ELSE 'social' END"
+        ).alias("channel"),
+    )
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    paths = conv.join(
+        touches,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_ts") <= F.col("conv_ts"))
+        & (F.col("t_ts") > F.col("conv_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAY")),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("conv_id")
+    graded = paths.select(
+        "conv_id",
+        "cents",
+        "channel",
+        F.row_number().over(w.orderBy("t_ts", "t_eid")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    )
+    attributed = graded.groupBy("channel").agg(
+        F.sum(F.when(F.col("rn") == 1, F.col("cents")).otherwise(0)).alias("first_touch_cents"),
+        F.sum(F.when(F.col("rn") == F.col("k"), F.col("cents")).otherwise(0)).alias("last_touch_cents"),
+        F.sum(
+            F.expr("cents div k") + F.when(F.col("rn") <= F.col("cents") % F.col("k"), 1).otherwise(0)
+        ).alias("linear_cents"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("conversions"),
+    )
+    unmatched = (
+        conv.join(graded.select("conv_id"), "conv_id", "left_anti")
+        .agg(
+            F.sum("cents").alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .select(
+            F.lit("untouched").alias("channel"),
+            F.col("c").alias("first_touch_cents"),
+            F.col("c").alias("last_touch_cents"),
+            F.col("c").alias("linear_cents"),
+            F.col("n").alias("conversions"),
+        )
+    )
+    return attributed.unionByName(unmatched).orderBy("channel")

@@ -41,3 +41,31 @@ def test_bloom_incremental_sketch_is_bounded(spark, sf_dir):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_attribution_conserves_revenue_exactly(spark, sf_dir):
+    """Every attribution model must conserve total purchase revenue to
+    the cent — the integer identity the largest-remainder linear split
+    exists for (a float split leaks cents)."""
+    from pyspark.sql import functions as F
+
+    from sol_spark.queries.events_analytics import events_attribution
+    from sol_spark.tables import load_tables
+
+    out = events_attribution(spark, sf_dir).agg(
+        F.sum("first_touch_cents").alias("f"),
+        F.sum("last_touch_cents").alias("l"),
+        F.sum("linear_cents").alias("lin"),
+        F.sum("conversions").alias("n"),
+    ).first()
+    total = (
+        load_tables(spark, sf_dir)["events"]
+        .where(F.col("event_type") == "purchase")
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .first()
+    )
+    assert out["f"] == out["l"] == out["lin"] == total["c"]
+    assert out["n"] == total["n"]
