@@ -5734,3 +5734,108 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return attributed.unionByName(unmatched).orderBy("channel")
+
+
+# ---------------------------------------------------------------------------
+# Discrete-time churn hazard curve: per lifetime-week, who is still at
+# risk and who churns — the life-table form whose ratios stay exact
+# integer ppm (no survival-product float chain).
+# ---------------------------------------------------------------------------
+
+HAZARD_CHURN_GAP_DAYS = 7  # inactive for the final week of the horizon = churned
+
+HAZARD_ORACLE = f"""
+WITH horizon AS (SELECT max(ts) AS h FROM events),
+users AS (
+  SELECT user_id, min(ts) AS signup, max(ts) AS last_seen
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+lifetimes AS (
+  SELECT user_id,
+         CAST(date_diff('day', signup, last_seen) // 3 AS BIGINT) AS period,
+         CASE WHEN last_seen < h - INTERVAL {HAZARD_CHURN_GAP_DAYS} DAY
+              THEN 1 ELSE 0 END AS churned
+  FROM users CROSS JOIN horizon
+),
+per_period AS (
+  SELECT period, count(*)::BIGINT AS ending,
+         sum(churned)::BIGINT AS churn_events,
+         (count(*) - sum(churned))::BIGINT AS censored
+  FROM lifetimes GROUP BY period
+),
+curve AS (
+  SELECT period, churn_events, censored,
+         sum(ending) OVER (ORDER BY period DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS at_risk
+  FROM per_period
+)
+SELECT period, at_risk, churn_events, censored,
+       (1000000 * churn_events) // at_risk AS hazard_ppm
+FROM curve
+ORDER BY period
+"""
+
+
+@register("events_hazard_curve", HAZARD_ORACLE, tags=("events", "stats", "retention"))
+def events_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time churn hazard (life-table) curve over PURCHASE
+    activity: each buyer's lifetime in 3-day periods from first to last
+    purchase; a buyer with no purchase in the final
+    {HAZARD_CHURN_GAP_DAYS} days of the horizon churned at their last
+    period, anyone still buying near the horizon is CENSORED (their
+    lifetime contributes to at-risk counts but not to churn events — the
+    distinction naive churn rates get wrong). Per week: at_risk (users
+    whose lifetime reaches the week — a reverse cumulative sum over the
+    bounded week frame), churn events, censored exits, and the hazard as
+    exact integer ppm. Deliberately the HAZARD table, not the survival
+    curve: S(t) = prod(1 - h_w) is a float product chain whose
+    cross-engine accumulation is unstable, while every life-table column
+    here is a BIGINT ratio (the verify discipline: threshold/ratio paths
+    never ride floats).
+
+    Scale shape: one per-user hash-agg over the fact, a |weeks|-row frame
+    (bounded by calendar, not users) with one declared bounded window
+    (non-foldable constant partition key), and the 1-row horizon
+    broadcast-crossed."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    horizon = ev.agg(F.max("ts").alias("h"))
+    users = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup"), F.max("ts").alias("last_seen"))
+    )
+    lifetimes = users.crossJoin(F.broadcast(horizon)).select(
+        F.expr("CAST(datediff(last_seen, signup) div 3 AS BIGINT)").alias("period"),
+        F.expr(
+            f"CASE WHEN last_seen < h - INTERVAL {HAZARD_CHURN_GAP_DAYS} DAY THEN 1 ELSE 0 END"
+        ).alias("churned"),
+    )
+    per_period = lifetimes.groupBy("period").agg(
+        F.count(F.lit(1)).alias("ending"),
+        F.sum("churned").alias("churn_events"),
+        (F.count(F.lit(1)) - F.sum("churned")).alias("censored"),
+    )
+    # Bounded reverse-cumulative window over the |periods| frame — single
+    # partition ON PURPOSE, declared via the non-foldable constant key.
+    w = W.partitionBy(F.pmod(F.col("period"), F.lit(1))).orderBy(F.desc("period")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        per_period.select(
+            "period",
+            "churn_events",
+            "censored",
+            F.sum("ending").over(w).alias("at_risk"),
+        )
+        .select(
+            "period",
+            "at_risk",
+            "churn_events",
+            "censored",
+            F.expr("(1000000 * churn_events) div at_risk").alias("hazard_ppm"),
+        )
+        .orderBy("period")
+    )
