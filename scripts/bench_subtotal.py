@@ -13,15 +13,36 @@ import sys
 
 
 def _parsed(path: str) -> dict:
-    raw = json.load(open(path))
-    if "queries" in raw:
+    with open(path) as fh:
+        raw = json.load(fh)
+
+    def _valid(obj: object) -> bool:
+        return (
+            isinstance(obj, dict)
+            and isinstance(obj.get("queries"), dict)
+            and isinstance(obj.get("value"), (int, float))
+        )
+
+    if _valid(raw):
         return raw
-    if "parsed" in raw and isinstance(raw["parsed"], dict):
+    if _valid(raw.get("parsed")) if isinstance(raw, dict) else False:
         return raw["parsed"]
-    for v in raw.values():
-        if isinstance(v, str) and '"metric"' in v:
-            return json.loads([l for l in v.split("\n") if '"metric"' in l][-1])
-    raise SystemExit(f"no bench JSON line found in {path}")
+    if isinstance(raw, dict):
+        # Driver-wrapped shape: the bench JSON line embedded in a stdout blob.
+        for v in raw.values():
+            if isinstance(v, str) and '"metric"' in v:
+                for line in reversed(v.split("\n")):
+                    if '"metric"' not in line:
+                        continue
+                    try:
+                        cand = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    if _valid(cand):
+                        return cand
+    raise SystemExit(
+        f"{path}: no bench JSON with 'queries' dict + numeric 'value' found"
+    )
 
 
 def main() -> None:

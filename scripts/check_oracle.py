@@ -35,13 +35,18 @@ def main() -> int:
     if vanilla:
         from pyspark.sql import SparkSession
 
-        if SparkSession.getActiveSession() is not None:
+        # getActiveSession() is thread-local; a session created on another
+        # thread (registered only process-wide) would still be reused by
+        # getOrCreate() — check the process-wide slot too (pyspark has no
+        # public getDefaultSession; _instantiatedSession is that slot).
+        default = getattr(SparkSession, "_instantiatedSession", None)
+        if SparkSession.getActiveSession() is not None or default is not None:
             # getOrCreate() would silently return the pre-existing
             # (solspark-configured) session, defeating the plain-session
             # driver simulation — fail loud instead.
             raise RuntimeError(
                 "--vanilla requires a fresh process: a SparkSession is "
-                "already active and getOrCreate() would reuse its config"
+                "already active/default and getOrCreate() would reuse its config"
             )
         spark = SparkSession.builder.master("local[8]").getOrCreate()
     else:

@@ -51,6 +51,23 @@ run_stage() {
   echo "--- $line"
 }
 
+# Artifact-tracking stage (r9 verdict ask #2, fifth consecutive round of
+# untracked round artifacts): the gate FAILS if any driver artifact
+# (CORRECTNESS_r*.json / BENCH_r*.json) sits untracked in the work tree —
+# they must be `git add`ed before the round can stamp green.
+check_artifacts_tracked() {
+  local untracked
+  untracked=$(git status --short -- 'CORRECTNESS_r*.json' 'BENCH_r*.json' | grep '^??' || true)
+  if [ -n "$untracked" ]; then
+    echo "untracked round artifacts (git add them):"
+    echo "$untracked"
+    return 1
+  fi
+  echo "all CORRECTNESS_r*/BENCH_r* artifacts tracked"
+  return 0
+}
+run_stage artifacts_tracked check_artifacts_tracked
+
 run_stage sweep_strict_sf0.001 python scripts/check_oracle.py --strict /root/testdata/sf0.001
 if [ "$FAST" = 0 ]; then
   run_stage sweep_strict_sf0.01 python scripts/check_oracle.py --strict /root/testdata/sf0.01

@@ -5737,9 +5737,9 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Discrete-time churn hazard curve: per lifetime-week, who is still at
-# risk and who churns — the life-table form whose ratios stay exact
-# integer ppm (no survival-product float chain).
+# Discrete-time churn hazard curve: per 3-day lifetime period, who is
+# still at risk and who churns — the life-table form whose ratios stay
+# exact integer ppm (no survival-product float chain).
 # ---------------------------------------------------------------------------
 
 HAZARD_CHURN_GAP_DAYS = 7  # inactive for the final week of the horizon = churned
@@ -5784,10 +5784,12 @@ def events_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     {HAZARD_CHURN_GAP_DAYS} days of the horizon churned at their last
     period, anyone still buying near the horizon is CENSORED (their
     lifetime contributes to at-risk counts but not to churn events — the
-    distinction naive churn rates get wrong). Per week: at_risk (users
-    whose lifetime reaches the week — a reverse cumulative sum over the
-    bounded week frame), churn events, censored exits, and the hazard as
-    exact integer ppm. Deliberately the HAZARD table, not the survival
+    distinction naive churn rates get wrong). Per 3-day period (datediff
+    div 3 — finer than the {HAZARD_CHURN_GAP_DAYS}-day churn gap so the
+    curve has resolution inside a gap): at_risk (users whose lifetime
+    reaches the period — a reverse cumulative sum over the bounded period
+    frame), churn events, censored exits, and the hazard as exact integer
+    ppm. Deliberately the HAZARD table, not the survival
     curve: S(t) = prod(1 - h_w) is a float product chain whose
     cross-engine accumulation is unstable, while every life-table column
     here is a BIGINT ratio (the verify discipline: threshold/ratio paths

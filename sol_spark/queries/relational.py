@@ -4799,16 +4799,24 @@ weighted AS (
   -- cross-stratum sum: sqrt of the staged-double variance is IEEE-exact
   -- in both engines, and integer sums are order-free where float sums
   -- are not (the unrolled_dot ordering rule, sidestepped entirely).
+  -- Degenerate-strata guard (same CASE on the Spark side): a 1-row
+  -- stratum has no sample variance (n - 1 = 0 divides differently per
+  -- engine: DuckDB inf/NaN vs Spark NULL) -> weight 0 by definition.
   SELECT stratum, n,
-         CAST(floor(n * sqrt((s2 - s1 / n * s1) / (n - 1.0)) + 0.5) AS BIGINT) AS w
+         CASE WHEN n > 1
+              THEN CAST(floor(n * sqrt((s2 - s1 / n * s1) / (n - 1.0)) + 0.5) AS BIGINT)
+              ELSE 0 END AS w
   FROM strata
 ),
 tot AS (SELECT sum(w)::BIGINT AS tw, count(*)::BIGINT AS k FROM weighted),
 base AS (
+  -- tw = 0 (every stratum degenerate) divides differently per engine
+  -- (DuckDB raises, Spark NULLs); emit zero rows explicitly instead.
   SELECT stratum, n, w,
          ({NEYMAN_BUDGET} * w) // tw AS floor_alloc,
          ({NEYMAN_BUDGET} * w) % tw AS rem
   FROM weighted CROSS JOIN tot
+  WHERE tw > 0
 ),
 ranked AS (
   SELECT *, row_number() OVER (ORDER BY rem DESC, stratum) AS rr,
@@ -4855,16 +4863,22 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stratum",
         "n",
         F.expr(
-            "CAST(floor(n * sqrt((s2 - s1 / n * s1) / (n - 1.0)) + 0.5) AS BIGINT)"
+            "CASE WHEN n > 1"
+            " THEN CAST(floor(n * sqrt((s2 - s1 / n * s1) / (n - 1.0)) + 0.5) AS BIGINT)"
+            " ELSE 0 END"
         ).alias("w"),
     )
     tot = weighted.agg(F.sum("w").alias("tw"))
-    base = weighted.crossJoin(F.broadcast(tot)).select(
-        "stratum",
-        "n",
-        "w",
-        F.expr(f"({NEYMAN_BUDGET} * w) div tw").alias("floor_alloc"),
-        F.expr(f"({NEYMAN_BUDGET} * w) % tw").alias("rem"),
+    base = (
+        weighted.crossJoin(F.broadcast(tot))
+        .where(F.col("tw") > 0)
+        .select(
+            "stratum",
+            "n",
+            "w",
+            F.expr(f"({NEYMAN_BUDGET} * w) div tw").alias("floor_alloc"),
+            F.expr(f"({NEYMAN_BUDGET} * w) % tw").alias("rem"),
+        )
     )
     w_all = W.partitionBy(F.pmod(F.col("floor_alloc"), F.lit(1)))
     ranked = base.select(

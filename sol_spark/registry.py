@@ -189,9 +189,10 @@ _R9_WINDOW: tuple[str, ...] = (
     "ssb_q3_1", "ssb_q3_2", "ssb_q3_3", "ssb_q3_4", "ssb_q4_1",
 )
 
-# Tier-1 head (round 9): the r4-backlog tail that _R9_WINDOW's 50-slot
-# budget cannot hold — pinned so the r7 tail-orphan failure mode can't
-# recur at r9. _R9_WINDOW (48) + _R10_HEAD (2) exactly fill the budget.
+# Tier-0 head (round 10): the r4-backlog tail that _R9_WINDOW's 50-name
+# budget could not hold — pinned so the r7 tail-orphan failure mode can't
+# recur. _R9_WINDOW held 50 names and CORRECTNESS_r09.json sampled exactly
+# those 50, so these two roll to the front of round 10.
 _R10_HEAD: tuple[str, ...] = (
     "ssb_q4_2", "ssb_q4_3",
 )
@@ -200,6 +201,12 @@ _R10_HEAD: tuple[str, ...] = (
 # _R8_WINDOW) came back exact-hash green, so both pins fold into the
 # driver-verified set and _R9_WINDOW rotates to the front for round 9.
 _DRIVER_VERIFIED = _DRIVER_VERIFIED | frozenset(_R8_T0) | frozenset(_R8_WINDOW)
+
+# CORRECTNESS_r09.json: all 50 rows (the full 50-name _R9_WINDOW — the r4
+# backlog: early-wave TPC-DS + SSB q1–q4_1 + the two dq_* names trimmed
+# from _R8_WINDOW) came back exact-hash green, so the window folds into the
+# driver-verified set and _R10_HEAD + _R10_WINDOW rotate to the front.
+_DRIVER_VERIFIED = _DRIVER_VERIFIED | frozenset(_R9_WINDOW)
 
 # Round-10 driver window (tier 2), pinned at round-9 time (round-8 verdict
 # ask #5) so session turnover can't scramble registration order: the first
@@ -230,10 +237,35 @@ _R10_WINDOW: tuple[str, ...] = (
     "text_span_removal", "text_ccnet_buckets",
 )
 
-# Tier-3 head (round 10): the _R10_WINDOW tail the 50-slot budget cannot
-# hold — same orphan insurance as _R10_HEAD was for round 9.
+# Tier-2 head (round 11): the _R10_WINDOW tail the 50-slot budget cannot
+# hold — same orphan insurance as _R10_HEAD was for round 10.
 _R11_HEAD: tuple[str, ...] = (
     "text_tokenizer_fertility", "text_bm25_topk",
+)
+
+# Round-11 driver window (tier 3), pinned at round-10 time (round-9 verdict
+# ask #6) so session turnover can't scramble registration order: the next
+# 48 never-driver-sampled names in registration order once _R10_HEAD +
+# _R10_WINDOW clear. All strict-green locally at three SFs.
+_R11_WINDOW: tuple[str, ...] = (
+    "dedup_bloom_incremental", "warehouse_ivm_agg", "dq_benford_audit",
+    "text_keyphrase_rake", "text_feature_hashing", "text_lm_trigram_backoff",
+    "text_doremi_mix", "sample_curriculum", "text_split_leakage",
+    "text_oov_rate", "text_boilerplate_lines", "text_code_switching",
+    "text_heaps_law", "text_length_gate_adaptive", "pipeline_token_budget",
+    "stats_cohens_kappa", "stats_mcnemar", "text_gibberish_score",
+    "text_license_flags", "text_group_split", "text_fasttext_quality",
+    "text_split_vocab_drift", "text_packing_ab", "stats_bootstrap_ci",
+    "warehouse_rf_refresh", "warehouse_incremental_agg",
+    "warehouse_gdpr_erasure", "orders_abc_classification",
+    "sketch_quantile_hist", "sample_balanced_classes",
+    "orders_fulfillment_lag", "stats_anova_oneway", "sample_neyman",
+    "sketch_kmv_intersection", "sketch_bloom_prefilter",
+    "orders_backlog_snapshot", "aqp_groupby_ci", "stats_bradley_terry",
+    "stats_cramers_v", "profile_ndv_estimate", "stats_auc_mannwhitney",
+    "stats_join_size_estimate", "stats_calibration_brier",
+    "stats_spearman_corr", "sketch_kmv_union_diff", "stats_wilson_ci",
+    "stats_woe_iv", "stats_permutation_test",
 )
 
 
@@ -242,13 +274,12 @@ def all_queries() -> dict[str, QuerySpec]:
 
     Ordering note: the driver's correctness harness verifies queries in
     dict order under a fixed ~50-query budget, so the returned dict is
-    explicitly tiered: (0) the pinned round-9 window — the r4 backlog whose
-    CORRECTNESS artifact was never delivered (48 names); (1) the pinned
-    r10 head (2 names, so tiers 0+1 exactly fill the budget); (2) the
-    pinned round-10 window; (3) the pinned r11 head, then every other name
-    not in ``_DRIVER_VERIFIED`` in registration order (new queries land
-    here automatically), queued for round 11+; (4) the driver-green
-    remainder.
+    explicitly tiered: (0) the pinned r10 head (2 names — the SSB tail the
+    r9 budget cut); (1) the pinned round-10 window (48 names, so tiers 0+1
+    exactly fill the budget); (2) the pinned r11 head; (3) the pinned
+    round-11 window; (4) every other name not in ``_DRIVER_VERIFIED`` in
+    registration order (new queries land here automatically), queued for
+    round 12+; (5) the driver-green remainder.
     """
     # Imports are deferred so `import sol_spark` stays cheap.
     from sol_spark.operators import dedup, geo, governance, layout, multimodal, similarity, skew, text  # noqa: F401
@@ -262,20 +293,20 @@ def all_queries() -> dict[str, QuerySpec]:
         pandas_ops,
     )
 
-    r9_rank = {name: i for i, name in enumerate(_R9_WINDOW)}
     r10h_rank = {name: i for i, name in enumerate(_R10_HEAD)}
     r10_rank = {name: i for i, name in enumerate(_R10_WINDOW)}
     r11h_rank = {name: i for i, name in enumerate(_R11_HEAD)}
+    r11_rank = {name: i for i, name in enumerate(_R11_WINDOW)}
 
     def tier(name: str) -> tuple[int, int]:
-        if name in r9_rank:
-            return (0, r9_rank[name])
         if name in r10h_rank:
-            return (1, r10h_rank[name])
+            return (0, r10h_rank[name])
         if name in r10_rank:
-            return (2, r10_rank[name])
+            return (1, r10_rank[name])
         if name in r11h_rank:
-            return (3, r11h_rank[name])
+            return (2, r11h_rank[name])
+        if name in r11_rank:
+            return (3, r11_rank[name])
         if name not in _DRIVER_VERIFIED:
             return (4, 0)
         return (5, 0)
