@@ -5023,9 +5023,11 @@ def graph_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     may overlap vertices.
 
     Scale shape: runs on dedup_pairs_capped's bounded-degree LINEAR graph;
-    each round is one per-vertex min hash-agg over the symmetric live
-    edges (map-side combinable) + two equi-joins + two anti-joins,
-    through the shared iterate() loop (fused Observation probe, per-round
+    each round is one per-vertex argmin hash-agg over the symmetric live
+    edges (map-side combinable, carrying the full edge identity in the
+    min-struct) + one vertex-sized count-agg that yields the matched set
+    with no join back to the edges + two anti-joins, through the shared
+    iterate() loop (fused Observation probe, per-round
     checkpoint/release). Static priorities still guarantee progress
     (the global minimum edge always matches); {MATCH_MAX_ROUNDS} rounds
     raise fail-loud if the cap is ever hit, and the oracle unrolls the
@@ -5044,34 +5046,44 @@ def graph_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def step(state: DataFrame, i: int) -> DataFrame:
         live = state.filter(F.col("status") == "live").select("a", "b", "key")
-        sym = live.select(F.col("a").alias("v"), "key").unionAll(
-            live.select(F.col("b").alias("v"), "key")
+        sym = live.select(F.col("a").alias("v"), "a", "b", "key").unionAll(
+            live.select(F.col("b").alias("v"), "a", "b", "key")
         )
-        picks = sym.groupBy("v").agg(F.min("key").alias("mk"))
-        # Two picks joins grade each live edge on both endpoints. An
-        # endpoint-vote-count rewrite (one groupBy over sym's join with
-        # picks) was tried in r9 and reverted: it measured ~1s slower on
-        # the quiet box — the extra key-grain aggregate outweighed the
-        # join it saved on this shrinking edge set.
-        graded = (
-            live.join(
-                picks.withColumnsRenamed({"v": "a", "mk": "mka"}), "a"
+        # Fused gather (the MIS dedup trick, r9 verdict ask #3): the
+        # per-vertex min-aggregate carries the FULL edge identity
+        # (min(struct(key, a, b)) — key is the edge's globally-unique
+        # total-order string, so a/b never influence the order), and the
+        # matched set falls straight out of a second aggregate over the
+        # |V|-row picks frame: an edge is matched iff it is the argmin at
+        # BOTH endpoints, i.e. appears exactly twice. This grades edges
+        # with ZERO joins back to the live set — the r9 endpoint-vote
+        # rewrite (reverted, ~1s slower) was a different shape: it KEPT
+        # the picks join and aggregated the full 2|E|-row joined frame,
+        # where this aggregates the |V|-row argmin output.
+        picks = sym.groupBy("v").agg(
+            F.min(F.struct(F.col("key"), F.col("a"), F.col("b"))).alias("mn")
+        )
+        matched = (
+            picks.groupBy(
+                F.col("mn.a").alias("a"), F.col("mn.b").alias("b"), F.col("mn.key").alias("key")
             )
-            .join(picks.withColumnsRenamed({"v": "b", "mk": "mkb"}), "b")
-            .withColumn("newly", (F.col("key") == F.col("mka")) & (F.col("key") == F.col("mkb")))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") == 2)
+            .select("a", "b", "key")
         )
         # Anti-join build side: duplicates are harmless to anti semantics,
         # so no distinct — one less shuffle per round on the tiny frame.
-        matched_v = graded.filter("newly").select(F.col("a").alias("v")).unionAll(
-            graded.filter("newly").select(F.col("b").alias("v"))
+        matched_v = matched.select(F.col("a").alias("v")).unionAll(
+            matched.select(F.col("b").alias("v"))
         )
+        # Matched edges remove themselves here too (their endpoints are in
+        # matched_v), so live needs no separate not-matched filter.
         still = (
-            graded.filter(~F.col("newly"))
-            .join(matched_v, graded["a"] == matched_v["v"], "left_anti")
-            .join(matched_v, graded["b"] == matched_v["v"], "left_anti")
+            live.join(matched_v, live["a"] == matched_v["v"], "left_anti")
+            .join(matched_v, live["b"] == matched_v["v"], "left_anti")
             .select("a", "b", "key", F.lit("live").alias("status"), F.lit(0).cast("long").alias("rnd"))
         )
-        newly = graded.filter("newly").select(
+        newly = matched.select(
             "a", "b", "key", F.lit("matched").alias("status"), F.lit(i + 1).cast("long").alias("rnd")
         )
         return still.unionByName(newly).unionByName(state.filter(F.col("status") == "matched"))
