@@ -3813,6 +3813,17 @@ def dedup_mis_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1000-executor scale where the frontier outgrows broadcast, the
     # right form is a shuffled-hash join over bucketed edge TABLES, not
     # an in-memory cache — recorded here so the experiment isn't re-run.
+    #
+    # r10 floor measurement (closing the r7 "MIS <= 5 s quiet" ask as
+    # bounded-by-runtime): warm sf0.1 profile = feeder pairs ~1.9 s +
+    # edges ckpt ~0.1 s + 5 rounds x 0.55-0.85 s + finalize/write ~1.4 s.
+    # The probe is already fused into the checkpoint job (Observation, one
+    # job/round); the per-round residue is AQE query-stage scheduling of
+    # the round's shuffles, invariant to data volume. Coalescing the round
+    # state before checkpoint (widths 1/4/8, interleaved A/B x4) measured
+    # within box noise of baseline — partition count is not the lever.
+    # Going lower needs fewer ROUNDS (algorithmic) or a cheaper feeder
+    # (shared with every simhash consumer), not loop mechanics.
     edges = local_checkpoint(sym)
     release_result(pairs)
     state0 = (

@@ -3207,6 +3207,76 @@ ORDER BY ym, o_orderpriority
 """
 
 
+def ivm_orders_frame(orders: DataFrame) -> DataFrame:
+    """Shared IVM fixture shaping: (o_orderkey, ym, o_orderpriority, cents,
+    slot). Module-level so the streaming twin replays the IDENTICAL
+    synthetic changelog (sol_spark/streaming/pipelines.py)."""
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    return orders.select(
+        "o_orderkey",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym"),
+        "o_orderpriority",
+        cents.alias("cents"),
+        (F.col("o_orderkey") % 10).alias("slot"),
+    )
+
+
+def ivm_base_agg(o: DataFrame) -> DataFrame:
+    """Yesterday's materialized view over :func:`ivm_orders_frame` rows:
+    the snapshot excludes post-snapshot inserts (slots 8, 9) but still
+    contains the rows the changelog will delete (7) or update (6)."""
+    return (
+        o.filter(F.col("slot") < 8)
+        .groupBy("ym", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("rev"))
+    )
+
+
+def ivm_changelog(o: DataFrame) -> DataFrame:
+    """The synthetic CDC changelog as signed delta rows over
+    :func:`ivm_orders_frame`: insert(+), delete(-), update(-old, +new with
+    the integer +5% reprice). Carries o_orderkey so a stream replay can
+    range-split it into deterministic micro-batch files."""
+    ins = o.filter(F.col("slot").isin(8, 9)).select(
+        "o_orderkey", "ym", "o_orderpriority", F.lit(1).alias("dn"), F.col("cents").alias("drev")
+    )
+    dels = o.filter(F.col("slot") == 7).select(
+        "o_orderkey", "ym", "o_orderpriority", F.lit(-1).alias("dn"), (-F.col("cents")).alias("drev")
+    )
+    upd_old = o.filter(F.col("slot") == 6).select(
+        "o_orderkey", "ym", "o_orderpriority", F.lit(-1).alias("dn"), (-F.col("cents")).alias("drev")
+    )
+    upd_new = o.filter(F.col("slot") == 6).select(
+        "o_orderkey",
+        "ym",
+        "o_orderpriority",
+        F.lit(1).alias("dn"),
+        (F.col("cents") + F.expr("cents div 20")).alias("drev"),
+    )
+    return ins.unionByName(dels).unionByName(upd_old).unionByName(upd_new)
+
+
+def ivm_merge(snapshot: DataFrame, deltas: DataFrame) -> DataFrame:
+    """The groups-sized IVM merge: aggregate the delta rows to the view
+    grain, full-outer join against the snapshot agg, add the signed sums,
+    drop groups whose count reaches zero — exactly what a recompute would
+    produce. The fact is never rescanned; this runs per micro-batch in the
+    streaming twin and once in the batch operator."""
+    delta_agg = deltas.groupBy("ym", "o_orderpriority").agg(
+        F.sum("dn").alias("dn"), F.sum("drev").alias("drev")
+    )
+    return (
+        snapshot.join(delta_agg, ["ym", "o_orderpriority"], "full_outer")
+        .select(
+            "ym",
+            "o_orderpriority",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+            (F.coalesce("rev", F.lit(0)) + F.coalesce("drev", F.lit(0))).alias("rev"),
+        )
+        .filter(F.col("n") > 0)
+    )
+
+
 @register("warehouse_ivm_agg", IVM_AGG_ORACLE, tags=("warehouse", "cdc", "incremental"))
 def warehouse_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance of a (month, priority) revenue
@@ -3233,54 +3303,14 @@ def warehouse_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver can verify it; a production run reads it from the table
     the previous run wrote.)"""
     t = load_tables(spark, sf_dir)
-    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
-    orders = t["orders"].select(
-        "o_orderkey",
-        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym"),
-        "o_orderpriority",
-        cents.alias("cents"),
-        (F.col("o_orderkey") % 10).alias("slot"),
-    )
-    # Yesterday's materialized view: the snapshot excludes post-snapshot
-    # inserts (slots 8, 9) but still contains the rows the changelog will
-    # delete (7) or update (6).
-    base_agg = (
-        orders.filter(F.col("slot") < 8)
-        .groupBy("ym", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("rev"))
-    )
-    # Changelog as signed delta rows: insert(+), delete(-), update(-old,+new).
-    ins = orders.filter(F.col("slot").isin(8, 9)).select(
-        "ym", "o_orderpriority", F.lit(1).alias("dn"), F.col("cents").alias("drev")
-    )
-    dels = orders.filter(F.col("slot") == 7).select(
-        "ym", "o_orderpriority", F.lit(-1).alias("dn"), (-F.col("cents")).alias("drev")
-    )
-    upd_old = orders.filter(F.col("slot") == 6).select(
-        "ym", "o_orderpriority", F.lit(-1).alias("dn"), (-F.col("cents")).alias("drev")
-    )
-    upd_new = orders.filter(F.col("slot") == 6).select(
+    orders = ivm_orders_frame(t["orders"])
+    merged = ivm_merge(ivm_base_agg(orders), ivm_changelog(orders))
+    return merged.select(
         "ym",
         "o_orderpriority",
-        F.lit(1).alias("dn"),
-        (F.col("cents") + F.expr("cents div 20")).alias("drev"),
-    )
-    delta_agg = (
-        ins.unionByName(dels).unionByName(upd_old).unionByName(upd_new)
-        .groupBy("ym", "o_orderpriority")
-        .agg(F.sum("dn").alias("dn"), F.sum("drev").alias("drev"))
-    )
-    return (
-        base_agg.join(delta_agg, ["ym", "o_orderpriority"], "full_outer")
-        .select(
-            "ym",
-            "o_orderpriority",
-            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n_orders"),
-            (F.coalesce("rev", F.lit(0)) + F.coalesce("drev", F.lit(0))).alias("revenue_cents"),
-        )
-        .filter(F.col("n_orders") > 0)
-        .orderBy("ym", "o_orderpriority")
-    )
+        F.col("n").alias("n_orders"),
+        F.col("rev").alias("revenue_cents"),
+    ).orderBy("ym", "o_orderpriority")
 
 
 # ---------------------------------------------------------------------------
