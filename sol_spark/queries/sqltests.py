@@ -1,0 +1,568 @@
+"""Edge-case batteries mined from the reference's sql-tests golden corpus
+(`/root/reference/sql/core/src/test/resources/sql-tests/inputs/` — the
+reference's #1 test strategy, SURVEY §5; harness
+`sql/core/src/test/scala/org/apache/spark/sql/SQLQueryTestSuite.scala:98`).
+
+Each registered query re-derives ONE input file's checks as a single
+labeled UNION ALL battery (the fn_* family shape) so the driver's
+exact-hash compare pins every edge at once. Negative cases the golden
+.out files record as AnalysisException land in
+tests/test_r10_sqltests.py instead — a value-hash can't carry an error.
+
+Typing discipline: every output column is explicitly CAST on BOTH sides
+(Spark's VALUES infers int32 and SUM widens to int64; DuckDB's SUM widens
+to HUGEINT, which Arrow renders as object — uncast batteries hash-diverge
+on class even when values agree).
+
+Files covered here: null-handling.sql + null-propagation.sql (one
+battery — propagation is the count(null) tail of the same table),
+group-analytics.sql, cross-join.sql, limit.sql,
+typeCoercion/native/division.sql, and order-by-nulls-ordering.sql (its
+WINDOWED checks — NULLS placement changes bounded-frame sums, which IS
+value-hashable; the plain ORDER-BY-placement checks are output-order
+only and live in tests/test_r10_sqltests.py). Files/rows NOT mined, with
+reasons: the DDL/metadata files (describe*, show*, change-column —
+catalog surface, covered by tests/test_sources.py managed-table tests);
+grouping__id legacy-Hive alias (removed upstream); decimal
+division/precision rows (DecimalType outputs banned corpus-wide — typed
+pins in tests/test_r10_sqltests.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sol_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# null-handling.sql + null-propagation.sql
+# ---------------------------------------------------------------------------
+
+# The reference's crafted 7-row relation: b, c range over {0, 1, NULL} in
+# the combinations that distinguish 2-valued from 3-valued logic.
+_T1_SPARK = (
+    "SELECT * FROM VALUES (1,0,0),(2,0,1),(3,1,0),(4,1,1),"
+    "(5,CAST(NULL AS INT),0),(6,CAST(NULL AS INT),1),"
+    "(7,CAST(NULL AS INT),CAST(NULL AS INT)) AS t1(a, b, c)"
+)
+_T1_DUCK = (
+    "SELECT * FROM (VALUES (1,0,0),(2,0,1),(3,1,0),(4,1,1),"
+    "(5,NULL,0),(6,NULL,1),(7,NULL,NULL)) t1(a, b, c)"
+)
+
+
+def _null_handling_sql(t1: str, bigint: str) -> str:
+    """The battery body, shared verbatim by both dialects: only the VALUES
+    table spelling and the BIGINT cast spelling differ. Each SELECT is one
+    check from the reference file, labeled, with the reference's a+N
+    disambiguator carried as k."""
+    b = bigint  # e.g. "BIGINT" both dialects; parameterized for clarity
+
+    def row(check: str, k: str, vi: str, vd: str = "NULL", src: str = "t1") -> str:
+        return (
+            f"SELECT '{check}' AS check_name, CAST({k} AS {b}) AS k,"
+            f" CAST({vi} AS {b}) AS vi, CAST({vd} AS DOUBLE) AS vd FROM {src}"
+        )
+
+    checks = [
+        # Adding/multiplying null
+        row("add_null", "a", "b + c"),
+        row("mul_zero", "a + 10", "b * 0"),
+        # nulls are NOT distinct in SELECT DISTINCT / UNION
+        "SELECT 'distinct_b' AS check_name, CAST(NULL AS {b}) AS k,"
+        " CAST(b AS {b}) AS vi, CAST(NULL AS DOUBLE) AS vd"
+        " FROM (SELECT DISTINCT b FROM t1) d".format(b=b),
+        "SELECT 'union_b' AS check_name, CAST(NULL AS {b}) AS k,"
+        " CAST(b AS {b}) AS vi, CAST(NULL AS DOUBLE) AS vd"
+        " FROM (SELECT b FROM t1 UNION SELECT b FROM t1) u".format(b=b),
+        # CASE with null comparisons (CASE WHEN null THEN .. ELSE 0 is 0)
+        row("case_b_when_c", "a + 20", "CASE b WHEN c THEN 1 ELSE 0 END"),
+        row("case_c_when_b", "a + 30", "CASE c WHEN b THEN 1 ELSE 0 END"),
+        row("case_ne", "a + 40", "CASE WHEN b <> 0 THEN 1 ELSE 0 END"),
+        row("case_not_ne", "a + 50", "CASE WHEN NOT b <> 0 THEN 1 ELSE 0 END"),
+        row("case_and", "a + 60", "CASE WHEN b <> 0 AND c <> 0 THEN 1 ELSE 0 END"),
+        # "not (null AND false)" is true
+        row("case_not_and", "a + 70", "CASE WHEN NOT (b <> 0 AND c <> 0) THEN 1 ELSE 0 END"),
+        # "null OR true" is true
+        row("case_or", "a + 80", "CASE WHEN b <> 0 OR c <> 0 THEN 1 ELSE 0 END"),
+        row("case_not_or", "a + 90", "CASE WHEN NOT (b <> 0 OR c <> 0) THEN 1 ELSE 0 END"),
+        # null with aggregate operators (avg is the one double: 2/4 = 0.5)
+        row("agg_count_star", "NULL", "count(*)"),
+        row("agg_count_b", "NULL", "count(b)"),
+        row("agg_sum_b", "NULL", "sum(b)"),
+        row("agg_min_b", "NULL", "min(b)"),
+        row("agg_max_b", "NULL", "max(b)"),
+        row("agg_avg_b", "NULL", "NULL", vd="avg(b)"),
+        # NULLs in WHERE clauses (rows that survive; vi=1 is a marker)
+        row("where_lt", "a + 100", "1", src="t1 WHERE b < 10"),
+        row("where_not_gt", "a + 110", "1", src="t1 WHERE NOT b > 10"),
+        row("where_or", "a + 120", "1", src="t1 WHERE b < 10 OR c = 1"),
+        row("where_and", "a + 130", "1", src="t1 WHERE b < 10 AND c = 1"),
+        row("where_not_and", "a + 140", "1", src="t1 WHERE NOT (b < 10 AND c = 1)"),
+        row("where_not_and2", "a + 150", "1", src="t1 WHERE NOT (c = 1 AND b < 10)"),
+        # null-propagation.sql: count(null) is 0, plain and windowed
+        row("count_null", "NULL", "count(NULL)", src="v3"),
+        row("count_null_expr", "NULL", "count(1 + NULL)", src="v3"),
+        row("win_count_null", "x", "count(NULL) OVER ()", src="v3"),
+        row("win_count_null_expr", "x", "count(1 + NULL) OVER ()", src="v3"),
+    ]
+    return "\nUNION ALL\n".join(checks)
+
+
+NULL_HANDLING_ORACLE = f"""
+WITH t1 AS ({_T1_DUCK}),
+v3 AS (SELECT * FROM (VALUES (1),(2),(3)) v(x))
+{_null_handling_sql(_T1_DUCK, "BIGINT")}
+ORDER BY check_name, k, vi
+"""
+
+
+@register("sqltests_null_handling", NULL_HANDLING_ORACLE, tags=("sqltests", "functions"))
+def sqltests_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic battery from the reference's null-handling.sql +
+    null-propagation.sql goldens (sql-tests/inputs/null-handling.sql:1-48,
+    null-propagation.sql:1-9): null arithmetic propagation, NULL equality
+    inside CASE (falls to ELSE), De Morgan over unknowns (NOT(null AND
+    false) = true, null OR true = true), nulls collapsing in
+    DISTINCT/UNION, aggregates skipping nulls (count(b)=4, avg(b)=0.5),
+    WHERE treating unknown as false (and NOT(unknown) too — the a+140/150
+    rows keep ONLY b-null rows where c<>1 makes the conjunct false), and
+    count(NULL) = 0 plain and windowed. The crafted 7-row relation is the
+    reference's own: b, c cover {{0,1,NULL}} combinations that distinguish
+    2-valued from 3-valued logic.
+
+    Scale shape: a constant-size LocalRelation battery — semantics fence,
+    not a throughput query; zero fixture I/O by design."""
+    body = _null_handling_sql(_T1_SPARK, "BIGINT")
+    return spark.sql(
+        f"WITH t1 AS ({_T1_SPARK}),\n"
+        "v3 AS (SELECT * FROM VALUES (1),(2),(3) AS v(x))\n"
+        f"{body}\nORDER BY check_name, k, vi"
+    )
+
+
+# ---------------------------------------------------------------------------
+# group-analytics.sql
+# ---------------------------------------------------------------------------
+
+_CS_SPARK = (
+    "SELECT * FROM VALUES ('dotNET', 2012, 10000), ('Java', 2012, 20000),"
+    " ('dotNET', 2012, 5000), ('dotNET', 2013, 48000), ('Java', 2013, 30000)"
+    " AS courseSales(course, year, earnings)"
+)
+_CS_DUCK = (
+    "SELECT * FROM (VALUES ('dotNET', 2012, 10000), ('Java', 2012, 20000),"
+    " ('dotNET', 2012, 5000), ('dotNET', 2013, 48000), ('Java', 2013, 30000))"
+    " courseSales(course, year, earnings)"
+)
+_TD_SPARK = (
+    "SELECT * FROM VALUES (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2)"
+    " AS testData(a, b)"
+)
+_TD_DUCK = (
+    "SELECT * FROM (VALUES (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2))"
+    " testData(a, b)"
+)
+
+
+def _group_analytics_sql(vc: str, gid: str = "GROUPING_ID", spark: bool = True) -> str:
+    """Battery body shared by both dialects up to the string-type spelling
+    (``vc``: STRING for Spark, VARCHAR for DuckDB; Spark's `GROUP BY x
+    WITH CUBE` sugar is spelled as the portable GROUP BY CUBE(x) — the
+    sugar itself is pinned equal to the portable spelling in
+    tests/test_r10_sqltests.py). Columns: s1=course, k1=year/a+b, k2=b,
+    g=packed grouping flags (grouping(course)*10 + grouping(year), or -1
+    where the check has none), v=the aggregate."""
+
+    def row(check: str, s1: str, k1: str, k2: str, g: str, v: str, tail: str) -> str:
+        return (
+            f"SELECT '{check}' AS check_name, CAST({s1} AS {vc}) AS s1,"
+            f" CAST({k1} AS BIGINT) AS k1, CAST({k2} AS BIGINT) AS k2,"
+            f" CAST({g} AS BIGINT) AS g, CAST({v} AS BIGINT) AS v {tail}"
+        )
+
+    return "\nUNION ALL\n".join(
+        [
+            # CUBE/ROLLUP on overlapping expression columns (a+b vs b)
+            row("cube_expr", "NULL", "a + b", "b", "-1", "SUM(a - b)",
+                "FROM testData GROUP BY CUBE(a + b, b)"),
+            row("rollup_expr", "NULL", "a + b", "b", "-1", "SUM(a - b)",
+                "FROM testData GROUP BY ROLLUP(a + b, b)"),
+            # CUBE/ROLLUP where the aggregate input is a grouping column
+            row("cube_overlap", "NULL", "a", "b", "-1", "SUM(b)",
+                "FROM testData GROUP BY CUBE(a, b)"),
+            row("rollup_overlap", "NULL", "a", "b", "-1", "SUM(b)",
+                "FROM testData GROUP BY ROLLUP(a, b)"),
+            # courseSales ROLLUP / CUBE
+            row("rollup_cs", "course", "year", "NULL", "-1", "SUM(earnings)",
+                "FROM courseSales GROUP BY ROLLUP(course, year)"),
+            row("cube_cs", "course", "year", "NULL", "-1", "SUM(earnings)",
+                "FROM courseSales GROUP BY CUBE(course, year)"),
+            # GROUPING SETS including the partial-sets forms
+            row("gsets_both", "course", "year", "NULL", "-1", "SUM(earnings)",
+                "FROM courseSales GROUP BY GROUPING SETS ((course), (year))"),
+            # The reference's partial-set forms `GROUP BY course, year
+            # GROUPING SETS(course)`: columns OUTSIDE the set are selected
+            # and NULLed. Spark keeps the legacy declared-columns syntax;
+            # DuckDB has no spelling for it, so its oracle states the
+            # equivalent plain GROUP BY with the NULLed column literal.
+            row("gsets_course", "course", "year", "NULL", "-1", "SUM(earnings)",
+                "FROM courseSales GROUP BY course, year GROUPING SETS(course)")
+            if spark
+            else row("gsets_course", "course", "NULL", "NULL", "-1", "SUM(earnings)",
+                     "FROM courseSales GROUP BY course"),
+            row("gsets_year", "course", "year", "NULL", "-1", "SUM(earnings)",
+                "FROM courseSales GROUP BY course, year GROUPING SETS(year)")
+            if spark
+            else row("gsets_year", "NULL", "year", "NULL", "-1", "SUM(earnings)",
+                     "FROM courseSales GROUP BY year"),
+            # aggregate input is itself a grouping-set column
+            row("gsets_agg_overlap", "course", "NULL", "NULL", "-1", "SUM(earnings)",
+                "FROM courseSales GROUP BY GROUPING SETS ((), (course), (course, earnings))"),
+            # GROUPING / multi-arg GROUPING_ID flags over CUBE
+            row("grouping_flags", "course", "year",
+                "NULL", "GROUPING(course) * 10 + GROUPING(year)", "SUM(earnings)",
+                "FROM courseSales GROUP BY CUBE(course, year)"),
+            # Multi-arg grouping id: Spark spells it GROUPING_ID(c, y),
+            # DuckDB spells the same bitmask GROUPING(c, y).
+            row("grouping_id", "course", "year", "NULL", f"{gid}(course, year)",
+                "SUM(earnings)", "FROM courseSales GROUP BY CUBE(course, year)"),
+            # GROUPING in HAVING: keep only year-aggregated, non-base rows.
+            # The HAVING sits on the inner (unaliased) aggregate — Spark
+            # resolves GROUPING() against grouping columns, not output
+            # aliases, so the labeled cast happens one level out.
+            f"SELECT 'grouping_having' AS check_name, CAST(course AS {vc}) AS s1,"
+            " CAST(year AS BIGINT) AS k1, CAST(NULL AS BIGINT) AS k2,"
+            " CAST(-1 AS BIGINT) AS g, CAST(NULL AS BIGINT) AS v FROM ("
+            "SELECT course, year FROM courseSales GROUP BY CUBE(course, year)"
+            f" HAVING GROUPING(year) = 1 AND {gid}(course, year) > 0) hv",
+        ]
+    )
+
+
+GROUP_ANALYTICS_ORACLE = f"""
+WITH courseSales AS ({_CS_DUCK}),
+testData AS ({_TD_DUCK})
+{_group_analytics_sql("VARCHAR", gid="GROUPING", spark=False)}
+ORDER BY check_name, s1, k1, k2, g, v
+"""
+
+
+@register("sqltests_group_analytics", GROUP_ANALYTICS_ORACLE, tags=("sqltests", "agg"))
+def sqltests_group_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-analytics battery from the reference's group-analytics.sql
+    golden (sql-tests/inputs/group-analytics.sql:1-62): CUBE/ROLLUP over
+    an EXPRESSION key (a+b) alongside one of its inputs, CUBE/ROLLUP where
+    the aggregated column is itself a grouping column (SUM(b) GROUP BY
+    CUBE(a, b) — the subtotal rows sum b while also keying on it),
+    partial GROUPING SETS (only (course): year is NULL in every row),
+    grouping sets containing the aggregate's input, GROUPING flags and
+    multi-arg GROUPING_ID over CUBE, and GROUPING() in HAVING. Spark's
+    `GROUP BY ... WITH CUBE` sugar and SELECT-alias resolution inside
+    CUBE(k1, k2) are pinned equal to the portable spellings in
+    tests/test_r10_sqltests.py (DuckDB has no WITH CUBE, so the battery
+    itself uses the portable form in both engines).
+
+    Scale shape: constant-size LocalRelation battery — an ExpandExec
+    semantics fence (each grouping set replicates input rows with a
+    grouping id; the fixture-scale ExpandExec cost shape is gs_* / q27)."""
+    body = _group_analytics_sql("STRING")
+    return spark.sql(
+        f"WITH courseSales AS ({_CS_SPARK}),\ntestData AS ({_TD_SPARK})\n"
+        f"{body}\nORDER BY check_name, s1, k1, k2, g, v"
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-join.sql
+# ---------------------------------------------------------------------------
+
+_NT1_SPARK = "SELECT * FROM VALUES ('one', 1), ('two', 2), ('three', 3) AS nt1(k, v1)"
+_NT2_SPARK = "SELECT * FROM VALUES ('one', 1), ('two', 22), ('one', 5) AS nt2(k, v2)"
+_NT1_DUCK = "SELECT * FROM (VALUES ('one', 1), ('two', 2), ('three', 3)) nt1(k, v1)"
+_NT2_DUCK = "SELECT * FROM (VALUES ('one', 1), ('two', 22), ('one', 5)) nt2(k, v2)"
+
+
+def _cross_join_sql(hint: str, vc: str) -> str:
+    """Battery body; ``hint`` injects Spark's BROADCAST hint (placed
+    immediately after SELECT, the only legal position) on the two
+    genuinely-cartesian checks (empty for DuckDB) so the physical plan is
+    BroadcastNestedLoopJoin, never CartesianProduct — the corpus-wide
+    hygiene gate's contract (sole exemption cross_join_dims). ``vc`` is
+    the string-type spelling (STRING Spark / VARCHAR DuckDB)."""
+    cj = "CROSS JOIN" if hint else "JOIN"
+
+    cols4 = (
+        f"CAST(nt1.k AS {vc}) AS k1, CAST(v1 AS BIGINT) AS v1,"
+        f" CAST(nt2.k AS {vc}) AS k2, CAST(v2 AS BIGINT) AS v2"
+    )
+
+    def row(check: str, h: str, tail: str) -> str:
+        return f"SELECT {h}'{check}' AS check_name, {cols4} {tail}"
+
+    return "\nUNION ALL\n".join(
+        [
+            # Pure cartesian: 3 x 3 = 9 rows
+            row("plain", hint, "FROM nt1 CROSS JOIN nt2"),
+            # Cross join + WHERE / ON equi-predicate (Catalyst re-plans as
+            # an equi-join; semantics must equal INNER JOIN)
+            row("pred_where", "", "FROM nt1 CROSS JOIN nt2 WHERE nt1.k = nt2.k"),
+            # DuckDB's parser rejects CROSS JOIN ... ON; its oracle spells
+            # the same plan INNER JOIN (what Catalyst rewrites it to).
+            row("pred_on", "", f"FROM nt1 {cj} nt2 ON (nt1.k = nt2.k)"),
+            row("pred_const", "", "FROM nt1 CROSS JOIN nt2 WHERE nt1.v1 = 1 AND nt2.v2 = 22"),
+            # Cartesian of two filtered subqueries (1 x 1 after filters)
+            f"SELECT {hint.replace('nt2', 'b')}'subquery' AS check_name, CAST(a.key AS {vc}) AS k1,"
+            " CAST(NULL AS BIGINT) AS v1, CAST(b.key AS " + vc + ") AS k2,"
+            " CAST(NULL AS BIGINT) AS v2"
+            " FROM (SELECT k AS key FROM nt1 WHERE v1 < 2) a"
+            " CROSS JOIN (SELECT k AS key FROM nt2 WHERE v2 = 22) b",
+            # Join reordering around an explicit cross join:
+            # ((A join B on a=b) cross join C) join D on (a=d)
+            f"SELECT 'reorder' AS check_name, CAST(A.a AS {vc}) AS k1,"
+            " CAST(A.va AS BIGINT) AS v1, CAST(C.c AS " + vc + ") AS k2,"
+            " CAST(D.vd AS BIGINT) AS v2"
+            " FROM ((A JOIN B ON (a = b)) CROSS JOIN C) JOIN D ON (a = d)",
+            # Cross join with a non-equal (theta) predicate
+            row("theta", hint, f"FROM nt1 {cj} nt2 ON (nt1.k > nt2.k)"),
+        ]
+    )
+
+
+CROSS_JOIN_ORACLE = f"""
+WITH nt1 AS ({_NT1_DUCK}),
+nt2 AS ({_NT2_DUCK}),
+A(a, va) AS (SELECT * FROM nt1),
+B(b, vb) AS (SELECT * FROM nt1),
+C(c, vc) AS (SELECT * FROM nt1),
+D(d, vd) AS (SELECT * FROM nt1)
+{_cross_join_sql("", "VARCHAR")}
+ORDER BY check_name, k1, v1, k2, v2
+"""
+
+
+@register("sqltests_cross_join", CROSS_JOIN_ORACLE, tags=("sqltests", "join"))
+def sqltests_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-join battery from the reference's cross-join.sql golden
+    (sql-tests/inputs/cross-join.sql:1-36): the pure 3x3 cartesian, CROSS
+    JOIN with WHERE/ON equi-predicates (must equal INNER JOIN — Catalyst
+    re-plans them), constant predicates on both sides, a cartesian of two
+    filtered subqueries, join REORDERING around an explicit cross join
+    (((A join B) cross C) join D on a=d — the optimizer may push D's
+    equi-join below the cross), and a theta (k > k) cross join on string
+    keys. The two genuinely-cartesian checks carry a BROADCAST hint so
+    their physical join is BroadcastNestedLoopJoin — the plan-hygiene
+    gate's no-CartesianProduct contract holds corpus-wide (sole exemption
+    cross_join_dims), which is also the 100 TB answer: a cartesian whose
+    build side doesn't broadcast should not run.
+
+    Scale shape: constant-size LocalRelation battery (semantics fence)."""
+    body = _cross_join_sql("/*+ BROADCAST(nt2) */ ", "STRING")
+    return spark.sql(
+        f"WITH nt1 AS ({_NT1_SPARK}),\nnt2 AS ({_NT2_SPARK}),\n"
+        "A AS (SELECT k AS a, v1 AS va FROM nt1),\n"
+        "B AS (SELECT k AS b, v1 AS vb FROM nt1),\n"
+        "C AS (SELECT k AS c, v1 AS vc FROM nt1),\n"
+        "D AS (SELECT k AS d, v1 AS vd FROM nt1)\n"
+        f"{body}\nORDER BY check_name, k1, v1, k2, v2"
+    )
+
+
+# ---------------------------------------------------------------------------
+# limit.sql
+# ---------------------------------------------------------------------------
+
+LIMIT_ORACLE = """
+WITH l2 AS (SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey LIMIT 2),
+lfold AS (SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey LIMIT 2 + 1),
+lcast AS (SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey LIMIT CAST(1 AS INT)),
+lsub AS (SELECT id FROM (SELECT range AS id FROM range(10) ORDER BY 1 LIMIT 5) q WHERE id > 3),
+lall AS (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 3)
+SELECT 'limit2' AS check_name, CAST(n_nationkey AS BIGINT) AS k, n_name AS s FROM l2
+UNION ALL
+SELECT 'limit_fold', CAST(n_nationkey AS BIGINT), n_name FROM lfold
+UNION ALL
+SELECT 'limit_cast', CAST(n_nationkey AS BIGINT), n_name FROM lcast
+UNION ALL
+SELECT 'subq_limit', CAST(id AS BIGINT), NULL FROM lsub
+UNION ALL
+SELECT 'limit_all', CAST(n_nationkey AS BIGINT), n_name FROM lall
+ORDER BY check_name, k
+"""
+
+
+@register("sqltests_limit", LIMIT_ORACLE, tags=("sqltests", "limit"))
+def sqltests_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT battery from the reference's limit.sql golden
+    (sql-tests/inputs/limit.sql:1-27), made deterministic: the golden
+    file's single-partition VALUES tables make bare LIMIT stable, but over
+    a distributed fixture a bare LIMIT is nondeterministic, so every check
+    pairs LIMIT with ORDER BY (semantics preserved — what's pinned is the
+    foldable-expression forms). Checks: plain LIMIT 2, a foldable
+    non-literal LIMIT 2+1, LIMIT CAST(1 AS INT), LIMIT inside a subquery
+    with an outer filter (range(10) LIMIT 5 then id > 3 — exactly one
+    row), and LIMIT ALL as a no-op (spelled as its no-LIMIT equivalent in
+    the oracle). The golden file's negative checks (LIMIT -1, non-foldable
+    LIMIT key > 3, LIMIT true, LIMIT 'a', TABLESAMPLE(-1 ROWS)) raise
+    AnalysisException — pinned in tests/test_r10_sqltests.py.
+
+    Scale shape: ORDER BY + LIMIT plans as TakeOrderedAndProject (per-
+    partition top-k then a driver merge — no global sort; pinned for the
+    corpus in tests/test_plans.py)."""
+    from sol_spark.tables import load_tables
+
+    load_tables(spark, sf_dir)["nation"].createOrReplaceTempView("sqlt_nation")
+    return spark.sql(
+        """
+WITH l2 AS (SELECT n_nationkey, n_name FROM sqlt_nation ORDER BY n_nationkey LIMIT 2),
+lfold AS (SELECT n_nationkey, n_name FROM sqlt_nation ORDER BY n_nationkey LIMIT 2 + 1),
+lcast AS (SELECT n_nationkey, n_name FROM sqlt_nation ORDER BY n_nationkey LIMIT CAST(1 AS INT)),
+lsub AS (SELECT id FROM (SELECT id FROM range(10) ORDER BY id LIMIT 5) q WHERE id > 3),
+lall AS (SELECT n_nationkey, n_name FROM sqlt_nation WHERE n_nationkey < 3 LIMIT ALL)
+SELECT 'limit2' AS check_name, CAST(n_nationkey AS BIGINT) AS k, n_name AS s FROM l2
+UNION ALL
+SELECT 'limit_fold', CAST(n_nationkey AS BIGINT), n_name FROM lfold
+UNION ALL
+SELECT 'limit_cast', CAST(n_nationkey AS BIGINT), n_name FROM lcast
+UNION ALL
+SELECT 'subq_limit', CAST(id AS BIGINT), NULL FROM lsub
+UNION ALL
+SELECT 'limit_all', CAST(n_nationkey AS BIGINT), n_name FROM lall
+ORDER BY check_name, k
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# typeCoercion/native/division.sql
+# ---------------------------------------------------------------------------
+
+_DIV_TYPES = ["TINYINT", "SMALLINT", "INT", "BIGINT", "FLOAT", "DOUBLE"]
+
+
+def _division_sql(duck: bool) -> str:
+    """The legal cells of the reference's division coercion grid: every
+    numeric x numeric division yields DOUBLE in Spark (value 1.0 on the
+    1/1 grid), plus string-operand cells where Spark implicitly casts the
+    string to DOUBLE. DuckDB types the grid differently (TINYINT is not a
+    DuckDB cast target pre-1.0 spelling; VARCHAR division raises), so the
+    oracle computes the numeric cells with its own casts and pins the
+    string cells as literals — the golden .out file IS such a pinned
+    expectation. Illegal cells (binary/boolean/timestamp/date operands)
+    raise AnalysisException and are pinned in tests/test_r10_sqltests.py."""
+    rows = []
+    for lt in _DIV_TYPES:
+        for rt in _DIV_TYPES:
+            label = f"{lt.lower()}/{rt.lower()}"
+            lcast = f"CAST(1 AS {lt})"
+            rcast = f"CAST(2 AS {rt})"
+            expr = f"CAST({lcast} / {rcast} AS DOUBLE)"
+            rows.append(f"SELECT '{label}' AS check_name, {expr} AS vd")
+    # String-operand cells are NOT in this battery: the reference's golden
+    # (implicit string -> double) predates ANSI mode, and under a vanilla
+    # ANSI-on session (the driver's plain-session probe) string division
+    # is an analysis error — the oracle battery must analyze identically
+    # under both sessions. Pinned per-mode in tests/test_r10_sqltests.py.
+    # The integral-division operator keeps integer typing (Spark `div`,
+    # DuckDB `//`) — the one division spelling that does NOT widen.
+    if duck:
+        rows.append("SELECT 'int_div_int' AS check_name, CAST(7 // 2 AS DOUBLE) AS vd")
+    else:
+        rows.append("SELECT 'int_div_int' AS check_name, CAST(7 div 2 AS DOUBLE) AS vd")
+    return "\nUNION ALL\n".join(rows)
+
+
+DIVISION_ORACLE = f"""
+{_division_sql(duck=True)}
+ORDER BY check_name
+"""
+
+
+@register("sqltests_division_coercion", DIVISION_ORACLE, tags=("sqltests", "functions"))
+def sqltests_division_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Division type-coercion grid from the reference's
+    typeCoercion/native/division.sql golden: every numeric x numeric `/`
+    yields DOUBLE (the 6x6 grid of
+    tinyint/smallint/int/bigint/float/double at 1/2 = 0.5 — int/int
+    division does NOT truncate in Spark), and the integral `div` operator
+    is the one spelling that keeps integer semantics (7 div 2 = 3).
+    String-operand cells are pinned in tests/test_r10_sqltests.py instead
+    (implicit string->double is legacy-mode behavior; under ANSI — the
+    vanilla-session default — they are analysis errors, so including them
+    would make the battery session-dependent). Decimal rows of the
+    reference grid are excluded: DecimalType output columns are banned
+    corpus-wide (the Arrow decimal->double conversion diverges from the
+    oracle's double — see the plan-hygiene gate), and their coercion
+    behavior is pinned in tests/test_r10_sqltests.py instead. Illegal
+    cells (boolean/binary/timestamp/date operands) raise
+    AnalysisException — also pinned there.
+
+    Scale shape: constant-size literal battery (semantics fence)."""
+    return spark.sql(f"{_division_sql(duck=False)}\nORDER BY check_name")
+
+
+# ---------------------------------------------------------------------------
+# order-by-nulls-ordering.sql
+# ---------------------------------------------------------------------------
+
+_NO_SPARK = (
+    "SELECT * FROM VALUES (6, 12, 10), (6, 11, 4), (6, 9, 10), (6, 15, 8),"
+    " (6, 15, 8), (6, 7, 4), (6, 7, 8), (6, 13, CAST(NULL AS INT)),"
+    " (6, 10, CAST(NULL AS INT)) AS spark_10747(col1, col2, col3)"
+)
+_NO_DUCK = (
+    "SELECT * FROM (VALUES (6, 12, 10), (6, 11, 4), (6, 9, 10), (6, 15, 8),"
+    " (6, 15, 8), (6, 7, 4), (6, 7, 8), (6, 13, NULL),"
+    " (6, 10, NULL)) spark_10747(col1, col2, col3)"
+)
+
+
+def _nulls_ordering_sql() -> str:
+    """The four WINDOWED checks of the reference file (Q3-Q6): the NULLS
+    FIRST/LAST placement inside the window ORDER BY changes which rows
+    fall in each ROWS 2-preceding/2-following frame, so sum_col2 values —
+    not just row order — pin the placement. (Q7/Q8, plain ORDER BY
+    placement, are pure output order, which the driver's row-sorted hash
+    cannot see — pinned in tests/test_r10_sqltests.py instead.)"""
+    rows = []
+    for check, direction in [
+        ("desc_nulls_last", "desc NULLS LAST"),
+        ("desc_nulls_first", "desc NULLS FIRST"),
+        ("asc_nulls_last", "asc NULLS LAST"),
+        ("asc_nulls_first", "asc NULLS FIRST"),
+    ]:
+        rows.append(
+            f"SELECT '{check}' AS check_name, CAST(col2 AS BIGINT) AS col2,"
+            " CAST(col3 AS BIGINT) AS col3, CAST(sum(col2) OVER (PARTITION BY col1"
+            f" ORDER BY col3 {direction}, col2"
+            " ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) AS sum_col2"
+            " FROM spark_10747 WHERE col1 = 6"
+        )
+    return "\nUNION ALL\n".join(rows)
+
+
+NULLS_ORDERING_ORACLE = f"""
+WITH spark_10747 AS ({_NO_DUCK})
+{_nulls_ordering_sql()}
+ORDER BY check_name, col2, col3, sum_col2
+"""
+
+
+@register("sqltests_nulls_ordering", NULLS_ORDERING_ORACLE, tags=("sqltests", "window"))
+def sqltests_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULLS FIRST/LAST battery from the reference's
+    order-by-nulls-ordering.sql golden (the SPARK-10747 regression table):
+    the placement clause inside a WINDOW's ORDER BY decides which rows sit
+    in each bounded ROWS frame, so the frame SUMS differ per placement —
+    a value-level pin of null ordering, not an output-order artifact
+    (plain ORDER BY placement, which the row-sorted hash can't see, is
+    pinned in tests/test_r10_sqltests.py). All four direction x placement
+    combinations run over the reference's own 9-row table with its
+    duplicate (15, 8) row and two NULL col3 rows.
+
+    Scale shape: constant-size LocalRelation battery; the window's
+    PARTITION BY col1 is the reference's own shape (bounded ROWS frame)."""
+    return spark.sql(
+        f"WITH spark_10747 AS ({_NO_SPARK})\n"
+        f"{_nulls_ordering_sql()}\nORDER BY check_name, col2, col3, sum_col2"
+    )

@@ -1,0 +1,193 @@
+"""Golden pins mined from the reference's sql-tests corpus that a
+value-hash oracle CANNOT carry: negative cases the reference's .out files
+record as errors, Spark-dialect sugar equivalences, output-order-only
+semantics, and decimal typing (DecimalType outputs are banned from
+registered queries corpus-wide). Companion to the oracle-paired
+sqltests_* batteries in sol_spark/queries/sqltests.py.
+
+Reference inputs: sql-tests/inputs/limit.sql,
+typeCoercion/native/division.sql, group-analytics.sql,
+order-by-nulls-ordering.sql, tablesample-negative.sql."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.errors import AnalysisException, ParseException
+
+from sol_spark.queries.sqltests import _CS_SPARK, _NO_SPARK, _TD_SPARK
+
+
+def _sql(spark, q):
+    return spark.sql(q)
+
+
+# --- limit.sql negative checks -------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "SELECT * FROM range(5) LIMIT -1",  # must be non-negative
+        "SELECT * FROM range(5) LIMIT id > 3",  # must be foldable
+        "SELECT * FROM range(5) LIMIT true",  # must be integer
+        "SELECT * FROM range(5) LIMIT 'a'",
+    ],
+)
+def test_limit_negative_cases_raise(spark, bad):
+    """limit.sql: LIMIT must be a non-negative foldable integer — each
+    violation is an AnalysisException, exactly what the golden .out
+    records."""
+    with pytest.raises(AnalysisException):
+        _sql(spark, bad).collect()
+
+
+def test_tablesample_negative_rows_raises(spark):
+    """tablesample-negative.sql: TABLESAMPLE (-1 ROWS) is rejected at
+    parse/analysis time."""
+    with pytest.raises((AnalysisException, ParseException)):
+        _sql(spark, "SELECT * FROM range(5) TABLESAMPLE (-1 ROWS)").collect()
+
+
+# --- typeCoercion/native/division.sql: illegal cells + decimal typing -----
+
+
+@pytest.mark.parametrize(
+    "lhs",
+    [
+        "CAST(1 AS BOOLEAN)",
+        "CAST('1' AS BINARY)",
+        "CAST('2017-12-11 09:30:00.0' AS TIMESTAMP)",
+        "CAST('2017-12-11' AS DATE)",
+    ],
+)
+def test_division_illegal_operand_raises(spark, lhs):
+    """division.sql: boolean/binary/timestamp/date operands do not coerce
+    to a divisible type — AnalysisException, matching the golden."""
+    with pytest.raises(AnalysisException):
+        _sql(spark, f"SELECT {lhs} / CAST(1 AS INT)").collect()
+
+
+def test_division_decimal_keeps_decimal_type(spark):
+    """division.sql decimal rows (excluded from the oracle battery because
+    DecimalType output columns are banned corpus-wide): decimal/decimal
+    division STAYS decimal — Spark's one division that does not widen to
+    double — and decimal/integral also yields decimal."""
+    row = _sql(
+        spark,
+        "SELECT CAST(1 AS DECIMAL(10, 0)) / CAST(2 AS DECIMAL(10, 0)) AS a,"
+        " CAST(1 AS DECIMAL(10, 0)) / CAST(2 AS INT) AS b",
+    )
+    types = dict(row.dtypes)
+    assert types["a"].startswith("decimal"), types
+    assert types["b"].startswith("decimal"), types
+    got = row.collect()[0]
+    assert float(got["a"]) == 0.5 and float(got["b"]) == 0.5
+
+
+def test_division_string_operands_mode_dependent(spark):
+    """division.sql string cells: under the engine profile (ANSI off,
+    matching the reference's pre-ANSI golden) string operands implicitly
+    cast to DOUBLE; under ANSI they are analysis errors. Excluded from
+    the oracle battery for exactly this session-dependence — pinned here
+    per mode."""
+    q = (
+        "SELECT CAST(CAST('1' AS STRING) / CAST(2 AS INT) AS DOUBLE) AS a,"
+        " CAST(CAST(1 AS INT) / CAST('2' AS STRING) AS DOUBLE) AS b,"
+        " CAST(CAST('1' AS STRING) / CAST('2' AS STRING) AS DOUBLE) AS c"
+    )
+    assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+    got = _sql(spark, q).collect()[0]
+    assert (got["a"], got["b"], got["c"]) == (0.5, 0.5, 0.5)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        with pytest.raises(AnalysisException):
+            _sql(spark, "SELECT CAST('1' AS STRING) / CAST('2' AS STRING)").collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+# --- group-analytics.sql: Spark-only sugar == portable spelling -----------
+
+
+def test_with_cube_sugar_equals_portable_cube(spark):
+    """group-analytics.sql: `GROUP BY a + b, b WITH CUBE` (Spark sugar,
+    no DuckDB equivalent — the oracle battery uses the portable form)
+    must produce exactly the portable GROUP BY CUBE(a + b, b) result."""
+    sugar = _sql(
+        spark,
+        f"WITH testData AS ({_TD_SPARK})"
+        " SELECT a + b AS k, b, SUM(a - b) AS s FROM testData GROUP BY a + b, b WITH CUBE",
+    ).collect()
+    portable = _sql(
+        spark,
+        f"WITH testData AS ({_TD_SPARK})"
+        " SELECT a + b AS k, b, SUM(a - b) AS s FROM testData GROUP BY CUBE(a + b, b)",
+    ).collect()
+    key = lambda r: (r["k"] is None, r["k"], r["b"] is None, r["b"], r["s"])  # noqa: E731
+    assert sorted(sugar, key=key) == sorted(portable, key=key)
+
+
+def test_select_alias_resolves_inside_cube(spark):
+    """group-analytics.sql: SELECT aliases are usable in CUBE/ROLLUP —
+    GROUP BY CUBE(k1, k2) with k1 = a + b, k2 = b equals the expression
+    spelling."""
+    aliased = _sql(
+        spark,
+        f"WITH testData AS ({_TD_SPARK})"
+        " SELECT a + b AS k1, b AS k2, SUM(a - b) AS s FROM testData GROUP BY CUBE(k1, k2)",
+    ).collect()
+    expr = _sql(
+        spark,
+        f"WITH testData AS ({_TD_SPARK})"
+        " SELECT a + b AS k1, b AS k2, SUM(a - b) AS s FROM testData GROUP BY CUBE(a + b, b)",
+    ).collect()
+    key = lambda r: (r["k1"] is None, r["k1"], r["k2"] is None, r["k2"], r["s"])  # noqa: E731
+    assert sorted(aliased, key=key) == sorted(expr, key=key)
+
+
+def test_grouping_without_groupsets_raises(spark):
+    """group-analytics.sql: GROUPING()/GROUPING_ID() in HAVING without
+    CUBE/ROLLUP/GROUPING SETS is an analysis error."""
+    for fn in ("GROUPING(course)", "GROUPING_ID(course)"):
+        with pytest.raises(AnalysisException):
+            _sql(
+                spark,
+                f"WITH courseSales AS ({_CS_SPARK})"
+                f" SELECT course, year FROM courseSales GROUP BY course, year HAVING {fn} > 0",
+            ).collect()
+
+
+# --- order-by-nulls-ordering.sql Q7/Q8: output-order-only semantics -------
+
+
+def test_order_by_nulls_first_last_placement(spark):
+    """order-by-nulls-ordering.sql Q7/Q8: plain ORDER BY col3 ASC NULLS
+    FIRST puts the two NULL-col3 rows first, NULLS LAST puts them last —
+    pure output order, invisible to the row-sorted value hash, so pinned
+    here positionally."""
+    base = f"WITH spark_10747 AS ({_NO_SPARK}) SELECT col2, col3 FROM spark_10747"
+    first = _sql(spark, base + " ORDER BY col3 ASC NULLS FIRST, col2").collect()
+    last = _sql(spark, base + " ORDER BY col3 NULLS LAST, col2").collect()
+    assert [r["col3"] for r in first[:2]] == [None, None]
+    assert [r["col2"] for r in first[:2]] == [10, 13]  # col2 tiebreak
+    assert [r["col3"] for r in last[-2:]] == [None, None]
+    assert [r["col3"] for r in first[2:]] == [r["col3"] for r in last[:-2]]
+    # ASC default is NULLS FIRST in Spark (the golden's implicit check).
+    default = _sql(spark, base + " ORDER BY col3, col2").collect()
+    assert [r["col2"] for r in default] == [r["col2"] for r in first]
+
+
+# --- binaryComparison.sql flavor: string<->numeric comparison coercion ----
+
+
+def test_string_numeric_comparison_coerces(spark):
+    """typeCoercion promoteStrings/binaryComparison flavor: a numeric
+    compared to a numeric-looking string coerces and compares by VALUE
+    ('1' = 1 true, '09' = 9 true — not lexicographic), while NULL
+    comparisons stay NULL (filtered out by WHERE)."""
+    got = _sql(
+        spark,
+        "SELECT '1' = 1 AS a, '09' = 9 AS b, 2 > '10' AS c,"
+        " CAST(NULL AS STRING) = 1 AS d",
+    ).collect()[0]
+    assert (got["a"], got["b"], got["c"], got["d"]) == (True, True, False, None)
