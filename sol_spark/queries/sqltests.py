@@ -17,15 +17,21 @@ on class even when values agree).
 Files covered here: null-handling.sql + null-propagation.sql (one
 battery — propagation is the count(null) tail of the same table),
 group-analytics.sql, cross-join.sql, limit.sql,
-typeCoercion/native/division.sql, and order-by-nulls-ordering.sql (its
+typeCoercion/native/division.sql, order-by-nulls-ordering.sql (its
 WINDOWED checks — NULLS placement changes bounded-frame sums, which IS
 value-hashable; the plain ORDER-BY-placement checks are output-order
-only and live in tests/test_r10_sqltests.py). Files/rows NOT mined, with
-reasons: the DDL/metadata files (describe*, show*, change-column —
-catalog surface, covered by tests/test_sources.py managed-table tests);
+only and live in tests/test_r10_sqltests.py),
+subquery/in-subquery/not-in-unit-tests-{single,multi}-column.sql,
+group-by.sql + having.sql, union.sql + except.sql, and
+outer-join.sql + join-empty-relation.sql + natural-join.sql. Files/rows
+NOT mined, with reasons: the DDL/metadata files (describe*, show*,
+change-column — catalog surface, covered by tests/test_sources.py
+managed-table tests); cte.sql (name-resolution precedence is
+Spark-dialect — DuckDB CTEs shadow — pinned in tests/test_r10_sqltests.py);
 grouping__id legacy-Hive alias (removed upstream); decimal
 division/precision rows (DecimalType outputs banned corpus-wide — typed
-pins in tests/test_r10_sqltests.py).
+pins in tests/test_r10_sqltests.py); array/map union rows (raw
+array/map outputs banned corpus-wide).
 """
 
 from __future__ import annotations
@@ -565,4 +571,479 @@ def sqltests_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"WITH spark_10747 AS ({_NO_SPARK})\n"
         f"{_nulls_ordering_sql()}\nORDER BY check_name, col2, col3, sum_col2"
+    )
+
+
+# ---------------------------------------------------------------------------
+# subquery/in-subquery/not-in-unit-tests-{single,multi}-column.sql
+# ---------------------------------------------------------------------------
+
+# The reference's m/s tables with the decimal column scaled x10 to INT
+# (1.0 -> 10): Spark types the literal 1.0 as DECIMAL(2,1) and DecimalType
+# outputs are banned corpus-wide; the NOT IN semantics under test are
+# value-agnostic. The correlated predicate d = b + 10 scales to b + 100.
+_NIN_M1_SPARK = (
+    "SELECT * FROM VALUES (CAST(NULL AS INT), 10), (2, 30), (4, 50) AS m(a, b)"
+)
+_NIN_S1_SPARK = (
+    "SELECT * FROM VALUES (CAST(NULL AS INT), 10), (2, 30), (6, 70) AS s(c, d)"
+)
+_NIN_M1_DUCK = "SELECT * FROM (VALUES (NULL, 10), (2, 30), (4, 50)) m(a, b)"
+_NIN_S1_DUCK = "SELECT * FROM (VALUES (NULL, 10), (2, 30), (6, 70)) s(c, d)"
+_NIN_M2_SPARK = (
+    "SELECT * FROM VALUES (CAST(NULL AS INT), CAST(NULL AS INT)),"
+    " (CAST(NULL AS INT), 10), (2, 30), (4, 50) AS m2(a, b)"
+)
+_NIN_S2_SPARK = (
+    "SELECT * FROM VALUES (CAST(NULL AS INT), CAST(NULL AS INT)),"
+    " (0, 10), (2, 30), (4, CAST(NULL AS INT)) AS s2(c, d)"
+)
+_NIN_M2_DUCK = (
+    "SELECT * FROM (VALUES (NULL, NULL), (NULL, 10), (2, 30), (4, 50)) m2(a, b)"
+)
+_NIN_S2_DUCK = (
+    "SELECT * FROM (VALUES (NULL, NULL), (0, 10), (2, 30), (4, NULL)) s2(c, d)"
+)
+
+
+def _not_in_sql(spark: bool = True) -> str:
+    """Single-column NOT IN is shared verbatim (both dialects implement
+    the three-valued rule). Multi-column `(a, b) NOT IN (subq)` has no
+    DuckDB spelling (its binder rejects row-value IN subqueries), so the
+    oracle states the DEFINITION instead: NOT EXISTS a subquery row where
+    every column is equal-or-either-null — which is literally the
+    plain-English rule the reference file's header lays out, making the
+    oracle a second, independent derivation of the semantics."""
+
+    def row(check: str, where: str, src: str = "m") -> str:
+        return (
+            f"SELECT '{check}' AS check_name, CAST(a AS BIGINT) AS a,"
+            f" CAST(b AS BIGINT) AS b FROM {src} WHERE {where}"
+        )
+
+    def mc(sub_where: str) -> str:
+        if spark:
+            return f"(a, b) NOT IN (SELECT c, d FROM s2 WHERE {sub_where})"
+        return (
+            "NOT EXISTS (SELECT 1 FROM s2 WHERE ("
+            f"{sub_where}) AND (c = a OR c IS NULL OR a IS NULL)"
+            " AND (d = b OR d IS NULL OR b IS NULL))"
+        )
+
+    return "\nUNION ALL\n".join(
+        [
+            # Single column, uncorrelated
+            row("sc1_empty_subq", "a NOT IN (SELECT c FROM s WHERE d > 100)"),
+            row("sc2_null_in_subq", "a NOT IN (SELECT c FROM s WHERE d = 10)"),
+            row("sc3_null_probe", "b = 10 AND a NOT IN (SELECT c FROM s WHERE d = 30)"),
+            row("sc4_probe_matches", "b = 30 AND a NOT IN (SELECT c FROM s WHERE d = 30)"),
+            row("sc5_no_match", "b = 30 AND a NOT IN (SELECT c FROM s WHERE d = 70)"),
+            # Single column, correlated subquery reduces each to case 1
+            row("sc2to1_corr", "a NOT IN (SELECT c FROM s WHERE d = b + 100)"),
+            row("sc3to1_corr", "b = 10 AND a NOT IN (SELECT c FROM s WHERE d = b + 100)"),
+            row("sc4to1_corr", "b = 30 AND a NOT IN (SELECT c FROM s WHERE d = b + 100)"),
+            # Multi column
+            row("mc1_empty_subq", mc("d > 50"), "m2"),
+            row("mc2_all_null_row", mc("c IS NULL AND d IS NULL"), "m2"),
+            row("mc3_all_null_probe",
+                f"a IS NULL AND b IS NULL AND {mc('c IS NOT NULL')}", "m2"),
+            row("mc4_half_null_match", f"b = 10 AND {mc('c IS NOT NULL')}", "m2"),
+            row("mc5_half_null_no_match", f"b = 10 AND {mc('c = 2')}", "m2"),
+            row("mc6_match", f"b = 30 AND {mc('c = 2')}", "m2"),
+            row("mc7_no_match", f"b = 50 AND {mc('c = 2')}", "m2"),
+        ]
+    )
+
+
+NOT_IN_ORACLE = f"""
+WITH m AS ({_NIN_M1_DUCK}), s AS ({_NIN_S1_DUCK}),
+m2 AS ({_NIN_M2_DUCK}), s2 AS ({_NIN_S2_DUCK})
+{_not_in_sql(spark=False)}
+ORDER BY check_name, a, b
+"""
+
+
+@register("sqltests_not_in_null", NOT_IN_ORACLE, tags=("sqltests", "join", "subquery"))
+def sqltests_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN null-semantics unit battery from the reference's
+    subquery/in-subquery/not-in-unit-tests-single-column.sql and
+    -multi-column.sql goldens — the corpus's own plain-English rulebook:
+    empty subquery returns every row; any all-null subquery row returns
+    none; a probe row is excluded iff for every non-null probe column
+    some subquery row is equal-or-null; correlated predicates can reduce
+    the poisoned cases back to the empty-subquery case. These are the
+    rules a naive anti-join rewrite gets wrong (NOT IN is NOT a left-anti
+    join when nulls are present — Spark plans it as ExistenceJoin with
+    the null-aware condition). The decimal columns of the reference
+    tables are scaled x10 to INT (DecimalType outputs banned corpus-wide;
+    the semantics are value-agnostic).
+
+    Scale shape: constant-size LocalRelation battery (semantics fence);
+    the production-scale null-aware anti join appears in tpch_q16/q22."""
+    return spark.sql(
+        f"WITH m AS ({_NIN_M1_SPARK}), s AS ({_NIN_S1_SPARK}),\n"
+        f"m2 AS ({_NIN_M2_SPARK}), s2 AS ({_NIN_S2_SPARK})\n"
+        f"{_not_in_sql()}\nORDER BY check_name, a, b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# group-by.sql + having.sql
+# ---------------------------------------------------------------------------
+
+_GB_SPARK = (
+    "SELECT * FROM VALUES (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2),"
+    " (CAST(NULL AS INT), 1), (3, CAST(NULL AS INT)),"
+    " (CAST(NULL AS INT), CAST(NULL AS INT)) AS testData(a, b)"
+)
+_GB_DUCK = (
+    "SELECT * FROM (VALUES (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2),"
+    " (NULL, 1), (3, NULL), (NULL, NULL)) testData(a, b)"
+)
+_HAV_SPARK = (
+    "SELECT * FROM VALUES ('one', 1), ('two', 2), ('three', 3), ('one', 5)"
+    " AS hav(k, v)"
+)
+_HAV_DUCK = (
+    "SELECT * FROM (VALUES ('one', 1), ('two', 2), ('three', 3), ('one', 5))"
+    " hav(k, v)"
+)
+
+
+def _group_by_sql(vc: str, cdc: str = "count(DISTINCT b, c)") -> str:
+    """group-by.sql + having.sql checks that carry values (the analysis
+    errors — ungrouped column, aggregate in GROUP BY, groupByAliases=false
+    — are pytest pins). Columns: s=string key, k=numeric key, v=the
+    aggregate."""
+
+    def row(check: str, s: str, k: str, v: str, tail: str) -> str:
+        return (
+            f"SELECT '{check}' AS check_name, CAST({s} AS {vc}) AS s,"
+            f" CAST({k} AS BIGINT) AS k, CAST({v} AS BIGINT) AS v {tail}"
+        )
+
+    return "\nUNION ALL\n".join(
+        [
+            # Global aggregates over nulls
+            row("global_counts", "NULL", "count(a)", "count(b)", "FROM testData"),
+            row("agg_nulls", "NULL", "min(a) * 100 + max(a)", "sum(a)", "FROM testData"),
+            # Grouped counts (group key nullable)
+            row("group_by_a", "NULL", "a", "count(b)", "FROM testData GROUP BY a"),
+            row("group_by_b", "NULL", "b", "count(a)", "FROM testData GROUP BY b"),
+            # Aggregate grouped by a literal
+            row("group_by_literal", "'foo'", "NULL", "count(a)", "FROM testData GROUP BY 1"),
+            # Literal group over empty input: zero rows, not a zero row
+            row("group_by_literal_empty", "'foo'", "NULL", "count(a)",
+                "FROM testData WHERE a = 0 GROUP BY 1"),
+            # Complex/derived GROUP BY expressions
+            row("group_by_expr", "NULL", "a + b", "count(b)", "FROM testData GROUP BY a + b"),
+            row("group_by_expr_derived", "NULL", "a + 1 + 1", "count(b)",
+                "FROM testData GROUP BY a + 1"),
+            # Foldable-input distinct counts
+            # Multi-arg COUNT(DISTINCT b, c) is Spark-only; the oracle
+            # counts the same distinct pairs via a concatenated key.
+            row("distinct_foldable", "NULL", "count(DISTINCT b)", cdc,
+                "FROM (SELECT 1 AS a, 2 AS b, 3 AS c) one GROUP BY a"),
+            # SELECT alias usable in GROUP BY (and HAVING over it)
+            row("group_by_alias", "NULL", "a", "count(b)", "FROM testData GROUP BY a"),
+            row("group_by_alias_having", "NULL", "k2", "cnt", "FROM ("
+                "SELECT a AS k2, count(b) AS cnt FROM testData GROUP BY k2 HAVING k2 > 1) h"),
+            # Empty input: grouped -> 0 rows; global -> exactly one 0 row
+            row("empty_grouped", "NULL", "a", "count(1)",
+                "FROM testData WHERE false GROUP BY a"),
+            row("empty_global", "NULL", "NULL", "count(1)", "FROM testData WHERE false"),
+            row("empty_global_nested", "NULL", "NULL", "1",
+                "FROM (SELECT count(1) AS c FROM testData WHERE false) t"),
+            # having.sql
+            row("having_sum", "k", "NULL", "sum(v)", "FROM hav GROUP BY k HAVING sum(v) > 2"),
+            row("having_group_expr", "NULL", "NULL", "count(k)",
+                "FROM hav GROUP BY v + 1 HAVING v + 1 = 2"),
+            row("having_global", "NULL", "NULL", "mv", "FROM (SELECT min(t.v) AS mv"
+                " FROM (SELECT * FROM hav WHERE v > 0) t HAVING count(1) > 0) g"),
+            row("having_bigint_key", "NULL", "a + b", "NULL",
+                "FROM (SELECT CAST(x AS BIGINT) AS a, y AS b FROM (VALUES (1, 2), (3, 4)) v(x, y)) T"
+                " GROUP BY a + b HAVING a + b > 1"),
+        ]
+    )
+
+
+GROUP_BY_ORACLE = f"""
+WITH testData AS ({_GB_DUCK}), hav AS ({_HAV_DUCK})
+{_group_by_sql("VARCHAR", cdc="count(DISTINCT (b::VARCHAR || ',' || c::VARCHAR))")}
+ORDER BY check_name, s, k, v
+"""
+
+
+@register("sqltests_group_by", GROUP_BY_ORACLE, tags=("sqltests", "agg"))
+def sqltests_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY / HAVING battery from the reference's group-by.sql +
+    having.sql goldens: null-skipping counts global and grouped (the
+    null group IS a group — count(b)=1 for a IS NULL), literal grouping
+    keys (empty input yields ZERO rows grouped but exactly one row
+    global — the SQL semantics pair naive engines flip), derived
+    grouping expressions (a+1+1 resolves against GROUP BY a+1),
+    foldable-input multi-distinct, SELECT aliases in GROUP BY/HAVING,
+    HAVING over a grouping expression (v+1), a global HAVING without
+    GROUP BY (SPARK-11032), and a BIGINT-widened group key (SPARK-20329).
+    The file's analysis errors (ungrouped column, aggregate inside GROUP
+    BY, groupByAliases=false) are pinned in tests/test_r10_sqltests.py.
+    Moment aggregates (skewness/kurtosis/variance) are deliberately NOT
+    here: their cross-engine float discipline lives in stats_aggregates.
+
+    Scale shape: constant-size LocalRelation battery (semantics fence)."""
+    return spark.sql(
+        f"WITH testData AS ({_GB_SPARK}), hav AS ({_HAV_SPARK})\n"
+        f"{_group_by_sql('STRING')}\nORDER BY check_name, s, k, v"
+    )
+
+
+# ---------------------------------------------------------------------------
+# union.sql + except.sql
+# ---------------------------------------------------------------------------
+
+_SU1_SPARK = "SELECT * FROM VALUES (1, 'a'), (2, 'b') tbl(c1, c2)"
+_SU2_SPARK = (
+    "SELECT * FROM VALUES (CAST(1.0 AS DOUBLE), 1), (CAST(2.0 AS DOUBLE), 4) tbl(c1, c2)"
+)
+_SU1_DUCK = "SELECT * FROM (VALUES (1, 'a'), (2, 'b')) tbl(c1, c2)"
+_SU2_DUCK = (
+    "SELECT * FROM (VALUES (CAST(1.0 AS DOUBLE), 1), (CAST(2.0 AS DOUBLE), 4)) tbl(c1, c2)"
+)
+_EX1_SPARK = (
+    "SELECT * FROM VALUES ('one', 1), ('two', 2), ('three', 3),"
+    " ('one', CAST(NULL AS INT)) AS t1(k, v)"
+)
+_EX2_SPARK = (
+    "SELECT * FROM VALUES ('one', 1), ('two', 22), ('one', 5),"
+    " ('one', CAST(NULL AS INT)), (CAST(NULL AS STRING), 5) AS t2(k, v)"
+)
+_EX1_DUCK = (
+    "SELECT * FROM (VALUES ('one', 1), ('two', 2), ('three', 3),"
+    " ('one', NULL)) t1(k, v)"
+)
+_EX2_DUCK = (
+    "SELECT * FROM (VALUES ('one', 1), ('two', 22), ('one', 5),"
+    " ('one', NULL), (NULL, 5)) t2(k, v)"
+)
+
+
+def _set_ops_sql(vc: str) -> str:
+    """union.sql + except.sql checks, shared by both dialects up to the
+    string-type spelling. Columns: s=string value, v=BIGINT value,
+    d=DOUBLE value (the type-coerced union's widened column)."""
+
+    def row(check: str, s: str, v: str, d: str, tail: str) -> str:
+        return (
+            f"SELECT '{check}' AS check_name, CAST({s} AS {vc}) AS s,"
+            f" CAST({v} AS BIGINT) AS v, CAST({d} AS DOUBLE) AS d {tail}"
+        )
+
+    return "\nUNION ALL\n".join(
+        [
+            # Simple self-union (duplicates preserved)
+            row("union_simple", "c2", "c1", "NULL",
+                "FROM (SELECT * FROM u1 UNION ALL SELECT * FROM u1) q"),
+            # Type-coerced union: c1 INT+DOUBLE -> DOUBLE, c2 STRING+INT -> STRING
+            row("union_coerced", "c2", "NULL", "c1",
+                "FROM (SELECT c1, CAST(c2 AS " + vc + ") AS c2 FROM u1"
+                " UNION ALL SELECT c1, CAST(c2 AS " + vc + ") AS c2 FROM u2"
+                " UNION ALL SELECT c1, CAST(c2 AS " + vc + ") AS c2 FROM u2) q"),
+            # SPARK-18622: INT branch unions a BIGINT aggregate -> widened
+            row("union_agg_widen", "NULL", "a", "NULL",
+                "FROM (SELECT 0 AS a, 0 AS b"
+                " UNION ALL SELECT SUM(1) AS a, CAST(0 AS BIGINT) AS b"
+                " UNION ALL SELECT 0 AS a, 0 AS b) T"),
+            # except.sql: EXCEPT is distinct + null-safe (the ('one', NULL)
+            # row in both tables is REMOVED — nulls compare equal here)
+            row("except_basic", "k", "v", "NULL",
+                "FROM (SELECT * FROM e1 EXCEPT SELECT * FROM e2) q"),
+            # EXCEPT reducible to a filter (same table both sides)
+            row("except_filter", "k", "v", "NULL",
+                "FROM (SELECT * FROM e1 EXCEPT SELECT * FROM e1 WHERE v <> 1 AND v <> 2) q"),
+            row("except_filter2", "k", "v", "NULL",
+                "FROM (SELECT * FROM e1 WHERE v <> 1 AND v <> 22"
+                " EXCEPT SELECT * FROM e1 WHERE v <> 2 AND v >= 3) q"),
+            # EXCEPT over a join's projection
+            row("except_join", "k", "v", "NULL",
+                "FROM (SELECT e1.k, e1.v FROM e1, e2 WHERE e1.k = e2.k"
+                " EXCEPT SELECT e1.k, e1.v FROM e1, e2 WHERE e1.k = e2.k AND e1.k <> 'one') q"),
+            row("except_anti", "k", "v", "NULL",
+                "FROM (SELECT * FROM e2 WHERE v >= 1 AND v <> 22 EXCEPT SELECT * FROM e1) q"),
+            # Correlated scalar subqueries inside EXCEPT (the reference
+            # spells the second with the MINUS alias; same operator)
+            row("except_corr_scalar", "mk", "NULL", "NULL",
+                "FROM (SELECT (SELECT min(k) FROM e2 WHERE e2.k = e1.k) AS mk FROM e1"
+                " EXCEPT SELECT (SELECT min(k) FROM e2) AS mk FROM e1 WHERE e1.k = 'one') q"),
+            row("except_corr_range", "k", "NULL", "NULL",
+                "FROM (SELECT e1.k FROM e1 WHERE e1.v <= (SELECT max(e2.v) FROM e2 WHERE e2.k = e1.k)"
+                " EXCEPT SELECT e1.k FROM e1 WHERE e1.v >= (SELECT min(e2.v) FROM e2 WHERE e2.k = e1.k)) q"),
+        ]
+    )
+
+
+SET_OPS_ORACLE = f"""
+WITH u1 AS ({_SU1_DUCK}), u2 AS ({_SU2_DUCK}),
+e1 AS ({_EX1_DUCK}), e2 AS ({_EX2_DUCK})
+{_set_ops_sql("VARCHAR")}
+ORDER BY check_name, s, v, d
+"""
+
+
+@register("sqltests_set_ops", SET_OPS_ORACLE, tags=("sqltests", "setop"))
+def sqltests_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation battery from the reference's union.sql + except.sql
+    goldens: duplicate-preserving UNION ALL, type-coerced union (INT
+    unions DOUBLE into DOUBLE; the INT-vs-STRING second column is cast
+    explicitly because ANSI mode — the vanilla-session default — rejects
+    that implicit widening), a branch whose aggregate widens the union's
+    type (SPARK-18622), and except.sql's ladder: EXCEPT's null-safe
+    distinct semantics (('one', NULL) present in BOTH tables is removed —
+    EXCEPT compares nulls equal, unlike WHERE), EXCEPT forms Catalyst
+    reduces to filters (SPARK-22181), EXCEPT over join projections, and
+    correlated scalar subqueries inside both EXCEPT branches (MINUS in
+    the reference — the same operator). The reference's map/array union
+    rows are excluded: raw array/map outputs are banned corpus-wide
+    (Arrow-vs-plain rendering diverges; fn_array covers the semantics
+    via array_join).
+
+    Scale shape: constant-size LocalRelation battery; production-scale
+    EXCEPT/INTERSECT shapes live in the set_* family over the fixture."""
+    return spark.sql(
+        f"WITH u1 AS ({_SU1_SPARK}), u2 AS ({_SU2_SPARK}),\n"
+        f"e1 AS ({_EX1_SPARK}), e2 AS ({_EX2_SPARK})\n"
+        f"{_set_ops_sql('STRING')}\nORDER BY check_name, s, v, d"
+    )
+
+
+# ---------------------------------------------------------------------------
+# outer-join.sql + join-empty-relation.sql + natural-join.sql
+# ---------------------------------------------------------------------------
+
+
+def _join_edges_sql(spark: bool) -> str:
+    """Battery body. Spark spells condition-less joins bare (the
+    reference's own spelling) and LEFT SEMI/ANTI; DuckDB spells inner
+    cross products with CROSS JOIN, outer joins with ON true, and
+    SEMI/ANTI with its SEMI/ANTI JOIN syntax. Columns: x/y are the two
+    sides' values (y NULL for semi/anti, which emit only the left side)."""
+    vc = "STRING" if spark else "VARCHAR"
+    rows = []
+
+    def add(check: str, body: str) -> None:
+        rows.append(f"SELECT '{check}' AS check_name, {body}")
+
+    # join-empty-relation.sql: all 7 join types x {t1 x empty, empty x t1,
+    # empty x empty}. jt -> (spark spelling, duck spelling).
+    jts = {
+        "inner": ("INNER JOIN", "CROSS JOIN"),
+        "cross": ("CROSS JOIN", "CROSS JOIN"),
+        "left": ("LEFT OUTER JOIN", "LEFT OUTER JOIN"),
+        "right": ("RIGHT OUTER JOIN", "RIGHT OUTER JOIN"),
+        "full": ("FULL OUTER JOIN", "FULL OUTER JOIN"),
+        "semi": ("LEFT SEMI JOIN", "SEMI JOIN"),
+        "anti": ("LEFT ANTI JOIN", "ANTI JOIN"),
+    }
+    sides = [("t1_empty", "jt1", "jempty"), ("empty_t1", "jempty", "jt1"),
+             ("empty_empty", "jempty", "jempty2")]
+    for jt, (sp_jt, du_jt) in jts.items():
+        for label, lhs, rhs in sides:
+            kw = sp_jt if spark else du_jt
+            on = "" if spark and jt in ("inner", "cross") else " ON true"
+            if not spark and jt in ("inner", "cross"):
+                on = ""
+            if jt in ("semi", "anti"):
+                add(
+                    f"je_{jt}_{label}",
+                    "CAST(l.a AS BIGINT) AS x, CAST(NULL AS BIGINT) AS y"
+                    f" FROM {lhs} l {kw} {rhs} r{on}",
+                )
+            else:
+                add(
+                    f"je_{jt}_{label}",
+                    "CAST(l.a AS BIGINT) AS x, CAST(r.a AS BIGINT) AS y"
+                    f" FROM {lhs} l {kw} {rhs} r{on}",
+                )
+    # outer-join.sql SPARK-17099: RIGHT JOIN + derived GROUP BY + HAVING
+    # comparing an aggregate to a grouping expression.
+    add(
+        "oj_having_regression",
+        "CAST(q.s AS BIGINT) AS x, CAST(q.t AS BIGINT) AS y FROM ("
+        "SELECT SUM(COALESCE(o1.int_col1, o2.int_col0)) AS s,"
+        " COALESCE(o1.int_col1, o2.int_col0) * 2 AS t"
+        " FROM o1 RIGHT JOIN o2 ON o2.int_col0 = o1.int_col1"
+        " GROUP BY GREATEST(COALESCE(o2.int_col1, 109), COALESCE(o1.int_col1, -449)),"
+        " COALESCE(o1.int_col1, o2.int_col0)"
+        " HAVING SUM(COALESCE(o1.int_col1, o2.int_col0))"
+        " > COALESCE(o1.int_col1, o2.int_col0) * 2) q",
+    )
+    # outer-join.sql SPARK-17120: LEFT JOIN ON false must not be optimized
+    # into an empty relation — the left side survives null-extended.
+    add(
+        "oj_join_on_false",
+        "CAST(q.int_col AS BIGINT) AS x, CAST(NULL AS BIGINT) AS y FROM ("
+        "SELECT COALESCE(p2.int_col1, p1.int_col1) AS int_col FROM p1"
+        " LEFT JOIN p2 ON false) q WHERE q.int_col IS NOT NULL",
+    )
+    # natural-join.sql: shared column resolution + each outer flavor.
+    add("nat_inner",
+        f"CAST(nt1.v1 AS BIGINT) AS x, CAST(nt2.v2 AS BIGINT) AS y"
+        " FROM nt1 NATURAL JOIN nt2 WHERE k = 'one'")
+    add("nat_left",
+        "CAST(v1 AS BIGINT) AS x, CAST(v2 AS BIGINT) AS y FROM nt1 NATURAL LEFT JOIN nt2")
+    add("nat_right",
+        "CAST(v1 AS BIGINT) AS x, CAST(v2 AS BIGINT) AS y FROM nt1 NATURAL RIGHT JOIN nt2")
+    add("nat_full_count",
+        "CAST(count(*) AS BIGINT) AS x, CAST(NULL AS BIGINT) AS y"
+        " FROM nt1 NATURAL FULL OUTER JOIN nt2")
+    return "\nUNION ALL\n".join(rows)
+
+
+_JE_CTES_SPARK = (
+    "jt1 AS (SELECT 1 AS a), jempty AS (SELECT 1 AS a WHERE false),"
+    " jempty2 AS (SELECT 1 AS a WHERE false),"
+    " o1 AS (SELECT * FROM VALUES (-234), (145), (367), (975), (298) AS o1(int_col1)),"
+    " o2 AS (SELECT * FROM VALUES (-769, -244), (-800, -409), (940, 86),"
+    " (-507, 304), (-367, 158) AS o2(int_col0, int_col1)),"
+    " p1 AS (SELECT 97 AS int_col1), p2 AS (SELECT 0 AS int_col1),"
+    " nt1 AS (SELECT * FROM VALUES ('one', 1), ('two', 2), ('three', 3) AS nt1(k, v1)),"
+    " nt2 AS (SELECT * FROM VALUES ('one', 1), ('two', 22), ('one', 5) AS nt2(k, v2))"
+)
+_JE_CTES_DUCK = (
+    "jt1 AS (SELECT 1 AS a), jempty AS (SELECT 1 AS a WHERE false),"
+    " jempty2 AS (SELECT 1 AS a WHERE false),"
+    " o1 AS (SELECT * FROM (VALUES (-234), (145), (367), (975), (298)) o1(int_col1)),"
+    " o2 AS (SELECT * FROM (VALUES (-769, -244), (-800, -409), (940, 86),"
+    " (-507, 304), (-367, 158)) o2(int_col0, int_col1)),"
+    " p1 AS (SELECT 97 AS int_col1), p2 AS (SELECT 0 AS int_col1),"
+    " nt1 AS (SELECT * FROM (VALUES ('one', 1), ('two', 2), ('three', 3)) nt1(k, v1)),"
+    " nt2 AS (SELECT * FROM (VALUES ('one', 1), ('two', 22), ('one', 5)) nt2(k, v2))"
+)
+
+JOIN_EDGES_ORACLE = f"""
+WITH {_JE_CTES_DUCK}
+{_join_edges_sql(spark=False)}
+ORDER BY check_name, x, y
+"""
+
+
+@register("sqltests_join_edges", JOIN_EDGES_ORACLE, tags=("sqltests", "join"))
+def sqltests_join_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join edge-case battery from three reference goldens:
+    join-empty-relation.sql (all seven join types against an empty
+    relation on both sides and empty-vs-empty — inner/cross/semi vanish,
+    left/full null-extend the non-empty side, anti returns it intact,
+    and empty x t1 right/full resurrect the right side),
+    outer-join.sql's two regressions (SPARK-17099: HAVING comparing an
+    aggregate against a grouping expression under a RIGHT JOIN with
+    GREATEST/COALESCE keys; SPARK-17120: LEFT JOIN ON false must
+    null-extend, not optimize to an empty relation), and
+    natural-join.sql (shared-column resolution across inner/left/right/
+    full natural joins). Spark spells condition-less joins bare and LEFT
+    SEMI/ANTI; the DuckDB oracle spells the identical semantics with
+    CROSS JOIN / ON true / its SEMI-ANTI JOIN syntax.
+
+    Scale shape: constant-size LocalRelation battery (semantics fence)."""
+    return spark.sql(
+        f"WITH {_JE_CTES_SPARK}\n"
+        f"{_join_edges_sql(spark=True)}\nORDER BY check_name, x, y"
     )

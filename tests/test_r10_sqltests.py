@@ -191,3 +191,79 @@ def test_string_numeric_comparison_coerces(spark):
         " CAST(NULL AS STRING) = 1 AS d",
     ).collect()[0]
     assert (got["a"], got["b"], got["c"], got["d"]) == (True, True, False, None)
+
+
+# --- group-by.sql: analysis errors ----------------------------------------
+
+
+def test_group_by_ungrouped_column_raises(spark):
+    """group-by.sql: selecting an ungrouped, unaggregated column is an
+    analysis error, both with no GROUP BY at all and with a mismatched
+    derived expression (a + 2 against GROUP BY a + 1)."""
+    td = "(VALUES (1, 1), (2, 2)) AS testData(a, b)"
+    with pytest.raises(AnalysisException):
+        _sql(spark, f"SELECT a, COUNT(b) FROM {td}").collect()
+    with pytest.raises(AnalysisException):
+        _sql(spark, f"SELECT a + 2, COUNT(b) FROM {td} GROUP BY a + 1").collect()
+
+
+def test_group_by_aggregate_in_group_by_raises(spark):
+    """group-by.sql: an aggregate function cannot appear in GROUP BY
+    (directly or smuggled through a SELECT alias)."""
+    td = "(VALUES (1, 1), (2, 2)) AS testData(a, b)"
+    with pytest.raises(AnalysisException):
+        _sql(spark, f"SELECT COUNT(b) AS k FROM {td} GROUP BY k").collect()
+
+
+def test_group_by_aliases_flag(spark):
+    """group-by.sql: `set spark.sql.groupByAliases=false` turns the
+    SELECT-alias-in-GROUP-BY resolution off — the same query flips from
+    valid to AnalysisException."""
+    td = "(VALUES (1, 1), (2, 2)) AS testData(a, b)"
+    q = f"SELECT a AS k, COUNT(b) FROM {td} GROUP BY k"
+    assert _sql(spark, q).count() == 2
+    spark.conf.set("spark.sql.groupByAliases", "false")
+    try:
+        with pytest.raises(AnalysisException):
+            _sql(spark, q).collect()
+    finally:
+        spark.conf.unset("spark.sql.groupByAliases")
+
+
+# --- cte.sql: name-resolution precedence (Spark-dialect; DuckDB shadows) ---
+
+
+def test_cte_resolution_precedence(spark):
+    """cte.sql: a CTE's self-reference resolves to the BASE table (no
+    infinite loop — `WITH s AS (SELECT 1 FROM s) SELECT * FROM s` reads
+    the view s), forward references across sibling CTEs are invalid, and
+    a later CTE sees the earlier one, not the base table. DuckDB CTEs
+    shadow differently, so these are Spark-dialect pins, not oracle
+    rows."""
+    spark.sql("SELECT 0 AS id UNION ALL SELECT 1 UNION ALL SELECT 2").createOrReplaceTempView(
+        "cte_t"
+    )
+    spark.sql("SELECT 0 AS id UNION ALL SELECT 1").createOrReplaceTempView("cte_t2")
+    try:
+        # Self-reference hits the base view: 3 rows of literal 1.
+        got = _sql(spark, "WITH cte_t AS (SELECT 1 AS one FROM cte_t) SELECT * FROM cte_t").collect()
+        assert [r["one"] for r in got] == [1, 1, 1]
+        # Cross/forward reference between sibling CTEs is an error.
+        with pytest.raises(AnalysisException):
+            _sql(
+                spark,
+                "WITH s1 AS (SELECT 1 FROM s2), s2 AS (SELECT 1 FROM s1)"
+                " SELECT * FROM s1, s2",
+            ).collect()
+        # A later CTE references the previous CTE, not the base table:
+        # t1 = cte_t2 (2 rows), t2 = SELECT 2 FROM t1 (2 rows) -> 4 rows.
+        got = _sql(
+            spark,
+            "WITH t1 AS (SELECT * FROM cte_t2), t2 AS (SELECT 2 AS two FROM t1)"
+            " SELECT * FROM t1 CROSS JOIN t2",
+        ).collect()
+        assert len(got) == 4
+        assert {(r["id"], r["two"]) for r in got} == {(0, 2), (1, 2)}
+    finally:
+        spark.catalog.dropTempView("cte_t")
+        spark.catalog.dropTempView("cte_t2")
