@@ -1047,3 +1047,476 @@ def sqltests_join_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WITH {_JE_CTES_SPARK}\n"
         f"{_join_edges_sql(spark=True)}\nORDER BY check_name, x, y"
     )
+
+
+# ---------------------------------------------------------------------------
+# window.sql
+# ---------------------------------------------------------------------------
+
+_WIN_SPARK = (
+    "SELECT * FROM VALUES"
+    " (CAST(NULL AS INT), CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE), DATE '2017-08-01', 'a'),"
+    " (1, CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE), DATE '2017-08-01', 'a'),"
+    " (1, CAST(2 AS BIGINT), CAST(2.5 AS DOUBLE), DATE '2017-08-02', 'a'),"
+    " (2, CAST(2147483650 AS BIGINT), CAST(100.001 AS DOUBLE), DATE '2020-12-31', 'a'),"
+    " (1, CAST(NULL AS BIGINT), CAST(1.0 AS DOUBLE), DATE '2017-08-01', 'b'),"
+    " (2, CAST(3 AS BIGINT), CAST(3.3 AS DOUBLE), DATE '2017-08-03', 'b'),"
+    " (3, CAST(2147483650 AS BIGINT), CAST(100.001 AS DOUBLE), DATE '2020-12-31', 'b'),"
+    " (CAST(NULL AS INT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DATE),"
+    " CAST(NULL AS STRING)),"
+    " (3, CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE), DATE '2017-08-01', CAST(NULL AS STRING))"
+    " AS testData(val, val_long, val_double, val_date, cate)"
+)
+_WIN_DUCK = (
+    "SELECT * FROM (VALUES"
+    " (NULL, CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE), DATE '2017-08-01', 'a'),"
+    " (1, CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE), DATE '2017-08-01', 'a'),"
+    " (1, CAST(2 AS BIGINT), CAST(2.5 AS DOUBLE), DATE '2017-08-02', 'a'),"
+    " (2, CAST(2147483650 AS BIGINT), CAST(100.001 AS DOUBLE), DATE '2020-12-31', 'a'),"
+    " (1, CAST(NULL AS BIGINT), CAST(1.0 AS DOUBLE), DATE '2017-08-01', 'b'),"
+    " (2, CAST(3 AS BIGINT), CAST(3.3 AS DOUBLE), DATE '2017-08-03', 'b'),"
+    " (3, CAST(2147483650 AS BIGINT), CAST(100.001 AS DOUBLE), DATE '2020-12-31', 'b'),"
+    " (NULL, NULL, NULL, NULL, NULL),"
+    " (3, CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE), DATE '2017-08-01', NULL))"
+    " testData(val, val_long, val_double, val_date, cate)"
+)
+
+
+def _window_sql(spark: bool) -> str:
+    """window.sql's value-carrying checks. Window ORDER BY always spells
+    ASC NULLS FIRST explicitly: the reference's golden assumes Spark's
+    nulls-first default, DuckDB defaults NULLS LAST — the explicit clause
+    makes both engines compute the reference's frames. first/last_value's
+    ignore-nulls flag and the date-range bound are per-dialect spellings.
+    Columns: val/cate keys, v BIGINT, vd DOUBLE, s STRING."""
+    vc = "STRING" if spark else "VARCHAR"
+    ob = "PARTITION BY cate ORDER BY val ASC NULLS FIRST"
+    obl = "PARTITION BY cate ORDER BY val_long ASC NULLS FIRST"
+
+    def row(check: str, key: str, v: str, vd: str = "NULL", s: str = "NULL") -> str:
+        return (
+            f"SELECT '{check}' AS check_name, CAST({key} AS BIGINT) AS key,"
+            f" CAST(cate AS {vc}) AS cate, CAST({v} AS BIGINT) AS v,"
+            f" CAST({vd} AS DOUBLE) AS vd, CAST({s} AS {vc}) AS s FROM testData"
+        )
+
+    fv_ign = "first_value(val IGNORE NULLS)" if not spark else "first_value(val, true)"
+    lv_ign = "last_value(val IGNORE NULLS)" if not spark else "last_value(val, true)"
+    date_bound = "2" if spark else "INTERVAL 2 DAY"
+    return "\nUNION ALL\n".join(
+        [
+            # RowsBetween: single-row frame, unbounded..1 following, and a
+            # frame bound wider than int32
+            row("rows_current", "val", f"count(val) OVER({ob} ROWS CURRENT ROW)"),
+            row("rows_unb_1f", "val",
+                f"sum(val) OVER({ob} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING)"),
+            # ROWS bounds must fit in int32 (the int64 2147483648 bound is
+            # RANGE-only — its ROWS spelling is a pytest error pin)
+            row("rows_long_vals", "val_long",
+                f"sum(val_long) OVER({obl} ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)"),
+            # RangeBetween: shorthand, current..1 following (nulls form
+            # their own peer group), int64 bound, double bound, date bound
+            row("range_1p", "val", f"count(val) OVER({ob} RANGE 1 PRECEDING)"),
+            row("range_cur_1f", "val",
+                f"sum(val) OVER({ob} RANGE BETWEEN CURRENT ROW AND 1 FOLLOWING)"),
+            row("range_big", "val_long",
+                f"sum(val_long) OVER({obl} RANGE BETWEEN CURRENT ROW AND 2147483648 FOLLOWING)"),
+            row("range_double", "NULL",
+                "NULL",
+                vd="sum(val_double) OVER(PARTITION BY cate ORDER BY val_double ASC NULLS FIRST"
+                   " RANGE BETWEEN CURRENT ROW AND 2.5 FOLLOWING)",
+                s="CAST(val_double AS " + vc + ")"),
+            row("range_date", "NULL", "NULL",
+                s="CAST(max(val_date) OVER(PARTITION BY cate ORDER BY val_date ASC NULLS FIRST"
+                  f" RANGE BETWEEN CURRENT ROW AND {date_bound} FOLLOWING) AS {vc})"
+                  " || '~' || coalesce(CAST(val_date AS " + vc + "), 'null')"),
+            # Reverse-order RANGE: FOLLOWING walks toward smaller values
+            row("range_desc", "val",
+                "sum(val) OVER(PARTITION BY cate ORDER BY val DESC NULLS FIRST"
+                " RANGE BETWEEN CURRENT ROW AND 1 FOLLOWING)"),
+            # Rank family over the default frame
+            row("rank", "val", f"rank() OVER({ob})"),
+            row("dense_rank", "val", f"dense_rank() OVER({ob})"),
+            row("ntile", "val", f"ntile(2) OVER({ob})"),
+            row("cume_dist", "val", "NULL", vd=f"cume_dist() OVER({ob})"),
+            row("percent_rank", "val", "NULL", vd=f"percent_rank() OVER({ob})"),
+            # first/last_value incl. the ignore-nulls flag (default frame:
+            # unbounded preceding .. current row)
+            row("first_value", "val", f"first_value(val) OVER({ob})"),
+            row("first_value_ign", "val", f"{fv_ign} OVER({ob})"),
+            row("last_value", "val", f"last_value(val) OVER({ob})"),
+            row("last_value_ign", "val", f"{lv_ign} OVER({ob})"),
+            # Null aggregate input; empty OVER clause
+            row("avg_null", "val", "NULL", vd=f"avg(NULL) OVER({ob})"),
+            row("over_empty", "val", "sum(val) OVER()", vd="avg(val) OVER()"),
+        ]
+    )
+
+
+WINDOW_ORACLE = f"""
+WITH testData AS ({_WIN_DUCK})
+{_window_sql(spark=False)}
+ORDER BY check_name, key, cate, v, vd, s
+"""
+
+
+@register("sqltests_window", WINDOW_ORACLE, tags=("sqltests", "window"))
+def sqltests_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame battery from the reference's window.sql golden: the
+    single-row ROWS CURRENT ROW frame, UNBOUNDED..1 FOLLOWING, frame
+    bounds wider than int32 (2147483648 FOLLOWING over int64 order keys),
+    RANGE shorthand (RANGE 1 PRECEDING), RANGE frames where NULL order
+    keys form their own peer group (count(val) = 0 there — the rule
+    naive implementations miss), RANGE over DOUBLE (2.5 FOLLOWING) and
+    DATE (2 days — spelled INTERVAL 2 DAY in the DuckDB oracle) order
+    columns, REVERSED-order RANGE (DESC: FOLLOWING walks toward smaller
+    values), the rank family, first/last_value with the ignore-nulls
+    flag (Spark's (val, true) argument form vs the oracle's IGNORE NULLS
+    clause), avg(NULL) windows, and the empty OVER () clause. Window
+    ORDER BY spells ASC NULLS FIRST explicitly on BOTH sides — Spark's
+    default, DuckDB's is NULLS LAST, the one silent divergence that
+    would corrupt every frame. The file's invalid-frame checks and the
+    moment/statistical window aggregates (stddev/skewness/corr — float
+    discipline lives in stats_aggregates) are pytest pins.
+
+    Scale shape: constant-size LocalRelation battery (semantics fence);
+    production-scale window shapes live in the win_* family."""
+    return spark.sql(
+        f"WITH testData AS ({_WIN_SPARK})\n"
+        f"{_window_sql(spark=True)}\nORDER BY check_name, key, cate, v, vd, s"
+    )
+
+
+# ---------------------------------------------------------------------------
+# operators.sql
+# ---------------------------------------------------------------------------
+
+
+def _operators_sql(spark: bool) -> str:
+    """operators.sql's session-stable cells (identical under ANSI and
+    legacy mode, so the battery analyzes the same under the driver's
+    vanilla session): unary identity/negation stacking, basic arithmetic,
+    `/` vs `div`, null-propagating division/modulo, the precedence checks
+    whose parse is engine-agreed (the `'a' || 1 + 2` cell is NOT — Spark
+    binds || at multiplication-adjacent level per Oracle precedence,
+    DuckDB at addition level — pytest pin), ceil/floor over bigint and
+    fractional literals, the length family, and pmod (spelled
+    ((a % b) + b) % b in the oracle; DuckDB has no pmod). Division/modulo
+    BY ZERO is ANSI-dependent (NULL legacy, error ANSI) — pytest pins."""
+    vc = "STRING" if spark else "VARCHAR"
+    pmod = (lambda a, b: f"pmod({a}, {b})") if spark else (
+        lambda a, b: f"((({a}) % ({b})) + ({b})) % ({b})"
+    )
+
+    def row(check: str, v: str, vd: str = "NULL", s: str = "NULL") -> str:
+        return (
+            f"SELECT '{check}' AS check_name, CAST({v} AS BIGINT) AS v,"
+            f" CAST({vd} AS DOUBLE) AS vd, CAST({s} AS {vc}) AS s"
+        )
+
+    return "\nUNION ALL\n".join(
+        [
+            # Unary identity/negation, stacked
+            row("unary", "-100 + (+230)"),
+            row("unary_stack", "(- (-10)) * 1000 + (- - 3) * 100 + (- + 20) + (+ + 100)"),
+            row("unary_agg", "-mx", s="'key_max'"),
+            row("unary_agg_stack", "- (+mx)", s="'key_max'"),
+            # Arithmetic; `/` widens to double, `div` stays integral
+            row("arith", "(1 + 2) * 1000 + (1 - 2) * 100 + (2 * 5) + (5 % 3)"),
+            row("slash_div", "NULL", vd="5 / 2"),
+            row("int_div", "5 div 2" if spark else "5 // 2"),
+            # Null propagation through / div mod (stable across ANSI)
+            row("div_null",
+                "coalesce(5 / nil, nil / 5, 5 div nil, nil div 5, -1)" if spark
+                else "coalesce(5 / nil, nil / 5, 5 // nil, nil // 5, -1)",
+                s="'all_null'"),
+            row("mod_null", f"coalesce({pmod('7', 'nil')}, {pmod('nil', '2')}, 7 % nil, nil % 2, -1)",
+                s="'all_null'"),
+            # Precedence: || binds below +/- and comparison binds below ||
+            row("prec_minus_concat", "NULL", s="(1 - 2) || 'b'" if not spark else "1 - 2 || 'b'"),
+            row("prec_mul_concat", "NULL", s="(2 * 4 + 3) || 'b'" if not spark else "2 * 4 + 3 || 'b'"),
+            row("prec_div_concat", "NULL",
+                s="(3 + 1) || 'a' || CAST(4 / 2 AS VARCHAR)" if not spark else "3 + 1 || 'a' || 4 / 2"),
+            row("prec_bool_or",
+                "CASE WHEN (1 == 1 OR 'a' || 'b' == 'ab') THEN 1 ELSE 0 END" if spark
+                else "CASE WHEN (1 = 1 OR 'a' || 'b' = 'ab') THEN 1 ELSE 0 END"),
+            row("prec_bool_and",
+                "CASE WHEN ('a' || 'c' == 'ac' AND 2 == 3) THEN 1 ELSE 0 END" if spark
+                else "CASE WHEN ('a' || 'c' = 'ac' AND 2 = 3) THEN 1 ELSE 0 END"),
+            # ceil/floor: bigint passthrough + fractional literals
+            row("ceil_floor",
+                "CAST(ceil(1234567890123456) = 1234567890123456 AS INT) * 1000"
+                " + CAST(ceil(0.01) AS INT) * 100 + CAST(ceiling(-0.10) AS INT) * 10"
+                " + CAST(floor(-0.10) AS INT) + 1"),
+            # comparison across numeric types
+            row("cmp_frac", "CASE WHEN 1 > 0.00001 THEN 1 ELSE 0 END"),
+            # length family (DuckDB lacks the CHAR_LENGTH/OCTET_LENGTH
+            # aliases for VARCHAR; its oracle spells length/strlen)
+            row("lengths",
+                "BIT_LENGTH('abc') * 10000 + CHAR_LENGTH('abc') * 1000"
+                " + CHARACTER_LENGTH('abc') * 100 + OCTET_LENGTH('abc')" if spark
+                else "BIT_LENGTH('abc') * 10000 + LENGTH('abc') * 1000"
+                " + LENGTH('abc') * 100 + STRLEN('abc')"),
+            # abs on a fractional literal
+            row("abs_frac", "NULL", vd="abs(CAST(-3.13 AS DOUBLE))"),
+            # pmod: sign of the DIVISOR (vs % which keeps the dividend's)
+            row("pmod_grid",
+                f"{pmod('-7', '3')} * 1000 + {pmod('-7', '2')} * 100 + {pmod('0', '2')} * 10"
+                " + CAST((-7) % 3 = -1 AS INT)"),
+        ]
+    )
+
+
+OPERATORS_ORACLE = f"""
+WITH agg AS (SELECT max(x) AS mx FROM (VALUES (1), (2), (32), (33)) k(x)),
+nils AS (SELECT CAST(NULL AS INT) AS nil)
+{_operators_sql(spark=False).replace("SELECT '", "SELECT '").replace("AS s", "AS s FROM agg, nils").replace("FROM agg, nils FROM agg, nils", "FROM agg, nils")}
+ORDER BY check_name, v, vd, s
+"""
+
+
+@register("sqltests_operators", OPERATORS_ORACLE, tags=("sqltests", "functions"))
+def sqltests_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator battery from the reference's operators.sql golden: stacked
+    unary identity/negation (including over aggregates), `/` widening to
+    DOUBLE vs `div` staying integral, null propagation through all
+    division/modulo spellings (stable across ANSI modes, unlike the
+    by-zero cells — those are per-mode pytest pins), the
+    precedence ladder (|| binds below +/- and *, comparison binds below
+    ||, OR below AND — the `'a' || 1 + 2` cell where Spark and DuckDB
+    genuinely disagree on precedence is a pytest pin), ceil/floor over
+    int64 and fractional literals, the BIT/CHAR/CHARACTER/OCTET length
+    family, and pmod's divisor-sign semantics against %'s dividend-sign
+    (spelled ((a%b)+b)%b in the oracle — DuckDB has no pmod).
+
+    Scale shape: constant-size literal battery (semantics fence)."""
+    body = _operators_sql(spark=True)
+    body = body.replace("AS s", "AS s FROM agg, nils").replace(
+        "FROM agg, nils FROM agg, nils", "FROM agg, nils"
+    )
+    return spark.sql(
+        "WITH agg AS (SELECT max(x) AS mx FROM VALUES (1), (2), (32), (33) k(x)),\n"
+        "nils AS (SELECT CAST(NULL AS INT) AS nil)\n"
+        f"{body}\nORDER BY check_name, v, vd, s"
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot.sql + group-by-ordinal.sql / order-by-ordinal.sql
+# ---------------------------------------------------------------------------
+
+_YEARS_SPARK = "SELECT * FROM VALUES (2012, 1), (2013, 2) AS years(y, s)"
+_YEARS_DUCK = "SELECT * FROM (VALUES (2012, 1), (2013, 2)) years(y, s)"
+
+
+def _pivot_spark_sql() -> str:
+    """The Spark side uses the reference's literal PIVOT clauses; every
+    check is normalized to the battery shape (check, gkey, c1..c4) so
+    heterogeneous pivot schemas union cleanly."""
+    return "\nUNION ALL\n".join(
+        [
+            # pivot courses (group key = year)
+            "SELECT 'courses' AS check_name, CAST(year AS STRING) AS gkey,"
+            " CAST(dotNET AS DOUBLE) AS c1, CAST(Java AS DOUBLE) AS c2,"
+            " CAST(NULL AS DOUBLE) AS c3, CAST(NULL AS DOUBLE) AS c4 FROM ("
+            " SELECT year, course, earnings FROM courseSales)"
+            " PIVOT (sum(earnings) FOR course IN ('dotNET', 'Java'))",
+            # pivot years, no subquery (group key = course)
+            "SELECT 'years' AS check_name, CAST(course AS STRING) AS gkey,"
+            " CAST(`2012` AS DOUBLE) AS c1, CAST(`2013` AS DOUBLE) AS c2,"
+            " CAST(NULL AS DOUBLE) AS c3, CAST(NULL AS DOUBLE) AS c4"
+            " FROM courseSales PIVOT (sum(earnings) FOR year IN (2012, 2013))",
+            # multiple aggregations
+            "SELECT 'multi_agg' AS check_name, CAST(year AS STRING) AS gkey,"
+            " CAST(`dotNET_sum(earnings)` AS DOUBLE) AS c1,"
+            " CAST(`dotNET_avg(earnings)` AS DOUBLE) AS c2,"
+            " CAST(`Java_sum(earnings)` AS DOUBLE) AS c3,"
+            " CAST(`Java_avg(earnings)` AS DOUBLE) AS c4 FROM ("
+            " SELECT year, course, earnings FROM courseSales)"
+            " PIVOT (sum(earnings), avg(earnings) FOR course IN ('dotNET', 'Java'))",
+            # no group-by column at all
+            "SELECT 'no_groupby' AS check_name, CAST('all' AS STRING) AS gkey,"
+            " CAST(dotNET AS DOUBLE) AS c1, CAST(Java AS DOUBLE) AS c2,"
+            " CAST(NULL AS DOUBLE) AS c3, CAST(NULL AS DOUBLE) AS c4 FROM ("
+            " SELECT course, earnings FROM courseSales)"
+            " PIVOT (sum(earnings) FOR course IN ('dotNET', 'Java'))",
+            # join + multi group-by columns, pivot on the joined dim's col
+            "SELECT 'join_pivot_s' AS check_name,"
+            " course || '_' || CAST(year AS STRING) AS gkey,"
+            " CAST(`1` AS DOUBLE) AS c1, CAST(`2` AS DOUBLE) AS c2,"
+            " CAST(NULL AS DOUBLE) AS c3, CAST(NULL AS DOUBLE) AS c4 FROM ("
+            " SELECT course, year, earnings, s FROM courseSales JOIN years ON year = y)"
+            " PIVOT (sum(earnings) FOR s IN (1, 2))",
+            # multiple columns inside one aggregation
+            "SELECT 'agg_two_cols' AS check_name, CAST(year AS STRING) AS gkey,"
+            " CAST(dotNET AS DOUBLE) AS c1, CAST(Java AS DOUBLE) AS c2,"
+            " CAST(NULL AS DOUBLE) AS c3, CAST(NULL AS DOUBLE) AS c4 FROM ("
+            " SELECT course, year, earnings, s FROM courseSales JOIN years ON year = y)"
+            " PIVOT (sum(earnings * s) FOR course IN ('dotNET', 'Java'))",
+            # aliases on aggregations + projection over generated names
+            "SELECT 'aliases' AS check_name, CAST(c AS STRING) AS gkey,"
+            " CAST(`2012_s` AS DOUBLE) AS c1, CAST(`2013_s` AS DOUBLE) AS c2,"
+            " CAST(`2012_a` AS DOUBLE) AS c3, CAST(`2013_a` AS DOUBLE) AS c4 FROM ("
+            " SELECT year y, course c, earnings e FROM courseSales)"
+            " PIVOT (sum(e) s, avg(e) a FOR y IN (2012, 2013))",
+        ]
+    )
+
+
+def _pivot_duck_sql() -> str:
+    """The oracle states each pivot as explicit conditional aggregation —
+    the relational definition PIVOT sugars over."""
+
+    def agg(col: str, fn: str, cond: str) -> str:
+        return f"CAST({fn}(earnings) FILTER (WHERE {cond}) AS DOUBLE)"
+
+    return "\nUNION ALL\n".join(
+        [
+            "SELECT 'courses' AS check_name, CAST(year AS VARCHAR) AS gkey,"
+            f" {agg('earnings', 'sum', chr(39) + 'dotNET' + chr(39) + ' = course')} AS c1,"
+            f" {agg('earnings', 'sum', chr(39) + 'Java' + chr(39) + ' = course')} AS c2,"
+            " CAST(NULL AS DOUBLE) AS c3, CAST(NULL AS DOUBLE) AS c4"
+            " FROM courseSales GROUP BY year",
+            "SELECT 'years' AS check_name, CAST(course AS VARCHAR) AS gkey,"
+            " CAST(sum(earnings) FILTER (WHERE year = 2012) AS DOUBLE) AS c1,"
+            " CAST(sum(earnings) FILTER (WHERE year = 2013) AS DOUBLE) AS c2,"
+            " CAST(NULL AS DOUBLE) AS c3, CAST(NULL AS DOUBLE) AS c4"
+            " FROM courseSales GROUP BY course",
+            "SELECT 'multi_agg' AS check_name, CAST(year AS VARCHAR) AS gkey,"
+            " CAST(sum(earnings) FILTER (WHERE course = 'dotNET') AS DOUBLE) AS c1,"
+            " CAST(avg(earnings) FILTER (WHERE course = 'dotNET') AS DOUBLE) AS c2,"
+            " CAST(sum(earnings) FILTER (WHERE course = 'Java') AS DOUBLE) AS c3,"
+            " CAST(avg(earnings) FILTER (WHERE course = 'Java') AS DOUBLE) AS c4"
+            " FROM courseSales GROUP BY year",
+            "SELECT 'no_groupby' AS check_name, CAST('all' AS VARCHAR) AS gkey,"
+            " CAST(sum(earnings) FILTER (WHERE course = 'dotNET') AS DOUBLE) AS c1,"
+            " CAST(sum(earnings) FILTER (WHERE course = 'Java') AS DOUBLE) AS c2,"
+            " CAST(NULL AS DOUBLE) AS c3, CAST(NULL AS DOUBLE) AS c4 FROM courseSales",
+            "SELECT 'join_pivot_s' AS check_name,"
+            " course || '_' || CAST(year AS VARCHAR) AS gkey,"
+            " CAST(sum(earnings) FILTER (WHERE s = 1) AS DOUBLE) AS c1,"
+            " CAST(sum(earnings) FILTER (WHERE s = 2) AS DOUBLE) AS c2,"
+            " CAST(NULL AS DOUBLE) AS c3, CAST(NULL AS DOUBLE) AS c4"
+            " FROM courseSales JOIN years ON year = y GROUP BY course, year",
+            "SELECT 'agg_two_cols' AS check_name, CAST(year AS VARCHAR) AS gkey,"
+            " CAST(sum(earnings * s) FILTER (WHERE course = 'dotNET') AS DOUBLE) AS c1,"
+            " CAST(sum(earnings * s) FILTER (WHERE course = 'Java') AS DOUBLE) AS c2,"
+            " CAST(NULL AS DOUBLE) AS c3, CAST(NULL AS DOUBLE) AS c4"
+            " FROM courseSales JOIN years ON year = y GROUP BY year",
+            "SELECT 'aliases' AS check_name, CAST(course AS VARCHAR) AS gkey,"
+            " CAST(sum(earnings) FILTER (WHERE year = 2012) AS DOUBLE) AS c1,"
+            " CAST(sum(earnings) FILTER (WHERE year = 2013) AS DOUBLE) AS c2,"
+            " CAST(avg(earnings) FILTER (WHERE year = 2012) AS DOUBLE) AS c3,"
+            " CAST(avg(earnings) FILTER (WHERE year = 2013) AS DOUBLE) AS c4"
+            " FROM courseSales GROUP BY course",
+        ]
+    )
+
+
+PIVOT_ORACLE = f"""
+WITH courseSales AS ({_CS_DUCK}), years AS ({_YEARS_DUCK})
+{_pivot_duck_sql()}
+ORDER BY check_name, gkey, c1, c2, c3, c4
+"""
+
+
+@register("sqltests_pivot", PIVOT_ORACLE, tags=("sqltests", "agg"))
+def sqltests_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT battery from the reference's pivot.sql golden: pivot on a
+    string and an int key, implicit group-by columns (everything not
+    pivoted or aggregated), NO group-by columns (one global row),
+    multiple aggregations and their generated `key_agg` column names,
+    aliased aggregations renaming those columns (2012_s ...), a pivot
+    whose aggregate spans TWO columns (sum(earnings * s)), and pivot over
+    a join with multi-column grouping. Each check is normalized to
+    (check, gkey, c1..c4) so the heterogeneous pivot schemas union; the
+    DuckDB oracle states every pivot as the conditional aggregation
+    (FILTER (WHERE ...)) it sugars over. The file's negative rows
+    (non-aggregate pivot function, unresolvable pivot column) are pytest
+    pins.
+
+    Scale shape: constant-size LocalRelation battery; fixture-scale pivot
+    is pivot_linestatus."""
+    return spark.sql(
+        f"WITH courseSales AS ({_CS_SPARK}), years AS ({_YEARS_SPARK})\n"
+        f"{_pivot_spark_sql()}\nORDER BY check_name, gkey, c1, c2, c3, c4"
+    )
+
+
+# ---------------------------------------------------------------------------
+# group-by-ordinal.sql (+ the value rows of order-by-ordinal.sql)
+# ---------------------------------------------------------------------------
+
+
+def _ordinals_sql(vc: str) -> str:
+    """group-by-ordinal.sql's value-carrying checks (both dialects resolve
+    GROUP BY <ordinal> identically; the negatives — out-of-range, ordinal
+    of an aggregate, star, nondeterministic expression, and the
+    groupByOrdinal=false flip — are pytest pins). order-by-ordinal's
+    checks are pure output order (the row-sorted hash can't see them) and
+    are pytest pins too, EXCEPT the `ORDER BY 1 + 0` rule, which also
+    holds for GROUP BY: a foldable non-literal is a constant, not an
+    ordinal — check gb_foldable groups everything into one row."""
+
+    def row(check: str, k1: str, k2: str, v: str, tail: str) -> str:
+        return (
+            f"SELECT '{check}' AS check_name, CAST({k1} AS BIGINT) AS k1,"
+            f" CAST({k2} AS BIGINT) AS k2, CAST({v} AS BIGINT) AS v {tail}"
+        )
+
+    # Every check keeps the reference's ordinal in an INNER subquery (the
+    # normalizing outer select would otherwise renumber the select list
+    # the ordinal points at).
+    return "\nUNION ALL\n".join(
+        [
+            row("gb_basic", "q.a", "NULL", "q.s",
+                "FROM (SELECT a, sum(b) AS s FROM data GROUP BY 1) q"),
+            row("gb_constants", "q.one", "q.two", "q.s",
+                "FROM (SELECT 1 AS one, 2 AS two, sum(b) AS s FROM data GROUP BY 1, 2) q"),
+            row("gb_dup_col", "q.a", "q.one", "q.s",
+                "FROM (SELECT a, 1 AS one, sum(b) AS s FROM data GROUP BY a, 1) q"),
+            row("gb_dup_ordinal", "q.a", "q.one", "q.s",
+                "FROM (SELECT a, 1 AS one, sum(b) AS s FROM data GROUP BY 1, 2) q"),
+            row("gb_expr_ordinal", "q.a", "q.b2", "q.c",
+                "FROM (SELECT a, b + 2 AS b2, count(2) AS c FROM data GROUP BY a, 2) q"),
+            row("gb_aliased", "q.aa", "q.bb", "q.c",
+                "FROM (SELECT a AS aa, b + 2 AS bb, count(2) AS c FROM data GROUP BY 1, 2) q"),
+            # 1 + 0 is a CONSTANT, not an ordinal: one global group
+            row("gb_foldable", "NULL", "NULL", "q.s",
+                "FROM (SELECT sum(b) AS s FROM data GROUP BY 1 + 0) q"),
+            row("gb_then_having", "q.a2", "NULL", "q.c", "FROM ("
+                "SELECT count(x) AS c, x AS a2 FROM (SELECT 1 AS x) tmp"
+                " GROUP BY 2 HAVING x > 0) q"),
+            # group by an alias AND the ordinal of the same column at once
+            row("gb_mixed_alias", "q.a", "q.k", "q.cb",
+                "FROM (SELECT a, a AS k, count(b) AS cb FROM data GROUP BY k, 1) q"),
+        ]
+    )
+
+
+ORDINALS_ORACLE = f"""
+WITH data AS ({_TD_DUCK.replace("testData", "data")})
+{_ordinals_sql("VARCHAR")}
+ORDER BY check_name, k1, k2, v
+"""
+
+
+@register("sqltests_ordinals", ORDINALS_ORACLE, tags=("sqltests", "agg"))
+def sqltests_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal-resolution battery from the reference's
+    group-by-ordinal.sql golden: GROUP BY 1 resolves to the first output
+    column, constant select items grouped by ordinal, the same column
+    named AND numbered at once, an ordinal pointing at a non-aggregate
+    EXPRESSION (b + 2), aliases mixed with ordinals, GROUP BY 1 + 0 as a
+    foldable CONSTANT (one global group — the ordinal rule applies only
+    to bare integer literals), and ordinal-grouped HAVING. The negatives
+    (ordinal 0/-1/out-of-range, ordinal of an aggregate item, star,
+    rand() in GROUP BY, and the spark.sql.groupByOrdinal=false /
+    orderByOrdinal=false flips) plus order-by-ordinal.sql's
+    output-order-only checks are pinned in tests/test_r10_sqltests.py.
+
+    Scale shape: constant-size LocalRelation battery (semantics fence)."""
+    return spark.sql(
+        f"WITH data AS ({_TD_SPARK.replace('testData', 'data')})\n"
+        f"{_ordinals_sql('STRING')}\nORDER BY check_name, k1, k2, v"
+    )

@@ -267,3 +267,157 @@ def test_cte_resolution_precedence(spark):
     finally:
         spark.catalog.dropTempView("cte_t")
         spark.catalog.dropTempView("cte_t2")
+
+
+# --- window.sql: invalid frames -------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "frame",
+    [
+        "ROWS BETWEEN UNBOUNDED FOLLOWING AND 1 FOLLOWING",  # inverted
+        "RANGE BETWEEN 1 FOLLOWING AND 1 PRECEDING",  # lower > upper
+    ],
+)
+def test_window_invalid_frame_raises(spark, frame):
+    """window.sql: structurally invalid frames are analysis errors."""
+    with pytest.raises(AnalysisException):
+        _sql(
+            spark,
+            f"SELECT count(*) OVER (ORDER BY id {frame}) FROM range(3)",
+        ).collect()
+
+
+@pytest.mark.parametrize(
+    "over",
+    [
+        "PARTITION BY cate RANGE BETWEEN CURRENT ROW AND 1 FOLLOWING",  # no ORDER BY
+        "PARTITION BY cate ORDER BY v, cate RANGE BETWEEN CURRENT ROW AND 1 FOLLOWING",  # 2 keys
+        "ORDER BY id ROWS BETWEEN CURRENT ROW AND 2147483648 FOLLOWING",  # int64 ROWS bound
+    ],
+)
+def test_window_range_frame_requirements(spark, over):
+    """window.sql: a value-RANGE frame needs exactly ONE ordering column
+    (none / two are analysis errors), and ROWS bounds must fit int32
+    (the int64 bound is legal only for RANGE — the oracle battery's
+    range_big check)."""
+    with pytest.raises(AnalysisException):
+        _sql(
+            spark,
+            "SELECT count(*) OVER ("
+            + over
+            + ") FROM (SELECT id, id AS v, 'x' AS cate FROM range(3))",
+        ).collect()
+
+
+# --- operators.sql: ANSI-dependent and engine-divergent cells --------------
+
+
+def test_division_by_zero_mode_dependent(spark):
+    """operators.sql: 5/0, 5 div 0, mod(7,0), pmod(7,0) are NULL under
+    the engine profile (legacy mode, matching the reference's golden) but
+    errors under ANSI — session-dependent, so pytest-pinned per mode."""
+    q = "SELECT 5 / 0 AS a, 5 div 0 AS b, mod(7, 0) AS c, pmod(7, 0) AS d"
+    assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+    got = _sql(spark, q).collect()[0]
+    assert (got["a"], got["b"], got["c"], got["d"]) == (None, None, None, None)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        from pyspark.errors import ArithmeticException
+
+        with pytest.raises((ArithmeticException, Exception)) as ei:
+            _sql(spark, "SELECT 5 / 0").collect()
+        assert "DIVIDE_BY_ZERO" in str(ei.value)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+def test_concat_plus_precedence_spark_dialect(spark):
+    """operators.sql: `'a' || 1 + 2` parses as concat('a', 1) + 2 in Spark
+    (|| at the multiplication-adjacent level of the Oracle precedence
+    table the file documents) — 'a1' + 2 is a failed numeric cast, NULL
+    under legacy mode. DuckDB parses || BELOW + and returns 'a3', a
+    genuine cross-engine precedence divergence, which is why this cell is
+    pinned here rather than oracle-compared."""
+    got = _sql(spark, "SELECT 'a' || 1 + 2 AS x").collect()[0]
+    assert got["x"] is None  # concat('a',1)+2 -> CAST('a1' AS DOUBLE) -> NULL
+    import duckdb
+
+    assert duckdb.connect().execute("SELECT 'a' || 1 + 2").fetchone()[0] == "a3"
+
+
+# --- group-by-ordinal.sql / order-by-ordinal.sql: negatives + flag flips ---
+
+
+@pytest.mark.parametrize("gb", ["-1", "0", "3"])
+def test_group_by_ordinal_negatives(spark, gb):
+    """group-by-ordinal.sql: out-of-range ordinals are analysis errors
+    (ordinal 3 points past the two-column select list). The reference's
+    nondeterministic-ordinal negative (GROUP BY a, 2 -> rand(0)) is NOT
+    pinned: grouping by nondeterministic expressions became legal
+    upstream after 2.4, so modern Spark accepts it."""
+    with pytest.raises(AnalysisException):
+        _sql(
+            spark,
+            f"SELECT a, b FROM (VALUES (1, 1), (2, 2)) data(a, b) GROUP BY {gb}",
+        ).collect()
+
+
+def test_group_by_star_raises(spark):
+    """group-by-ordinal.sql: star in the select list of a grouped query is
+    an analysis error."""
+    with pytest.raises(AnalysisException):
+        _sql(
+            spark,
+            "SELECT * FROM (VALUES (1, 1)) data(a, b) GROUP BY a, b, 1",
+        ).collect()
+
+
+def test_ordinal_flags_flip_to_literals(spark):
+    """group-by-ordinal.sql / order-by-ordinal.sql: with
+    groupByOrdinal/orderByOrdinal off, the integer is a LITERAL — GROUP
+    BY -1 groups everything, ORDER BY 0 sorts by a constant (no-op)."""
+    data = "(VALUES (1, 1), (2, 2), (3, 1)) data(a, b)"
+    spark.conf.set("spark.sql.groupByOrdinal", "false")
+    spark.conf.set("spark.sql.orderByOrdinal", "false")
+    try:
+        got = _sql(spark, f"SELECT sum(b) AS s FROM {data} GROUP BY -1").collect()
+        assert [r["s"] for r in got] == [4]
+        assert _sql(spark, f"SELECT a FROM {data} ORDER BY 0").count() == 3
+    finally:
+        spark.conf.unset("spark.sql.groupByOrdinal")
+        spark.conf.unset("spark.sql.orderByOrdinal")
+    # Flags back on: ORDER BY 0 is out-of-range again.
+    with pytest.raises(AnalysisException):
+        _sql(spark, f"SELECT a FROM {data} ORDER BY 0").collect()
+
+
+def test_order_by_ordinal_output_order(spark):
+    """order-by-ordinal.sql: ORDER BY 1 DESC / mixed ordinal+name /
+    multiple ordinals — pure output order, pinned positionally."""
+    data = "(VALUES (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2)) data(a, b)"
+    got = _sql(spark, f"SELECT a, b FROM {data} ORDER BY 1 DESC, 2 DESC").collect()
+    assert [(r["a"], r["b"]) for r in got] == [(3, 2), (3, 1), (2, 2), (2, 1), (1, 2), (1, 1)]
+    # 1 + 0 is a constant: ordering falls to the explicit b DESC only.
+    got = _sql(spark, f"SELECT a, b FROM {data} ORDER BY 1 + 0 DESC, b DESC").collect()
+    assert [r["b"] for r in got[:3]] == [2, 2, 2]
+
+
+# --- pivot.sql: negatives ---------------------------------------------------
+
+
+def test_pivot_negatives(spark):
+    """pivot.sql: a non-aggregate pivot function and an unresolvable pivot
+    column are analysis errors."""
+    cs = "(VALUES ('dotNET', 2012, 10000), ('Java', 2013, 30000)) courseSales(course, year, earnings)"
+    with pytest.raises(AnalysisException):
+        _sql(
+            spark,
+            f"SELECT * FROM {cs} PIVOT (abs(earnings) FOR year IN (2012, 2013))",
+        ).collect()
+    with pytest.raises(AnalysisException):
+        _sql(
+            spark,
+            f"SELECT * FROM (SELECT course, earnings FROM {cs}) p"
+            " PIVOT (sum(earnings) FOR year IN (2012, 2013))",
+        ).collect()
