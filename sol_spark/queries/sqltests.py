@@ -1520,3 +1520,218 @@ def sqltests_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WITH data AS ({_TD_SPARK.replace('testData', 'data')})\n"
         f"{_ordinals_sql('STRING')}\nORDER BY check_name, k1, k2, v"
     )
+
+
+# ---------------------------------------------------------------------------
+# inline-table.sql + table-valued-functions.sql
+# ---------------------------------------------------------------------------
+
+
+def _inline_tvf_sql(spark: bool) -> str:
+    """Value-carrying checks from inline-table.sql (VALUES inference:
+    default col names, int/long and decimal/double widening, foldable
+    expressions, null columns) and table-valued-functions.sql (range()
+    arities incl. a fractional-expression bound and mixed-case name).
+    The error rows of both files are pytest pins; the array/timestamp
+    rows are stringified (raw array outputs banned corpus-wide)."""
+    vc = "STRING" if spark else "VARCHAR"
+
+    def vals(body: str) -> str:
+        # Spark: VALUES ... AS data(a, b); DuckDB: (VALUES ...) data(a, b)
+        return f"VALUES {body}" if spark else f"(VALUES {body})"
+
+    rows = [
+        # Default column names: Spark col1/col2 (pinned by aliasing).
+        f"SELECT 'no_alias' AS check_name, CAST(q.col1 AS {vc}) AS s,"
+        " CAST(q.col2 AS BIGINT) AS v, CAST(NULL AS DOUBLE) AS vd"
+        + (" FROM (SELECT * FROM VALUES ('one', 1)) q" if spark
+           else " FROM (SELECT 'one' AS col1, 1 AS col2) q"),
+        # int + long widens to long
+        f"SELECT 'int_long' AS check_name, CAST(a AS {vc}) AS s, CAST(b AS BIGINT) AS v,"
+        " CAST(NULL AS DOUBLE) AS vd FROM "
+        + vals("('one', 1), ('two', CAST(2 AS BIGINT))") + " AS data(a, b)",
+        # foldable expressions evaluate at analysis
+        f"SELECT 'foldable' AS check_name, CAST(a AS {vc}) AS s, CAST(b AS BIGINT) AS v,"
+        " CAST(NULL AS DOUBLE) AS vd FROM "
+        + vals("('one', 1 + 0), ('two', 1 + CAST(3 AS BIGINT))") + " AS data(a, b)",
+        # all-null column typed NULL -> usable as any type
+        f"SELECT 'null_col' AS check_name, CAST(a AS {vc}) AS s, CAST(b AS BIGINT) AS v,"
+        " CAST(NULL AS DOUBLE) AS vd FROM "
+        + vals("('one', NULL), ('two', NULL)") + " AS data(a, b)",
+        # decimal + double widens to double
+        f"SELECT 'dec_double' AS check_name, CAST(a AS {vc}) AS s, CAST(NULL AS BIGINT) AS v,"
+        " CAST(b AS DOUBLE) AS vd FROM "
+        + vals("('one', 2.0), ('two', CAST(3.0 AS DOUBLE))") + " AS data(a, b)",
+        # arrays in VALUES, stringified for the output contract
+        "SELECT 'array_vals' AS check_name,"
+        + (" array_join(b, ',')" if spark else " array_to_string(b, ',')")
+        + f" AS s, CAST(NULL AS BIGINT) AS v, CAST(NULL AS DOUBLE) AS vd FROM "
+        + (vals("('one', array(0, 1)), ('two', array(2, 3))") if spark
+           else vals("('one', [0, 1]), ('two', [2, 3])"))
+        + " AS data(a, b)",
+        # range() arities; 6 + cos(3) == 5.01 floors to 5 rows
+        "SELECT 'range_end' AS check_name, CAST(NULL AS " + vc + ") AS s,"
+        " CAST(id AS BIGINT) AS v, CAST(NULL AS DOUBLE) AS vd FROM "
+        + ("range(6 + cos(3)) " if spark
+           else "range(CAST(6 + cos(3) AS BIGINT)) t(id)"),
+        "SELECT 'range_start_end' AS check_name, CAST(NULL AS " + vc + ") AS s,"
+        " CAST(id AS BIGINT) AS v, CAST(NULL AS DOUBLE) AS vd FROM range(5, 10)"
+        + ("" if spark else " t(id)"),
+        "SELECT 'range_step' AS check_name, CAST(NULL AS " + vc + ") AS s,"
+        " CAST(id AS BIGINT) AS v, CAST(NULL AS DOUBLE) AS vd FROM range(0, 10, 2)"
+        + ("" if spark else " t(id)"),
+        # numPartitions arg is Spark-only; the oracle sees the same rows
+        "SELECT 'range_numpart' AS check_name, CAST(NULL AS " + vc + ") AS s,"
+        " CAST(id AS BIGINT) AS v, CAST(NULL AS DOUBLE) AS vd FROM "
+        + ("range(0, 10, 1, 7)" if spark else "range(0, 10, 1) t(id)"),
+        # mixed-case function name resolves
+        "SELECT 'range_case' AS check_name, CAST(NULL AS " + vc + ") AS s,"
+        " CAST(id AS BIGINT) AS v, CAST(NULL AS DOUBLE) AS vd FROM RaNgE(2)"
+        + ("" if spark else " t(id)"),
+    ]
+    return "\nUNION ALL\n".join(rows)
+
+
+INLINE_TVF_ORACLE = f"""
+{_inline_tvf_sql(spark=False)}
+ORDER BY check_name, s, v, vd
+"""
+
+
+@register("sqltests_inline_tvf", INLINE_TVF_ORACLE, tags=("sqltests", "source"))
+def sqltests_inline_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline-table + table-valued-function battery from the reference's
+    inline-table.sql and table-valued-functions.sql goldens: VALUES
+    default column naming (col1/col2), int+long and decimal+double
+    widening across rows, foldable expressions evaluated at analysis
+    time, all-null columns, array literals (stringified — raw array
+    outputs are banned corpus-wide), and the range() TVF's arities —
+    end-only with a fractional foldable bound (6 + cos(3) truncates to
+    5), start/end, step, the Spark-only numPartitions arg (same rows,
+    partitioning is physical), and mixed-case resolution. Error rows of
+    both files (nondeterministic VALUES, ragged rows, incompatible
+    types, alias arity mismatch, aggregates in VALUES, range() arity)
+    are pinned in tests/test_r10_sqltests.py.
+
+    Scale shape: constant-size LocalRelation/Range battery — Range is a
+    leaf the planner can split (the numPartitions form pins the API)."""
+    return spark.sql(f"{_inline_tvf_sql(spark=True)}\nORDER BY check_name, s, v, vd")
+
+
+# ---------------------------------------------------------------------------
+# typeCoercion/native: implicitTypeCasts, promoteStrings, caseWhenCoercion,
+# ifCoercion, inConversion, concat, elt (the session-stable cells)
+# ---------------------------------------------------------------------------
+
+
+def _coercion_sql(spark: bool) -> str:
+    """Implicit-cast cells that analyze under BOTH legacy and ANSI modes
+    (the driver's vanilla session is ANSI-on). Where the two modes agree
+    on the VALUE but not the intermediate TYPE — legacy coerces
+    string-vs-numeric arithmetic to DOUBLE, ANSI to the numeric side's
+    type — an explicit outer CAST pins a mode-independent output. Cells
+    that analyze in only one mode (string/string division, boolean =
+    numeric) are per-mode pytest pins. The DuckDB oracle spells every
+    implicit cast explicitly: the oracle's job is the expected value,
+    the battery's job is that Spark's implicit path produces it."""
+    vc = "STRING" if spark else "VARCHAR"
+
+    def row(check: str, v: str, vd: str = "NULL", s: str = "NULL") -> str:
+        return (
+            f"SELECT '{check}' AS check_name, CAST({v} AS BIGINT) AS v,"
+            f" CAST({vd} AS DOUBLE) AS vd, CAST({s} AS {vc}) AS s"
+        )
+
+    if spark:
+        return "\nUNION ALL\n".join(
+            [
+                row("arith_str_int", "NULL", vd="CAST(1 + '2' AS DOUBLE)"),
+                row("arith_str_sub", "NULL", vd="CAST(1 - '2' AS DOUBLE)"),
+                row("arith_str_mul", "NULL", vd="CAST(3 * '2' AS DOUBLE)"),
+                row("arith_str_div", "NULL", vd="CAST(4 / '2' AS DOUBLE)"),
+                row("concat_smallint", "NULL", s="'$' || CAST(1 AS SMALLINT) || '$'"),
+                row("concat_int", "NULL", s="'$' || 1 || '$'"),
+                row("concat_bigint", "NULL", s="'$' || CAST(1 AS BIGINT) || '$'"),
+                row("concat_double", "NULL", s="'$' || CAST(1.1 AS DOUBLE) || '$'"),
+                row("concat_str", "NULL", s="'$' || 'abcd' || '$'"),
+                row("concat_date", "NULL", s="'$' || DATE '1996-09-09' || '$'"),
+                row("len_smallint", "length(CAST(1 AS SMALLINT))"),
+                row("len_bigint", "length(CAST(1 AS BIGINT))"),
+                row("len_str", "length('four')"),
+                row("len_date", "length(DATE '1996-09-10')"),
+                row("date_parts",
+                    "year('1996-01-10') * 10000 + month('1996-01-10') * 100 + day('1996-01-10')"),
+                row("time_parts",
+                    "hour('10:11:12') * 10000 + minute('10:11:12') * 100 + second('10:11:12')"),
+                row("int_like", "CASE WHEN 1 LIKE '%' THEN 1 ELSE 0 END"),
+                row("case_widen", "CASE WHEN true THEN CAST(1 AS TINYINT)"
+                    " ELSE CAST(2 AS BIGINT) END"),
+                row("if_widen", "NULL",
+                    vd="if(true, CAST(1 AS SMALLINT), CAST(2 AS DOUBLE))"),
+                row("in_widen", "CASE WHEN 1 IN (CAST(1 AS BIGINT), CAST(2 AS DOUBLE))"
+                    " THEN 1 ELSE 0 END"),
+                row("concat_ws_int", "NULL", s="concat_ws(',', '1', CAST(2 AS INT))"),
+                row("elt_pick", "NULL", s="elt(2, 'a', 'b', 'c')"),
+            ]
+        )
+    return "\nUNION ALL\n".join(
+        [
+            row("arith_str_int", "NULL", vd="CAST(1 + CAST('2' AS BIGINT) AS DOUBLE)"),
+            row("arith_str_sub", "NULL", vd="CAST(1 - CAST('2' AS BIGINT) AS DOUBLE)"),
+            row("arith_str_mul", "NULL", vd="CAST(3 * CAST('2' AS BIGINT) AS DOUBLE)"),
+            row("arith_str_div", "NULL", vd="CAST(4 / CAST('2' AS BIGINT) AS DOUBLE)"),
+            row("concat_smallint", "NULL", s="'$' || CAST(CAST(1 AS SMALLINT) AS VARCHAR) || '$'"),
+            row("concat_int", "NULL", s="'$' || CAST(1 AS VARCHAR) || '$'"),
+            row("concat_bigint", "NULL", s="'$' || CAST(CAST(1 AS BIGINT) AS VARCHAR) || '$'"),
+            row("concat_double", "NULL", s="'$' || CAST(CAST(1.1 AS DOUBLE) AS VARCHAR) || '$'"),
+            row("concat_str", "NULL", s="'$' || 'abcd' || '$'"),
+            row("concat_date", "NULL", s="'$' || CAST(DATE '1996-09-09' AS VARCHAR) || '$'"),
+            row("len_smallint", "length(CAST(CAST(1 AS SMALLINT) AS VARCHAR))"),
+            row("len_bigint", "length(CAST(CAST(1 AS BIGINT) AS VARCHAR))"),
+            row("len_str", "length('four')"),
+            row("len_date", "length(CAST(DATE '1996-09-10' AS VARCHAR))"),
+            row("date_parts",
+                "year(DATE '1996-01-10') * 10000 + month(DATE '1996-01-10') * 100"
+                " + day(DATE '1996-01-10')"),
+            row("time_parts",
+                "hour(TIMESTAMP '1970-01-01 10:11:12') * 10000"
+                " + minute(TIMESTAMP '1970-01-01 10:11:12') * 100"
+                " + second(TIMESTAMP '1970-01-01 10:11:12')"),
+            row("int_like", "CASE WHEN CAST(1 AS VARCHAR) LIKE '%' THEN 1 ELSE 0 END"),
+            row("case_widen", "CASE WHEN true THEN CAST(1 AS BIGINT)"
+                " ELSE CAST(2 AS BIGINT) END"),
+            row("if_widen", "NULL",
+                vd="CASE WHEN true THEN CAST(1 AS DOUBLE) ELSE CAST(2 AS DOUBLE) END"),
+            row("in_widen", "CASE WHEN 1 IN (1, 2) THEN 1 ELSE 0 END"),
+            row("concat_ws_int", "NULL", s="concat_ws(',', '1', CAST(2 AS VARCHAR))"),
+            row("elt_pick", "NULL", s="'b'"),
+        ]
+    )
+
+
+COERCION_ORACLE = f"""
+{_coercion_sql(spark=False)}
+ORDER BY check_name, v, vd, s
+"""
+
+
+@register("sqltests_coercion", COERCION_ORACLE, tags=("sqltests", "functions"))
+def sqltests_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit-cast battery from the reference's typeCoercion/native
+    goldens (implicitTypeCasts, promoteStrings, caseWhenCoercion,
+    ifCoercion, inConversion, concat, elt): string operands coercing in
+    numeric arithmetic, every numeric/date type stringifying inside ||,
+    length() over implicitly-stringified numerics and dates, date/time
+    part extractors over bare strings, an integer matched against a LIKE
+    pattern, CASE/IF branches widening (tinyint+bigint -> bigint,
+    smallint+double -> double), IN-list widening, and concat_ws/elt over
+    mixed types. Only SESSION-STABLE cells: each analyzes under legacy
+    AND ANSI mode, with explicit outer casts where the two modes widen
+    differently (legacy sends string-vs-numeric arithmetic to DOUBLE,
+    ANSI to the numeric side's type). boolean=numeric equality and
+    string/string division analyze in one mode only — per-mode pins in
+    tests/test_r10_sqltests.py, with the rest of that file's
+    binary/timestamp cells.
+
+    Scale shape: constant-size literal battery (semantics fence)."""
+    return spark.sql(f"{_coercion_sql(spark=True)}\nORDER BY check_name, v, vd, s")

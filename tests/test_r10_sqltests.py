@@ -421,3 +421,58 @@ def test_pivot_negatives(spark):
             f"SELECT * FROM (SELECT course, earnings FROM {cs}) p"
             " PIVOT (sum(earnings) FOR year IN (2012, 2013))",
         ).collect()
+
+
+# --- inline-table.sql / table-valued-functions.sql: negatives ---------------
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "SELECT * FROM VALUES ('one', rand(5)), ('two', 3.0D) AS data(a, b)",  # nondeterministic
+        "SELECT * FROM VALUES ('one', 2.0), ('two') AS data(a, b)",  # ragged rows
+        "SELECT * FROM VALUES ('one', array(0, 1)), ('two', struct(1, 2)) AS data(a, b)",  # incompatible
+        "SELECT * FROM VALUES ('one'), ('two') AS data(a, b)",  # alias arity
+        "SELECT * FROM VALUES ('one', random_not_exist_func(1)) AS data(a, b)",  # unresolved fn
+        "SELECT * FROM VALUES ('one', count(1)), ('two', 2) AS data(a, b)",  # aggregate
+    ],
+)
+def test_inline_table_negatives(spark, bad):
+    """inline-table.sql: VALUES rows must be deterministic, foldable,
+    rectangular, type-compatible, alias-arity-consistent, and
+    aggregate-free."""
+    with pytest.raises(AnalysisException):
+        _sql(spark, bad).collect()
+
+
+def test_tvf_negatives(spark):
+    """table-valued-functions.sql: unknown TVF, range() arity overflow,
+    and a NULL range bound are errors."""
+    with pytest.raises(AnalysisException):
+        _sql(spark, "SELECT * FROM dummy(3)").collect()
+    with pytest.raises(AnalysisException):
+        _sql(spark, "SELECT * FROM range(1, 1, 1, 1, 1)").collect()
+    with pytest.raises(AnalysisException):
+        _sql(spark, "SELECT * FROM range(1, null)").collect()
+
+
+# --- typeCoercion booleanEquality: per-mode -------------------------------
+
+
+def test_boolean_numeric_equality_mode_dependent(spark):
+    """booleanEquality.sql: true = 1 coerces under legacy mode (true for
+    every numeric 1, incl. null-safe <=>), but is an analysis error under
+    ANSI — session-dependent, pinned per mode."""
+    assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+    got = _sql(
+        spark,
+        "SELECT true = CAST(1 AS INT) AS a, true = CAST(1 AS DOUBLE) AS b,"
+        " true <=> CAST(1 AS BIGINT) AS c, true = CAST(0 AS INT) AS d",
+    ).collect()[0]
+    assert (got["a"], got["b"], got["c"], got["d"]) == (True, True, True, False)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        with pytest.raises(AnalysisException):
+            _sql(spark, "SELECT true = CAST(1 AS INT)").collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
