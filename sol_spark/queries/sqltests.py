@@ -1735,3 +1735,280 @@ def sqltests_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: constant-size literal battery (semantics fence)."""
     return spark.sql(f"{_coercion_sql(spark=True)}\nORDER BY check_name, v, vd, s")
+
+
+# ---------------------------------------------------------------------------
+# subquery/exists-subquery: exists-basic, exists-within-and-or,
+# exists-aggregate (the EMP/DEPT/BONUS star all seven files share)
+# ---------------------------------------------------------------------------
+
+_EMP_SPARK = (
+    "SELECT * FROM VALUES"
+    " (100, 'emp 1', DATE '2005-01-01', 100.00D, 10),"
+    " (100, 'emp 1', DATE '2005-01-01', 100.00D, 10),"
+    " (200, 'emp 2', DATE '2003-01-01', 200.00D, 10),"
+    " (300, 'emp 3', DATE '2002-01-01', 300.00D, 20),"
+    " (400, 'emp 4', DATE '2005-01-01', 400.00D, 30),"
+    " (500, 'emp 5', DATE '2001-01-01', 400.00D, CAST(NULL AS INT)),"
+    " (600, 'emp 6 - no dept', DATE '2001-01-01', 400.00D, 100),"
+    " (700, 'emp 7', DATE '2010-01-01', 400.00D, 100),"
+    " (800, 'emp 8', DATE '2016-01-01', 150.00D, 70)"
+    " AS EMP(id, emp_name, hiredate, salary, dept_id)"
+)
+_EMP_DUCK = (
+    "SELECT * FROM (VALUES"
+    " (100, 'emp 1', DATE '2005-01-01', CAST(100.00 AS DOUBLE), 10),"
+    " (100, 'emp 1', DATE '2005-01-01', CAST(100.00 AS DOUBLE), 10),"
+    " (200, 'emp 2', DATE '2003-01-01', CAST(200.00 AS DOUBLE), 10),"
+    " (300, 'emp 3', DATE '2002-01-01', CAST(300.00 AS DOUBLE), 20),"
+    " (400, 'emp 4', DATE '2005-01-01', CAST(400.00 AS DOUBLE), 30),"
+    " (500, 'emp 5', DATE '2001-01-01', CAST(400.00 AS DOUBLE), NULL),"
+    " (600, 'emp 6 - no dept', DATE '2001-01-01', CAST(400.00 AS DOUBLE), 100),"
+    " (700, 'emp 7', DATE '2010-01-01', CAST(400.00 AS DOUBLE), 100),"
+    " (800, 'emp 8', DATE '2016-01-01', CAST(150.00 AS DOUBLE), 70))"
+    " EMP(id, emp_name, hiredate, salary, dept_id)"
+)
+_DEPT_SPARK = (
+    "SELECT * FROM VALUES (10, 'dept 1', 'CA'), (20, 'dept 2', 'NY'),"
+    " (30, 'dept 3', 'TX'), (40, 'dept 4 - unassigned', 'OR'),"
+    " (50, 'dept 5 - unassigned', 'NJ'), (70, 'dept 7', 'FL')"
+    " AS DEPT(dept_id, dept_name, state)"
+)
+_DEPT_DUCK = (
+    "SELECT * FROM (VALUES (10, 'dept 1', 'CA'), (20, 'dept 2', 'NY'),"
+    " (30, 'dept 3', 'TX'), (40, 'dept 4 - unassigned', 'OR'),"
+    " (50, 'dept 5 - unassigned', 'NJ'), (70, 'dept 7', 'FL'))"
+    " DEPT(dept_id, dept_name, state)"
+)
+_BONUS_SPARK = (
+    "SELECT * FROM VALUES ('emp 1', 10.00D), ('emp 1', 20.00D),"
+    " ('emp 2', 300.00D), ('emp 2', 100.00D), ('emp 3', 300.00D),"
+    " ('emp 4', 100.00D), ('emp 5', 1000.00D), ('emp 6 - no dept', 500.00D)"
+    " AS BONUS(emp_name, bonus_amt)"
+)
+_BONUS_DUCK = (
+    "SELECT * FROM (VALUES ('emp 1', CAST(10.00 AS DOUBLE)), ('emp 1', CAST(20.00 AS DOUBLE)),"
+    " ('emp 2', CAST(300.00 AS DOUBLE)), ('emp 2', CAST(100.00 AS DOUBLE)),"
+    " ('emp 3', CAST(300.00 AS DOUBLE)), ('emp 4', CAST(100.00 AS DOUBLE)),"
+    " ('emp 5', CAST(1000.00 AS DOUBLE)), ('emp 6 - no dept', CAST(500.00 AS DOUBLE)))"
+    " BONUS(emp_name, bonus_amt)"
+)
+
+
+def _exists_sql(vc: str) -> str:
+    """exists-subquery checks shared verbatim by both dialects (EXISTS
+    semantics agree; only the string-type cast differs). Columns: id/name
+    of the surviving row, vd for aggregate outputs."""
+
+    def row(check: str, id_: str, name: str, vd: str, tail: str) -> str:
+        return (
+            f"SELECT '{check}' AS check_name, CAST({id_} AS BIGINT) AS id,"
+            f" CAST({name} AS {vc}) AS name, CAST({vd} AS DOUBLE) AS vd {tail}"
+        )
+
+    return "\nUNION ALL\n".join(
+        [
+            # exists-basic.sql
+            row("uncorrelated", "id", "emp_name", "salary",
+                "FROM emp WHERE EXISTS (SELECT 1 FROM dept"
+                " WHERE dept.dept_id > 10 AND dept.dept_id < 30)"),
+            row("correlated", "id", "emp_name", "salary",
+                "FROM emp WHERE EXISTS (SELECT dept.dept_name FROM dept"
+                " WHERE emp.dept_id = dept.dept_id)"),
+            # correlated disjunct referencing ONLY the outer row: the null
+            # dept_id employee survives through the IS NULL arm
+            row("corr_or_isnull", "id", "emp_name", "salary",
+                "FROM emp WHERE EXISTS (SELECT dept.dept_name FROM dept"
+                " WHERE emp.dept_id = dept.dept_id OR emp.dept_id IS NULL)"),
+            row("not_exists", "id", "emp_name", "salary",
+                "FROM emp WHERE NOT EXISTS (SELECT dept.dept_name FROM dept"
+                " WHERE emp.dept_id = dept.dept_id)"),
+            # exists-within-and-or.sql: EXISTS in a disjunction cannot be a
+            # plain semi join — rows can qualify through either arm
+            row("exists_or_pred", "NULL", "emp_name", "NULL",
+                "FROM emp WHERE EXISTS (SELECT dept.state FROM dept"
+                " WHERE emp.dept_id = dept.dept_id) OR emp.id > 200"),
+            row("exists_or_isnull", "id", "emp_name", "salary",
+                "FROM emp WHERE EXISTS (SELECT dept.dept_name FROM dept"
+                " WHERE emp.dept_id = dept.dept_id) OR emp.dept_id IS NULL"),
+            row("exists_or_exists", "NULL", "emp_name", "NULL",
+                "FROM emp WHERE EXISTS (SELECT dept.state FROM dept"
+                " WHERE emp.dept_id = dept.dept_id AND dept.dept_id = 20)"
+                " OR EXISTS (SELECT dept.state FROM dept"
+                " WHERE emp.dept_id = dept.dept_id AND dept.dept_id = 30)"),
+            # NOT EXISTS OR EXISTS over bonus; the bare emp_name inside the
+            # subquery binds to the INNER emp (scope precedence), bonus_amt
+            # to the outer bonus
+            row("not_exists_or_exists", "NULL", "emp_name", "bonus_amt",
+                "FROM bonus WHERE (NOT EXISTS (SELECT 1 FROM emp"
+                " WHERE emp.emp_name = emp_name AND bonus_amt > emp.salary)"
+                " OR EXISTS (SELECT 1 FROM emp"
+                " WHERE emp.emp_name = emp_name OR bonus_amt < emp.salary))"),
+            row("not_exists_and_in", "NULL", "emp_name", "bonus_amt",
+                "FROM bonus WHERE NOT EXISTS (SELECT 1 FROM emp"
+                " WHERE emp.emp_name = emp_name AND bonus_amt > emp.salary)"
+                " AND emp_name IN (SELECT emp_name FROM emp"
+                " WHERE bonus_amt < emp.salary)"),
+            # exists-aggregate.sql: aggregates above a correlated EXISTS,
+            # EXISTS over a grouped aggregate subquery, and nested EXISTS
+            row("agg_over_exists", "dept_id", "NULL", "sum(salary)",
+                "FROM emp WHERE EXISTS (SELECT state FROM dept"
+                " WHERE dept.dept_id = emp.dept_id) GROUP BY dept_id"),
+            row("agg_over_not_exists", "dept_id", "NULL",
+                "avg(salary) * 1000000 + sum(salary)",
+                "FROM emp WHERE NOT EXISTS (SELECT state FROM dept"
+                " WHERE dept.dept_id = emp.dept_id) GROUP BY dept_id"),
+            row("exists_grouped_agg", "NULL", "emp_name", "NULL",
+                "FROM emp WHERE EXISTS (SELECT max(dept.dept_id) FROM dept"
+                " WHERE dept.dept_id = emp.dept_id GROUP BY dept.dept_id)"),
+            row("not_exists_grouped_agg", "NULL", "emp_name", "NULL",
+                "FROM emp WHERE NOT EXISTS (SELECT max(dept.dept_id) FROM dept"
+                " WHERE dept.dept_id = emp.dept_id GROUP BY dept.dept_id)"),
+            row("nested_exists", "NULL", "emp_name", "bonus_amt",
+                "FROM bonus WHERE EXISTS (SELECT 1 FROM emp"
+                " WHERE emp.emp_name = bonus.emp_name"
+                " AND EXISTS (SELECT max(dept.dept_id) FROM dept"
+                " WHERE emp.dept_id = dept.dept_id GROUP BY dept.dept_id))"),
+            row("nested_not_exists", "NULL", "emp_name", "bonus_amt",
+                "FROM bonus WHERE NOT EXISTS (SELECT 1 FROM emp"
+                " WHERE emp.emp_name = bonus.emp_name"
+                " AND EXISTS (SELECT max(dept.dept_id) FROM dept"
+                " WHERE emp.dept_id = dept.dept_id GROUP BY dept.dept_id))"),
+        ]
+    )
+
+
+EXISTS_ORACLE = f"""
+WITH emp AS ({_EMP_DUCK}), dept AS ({_DEPT_DUCK}), bonus AS ({_BONUS_DUCK})
+{_exists_sql("VARCHAR")}
+ORDER BY check_name, id, name, vd
+"""
+
+
+@register("sqltests_exists", EXISTS_ORACLE, tags=("sqltests", "join", "subquery"))
+def sqltests_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS battery over the reference's shared EMP/DEPT/BONUS star
+    (subquery/exists-subquery/: exists-basic.sql, exists-within-and-or.sql,
+    exists-aggregate.sql): uncorrelated and correlated EXISTS/NOT EXISTS,
+    a correlated disjunct referencing only the OUTER row (OR emp.dept_id
+    IS NULL — every inner row matches for that employee), EXISTS inside
+    OR with plain predicates and with other EXISTS (the shapes a plain
+    left-semi rewrite cannot express — Spark plans ExistenceJoin),
+    inner-scope name precedence (the bare emp_name inside the bonus
+    subqueries binds to the INNER emp), NOT-EXISTS-AND-IN conjunction,
+    aggregation ABOVE a correlated (NOT) EXISTS, EXISTS over a GROUPED
+    aggregate subquery (groups make it non-empty per key), and
+    two-level nested EXISTS. The remaining four files of the directory
+    (cte/having/joins-and-set-ops/orderby-limit) compose the same
+    predicate shapes with operators covered by other batteries.
+
+    Scale shape: constant-size LocalRelation battery; production-scale
+    existence joins live in tpch_q4/q21/q22.
+
+    The salary/bonus doubles are all x.00 (binary-exact), so the avg in
+    agg_over_not_exists is exact cross-engine."""
+    return spark.sql(
+        f"WITH emp AS ({_EMP_SPARK}), dept AS ({_DEPT_SPARK}), bonus AS ({_BONUS_SPARK})\n"
+        f"{_exists_sql('STRING')}\nORDER BY check_name, id, name, vd"
+    )
+
+
+# ---------------------------------------------------------------------------
+# subquery/in-subquery/simple-in.sql (condensed: same predicate shapes,
+# trimmed star — the reference's 9-column t1/t2/t3 carry decimal and
+# timestamp columns the output contract excludes; the IN shapes only
+# consume the string/int/null pattern, reproduced here non-vacuously)
+# ---------------------------------------------------------------------------
+
+_IN_T1_SPARK = (
+    "SELECT * FROM VALUES"
+    " ('t1a', 6, 8), ('t1b', 8, 16), ('t1a', 16, 12), ('t1c', 8, 16),"
+    " ('t1d', CAST(NULL AS INT), 16), ('t1e', 10, CAST(NULL AS INT))"
+    " AS t1(t1a, t1b, t1c)"
+)
+_IN_T2_SPARK = (
+    "SELECT * FROM VALUES"
+    " ('t1a', 6, 12), ('t1b', 10, 12), ('t1c', 8, 16),"
+    " ('t2d', CAST(NULL AS INT), 16), ('t1e', 8, CAST(NULL AS INT))"
+    " AS t2(t2a, t2b, t2c)"
+)
+_IN_T3_SPARK = (
+    "SELECT * FROM VALUES"
+    " ('t1b', 8, 16), ('t3a', 6, 12), ('t3c', 17, 16), ('t1b', CAST(NULL AS INT), 16)"
+    " AS t3(t3a, t3b, t3c)"
+)
+_IN_T1_DUCK = (
+    "SELECT * FROM (VALUES ('t1a', 6, 8), ('t1b', 8, 16), ('t1a', 16, 12),"
+    " ('t1c', 8, 16), ('t1d', NULL, 16), ('t1e', 10, NULL)) t1(t1a, t1b, t1c)"
+)
+_IN_T2_DUCK = (
+    "SELECT * FROM (VALUES ('t1a', 6, 12), ('t1b', 10, 12), ('t1c', 8, 16),"
+    " ('t2d', NULL, 16), ('t1e', 8, NULL)) t2(t2a, t2b, t2c)"
+)
+_IN_T3_DUCK = (
+    "SELECT * FROM (VALUES ('t1b', 8, 16), ('t3a', 6, 12), ('t3c', 17, 16),"
+    " ('t1b', NULL, 16)) t3(t3a, t3b, t3c)"
+)
+
+
+def _simple_in_sql(vc: str) -> str:
+    """simple-in.sql's predicate shapes, shared verbatim by both dialects.
+    Columns: a/b of the surviving t1 row."""
+
+    def row(check: str, where: str) -> str:
+        return (
+            f"SELECT '{check}' AS check_name, CAST(t1a AS {vc}) AS a,"
+            f" CAST(t1b AS BIGINT) AS b FROM t1 WHERE {where}"
+        )
+
+    return "\nUNION ALL\n".join(
+        [
+            row("in_uncorrelated", "t1a IN (SELECT t2a FROM t2)"),
+            row("in_correlated", "t1b IN (SELECT t2b FROM t2 WHERE t1a = t2a)"),
+            # correlation through an INEQUALITY predicate
+            row("in_corr_neq", "t1c IN (SELECT t2b FROM t2 WHERE t1a != t2a)"),
+            # DISJUNCTIVE correlation: the subquery's row set depends on
+            # the outer row through an OR — not rewritable as one equi
+            # semi join
+            row("in_corr_or", "t1c IN (SELECT t2b FROM t2 WHERE t1a = t2a OR t1b > t2b)"),
+            # IN nested inside IN, each level correlated to its own outer
+            row("in_nested",
+                "t1c IN (SELECT t2c FROM t2 WHERE t2a IN ("
+                "SELECT t3a FROM t3 WHERE t2c = t3c AND t2b IS NOT NULL))"),
+            # DISTINCT + NOT IN against a subquery containing NULL: only
+            # rows definitely-not-equal to every subquery value survive,
+            # and a null subquery value poisons everything -> guard it
+            row("not_in_distinct",
+                "t1a NOT IN (SELECT t2a FROM t2 WHERE t2b IS NOT NULL)"),
+        ]
+    )
+
+
+SIMPLE_IN_ORACLE = f"""
+WITH t1 AS ({_IN_T1_DUCK}), t2 AS ({_IN_T2_DUCK}), t3 AS ({_IN_T3_DUCK})
+{_simple_in_sql("VARCHAR")}
+ORDER BY check_name, a, b
+"""
+
+
+@register("sqltests_simple_in", SIMPLE_IN_ORACLE, tags=("sqltests", "join", "subquery"))
+def sqltests_simple_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery battery from the reference's
+    subquery/in-subquery/simple-in.sql golden, condensed to the predicate
+    shapes over a trimmed t1/t2/t3 star (the reference's nine columns
+    include decimal/timestamp types the output contract excludes; the IN
+    shapes consume only the string/int/null pattern, kept non-vacuous —
+    every check returns rows and every null arm is exercised):
+    uncorrelated IN, equality-correlated IN, correlation through an
+    INEQUALITY (t1a != t2a), DISJUNCTIVE correlation (t1a = t2a OR
+    t1b > t2b — not one equi semi join), IN nested inside IN with each
+    level correlated to its own outer scope, and DISTINCT + NOT IN with
+    the null-poisoning subquery value filtered (the unguarded forms live
+    in sqltests_not_in_null).
+
+    Scale shape: constant-size LocalRelation battery; fixture-scale
+    IN/EXISTS shapes live in tpch_q4/q18/q20/q22."""
+    return spark.sql(
+        f"WITH t1 AS ({_IN_T1_SPARK}), t2 AS ({_IN_T2_SPARK}), t3 AS ({_IN_T3_SPARK})\n"
+        f"{_simple_in_sql('STRING')}\nORDER BY check_name, a, b"
+    )
