@@ -5347,14 +5347,32 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes it an explicit, persistable artifact."""
     t = load_tables(spark, sf_dir)
     docs = t["documents"].select("doc_id", F.col("text"))
-    pos = docs.select(
+    old_words, old_hash = bloom_snapshot_sketch(docs.filter(F.col("doc_id") % 10 < 8))
+    return bloom_probe_batch(
+        docs.filter(F.col("doc_id") % 10 >= 8), old_words, old_hash
+    ).orderBy("doc_id")
+
+
+def bloom_positions(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos) — each doc's {BLOOM_K} md5-salted filter positions."""
+    return docs.select(
         "doc_id",
         F.explode(
             F.array(*[F.expr(_BLOOM_POS_SPARK.format(i=i)) for i in range(1, BLOOM_K + 1)])
         ).alias("pos"),
     )
+
+
+def bloom_snapshot_sketch(old_docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The corpus snapshot collapsed to its broadcastable artifacts: the
+    Bloom word table (<= BLOOM_M_BITS/64 rows via one map-side-combinable
+    bit_or hash-agg) and the exact hash set (for the honest
+    false-positive accounting). Shared by the batch operator and the
+    streaming ingest twin (sol_spark/streaming/pipelines.py) so
+    stream == batch is equality of the SAME probe against the SAME
+    sketch."""
     old_words = (
-        pos.filter(F.col("doc_id") % 10 < 8)
+        bloom_positions(old_docs)
         .select(
             (F.col("pos") / 64).cast("bigint").alias("w"),
             F.expr("shiftleft(cast(1 as bigint), cast(pmod(pos, 64) as int))").alias("bit"),
@@ -5362,8 +5380,21 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.expr("bit_or(bit)").alias("bits"))
     )
+    old_hash = (
+        old_docs.select(F.expr(f"md5({_NORM})").alias("h")).distinct()
+    )
+    return old_words, old_hash
+
+
+def bloom_probe_batch(
+    new_docs: DataFrame, old_words: DataFrame, old_hash: DataFrame
+) -> DataFrame:
+    """Probe a batch of new docs against the snapshot sketch: bloom_hit
+    iff every salted position's bit is set in the broadcast word table,
+    plus the exact truth and false_positive columns. The ingest side
+    never shuffles beyond its own per-doc min-agg."""
     probe = (
-        pos.filter(F.col("doc_id") % 10 >= 8)
+        bloom_positions(new_docs)
         .select(
             "doc_id",
             (F.col("pos") / 64).cast("bigint").alias("w"),
@@ -5377,12 +5408,10 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.min(F.col("hit").cast("int")).alias("all_hit"))
     )
-    hashed = docs.select("doc_id", F.expr(f"md5({_NORM})").alias("h"))
-    old_hash = hashed.filter(F.col("doc_id") % 10 < 8).select("h").distinct()
+    hashed = new_docs.select("doc_id", F.expr(f"md5({_NORM})").alias("h"))
     return (
-        hashed.filter(F.col("doc_id") % 10 >= 8)
-        .join(probe, "doc_id")
-        .join(old_hash.withColumn("in_old", F.lit(1)), "h", "left")
+        hashed.join(probe, "doc_id")
+        .join(F.broadcast(old_hash.withColumn("in_old", F.lit(1))), "h", "left")
         .select(
             "doc_id",
             F.col("all_hit").cast("int").alias("bloom_hit"),
@@ -5391,5 +5420,4 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .alias("false_positive"),
         )
-        .orderBy("doc_id")
     )

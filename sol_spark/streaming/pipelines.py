@@ -1037,3 +1037,77 @@ def run_ivm_stream(
         .start()
     )
     q.awaitTermination(300)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-ingest streaming twin: the ingest batch of dedup_bloom_incremental
+# arrives as a document STREAM; every micro-batch probes the SAME broadcast
+# word-table sketch of the corpus snapshot via foreachBatch — the
+# zero-shuffle ingest regime running continuously. The union of all
+# micro-batch outputs must equal the batch operator exactly (the probe is
+# stateless against a static sketch, so batch boundaries cannot matter —
+# which is precisely what the twin proves).
+# ---------------------------------------------------------------------------
+
+
+def bloom_ingest_files(spark: SparkSession, sf_dir: str, n_files: int = 3) -> tuple[str, object]:
+    """Materialize the ingest split (doc_id % 10 >= 8) of the documents
+    fixture as ``n_files`` range-split parquet files with staggered
+    mtimes (deterministic micro-batch boundaries)."""
+    import time as _time
+
+    from sol_spark.tables import load_tables
+
+    docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 10 >= 8)
+    )
+    tmp = tempfile.mkdtemp(prefix="solspark_bloomtw_")
+    docs.repartitionByRange(n_files, "doc_id").write.mode("overwrite").parquet(tmp)
+    parts = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    base = _time.time() - 300
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(tmp, f), (base + i, base + i))
+    return tmp, docs.schema
+
+
+def run_bloom_ingest_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    src_dir: str,
+    schema,
+    out_dir: str,
+    ckpt: str,
+) -> None:
+    """Drain available ingest files (availableNow, one file per
+    micro-batch) through the Bloom probe into a parquet sink. The
+    snapshot sketch (word table + exact hash set) is built ONCE from the
+    static split and probed by every batch — at 100 TB those artifacts
+    are kilobyte-scale and the stream side never shuffles beyond its
+    per-doc min-agg."""
+    from sol_spark.operators.dedup import bloom_probe_batch, bloom_snapshot_sketch
+    from sol_spark.tables import load_tables
+
+    old_docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 10 < 8)
+    )
+    old_words, old_hash = bloom_snapshot_sketch(old_docs)
+
+    def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bloom_probe_batch(batch_df, old_words, old_hash).write.mode("append").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(probe_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
