@@ -14,24 +14,38 @@ Typing discipline: every output column is explicitly CAST on BOTH sides
 to HUGEINT, which Arrow renders as object — uncast batteries hash-diverge
 on class even when values agree).
 
-Files covered here: null-handling.sql + null-propagation.sql (one
-battery — propagation is the count(null) tail of the same table),
-group-analytics.sql, cross-join.sql, limit.sql,
+Files covered here (16 batteries): null-handling.sql +
+null-propagation.sql (one battery — propagation is the count(null) tail
+of the same table), group-analytics.sql, cross-join.sql, limit.sql,
 typeCoercion/native/division.sql, order-by-nulls-ordering.sql (its
 WINDOWED checks — NULLS placement changes bounded-frame sums, which IS
 value-hashable; the plain ORDER-BY-placement checks are output-order
 only and live in tests/test_r10_sqltests.py),
 subquery/in-subquery/not-in-unit-tests-{single,multi}-column.sql,
-group-by.sql + having.sql, union.sql + except.sql, and
-outer-join.sql + join-empty-relation.sql + natural-join.sql. Files/rows
-NOT mined, with reasons: the DDL/metadata files (describe*, show*,
-change-column — catalog surface, covered by tests/test_sources.py
-managed-table tests); cte.sql (name-resolution precedence is
-Spark-dialect — DuckDB CTEs shadow — pinned in tests/test_r10_sqltests.py);
-grouping__id legacy-Hive alias (removed upstream); decimal
-division/precision rows (DecimalType outputs banned corpus-wide — typed
-pins in tests/test_r10_sqltests.py); array/map union rows (raw
-array/map outputs banned corpus-wide).
+group-by.sql + having.sql, union.sql + except.sql, outer-join.sql +
+join-empty-relation.sql + natural-join.sql, window.sql, operators.sql,
+pivot.sql, group-by-ordinal.sql (+ order-by-ordinal.sql's one
+value-semantic rule), inline-table.sql + table-valued-functions.sql,
+the session-stable cells of six more typeCoercion/native goldens
+(implicitTypeCasts, promoteStrings, caseWhenCoercion, ifCoercion,
+inConversion, concat/elt), the exists-subquery directory's shared
+EMP/DEPT/BONUS shapes, and subquery/in-subquery/simple-in.sql.
+
+Files/rows NOT mined, with reasons: the DDL/metadata files (describe*,
+show*, change-column — catalog surface, covered by
+tests/test_sources.py managed-table tests); cte.sql (name-resolution
+precedence is Spark-dialect — DuckDB CTEs shadow — pinned in
+tests/test_r10_sqltests.py); grouping__id legacy-Hive alias (removed
+upstream); decimal division/precision rows (DecimalType outputs banned
+corpus-wide — typed pins in tests/test_r10_sqltests.py); array/map
+union rows (raw array/map outputs banned corpus-wide); string-functions
+/ datetime / json-functions / udaf-regrfunctions / predicate-functions
+(happy-path function surfaces already oracle-covered by the fn_* and
+stats families); columnresolution* / table-aliases (resolution
+diagnostics whose goldens are mostly error text); cast.sql / literals.sql
+/ stringCastAndExpressions (typed-literal rendering, largely
+DecimalType-bound); blacklist.sql / random.sql / query_regex_column.sql
+(harness plumbing, nondeterminism, config-gated dialect).
 """
 
 from __future__ import annotations
