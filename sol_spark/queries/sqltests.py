@@ -2026,3 +2026,108 @@ def sqltests_simple_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WITH t1 AS ({_IN_T1_SPARK}), t2 AS ({_IN_T2_SPARK}), t3 AS ({_IN_T3_SPARK})\n"
         f"{_simple_in_sql('STRING')}\nORDER BY check_name, a, b"
     )
+
+
+# ---------------------------------------------------------------------------
+# predicate-functions.sql + typeCoercion/native/dateTimeOperations.sql
+# ---------------------------------------------------------------------------
+
+
+def _predicates_datetime_sql(spark: bool) -> str:
+    """Session-stable cells: string-vs-numeric EQUALITY (both modes cast
+    and agree), string-vs-fractional ORDERING where the string side is
+    the one promoted ('1.5' > 0.5 — stable; 2 > '2.2' is NOT: legacy
+    promotes to double, ANSI casts '2.2' to int and raises — pytest),
+    date-vs-string and date-vs-timestamp comparisons, and the legal
+    interval arithmetic of dateTimeOperations.sql (date/timestamp/
+    string ± INTERVAL; the string operand is a Spark implicit
+    string->timestamp — the oracle spells the TIMESTAMP literal).
+    Numeric/binary/boolean ± INTERVAL are errors — pytest pins."""
+    vc = "STRING" if spark else "VARCHAR"
+    str_plus_iv = (
+        "CAST('2017-12-11 09:30:00' + INTERVAL 2 DAY AS STRING)" if spark
+        else "CAST(TIMESTAMP '2017-12-11 09:30:00' + INTERVAL 2 DAY AS VARCHAR)"
+    )
+
+    def row(check: str, b: str, s: str = "NULL") -> str:
+        return (
+            f"SELECT '{check}' AS check_name,"
+            f" CAST(CASE WHEN {b} THEN 1 ELSE 0 END AS BIGINT) AS b,"
+            f" CAST({s} AS {vc}) AS s"
+        )
+
+    return "\nUNION ALL\n".join(
+        [
+            row("eq_str_int", "1 = '1'"),
+            # Spark promotes BOTH sides to double (1.5 != 1.51); DuckDB
+            # would cast the string to the literal's DECIMAL(2,1) and
+            # round it EQUAL — the oracle spells Spark's double rule.
+            row("eq_str_frac", "1.5 = '1.51'" if spark
+                else "CAST(1.5 AS DOUBLE) = CAST('1.51' AS DOUBLE)"),
+            row("str_gt_num", "'1.5' > 0.5"),
+            row("str_ge_num", "'1.5' >= 0.5"),
+            row("num_lt_str", "0.5 < '1.5'"),
+            row("num_le_str", "0.5 <= '1.5'"),
+            # the time-of-day is truncated by to_date, so > is false and
+            # >= is true against the same instant's string
+            row("date_gt_str", "CAST('2009-07-30 04:17:52' AS DATE) > '2009-07-30'"
+                if not spark else "to_date('2009-07-30 04:17:52') > '2009-07-30'"),
+            row("date_ge_str", "CAST('2009-07-30 04:17:52' AS DATE) >= '2009-07-30'"
+                if not spark else "to_date('2009-07-30 04:17:52') >= '2009-07-30'"),
+            # date-vs-timestamp promotion: equal at midnight, ordered by
+            # one second past it
+            row("date_eq_ts", "CAST('2017-03-01' AS DATE) = TIMESTAMP '2017-03-01 00:00:00'"),
+            row("ts_gt_date", "TIMESTAMP '2017-03-01 00:00:01' > CAST('2017-03-01' AS DATE)"),
+            row("date_le_ts", "CAST('2017-03-01' AS DATE) <= TIMESTAMP '2017-03-01 00:00:01'"),
+            # dateTimeOperations.sql legal cells
+            # Spark keeps DATE under date +/- interval; DuckDB widens to
+            # TIMESTAMP — its oracle casts back to DATE before rendering.
+            row("date_plus_iv", "true",
+                s=f"CAST(DATE '2017-12-11' + INTERVAL 2 DAY AS {vc})" if spark
+                else "CAST(CAST(DATE '2017-12-11' + INTERVAL 2 DAY AS DATE) AS VARCHAR)"),
+            row("iv_plus_date", "true",
+                s=f"CAST(INTERVAL 2 DAY + DATE '2017-12-11' AS {vc})" if spark
+                else "CAST(CAST(INTERVAL 2 DAY + DATE '2017-12-11' AS DATE) AS VARCHAR)"),
+            row("date_minus_iv", "true",
+                s=f"CAST(DATE '2017-12-11' - INTERVAL 2 DAY AS {vc})" if spark
+                else "CAST(CAST(DATE '2017-12-11' - INTERVAL 2 DAY AS DATE) AS VARCHAR)"),
+            row("ts_plus_iv", "true",
+                s=f"CAST(TIMESTAMP '2017-12-11 09:30:00' + INTERVAL 2 DAY AS {vc})"),
+            row("ts_minus_iv", "true",
+                s=f"CAST(TIMESTAMP '2017-12-11 09:30:00' - INTERVAL 2 DAY AS {vc})"),
+            row("str_plus_iv", "true", s=str_plus_iv),
+        ]
+    )
+
+
+PREDICATES_DATETIME_ORACLE = f"""
+{_predicates_datetime_sql(spark=False)}
+ORDER BY check_name, b, s
+"""
+
+
+@register(
+    "sqltests_predicates_datetime",
+    PREDICATES_DATETIME_ORACLE,
+    tags=("sqltests", "functions", "datetime"),
+)
+def sqltests_predicates_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison-coercion + interval-arithmetic battery from the
+    reference's predicate-functions.sql and
+    typeCoercion/native/dateTimeOperations.sql goldens: numeric-vs-string
+    equality compares by VALUE, fractional strings promote the numeric
+    side ('1.5' > 0.5), to_date truncates the time-of-day before a
+    string comparison, date-vs-timestamp promotion (equal at midnight,
+    ordered a second past it), and every legal operand of ± INTERVAL —
+    date, timestamp, and Spark's implicit string->timestamp (the oracle
+    spells the TIMESTAMP literal; DuckDB has no varchar+interval). The
+    mode-dependent comparison cells (2 > '2.2': legacy promotes both to
+    double, ANSI casts the string to int and RAISES) and the illegal
+    interval operands (numeric/binary/boolean ± INTERVAL) are pinned in
+    tests/test_r10_sqltests.py. Exactly one interval literal spelling is
+    used (INTERVAL 2 DAY) — DuckDB v1 dedupes interval constants that
+    compare equal under 1 month == 30 days, so mixed-unit interval pairs
+    stay out of oracle queries (the engine-profile rule).
+
+    Scale shape: constant-size literal battery (semantics fence)."""
+    return spark.sql(f"{_predicates_datetime_sql(spark=True)}\nORDER BY check_name, b, s")

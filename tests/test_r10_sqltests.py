@@ -476,3 +476,37 @@ def test_boolean_numeric_equality_mode_dependent(spark):
             _sql(spark, "SELECT true = CAST(1 AS INT)").collect()
     finally:
         spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+# --- predicate-functions.sql / dateTimeOperations.sql: per-mode + errors ---
+
+
+def test_fractional_string_ordering_mode_dependent(spark):
+    """predicate-functions.sql: 2 > '2.2' — legacy mode promotes both
+    sides to DOUBLE (false); ANSI casts the string to the INT side's type
+    and raises on the fractional literal. Session-dependent, pinned per
+    mode (the stable direction — fractional string vs fractional numeric
+    — lives in the oracle battery)."""
+    assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+    got = _sql(spark, "SELECT 2 > '2.2' AS a, 2 >= '2.0' AS b, 2 < '1.0' AS c").collect()[0]
+    assert (got["a"], got["b"], got["c"]) == (False, True, False)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        with pytest.raises(Exception) as ei:
+            _sql(spark, "SELECT 2 > '2.2'").collect()
+        assert "CAST_INVALID_INPUT" in str(ei.value)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+@pytest.mark.parametrize(
+    "lhs",
+    ["CAST(1 AS INT)", "CAST(1 AS DOUBLE)", "CAST('1' AS BINARY)", "CAST(1 AS BOOLEAN)"],
+)
+def test_interval_illegal_operand_raises(spark, lhs):
+    """dateTimeOperations.sql: numeric/binary/boolean ± INTERVAL is an
+    analysis error — only date/timestamp/string operands coerce."""
+    with pytest.raises(AnalysisException):
+        _sql(spark, f"SELECT {lhs} + INTERVAL 2 DAY").collect()
+    with pytest.raises(AnalysisException):
+        _sql(spark, f"SELECT {lhs} - INTERVAL 2 DAY").collect()
