@@ -2131,3 +2131,215 @@ def sqltests_predicates_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: constant-size literal battery (semantics fence)."""
     return spark.sql(f"{_predicates_datetime_sql(spark=True)}\nORDER BY check_name, b, s")
+
+
+# ---------------------------------------------------------------------------
+# struct.sql
+# ---------------------------------------------------------------------------
+
+_STRUCT_SPARK = (
+    "SELECT * FROM VALUES"
+    " (1, NAMED_STRUCT('C', 'gamma', 'D', 'delta')),"
+    " (2, NAMED_STRUCT('C', 'epsilon', 'D', 'eta')),"
+    " (3, NAMED_STRUCT('C', 'theta', 'D', 'iota')) AS T(ID, ST)"
+)
+# The oracle keeps the struct FLAT: its job is the expected values; the
+# Spark side is what exercises the struct machinery.
+_STRUCT_DUCK = (
+    "SELECT * FROM (VALUES (1, 'gamma', 'delta'), (2, 'epsilon', 'eta'),"
+    " (3, 'theta', 'iota')) T(ID, C, D)"
+)
+
+
+def _struct_sql(spark: bool) -> str:
+    """struct.sql's checks with every struct RENDERED to its fields (raw
+    struct output columns are banned corpus-wide): creation with default
+    (colN) and aliased field names, star expansion INSIDE a struct,
+    append/prepend of a derived column, and field selection through a
+    freshly-built struct (default names inherit the source column
+    names)."""
+    vc = "STRING" if spark else "VARCHAR"
+
+    def row(check: str, id_: str, s: str, tail: str = "") -> str:
+        return (
+            f"SELECT '{check}' AS check_name, CAST({id_} AS BIGINT) AS id,"
+            f" CAST({s} AS {vc}) AS s{tail}"
+        )
+
+    if spark:
+        return "\nUNION ALL\n".join(
+            [
+                # default field names are col1, col2
+                row("create", "NULL",
+                    "STRUCT('alpha', 'beta').col1 || ',' || STRUCT('alpha', 'beta').col2"),
+                row("create_alias", "NULL",
+                    "STRUCT('alpha' AS A, 'beta' AS B).A || ',' || STRUCT('alpha' AS A, 'beta' AS B).B"),
+                row("star_expand", "ID",
+                    "STRUCT(ST.*).C || ',' || STRUCT(ST.*).D", " FROM tbl_x"),
+                row("append", "ID",
+                    "STRUCT(ST.*, CAST(ID AS STRING) AS E).C || ','"
+                    " || STRUCT(ST.*, CAST(ID AS STRING) AS E).E", " FROM tbl_x"),
+                row("prepend", "ID",
+                    "STRUCT(CAST(ID AS STRING) AS AA, ST.*).AA || ','"
+                    " || STRUCT(CAST(ID AS STRING) AS AA, ST.*).D", " FROM tbl_x"),
+                # field names inherit the referenced column names
+                row("select_c", "ID", "STRUCT(ST.*).C", " FROM tbl_x"),
+                row("select_d_named", "ID", "STRUCT(ST.C, ST.D).D", " FROM tbl_x"),
+                row("select_aliased", "ID", "STRUCT(ST.C AS STC, ST.D AS STD).STD", " FROM tbl_x"),
+            ]
+        )
+    return "\nUNION ALL\n".join(
+        [
+            row("create", "NULL", "'alpha,beta'"),
+            row("create_alias", "NULL", "'alpha,beta'"),
+            row("star_expand", "ID", "C || ',' || D", " FROM tbl_x"),
+            row("append", "ID", "C || ',' || CAST(ID AS VARCHAR)", " FROM tbl_x"),
+            row("prepend", "ID", "CAST(ID AS VARCHAR) || ',' || D", " FROM tbl_x"),
+            row("select_c", "ID", "C", " FROM tbl_x"),
+            row("select_d_named", "ID", "D", " FROM tbl_x"),
+            row("select_aliased", "ID", "D", " FROM tbl_x"),
+        ]
+    )
+
+
+STRUCT_ORACLE = f"""
+WITH tbl_x AS ({_STRUCT_DUCK})
+{_struct_sql(spark=False)}
+ORDER BY check_name, id, s
+"""
+
+
+@register("sqltests_struct", STRUCT_ORACLE, tags=("sqltests", "functions"))
+def sqltests_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct-construction battery from the reference's struct.sql golden:
+    STRUCT() with default colN field names, aliased fields, STAR
+    EXPANSION inside a struct (STRUCT(ST.*)), appending/prepending a
+    derived column around the expansion, and field selection through a
+    freshly-built struct — where unaliased field names inherit the
+    referenced column names (STRUCT(ST.C, ST.D).D resolves). Every check
+    renders the struct to its fields (raw struct outputs are banned
+    corpus-wide; the value under test is the field content + name
+    resolution, which the render exercises exactly). The DuckDB oracle
+    keeps the data flat — the struct machinery is the Spark-side subject,
+    the oracle states the expected strings.
+
+    Scale shape: constant-size LocalRelation battery (semantics fence)."""
+    return spark.sql(
+        f"WITH tbl_x AS ({_STRUCT_SPARK})\n{_struct_sql(spark=True)}\nORDER BY check_name, id, s"
+    )
+
+
+# ---------------------------------------------------------------------------
+# array.sql
+# ---------------------------------------------------------------------------
+
+
+def _array_sql(spark: bool) -> str:
+    """array.sql's checks. The headline dialect divergence is INDEX BASE:
+    Spark's x[i] is ZERO-based, DuckDB's is ONE-based — the oracle's
+    subscripts are all shifted by one, which is itself the pin (a wrong
+    base on either side shifts every element value). Arrays render via
+    array_join/array_to_string (raw array outputs banned corpus-wide)."""
+    vc = "STRING" if spark else "VARCHAR"
+    join = "array_join" if spark else "array_to_string"
+
+    def row(check: str, a: str, v: str, s: str = "NULL", tail: str = " FROM data") -> str:
+        return (
+            f"SELECT '{check}' AS check_name, CAST({a} AS {vc}) AS a,"
+            f" CAST({v} AS BIGINT) AS v, CAST({s} AS {vc}) AS s{tail}"
+        )
+
+    if spark:
+        return "\nUNION ALL\n".join(
+            [
+                row("index", "a", "b[0] * 1000 + b[0] + b[1]"),
+                row("index_nested", "a", "c[0][0] + c[0][0 + 1]"),
+                row("contains_int", "a",
+                    "CAST(array_contains(b, 11) AS INT) * 10"
+                    " + CAST(array_contains(b, 99) AS INT)"),
+                row("contains_nested", "a",
+                    "CAST(array_contains(c, array(111, 112, 113)) AS INT)"),
+                row("contains_typed", "NULL",
+                    "CAST(array_contains(array(2L, 1L), 2L) AS INT) * 1000"
+                    " + CAST(array_contains(array(CAST(2.0 AS DOUBLE), CAST(1.0 AS DOUBLE)),"
+                    " CAST(2.0 AS DOUBLE)) AS INT) * 100"
+                    " + CAST(array_contains(array(DATE '2016-03-14', DATE '2016-03-13'),"
+                    " DATE '2016-03-14') AS INT) * 10"
+                    " + CAST(array_contains(array(DATE '2016-03-14'), DATE '2016-01-01') AS INT)",
+                    tail=""),
+                row("sort", "NULL", "NULL",
+                    s=f"{join}(sort_array(array(2, 3, 1)), ',')"
+                      f" || '|' || {join}(sort_array(array(2, 3, 1), false), ',')",
+                    tail=""),
+                row("sort_dates", "NULL", "NULL",
+                    s=f"{join}(transform(sort_array(array(DATE '2016-03-14',"
+                      " DATE '2016-03-13')), d -> CAST(d AS STRING)), ',')",
+                    tail=""),
+            ]
+        )
+    return "\nUNION ALL\n".join(
+        [
+            row("index", "a", "b[1] * 1000 + b[1] + b[2]"),
+            row("index_nested", "a", "c[1][1] + c[1][2]"),
+            row("contains_int", "a",
+                "CAST(array_contains(b, 11) AS INT) * 10"
+                " + CAST(array_contains(b, 99) AS INT)"),
+            row("contains_nested", "a",
+                "CAST(array_contains(c, [111, 112, 113]) AS INT)"),
+            row("contains_typed", "NULL",
+                "CAST(array_contains([CAST(2 AS BIGINT), 1], CAST(2 AS BIGINT)) AS INT) * 1000"
+                " + CAST(array_contains([CAST(2.0 AS DOUBLE), 1.0], CAST(2.0 AS DOUBLE)) AS INT) * 100"
+                " + CAST(array_contains([DATE '2016-03-14', DATE '2016-03-13'],"
+                " DATE '2016-03-14') AS INT) * 10"
+                " + CAST(array_contains([DATE '2016-03-14'], DATE '2016-01-01') AS INT)",
+                tail=""),
+            row("sort", "NULL", "NULL",
+                s="array_to_string(list_sort([2, 3, 1], 'ASC'), ',')"
+                  " || '|' || array_to_string(list_sort([2, 3, 1], 'DESC'), ',')",
+                tail=""),
+            row("sort_dates", "NULL", "NULL",
+                s="array_to_string(list_transform(list_sort([DATE '2016-03-14',"
+                  " DATE '2016-03-13']), d -> CAST(d AS VARCHAR)), ',')",
+                tail=""),
+        ]
+    )
+
+
+_ARRAY_DATA_SPARK = (
+    "SELECT * FROM VALUES"
+    " ('one', array(11, 12, 13), array(array(111, 112, 113), array(121, 122, 123))),"
+    " ('two', array(21, 22, 23), array(array(211, 212, 213), array(221, 222, 223)))"
+    " AS data(a, b, c)"
+)
+_ARRAY_DATA_DUCK = (
+    "SELECT * FROM (VALUES"
+    " ('one', [11, 12, 13], [[111, 112, 113], [121, 122, 123]]),"
+    " ('two', [21, 22, 23], [[211, 212, 213], [221, 222, 223]]))"
+    " data(a, b, c)"
+)
+
+ARRAY_ORACLE = f"""
+WITH data AS ({_ARRAY_DATA_DUCK})
+{_array_sql(spark=False)}
+ORDER BY check_name, a, v, s
+"""
+
+
+@register("sqltests_array", ARRAY_ORACLE, tags=("sqltests", "functions"))
+def sqltests_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array battery from the reference's array.sql golden: element and
+    NESTED-element subscripting — where the dialects genuinely disagree
+    on index base (Spark b[0] == DuckDB b[1]; the oracle's shifted
+    subscripts ARE the pin: a wrong base on either side shifts every
+    value), array_contains on present/absent elements, nested-array
+    containment (array-valued needle), typed containment across
+    bigint/double/date element types, and sort_array ascending +
+    descending (list_sort in the oracle) including date elements. All
+    arrays render through array_join/array_to_string per the corpus-wide
+    no-raw-array output rule.
+
+    Scale shape: constant-size LocalRelation battery (semantics fence);
+    fixture-scale array work lives in fn_array/fn_array_ops."""
+    return spark.sql(
+        f"WITH data AS ({_ARRAY_DATA_SPARK})\n{_array_sql(spark=True)}\nORDER BY check_name, a, v, s"
+    )
