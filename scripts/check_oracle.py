@@ -1,6 +1,16 @@
 """Dev loop: run every registered query against the DuckDB oracle.
 
-Usage: python scripts/check_oracle.py [--strict] [--vanilla] [sf_dir] [name_filter...]
+Usage: python scripts/check_oracle.py [--strict] [--vanilla]
+           [--changed-since <rev>] [sf_dir] [name_filter...]
+
+``--changed-since <rev>`` restricts the sweep to queries whose DEFINING
+module (the file holding the registered fn) changed vs the given git rev —
+the dev-loop fast path now that the full strict x3-SF sweep costs ~65 min
+(r10 verdict ask #7). The full unfiltered sweep remains the round-close
+bar; this flag is for iterating. Helper-module edits (oracle.py,
+session.py, tables.py, operators/* imported by query modules) fall back to
+the FULL sweep because the dependency graph isn't tracked — only a
+changed-file set that is entirely query-defining modules narrows the run.
 
 ``--strict`` reproduces the driver's tolerance-free value hash (float repr
 equality instead of rel_tol=1e-6) — run the full corpus in strict mode at
@@ -26,10 +36,49 @@ from sol_spark.registry import all_queries
 from sol_spark.session import get_session
 
 
+def _changed_query_names(rev: str, specs) -> set[str] | None:
+    """Names whose defining module changed vs ``rev``, or None for
+    'run everything' (a non-query file changed, or git failed)."""
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        out = subprocess.run(
+            ["git", "diff", "--name-only", rev, "--"],
+            cwd=repo, capture_output=True, text=True, check=True,
+        ).stdout
+    except subprocess.CalledProcessError as e:
+        print(f"--changed-since: git diff failed ({e.stderr.strip()}); running full sweep")
+        return None
+    changed = {ln.strip() for ln in out.splitlines() if ln.strip().endswith(".py")}
+    by_module: dict[str, set[str]] = {}
+    for name, spec in specs.items():
+        mod = sys.modules.get(spec.fn.__module__)
+        mod_file = getattr(mod, "__file__", None)
+        if mod_file:
+            rel = os.path.relpath(os.path.abspath(mod_file), repo)
+            by_module.setdefault(rel, set()).add(name)
+    non_query = changed - set(by_module) - {"scripts/check_oracle.py"}
+    if non_query:
+        print(f"--changed-since: non-query files changed ({sorted(non_query)[:5]}...); running full sweep")
+        return None
+    names: set[str] = set()
+    for rel in changed & set(by_module):
+        names |= by_module[rel]
+    return names
+
+
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a not in ("--strict", "--vanilla")]
-    exact = "--strict" in sys.argv[1:]
-    vanilla = "--vanilla" in sys.argv[1:]
+    raw = sys.argv[1:]
+    changed_rev = None
+    if "--changed-since" in raw:
+        i = raw.index("--changed-since")
+        changed_rev = raw[i + 1]
+        raw = raw[:i] + raw[i + 2:]
+    argv = [a for a in raw if a not in ("--strict", "--vanilla")]
+    exact = "--strict" in raw
+    vanilla = "--vanilla" in raw
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     name_filters = argv[1:]
     if vanilla:
@@ -39,7 +88,15 @@ def main() -> int:
         # thread (registered only process-wide) would still be reused by
         # getOrCreate() — check the process-wide slot too (pyspark has no
         # public getDefaultSession; _instantiatedSession is that slot).
-        default = getattr(SparkSession, "_instantiatedSession", None)
+        # The attribute is private: if a pyspark upgrade renames it, a
+        # getattr default would silently degrade this back to
+        # thread-local-only — fail loud instead.
+        if not hasattr(SparkSession, "_instantiatedSession"):
+            raise RuntimeError(
+                "pyspark removed/renamed SparkSession._instantiatedSession; "
+                "update the --vanilla cross-thread session guard"
+            )
+        default = SparkSession._instantiatedSession
         if SparkSession.getActiveSession() is not None or default is not None:
             # getOrCreate() would silently return the pre-existing
             # (solspark-configured) session, defeating the plain-session
@@ -52,9 +109,16 @@ def main() -> int:
     else:
         spark = get_session("check_oracle")
     specs = all_queries()
+    changed_names: set[str] | None = None
+    if changed_rev is not None:
+        changed_names = _changed_query_names(changed_rev, specs)
+        if changed_names is not None:
+            print(f"--changed-since {changed_rev}: {len(changed_names)} queries selected")
     failures = []
     for name, spec in sorted(specs.items()):
         if name_filters and not any(f in name for f in name_filters):
+            continue
+        if changed_names is not None and name not in changed_names:
             continue
         t0 = time.time()
         try:

@@ -5391,8 +5391,14 @@ def bloom_probe_batch(
 ) -> DataFrame:
     """Probe a batch of new docs against the snapshot sketch: bloom_hit
     iff every salted position's bit is set in the broadcast word table,
-    plus the exact truth and false_positive columns. The ingest side
-    never shuffles beyond its own per-doc min-agg."""
+    plus the exact truth and false_positive columns. Scale note: only
+    the ``old_words`` bit-word table is bounded (kilobyte-scale — one
+    row per 64-bit word of the filter) and safe to force-broadcast; the
+    exact ``old_hash`` set is one md5 row per distinct snapshot document
+    (linear in the corpus), so its join is left UNHINTED — AQE
+    broadcasts it at test SFs and shuffles it at 100 TB, where only the
+    bloom verdict is the production output and the exact-truth join is
+    an audit column."""
     probe = (
         bloom_positions(new_docs)
         .select(
@@ -5411,7 +5417,7 @@ def bloom_probe_batch(
     hashed = new_docs.select("doc_id", F.expr(f"md5({_NORM})").alias("h"))
     return (
         hashed.join(probe, "doc_id")
-        .join(F.broadcast(old_hash.withColumn("in_old", F.lit(1))), "h", "left")
+        .join(old_hash.withColumn("in_old", F.lit(1)), "h", "left")
         .select(
             "doc_id",
             F.col("all_hit").cast("int").alias("bloom_hit"),

@@ -1013,6 +1013,18 @@ def ivm_foreach_batch(snap_root: str):
     return apply_batch
 
 
+def _await_or_fail(q, timeout_s: int) -> None:
+    """awaitTermination(timeout) returns False on timeout with the query
+    still RUNNING — a silent return there would let callers read a
+    half-merged snapshot / partial sink. Stop the query and fail loud."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} did not drain within "
+            f"{timeout_s}s — sink/snapshot state is partial"
+        )
+
+
 def run_ivm_stream(
     spark: SparkSession,
     src_dir: str,
@@ -1036,7 +1048,7 @@ def run_ivm_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_fail(q, 300)
 
 
 # ---------------------------------------------------------------------------
@@ -1083,8 +1095,11 @@ def run_bloom_ingest_stream(
     """Drain available ingest files (availableNow, one file per
     micro-batch) through the Bloom probe into a parquet sink. The
     snapshot sketch (word table + exact hash set) is built ONCE from the
-    static split and probed by every batch — at 100 TB those artifacts
-    are kilobyte-scale and the stream side never shuffles beyond its
+    static split and probed by every batch. Scale: the bit-WORD table is
+    kilobyte-scale at any corpus size and broadcast; the exact hash set
+    is linear in the corpus (one md5 per distinct doc) and joins
+    unhinted — it is the audit column, not the production verdict (see
+    bloom_probe_batch). The stream side never shuffles beyond its
     per-doc min-agg."""
     from sol_spark.operators.dedup import bloom_probe_batch, bloom_snapshot_sketch
     from sol_spark.tables import load_tables
@@ -1110,4 +1125,4 @@ def run_bloom_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_fail(q, 300)
