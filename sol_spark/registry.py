@@ -284,7 +284,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Imports are deferred so `import sol_spark` stays cheap.
     from sol_spark.operators import dedup, geo, governance, layout, multimodal, similarity, skew, text  # noqa: F401
     from sol_spark.queries import tpch  # noqa: F401
-    from sol_spark.queries import relational, sqltests, ssb, tpcds, tpcds_modified  # noqa: F401
+    from sol_spark.queries import relational, sqltests, sqltests_subquery, ssb, tpcds, tpcds_modified  # noqa: F401
     from sol_spark.queries import (  # noqa: F401
         event_windows,
         events_analytics,
