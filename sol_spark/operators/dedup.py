@@ -263,15 +263,22 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> (doc_id, shingles: array<string>) distinct word-3-shingles."""
-    t = load_tables(spark, sf_dir)
+def shingle_df_from_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) frame -> (doc_id, shingles: array<string>) distinct
+    word-3-shingles. Frame-parameterized so snapshot/ingest splits and
+    streaming micro-batches share the exact batch pipeline."""
     return (
-        t["documents"]
+        docs
         .select("doc_id", F.expr(_NORM).alias("ntext"))
         .select("doc_id", "ntext", F.split("ntext", " ").alias("tk"))
         .select("doc_id", F.expr(_SHINGLES_FROM_TK).alias("shingles"))
     )
+
+
+def shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, shingles: array<string>) distinct word-3-shingles."""
+    t = load_tables(spark, sf_dir)
+    return shingle_df_from_docs(t["documents"])
 
 
 def shingle_rows_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,6 +305,21 @@ def hashed_shingle_rows_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic is Jaccard over the hashed shingle space)."""
     return shingle_rows_df(spark, sf_dir).select(
         "doc_id", F.expr("CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)").alias("h")
+    )
+
+
+def hashed_rows_from_docs(docs: DataFrame) -> DataFrame:
+    """Frame-parameterized hashed_shingle_rows_df: (doc_id, text) ->
+    (doc_id, h) hashed shingle rows (same explode_outer + 32-bit base
+    hash pipeline), shared by the incremental MinHash operator and its
+    streaming twin."""
+    return (
+        shingle_df_from_docs(docs)
+        .select("doc_id", F.explode_outer("shingles").alias("s"))
+        .select(
+            "doc_id",
+            F.expr("CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)").alias("h"),
+        )
     )
 
 
@@ -5427,3 +5449,145 @@ def bloom_probe_batch(
             .alias("false_positive"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash-LSH dedup: the near-dup analog of dedup_incremental /
+# dedup_bloom_incremental. The corpus snapshot reduces to its DISTINCT
+# (band, band_key) bucket keep-list (~N_BANDS rows per distinct signature —
+# linear in the corpus but band-keys only, no shingles, no signatures); an
+# ingest batch is near_dup iff any of its band keys hits an occupied old
+# bucket (the same guarantee the full band self-join gives: >= 1 shared
+# band). The exact md5 keep-list rides along as the exact_dup audit column.
+# Factored (snapshot builder / batch probe) for the streaming twin, like
+# bloom_* and ivm_*.
+# ---------------------------------------------------------------------------
+
+
+def minhash_band_snapshot(old_docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Corpus snapshot -> (old_bands, old_hash): the DISTINCT
+    (band, band_key) occupied-bucket list and the DISTINCT exact md5 set.
+    Built ONCE per snapshot; both are keep-lists — the snapshot's
+    documents/shingles/signatures never leave their executors again."""
+    rows = hashed_rows_from_docs(old_docs)
+    old_bands = (
+        _band_df(minhash_signature_df(rows)).select("band", "band_key").distinct()
+    )
+    old_hash = old_docs.select(F.expr(f"md5({_NORM})").alias("h")).distinct()
+    return old_bands, old_hash
+
+
+def minhash_probe_batch(
+    new_docs: DataFrame, old_bands: DataFrame, old_hash: DataFrame
+) -> DataFrame:
+    """Probe an ingest batch against the snapshot band buckets: near_dup
+    iff ANY of the doc's {N_BANDS} band keys lands in an occupied old
+    bucket, exact_dup from the md5 keep-list, verdict =
+    dup_exact > near_dup > unique. Scale note (the bloom_probe_batch
+    lesson): BOTH keep-lists are linear in the corpus, so neither join is
+    hint-broadcast — AQE broadcasts them at test SFs and shuffles on
+    band_key/h at 100 TB, where the ingest side is the small relation."""
+    sig = minhash_signature_df(hashed_rows_from_docs(new_docs))
+    probe = (
+        _band_df(sig)
+        .join(old_bands.withColumn("hit", F.lit(1)), ["band", "band_key"], "left")
+        .groupBy("doc_id")
+        .agg(F.max(F.coalesce(F.col("hit"), F.lit(0))).alias("near_hit"))
+    )
+    hashed = new_docs.select("doc_id", F.expr(f"md5({_NORM})").alias("h"))
+    return (
+        hashed.join(probe, "doc_id")
+        .join(old_hash.withColumn("in_old", F.lit(1)), "h", "left")
+        .select(
+            "doc_id",
+            F.col("near_hit").cast("int").alias("near_dup"),
+            F.when(F.col("in_old").isNotNull(), 1).otherwise(0).alias("exact_dup"),
+            F.when(F.col("in_old").isNotNull(), "dup_exact")
+            .when(F.col("near_hit") == 1, "near_dup")
+            .otherwise("unique")
+            .alias("verdict"),
+        )
+    )
+
+
+DEDUP_MINHASH_INCR_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ntext
+  FROM documents
+), toks AS (
+  SELECT doc_id, ntext, string_split(ntext, ' ') AS tk FROM norm
+), shingle AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           CASE WHEN len(tk) < 3 THEN [ntext]
+                ELSE list_transform(range(1, len(tk) - 1),
+                                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS shl
+    FROM toks
+  ) s, unnest(s.shl) AS u(shingle)
+), sh AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS bh FROM shingle
+), mh AS (
+  SELECT doc_id, i, min((bh * (2*i + 1) + 7919*(i + 1)) % {MINHASH_P}) AS h
+  FROM sh, (SELECT unnest(range({N_HASHES})) AS i) hs
+  GROUP BY doc_id, i
+), bands AS (
+  SELECT doc_id, i // {ROWS_PER_BAND} AS band,
+         string_agg(h::VARCHAR, '|' ORDER BY i) AS band_key
+  FROM mh GROUP BY doc_id, i // {ROWS_PER_BAND}
+), old_bands AS (
+  SELECT DISTINCT band, band_key FROM bands WHERE doc_id % 10 < 8
+), probe AS (
+  SELECT nb.doc_id,
+         max(CASE WHEN ob.band_key IS NOT NULL THEN 1 ELSE 0 END) AS near_dup
+  FROM (SELECT * FROM bands WHERE doc_id % 10 >= 8) nb
+  LEFT JOIN old_bands ob ON nb.band = ob.band AND nb.band_key = ob.band_key
+  GROUP BY nb.doc_id
+), old_hash AS (
+  SELECT DISTINCT md5(ntext) AS h FROM norm WHERE doc_id % 10 < 8
+), new_hash AS (
+  SELECT doc_id, md5(ntext) AS h FROM norm WHERE doc_id % 10 >= 8
+)
+SELECT n.doc_id,
+       p.near_dup,
+       CASE WHEN oh.h IS NOT NULL THEN 1 ELSE 0 END AS exact_dup,
+       CASE WHEN oh.h IS NOT NULL THEN 'dup_exact'
+            WHEN p.near_dup = 1 THEN 'near_dup'
+            ELSE 'unique' END AS verdict
+FROM new_hash n
+JOIN probe p USING (doc_id)
+LEFT JOIN old_hash oh USING (h)
+ORDER BY doc_id
+"""
+
+
+@register("dedup_minhash_incremental", DEDUP_MINHASH_INCR_ORACLE, tags=("llm", "dedup", "lsh", "incremental"))
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup detection of an ingest batch against a corpus
+    snapshot (same %10 split as dedup_incremental): the snapshot reduces
+    once to its DISTINCT (band, band_key) occupied-bucket list (word-3
+    shingles -> {N_HASHES} minhashes -> {N_BANDS} band keys — the
+    dedup_minhash_lsh pipeline) plus the exact md5 keep-list; each new
+    doc computes its own {N_BANDS} band keys and is near_dup iff any key
+    hits an occupied bucket — the SAME >= 1-shared-band guarantee the
+    full self-join gives, without ever joining documents to documents.
+    Verdict ladder: dup_exact > near_dup > unique.
+
+    Scale shape: nightly ingest touches only band-key and md5 keep-lists
+    (linear in corpus count, constant per doc — no shingles or signatures
+    move); the probe is a band_key equi-join + per-doc max and the ingest
+    side never self-joins. Neither keep-list join is hint-broadcast (the
+    bloom_probe_batch lesson: they grow with the corpus) — AQE broadcasts
+    at test SFs, shuffles at 100 TB. Candidate verification (exact
+    Jaccard on hits) stays available by feeding the hit pairs to the
+    dedup_minhash_lsh intersection stage.
+
+    Reference intent: incremental LSH ingest is the streaming-ingest
+    regime of MinHashLSH (reference mllib/src/main/scala/org/apache/
+    spark/ml/feature/MinHashLSH.scala:33) — re-expressed as a bucket
+    keep-list probe; twin: run_minhash_ingest_stream."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    old_bands, old_hash = minhash_band_snapshot(docs.filter(F.col("doc_id") % 10 < 8))
+    return minhash_probe_batch(
+        docs.filter(F.col("doc_id") % 10 >= 8), old_bands, old_hash
+    ).orderBy("doc_id")

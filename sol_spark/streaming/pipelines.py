@@ -1126,3 +1126,56 @@ def run_bloom_ingest_stream(
         .start()
     )
     _await_or_fail(q, 300)
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH ingest streaming twin (round-11, twin #10): the ingest batch
+# of dedup_minhash_incremental arrives as a document STREAM; the corpus
+# snapshot's (band, band_key) bucket keep-list + exact md5 keep-list are
+# built ONCE and probed by every micro-batch via foreachBatch — continuous
+# near-dup gating of a crawl. The probe is stateless against the static
+# snapshot, so the union of micro-batch outputs must equal the batch
+# operator exactly, across a checkpoint restart, each doc exactly once.
+# ---------------------------------------------------------------------------
+
+
+def run_minhash_ingest_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    src_dir: str,
+    schema,
+    out_dir: str,
+    ckpt: str,
+) -> None:
+    """Drain available ingest files (availableNow, one file per
+    micro-batch) through the MinHash band-bucket probe into a parquet
+    sink. Scale: both snapshot keep-lists are linear in corpus COUNT
+    (band keys + md5s, never shingles/signatures/text) and the probe
+    joins are unhinted — AQE broadcasts them at test SFs, shuffles on
+    band_key/h at 100 TB; the stream side computes only its own batch's
+    signatures."""
+    from sol_spark.operators.dedup import minhash_band_snapshot, minhash_probe_batch
+    from sol_spark.tables import load_tables
+
+    old_docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 10 < 8)
+    )
+    old_bands, old_hash = minhash_band_snapshot(old_docs)
+
+    def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        minhash_probe_batch(batch_df, old_bands, old_hash).write.mode("append").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(probe_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_fail(q, 300)
