@@ -268,6 +268,34 @@ _R11_WINDOW: tuple[str, ...] = (
     "stats_woe_iv", "stats_permutation_test",
 )
 
+# Round-12 driver window (tier 4-pinned), fixed at round-11 time (r10
+# verdict ask #4): the next 48 never-driver-sampled names in registration
+# order once _R11_HEAD + _R11_WINDOW clear — the r9/r10 stats/sketch/aqp
+# tails, the full sqltests battery family (r10 + the r11 subquery/coercion
+# additions), the r11 dedup_minhash_incremental, and the head of the
+# never-sampled TPC-DS remainder. 109 names remain after this window
+# (~2 more rounds at 50/round).
+_R12_WINDOW: tuple[str, ...] = (
+    "dedup_minhash_incremental", "orders_revenue_bridge", "stats_quantile_ci",
+    "sketch_hll_ie_audit", "aqp_error_vs_fraction", "range_join_banded",
+    "orders_abc_xyz", "rel_sql_sugar", "orders_chain_ladder",
+    "sketch_hdr_quantiles", "sample_neyman_allocation",
+    "sqltests_null_handling", "sqltests_group_analytics",
+    "sqltests_cross_join", "sqltests_limit", "sqltests_division_coercion",
+    "sqltests_nulls_ordering", "sqltests_not_in_null", "sqltests_group_by",
+    "sqltests_set_ops", "sqltests_join_edges", "sqltests_window",
+    "sqltests_operators", "sqltests_pivot", "sqltests_ordinals",
+    "sqltests_inline_tvf", "sqltests_coercion", "sqltests_exists",
+    "sqltests_simple_in", "sqltests_predicates_datetime", "sqltests_struct",
+    "sqltests_array", "sqltests_scalar_subq_predicate",
+    "sqltests_scalar_subq_select", "sqltests_in_joins",
+    "sqltests_in_group_having", "sqltests_in_orderby_limit",
+    "sqltests_in_setops", "sqltests_in_cte_multicol",
+    "sqltests_pushdown_misc", "sqltests_coercion_widen", "tpcds_q10",
+    "tpcds_q11", "tpcds_q29", "tpcds_q46", "tpcds_q48", "tpcds_q56",
+    "tpcds_q60",
+)
+
 
 def all_queries() -> dict[str, QuerySpec]:
     """Import every query-defining module, then return the registry.
@@ -297,6 +325,7 @@ def all_queries() -> dict[str, QuerySpec]:
     r10_rank = {name: i for i, name in enumerate(_R10_WINDOW)}
     r11h_rank = {name: i for i, name in enumerate(_R11_HEAD)}
     r11_rank = {name: i for i, name in enumerate(_R11_WINDOW)}
+    r12_rank = {name: i for i, name in enumerate(_R12_WINDOW)}
 
     def tier(name: str) -> tuple[int, int]:
         if name in r10h_rank:
@@ -307,9 +336,11 @@ def all_queries() -> dict[str, QuerySpec]:
             return (2, r11h_rank[name])
         if name in r11_rank:
             return (3, r11_rank[name])
+        if name in r12_rank:
+            return (4, r12_rank[name])
         if name not in _DRIVER_VERIFIED:
-            return (4, 0)
-        return (5, 0)
+            return (5, 0)
+        return (6, 0)
 
     names = list(_REGISTRY)
     # Stable sort: tier-1/2 members keep registration order among themselves.
