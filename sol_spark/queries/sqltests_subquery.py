@@ -980,14 +980,12 @@ def _coercion_sql() -> str:
             f"widen_{lt.lower()}_string", "v", "NULL", "NULL", "NULL",
             f"FROM (SELECT CAST(1 AS {lt}) AS v UNION"
             " SELECT CAST('2' AS STRING)) z"))
-    # booleanEquality: true = 1 at every numeric type, both operand orders,
-    # plus the null-safe <=> spelling (DuckDB: IS NOT DISTINCT FROM — same
-    # operator, pinned here via the shared-grammar form Spark also parses)
-    for t in _NUM_TYPES:
-        checks.append(_sel(
-            f"booleq_{t.lower()}", "NULL",
-            f"CAST((true = CAST(1 AS {t})) AS INT)",
-            f"CAST((CAST(1 AS {t}) = true) AS INT)", "NULL", ""))
+    # booleanEquality's boolean=numeric cells are ANSI-SESSION-DEPENDENT
+    # (legacy mode coerces and returns true; ANSI mode rejects with
+    # BINARY_OP_DIFF_TYPES — and the driver's vanilla probe runs ANSI-ON),
+    # so they are pinned PER MODE in tests/test_r11_sqltests.py, not
+    # oracle-paired here. The vanilla sweep caught this before the driver
+    # could (the r10 string-division lesson repeating).
     # binaryComparison: the BLOB/BINARY ordering cells both engines share
     checks.append(_sel("bincmp_eq", "NULL", "CAST((x'11' = x'11') AS INT)",
                        "CAST((x'11' = x'12') AS INT)", "NULL", ""))
@@ -1030,3 +1028,81 @@ def sqltests_coercion_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-engine in tests/test_r11_sqltests.py — a value hash can't carry
     a divergence. Scale shape: constant LocalRelation."""
     return _battery(spark, _coercion_sql())
+
+
+# ---------------------------------------------------------------------------
+# sql-compatibility-functions.sql (RuntimeReplaceable compatibility fns)
+# ---------------------------------------------------------------------------
+
+
+def _compat_fn_sql(spark: bool) -> str:
+    # DuckDB lacks nvl/nvl2, so the oracle states their definitions
+    # (coalesce / CASE WHEN IS NOT NULL) — the same independent-derivation
+    # rule the row-value IN oracles follow. ifnull/nullif are native in
+    # both engines.
+    def nvl(a: str, b: str) -> str:
+        return f"nvl({a}, {b})" if spark else f"coalesce({a}, {b})"
+
+    def nvl2(a: str, b: str, c: str) -> str:
+        if spark:
+            return f"nvl2({a}, {b}, {c})"
+        return f"CASE WHEN {a} IS NOT NULL THEN {b} ELSE {c} END"
+
+    struct_lit = (
+        "named_struct('col1', 'gamma', 'col2', 'delta')"
+        if spark
+        else "struct_pack(col1 := 'gamma', col2 := 'delta')"
+    )
+    d21 = "CAST(2.1 AS DOUBLE)"
+    QX, QY, QN = "'x'", "'y'", "'n'"
+    checks = [
+        _sel("ifnull_strings",
+             "ifnull(NULL, 'x') || '|' || ifnull('y', 'x')"
+             " || '|' || coalesce(CAST(ifnull(NULL, NULL) AS STRING), '#')",
+             "NULL", "NULL", "NULL", ""),
+        _sel("nullif_strings",
+             "coalesce(nullif('x', 'x'), '#') || '|' || nullif('x', 'y')",
+             "NULL", "NULL", "NULL", ""),
+        _sel("nvl_strings",
+             nvl("NULL", QX) + " || '|' || " + nvl(QY, QX),
+             "NULL", "NULL", "NULL", ""),
+        _sel("nvl2_strings",
+             nvl2("NULL", QX, QY) + " || '|' || " + nvl2(QN, QX, QY),
+             "NULL", "NULL", "NULL", ""),
+        # type coercion: int vs double widens to double in both engines
+        _sel("ifnull_coerce", "NULL", "NULL", "NULL",
+             f"ifnull(CAST(NULL AS INT), {d21})", ""),
+        _sel("nullif_coerce", "NULL", "NULL", "NULL",
+             f"coalesce(CAST(nullif(1, {d21}) AS DOUBLE), -1)", ""),
+        _sel("nvl_coerce", "NULL", "NULL", "NULL",
+             nvl("CAST(NULL AS INT)", d21), ""),
+        _sel("nvl2_coerce", "NULL", "NULL", "NULL",
+             nvl2("'n'", "CAST(1 AS INT)", d21), ""),
+        # SPARK-21555: RuntimeReplaceable inside GROUP BY (over a struct
+        # field — the shape that used to miss resolution)
+        _sel("nvl_in_group_by", "k", "cnt", "NULL", "NULL",
+             "FROM (SELECT " + nvl("st.col1", "'value'") + " AS k, count(*) AS cnt"
+             f" FROM (SELECT 1 AS id, {struct_lit} AS st) tv"
+             " GROUP BY " + nvl("st.col1", "'value'") + ") z"),
+    ]
+    return "\nUNION ALL\n".join(checks)
+
+
+@register(
+    "sqltests_compat_functions",
+    f"{_star_with(spark=False)}\n{_compat_fn_sql(spark=False)}\n{_OUT_ORDER}",
+    tags=("sqltests", "functions"),
+)
+def sqltests_compat_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Battery over sql-compatibility-functions.sql: the
+    RuntimeReplaceable compatibility surface — ifnull / nullif / nvl /
+    nvl2 over strings and nulls, their int-vs-double coercion cells, and
+    the SPARK-21555 RuntimeReplaceable-inside-GROUP-BY shape over a
+    struct field. DuckDB lacks nvl/nvl2, so the oracle states their
+    definitions (coalesce, CASE WHEN IS NOT NULL). The Hive cast-alias
+    sugar (boolean(1), int(1), ...) and the string(1, 2) arity error are
+    Spark-only and pinned in tests/test_r11_sqltests.py. Scale shape:
+    constant LocalRelation."""
+    return spark.sql(
+        f"{_star_with(spark=True)}\n{_compat_fn_sql(spark=True)}\n{_OUT_ORDER}"
+    )

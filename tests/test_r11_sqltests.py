@@ -128,3 +128,116 @@ def test_unordered_limit_subquery_is_nondeterministic_shape(spark):
         " ORDER BY c NULLS FIRST, d LIMIT 2) z ORDER BY v"
     ).collect()
     assert [r.v for r in rows] == [12, 16]
+
+
+# --- sql-compatibility-functions.sql: Spark-only sugar + arity error ------
+
+
+def test_cast_alias_functions_spark_sugar(spark):
+    """The Hive cast-alias functions (boolean(x), int(x), ...) are
+    Spark-only RuntimeReplaceable sugar — DuckDB has no such functions,
+    so the cells are pinned here; the portable ifnull/nullif/nvl/nvl2
+    surface is oracle-paired in sqltests_compat_functions."""
+    row = spark.sql(
+        "SELECT boolean(1) AS b, tinyint(1) AS t, smallint(1) AS s,"
+        " int(1) AS i, bigint(1) AS l, float(1) AS f, double(1) AS d,"
+        " string(1) AS st, date('2014-04-04') AS dt"
+    ).first()
+    assert row.b is True and row.t == 1 and row.s == 1 and row.i == 1
+    assert row.l == 1 and row.f == 1.0 and row.d == 1.0 and row.st == "1"
+    assert str(row.dt) == "2014-04-04"
+
+
+def test_cast_alias_arity_error(spark):
+    """string(1, 2): the cast aliases take exactly one argument — the
+    golden .out records the analysis error."""
+    with pytest.raises(AnalysisException):
+        spark.sql("SELECT string(1, 2)").collect()
+
+
+# --- subquery/negative-cases/invalid-correlation.sql ----------------------
+
+_NEG_T = (
+    "WITH t1 AS (SELECT 1 AS t1a, 2 AS t1b, 3 AS t1c),"
+    " t2 AS (SELECT 1 AS t2a, 0 AS t2b, 1 AS t2c),"
+    " t3 AS (SELECT 3 AS t3a, 1 AS t3b, 2 AS t3c)"
+)
+
+
+@pytest.mark.parametrize(
+    "label,q",
+    [
+        ("tc0101_nonagg_column",
+         "SELECT t1a, t2b FROM t1, t2 WHERE t1b = t2c AND t2b ="
+         " (SELECT max(avg) FROM (SELECT t2b, avg(t2b) avg FROM t2"
+         " WHERE t2a = t1.t1b))"),
+        ("tc0102_outer_scope_two_up",
+         "SELECT * FROM t1 WHERE t1a IN (SELECT min(t2a) FROM t2 GROUP BY"
+         " t2c HAVING t2c IN (SELECT max(t3c) FROM t3 GROUP BY t3b"
+         " HAVING t3b > t2b))"),
+        ("tc0103_mixed_refs_in_agg",
+         "SELECT t1a FROM t1 GROUP BY 1 HAVING EXISTS (SELECT 1 FROM t2"
+         " WHERE t2a < min(t1a + t2a))"),
+        ("tc0104_mixed_refs_nested",
+         "SELECT t1a FROM t1 WHERE t1a IN (SELECT t2a FROM t2 WHERE EXISTS"
+         " (SELECT 1 FROM t3 GROUP BY 1 HAVING min(t2a + t3a) > 1))"),
+    ],
+)
+def test_invalid_correlation_raises(spark, label, q):
+    """invalid-correlation.sql: correlation shapes the analyzer must
+    REJECT — a non-aggregate subquery column escaping its aggregation, an
+    outer reference reaching two scopes up into a HAVING, and
+    local+outer references mixed under one aggregate expression. Each is
+    an AnalysisException, exactly what the golden .out records."""
+    with pytest.raises(AnalysisException):
+        spark.sql(f"{_NEG_T} {q}").collect()
+
+
+# --- subquery/negative-cases/subq-input-typecheck.sql ---------------------
+
+
+@pytest.mark.parametrize(
+    "label,q",
+    [
+        ("scalar_subq_two_columns",
+         "SELECT (SELECT max(t2b), min(t2b) FROM t2 WHERE t2b > 0"
+         " GROUP BY t2b) FROM t1"),
+        ("in_subq_two_columns",
+         "SELECT * FROM t1 WHERE t1a IN (SELECT t2a, t2b FROM t2"
+         " WHERE t1a = t2a)"),
+        ("row_value_in_one_column",
+         "SELECT * FROM t1 WHERE (t1a, t1b) IN (SELECT t2a FROM t2"
+         " WHERE t1a = t2a)"),
+    ],
+)
+def test_subquery_input_typecheck_raises(spark, label, q):
+    """subq-input-typecheck.sql: a scalar subquery must return one
+    column and IN-subquery arity must match the probe row — each
+    violation is an AnalysisException."""
+    with pytest.raises(AnalysisException):
+        spark.sql(f"{_NEG_T} {q}").collect()
+
+
+# --- booleanEquality.sql: boolean = numeric is ANSI-session-dependent -----
+
+
+@pytest.mark.parametrize(
+    "t", ["TINYINT", "SMALLINT", "INT", "BIGINT", "FLOAT", "DOUBLE"]
+)
+def test_boolean_eq_numeric_per_mode(spark, t):
+    """`true = CAST(1 AS <numeric>)` coerces and returns TRUE under
+    legacy mode (the engine profile) but raises BINARY_OP_DIFF_TYPES
+    under ANSI (the driver's vanilla session) — session-dependent, so the
+    whole boolean=numeric matrix is pinned per mode here instead of
+    oracle-paired (DuckDB agrees with the legacy answer for ints)."""
+    q = f"SELECT (true = CAST(1 AS {t})) AS v, (CAST(1 AS {t}) = true) AS w"
+    prior = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        row = spark.sql(q).first()
+        assert row.v is True and row.w is True
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        with pytest.raises(AnalysisException):
+            spark.sql(q).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prior)
