@@ -125,6 +125,16 @@ HEADLINE = [
     "dedup_bloom_incremental",
     "warehouse_ivm_agg",
     "tpcds_q27m",
+    # r11 additions: the incremental MinHash-LSH band-bucket probe (the
+    # near-dup analog of the bloom ingest shape, streaming twin #10) and
+    # the Boruvka MST under its fused rewrite (hash-agg edge picks +
+    # component-graph label composition) — the round's two new/changed
+    # cost shapes, added post-gate so round 12 gets round-over-round
+    # timing (standalone r11 baselines (min of 3, loadavg 0.31):
+    # minhash_incremental 1.96 s, graph_mst 15.12 s warm; BENCH_r11_quietbox.json predates this list
+    # change and stays 51-query-comparable with r10).
+    "dedup_minhash_incremental",
+    "graph_mst",
     "win_rank_topk_per_group",
     "time_rollup_hierarchy",
     "set_intersect",

@@ -273,8 +273,9 @@ _R11_WINDOW: tuple[str, ...] = (
 # order once _R11_HEAD + _R11_WINDOW clear — the r9/r10 stats/sketch/aqp
 # tails, the full sqltests battery family (r10 + the r11 subquery/coercion
 # additions), the r11 dedup_minhash_incremental, and the head of the
-# never-sampled TPC-DS remainder. 109 names remain after this window
-# (~2 more rounds at 50/round).
+# never-sampled TPC-DS remainder, topped to 50 names (the full driver
+# budget — tier 5's registration-order tail never decides a rotation).
+# 108 names remain after this window (~2 more rounds at 50/round).
 _R12_WINDOW: tuple[str, ...] = (
     "dedup_minhash_incremental", "orders_revenue_bridge", "stats_quantile_ci",
     "sketch_hll_ie_audit", "aqp_error_vs_fraction", "range_join_banded",
@@ -293,7 +294,7 @@ _R12_WINDOW: tuple[str, ...] = (
     "sqltests_in_setops", "sqltests_in_cte_multicol",
     "sqltests_pushdown_misc", "sqltests_coercion_widen", "tpcds_q10",
     "tpcds_q11", "tpcds_q29", "tpcds_q46", "tpcds_q48", "tpcds_q56",
-    "tpcds_q60",
+    "tpcds_q60", "sqltests_compat_functions", "tpcds_q63",
 )
 
 
