@@ -670,6 +670,27 @@ def _in_setops_sql() -> str:
              "FROM t2 WHERE t2a NOT IN (SELECT t1a FROM t1 WHERE t1b"
              " IS NOT NULL INTERSECT SELECT t3a FROM t3 WHERE t3b IS NOT"
              " NULL)"),
+        # TC 01.08: CORRELATION applied on top of a set-op derived table
+        # inside the IN subquery (the decorrelation must hoist past the
+        # INTERSECT)
+        _sel("so_corr_over_intersect", "t1a", "t1b", "t1c", "NULL",
+             "FROM t1 WHERE t1b IN (SELECT t2b FROM (SELECT t2b FROM t2"
+             " WHERE t2b > 6 INTERSECT SELECT t1b FROM t1 WHERE t1b > 6)"
+             " i WHERE t2b = t1b)"),
+        # TC 01.09: IN over an EXCEPT of timestamp columns
+        _sel("so_in_over_except_ts",
+             "t1a || '@' || CAST(t1h AS STRING)", "t1b", "t1c", "NULL",
+             "FROM t1 WHERE t1h IN (SELECT t2h FROM (SELECT t2h FROM t2"
+             " EXCEPT SELECT t3h FROM t3) e)"),
+        # TC 01.11 (condensed): a set-op derived table probed by a
+        # correlated agg IN at the OUTER level — correlation INTO the
+        # set-op result
+        _sel("so_corr_into_setop", "u2a", "u2b", "NULL", "NULL",
+             "FROM (SELECT t2a AS u2a, t2b AS u2b FROM t2 WHERE t2h IN"
+             " (SELECT t1h FROM t1 WHERE t1a = t2a) UNION DISTINCT"
+             " SELECT t1a, t1b FROM t1 WHERE t1b IN (SELECT t3b FROM t3"
+             " UNION DISTINCT SELECT t2b FROM t2)) u"
+             " WHERE u.u2b IN (SELECT min(t3b) FROM t3 WHERE u.u2a = t3a)"),
     ]
     return "\nUNION ALL\n".join(checks)
 
