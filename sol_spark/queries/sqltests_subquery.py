@@ -27,6 +27,13 @@ the only per-dialect split is row-value IN/NOT IN, which DuckDB's binder
 rejects — its oracle states the EXISTS / null-aware NOT-EXISTS definition
 independently (the sqltests_not_in_null derivation).
 
+Files NOT mined here, with reasons (completing sqltests.py's skip
+ledger): udaf.sql registers a JVM-class UDAF into the catalog — a
+Java-surface test with no PySpark spelling; the PySpark-native
+equivalent (pandas GROUPED_AGG UDAF) is oracle-verified in the pd_*
+family. subquery/negative-cases/* are pure error goldens — pinned in
+tests/test_r11_sqltests.py (a value hash cannot carry an error).
+
 Determinizations, called out per check: every LIMIT consumed by a check
 gets a TOTAL ORDER BY first (the reference relies on golden-file row
 order; a value-hash cannot), and ordered subqueries feeding IN get

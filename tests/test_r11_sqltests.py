@@ -241,3 +241,52 @@ def test_boolean_eq_numeric_per_mode(spark, t):
             spark.sql(q).collect()
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prior)
+
+
+# --- check_oracle --changed-since fast path (r10 verdict ask #7) ----------
+
+
+def test_changed_since_selects_only_defining_modules():
+    """--changed-since maps changed files to the queries their defining
+    module registers, and falls back to a FULL sweep (None) the moment a
+    non-query file is in the diff — helper-module edits must never
+    silently narrow the sweep."""
+    import importlib.util
+    import os
+    import sys as _sys
+    from unittest import mock
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle_mod", os.path.join(repo, "scripts", "check_oracle.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from sol_spark.registry import all_queries
+
+    specs = all_queries()
+
+    def fake_diff(changed_files):
+        cp = mock.Mock()
+        cp.stdout = "\n".join(changed_files)
+        return cp
+
+    # Case 1: only a query-defining module changed -> exactly its names.
+    with mock.patch("subprocess.run", return_value=fake_diff(
+        ["sol_spark/queries/ssb.py"]
+    )):
+        names = mod._changed_query_names("HEAD~1", specs)
+    assert names is not None
+    assert names == {n for n in specs if n.startswith("ssb_")}
+
+    # Case 2: a helper module in the diff -> full sweep (None).
+    with mock.patch("subprocess.run", return_value=fake_diff(
+        ["sol_spark/queries/ssb.py", "sol_spark/session.py"]
+    )):
+        assert mod._changed_query_names("HEAD~1", specs) is None
+
+    # Case 3: non-.py files are ignored entirely.
+    with mock.patch("subprocess.run", return_value=fake_diff(
+        ["COVERAGE.md"]
+    )):
+        assert mod._changed_query_names("HEAD~1", specs) == set()
