@@ -63,3 +63,47 @@ def test_minhash_ingest_stream_equals_batch_across_restart(spark, sf_dir):
     finally:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(staged, ignore_errors=True)
+
+
+def test_simhash_pairwise_quadratic_vs_clusters_linear(spark):
+    """The r1 carried watch, pinned as a demonstrated trade-off: on an
+    adversarial duplicate CLIQUE (k near-identical docs), dedup_simhash's
+    pair output is exactly k(k-1)/2 — quadratic in cluster size, the
+    honest semantics of a pairwise operator — while the PRODUCTION path
+    dedup_simhash_clusters reduces the same graph to one row per
+    clustered doc (linear, one cluster label). A 100 TB pipeline runs the
+    clusters form; the pairwise query stays registered for the oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from sol_spark.operators.dedup import (
+        dedup_simhash,
+        dedup_simhash_clusters,
+        release_result,
+    )
+
+    k = 40
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [(i, base) for i in range(k)]
+    # distinct fillers far from the clique in hamming space
+    rows += [
+        (100 + j, f"completely unrelated document number {j} with its own "
+                  f"unique vocabulary item{j} token{j} word{j}")
+        for j in range(5)
+    ]
+    root = tempfile.mkdtemp(prefix="solspark_clique_")
+    try:
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            os.path.join(root, "documents.parquet")
+        )
+        pairs = dedup_simhash(spark, root)
+        clique_pairs = pairs.filter("doc_a < 100 AND doc_b < 100").count()
+        assert clique_pairs == k * (k - 1) // 2  # quadratic, demonstrated
+        clusters = dedup_simhash_clusters(spark, root)
+        got = clusters.filter("doc < 100").collect()
+        release_result(clusters)
+        assert len(got) == k  # linear: one row per clustered doc
+        assert {r["cluster"] for r in got} == {0}  # a single min-id label
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
