@@ -402,6 +402,15 @@ def _in_joins_sql() -> str:
              " WHERE t1a IN (SELECT t2a FROM t2 JOIN t1 tx ON t2b <> tx.t1b)"
              " AND t1h IN (SELECT t2h FROM t2 RIGHT JOIN t3 ON t2b = t3b)"
              " GROUP BY t1b HAVING t1b > 8) z"),
+        # TC 01.10: multi-join parent (INNER + RIGHT) under three INs,
+        # two of whose subqueries contain their own outer joins
+        _sel("ij_multi_join_parent", "NULL", "cnt", "t1b", "NULL",
+             "FROM (SELECT count(DISTINCT t1a) AS cnt, t1b FROM t1"
+             " INNER JOIN t2 ON t1b = t2b RIGHT JOIN t3 ON t1a = t3a"
+             " WHERE t1a IN (SELECT t2a FROM t2 FULL OUTER JOIN t3"
+             " ON t2b > t3b) AND t1c IN (SELECT t3.t3c FROM t3"
+             " LEFT OUTER JOIN t2 ON t3a = t2a) AND t1a = t2a"
+             " GROUP BY t1b) z"),
         # not-in-joins TC 01.01: NOT IN over a join parent
         _sel("nij_join_parent", "t1a", "t1b", "t3c", "NULL",
              "FROM t1 JOIN t3 ON t1b = t3b WHERE t1a NOT IN"
@@ -473,12 +482,21 @@ def _in_group_sql() -> str:
         _sel("gb_both_min", "t1a", "min(t1b)", "NULL", "NULL",
              "FROM t1 WHERE t1c IN (SELECT min(t2c) FROM t2 WHERE t2b = t1b"
              " GROUP BY t2a) GROUP BY t1a"),
+        # in-group-by TC 01.08: the IN-filtered GROUP BY living inside a
+        # derived table (the subquery-in-FROM shape)
+        _sel("gb_derived_table", "d2a", "d2b", "NULL", "NULL",
+             "FROM (SELECT t2a AS d2a, t2b AS d2b FROM t2 WHERE t2a IN"
+             " (SELECT t1a FROM t1 WHERE t1b = t2b) GROUP BY t2a, t2b) d"),
         # TC 01.16: correlated HAVING (outer column inside subquery HAVING)
         _sel("gb_having_corr_outer", "t1a", "min(t1b)", "NULL", "NULL",
              "FROM t1 WHERE t1c IN (SELECT min(t2c) FROM t2 WHERE t2b = t1b"
              " GROUP BY t2a HAVING t2a > t1a) OR t1d IN (SELECT t3d FROM t3"
              " WHERE t1c = t3c GROUP BY t3d HAVING t3d = t1d)"
              " GROUP BY t1a HAVING min(t1b) IS NOT NULL"),
+        # in-having TC 01.01: uncorrelated grouped-HAVING subquery feeding IN
+        _sel("hv_uncorr_grouped", "t1a || '@' || CAST(t1h AS STRING)", "t1b", "NULL", "NULL",
+             "FROM t1 WHERE t1b IN (SELECT t2b FROM t2 GROUP BY t2b"
+             " HAVING t2b < 10)"),
         # in-having TC 01.02: correlated agg subquery with HAVING, filter
         _sel("hv_corr_min_having", "t1a", "t1b", "t1c", "NULL",
              "FROM t1 WHERE t1b IN (SELECT min(t2b) FROM t2 WHERE t1a = t2a"
