@@ -1152,3 +1152,91 @@ def sqltests_compat_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"{_star_with(spark=True)}\n{_compat_fn_sql(spark=True)}\n{_OUT_ORDER}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Function-registry gap audit (round-11): a systematic diff of Spark 4.1's
+# SHOW FUNCTIONS against every function referenced across the corpus
+# surfaced the still-unexercised scalar surface; the cross-engine-checkable
+# cells land here, each with an independently derived DuckDB spelling
+# (DuckDB lacks width_bucket / equal_null / nanvl / zeroifnull /
+# nullifzero / mask / bit_get / unix_date / dayname-abbrev — the oracle
+# states each function's DEFINITION instead). Sketch families
+# (kll_*/theta_*/approx_top_k_*) are seeded-random and cross-engine
+# unhashable; trig/cbrt differ by libm-vs-JVM ulps (cross-engine float
+# rules); soundex/luhn_check have no DuckDB analog and get pytest pins.
+# ---------------------------------------------------------------------------
+
+
+def _fn_gap_sql(spark: bool) -> str:
+    TS = "TIMESTAMP '2014-04-04 01:00:00'"
+    D = "DATE '2014-04-04'"
+    if spark:
+        cells = [
+            ("width_bucket_mid", "NULL", "width_bucket(7, 0, 10, 5)", "width_bucket(11, 0, 10, 5)", "NULL"),
+            ("split_part_pos", "split_part('a,b,c', ',', 2)", "NULL", "NULL", "NULL"),
+            ("position_in", "NULL", "position('b' IN 'abc')", "NULL", "NULL"),
+            ("case_aliases", "lcase('AB') || ucase('ab')", "char_length('abcd')", "character_length('ab')", "NULL"),
+            # Spark's two-arg ltrim/rtrim take (trimStr, str) — REVERSED vs
+            # DuckDB's (str, trimStr); btrim agrees on (str, trimStr)
+            ("trim_chars", "btrim('xxaxx', 'x') || '|' || ltrim('x', 'xxa') || '|' || rtrim('x', 'axx')", "NULL", "NULL", "NULL"),
+            (f"day_month_name", f"dayname({D}) || '|' || monthname({D})", "NULL", "NULL", "NULL"),
+            (f"unix_date_roundtrip", "CAST(date_from_unix_date(16164) AS STRING)", f"unix_date({D})", "NULL", "NULL"),
+            (f"unix_epoch_fns", "NULL", f"unix_seconds({TS})", f"unix_millis({TS})", "NULL"),
+            ("timestamp_seconds_fn", "CAST(timestamp_seconds(1000000000) AS STRING)", "NULL", "NULL", "NULL"),
+            (f"date_part_fn", "NULL", f"date_part('year', {TS})", f"datepart('month', {TS})", "NULL"),
+            ("equal_null_fn", "NULL", "CAST(equal_null(5, 5) AS INT)", "CAST(equal_null(NULL, 5) AS INT)", "NULL"),
+            ("nanvl_fn", "NULL", "NULL", "NULL", "nanvl(CAST('NaN' AS DOUBLE), 2.5)"),
+            ("zero_null_fns", "NULL", "zeroifnull(CAST(NULL AS INT))", "nullifzero(0)", "NULL"),
+            ("mask_default", "mask('AbCD123-@$#')", "NULL", "NULL", "NULL"),
+            ("bit_get_fns", "NULL", "bit_get(12, 2)", "getbit(12, 3)", "NULL"),
+            ("shift_unsigned", "NULL", "shiftrightunsigned(1024, 3)", "NULL", "NULL"),
+            ("try_mod_zero", "NULL", "try_mod(5, 0)", "try_mod(7, 4)", "NULL"),
+            ("bround_even", "NULL", "CAST(bround(2.5, 0) AS BIGINT)", "CAST(bround(3.5, 0) AS BIGINT)", "NULL"),
+        ]
+    else:
+        cells = [
+            ("width_bucket_mid", "NULL", "(7 * 5) // 10 + 1", "5 + 1", "NULL"),
+            ("split_part_pos", "split_part('a,b,c', ',', 2)", "NULL", "NULL", "NULL"),
+            ("position_in", "NULL", "position('b' IN 'abc')", "NULL", "NULL"),
+            ("case_aliases", "lcase('AB') || ucase('ab')", "length('abcd')", "length('ab')", "NULL"),
+            ("trim_chars", "trim('xxaxx', 'x') || '|' || ltrim('xxa', 'x') || '|' || rtrim('axx', 'x')", "NULL", "NULL", "NULL"),
+            (f"day_month_name", f"strftime({D}, '%a') || '|' || strftime({D}, '%b')", "NULL", "NULL", "NULL"),
+            (f"unix_date_roundtrip", "CAST(DATE '1970-01-01' + 16164 AS STRING)", f"datediff('day', DATE '1970-01-01', {D})", "NULL", "NULL"),
+            (f"unix_epoch_fns", "NULL", f"CAST(epoch({TS}) AS BIGINT)", f"epoch_ms({TS})", "NULL"),
+            ("timestamp_seconds_fn", "CAST(CAST(to_timestamp(1000000000) AS TIMESTAMP) AS STRING)", "NULL", "NULL", "NULL"),
+            (f"date_part_fn", "NULL", f"date_part('year', {TS})", f"date_part('month', {TS})", "NULL"),
+            ("equal_null_fn", "NULL", "CAST(5 IS NOT DISTINCT FROM 5 AS INT)", "CAST(NULL IS NOT DISTINCT FROM 5 AS INT)", "NULL"),
+            ("nanvl_fn", "NULL", "NULL", "NULL", "CASE WHEN isnan(CAST('NaN' AS DOUBLE)) THEN 2.5 ELSE CAST('NaN' AS DOUBLE) END"),
+            ("zero_null_fns", "NULL", "coalesce(CAST(NULL AS INT), 0)", "nullif(0, 0)", "NULL"),
+            ("mask_default",
+             "regexp_replace(regexp_replace(regexp_replace('AbCD123-@$#',"
+             " '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')",
+             "NULL", "NULL", "NULL"),
+            ("bit_get_fns", "NULL", "(12 >> 2) & 1", "(12 >> 3) & 1", "NULL"),
+            ("shift_unsigned", "NULL", "1024 >> 3", "NULL", "NULL"),
+            ("try_mod_zero", "NULL", "CAST(NULL AS INT)", "7 % 4", "NULL"),
+            ("bround_even", "NULL", "CAST(round_even(2.5, 0) AS BIGINT)", "CAST(round_even(3.5, 0) AS BIGINT)", "NULL"),
+        ]
+    return "\nUNION ALL\n".join(_sel(c, s, n1, n2, d, "") for c, s, n1, n2, d in cells)
+
+
+@register(
+    "fn_registry_gap_audit",
+    f"{_fn_gap_sql(spark=False)}\n{_OUT_ORDER}",
+    tags=("functions", "audit"),
+)
+def fn_registry_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The function-registry diff audit battery: Spark-4 scalar functions
+    a systematic SHOW-FUNCTIONS-vs-corpus diff found unexercised —
+    width_bucket, split_part, position(IN), lcase/ucase/char_length
+    aliases, btrim/ltrim/rtrim with a trim-charset, dayname/monthname,
+    unix_date/date_from_unix_date, unix_seconds/unix_millis,
+    timestamp_seconds, date_part/datepart, equal_null, nanvl,
+    zeroifnull/nullifzero, mask, bit_get/getbit, shiftrightunsigned,
+    try_mod, and bround (banker's rounding vs DuckDB round_even). Where
+    DuckDB lacks the function the oracle states its definition
+    (integer-exact width_bucket formula, IS NOT DISTINCT FROM, the
+    triple-regexp mask, shift-and for bit_get). Scale shape: constant
+    SELECT-only battery."""
+    return spark.sql(f"{_fn_gap_sql(spark=True)}\n{_OUT_ORDER}")

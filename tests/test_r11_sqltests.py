@@ -290,3 +290,20 @@ def test_changed_since_selects_only_defining_modules():
         ["COVERAGE.md"]
     )):
         assert mod._changed_query_names("HEAD~1", specs) == set()
+
+
+# --- function-registry gap audit: cells with no DuckDB analog -------------
+
+
+def test_soundex_and_luhn_pins(spark):
+    """soundex and luhn_check have no DuckDB analog (and a hand-derived
+    SQL oracle would re-implement the whole algorithm) — pinned against
+    the published reference values instead: Robert -> R163 (the canonical
+    soundex example) and the classic Luhn test number 79927398713."""
+    row = spark.sql(
+        "SELECT soundex('Robert') AS s1, soundex('Rupert') AS s2,"
+        " soundex('Tymczak') AS s3,"
+        " luhn_check('79927398713') AS ok, luhn_check('79927398714') AS bad"
+    ).first()
+    assert row.s1 == "R163" and row.s2 == "R163" and row.s3 == "T522"
+    assert row.ok is True and row.bad is False
