@@ -1240,3 +1240,63 @@ def fn_registry_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     triple-regexp mask, shift-and for bit_get). Scale shape: constant
     SELECT-only battery."""
     return spark.sql(f"{_fn_gap_sql(spark=True)}\n{_OUT_ORDER}")
+
+
+def _fn_gap2_sql(spark: bool) -> str:
+    def vals(rows: str, alias: str) -> str:
+        return (f"FROM VALUES {rows} AS {alias}" if spark
+                else f"FROM (VALUES {rows}) {alias}")
+
+    bools = vals("(true), (false), (CAST(NULL AS BOOLEAN))", "t(x)")
+    var2 = vals("(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)), (CAST(2 AS DOUBLE), CAST(4 AS DOUBLE))", "t(x, y)")
+    var3 = vals("(CAST(1 AS DOUBLE)), (CAST(2 AS DOUBLE)), (CAST(3 AS DOUBLE))", "t(x)")
+    if spark:
+        cells = [
+            ("from_unixtime_fn", "from_unixtime(1000000000)", "NULL", "NULL", "NULL", ""),
+            ("to_unix_timestamp_fn", "NULL", "to_unix_timestamp('2014-04-04', 'yyyy-MM-dd')", "NULL", "NULL", ""),
+            ("make_timestamp_fn", "CAST(make_timestamp(2014, 4, 4, 1, 30, 0) AS STRING)", "NULL", "NULL", "NULL", ""),
+            ("format_string_fn", "format_string('%d-%s', 7, 'x') || '|' || printf('%d-%s', 8, 'y')", "NULL", "NULL", "NULL", ""),
+            ("json_len_keys", "array_join(json_object_keys('{\"a\":1,\"b\":2}'), ',')", "json_array_length('[1,2,3]')", "NULL", "NULL", ""),
+            ("ilike_regexp_fns", "NULL", "CAST(ilike('AbC', '%b%') AS INT)", "CAST(regexp_like('abc', 'b.') AS INT)", "NULL", ""),
+            ("every_some_any", "NULL", "CAST(every(x) AS INT)", "CAST(some(x) AS INT)", "CAST(any(x) AS INT)", bools),
+            ("var_covar_pop", "NULL", "CAST(variance(x) AS BIGINT)", "NULL", "covar_pop(x, y)", var2),
+            ("stddev_alias", "NULL", "NULL", "NULL", "stddev(x)", var3),
+            ("sha2_256", "sha2('abc', 256)", "NULL", "NULL", "NULL", ""),
+            ("const_e", "NULL", "NULL", "NULL", "e()", ""),
+            ("const_pi", "NULL", "NULL", "NULL", "pi()", ""),
+        ]
+    else:
+        cells = [
+            ("from_unixtime_fn", "strftime(CAST(to_timestamp(1000000000) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')", "NULL", "NULL", "NULL", ""),
+            ("to_unix_timestamp_fn", "NULL", "CAST(epoch(strptime('2014-04-04', '%Y-%m-%d')) AS BIGINT)", "NULL", "NULL", ""),
+            ("make_timestamp_fn", "CAST(make_timestamp(2014, 4, 4, 1, 30, 0.0) AS STRING)", "NULL", "NULL", "NULL", ""),
+            ("format_string_fn", "printf('%d-%s', 7, 'x') || '|' || printf('%d-%s', 8, 'y')", "NULL", "NULL", "NULL", ""),
+            ("json_len_keys", "array_to_string(json_keys(CAST('{\"a\":1,\"b\":2}' AS JSON)), ',')", "CAST(json_array_length(CAST('[1,2,3]' AS JSON)) AS BIGINT)", "NULL", "NULL", ""),
+            ("ilike_regexp_fns", "NULL", "CAST(('AbC' ILIKE '%b%') AS INT)", "CAST(regexp_matches('abc', 'b.') AS INT)", "NULL", ""),
+            ("every_some_any", "NULL", "CAST(bool_and(x) AS INT)", "CAST(bool_or(x) AS INT)", "CAST(bool_or(x) AS INT)", bools),
+            ("var_covar_pop", "NULL", "CAST(var_samp(x) AS BIGINT)", "NULL", "covar_pop(x, y)", var2),
+            ("stddev_alias", "NULL", "NULL", "NULL", "stddev(x)", var3),
+            ("sha2_256", "sha256('abc')", "NULL", "NULL", "NULL", ""),
+            ("const_e", "NULL", "NULL", "NULL", "exp(CAST(1 AS DOUBLE))", ""),
+            ("const_pi", "NULL", "NULL", "NULL", "pi()", ""),
+        ]
+    return "\nUNION ALL\n".join(_sel(c, s, n1, n2, d, tail) for c, s, n1, n2, d, tail in cells)
+
+
+@register(
+    "fn_registry_gap_audit2",
+    f"{_fn_gap2_sql(spark=False)}\n{_OUT_ORDER}",
+    tags=("functions", "audit"),
+)
+def fn_registry_gap_audit2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second wave of the function-registry diff audit: from_unixtime /
+    to_unix_timestamp (format-string dialects parameterized per engine),
+    make_timestamp, format_string + printf, json_array_length +
+    json_object_keys (keys array_join'ed — raw arrays banned), the
+    ilike/regexp_like function forms, the every/some/any boolean-agg
+    aliases over a NULL-bearing set (oracle: bool_and/bool_or), the
+    variance/stddev/covar_pop alias surface over exactly-representable
+    sets (so the Welford-vs-two-pass formula difference cannot produce an
+    ulp), sha2-256 vs DuckDB sha256, and the e()/pi() constants (both
+    engines expose the same IEEE doubles). Scale: constant battery."""
+    return spark.sql(f"{_fn_gap2_sql(spark=True)}\n{_OUT_ORDER}")
