@@ -1300,3 +1300,74 @@ def fn_registry_gap_audit2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ulp), sha2-256 vs DuckDB sha256, and the e()/pi() constants (both
     engines expose the same IEEE doubles). Scale: constant battery."""
     return spark.sql(f"{_fn_gap2_sql(spark=True)}\n{_OUT_ORDER}")
+
+
+def _fn_map_ho_sql(spark: bool) -> str:
+    """Higher-order MAP function battery. Map outputs are rendered to
+    'k=v' joined strings (raw map columns are banned corpus-wide); the
+    DuckDB oracle derives each function over the same base maps via
+    map_entries + list lambdas (it has no transform_keys/values,
+    map_filter, or map_zip_with)."""
+    if spark:
+        m = "map_from_arrays(array('a', 'b', 'c'), array(1, 2, 3))"
+        render = "array_join(transform(map_entries({0}), e -> concat(e.key, '=', CAST(e.value AS STRING))), ',')"
+        cells = [
+            ("map_from_arrays_fn", render.format(m)),
+            ("map_from_entries_fn",
+             render.format("map_from_entries(array(struct('x', 7), struct('y', 8)))")),
+            ("transform_keys_fn", render.format(f"transform_keys({m}, (k, v) -> upper(k))")),
+            ("transform_values_fn", render.format(f"transform_values({m}, (k, v) -> v * 10)")),
+            ("map_filter_fn", render.format(f"map_filter({m}, (k, v) -> v > 1)")),
+            ("map_zip_with_fn",
+             render.format(
+                 "map_zip_with(map_from_arrays(array('a', 'b'), array(1, 2)),"
+                 " map_from_arrays(array('b', 'c'), array(10, 20)),"
+                 " (k, v1, v2) -> coalesce(v1, 0) + coalesce(v2, 0))")),
+            ("map_keys_values_fn",
+             f"array_join(map_keys({m}), ',') || '|' || array_join(transform(map_values({m}), v -> CAST(v AS STRING)), ',')"),
+        ]
+    else:
+        m = "map(['a', 'b', 'c'], [1, 2, 3])"
+        render = "array_to_string(list_transform(map_entries({0}), e -> e.key || '=' || CAST(e.value AS VARCHAR)), ',')"
+
+        def ent(expr: str) -> str:
+            return f"array_to_string(list_transform(map_entries({m}), e -> {expr}), ',')"
+
+        cells = [
+            ("map_from_arrays_fn", render.format(m)),
+            ("map_from_entries_fn", render.format("map(['x', 'y'], [7, 8])")),
+            ("transform_keys_fn", ent("upper(e.key) || '=' || CAST(e.value AS VARCHAR)")),
+            ("transform_values_fn", ent("e.key || '=' || CAST(e.value * 10 AS VARCHAR)")),
+            ("map_filter_fn",
+             f"array_to_string(list_transform(list_filter(map_entries({m}),"
+             " e -> e.value > 1), e -> e.key || '=' || CAST(e.value AS VARCHAR)), ',')"),
+            ("map_zip_with_fn",
+             "array_to_string(list_transform(['a', 'b', 'c'], k -> k || '=' ||"
+             " CAST(coalesce(map_extract(map(['a', 'b'], [1, 2]), k)[1], 0)"
+             " + coalesce(map_extract(map(['b', 'c'], [10, 20]), k)[1], 0)"
+             " AS VARCHAR)), ',')"),
+            ("map_keys_values_fn",
+             f"array_to_string(map_keys({m}), ',') || '|' ||"
+             f" array_to_string(list_transform(map_values({m}), v -> CAST(v AS VARCHAR)), ',')"),
+        ]
+    return "\nUNION ALL\n".join(
+        _sel(c, s, "NULL", "NULL", "NULL", "") for c, s in cells
+    )
+
+
+@register(
+    "fn_map_higher_order",
+    f"{_fn_map_ho_sql(spark=False)}\n{_OUT_ORDER}",
+    tags=("functions", "audit"),
+)
+def fn_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third wave of the function-registry diff audit: the higher-order
+    MAP surface — map_from_arrays / map_from_entries construction,
+    transform_keys / transform_values, map_filter, map_zip_with (key
+    union in first-map-then-new-keys order), and map_keys/map_values.
+    Every map is rendered to a 'k=v' joined string (raw map outputs are
+    banned corpus-wide); DuckDB lacks the four lambda forms, so the
+    oracle derives each over the same base maps via map_entries + list
+    lambdas. Scale shape: constant battery (lambdas are CodegenFallback
+    — fine on constants, kept out of hot paths per the corpus rule)."""
+    return spark.sql(f"{_fn_map_ho_sql(spark=True)}\n{_OUT_ORDER}")
