@@ -1371,3 +1371,63 @@ def fn_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     lambdas. Scale shape: constant battery (lambdas are CodegenFallback
     — fine on constants, kept out of hot paths per the corpus rule)."""
     return spark.sql(f"{_fn_map_ho_sql(spark=True)}\n{_OUT_ORDER}")
+
+
+def _gen_outer_sql(spark: bool) -> str:
+    """OUTER generator variants: posexplode_outer / explode_outer /
+    inline_outer must emit one NULL row for an empty or NULL collection
+    where the non-outer forms drop the parent row. The DuckDB oracle
+    derives outer semantics as src LEFT JOIN (unnested rows) — the empty
+    and NULL arrays fall out as the null row with no special-casing."""
+    if spark:
+        return (
+            "SELECT 'posexplode_outer' AS check_name, CAST(id AS BIGINT) AS n1,"
+            " CAST(pos AS BIGINT) AS n2, CAST(val AS BIGINT) AS n3,"
+            " CAST(NULL AS STRING) AS s FROM (SELECT id, posexplode_outer(arr)"
+            " AS (pos, val) FROM VALUES (1, array(10, 20)),"
+            " (2, CAST(array() AS ARRAY<INT>)), (3, CAST(NULL AS ARRAY<INT>))"
+            " AS src(id, arr)) z"
+            "\nUNION ALL\n"
+            "SELECT 'inline_outer', CAST(id AS BIGINT), CAST(a AS BIGINT),"
+            " CAST(NULL AS BIGINT), b FROM (SELECT id, inline_outer(sarr)"
+            " FROM VALUES (1, array(named_struct('a', 7, 'b', 'x'),"
+            " named_struct('a', 8, 'b', 'y'))),"
+            " (2, CAST(NULL AS ARRAY<STRUCT<a: INT, b: STRING>>))"
+            " AS src(id, sarr)) z"
+        )
+    return (
+        "WITH src AS (SELECT * FROM (VALUES (1, [10, 20]),"
+        " (2, CAST([] AS INT[])), (3, CAST(NULL AS INT[]))) s(id, arr)),"
+        " ex AS (SELECT id, generate_subscripts(arr, 1) - 1 AS pos,"
+        " unnest(arr) AS val FROM src),"
+        " src2 AS (SELECT * FROM (VALUES (1, [{'a': 7, 'b': 'x'},"
+        " {'a': 8, 'b': 'y'}]), (2, CAST(NULL AS STRUCT(a INT, b VARCHAR)[])))"
+        " s(id, sarr)),"
+        " ex2 AS (SELECT id, unnest(sarr) AS st FROM src2)"
+        " SELECT 'posexplode_outer' AS check_name, CAST(s.id AS BIGINT) AS n1,"
+        " CAST(e.pos AS BIGINT) AS n2, CAST(e.val AS BIGINT) AS n3,"
+        " CAST(NULL AS STRING) AS s FROM src s LEFT JOIN ex e USING (id)"
+        "\nUNION ALL\n"
+        "SELECT 'inline_outer', CAST(s.id AS BIGINT), CAST(e.st.a AS BIGINT),"
+        " CAST(NULL AS BIGINT), e.st.b FROM src2 s LEFT JOIN ex2 e USING (id)"
+    )
+
+
+_GEN_OUTER_ORDER = "ORDER BY check_name, n1, n2, n3, s"
+
+
+@register(
+    "gen_outer_variants",
+    f"{_gen_outer_sql(spark=False)}\n{_GEN_OUTER_ORDER}",
+    tags=("generator", "audit"),
+)
+def gen_outer_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OUTER generator variants closing §2.2's last gap:
+    posexplode_outer over a populated / empty / NULL array (the null-row
+    emission that plain posexplode lacks — the same reason
+    shingle_rows_df uses explode_outer) and inline_outer over a struct
+    array with a NULL-collection row. Oracle: outer semantics derived as
+    src LEFT JOIN unnested rows — empty/NULL collections become the null
+    row with no special-casing, an independent statement of the rule.
+    Scale shape: constant LocalRelation battery."""
+    return spark.sql(f"{_gen_outer_sql(spark=True)}\n{_GEN_OUTER_ORDER}")
