@@ -53,7 +53,7 @@ def _persistent_rdd_ids(df: DataFrame) -> set[int]:
     return {int(k) for k in jmap.keySet().toArray()}
 
 
-def local_checkpoint(df: DataFrame, *, eager: bool = True) -> DataFrame:
+def local_checkpoint(df: DataFrame, *, eager: bool = True, fresh_stats: bool = False) -> DataFrame:
     """``df.localCheckpoint`` that RECORDS the id of the RDD the
     checkpoint persisted (set-difference of ``getPersistentRDDs`` around the
     call), so :func:`release_result` can later unpersist it by id instead of
@@ -66,7 +66,25 @@ def local_checkpoint(df: DataFrame, *, eager: bool = True) -> DataFrame:
     registered persistent, so the id diff still works) but defers
     materialization to the caller's next full-frame job — the fused
     probe+checkpoint path of :func:`iterate` uses this to pay one job per
-    round instead of two."""
+    round instead of two.
+
+    ``fresh_stats=True`` (r11 optimization round) re-wraps the
+    checkpointed data in a new LogicalRDD WITHOUT the child plan's
+    statistics. ``Dataset.localCheckpoint`` preserves the child's stats
+    (``LogicalRDD.rewriteStatsAndConstraints``), and the size-only stats
+    visitor multiplies ``sizeInBytes`` over join children as a BigInt
+    product — so a loop that SELF-JOINS its own checkpoint chain SQUARES
+    the inherited sizeInBytes every round, and after a dozen squarings
+    the driver spends minutes in BigInteger.multiplyToomCook3 inside
+    every subsequent checkpoint's stats rewrite (thread-dump-diagnosed
+    on graph_mst's pointer-doubling contraction: a 6-row job took 60 s
+    with the driver RUNNABLE in BigInteger.multiply under
+    LogicalRDD.fromDataset). The reset trades exact propagated stats for
+    the leaf default — static broadcast decisions below a checkpoint are
+    unaffected in practice because chained-checkpoint stats were already
+    astronomically over the threshold, and AQE re-plans joins from REAL
+    runtime sizes anyway. Only eager checkpoints may use it (a deferred
+    checkpoint's Observation rides the original plan)."""
     try:
         before = _persistent_rdd_ids(df)
     except Exception:  # noqa: BLE001 — bookkeeping must never fail the query
@@ -79,6 +97,24 @@ def local_checkpoint(df: DataFrame, *, eager: bool = True) -> DataFrame:
                 out._solspark_ckpt_rdd_id = next(iter(new))
         except Exception:  # noqa: BLE001
             pass
+    if fresh_stats and eager:
+        try:
+            from pyspark.sql.classic.dataframe import DataFrame as _ClassicDF
+
+            qe = out._jdf.queryExecution()
+            spark = df.sparkSession
+            wrapped = _ClassicDF(
+                spark._jsparkSession.internalCreateDataFrame(
+                    qe.toRdd(), qe.analyzed().schema(), False
+                ),
+                spark,
+            )
+            rid = getattr(out, "_solspark_ckpt_rdd_id", None)
+            if rid is not None:
+                wrapped._solspark_ckpt_rdd_id = rid
+            return wrapped
+        except Exception:  # noqa: BLE001 — stats reset is an optimization only
+            return out
     return out
 
 
@@ -427,7 +463,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = _band_df(sig)
     cand = (
         bands.alias("a")
-        .join(bands.alias("b"), ["band", "band_key"])
+        # shuffle_hash hint (r11 optimization round): the default broadcast
+        # build re-ran the signature aggregate for the build side; with both
+        # sides shuffling on (band, band_key) over identical children,
+        # ReuseExchange evaluates the signature pipeline once.
+        .join(bands.alias("b").hint("shuffle_hash"), ["band", "band_key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -507,7 +547,11 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = _band_df(sig)
     cand = (
         bands.alias("a")
-        .join(bands.alias("b"), ["band", "band_key"])
+        # shuffle_hash hint (r11 optimization round): the default broadcast
+        # build re-ran the signature aggregate for the build side; with both
+        # sides shuffling on (band, band_key) over identical children,
+        # ReuseExchange evaluates the signature pipeline once.
+        .join(bands.alias("b").hint("shuffle_hash"), ["band", "band_key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -595,7 +639,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one explode + ONE hash-aggregate computes all 32 bit-votes
     (map-side partial sums), signatures are 1 row/doc, and the candidate
     join is equi on (band, band_key) — never O(n^2). Hamming confirm is
-    bit_count(xor) on two bigints: codegen'd, no Python."""
+    bit_count(xor) on two bigints: codegen'd, no Python.
+
+    r11 optimization-round rewrite (guide §2.3/§2.4 — shuffle fewer
+    bytes, evaluate the heavy subtree once):
+      * LANE-PACKED votes: the per-bit +1/-1 vote sum s_i > 0 is
+        equivalent to 2*cnt_i > n (cnt_i = count of rows with bit i set,
+        n = the doc's row count), and TWO 32-bit-separated bit counts
+        pack into ONE 64-bit sum — sum((h >> i) & 0x100000001) holds
+        cnt_i in the low 32 bits and cnt_(i+32) in the high 32 (exact
+        while a doc has < 2^32 distinct tokens, which even a 100 TB
+        corpus row cannot reach: text is a single table cell). 31 packed
+        sums + count(*) replace 60 branchy conditional sums — half the
+        aggregate buffers, no per-row branches, identical signatures.
+      * The band self-join is hinted SHUFFLE_HASH: the default broadcast
+        plan builds its broadcast side by RE-EXECUTING the whole
+        explode+md5+vote pipeline (two HashAggregate subtrees in the r1
+        plan, no ReusedExchange); with both sides shuffling on
+        (b, band_key) over identical children, ReuseExchange computes
+        the signature pipeline ONCE (plans/r11/dedup_simhash_*.txt)."""
     t = load_tables(spark, sf_dir)
     rows = (
         t["documents"]
@@ -605,15 +667,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(conv(substring(md5(tok), 1, {SIMHASH_BITS // 4}), 16, 10) AS BIGINT)"),
         )
     )
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{i}")
-        for i in range(SIMHASH_BITS)
+    # Bits 0..27 pair with bits 32..59 in one packed sum each; bits 28..31
+    # ride alone (their +32 partners exceed SIMHASH_BITS-1 = 59).
+    lane_mask = (1 << 32) | 1
+    packed = [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(lane_mask))).alias(f"c{i}")
+        for i in range(32)
     ]
-    sig = rows.groupBy("doc_id").agg(*votes)
+    sig = rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *packed)
+
+    def _cnt(i: int) -> str:
+        # cnt_i decoded from the packed lane sums.
+        if i < 32:
+            return f"(c{i} & 4294967295)"
+        return f"(c{i - 32} >> 32)"
+
+    # Majority vote: s_i = 2*cnt_i - n > 0  <=>  2*cnt_i > n (exact ints).
     simhash_expr = " + ".join(
-        f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)" for i in range(SIMHASH_BITS)
+        f"(CASE WHEN 2 * {_cnt(i)} > n THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
     )
     sh = sig.select("doc_id", F.expr(simhash_expr).alias("simhash"))
     band_keys = F.array(
@@ -628,7 +700,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "b", "band_key")
     b = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "b", "band_key")
     return (
-        a.join(b, ["b", "band_key"])
+        a.join(b.hint("shuffle_hash"), ["b", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
         # filter BEFORE distinct: a pair can collide in up to SIMHASH_BANDS
@@ -2797,43 +2869,54 @@ def graph_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
     forest. Components at least halve per round, so rounds are
     O(log n); the loop stops when a round adds nothing.
 
-    Scale shape (round-11 fused rewrite, the graph_maximal_matching
-    lesson applied — r10 verdict ask #6): per round, the edge set joins
-    the label table once per endpoint and each component's minimum cross
-    edge is taken by ONE hash-aggregate `min(struct(w, a, b, comp_a,
-    comp_b))` carrying the FULL edge identity (map-side partial min; the
-    previous sort-window pick shuffled+sorted every cross edge), and
-    labels are maintained by COMPOSITION: the picked edges induce a
-    component-level graph (one node per live component, geometrically
-    shrinking), connected_components contracts THAT, and the doc-level
-    label table updates by a single equi-join — the previous version
-    re-ran full-forest CC every round over all doc-level forest edges.
-    Labels stay consistent+injective (a merged group's new label is the
-    min of its members' old labels; groups are disjoint from untouched
-    comps), which is all the cross-edge filter and pick-group key need.
-    Measured (load-stamped A/B, warm min of 3): 21.4 s -> 15.4 s at
-    sf0.1; the remaining floor is the comp-graph CC's fixed per-job
-    overhead (~2.9 s/round on a 2,799-edge graph — pure scheduling, so
-    relatively cheaper at scale), which is the honest price of EXACT
-    labels: Boruvka picks against partially merged labels could select
-    an intra-component edge and break the unique-(w,a,b)-MST guarantee,
-    so no fixed-round shortcut is admissible. Never all-pairs, never
-    driver-side edges; the convergence probe is a count; per-round
-    checkpoint-and-release keeps storage flat. Oracle: the same rounds
-    unrolled with the condensed CC chain embedded per round (semantics
-    unchanged — CC labels and composed labels induce the same
-    partition)."""
+    Scale shape (round-11 fused rewrite + optimization-round contraction
+    rewrite): per round, the edge set joins the label table once per
+    endpoint and each component's minimum cross edge is taken by ONE
+    hash-aggregate `min(struct(w, a, b, comp_a, comp_b))` carrying the
+    FULL edge identity (map-side partial min). The round's convergence
+    probe is FUSED into the pick checkpoint as an Observation row count
+    (no separate count job), the forest union is DEFERRED to finalize
+    (a picked edge can never be re-picked — its endpoints share a label
+    from the next round on — so cross-round duplicates are impossible
+    and the per-round union+distinct+count jobs were pure latency), and
+    the component contraction exploits the PICK GRAPH's structure
+    instead of calling the generic large-star/small-star CC: directing
+    every live component at the far endpoint of its picked edge yields a
+    functional graph whose only cycles are 2-cycles (the component-
+    minimum edge under the (w, a, b) total order is picked from both
+    sides — the classic Boruvka lemma), so rooting each 2-cycle at its
+    smaller label and POINTER-DOUBLING (p <- p(p), one self-join +
+    Observation-probed checkpoint per squaring) contracts in
+    O(log depth) single-job rounds where the star-CC loop paid ~3 jobs
+    per round plus setup. Labels stay consistent+injective (a merged
+    group's new label is one member's old label — the 2-cycle minimum —
+    and untouched comps keep labels injectivity already gave them),
+    which is all the cross-edge filter and pick-group key need; the
+    picked edge SET is labeling-scheme-invariant because the pick order
+    (w, a, b) never reads a label. Measured: 21.4 -> 15.4 s (r11 fused
+    rewrite) -> see OPTIMIZATION_r11.md for this round's A/B. Never
+    all-pairs, never driver-side edges; per-round checkpoint-and-release
+    keeps storage flat. Oracle: the same rounds unrolled with the
+    condensed CC chain embedded per round (semantics unchanged — CC
+    labels and composed labels induce the same partition, and the MST
+    edge set is unique under the (w, a, b) total order)."""
+    from pyspark.sql import Observation
+
+    import functools
+
+    _ckpt = functools.partial(local_checkpoint, fresh_stats=True)
+
     ph = dedup_simhash(spark, sf_dir)
-    edges = local_checkpoint(
+    edges = _ckpt(
         ph.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"), F.col("hamming").alias("w"))
     )
     release_result(ph)
-    labels = local_checkpoint(
+    labels = _ckpt(
         edges.select(F.col("a").alias("doc")).union(edges.select("b")).distinct()
         .select("doc", F.col("doc").alias("comp"))
     )
-    mst = local_checkpoint(edges.where(F.lit(False)))
-    n_mst = 0
+    pick_frames: list[DataFrame] = []
+    scratch: list[DataFrame] = []
     try:
         for r in range(MST_ROUNDS + 1):
             ca = labels.select(F.col("doc").alias("a"), F.col("comp").alias("comp_a"))
@@ -2846,46 +2929,100 @@ def graph_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
                 x.select(F.col("comp_b").alias("comp"), "a", "b", "w", "comp_a", "comp_b")
             )
             # One hash-agg picks each component's minimum cross edge under
-            # the (w, a, b) total order, carrying both endpoint components
-            # — no sort-window, no join back to the edge set.
-            picks = local_checkpoint(
+            # the (w, a, b) total order; the live-pick count rides the
+            # checkpoint job as an Observation (one job, no count pass).
+            obs = Observation(f"mst_picks_{r}")
+            picks = _ckpt(
                 both.groupBy("comp")
                 .agg(F.min(F.struct("w", "a", "b", "comp_a", "comp_b")).alias("p"))
-                .select("p.a", "p.b", "p.w", "p.comp_a", "p.comp_b")
+                .select("comp", "p.a", "p.b", "p.w", "p.comp_a", "p.comp_b")
+                .observe(obs, F.count(F.lit(1)).alias("n"))
             )
-            sel = picks.select("a", "b", "w").distinct()
-            new_mst = local_checkpoint(mst.unionByName(sel).distinct())
-            new_n = new_mst.count()
-            release_result(mst)
-            mst = new_mst
-            if new_n == n_mst:
+            if obs.get["n"] == 0:
                 release_result(picks)
                 break
-            n_mst = new_n
-            # Contract the component-level graph (<= one node per live
-            # component) and compose: doc -> comp -> merged comp.
-            cmap = connected_components(
-                picks.select(F.col("comp_a").alias("doc_a"), F.col("comp_b").alias("doc_b"))
+            pick_frames.append(picks)
+            # Contract the pick graph by pointer doubling: point each live
+            # comp at its pick's far endpoint, root 2-cycles at the smaller
+            # label, then square the pointer until fixpoint.
+            far = F.when(F.col("comp") == F.col("comp_a"), F.col("comp_b")).otherwise(
+                F.col("comp_a")
             )
-            new_labels = local_checkpoint(
-                labels.join(cmap, labels["comp"] == cmap["doc"], "left")
-                .select(labels["doc"], F.coalesce("cluster", "comp").alias("comp"))
+            p0 = picks.select("comp", far.alias("p"))
+            q = p0.select(F.col("comp").alias("c2"), F.col("p").alias("p2"))
+            pobs = Observation(f"mst_root_{r}")
+            ptr = _ckpt(
+                p0.join(q, p0["p"] == q["c2"])
+                .select(
+                    "comp",
+                    F.when(F.col("p2") == F.col("comp"), F.least("comp", "p"))
+                    .otherwise(F.col("p")).alias("p"),
+                    (F.col("p2") != F.col("comp")).cast("long").alias("chg"),
+                )
+                .observe(pobs, F.sum("chg").alias("n"))
+                .select("comp", "p")
             )
-            release_result(cmap)
-            release_result(picks)
+            scratch.append(ptr)
+            moved = pobs.get["n"]
+            while moved:
+                # TWO pointer squarings per materialized job: the first
+                # squaring stays lazy (its tiny picks-derived join is
+                # re-evaluated by both references — cheaper than a whole
+                # extra job), the second carries the convergence
+                # Observation. Halves the jump-job count.
+                q1 = ptr.select(F.col("comp").alias("c2"), F.col("p").alias("p2"))
+                j1 = (
+                    ptr.join(q1, ptr["p"] == q1["c2"])
+                    .select("comp", F.col("p2").alias("p"))
+                )
+                q2 = j1.select(F.col("comp").alias("c2"), F.col("p").alias("p2"))
+                dobs = Observation(f"mst_jump_{r}_{len(scratch)}")
+                nxt = _ckpt(
+                    j1.join(q2, j1["p"] == q2["c2"])
+                    .select(
+                        "comp",
+                        F.col("p2").alias("p"),
+                        (F.col("p2") != F.col("p")).cast("long").alias("chg"),
+                    )
+                    .observe(dobs, F.sum("chg").alias("n"))
+                    .select("comp", "p")
+                )
+                moved = dobs.get["n"]
+                release_result(scratch.pop())
+                scratch.append(nxt)
+                ptr = nxt
+            new_labels = _ckpt(
+                labels.join(
+                    ptr.select(F.col("comp").alias("c"), F.col("p").alias("newc")),
+                    labels["comp"] == F.col("c"),
+                    "left",
+                )
+                .select(labels["doc"], F.coalesce("newc", "comp").alias("comp"))
+            )
+            release_result(scratch.pop())
             release_result(labels)
             labels = new_labels
         else:
             raise RuntimeError(f"graph_mst: still growing after {MST_ROUNDS + 1} rounds")
-        out = local_checkpoint(
+        if pick_frames:
+            mst = pick_frames[0].select("a", "b", "w")
+            for pf in pick_frames[1:]:
+                mst = mst.unionByName(pf.select("a", "b", "w"))
+            mst = mst.distinct()
+        else:
+            mst = edges.where(F.lit(False)).select("a", "b", "w")
+        out = _ckpt(
             mst.select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), F.col("w").alias("weight"))
             .orderBy("doc_a", "doc_b")
         )
         return out
     finally:
-        release_result(mst)
         release_result(edges)
         release_result(labels)
+        for pf in pick_frames:
+            release_result(pf)
+        for s in scratch:
+            release_result(s)
 
 
 # ---------------------------------------------------------------------------

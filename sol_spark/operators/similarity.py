@@ -1962,7 +1962,17 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the (src, nbr) key of the ALREADY-pruned k-edge set —
     |V|*k rows, not bucket pairs. At 100 TB this is exactly NN-Descent's
     round-0; refinement rounds would re-join the k-edge set with itself
-    on shared endpoints."""
+    on shared endpoints.
+
+    r11 optimization round: the pruned k-edge set is localCheckpoint'd
+    before the mutuality self-join — the join's two sides shuffle on
+    DIFFERENT keys ((nbr, src) vs (src, nbr)), so no exchange reuse is
+    possible and the un-checkpointed plan executed the whole
+    bucket-join + dot-product + window pipeline TWICE (two full
+    subtrees in plans/r11/sim_knn_graph_before.txt; one scan + a
+    LogicalRDD after). Callers release via release_result (plan walk)."""
+    from sol_spark.operators.dedup import local_checkpoint
+
     t = load_tables(spark, sf_dir)
     emb = _with_norm(t["embeddings"]).withColumn("bucket", F.expr(_BUCKET_SPARK))
     a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ae"),
@@ -1976,7 +1986,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cosine", F.round(dot / (F.col("an") * F.col("cn")), 6))
     )
     w = W.partitionBy("src").orderBy(F.desc("cosine"), "nbr")
-    knn = (
+    knn = local_checkpoint(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= KNN_GRAPH_K)
         .select("src", "nbr", "cosine", "rk")

@@ -2605,9 +2605,14 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     trajectory."""
     from sol_spark.operators.dedup import iterate
 
+    from sol_spark.operators.dedup import release_result
+
     merges: list[tuple[int, str, str, int]] = []
+    step_fn, pending = _make_bpe_step(merges)
 
     def bpe_result(vocab: DataFrame) -> DataFrame:
+        while pending:  # drop the final step's symbol-frame checkpoint
+            release_result(pending.pop())
         return (
             spark.createDataFrame(merges, "step INT, pa STRING, pb STRING, freq BIGINT")
             .select("step", "pa", "pb", F.concat("pa", "pb").alias("merged"), "freq")
@@ -2615,7 +2620,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return iterate(
-        _bpe_v0(spark, sf_dir), _make_bpe_step(merges), bpe_result, max_rounds=BPE_MERGES
+        _bpe_v0(spark, sf_dir), step_fn, bpe_result, max_rounds=BPE_MERGES
     )
 
 
@@ -2636,10 +2641,25 @@ def _bpe_v0(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _make_bpe_step(merges: list):
     """One BPE merge superstep for iterate(): weighted pair count, 1-row
     argmax model sync (appended to ``merges``), greedy leftmost merge via
-    gaps-and-islands parity."""
+    gaps-and-islands parity.
+
+    r11 optimization round: the exploded symbol frame ``e`` feeds FOUR
+    consumers per step (the argmax pair count, the matched-position
+    window, and both match-join probes of the rebuild) — uncheckpointed,
+    Catalyst re-executed the explode subtree for each (guide §1.2 /
+    §2.4: don't compute things twice). One eager localCheckpoint per
+    step makes it a single explode; the superseded step's frame is
+    released at the next step's entry (same supersede-and-release
+    discipline as iterate() itself)."""
     from pyspark.sql import Window as W
 
+    from sol_spark.operators.dedup import local_checkpoint, release_result
+
+    pending: list[DataFrame] = []
+
     def bpe_step(vocab: DataFrame, k: int) -> DataFrame:
+        while pending:
+            release_result(pending.pop())
         e = (
             vocab.withColumn("tk", F.split("seq", " "))
             .select(
@@ -2653,6 +2673,8 @@ def _make_bpe_step(merges: list):
                 F.expr("CASE WHEN i < size(tk) THEN element_at(tk, i + 1) END").alias("nxt"),
             )
         )
+        e = local_checkpoint(e)
+        pending.append(e)
         best = (
             e.where(F.col("nxt").isNotNull())
             .groupBy(F.col("tok").alias("pa"), F.col("nxt").alias("pb"))
@@ -2692,7 +2714,7 @@ def _make_bpe_step(merges: list):
             )
         )
 
-    return bpe_step
+    return bpe_step, pending
 
 
 def _bpe_apply_oracle() -> str:
@@ -2732,8 +2754,15 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sol_spark.operators.dedup import iterate, local_checkpoint, release_result
 
     merges: list = []
+    step_fn, pending = _make_bpe_step(merges)
+
+    def _vocab_result(v):
+        while pending:  # drop the final step's symbol-frame checkpoint
+            release_result(pending.pop())
+        return v
+
     vocab = iterate(
-        _bpe_v0(spark, sf_dir), _make_bpe_step(merges), lambda v: v, max_rounds=BPE_MERGES
+        _bpe_v0(spark, sf_dir), step_fn, _vocab_result, max_rounds=BPE_MERGES
     )
     counts = vocab.select(
         "word",
@@ -3045,8 +3074,15 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sol_spark.operators.dedup import iterate, local_checkpoint, release_result
 
     merges: list = []
+    step_fn, pending = _make_bpe_step(merges)
+
+    def _vocab_result(v):
+        while pending:  # drop the final step's symbol-frame checkpoint
+            release_result(pending.pop())
+        return v
+
     vocab = iterate(
-        _bpe_v0(spark, sf_dir), _make_bpe_step(merges), lambda v: v, max_rounds=BPE_MERGES
+        _bpe_v0(spark, sf_dir), step_fn, _vocab_result, max_rounds=BPE_MERGES
     )
     counts = vocab.select(
         "word",
@@ -3426,7 +3462,18 @@ def text_lm_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     are hash-aggs OF that frame (m2 derives from m3 — one corpus pass
     total); scoring is five left equi-joins on n-gram keys — AQE
     skew-splits Zipf-head keys and picks broadcast for the unigram side;
-    the (N, V) totals are a 1-row broadcast. Zero Python, zero UDFs."""
+    the (N, V) totals are a 1-row broadcast. Zero Python, zero UDFs.
+
+    r11 optimization round: tri / m3 / m2 / m1 are each
+    localCheckpoint'd once — un-checkpointed, every BROADCAST side
+    rebuilt its model table from scratch, so the corpus trigram
+    pipeline executed 4x (spine + m3 + both m2 probes) and the unigram
+    scan 3x (two probes + totals): 12 BroadcastExchanges, zero reuse in
+    plans/r11/text_lm_trigram_backoff_before.txt. Checkpoints are
+    model-sized (n-gram count tables), released by the caller's
+    release_result plan walk."""
+    from sol_spark.operators.dedup import local_checkpoint
+
     t = load_tables(spark, sf_dir)
     toks = t["documents"].select(
         "doc_id", "lang", F.expr(f"split({_NORM}, ' ')").alias("tk")
@@ -3447,13 +3494,14 @@ def text_lm_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang", "w1", "w2", "w3")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    m3 = (
+    tri = local_checkpoint(tri)
+    m3 = local_checkpoint(
         tri.filter(F.col("lang") == LM_TRIGRAM_LANG)
         .groupBy("w1", "w2", "w3")
         .agg(F.sum("tf").alias("c3"))
     )
-    m2 = m3.groupBy("w1", "w2").agg(F.sum("c3").alias("c2"))
-    m1 = (
+    m2 = local_checkpoint(m3.groupBy("w1", "w2").agg(F.sum("c3").alias("c2")))
+    m1 = local_checkpoint(
         t["documents"]
         .filter(F.col("lang") == LM_TRIGRAM_LANG)
         .select(F.explode(F.expr(f"split({_NORM}, ' ')")).alias("tok"))

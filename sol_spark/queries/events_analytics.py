@@ -2790,17 +2790,36 @@ def events_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     enforcement — the batch twin of the gate stream_heavy_users applies
     online.
 
-    Scale shape: the recurrence is per-user with bounded history, run in
-    ONE Arrow-batched grouped-map call partition-parallel across users —
-    the events_ewma shape. The state is two BIGINTs; every transition is
-    integer min/div/subtract, so the oracle's recursive CTE matches
-    hash-exactly with no float discipline needed."""
-    import pandas as pd
-
+    Scale shape: the recurrence is per-user with bounded history. At
+    BUCKET_CAP == 1 the state machine COLLAPSES to a stateless window
+    formula (r11 optimization round, guide §4.1 — built-ins over the
+    Python boundary): tokens_after is identically 0 by induction (the
+    first event emits cap-1 = 0; later events emit v-1 if v>=1 else v
+    where v = least(1, 0 + elapsed div refill) is 0 or 1 — both
+    branches land on 0), so allowed(i) = (i == 1) OR
+    (t_i - t_{i-1} >= refill): one lag() over the per-user (ts,
+    event_id) order, no Python, no checkpoint (measured 4.5 s -> see
+    OPTIMIZATION_r11.md; the plan drops ArrowEvalPython + LogicalRDD
+    for a single Window — plans/r11/events_token_bucket_*.txt). For any
+    cap > 1 the general Arrow-batched grouped-map replay below still
+    runs — the oracle's recursive CTE stays the semantic on both paths."""
     t = load_tables(spark, sf_dir)
     ev = t["events"].select(
         "event_id", "user_id", "ts", F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").alias("t")
     )
+    if BUCKET_CAP == 1:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        prev_t = F.lag("t").over(w)
+        return ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            (prev_t.isNull() | (F.col("t") - prev_t >= BUCKET_REFILL_S)).alias("allowed"),
+            F.lit(0).cast("long").alias("tokens_after"),
+        ).orderBy("user_id", "ts", "event_id")
+    import pandas as pd
 
     def replay(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
@@ -5155,45 +5174,63 @@ def events_rate_limit_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     traffic is how the two enforcement styles are compared before
     rollout.
 
-    Scale shape: identical to events_token_bucket — per-user bounded
-    state ({RL_K} BIGINT timestamps), ONE Arrow-batched grouped-map
-    partition-parallel across users, all-integer transitions (the oracle
-    recursive CTE matches hash-exactly), checkpoint before the output
-    sort so the sampling pass can't re-run the state machine."""
-    import pandas as pd
+    Scale shape: per-user bounded state ({RL_K} BIGINT timestamps),
+    all-integer transitions (the oracle recursive CTE matches
+    hash-exactly), checkpoint before the output sort so the sampling
+    pass can't re-run the state machine.
 
+    r11 optimization round (guide §4.2/§4.5): the grouped-map form paid
+    one pandas DataFrame construction PER USER (tens of thousands of
+    tiny frames); this form hash-partitions by user, sorts WITHIN each
+    partition by (user, ts, event_id), and runs ONE mapInPandas state
+    machine per partition — identical transitions, per-user state reset
+    on the user-id boundary, state carried across Arrow batch
+    boundaries (a user never spans partitions, so the reset is exact).
+    Python also no longer re-sorts per group, and only the needed
+    columns cross the boundary back."""
     t = load_tables(spark, sf_dir)
     ev = t["events"].select(
         "event_id", "user_id", "ts",
         F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").alias("t"),
     )
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        la = [_RL_NEG] * RL_K  # most-recent first
-        allowed_out, wait_out = [], []
-        for tt in pdf["t"].to_numpy():
-            tt = int(tt)
-            blocker = la[RL_K - 1]
-            ok = blocker <= tt - RL_W_S
-            if ok:
-                la = [tt] + la[: RL_K - 1]
-                wait_out.append(0)
-            else:
-                wait_out.append(blocker + RL_W_S - tt)
-            allowed_out.append(ok)
-        pdf["allowed"] = allowed_out
-        pdf["wait_s"] = wait_out
-        return pdf
+    def replay_part(batches):
+        import numpy as np
+
+        cur_user = None
+        la = [_RL_NEG] * RL_K  # most-recent allowed first
+        for pdf in batches:
+            users = pdf["user_id"].to_numpy()
+            tcol = pdf["t"].to_numpy()
+            n = len(pdf)
+            allowed = np.empty(n, dtype=bool)
+            wait = np.zeros(n, dtype=np.int64)
+            for i in range(n):
+                u = users[i]
+                if u != cur_user:
+                    cur_user = u
+                    la = [_RL_NEG] * RL_K
+                tt = int(tcol[i])
+                blocker = la[RL_K - 1]
+                ok = blocker <= tt - RL_W_S
+                if ok:
+                    la = [tt] + la[: RL_K - 1]
+                else:
+                    wait[i] = blocker + RL_W_S - tt
+                allowed[i] = ok
+            pdf["allowed"] = allowed
+            pdf["wait_s"] = wait
+            yield pdf[["event_id", "user_id", "ts", "allowed", "wait_s"]]
 
     replayed = (
-        ev.groupBy("user_id")
-        .applyInPandas(
-            replay,
-            "event_id bigint, user_id bigint, ts timestamp_ntz, t bigint, "
+        ev.repartition(width, "user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(
+            replay_part,
+            "event_id bigint, user_id bigint, ts timestamp_ntz, "
             "allowed boolean, wait_s bigint",
         )
-        .select("event_id", "user_id", "ts", "allowed", "wait_s")
     )
     from sol_spark.operators.dedup import local_checkpoint
 

@@ -2111,43 +2111,95 @@ def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     operates on <= {QHIST_BINS} rows. Two scans total, both
     whole-stage-codegen, no sort, no value buffering. Cross-engine safety:
     bin = floor((x - lo) / width) uses one correctly-rounded IEEE divide on
-    identical doubles, so the integer bin is identical in both engines."""
+    identical doubles, so the integer bin is identical in both engines.
+
+    r11 optimization round: the exact-quantile AUDIT column no longer
+    pays a full `percentile` value buffer (ObjectHashAggregate holding
+    every l_extendedprice in one final task — the only non-mergeable
+    stage here, guide §5). The same 6 doubles come from HISTOGRAM-GUIDED
+    SELECTION: the bin counts (already computed for the estimate) locate
+    which bin holds each of the <= 6 needed order statistics, one
+    filtered pass ranks ONLY those bins' rows (~n/{QHIST_BINS} rows
+    each), and the interpolation vlo*(1-r) + vhi*r reproduces Spark's
+    Percentile bit-for-bit (probed against `percentile()` on all three
+    SFs — the A-form lo+(hi-lo)*r differs in the last ulp and was
+    rejected). The <= {QHIST_BINS}-row cumulative frame and the <= 6
+    picked values are driver-collected — bounded model-sync collects,
+    the k-means discipline."""
+    import math
+
     from pyspark.sql import Window as W
 
     from sol_spark.operators.dedup import local_checkpoint
 
     t = load_tables(spark, sf_dir)
     li = t["lineitem"].select("l_extendedprice")
-    # ONE percentile buffer for all three quantiles (the scalar form costs
-    # one full value buffer PER call — measured 6.2 s vs 2.3 s at sf0.1),
-    # and the one-row mm frame is eagerly materialized so the three places
-    # it joins below don't each re-run the exact-quantile audit agg.
-    mm = local_checkpoint(
+    mm0 = local_checkpoint(
         li.agg(
             F.min("l_extendedprice").alias("lo"),
             F.max("l_extendedprice").alias("hi"),
             F.count(F.lit(1)).alias("n"),
-            F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("ex"),
-        ).select(
-            "lo", "hi", "n",
-            F.element_at("ex", 1).alias("ex50"),
-            F.element_at("ex", 2).alias("ex90"),
-            F.element_at("ex", 3).alias("ex99"),
         )
     )
+    n_total = int(mm0.collect()[0]["n"])
     width = (F.col("hi") - F.col("lo")) / QHIST_BINS
-    binned = li.crossJoin(F.broadcast(mm)).select(
-        F.least(
-            F.floor((F.col("l_extendedprice") - F.col("lo")) / width).cast("bigint"),
-            F.lit(QHIST_BINS - 1),
-        ).alias("bin")
+    bin_expr = F.least(
+        F.floor((F.col("l_extendedprice") - F.col("lo")) / width).cast("bigint"),
+        F.lit(QHIST_BINS - 1),
     )
+    binned = li.crossJoin(F.broadcast(mm0)).select(bin_expr.alias("bin"))
     counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
     w_cum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
-    cum = counts.select(
-        "bin", "c",
-        F.sum("c").over(w_cum).alias("cum"),
-        (F.sum("c").over(w_cum) - F.col("c")).alias("cum_before"),
+    cum = local_checkpoint(
+        counts.select(
+            "bin", "c",
+            F.sum("c").over(w_cum).alias("cum"),
+            (F.sum("c").over(w_cum) - F.col("c")).alias("cum_before"),
+        )
+    )
+    # Locate the <= 6 global ranks the three interpolations need, then rank
+    # only the bins that hold them (bin rows ~ n/QHIST_BINS, never the
+    # full column).
+    cum_rows = sorted(cum.collect(), key=lambda r: r["bin"])
+    need: dict[int, list[int]] = {}  # bin -> in-bin ranks
+    rank_pos: list[tuple[float, int, int, float]] = []  # (q, r_lo, r_hi, rate)
+    for q in (0.5, 0.9, 0.99):
+        pos = q * (n_total - 1)
+        lo_i, hi_i = math.floor(pos), math.ceil(pos)
+        rank_pos.append((q, lo_i + 1, hi_i + 1, pos - lo_i))
+        for r in {lo_i + 1, hi_i + 1}:  # 1-based global rank
+            for row in cum_rows:
+                if row["cum"] >= r:
+                    need.setdefault(int(row["bin"]), []).append(r - int(row["cum_before"]))
+                    break
+    w_bin = W.partitionBy("bin").orderBy("v")
+    sel_cond = None
+    for b, rks in need.items():
+        c = (F.col("bin") == b) & F.col("rn").isin([int(x) for x in rks])
+        sel_cond = c if sel_cond is None else (sel_cond | c)
+    picked = (
+        li.crossJoin(F.broadcast(mm0))
+        .select(F.col("l_extendedprice").cast("double").alias("v"), bin_expr.alias("bin"))
+        .filter(F.col("bin").isin(list(need)))
+        .withColumn("rn", F.row_number().over(w_bin))
+        .filter(sel_cond)
+        .select("bin", "rn", "v")
+        .collect()
+    )
+    by_rank = {}
+    for row in picked:
+        cb = next(r for r in cum_rows if int(r["bin"]) == int(row["bin"]))
+        by_rank[int(cb["cum_before"]) + int(row["rn"])] = float(row["v"])
+    exacts = []
+    for q, r_lo, r_hi, rate in rank_pos:
+        vlo, vhi = by_rank[r_lo], by_rank[r_hi]
+        # Spark Percentile's interpolation, bit-exact (B form).
+        exacts.append(vlo * (1.0 - rate) + vhi * rate)
+    mm = mm0.select(
+        "lo", "hi", "n",
+        F.lit(exacts[0]).alias("ex50"),
+        F.lit(exacts[1]).alias("ex90"),
+        F.lit(exacts[2]).alias("ex99"),
     )
     qs = spark.range(1).select(
         F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("q")

@@ -7394,20 +7394,36 @@ def tpcds_q67a(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.col("ss_sales_price") * 10000).cast("bigint") * F.col("ss_quantity")).alias("u"),
         )
     )
-    # One materialization serves all nine level aggregates (the named
-    # common subplan the v2.7 SQL re-expands textually).
-    base = local_checkpoint(base)
+    # r11 optimization round: HIERARCHICAL re-aggregation instead of nine
+    # passes over the wide base. The finest (8-key) level is materialized
+    # once with its EXACT BIGINT ten-thousandths sum, and every coarser
+    # level aggregates the finest level's integer sums (integer addition
+    # is associative, so sum-of-sums is bit-identical to a direct base
+    # aggregate — the same discipline that lets the oracle's textual
+    # re-expansion match); /10000.0 happens once per output row. The base
+    # join streams straight into the finest aggregate (no base
+    # checkpoint), and the other eight aggregates run over the
+    # group-count-sized finest frame instead of the fact slice (guide
+    # §2.3 — aggregate before you shuffle; plans/r11/tpcds_q67a_*.txt).
     spark_type = {"VARCHAR": "string", "INTEGER": "int"}
+    all_keys = [name for name, _ in _Q67_COLS]
+    finest = local_checkpoint(
+        base.groupBy(*all_keys).agg(F.sum("u").cast("bigint").alias("su"))
+    )
     levels = []
     for k in range(len(_Q67_COLS), -1, -1):
         keep = [name for name, _ in _Q67_COLS[:k]]
-        grouped = base.groupBy(*keep) if keep else base.groupBy()
-        lvl = grouped.agg((F.sum("u") / 10000.0).alias("sumsales")).select(
+        if k == len(_Q67_COLS):
+            lvl_su = finest
+        else:
+            grouped = finest.groupBy(*keep) if keep else finest.groupBy()
+            lvl_su = grouped.agg(F.sum("su").cast("bigint").alias("su"))
+        lvl = lvl_su.select(
             *[
                 (F.col(name) if j < k else F.lit(None).cast(spark_type[typ])).alias(name)
                 for j, (name, typ) in enumerate(_Q67_COLS)
             ],
-            "sumsales",
+            (F.col("su") / 10000.0).alias("sumsales"),
         )
         levels.append(lvl)
     agg = levels[0]
@@ -7433,7 +7449,7 @@ def tpcds_q67a(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = local_checkpoint(out)
-    release_result(base)
+    release_result(finest)
     return out
 
 
