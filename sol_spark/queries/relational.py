@@ -2093,6 +2093,14 @@ ORDER BY p.q
 """
 
 
+def _qhist_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single-column scan leg every sketch pass reads — split out so the
+    plan pin (tests/test_plans.py::test_quantile_hist_column_pruned_scan) can
+    assert the scans drag ONLY l_extendedprice now that the operator
+    materializes its passes eagerly and the returned plan is scan-free."""
+    return load_tables(spark, sf_dir)["lineitem"].select("l_extendedprice")
+
+
 @register("sketch_quantile_hist", SKETCH_QHIST_ORACLE, tags=("approx", "sketch", "agg", "scale"))
 def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantiles from a mergeable fixed-bin histogram — the sketch that
@@ -2132,8 +2140,7 @@ def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sol_spark.operators.dedup import local_checkpoint
 
-    t = load_tables(spark, sf_dir)
-    li = t["lineitem"].select("l_extendedprice")
+    li = _qhist_values(spark, sf_dir)
     mm0 = local_checkpoint(
         li.agg(
             F.min("l_extendedprice").alias("lo"),

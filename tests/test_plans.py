@@ -525,16 +525,22 @@ def test_shard_balance_windows_partitioned(spark, sf_dir):
 def test_quantile_hist_column_pruned_scan(spark, sf_dir):
     """sketch_quantile_hist must read ONLY l_extendedprice from lineitem —
     the fixed-size-sketch path is pointless if the scan drags all 11
-    columns along."""
-    from sol_spark.queries.relational import sketch_quantile_hist
+    columns along. r11: the operator materializes its scan passes eagerly
+    (checkpointed sketch frames + bounded selection collects), so the
+    RETURNED plan is scan-free; the pruning pin moves to the shared scan
+    leg both passes select from, and the returned plan is pinned to touch
+    no file at all (everything after construction is sketch-sized)."""
+    from sol_spark.queries.relational import _qhist_values, sketch_quantile_hist
 
-    plan = _plan(sketch_quantile_hist(spark, sf_dir))
-    schemas = [seg.splitlines()[0] for seg in plan.split("ReadSchema: ")[1:]]
+    scan_plan = _plan(_qhist_values(spark, sf_dir))
+    schemas = [seg.splitlines()[0] for seg in scan_plan.split("ReadSchema: ")[1:]]
     assert any("l_extendedprice" in sc for sc in schemas)
     for sc in schemas:
         if sc == "struct<>":  # zero-column count-style scan
             continue
         assert sc == "struct<l_extendedprice:double>", sc
+    plan = _plan(sketch_quantile_hist(spark, sf_dir))
+    assert "Scan parquet" not in plan, "returned plan must be sketch-sized, scan-free"
 
 
 def test_reconciliation_aggregates_before_join(spark, sf_dir):
