@@ -1964,15 +1964,22 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-0; refinement rounds would re-join the k-edge set with itself
     on shared endpoints.
 
-    r11 optimization round: the pruned k-edge set is localCheckpoint'd
-    before the mutuality self-join — the join's two sides shuffle on
-    DIFFERENT keys ((nbr, src) vs (src, nbr)), so no exchange reuse is
-    possible and the un-checkpointed plan executed the whole
-    bucket-join + dot-product + window pipeline TWICE (two full
-    subtrees in plans/r11/sim_knn_graph_before.txt; one scan + a
-    LogicalRDD after). Callers release via release_result (plan walk)."""
-    from sol_spark.operators.dedup import local_checkpoint
-
+    r11 optimization round: the mutuality check is a COUNT over a
+    window keyed on the canonical undirected pair (least, greatest) —
+    a pair's partition holds at most the two directed rows, so count
+    == 2 iff the reverse edge also survived, reproducing the oracle's
+    left self-join exactly. The original self-join shuffled its two
+    sides on DIFFERENT keys ((nbr, src) vs (src, nbr)), so no exchange
+    reuse was possible and the plan executed the whole bucket-join +
+    dot-product + window pipeline TWICE (two full subtrees in
+    plans/r11/sim_knn_graph_before.txt); an intermediate cut
+    localCheckpoint'd the k-edge set instead, which fixed the double
+    evaluation but serialized an extra materialization job. Quiet-box
+    interleaved A/B, min-of-3 at sf0.1: self-join 1.03 s, checkpoint
+    1.00 s, window form 0.86 s. The window form evaluates the heavy
+    pipeline once and adds only a narrow shuffle of the |V|*k pruned
+    edges (plans/r11/sim_knn_graph_after.txt — one subtree, the top-k
+    window a WindowGroupLimit pushdown)."""
     t = load_tables(spark, sf_dir)
     emb = _with_norm(t["embeddings"]).withColumn("bucket", F.expr(_BUCKET_SPARK))
     a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ae"),
@@ -1986,19 +1993,16 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cosine", F.round(dot / (F.col("an") * F.col("cn")), 6))
     )
     w = W.partitionBy("src").orderBy(F.desc("cosine"), "nbr")
-    knn = local_checkpoint(
+    knn = (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= KNN_GRAPH_K)
         .select("src", "nbr", "cosine", "rk")
     )
-    rev = knn.select(F.col("src").alias("r_src"), F.col("nbr").alias("r_nbr"))
+    wm = W.partitionBy(F.least("src", "nbr"), F.greatest("src", "nbr"))
     return (
-        knn.join(
-            rev, (F.col("nbr") == F.col("r_src")) & (F.col("src") == F.col("r_nbr")), "left"
-        )
-        .select(
+        knn.select(
             "src", "nbr", "cosine", "rk",
-            F.col("r_src").isNotNull().alias("mutual"),
+            (F.count(F.lit(1)).over(wm) == 2).alias("mutual"),
         )
         .orderBy("src", "rk")
     )

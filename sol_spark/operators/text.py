@@ -3464,14 +3464,23 @@ def text_lm_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew-splits Zipf-head keys and picks broadcast for the unigram side;
     the (N, V) totals are a 1-row broadcast. Zero Python, zero UDFs.
 
-    r11 optimization round: tri / m3 / m2 / m1 are each
+    r11 optimization round: the MODEL tables m3 / m2 / m1 are each
     localCheckpoint'd once — un-checkpointed, every BROADCAST side
-    rebuilt its model table from scratch, so the corpus trigram
-    pipeline executed 4x (spine + m3 + both m2 probes) and the unigram
-    scan 3x (two probes + totals): 12 BroadcastExchanges, zero reuse in
-    plans/r11/text_lm_trigram_backoff_before.txt. Checkpoints are
+    rebuilt its table from scratch (the corpus trigram pipeline
+    executed 4x: spine + m3 + both m2 probes; the unigram scan 3x —
+    12 BroadcastExchanges, zero reuse in
+    plans/r11/text_lm_trigram_backoff_before.txt). Checkpoints are
     model-sized (n-gram count tables), released by the caller's
-    release_result plan walk."""
+    release_result plan walk. The big per-doc ``tri`` frame is
+    deliberately NOT checkpointed: materializing the corpus-sized spine
+    trades a pipelined in-job scan for a serial materialization job and
+    measured slower in every A/B round. Quiet-box interleaved A/B,
+    min-of-3 at sf0.1: no checkpoints 3.23 s, tri+models checkpointed
+    3.49 s, models-only 3.44 s — a wash at this SF, so the tie-break is
+    plan shape: the models-only form does two pipelined corpus passes
+    (spine + m3 build) with every model-side re-expansion gone, where
+    the un-checkpointed plan re-ran the corpus trigram pipeline 4x —
+    the 100x-scale loser even though sf0.1 hides it behind pipelining."""
     from sol_spark.operators.dedup import local_checkpoint
 
     t = load_tables(spark, sf_dir)
@@ -3494,7 +3503,6 @@ def text_lm_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang", "w1", "w2", "w3")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    tri = local_checkpoint(tri)
     m3 = local_checkpoint(
         tri.filter(F.col("lang") == LM_TRIGRAM_LANG)
         .groupBy("w1", "w2", "w3")
