@@ -158,6 +158,7 @@ def iterate(
     converged=None,
     probe=None,
     probe_converged=None,
+    probe_initial=None,
     no_convergence_error: str | None = None,
     release: tuple[DataFrame, ...] = (),
 ) -> DataFrame:
@@ -184,8 +185,17 @@ def iterate(
         every partition (so the deferred local checkpoint completes with
         no missing-partition job) and returns the convergence metric — one
         job per round where ``converged`` pays checkpoint-then-probe
-        (two). Mutually exclusive with ``converged``; the fixed per-round
-        latency is what dominates shrinking-frontier loops (Luby MIS);
+        (two). The fixed per-round latency is what dominates
+        shrinking-frontier loops (Luby MIS). ``probe_initial`` seeds the
+        previous-round metric so a round-0 fixed point is detectable
+        (callers that already know the initial count pass it);
+      * when BOTH ``probe`` and ``converged`` are given (r11 optimization
+        round, second pass), the fused probe becomes a cheap SUSPECT
+        test and ``converged(prev, cur)`` runs only when it fires — the
+        connected-components shape, where count-stable is necessary but
+        only an anti-join proves the edge set fixed: the per-round count
+        job rides the checkpoint, the exact frame check pays only at
+        (suspected) convergence;
       * ``finalize(state) -> result`` builds the output, which is
         checkpointed so the caller's plan never reaches back through
         released round frames; then the last round state and every frame
@@ -195,10 +205,8 @@ def iterate(
     Post-condition (the storage contract tests/test_llm_hygiene.py pins):
     the ONLY persisted blocks surviving the call belong to the returned
     result; ``release_result(result)`` returns storage to baseline."""
-    if probe is not None and converged is not None:
-        raise ValueError("iterate: pass either converged or probe, not both")
     initial = state
-    prev_metric = None
+    prev_metric = probe_initial
     try:
         done = False
         for i in range(max_rounds):
@@ -216,12 +224,35 @@ def iterate(
                     from pyspark.sql import Observation
 
                     obs = Observation(f"iterate_probe_{i}")
-                    new = local_checkpoint(new.observe(obs, probe.alias("m")))
+                    # Periodic stats reset (r11 optimization round, second
+                    # pass): a round checkpoint inherits its child plan's
+                    # stats, and a step that joins state-derived frames
+                    # (CC's large/small star is a product of FOUR of them)
+                    # multiplies the inherited sizeInBytes every round —
+                    # the BigInt digit count compounds GEOMETRICALLY
+                    # (~4^rounds for CC) and deep loops eventually burn
+                    # driver minutes in BigInteger.multiply inside every
+                    # checkpoint's stats rewrite (the graph_mst §2b
+                    # diagnosis, with a per-round instead of per-squaring
+                    # exponent). Resetting EVERY round measured ~0.5-1 s
+                    # slower on dedup_clusters at sf0.1 (the reset frame
+                    # plans static SMJ where small inherited stats allowed
+                    # a static broadcast; same job count, in-job cost), so
+                    # the reset is PERIODIC: every 4th round, bounding the
+                    # digit count at ~4^4x the reset base forever — the
+                    # 100 TB cliff never arrives, and 3 of 4 rounds keep
+                    # inherited stats for static planning.
+                    _fs = i % 4 == 3
+                    new = local_checkpoint(
+                        new.observe(obs, probe.alias("m")), fresh_stats=_fs
+                    )
                     metric = obs.get["m"]
                     done = probe_converged(prev_metric, metric)
+                    if done and converged is not None:
+                        done = converged(state, new)  # confirm the suspect
                     prev_metric = metric
                 else:
-                    new = local_checkpoint(new)
+                    new = local_checkpoint(new, fresh_stats=i % 4 == 3)
                     done = converged is not None and converged(state, new)
             else:
                 done = converged is not None and converged(state, new)
@@ -919,8 +950,11 @@ def connected_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
         not data, dominated its 33 s), and the only live storage is the
         current edge set (bounded by the input pair count, shrinking as
         stars collapse); superseded rounds are dropped by the ContextCleaner;
-      * convergence = edge set unchanged, checked with count + anti-join
-        ``isEmpty`` (early-exit probe) instead of a full re-count of diffs.
+      * convergence = edge set unchanged: the per-round count rides the
+        checkpoint job as a fused Observation probe, and the exact
+        anti-join ``isEmpty`` confirmation runs only when consecutive
+        counts match (r11 optimization round, second pass — one job per
+        round instead of checkpoint-then-count).
     """
     # Canonical directed edges u -> v with u > v (self-loops dropped).
     edges0 = (
@@ -990,14 +1024,11 @@ def connected_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
             .distinct()
         )
 
-    def star_converged(prev: DataFrame, cur: DataFrame) -> bool:
-        # Edge set unchanged: count match + anti-join isEmpty early-exit
-        # probe instead of a full diff re-count.
-        nonlocal n_edges
-        n_new = cur.count()
-        done = n_new == n_edges and cur.join(prev, ["u", "v"], "left_anti").isEmpty()
-        n_edges = n_new
-        return done
+    def star_confirm(prev: DataFrame, cur: DataFrame) -> bool:
+        # Exact fixed-point confirmation, run only when the fused count
+        # probe fires (count-stable is necessary but not sufficient):
+        # with equal counts the sets are equal iff the anti-join is empty.
+        return cur.join(prev, ["u", "v"], "left_anti").isEmpty()
 
     def star_result(edges: DataFrame) -> DataFrame:
         # At convergence edges form stars centered at each component's min.
@@ -1015,7 +1046,18 @@ def connected_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
         star_round,
         star_result,
         max_rounds=max_rounds,
-        converged=star_converged,
+        # r11 optimization round, second pass: the per-round edge count
+        # rides the checkpoint materialization as an Observation (one job
+        # per round instead of checkpoint-then-count — 48 vs 52 jobs for
+        # the whole dedup_clusters query, in-process A/B); the anti-join
+        # confirmation pays only when consecutive counts match. Seeding
+        # probe_initial with the upfront count (already needed for the
+        # round width) keeps round-0 fixed points detectable, exactly as
+        # the old count-compare did.
+        probe=F.count(F.lit(1)),
+        probe_converged=lambda prev, cur: prev == cur,
+        probe_initial=n_edges,
+        converged=star_confirm,
         no_convergence_error=f"connected_components: no convergence in {max_rounds} rounds",
         release=(edges0,),
     )

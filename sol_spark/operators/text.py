@@ -2603,25 +2603,22 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the same {BPE_MERGES} steps unrolled as CTE chains (the
     sim_kmeans_train discipline), bit-identical pair choices and vocab
     trajectory."""
-    from sol_spark.operators.dedup import iterate
-
-    from sol_spark.operators.dedup import release_result
+    from sol_spark.operators.dedup import iterate, local_checkpoint
 
     merges: list[tuple[int, str, str, int]] = []
-    step_fn, pending = _make_bpe_step(merges)
+    step_fn = _make_bpe_step(merges)
 
     def bpe_result(vocab: DataFrame) -> DataFrame:
-        while pending:  # drop the final step's symbol-frame checkpoint
-            release_result(pending.pop())
         return (
             spark.createDataFrame(merges, "step INT, pa STRING, pb STRING, freq BIGINT")
             .select("step", "pa", "pb", F.concat("pa", "pb").alias("merged"), "freq")
             .orderBy("step")
         )
 
-    return iterate(
-        _bpe_v0(spark, sf_dir), step_fn, bpe_result, max_rounds=BPE_MERGES
-    )
+    # Checkpoint the initial vocab so the corpus is scanned exactly once —
+    # every later round reads vocab-sized checkpoints only.
+    v0 = local_checkpoint(_bpe_v0(spark, sf_dir))
+    return iterate(v0, step_fn, bpe_result, max_rounds=BPE_MERGES, release=(v0,))
 
 
 def _bpe_v0(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2638,46 +2635,61 @@ def _bpe_v0(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _java_rx_quote(s: str) -> str:
+    """``java.util.regex.Pattern.quote`` rebuilt in Python: wrap in
+    ``\\Q...\\E``, splitting any literal ``\\E`` inside the payload (the
+    exact construction Pattern.quote emits), so arbitrary merged symbols
+    are safe to embed in a regexp_replace pattern."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def _make_bpe_step(merges: list):
     """One BPE merge superstep for iterate(): weighted pair count, 1-row
-    argmax model sync (appended to ``merges``), greedy leftmost merge via
-    gaps-and-islands parity.
+    argmax model sync (appended to ``merges``), then the greedy leftmost
+    merge as ONE narrow regexp_replace projection.
 
-    r11 optimization round: the exploded symbol frame ``e`` feeds FOUR
-    consumers per step (the argmax pair count, the matched-position
-    window, and both match-join probes of the rebuild) — uncheckpointed,
-    Catalyst re-executed the explode subtree for each (guide §1.2 /
-    §2.4: don't compute things twice). One eager localCheckpoint per
-    step makes it a single explode; the superseded step's frame is
-    released at the next step's entry (same supersede-and-release
-    discipline as iterate() itself)."""
-    from pyspark.sql import Window as W
+    r11 optimization round, second pass: the original step exploded the
+    vocab into a per-symbol frame, checkpointed it, window-ranked the
+    matched positions (gaps-and-islands parity), probed it with two
+    match-joins and re-assembled every word with a sorted collect_list —
+    four shuffles plus a materialized |symbols|-row checkpoint per step.
+    But Java's ``replaceAll`` IS the greedy leftmost non-overlapping scan
+    (the matcher resumes immediately after each match), so the rebuild is
+    a single projection: pattern ``(^|[ ])\\Qpa\\E \\Qpb\\E(?=[ ]|$)``
+    replaced with ``$1`` + merged. Equivalence with the island/parity
+    form: symbols never contain spaces, so the space-boundaries identify
+    symbol positions exactly; within a run of consecutive matches the
+    matcher consumes two symbols per replacement and resumes at the
+    separator — keeping exactly the even offsets the parity window kept —
+    and non-consecutive matches never interact (the trailing boundary is
+    a zero-width lookahead, so the separator stays available as the next
+    match's leading boundary). Verified bit-identical by the unchanged
+    unrolled-CTE oracles (strict ×3 SFs).
 
-    from sol_spark.operators.dedup import local_checkpoint, release_result
-
-    pending: list[DataFrame] = []
+    Per step this costs ONE vocab-sized job (pair count → argmax, the
+    model sync) plus iterate()'s shuffle-free checkpoint of the rebuilt
+    vocab, instead of a |symbols|-row checkpoint + argmax + a
+    four-shuffle rebuild (guide §2.2: shuffle less; §1.2: don't compute
+    things twice). The symbol frame is never materialized at all."""
 
     def bpe_step(vocab: DataFrame, k: int) -> DataFrame:
-        while pending:
-            release_result(pending.pop())
-        e = (
+        # Lambda-free pair enumeration (the text_dup_spans discipline): the
+        # generator input is a plain int sequence and the symbols are read
+        # with element_at projections — a transform(sequence, i -> ...)
+        # higher-order form here is CodegenFallback, interpreted per
+        # element, and measurably slower.
+        best = (
             vocab.withColumn("tk", F.split("seq", " "))
+            .where(F.size("tk") > 1)
             .select(
-                "word", "freq",
-                F.explode(F.expr("sequence(1, size(tk))")).alias("i"),
+                "freq",
+                F.explode(F.expr("sequence(1, size(tk) - 1)")).alias("i"),
                 "tk",
             )
-            .select(
-                "word", "freq", "i",
-                F.expr("element_at(tk, i)").alias("tok"),
-                F.expr("CASE WHEN i < size(tk) THEN element_at(tk, i + 1) END").alias("nxt"),
+            .groupBy(
+                F.expr("element_at(tk, i)").alias("pa"),
+                F.expr("element_at(tk, i + 1)").alias("pb"),
             )
-        )
-        e = local_checkpoint(e)
-        pending.append(e)
-        best = (
-            e.where(F.col("nxt").isNotNull())
-            .groupBy(F.col("tok").alias("pa"), F.col("nxt").alias("pb"))
             .agg(F.sum("freq").cast("long").alias("cnt"))
             .orderBy(F.desc("cnt"), "pa", "pb")
             .limit(1)
@@ -2685,36 +2697,11 @@ def _make_bpe_step(merges: list):
         )
         pa, pb, cnt = best["pa"], best["pb"], int(best["cnt"])
         merges.append((k + 1, pa, pb, cnt))
-        matched = e.where((F.col("tok") == pa) & (F.col("nxt") == pb)).select(
-            "word", "i",
-            (F.col("i") - F.row_number().over(W.partitionBy("word").orderBy("i"))).alias("isl"),
-        )
-        keep = (
-            matched.withColumn("off", F.col("i") - F.min("i").over(W.partitionBy("word", "isl")))
-            .where(F.col("off") % 2 == 0)
-            .select("word", "i")
-        )
-        ms = keep.select(F.col("word").alias("w1"), F.col("i").alias("mi"))
-        mp = keep.select(F.col("word").alias("w2"), (F.col("i") + 1).alias("pi"))
-        return (
-            e.join(ms, (e["word"] == ms["w1"]) & (e["i"] == ms["mi"]), "left")
-            .join(mp, (e["word"] == mp["w2"]) & (e["i"] == mp["pi"]), "left")
-            .where(F.col("pi").isNull())
-            .select(
-                "word", "freq", "i",
-                F.when(F.col("mi").isNotNull(), F.concat("tok", "nxt")).otherwise(F.col("tok")).alias("ntok"),
-            )
-            .groupBy("word")
-            .agg(
-                F.first("freq").alias("freq"),
-                F.concat_ws(
-                    " ",
-                    F.expr("transform(array_sort(collect_list(struct(i, ntok))), x -> x.ntok)"),
-                ).alias("seq"),
-            )
-        )
+        pat = "(^|[ ])" + _java_rx_quote(pa) + " " + _java_rx_quote(pb) + "(?=[ ]|$)"
+        repl = "$1" + (pa + pb).replace("\\", "\\\\").replace("$", "\\$")
+        return vocab.withColumn("seq", F.regexp_replace("seq", pat, repl))
 
-    return bpe_step, pending
+    return bpe_step
 
 
 def _bpe_apply_oracle() -> str:
@@ -2754,15 +2741,11 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sol_spark.operators.dedup import iterate, local_checkpoint, release_result
 
     merges: list = []
-    step_fn, pending = _make_bpe_step(merges)
+    step_fn = _make_bpe_step(merges)
 
-    def _vocab_result(v):
-        while pending:  # drop the final step's symbol-frame checkpoint
-            release_result(pending.pop())
-        return v
-
+    v0 = local_checkpoint(_bpe_v0(spark, sf_dir))
     vocab = iterate(
-        _bpe_v0(spark, sf_dir), step_fn, _vocab_result, max_rounds=BPE_MERGES
+        v0, step_fn, lambda v: v, max_rounds=BPE_MERGES, release=(v0,)
     )
     counts = vocab.select(
         "word",
@@ -3074,15 +3057,11 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sol_spark.operators.dedup import iterate, local_checkpoint, release_result
 
     merges: list = []
-    step_fn, pending = _make_bpe_step(merges)
+    step_fn = _make_bpe_step(merges)
 
-    def _vocab_result(v):
-        while pending:  # drop the final step's symbol-frame checkpoint
-            release_result(pending.pop())
-        return v
-
+    v0 = local_checkpoint(_bpe_v0(spark, sf_dir))
     vocab = iterate(
-        _bpe_v0(spark, sf_dir), step_fn, _vocab_result, max_rounds=BPE_MERGES
+        v0, step_fn, lambda v: v, max_rounds=BPE_MERGES, release=(v0,)
     )
     counts = vocab.select(
         "word",
