@@ -4824,6 +4824,51 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _pairs_capped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capped-pair aggregation WITHOUT the registered query's output
+    sort — the form every graph consumer (ktruss, maximal matching,
+    shared spans) immediately localCheckpoints: materializing a global
+    ORDER BY they re-shuffle away costs a range-sampling pass plus a
+    full sort exchange per consumer for nothing (guide §2.4 — an
+    orderBy used only to make output deterministic is an accidental
+    Exchange). The registered :func:`dedup_pairs_capped` adds the sort.
+
+    r11 optimization round (first-pass follow-up): the symmetric
+    directions come from ONE generator over the pair frame instead of a
+    unionAll of two selects — the union form plans the whole simhash
+    subtree once per leg (26 Exchanges, zero static ReusedExchange;
+    only AQE runtime stage reuse salvages the map sides, and each leg
+    still re-runs the post-shuffle final aggregates), while the explode
+    form evaluates the feeder ONCE by construction."""
+    pairs = dedup_simhash(spark, sf_dir)
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("nbr")),
+                F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("nbr")),
+            )
+        ).alias("e"),
+        "hamming",
+    ).select("e.src", "e.nbr", "hamming")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("src").orderBy("hamming", "nbr")
+    kept = sym.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= PAIRS_CAP_K)
+    return (
+        kept.groupBy(
+            F.least("src", "nbr").alias("doc_a"),
+            F.greatest("src", "nbr").alias("doc_b"),
+        )
+        .agg(
+            F.min("hamming").cast("long").alias("hamming"),
+            (F.count(F.lit(1)) == 2).alias("mutual"),
+        )
+        .select(
+            F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), "hamming", "mutual"
+        )
+    )
+
+
 @register("dedup_pairs_capped", DEDUP_PAIRS_CAPPED_ORACLE, tags=("llm", "dedup", "audit"))
 def dedup_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document capped pair emission over the SimHash candidates: each
@@ -4842,31 +4887,11 @@ def dedup_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the banded candidate join is unchanged (never all-pairs);
     the cap is one row_number window partitioned by src over the candidate
-    edges, then a (doc_a, doc_b) hash-agg of at most 2 rows per pair."""
-    pairs = dedup_simhash(spark, sf_dir)
-    sym = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("nbr"), "hamming"
-    ).unionAll(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("nbr"), "hamming")
-    )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("src").orderBy("hamming", "nbr")
-    kept = sym.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= PAIRS_CAP_K)
-    return (
-        kept.groupBy(
-            F.least("src", "nbr").alias("doc_a"),
-            F.greatest("src", "nbr").alias("doc_b"),
-        )
-        .agg(
-            F.min("hamming").cast("long").alias("hamming"),
-            (F.count(F.lit(1)) == 2).alias("mutual"),
-        )
-        .select(
-            F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), "hamming", "mutual"
-        )
-        .orderBy("doc_a", "doc_b")
-    )
+    edges (directions emitted by a generator, not a union — the feeder
+    subtree is evaluated once), then a (doc_a, doc_b) hash-agg of at most
+    2 rows per pair. Graph consumers take :func:`_pairs_capped_agg`
+    (identical rows, no output sort)."""
+    return _pairs_capped_agg(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
@@ -4939,7 +4964,7 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     point (one single-stage job per round). Raises on budget exhaustion;
     the oracle unrolls the identical {TRUSS_MAX_ROUNDS} rounds
     (post-convergence rounds are no-ops on a stable edge set)."""
-    pc = dedup_pairs_capped(spark, sf_dir)
+    pc = _pairs_capped_agg(spark, sf_dir)  # unsorted — the checkpoint re-shuffles anyway
     edges0 = local_checkpoint(pc.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")))
 
     def step(edges: DataFrame, i: int) -> DataFrame:
@@ -5062,7 +5087,7 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice/concat per row (the text_dup_spans lesson — no higher-order
     lambda re-evaluation); everything downstream is equi-joins and
     hash-aggs on 8-byte keys, exact BIGINT end to end."""
-    ph = local_checkpoint(dedup_pairs_capped(spark, sf_dir).select("doc_a", "doc_b"))
+    ph = local_checkpoint(_pairs_capped_agg(spark, sf_dir).select("doc_a", "doc_b"))
     t = load_tables(spark, sf_dir)
     cand_docs = (
         ph.select(F.col("doc_a").alias("doc_id"))
@@ -5283,7 +5308,7 @@ def graph_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the global minimum edge always matches); {MATCH_MAX_ROUNDS} rounds
     raise fail-loud if the cap is ever hit, and the oracle unrolls the
     identical rounds (no-ops after convergence)."""
-    pc = dedup_pairs_capped(spark, sf_dir)
+    pc = _pairs_capped_agg(spark, sf_dir)  # unsorted — the checkpoint re-shuffles anyway
     edges0 = local_checkpoint(
         pc.select(
             F.col("doc_a").alias("a"),
