@@ -467,6 +467,18 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _minhash_pairs_unsorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`dedup_minhash_lsh` WITHOUT the output sort — the form for
+    graph consumers (connected components, PageRank, LPA, degree stats,
+    modularity, PPR, incremental CC) that immediately re-shuffle or
+    checkpoint the pair set by their own keys: materializing a global
+    ORDER BY into the consumer's checkpoint costs a range-sampling pass
+    plus a sort exchange per consumer for nothing (guide §2.4 — r11
+    optimization round). The registered query's own plan is unchanged
+    (same body, ``sort_output=True``)."""
+    return _minhash_lsh_impl(spark, sf_dir, sort_output=False)
+
+
 @register("dedup_minhash_lsh", DEDUP_MINHASH_ORACLE, tags=("llm", "dedup", "lsh"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy dedup: MinHash-LSH candidate pairs + exact-Jaccard verification.
@@ -485,6 +497,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     released before returning (_eager_release): only the output-sized pair
     set survives the call.
     """
+    return _minhash_lsh_impl(spark, sf_dir, sort_output=True)
+
+
+def _minhash_lsh_impl(spark: SparkSession, sf_dir: str, *, sort_output: bool) -> DataFrame:
     rows = hashed_shingle_rows_df(spark, sf_dir).persist()
     # Eager materialization: downstream stages (signature, sizes, both
     # intersection probes) are independent and otherwise race to compute the
@@ -521,8 +537,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nu", F.col("na") + F.col("nb") - F.col("ni"))
         .filter(F.col("ni") / F.col("nu") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.expr("(10000 * ni) div nu").alias("jaccard_bp"))
-        .orderBy("doc_a", "doc_b")
     )
+    if sort_output:
+        result = result.orderBy("doc_a", "doc_b")
     return _eager_release(result, rows)
 
 
@@ -1071,7 +1088,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise similarity into per-document keep/drop decisions. The oracle
     expresses the closure as a recursive CTE — the "iterative algorithm the
     engine can still verify" case."""
-    mh = dedup_minhash_lsh(spark, sf_dir)
+    mh = _minhash_pairs_unsorted(spark, sf_dir)
     out = connected_components(mh.select("doc_a", "doc_b"))
     release_result(mh)  # pair set consumed into the CC edge checkpoint
     return out.orderBy("doc")
@@ -1236,7 +1253,7 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     production pipeline often keeps the most CENTRAL duplicate (the best
     representative of the dup neighborhood) — this operator supplies that
     score; joining it against dedup_clusters picks argmax(rank) per cluster."""
-    mh = dedup_minhash_lsh(spark, sf_dir)
+    mh = _minhash_pairs_unsorted(spark, sf_dir)
     out = pagerank(mh.select("doc_a", "doc_b"), iters=PAGERANK_ITERS)
     release_result(mh)
     return out
@@ -1693,7 +1710,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     on node id, reusable across rounds) + one (node, label) count + one
     per-node argmax window; production runs to stability with
     localCheckpoint every few rounds exactly like connected_components."""
-    mh = dedup_minhash_lsh(spark, sf_dir)
+    mh = _minhash_pairs_unsorted(spark, sf_dir)
     pairs = mh.select("doc_a", "doc_b")
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
         pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
@@ -1786,7 +1803,7 @@ def dedup_method_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources = {
         "containment": dedup_containment(spark, sf_dir),
         "jaccard": dedup_ngram_jaccard(spark, sf_dir),
-        "minhash": dedup_minhash_lsh(spark, sf_dir),
+        "minhash": _minhash_pairs_unsorted(spark, sf_dir),
         "simhash": dedup_simhash(spark, sf_dir),
     }
     # Materialize each pair set, then release its pipeline's persisted
@@ -1991,7 +2008,7 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny histogram frame."""
     from pyspark.sql import Window as W
 
-    mh = dedup_minhash_lsh(spark, sf_dir)
+    mh = _minhash_pairs_unsorted(spark, sf_dir)
     pairs = mh.select("doc_a", "doc_b").localCheckpoint(eager=True)
     release_result(mh)
     deg = (
@@ -2175,7 +2192,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeler already does; m is a bounded driver scalar (like pagerank's
     node count). Nothing here exceeds O(|E|) shuffled rows."""
     lpa = local_checkpoint(graph_label_propagation(spark, sf_dir))
-    mh = dedup_minhash_lsh(spark, sf_dir)
+    mh = _minhash_pairs_unsorted(spark, sf_dir)
     pairs = local_checkpoint(mh.select("doc_a", "doc_b"))
     release_result(mh)
     m = float(pairs.count())
@@ -2734,7 +2751,7 @@ def dedup_sketch_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources = {
         "containment": dedup_containment(spark, sf_dir),
         "jaccard": dedup_ngram_jaccard(spark, sf_dir),
-        "minhash": dedup_minhash_lsh(spark, sf_dir),
+        "minhash": _minhash_pairs_unsorted(spark, sf_dir),
         "simhash": dedup_simhash(spark, sf_dir),
     }
     n_truth = truth.count()
@@ -3172,7 +3189,7 @@ def dedup_ensemble_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint/release discipline; cluster sizes are one hash agg over
     the label table."""
     sources = [
-        dedup_minhash_lsh(spark, sf_dir),
+        _minhash_pairs_unsorted(spark, sf_dir),
         dedup_simhash(spark, sf_dir),
         dedup_ngram_jaccard(spark, sf_dir),
         dedup_containment(spark, sf_dir),
@@ -3370,7 +3387,7 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     |V|-row join per round, no collect. Seed selection is a TakeOrdered
     over the node set, never a global sort. Fixed {PPR_ITERS}-round budget,
     bounded plan depth (checkpointing unneeded, as in pagerank)."""
-    mh = dedup_minhash_lsh(spark, sf_dir)
+    mh = _minhash_pairs_unsorted(spark, sf_dir)
     pairs = local_checkpoint(mh.select("doc_a", "doc_b"))
     release_result(mh)
     sym = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).union(
@@ -3565,7 +3582,7 @@ def dedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     late edges and the labels they touch. The final label attach is one
     left join of the base labeling against the (tiny) quotient relabel
     map."""
-    mh = dedup_minhash_lsh(spark, sf_dir)
+    mh = _minhash_pairs_unsorted(spark, sf_dir)
     pairs = local_checkpoint(mh.select("doc_a", "doc_b"))
     release_result(mh)
     is_late = (F.col("doc_a") + F.col("doc_b")) % CC_INC_SPLIT_MOD == 0
@@ -4379,7 +4396,7 @@ def graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-agg; the complement volume needs only the 1-row total crossed
     back. All integers end to end."""
     lpa = local_checkpoint(graph_label_propagation(spark, sf_dir))
-    mh = dedup_minhash_lsh(spark, sf_dir)
+    mh = _minhash_pairs_unsorted(spark, sf_dir)
     pairs = local_checkpoint(mh.select("doc_a", "doc_b"))
     release_result(mh)
     sym = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
