@@ -4981,7 +4981,7 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     point (one single-stage job per round). Raises on budget exhaustion;
     the oracle unrolls the identical {TRUSS_MAX_ROUNDS} rounds
     (post-convergence rounds are no-ops on a stable edge set)."""
-    pc = _pairs_capped_agg(spark, sf_dir)  # unsorted — the checkpoint re-shuffles anyway
+    pc = _pairs_capped_agg(spark, sf_dir)  # unsorted — downstream joins re-shuffle by their own keys
     edges0 = local_checkpoint(pc.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")))
 
     def step(edges: DataFrame, i: int) -> DataFrame:
@@ -5325,7 +5325,7 @@ def graph_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the global minimum edge always matches); {MATCH_MAX_ROUNDS} rounds
     raise fail-loud if the cap is ever hit, and the oracle unrolls the
     identical rounds (no-ops after convergence)."""
-    pc = _pairs_capped_agg(spark, sf_dir)  # unsorted — the checkpoint re-shuffles anyway
+    pc = _pairs_capped_agg(spark, sf_dir)  # unsorted — downstream joins re-shuffle by their own keys
     edges0 = local_checkpoint(
         pc.select(
             F.col("doc_a").alias("a"),
