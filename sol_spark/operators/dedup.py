@@ -852,12 +852,13 @@ ORDER BY doc_a, doc_b
 """
 
 
-@register("dedup_ngram_jaccard", NGRAM_JACCARD_ORACLE, tags=("llm", "dedup"))
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked bigram-Jaccard dedup: candidate pairs share (lang,
-    length-bucket, bigram) — an inverted-index join, not a cross product.
-    Pair similarity is counted directly from co-occurring bigrams, so the
-    shuffled data is (doc, gram) rows: linear in corpus size."""
+def _ngram_jaccard_pairs_unsorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_ngram_jaccard's pair set WITHOUT the registered query's global
+    ORDER BY — for the ensemble/method_overlap/sketch_pr compositions,
+    which localCheckpoint the pairs immediately and re-shuffle by their own
+    keys (the r11 §14/§15 unsorted-helper discipline: a sorted frame fed to
+    a checkpoint materializes a range-sampling pass + sort exchange per
+    consumer for nothing)."""
     t = load_tables(spark, sf_dir)
     # Two-step projection: materialize tokens before the lambda (see the
     # _SHINGLES_FROM_TK note — inlining split() into transform re-runs it
@@ -889,8 +890,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")))
         .filter(F.col("jaccard") >= 0.2)
         .select("doc_a", "doc_b", F.expr("(10000 * ni) div (na + nb - ni)").alias("jaccard_bp"))
-        .orderBy("doc_a", "doc_b")
     )
+
+
+@register("dedup_ngram_jaccard", NGRAM_JACCARD_ORACLE, tags=("llm", "dedup"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked bigram-Jaccard dedup: candidate pairs share (lang,
+    length-bucket, bigram) — an inverted-index join, not a cross product.
+    Pair similarity is counted directly from co-occurring bigrams, so the
+    shuffled data is (doc, gram) rows: linear in corpus size. Body in
+    :func:`_ngram_jaccard_pairs_unsorted`; the registered query adds the
+    contract ORDER BY."""
+    return _ngram_jaccard_pairs_unsorted(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 def _cc_oracle_sql(pair_sql: str) -> str:
@@ -1354,21 +1365,10 @@ ORDER BY doc_a, doc_b
 """
 
 
-@register("dedup_containment", CONTAINMENT_ORACLE, tags=("llm", "dedup"))
-def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric containment near-dup: |A ∩ B| / min(|A|, |B|) over rare
-    bigram profiles — catches a short document EMBEDDED in a longer one,
-    which Jaccard misses by construction (the union denominator dilutes).
-    The quote/boilerplate/subset-document case in corpus curation.
-
-    Scale design: containment pairs legitimately differ in length, so the
-    length-bucket blocking dedup_ngram_jaccard uses is NOT available; the
-    skew guard is instead a DOCUMENT-FREQUENCY CAP — grams seen in more
-    than {CONTAIN_DF_CAP} docs are dropped before the inverted-index
-    self-join (the standard common-shingle removal: a gram in k docs costs
-    k^2 candidate rows; capping k bounds the join fan-out linearly).
-    The operator is defined over the rare-gram profile in BOTH engines, so
-    the cap is part of the verified semantics, not an approximation."""
+def _containment_pairs_unsorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_containment's pair set WITHOUT the registered query's global
+    ORDER BY — for the re-checkpointing compositions (see
+    :func:`_ngram_jaccard_pairs_unsorted`)."""
     t = load_tables(spark, sf_dir)
     grams_from_tk = (
         "CASE WHEN size(tk) < 2 THEN array(ntext) "
@@ -1400,8 +1400,27 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
         .filter(F.col("ni") >= CONTAIN_T * F.least("na", "nb"))
         .select("doc_a", "doc_b", F.expr("(10000 * ni) div least(na, nb)").alias("containment_bp"))
-        .orderBy("doc_a", "doc_b")
     )
+
+
+@register("dedup_containment", CONTAINMENT_ORACLE, tags=("llm", "dedup"))
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: |A ∩ B| / min(|A|, |B|) over rare
+    bigram profiles — catches a short document EMBEDDED in a longer one,
+    which Jaccard misses by construction (the union denominator dilutes).
+    The quote/boilerplate/subset-document case in corpus curation.
+
+    Scale design: containment pairs legitimately differ in length, so the
+    length-bucket blocking dedup_ngram_jaccard uses is NOT available; the
+    skew guard is instead a DOCUMENT-FREQUENCY CAP — grams seen in more
+    than {CONTAIN_DF_CAP} docs are dropped before the inverted-index
+    self-join (the standard common-shingle removal: a gram in k docs costs
+    k^2 candidate rows; capping k bounds the join fan-out linearly).
+    The operator is defined over the rare-gram profile in BOTH engines, so
+    the cap is part of the verified semantics, not an approximation. Body
+    in :func:`_containment_pairs_unsorted`; the registered query adds the
+    contract ORDER BY."""
+    return _containment_pairs_unsorted(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
@@ -1801,8 +1820,8 @@ def dedup_method_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     independently (each bucketed/blocked per its own docstring) and the
     overlap joins operate on pair frames keyed by (doc_a, doc_b)."""
     sources = {
-        "containment": dedup_containment(spark, sf_dir),
-        "jaccard": dedup_ngram_jaccard(spark, sf_dir),
+        "containment": _containment_pairs_unsorted(spark, sf_dir),
+        "jaccard": _ngram_jaccard_pairs_unsorted(spark, sf_dir),
         "minhash": _minhash_pairs_unsorted(spark, sf_dir),
         "simhash": dedup_simhash(spark, sf_dir),
     }
@@ -2749,8 +2768,8 @@ def dedup_sketch_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = dedup_prefix_filter_join(spark, sf_dir).select("doc_a", "doc_b")
     truth = truth.localCheckpoint(eager=True)
     sources = {
-        "containment": dedup_containment(spark, sf_dir),
-        "jaccard": dedup_ngram_jaccard(spark, sf_dir),
+        "containment": _containment_pairs_unsorted(spark, sf_dir),
+        "jaccard": _ngram_jaccard_pairs_unsorted(spark, sf_dir),
         "minhash": _minhash_pairs_unsorted(spark, sf_dir),
         "simhash": dedup_simhash(spark, sf_dir),
     }
@@ -3191,8 +3210,8 @@ def dedup_ensemble_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources = [
         _minhash_pairs_unsorted(spark, sf_dir),
         dedup_simhash(spark, sf_dir),
-        dedup_ngram_jaccard(spark, sf_dir),
-        dedup_containment(spark, sf_dir),
+        _ngram_jaccard_pairs_unsorted(spark, sf_dir),
+        _containment_pairs_unsorted(spark, sf_dir),
     ]
     pair_frames = []
     for df in sources:
