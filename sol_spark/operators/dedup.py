@@ -4116,10 +4116,19 @@ def dedup_mis_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
     {MIS_MAX_ROUNDS} equals the oracle's unroll depth by construction and
     the loop RAISES on non-convergence rather than truncating."""
     ph = dedup_simhash(spark, sf_dir)
-    pairs = local_checkpoint(ph.select("doc_a", "doc_b"))
-    sym = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionAll(
-        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
-    )
+    # Symmetric directions from ONE explode generator over the lazy feeder
+    # (the r11 §14 symmetrization), checkpointed directly — the old form
+    # paid TWO serial corpus-pair checkpoints (pairs, then sym-of-pairs)
+    # purely so a unionAll wouldn't double-run the feeder; the generator
+    # evaluates the feeder once by construction (r12 optimization round).
+    sym = ph.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
+                F.struct(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
     # One checkpointed symmetric edge set, re-joined per round. A
     # pre-partitioned persist()ed edge-cut (2 cached copies keyed on each
     # round join key) was tried in r9 and REVERTED: the cached
@@ -4142,7 +4151,6 @@ def dedup_mis_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Going lower needs fewer ROUNDS (algorithmic) or a cheaper feeder
     # (shared with every simhash consumer), not loop mechanics.
     edges = local_checkpoint(sym)
-    release_result(pairs)
     state0 = (
         edges.select(F.col("a").alias("v"))
         .distinct()
